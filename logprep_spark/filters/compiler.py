@@ -1,0 +1,179 @@
+"""Compile filter ASTs into Catalyst ``Column`` predicates.
+
+This is the core Spark-first move: a rule filter becomes a native
+boolean expression that participates in predicate pushdown, partition
+pruning and whole-stage codegen — instead of the reference's
+per-document Python ``does_match`` walk
+(``/root/reference/logprep/filter/expression/filter_expression.py``).
+
+Semantics preserved from the reference:
+- a missing key never matches (and therefore ``NOT missing`` matches);
+- string equality compares the string-coerced value; list-typed fields
+  match on membership;
+- ``?`` wildcard means *zero or one* character (``.?``), ``*`` means
+  ``.*`` (filter_expression.py:218-264);
+- ranges are type-strict: an int range only matches integer-typed
+  fields, float ranges only float-typed, string ranges only strings
+  (filter_expression.py:338-375).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logprep_spark.fields import field_type, get_field
+from logprep_spark.filters import ast
+from logprep_spark.filters.parser import parse_filter
+
+_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FLOAT_TYPES = (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def compile_filter(
+    filter_expr,
+    df_or_schema,
+    regex_fields: list[str] | None = None,
+    sigma_fields: list[str] | None = None,
+) -> Column:
+    """Compile a filter string or AST into a boolean ``Column``."""
+    schema = df_or_schema.schema if isinstance(df_or_schema, DataFrame) else df_or_schema
+    node = (
+        filter_expr
+        if isinstance(filter_expr, ast.Node)
+        else parse_filter(filter_expr, regex_fields, sigma_fields)
+    )
+    return _compile(node, schema)
+
+
+def _leaf(pred: Column | None) -> Column:
+    """Null-safe leaf: missing key or null comparison result -> False,
+    so that NOT behaves like the reference (NOT missing == True)."""
+    if pred is None:
+        return F.lit(False)
+    return F.coalesce(pred, F.lit(False))
+
+
+def _compile(node: ast.Node, schema: T.StructType) -> Column:
+    if isinstance(node, ast.Always):
+        return F.lit(bool(node.value))
+    if isinstance(node, ast.Not):
+        return ~_compile(node.child, schema)
+    if isinstance(node, ast.And):
+        out = _compile(node.children[0], schema)
+        for child in node.children[1:]:
+            out = out & _compile(child, schema)
+        return out
+    if isinstance(node, ast.Or):
+        out = _compile(node.children[0], schema)
+        for child in node.children[1:]:
+            out = out | _compile(child, schema)
+        return out
+
+    key_nodes = (
+        ast.Exists,
+        ast.Null,
+        ast.StringEq,
+        ast.IntEq,
+        ast.FloatEq,
+        ast.Wildcard,
+        ast.Regex,
+        ast.Range,
+    )
+    if isinstance(node, key_nodes):
+        col = get_field(schema, node.key)
+        dtype = field_type(schema, node.key)
+        if col is None:
+            return F.lit(False)
+        return _leaf(_compile_leaf(node, col, dtype))
+    raise TypeError(f"unknown filter node {node!r}")
+
+
+def _compile_leaf(node: ast.Node, col: Column, dtype: T.DataType) -> Column | None:
+    if isinstance(node, ast.Exists):
+        return col.isNotNull()
+    if isinstance(node, ast.Null):
+        return col.isNull()
+    if isinstance(node, ast.StringEq):
+        if isinstance(dtype, T.ArrayType):
+            return F.array_contains(col, F.lit(node.value).cast(dtype.elementType))
+        return col.cast("string") == F.lit(node.value)
+    if isinstance(node, ast.IntEq):
+        if isinstance(dtype, T.BooleanType):
+            return None
+        if isinstance(dtype, _INT_TYPES + _FLOAT_TYPES):
+            return col == F.lit(node.value)
+        return None
+    if isinstance(node, ast.FloatEq):
+        if isinstance(dtype, _INT_TYPES + _FLOAT_TYPES):
+            return col == F.lit(node.value)
+        return None
+    if isinstance(node, ast.Wildcard):
+        regex = _wildcard_to_regex(node.pattern, node.case_insensitive)
+        if isinstance(dtype, T.ArrayType):
+            return F.exists(col, lambda v: v.cast("string").rlike(regex))
+        return col.cast("string").rlike(regex)
+    if isinstance(node, ast.Regex):
+        regex = _normalize_regex(node.pattern)
+        if isinstance(dtype, T.ArrayType):
+            return F.exists(col, lambda v: v.cast("string").rlike(regex))
+        return col.cast("string").rlike(regex)
+    if isinstance(node, ast.Range):
+        return _compile_range(node, col, dtype)
+    raise TypeError(f"unknown leaf {node!r}")
+
+
+def _compile_range(node: ast.Range, col: Column, dtype: T.DataType) -> Column | None:
+    low, high = node.low, node.high
+    if isinstance(low, int):
+        if not isinstance(dtype, _INT_TYPES):
+            return None
+    elif isinstance(low, float):
+        if not isinstance(dtype, _FLOAT_TYPES):
+            return None
+    else:
+        if not isinstance(dtype, T.StringType):
+            return None
+    lower = col >= F.lit(low) if node.include_low else col > F.lit(low)
+    upper = col <= F.lit(high) if node.include_high else col < F.lit(high)
+    return lower & upper
+
+
+def _wildcard_to_regex(pattern: str, case_insensitive: bool) -> str:
+    """Translate a wildcard pattern to an anchored Java regex.
+
+    ``*`` -> ``.*``; ``?`` -> ``.?`` (zero-or-one, matching the
+    reference); ``\\*`` / ``\\?`` are literals."""
+    out = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".?")
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    body = "".join(out)
+    prefix = "(?i)" if case_insensitive else ""
+    return f"{prefix}^{body}$"
+
+
+def _normalize_regex(regex: str) -> str:
+    """Anchor a user regex like the reference does
+    (filter_expression.py:389-404): force ``^`` after any inline flag,
+    append ``$`` unless the pattern already ends with an unescaped one."""
+    match = re.match(r".*?(?P<escaping>\\*)\$$", regex)
+    end_token = "" if match and len(match.group("escaping")) % 2 == 0 else "$"
+    parts = re.match(r"^(?P<flag>\(\?\w\))?(?P<start>\^)?(?P<pattern>.*)", regex, re.DOTALL)
+    flag = parts.group("flag") or ""
+    pattern = parts.group("pattern") or ""
+    return f"{flag}^{pattern}{end_token}"

@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for local[N] testing but with settings that carry to a large
+cluster: AQE on (runtime re-plan, skew-join splitting), partition
+coalescing, Arrow for the few Pandas-UDF paths, and a shuffle
+partition count sized by env rather than hard-coded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "logprep-spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``SPARK_GRAFT_CPUS`` sizes local parallelism; shuffle partitions
+    default to that so small-SF local runs don't fan out into hundreds
+    of empty tasks, while a cluster deployment overrides via normal
+    Spark conf.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None):
+    """Register the driver's parquet tables as temp views; return dict of DFs."""
+    names = tables or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
