@@ -1,0 +1,114 @@
+"""Processor framework: rule-gated DataFrame transforms.
+
+Reference model (``/root/reference/logprep/abc/processor.py``): a
+processor holds rules; each rule = Lucene filter + config; matching
+events are mutated in place, non-matching pass through untouched.
+
+Spark realization: each rule compiles to one Catalyst predicate
+``cond``; every field write is ``F.when(cond, new).otherwise(old)``.
+A whole pipeline of processors therefore collapses into a single
+narrow projection over the scan — no shuffle, no Python in the row
+path, fully inside whole-stage codegen, and filters on the first
+processors push down to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logprep_spark import fields as fld
+from logprep_spark.filters import compile_filter
+
+
+@dataclass
+class Rule:
+    """One rule: filter string + processor-specific config dict."""
+
+    filter: str
+    config: dict[str, Any]
+    regex_fields: list[str] = field(default_factory=list)
+    sigma_fields: list[str] = field(default_factory=list)
+
+    @classmethod
+    def from_dict(cls, rule_type: str, raw: dict) -> "Rule":
+        return cls(
+            filter=raw.get("filter", "*"),
+            config=dict(raw.get(rule_type, {})),
+            regex_fields=list(raw.get("regex_fields", [])),
+            sigma_fields=list(raw.get("sigma_fields", [])),
+        )
+
+
+class Processor:
+    """Base class. Subclasses set ``rule_type`` and implement
+    ``apply_rule(df, cond, cfg) -> DataFrame``."""
+
+    rule_type: str = ""
+
+    def __init__(self, rules: list[dict] | None = None, **processor_config):
+        self.rules = [Rule.from_dict(self.rule_type, r) for r in (rules or [])]
+        self.processor_config = processor_config
+
+    def condition(self, df: DataFrame, rule: Rule) -> Column:
+        return compile_filter(rule.filter, df, rule.regex_fields, rule.sigma_fields)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        for rule in self.rules:
+            df = self.apply_rule(df, self.condition(df, rule), rule.config)
+        return df
+
+    def apply_rule(self, df: DataFrame, cond: Column, cfg: dict) -> DataFrame:
+        raise NotImplementedError
+
+    # --- shared write helpers -------------------------------------------
+
+    @staticmethod
+    def set_when(
+        df: DataFrame, path: str, cond: Column, value: Column, overwrite: bool = True
+    ) -> DataFrame:
+        """Write ``value`` at ``path`` only where ``cond`` holds;
+        elsewhere keep the existing value (or null for a new field)."""
+        existing = fld.get_field(df, path)
+        if existing is None:
+            out = F.when(cond, value)
+        elif not overwrite:
+            out = F.when(cond & existing.isNull(), value).otherwise(existing)
+        else:
+            out = F.when(cond, value).otherwise(existing)
+        return fld.set_field(df, path, out)
+
+    @staticmethod
+    def add_tag_when(df: DataFrame, cond: Column, tags: list[str], path: str = "tags") -> DataFrame:
+        """Union string tags into an array field where cond holds —
+        reference's ``tags`` convention on processor failure/info."""
+        existing = fld.get_field(df, path)
+        new = F.array(*[F.lit(t) for t in tags])
+        if existing is None:
+            merged = F.when(cond, new)
+        else:
+            merged = F.when(
+                cond, F.array_distinct(F.concat(F.coalesce(existing, F.array()), new))
+            ).otherwise(existing)
+        return fld.set_field(df, path, merged)
+
+
+class Pipeline:
+    """Ordered processor composition — the reference's
+    ``framework/pipeline.py`` re-expressed as one logical plan.
+
+    ``transform`` chains every processor's column rewrites lazily;
+    Catalyst fuses them into a single projection, so N processors
+    cost one pass over the data regardless of N.
+    """
+
+    def __init__(self, processors: list[Processor]):
+        self.processors = processors
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        for proc in self.processors:
+            df = proc.transform(df)
+        return df

@@ -1,0 +1,65 @@
+"""GeoipEnricher — add geo information for an IP field.
+
+Reference: /root/reference/logprep/processor/geoip_enricher/
+processor.py (MaxMind database lookup -> ``geoip`` struct with
+type/geometry/properties).
+
+The scale-correct realization is a broadcast join against a geo table
+derived from the MaxMind export ((net_start, net_end) range join —
+pass ``geo_table``). Without a table, a clearly-marked DETERMINISTIC
+STUB synthesizes stable coordinates from the IP hash so schema and
+plumbing stay real in tests (the MaxMind reader isn't available here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from logprep_spark import fields as fld
+from logprep_spark.operators import ip_utils
+from logprep_spark.operators.base import Processor
+
+
+class GeoipEnricher(Processor):
+    rule_type = "geoip_enricher"
+
+    def __init__(self, rules=None, geo_table: DataFrame | None = None, **kw):
+        """``geo_table``: optional (net_start long, net_end long,
+        country string, city string, lat double, lon double)."""
+        super().__init__(rules, **kw)
+        self.geo_table = geo_table
+
+    def apply_rule(self, df: DataFrame, cond, cfg: dict) -> DataFrame:
+        src = fld.get_field(df, cfg["source_fields"][0])
+        if src is None:
+            return df
+        target = cfg.get("target_field", "geoip")
+        if self.geo_table is not None:
+            ip_long = ip_utils.ipv4_to_long(src)
+            geo = broadcast(self.geo_table)
+            df = df.join(
+                geo,
+                on=(ip_long >= geo["net_start"]) & (ip_long <= geo["net_end"]),
+                how="left",
+            )
+            struct = F.struct(
+                F.lit("Feature").alias("type"),
+                F.col("country").alias("country"),
+                F.col("city").alias("city"),
+                F.array(F.col("lon"), F.col("lat")).alias("coordinates"),
+            )
+            df = self.set_when(df, target, cond & src.isNotNull(), struct)
+            return df.drop("net_start", "net_end", "country", "city", "lat", "lon")
+        # STUB: deterministic fake geo from ip hash
+        h = F.sha2(src.cast("string"), 256)
+        lat = (F.conv(F.substring(h, 1, 6), 16, 10).cast("double") % 18000) / 100.0 - 90.0
+        lon = (F.conv(F.substring(h, 7, 6), 16, 10).cast("double") % 36000) / 100.0 - 180.0
+        struct = F.struct(
+            F.lit("Feature").alias("type"),
+            F.lit("STUBLAND").alias("country"),
+            F.concat(F.lit("city-"), F.substring(h, 13, 4)).alias("city"),
+            F.array(F.round(lon, 2), F.round(lat, 2)).alias("coordinates"),
+        )
+        return self.set_when(df, target, cond & ip_utils.is_ipv4(src), struct)

@@ -1,0 +1,57 @@
+"""Timestamper — normalize timestamps to ISO-8601.
+
+Reference: /root/reference/logprep/processor/timestamper/processor.py
+(source_fields, source_format list incl. ISO8601/UNIX, source/target
+timezones, target_field default @timestamp). Realized with
+``to_timestamp`` / ``from_unixtime`` + ``date_format`` —
+codegen'd datetime kernels, no Python parsing per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logprep_spark import fields as fld
+from logprep_spark.operators.base import Processor
+
+ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+
+
+class Timestamper(Processor):
+    rule_type = "timestamper"
+
+    def apply_rule(self, df: DataFrame, cond, cfg: dict) -> DataFrame:
+        source = cfg["source_fields"][0]
+        src = fld.get_field(df, source)
+        if src is None:
+            return df
+        dtype = fld.field_type(df.schema, source)
+        formats = cfg.get("source_format", ["ISO8601"])
+        if isinstance(formats, str):
+            formats = [formats]
+        src_tz = cfg.get("source_timezone", "UTC")
+        tgt_tz = cfg.get("target_timezone", "UTC")
+
+        candidates = []
+        for fmt in formats:
+            if isinstance(dtype, T.TimestampType):
+                candidates.append(src)
+            elif fmt == "UNIX":
+                secs = F.when(src.cast("double") > 1e11, src.cast("double") / 1000.0).otherwise(
+                    src.cast("double")
+                )
+                candidates.append(F.timestamp_seconds(secs))
+            elif fmt == "ISO8601":
+                candidates.append(F.to_timestamp(src.cast("string")))
+            else:
+                candidates.append(F.to_timestamp(src.cast("string"), fmt))
+        ts = F.coalesce(*candidates) if len(candidates) > 1 else candidates[0]
+        if src_tz != "UTC" and not isinstance(dtype, T.TimestampType):
+            ts = F.to_utc_timestamp(ts, src_tz)
+        if tgt_tz != "UTC":
+            ts = F.from_utc_timestamp(ts, tgt_tz)
+        value = F.date_format(ts, ISO_FMT)
+        target = cfg.get("target_field", "@timestamp")
+        return self.set_when(df, target, cond, value, overwrite=cfg.get("overwrite_target", True))

@@ -1,0 +1,461 @@
+"""Per-processor given-event -> expected-event tests, modeled on the
+reference's tests/unit/processor strategy."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logprep_spark.operators import (
+    Amides,
+    Calculator,
+    Clusterer,
+    Concatenator,
+    DatetimeExtractor,
+    Decoder,
+    Deduplicator,
+    Deleter,
+    Dissector,
+    DomainLabelExtractor,
+    DomainResolver,
+    Dropper,
+    FieldManager,
+    GenericAdder,
+    GenericResolver,
+    GeoipEnricher,
+    Grokker,
+    IpInformer,
+    KeyChecker,
+    Labeler,
+    ListComparison,
+    NetworkComparison,
+    Pipeline,
+    PreDetector,
+    Pseudonymizer,
+    Replacer,
+    Requester,
+    SelectiveExtractor,
+    StringSplitter,
+    TemplateReplacer,
+    TimestampDiffer,
+    Timestamper,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.createDataFrame(
+        [
+            (1, "error", "10.0.0.5", "2024-03-01T10:00:00Z", "0.25", "a b a c",
+             "api.sub.example.co.uk", '{"k": "7"}', "GET /index.html HTTP/1.1"),
+            (2, "info", "8.8.8.8", "2024-03-01T11:30:00Z", "1.5", "x y",
+             "example.com", '{"k": "9"}', "POST /login HTTP/1.1"),
+        ],
+        "id int, level string, ip string, when string, duration string, words string, "
+        "domain string, payload string, request string",
+    )
+
+
+def first(df, **filters):
+    for k, v in filters.items():
+        df = df.filter(F.col(k) == v)
+    return df.first()
+
+
+def test_calculator(events):
+    proc = Calculator([
+        {"filter": "duration", "calculator": {"calc": "${duration} * 10e5", "target_field": "micros"}}
+    ])
+    out = proc.transform(events)
+    assert first(out, id=1).micros == 250000.0
+    assert first(out, id=2).micros == 1500000.0
+
+
+def test_calculator_parens_and_power(events):
+    proc = Calculator([
+        {"filter": "*", "calculator": {"calc": "(${id} + 1) ^ 2", "target_field": "sq"}}
+    ])
+    out = proc.transform(events)
+    assert first(out, id=1).sq == 4.0
+
+
+def test_concatenator(events):
+    proc = Concatenator([
+        {"filter": "*", "concatenator": {
+            "source_fields": ["level", "ip"], "target_field": "combined", "separator": "|"}}
+    ])
+    assert first(proc.transform(events), id=1).combined == "error|10.0.0.5"
+
+
+def test_datetime_extractor(events):
+    proc = DatetimeExtractor([
+        {"filter": "*", "datetime_extractor": {"source_fields": ["when"], "target_field": "split_when"}}
+    ])
+    row = first(proc.transform(events), id=1).split_when
+    assert (row.year, row.month, row.day, row.hour) == (2024, 3, 1, 10)
+    assert row.weekday == "Friday"
+
+
+def test_decoder_json_and_base64(spark, events):
+    proc = Decoder([
+        {"filter": "*", "decoder": {"source_fields": ["payload"], "target_field": "decoded"}}
+    ])
+    assert first(proc.transform(events), id=1).decoded["k"] == "7"
+    df = spark.createDataFrame([("aGVsbG8=",)], "b64 string")
+    out = Decoder([{"filter": "*", "decoder": {"source_fields": ["b64"], "source_format": "base64"}}]).transform(df)
+    assert out.first().b64 == "hello"
+
+
+def test_decoder_clf(spark):
+    line = '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326'
+    df = spark.createDataFrame([(line,)], "log string")
+    out = Decoder([
+        {"filter": "*", "decoder": {"source_fields": ["log"], "source_format": "clf", "target_field": "clf"}}
+    ]).transform(df).first().clf
+    assert out.host == "127.0.0.1"
+    assert out.user == "frank"
+    assert out.status == "200"
+    assert out.size == "2326"
+
+
+def test_deduplicator(spark):
+    df = spark.createDataFrame([(["a", "b", "a"],)], "tags array<string>")
+    out = Deduplicator([{"filter": "*", "deduplicator": {"fields": ["tags"]}}]).transform(df)
+    assert out.first().tags == ["a", "b"]
+
+
+def test_deleter(events):
+    out = Deleter([{"filter": "level: error", "deleter": {"delete": True}}]).transform(events)
+    assert [r.id for r in out.collect()] == [2]
+
+
+def test_dissector(spark):
+    df = spark.createDataFrame(
+        [("This message has a float of 1.23 and an int of 1337",)], "message string"
+    )
+    proc = Dissector([
+        {"filter": "message", "dissector": {
+            "mapping": {"message": "%{}of %{extracted.message_float} and an int of %{extracted.message_int}"},
+            "convert_datatype": {
+                "extracted.message_int": "int", "extracted.message_float": "float"},
+        }}
+    ])
+    row = proc.transform(df).first()
+    assert row.extracted.message_float == 1.23
+    assert row.extracted.message_int == 1337
+
+
+def test_dissector_padding(spark):
+    df = spark.createDataFrame([("[2022-11-04 10:00:00 AM     ] - 127.0.0.1",)], "line string")
+    proc = Dissector([
+        {"filter": "*", "dissector": {"mapping": {"line": "[%{time-( )}] - %{ip}"}}}
+    ])
+    row = proc.transform(df).first()
+    assert row.time == "2022-11-04 10:00:00 AM"
+    assert row.ip == "127.0.0.1"
+
+
+def test_domain_label_extractor(events):
+    proc = DomainLabelExtractor([
+        {"filter": "*", "domain_label_extractor": {"source_fields": ["domain"], "target_field": "url"}}
+    ])
+    out = proc.transform(events)
+    r1 = first(out, id=1).url
+    assert r1.registered_domain == "example.co.uk"
+    assert r1.top_level_domain == "co.uk"
+    assert r1.subdomain == "api.sub"
+    r2 = first(out, id=2).url
+    assert r2.registered_domain == "example.com"
+    assert r2.subdomain == ""
+
+
+def test_domain_label_extractor_ip_tag(spark):
+    df = spark.createDataFrame([("8.8.8.8",)], "domain string")
+    out = DomainLabelExtractor([
+        {"filter": "*", "domain_label_extractor": {"source_fields": ["domain"], "target_field": "url"}}
+    ]).transform(df)
+    assert out.first().tags == ["ip_in_domain"]
+
+
+def test_domain_resolver_stub(events):
+    out = DomainResolver([
+        {"filter": "*", "domain_resolver": {"source_fields": ["domain"]}}
+    ]).transform(events)
+    ips = {r.id: r.resolved_ip for r in out.collect()}
+    assert all(ip.count(".") == 3 for ip in ips.values())
+    # deterministic
+    out2 = DomainResolver([
+        {"filter": "*", "domain_resolver": {"source_fields": ["domain"]}}
+    ]).transform(events)
+    assert {r.id: r.resolved_ip for r in out2.collect()} == ips
+
+
+def test_domain_resolver_table(spark, events):
+    table = spark.createDataFrame([("example.com", "1.2.3.4")], "domain string, ip string")
+    out = DomainResolver(
+        [{"filter": "*", "domain_resolver": {"source_fields": ["domain"]}}],
+        resolution_table=table,
+    ).transform(events)
+    assert first(out, id=2).resolved_ip == "1.2.3.4"
+    assert first(out, id=1).resolved_ip is None
+
+
+def test_dropper(events):
+    out = Dropper([{"filter": "*", "dropper": {"drop": ["payload"]}}]).transform(events)
+    assert "payload" not in out.columns
+    out = Dropper([{"filter": "level: error", "dropper": {"drop": ["payload"]}}]).transform(events)
+    assert first(out, id=1).payload is None
+    assert first(out, id=2).payload is not None
+
+
+def test_field_manager(events):
+    out = FieldManager([
+        {"filter": "*", "field_manager": {
+            "source_fields": ["level"], "target_field": "event.severity_label"}}
+    ]).transform(events)
+    assert first(out, id=1).event.severity_label == "error"
+    out = FieldManager([
+        {"filter": "*", "field_manager": {
+            "source_fields": ["level", "ip"], "target_field": "merged"}}
+    ]).transform(events)
+    assert first(out, id=1).merged == ["error", "10.0.0.5"]
+
+
+def test_generic_adder(events):
+    out = GenericAdder([
+        {"filter": "level: error", "generic_adder": {"add": {"some.added_field": "some value"}}}
+    ]).transform(events)
+    assert first(out, id=1).some.added_field == "some value"
+    assert first(out, id=2).some.added_field is None
+
+
+def test_generic_resolver(events):
+    out = GenericResolver([
+        {"filter": "*", "generic_resolver": {
+            "field_mapping": {"level": "level_num"},
+            "resolve_list": {"^err.*": "3", "^info$": "6"}}}
+    ]).transform(events)
+    assert first(out, id=1).level_num == "3"
+    assert first(out, id=2).level_num == "6"
+
+
+def test_geoip_stub(events):
+    out = GeoipEnricher([
+        {"filter": "*", "geoip_enricher": {"source_fields": ["ip"]}}
+    ]).transform(events)
+    row = first(out, id=1).geoip
+    assert row.country == "STUBLAND"
+    assert len(row.coordinates) == 2
+
+
+def test_grokker(events):
+    proc = Grokker([
+        {"filter": "*", "grokker": {
+            "mapping": {"request": "%{WORD:verb} %{URIPATH:path} HTTP/%{NUMBER:http.version}"}}}
+    ])
+    out = proc.transform(events)
+    r = first(out, id=1)
+    assert r.verb == "GET"
+    assert r.path == "/index.html"
+    assert r.http.version == "1.1"
+
+
+def test_grokker_int_cast(spark):
+    df = spark.createDataFrame([("took 42 ms",)], "msg string")
+    out = Grokker([
+        {"filter": "*", "grokker": {"mapping": {"msg": "took %{INT:took:int} ms"}}}
+    ]).transform(df)
+    assert out.first().took == 42
+
+
+def test_ip_informer(events):
+    out = IpInformer([
+        {"filter": "*", "ip_informer": {"source_fields": ["ip"], "target_field": "ipinfo"}}
+    ]).transform(events)
+    r1 = first(out, id=1).ipinfo.ip
+    assert r1.version == 4 and r1.is_private and not r1.is_global
+    r2 = first(out, id=2).ipinfo.ip
+    assert r2.is_global and not r2.is_private
+
+
+def test_key_checker(events):
+    out = KeyChecker([
+        {"filter": "*", "key_checker": {
+            "source_fields": ["level", "missing1", "missing2"], "target_field": "missing_fields"}}
+    ]).transform(events)
+    assert first(out, id=1).missing_fields == ["missing1", "missing2"]
+
+
+def test_labeler(events):
+    out = Labeler([
+        {"filter": "level: error", "labeler": {"label": {"reporter": ["windows", "syslog"]}}}
+    ]).transform(events)
+    assert first(out, id=1).label.reporter == ["syslog", "windows"]
+    assert first(out, id=2).label.reporter is None
+
+
+def test_list_comparison(events):
+    out = ListComparison([
+        {"filter": "*", "list_comparison": {
+            "source_fields": ["level"], "target_field": "level_check",
+            "lists": {"bad_levels": ["error", "critical"]}}}
+    ]).transform(events)
+    assert first(out, id=1).level_check.in_list == ["bad_levels"]
+    assert first(out, id=2).level_check.not_in_list == ["bad_levels"]
+
+
+def test_network_comparison(events):
+    out = NetworkComparison([
+        {"filter": "*", "network_comparison": {
+            "source_fields": ["ip"], "target_field": "net",
+            "networks": {"internal": ["10.0.0.0/8", "192.168.0.0/16"]}}}
+    ]).transform(events)
+    assert first(out, id=1).net.in_network == ["internal"]
+    assert first(out, id=2).net.not_in_network == ["internal"]
+
+
+def test_pre_detector(events):
+    proc = PreDetector(
+        [{"filter": "level: error", "pre_detector": {
+            "id": "rule-1", "title": "error seen", "severity": "critical",
+            "mitre": ["attack.t1059"], "case_condition": "directly"}}],
+        id_fields=["id"],
+    )
+    out = proc.transform(events)
+    assert first(out, id=1).pre_detection_id is not None
+    assert first(out, id=2).pre_detection_id is None
+    alerts = proc.detections(events)
+    assert alerts.count() == 1
+    alert = alerts.first()
+    assert alert.title == "error seen" and alert.severity == "critical"
+
+
+def test_pseudonymizer(events):
+    proc = Pseudonymizer([
+        {"filter": "*", "pseudonymizer": {"mapping": {"ip": r"\d+\.\d+\.\d+\.\d+"}}}
+    ])
+    out = proc.transform(events)
+    assert first(out, id=1).ip.startswith("<pseudonym:")
+    pseudonyms = proc.pseudonyms(events)
+    assert pseudonyms.count() == 2
+    assert set(pseudonyms.columns) == {"pseudonym", "origin"}
+
+
+def test_replacer(spark):
+    df = spark.createDataFrame([("user alice logged in from 1.2.3.4",)], "message string")
+    out = Replacer([
+        {"filter": "*", "replacer": {
+            "mapping": {"message": "user %{USER} logged in from %{IP}"}}}
+    ]).transform(df)
+    assert out.first().message == "user USER logged in from IP"
+
+
+def test_replacer_keep_original(spark):
+    df = spark.createDataFrame([("a-17-z",)], "message string")
+    out = Replacer([
+        {"filter": "*", "replacer": {"mapping": {"message": "a-%{*}-%{Z}"}}}
+    ]).transform(df)
+    assert out.first().message == "a-17-Z"
+
+
+def test_requester_stub_raises(events):
+    proc = Requester([
+        {"filter": "*", "requester": {"url": "http://api/${level}", "target_field": "resp"}}
+    ])
+    with pytest.raises(NotImplementedError):
+        proc.transform(events)
+
+
+def test_requester_with_handler(events):
+    proc = Requester(
+        [{"filter": "level: error", "requester": {"url": "http://api/${level}", "target_field": "resp"}}],
+        handler=lambda req: {"echo": req["url"]},
+    )
+    out = proc.transform(events)
+    assert '"echo": "http://api/error"' in first(out, id=1).resp
+    assert first(out, id=2).resp is None
+
+
+def test_selective_extractor(events):
+    proc = SelectiveExtractor([
+        {"filter": "level: error", "selective_extractor": {
+            "source_fields": ["id", "ip"], "outputs": [{"kafka": "extracts"}]}}
+    ])
+    extracted = proc.extracted(events)["extracts"]
+    assert extracted.columns == ["id", "ip"]
+    assert extracted.count() == 1
+
+
+def test_string_splitter(events):
+    out = StringSplitter([
+        {"filter": "*", "string_splitter": {"source_fields": ["words"], "target_field": "word_list"}}
+    ]).transform(events)
+    assert first(out, id=1).word_list == ["a", "b", "a", "c"]
+
+
+def test_template_replacer(events):
+    proc = TemplateReplacer(
+        template={("error",): "Something went wrong"},
+        pattern_keys=["level"],
+        target_field="message_tpl",
+    )
+    out = proc.transform(events)
+    assert first(out, id=1).message_tpl == "Something went wrong"
+    assert first(out, id=2).message_tpl is None
+
+
+def test_timestamper(events):
+    out = Timestamper([
+        {"filter": "*", "timestamper": {"source_fields": ["when"]}}
+    ]).transform(events)
+    assert first(out, id=1)["@timestamp"] == "2024-03-01T10:00:00.000Z"
+
+
+def test_timestamper_unix(spark):
+    df = spark.createDataFrame([("1709287200",)], "epoch string")
+    out = Timestamper([
+        {"filter": "*", "timestamper": {"source_fields": ["epoch"], "source_format": ["UNIX"]}}
+    ]).transform(df)
+    assert out.first()["@timestamp"] == "2024-03-01T10:00:00.000Z"
+
+
+def test_timestamp_differ(spark):
+    df = spark.createDataFrame(
+        [("2024-03-01 10:00:12", "2024-03-01 10:00:00")], "end string, start string"
+    )
+    out = TimestampDiffer([
+        {"filter": "*", "timestamp_differ": {
+            "diff": "${end} - ${start}", "target_field": "delta",
+            "output_format": "milliseconds", "show_unit": True}}
+    ]).transform(df)
+    assert out.first().delta == "12000.0 ms"
+
+
+def test_amides_stub(events):
+    out = Amides([
+        {"filter": "*", "amides": {"source_fields": ["request"]}}
+    ]).transform(events)
+    score = first(out, id=1).amides.confidence
+    assert 0.0 <= score < 1.0
+
+
+def test_clusterer(spark):
+    df = spark.createDataFrame(
+        [("connection from 10.1.2.3 failed after 300 ms",),
+         ("connection from 10.9.8.7 failed after 42 ms",)],
+        "message string",
+    )
+    out = Clusterer([{"filter": "*", "clusterer": {}}]).transform(df)
+    sigs = {r.cluster_signature for r in out.collect()}
+    assert sigs == {"connection from <ip> failed after <num> ms"}
+
+
+def test_pipeline_compose(events):
+    pipeline = Pipeline([
+        Calculator([{"filter": "*", "calculator": {"calc": "${id} * 2", "target_field": "id2"}}]),
+        Concatenator([{"filter": "*", "concatenator": {
+            "source_fields": ["level", "id2"], "target_field": "tag_str", "separator": "#"}}]),
+        Deleter([{"filter": "level: info", "deleter": {"delete": True}}]),
+    ])
+    out = pipeline.transform(events)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].tag_str == "error#2.0"
