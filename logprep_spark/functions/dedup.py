@@ -1,0 +1,290 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash and n-gram-Jaccard dedup over a document
+table. Design constraints:
+
+- **Scale**: the only shuffles are on (band_id, band_key) /
+  fingerprint keys — the fact table is never self-cross-joined.
+  Candidate generation is LSH-bucketed; verification touches only
+  candidate pairs. Bucket skew is bounded because band keys are
+  near-uniform hashes; AQE's skew-join handles residual hot buckets.
+- **Determinism**: every hash is md5-derived (no seed, no JVM
+  specifics) so the DuckDB oracle reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logprep_spark.functions.text import tokens
+
+NUM_PERM = 16
+BAND_ROWS = 4
+NUM_BANDS = NUM_PERM // BAND_ROWS  # 4
+SIMHASH_BITS = 16
+
+
+def h60(col: Column) -> Column:
+    """Deterministic 60-bit hash: first 15 hex digits of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a text column."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+    )
+
+
+# --- exact dedup -------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact (whitespace-normalized)
+    text hash. One hash-shuffle on the fingerprint — the canonical
+    100 TB exact-dedup plan (map-side partial min per fingerprint)."""
+    normalized = F.array_join(tokens(F.col(text_col)), " ")
+    with_hash = df.withColumn("text_hash", F.md5(normalized))
+    keep = with_hash.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
+    return (
+        with_hash.join(keep, on=["text_hash", id_col], how="inner")
+        .drop("text_hash")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate groups: (text_hash, n_dups, keeper_id), groups > 1."""
+    normalized = F.array_join(tokens(F.col(text_col)), " ")
+    return (
+        df.select(F.md5(normalized).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------
+
+
+def minhash_signature(col: Column, num_perm: int = NUM_PERM) -> Column:
+    """Array of ``num_perm`` min-hashes over the text's shingles.
+    Permutation i is the md5 family member keyed by ``i:``."""
+    sh = shingles(col)
+
+    def perm_hash(i: int):
+        # closure factory: a 2-arg lambda would make Spark pass the
+        # array index as the second argument
+        return lambda s: h60(F.concat(F.lit(f"{i}:"), s))
+
+    members = [F.array_min(F.transform(sh, perm_hash(i))) for i in range(num_perm)]
+    return F.array(*members)
+
+
+def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, band_id, band_key) — one row per band per doc."""
+    sig = minhash_signature(F.col(text_col))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.element_at(sig, b * BAND_ROWS + r + 1).cast("string")
+                            for r in range(BAND_ROWS)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(NUM_BANDS)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key")
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
+
+    The self-join shuffles only (band_id, band_key) — never the text.
+    """
+    bands = minhash_bands(df, text_col, id_col)
+    left = bands.select(
+        F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a")
+    )
+    right = bands.select(
+        F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_b")
+    )
+    return (
+        left.join(right, on=["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs (verification stage).
+    Joins shingle sets onto the pair list — cost scales with the
+    candidate count, not n^2."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Verified near-dup pairs: LSH candidates with true Jaccard >=
+    threshold. The full MinHash->LSH->verify pipeline."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col)
+    return ngram_jaccard(df, pairs, text_col, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# --- SimHash -----------------------------------------------------------
+
+
+def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Token-level SimHash: bit j is set when more than half the
+    distinct token hashes carry bit j. Bit votes are native
+    size/filter aggregations over the token-hash array."""
+    hashes = F.transform(F.array_distinct(tokens(col)), h60)
+    n = F.size(hashes)
+
+    def bit_set(j: int):
+        return lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
+
+    bit_terms = [
+        F.when(
+            F.size(F.filter(hashes, bit_set(j))) * 2 > n,
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        for j in range(bits)
+    ]
+    out = bit_terms[0]
+    for term in bit_terms[1:]:
+        out = out + term
+    return out.cast("long")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance. Buckets on the
+    simhash's high byte first so the self-join never goes n^2 on the
+    full table (docs differing in <=2 of 16 bits usually agree on one
+    of the two 8-bit halves; both halves are used as bucket keys)."""
+    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
+    halves = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("half"), F.shiftright("sh", 8).alias("key")),
+                F.struct(F.lit(1).alias("half"), F.col("sh").bitwiseAND(F.lit(255)).alias("key")),
+            )
+        ).alias("bucket"),
+    ).select(id_col, "sh", "bucket.half", "bucket.key")
+    a = halves.select(
+        F.col("half"), F.col("key"), F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = halves.select(
+        F.col("half"), F.col("key"), F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, on=["half", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(hamming <= max_hamming)
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+    )
+
+
+# --- embedding cosine near-dup ----------------------------------------
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity via native higher-order functions — double
+    accumulation left-to-right (zip_with + aggregate), no UDF."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    norm_b = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (norm_a * norm_b)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold.
+
+    Scale path: random-hyperplane LSH buckets (md5-derived plane
+    weights, deterministic) prune candidates — vectors agreeing on all
+    ``n_planes`` sign bits land in one bucket; only buckets join.
+    At 0.95+ cosine, sign agreement is near-certain for all planes.
+    """
+    from logprep_spark.functions.similarity import hyperplane_bucket
+
+    vec = F.col(vec_col)
+    bucketed = df.select(
+        F.col(id_col), vec, hyperplane_bucket(vec, n_planes).alias("bucket")
+    )
+    a = bucketed.select(
+        F.col("bucket"), F.col(id_col).alias("id_a"), vec.alias("vec_a")
+    )
+    b = bucketed.select(
+        F.col("bucket"), F.col(id_col).alias("id_b"), vec.alias("vec_b")
+    )
+    sim = cosine_sim(F.col("vec_a"), F.col("vec_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

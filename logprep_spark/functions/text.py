@@ -1,0 +1,103 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure ``pyspark.sql.functions`` compositions — language ID, quality
+scoring, token counting and fingerprinting run inside whole-stage
+codegen with zero Python in the row path, so they scale linearly with
+executors at 100 TB.
+
+Every operator is deliberately expressible in ANSI SQL (regexp counts,
+md5) so the DuckDB oracle can replicate results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the language heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "por", "con", "para"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "an", "as", "at", "by", "on", "or", "be"]
+
+
+def marker_regex(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization with empties removed."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish proxy: alphanumeric runs + each standalone non-space
+    symbol counted separately, the way byte-pair tokenizers fragment
+    text. Single regexp pass, SQL-replicable."""
+    return F.regexp_count(col, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"))
+
+
+def marker_hits(col: Column, words: list[str]) -> Column:
+    """Occurrences of any marker word (word-bounded, lowercased)."""
+    return F.regexp_count(F.lower(col), F.lit(marker_regex(words)))
+
+
+def lang_id(col: Column) -> Column:
+    """Language whose marker-stopword hit count is highest; 'und' when
+    nothing hits. Ties break toward the lexicographically larger code
+    (deterministic)."""
+    hit_cols = [
+        F.struct(marker_hits(col, words).alias("hits"), F.lit(code).alias("lang"))
+        for code, words in sorted(LANG_MARKERS.items())
+    ]
+    best = F.array_max(F.array(*hit_cols))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality in [0,1]: length band + alpha ratio +
+    stopword presence + sane mean word length (C4/Gopher-style
+    pretraining filters, deterministic)."""
+    n_chars = F.length(col)
+    n_tokens = token_count(col)
+    alpha_ratio = (
+        F.length(F.regexp_replace(col, r"[^A-Za-z]", "")) / F.greatest(n_chars, F.lit(1))
+    )
+    stop_ratio = marker_hits(col, STOPWORDS_EN) / F.greatest(n_tokens, F.lit(1))
+    mean_word_len = n_chars / F.greatest(n_tokens, F.lit(1))
+    return (
+        F.when((n_chars >= 50) & (n_chars <= 20000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(alpha_ratio >= 0.6, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Order-sensitive 60-bit document fingerprint: md5 over the
+    token stream (whitespace-normalized), first 15 hex digits as a
+    long. Identical in any engine with md5 — the oracle replicates it
+    verbatim."""
+    normalized = F.array_join(tokens(col), " ")
+    return F.conv(F.substring(F.md5(normalized), 1, 15), 16, 10).cast("long")
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents -> per-doc analysis frame (SURVEY §2 L8-L11 bundle)."""
+    col = F.col(text_col)
+    return df.select(
+        "doc_id",
+        lang_id(col).alias("lang_pred"),
+        quality_score(col).alias("quality"),
+        token_count(col).alias("n_tokens"),
+        bpe_ish_token_count(col).alias("n_bpe_tokens"),
+        fingerprint(col).alias("fingerprint"),
+    )

@@ -1,0 +1,136 @@
+"""Tests for text analysis, dedup, and similarity over real testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logprep_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_text_profile(docs):
+    profile = text.text_profile(docs)
+    rows = profile.limit(50).collect()
+    assert all(r.lang_pred in {"en", "de", "fr", "es", "und"} for r in rows)
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)
+    assert all(r.n_bpe_tokens >= r.n_tokens or r.n_tokens == 0 for r in rows)
+    assert profile.count() == docs.count()
+
+
+def test_fingerprint_stable_under_whitespace(spark):
+    df = spark.createDataFrame([("a b  c",), ("a b c",)], "text string")
+    fps = [r.fp for r in df.select(text.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello  world"), (3, "different doc")],
+        "doc_id long, text string",
+    )
+    kept = dedup.exact_dedup(df)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+    groups = dedup.exact_dup_groups(df)
+    assert groups.count() == 1
+    assert groups.first().n_dups == 2
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    sh = df.select(dedup.shingles(F.col("text"), 3).alias("sh")).first().sh
+    assert sh == ["a b c", "b c d"]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different content about spark query engines at scale"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = dedup.minhash_lsh_pairs(df).collect()
+    pair_set = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in pair_set
+    assert (1, 3) not in pair_set and (2, 3) not in pair_set
+    verified = dedup.minhash_dedup(df, threshold=0.5)
+    assert {(r.id_a, r.id_b) for r in verified.collect()} == {(1, 2)}
+
+
+def test_minhash_on_real_docs(docs):
+    pairs = dedup.minhash_dedup(docs.limit(200), threshold=0.8)
+    # deterministic across runs
+    assert pairs.collect() == dedup.minhash_dedup(docs.limit(200), threshold=0.8).collect()
+
+
+def test_simhash_pairs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " iota"), (3, "unrelated words entirely different")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash_pairs(df, max_hamming=3)
+    pair_set = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in pair_set
+    assert (1, 3) not in pair_set
+
+
+def test_embedding_dup_pairs(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    pairs = dedup.embedding_dup_pairs(df, threshold=0.95)
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(1, 2)}
+
+
+def test_brute_force_topk(embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    out = similarity.brute_force_topk(embeddings, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 3 * 5
+    for r in rows:
+        assert r.query_id != r.nbr_id
+    # ranks are 1..5 per query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
+def test_lsh_topk_close_to_exact(embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(embeddings, queries, k=1).collect()
+    approx = similarity.lsh_topk(embeddings, queries, k=1, n_planes=4).collect()
+    exact_best = {r.query_id: r.cosine for r in exact}
+    approx_best = {r.query_id: r.cosine for r in approx}
+    # LSH recall won't be perfect, but every query should get a neighbor
+    # and its similarity should be within a loose bound of exact.
+    assert set(approx_best) == set(exact_best)
+    for q, cos in approx_best.items():
+        assert cos >= exact_best[q] - 0.3
+
+
+def test_multimodal_features(docs, spark):
+    media = multimodal.make_media_frame(spark, docs.limit(20))
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(r.n_bytes > 0 for r in rows if r.payload_sha)
+    resized = multimodal.resize_images(media, 32, 32)
+    assert resized.first().meta.width == 32
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx")
