@@ -25,6 +25,7 @@ _GAP = re.compile(r"%\{([^}]*)\}")
 def compile_replacement(template: str) -> tuple[str, str]:
     """Compile a replacer template into (match_regex, rewrite)."""
     pos = 0
+    group = 0
     pattern_parts: list[str] = []
     rewrite_parts: list[str] = []
     for seg in _GAP.finditer(template):
@@ -32,8 +33,11 @@ def compile_replacement(template: str) -> tuple[str, str]:
         pattern_parts.append(re.escape(literal))
         rewrite_parts.append(literal.replace("\\", "\\\\").replace("$", "\\$"))
         pattern_parts.append("(.*?)" if seg.end() < len(template) else "(.*)")
+        group += 1
         repl = seg.group(1)
-        rewrite_parts.append("$1" if repl == "*" else repl.replace("\\", "\\\\").replace("$", "\\$"))
+        rewrite_parts.append(
+            f"${group}" if repl == "*" else repl.replace("\\", "\\\\").replace("$", "\\$")
+        )
         pos = seg.end()
     tail = template[pos:]
     pattern_parts.append(re.escape(tail))

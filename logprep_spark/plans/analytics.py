@@ -1,0 +1,186 @@
+"""Core analytics plans (SURVEY §2.5): scan/filter/agg, joins,
+windows, sessionization over the driver's TPC-H-ish tables.
+
+Each function takes pre-loaded table DataFrames and returns a lazy
+DataFrame. Plans are written so Catalyst gets full latitude:
+filters sit on base tables (pushdown to parquet), dimension joins are
+explicitly ``broadcast``, aggregates are declared (map-side partial
+agg for free), and no collect()/driver loops anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: multi-key hash agg with pushdown filter."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # rounding pins float-sum associativity differences so the
+            # DuckDB oracle hash-matches bit-for-bit
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> broadcast -> fact join."""
+    cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < F.lit("1997-06-30"))
+    items = lineitem.filter(F.col("l_shipdate") > F.lit("1997-06-30"))
+    return (
+        items.join(broadcast(ords.join(broadcast(cust), ords.o_custkey == cust.c_custkey)),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 shape: star join — all dims broadcast, one fact scan."""
+    nat = nation.join(
+        broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    cust = customer.join(
+        broadcast(nat), customer.c_nationkey == nat.n_nationkey
+    ).select("c_custkey", F.col("n_nationkey").alias("c_nat"), "n_name")
+    supp = supplier.select("s_suppkey", F.col("s_nationkey").alias("s_nat"))
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        lineitem.join(broadcast(ords), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nat") == F.col("s_nat"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 shape: pure pushdown filter + single agg, no shuffle
+    beyond the final partial-agg combine."""
+    return lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+def nation_revenue(
+    nation: DataFrame, customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Broadcast-dim join: order revenue by customer nation."""
+    cust = customer.join(
+        broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "n_name")
+    return (
+        orders.join(broadcast(cust), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def topk_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Window top-k: highest-value orders per customer."""
+    window = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def customers_without_orders(
+    customer: DataFrame, orders: DataFrame, min_totalprice: float = 400000.0
+) -> DataFrame:
+    """Anti join: customers with no order above ``min_totalprice``.
+    Stays a hash anti join; the orders side is pre-filtered so only
+    qualifying keys shuffle."""
+    big = orders.filter(F.col("o_totalprice") > min_totalprice).select("o_custkey")
+    return customer.join(
+        big, customer.c_custkey == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: a session breaks after ``gap_minutes`` of
+    inactivity per user. Window lag + running sum — one shuffle on
+    user_id, scales with users not events-squared."""
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(by_user))
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_session = events.withColumn(
+        "session_id", F.sum(new_session).over(by_user.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000.0
+            ).alias("duration_s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.avg("duration_s"), 3).alias("avg_session_s"),
+        )
+    )
+
+
+def event_type_stats(events: DataFrame) -> DataFrame:
+    """Hash agg over the event stream: per-type volume/value stats."""
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -1,0 +1,1118 @@
+"""Query catalog: the driver-facing inventory (SURVEY §2).
+
+Every entry pairs a Spark plan (``queries()[name]``) with an ANSI-SQL
+oracle DuckDB runs on the same parquet (``oracle_sql()[name]``); the
+driver hash-compares both at sf0.01. Names match SURVEY §2 gates.
+
+Float discipline: any aggregate or trig-free float expression that
+could differ by summation order is rounded in BOTH engines; pure
+per-row IEEE arithmetic (same operand order) is left exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logprep_spark.functions import dedup as dd
+from logprep_spark.functions import similarity as sim
+from logprep_spark.functions import text as tx
+from logprep_spark.operators import (
+    Calculator,
+    Clusterer,
+    Concatenator,
+    DatetimeExtractor,
+    Decoder,
+    Deduplicator,
+    Deleter,
+    Dissector,
+    DomainLabelExtractor,
+    DomainResolver,
+    Dropper,
+    FieldManager,
+    GenericAdder,
+    GenericResolver,
+    GeoipEnricher,
+    Grokker,
+    IpInformer,
+    KeyChecker,
+    Labeler,
+    ListComparison,
+    NetworkComparison,
+    Pipeline,
+    PreDetector,
+    Pseudonymizer,
+    Replacer,
+    SelectiveExtractor,
+    StringSplitter,
+    TemplateReplacer,
+    TimestampDiffer,
+    Timestamper,
+)
+from logprep_spark.plans import analytics as an
+from logprep_spark.session import load_tables
+
+_QUERIES: dict = {}
+_ORACLES: dict[str, str] = {}
+
+_TABLE_CACHE: dict[tuple[int, str], dict] = {}
+
+
+def tables(spark: SparkSession, sf_dir: str) -> dict:
+    key = (id(spark), sf_dir)
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = load_tables(spark, sf_dir)
+    return _TABLE_CACHE[key]
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# =====================================================================
+# §2.5 analytics core
+# =====================================================================
+
+
+@register(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    return an.q1_pricing_summary(tables(spark, sf_dir)["lineitem"])
+
+
+@register(
+    "tpch_q3",
+    """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-30'
+      AND l_shipdate  > TIMESTAMP '1997-06-30'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return an.q3_shipping_priority(t["customer"], t["orders"], t["lineitem"])
+
+
+@register(
+    "tpch_q5",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_nationkey = c_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return an.q5_local_supplier_volume(
+        t["region"], t["nation"], t["customer"], t["supplier"], t["orders"], t["lineitem"]
+    )
+
+
+@register(
+    "tpch_q6",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark, sf_dir):
+    return an.q6_forecast_revenue(tables(spark, sf_dir)["lineitem"])
+
+
+@register(
+    "join_broadcast_nation",
+    """
+    SELECT n_name,
+           round(sum(o_totalprice), 2) AS total_revenue,
+           count(*)                    AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_broadcast_nation(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return an.nation_revenue(t["nation"], t["customer"], t["orders"])
+
+
+@register(
+    "window_topk_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rank
+        FROM orders
+    ) WHERE rank <= 3
+    """,
+)
+def window_topk_orders(spark, sf_dir):
+    return an.topk_orders_per_customer(tables(spark, sf_dir)["orders"], k=3)
+
+
+@register(
+    "join_anti_customers",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 400000.0
+    )
+    """,
+)
+def join_anti_customers(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return an.customers_without_orders(t["customer"], t["orders"])
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH with_flag AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), with_session AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM with_flag
+    ), sessions AS (
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               epoch(max(ts)) - epoch(min(ts)) AS duration_s
+        FROM with_session GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           count(*)                  AS n_sessions,
+           sum(n_events)             AS n_events,
+           round(avg(duration_s), 3) AS avg_session_s
+    FROM sessions GROUP BY user_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    return an.sessionize(tables(spark, sf_dir)["events"], gap_minutes=30)
+
+
+@register(
+    "event_type_stats",
+    """
+    SELECT event_type,
+           count(*)                       AS n,
+           round(sum(value), 2)           AS total_value,
+           round(avg(value), 4)           AS avg_value,
+           count(DISTINCT user_id)        AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def event_type_stats(spark, sf_dir):
+    return an.event_type_stats(tables(spark, sf_dir)["events"])
+
+
+# =====================================================================
+# §2.1 filter DSL
+# =====================================================================
+
+from logprep_spark.filters import compile_filter  # noqa: E402
+
+
+@register(
+    "filter_lucene_bool",
+    """
+    SELECT event_id FROM events
+    WHERE event_type = 'error' AND value BETWEEN 100.0 AND 200.0
+      AND user_id <> 7
+    """,
+)
+def filter_lucene_bool(spark, sf_dir):
+    ev = tables(spark, sf_dir)["events"]
+    cond = compile_filter(
+        "event_type: error AND value: [100.0 TO 200.0] AND NOT user_id: 7", ev
+    )
+    return ev.filter(cond).select("event_id")
+
+
+@register(
+    "filter_lucene_wildcard",
+    r"""
+    SELECT event_id FROM events
+    WHERE regexp_matches(event_type, '^.*rror$')
+       OR regexp_matches(event_type, '^cl.?ck$')
+    """,
+)
+def filter_lucene_wildcard(spark, sf_dir):
+    ev = tables(spark, sf_dir)["events"]
+    cond = compile_filter("event_type: *rror OR event_type: cl?ck", ev)
+    return ev.filter(cond).select("event_id")
+
+
+@register(
+    "filter_lucene_regex",
+    r"""
+    SELECT event_id FROM events
+    WHERE regexp_matches(props, '^\{"k": 8\d\}$')
+    """,
+)
+def filter_lucene_regex(spark, sf_dir):
+    ev = tables(spark, sf_dir)["events"]
+    cond = compile_filter(r'props: /\{"k": 8\d\}/', ev)
+    return ev.filter(cond).select("event_id")
+
+
+@register(
+    "filter_lucene_range",
+    """
+    SELECT event_id FROM events
+    WHERE event_type >= 'click' AND event_type <= 'error'
+      AND value > 50.0 AND value <= 150.0
+    """,
+)
+def filter_lucene_range(spark, sf_dir):
+    ev = tables(spark, sf_dir)["events"]
+    cond = compile_filter("event_type: [click TO error] AND value: {50.0 TO 150.0]", ev)
+    return ev.filter(cond).select("event_id")
+
+
+@register(
+    "filter_lucene_sigma",
+    """
+    SELECT event_id FROM events
+    WHERE regexp_matches(lower(event_type), '^err.*$')
+    """,
+)
+def filter_lucene_sigma(spark, sf_dir):
+    ev = tables(spark, sf_dir)["events"]
+    cond = compile_filter("event_type: ERR*", ev, sigma_fields=["event_type"])
+    return ev.filter(cond).select("event_id")
+
+
+# =====================================================================
+# §2.2 processors over events (synthesized log-ish columns)
+# =====================================================================
+
+# Shared synthesized columns, defined identically in Spark and SQL so
+# oracles can assert expected semantics directly.
+_SQL_IP = (
+    "(CASE WHEN user_id % 4 = 0 THEN '8.8.' ELSE '10.0.' END"
+    " || (user_id % 200) || '.' || (1 + user_id % 50))"
+)
+_SQL_DOMAIN = (
+    "((CASE WHEN user_id % 3 = 0 THEN 'api.' ELSE '' END)"
+    " || 'svc' || (user_id % 20) || '.example.'"
+    " || (CASE WHEN event_type IN ('error', 'view') THEN 'co.uk' ELSE 'com' END))"
+)
+_SQL_PORT = "(1024 + (user_id * 7) % 60000)"
+_SQL_MSG = (
+    f"('connect from ' || {_SQL_IP} || ' port ' || {_SQL_PORT}"
+    " || ' took ' || value || ' ms')"
+)
+
+
+def _u(col="user_id"):
+    return F.col(col)
+
+
+def _s(col):
+    return col.cast("string")
+
+
+def _ip_col():
+    return F.concat(
+        F.when(_u() % 4 == 0, F.lit("8.8.")).otherwise(F.lit("10.0.")),
+        _s(_u() % 200),
+        F.lit("."),
+        _s(1 + _u() % 50),
+    )
+
+
+def _domain_col():
+    return F.concat(
+        F.when(_u() % 3 == 0, F.lit("api.")).otherwise(F.lit("")),
+        F.lit("svc"),
+        _s(_u() % 20),
+        F.lit(".example."),
+        F.when(F.col("event_type").isin("error", "view"), F.lit("co.uk")).otherwise(
+            F.lit("com")
+        ),
+    )
+
+
+def _msg_col():
+    return F.concat(
+        F.lit("connect from "),
+        _ip_col(),
+        F.lit(" port "),
+        _s(1024 + (_u() * 7) % 60000),
+        F.lit(" took "),
+        _s(F.col("value")),
+        F.lit(" ms"),
+    )
+
+
+def _events(spark, sf_dir):
+    return tables(spark, sf_dir)["events"]
+
+
+@register(
+    "proc_calculator",
+    """
+    SELECT event_id, value * 100 + user_id AS micros FROM events
+    """,
+)
+def proc_calculator(spark, sf_dir):
+    proc = Calculator(
+        [{"filter": "*", "calculator": {"calc": "${value} * 100 + ${user_id}", "target_field": "micros"}}]
+    )
+    return proc.transform(_events(spark, sf_dir)).select("event_id", "micros")
+
+
+@register(
+    "proc_concatenator",
+    """
+    SELECT event_id, event_type || '|' || user_id || '|' || props AS combo
+    FROM events
+    """,
+)
+def proc_concatenator(spark, sf_dir):
+    proc = Concatenator(
+        [{"filter": "*", "concatenator": {
+            "source_fields": ["event_type", "user_id", "props"],
+            "target_field": "combo", "separator": "|"}}]
+    )
+    return proc.transform(_events(spark, sf_dir)).select("event_id", "combo")
+
+
+@register(
+    "proc_datetime_extractor",
+    """
+    SELECT event_id,
+           year(ts) AS year, month(ts) AS month, day(ts) AS day,
+           hour(ts) AS hour, minute(ts) AS minute,
+           second(ts) AS second,
+           microsecond(ts) % 1000000 AS microsecond,
+           dayname(ts) AS weekday
+    FROM events
+    """,
+)
+def proc_datetime_extractor(spark, sf_dir):
+    proc = DatetimeExtractor(
+        [{"filter": "*", "datetime_extractor": {"source_fields": ["ts"], "target_field": "dt"}}]
+    )
+    out = proc.transform(_events(spark, sf_dir))
+    d = F.col("dt")
+    return out.select(
+        "event_id",
+        d.getField("year").alias("year"),
+        d.getField("month").alias("month"),
+        d.getField("day").alias("day"),
+        d.getField("hour").alias("hour"),
+        d.getField("minute").alias("minute"),
+        d.getField("second").alias("second"),
+        d.getField("microsecond").alias("microsecond"),
+        d.getField("weekday").alias("weekday"),
+    )
+
+
+@register(
+    "proc_decoder_json",
+    """
+    SELECT event_id, json_extract_string(props, '$.k') AS k_value FROM events
+    """,
+)
+def proc_decoder_json(spark, sf_dir):
+    proc = Decoder(
+        [{"filter": "*", "decoder": {"source_fields": ["props"], "target_field": "decoded"}}]
+    )
+    out = proc.transform(_events(spark, sf_dir))
+    return out.select("event_id", F.col("decoded").getItem("k").alias("k_value"))
+
+
+@register(
+    "proc_decoder_base64",
+    """
+    SELECT event_id, event_type AS decoded FROM events
+    """,
+)
+def proc_decoder_base64(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "b64", F.base64(F.encode(F.col("event_type"), "utf-8"))
+    )
+    proc = Decoder(
+        [{"filter": "*", "decoder": {
+            "source_fields": ["b64"], "source_format": "base64", "target_field": "decoded"}}]
+    )
+    return proc.transform(ev).select("event_id", "decoded")
+
+
+@register(
+    "proc_decoder_clf",
+    f"""
+    SELECT event_id,
+           {_SQL_IP} AS host,
+           'u' || user_id AS cuser,
+           'GET /page' || (event_id % 50) || ' HTTP/1.0' AS request,
+           (200 + (event_id % 3) * 100)::varchar AS status,
+           ((event_id * 13) % 5000)::varchar AS size
+    FROM events
+    """,
+)
+def proc_decoder_clf(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "clf_line",
+        F.concat(
+            _ip_col(),
+            F.lit(" - u"),
+            _s(_u()),
+            F.lit(' [10/Oct/2024:13:55:36 +0000] "GET /page'),
+            _s(F.col("event_id") % 50),
+            F.lit(' HTTP/1.0" '),
+            _s(200 + (F.col("event_id") % 3) * 100),
+            F.lit(" "),
+            _s((F.col("event_id") * 13) % 5000),
+        ),
+    )
+    proc = Decoder(
+        [{"filter": "*", "decoder": {
+            "source_fields": ["clf_line"], "source_format": "clf", "target_field": "clf"}}]
+    )
+    out = proc.transform(ev)
+    c = F.col("clf")
+    return out.select(
+        "event_id",
+        c.getField("host").alias("host"),
+        c.getField("user").alias("cuser"),
+        c.getField("request").alias("request"),
+        c.getField("status").alias("status"),
+        c.getField("size").alias("size"),
+    )
+
+
+@register(
+    "proc_dissector",
+    """
+    SELECT event_id, user_id AS duid, event_type AS dtype FROM events
+    """,
+)
+def proc_dissector(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "line", F.concat(F.lit("uid="), _s(_u()), F.lit(" type="), F.col("event_type"))
+    )
+    proc = Dissector(
+        [{"filter": "line", "dissector": {
+            "mapping": {"line": "uid=%{duid} type=%{dtype}"},
+            "convert_datatype": {"duid": "int"}}}]
+    )
+    return proc.transform(ev).select("event_id", "duid", "dtype")
+
+
+@register(
+    "proc_grokker",
+    f"""
+    SELECT event_id,
+           event_type AS verb,
+           value AS dur,
+           {_SQL_IP} AS client
+    FROM events
+    """,
+)
+def proc_grokker(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "line",
+        F.concat(
+            F.col("event_type"), F.lit(" took "), _s(F.col("value")),
+            F.lit(" ms from "), _ip_col(),
+        ),
+    )
+    proc = Grokker(
+        [{"filter": "*", "grokker": {
+            "mapping": {"line": "%{WORD:verb} took %{NUMBER:dur:float} ms from %{IPV4:client}"}}}]
+    )
+    return proc.transform(ev).select("event_id", "verb", "dur", "client")
+
+
+@register(
+    "proc_timestamper",
+    """
+    SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso_ts
+    FROM events
+    """,
+)
+def proc_timestamper(spark, sf_dir):
+    proc = Timestamper(
+        [{"filter": "*", "timestamper": {"source_fields": ["ts"], "target_field": "iso_ts"}}]
+    )
+    return proc.transform(_events(spark, sf_dir)).select("event_id", "iso_ts")
+
+
+@register(
+    "proc_timestamp_differ",
+    """
+    SELECT event_id,
+           round(epoch(ts) - epoch(date_trunc('day', ts)), 6) AS secs_since_midnight
+    FROM events
+    """,
+)
+def proc_timestamp_differ(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("day_start", F.date_trunc("day", F.col("ts")))
+    proc = TimestampDiffer(
+        [{"filter": "*", "timestamp_differ": {
+            "diff": "${ts} - ${day_start}", "target_field": "secs_since_midnight"}}]
+    )
+    out = proc.transform(ev)
+    return out.select(
+        "event_id", F.round(F.col("secs_since_midnight"), 6).alias("secs_since_midnight")
+    )
+
+
+@register(
+    "proc_pseudonymizer",
+    """
+    SELECT event_id,
+           '<pseudonym:' || sha256('user' || user_id) || '>' AS uname
+    FROM events
+    """,
+)
+def proc_pseudonymizer(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("uname", F.concat(F.lit("user"), _s(_u())))
+    proc = Pseudonymizer(
+        [{"filter": "*", "pseudonymizer": {"mapping": {"uname": r"^user\d+$"}}}]
+    )
+    return proc.transform(ev).select("event_id", "uname")
+
+
+@register(
+    "proc_replacer",
+    f"""
+    SELECT event_id,
+           'user USER logged in from ' || {_SQL_IP} AS msg
+    FROM events
+    """,
+)
+def proc_replacer(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "msg",
+        F.concat(F.lit("user u"), _s(_u()), F.lit(" logged in from "), _ip_col()),
+    )
+    proc = Replacer(
+        [{"filter": "*", "replacer": {
+            "mapping": {"msg": "user %{USER} logged in from %{*}"}}}]
+    )
+    return proc.transform(ev).select("event_id", "msg")
+
+
+@register(
+    "proc_clusterer",
+    """
+    SELECT event_id,
+           'connect from <ip> port <num> took <num>.<num> ms' AS cluster_signature
+    FROM events
+    """,
+)
+def proc_clusterer(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("message", _msg_col())
+    proc = Clusterer([{"filter": "*", "clusterer": {}}])
+    return proc.transform(ev).select("event_id", "cluster_signature")
+
+
+@register(
+    "proc_deleter",
+    """
+    SELECT event_id FROM events WHERE event_type <> 'click'
+    """,
+)
+def proc_deleter(spark, sf_dir):
+    proc = Deleter([{"filter": "event_type: click", "deleter": {"delete": True}}])
+    return proc.transform(_events(spark, sf_dir)).select("event_id")
+
+
+@register(
+    "proc_dropper",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS val_after
+    FROM events
+    """,
+)
+def proc_dropper(spark, sf_dir):
+    proc = Dropper([{"filter": "event_type: error", "dropper": {"drop": ["value"]}}])
+    return proc.transform(_events(spark, sf_dir)).select(
+        "event_id", F.col("value").alias("val_after")
+    )
+
+
+@register(
+    "proc_field_manager",
+    """
+    SELECT event_id, event_type || '~' || props AS merged FROM events
+    """,
+)
+def proc_field_manager(spark, sf_dir):
+    proc = FieldManager(
+        [{"filter": "*", "field_manager": {
+            "source_fields": ["event_type", "props"], "target_field": "merged_arr"}}]
+    )
+    out = proc.transform(_events(spark, sf_dir))
+    return out.select("event_id", F.array_join("merged_arr", "~").alias("merged"))
+
+
+@register(
+    "proc_generic_adder",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'signup' THEN 'true' END AS enriched,
+           CASE WHEN event_type = 'signup' THEN 'added' END AS stage
+    FROM events
+    """,
+)
+def proc_generic_adder(spark, sf_dir):
+    proc = GenericAdder(
+        [{"filter": "event_type: signup", "generic_adder": {
+            "add": {"enriched": "true", "pipeline.stage": "added"}}}]
+    )
+    out = proc.transform(_events(spark, sf_dir))
+    return out.select(
+        "event_id", "enriched", F.col("pipeline").getField("stage").alias("stage")
+    )
+
+
+@register(
+    "proc_generic_resolver",
+    """
+    SELECT event_id,
+           CASE WHEN regexp_matches(event_type, '^err')          THEN 'high'
+                WHEN regexp_matches(event_type, '^(click|view)$') THEN 'low'
+                WHEN regexp_matches(event_type, '^s')             THEN 'mid'
+           END AS level
+    FROM events
+    """,
+)
+def proc_generic_resolver(spark, sf_dir):
+    proc = GenericResolver(
+        [{"filter": "*", "generic_resolver": {
+            "field_mapping": {"event_type": "level"},
+            "resolve_list": {"^err": "high", "^(click|view)$": "low", "^s": "mid"}}}]
+    )
+    return proc.transform(_events(spark, sf_dir)).select("event_id", "level")
+
+
+@register(
+    "proc_geoip_enricher",
+    f"""
+    SELECT event_id,
+           'STUBLAND' AS country,
+           'city-' || substr(sha256({_SQL_IP}), 13, 4) AS city,
+           round((('0x' || substr(sha256({_SQL_IP}), 7, 6))::bigint % 36000) / 100.0 - 180, 2) AS lon,
+           round((('0x' || substr(sha256({_SQL_IP}), 1, 6))::bigint % 18000) / 100.0 - 90, 2) AS lat
+    FROM events
+    """,
+)
+def proc_geoip_enricher(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("ip", _ip_col())
+    proc = GeoipEnricher(
+        [{"filter": "*", "geoip_enricher": {"source_fields": ["ip"]}}]
+    )
+    out = proc.transform(ev)
+    g = F.col("geoip")
+    return out.select(
+        "event_id",
+        g.getField("country").alias("country"),
+        g.getField("city").alias("city"),
+        F.element_at(g.getField("coordinates"), 1).alias("lon"),
+        F.element_at(g.getField("coordinates"), 2).alias("lat"),
+    )
+
+
+@register(
+    "proc_ip_informer",
+    """
+    SELECT event_id,
+           4 AS ip_version,
+           user_id % 4 <> 0 AS is_private,
+           user_id % 4 = 0  AS is_global
+    FROM events
+    """,
+)
+def proc_ip_informer(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("ip", _ip_col())
+    proc = IpInformer(
+        [{"filter": "*", "ip_informer": {"source_fields": ["ip"], "target_field": "ipinfo"}}]
+    )
+    out = proc.transform(ev)
+    i = F.col("ipinfo").getField("ip")
+    return out.select(
+        "event_id",
+        i.getField("version").alias("ip_version"),
+        i.getField("is_private").alias("is_private"),
+        i.getField("is_global").alias("is_global"),
+    )
+
+
+@register(
+    "proc_key_checker",
+    """
+    SELECT event_id, 'not.there' AS missing FROM events
+    """,
+)
+def proc_key_checker(spark, sf_dir):
+    proc = KeyChecker(
+        [{"filter": "*", "key_checker": {
+            "source_fields": ["event_type", "value", "not.there"],
+            "target_field": "missing_arr"}}]
+    )
+    out = proc.transform(_events(spark, sf_dir))
+    return out.select("event_id", F.array_join("missing_arr", ",").alias("missing"))
+
+
+@register(
+    "proc_labeler",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'error' THEN 'syslog,windows' END AS reporter
+    FROM events
+    """,
+)
+def proc_labeler(spark, sf_dir):
+    proc = Labeler(
+        [{"filter": "event_type: error", "labeler": {
+            "label": {"reporter": ["windows", "syslog"]}}}]
+    )
+    out = proc.transform(_events(spark, sf_dir))
+    return out.select(
+        "event_id", F.array_join(F.col("label").getField("reporter"), ",").alias("reporter")
+    )
+
+
+@register(
+    "proc_list_comparison",
+    """
+    SELECT event_id,
+           CASE WHEN event_type IN ('error', 'signup') THEN 'suspicious' END AS in_list,
+           CASE WHEN event_type NOT IN ('error', 'signup') THEN 'suspicious' END AS not_in_list
+    FROM events
+    """,
+)
+def proc_list_comparison(spark, sf_dir):
+    proc = ListComparison(
+        [{"filter": "*", "list_comparison": {
+            "source_fields": ["event_type"], "target_field": "check",
+            "lists": {"suspicious": ["error", "signup"]}}}]
+    )
+    out = proc.transform(_events(spark, sf_dir))
+    c = F.col("check")
+    return out.select(
+        "event_id",
+        F.array_join(c.getField("in_list"), ",").alias("in_list"),
+        F.array_join(c.getField("not_in_list"), ",").alias("not_in_list"),
+    )
+
+
+@register(
+    "proc_network_comparison",
+    """
+    SELECT event_id,
+           CASE WHEN user_id % 4 = 0 THEN 'public_dns' ELSE 'internal' END AS in_network
+    FROM events
+    """,
+)
+def proc_network_comparison(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("ip", _ip_col())
+    proc = NetworkComparison(
+        [{"filter": "*", "network_comparison": {
+            "source_fields": ["ip"], "target_field": "net",
+            "networks": {"internal": ["10.0.0.0/8"], "public_dns": ["8.8.0.0/16"]}}}]
+    )
+    out = proc.transform(ev)
+    return out.select(
+        "event_id", F.array_join(F.col("net").getField("in_network"), ",").alias("in_network")
+    )
+
+
+@register(
+    "proc_pre_detector",
+    """
+    SELECT sha256('rule-error-1|' || event_id) AS pre_detection_id,
+           'rule-error-1' AS rule_id,
+           'High error volume' AS title,
+           'critical' AS severity,
+           'directly' AS case_condition,
+           'attack.t1059,attack.t1078' AS mitre,
+           ts::varchar AS ts_str
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def proc_pre_detector(spark, sf_dir):
+    proc = PreDetector(
+        [{"filter": "event_type: error", "pre_detector": {
+            "id": "rule-error-1", "title": "High error volume",
+            "severity": "critical", "mitre": ["attack.t1059", "attack.t1078"],
+            "case_condition": "directly"}}],
+        id_fields=["event_id"],
+    )
+    ev = _events(spark, sf_dir)
+    out = proc.detections(ev, timestamp_field="ts")
+    return out.select(
+        "pre_detection_id", "rule_id", "title", "severity", "case_condition",
+        F.array_join("mitre", ",").alias("mitre"),
+        F.col("@timestamp").alias("ts_str"),
+    )
+
+
+@register(
+    "proc_selective_extractor",
+    """
+    SELECT event_id, user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def proc_selective_extractor(spark, sf_dir):
+    proc = SelectiveExtractor(
+        [{"filter": "event_type: error", "selective_extractor": {
+            "source_fields": ["event_id", "user_id"],
+            "outputs": [{"kafka": "extracted_topic"}]}}]
+    )
+    return proc.extracted(_events(spark, sf_dir))["extracted_topic"]
+
+
+@register(
+    "proc_string_splitter",
+    f"""
+    SELECT event_id,
+           8 AS n_tokens,
+           'connect' AS first_token,
+           {_SQL_PORT}::varchar AS port_token
+    FROM events
+    """,
+)
+def proc_string_splitter(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("message", _msg_col())
+    proc = StringSplitter(
+        [{"filter": "*", "string_splitter": {
+            "source_fields": ["message"], "target_field": "toks"}}]
+    )
+    out = proc.transform(ev)
+    return out.select(
+        "event_id",
+        F.size("toks").alias("n_tokens"),
+        F.element_at("toks", 1).alias("first_token"),
+        F.element_at("toks", 5).alias("port_token"),
+    )
+
+
+@register(
+    "proc_deduplicator",
+    """
+    SELECT event_id, 'a,b,' || event_type AS tags FROM events
+    """,
+)
+def proc_deduplicator(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "tags", F.split(F.concat(F.lit("a,b,a,"), F.col("event_type")), ",")
+    )
+    proc = Deduplicator([{"filter": "*", "deduplicator": {"fields": ["tags"]}}])
+    out = proc.transform(ev)
+    return out.select("event_id", F.array_join("tags", ",").alias("tags"))
+
+
+@register(
+    "proc_template_replacer",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'error'  THEN 'Generic error occurred'
+                WHEN event_type = 'signup' THEN 'New account created'
+           END AS tpl_message
+    FROM events
+    """,
+)
+def proc_template_replacer(spark, sf_dir):
+    proc = TemplateReplacer(
+        template={("error",): "Generic error occurred", ("signup",): "New account created"},
+        pattern_keys=["event_type"],
+        target_field="tpl_message",
+    )
+    return proc.transform(_events(spark, sf_dir)).select("event_id", "tpl_message")
+
+
+@register(
+    "proc_domain_label_extractor",
+    """
+    SELECT event_id,
+           'example.' || (CASE WHEN event_type IN ('error','view') THEN 'co.uk' ELSE 'com' END)
+               AS registered_domain,
+           CASE WHEN event_type IN ('error','view') THEN 'co.uk' ELSE 'com' END
+               AS top_level_domain,
+           (CASE WHEN user_id % 3 = 0 THEN 'api.' ELSE '' END) || 'svc' || (user_id % 20)
+               AS subdomain
+    FROM events
+    """,
+)
+def proc_domain_label_extractor(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("domain", _domain_col())
+    proc = DomainLabelExtractor(
+        [{"filter": "*", "domain_label_extractor": {
+            "source_fields": ["domain"], "target_field": "dom"}}]
+    )
+    out = proc.transform(ev)
+    d = F.col("dom")
+    return out.select(
+        "event_id",
+        d.getField("registered_domain").alias("registered_domain"),
+        d.getField("top_level_domain").alias("top_level_domain"),
+        d.getField("subdomain").alias("subdomain"),
+    )
+
+
+@register(
+    "proc_domain_resolver",
+    f"""
+    SELECT event_id,
+           (('0x' || substr(sha256({_SQL_DOMAIN}), 1, 2))::bigint % 223 + 1)
+           || '.' || ('0x' || substr(sha256({_SQL_DOMAIN}), 3, 2))::bigint
+           || '.' || ('0x' || substr(sha256({_SQL_DOMAIN}), 5, 2))::bigint
+           || '.' || ('0x' || substr(sha256({_SQL_DOMAIN}), 7, 2))::bigint
+               AS resolved_ip
+    FROM events
+    """,
+)
+def proc_domain_resolver(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn("domain", _domain_col())
+    proc = DomainResolver(
+        [{"filter": "*", "domain_resolver": {"source_fields": ["domain"]}}]
+    )
+    return proc.transform(ev).select("event_id", "resolved_ip")
+
+
+@register(
+    "proc_amides",
+    """
+    SELECT event_id,
+           ('0x' || substr(sha256('cmd.exe /c ' || event_type || ' ' || user_id), 1, 8))::bigint
+               / 4294967296.0 AS confidence
+    FROM events
+    """,
+)
+def proc_amides(spark, sf_dir):
+    from logprep_spark.operators import Amides
+
+    ev = _events(spark, sf_dir).withColumn(
+        "cmdline",
+        F.concat(F.lit("cmd.exe /c "), F.col("event_type"), F.lit(" "), _s(_u())),
+    )
+    proc = Amides([{"filter": "*", "amides": {"source_fields": ["cmdline"]}}])
+    out = proc.transform(ev)
+    return out.select("event_id", F.col("amides").getField("confidence").alias("confidence"))
+
+
+@register(
+    "proc_requester",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'error'
+                THEN '{"echo": "http://api.internal/enrich/error"}'
+           END AS resp
+    FROM events
+    """,
+)
+def proc_requester(spark, sf_dir):
+    from logprep_spark.operators import Requester
+
+    proc = Requester(
+        [{"filter": "event_type: error", "requester": {
+            "url": "http://api.internal/enrich/${event_type}", "target_field": "resp"}}],
+        handler=lambda req: {"echo": req["url"]},
+    )
+    return proc.transform(_events(spark, sf_dir)).select("event_id", "resp")
+
+
+@register(
+    "pipeline_compose",
+    """
+    SELECT event_id, value * 2 AS v2, event_type || '#' || user_id AS tag
+    FROM events WHERE event_type <> 'click'
+    """,
+)
+def pipeline_compose(spark, sf_dir):
+    pipeline = Pipeline([
+        Calculator([{"filter": "*", "calculator": {"calc": "${value} * 2", "target_field": "v2"}}]),
+        Concatenator([{"filter": "*", "concatenator": {
+            "source_fields": ["event_type", "user_id"], "target_field": "tag",
+            "separator": "#"}}]),
+        Deleter([{"filter": "event_type: click", "deleter": {"delete": True}}]),
+    ])
+    return pipeline.transform(_events(spark, sf_dir)).select("event_id", "v2", "tag")
+
+
+@register(
+    "source_preprocessors",
+    """
+    SELECT event_id,
+           sha256('hmac-key:' || props) AS hmac,
+           '1.2.3' AS version_info
+    FROM events
+    """,
+)
+def source_preprocessors(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.sha2(F.concat(F.lit("hmac-key:"), F.col("props")), 256).alias("hmac"),
+        F.lit("1.2.3").alias("version_info"),
+    )

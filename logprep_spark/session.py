@@ -31,6 +31,9 @@ def get_spark(app_name: str = "logprep-spark", master: str | None = None) -> Spa
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata stores TIMESTAMP(NANOS); Spark has no nanos
+        # type — read as long and normalize in load_tables()
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -51,11 +54,23 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = Non
         "documents",
         "embeddings",
     ]
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
+            # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong):
+            # normalize to microsecond timestamps
+            for field in df.schema.fields:
+                if field.name in ("ts",) and isinstance(field.dataType, T.LongType):
+                    # integer div: float division would lose precision
+                    # on 1e18-scale nanos and shift rows by ±1 µs
+                    df = df.withColumn(
+                        field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+                    )
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
