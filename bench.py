@@ -1,0 +1,68 @@
+"""Headline benchmark (SURVEY §6).
+
+Runs the flagship catalog queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+
+Each query is executed once to completion (count-style consume — no
+driver-side collect of big results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "filter_lucene_bool",
+    "pipeline_compose",
+    "sessionize_events",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "text_quality",
+]
+
+
+def main() -> None:
+    from logprep_spark.plans import catalog
+    from logprep_spark.session import get_spark
+
+    spark = get_spark("logprep-spark-bench")
+    qs = catalog.queries()
+
+    # warm the JVM + parquet footer cache outside the timed region
+    catalog.tables(spark, SF_DIR)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

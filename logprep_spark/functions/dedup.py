@@ -72,23 +72,34 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # --- MinHash + LSH -----------------------------------------------------
 
 
-def minhash_signature(col: Column, num_perm: int = NUM_PERM) -> Column:
-    """Array of ``num_perm`` min-hashes over the text's shingles.
-    Permutation i is the md5 family member keyed by ``i:``."""
-    sh = shingles(col)
+def minhash_signature_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_perm: int = NUM_PERM
+) -> DataFrame:
+    """(id, h0..h{num_perm-1}) min-hash signature columns.
 
-    def perm_hash(i: int):
-        # closure factory: a 2-arg lambda would make Spark pass the
-        # array index as the second argument
-        return lambda s: h60(F.concat(F.lit(f"{i}:"), s))
-
-    members = [F.array_min(F.transform(sh, perm_hash(i))) for i in range(num_perm)]
-    return F.array(*members)
+    Shape matters at scale: explode shingles, hash each ONCE per
+    permutation, then ``groupBy(id).agg(min)`` — map-side partial min
+    makes the shuffle carry only ``num_perm`` longs per doc. The
+    tempting all-expression form (``array_min(transform(shingles,...))``
+    re-inlined per band) blows the Catalyst tree up ~256x and falls
+    out of codegen — measured 197s vs <2s at sf0.01.
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("s"))
+    hashed = sh.select(
+        id_col,
+        *[
+            h60(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}")
+            for i in range(num_perm)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_perm)]
+    )
 
 
 def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, band_id, band_key) — one row per band per doc."""
-    sig = minhash_signature(F.col(text_col))
+    sig = minhash_signature_df(df, text_col, id_col)
     bands = F.array(
         *[
             F.struct(
@@ -97,7 +108,7 @@ def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
                     F.concat_ws(
                         "-",
                         *[
-                            F.element_at(sig, b * BAND_ROWS + r + 1).cast("string")
+                            F.col(f"h{b * BAND_ROWS + r}").cast("string")
                             for r in range(BAND_ROWS)
                         ],
                     )
@@ -106,7 +117,7 @@ def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             for b in range(NUM_BANDS)
         ]
     )
-    return df.select(F.col(id_col), F.explode(bands).alias("band")).select(
+    return sig.select(F.col(id_col), F.explode(bands).alias("band")).select(
         id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key")
     )
 
@@ -197,6 +208,38 @@ def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
     return out.cast("long")
 
 
+def simhash_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(id, sh) SimHash per doc, explode/groupBy-shaped for scale:
+    each distinct token is hashed once, bit votes are 16 partial sums
+    in ONE aggregation (map-side combine), and the Catalyst tree stays
+    small enough for whole-stage codegen (cf. minhash_signature_df).
+    ``explode_outer`` keeps token-less docs (sh = 0), matching the
+    expression form and the DuckDB oracle."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
+    )
+    hashed = toks.select(id_col, h60(F.col("t")).alias("h"))
+    votes = hashed.groupBy(id_col).agg(
+        F.count(F.col("h")).alias("n"),
+        *[
+            F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"b{j}")
+            for j in range(bits)
+        ],
+    )
+    out = F.lit(0)
+    for j in range(bits):
+        out = out + F.when(F.col(f"b{j}") * 2 > F.col("n"), F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+    return votes.select(id_col, out.cast("long").alias("sh"))
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -207,7 +250,7 @@ def simhash_pairs(
     simhash's high byte first so the self-join never goes n^2 on the
     full table (docs differing in <=2 of 16 bits usually agree on one
     of the two 8-bit halves; both halves are used as bucket keys)."""
-    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
+    sh = simhash_df(df, text_col, id_col)
     halves = sh.select(
         id_col,
         "sh",

@@ -1116,3 +1116,334 @@ def source_preprocessors(spark, sf_dir):
         F.sha2(F.concat(F.lit("hmac-key:"), F.col("props")), 256).alias("hmac"),
         F.lit("1.2.3").alias("version_info"),
     )
+
+
+# =====================================================================
+# §2.4 LLM-training-data operators over documents / embeddings
+# =====================================================================
+
+# SQL fragments mirroring logprep_spark.functions.{text,dedup}
+# definitions exactly (same md5-based hash family, same shingling).
+_W = r"list_filter(string_split_regex({col}, '\s+'), x -> x != '')"
+
+
+def _sql_words(col: str = "text") -> str:
+    return _W.format(col=col)
+
+
+def _sql_h60(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::bigint"
+
+
+def _sql_shingles(col: str = "text", k: int = 3) -> str:
+    words = _sql_words(col)
+    return (
+        f"list_distinct([array_to_string(({words})[i:i+{k-1}], ' ') "
+        f"for i in range(1, greatest(len({words}) - {k - 1}, 1) + 1)])"
+    )
+
+
+def _sql_lang_hits() -> str:
+    structs = ", ".join(
+        f"struct_pack(hits := len(regexp_extract_all(lower(text), "
+        f"'{tx.marker_regex(words)}')), lang := '{code}')"
+        for code, words in sorted(tx.LANG_MARKERS.items())
+    )
+    return f"[{structs}]"
+
+
+@register(
+    "text_langid",
+    f"""
+    SELECT doc_id,
+           CASE WHEN list_max({_sql_lang_hits()}).hits > 0
+                THEN list_max({_sql_lang_hits()}).lang
+                ELSE 'und' END AS lang_pred
+    FROM documents
+    """,
+)
+def text_langid(spark, sf_dir):
+    docs = tables(spark, sf_dir)["documents"]
+    return docs.select("doc_id", tx.lang_id(F.col("text")).alias("lang_pred"))
+
+
+_SQL_NTOK = f"len({_sql_words()})"
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        / greatest(length(text), 1) >= 0.6 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN len(regexp_extract_all(lower(text),
+                        '{tx.marker_regex(tx.STOPWORDS_EN)}'))
+                        / greatest({_SQL_NTOK}, 1) >= 0.05 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN length(text) / greatest({_SQL_NTOK}, 1) BETWEEN 3 AND 12
+                   THEN 0.25 ELSE 0.0 END
+           )::DOUBLE AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    docs = tables(spark, sf_dir)["documents"]
+    return docs.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "text_tokens",
+    f"""
+    SELECT doc_id,
+           {_SQL_NTOK} AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_tokens(spark, sf_dir):
+    docs = tables(spark, sf_dir)["documents"]
+    col = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.token_count(col).alias("n_tokens"),
+        tx.bpe_ish_token_count(col).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           ('0x' || substr(md5(array_to_string({_sql_words()}, ' ')), 1, 15))::bigint
+               AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    docs = tables(spark, sf_dir)["documents"]
+    return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT md5(array_to_string({_sql_words()}, ' ')) AS text_hash,
+           count(*)    AS n_dups,
+           min(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    docs = tables(spark, sf_dir)["documents"]
+    return dd.exact_dup_groups(docs)
+
+
+def _sql_minhash_bands() -> str:
+    """CTE chain doc -> shingles -> 16-perm signature -> 4 LSH bands,
+    mirroring functions/dedup.py minhash_bands exactly."""
+    sig_members = ", ".join(
+        "list_min(list_transform(shingles, s -> "
+        + _sql_h60(f"'{i}:' || s")
+        + "))"
+        for i in range(dd.NUM_PERM)
+    )
+    band_selects = []
+    for b in range(dd.NUM_BANDS):
+        parts = " || '-' || ".join(
+            f"sig[{b * dd.BAND_ROWS + r + 1}]::varchar" for r in range(dd.BAND_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({parts}) AS band_key FROM sigs"
+        )
+    bands_union = " UNION ALL ".join(band_selects)
+    return f"""
+    sh AS (
+        SELECT doc_id, {_sql_shingles()} AS shingles FROM documents
+    ), sigs AS (
+        SELECT doc_id, [{sig_members}] AS sig FROM sh
+    ), bands AS (
+        {bands_union}
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band_id, band_key)
+        WHERE a.doc_id < b.doc_id
+    )"""
+
+
+_SQL_JACCARD = """
+    round(len(list_intersect(sa.shingles, sb.shingles))
+          / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1), 6)
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_sql_minhash_bands()}
+    SELECT id_a, id_b, {_SQL_JACCARD} AS jaccard
+    FROM pairs
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    WHERE {_SQL_JACCARD} >= 0.7
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = tables(spark, sf_dir)["documents"]
+    return dd.minhash_dedup(docs, threshold=0.7)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_sql_shingles(k=2)} AS shingles FROM documents
+    )
+    SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, {_SQL_JACCARD} AS jaccard
+    FROM sh sa JOIN sh sb ON sb.doc_id = sa.doc_id + 1
+    WHERE sa.doc_id % 2 = 0
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = tables(spark, sf_dir)["documents"]
+    pairs = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(
+            docs.select(F.col("doc_id").alias("id_b")), "id_b", "inner"
+        )
+    )
+    return dd.ngram_jaccard(docs, pairs, k=2)
+
+
+def _sql_simhash(words_expr: str) -> str:
+    hashes = f"list_transform(list_distinct({words_expr}), t -> {_sql_h60('t')})"
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter({hashes}, h -> ((h >> {j}) & 1) = 1)) "
+        f"> len({hashes}) THEN {1 << j} ELSE 0 END)"
+        for j in range(dd.SIMHASH_BITS)
+    )
+    return f"({terms})::bigint"
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_sql_simhash(_sql_words())} AS sh FROM documents
+    ), halves AS (
+        SELECT doc_id, sh, 0 AS half, (sh >> 8) AS key FROM sh
+        UNION ALL
+        SELECT doc_id, sh, 1 AS half, (sh & 255) AS key FROM sh
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM halves a JOIN halves b USING (half, key)
+    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 2
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    docs = tables(spark, sf_dir)["documents"]
+    return dd.simhash_pairs(docs, max_hamming=2)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum([({a})[i]::double * ({b})[i]::double "
+        f"for i in range(1, len({a}) + 1)])"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"round({_sql_dot(a, b)} / "
+        f"(sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})), 6)"
+    )
+
+
+def _sql_bucket(vec: str, n_planes: int) -> str:
+    """Random-hyperplane bucket id, mirroring
+    functions/similarity.py hyperplane_bucket (md5-derived weights,
+    0-based dimension index)."""
+    terms = []
+    for p in range(n_planes):
+        h = _sql_h60("'" + str(p) + ":' || (i-1)")
+        weight = f"(({h} % 2001 - 1000) / 1000.0)"
+        proj = (
+            f"list_sum([({vec})[i]::double * {weight} "
+            f"for i in range(1, len({vec}) + 1)])"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return '(' + ' + '.join(terms) + ')'
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               {{bucket}} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           {{cosine}} AS cosine
+    FROM b a JOIN b b2 USING (bucket)
+    WHERE a.vec_id < b2.vec_id AND {{cosine}} >= 0.35
+    """.format(
+        bucket=_sql_bucket("embedding", 4),
+        cosine=_sql_cosine("a.embedding", "b2.embedding"),
+    ),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = tables(spark, sf_dir)["embeddings"]
+    return dd.embedding_dup_pairs(emb, threshold=0.35, n_planes=4)
+
+
+@register(
+    "ann_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS nbr_id, embedding AS nv FROM embeddings),
+    scored AS (
+        SELECT query_id, nbr_id, {_sql_cosine('qv', 'nv')} AS cosine
+        FROM q, c WHERE query_id <> nbr_id
+    )
+    SELECT query_id, nbr_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, nbr_id
+        ) AS rank FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def ann_topk_bruteforce(spark, sf_dir):
+    emb = tables(spark, sf_dir)["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    return sim.brute_force_topk(emb, qs, k=3)
+
+
+@register(
+    "ann_topk_lsh",
+    """
+    WITH b AS (
+        SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 5),
+    scored AS (
+        SELECT query_id, c.vec_id AS nbr_id,
+               {cosine} AS cosine
+        FROM q JOIN b c USING (bucket)
+        WHERE query_id <> c.vec_id
+    )
+    SELECT query_id, nbr_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, nbr_id
+        ) AS rank FROM scored
+    ) WHERE rank <= 3
+    """.format(
+        bucket=_sql_bucket("embedding", 6),
+        cosine=_sql_cosine("qv", "c.embedding"),
+    ),
+)
+def ann_topk_lsh(spark, sf_dir):
+    emb = tables(spark, sf_dir)["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    return sim.lsh_topk(emb, qs, k=3, n_planes=6)
