@@ -1118,6 +1118,25 @@ def source_preprocessors(spark, sf_dir):
     )
 
 
+@register(
+    "source_jsonl",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def source_jsonl(spark, sf_dir):
+    """C1 gate: the jsonl-source parse path (serialize → explicit-
+    schema from_json → project), validated by roundtrip equality with
+    the raw table. File-backed variants are integration-tested in
+    tests/integration/test_sources.py."""
+    ev = tables(spark, sf_dir)["events"]
+    raw = ev.select(
+        F.to_json(F.struct("event_id", "user_id", "event_type", "value")).alias("raw")
+    )
+    schema = "event_id long, user_id long, event_type string, value double"
+    return raw.select(F.from_json("raw", schema).alias("e")).select("e.*")
+
+
 # =====================================================================
 # §2.4 LLM-training-data operators over documents / embeddings
 # =====================================================================

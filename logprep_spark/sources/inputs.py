@@ -1,0 +1,220 @@
+"""Input connectors (reference: ``logprep/connector/*`` inputs and
+``logprep/abc/input.py`` preprocessing).
+
+Every input yields a DataFrame of events; streaming variants yield an
+unbounded Structured-Streaming DataFrame with identical schema, so the
+same processor pipeline runs on both. Ingest-time preprocessors
+(hmac / version_info / arrival time / env enrichment / full-event
+copy — reference ``abc/input.py:94-163``) are pure column appends.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac as _hmac
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# --- preprocessing (reference abc/input.py PreprocessingConfig) --------
+
+
+@dataclass
+class PreprocessingConfig:
+    """Mirror of the reference's per-input preprocessing block."""
+
+    hmac_key: str | None = None
+    hmac_target: str = "hmac"
+    version_info_target_field: str | None = None
+    version_info: str = "logprep_spark-0.1"
+    log_arrival_time_target_field: str | None = None
+    enrich_by_env_variables: dict[str, str] = field(default_factory=dict)
+    add_full_event_to_target_field: str | None = None
+
+
+def hmac_sha256(msg: Column, key: str) -> Column:
+    """True HMAC-SHA256 as nested JVM-side sha2 over binary — no UDF.
+
+    RFC 2104: H(key ^ opad || H(key ^ ipad || msg)). The key pads are
+    config-time constants, so both concat operands stay literals and
+    the whole expression lives in whole-stage codegen.
+    """
+    kb = key.encode()
+    if len(kb) > 64:
+        kb = hashlib.sha256(kb).digest()
+    kb = kb.ljust(64, b"\x00")
+    ipad = bytes(b ^ 0x36 for b in kb)
+    opad = bytes(b ^ 0x5C for b in kb)
+    inner = F.sha2(F.concat(F.lit(ipad), msg.cast("binary")), 256)
+    return F.sha2(F.concat(F.lit(opad), F.unhex(inner)), 256)
+
+
+def apply_preprocessors(df: DataFrame, cfg: PreprocessingConfig, raw_col: str = "raw") -> DataFrame:
+    """Append ingest-time fields. All narrow column ops — zero shuffle,
+    valid on batch and streaming DataFrames alike."""
+    if cfg.add_full_event_to_target_field and raw_col in df.columns:
+        df = df.withColumn(cfg.add_full_event_to_target_field, F.col(raw_col))
+    if cfg.hmac_key is not None and raw_col in df.columns:
+        df = df.withColumn(cfg.hmac_target, hmac_sha256(F.col(raw_col), cfg.hmac_key))
+    if cfg.version_info_target_field:
+        df = df.withColumn(cfg.version_info_target_field, F.lit(cfg.version_info))
+    if cfg.log_arrival_time_target_field:
+        df = df.withColumn(cfg.log_arrival_time_target_field, F.current_timestamp())
+    for target, env_name in cfg.enrich_by_env_variables.items():
+        df = df.withColumn(target, F.lit(os.environ.get(env_name)))
+    return df
+
+
+class Input:
+    """Base input: subclasses build a (streaming) DataFrame; the
+    preprocessing block is applied uniformly afterwards."""
+
+    def __init__(self, preprocessing: PreprocessingConfig | None = None):
+        self.preprocessing = preprocessing or PreprocessingConfig()
+
+    def _post(self, df: DataFrame, raw_col: str = "raw") -> DataFrame:
+        return apply_preprocessors(df, self.preprocessing, raw_col)
+
+
+class JsonlInput(Input):
+    """reference ``connector/jsonl`` — newline-delimited JSON files.
+
+    With an explicit schema the json scan prunes columns and never
+    infers (inference is a full extra pass — never at 100 TB). The
+    raw line is retained only when hmac/full-event preprocessing
+    needs it.
+    """
+
+    def __init__(self, path: str, schema: T.StructType | str | None = None, **kw):
+        super().__init__(**kw)
+        self.path = path
+        self.schema = schema
+
+    def _needs_raw(self) -> bool:
+        return self.preprocessing.hmac_key is not None or bool(
+            self.preprocessing.add_full_event_to_target_field
+        )
+
+    def _parse(self, lines: DataFrame, spark: SparkSession) -> DataFrame:
+        if self.schema is None:
+            raise ValueError("streaming/raw jsonl read requires an explicit schema")
+        parsed = lines.select(
+            F.col("value").alias("raw"), F.from_json("value", self.schema).alias("e")
+        ).select("raw", "e.*")
+        return self._post(parsed).drop("raw")
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        if self._needs_raw():
+            return self._parse(spark.read.text(self.path), spark)
+        reader = spark.read
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        return self._post(reader.json(self.path))
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        return self._parse(spark.readStream.text(self.path), spark)
+
+
+class JsonInput(JsonlInput):
+    """reference ``connector/json`` — whole-file JSON documents."""
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        reader = spark.read.option("multiLine", "true")
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        return self._post(reader.json(self.path))
+
+
+class FileInput(Input):
+    """reference ``connector/file`` — tail a growing log file/dir.
+    Batch: one-shot read; streaming: file-source tailing new files."""
+
+    def __init__(self, path: str, **kw):
+        super().__init__(**kw)
+        self.path = path
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self._post(spark.read.text(self.path).withColumnRenamed("value", "message"))
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        return self._post(
+            spark.readStream.format("text").load(self.path).withColumnRenamed("value", "message")
+        )
+
+
+class DummyInput(Input):
+    """reference ``connector/dummy`` — fixed in-memory event list."""
+
+    def __init__(self, events: list[dict], schema: T.StructType | str | None = None, **kw):
+        super().__init__(**kw)
+        self.events = events
+        self.schema = schema
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self._post(spark.createDataFrame(self.events, schema=self.schema))
+
+
+class HttpInput(Input):
+    """reference ``connector/http`` — push endpoint. No HTTP listener
+    exists inside a Spark job; the Spark-shaped equivalent is a spool
+    directory (receiver writes jsonl; the stream tails it), so this is
+    ``JsonlInput.read_stream`` plus an explicitly-stubbed server."""
+
+    def __init__(self, spool_dir: str, schema: T.StructType | str, **kw):
+        super().__init__(**kw)
+        self._jsonl = JsonlInput(spool_dir, schema, preprocessing=self.preprocessing)
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        return self._jsonl.read_stream(spark)
+
+    @staticmethod
+    def serve(*_a, **_kw):
+        raise NotImplementedError("HTTP listener is out-of-process; point it at spool_dir")
+
+
+class KafkaInput(Input):
+    """reference ``connector/confluent_kafka`` input.
+
+    Builds the ``readStream.format('kafka')`` plan; ``.load()`` needs
+    the spark-sql-kafka package on the classpath, so plan construction
+    and execution are separate (construction is unit-testable without
+    a broker). Value parsing uses the same explicit-schema from_json
+    path as JsonlInput.
+    """
+
+    def __init__(
+        self,
+        bootstrap_servers: str,
+        topic: str,
+        schema: T.StructType | str | None = None,
+        starting_offsets: str = "latest",
+        **kw,
+    ):
+        super().__init__(**kw)
+        self.bootstrap_servers = bootstrap_servers
+        self.topic = topic
+        self.schema = schema
+        self.starting_offsets = starting_offsets
+
+    def options(self) -> dict[str, str]:
+        return {
+            "kafka.bootstrap.servers": self.bootstrap_servers,
+            "subscribe": self.topic,
+            "startingOffsets": self.starting_offsets,
+        }
+
+    def reader(self, spark: SparkSession):
+        return spark.readStream.format("kafka").options(**self.options())
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        raw = self.reader(spark).load()
+        df = raw.select(F.col("value").cast("string").alias("raw"))
+        if self.schema is not None:
+            df = df.select("raw", F.from_json("raw", self.schema).alias("e")).select(
+                "raw", "e.*"
+            )
+        return self._post(df).drop("raw")

@@ -1,0 +1,21 @@
+"""Structured-Streaming layer: the reference's runner/pipeline loop
+(``logprep/framework/pipeline.py``, ``logprep/runner.py``) re-expressed
+as ``readStream → transforms → writeStream``.
+"""
+
+from logprep_spark.streaming.pipeline import StreamingPipeline
+from logprep_spark.streaming.windows import (
+    sessionize_stream,
+    sliding_counts,
+    tumbling_counts,
+)
+from logprep_spark.streaming.state import dedupe_stream, running_totals
+
+__all__ = [
+    "StreamingPipeline",
+    "dedupe_stream",
+    "running_totals",
+    "sessionize_stream",
+    "sliding_counts",
+    "tumbling_counts",
+]

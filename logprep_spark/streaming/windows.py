@@ -1,0 +1,82 @@
+"""Windowed streaming aggregations (SURVEY §2 A8).
+
+Watermarks bound state: late events beyond the watermark are dropped
+and closed windows are evicted, which is what makes these plans run
+indefinitely at cluster scale. All are built-in window/session_window
+aggregations — partial aggregation map-side, state keyed by
+(window, group) in the state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Per-type event counts in non-overlapping windows."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Overlapping-window counts (each event lands in window/slide
+    windows)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessions via native ``session_window`` — the
+    streaming twin of the batch ``sessionize_events`` plan (which uses
+    a lag-window over a shuffle-by-user; same session boundaries)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,126 @@
+"""Connector tests: batch reads/writes, preprocessing, Kafka plan
+construction (broker-free), OpenSearch bulk spooling."""
+
+import hashlib
+import hmac as hmac_lib
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from logprep_spark.sources import (
+    DummyInput,
+    DummyOutput,
+    FileInput,
+    JsonlInput,
+    JsonlOutput,
+    KafkaInput,
+    KafkaOutput,
+    OpensearchOutput,
+    ParquetOutput,
+    PreprocessingConfig,
+    S3Output,
+)
+
+EVENTS = [
+    {"event_id": 1, "event_type": "login", "user": "alice"},
+    {"event_id": 2, "event_type": "logout", "user": "bob"},
+]
+SCHEMA = "event_id long, event_type string, user string"
+
+
+def _write_jsonl(tmp_path, name="in.jsonl", events=EVENTS):
+    p = tmp_path / name
+    p.write_text("\n".join(json.dumps(e) for e in events) + "\n")
+    return str(p)
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    src = JsonlInput(_write_jsonl(tmp_path), SCHEMA)
+    df = src.read(spark)
+    assert sorted(r.event_type for r in df.collect()) == ["login", "logout"]
+
+    out = JsonlOutput(str(tmp_path / "out"))
+    out.write(df)
+    back = spark.read.schema(SCHEMA).json(str(tmp_path / "out"))
+    assert back.count() == 2
+
+
+def test_jsonl_schema_prunes_and_no_inference(spark, tmp_path):
+    src = JsonlInput(_write_jsonl(tmp_path), SCHEMA)
+    plan = src.read(spark).select("event_id")._jdf.queryExecution().optimizedPlan().toString()
+    # column-pruned scan: the projection reaches the json relation
+    assert "event_type" not in plan.split("Relation")[0]
+
+
+def test_preprocessors_hmac_matches_python(spark, tmp_path):
+    cfg = PreprocessingConfig(
+        hmac_key="secret-key",
+        version_info_target_field="version_info",
+        add_full_event_to_target_field="full_event",
+    )
+    src = JsonlInput(_write_jsonl(tmp_path), SCHEMA, preprocessing=cfg)
+    got = {r.event_id: r for r in src.read(spark).collect()}
+    raw1 = json.dumps(EVENTS[0])
+    expect = hmac_lib.new(b"secret-key", raw1.encode(), hashlib.sha256).hexdigest()
+    assert got[1].hmac == expect
+    assert got[1].version_info == "logprep_spark-0.1"
+    assert json.loads(got[1].full_event) == EVENTS[0]
+
+
+def test_file_input_and_env_enrichment(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("LP_TEST_HOSTNAME", "node-7")
+    log = tmp_path / "syslog.log"
+    log.write_text("line one\nline two\n")
+    cfg = PreprocessingConfig(enrich_by_env_variables={"host": "LP_TEST_HOSTNAME"})
+    df = FileInput(str(log), preprocessing=cfg).read(spark)
+    rows = df.collect()
+    assert {r.message for r in rows} == {"line one", "line two"}
+    assert all(r.host == "node-7" for r in rows)
+
+
+def test_dummy_in_out(spark):
+    df = DummyInput(EVENTS, SCHEMA).read(spark)
+    sink = DummyOutput()
+    sink.write(df.filter(F.col("event_type") == "login"))
+    assert sink.events == [{"event_id": 1, "event_type": "login", "user": "alice"}]
+
+
+def test_kafka_plans_broker_free(spark):
+    ki = KafkaInput("broker:9092", "logs", SCHEMA, starting_offsets="earliest")
+    assert ki.options() == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "subscribe": "logs",
+        "startingOffsets": "earliest",
+    }
+    assert ki.reader(spark) is not None  # format+options bind without the kafka jar
+
+    ko = KafkaOutput("broker:9092", "out-topic")
+    ser = KafkaOutput.serialize(DummyInput(EVENTS, SCHEMA).read(spark))
+    assert ser.columns == ["value"]
+    assert json.loads(ser.collect()[0].value)["event_type"] == "login"
+    assert ko.options()["topic"] == "out-topic"
+
+
+def test_opensearch_bulk_spool(spark, tmp_path):
+    spool = str(tmp_path / "bulk")
+    sink = OpensearchOutput(index="events-idx", spool_dir=spool)
+    df = DummyInput(EVENTS, SCHEMA).read(spark).repartition(1)
+    sink.write_batch(df, batch_id=0)
+    files = os.listdir(spool)
+    assert len(files) == 1
+    lines = (tmp_path / "bulk" / files[0]).read_text().strip().split("\n")
+    assert json.loads(lines[0]) == {"index": {"_index": "events-idx"}}
+    assert json.loads(lines[1])["event_type"] in ("login", "logout")
+
+
+def test_parquet_partitioned_and_s3_shape(spark, tmp_path):
+    df = DummyInput(EVENTS, SCHEMA).read(spark)
+    ParquetOutput(str(tmp_path / "pq"), partition_by=["event_type"]).write(df)
+    assert os.path.isdir(str(tmp_path / "pq" / "event_type=login"))
+    # partition pruning: filtered read touches one partition dir
+    pruned = spark.read.parquet(str(tmp_path / "pq")).filter("event_type = 'login'")
+    assert pruned.count() == 1
+
+    S3Output(f"file://{tmp_path}/s3bucket", fmt="json").write(df, prefix="events")
+    assert spark.read.schema(SCHEMA).json(str(tmp_path / "s3bucket" / "events")).count() == 2

@@ -1,0 +1,146 @@
+"""Streaming tests (SURVEY §2 A8, C3-C6 [R] gates): file-source →
+processor pipeline → memory sink; windowed/session aggs with
+watermarks; built-in and applyInPandasWithState stateful ops.
+
+All queries run with ``availableNow`` triggers so results are
+deterministic and bounded."""
+
+import json
+
+import pytest
+
+from logprep_spark.operators import Calculator, FieldManager
+from logprep_spark.sources import DummyOutput, JsonlInput
+from logprep_spark.streaming import (
+    StreamingPipeline,
+    dedupe_stream,
+    running_totals,
+    sessionize_stream,
+    tumbling_counts,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _events(tmp_path, rows, name="stream-in"):
+    d = tmp_path / name
+    d.mkdir()
+    (d / "part-0.jsonl").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    return str(d)
+
+
+def _run(query):
+    query.awaitTermination(120)
+    query.stop()
+
+
+def _ts(minute, second=0):
+    return f"2026-01-01T10:{minute:02d}:{second:02d}Z"
+
+
+ROWS = [
+    {"event_id": 1, "ts": _ts(0), "user_id": 1, "event_type": "login", "value": 1.0},
+    {"event_id": 2, "ts": _ts(0, 30), "user_id": 1, "event_type": "click", "value": 2.0},
+    {"event_id": 3, "ts": _ts(1), "user_id": 2, "event_type": "click", "value": 3.0},
+    {"event_id": 4, "ts": _ts(45), "user_id": 1, "event_type": "click", "value": 4.0},
+]
+
+
+@pytest.fixture()
+def stream_df(spark, tmp_path):
+    return JsonlInput(_events(tmp_path, ROWS), SCHEMA).read_stream(spark)
+
+
+def test_streaming_pipeline_same_processors_as_batch(spark, tmp_path):
+    """The batch Processor objects run unchanged on a stream."""
+    procs = [
+        Calculator(rules=[{"filter": "event_type: click",
+                           "calculator": {"target_field": "value_x10",
+                                          "calc": "${value} * 10"}}]),
+        FieldManager(rules=[{"filter": "*",
+                             "field_manager": {"source_fields": ["user_id"],
+                                               "target_field": "meta.uid"}}]),
+    ]
+    pipe = StreamingPipeline(
+        JsonlInput(_events(tmp_path, ROWS), SCHEMA), procs, DummyOutput()
+    )
+    query = pipe.run(spark, query_name="pipe_out")
+    _run(query)
+    out = {r.event_id: r for r in spark.sql("SELECT * FROM pipe_out").collect()}
+    assert out[2].value_x10 == 20.0
+    assert out[1].value_x10 is None  # login: rule filter didn't match
+    assert out[3].meta.uid == 2
+
+
+def test_tumbling_counts_watermark(spark, stream_df):
+    q = (
+        tumbling_counts(stream_df, window="1 minute", watermark="5 minutes")
+        .writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run(q)
+    got = {
+        (r.window_start.minute, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    # watermark advanced to 10:40 by the minute-45 event → first two
+    # windows closed and emitted in append mode; the 10:45 window stays open
+    assert got[(0, "login")] == 1
+    assert got[(0, "click")] == 1
+    assert got[(1, "click")] == 1
+    assert (45, "click") not in got
+
+
+def test_sessionize_stream(spark, stream_df):
+    q = (
+        sessionize_stream(stream_df, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run(q)
+    got = sorted(
+        (r.user_id, r.n_events, r.session_start.minute)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    )
+    # user 1: events at 10:00/10:00:30 then 10:45 → two sessions (gap>30m)
+    assert got == [(1, 1, 45), (1, 2, 0), (2, 1, 1)]
+
+
+def test_dedupe_stream(spark, tmp_path):
+    rows = ROWS + [
+        {"event_id": 5, "ts": _ts(1, 10), "user_id": 9, "event_type": "click", "value": 9.0},
+    ]
+    df = JsonlInput(_events(tmp_path, rows), SCHEMA).read_stream(spark)
+    q = (
+        dedupe_stream(df, keys=["event_type"], watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run(q)
+    out = spark.sql("SELECT event_type, count(*) n FROM dedup_out GROUP BY 1").collect()
+    assert {r.event_type: r.n for r in out} == {"login": 1, "click": 1}
+
+
+def test_running_totals_stateful(spark, stream_df):
+    q = (
+        running_totals(stream_df)
+        .writeStream.format("memory")
+        .queryName("totals_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run(q)
+    got = {r.user_id: (r.n_events, r.sum_value)
+           for r in spark.sql("SELECT * FROM totals_out").collect()}
+    assert got[1] == (3, 7.0)
+    assert got[2] == (1, 3.0)
