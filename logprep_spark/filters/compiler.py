@@ -50,18 +50,25 @@ def compile_filter(
 
 
 def _leaf(pred: Column | None) -> Column:
-    """Null-safe leaf: missing key or null comparison result -> False,
-    so that NOT behaves like the reference (NOT missing == True)."""
+    """Leaf predicates stay BARE (nullable) so they remain eligible
+    for parquet predicate pushdown — ``coalesce(pred, false)`` wrapping
+    would block the scan-level filter. Under SQL three-valued logic a
+    null leaf already behaves as "no match" through any AND/OR tree at
+    the top-level WHERE; the only place null must be forced to False is
+    the operand of NOT (reference: ``NOT missing`` matches), handled in
+    ``_compile``'s Not case."""
     if pred is None:
         return F.lit(False)
-    return F.coalesce(pred, F.lit(False))
+    return pred
 
 
 def _compile(node: ast.Node, schema: T.StructType) -> Column:
     if isinstance(node, ast.Always):
         return F.lit(bool(node.value))
     if isinstance(node, ast.Not):
-        return ~_compile(node.child, schema)
+        # null-safety boundary: NOT(no-match) must be True even when
+        # the child is null (missing key / null comparison)
+        return ~F.coalesce(_compile(node.child, schema), F.lit(False))
     if isinstance(node, ast.And):
         out = _compile(node.children[0], schema)
         for child in node.children[1:]:

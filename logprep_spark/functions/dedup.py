@@ -24,6 +24,24 @@ BAND_ROWS = 4
 NUM_BANDS = NUM_PERM // BAND_ROWS  # 4
 SIMHASH_BITS = 16
 
+# Universal-hash permutation family for MinHash: perm_i(h) =
+# (A[i]*(h mod P) + B[i]) mod P over the Mersenne prime 2^31-1.
+# One md5 per shingle feeds all 16 permutations — 16x fewer digest
+# calls than hashing per-permutation, and products stay < 2^62 (no
+# int64 overflow). Constants are md5-derived so any engine can
+# regenerate them.
+MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_const(tag: str, i: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:15], 16) % MERSENNE_P
+
+
+PERM_A = [_perm_const("a", i) | 1 for i in range(NUM_PERM)]  # odd → never 0
+PERM_B = [_perm_const("b", i) for i in range(NUM_PERM)]
+
 
 def h60(col: Column) -> Column:
     """Deterministic 60-bit hash: first 15 hex digits of md5."""
@@ -85,10 +103,13 @@ def minhash_signature_df(
     out of codegen — measured 197s vs <2s at sf0.01.
     """
     sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("s"))
-    hashed = sh.select(
+    base = sh.select(id_col, (h60(F.col("s")) % MERSENNE_P).alias("hb"))
+    hashed = base.select(
         id_col,
         *[
-            h60(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}")
+            ((F.lit(PERM_A[i]) * F.col("hb") + F.lit(PERM_B[i])) % MERSENNE_P).alias(
+                f"h{i}"
+            )
             for i in range(num_perm)
         ],
     )
@@ -175,9 +196,21 @@ def minhash_dedup(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Verified near-dup pairs: LSH candidates with true Jaccard >=
-    threshold. The full MinHash->LSH->verify pipeline."""
+    threshold. The full MinHash->LSH->verify pipeline.
+
+    Verification only shingles docs that appear in a candidate pair
+    (left-semi prune). At 100 TB the candidate set is orders of
+    magnitude smaller than the corpus, so the expensive
+    array_intersect/union verify never touches non-candidate text.
+    """
     pairs = minhash_lsh_pairs(df, text_col, id_col)
-    return ngram_jaccard(df, pairs, text_col, id_col).filter(
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    candidates = df.join(cand_ids, id_col, "left_semi")
+    return ngram_jaccard(candidates, pairs, text_col, id_col).filter(
         F.col("jaccard") >= threshold
     )
 

@@ -8,6 +8,7 @@ anti-filter, which Catalyst pushes down to the scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from logprep_spark.operators.base import Processor
 
@@ -17,5 +18,6 @@ class Deleter(Processor):
 
     def apply_rule(self, df: DataFrame, cond, cfg: dict) -> DataFrame:
         if cfg.get("delete", True):
-            return df.filter(~cond)
+            # null cond = no-match: keep the event (null-safe negate)
+            return df.filter(~F.coalesce(cond, F.lit(False)))
         return df

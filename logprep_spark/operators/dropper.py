@@ -30,5 +30,8 @@ class Dropper(Processor):
                     df = fld.delete_field(df, path)
                 else:
                     existing = fld.get_field(df, path)
-                    df = fld.set_field(df, path, F.when(~cond, existing))
+                    # null cond = no-match: keep the field (null-safe negate)
+                    df = fld.set_field(
+                        df, path, F.when(~F.coalesce(cond, F.lit(False)), existing)
+                    )
         return df

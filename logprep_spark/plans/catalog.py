@@ -1261,9 +1261,8 @@ def _sql_minhash_bands() -> str:
     """CTE chain doc -> shingles -> 16-perm signature -> 4 LSH bands,
     mirroring functions/dedup.py minhash_bands exactly."""
     sig_members = ", ".join(
-        "list_min(list_transform(shingles, s -> "
-        + _sql_h60(f"'{i}:' || s")
-        + "))"
+        f"list_min(list_transform(hb, h -> ({dd.PERM_A[i]} * h + {dd.PERM_B[i]}) "
+        f"% {dd.MERSENNE_P}))"
         for i in range(dd.NUM_PERM)
     )
     band_selects = []
@@ -1279,7 +1278,9 @@ def _sql_minhash_bands() -> str:
     sh AS (
         SELECT doc_id, {_sql_shingles()} AS shingles FROM documents
     ), sigs AS (
-        SELECT doc_id, [{sig_members}] AS sig FROM sh
+        SELECT doc_id, [{sig_members}] AS sig
+        FROM (SELECT doc_id, list_transform(shingles,
+                  s -> {_sql_h60('s')} % {dd.MERSENNE_P}) AS hb FROM sh)
     ), bands AS (
         {bands_union}
     ), pairs AS (
