@@ -48,9 +48,15 @@ def h60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a text column."""
-    toks = tokens(col)
+def shingles_of(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles over an ALREADY-MATERIALIZED token
+    array column. The two-step shape matters: higher-order-function
+    lambdas disable common-subexpression elimination, so passing the
+    raw ``tokens(text)`` expression here makes ``slice`` re-run the
+    regex split once per element (~20x slowdown measured at sf0.1).
+    Callers must project the token array in its own select first —
+    multiple references to a non-cheap expression also stop Catalyst's
+    CollapseProject from inlining it back."""
     n = F.size(toks)
     return F.array_distinct(
         F.transform(
@@ -58,6 +64,21 @@ def shingles(col: Column, k: int = 3) -> Column:
             lambda i: F.array_join(F.slice(toks, i, k), " "),
         )
     )
+
+
+def shingle_arrays(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, sh) — per-doc distinct shingle array, token split done
+    once per row."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    return toked.select(id_col, shingles_of(F.col("_toks"), k).alias("sh"))
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Single-expression form — only for tiny inputs/tests; see
+    ``shingles_of`` for why the hot path uses the two-step shape."""
+    return shingles_of(tokens(col), k)
 
 
 # --- exact dedup -------------------------------------------------------
@@ -102,7 +123,9 @@ def minhash_signature_df(
     re-inlined per band) blows the Catalyst tree up ~256x and falls
     out of codegen — measured 197s vs <2s at sf0.01.
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("s"))
+    sh = shingle_arrays(df, text_col, id_col).select(
+        F.col(id_col), F.explode("sh").alias("s")
+    )
     base = sh.select(id_col, (h60(F.col("s")) % MERSENNE_P).alias("hb"))
     hashed = base.select(
         id_col,
@@ -121,6 +144,11 @@ def minhash_signature_df(
 def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, band_id, band_key) — one row per band per doc."""
     sig = minhash_signature_df(df, text_col, id_col)
+    return bands_from_signature(sig, id_col)
+
+
+def bands_from_signature(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Narrow banding over a (possibly persisted) signature frame."""
     bands = F.array(
         *[
             F.struct(
@@ -143,12 +171,31 @@ def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
+) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
 
     The self-join shuffles only (band_id, band_key) — never the text.
+
+    ``materialize`` persists the signature frame (num_perm longs per
+    doc — tiny next to the text) before the self-join: the two join
+    sides project different id aliases, so Spark's exchange reuse
+    can't kick in and an unpersisted plan would run the whole
+    shingle+hash subtree twice. This is the LSH-pipeline equivalent of
+    writing a signature stage table — at 100 TB you'd checkpoint it to
+    parquet; MEMORY_AND_DISK is the in-session version (measured ~2x
+    end-to-end at sf0.1).
     """
-    bands = minhash_bands(df, text_col, id_col)
+    sig = minhash_signature_df(df, text_col, id_col)
+    if materialize:
+        from pyspark.storagelevel import StorageLevel
+
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    bands = bands_from_signature(sig, id_col)
     left = bands.select(
         F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a")
     )
@@ -173,7 +220,7 @@ def ngram_jaccard(
     """Exact shingle-Jaccard for candidate pairs (verification stage).
     Joins shingle sets onto the pair list — cost scales with the
     candidate count, not n^2."""
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    sh = shingle_arrays(df, text_col, id_col, k)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

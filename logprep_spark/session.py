@@ -40,6 +40,24 @@ def get_spark(app_name: str = "logprep-spark", master: str | None = None) -> Spa
     return builder.getOrCreate()
 
 
+def fan_out(df, factor: float = 1.0):
+    """Widen a too-narrow scan to the session's parallelism before
+    genuinely heavy per-row work (e.g. multimodal decode in
+    ``mapInPandas``). A small parquet file arrives as ONE input split,
+    serializing that compute on a single core.
+
+    NOT for cheap-per-row column expressions: measured at sf0.1, the
+    extra round-robin shuffle plus AQE plan finalization cost more
+    than the parallelism gained for shingle/hash pipelines (those are
+    better served by persisting their small derived frames). Use only
+    when per-row work is tens of microseconds or more.
+    """
+    target = int(df.sparkSession.sparkContext.defaultParallelism * factor)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None):
     """Register the driver's parquet tables as temp views; return dict of DFs."""
     names = tables or [
