@@ -641,6 +641,65 @@ def proc_pseudonymizer(spark, sf_dir):
 
 
 @register(
+    "proc_pseudonymizer_pseudonyms",
+    """
+    SELECT DISTINCT sha256('user' || user_id) AS pseudonym,
+           'user' || user_id AS origin
+    FROM events
+    """,
+)
+def proc_pseudonymizer_pseudonyms(spark, sf_dir):
+    """The extra-event side output: (pseudonym, origin) pairs for
+    de-pseudonymization (reference processor.py's pseudonyms list)."""
+    ev = _events(spark, sf_dir).withColumn("uname", F.concat(F.lit("user"), _s(_u())))
+    proc = Pseudonymizer(
+        [{"filter": "*", "pseudonymizer": {"mapping": {"uname": r"^user\d+$"}}}]
+    )
+    return proc.pseudonyms(ev)
+
+
+@register(
+    "proc_decoder_nginx",
+    f"""
+    SELECT event_id,
+           {_SQL_IP} AS host,
+           'GET /page' || (event_id % 50) || ' HTTP/1.1' AS request,
+           'https://ref' || (event_id % 7) || '.example.com/' AS referer,
+           'agent-' || (event_id % 5) AS agent
+    FROM events
+    """,
+)
+def proc_decoder_nginx(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "line",
+        F.concat(
+            _ip_col(),
+            F.lit(" - u"),
+            _s(_u()),
+            F.lit(' [10/Oct/2024:13:55:36 +0000] "GET /page'),
+            _s(F.col("event_id") % 50),
+            F.lit(' HTTP/1.1" 200 512 "https://ref'),
+            _s(F.col("event_id") % 7),
+            F.lit('.example.com/" "agent-'),
+            _s(F.col("event_id") % 5),
+            F.lit('"'),
+        ),
+    )
+    proc = Decoder(
+        [{"filter": "*", "decoder": {
+            "source_fields": ["line"], "source_format": "nginx", "target_field": "ng"}}]
+    )
+    c = F.col("ng")
+    return proc.transform(ev).select(
+        "event_id",
+        c.getField("host").alias("host"),
+        c.getField("request").alias("request"),
+        c.getField("referer").alias("referer"),
+        c.getField("agent").alias("agent"),
+    )
+
+
+@register(
     "proc_replacer",
     f"""
     SELECT event_id,
