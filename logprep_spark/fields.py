@@ -52,7 +52,16 @@ def get_field(df_or_schema, path: str) -> Column | None:
 
 def set_field(df: DataFrame, path: str, value: Column) -> DataFrame:
     """Return df with ``path`` set to ``value``, creating intermediate
-    structs as needed. Pure column rewrite — narrow, no shuffle."""
+    structs as needed. Pure column rewrite — narrow, no shuffle.
+
+    Null propagation mirrors the reference's absent-field model (a
+    field is either present or absent, never an empty object):
+    - a container created for a null value stays NULL, so a later
+      ``container: *`` Exists filter does not match untouched rows;
+    - writing a non-null value into a NULL container materializes the
+      container (other fields null);
+    - an existing non-null container is never nulled by a null write.
+    """
     parts = split_path(path)
     top = parts[0]
     if len(parts) == 1:
@@ -60,12 +69,26 @@ def set_field(df: DataFrame, path: str, value: Column) -> DataFrame:
     top_type = field_type(df.schema, top)
     rest = parts[1:]
     if isinstance(top_type, T.StructType):
-        return df.withColumn(top, _set_in_struct(F.col(top), top_type, rest, value))
-    # top is absent or non-struct: build a fresh nested struct literal
+        base = F.coalesce(F.col(top), _null_struct(top_type))
+        updated = _set_in_struct(base, top_type, rest, value)
+        guarded = F.when(F.col(top).isNotNull() | value.isNotNull(), updated)
+        return df.withColumn(top, guarded)
+    # top is absent or non-struct: build a fresh nested struct that is
+    # null at every level when the value is null
+    return df.withColumn(top, _fresh_nested(rest, value))
+
+
+def _null_struct(stype: T.StructType) -> Column:
+    return F.struct(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in stype.fields]
+    )
+
+
+def _fresh_nested(parts: list[str], value: Column) -> Column:
     nested = value
-    for part in reversed(rest):
-        nested = F.struct(nested.alias(part))
-    return df.withColumn(top, nested)
+    for part in reversed(parts):
+        nested = F.when(nested.isNotNull(), F.struct(nested.alias(part)))
+    return nested
 
 
 def _set_in_struct(col: Column, stype: T.StructType, parts: list[str], value: Column) -> Column:
@@ -74,11 +97,11 @@ def _set_in_struct(col: Column, stype: T.StructType, parts: list[str], value: Co
     if not tail:
         return col.withField(head, value)
     if sub is not None and isinstance(sub.dataType, T.StructType):
-        return col.withField(head, _set_in_struct(col.getField(head), sub.dataType, tail, value))
-    nested = value
-    for part in reversed(tail):
-        nested = F.struct(nested.alias(part))
-    return col.withField(head, nested)
+        inner_base = F.coalesce(col.getField(head), _null_struct(sub.dataType))
+        inner = _set_in_struct(inner_base, sub.dataType, tail, value)
+        guarded = F.when(col.getField(head).isNotNull() | value.isNotNull(), inner)
+        return col.withField(head, guarded)
+    return col.withField(head, _fresh_nested(tail, value))
 
 
 def delete_field(df: DataFrame, path: str) -> DataFrame:

@@ -36,8 +36,8 @@ _FLOAT_TYPES = (T.FloatType, T.DoubleType, T.DecimalType)
 def compile_filter(
     filter_expr,
     df_or_schema,
-    regex_fields: list[str] | None = None,
-    sigma_fields: list[str] | None = None,
+    regex_fields: list[str] | bool | None = None,
+    sigma_fields: list[str] | bool | None = None,
 ) -> Column:
     """Compile a filter string or AST into a boolean ``Column``."""
     schema = df_or_schema.schema if isinstance(df_or_schema, DataFrame) else df_or_schema

@@ -31,6 +31,10 @@ import re
 from logprep_spark.filters import ast
 
 
+def _special(key, fields) -> bool:
+    return fields is True or key in fields
+
+
 class FilterParseError(ValueError):
     pass
 
@@ -80,8 +84,9 @@ class _Parser:
     def __init__(self, tokens, regex_fields, sigma_fields):
         self.tokens = tokens
         self.pos = 0
-        self.regex_fields = set(regex_fields or [])
-        self.sigma_fields = set(sigma_fields or [])
+        # True -> every field is special (reference boolean form)
+        self.regex_fields = regex_fields if regex_fields is True else set(regex_fields or [])
+        self.sigma_fields = sigma_fields if sigma_fields is True else set(sigma_fields or [])
 
     def peek(self):
         return self.tokens[self.pos] if self.pos < len(self.tokens) else (None, None)
@@ -152,13 +157,13 @@ class _Parser:
         kind, val = self.next()
         if kind == "range":
             return self._range(key, val)
-        if kind == "regexval" or key in self.regex_fields:
+        if kind == "regexval" or _special(key, self.regex_fields):
             pattern = val[1:-1] if kind == "regexval" else self._raw_value(kind, val)
             return ast.Regex(key, pattern)
         if kind == "quoted":
             inner = _unescape(val[1:-1])
             raw = val[1:-1]
-            if _HAS_WILDCARD.search(raw) or key in self.sigma_fields:
+            if _HAS_WILDCARD.search(raw) or _special(key, self.sigma_fields):
                 return self._wildcard(key, raw)
             return ast.StringEq(key, inner)
         if kind == "word":
@@ -166,7 +171,7 @@ class _Parser:
                 return ast.Exists(key)
             if val in ("null", "NULL"):
                 return ast.Null(key)
-            if _HAS_WILDCARD.search(val) or key in self.sigma_fields:
+            if _HAS_WILDCARD.search(val) or _special(key, self.sigma_fields):
                 return self._wildcard(key, val)
             text = _unescape(val)
             if re.fullmatch(r"[+-]?\d+", text):
@@ -182,7 +187,7 @@ class _Parser:
         return _unescape(val)
 
     def _wildcard(self, key: str, raw: str) -> ast.Node:
-        return ast.Wildcard(key, raw, case_insensitive=key in self.sigma_fields)
+        return ast.Wildcard(key, raw, case_insensitive=_special(key, self.sigma_fields))
 
     def _range(self, key: str, val: str) -> ast.Node:
         include_low = val[0] == "["

@@ -24,22 +24,28 @@ from logprep_spark import fields as fld
 from logprep_spark.filters import compile_filter
 
 
+def _special_fields(value) -> list[str] | bool:
+    return True if value is True else list(value or [])
+
+
 @dataclass
 class Rule:
     """One rule: filter string + processor-specific config dict."""
 
     filter: str
     config: dict[str, Any]
-    regex_fields: list[str] = field(default_factory=list)
-    sigma_fields: list[str] = field(default_factory=list)
+    # reference semantics: a list of dotted fields, or True = all
+    # fields (lucene_filter.py:646 ``sf_value is True or field in sf_value``)
+    regex_fields: list[str] | bool = field(default_factory=list)
+    sigma_fields: list[str] | bool = field(default_factory=list)
 
     @classmethod
     def from_dict(cls, rule_type: str, raw: dict) -> "Rule":
         return cls(
             filter=raw.get("filter", "*"),
             config=dict(raw.get(rule_type, {})),
-            regex_fields=list(raw.get("regex_fields", [])),
-            sigma_fields=list(raw.get("sigma_fields", [])),
+            regex_fields=_special_fields(raw.get("regex_fields", [])),
+            sigma_fields=_special_fields(raw.get("sigma_fields", [])),
         )
 
 

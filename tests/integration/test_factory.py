@@ -1,0 +1,117 @@
+"""Factory tests: a reference-format YAML config (pipeline + rule
+files + connectors) builds and runs end-to-end on Spark."""
+
+import json
+
+import pytest
+
+from logprep_spark.factory import ConfigError, PipelineConfig, load_rules
+
+CONFIG_YML = """\
+version: 1
+process_count: 3
+
+pipeline:
+  - dissectorname:
+      type: dissector
+      rules:
+        - {rules_dir}/dissector
+  - calculatorname:
+      type: calculator
+      rules:
+        - filter: "message"
+          calculator:
+            calc: "${{num}} * 2"
+            target_field: doubled
+  - droppername:
+      type: dropper
+      rules:
+        - {rules_dir}/dropper/drop.json
+
+input:
+  my_in:
+    type: jsonl_input
+    documents_path: {events_path}
+    schema: "message string, num long"
+output:
+  my_out:
+    type: jsonl_output
+    output_file: {out_dir}
+  spool:
+    type: opensearch_output
+    default_index: events
+"""
+
+DISSECT_RULE = """\
+filter: message
+dissector:
+  mapping:
+    message: "%{a} %{b}"
+"""
+
+
+@pytest.fixture()
+def config_path(tmp_path):
+    (tmp_path / "rules" / "dissector").mkdir(parents=True)
+    (tmp_path / "rules" / "dropper").mkdir(parents=True)
+    (tmp_path / "rules" / "dissector" / "rule1.yml").write_text(DISSECT_RULE)
+    (tmp_path / "rules" / "dropper" / "drop.json").write_text(
+        json.dumps({"filter": "*", "dropper": {"drop": ["num"]}})
+    )
+    events = tmp_path / "events.jsonl"
+    events.write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                {"message": "hello world", "num": 21},
+                {"message": "foo bar", "num": 4},
+            ]
+        )
+        + "\n"
+    )
+    cfg = tmp_path / "pipeline.yml"
+    cfg.write_text(
+        CONFIG_YML.format(
+            rules_dir=tmp_path / "rules",
+            events_path=events,
+            out_dir=tmp_path / "out",
+        )
+    )
+    return str(cfg)
+
+
+def test_reference_format_config_runs(spark, config_path, tmp_path):
+    pc = PipelineConfig.from_file(config_path)
+    assert pc.version == 1
+    assert [type(p).__name__ for p in pc.processors] == [
+        "Dissector", "Calculator", "Dropper",
+    ]
+    df = pc.input.read(spark)
+    out = pc.transform(df)
+    rows = {r.a: r.asDict(recursive=True) for r in out.collect()}
+    assert rows["hello"]["b"] == "world"
+    assert rows["hello"]["doubled"] == 42.0
+    assert "num" not in rows["hello"]  # dropper removed it
+
+    pc.outputs["my_out"].write(out)
+    back = spark.read.json(str(tmp_path / "out"))
+    assert back.count() == 2
+    assert pc.outputs["spool"].index == "events"
+
+
+def test_multi_doc_rule_file(tmp_path):
+    f = tmp_path / "rules.yml"
+    f.write_text("filter: a\ndropper:\n  drop: [x]\n---\nfilter: b\ndropper:\n  drop: [y]\n")
+    assert [r["filter"] for r in load_rules([str(f)])] == ["a", "b"]
+
+
+def test_unknown_processor_type_lists_known(config_path):
+    with pytest.raises(ConfigError) as exc:
+        PipelineConfig({"pipeline": [{"x": {"type": "nope", "rules": []}}]})
+    assert "unknown processor type" in str(exc.value)
+    assert "calculator" in str(exc.value)
+
+
+def test_missing_rule_file_errors():
+    with pytest.raises(ConfigError, match="rule source not found"):
+        load_rules(["/nonexistent/rules/dir"])

@@ -224,7 +224,7 @@ def test_generic_adder(events):
         {"filter": "level: error", "generic_adder": {"add": {"some.added_field": "some value"}}}
     ]).transform(events)
     assert first(out, id=1).some.added_field == "some value"
-    assert first(out, id=2).some.added_field is None
+    assert first(out, id=2).some is None  # untouched rows: no container
 
 
 def test_generic_resolver(events):
@@ -289,7 +289,7 @@ def test_labeler(events):
         {"filter": "level: error", "labeler": {"label": {"reporter": ["windows", "syslog"]}}}
     ]).transform(events)
     assert first(out, id=1).label.reporter == ["syslog", "windows"]
-    assert first(out, id=2).label.reporter is None
+    assert first(out, id=2).label is None  # untouched rows: no container
 
 
 def test_list_comparison(events):
