@@ -184,3 +184,51 @@ def event_type_stats(events: DataFrame) -> DataFrame:
         F.round(F.avg("value"), 4).alias("avg_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+def event_rollup(events: DataFrame) -> DataFrame:
+    """Hierarchical totals via ROLLUP — one shuffle produces every
+    aggregation level (Spark expands grouping sets map-side)."""
+    bucket = (F.col("user_id") % 10).alias("user_bucket")
+    return (
+        events.rollup(F.col("event_type"), bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def event_percentiles(events: DataFrame) -> DataFrame:
+    """Exact per-type percentiles. ``percentile`` (exact, linear
+    interpolation) — the approx_percentile sketch is the 100 TB path,
+    kept out of the oracle-gated query because approximations don't
+    hash-compare."""
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+def salted_user_counts(events: DataFrame, n_salts: int = 8) -> DataFrame:
+    """Two-stage skew-safe aggregation: a hot grouping key is first
+    split across ``n_salts`` sub-keys (partial counts), then the salt
+    is dropped in a second, tiny aggregation. Result is IDENTICAL to a
+    direct groupBy — the oracle proves it — while the heavy shuffle
+    spreads a skewed key over n_salts reducers."""
+    salt = (F.col("event_id") % n_salts).alias("_salt")
+    partial = (
+        events.groupBy(F.col("event_type"), salt)
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("value").alias("pv"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("pv"), 2).alias("total_value"),
+        )
+    )

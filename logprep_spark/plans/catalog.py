@@ -277,6 +277,49 @@ from logprep_spark.filters import compile_filter  # noqa: E402
 
 
 @register(
+    "event_rollup",
+    """
+    SELECT event_type, user_id % 10 AS user_bucket,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY ROLLUP (event_type, user_id % 10)
+    """,
+)
+def event_rollup(spark, sf_dir):
+    return an.event_rollup(tables(spark, sf_dir)["events"])
+
+
+@register(
+    "event_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.9), 6)  AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_percentiles(spark, sf_dir):
+    return an.event_percentiles(tables(spark, sf_dir)["events"])
+
+
+@register(
+    "agg_salted_user_counts",
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_user_counts(spark, sf_dir):
+    """Skew-safe two-stage aggregation; oracle is the DIRECT groupBy —
+    the salting must be invisible in the result."""
+    return an.salted_user_counts(tables(spark, sf_dir)["events"])
+
+
+@register(
     "filter_lucene_bool",
     """
     SELECT event_id FROM events
