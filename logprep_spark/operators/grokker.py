@@ -73,7 +73,42 @@ BUILTIN_PATTERNS: dict[str, str] = {
     "WINPATH": r"(?:[A-Za-z]+:|\\)(?:\\[^\\?*]*)+",
     "COMBINEDAPACHELOG": r'%{IPORHOST:clientip} %{USER:ident} %{USER:auth} \[%{HTTPDATE:timestamp}\] "(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})" %{NUMBER:response} (?:%{NUMBER:bytes}|-) %{QUOTEDSTRING:referrer} %{QUOTEDSTRING:agent}',
     "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    "DAY": r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)",
+    "JAVACLASS": r"(?:[a-zA-Z$_][a-zA-Z$_0-9]*\.)*[a-zA-Z$_][a-zA-Z$_0-9]*",
+    "JAVAFILE": r"(?:[a-zA-Z$_0-9. -]+)",
+    "JAVAMETHOD": r"(?:(?:<(?:cl)?init>)|[a-zA-Z$_][a-zA-Z$_0-9]*)",
+    "JAVASTACKTRACEPART": r"\s*at %{JAVACLASS:class}\.%{JAVAMETHOD:method}\(%{JAVAFILE:file}(?::%{NUMBER:line})?\)",
+    "SYSLOGHOST": r"%{IPORHOST}",
+    "SYSLOGPROG": r"%{PROG:program}(?:\[%{POSINT:pid}\])?",
+    "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
+    "SYSLOGBASE": r"%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:logsource} %{SYSLOGPROG}:",
+    "SYSLOGFACILITY": r"<%{NONNEGINT:facility}.%{NONNEGINT:priority}>",
 }
+
+
+def load_pattern_file(path: str) -> dict[str, str]:
+    """Parse a logstash-format pattern file: ``NAME regex`` per line,
+    ``#`` comments (reference: logprep/util/grok_pattern_loader.py)."""
+    out: dict[str, str] = {}
+    with open(path) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line.strip() or line.lstrip().startswith("#"):
+                continue
+            name, _, pattern = line.partition(" ")
+            if name and pattern:
+                out[name] = pattern
+    return out
+
+
+def load_pattern_dir(path: str) -> dict[str, str]:
+    import os
+
+    out: dict[str, str] = {}
+    for root, _dirs, files in os.walk(path):
+        for fname in sorted(files):
+            out.update(load_pattern_file(os.path.join(root, fname)))
+    return out
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?(?::(\w+))?\}")
 
@@ -129,9 +164,17 @@ def expand_grok(expression: str, patterns: dict[str, str] | None = None):
 class Grokker(Processor):
     rule_type = "grokker"
 
-    def __init__(self, rules=None, custom_patterns: dict[str, str] | None = None, **kw):
+    def __init__(
+        self,
+        rules=None,
+        custom_patterns: dict[str, str] | None = None,
+        custom_patterns_dir: str | None = None,
+        **kw,
+    ):
         super().__init__(rules, **kw)
-        self.custom_patterns = custom_patterns or {}
+        self.custom_patterns = dict(custom_patterns or {})
+        if custom_patterns_dir:
+            self.custom_patterns.update(load_pattern_dir(custom_patterns_dir))
 
     def apply_rule(self, df: DataFrame, cond, cfg: dict) -> DataFrame:
         patterns = dict(self.custom_patterns)

@@ -459,3 +459,24 @@ def test_pipeline_compose(events):
     rows = out.collect()
     assert len(rows) == 1
     assert rows[0].tag_str == "error#2.0"
+
+
+def test_grokker_java_syslog_and_pattern_dir(spark, tmp_path):
+    (tmp_path / "extra.patterns").write_text("# comment\nMYID [a-f0-9]{8}\n")
+    df = spark.createDataFrame(
+        [("at com.example.Main.run(Main.java:42)", "deadbeef")], "st string, idv string"
+    )
+    out = Grokker(
+        [
+            {"filter": "*", "grokker": {"mapping": {"st": "%{JAVASTACKTRACEPART}"}}},
+            {"filter": "*", "grokker": {"mapping": {"idv": "%{MYID:found_id}"}}},
+        ],
+        custom_patterns_dir=str(tmp_path),
+    ).transform(df)
+    row = out.first()
+    # library patterns with internal alternation groups must not shift
+    # the capture-group indexes of later targets
+    assert (row.asDict()["class"], row.method, row.file, row.line) == (
+        "com.example.Main", "run", "Main.java", "42",
+    )
+    assert row.found_id == "deadbeef"
