@@ -62,9 +62,19 @@ class Processor:
     def condition(self, df: DataFrame, rule: Rule) -> Column:
         return compile_filter(rule.filter, df, rule.regex_fields, rule.sigma_fields)
 
+    _COND = "__logprep_cond__"
+
     def transform(self, df: DataFrame) -> DataFrame:
         for rule in self.rules:
-            df = self.apply_rule(df, self.condition(df, rule), rule.config)
+            cond = self.condition(df, rule)
+            # Stage the match decision in a column BEFORE any mutation:
+            # a rule that rewrites a field its own filter references
+            # (delete_source_fields, move) must not see its own writes —
+            # Column expressions re-resolve by name against the mutated
+            # frame, so an unstaged cond would flip mid-rule.
+            df = df.withColumn(self._COND, F.coalesce(cond, F.lit(False)))
+            df = self.apply_rule(df, F.col(self._COND), rule.config)
+            df = df.drop(self._COND)
         return df
 
     def apply_rule(self, df: DataFrame, cond: Column, cfg: dict) -> DataFrame:
@@ -86,6 +96,17 @@ class Processor:
         else:
             out = F.when(cond, value).otherwise(existing)
         return fld.set_field(df, path, out)
+
+    @staticmethod
+    def delete_when(df: DataFrame, path: str, cond: Column) -> DataFrame:
+        """Null out ``path`` where ``cond`` holds (conditional delete —
+        null is the absent-field representation; see fields.set_field)."""
+        existing = fld.get_field(df, path)
+        if existing is None:
+            return df
+        return fld.set_field(
+            df, path, F.when(~F.coalesce(cond, F.lit(False)), existing)
+        )
 
     @staticmethod
     def add_tag_when(df: DataFrame, cond: Column, tags: list[str], path: str = "tags") -> DataFrame:

@@ -30,10 +30,14 @@ _SEGMENT = re.compile(r"%\{([^}]*)\}")
 _CASTS = {"int": "long", "float": "double", "string": "string", "bool": "boolean"}
 
 
-def compile_dissect(pattern: str) -> tuple[str, list[tuple[str, int]]]:
-    """Compile a dissect pattern to ``(regex, [(target, group_idx)])``."""
+def compile_dissect(pattern: str) -> tuple[str, list[tuple[str, int, str | None]]]:
+    """Compile a dissect pattern to ``(regex, [(target, group_idx,
+    append_sep)])``. ``append_sep`` is None for plain assignment, the
+    separator for ``%{+field}`` / ``%{+(sep)field}`` appends. Indirect
+    notation (``?``/``&``) implies per-row dynamic column names —
+    unrepresentable in a static schema — and is rejected."""
     regex_parts = ["^"]
-    targets: list[tuple[str, int]] = []
+    targets: list[tuple[str, int, str | None]] = []
     group = 0
     pos = 0
     segments = list(_SEGMENT.finditer(pattern))
@@ -41,6 +45,19 @@ def compile_dissect(pattern: str) -> tuple[str, list[tuple[str, int]]]:
         literal = pattern[pos : seg.start()]
         regex_parts.append(re.escape(literal))
         spec = seg.group(1)
+        append_sep = None
+        if spec.startswith("+"):
+            spec = spec[1:]
+            sep_match = re.match(r"^\((.*?)\)(.*)$", spec)
+            if sep_match:
+                append_sep, spec = sep_match.group(1), sep_match.group(2)
+            else:
+                append_sep = ""
+        if spec.startswith(("?", "&")):
+            raise ValueError(
+                "dissect indirect notation (?/&) needs per-row dynamic "
+                "column names; not supported in a static schema"
+            )
         pad = None
         pad_match = re.match(r"^(.*?)-\((.)\)$", spec)
         if pad_match:
@@ -52,7 +69,7 @@ def compile_dissect(pattern: str) -> tuple[str, list[tuple[str, int]]]:
         else:
             group += 1
             regex_parts.append(capture)
-            targets.append((spec, group))
+            targets.append((spec, group, append_sep))
         if pad is not None:
             regex_parts.append(re.escape(pad) + "*")
         pos = seg.end()
@@ -64,6 +81,28 @@ def compile_dissect(pattern: str) -> tuple[str, list[tuple[str, int]]]:
 class Dissector(Processor):
     rule_type = "dissector"
 
+    @staticmethod
+    def _append(df: DataFrame, target: str, cond, value, sep: str) -> DataFrame:
+        """``%{+field}``: list targets get the value appended as an
+        element; scalar targets get string-concatenated with ``sep``;
+        absent targets are plain assignments."""
+        from pyspark.sql import types as T
+
+        existing = fld.get_field(df, target)
+        etype = fld.field_type(df.schema, target)
+        if existing is None:
+            out = F.when(cond, value)
+        elif isinstance(etype, T.ArrayType):
+            appended = F.concat(
+                F.coalesce(existing, F.array()),
+                F.array(value.cast(etype.elementType)),
+            )
+            out = F.when(cond, appended).otherwise(existing)
+        else:
+            joined = F.concat_ws(sep, existing.cast("string"), value.cast("string"))
+            out = F.when(cond, joined).otherwise(existing)
+        return fld.set_field(df, target, out)
+
     def apply_rule(self, df: DataFrame, cond, cfg: dict) -> DataFrame:
         converts = {k: _CASTS[v] for k, v in cfg.get("convert_datatype", {}).items()}
         extracted: set[str] = set()
@@ -72,12 +111,15 @@ class Dissector(Processor):
             if src is None:
                 continue
             regex, targets = compile_dissect(pattern)
-            for target, group in targets:
+            for target, group, append_sep in targets:
                 value = F.regexp_extract(src.cast("string"), regex, group)
                 if target in converts:
                     value = value.cast(converts[target])
                 extracted.add(target)
-                df = self.set_when(df, target, cond, value)
+                if append_sep is not None:
+                    df = self._append(df, target, cond, value, append_sep)
+                else:
+                    df = self.set_when(df, target, cond, value)
         # convert_datatype may also apply to existing (non-extracted) fields
         for target, cast_to in converts.items():
             if target in extracted:

@@ -46,10 +46,26 @@ class FieldManager(Processor):
                     else F.array(existing.cast("string"))
                 )
                 value = F.concat(base, value)
+            etype = fld.field_type(df.schema, target)
+            if existing is not None and not isinstance(etype, T.ArrayType):
+                # static schemas can't hold a string on unmatched rows
+                # and a list on matched ones: widen unmatched scalars to
+                # one-element lists (values preserved, type unified)
+                overwrite = cfg.get("overwrite_target", True) or cfg.get(
+                    "merge_with_target", False
+                )
+                keep = F.array(existing.cast("string"))
+                out = F.when(cond if overwrite else cond & existing.isNull(), value)
+                df = fld.set_field(df, target, out.otherwise(keep))
+                return self._delete_sources(df, cfg, present, target)
         else:
             value = present[0][1]
 
         df = self.set_when(df, target, cond, value, overwrite=cfg.get("overwrite_target", True))
+        return self._delete_sources(df, cfg, present, target)
+
+    @staticmethod
+    def _delete_sources(df, cfg, present, target):
         if cfg.get("delete_source_fields", False):
             for path, _ in present:
                 if path != target:

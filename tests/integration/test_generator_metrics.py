@@ -55,7 +55,9 @@ def test_generator_stream_rate(spark):
         .trigger(processingTime="1 second").start()
     )
     try:
-        q.processAllAvailable()
+        # no processAllAvailable(): a rate source produces forever, so
+        # "all available" never drains once batches run >= the tick —
+        # poll the sink with a deadline instead
         import time
 
         deadline = time.time() + 20
