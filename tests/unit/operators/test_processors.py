@@ -77,6 +77,44 @@ def test_calculator_parens_and_power(events):
     assert first(out, id=1).sq == 4.0
 
 
+def test_calculator_functions_and_comparison(spark):
+    df = spark.createDataFrame([(1, "0x2a", 3.0, 4.0)], "id int, hex string, a double, b double")
+    proc = Calculator([
+        {"filter": "*", "calculator": {"calc": "hypot(${a}, ${b})", "target_field": "h"}},
+        {"filter": "*", "calculator": {"calc": "round(2.5)", "target_field": "banker"}},
+        {"filter": "*", "calculator": {"calc": "from_hex(${hex})", "target_field": "n"}},
+        {"filter": "*", "calculator": {"calc": "sgn(0 - ${a})", "target_field": "sign"}},
+        {"filter": "*", "calculator": {"calc": "${a} + 1 > ${b}", "target_field": "gt"}},
+        {"filter": "*", "calculator": {"calc": "cos(PI)", "target_field": "cospi"}},
+    ])
+    row = proc.transform(df).first()
+    assert row.h == 5.0
+    assert row.banker == 2  # Python round() half-even
+    assert row.n == 42
+    assert row.sign == -1
+    assert row.gt is False
+    assert row.cospi == -1.0
+
+
+def test_calculator_missing_field_skips_write(spark):
+    df = spark.createDataFrame([(1, None), (2, 7.0)], "id int, v double")
+    out = Calculator([
+        {"filter": "*", "calculator": {"calc": "${v} * 2", "target_field": "v2"}}
+    ]).transform(df)
+    assert first(out, id=1).v2 is None  # null source -> no write, event intact
+    assert first(out, id=2).v2 == 14.0
+
+
+def test_calculator_delete_source_fields(spark):
+    df = spark.createDataFrame([(1, 2.0, 3.0)], "id int, a double, b double")
+    out = Calculator([
+        {"filter": "*", "calculator": {
+            "calc": "${a} * ${b}", "target_field": "ab", "delete_source_fields": True}}
+    ]).transform(df)
+    row = out.first()
+    assert row.ab == 6.0 and row.a is None and row.b is None
+
+
 def test_concatenator(events):
     proc = Concatenator([
         {"filter": "*", "concatenator": {
@@ -153,6 +191,26 @@ def test_dissector_padding(spark):
     assert row.ip == "127.0.0.1"
 
 
+def test_dissector_append(spark):
+    df = spark.createDataFrame([("john jacob smith",)], "name string")
+    proc = Dissector([
+        {"filter": "*", "dissector": {
+            "mapping": {"name": "%{first} %{+(, )first} %{last}"}}}
+    ])
+    row = proc.transform(df).first()
+    assert row.first == "john, jacob"
+    assert row.last == "smith"
+
+
+def test_dissector_indirect_rejected(spark):
+    df = spark.createDataFrame([("k v",)], "kv string")
+    proc = Dissector([
+        {"filter": "*", "dissector": {"mapping": {"kv": "%{?key} %{&key}"}}}
+    ])
+    with pytest.raises(ValueError, match="indirect"):
+        proc.transform(df)
+
+
 def test_domain_label_extractor(events):
     proc = DomainLabelExtractor([
         {"filter": "*", "domain_label_extractor": {"source_fields": ["domain"], "target_field": "url"}}
@@ -217,6 +275,21 @@ def test_field_manager(events):
             "source_fields": ["level", "ip"], "target_field": "merged"}}
     ]).transform(events)
     assert first(out, id=1).merged == ["error", "10.0.0.5"]
+
+
+def test_field_manager_widens_scalar_target(spark):
+    # merging two sources into an occupied scalar target must not lose
+    # the unmatched rows' scalar: both sides widen to lists
+    df = spark.createDataFrame(
+        [(1, "err", "10.0.0.5", "keepme"), (2, None, None, "orig")],
+        "id int, level string, ip string, tgt string",
+    )
+    out = FieldManager([
+        {"filter": "level", "field_manager": {
+            "source_fields": ["level", "ip"], "target_field": "tgt"}}
+    ]).transform(df)
+    assert first(out, id=1).tgt == ["err", "10.0.0.5"]
+    assert first(out, id=2).tgt == ["orig"]
 
 
 def test_generic_adder(events):
