@@ -116,28 +116,38 @@ def minhash_signature_df(
 ) -> DataFrame:
     """(id, h0..h{num_perm-1}) min-hash signature columns.
 
-    Shape matters at scale: explode shingles, hash each ONCE per
-    permutation, then ``groupBy(id).agg(min)`` — map-side partial min
-    makes the shuffle carry only ``num_perm`` longs per doc. The
-    tempting all-expression form (``array_min(transform(shingles,...))``
-    re-inlined per band) blows the Catalyst tree up ~256x and falls
-    out of codegen — measured 197s vs <2s at sf0.01.
+    Fully narrow — ZERO shuffles: the shingle hashes stay inside an
+    array column and each permutation minimum is
+    ``array_min(transform(hb, ...))`` per row. Two shapes considered
+    and rejected:
+
+    - explode + groupBy(id).agg(min): correct, but adds a shuffle of
+      one row per shingle, and ``explode`` over a computed array is a
+      measured 4.5x slowdown (Generate re-derives its child
+      expression; 4.7s vs 1.05s at sf0.1).
+    - everything in ONE select (shingles inlined into all 16 mins):
+      Catalyst re-inlines the shingle expression per permutation —
+      ~256x tree blowup, 197s at sf0.01.
+
+    The staging discipline that keeps both pathologies away: project
+    the token array, then the shingle array, then the base-hash array
+    ``hb``, each in its OWN select; 16 references to non-cheap ``hb``
+    stop CollapseProject from inlining it.
     """
-    sh = shingle_arrays(df, text_col, id_col).select(
-        F.col(id_col), F.explode("sh").alias("s")
+    sh = shingle_arrays(df, text_col, id_col)
+    hb = sh.select(
+        F.col(id_col),
+        F.transform("sh", lambda s: h60(s) % MERSENNE_P).alias("hb"),
     )
-    base = sh.select(id_col, (h60(F.col("s")) % MERSENNE_P).alias("hb"))
-    hashed = base.select(
-        id_col,
-        *[
-            ((F.lit(PERM_A[i]) * F.col("hb") + F.lit(PERM_B[i])) % MERSENNE_P).alias(
-                f"h{i}"
-            )
-            for i in range(num_perm)
-        ],
-    )
-    return hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_perm)]
+
+    def perm_min(i: int) -> Column:
+        a, b = PERM_A[i], PERM_B[i]
+        return F.array_min(
+            F.transform("hb", lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P)
+        )
+
+    return hb.select(
+        id_col, *[perm_min(i).alias(f"h{i}") for i in range(num_perm)]
     )
 
 
@@ -294,30 +304,28 @@ def simhash_df(
     id_col: str = "doc_id",
     bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """(id, sh) SimHash per doc, explode/groupBy-shaped for scale:
-    each distinct token is hashed once, bit votes are 16 partial sums
-    in ONE aggregation (map-side combine), and the Catalyst tree stays
-    small enough for whole-stage codegen (cf. minhash_signature_df).
-    ``explode_outer`` keeps token-less docs (sh = 0), matching the
-    expression form and the DuckDB oracle."""
-    toks = df.select(
+    """(id, sh) SimHash per doc — fully narrow, ZERO shuffles: the
+    distinct-token hashes stay in an array column and each bit vote is
+    a per-row ``size(filter(...))``. The explode + groupBy vote-sum
+    shape was measured 1.5x slower at sf0.1 (Generate re-derives its
+    computed-array child; same pathology as minhash_signature_df) and
+    needs a shuffle this form doesn't. Token-less docs vote all-zeros
+    -> sh = 0, matching the DuckDB oracle."""
+    hs = df.select(
         F.col(id_col),
-        F.explode_outer(F.array_distinct(tokens(F.col(text_col)))).alias("t"),
+        F.transform(F.array_distinct(tokens(F.col(text_col))), h60).alias("hs"),
     )
-    hashed = toks.select(id_col, h60(F.col("t")).alias("h"))
-    votes = hashed.groupBy(id_col).agg(
-        F.count(F.col("h")).alias("n"),
-        *[
-            F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"b{j}")
-            for j in range(bits)
-        ],
-    )
+    n = F.size("hs")
+
+    def vote(j: int) -> Column:
+        return F.size(
+            F.filter("hs", lambda x: F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1)
+        )
+
     out = F.lit(0)
     for j in range(bits):
-        out = out + F.when(F.col(f"b{j}") * 2 > F.col("n"), F.lit(1 << j)).otherwise(
-            F.lit(0)
-        )
-    return votes.select(id_col, out.cast("long").alias("sh"))
+        out = out + F.when(vote(j) * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
+    return hs.select(id_col, out.cast("long").alias("sh"))
 
 
 def simhash_pairs(
