@@ -54,6 +54,19 @@ def test_q1_single_shuffle(plans):
     assert plan.count("Exchange") == 1  # one shuffle: the groupBy
 
 
+def test_minhash_signature_zero_shuffle(spark, sf_dir):
+    """The signature stage is per-row narrow: hashes stay in an array
+    column, each permutation min is an array_min — no explode, no
+    groupBy, therefore no Exchange (see minhash_signature_df)."""
+    from logprep_spark.functions import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (dd.minhash_signature_df(docs), dd.simhash_df(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Generate" not in plan  # explode re-derives its child
+
+
 def test_processor_pipeline_is_one_projection(spark, sf_dir):
     """N chained processors must stay narrow: no Exchange at all."""
     df = catalog.queries()["pipeline_compose"](spark, sf_dir)
