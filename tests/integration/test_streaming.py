@@ -130,6 +130,136 @@ def test_dedupe_stream(spark, tmp_path):
     assert {r.event_type: r.n for r in out} == {"login": 1, "click": 1}
 
 
+def _two_batch_source(spark, tmp_path, name, batch1_rows, batch2_rows, schema=SCHEMA):
+    """File source split into two ordered micro-batches (mtime orders
+    FileStreamSource's oldest-first listing; maxFilesPerTrigger=1)."""
+    import os
+    import time
+
+    d = tmp_path / name
+    d.mkdir()
+    f0, f1 = d / "part-0.jsonl", d / "part-1.jsonl"
+    f0.write_text("\n".join(json.dumps(r) for r in batch1_rows) + "\n")
+    f1.write_text("\n".join(json.dumps(r) for r in batch2_rows) + "\n")
+    now = time.time()
+    os.utime(f0, (now - 60, now - 60))
+    os.utime(f1, (now, now))
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(d))
+    )
+
+
+def test_watermark_advances_across_batches(spark, tmp_path):
+    """Append-mode finality across micro-batches: batch 1's windows
+    stay open (watermark behind), batch 2's 10:45 event advances the
+    watermark to 10:40 which closes and emits them; the 10:45 window
+    itself remains open and must NOT be in the sink."""
+    early = [r for r in ROWS if r["event_id"] != 4]
+    late_batch = [dict(ROWS[3])]  # the 10:45 event arrives later
+    src = _two_batch_source(spark, tmp_path, "wm-in", early, late_batch)
+    q = (
+        tumbling_counts(src, window="1 minute", watermark="5 minutes")
+        .writeStream.format("memory")
+        .queryName("wm_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run(q)
+    got = {
+        (r.window_start.minute, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM wm_out").collect()
+    }
+    assert got == {(0, "login"): 1, (0, "click"): 1, (1, "click"): 1}
+
+
+def test_dedupe_stream_drops_late_duplicate(spark, tmp_path):
+    """dropDuplicatesWithinWatermark filters input below the watermark:
+    a duplicate key arriving after the watermark passed its event time
+    is dropped as late — NOT re-emitted even though its dedup state
+    was already evicted. (Streaming aggregation does not make this
+    guarantee in Spark 4 — only dedup/joins filter late input.)"""
+    batch1 = [
+        {"event_id": 1, "ts": _ts(0), "user_id": 1, "event_type": "login", "value": 1.0},
+        {"event_id": 4, "ts": _ts(45), "user_id": 1, "event_type": "click", "value": 4.0},
+    ]
+    # same dedup key as event 1, event time far below watermark (10:35)
+    batch2 = [
+        {"event_id": 9, "ts": _ts(0, 5), "user_id": 9, "event_type": "login", "value": 9.0},
+    ]
+    src = _two_batch_source(spark, tmp_path, "latedup-in", batch1, batch2)
+    q = (
+        dedupe_stream(src, keys=["event_type"], watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("latedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run(q)
+    out = spark.sql("SELECT event_type, count(*) n FROM latedup_out GROUP BY 1").collect()
+    assert {r.event_type: r.n for r in out} == {"login": 1, "click": 1}
+
+
+def test_stream_static_broadcast_enrich(spark, stream_df):
+    """Stream-static join: the static dim is broadcast per micro-batch
+    (no stream-side shuffle) — the streaming face of generic_adder's
+    big-list enrichment path."""
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [("login", "auth"), ("click", "ui")], "event_type string, category string"
+    )
+    enriched = stream_df.join(F.broadcast(dim), "event_type", "left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run(q)
+    got = {r.event_id: r.category for r in spark.sql("SELECT * FROM enrich_out").collect()}
+    assert got == {1: "auth", 2: "ui", 3: "ui", 4: "ui"}
+
+
+def test_pre_detector_stream_side_output(spark, tmp_path):
+    """Extra-event emission on a stream: the same source feeds the
+    main pipeline sink AND the alert side-output sink as two queries."""
+    from logprep_spark.operators import PreDetector
+
+    rows = [dict(r, **{"@timestamp": r["ts"]}) for r in ROWS]
+    src_dir = _events(tmp_path, rows, "pd-in")
+    schema = SCHEMA + ", `@timestamp` string"
+    proc = PreDetector(
+        [{"filter": "event_type: login", "pre_detector": {
+            "id": "rule-1", "title": "login seen", "severity": "low",
+            "mitre": ["T1078"]}}],
+        id_fields=["event_id"],
+    )
+
+    src = JsonlInput(src_dir, schema).read_stream(spark)
+    main_q = (
+        proc.transform(src)
+        .writeStream.format("memory").queryName("pd_main")
+        .trigger(availableNow=True).start()
+    )
+    alert_q = (
+        proc.detections(JsonlInput(src_dir, schema).read_stream(spark))
+        .writeStream.format("memory").queryName("pd_alerts")
+        .trigger(availableNow=True).start()
+    )
+    _run(main_q)
+    _run(alert_q)
+    main = {r.event_id: r for r in spark.sql("SELECT * FROM pd_main").collect()}
+    alerts = spark.sql("SELECT * FROM pd_alerts").collect()
+    assert main[1].pre_detection_id is not None
+    assert main[2].pre_detection_id is None
+    assert len(alerts) == 1
+    assert alerts[0].rule_id == "rule-1" and alerts[0].severity == "low"
+    assert alerts[0].pre_detection_id == main[1].pre_detection_id
+
+
 def test_running_totals_stateful(spark, stream_df):
     q = (
         running_totals(stream_df)
