@@ -419,3 +419,72 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+# --- near-dup clustering ----------------------------------------------
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster_id) connected components over near-dup pairs —
+    the step after pair detection in a training-data dedup pipeline:
+    every doc in a duplicate cluster gets the cluster's minimum id, so
+    "keep one doc per cluster" is a trivial filter.
+
+    Distributed min-label propagation (the classic iterative-join CC):
+    each round every node takes the min of its own and its neighbors'
+    labels; converges in O(cluster diameter) rounds — near-dup
+    clusters are shallow (pairs come from a similarity threshold), so
+    a handful of rounds in practice. Each round is one shuffle join +
+    one aggregation; labels are persisted per round to cut lineage
+    (at 100 TB you would checkpoint every few rounds instead). The
+    driver loop only coordinates rounds and checks a converged flag —
+    all data movement stays on executors.
+    """
+    # localCheckpoint (not persist): every round joins the edges, and
+    # persist alone keeps the upstream pair pipeline's full logical
+    # plan — Catalyst re-analyzes that giant lineage on every round's
+    # action (measured 28s for a 47-row result at sf0.01; 3s once
+    # truncated). On a cluster you'd use reliable checkpoint() instead.
+    sym = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("nbr_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+                (F.coalesce("nbr_min", F.col("label")) < F.col("label")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint()  # truncate per-round lineage growth
+        )
+        converged = new_labels.filter(F.col("_changed")).isEmpty()
+        labels.unpersist()
+        labels = new_labels.drop("_changed")
+        if converged:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

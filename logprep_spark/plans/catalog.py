@@ -1415,6 +1415,37 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_sql_minhash_bands()}, verified AS (
+        SELECT id_a, id_b
+        FROM pairs
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE {_SQL_JACCARD} >= 0.7
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION
+        SELECT id_b, id_a FROM verified
+    ), walk(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst
+    )
+    SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Connected components over verified near-dup pairs: every doc in
+    a duplicate cluster labeled with the cluster's min doc_id (the
+    canonical keeper). Spark: iterative min-label propagation joins
+    (functions/dedup.py dup_clusters); oracle: recursive CTE
+    transitive closure."""
+    docs = tables(spark, sf_dir)["documents"]
+    return dd.dup_clusters(dd.minhash_dedup(docs, threshold=0.7))
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
     WITH sh AS (

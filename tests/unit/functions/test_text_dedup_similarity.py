@@ -136,3 +136,12 @@ def test_multimodal_features(docs, spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"xx")
+
+
+def test_dup_clusters_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 3)], "id_a long, id_b long"
+    )
+    got = sorted(tuple(r) for r in dedup.dup_clusters(pairs).collect())
+    # {1,2,3,7} all label 1 (transitive via 2-3 and 7-3); {5,6} label 5
+    assert got == [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (7, 1)]
