@@ -22,7 +22,16 @@ from logprep_spark.functions.text import tokens
 NUM_PERM = 16
 BAND_ROWS = 4
 NUM_BANDS = NUM_PERM // BAND_ROWS  # 4
-SIMHASH_BITS = 16
+# 60 bits (the full width of the md5-derived h60 hash) split into 4
+# bands of 15 bits. Band-key cardinality is 2^15 per band — a 16-bit
+# simhash bucketed on 8-bit halves capped at 256 distinct keys, which
+# degenerates to a near-quadratic self-join at 100 TB. Pigeonhole: docs
+# within hamming <= SIMHASH_BANDS-1 (3) of each other agree exactly on
+# at least one band, so recall at the default threshold is guaranteed.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 
 # Universal-hash permutation family for MinHash: perm_i(h) =
 # (A[i]*(h mod P) + B[i]) mod P over the Mersenne prime 2^31-1.
@@ -332,32 +341,42 @@ def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 2,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance. Buckets on the
-    simhash's high byte first so the self-join never goes n^2 on the
-    full table (docs differing in <=2 of 16 bits usually agree on one
-    of the two 8-bit halves; both halves are used as bucket keys)."""
+    """Near-dup pairs by SimHash hamming distance, banded LSH-style:
+    the 60-bit simhash splits into 4 disjoint 15-bit band keys and the
+    self-join runs per (band_id, band_key). Pigeonhole guarantees
+    recall for hamming <= 3 (at most 3 bands can differ, so one band
+    matches exactly); band-key cardinality 2^15 keeps bucket sizes
+    ~n/32768 — no near-quadratic blowup at scale (the old 8-bit-half
+    scheme capped at 256 keys)."""
     sh = simhash_df(df, text_col, id_col)
-    halves = sh.select(
+    banded = sh.select(
         id_col,
         "sh",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("half"), F.shiftright("sh", 8).alias("key")),
-                F.struct(F.lit(1).alias("half"), F.col("sh").bitwiseAND(F.lit(255)).alias("key")),
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright("sh", b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
+                        .alias("key"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
             )
         ).alias("bucket"),
-    ).select(id_col, "sh", "bucket.half", "bucket.key")
-    a = halves.select(
-        F.col("half"), F.col("key"), F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    ).select(id_col, "sh", "bucket.band_id", "bucket.key")
+    a = banded.select(
+        F.col("band_id"), F.col("key"), F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
     )
-    b = halves.select(
-        F.col("half"), F.col("key"), F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+    b = banded.select(
+        F.col("band_id"), F.col("key"), F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        a.join(b, on=["half", "key"])
+        a.join(b, on=["band_id", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(hamming <= max_hamming)
         .select("id_a", "id_b", hamming.alias("hamming"))

@@ -54,15 +54,16 @@ def brute_force_topk(
     """Exact top-k neighbors for each query vector.
 
     Plan: broadcast the (small) query set against the corpus — a
-    map-side nested loop with no corpus shuffle — then a per-query
-    top-k window. At 100 TB the corpus stays partition-local; only
-    (query, candidate, sim) tuples shuffle for the final top-k, and
-    a per-partition pre-top-k could bound even that."""
+    map-side nested loop with NO corpus shuffle and no corpus
+    broadcast (the corpus is the unbounded side at 100 TB; only the
+    query set must fit in a broadcast). After scoring, only narrow
+    (query_id, nbr_id, cosine) tuples shuffle for the final per-query
+    top-k window."""
     corpus = df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"))
     qs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
     sim = F.round(cosine_sim(F.col("query_vec"), F.col("nbr_vec")), 6)
     scored = (
-        qs.crossJoin(F.broadcast(corpus).hint("broadcast"))
+        corpus.crossJoin(F.broadcast(qs))
         .filter(F.col("query_id") != F.col("nbr_id"))
         .select("query_id", "nbr_id", sim.alias("cosine"))
     )
@@ -86,7 +87,12 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's hyperplane
     bucket, then exact cosine re-rank. The bucket join replaces the
-    cross join — the 1000-executor path for big corpora."""
+    cross join — the 1000-executor path for big corpora.
+
+    The query side is broadcast: an equi-join on ``bucket`` would
+    otherwise shuffle the ENTIRE corpus on a ≤2^n_planes-cardinality
+    key (massively skewed at scale). Broadcast keeps the corpus
+    partition-local; bucket pruning happens map-side."""
     corpus = df.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("nbr_vec"),
@@ -99,7 +105,7 @@ def lsh_topk(
     )
     sim = F.round(cosine_sim(F.col("query_vec"), F.col("nbr_vec")), 6)
     scored = (
-        qs.join(corpus, "bucket")
+        corpus.join(F.broadcast(qs), "bucket")
         .filter(F.col("query_id") != F.col("nbr_id"))
         .select("query_id", "nbr_id", sim.alias("cosine"))
     )

@@ -43,12 +43,18 @@ def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
 
 
 def q3_shipping_priority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter -> broadcast -> fact join."""
+    """TPC-H Q3 shape: selective dim filter -> broadcast -> fact join.
+
+    Only the filtered customer key set is broadcast (a true dim);
+    lineitem ⋈ orders is a shuffle join on orderkey — orders is a fact
+    table and must never be broadcast at scale. AQE still converts to
+    broadcast at runtime when the filtered orders side happens to be
+    small, which is the right call to leave to the optimizer."""
     cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     ords = orders.filter(F.col("o_orderdate") < F.lit("1997-06-30"))
     items = lineitem.filter(F.col("l_shipdate") > F.lit("1997-06-30"))
     return (
-        items.join(broadcast(ords.join(broadcast(cust), ords.o_custkey == cust.c_custkey)),
+        items.join(ords.join(broadcast(cust), ords.o_custkey == cust.c_custkey),
                    F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -69,7 +75,10 @@ def q5_local_supplier_volume(
     orders: DataFrame,
     lineitem: DataFrame,
 ) -> DataFrame:
-    """TPC-H Q5 shape: star join — all dims broadcast, one fact scan."""
+    """TPC-H Q5 shape: star join — true dims (region⋈nation⋈customer
+    filter, supplier projection) broadcast; lineitem ⋈ orders stays a
+    shuffle join on orderkey because a year of orders is still a fact
+    at 100 TB. AQE may downgrade it to broadcast at small SF."""
     nat = nation.join(
         broadcast(region.filter(F.col("r_name") == "ASIA")),
         nation.n_regionkey == region.r_regionkey,
@@ -82,7 +91,7 @@ def q5_local_supplier_volume(
         (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
     ).select("o_orderkey", "o_custkey")
     return (
-        lineitem.join(broadcast(ords), F.col("l_orderkey") == F.col("o_orderkey"))
+        lineitem.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nat") == F.col("s_nat"))

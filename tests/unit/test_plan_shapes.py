@@ -37,10 +37,65 @@ def test_filter_prunes_columns(plans):
     assert "props" not in scan.split("ReadSchema")[-1]
 
 
-def test_dim_joins_broadcast(plans):
-    plan = plans("tpch_q5")
-    assert plan.count("BroadcastHashJoin") >= 4
-    assert "SortMergeJoin" not in plan  # at this SF everything broadcasts
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    """Disable statistics-based broadcast so the plan shows only
+    EXPLICIT broadcast() hints — i.e. what the plan would look like at
+    a SF where nothing fits the threshold. At sf0.001 Catalyst happily
+    broadcasts a whole year of orders from size stats; that's fine (and
+    adaptive), but the hint structure must not force it at 100 TB."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q5_dims_broadcast_fact_join_shuffles(spark, sf_dir, no_auto_broadcast):
+    plan = (
+        catalog.queries()["tpch_q5"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # hinted true dims: customer⋈nation(⋈region) and supplier
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the lineitem⋈orders fact join must be a shuffle join, not a hint
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_q3_fact_join_shuffles(spark, sf_dir, no_auto_broadcast):
+    plan = (
+        catalog.queries()["tpch_q3"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 1  # filtered customer keys
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_ann_broadcasts_queries_not_corpus(spark, sf_dir):
+    """brute_force_topk: the corpus is the unbounded side — the ONLY
+    broadcast allowed is the small query set (corpus side would OOM the
+    moment it exceeds the broadcast limit)."""
+    from logprep_spark.functions import similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    plan = (
+        sim.brute_force_topk(emb, qs, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastExchange") == 1
+    # corpus.crossJoin(broadcast(qs)) → query set is the build (right) side
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+
+    lsh_plan = (
+        sim.lsh_topk(emb, qs, k=3, n_planes=6)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # bucket equi-join: query side broadcast, corpus never shuffled on
+    # the low-cardinality bucket key
+    assert lsh_plan.count("BroadcastExchange") == 1
+    assert "BroadcastHashJoin" in lsh_plan and "BuildRight" in lsh_plan
+    assert "SortMergeJoin" not in lsh_plan
 
 
 def test_salted_agg_two_stage(plans):
