@@ -110,18 +110,107 @@ def load_pattern_dir(path: str) -> dict[str, str]:
             out.update(load_pattern_file(os.path.join(root, fname)))
     return out
 
+_VENDORED_CACHE: dict[str, str] | None = None
+
+
+def vendored_patterns() -> dict[str, str]:
+    """The shipped pattern library: logstash-format files under
+    ``operators/grok_patterns/`` (hand-authored subset of the public
+    logstash-patterns-core / Elastic ecs-v1 spec — the same sets the
+    reference vendors under logprep/util/grok/patterns/). Loaded once
+    per process."""
+    global _VENDORED_CACHE
+    if _VENDORED_CACHE is None:
+        import os
+
+        pat_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "grok_patterns")
+        _VENDORED_CACHE = load_pattern_dir(pat_dir) if os.path.isdir(pat_dir) else {}
+    return _VENDORED_CACHE
+
+
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?(?::(\w+))?\}")
 
 _TYPE_CASTS = {"int": "long", "long": "long", "float": "double", "double": "double"}
+
+
+def neutralize_groups(regex: str, on_named=None) -> str:
+    """Rewrite every LITERAL capturing group in a raw regex segment to
+    non-capturing, so the only capturing groups in the expanded grok
+    regex are the ones expand_grok itself inserts — group indices are
+    then exactly insertion order. Community pattern files are full of
+    literal ``(...)`` groups; counting by %{}-ref alone silently shifts
+    every subsequent regexp_extract index.
+
+    Handles: escapes (``\\(``), character classes (``(`` inside
+    ``[...]`` is literal), ``(?:``/``(?=``/``(?!``/``(?>``/lookbehind
+    (kept — non-capturing), and Java named groups ``(?<name>...)``
+    (capturing! rewritten to ``(?:`` with the name dropped — unless
+    ``on_named`` is given, in which case the group is KEPT as a plain
+    capturing group and ``on_named(name)`` is called so the caller can
+    assign it the next index: grok expressions use ``(?<field>...)`` as
+    inline capture syntax)."""
+    out: list[str] = []
+    i, n = 0, len(regex)
+    in_class = False
+    while i < n:
+        c = regex[i]
+        if c == "\\" and i + 1 < n:
+            out.append(regex[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            out.append(c)
+            i += 1
+            continue
+        if c == "(":
+            if i + 1 < n and regex[i + 1] == "?":
+                # (?<name>...) is a CAPTURING named group unless the
+                # char after '<' is '=' or '!' (lookbehind)
+                if (
+                    i + 2 < n
+                    and regex[i + 2] == "<"
+                    and i + 3 < n
+                    and regex[i + 3] not in "=!"
+                ):
+                    close = regex.index(">", i + 3)
+                    if on_named is not None:
+                        on_named(regex[i + 3 : close])
+                        out.append("(")
+                    else:
+                        out.append("(?:")
+                    i = close + 1
+                    continue
+                out.append(c)
+                i += 1
+                continue
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def expand_grok(expression: str, patterns: dict[str, str] | None = None):
     """Expand a grok expression to ``(regex, [(target, group, cast)])``.
 
     Named refs ``%{PAT:field}`` become capture groups (index tracked);
-    bare refs ``%{PAT}`` become non-capturing.
+    bare refs ``%{PAT}`` become non-capturing; literal capture groups
+    in raw segments and library bodies are neutralized (see
+    ``neutralize_groups``) so indices never shift.
     """
-    library = dict(BUILTIN_PATTERNS)
+    # precedence: rule-supplied > builtin > vendored files. Builtins
+    # stay authoritative for names they define (existing rules/oracles
+    # pin their exact semantics); the vendored library widens coverage.
+    library = dict(vendored_patterns())
+    library.update(BUILTIN_PATTERNS)
     if patterns:
         library.update(patterns)
     targets: list[tuple[str, int, str | None]] = []
@@ -144,17 +233,22 @@ def expand_grok(expression: str, patterns: dict[str, str] | None = None):
             inner = _expand(library[name], depth + 1, capture_targets)
             return f"(?:{inner})"
 
+        def register_named(name: str) -> None:
+            counter["group"] += 1
+            targets.append((name, counter["group"], None))
+
+        # inline (?<field>...) capture syntax is only honored in the
+        # top-level rule expression; inside library bodies the names
+        # are dropped (they'd collide across refs)
+        on_named = register_named if depth == 0 and capture_targets else None
+
         out = []
         pos = 0
         for match in _GROK_REF.finditer(expr):
-            out.append(expr[pos : match.start()])
-            before = counter["group"]
-            replaced = sub(match)
-            # count literal capture groups inside raw regex segments
-            out.append(replaced)
+            out.append(neutralize_groups(expr[pos : match.start()], on_named))
+            out.append(sub(match))
             pos = match.end()
-            del before
-        out.append(expr[pos:])
+        out.append(neutralize_groups(expr[pos:], on_named))
         return "".join(out)
 
     regex = _expand(expression, 0, True)
@@ -188,7 +282,9 @@ class Grokker(Processor):
             for grok in groks:
                 regex, targets = expand_grok(grok, patterns)
                 for target, group, typ in targets:
-                    target = target.replace("[", ".").replace("]", "")
+                    # ECS-style [a][b] targets → dotted path (strip the
+                    # leading dot the bracket rewrite leaves behind)
+                    target = target.replace("[", ".").replace("]", "").strip(".")
                     value = F.regexp_extract(src.cast("string"), regex, group)
                     if typ in _TYPE_CASTS:
                         value = value.cast(_TYPE_CASTS[typ])

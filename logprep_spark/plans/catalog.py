@@ -668,6 +668,52 @@ def proc_grokker(spark, sf_dir):
 
 
 @register(
+    "proc_grokker_apache",
+    f"""
+    SELECT event_id,
+           {_SQL_IP} AS clientip,
+           'frank' || (user_id % 10)::varchar AS auth,
+           'GET' AS verb,
+           '/api/item/' || event_id::varchar AS request,
+           '1.1' AS httpversion,
+           (200 + (user_id % 4) * 100)::varchar AS response,
+           (event_id % 10000)::varchar AS bytes,
+           '"https://ref.example.com/"' AS referrer
+    FROM events
+    """,
+)
+def proc_grokker_apache(spark, sf_dir):
+    """Vendored grok library end-to-end: %{{HTTPD_COMBINEDLOG}} (pattern
+    file operators/grok_patterns/httpd — the public logstash httpd set;
+    the reference vendors the same spec under
+    logprep/util/grok/patterns/) over a synthesized Apache combined
+    access line. All 12 composite targets extract via regexp_extract
+    group indices assigned by expand_grok."""
+    ev = _events(spark, sf_dir).withColumn(
+        "line",
+        F.concat(
+            _ip_col(),
+            F.lit(" - frank"),
+            _s(_u() % 10),
+            F.lit(' [10/Oct/2025:13:55:36 -0700] "GET /api/item/'),
+            _s(F.col("event_id")),
+            F.lit(' HTTP/1.1" '),
+            _s(200 + (_u() % 4) * 100),
+            F.lit(" "),
+            _s(F.col("event_id") % 10000),
+            F.lit(' "https://ref.example.com/" "Mozilla/5.0"'),
+        ),
+    )
+    proc = Grokker(
+        [{"filter": "*", "grokker": {"mapping": {"line": "%{HTTPD_COMBINEDLOG}"}}}]
+    )
+    return proc.transform(ev).select(
+        "event_id", "clientip", "auth", "verb", "request",
+        "httpversion", "response", "bytes", "referrer",
+    )
+
+
+@register(
     "proc_timestamper",
     """
     SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso_ts

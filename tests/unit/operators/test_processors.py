@@ -553,3 +553,60 @@ def test_grokker_java_syslog_and_pattern_dir(spark, tmp_path):
         "com.example.Main", "run", "Main.java", "42",
     )
     assert row.found_id == "deadbeef"
+
+
+def test_grokker_literal_groups_do_not_shift_indices(spark):
+    """Literal '(' capture groups in raw segments and custom pattern
+    bodies are neutralized, so %{}-ref group indices never shift."""
+    df = spark.createDataFrame([("INFO hello (extra) 42 end",)], "msg string")
+    out = Grokker(
+        [{"filter": "*", "grokker": {
+            "mapping": {"msg": r"%{LOGLEVEL:lvl} %{WORD:word} \((\w+)\) %{INT:num:int} (end|stop)"},
+        }}]
+    ).transform(df)
+    row = out.first()
+    assert (row.lvl, row.word, row.num) == ("INFO", "hello", 42)
+
+
+def test_grokker_inline_named_group(spark):
+    """(?<field>...) inline capture syntax (grok spec) targets a field,
+    ordered correctly against %{} refs."""
+    df = spark.createDataFrame([("host42 GET /x",)], "msg string")
+    out = Grokker(
+        [{"filter": "*", "grokker": {
+            "mapping": {"msg": r"(?<hostid>host\d+) %{WORD:verb} %{NOTSPACE:path}"}}}]
+    ).transform(df)
+    row = out.first()
+    assert (row.hostid, row.verb, row.path) == ("host42", "GET", "/x")
+
+
+def test_grokker_vendored_httpd_and_syslog(spark):
+    """Vendored pattern library: HTTPD_COMMONLOG and SYSLOGLINE resolve
+    without custom patterns and extract their composite targets."""
+    access = '192.168.1.1 - bob [10/Oct/2025:13:55:36 -0700] "GET /idx HTTP/1.1" 200 1234'
+    syslog = "Oct 11 22:14:15 myhost sshd[1234]: Accepted password for root"
+    df = spark.createDataFrame([(access, syslog)], "a string, s string")
+    out = Grokker(
+        [
+            {"filter": "*", "grokker": {"mapping": {"a": "%{HTTPD_COMMONLOG}"}}},
+            {"filter": "*", "grokker": {"mapping": {"s": "%{SYSLOGLINE}"}}},
+        ]
+    ).transform(df)
+    row = out.first()
+    assert (row.clientip, row.auth, row.verb, row.response, row.bytes) == (
+        "192.168.1.1", "bob", "GET", "200", "1234",
+    )
+    assert (row.logsource, row.program, row.pid) == ("myhost", "sshd", "1234")
+    assert row.message == "Accepted password for root"
+
+
+def test_grokker_ecs_bracket_targets(spark):
+    """ECS-style [a][b] target paths become nested dotted fields."""
+    access = '1.2.3.4 - alice [10/Oct/2025:13:55:36 -0700] "GET /p HTTP/1.1" 404 7'
+    df = spark.createDataFrame([(access,)], "a string")
+    out = Grokker(
+        [{"filter": "*", "grokker": {"mapping": {"a": "%{ECS_HTTPD_COMMONLOG}"}}}]
+    ).transform(df)
+    row = out.first()
+    assert row.source.asDict()["address"] == "1.2.3.4"
+    assert row.http.asDict()["response"].asDict()["status_code"] == "404"
