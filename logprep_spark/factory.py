@@ -39,8 +39,12 @@ class ConfigError(ValueError):
 
 
 def _read_yaml_or_json(path: str) -> list[dict]:
-    with open(path) as fh:
-        raw = fh.read()
+    """Read one rule/config source by path OR getter URI
+    (``file://``/``http(s)://`` via logprep_spark.getter, mirroring the
+    reference's GetterFactory-backed loading in util/getter.py)."""
+    from logprep_spark.getter import GetterFactory
+
+    raw = GetterFactory.from_string(path).get()
     if path.endswith(".json"):
         data = json.loads(raw)
         return data if isinstance(data, list) else [data]
@@ -56,12 +60,16 @@ def _read_yaml_or_json(path: str) -> list[dict]:
 
 def load_rules(sources: list[str | dict]) -> list[dict]:
     """Resolve the reference's ``rules:`` list — inline dicts, files,
-    or directories (recursed, sorted for determinism)."""
+    directories (recursed, sorted for determinism), or getter URIs."""
     rules: list[dict] = []
     for src in sources:
         if isinstance(src, dict):
             rules.append(src)
             continue
+        if "://" in src and not src.startswith("file://"):
+            rules.extend(_read_yaml_or_json(src))
+            continue
+        src = src.removeprefix("file://")
         if os.path.isdir(src):
             for root, _dirs, files in os.walk(src):
                 for name in sorted(files):
@@ -152,10 +160,35 @@ class PipelineConfig:
 
     @classmethod
     def from_file(cls, path: str) -> "PipelineConfig":
+        """Build from a path or getter URI; remembers the source and a
+        content hash so :meth:`refresh` can implement the reference's
+        reload-on-change semantics (util/configuration.py: version
+        stamp + refresh interval — the scheduler loop is the caller's
+        concern here, the change detection is this method)."""
         docs = _read_yaml_or_json(path)
         if len(docs) != 1:
             raise ConfigError(f"expected one config document in {path}, got {len(docs)}")
-        return cls(docs[0])
+        cfg = cls(docs[0])
+        cfg._source = path
+        cfg._content_hash = cls._hash_source(path)
+        return cfg
+
+    @staticmethod
+    def _hash_source(path: str) -> str:
+        import hashlib
+
+        from logprep_spark.getter import GetterFactory
+
+        return hashlib.sha256(GetterFactory.from_string(path).get_raw()).hexdigest()
+
+    def refresh(self) -> "PipelineConfig":
+        """Reload-on-change: re-read the source; return a NEW config if
+        the content changed, else self (cheap no-op)."""
+        if getattr(self, "_source", None) is None:
+            return self
+        if self._hash_source(self._source) == self._content_hash:
+            return self
+        return PipelineConfig.from_file(self._source)
 
     def transform(self, df):
         return self.pipeline.transform(df)

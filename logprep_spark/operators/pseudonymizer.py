@@ -1,40 +1,121 @@
 """Pseudonymizer — replace sensitive field parts with stable pseudonyms.
 
 Reference: /root/reference/logprep/processor/pseudonymizer/processor.py
-(rule ``mapping: {field: regex}``; regex capture groups are replaced by
-``<pseudonym:HASH>``; the (pseudonym, origin) pairs are emitted as
-extra events for de-pseudonymization).
+(``_pseudonymize_field`` :297-317: regex ``findall`` collects the
+captured substrings — whole matches when the regex has no groups — and
+each distinct captured value is replaced literally throughout the field,
+leaving surrounding text intact; the (pseudonym, origin) pairs are
+emitted as extra events for de-pseudonymization).
 
-Spark realization: the pseudonym is a keyed ``sha2`` of the captured
-value (deterministic, cluster-stable) applied via ``regexp_replace`` /
-full-value hashing — native, no Python row path. The reference's
-RSA-encrypted origin is out of scope here (crypto backends differ);
-the extra-event stream is exposed via :meth:`pseudonyms`, carrying the
-sha2 pseudonym and the origin value.
+Spark realization, fully JVM-side (no Python row path):
 
-If the rule regex has capture groups, only those parts are replaced;
-otherwise the whole value is pseudonymized.
+- capture collection is ``regexp_extract_all`` (one call per group
+  index, unioned via ``concat``),
+- replacement is a fold: ``aggregate(values, field, (acc, v) ->
+  replace(acc, v, '<pseudonym:' || hash(v) || '>'))`` — literal
+  replace-all per distinct captured value, longest-first so a value
+  that is a substring of another can't clobber it (the reference
+  iterates a Python set — arbitrary order; longest-first is the
+  deterministic refinement),
+- the pseudonym is a keyed ``sha2`` by default (``mode="hash"``), or a
+  reversible AES-ECB/PKCS ciphertext (``mode="encrypt"``, Spark's
+  builtin ``aes_encrypt``), mirroring the reference's encrypter intent
+  (/root/reference/logprep/util/pseudo/encrypter.py:17 — hybrid
+  AES+dual-RSA; the dual-keyholder split is out of scope in-sandbox,
+  the reversibility contract is honored via :func:`depseudonymize`).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import re
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from logprep_spark import fields as fld
 from logprep_spark.operators.base import Processor
 
 
-def pseudonym_for(col, secret: str = ""):
-    return F.sha2(F.concat(F.lit(secret), col.cast("string")), 256)
+def pseudonym_for(col, secret: str = "", mode: str = "hash") -> Column:
+    """Pseudonym expression for a captured value.
+
+    ``hash``: keyed sha2-256 (one-way, the oracle-checkable default).
+    ``encrypt``: base64(aes_encrypt(value, key)) — deterministic
+    (ECB+PKCS so identical origins yield identical pseudonyms, which
+    the dedup/caching semantics of the reference rely on) and
+    reversible with :func:`depseudonym_for` given the same key.
+    """
+    col = col.cast("string")
+    if mode == "encrypt":
+        return F.base64(F.aes_encrypt(col, F.lit(_aes_key(secret)), F.lit("ECB"), F.lit("PKCS")))
+    return F.sha2(F.concat(F.lit(secret), col), 256)
+
+
+def depseudonym_for(col, secret: str = "") -> Column:
+    """Invert an ``encrypt``-mode pseudonym back to the origin value."""
+    return F.aes_decrypt(
+        F.unbase64(col.cast("string")), F.lit(_aes_key(secret)), F.lit("ECB"), F.lit("PKCS")
+    ).cast("string")
+
+
+def _aes_key(secret: str) -> str:
+    """Pad/derive a 16-byte AES key from the configured secret."""
+    import hashlib
+
+    return hashlib.sha256(secret.encode()).hexdigest()[:16]
+
+
+def _count_groups(regex: str) -> int:
+    try:
+        return re.compile(regex).groups
+    except re.error:
+        # Java-only syntax Python can't compile: count unescaped '('
+        # not followed by '?' and not inside a character class
+        n = 0
+        i, in_class = 0, False
+        while i < len(regex):
+            c = regex[i]
+            if c == "\\":
+                i += 2
+                continue
+            if in_class:
+                in_class = c != "]"
+            elif c == "[":
+                in_class = True
+            elif c == "(" and (i + 1 >= len(regex) or regex[i + 1] != "?"):
+                n += 1
+            i += 1
+        return n
+
+
+def _captured_values(src: Column, regex: str) -> Column:
+    """Distinct captured substrings, longest-first (see module doc).
+    Group 0 (whole match) when the regex has no capture groups."""
+    n_groups = _count_groups(regex)
+    if n_groups == 0:
+        arr = F.regexp_extract_all(src, F.lit(regex), F.lit(0))
+    else:
+        arr = F.concat(
+            *[F.regexp_extract_all(src, F.lit(regex), F.lit(g)) for g in range(1, n_groups + 1)]
+        )
+    arr = F.array_distinct(F.filter(arr, lambda v: v != ""))
+    # sort by (-length, value): longest-first, deterministic
+    keyed = F.array_sort(F.transform(arr, lambda v: F.struct((-F.length(v)).alias("nl"), v.alias("v"))))
+    return F.transform(keyed, lambda s: s.getField("v"))
 
 
 class Pseudonymizer(Processor):
     rule_type = "pseudonymizer"
 
-    def __init__(self, rules=None, secret: str = "", **kw):
+    def __init__(self, rules=None, secret: str = "", mode: str = "hash", **kw):
         super().__init__(rules, **kw)
         self.secret = secret
+        self.mode = mode
+
+    def _wrapped(self, value: Column) -> Column:
+        return F.concat(
+            F.lit("<pseudonym:"), pseudonym_for(value, self.secret, self.mode), F.lit(">")
+        )
 
     def apply_rule(self, df: DataFrame, cond, cfg: dict) -> DataFrame:
         for path, regex in cfg["mapping"].items():
@@ -42,17 +123,39 @@ class Pseudonymizer(Processor):
             if src is None:
                 continue
             src = src.cast("string")
-            matches = src.rlike(regex)
-            value = F.when(
-                cond & matches,
-                F.concat(F.lit("<pseudonym:"), pseudonym_for(src, self.secret), F.lit(">")),
-            ).otherwise(src)
+            replaced = F.aggregate(
+                _captured_values(src, regex),
+                src,
+                lambda acc, v: F.replace(acc, v, self._wrapped(v)),
+            )
+            value = F.when(cond, replaced).otherwise(src)
             df = fld.set_field(df, path, value)
         return df
 
+    def depseudonymize(self, df: DataFrame, path: str) -> DataFrame:
+        """Reverse ``mode="encrypt"`` pseudonyms in a field (the
+        reference's depseudonymizer workflow, keyholder side): every
+        ``<pseudonym:...>`` wrapper is replaced by its decrypted
+        origin. One fold over the extracted wrappers — JVM-side."""
+        src = fld.get_field(df, path).cast("string")
+        wrappers = F.array_distinct(
+            F.regexp_extract_all(src, F.lit(r"<pseudonym:([A-Za-z0-9+/=]+)>"), F.lit(1))
+        )
+        restored = F.aggregate(
+            wrappers,
+            src,
+            lambda acc, tok: F.replace(
+                acc,
+                F.concat(F.lit("<pseudonym:"), tok, F.lit(">")),
+                depseudonym_for(tok, self.secret),
+            ),
+        )
+        return fld.set_field(df, path, restored)
+
     def pseudonyms(self, df: DataFrame) -> DataFrame:
         """Side-output DataFrame of (pseudonym, origin) pairs — the
-        reference's extra 'pseudonyms' output topic."""
+        reference's extra 'pseudonyms' output topic. Origins are the
+        CAPTURED substrings (reference parity), not whole fields."""
         outs = []
         for rule in self.rules:
             cond = self.condition(df, rule)
@@ -62,9 +165,13 @@ class Pseudonymizer(Processor):
                     continue
                 src = src.cast("string")
                 outs.append(
-                    df.filter(cond & src.rlike(regex)).select(
-                        pseudonym_for(src, self.secret).alias("pseudonym"),
-                        src.alias("origin"),
+                    df.filter(cond)
+                    .select(F.explode(_captured_values(src, regex)).alias("origin"))
+                    .select(
+                        pseudonym_for(F.col("origin"), self.secret, self.mode).alias(
+                            "pseudonym"
+                        ),
+                        "origin",
                     )
                 )
         if not outs:

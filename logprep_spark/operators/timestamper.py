@@ -34,6 +34,16 @@ class Timestamper(Processor):
         src_tz = cfg.get("source_timezone", "UTC")
         tgt_tz = cfg.get("target_timezone", "UTC")
 
+        # source_timezone applies ONLY to naive parsed datetimes
+        # (reference util/time.py:187-192): UNIX epochs are absolute
+        # instants, ISO strings may carry their own offset/Z, and
+        # custom formats with a zone directive parse zone-aware —
+        # shifting any of those would double-apply the zone. So the
+        # shift is decided per-candidate, not on the coalesced result.
+        shift = src_tz != "UTC"
+        # explicit ISO offset at end of string: Z / +01 / +0100 / +01:00
+        has_offset = src.cast("string").rlike(r"(Z|[+-]\d{2}(:?\d{2})?)$")
+
         candidates = []
         for fmt in formats:
             if isinstance(dtype, T.TimestampType):
@@ -44,12 +54,24 @@ class Timestamper(Processor):
                 )
                 candidates.append(F.timestamp_seconds(secs))
             elif fmt == "ISO8601":
-                candidates.append(F.to_timestamp(src.cast("string")))
+                parsed = F.to_timestamp(src.cast("string"))
+                if shift:
+                    parsed = F.when(has_offset, parsed).otherwise(
+                        F.to_utc_timestamp(parsed, src_tz)
+                    )
+                candidates.append(parsed)
             else:
-                candidates.append(F.to_timestamp(src.cast("string"), fmt))
+                parsed = F.to_timestamp(src.cast("string"), fmt)
+                # zone-aware pattern letters (X/x/Z/z/O/V) outside
+                # quoted literals mean the parse already yields an
+                # instant; only naive formats get the source-tz shift
+                import re as _re
+
+                naive = not _re.search(r"[XxZzOV]", _re.sub(r"'[^']*'", "", fmt))
+                if shift and naive:
+                    parsed = F.to_utc_timestamp(parsed, src_tz)
+                candidates.append(parsed)
         ts = F.coalesce(*candidates) if len(candidates) > 1 else candidates[0]
-        if src_tz != "UTC" and not isinstance(dtype, T.TimestampType):
-            ts = F.to_utc_timestamp(ts, src_tz)
         if tgt_tz != "UTC":
             ts = F.from_utc_timestamp(ts, tgt_tz)
         value = F.date_format(ts, ISO_FMT)

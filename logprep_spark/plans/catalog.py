@@ -764,6 +764,26 @@ def proc_pseudonymizer(spark, sf_dir):
 
 
 @register(
+    "proc_pseudonymizer_capture",
+    f"""
+    SELECT event_id,
+           'connect from <pseudonym:' || sha256({_SQL_IP}) || '> port ' ||
+           {_SQL_PORT} || ' took ' || value || ' ms' AS msg
+    FROM events
+    """,
+)
+def proc_pseudonymizer_capture(spark, sf_dir):
+    """Capture-group parity (reference _pseudonymize_field
+    processor.py:297-317): only the captured substring is replaced;
+    surrounding text stays intact."""
+    ev = _events(spark, sf_dir).withColumn("msg", _msg_col())
+    proc = Pseudonymizer(
+        [{"filter": "*", "pseudonymizer": {"mapping": {"msg": r"connect from (\S+) port"}}}]
+    )
+    return proc.transform(ev).select("event_id", "msg")
+
+
+@register(
     "proc_pseudonymizer_pseudonyms",
     """
     SELECT DISTINCT sha256('user' || user_id) AS pseudonym,

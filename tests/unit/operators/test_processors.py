@@ -610,3 +610,85 @@ def test_grokker_ecs_bracket_targets(spark):
     row = out.first()
     assert row.source.asDict()["address"] == "1.2.3.4"
     assert row.http.asDict()["response"].asDict()["status_code"] == "404"
+
+
+def test_pseudonymizer_capture_groups_only(spark):
+    """Only captured substrings are replaced (reference
+    _pseudonymize_field); surrounding text stays intact. Repeated
+    occurrences of a captured value are all replaced."""
+    df = spark.createDataFrame(
+        [(1, "login alice from 1.2.3.4; alice again")], "id long, msg string"
+    )
+    proc = Pseudonymizer(
+        [{"filter": "*", "pseudonymizer": {"mapping": {"msg": r"login (\w+) from"}}}]
+    )
+    row = proc.transform(df).first()
+    assert row.msg.startswith("login <pseudonym:")
+    assert row.msg.endswith("> again")  # second 'alice' replaced too
+    assert " from 1.2.3.4; " in row.msg
+    assert "alice" not in row.msg
+    ps = proc.pseudonyms(df).collect()
+    assert [p.origin for p in ps] == ["alice"]
+
+
+def test_pseudonymizer_multi_group_and_substring_order(spark):
+    """Multiple capture groups all collect; a value that is a substring
+    of another (bob ⊂ bobby) must not clobber the longer one."""
+    df = spark.createDataFrame([(1, "u=bobby v=bob")], "id long, msg string")
+    proc = Pseudonymizer(
+        [{"filter": "*", "pseudonymizer": {"mapping": {"msg": r"u=(\w+) v=(\w+)"}}}]
+    )
+    row = proc.transform(df).first()
+    assert row.msg.count("<pseudonym:") == 2
+    assert "bob" not in row.msg
+    origins = {p.origin for p in proc.pseudonyms(df).collect()}
+    assert origins == {"bobby", "bob"}
+
+
+def test_pseudonymizer_encrypt_mode_round_trip(spark):
+    """mode='encrypt' pseudonyms are reversible with the same secret
+    (reference encrypter.py reversibility contract, AES via Spark
+    builtins)."""
+    df = spark.createDataFrame([(1, "user=alice action=login")], "id long, msg string")
+    proc = Pseudonymizer(
+        [{"filter": "*", "pseudonymizer": {"mapping": {"msg": r"user=(\w+) "}}}],
+        secret="s3cret",
+        mode="encrypt",
+    )
+    masked = proc.transform(df)
+    mrow = masked.first()
+    assert "alice" not in mrow.msg and "<pseudonym:" in mrow.msg
+    restored = proc.depseudonymize(masked, "msg").first()
+    assert restored.msg == "user=alice action=login"
+    # determinism: same origin → same pseudonym (reference cache semantics)
+    again = proc.transform(df).first()
+    assert again.msg == mrow.msg
+
+
+def test_timestamper_source_tz_only_for_naive(spark):
+    """source_timezone shifts naive strings only: UNIX epochs and ISO
+    strings with explicit offsets are absolute instants (reference
+    util/time.py:187-192) and must not move."""
+    df = spark.createDataFrame(
+        [(1, "2024-06-01T12:00:00", "2024-06-01T12:00:00+02:00", "1717243200")],
+        "id long, naive string, offset string, unix string",
+    )
+    out = Timestamper(
+        [
+            {"filter": "*", "timestamper": {
+                "source_fields": ["naive"], "target_field": "t_naive",
+                "source_timezone": "Europe/Berlin"}},
+            {"filter": "*", "timestamper": {
+                "source_fields": ["offset"], "target_field": "t_offset",
+                "source_timezone": "Europe/Berlin"}},
+            {"filter": "*", "timestamper": {
+                "source_fields": ["unix"], "target_field": "t_unix",
+                "source_format": ["UNIX"], "source_timezone": "Europe/Berlin"}},
+        ]
+    ).transform(df).first()
+    # naive 12:00 Berlin (CEST=UTC+2) → 10:00Z
+    assert out.t_naive == "2024-06-01T10:00:00.000Z"
+    # explicit +02:00 already parses to 10:00Z — must NOT shift again
+    assert out.t_offset == "2024-06-01T10:00:00.000Z"
+    # epoch 1717243200 = 2024-06-01T12:00:00Z exactly — never shifted
+    assert out.t_unix == "2024-06-01T12:00:00.000Z"
