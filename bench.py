@@ -36,6 +36,7 @@ HEADLINE = [
     "sessionize_events",
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",
+    "ann_topk_lsh",
     "text_quality",
 ]
 

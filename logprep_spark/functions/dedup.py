@@ -268,8 +268,18 @@ def minhash_dedup(
     (left-semi prune). At 100 TB the candidate set is orders of
     magnitude smaller than the corpus, so the expensive
     array_intersect/union verify never touches non-candidate text.
+
+    The pair list is persisted: it feeds THREE consumers (id_a and
+    id_b sides of the candidate-id union, then the verify join), and
+    unpersisted the whole band-self-join subtree replicates per
+    consumer — measured 16 Exchanges / 10 Generates in the physical
+    plan vs 6/4 persisted. Candidate pairs are two longs per row —
+    at 100 TB you'd write the pair stage to a table; MEMORY_AND_DISK
+    is the in-session equivalent.
     """
-    pairs = minhash_lsh_pairs(df, text_col, id_col)
+    from pyspark.storagelevel import StorageLevel
+
+    pairs = minhash_lsh_pairs(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
@@ -418,11 +428,11 @@ def embedding_dup_pairs(
     ``n_planes`` sign bits land in one bucket; only buckets join.
     At 0.95+ cosine, sign agreement is near-certain for all planes.
     """
-    from logprep_spark.functions.similarity import hyperplane_bucket
+    from logprep_spark.functions.similarity import hyperplane_bucket, probe_dim
 
     vec = F.col(vec_col)
     bucketed = df.select(
-        F.col(id_col), vec, hyperplane_bucket(vec, n_planes).alias("bucket")
+        F.col(id_col), vec, hyperplane_bucket(vec, n_planes, probe_dim(df, vec_col)).alias("bucket")
     )
     a = bucketed.select(
         F.col("bucket"), F.col(id_col).alias("id_a"), vec.alias("vec_a")

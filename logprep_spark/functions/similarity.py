@@ -16,24 +16,65 @@ from pyspark.sql import functions as F
 from logprep_spark.functions.dedup import cosine_sim, h60
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 8) -> Column:
+def planes_for(corpus_rows: int, target_bucket_rows: int = 5000) -> int:
+    """Scale the hyperplane count with corpus size: expected bucket
+    occupancy is ``corpus_rows / 2**n_planes``, so n_planes =
+    ceil(log2(n / target)) keeps candidate-set cost per query bounded
+    as the corpus grows. Settings ladder (documented in SURVEY §4):
+    sf0.1 (~10k vecs) → 4-6 planes; 1B vectors → 18; a 100 TB corpus
+    (~25B 1k-dim float vectors) → ~23 planes, with multi-probe (flip
+    one sign bit) to recover recall lost to finer buckets.
+
+    Floor of 4 keeps tiny corpora from degenerating into one bucket.
+    """
+    import math
+
+    if corpus_rows <= target_bucket_rows:
+        return 4
+    return max(4, math.ceil(math.log2(corpus_rows / target_bucket_rows)))
+
+
+def _plane_weight(p: int, i: int) -> float:
+    """Weight of plane p for dimension i: md5(p:i) → [-1, 1].
+    Deterministic across engines (same formula as the DuckDB oracle's
+    ``_sql_bucket``); computed driver-side so the executor never
+    hashes."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def hyperplane_bucket(
+    vec: Column, n_planes: int = 8, dim: int | None = None, max_dim: int = 512
+) -> Column:
     """Sign-bit bucket id from ``n_planes`` pseudo-random hyperplanes.
 
     Plane p's weight for dimension i is derived from md5(p:i) mapped
     into [-1, 1] — deterministic across engines and runs, no stored
-    model. sign(dot(w_p, v)) becomes bit p of the bucket id."""
-    def weight_times_v(p: int):
-        # closure factory (NOT default-arg binding: Spark would feed a
-        # third positional arg); weight(i) = (h60(p:i)%2001-1000)/1000
-        return lambda v, i: v.cast("double") * (
-            (h60(F.concat(F.lit(f"{p}:"), i.cast("string"))) % 2001 - 1000).cast("double")
-            / 1000.0
-        )
+    model. sign(dot(w_p, v)) becomes bit p of the bucket id.
 
+    The weight vectors are LITERAL arrays baked into the plan: an
+    earlier shape computed the md5 inside the zip_with lambda — rows x
+    dims x planes digest calls per pass (measured ~25% slower
+    end-to-end even at sf0.1's tiny 2000x64 corpus; the digest count
+    scales linearly with corpus size, so the gap widens at scale).
+    Driver-side it is dims x planes once per plan. Pass ``dim`` (cheap
+    one-row probe: ``probe_dim``) to bake exact-length arrays;
+    otherwise a ``max_dim``-wide array is sliced to the vector length
+    per row (the slice allocates per row — prefer the probe)."""
     bits = []
     for p in range(n_planes):
+        if dim is not None:
+            weights = F.array(*[F.lit(_plane_weight(p, i)) for i in range(dim)])
+        else:
+            weights = F.slice(
+                F.array(*[F.lit(_plane_weight(p, i)) for i in range(max_dim)]),
+                1,
+                F.size(vec),
+            )
         proj = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), weight_times_v(p)),
+            F.zip_with(vec, weights, lambda v, w: v.cast("double") * w),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -42,6 +83,14 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8) -> Column:
     for bit in bits[1:]:
         out = out + bit
     return out
+
+
+def probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Embedding dimensionality from one row (None on empty input).
+    One tiny single-column job at plan-build time — worth it to bake
+    exact-length weight literals into every executor's codegen."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).first()
+    return row["d"] if row else None
 
 
 def brute_force_topk(
@@ -93,15 +142,16 @@ def lsh_topk(
     otherwise shuffle the ENTIRE corpus on a ≤2^n_planes-cardinality
     key (massively skewed at scale). Broadcast keeps the corpus
     partition-local; bucket pruning happens map-side."""
+    dim = probe_dim(df, vec_col)
     corpus = df.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("nbr_vec"),
-        hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     qs = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
-        hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     sim = F.round(cosine_sim(F.col("query_vec"), F.col("nbr_vec")), 6)
     scored = (

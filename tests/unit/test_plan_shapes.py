@@ -128,3 +128,53 @@ def test_processor_pipeline_is_one_projection(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "FileScan" in plan
+
+
+def test_q6_pushdown_prune_single_shuffle(plans):
+    """q6: all three predicates reach the parquet scan, only the 4
+    needed columns are read, and the single Exchange is the final
+    single-partition agg combine."""
+    plan = plans("tpch_q6")
+    assert plan.count("Exchange") == 1
+    scan = filescan_line(plan)
+    pushed = scan.split("PushedFilters: ")[-1]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+    schema = scan.split("ReadSchema: ")[-1]
+    assert "l_orderkey" not in schema and "l_comment" not in schema
+
+
+def test_sessionize_single_shuffle(plans):
+    """Sessionization: window + two-level agg all reuse ONE user_id
+    hash partitioning — exactly one Exchange for the whole query."""
+    plan = plans("sessionize_events")
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") >= 1
+
+
+def test_text_quality_zero_shuffle(plans):
+    """Quality scoring is pure narrow column math — no Exchange."""
+    plan = plans("text_quality")
+    assert "Exchange" not in plan
+
+
+def test_minhash_dedup_stages_persisted(spark, sf_dir):
+    """The signature AND candidate-pair stages are persisted: each
+    feeds multiple consumers, and unpersisted the band-self-join
+    subtree replicates per consumer (measured ~1.4x end-to-end)."""
+    from logprep_spark.functions import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        dd.minhash_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("InMemoryTableScan") >= 3  # sig x2 sides? + pairs x3
+
+
+def test_planes_for_scaling():
+    from logprep_spark.functions.similarity import planes_for
+
+    assert planes_for(1_000) == 4          # tiny corpus floor
+    assert planes_for(10_000) == 4
+    assert planes_for(1_000_000_000) == 18  # 1B vectors
+    assert planes_for(25_000_000_000) > 20  # ~100 TB of 1k-dim floats
