@@ -102,9 +102,10 @@ _INPUTS: dict[str, Any] = {
     "dummy_input": lambda cfg: DummyInput(cfg.pop("documents", []), cfg.pop("schema", None)),
     "http_input": lambda cfg: HttpInput(cfg.pop("spool_dir"), cfg.pop("schema")),
     "confluentkafka_input": lambda cfg: KafkaInput(
-        cfg.pop("kafka_config", {}).get("bootstrap.servers", "localhost:9092"),
+        cfg.get("kafka_config", {}).get("bootstrap.servers", "localhost:9092"),
         cfg.pop("topic"),
         cfg.pop("schema", None),
+        kafka_config=cfg.pop("kafka_config", {}),
     ),
 }
 
@@ -113,7 +114,16 @@ _OUTPUTS: dict[str, Any] = {
     "console_output": lambda cfg: ConsoleOutput(),
     "dummy_output": lambda cfg: DummyOutput(),
     "opensearch_output": lambda cfg: OpensearchOutput(
-        cfg.pop("default_index", "logprep"), cfg.pop("spool_dir", None)
+        cfg.pop("default_index", "logprep"),
+        cfg.pop("spool_dir", None),
+        hosts=cfg.pop("hosts", None),
+        error_index=cfg.pop("error_index", None),
+        message_backlog_size=cfg.pop("message_backlog_size", 500),
+        timeout=cfg.pop("timeout", 500),
+        max_retries=cfg.pop("max_retries", 3) or 0,
+        user=cfg.pop("user", None),
+        secret=cfg.pop("secret", None),
+        ca_cert=cfg.pop("ca_cert", None),
     ),
     "s3_output": lambda cfg: S3Output(cfg.pop("base_uri"), cfg.pop("format", "json")),
     "confluentkafka_output": lambda cfg: KafkaOutput(

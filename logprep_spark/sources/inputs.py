@@ -186,12 +186,21 @@ class KafkaInput(Input):
     path as JsonlInput.
     """
 
+    #: consumer options the reference accepts in ``kafka_config``
+    #: (connector/confluent_kafka/input.py:238-260 requires
+    #: bootstrap.servers + group.id; security.*/ssl.* pass through) —
+    #: mirrored so reference configs validate unchanged. Everything
+    #: prefixes as ``kafka.`` for Spark's kafka source.
+    REQUIRED_KEYS = ("bootstrap.servers",)
+    PASSTHROUGH_PREFIXES = ("security.", "ssl.", "sasl.", "group.", "session.", "max.poll.")
+
     def __init__(
         self,
         bootstrap_servers: str,
         topic: str,
         schema: T.StructType | str | None = None,
         starting_offsets: str = "latest",
+        kafka_config: dict[str, str] | None = None,
         **kw,
     ):
         super().__init__(**kw)
@@ -199,13 +208,22 @@ class KafkaInput(Input):
         self.topic = topic
         self.schema = schema
         self.starting_offsets = starting_offsets
+        self.kafka_config = dict(kafka_config or {})
+        self.kafka_config.setdefault("bootstrap.servers", bootstrap_servers)
+        missing = [k for k in self.REQUIRED_KEYS if not self.kafka_config.get(k)]
+        if missing:
+            raise ValueError(f"kafka_config missing required keys: {missing}")
 
     def options(self) -> dict[str, str]:
-        return {
-            "kafka.bootstrap.servers": self.bootstrap_servers,
+        opts = {
+            "kafka.bootstrap.servers": self.kafka_config["bootstrap.servers"],
             "subscribe": self.topic,
             "startingOffsets": self.starting_offsets,
         }
+        for key, value in self.kafka_config.items():
+            if key.startswith(self.PASSTHROUGH_PREFIXES):
+                opts[f"kafka.{key}"] = str(value)
+        return opts
 
     def reader(self, spark: SparkSession):
         return spark.readStream.format("kafka").options(**self.options())

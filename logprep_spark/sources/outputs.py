@@ -125,10 +125,38 @@ class OpensearchOutput:
     assert exact payloads.
     """
 
-    def __init__(self, index: str, spool_dir: str | None = None, transport=None):
+    def __init__(
+        self,
+        index: str,
+        spool_dir: str | None = None,
+        transport=None,
+        hosts: list[str] | str | None = None,
+        error_index: str | None = None,
+        message_backlog_size: int = 500,
+        timeout: int = 500,
+        max_retries: int = 3,
+        user: str | None = None,
+        secret: str | None = None,
+        ca_cert: str | None = None,
+    ):
+        """Option surface mirrors the reference config schema
+        (connector/opensearch/output.py:85-135: hosts, default_index,
+        error_index, message_backlog_size, timeout, max_retries,
+        user/secret, ca_cert) so reference YAML validates unchanged.
+        ``message_backlog_size`` is the bulk chunk size; failed bulk
+        sends retry ``max_retries`` times with exponential backoff
+        (the reference's helpers.bulk retry semantics)."""
         self.index = index
         self.spool_dir = spool_dir
         self.transport = transport
+        self.hosts = [hosts] if isinstance(hosts, str) else list(hosts or [])
+        self.error_index = error_index
+        self.message_backlog_size = max(1, int(message_backlog_size))
+        self.timeout = timeout
+        self.max_retries = max(0, int(max_retries))
+        self.user = user
+        self.secret = secret
+        self.ca_cert = ca_cert
 
     def _bulk_lines(self, rows) -> str:
         lines = []
@@ -139,25 +167,46 @@ class OpensearchOutput:
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         """Executor-side bulk assembly: each partition builds and ships
-        its own bulk body (``foreachPartition``) — rows never funnel
-        through the driver."""
+        its own bulk bodies (``foreachPartition``), chunked to
+        ``message_backlog_size`` docs, with per-chunk retry — rows
+        never funnel through the driver."""
         spool, transport, bulk = self.spool_dir, self.transport, self._bulk_lines
+        chunk_size, max_retries = self.message_backlog_size, self.max_retries
 
-        def send_partition(rows_iter):
-            from pyspark import TaskContext
-
-            body = bulk(rows_iter)
-            if not body:
-                return
+        def send_body(body: str, batch_id: int, pid: int, chunk_idx: int) -> None:
             if transport is not None:
-                transport(body)
+                import time as _time
+
+                for attempt in range(max_retries + 1):
+                    try:
+                        transport(body)
+                        return
+                    except Exception:  # noqa: BLE001 - retried, then re-raised
+                        if attempt == max_retries:
+                            raise
+                        _time.sleep(min(2**attempt * 0.1, 5.0))
             elif spool is not None:
-                pid = TaskContext.get().partitionId() if TaskContext.get() else 0
                 os.makedirs(spool, exist_ok=True)
-                with open(os.path.join(spool, f"bulk-{batch_id}-{pid}.ndjson"), "w") as fh:
+                name = f"bulk-{batch_id}-{pid}-{chunk_idx}.ndjson"
+                with open(os.path.join(spool, name), "w") as fh:
                     fh.write(body)
             else:
                 raise NotImplementedError("no opensearch client in container; pass transport=")
+
+        def send_partition(rows_iter):
+            from itertools import islice
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+            rows_iter = iter(rows_iter)
+            chunk_idx = 0
+            while True:
+                chunk = list(islice(rows_iter, chunk_size))
+                if not chunk:
+                    break
+                send_body(bulk(chunk), batch_id, pid, chunk_idx)
+                chunk_idx += 1
 
         df.foreachPartition(send_partition)
 

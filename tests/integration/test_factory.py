@@ -115,3 +115,29 @@ def test_unknown_processor_type_lists_known(config_path):
 def test_missing_rule_file_errors():
     with pytest.raises(ConfigError, match="rule source not found"):
         load_rules(["/nonexistent/rules/dir"])
+
+
+import os as _os
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _os.path.isdir("/root/reference/tests/testdata/unit/grokker/rules"),
+    reason="reference rule corpus not present",
+)
+def test_reference_grokker_rule_corpus_loads_unchanged(spark):
+    """A reference user's grokker rule dir loads VERBATIM through the
+    factory rule loader and executes (the switch-over scenario: no
+    rewriting of the existing rule corpus)."""
+    from logprep_spark.factory import load_rules
+    from logprep_spark.operators import Grokker
+
+    rules = load_rules(["/root/reference/tests/testdata/unit/grokker/rules"])
+    assert rules, "corpus empty?"
+    proc = Grokker(rules)
+    df = spark.createDataFrame(
+        [("user alice logged in", "bob")], "message string, message1 string"
+    )
+    out = proc.transform(df).first()
+    assert out.user == "alice"

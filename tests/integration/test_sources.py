@@ -124,3 +124,71 @@ def test_parquet_partitioned_and_s3_shape(spark, tmp_path):
 
     S3Output(f"file://{tmp_path}/s3bucket", fmt="json").write(df, prefix="events")
     assert spark.read.schema(SCHEMA).json(str(tmp_path / "s3bucket" / "events")).count() == 2
+
+
+def test_kafka_option_parity():
+    """Reference kafka_config keys (security./ssl./sasl./group.) pass
+    through with the kafka. prefix; bootstrap.servers is required."""
+    src = KafkaInput(
+        "b:9092",
+        "topic-a",
+        kafka_config={
+            "bootstrap.servers": "b:9092",
+            "group.id": "cg1",
+            "security.protocol": "SSL",
+            "ssl.ca.location": "/certs/ca.pem",
+            "enable.auto.commit": "false",  # consumer-only: not forwarded
+        },
+    )
+    opts = src.options()
+    assert opts["kafka.bootstrap.servers"] == "b:9092"
+    assert opts["kafka.group.id"] == "cg1"
+    assert opts["kafka.security.protocol"] == "SSL"
+    assert opts["kafka.ssl.ca.location"] == "/certs/ca.pem"
+    assert "kafka.enable.auto.commit" not in opts
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bootstrap.servers"):
+        KafkaInput("", "t", kafka_config={"bootstrap.servers": ""})
+
+
+def test_opensearch_chunking_and_retry(spark, tmp_path):
+    """Bulk bodies chunk to message_backlog_size docs; a flaky
+    transport is retried max_retries times (reference bulk retry
+    semantics)."""
+    df = spark.range(7).selectExpr("id AS event_id")
+
+    sink = OpensearchOutput(
+        index="i", spool_dir=str(tmp_path / "sp"), message_backlog_size=3
+    )
+    sink.write_batch(df.coalesce(1), batch_id=0)
+    import glob
+    import json as _json
+
+    files = sorted(glob.glob(str(tmp_path / "sp" / "*.ndjson")))
+    assert len(files) == 3  # 7 docs / 3-doc chunks
+    docs = [
+        _json.loads(line)
+        for f in files
+        for line in open(f).read().splitlines()
+        if "_index" not in line
+    ]
+    assert {d["event_id"] for d in docs} == set(range(7))
+
+    # the transport runs in the executor's Python worker process, so
+    # attempts are counted via marker files, not shared memory
+    marks = str(tmp_path / "attempts")
+    os.makedirs(marks, exist_ok=True)
+
+    def flaky(body, _marks=marks):
+        import os as _os
+        import uuid as _uuid
+
+        n_before = len(_os.listdir(_marks))
+        open(_os.path.join(_marks, _uuid.uuid4().hex), "w").close()
+        if n_before < 2:
+            raise ConnectionError("transient")
+
+    ok = OpensearchOutput(index="i", transport=flaky, max_retries=3)
+    ok.write_batch(df.coalesce(1).limit(2), batch_id=1)
+    assert len(os.listdir(marks)) == 3  # 2 failures + 1 success
