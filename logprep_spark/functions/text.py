@@ -101,3 +101,36 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         bpe_ish_token_count(col).alias("n_bpe_tokens"),
         fingerprint(col).alias("fingerprint"),
     )
+
+
+# --- PII detection / redaction ----------------------------------------
+
+# Patterns deliberately avoid lookarounds so the Java (Spark) and RE2
+# (DuckDB oracle) engines agree match-for-match. Order matters for
+# redaction: emails before ips (an email's host part must not be
+# half-redacted as a hostname-ish token), cards before phones (a card
+# number is also a long digit run).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "card": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{2}[- ]\d{3,4}[- ]\d{5,7}\b",
+}
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """One ``<kind>_count`` column per PII pattern — regexp_count runs
+    in codegen; a 100 TB scan stays a narrow map."""
+    return [
+        F.regexp_count(col, F.lit(pat)).alias(f"{kind}_count")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+
+
+def pii_redact(col: Column) -> Column:
+    """Replace every PII match with a typed tag (``<pii:email>`` ...).
+    A fixed chain of regexp_replace — order per PII_PATTERNS."""
+    out = col
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<pii:{kind}>")
+    return out

@@ -1444,6 +1444,49 @@ def text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+_SQL_PII_LINE = (
+    "(text || ' contact user' || doc_id::varchar || '@example.com from 10.' || "
+    "(doc_id % 200)::varchar || '.' || (1 + doc_id % 50)::varchar || "
+    "' card 4111-1111-1111-' || lpad((doc_id % 10000)::varchar, 4, '0'))"
+)
+
+
+def _sql_pii_redact(expr: str) -> str:
+    out = expr
+    for kind, pat in tx.PII_PATTERNS.items():
+        escaped = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{escaped}', '<pii:{kind}>', 'g')"
+    return out
+
+
+@register(
+    "text_pii",
+    f"""
+    SELECT doc_id,
+           {', '.join(f"len(regexp_extract_all({_SQL_PII_LINE}, '{pat}')) AS {kind}_count"
+                      for kind, pat in tx.PII_PATTERNS.items())},
+           {_sql_pii_redact(_SQL_PII_LINE)} AS redacted
+    FROM documents
+    """,
+)
+def text_pii(spark, sf_dir):
+    """PII detection + typed redaction over document text (emails,
+    card numbers, IPs, phone numbers appended synthetically so counts
+    are non-trivial). Narrow regexp_count/regexp_replace chain — a
+    100 TB scan stays a zero-shuffle map."""
+    docs = tables(spark, sf_dir)["documents"]
+    d = F.col("doc_id")
+    line = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), _s(d), F.lit("@example.com from 10."),
+        _s(d % 200), F.lit("."), _s(1 + d % 50),
+        F.lit(" card 4111-1111-1111-"), F.lpad(_s(d % 10000), 4, "0"),
+    )
+    return docs.select(
+        "doc_id", *tx.pii_counts(line), tx.pii_redact(line).alias("redacted")
+    )
+
+
 @register(
     "dedup_exact",
     f"""

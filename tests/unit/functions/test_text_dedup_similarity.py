@@ -148,3 +148,15 @@ def test_dup_clusters_connected_components(spark):
     got = sorted(tuple(r) for r in dedup.dup_clusters(pairs).collect())
     # {1,2,3,7} all label 1 (transitive via 2-3 and 7-3); {5,6} label 5
     assert got == [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (7, 1)]
+
+
+def test_pii_counts_and_redact(spark):
+    from logprep_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@x.co card 4111-1111-1111-1111 ip 10.0.0.1 tel +49-170-1234567")],
+        "id long, t string",
+    )
+    row = df.select(*tx.pii_counts(F.col("t")), tx.pii_redact(F.col("t")).alias("r")).first()
+    assert (row.email_count, row.card_count, row.ipv4_count, row.phone_count) == (1, 1, 1, 1)
+    assert row.r == "mail <pii:email> card <pii:card> ip <pii:ipv4> tel <pii:phone>"
