@@ -167,3 +167,104 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
     )
+
+
+# --- IVF (inverted-file) ANN ------------------------------------------
+
+
+def ivf_centroids(
+    df: DataFrame, n_centroids: int = 16, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> list[list[float]]:
+    """Deterministic centroid sample: the ``n_centroids`` vectors with
+    the smallest md5-derived key of their id (a hash-ordered sample —
+    no RNG, any engine reproduces it). Driver-side collect of a tiny
+    model — the IVF equivalent of broadcasting k-means centroids."""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(h60(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r[1]] for r in rows]
+
+
+def _cos_to_centroid(vec: Column, cvec: list[float]) -> Column:
+    """Rounded cosine of a vector column against a LITERAL centroid
+    (centroid norm precomputed driver-side; same fold order as the
+    DuckDB oracle so ties round identically)."""
+    import math
+
+    dot = F.aggregate(
+        F.zip_with(vec, F.array(*[F.lit(x) for x in cvec]), lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return F.round(dot / (vnorm * F.lit(math.sqrt(sum(x * x for x in cvec)))), 6)
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: corpus vectors are assigned to their nearest centroid
+    (bucket); each query probes its ``n_probe`` nearest centroids and
+    exact-reranks inside those buckets.
+
+    Scale shape: centroid scores are computed against PLAN-LITERAL
+    centroids, so corpus assignment is a zero-shuffle narrow map (the
+    argmax is `array_position(scores, array_max(scores))` per row —
+    first-match tie-break = lowest centroid id, matching the oracle's
+    ORDER BY). Queries explode to n_probe rows and broadcast; the
+    corpus never shuffles. At 100 TB you'd persist the assignment as a
+    bucketed table and train real k-means centroids — the plan shape
+    is identical."""
+    cvecs = ivf_centroids(df, n_centroids, vec_col, id_col)
+
+    def scores(vec: Column) -> Column:
+        return F.array(*[_cos_to_centroid(vec, c) for c in cvecs])
+
+    vec = F.col(vec_col)
+    corpus = df.select(
+        F.col(id_col).alias("nbr_id"),
+        vec.alias("nbr_vec"),
+        F.array_position(scores(vec), F.array_max(scores(vec))).alias("bucket"),
+    )
+    # per-query top-n_probe centroid ids: sort (−score, id) structs
+    ranked = F.transform(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct((-_cos_to_centroid(vec, c)).alias("ns"), F.lit(i + 1).alias("i"))
+                    for i, c in enumerate(cvecs)
+                ]
+            )
+        ),
+        lambda s: s.getField("i"),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        vec.alias("query_vec"),
+        F.explode(F.slice(ranked, 1, n_probe)).alias("bucket"),
+    )
+    sim = F.round(cosine_sim(F.col("query_vec"), F.col("nbr_vec")), 6)
+    scored = (
+        corpus.join(F.broadcast(qs), "bucket")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", sim.alias("cosine"))
+    )
+    window = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )

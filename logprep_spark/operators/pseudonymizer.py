@@ -104,6 +104,65 @@ def _captured_values(src: Column, regex: str) -> Column:
     return F.transform(keyed, lambda s: s.getField("v"))
 
 
+#: URLs inside a text field (scheme optional, like the reference's
+#: extract_urls); conservative charset so trailing punctuation stays out
+URL_RE = r"(?:https?://)[A-Za-z0-9_.:@-]+\.[A-Za-z]{2,}(?::\d+)?(?:/[^\s\"'<>]*)?"
+
+
+def pseudonymize_url(url: Column, secret: str = "", mode: str = "hash") -> Column:
+    """Structural URL pseudonymization (reference ``_pseudonymize_url``
+    processor.py:333-365): scheme, registered domain (last two hostname
+    labels) and port stay READABLE; the subdomain, fragment, userinfo,
+    path and query values are each pseudonymized in place. All parsing
+    is Spark's builtin ``parse_url`` — no Python in the row path."""
+    url = url.cast("string")
+    base = F.when(url.rlike("^https?://"), url).otherwise(F.concat(F.lit("http://"), url))
+
+    def wrap(v: Column) -> Column:
+        return F.concat(F.lit("<pseudonym:"), pseudonym_for(v, secret, mode), F.lit(">"))
+
+    out = url
+    host = F.parse_url(base, F.lit("HOST"))
+    labels = F.split(host, r"\.")
+    sub = F.array_join(F.slice(labels, 1, F.size(labels) - 2), ".")
+    out = F.when(
+        host.isNotNull() & (F.size(labels) > 2), F.replace(out, sub, wrap(sub))
+    ).otherwise(out)
+
+    frag = F.parse_url(base, F.lit("REF"))
+    out = F.when(
+        frag.isNotNull() & (frag != ""),
+        F.replace(out, F.concat(F.lit("#"), frag), F.concat(F.lit("#"), wrap(frag))),
+    ).otherwise(out)
+
+    userinfo = F.parse_url(base, F.lit("USERINFO"))
+    out = F.when(
+        userinfo.isNotNull() & (userinfo != ""), F.replace(out, userinfo, wrap(userinfo))
+    ).otherwise(out)
+
+    path = F.parse_url(base, F.lit("PATH"))
+    bare_path = F.substring(path, 2, 1 << 20)
+    out = F.when(
+        path.isNotNull() & (F.length(path) > 1), F.replace(out, bare_path, wrap(bare_path))
+    ).otherwise(out)
+
+    query = F.parse_url(base, F.lit("QUERY"))
+    masked_query = F.array_join(
+        F.transform(
+            F.split(query, "&"),
+            lambda kv: F.concat(
+                F.split_part(kv, F.lit("="), F.lit(1)),
+                F.lit("="),
+                wrap(F.split_part(kv, F.lit("="), F.lit(2))),
+            ),
+        ),
+        "&",
+    )
+    return F.when(
+        query.isNotNull() & (query != ""), F.replace(out, query, masked_query)
+    ).otherwise(out)
+
+
 class Pseudonymizer(Processor):
     rule_type = "pseudonymizer"
 
@@ -118,16 +177,31 @@ class Pseudonymizer(Processor):
         )
 
     def apply_rule(self, df: DataFrame, cond, cfg: dict) -> DataFrame:
+        url_fields = set(cfg.get("url_fields", []) or [])
         for path, regex in cfg["mapping"].items():
             src = fld.get_field(df, path)
             if src is None:
                 continue
             src = src.cast("string")
-            replaced = F.aggregate(
-                _captured_values(src, regex),
-                src,
-                lambda acc, v: F.replace(acc, v, self._wrapped(v)),
-            )
+            if path in url_fields:
+                # reference: URLs found in url_fields are pseudonymized
+                # STRUCTURALLY (subdomain/path/query/... masked, domain
+                # readable) instead of hashed whole. Fold each
+                # extracted URL through pseudonymize_url.
+                urls = F.array_distinct(F.regexp_extract_all(src, F.lit(URL_RE), F.lit(0)))
+                replaced = F.aggregate(
+                    urls,
+                    src,
+                    lambda acc, u: F.replace(
+                        acc, u, pseudonymize_url(u, self.secret, self.mode)
+                    ),
+                )
+            else:
+                replaced = F.aggregate(
+                    _captured_values(src, regex),
+                    src,
+                    lambda acc, v: F.replace(acc, v, self._wrapped(v)),
+                )
             value = F.when(cond, replaced).otherwise(src)
             df = fld.set_field(df, path, value)
         return df

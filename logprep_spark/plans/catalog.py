@@ -1728,6 +1728,50 @@ def ann_topk_bruteforce(spark, sf_dir):
 
 
 @register(
+    "ann_topk_ivf",
+    f"""
+    WITH cents AS (
+        SELECT embedding AS cvec,
+               row_number() OVER (ORDER BY {_sql_h60('vec_id::varchar')}, vec_id) AS cid
+        FROM embeddings
+        ORDER BY {_sql_h60('vec_id::varchar')}, vec_id LIMIT 16
+    ), scored_all AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_sql_cosine('e.embedding', 'c.cvec')} AS s
+        FROM embeddings e CROSS JOIN cents c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid AS bucket FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+            FROM scored_all
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, embedding AS qv, cid AS bucket FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+            FROM scored_all WHERE vec_id < 5
+        ) WHERE rn <= 2
+    ), cand AS (
+        SELECT p.query_id, a.vec_id AS nbr_id,
+               {_sql_cosine('p.qv', 'a.embedding')} AS cosine
+        FROM probes p JOIN assigned a USING (bucket)
+        WHERE p.query_id <> a.vec_id
+    )
+    SELECT query_id, nbr_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, nbr_id
+        ) AS rank FROM cand
+    ) WHERE rank <= 3
+    """,
+)
+def ann_topk_ivf(spark, sf_dir):
+    """IVF ANN (functions/similarity.py ivf_topk): hash-sampled
+    deterministic centroids, zero-shuffle corpus assignment against
+    plan-literal centroids, n_probe=2 bucket probing, exact rerank."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    return sim.ivf_topk(emb, qs, k=3, n_centroids=16, n_probe=2)
+
+
+@register(
     "ann_topk_lsh",
     """
     WITH b AS (

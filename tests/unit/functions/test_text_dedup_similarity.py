@@ -160,3 +160,22 @@ def test_pii_counts_and_redact(spark):
     row = df.select(*tx.pii_counts(F.col("t")), tx.pii_redact(F.col("t")).alias("r")).first()
     assert (row.email_count, row.card_count, row.ipv4_count, row.phone_count) == (1, 1, 1, 1)
     assert row.r == "mail <pii:email> card <pii:card> ip <pii:ipv4> tel <pii:phone>"
+
+
+def test_ivf_topk(embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    out = similarity.ivf_topk(embeddings, queries, k=3, n_centroids=8, n_probe=2)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        assert r.query_id != r.nbr_id
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(by_q) == {0, 1, 2}
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
+    # probing its own bucket: the best IVF hit should be near the exact best
+    exact = {r.query_id: r.cosine for r in
+             similarity.brute_force_topk(embeddings, queries, k=1).collect()}
+    approx = {q: max(c for c in [r.cosine for r in rows if r.query_id == q])
+              for q in by_q}
+    for q in approx:
+        assert approx[q] >= exact[q] - 0.3

@@ -692,3 +692,25 @@ def test_timestamper_source_tz_only_for_naive(spark):
     assert out.t_offset == "2024-06-01T10:00:00.000Z"
     # epoch 1717243200 = 2024-06-01T12:00:00Z exactly — never shifted
     assert out.t_unix == "2024-06-01T12:00:00.000Z"
+
+
+def test_pseudonymizer_url_fields(spark):
+    """url_fields get structural URL pseudonymization (reference
+    _pseudonymize_url): scheme + registered domain stay readable;
+    subdomain, path, query values, fragment are masked."""
+    url = "https://login.internal.example.com/account/settings?user=alice&token=xyz#sec2"
+    df = spark.createDataFrame([(1, f"visit {url} now")], "id long, msg string")
+    proc = Pseudonymizer(
+        [{"filter": "*", "pseudonymizer": {
+            "mapping": {"msg": "ignored-for-url-fields"},
+            "url_fields": ["msg"]}}]
+    )
+    row = proc.transform(df).first()
+    assert row.msg.startswith("visit https://<pseudonym:")
+    assert "example.com" in row.msg            # registered domain readable
+    assert "login.internal" not in row.msg     # subdomain masked
+    assert "account/settings" not in row.msg   # path masked
+    assert "alice" not in row.msg and "xyz" not in row.msg  # query values masked
+    assert "user=<pseudonym:" in row.msg       # query keys readable
+    assert "#sec2" not in row.msg and "#<pseudonym:" in row.msg
+    assert row.msg.endswith(" now")
