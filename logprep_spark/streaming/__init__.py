@@ -9,10 +9,11 @@ from logprep_spark.streaming.windows import (
     sliding_counts,
     tumbling_counts,
 )
-from logprep_spark.streaming.state import dedupe_stream, running_totals
+from logprep_spark.streaming.state import dedupe_near_stream, dedupe_stream, running_totals
 
 __all__ = [
     "StreamingPipeline",
+    "dedupe_near_stream",
     "dedupe_stream",
     "running_totals",
     "sessionize_stream",

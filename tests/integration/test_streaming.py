@@ -274,3 +274,34 @@ def test_running_totals_stateful(spark, stream_df):
            for r in spark.sql("SELECT * FROM totals_out").collect()}
     assert got[1] == (3, 7.0)
     assert got[2] == (1, 3.0)
+
+
+def test_dedupe_near_stream(spark, tmp_path):
+    """Signature-identical docs (exact near-dup fingerprint) are
+    suppressed within the watermark; distinct docs pass."""
+    from logprep_spark.streaming import dedupe_near_stream
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        {"doc_id": 1, "ts": _ts(0), "text": base},
+        {"doc_id": 2, "ts": _ts(1), "text": base},  # identical signature → dropped
+        {"doc_id": 3, "ts": _ts(2), "text": "a completely different document body here"},
+    ]
+    df = JsonlInput(
+        _events(tmp_path, rows, name="neardup-in"),
+        "doc_id long, ts timestamp, text string",
+    ).read_stream(spark)
+    q = (
+        dedupe_near_stream(df, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("neardup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run(q)
+    out = spark.sql("SELECT doc_id FROM neardup_out").collect()
+    kept = sorted(r.doc_id for r in out)
+    assert 3 in kept and len(kept) == 2 and kept[0] in (1, 2)
+    cols = spark.sql("SELECT * FROM neardup_out").columns
+    assert cols == ["doc_id", "ts", "text"]  # helper columns dropped
