@@ -23,8 +23,10 @@ _FLAGSHIP_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: TPC-H Q3-style shuffle join + agg over sf0.001."""
-    return catalog.queries()["tpch_q3"](spark, _FLAGSHIP_SF_DIR)
+    """Flagship: the end-to-end training-data pipeline (quality gate →
+    language filter → exact dedup → PII redaction → token accounting)
+    over sf0.001 — the engine's headline use case in one plan."""
+    return catalog.queries()["pipeline_training_data"](spark, _FLAGSHIP_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -38,6 +38,7 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "text_quality",
+    "pipeline_training_data",
 ]
 
 

@@ -95,14 +95,21 @@ def shingles(col: Column, k: int = 3) -> Column:
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id document per exact (whitespace-normalized)
-    text hash. One hash-shuffle on the fingerprint — the canonical
-    100 TB exact-dedup plan (map-side partial min per fingerprint)."""
+    text hash. ONE shuffle on the fingerprint and ONE pass over the
+    input: a min-id window per hash, not groupBy + self-join — the
+    join shape re-derives the (possibly expensive) upstream subtree on
+    both sides, doubling any regex/scoring front upstream of the dedup
+    (measured on pipeline_training_data). Duplicate groups are tiny,
+    so the per-group sort is trivial."""
+    from pyspark.sql import Window
+
     normalized = F.array_join(tokens(F.col(text_col)), " ")
-    with_hash = df.withColumn("text_hash", F.md5(normalized))
-    keep = with_hash.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
+    by_hash = Window.partitionBy("text_hash").orderBy(id_col)
     return (
-        with_hash.join(keep, on=["text_hash", id_col], how="inner")
-        .drop("text_hash")
+        df.withColumn("text_hash", F.md5(normalized))
+        .withColumn("_rn", F.row_number().over(by_hash))
+        .filter(F.col("_rn") == 1)
+        .drop("text_hash", "_rn")
     )
 
 

@@ -95,13 +95,14 @@ _PRIORITY = [
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
     "ann_topk_bruteforce", "ann_topk_lsh",
     "text_langid", "text_quality", "text_tokens", "text_fingerprint",
-    # framework surface
+    # framework surface + flagship composition
+    "pipeline_training_data",
     "pipeline_compose", "source_preprocessors", "source_jsonl",
     # §2.2 representative processors
     "proc_calculator", "proc_concatenator", "proc_datetime_extractor",
     "proc_decoder_json", "proc_dissector", "proc_grokker",
     "proc_timestamper", "proc_timestamp_differ", "proc_pseudonymizer",
-    "proc_pseudonymizer_pseudonyms", "proc_replacer", "proc_clusterer",
+    "proc_pseudonymizer_pseudonyms", "proc_replacer",
     "proc_field_manager", "proc_generic_resolver", "proc_ip_informer",
     "proc_pre_detector", "proc_selective_extractor", "proc_deduplicator",
 ]
@@ -1484,6 +1485,71 @@ def text_pii(spark, sf_dir):
     )
     return docs.select(
         "doc_id", *tx.pii_counts(line), tx.pii_redact(line).alias("redacted")
+    )
+
+
+_SQL_QUALITY = f"""
+    (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END
+     + CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / greatest(length(text), 1) >= 0.6 THEN 0.25 ELSE 0.0 END
+     + CASE WHEN len(regexp_extract_all(lower(text),
+                 '{tx.marker_regex(tx.STOPWORDS_EN)}'))
+                 / greatest({_SQL_NTOK}, 1) >= 0.05 THEN 0.25 ELSE 0.0 END
+     + CASE WHEN length(text) / greatest({_SQL_NTOK}, 1) BETWEEN 3 AND 12
+            THEN 0.25 ELSE 0.0 END
+    )::DOUBLE
+"""
+
+
+@register(
+    "pipeline_training_data",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, text,
+               {_SQL_QUALITY} AS quality,
+               CASE WHEN list_max({_sql_lang_hits()}).hits > 0
+                    THEN list_max({_sql_lang_hits()}).lang
+                    ELSE 'und' END AS lang
+        FROM documents
+    ), filtered AS (
+        SELECT * FROM scored WHERE quality >= 0.5 AND lang = 'en'
+    ), kept AS (
+        SELECT * FROM filtered WHERE doc_id IN (
+            SELECT min(doc_id) FROM filtered
+            GROUP BY md5(array_to_string({_sql_words()}, ' '))
+        )
+    )
+    SELECT doc_id,
+           {_sql_pii_redact('text')} AS clean_text,
+           {_SQL_NTOK} AS n_tokens,
+           round(quality, 2) AS quality
+    FROM kept
+    """,
+)
+def pipeline_training_data(spark, sf_dir):
+    """The flagship end-to-end training-data pipeline: quality gate →
+    language filter → exact dedup (keep lowest id per normalized text)
+    → PII redaction → token accounting. Everything before the dedup's
+    single fingerprint shuffle is one narrow codegen'd projection; the
+    shape is exactly what a 100 TB pre-training cleanup runs."""
+    from logprep_spark.session import fan_out
+
+    # the quality/lang-id regex front is heavy per-row work and the
+    # testdata parquet is one input split — spread it across cores
+    docs = fan_out(tables(spark, sf_dir)["documents"])
+    scored = docs.select(
+        "doc_id",
+        "text",
+        tx.quality_score(F.col("text")).alias("quality"),
+        tx.lang_id(F.col("text")).alias("lang"),
+    )
+    filtered = scored.filter((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+    kept = dd.exact_dedup(filtered)
+    return kept.select(
+        "doc_id",
+        tx.pii_redact(F.col("text")).alias("clean_text"),
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        F.round(F.col("quality"), 2).alias("quality"),
     )
 
 
