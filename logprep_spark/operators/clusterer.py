@@ -42,7 +42,17 @@ class Clusterer(Processor):
         if src is None:
             return df
         sig = src.cast("string")
-        substitutions = cfg.get("substitutions") or DEFAULT_SUBSTITUTIONS
+        if "pattern" in cfg:
+            # reference rule syntax (rule.py:129-132): one pattern/repl
+            # pair applied with re.sub semantics; the signature engine
+            # loops subn until stable (signature_phase.py:96-101), so a
+            # second pass covers matches the first pass creates.
+            import re as _re
+
+            repl = _re.sub(r"\\(\d)", r"$\1", cfg.get("repl", ""))
+            substitutions = [(cfg["pattern"], repl)] * 2
+        else:
+            substitutions = cfg.get("substitutions") or DEFAULT_SUBSTITUTIONS
         for pattern, repl in substitutions:
             sig = F.regexp_replace(sig, pattern, repl)
         sig = F.trim(sig)

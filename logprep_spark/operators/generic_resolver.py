@@ -34,13 +34,15 @@ class GenericResolver(Processor):
                     mapping = json.load(fh)
                 for key, value in mapping.items():
                     resolve[template.replace("\\1", key)] = value
+        # reference rule.py ignore_case: patterns match case-insensitively
+        prefix = "(?i)" if cfg.get("ignore_case", False) else ""
         for source, target in cfg["field_mapping"].items():
             src = fld.get_field(df, source)
             if src is None:
                 continue
             expr = None
             for pattern, resolved in resolve.items():
-                clause = src.cast("string").rlike(pattern)
+                clause = src.cast("string").rlike(prefix + pattern)
                 expr = (
                     F.when(clause, F.lit(resolved))
                     if expr is None

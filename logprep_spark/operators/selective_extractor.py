@@ -27,8 +27,20 @@ class SelectiveExtractor(Processor):
         for rule in self.rules:
             cond = self.condition(df, rule)
             cfg = rule.config
+            sources = list(cfg.get("source_fields", []))
+            # reference rule.py extract_from_file: newline-separated
+            # field list file, merged with source_fields
+            extract_file = cfg.get("extract_from_file")
+            if extract_file:
+                import os
+
+                if os.path.exists(extract_file):
+                    with open(extract_file, encoding="utf-8") as fh:
+                        sources.extend(
+                            ln.strip() for ln in fh if ln.strip() and not ln.startswith("#")
+                        )
             cols = []
-            for path in cfg["source_fields"]:
+            for path in sources:
                 col = fld.get_field(df, path)
                 if col is not None:
                     cols.append(col.alias(path.replace(".", "_")))

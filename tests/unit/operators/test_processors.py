@@ -714,3 +714,49 @@ def test_pseudonymizer_url_fields(spark):
     assert "user=<pseudonym:" in row.msg       # query keys readable
     assert "#sec2" not in row.msg and "#<pseudonym:" in row.msg
     assert row.msg.endswith(" now")
+
+
+def test_clusterer_reference_pattern_repl(spark):
+    """Reference rule syntax: pattern/repl with re.sub semantics and
+    backref support (rule.py:129-132)."""
+    df = spark.createDataFrame(
+        [("sent 1024 Bytes to host",)], "message string"
+    )
+    out = Clusterer(
+        [{"filter": "*", "clusterer": {
+            "source_fields": ["message"],
+            "pattern": r"(bytes|Bytes|Byte)", "repl": "byte"}}]
+    ).transform(df)
+    assert out.first().cluster_signature == "sent 1024 byte to host"
+    tagged = Clusterer(
+        [{"filter": "*", "clusterer": {
+            "source_fields": ["message"],
+            "pattern": r"(\d+)", "repl": r"<+>\1</+>"}}]
+    ).transform(df)
+    assert "<+>1024</+>" in tagged.first().cluster_signature
+
+
+def test_generic_resolver_ignore_case(spark):
+    df = spark.createDataFrame([("ERROR",), ("error",)], "lvl string")
+    out = GenericResolver(
+        [{"filter": "*", "generic_resolver": {
+            "field_mapping": {"lvl": "sev"},
+            "resolve_list": {"^error$": "high"},
+            "ignore_case": True}}]
+    ).transform(df)
+    assert [r.sev for r in out.collect()] == ["high", "high"]
+
+
+def test_selective_extractor_extract_from_file(spark, tmp_path):
+    f = tmp_path / "fields.txt"
+    f.write_text("# comment\nuser_id\n")
+    df = spark.createDataFrame([(1, 7, "x")], "event_id long, user_id long, other string")
+    proc = SelectiveExtractor(
+        [{"filter": "*", "selective_extractor": {
+            "source_fields": ["event_id"],
+            "extract_from_file": str(f),
+            "outputs": [{"kafka": "topic1"}]}}]
+    )
+    out = proc.extracted(df)["topic1"]
+    assert out.columns == ["event_id", "user_id"]
+    assert out.first().user_id == 7
