@@ -36,6 +36,13 @@ class GeoipEnricher(Processor):
         if src is None:
             return df
         target = cfg.get("target_field", "geoip")
+        # reference rule.py customize_target_subfields: rename output
+        # subfields ({default_subfield: custom_dotted_path}); honored
+        # for the struct keys this enricher emits
+        renames = cfg.get("customize_target_subfields") or {}
+
+        def named(default: str):
+            return renames.get(default, default).rsplit(".", 1)[-1]
         if self.geo_table is not None:
             ip_long = ip_utils.ipv4_to_long(src)
             geo = broadcast(self.geo_table)
@@ -45,10 +52,10 @@ class GeoipEnricher(Processor):
                 how="left",
             )
             struct = F.struct(
-                F.lit("Feature").alias("type"),
-                F.col("country").alias("country"),
-                F.col("city").alias("city"),
-                F.array(F.col("lon"), F.col("lat")).alias("coordinates"),
+                F.lit("Feature").alias(named("type")),
+                F.col("country").alias(named("country")),
+                F.col("city").alias(named("city")),
+                F.array(F.col("lon"), F.col("lat")).alias(named("coordinates")),
             )
             df = self.set_when(df, target, cond & src.isNotNull(), struct)
             return df.drop("net_start", "net_end", "country", "city", "lat", "lon")
@@ -57,9 +64,9 @@ class GeoipEnricher(Processor):
         lat = (F.conv(F.substring(h, 1, 6), 16, 10).cast("double") % 18000) / 100.0 - 90.0
         lon = (F.conv(F.substring(h, 7, 6), 16, 10).cast("double") % 36000) / 100.0 - 180.0
         struct = F.struct(
-            F.lit("Feature").alias("type"),
-            F.lit("STUBLAND").alias("country"),
-            F.concat(F.lit("city-"), F.substring(h, 13, 4)).alias("city"),
-            F.array(F.round(lon, 2), F.round(lat, 2)).alias("coordinates"),
+            F.lit("Feature").alias(named("type")),
+            F.lit("STUBLAND").alias(named("country")),
+            F.concat(F.lit("city-"), F.substring(h, 13, 4)).alias(named("city")),
+            F.array(F.round(lon, 2), F.round(lat, 2)).alias(named("coordinates")),
         )
         return self.set_when(df, target, cond & ip_utils.is_ipv4(src), struct)

@@ -56,12 +56,22 @@ class PreDetector(Processor):
                 F.lit(cfg.get("case_condition", "directly")).alias("case_condition"),
                 F.array(*[F.lit(m) for m in cfg.get("mitre", [])]).alias("mitre"),
             ]
+            # reference rule.py `link`: a case-documentation URL carried
+            # into every detection event of the rule
+            if cfg.get("link"):
+                cols.append(F.lit(str(cfg["link"])).alias("link"))
             if ts is not None:
                 cols.append(ts.cast("string").alias("@timestamp"))
             for host_field in cfg.get("ip_fields", []):
                 col = fld.get_field(df, host_field)
                 if col is not None:
                     cols.append(col.alias(host_field.replace(".", "_")))
+            # reference rule.py copy_fields_to_detection_event:
+            # {event_field: detection_field} copied verbatim
+            for src_field, det_field in (cfg.get("copy_fields_to_detection_event") or {}).items():
+                col = fld.get_field(df, src_field)
+                if col is not None:
+                    cols.append(col.alias(det_field))
             outs.append(df.filter(cond).select(*cols))
         if not outs:
             raise ValueError("pre_detector has no rules")

@@ -1,8 +1,10 @@
 """Requester — enrich events via HTTP calls (STUBBED transport).
 
-Reference: /root/reference/logprep/processor/requester/processor.py
-(rule: method/url/json templated from event fields; response fields
-merged into the event).
+Reference: /root/reference/logprep/processor/requester/processor.py and
+rule.py (method/url plus headers/params/data/json/auth/timeout/verify/
+cert/proxies, all ``${field}``-templated from the event;
+``target_field`` stores the raw response; ``target_field_mapping``
+copies dotted response subpaths into event fields).
 
 Per-row HTTP from executors is an anti-pattern at 100 TB; the Spark
 shape kept here is ``mapInPandas`` over Arrow batches so a real
@@ -16,14 +18,46 @@ from __future__ import annotations
 
 import json
 import re
-from typing import Callable
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from logprep_spark.operators.base import Processor
 
 _TEMPLATE = re.compile(r"\$\{([^}]+)\}")
+
+#: rule keys forwarded into the request dict (reference rule.py schema)
+REQUEST_OPTION_KEYS = (
+    "headers",
+    "params",
+    "data",
+    "json",
+    "auth",
+    "timeout",
+    "verify",
+    "cert",
+    "proxies",
+)
+
+
+def _template(value: Any, row) -> Any:
+    """Recursively substitute ``${field}`` from the event row in any
+    string inside the option structure."""
+    if isinstance(value, str):
+        return _TEMPLATE.sub(lambda m: str(row.get(m.group(1), "")), value)
+    if isinstance(value, dict):
+        return {k: _template(v, row) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_template(v, row) for v in value]
+    return value
+
+
+def _dotted(d: Any, path: str) -> Any:
+    for part in path.split("."):
+        if not isinstance(d, dict) or part not in d:
+            return None
+        d = d[part]
+    return d
 
 
 class Requester(Processor):
@@ -46,27 +80,42 @@ class Requester(Processor):
         url_template = cfg["url"]
         method = cfg.get("method", "GET")
         target = cfg.get("target_field", "requester_result")
-        fields_used = _TEMPLATE.findall(url_template)
+        field_mapping = dict(cfg.get("target_field_mapping") or {})
+        options = {k: cfg[k] for k in REQUEST_OPTION_KEYS if k in cfg}
         out_schema = df.schema.add(target, "string")
+        # mapped response fields arrive as strings (the stub transport
+        # has no response schema to infer from)
+        for event_field in field_mapping.values():
+            out_schema = out_schema.add(event_field.replace(".", "_"), "string")
         cond_name = "__req_cond"
         df = df.withColumn(cond_name, cond)
 
         def run(batches):
             for pdf in batches:
-                results = []
+                results: list = []
+                mapped: dict[str, list] = {f: [] for f in field_mapping.values()}
                 for _, row in pdf.iterrows():
                     if not row[cond_name]:
                         results.append(None)
+                        for f in mapped:
+                            mapped[f].append(None)
                         continue
-                    url = url_template
-                    for field in fields_used:
-                        url = url.replace("${" + field + "}", str(row.get(field, "")))
-                    response = handler({"method": method, "url": url})
+                    request = {
+                        "method": method,
+                        "url": _template(url_template, row),
+                        **_template(options, row),
+                    }
+                    response = handler(request)
                     results.append(json.dumps(response))
+                    for resp_path, event_field in field_mapping.items():
+                        value = _dotted(response, resp_path)
+                        mapped[event_field].append(
+                            None if value is None else str(value)
+                        )
                 pdf = pdf.drop(columns=[cond_name])
                 pdf[target] = results
+                for event_field, values in mapped.items():
+                    pdf[event_field.replace(".", "_")] = values
                 yield pdf
 
-        return (
-            df.mapInPandas(run, schema=out_schema)
-        )
+        return df.mapInPandas(run, schema=out_schema)

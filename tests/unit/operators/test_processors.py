@@ -760,3 +760,61 @@ def test_selective_extractor_extract_from_file(spark, tmp_path):
     out = proc.extracted(df)["topic1"]
     assert out.columns == ["event_id", "user_id"]
     assert out.first().user_id == 7
+
+
+def test_requester_options_and_field_mapping(spark):
+    """Full reference option schema reaches the transport templated
+    from the event; target_field_mapping copies dotted response
+    subpaths into event fields."""
+    import json
+
+    def handler(req):
+        assert req["url"].endswith("/u/alice")
+        assert req["headers"] == {"X-Trace": "7"}
+        assert req["json"] == {"who": "alice"} and req["timeout"] == 5
+        return {"status": "ok", "geo": {"cc": "DE"}}
+
+    df = spark.createDataFrame([(7, "alice")], "id long, user string")
+    proc = Requester(
+        [{"filter": "*", "requester": {
+            "url": "https://api.example.test/u/${user}",
+            "method": "POST",
+            "headers": {"X-Trace": "${id}"},
+            "json": {"who": "${user}"},
+            "timeout": 5,
+            "target_field": "resp",
+            "target_field_mapping": {"geo.cc": "country"}}}],
+        handler=handler,
+    )
+    row = proc.transform(df).first()
+    assert json.loads(row.resp)["status"] == "ok"
+    assert row.country == "DE"
+
+
+def test_pre_detector_link_and_copy_fields(spark):
+    df = spark.createDataFrame([(1, "h1", "bad")], "event_id long, host string, event_type string")
+    proc = PreDetector(
+        [{"filter": "event_type: bad", "pre_detector": {
+            "id": "r1", "title": "t", "severity": "high", "mitre": [],
+            "case_condition": "directly",
+            "link": "https://wiki.example.test/case/r1",
+            "copy_fields_to_detection_event": {"host": "affected_host"}}}]
+    )
+    det = proc.detections(df).first()
+    assert det.link == "https://wiki.example.test/case/r1"
+    assert det.affected_host == "h1"
+
+
+def test_geoip_customize_target_subfields(spark):
+    df = spark.createDataFrame([("10.1.2.3",)], "client_ip string")
+    proc = GeoipEnricher(
+        [{"filter": "*", "geoip_enricher": {
+            "source_fields": ["client_ip"],
+            "customize_target_subfields": {
+                "country": "geoip.country_iso",
+                "coordinates": "geoip.location"}}}]
+    )
+    row = proc.transform(df).first()
+    geo = row.geoip.asDict()
+    assert "country_iso" in geo and "location" in geo
+    assert "country" not in geo
