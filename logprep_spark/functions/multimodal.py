@@ -120,3 +120,91 @@ def make_media_frame(spark, docs: DataFrame) -> DataFrame:
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("t_ms", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, frame_decoder=None) -> DataFrame:
+    """Video frame sampling: one output row per sampled timestamp
+    (``duration_ms // every_ms`` frames per video). The frame grab is a
+    STUB (``frame_decoder(payload, t_ms) -> bytes`` plugs a real
+    codec; default slices deterministic bytes from the payload) — the
+    Spark side is the real shape: fan-out happens INSIDE mapInPandas,
+    so one input batch yields many frame rows without a Generate/
+    explode pass over binary columns, and downstream repartition
+    spreads decode work."""
+    grab = frame_decoder or (
+        lambda payload, t_ms: (payload or b"")[t_ms % max(len(payload or b" "), 1) :][:16]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ts, frames = [], [], [], []
+            for _, row in pdf.iterrows():
+                duration = (row["meta"] or {}).get("duration_ms") or 0
+                payload = row["payload"]
+                for i in range(max(duration // every_ms, 0)):
+                    ids.append(row["media_id"])
+                    idxs.append(i)
+                    ts.append(i * every_ms)
+                    frames.append(grab(payload, i * every_ms))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "t_ms": ts, "frame_payload": frames}
+            )
+
+    return df.filter(F.col("kind") == "video").mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
+_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("start_ms", T.IntegerType()),
+        T.StructField("end_ms", T.IntegerType()),
+        T.StructField("chunk_payload", T.BinaryType()),
+    ]
+)
+
+
+def chunk_audio(df: DataFrame, chunk_ms: int = 30_000) -> DataFrame:
+    """Audio chunking: fixed-duration windows from ``meta.duration_ms``
+    with byte ranges sliced proportionally from the payload (a real
+    transcoder would cut on frame boundaries inside the same shape).
+    Rows multiply inside the Arrow batch, never via explode over
+    binary."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, ends, chunks = [], [], [], [], []
+            for _, row in pdf.iterrows():
+                duration = (row["meta"] or {}).get("duration_ms") or 0
+                payload = row["payload"] or b""
+                n = max((duration + chunk_ms - 1) // chunk_ms, 0)
+                for i in range(n):
+                    lo_ms, hi_ms = i * chunk_ms, min((i + 1) * chunk_ms, duration)
+                    lo = len(payload) * lo_ms // max(duration, 1)
+                    hi = len(payload) * hi_ms // max(duration, 1)
+                    ids.append(row["media_id"])
+                    idxs.append(i)
+                    starts.append(lo_ms)
+                    ends.append(hi_ms)
+                    chunks.append(payload[lo:hi])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "chunk_idx": idxs,
+                    "start_ms": starts,
+                    "end_ms": ends,
+                    "chunk_payload": chunks,
+                }
+            )
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(run, schema=_CHUNK_SCHEMA)

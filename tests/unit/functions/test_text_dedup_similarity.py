@@ -179,3 +179,25 @@ def test_ivf_topk(embeddings):
               for q in by_q}
     for q in approx:
         assert approx[q] >= exact[q] - 0.3
+
+
+def test_sample_frames_and_chunk_audio(spark):
+    rows = [
+        (1, "video", b"0123456789abcdef" * 8, {"mime": "video/fake", "width": 64,
+         "height": 64, "duration_ms": 3500}),
+        (2, "audio", b"aabbccddeeff" * 10, {"mime": "audio/fake", "width": None,
+         "height": None, "duration_ms": 65000}),
+        (3, "image", b"xx", {"mime": "image/fake", "width": 8, "height": 8,
+         "duration_ms": None}),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    frames = multimodal.sample_frames(media, every_ms=1000).collect()
+    # video only: 3500ms at 1fps → 3 frames
+    assert [(r.media_id, r.frame_idx, r.t_ms) for r in frames] == [
+        (1, 0, 0), (1, 1, 1000), (1, 2, 2000)]
+    assert all(isinstance(r.frame_payload, (bytes, bytearray)) for r in frames)
+    chunks = multimodal.chunk_audio(media, chunk_ms=30000).collect()
+    # audio only: 65s → 3 chunks, last one partial; byte ranges tile payload
+    assert [(r.media_id, r.chunk_idx, r.start_ms, r.end_ms) for r in chunks] == [
+        (2, 0, 0, 30000), (2, 1, 30000, 60000), (2, 2, 60000, 65000)]
+    assert b"".join(bytes(r.chunk_payload) for r in chunks) == b"aabbccddeeff" * 10
