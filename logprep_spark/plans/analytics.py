@@ -241,3 +241,54 @@ def salted_user_counts(events: DataFrame, n_salts: int = 8) -> DataFrame:
             F.round(F.sum("pv"), 2).alias("total_value"),
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: each left row gets the right row with the greatest
+    ``right_ts`` <= ``left_ts`` per key (inclusive, ASOF-join
+    semantics).
+
+    Scale shape: UNION + carry-forward window, not a range join — a
+    range-join realization explodes to |left| x |right-per-key| before
+    filtering, while the union sorts once per key partition and
+    carries the latest right values forward in a single pass. One
+    shuffle on the keys, state per row is one carried tuple. Right
+    rows order BEFORE left rows at equal timestamps so a same-instant
+    right row is visible (>= semantics, matching DuckDB ASOF JOIN).
+    """
+    value_cols = [c for c in right.columns if c not in set(keys) | {right_ts}]
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_event_ts"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("_event_ts"),
+        F.lit(1).alias("_side"),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_event_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [
+        F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+        for c in [right_ts, *value_cols]
+    ]
+    out_cols = [c for c in left.columns]
+    return (
+        unioned.select(*out_cols, F.col("_side"), *carried)
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )

@@ -256,6 +256,26 @@ def join_anti_customers(spark, sf_dir):
 
 
 @register(
+    "join_asof_last_login",
+    """
+    SELECT e.event_id, m.ts AS last_login_ts
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'login') m
+      ON e.user_id = m.user_id AND e.ts >= m.ts
+    """,
+)
+def join_asof_last_login(spark, sf_dir):
+    """As-of join (plans/analytics.py asof_join): every event gets its
+    user's most recent login timestamp at-or-before the event. Spark:
+    union + carry-forward window (one key shuffle, no range-join
+    explosion); oracle: DuckDB native ASOF JOIN."""
+    ev = tables(spark, sf_dir)["events"]
+    markers = ev.filter(F.col("event_type") == "login").select("user_id", "ts")
+    joined = an.asof_join(ev, markers, ["user_id"])
+    return joined.select("event_id", F.col("ts_asof").alias("last_login_ts"))
+
+
+@register(
     "sessionize_events",
     """
     WITH with_flag AS (
