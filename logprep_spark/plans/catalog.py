@@ -276,6 +276,62 @@ def join_asof_last_login(spark, sf_dir):
 
 
 @register(
+    "sketch_kmv_distinct",
+    """
+    WITH hs AS (
+        SELECT DISTINCT ('0x' || substr(md5(user_id::varchar), 1, 15))::bigint AS h
+        FROM events
+    ), topk AS (
+        SELECT h FROM hs ORDER BY h LIMIT 256
+    ), agg AS (
+        SELECT max(h) AS kth, count(*) AS n FROM topk
+    )
+    SELECT CASE WHEN n < 256 THEN n::double
+                ELSE round(255.0 * 1152921504606846976.0 / kth, 2)
+           END AS distinct_estimate
+    FROM agg
+    """,
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (functions/sketch.py): deterministic
+    md5-based k-minimum-values estimator — the oracle checks the
+    sketch value itself bit-for-bit, which HLL can't offer."""
+    from logprep_spark.functions.sketch import kmv_distinct
+
+    return kmv_distinct(tables(spark, sf_dir)["events"], "user_id", k=256)
+
+
+@register(
+    "join_range_value_bands",
+    """
+    WITH bands AS (
+        SELECT n_nationkey * 15 AS lo, n_nationkey * 15 + 29 AS hi,
+               n_name AS band
+        FROM nation
+    )
+    SELECT e.event_id, b.band, b.lo, b.hi
+    FROM events e JOIN bands b ON e.value BETWEEN b.lo AND b.hi
+    """,
+)
+def join_range_value_bands(spark, sf_dir):
+    """Range join (plans/analytics.py range_join): events matched to
+    overlapping value bands. Spark: the binning rewrite — ranges
+    explode into fixed-width bins, the join is a broadcast EQUI-join
+    on bin_id + residual BETWEEN, never a nested-loop range scan.
+    Oracle: plain BETWEEN join."""
+    t = tables(spark, sf_dir)
+    bands = t["nation"].select(
+        (F.col("n_nationkey") * 15).cast("long").alias("lo"),
+        (F.col("n_nationkey") * 15 + 29).cast("long").alias("hi"),
+        F.col("n_name").alias("band"),
+    )
+    ev = t["events"].select("event_id", "value")
+    return an.range_join(ev, "value", bands, bin_width=10).select(
+        "event_id", "band", "lo", "hi"
+    )
+
+
+@register(
     "sessionize_events",
     """
     WITH with_flag AS (

@@ -201,3 +201,15 @@ def test_sample_frames_and_chunk_audio(spark):
     assert [(r.media_id, r.chunk_idx, r.start_ms, r.end_ms) for r in chunks] == [
         (2, 0, 0, 30000), (2, 1, 30000, 60000), (2, 2, 60000, 65000)]
     assert b"".join(bytes(r.chunk_payload) for r in chunks) == b"aabbccddeeff" * 10
+
+
+def test_kmv_distinct_accuracy(spark):
+    from logprep_spark.functions.sketch import kmv_distinct
+
+    # below k: exact
+    small = spark.range(100).selectExpr("id AS v")
+    assert kmv_distinct(small, "v", k=256).first().distinct_estimate == 100.0
+    # above k: within ~10% for 5000 distinct at k=256
+    big = spark.range(5000).selectExpr("id AS v")
+    est = kmv_distinct(big, "v", k=256).first().distinct_estimate
+    assert abs(est - 5000) / 5000 < 0.15
