@@ -276,6 +276,67 @@ def join_asof_last_login(spark, sf_dir):
 
 
 @register(
+    "event_time_rollup",
+    """
+    SELECT date_trunc('day', ts)::timestamp AS day,
+           date_trunc('hour', ts)::timestamp AS hour,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+)
+def event_time_rollup(spark, sf_dir):
+    """Hypertable-style hierarchical time rollup: hour, day, and grand
+    totals from ONE shuffle (Spark expands grouping sets map-side) —
+    the continuous-aggregate shape a time-series store materializes."""
+    ev = tables(spark, sf_dir)["events"]
+    return (
+        ev.rollup(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "split_train_val_test",
+    """
+    WITH tagged AS (
+        SELECT CASE
+                 WHEN ('0x' || substr(md5('split:' || doc_id::varchar), 1, 15))::bigint % 100 < 80
+                   THEN 'train'
+                 WHEN ('0x' || substr(md5('split:' || doc_id::varchar), 1, 15))::bigint % 100 < 90
+                   THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM documents
+    )
+    SELECT split, count(*) AS n_docs FROM tagged GROUP BY split
+    """,
+)
+def split_train_val_test(spark, sf_dir):
+    """Deterministic 80/10/10 corpus split by hashed id — the
+    reproducible, engine-independent alternative to randomSplit (same
+    doc lands in the same split on every engine, every run, any
+    partitioning). Pure narrow map + one tiny agg."""
+    docs = tables(spark, sf_dir)["documents"]
+    bucket = dd.h60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
     "sketch_kmv_distinct",
     """
     WITH hs AS (
