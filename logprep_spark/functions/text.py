@@ -134,3 +134,35 @@ def pii_redact(col: Column) -> Column:
     for kind, pat in PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, f"<pii:{kind}>")
     return out
+
+
+# --- corpus-frequency surprisal scoring -------------------------------
+
+
+def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean unigram surprisal against the corpus's own
+    token distribution: surprisal(tok) = log2(N / count(tok)); rare
+    tokens raise the score. The cheap stand-in for LM-perplexity
+    filtering in a training-data pipeline.
+
+    Two-pass distributed shape: pass 1 builds the (token, count) vocab
+    (explode + hash agg — token-keyed shuffle), pass 2 re-joins tokens
+    to the vocab and re-aggregates per doc. Per-token surprisal is
+    fixed to integer MICRO-BITS before summing so the per-doc sum is
+    addition of longs — order-independent, hence bit-identical in any
+    engine (a double sum would depend on reduction order).
+    """
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    tok_rows = toked.select(id_col, F.explode("_toks").alias("tok"))
+    vocab = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = tok_rows.count()  # corpus token count: one scalar to the driver
+    micro = F.round(F.log2(F.lit(float(total)) / F.col("c")) * 1_000_000).cast("long")
+    return (
+        tok_rows.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                (F.sum(micro) / F.count(F.lit(1)) / 1_000_000.0), 4
+            ).alias("surprisal")
+        )
+    )

@@ -1691,6 +1691,33 @@ def pipeline_training_data(spark, sf_dir):
 
 
 @register(
+    "text_surprisal",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_sql_words()}) AS tok FROM documents
+    ), vocab AS (
+        SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), total AS (
+        SELECT count(*)::double AS n FROM toks
+    )
+    SELECT doc_id,
+           round(sum(round(log2(n / c) * 1000000)::bigint)
+                 / count(*) / 1000000.0, 4) AS surprisal
+    FROM toks JOIN vocab USING (tok) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def text_surprisal(spark, sf_dir):
+    """Corpus-frequency surprisal scoring (functions/text.py
+    unigram_surprisal): the LM-perplexity stand-in for training-data
+    filtering. Per-token surprisal fixes to integer micro-bits before
+    summing so the per-doc aggregate is order-independent and
+    hash-compares cross-engine."""
+    docs = tables(spark, sf_dir)["documents"]
+    return tx.unigram_surprisal(docs)
+
+
+@register(
     "dedup_exact",
     f"""
     SELECT md5(array_to_string({_sql_words()}, ' ')) AS text_hash,

@@ -213,3 +213,17 @@ def test_kmv_distinct_accuracy(spark):
     big = spark.range(5000).selectExpr("id AS v")
     est = kmv_distinct(big, "v", k=256).first().distinct_estimate
     assert abs(est - 5000) / 5000 < 0.15
+
+
+def test_unigram_surprisal(spark):
+    df = spark.createDataFrame(
+        [(1, "common common common common"), (2, "common rare")],
+        "doc_id long, text string",
+    )
+    # N=6 tokens; count(common)=5, count(rare)=1
+    out = {r.doc_id: r.surprisal for r in text.unigram_surprisal(df).collect()}
+    import math
+    assert abs(out[1] - math.log2(6 / 5)) < 1e-4          # all common tokens
+    expected2 = (math.log2(6 / 5) + math.log2(6 / 1)) / 2  # mean of both
+    assert abs(out[2] - expected2) < 1e-4
+    assert out[2] > out[1]  # rare-token doc scores higher
