@@ -78,6 +78,19 @@ def hyperplane_bucket(
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
+        if dim is None:
+            # a vector longer than max_dim would zip_with null weights
+            # and silently project null -> every sign bit false; fail
+            # loudly instead of bucketing wrong
+            proj = F.when(
+                F.size(vec) > max_dim,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"hyperplane_bucket: vector dim exceeds max_dim={max_dim}: "),
+                        F.size(vec).cast("string"),
+                    )
+                ).cast("double"),
+            ).otherwise(proj)
         bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
     out = bits[0]
     for bit in bits[1:]:

@@ -59,10 +59,12 @@ def depseudonym_for(col, secret: str = "") -> Column:
 
 
 def _aes_key(secret: str) -> str:
-    """Pad/derive a 16-byte AES key from the configured secret."""
+    """Derive a 32-byte AES-256 key from the configured secret (full
+    128-bit-entropy hex prefix of sha256; 16 hex chars would be only
+    64 bits of key material)."""
     import hashlib
 
-    return hashlib.sha256(secret.encode()).hexdigest()[:16]
+    return hashlib.sha256(secret.encode()).hexdigest()[:32]
 
 
 def _count_groups(regex: str) -> int:
@@ -113,54 +115,65 @@ def pseudonymize_url(url: Column, secret: str = "", mode: str = "hash") -> Colum
     """Structural URL pseudonymization (reference ``_pseudonymize_url``
     processor.py:333-365): scheme, registered domain (last two hostname
     labels) and port stay READABLE; the subdomain, fragment, userinfo,
-    path and query values are each pseudonymized in place. All parsing
-    is Spark's builtin ``parse_url`` — no Python in the row path."""
+    path and query values are each pseudonymized in place.
+
+    The URL is REBUILT positionally from ``parse_url`` components
+    (scheme://[user@]host[:port]/path?query#frag) — never substring
+    replace over the whole string, so a path label that also occurs in
+    the registered domain (https://example.com/example) or inside an
+    already-inserted pseudonym token can't corrupt the result. All
+    parsing is Spark's builtin ``parse_url`` — no Python row path."""
     url = url.cast("string")
-    base = F.when(url.rlike("^https?://"), url).otherwise(F.concat(F.lit("http://"), url))
+    had_scheme = url.rlike("^https?://")
+    base = F.when(had_scheme, url).otherwise(F.concat(F.lit("http://"), url))
 
     def wrap(v: Column) -> Column:
         return F.concat(F.lit("<pseudonym:"), pseudonym_for(v, secret, mode), F.lit(">"))
 
-    out = url
-    host = F.parse_url(base, F.lit("HOST"))
+    proto = F.parse_url(base, F.lit("PROTOCOL"))
+    userinfo = F.coalesce(F.parse_url(base, F.lit("USERINFO")), F.lit(""))
+    host = F.coalesce(F.parse_url(base, F.lit("HOST")), F.lit(""))
+    authority = F.coalesce(F.parse_url(base, F.lit("AUTHORITY")), F.lit(""))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    path = F.coalesce(F.parse_url(base, F.lit("PATH")), F.lit(""))
+    query = F.coalesce(F.parse_url(base, F.lit("QUERY")), F.lit(""))
+    frag = F.coalesce(F.parse_url(base, F.lit("REF")), F.lit(""))
+
     labels = F.split(host, r"\.")
-    sub = F.array_join(F.slice(labels, 1, F.size(labels) - 2), ".")
-    out = F.when(
-        host.isNotNull() & (F.size(labels) > 2), F.replace(out, sub, wrap(sub))
-    ).otherwise(out)
+    n = F.size(labels)
+    sub = F.array_join(F.slice(labels, 1, n - 2), ".")
+    domain = F.array_join(F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), ".")
+    host_out = F.when(n > 2, F.concat(wrap(sub), F.lit("."), domain)).otherwise(host)
 
-    frag = F.parse_url(base, F.lit("REF"))
-    out = F.when(
-        frag.isNotNull() & (frag != ""),
-        F.replace(out, F.concat(F.lit("#"), frag), F.concat(F.lit("#"), wrap(frag))),
-    ).otherwise(out)
-
-    userinfo = F.parse_url(base, F.lit("USERINFO"))
-    out = F.when(
-        userinfo.isNotNull() & (userinfo != ""), F.replace(out, userinfo, wrap(userinfo))
-    ).otherwise(out)
-
-    path = F.parse_url(base, F.lit("PATH"))
     bare_path = F.substring(path, 2, 1 << 20)
-    out = F.when(
-        path.isNotNull() & (F.length(path) > 1), F.replace(out, bare_path, wrap(bare_path))
-    ).otherwise(out)
+    path_out = F.when(
+        F.length(path) > 1, F.concat(F.lit("/"), wrap(bare_path))
+    ).otherwise(path)
 
-    query = F.parse_url(base, F.lit("QUERY"))
     masked_query = F.array_join(
         F.transform(
             F.split(query, "&"),
-            lambda kv: F.concat(
-                F.split_part(kv, F.lit("="), F.lit(1)),
-                F.lit("="),
-                wrap(F.split_part(kv, F.lit("="), F.lit(2))),
-            ),
+            lambda kv: F.when(
+                kv.contains("="),
+                F.concat(
+                    F.split_part(kv, F.lit("="), F.lit(1)),
+                    F.lit("="),
+                    wrap(F.split_part(kv, F.lit("="), F.lit(2))),
+                ),
+            ).otherwise(wrap(kv)),
         ),
         "&",
     )
-    return F.when(
-        query.isNotNull() & (query != ""), F.replace(out, query, masked_query)
-    ).otherwise(out)
+
+    return F.concat(
+        F.when(had_scheme, F.concat(proto, F.lit("://"))).otherwise(F.lit("")),
+        F.when(userinfo != "", F.concat(wrap(userinfo), F.lit("@"))).otherwise(F.lit("")),
+        host_out,
+        F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path_out,
+        F.when(query != "", F.concat(F.lit("?"), masked_query)).otherwise(F.lit("")),
+        F.when(frag != "", F.concat(F.lit("#"), wrap(frag))).otherwise(F.lit("")),
+    )
 
 
 class Pseudonymizer(Processor):
@@ -184,23 +197,44 @@ class Pseudonymizer(Processor):
                 continue
             src = src.cast("string")
             if path in url_fields:
-                # reference: URLs found in url_fields are pseudonymized
+                # reference: URLs in url_fields are pseudonymized
                 # STRUCTURALLY (subdomain/path/query/... masked, domain
-                # readable) instead of hashed whole. Fold each
-                # extracted URL through pseudonymize_url.
+                # readable) instead of hashed whole — but only when the
+                # rule's mapping regex matched the field value
+                # (reference _pseudonymize_field gates on the match).
                 urls = F.array_distinct(F.regexp_extract_all(src, F.lit(URL_RE), F.lit(0)))
-                replaced = F.aggregate(
-                    urls,
-                    src,
-                    lambda acc, u: F.replace(
-                        acc, u, pseudonymize_url(u, self.secret, self.mode)
+                replaced = F.when(
+                    src.rlike(regex),
+                    F.aggregate(
+                        urls,
+                        src,
+                        lambda acc, u: F.replace(
+                            acc, u, pseudonymize_url(u, self.secret, self.mode)
+                        ),
                     ),
-                )
+                ).otherwise(src)
             else:
-                replaced = F.aggregate(
+                # Two-phase fold: value -> NUL-delimited index sentinel,
+                # then sentinel -> pseudonym. A later (shorter) captured
+                # value can occur as a substring of an earlier
+                # pseudonym's base64 ciphertext; sentinels keep inserted
+                # tokens out of the replace search space entirely.
+                tagged = F.transform(
                     _captured_values(src, regex),
-                    src,
-                    lambda acc, v: F.replace(acc, v, self._wrapped(v)),
+                    lambda v, i: F.struct(v.alias("v"), i.cast("string").alias("i")),
+                )
+                sentinel = lambda s: F.concat(  # noqa: E731
+                    F.lit("\x00"), s.getField("i"), F.lit("\x00")
+                )
+                step1 = F.aggregate(
+                    tagged, src, lambda acc, s: F.replace(acc, s.getField("v"), sentinel(s))
+                )
+                replaced = F.aggregate(
+                    tagged,
+                    step1,
+                    lambda acc, s: F.replace(
+                        acc, sentinel(s), self._wrapped(s.getField("v"))
+                    ),
                 )
             value = F.when(cond, replaced).otherwise(src)
             df = fld.set_field(df, path, value)

@@ -42,7 +42,11 @@ class Timestamper(Processor):
         # shift is decided per-candidate, not on the coalesced result.
         shift = src_tz != "UTC"
         # explicit ISO offset at end of string: Z / +01 / +0100 / +01:00
-        has_offset = src.cast("string").rlike(r"(Z|[+-]\d{2}(:?\d{2})?)$")
+        # — but only AFTER a time component: a date-only string like
+        # '2024-06-01' ends in '-01' and must still count as naive.
+        has_offset = src.cast("string").rlike(
+            r"\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|[+-]\d{2}(:?\d{2})?)$"
+        )
 
         candidates = []
         for fmt in formats:

@@ -168,19 +168,23 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     with_session = events.withColumn(
         "session_id", F.sum(new_session).over(by_user.rowsBetween(Window.unboundedPreceding, 0))
     )
+    # Durations stay integer microseconds until ONE final double division:
+    # engine-variant float epoch() / int128 promotion never enters the result.
     return (
         with_session.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (
-                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000.0
-            ).alias("duration_s"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
         )
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
             F.sum("n_events").alias("n_events"),
-            F.round(F.avg("duration_s"), 3).alias("avg_session_s"),
+            F.round(
+                F.sum("duration_us") / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 3
+            ).alias("avg_session_s"),
         )
     )
 

@@ -81,30 +81,38 @@ def register(name: str, oracle: str | None = None):
 # representative processors) must land inside the window; near-duplicate
 # processor variants go after the cutoff (they stay judged by pytest and
 # remain runnable/oracle-checked by name).
+# The driver records official correctness rows for the FIRST 50 entries
+# only. r3 rotation: the 28 queries that had no official row through r2
+# (16 §2.2 processors, the five r2 analytics ops, text_pii/surprisal,
+# ann_topk_ivf, amides, requester) take the window alongside 22 anchors
+# that keep every capability area officially covered round-over-round.
 _PRIORITY = [
-    # §2.5 analytics core
+    # --- r3 first-time rows: §2.2 processors never inside the window ---
+    "proc_clusterer", "proc_deleter", "proc_dropper", "proc_generic_adder",
+    "proc_geoip_enricher", "proc_key_checker", "proc_labeler",
+    "proc_list_comparison", "proc_network_comparison", "proc_string_splitter",
+    "proc_template_replacer", "proc_domain_label_extractor",
+    "proc_domain_resolver", "proc_decoder_base64", "proc_decoder_clf",
+    "proc_decoder_nginx", "proc_grokker_apache", "proc_pseudonymizer_capture",
+    "proc_amides", "proc_requester",
+    # --- r3 first-time rows: r2 analytics additions (A10-A14) ---
+    "join_asof_last_login", "join_range_value_bands", "event_time_rollup",
+    "split_train_val_test", "sketch_kmv_distinct",
+    # --- r3 first-time rows: LLM-data ops ---
+    "text_pii", "text_surprisal", "ann_topk_ivf",
+    # --- anchors: §2.5 analytics core ---
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
-    "join_broadcast_nation", "window_topk_orders", "join_anti_customers",
-    "sessionize_events", "event_type_stats", "event_rollup",
-    "event_percentiles", "agg_salted_user_counts",
-    # §2.1 filter DSL
-    "filter_lucene_bool", "filter_lucene_wildcard", "filter_lucene_regex",
-    "filter_lucene_range", "filter_lucene_sigma",
-    # §2.4 LLM-training-data ops
-    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
-    "ann_topk_bruteforce", "ann_topk_lsh",
-    "text_langid", "text_quality", "text_tokens", "text_fingerprint",
-    # framework surface + flagship composition
-    "pipeline_training_data",
-    "pipeline_compose", "source_preprocessors", "source_jsonl",
-    # §2.2 representative processors
-    "proc_calculator", "proc_concatenator", "proc_datetime_extractor",
-    "proc_decoder_json", "proc_dissector", "proc_grokker",
-    "proc_timestamper", "proc_timestamp_differ", "proc_pseudonymizer",
-    "proc_pseudonymizer_pseudonyms", "proc_replacer",
-    "proc_field_manager", "proc_generic_resolver", "proc_ip_informer",
-    "proc_pre_detector", "proc_selective_extractor", "proc_deduplicator",
+    "sessionize_events", "event_rollup", "window_topk_orders",
+    "join_anti_customers",
+    # --- anchors: §2.1 filter DSL ---
+    "filter_lucene_bool", "filter_lucene_sigma",
+    # --- anchors: §2.4 LLM-training-data ops ---
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_embedding_cosine", "ann_topk_bruteforce", "ann_topk_lsh",
+    "text_quality", "text_langid",
+    # --- anchors: framework surface + flagship composition ---
+    "pipeline_training_data", "pipeline_compose", "source_preprocessors",
+    "proc_grokker",
 ]
 
 
@@ -398,7 +406,7 @@ def join_range_value_bands(spark, sf_dir):
     WITH with_flag AS (
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -412,13 +420,14 @@ def join_range_value_bands(spark, sf_dir):
     ), sessions AS (
         SELECT user_id, session_id,
                count(*) AS n_events,
-               epoch(max(ts)) - epoch(min(ts)) AS duration_s
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
         FROM with_session GROUP BY user_id, session_id
     )
     SELECT user_id,
-           count(*)                  AS n_sessions,
-           sum(n_events)             AS n_events,
-           round(avg(duration_s), 3) AS avg_session_s
+           count(*)                              AS n_sessions,
+           CAST(sum(n_events) AS BIGINT)         AS n_events,
+           round(CAST(sum(duration_us) AS BIGINT)
+                 / (count(*) * 1000000.0), 3)    AS avg_session_s
     FROM sessions GROUP BY user_id
     """,
 )

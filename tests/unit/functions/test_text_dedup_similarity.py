@@ -227,3 +227,17 @@ def test_unigram_surprisal(spark):
     expected2 = (math.log2(6 / 5) + math.log2(6 / 1)) / 2  # mean of both
     assert abs(out[2] - expected2) < 1e-4
     assert out[2] > out[1]  # rare-token doc scores higher
+
+
+def test_hyperplane_bucket_overdim_raises(spark):
+    """A vector longer than max_dim must fail loudly, not silently
+    bucket everything to sign-bits-of-null."""
+    from logprep_spark.functions.similarity import hyperplane_bucket
+
+    df = spark.createDataFrame([([0.5] * 8,)], "vec array<float>")
+    ok = df.select(hyperplane_bucket(F.col("vec"), n_planes=4).alias("b")).first()
+    assert ok.b is not None
+    with pytest.raises(Exception, match="max_dim"):
+        df.select(
+            hyperplane_bucket(F.col("vec"), n_planes=2, max_dim=4).alias("b")
+        ).collect()

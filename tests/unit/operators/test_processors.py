@@ -1,8 +1,12 @@
 """Per-processor given-event -> expected-event tests, modeled on the
 reference's tests/unit/processor strategy."""
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
+
+from logprep_spark.operators.pseudonymizer import pseudonymize_url
 
 from logprep_spark.operators import (
     Amides,
@@ -702,7 +706,7 @@ def test_pseudonymizer_url_fields(spark):
     df = spark.createDataFrame([(1, f"visit {url} now")], "id long, msg string")
     proc = Pseudonymizer(
         [{"filter": "*", "pseudonymizer": {
-            "mapping": {"msg": "ignored-for-url-fields"},
+            "mapping": {"msg": r"visit .*"},
             "url_fields": ["msg"]}}]
     )
     row = proc.transform(df).first()
@@ -714,6 +718,54 @@ def test_pseudonymizer_url_fields(spark):
     assert "user=<pseudonym:" in row.msg       # query keys readable
     assert "#sec2" not in row.msg and "#<pseudonym:" in row.msg
     assert row.msg.endswith(" now")
+
+
+def test_pseudonymizer_url_fields_regex_gated(spark):
+    """url_fields only applies when the rule's mapping regex matches
+    the field value (reference _pseudonymize_field gates on match)."""
+    msg = "visit https://login.internal.example.com/a now"
+    df = spark.createDataFrame([(1, msg)], "id long, msg string")
+    out = Pseudonymizer(
+        [{"filter": "*", "pseudonymizer": {
+            "mapping": {"msg": r"will-not-match-\d{9}"},
+            "url_fields": ["msg"]}}]
+    ).transform(df)
+    assert out.first().msg == msg  # untouched: regex didn't match
+
+
+def test_pseudonymizer_url_domain_in_path(spark):
+    """Positional rebuild: a path label equal to the registered-domain
+    label must not corrupt the readable domain (the old substring
+    replace over the whole URL mangled https://example.com/example)."""
+    df = spark.createDataFrame(
+        [("https://a.example.com/example?q=example#example",)], "u string"
+    )
+    out = df.select(pseudonymize_url(F.col("u")).alias("m")).first().m
+    assert ".example.com/" in out               # domain intact
+    assert out.startswith("https://<pseudonym:")
+    assert "/example" not in out.split("?")[0].replace(".example.com", "")
+    assert "?q=<pseudonym:" in out and "#<pseudonym:" in out
+
+
+def test_pseudonymizer_encrypt_substring_safe(spark):
+    """Two-phase sentinel replace: a shorter captured value that is a
+    substring of an earlier pseudonym's base64 ciphertext must not
+    corrupt it (encrypt mode emits base64 over the full alphabet)."""
+    from logprep_spark.operators.pseudonymizer import depseudonym_for
+
+    df = spark.createDataFrame([("user=alice id=al",)], "msg string")
+    proc = Pseudonymizer(
+        [{"filter": "*", "pseudonymizer": {
+            "mapping": {"msg": r"user=(\w+)|id=(\w+)"}}}],
+        secret="k", mode="encrypt",
+    )
+    out = proc.transform(df).first().msg
+    toks = re.findall(r"<pseudonym:([A-Za-z0-9+/=]+)>", out)
+    assert len(toks) == 2
+    dec = spark.range(1).select(
+        *[depseudonym_for(F.lit(t), "k").alias(f"d{i}") for i, t in enumerate(toks)]
+    ).first()
+    assert sorted([dec.d0, dec.d1]) == ["al", "alice"]
 
 
 def test_clusterer_reference_pattern_repl(spark):
