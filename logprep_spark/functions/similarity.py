@@ -245,10 +245,17 @@ def ivf_topk(
         return F.array(*[_cos_to_centroid(vec, c) for c in cvecs])
 
     vec = F.col(vec_col)
+    # stage the score array in its own select so the argmax reads it
+    # twice without recomputing n_centroids cosine folds twice per row
+    # (CollapseProject keeps the staging: _scores is referenced twice)
     corpus = df.select(
         F.col(id_col).alias("nbr_id"),
         vec.alias("nbr_vec"),
-        F.array_position(scores(vec), F.array_max(scores(vec))).alias("bucket"),
+        scores(vec).alias("_scores"),
+    ).select(
+        "nbr_id",
+        "nbr_vec",
+        F.array_position(F.col("_scores"), F.array_max("_scores")).alias("bucket"),
     )
     # per-query top-n_probe centroid ids: sort (−score, id) structs
     ranked = F.transform(

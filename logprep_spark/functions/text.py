@@ -152,13 +152,20 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     addition of longs — order-independent, hence bit-identical in any
     engine (a double sum would depend on reduction order).
     """
+    from pyspark.sql.functions import broadcast
+
     toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     tok_rows = toked.select(id_col, F.explode("_toks").alias("tok"))
     vocab = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = tok_rows.count()  # corpus token count: one scalar to the driver
-    micro = F.round(F.log2(F.lit(float(total)) / F.col("c")) * 1_000_000).cast("long")
+    # corpus token total from the ALREADY-AGGREGATED vocab, attached as
+    # a broadcast 1-row cross join — no driver-side count(), no second
+    # scan+explode of the corpus (that extra pass was a full re-derive
+    # of tok_rows before the real job)
+    totals = vocab.agg(F.sum("c").alias("_total"))
+    micro = F.round(F.log2(F.col("_total") / F.col("c")) * 1_000_000).cast("long")
     return (
         tok_rows.join(vocab, "tok")
+        .crossJoin(broadcast(totals))
         .groupBy(id_col)
         .agg(
             F.round(

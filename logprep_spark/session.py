@@ -53,9 +53,12 @@ def fan_out(df, factor: float = 1.0):
     when per-row work is tens of microseconds or more.
     """
     target = int(df.sparkSession.sparkContext.defaultParallelism * factor)
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # pin to exactly `target` rather than probing df.rdd
+    # .getNumPartitions() first: the RDD probe forces plan analysis +
+    # RDD conversion on every call, and for CPU-bound batch work the
+    # right width IS cluster parallelism — narrower serializes cores,
+    # (much) wider just adds per-task overhead
+    return df.repartition(target)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None):

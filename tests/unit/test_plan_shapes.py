@@ -178,3 +178,26 @@ def test_planes_for_scaling():
     assert planes_for(10_000) == 4
     assert planes_for(1_000_000_000) == 18  # 1B vectors
     assert planes_for(25_000_000_000) > 20  # ~100 TB of 1k-dim floats
+
+
+def test_asof_join_no_nested_loop(plans):
+    """As-of join is union + carry-forward window: never a
+    BroadcastNestedLoopJoin on the inequality (which is O(n*m) and
+    OOMs the moment the build side outgrows the broadcast limit),
+    and exactly one per-key Window pass."""
+    plan = plans("join_asof_last_login")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_range_join_is_binned_equi_join(plans):
+    """Binned range join: the bands explode into fixed-width bins and
+    the join is an EQUI-join on the bin id (hashable, partitionable)
+    with a residual BETWEEN filter — not a nested-loop range scan."""
+    plan = plans("join_range_value_bands")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
