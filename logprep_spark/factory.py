@@ -100,7 +100,7 @@ _INPUTS: dict[str, Any] = {
     "json_input": lambda cfg: JsonInput(cfg.pop("documents_path"), cfg.pop("schema", None)),
     "file_input": lambda cfg: FileInput(cfg.pop("logfile_path")),
     "dummy_input": lambda cfg: DummyInput(cfg.pop("documents", []), cfg.pop("schema", None)),
-    "http_input": lambda cfg: HttpInput(cfg.pop("spool_dir"), cfg.pop("schema")),
+    "http_input": lambda cfg: HttpInput(cfg.pop("spool_dir"), cfg.pop("schema"), **cfg),
     "confluentkafka_input": lambda cfg: KafkaInput(
         cfg.get("kafka_config", {}).get("bootstrap.servers", "localhost:9092"),
         cfg.pop("topic"),

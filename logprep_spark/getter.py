@@ -70,26 +70,41 @@ class HttpGetter(FileGetter):
         self.protocol = protocol
         self.target = target
 
-    def get_raw(self) -> bytes:
-        if os.environ.get("LOGPREP_SPARK_ALLOW_HTTP") != "1":
-            raise GetterNotFoundError(
-                f"http getter for {self.protocol}://{self.target} is disabled; "
-                "set LOGPREP_SPARK_ALLOW_HTTP=1 to allow network access"
-            )
-        from urllib.request import Request, urlopen
+    @property
+    def url(self) -> str:
+        return f"{self.protocol}://{self.target}"
 
-        headers = {}
+    def _auth_headers(self) -> dict:
+        """Authorization for this url: the ``LOGPREP_CREDENTIALS_FILE``
+        mapping wins (reference credentials.py:138 from_target — basic,
+        token, OAuth2 flows with expiry refresh); the legacy env-var
+        pair/token is the fallback."""
+        from logprep_spark.credentials import CredentialsFactory
+
+        creds = CredentialsFactory.from_target(self.url)
+        if creds is not None:
+            return creds.get_headers()
         user = os.environ.get("LOGPREP_SPARK_HTTP_USER")
         password = os.environ.get("LOGPREP_SPARK_HTTP_PASSWORD")
         token = os.environ.get("LOGPREP_SPARK_HTTP_TOKEN")
         if token:
-            headers["Authorization"] = f"Bearer {token}"
-        elif user and password:
+            return {"Authorization": f"Bearer {token}"}
+        if user and password:
             import base64
 
             basic = base64.b64encode(f"{user}:{password}".encode()).decode()
-            headers["Authorization"] = f"Basic {basic}"
-        req = Request(f"{self.protocol}://{self.target}", headers=headers)
+            return {"Authorization": f"Basic {basic}"}
+        return {}
+
+    def get_raw(self) -> bytes:
+        if os.environ.get("LOGPREP_SPARK_ALLOW_HTTP") != "1":
+            raise GetterNotFoundError(
+                f"http getter for {self.url} is disabled; "
+                "set LOGPREP_SPARK_ALLOW_HTTP=1 to allow network access"
+            )
+        from urllib.request import Request, urlopen
+
+        req = Request(self.url, headers=self._auth_headers())
         with urlopen(req, timeout=30) as resp:  # noqa: S310 - gated above
             return resp.read()
 

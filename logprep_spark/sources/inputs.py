@@ -162,11 +162,138 @@ class HttpInput(Input):
     """reference ``connector/http`` — push endpoint. No HTTP listener
     exists inside a Spark job; the Spark-shaped equivalent is a spool
     directory (receiver writes jsonl; the stream tails it), so this is
-    ``JsonlInput.read_stream`` plus an explicitly-stubbed server."""
+    ``JsonlInput.read_stream`` plus an explicitly-stubbed server.
 
-    def __init__(self, spool_dir: str, schema: T.StructType | str, **kw):
+    The OPTION SCHEMA mirrors the reference Config
+    (connector/http/input.py:406-540): ``endpoints`` routes (path →
+    json|jsonl|plaintext, ``*`` wildcards allowed), ``uvicorn_config``
+    validated against the public uvicorn settings names,
+    ``message_backlog_size``, ``copy_headers_to_logs`` /
+    ``collect_meta`` / ``metafield_name`` metadata collection and
+    ``original_event_field`` — so reference YAML validates unchanged.
+    :meth:`receive` is the in-process stand-in for one endpoint hit:
+    per-endpoint auth from the credentials file (reference
+    endpoint ``basic_auth`` decorator), body parsing per endpoint
+    type, header metadata, then a jsonl spool append that
+    ``read_stream`` tails."""
+
+    ENDPOINT_TYPES = ("json", "plaintext", "jsonl")
+    #: public uvicorn settings (reference validates against
+    #: uvicorn's own parameter list minus app/loop — util/http.py:16)
+    UVICORN_CONFIG_KEYS = frozenset(
+        """host port uds fd workers ws lifespan env_file log_config
+        log_level access_log use_colors interface reload reload_dirs
+        ssl_keyfile ssl_certfile ssl_keyfile_password ssl_version
+        ssl_cert_reqs ssl_ca_certs ssl_ciphers headers server_header
+        date_header limit_concurrency limit_max_requests backlog
+        timeout_keep_alive timeout_notify timeout_graceful_shutdown
+        h11_max_incomplete_event_size root_path proxy_headers
+        forwarded_allow_ips""".split()
+    )
+    DEFAULT_META_HEADERS = ("remote_addr", "url", "User-Agent")
+
+    def __init__(
+        self,
+        spool_dir: str,
+        schema: T.StructType | str,
+        endpoints: dict[str, str] | None = None,
+        uvicorn_config: dict | None = None,
+        message_backlog_size: int = 15000,
+        copy_headers_to_logs: list[str] | set[str] | None = None,
+        collect_meta: bool = True,
+        metafield_name: str = "@metadata",
+        original_event_field: dict[str, str] | None = None,
+        **kw,
+    ):
         super().__init__(**kw)
+        self.spool_dir = spool_dir
+        self.endpoints = endpoints if endpoints is not None else {"/events": "json"}
+        for path, kind in self.endpoints.items():
+            if not path.startswith("/") or len(path) < 2:
+                raise ValueError(f"http_input endpoint path must match ^/.+: {path!r}")
+            if kind not in self.ENDPOINT_TYPES:
+                raise ValueError(
+                    f"http_input endpoint {path!r} type {kind!r} not in "
+                    f"{self.ENDPOINT_TYPES}"
+                )
+        self.uvicorn_config = dict(uvicorn_config or {})
+        unknown = sorted(set(self.uvicorn_config) - self.UVICORN_CONFIG_KEYS)
+        if unknown:
+            raise ValueError(f"http_input uvicorn_config unknown keys: {unknown}")
+        self.message_backlog_size = int(message_backlog_size)
+        self.collect_meta = bool(collect_meta)
+        self.copy_headers_to_logs = set(
+            copy_headers_to_logs
+            if copy_headers_to_logs is not None
+            else (self.DEFAULT_META_HEADERS if self.collect_meta else ())
+        )
+        self.metafield_name = metafield_name
+        self.original_event_field = original_event_field
         self._jsonl = JsonlInput(spool_dir, schema, preprocessing=self.preprocessing)
+
+    def _match_endpoint(self, path: str) -> str:
+        from fnmatch import fnmatch
+
+        if path in self.endpoints:
+            return self.endpoints[path]
+        for pattern, kind in self.endpoints.items():
+            if fnmatch(path, pattern):
+                return kind
+        raise KeyError(f"no http_input endpoint matches {path!r}")
+
+    def receive(
+        self,
+        path: str,
+        body: str,
+        headers: dict[str, str] | None = None,
+        remote_addr: str = "",
+        url: str = "",
+    ) -> list[dict]:
+        """One endpoint hit, in-process: auth check (credentials-file
+        ``input.endpoints`` section), parse per endpoint type, attach
+        header metadata, append jsonl to the spool the stream tails.
+        Returns the events written (for assertions)."""
+        import json as _json
+
+        from logprep_spark.credentials import CredentialsFactory
+
+        headers = dict(headers or {})
+        required = CredentialsFactory.from_endpoint(path)
+        if required is not None:
+            expected = required.get_headers().get("Authorization")
+            if expected is not None and headers.get("Authorization") != expected:
+                raise PermissionError(f"unauthorized for endpoint {path!r}")
+
+        kind = self._match_endpoint(path)
+        if kind == "json":
+            events = [_json.loads(body)]
+        elif kind == "jsonl":
+            events = [_json.loads(line) for line in body.splitlines() if line.strip()]
+        else:
+            events = [{"message": body}]
+
+        if self.original_event_field:
+            target = self.original_event_field["target_field"]
+            as_str = self.original_event_field.get("format", "str") == "str"
+            events = [
+                {target: body if as_str else ev} for ev in events
+            ]
+        if self.collect_meta and self.copy_headers_to_logs:
+            meta_source = {**headers, "remote_addr": remote_addr, "url": url}
+            meta = {
+                h.lower().replace("-", "_"): meta_source[h]
+                for h in self.copy_headers_to_logs
+                if meta_source.get(h)
+            }
+            events = [{**ev, self.metafield_name: meta} for ev in events]
+
+        os.makedirs(self.spool_dir, exist_ok=True)
+        import uuid
+
+        with open(os.path.join(self.spool_dir, f"recv-{uuid.uuid4().hex}.jsonl"), "w") as fh:
+            for ev in events:
+                fh.write(_json.dumps(ev) + "\n")
+        return events
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
         return self._jsonl.read_stream(spark)

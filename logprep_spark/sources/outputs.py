@@ -165,6 +165,20 @@ class OpensearchOutput:
             lines.append(json.dumps(r.asDict(recursive=True), default=str))
         return "\n".join(lines) + "\n" if lines else ""
 
+    def auth_headers(self) -> dict:
+        """Authorization for the bulk endpoint, resolved ONCE on the
+        driver and closed over into the executor-side sender:
+        ``LOGPREP_CREDENTIALS_FILE`` mapping for the first host
+        (credentials.py from_target) wins over the inline user/secret
+        basic pair. Token fetch/refresh happens driver-side per batch —
+        never once per partition."""
+        from logprep_spark.credentials import BasicAuthCredentials, CredentialsFactory
+
+        creds = CredentialsFactory.from_target(self.hosts[0]) if self.hosts else None
+        if creds is None and self.user and self.secret:
+            creds = BasicAuthCredentials(self.user, self.secret)
+        return creds.get_headers() if creds is not None else {}
+
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         """Executor-side bulk assembly: each partition builds and ships
         its own bulk bodies (``foreachPartition``), chunked to
@@ -172,6 +186,22 @@ class OpensearchOutput:
         never funnel through the driver."""
         spool, transport, bulk = self.spool_dir, self.transport, self._bulk_lines
         chunk_size, max_retries = self.message_backlog_size, self.max_retries
+        headers = self.auth_headers()
+        import inspect
+
+        def _wants_headers(fn) -> bool:
+            # only count REQUIRED positional params: default-arg helpers
+            # (e.g. closure-bound test transports) stay single-arg
+            params = [
+                p
+                for p in inspect.signature(fn).parameters.values()
+                if p.default is inspect.Parameter.empty
+                and p.kind
+                in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            ]
+            return len(params) >= 2
+
+        transport_takes_headers = transport is not None and _wants_headers(transport)
 
         def send_body(body: str, batch_id: int, pid: int, chunk_idx: int) -> None:
             if transport is not None:
@@ -179,7 +209,10 @@ class OpensearchOutput:
 
                 for attempt in range(max_retries + 1):
                     try:
-                        transport(body)
+                        if transport_takes_headers:
+                            transport(body, headers)
+                        else:
+                            transport(body)
                         return
                     except Exception:  # noqa: BLE001 - retried, then re-raised
                         if attempt == max_retries:

@@ -8,8 +8,11 @@ import os
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from logprep_spark.sources import (
     DummyInput,
+    HttpInput,
     DummyOutput,
     FileInput,
     JsonlInput,
@@ -192,3 +195,63 @@ def test_opensearch_chunking_and_retry(spark, tmp_path):
     ok = OpensearchOutput(index="i", transport=flaky, max_retries=3)
     ok.write_batch(df.coalesce(1).limit(2), batch_id=1)
     assert len(os.listdir(marks)) == 3  # 2 failures + 1 success
+
+
+def test_http_input_option_parity(tmp_path):
+    """Reference http input Config surface (connector/http/input.py:
+    406-540): endpoints routing table, uvicorn_config key validation,
+    metadata collection knobs — reference YAML validates unchanged."""
+    src = HttpInput(
+        str(tmp_path / "spool"),
+        "message string",
+        endpoints={"/events": "json", "/lines*": "jsonl", "/raw": "plaintext"},
+        uvicorn_config={"host": "0.0.0.0", "port": 9000, "workers": 2,
+                        "access_log": True, "server_header": False},
+        message_backlog_size=15000,
+        copy_headers_to_logs=["remote_addr", "url", "User-Agent"],
+        metafield_name="@metadata",
+    )
+    assert src._match_endpoint("/events") == "json"
+    assert src._match_endpoint("/lines/sub") == "jsonl"    # wildcard
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        src._match_endpoint("/nope")
+    with _pytest.raises(ValueError, match="uvicorn_config unknown"):
+        HttpInput(str(tmp_path), "message string", uvicorn_config={"app": "x"})
+    with _pytest.raises(ValueError, match=r"\^/"):
+        HttpInput(str(tmp_path), "message string", endpoints={"events": "json"})
+    with _pytest.raises(ValueError, match="type"):
+        HttpInput(str(tmp_path), "message string", endpoints={"/e": "xml"})
+
+
+def test_http_input_receive_spools_and_streams(spark, tmp_path, monkeypatch):
+    """receive() parses per endpoint type, enforces per-endpoint auth
+    from the credentials file, attaches header metadata, and the spool
+    append is visible to the batch/stream reader."""
+    import base64 as _b64
+
+    creds = tmp_path / "creds.json"
+    creds.write_text(json.dumps({"input": {"endpoints": {
+        "/secure": {"username": "u", "password": "p"}}}}))
+    monkeypatch.setenv("LOGPREP_CREDENTIALS_FILE", str(creds))
+
+    spool = str(tmp_path / "spool")
+    src = HttpInput(
+        spool, "message string, `@metadata` map<string,string>",
+        endpoints={"/secure": "plaintext", "/bulk": "jsonl"},
+    )
+    with pytest.raises(PermissionError):
+        src.receive("/secure", "hello", headers={})
+    ok = "Basic " + _b64.b64encode(b"u:p").decode()
+    written = src.receive(
+        "/secure", "hello", headers={"Authorization": ok, "User-Agent": "curl"},
+        remote_addr="10.0.0.9", url="/secure",
+    )
+    assert written[0]["message"] == "hello"
+    assert written[0]["@metadata"]["user_agent"] == "curl"
+    assert written[0]["@metadata"]["remote_addr"] == "10.0.0.9"
+    src.receive("/bulk", '{"message": "l1"}\n{"message": "l2"}\n')
+    got = spark.read.json(spool)
+    assert got.count() == 3
+    assert {r.message for r in got.collect()} == {"hello", "l1", "l2"}
