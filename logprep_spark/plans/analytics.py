@@ -161,7 +161,10 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     inactivity per user. Window lag + running sum — one shuffle on
     user_id, scales with users not events-squared."""
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(by_user))
+    # timestamp_diff works on TIMESTAMP and TIMESTAMP_NTZ alike (the
+    # driver's session reads the testdata's TIMESTAMP(NANOS) as NTZ)
+    # and a *difference* is session-timezone-free either way.
+    gap = F.timestamp_diff("MICROSECOND", F.lag("ts").over(by_user), F.col("ts"))
     new_session = F.when(
         gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
@@ -174,7 +177,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         with_session.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            F.timestamp_diff("MICROSECOND", F.min("ts"), F.max("ts")).alias(
                 "duration_us"
             ),
         )
