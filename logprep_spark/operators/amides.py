@@ -1,19 +1,36 @@
-"""Amides — adaptive misuse detection scoring (STUB model).
+"""Amides — adaptive misuse detection scoring with a real trained model.
 
-Reference: /root/reference/logprep/processor/amides/processor.py
-(a trained sklearn-style model scores process command lines for SIEM
-rule-evasion attempts; attaches ``amides.confidence`` plus possibly
-matching rule ids).
+Reference: /root/reference/logprep/processor/amides/processor.py (a
+trained classifier scores process command lines for SIEM rule-evasion
+attempts; attaches ``amides.confidence``). Normalization mirrors the
+reference ``CommandLineNormalizer`` (normalize.py:36-60,
+features.py:87-186): strip dummy chars ``["^`’]``, lowercase, ``\\w+``
+tokenize, drop (hex-)numeric tokens longer than 3 chars and any token
+longer than 30.
 
-The model artifact/runtime isn't available here, so scoring is a
-clearly-marked DETERMINISTIC STUB (feature-hash based pseudo score in
-[0,1)). The Spark plumbing is the real design: scoring runs as an
-Arrow-batched ``pandas_udf`` — the exact shape a real sklearn/onnx
-model would use (load once per executor, vectorized predict per
-batch).
+The model is a logistic regression over hashed token counts (hashing
+trick, 64 buckets) trained by ``tools/train_amides.py`` on
+public-knowledge fixtures (Sigma-rule-style attack command lines vs
+ordinary process invocations) and serialized in-repo as
+``amides_model.json``. Weights are integer micro-units, so the decision
+margin is exact integer math — bit-reproducible in any engine (the
+DuckDB oracle recomputes it in SQL).
+
+Spark shape: scoring runs as an Arrow-batched ``pandas_udf`` — the
+model loads once per executor (module-level cache) and scores whole
+Arrow batches, which is exactly how a bigger sklearn/onnx artifact
+would deploy. The reference's LRU result cache (max_cache_entries)
+is unnecessary here: Spark amortizes via columnar batches instead of
+per-event memoization.
 """
 
 from __future__ import annotations
+
+import hashlib
+import json
+import math
+import re
+from pathlib import Path
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -23,23 +40,55 @@ from pyspark.sql.functions import pandas_udf
 from logprep_spark import fields as fld
 from logprep_spark.operators.base import Processor
 
+_MODEL_PATH = Path(__file__).resolve().parent / "amides_model.json"
+_DUMMY = re.compile(r"[\"\^`’]")
+_TOKEN = re.compile(r"\w+", re.ASCII)
+_NUMERIC = re.compile(r"^(?:0x)?[0-9a-f]{4,}$")
 
-def _stub_confidence():
-    """STUB: stable pseudo-confidence from a cheap feature hash.
+_model_cache: dict | None = None
 
-    A real deployment swaps the body for model.decision_function on
-    the same vectorized batch interface. Built lazily — pandas_udf
-    registration needs an active SparkSession."""
+
+def load_model() -> dict:
+    """Load (and cache) the in-repo model. Executors each pay this once
+    per interpreter — the JSON rides inside the package."""
+    global _model_cache
+    if _model_cache is None:
+        _model_cache = json.loads(_MODEL_PATH.read_text())
+    return _model_cache
+
+
+def normalize(cmdline: str) -> list[str]:
+    """Reference CommandLineNormalizer parity (ASCII \\w to match the
+    RE2 semantics the SQL oracle uses)."""
+    s = _DUMMY.sub("", cmdline).lower()
+    return [t for t in _TOKEN.findall(s) if len(t) <= 30 and not _NUMERIC.match(t)]
+
+
+def margin_micros(cmdline: str, model: dict) -> int:
+    """Integer decision margin: bias + sum of hashed-bucket weights."""
+    dim = model["dim"]
+    weights = model["weights_micros"]
+    total = model["bias_micros"]
+    for tok in normalize(cmdline):
+        bucket = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim
+        total += weights[bucket]
+    return total
+
+
+def _confidence_udf():
+    """Built lazily — pandas_udf registration needs an active session."""
 
     @pandas_udf("double")
     def score_udf(cmdline: pd.Series) -> pd.Series:
-        import hashlib
+        model = load_model()
 
         def score(value) -> float:
             if value is None:
                 return 0.0
-            digest = hashlib.sha256(str(value).encode()).digest()
-            return int.from_bytes(digest[:4], "big") / 2**32
+            m = margin_micros(str(value), model)
+            # math.exp (libm), not numpy's SIMD exp: bit-identical to
+            # the oracle engine's exp on the same double input
+            return 1.0 / (1.0 + math.exp(-m / 1e6))
 
         return cmdline.map(score)
 
@@ -53,5 +102,14 @@ class Amides(Processor):
         src = fld.get_field(df, cfg["source_fields"][0])
         if src is None:
             return df
-        confidence = _stub_confidence()(src.cast("string"))
-        return self.set_when(df, "amides.confidence", cond, confidence)
+        confidence = _confidence_udf()(src.cast("string"))
+        df = self.set_when(df, "amides.confidence", cond, confidence)
+        threshold = cfg.get("decision_threshold")
+        if threshold is not None:
+            df = self.set_when(
+                df,
+                "amides.malicious",
+                cond,
+                fld.get_field(df, "amides.confidence") >= float(threshold),
+            )
+        return df

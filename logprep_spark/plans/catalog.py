@@ -1389,15 +1389,41 @@ def proc_domain_resolver(spark, sf_dir):
     return proc.transform(ev).select("event_id", "resolved_ip")
 
 
-@register(
-    "proc_amides",
-    """
+def _amides_oracle() -> str:
+    """Closed-form SQL replica of the trained amides model: same
+    normalization (reference CommandLineNormalizer parity), same
+    md5-bucket hashing trick, same integer micro-weights — so the
+    pandas_udf scorer is hash-gated, not just rows-checked."""
+    from logprep_spark.operators.amides import load_model
+
+    m = load_model()
+    weights = "[" + ", ".join(str(v) for v in m["weights_micros"]) + "]"
+    return f"""
+    WITH cmd AS (
+      SELECT event_id,
+             'cmd.exe /c ' || event_type || ' ' || user_id AS cmdline
+      FROM events
+    ), toks AS (
+      SELECT event_id,
+             list_filter(
+               regexp_extract_all(
+                 lower(regexp_replace(cmdline, '["^`’]', '', 'g')), '\\w+'),
+               t -> len(t) <= 30
+                    AND NOT regexp_matches(t, '^(?:0x)?[0-9a-f]{{4,}}$')
+             ) AS toks
+      FROM cmd
+    )
     SELECT event_id,
-           ('0x' || substr(sha256('cmd.exe /c ' || event_type || ' ' || user_id), 1, 8))::bigint
-               / 4294967296.0 AS confidence
-    FROM events
-    """,
-)
+           round(1.0 / (1.0 + exp(-(({m["bias_micros"]}
+               + coalesce(list_sum(list_transform(toks,
+                   t -> {weights}[(('0x' || substr(md5(t), 1, 8))::bigint
+                                   % {m["dim"]}) + 1])), 0)) / 1000000.0))),
+                 4) AS confidence
+    FROM toks
+    """
+
+
+@register("proc_amides", _amides_oracle())
 def proc_amides(spark, sf_dir):
     from logprep_spark.operators import Amides
 
@@ -1407,7 +1433,10 @@ def proc_amides(spark, sf_dir):
     )
     proc = Amides([{"filter": "*", "amides": {"source_fields": ["cmdline"]}}])
     out = proc.transform(ev)
-    return out.select("event_id", F.col("amides").getField("confidence").alias("confidence"))
+    return out.select(
+        "event_id",
+        F.round(F.col("amides").getField("confidence"), 4).alias("confidence"),
+    )
 
 
 @register(

