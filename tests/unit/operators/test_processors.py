@@ -260,6 +260,46 @@ def test_domain_resolver_table(spark, events):
     assert first(out, id=1).resolved_ip is None
 
 
+def test_domain_resolver_batched_once_per_distinct(spark, tmp_path):
+    """Injected resolver must be invoked once per DISTINCT domain (the
+    events side never drives resolve calls). Calls are counted via
+    side-effect files since the callable runs in worker processes."""
+    import uuid
+
+    calls = tmp_path / "calls"
+    calls.mkdir()
+
+    def resolver(domain):
+        (calls / f"{domain}-{uuid.uuid4().hex}").touch()
+        return f"10.0.0.{len(domain)}"
+
+    rows = [(i, ["a.example", "b.example", "c.example"][i % 3]) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, domain string")
+    out = DomainResolver(
+        [{"filter": "*", "domain_resolver": {"source_fields": ["domain"]}}],
+        resolver=resolver,
+    ).transform(df)
+    got = {r.id: r.resolved_ip for r in out.collect()}
+    assert got[0] == "10.0.0.9" and len(got) == 60
+    by_domain = {}
+    for f in calls.iterdir():
+        by_domain.setdefault(f.name.rsplit("-", 1)[0], 0)
+        by_domain[f.name.rsplit("-", 1)[0]] += 1
+    assert by_domain == {"a.example": 1, "b.example": 1, "c.example": 1}
+
+
+def test_domain_resolver_resolver_errors_leave_null(spark):
+    def resolver(domain):
+        raise TimeoutError("dns timeout")
+
+    df = spark.createDataFrame([(1, "x.example")], "id long, domain string")
+    out = DomainResolver(
+        [{"filter": "*", "domain_resolver": {"source_fields": ["domain"]}}],
+        resolver=resolver,
+    ).transform(df)
+    assert out.first().resolved_ip is None
+
+
 def test_dropper(events):
     out = Dropper([{"filter": "*", "dropper": {"drop": ["payload"]}}]).transform(events)
     assert "payload" not in out.columns
