@@ -113,3 +113,45 @@ def test_observe_stream_progress_and_listener(spark, tmp_path):
         q.stop()
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_prometheus_exporter_scrape_text(spark, sf_dir):
+    from logprep_spark.metrics import MetricsExporter
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    total = ev.count()
+    df, obs = observe_batch(ev, cond=F.col("event_type") == "error")
+    df.filter(F.col("event_type") == "error").count()
+
+    exporter = MetricsExporter()
+    exporter.record_observation(obs, component="pre_detector", pipeline="p1")
+    exporter.record({"n_events": 5}, component="labeler", pipeline="p1")
+    exporter.record({"n_events": 2}, component="labeler", pipeline="p1")  # += merge
+
+    text = exporter.render()
+    assert "# TYPE logprep_n_events counter" in text
+    assert f'logprep_n_events{{component="pre_detector",pipeline="p1"}} {total}' in text
+    assert 'logprep_n_events{component="labeler",pipeline="p1"} 7' in text
+    assert "logprep_n_matched" in text
+
+
+def test_prometheus_exporter_http_endpoint(tmp_path):
+    import urllib.request
+
+    from logprep_spark.metrics import MetricsExporter
+
+    exporter = MetricsExporter()
+    exporter.record({"n_events": 11, "n_matched": 3}, component="amides")
+    host, port = exporter.serve()
+    try:
+        with urllib.request.urlopen(f"http://{host}:{port}/metrics") as resp:
+            body = resp.read().decode()
+        assert 'logprep_n_events{component="amides"} 11' in body
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        with urllib.request.urlopen(f"http://{host}:{port}/health") as resp:
+            assert resp.read() == b"OK"
+    finally:
+        exporter.shutdown()
+    out = tmp_path / "metrics.prom"
+    exporter.write(str(out))
+    assert "logprep_n_matched" in out.read_text()
