@@ -1,0 +1,92 @@
+"""CLI entrypoint (reference run_logprep.py command surface) —
+`python -m logprep_spark {run, test config, test dry-run, test unit,
+print}` driven through main() in-process."""
+
+import json
+
+import pytest
+
+from logprep_spark.__main__ import main
+
+CONFIG_YML = """\
+version: 1
+pipeline:
+  - calc:
+      type: calculator
+      rules:
+        - filter: "num"
+          calculator:
+            calc: "${{num}} * 2"
+            target_field: doubled
+          tests:
+            - raw: {{"num": 21}}
+              processed: {{"doubled": 42.0}}
+input:
+  my_in:
+    type: jsonl_input
+    documents_path: {events}
+    schema: "message string, num long"
+output:
+  my_out:
+    type: jsonl_output
+    output_file: {out_dir}
+"""
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    events = tmp_path / "events.jsonl"
+    events.write_text(
+        "\n".join(json.dumps({"message": f"m{i}", "num": i}) for i in range(5)) + "\n"
+    )
+    out_dir = tmp_path / "out"
+    cfg = tmp_path / "pipeline.yml"
+    cfg.write_text(CONFIG_YML.format(events=events, out_dir=out_dir))
+    return cfg, events, out_dir
+
+
+def test_cli_test_config_ok(paths, capsys):
+    cfg, _, _ = paths
+    assert main(["test", "config", str(cfg)]) == 0
+    assert "OK" in capsys.readouterr().out
+
+
+def test_cli_test_config_bad(tmp_path, capsys):
+    bad = tmp_path / "bad.yml"
+    bad.write_text("pipeline:\n  - x:\n      type: not_a_processor\n")
+    assert main(["test", "config", str(bad)]) == 1
+    assert "FAIL" in capsys.readouterr().out
+
+
+def test_cli_run_batch(paths, spark):
+    cfg, _, out_dir = paths
+    assert main(["run", str(cfg)]) == 0
+    rows = [
+        json.loads(line)
+        for f in out_dir.glob("*.json")
+        for line in f.read_text().splitlines()
+    ]
+    assert len(rows) == 5
+    assert {r["doubled"] for r in rows} == {float(2 * i) for i in range(5)}
+
+
+def test_cli_dry_run(paths, capsys, spark):
+    cfg, events, _ = paths
+    assert main(["test", "dry-run", str(cfg), str(events)]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    diffs = [json.loads(line) for line in out]
+    assert all(d["field"] == "doubled" for d in diffs)
+    assert len(diffs) == 5  # every row gains the computed field
+
+
+def test_cli_test_unit(paths, capsys, spark):
+    cfg, _, _ = paths
+    assert main(["test", "unit", str(cfg)]) == 0
+    assert "PASS" in capsys.readouterr().out
+
+
+def test_cli_print_json(paths, capsys):
+    cfg, _, _ = paths
+    assert main(["print", str(cfg), "--output-format", "json"]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["version"] == 1 and "pipeline" in doc
