@@ -47,7 +47,12 @@ def pseudonym_for(col, secret: str = "", mode: str = "hash") -> Column:
     """
     col = col.cast("string")
     if mode == "encrypt":
-        return F.base64(F.aes_encrypt(col, F.lit(_aes_key(secret)), F.lit("ECB"), F.lit("PKCS")))
+        return _b64(F.aes_encrypt(col, F.lit(_aes_key(secret)), F.lit("ECB"), F.lit("PKCS")))
+    if mode == "hybrid":
+        # secret carries both keys joined by a \\x1f separator at this
+        # level; Pseudonymizer passes them pre-joined
+        analyst, _, depseudo = secret.partition("\x1f")
+        return hybrid_encrypt(col, analyst, depseudo)
     return F.sha2(F.concat(F.lit(secret), col), 256)
 
 
@@ -65,6 +70,59 @@ def _aes_key(secret: str) -> str:
     import hashlib
 
     return hashlib.sha256(secret.encode()).hexdigest()[:32]
+
+
+def _b64(col: Column) -> Column:
+    """base64 without MIME line-chunking: Spark's ``base64`` can insert
+    CR/LF every 76 chars (legacy chunked encoder), which would split a
+    pseudonym token; ``unbase64`` accepts the stripped form."""
+    return F.regexp_replace(F.base64(col), r"[\r\n]", "")
+
+
+def _key_bytes(secret: str) -> bytes:
+    """Full 32-byte AES-256 key material from a secret."""
+    import hashlib
+
+    return hashlib.sha256(secret.encode()).digest()
+
+
+def hybrid_encrypt(col: Column, analyst_secret: str, depseudo_secret: str) -> Column:
+    """Dual-control hybrid pseudonym (reference
+    util/pseudo/encrypter.py:42-96, DualPKCS1HybridGCMEncrypter): the
+    value is AES-GCM-encrypted under a fresh per-row session key; the
+    session key is wrapped under the DEPSEUDO key, and that wrap is
+    wrapped again under the ANALYST key — recovering the origin
+    requires BOTH parties, neither alone can depseudonymize.
+
+    Deviation from the reference, stated plainly: the two outer wraps
+    use symmetric AES-GCM (Spark builtins, JVM-side) rather than
+    RSA/PKCS#1-OAEP public keys — no RSA primitive ships in-sandbox.
+    The dual-keyholder structure and token layout (wrapped-wrapped
+    session key + ciphertext, GCM nonces embedded) are preserved; a
+    production deployment swaps the two wrap calls for RSA public-key
+    encryption without touching the plan shape.
+
+    Token format: base64(wrap2) '.' base64(ciphertext).
+    """
+    value = col.cast("string")
+    # fresh 32-byte session key per row (uuid -> sha2 -> raw bytes)
+    session_key = F.unhex(F.sha2(F.concat(F.uuid(), value), 256))
+    wrapped = F.aes_encrypt(session_key, F.lit(_key_bytes(depseudo_secret)), F.lit("GCM"))
+    wrapped2 = F.aes_encrypt(wrapped, F.lit(_key_bytes(analyst_secret)), F.lit("GCM"))
+    ciphertext = F.aes_encrypt(value.cast("binary"), session_key, F.lit("GCM"))
+    return F.concat(_b64(wrapped2), F.lit("."), _b64(ciphertext))
+
+
+def hybrid_decrypt(col: Column, analyst_secret: str, depseudo_secret: str) -> Column:
+    """Invert :func:`hybrid_encrypt` given BOTH keys. Wrong or missing
+    key material yields NULL (``try_aes_decrypt`` — GCM auth fails),
+    never a wrong plaintext."""
+    col = col.cast("string")
+    wrap2 = F.unbase64(F.split_part(col, F.lit("."), F.lit(1)))
+    ciphertext = F.unbase64(F.split_part(col, F.lit("."), F.lit(2)))
+    wrapped = F.try_aes_decrypt(wrap2, F.lit(_key_bytes(analyst_secret)), F.lit("GCM"))
+    session_key = F.try_aes_decrypt(wrapped, F.lit(_key_bytes(depseudo_secret)), F.lit("GCM"))
+    return F.try_aes_decrypt(ciphertext, session_key, F.lit("GCM")).cast("string")
 
 
 def _count_groups(regex: str) -> int:
@@ -179,9 +237,18 @@ def pseudonymize_url(url: Column, secret: str = "", mode: str = "hash") -> Colum
 class Pseudonymizer(Processor):
     rule_type = "pseudonymizer"
 
-    def __init__(self, rules=None, secret: str = "", mode: str = "hash", **kw):
+    def __init__(
+        self,
+        rules=None,
+        secret: str = "",
+        mode: str = "hash",
+        depseudo_secret: str = "",
+        **kw,
+    ):
         super().__init__(rules, **kw)
-        self.secret = secret
+        # hybrid mode folds both key secrets into the secret channel so
+        # every pseudonym_for call site stays one-argument
+        self.secret = f"{secret}\x1f{depseudo_secret}" if mode == "hybrid" else secret
         self.mode = mode
 
     def _wrapped(self, value: Column) -> Column:
@@ -247,15 +314,20 @@ class Pseudonymizer(Processor):
         origin. One fold over the extracted wrappers — JVM-side."""
         src = fld.get_field(df, path).cast("string")
         wrappers = F.array_distinct(
-            F.regexp_extract_all(src, F.lit(r"<pseudonym:([A-Za-z0-9+/=]+)>"), F.lit(1))
+            F.regexp_extract_all(src, F.lit(r"<pseudonym:([A-Za-z0-9+/=.]+)>"), F.lit(1))
         )
+        if self.mode == "hybrid":
+            analyst, _, depseudo = self.secret.partition("\x1f")
+            decrypt = lambda tok: hybrid_decrypt(tok, analyst, depseudo)  # noqa: E731
+        else:
+            decrypt = lambda tok: depseudonym_for(tok, self.secret)  # noqa: E731
         restored = F.aggregate(
             wrappers,
             src,
             lambda acc, tok: F.replace(
                 acc,
                 F.concat(F.lit("<pseudonym:"), tok, F.lit(">")),
-                depseudonym_for(tok, self.secret),
+                decrypt(tok),
             ),
         )
         return fld.set_field(df, path, restored)

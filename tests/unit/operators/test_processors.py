@@ -758,6 +758,44 @@ def test_pseudonymizer_encrypt_mode_round_trip(spark):
     assert again.msg == mrow.msg
 
 
+def test_pseudonymizer_hybrid_dual_key_round_trip(spark):
+    """mode='hybrid' (reference DualPKCS1HybridGCMEncrypter structure):
+    per-row session key, dual-wrapped — BOTH parties' keys recover the
+    origin, either key alone recovers nothing."""
+    from logprep_spark.operators.pseudonymizer import hybrid_decrypt
+
+    df = spark.createDataFrame(
+        [(1, "user=alice action=login"), (2, "user=alice action=logout")],
+        "id long, msg string",
+    )
+    proc = Pseudonymizer(
+        [{"filter": "*", "pseudonymizer": {"mapping": {"msg": r"user=(\w+) "}}}],
+        secret="analyst-key",
+        mode="hybrid",
+        depseudo_secret="depseudo-key",
+    )
+    masked = proc.transform(df)
+    rows = {r.id: r.msg for r in masked.collect()}
+    assert all("alice" not in m and "<pseudonym:" in m for m in rows.values())
+    # NON-deterministic by design: fresh session key per row
+    assert rows[1] != rows[2]
+
+    restored = {r.id: r.msg for r in proc.depseudonymize(masked, "msg").collect()}
+    assert restored[1] == "user=alice action=login"
+    assert restored[2] == "user=alice action=logout"
+
+    # either key alone must NOT decrypt: GCM auth fails -> NULL
+    token = rows[1].split("<pseudonym:")[1].split(">")[0]
+    tdf = spark.createDataFrame([(token,)], "tok string")
+    one_key = tdf.select(
+        hybrid_decrypt(F.col("tok"), "analyst-key", "wrong").alias("a"),
+        hybrid_decrypt(F.col("tok"), "wrong", "depseudo-key").alias("b"),
+        hybrid_decrypt(F.col("tok"), "analyst-key", "depseudo-key").alias("ok"),
+    ).first()
+    assert one_key.a is None and one_key.b is None
+    assert one_key.ok == "alice"
+
+
 def test_timestamper_source_tz_only_for_naive(spark):
     """source_timezone shifts naive strings only: UNIX epochs and ISO
     strings with explicit offsets are absolute instants (reference
