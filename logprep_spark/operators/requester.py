@@ -1,4 +1,4 @@
-"""Requester — enrich events via HTTP calls (STUBBED transport).
+"""Requester — enrich events via HTTP calls.
 
 Reference: /root/reference/logprep/processor/requester/processor.py and
 rule.py (method/url plus headers/params/data/json/auth/timeout/verify/
@@ -7,11 +7,13 @@ cert/proxies, all ``${field}``-templated from the event;
 copies dotted response subpaths into event fields).
 
 Per-row HTTP from executors is an anti-pattern at 100 TB; the Spark
-shape kept here is ``mapInPandas`` over Arrow batches so a real
-transport could batch/pipeline requests per partition. The transport
-itself is a deterministic stub (``NotImplementedError`` unless a
-``handler`` is injected) — no network in tests, plumbing and schema
-real.
+shape kept here is ``mapInPandas`` over Arrow batches so the transport
+can batch/pipeline requests per partition. The transport is injectable:
+``handler=http_handler()`` performs REAL HTTP via stdlib urllib
+(method, headers, params, form/json bodies, basic auth, timeouts —
+exercised against a local server in tests); without a handler,
+``transform`` raises ``NotImplementedError`` rather than silently
+doing network I/O.
 """
 
 from __future__ import annotations
@@ -50,6 +52,54 @@ def _template(value: Any, row) -> Any:
     if isinstance(value, list):
         return [_template(v, row) for v in value]
     return value
+
+
+def http_handler(default_timeout: float = 5.0) -> Callable[[dict], dict]:
+    """Real HTTP transport on stdlib urllib (reference processor uses
+    ``requests.request(**kwargs)``; same option surface minus
+    verify/cert/proxies, which need a TLS/proxy stack).
+
+    JSON responses come back as the parsed object — so
+    ``target_field_mapping`` dotted paths navigate the response body
+    exactly like the reference; non-JSON bodies land under ``text``.
+    """
+
+    def call(request: dict) -> dict:
+        import base64
+        import urllib.parse
+        import urllib.request
+
+        url = request["url"]
+        params = request.get("params")
+        if params:
+            url += ("&" if "?" in url else "?") + urllib.parse.urlencode(params)
+        headers = dict(request.get("headers") or {})
+        data = None
+        if request.get("json") is not None:
+            data = json.dumps(request["json"]).encode()
+            headers.setdefault("Content-Type", "application/json")
+        elif request.get("data") is not None:
+            raw = request["data"]
+            data = raw.encode() if isinstance(raw, str) else urllib.parse.urlencode(raw).encode()
+        auth = request.get("auth")
+        if auth:
+            token = base64.b64encode(f"{auth[0]}:{auth[1]}".encode()).decode()
+            headers["Authorization"] = f"Basic {token}"
+        req = urllib.request.Request(
+            url, data=data, headers=headers, method=request.get("method", "GET").upper()
+        )
+        timeout = float(request.get("timeout") or default_timeout)
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            body = resp.read().decode("utf-8", "replace")
+        try:
+            parsed = json.loads(body)
+        except ValueError:
+            parsed = None
+        if isinstance(parsed, dict):
+            return parsed
+        return {"text": body}
+
+    return call
 
 
 def _dotted(d: Any, path: str) -> Any:

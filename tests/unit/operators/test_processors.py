@@ -491,6 +491,80 @@ def test_requester_with_handler(events):
     assert first(out, id=2).resp is None
 
 
+def test_requester_real_http_transport(spark):
+    """handler=http_handler() performs real HTTP (stdlib urllib) —
+    exercised against a local ThreadingHTTPServer: GET with templated
+    URL + params, POST json body, basic auth header, JSON response
+    navigation via target_field_mapping."""
+    import json as jsonlib
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from logprep_spark.operators.requester import http_handler
+
+    seen = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, doc):
+            body = jsonlib.dumps(doc).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            seen.append(("GET", self.path, self.headers.get("Authorization")))
+            self._reply({"risk": {"level": "high"}, "path": self.path})
+
+        def do_POST(self):  # noqa: N802
+            length = int(self.headers.get("Content-Length", 0))
+            payload = jsonlib.loads(self.rfile.read(length) or b"{}")
+            seen.append(("POST", self.path, payload))
+            self._reply({"accepted": payload})
+
+        def log_message(self, *args):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    port = server.server_address[1]
+    try:
+        df = spark.createDataFrame([(1, "error"), (2, "info")], "id long, level string")
+        out = Requester(
+            [{"filter": "*", "requester": {
+                "url": f"http://127.0.0.1:{port}/enrich/${{level}}",
+                "params": {"src": "spark"},
+                "auth": ["analyst", "pw"],
+                "target_field": "resp",
+                "target_field_mapping": {"risk.level": "risk_level"},
+            }}],
+            handler=http_handler(),
+        ).transform(df).collect()
+        got = {r.id: r for r in out}
+        assert got[1].risk_level == "high"
+        assert '"path": "/enrich/error?src=spark"' in got[1].resp
+        assert got[2].risk_level == "high"  # filter * matches both
+        methods = {m for m, _, _ in seen}
+        assert methods == {"GET"}
+        assert all(a == "Basic YW5hbHlzdDpwdw==" for _, _, a in seen)
+
+        post = Requester(
+            [{"filter": "id: 1", "requester": {
+                "method": "POST",
+                "url": f"http://127.0.0.1:{port}/submit",
+                "json": {"event": "${level}"},
+                "target_field": "resp",
+            }}],
+            handler=http_handler(),
+        ).transform(df).collect()
+        resp = jsonlib.loads({r.id: r for r in post}[1].resp)
+        assert resp["accepted"] == {"event": "error"}
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_selective_extractor(events):
     proc = SelectiveExtractor([
         {"filter": "level: error", "selective_extractor": {
