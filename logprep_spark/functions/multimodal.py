@@ -1,13 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode kernels (image decode, resample, frame sample) are STUBS —
-the codec libraries aren't in this container — but the Spark-side
-design is real and tested: Arrow-batched ``mapInPandas`` with explicit
-schemas, binary payloads never exploded row-by-row through Python
-object churn, and partition sizing left to
-``spark.sql.files.maxPartitionBytes`` so a 100 TB media corpus streams
-batch-by-batch through executors.
+Image and video decode kernels are STUBS — those codec libraries
+aren't in this container. The AUDIO path is REAL for PCM WAV: stdlib
+``wave`` + numpy decode (:func:`decode_wav`), DSP feature extraction
+(:func:`audio_features` — RMS/peak/zero-crossing/spectral centroid),
+and frame-boundary chunk re-encode inside :func:`chunk_audio` (each
+chunk is a valid standalone WAV). The Spark-side design is uniform and
+tested: Arrow-batched ``mapInPandas`` with explicit schemas, binary
+payloads never exploded row-by-row through Python object churn, and
+partition sizing left to ``spark.sql.files.maxPartitionBytes`` so a
+100 TB media corpus streams batch-by-batch through executors.
 """
 
 from __future__ import annotations
@@ -52,6 +55,130 @@ _FEATURE_SCHEMA = T.StructType(
 def decode_image(payload: bytes) -> object:
     """STUB: real impl would use PIL/libjpeg — not in this container."""
     raise NotImplementedError("image codecs unavailable; inject a decoder")
+
+
+# --------------------------------------------------------------------
+# REAL audio codec: PCM WAV via stdlib wave + numpy
+# --------------------------------------------------------------------
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode a PCM WAV payload: samples as float32 in [-1, 1], mixed
+    down to mono, plus stream parameters. Stdlib ``wave`` — no external
+    codec needed for the most common uncompressed interchange format."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as wav:
+        rate = wav.getframerate()
+        n_channels = wav.getnchannels()
+        width = wav.getsampwidth()
+        n_frames = wav.getnframes()
+        raw = wav.readframes(n_frames)
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if n_channels > 1:
+        samples = samples.reshape(-1, n_channels).mean(axis=1)
+    return {
+        "sample_rate": rate,
+        "n_channels": n_channels,
+        "sample_width": width,
+        "n_frames": n_frames,
+        "duration_ms": int(n_frames * 1000 / rate) if rate else 0,
+        "samples": samples,
+    }
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """Encode mono float samples in [-1, 1] to 16-bit PCM WAV bytes."""
+    import io
+    import wave
+
+    import numpy as np
+
+    pcm = (np.clip(np.asarray(samples), -1.0, 1.0) * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wav:
+        wav.setnchannels(1)
+        wav.setsampwidth(2)
+        wav.setframerate(sample_rate)
+        wav.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _is_wav(payload: bytes) -> bool:
+    return (
+        payload is not None
+        and len(payload) > 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    )
+
+
+_AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("rms", T.FloatType()),
+        T.StructField("peak", T.FloatType()),
+        T.StructField("zero_crossing_rate", T.FloatType()),
+        T.StructField("spectral_centroid_hz", T.FloatType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Real DSP features per WAV clip (RMS, peak, zero-crossing rate,
+    FFT spectral centroid) — Arrow batches in, one feature row out per
+    decodable audio payload; undecodable payloads yield nulls rather
+    than failing the batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                out = {"media_id": row["media_id"], "sample_rate": None,
+                       "n_channels": None, "duration_ms": None, "rms": None,
+                       "peak": None, "zero_crossing_rate": None,
+                       "spectral_centroid_hz": None}
+                payload = row["payload"]
+                if _is_wav(payload):
+                    try:
+                        clip = decode_wav(bytes(payload))
+                        x = clip["samples"]
+                        out["sample_rate"] = clip["sample_rate"]
+                        out["n_channels"] = clip["n_channels"]
+                        out["duration_ms"] = clip["duration_ms"]
+                        if len(x):
+                            out["rms"] = float(np.sqrt(np.mean(x * x)))
+                            out["peak"] = float(np.max(np.abs(x)))
+                            out["zero_crossing_rate"] = float(
+                                np.mean(np.abs(np.diff(np.signbit(x)))))
+                            mag = np.abs(np.fft.rfft(x))
+                            freqs = np.fft.rfftfreq(len(x), 1.0 / clip["sample_rate"])
+                            denom = float(mag.sum())
+                            if denom > 0:
+                                out["spectral_centroid_hz"] = float(
+                                    (freqs * mag).sum() / denom)
+                    except Exception:
+                        pass  # leave nulls: undecodable clip
+                rows.append(out)
+            yield pd.DataFrame(rows)
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(
+        run, schema=_AUDIO_FEATURE_SCHEMA
+    )
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -175,28 +302,47 @@ _CHUNK_SCHEMA = T.StructType(
 
 
 def chunk_audio(df: DataFrame, chunk_ms: int = 30_000) -> DataFrame:
-    """Audio chunking: fixed-duration windows from ``meta.duration_ms``
-    with byte ranges sliced proportionally from the payload (a real
-    transcoder would cut on frame boundaries inside the same shape).
-    Rows multiply inside the Arrow batch, never via explode over
-    binary."""
+    """Audio chunking into fixed-duration windows. PCM WAV payloads are
+    cut on REAL sample-frame boundaries and re-encoded, so every chunk
+    is a valid standalone WAV (durations from the actual stream, not
+    ``meta``); other formats fall back to proportional byte slicing
+    from ``meta.duration_ms``. Rows multiply inside the Arrow batch,
+    never via explode over binary."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, starts, ends, chunks = [], [], [], [], []
+
+            def emit(media_id, i, lo_ms, hi_ms, blob):
+                ids.append(media_id)
+                idxs.append(i)
+                starts.append(lo_ms)
+                ends.append(hi_ms)
+                chunks.append(blob)
+
             for _, row in pdf.iterrows():
-                duration = (row["meta"] or {}).get("duration_ms") or 0
                 payload = row["payload"] or b""
+                if _is_wav(payload):
+                    clip = decode_wav(bytes(payload))
+                    rate = clip["sample_rate"]
+                    frames_per_chunk = max(rate * chunk_ms // 1000, 1)
+                    samples = clip["samples"]
+                    for i in range(0, -(-len(samples) // frames_per_chunk)):
+                        lo = i * frames_per_chunk
+                        hi = min(lo + frames_per_chunk, len(samples))
+                        emit(
+                            row["media_id"], i,
+                            int(lo * 1000 / rate), int(hi * 1000 / rate),
+                            encode_wav(samples[lo:hi], rate),
+                        )
+                    continue
+                duration = (row["meta"] or {}).get("duration_ms") or 0
                 n = max((duration + chunk_ms - 1) // chunk_ms, 0)
                 for i in range(n):
                     lo_ms, hi_ms = i * chunk_ms, min((i + 1) * chunk_ms, duration)
                     lo = len(payload) * lo_ms // max(duration, 1)
                     hi = len(payload) * hi_ms // max(duration, 1)
-                    ids.append(row["media_id"])
-                    idxs.append(i)
-                    starts.append(lo_ms)
-                    ends.append(hi_ms)
-                    chunks.append(payload[lo:hi])
+                    emit(row["media_id"], i, lo_ms, hi_ms, payload[lo:hi])
             yield pd.DataFrame(
                 {
                     "media_id": ids,

@@ -203,6 +203,42 @@ def test_sample_frames_and_chunk_audio(spark):
     assert b"".join(bytes(r.chunk_payload) for r in chunks) == b"aabbccddeeff" * 10
 
 
+def test_wav_codec_features_and_chunking(spark):
+    """REAL audio path: a synthesized 440 Hz sine WAV decodes with
+    stdlib wave, DSP features come out physically right, and chunking
+    cuts on frame boundaries producing valid standalone WAVs."""
+    import math
+
+    rate, dur_s, freq, amp = 8000, 2.0, 440.0, 0.5
+    samples = [amp * math.sin(2 * math.pi * freq * i / rate) for i in range(int(rate * dur_s))]
+    wav = multimodal.encode_wav(samples, rate)
+
+    clip = multimodal.decode_wav(wav)
+    assert clip["sample_rate"] == rate and clip["duration_ms"] == 2000
+    assert abs(float(clip["samples"][:rate].max()) - amp) < 0.01
+
+    media = spark.createDataFrame(
+        [(7, "audio", wav, {"mime": "audio/wav", "width": None, "height": None,
+                            "duration_ms": None})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    feats = multimodal.audio_features(media).first()
+    assert feats.sample_rate == rate and feats.duration_ms == 2000
+    # sine RMS = amp/sqrt(2); spectral centroid at the tone frequency
+    assert abs(feats.rms - amp / math.sqrt(2)) < 0.01
+    assert abs(feats.peak - amp) < 0.01
+    assert abs(feats.spectral_centroid_hz - freq) < 15.0
+    # zero crossings of a 440 Hz tone: 2*freq per second
+    assert abs(feats.zero_crossing_rate * rate - 2 * freq) < 10.0
+
+    chunks = multimodal.chunk_audio(media, chunk_ms=500).collect()
+    assert [(c.chunk_idx, c.start_ms, c.end_ms) for c in chunks] == [
+        (0, 0, 500), (1, 500, 1000), (2, 1000, 1500), (3, 1500, 2000)]
+    for c in chunks:
+        sub = multimodal.decode_wav(bytes(c.chunk_payload))  # valid WAV
+        assert sub["duration_ms"] == 500 and sub["sample_rate"] == rate
+
+
 def test_kmv_distinct_accuracy(spark):
     from logprep_spark.functions.sketch import kmv_distinct
 
