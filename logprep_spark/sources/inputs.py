@@ -298,9 +298,71 @@ class HttpInput(Input):
     def read_stream(self, spark: SparkSession) -> DataFrame:
         return self._jsonl.read_stream(spark)
 
-    @staticmethod
-    def serve(*_a, **_kw):
-        raise NotImplementedError("HTTP listener is out-of-process; point it at spool_dir")
+    def serve(self, host: str | None = None, port: int | None = None) -> tuple[str, int]:
+        """REAL HTTP listener: a stdlib ThreadingHTTPServer standing in
+        for the reference's uvicorn server (connector/http/input.py —
+        same roles: endpoint routing, auth, body parse, backlog). POST
+        bodies dispatch through :meth:`receive` into the spool the
+        Spark stream tails; GET ``/health`` answers OK. Defaults come
+        from ``uvicorn_config`` host/port; ``port=0`` picks a free
+        port. Returns the bound (host, port)."""
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        inp = self
+        host = host or self.uvicorn_config.get("host", "127.0.0.1")
+        if port is None:
+            port = int(self.uvicorn_config.get("port", 0))
+
+        class Handler(BaseHTTPRequestHandler):
+            def _reply(self, status: int, body: bytes):
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802 — stdlib API
+                if self.path == "/health":
+                    self._reply(200, b'"OK"')
+                else:
+                    self._reply(404, b'{"error": "not found"}')
+
+            def do_POST(self):  # noqa: N802
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length).decode("utf-8", "replace")
+                route = self.path.split("?", 1)[0]
+                try:
+                    events = inp.receive(
+                        route,
+                        body,
+                        headers=dict(self.headers),
+                        remote_addr=self.client_address[0],
+                        url=self.path,
+                    )
+                except PermissionError:
+                    self._reply(401, b'{"error": "unauthorized"}')
+                except KeyError:
+                    self._reply(404, b'{"error": "no such endpoint"}')
+                except ValueError:
+                    self._reply(400, b'{"error": "malformed body"}')
+                else:
+                    self._reply(200, b'{"accepted": %d}' % len(events))
+
+            def log_message(self, *args):  # quiet
+                pass
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self._server.server_address[0], self._server.server_address[1]
+
+    def shutdown(self) -> None:
+        server = getattr(self, "_server", None)
+        if server is not None:
+            server.shutdown()
+            server.server_close()
+            self._server = None
 
 
 class KafkaInput(Input):

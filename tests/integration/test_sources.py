@@ -255,3 +255,56 @@ def test_http_input_receive_spools_and_streams(spark, tmp_path, monkeypatch):
     got = spark.read.json(spool)
     assert got.count() == 3
     assert {r.message for r in got.collect()} == {"hello", "l1", "l2"}
+
+
+def test_http_input_real_server_end_to_end(spark, tmp_path, monkeypatch):
+    """serve() runs a real HTTP listener: urllib POSTs hit the
+    endpoints (routing, auth, status codes), events land in the spool,
+    and the Spark streaming reader picks them up."""
+    import base64 as _b64
+    import urllib.error
+    import urllib.request
+
+    creds = tmp_path / "creds.json"
+    creds.write_text(json.dumps({"input": {"endpoints": {
+        "/secure": {"username": "u", "password": "p"}}}}))
+    monkeypatch.setenv("LOGPREP_CREDENTIALS_FILE", str(creds))
+
+    spool = str(tmp_path / "spool")
+    src = HttpInput(
+        spool, "message string",
+        endpoints={"/events": "json", "/secure": "plaintext"},
+        collect_meta=False,
+    )
+    host, port = src.serve()
+    base = f"http://{host}:{port}"
+
+    def post(path, body, headers=None):
+        req = urllib.request.Request(
+            base + path, data=body.encode(), headers=headers or {}, method="POST")
+        with urllib.request.urlopen(req) as resp:
+            return resp.status
+
+    try:
+        assert post("/events", '{"message": "hi"}') == 200
+        ok = "Basic " + _b64.b64encode(b"u:p").decode()
+        assert post("/secure", "plain text", {"Authorization": ok}) == 200
+        for path, body, hdrs, code in [
+            ("/secure", "x", {}, 401),           # missing auth
+            ("/nope", "{}", {}, 404),            # unrouted endpoint
+            ("/events", "not json", {}, 400),    # malformed body
+        ]:
+            with pytest.raises(urllib.error.HTTPError) as err:
+                post(path, body, hdrs)
+            assert err.value.code == code
+        with urllib.request.urlopen(base + "/health") as resp:
+            assert resp.status == 200
+
+        sdf = src.read_stream(spark)
+        q = (sdf.writeStream.format("memory").queryName("http_e2e")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        rows = {r.message for r in spark.sql("SELECT * FROM http_e2e").collect()}
+        assert rows == {"hi", "plain text"}
+    finally:
+        src.shutdown()
