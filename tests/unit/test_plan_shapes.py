@@ -180,6 +180,36 @@ def test_planes_for_scaling():
     assert planes_for(25_000_000_000) > 20  # ~100 TB of 1k-dim floats
 
 
+def _shuffle_count(plan: str) -> int:
+    return (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange RoundRobin")
+        + plan.count("Exchange SinglePartition")
+    )
+
+
+def test_all_processor_queries_stay_narrow(spark, sf_dir):
+    """Sweeping §2.2 guard: every processor/filter/source catalog query
+    is a narrow projection chain — ZERO shuffle exchanges (broadcast
+    exchanges for enrichment dims are fine) and no Generate. The one
+    designed exception: the pseudonymizer side output deduplicates
+    (pseudonym, origin) pairs, which is a real distinct shuffle."""
+    qs = catalog.queries()
+    allowed_shuffles = {"proc_pseudonymizer_pseudonyms": 1}
+    offenders = {}
+    for name, fn in qs.items():
+        if not name.startswith(("proc_", "filter_", "source_")):
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        shuffles = _shuffle_count(plan)
+        generates = plan.count("Generate")
+        budget = allowed_shuffles.get(name, 0)
+        if shuffles > budget or (generates and name not in allowed_shuffles):
+            offenders[name] = f"shuffles={shuffles} generates={generates}"
+    assert not offenders, offenders
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path, no_auto_broadcast):
     """Same-bucketed tables join with ZERO Exchange: the write-time
     bucketing pre-pays the shuffle, every later join/agg on the key is
