@@ -4,11 +4,16 @@ Reference: /root/reference/logprep/processor/geoip_enricher/
 processor.py (MaxMind database lookup -> ``geoip`` struct with
 type/geometry/properties).
 
-The scale-correct realization is a broadcast join against a geo table
-derived from the MaxMind export ((net_start, net_end) range join —
-pass ``geo_table``). Without a table, a clearly-marked DETERMINISTIC
-STUB synthesizes stable coordinates from the IP hash so schema and
-plumbing stay real in tests (the MaxMind reader isn't available here).
+The scale-correct realization is a BINNED broadcast equi-join against
+a geo table derived from the MaxMind export (pass ``geo_table`` with
+(net_start, net_end) ranges): ranges explode into fixed /16 bins of
+the IPv4 space, events hash-join on their single bin, and a residual
+BETWEEN keeps exact semantics — a plain inequality join would plan as
+BroadcastNestedLoopJoin, O(events × ranges), unusable against the
+~3M-range city database. Without a table, a clearly-marked
+DETERMINISTIC STUB synthesizes stable coordinates from the IP hash so
+schema and plumbing stay real in tests (the MaxMind reader isn't
+available here).
 """
 
 from __future__ import annotations
@@ -45,19 +50,37 @@ class GeoipEnricher(Processor):
             return renames.get(default, default).rsplit(".", 1)[-1]
         if self.geo_table is not None:
             ip_long = ip_utils.ipv4_to_long(src)
-            geo = broadcast(self.geo_table)
+            # explode each range to the /16 bins it covers (MaxMind
+            # ranges are mostly narrower than /16, so the exploded
+            # table stays ~1-2x the input and still broadcasts), then
+            # equi-join on the event's single bin + residual BETWEEN
+            geo = broadcast(
+                self.geo_table.withColumn(
+                    "_bin",
+                    F.explode(
+                        F.sequence(
+                            F.shiftright("net_start", 16), F.shiftright("net_end", 16)
+                        )
+                    ),
+                )
+            )
             df = df.join(
                 geo,
-                on=(ip_long >= geo["net_start"]) & (ip_long <= geo["net_end"]),
+                on=(F.shiftright(ip_long, 16) == geo["_bin"])
+                & (ip_long >= geo["net_start"])
+                & (ip_long <= geo["net_end"]),
                 how="left",
-            )
+            ).drop("_bin")
             struct = F.struct(
                 F.lit("Feature").alias(named("type")),
                 F.col("country").alias(named("country")),
                 F.col("city").alias(named("city")),
                 F.array(F.col("lon"), F.col("lat")).alias(named("coordinates")),
             )
-            df = self.set_when(df, target, cond & src.isNotNull(), struct)
+            # unmatched IPs stay un-enriched (reference: no DB entry ->
+            # no geoip field), not a struct of nulls
+            matched = F.col("net_start").isNotNull()
+            df = self.set_when(df, target, cond & src.isNotNull() & matched, struct)
             return df.drop("net_start", "net_end", "country", "city", "lat", "lon")
         # STUB: deterministic fake geo from ip hash
         h = F.sha2(src.cast("string"), 256)

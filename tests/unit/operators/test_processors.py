@@ -363,6 +363,36 @@ def test_geoip_stub(events):
     assert len(row.coordinates) == 2
 
 
+def test_geoip_table_binned_range_join(spark):
+    """geo_table enrichment: values come from the interval table, and
+    the plan is a binned broadcast HASH join — never a nested loop
+    over the ranges (O(events x 3M) against a real MaxMind export)."""
+    geo = spark.createDataFrame(
+        [
+            # 10.0.0.0/8 spans many /16 bins; 192.168.1.0/24 sits in one
+            (0x0A000000, 0x0AFFFFFF, "AA", "alpha", 1.0, 2.0),
+            (0xC0A80100, 0xC0A801FF, "BB", "beta", 3.0, 4.0),
+        ],
+        "net_start long, net_end long, country string, city string, lat double, lon double",
+    )
+    df = spark.createDataFrame(
+        [(1, "10.20.30.40"), (2, "192.168.1.77"), (3, "8.8.8.8")],
+        "id long, client_ip string",
+    )
+    proc = GeoipEnricher(
+        [{"filter": "*", "geoip_enricher": {"source_fields": ["client_ip"]}}],
+        geo_table=geo,
+    )
+    out = proc.transform(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = {r.id: r.geoip for r in out.collect()}
+    assert rows[1].country == "AA" and rows[1].coordinates == [2.0, 1.0]
+    assert rows[2].country == "BB" and rows[2].city == "beta"
+    assert rows[3] is None  # no covering range
+
+
 def test_grokker(events):
     proc = Grokker([
         {"filter": "*", "grokker": {
