@@ -6,6 +6,7 @@ as ``readStream → transforms → writeStream``.
 from logprep_spark.streaming.pipeline import StreamingPipeline
 from logprep_spark.streaming.windows import (
     sessionize_stream,
+    interval_join,
     sliding_counts,
     tumbling_counts,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "dedupe_stream",
     "running_totals",
     "sessionize_stream",
+    "interval_join",
     "sliding_counts",
     "tumbling_counts",
 ]

@@ -58,6 +58,41 @@ def sliding_counts(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    within: str = "10 minutes",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    left_watermark: str = "10 minutes",
+    right_watermark: str = "20 minutes",
+) -> DataFrame:
+    """Stream-stream equi-join with a bounded time interval: each left
+    event pairs with right events for the same key whose timestamp
+    falls in ``[left_ts - within, left_ts]`` (e.g. click ⋈ the login
+    that preceded it). BOTH sides carry watermarks and the join
+    condition bounds event-time distance — that's what lets Spark
+    evict state and run the join indefinitely; an unconstrained
+    stream-stream join would buffer both streams forever. The right
+    watermark must cover the interval plus the left watermark (late
+    left rows still need their right matches in state).
+    """
+    lts, rts = f"__l_{left_ts}", f"__r_{right_ts}"
+    lhs = left.withColumn(lts, F.col(left_ts)).withWatermark(lts, left_watermark)
+    rhs = (
+        right.withColumnRenamed(key, f"__r_{key}")
+        .withColumn(rts, F.col(right_ts))
+        .withWatermark(rts, right_watermark)
+    )
+    cond = (
+        (F.col(key) == F.col(f"__r_{key}"))
+        & (F.col(rts) <= F.col(lts))
+        & (F.col(rts) >= F.col(lts) - F.expr(f"INTERVAL {within}"))
+    )
+    return lhs.join(rhs, on=cond, how="inner").drop(f"__r_{key}", lts, rts)
+
+
 def sessionize_stream(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -305,3 +305,55 @@ def test_dedupe_near_stream(spark, tmp_path):
     assert 3 in kept and len(kept) == 2 and kept[0] in (1, 2)
     cols = spark.sql("SELECT * FROM neardup_out").columns
     assert cols == ["doc_id", "ts", "text"]  # helper columns dropped
+
+
+def test_sliding_counts_overlapping_windows(spark, stream_df):
+    from logprep_spark.streaming import sliding_counts
+
+    out = sliding_counts(stream_df, window="2 minutes", slide="1 minute")
+    q = (out.writeStream.format("memory").queryName("slide_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    _run(q)
+    rows = spark.sql(
+        "SELECT window_start, event_type, n_events FROM slide_out").collect()
+    # event at 10:01 (click, user 2) lands in the [10:00,10:02) and
+    # [10:01,10:03) windows
+    clicks_1000 = {(str(r.window_start), r.n_events)
+                   for r in rows if r.event_type == "click"}
+    assert ("2026-01-01 10:00:00", 2) in clicks_1000  # 10:00:30 + 10:01
+    assert ("2026-01-01 10:01:00", 1) in clicks_1000  # 10:01 again
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream join: clicks pair with the SAME user's logins in
+    the preceding 10 minutes; both sides watermarked so state is
+    evictable (the only shape that survives an unbounded run)."""
+    from pyspark.sql import functions as F
+
+    from logprep_spark.streaming import interval_join
+
+    logins = [
+        {"event_id": 10, "ts": _ts(0), "user_id": 1, "event_type": "login", "value": 0.0},
+        {"event_id": 11, "ts": _ts(40), "user_id": 1, "event_type": "login", "value": 0.0},
+        {"event_id": 12, "ts": _ts(2), "user_id": 2, "event_type": "login", "value": 0.0},
+    ]
+    clicks = [
+        {"event_id": 20, "ts": _ts(5), "user_id": 1, "event_type": "click", "value": 1.0},
+        {"event_id": 21, "ts": _ts(45), "user_id": 1, "event_type": "click", "value": 1.0},
+        {"event_id": 22, "ts": _ts(30), "user_id": 2, "event_type": "click", "value": 1.0},
+    ]
+    left = JsonlInput(_events(tmp_path, clicks, "clicks"), SCHEMA).read_stream(spark)
+    right = JsonlInput(_events(tmp_path, logins, "logins"), SCHEMA).read_stream(spark)
+    joined = interval_join(
+        left.select("event_id", "ts", "user_id"),
+        right.select(F.col("event_id").alias("login_id"), "ts", "user_id"),
+        key="user_id", within="10 minutes",
+    )
+    q = (joined.writeStream.format("memory").queryName("ssj_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    _run(q)
+    pairs = {(r.event_id, r.login_id)
+             for r in spark.sql("SELECT event_id, login_id FROM ssj_out").collect()}
+    # click@10:05/u1 ← login@10:00/u1; click@10:45/u1 ← login@10:40/u1;
+    # click@10:30/u2 has no login within 10 min (login was 10:02)
+    assert pairs == {(20, 10), (21, 11)}
