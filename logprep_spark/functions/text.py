@@ -173,3 +173,52 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             ).alias("surprisal")
         )
     )
+
+
+def tfidf_topk(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf ranking.
+
+    The idf factor is LINEAR (n_docs / doc_freq) and the score is kept
+    in integer milli-units (tf * n_docs * 1000 div df) — tf-idf
+    ordering without a transcendental: log-based idf puts a libm call
+    in the hash contract and last-ulp differences between engines can
+    flip the ranking of near-tied terms. Integer score → exact
+    cross-engine ordering and value hash.
+
+    Distributed shape: one shuffle for (doc, term) tf, one term-keyed
+    shuffle for doc-freq, doc-count attached as a broadcast 1-row
+    cross join (no driver action), then a per-doc window top-k. The
+    doc-freq frame is vocabulary-sized — joined on term, left to AQE
+    to broadcast when it fits.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(broadcast(n_docs))
+        .withColumn(
+            # integer div, not `/`+cast: float division then cast
+            # truncates in Spark but ROUNDS in DuckDB — `div`/`//`
+            # keep both engines in exact long arithmetic
+            "score_milli",
+            F.expr("tf * _n_docs * 1000 div df_count"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("score_milli").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df_count", "score_milli", "rnk")
+    )

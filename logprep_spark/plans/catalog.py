@@ -98,8 +98,9 @@ _PRIORITY = [
     # --- r3 first-time rows: r2 analytics additions (A10-A14) ---
     "join_asof_last_login", "join_range_value_bands", "event_time_rollup",
     "split_train_val_test", "sketch_kmv_distinct",
-    # --- r3 first-time rows: LLM-data ops ---
+    # --- r3 first-time rows: LLM-data ops + table-join enrichment ---
     "text_pii", "text_surprisal", "ann_topk_ivf",
+    "text_tfidf", "proc_geoip_table",
     # --- anchors: §2.5 analytics core ---
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
     "sessionize_events", "event_rollup", "window_topk_orders",
@@ -109,10 +110,12 @@ _PRIORITY = [
     # --- anchors: §2.4 LLM-training-data ops ---
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_embedding_cosine", "ann_topk_bruteforce", "ann_topk_lsh",
-    "text_quality", "text_langid",
+    "text_quality",
     # --- anchors: framework surface + flagship composition ---
     "pipeline_training_data", "pipeline_compose", "source_preprocessors",
-    "proc_grokker",
+    # (text_langid and proc_grokker rotate out for the two new r3
+    # queries: both were officially green in r2 and their families
+    # stay covered — text_quality, proc_grokker_apache)
 ]
 
 
@@ -1132,6 +1135,48 @@ def proc_geoip_enricher(spark, sf_dir):
 
 
 @register(
+    "proc_geoip_table",
+    f"""
+    WITH geo(net_start, net_end, country, city) AS (
+        VALUES (167772160::BIGINT, 184549375::BIGINT, 'PRIVNET', 'intranet'),
+               (134742016::BIGINT, 134807551::BIGINT, 'US', 'mountain-view')
+    ), ev AS (
+        SELECT event_id,
+               (CASE WHEN user_id % 4 = 0
+                     THEN 8 * 16777216 + 8 * 65536
+                     ELSE 10 * 16777216 END
+                + (user_id % 200) * 256 + (1 + user_id % 50))::BIGINT AS ip_long
+        FROM events
+    )
+    SELECT event_id, country, city
+    FROM ev LEFT JOIN geo ON ip_long BETWEEN net_start AND net_end
+    """,
+)
+def proc_geoip_table(spark, sf_dir):
+    """Interval-table geo enrichment (the REAL geoip path, vs the
+    stub in proc_geoip_enricher): binned broadcast equi-join against
+    (net_start, net_end) ranges — the MaxMind-export join shape."""
+    geo = spark.createDataFrame(
+        [
+            (0x0A000000, 0x0AFFFFFF, "PRIVNET", "intranet"),
+            (0x08080000, 0x0808FFFF, "US", "mountain-view"),
+        ],
+        "net_start long, net_end long, country string, city string",
+    ).withColumn("lat", F.lit(0.0)).withColumn("lon", F.lit(0.0))
+    ev = _events(spark, sf_dir).withColumn("ip", _ip_col())
+    proc = GeoipEnricher(
+        [{"filter": "*", "geoip_enricher": {"source_fields": ["ip"]}}],
+        geo_table=geo,
+    )
+    g = F.col("geoip")
+    return proc.transform(ev).select(
+        "event_id",
+        g.getField("country").alias("country"),
+        g.getField("city").alias("city"),
+    )
+
+
+@register(
     "proc_ip_informer",
     """
     SELECT event_id,
@@ -1753,6 +1798,38 @@ def text_surprisal(spark, sf_dir):
     hash-compares cross-engine."""
     docs = tables(spark, sf_dir)["documents"]
     return tx.unigram_surprisal(docs)
+
+
+@register(
+    "text_tfidf",
+    f"""
+    WITH words AS (
+        SELECT doc_id, unnest({_sql_words("lower(text)")}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, count(*) AS df_count FROM tf GROUP BY term
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT doc_id, term, tf, df_count,
+               (tf * n_docs * 1000) // df_count AS score_milli,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY (tf * n_docs * 1000) // df_count DESC, term ASC
+               ) AS rnk
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df_count, score_milli, rnk
+    FROM scored WHERE rnk <= 3
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf-idf ranking
+    (functions/text.py tfidf_topk): integer milli-score with linear
+    idf so ranking and value hash are exact cross-engine."""
+    docs = tables(spark, sf_dir)["documents"]
+    return tx.tfidf_topk(docs, k=3)
 
 
 @register(
