@@ -250,6 +250,45 @@ def salted_user_counts(events: DataFrame, n_salts: int = 8) -> DataFrame:
     )
 
 
+def skewed_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_keys: list | None = None,
+    hot_threshold: int = 1_000_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Split-union join for a skewed fact key: rows with HOT key values
+    broadcast-join (the handful of hot dim rows ship to every
+    executor — no shuffle of the skewed partition at all), the cold
+    remainder takes the normal shuffle join. Result == plain join;
+    the plan swaps one monster reducer for two balanced jobs.
+
+    ``hot_keys`` pins the hot values (the production shape: computed
+    offline from key histograms, passed as config). Without it, a
+    sampled count finds keys above ``hot_threshold`` — one extra
+    pass over the fact's key column only, acceptable when the skew
+    profile isn't known. AQE's skew-join handles moderate skew at
+    runtime; this is for the pathological key that outgrows a single
+    executor's spill space.
+    """
+    if hot_keys is None:
+        hot_keys = [
+            r[key]
+            for r in fact.groupBy(key)
+            .count()
+            .filter(F.col("count") >= hot_threshold)
+            .select(key)
+            .collect()
+        ]
+    if not hot_keys:
+        return fact.join(dim, key, how)
+    hot = F.col(key).isin(hot_keys)
+    hot_part = fact.filter(hot).join(F.broadcast(dim.filter(hot)), key, how)
+    cold_part = fact.filter(~hot).join(dim.filter(~hot), key, how)
+    return hot_part.unionByName(cold_part)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

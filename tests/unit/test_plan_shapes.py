@@ -237,6 +237,34 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path, no_auto_broadcast):
         spark.sql("DROP TABLE IF EXISTS bt_lineitem")
 
 
+def test_skewed_join_splits_hot_keys(spark, sf_dir, no_auto_broadcast):
+    """skewed_join: hot-key rows take a broadcast join (no shuffle of
+    the skewed partition), cold rows take the shuffle join, and the
+    union equals the plain join exactly."""
+    from pyspark.sql import functions as F
+
+    from logprep_spark.plans.analytics import skewed_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    ).withColumnRenamed("c_custkey", "o_custkey")
+    hot = [r.o_custkey for r in orders.groupBy("o_custkey").count()
+           .orderBy(F.col("count").desc()).limit(3).collect()]
+
+    out = skewed_join(orders, customer, "o_custkey", hot_keys=hot)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # hot branch
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)  # cold branch
+    assert "Union" in plan
+
+    plain = orders.join(customer, "o_custkey")
+    assert out.count() == plain.count()
+    assert out.exceptAll(plain).count() == 0 and plain.exceptAll(out).count() == 0
+
+
 def test_asof_join_no_nested_loop(plans):
     """As-of join is union + carry-forward window: never a
     BroadcastNestedLoopJoin on the inequality (which is O(n*m) and
