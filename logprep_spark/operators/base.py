@@ -38,6 +38,9 @@ class Rule:
     # fields (lucene_filter.py:646 ``sf_value is True or field in sf_value``)
     regex_fields: list[str] | bool = field(default_factory=list)
     sigma_fields: list[str] | bool = field(default_factory=list)
+    # reference base/rule.py:187 — tags appended when the rule's
+    # transformation fails on an event; empty -> _<type>_failure
+    tag_on_failure: list[str] = field(default_factory=list)
 
     @classmethod
     def from_dict(cls, rule_type: str, raw: dict) -> "Rule":
@@ -46,6 +49,7 @@ class Rule:
             config=dict(raw.get(rule_type, {})),
             regex_fields=_special_fields(raw.get("regex_fields", [])),
             sigma_fields=_special_fields(raw.get("sigma_fields", [])),
+            tag_on_failure=list(raw.get("tag_on_failure", []) or []),
         )
 
 
@@ -73,9 +77,18 @@ class Processor:
             # Column expressions re-resolve by name against the mutated
             # frame, so an unstaged cond would flip mid-rule.
             df = df.withColumn(self._COND, F.coalesce(cond, F.lit(False)))
+            self._current_rule = rule
             df = self.apply_rule(df, F.col(self._COND), rule.config)
             df = df.drop(self._COND)
         return df
+
+    def tag_failure(self, df: DataFrame, failure_cond: Column) -> DataFrame:
+        """Append the active rule's ``tag_on_failure`` tags (default
+        ``_<type>_failure``, reference base/rule.py:282) where the
+        transformation failed — still a narrow column rewrite."""
+        rule = getattr(self, "_current_rule", None)
+        tags = (rule.tag_on_failure if rule else None) or [f"_{self.rule_type}_failure"]
+        return self.add_tag_when(df, F.coalesce(failure_cond, F.lit(False)), tags)
 
     def apply_rule(self, df: DataFrame, cond: Column, cfg: dict) -> DataFrame:
         raise NotImplementedError

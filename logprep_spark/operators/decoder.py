@@ -37,7 +37,9 @@ class Decoder(Processor):
                 schema = cfg.get("json_schema")
                 if schema is None:
                     schema = "map<string,string>"
-                df = self.set_when(df, target, cond, F.from_json(src.cast("string"), schema))
+                parsed = F.from_json(src.cast("string"), schema)
+                df = self.set_when(df, target, cond, parsed)
+                df = self.tag_failure(df, cond & src.isNotNull() & parsed.isNull())
             elif fmt == "base64":
                 df = self.set_when(df, target, cond, F.unbase64(src).cast("string"))
             elif fmt in ("clf", "nginx"):
@@ -50,6 +52,9 @@ class Decoder(Processor):
                     ]
                 )
                 df = self.set_when(df, target, cond, struct)
+                df = self.tag_failure(
+                    df, cond & src.isNotNull() & ~src.cast("string").rlike(regex)
+                )
             else:
                 raise ValueError(f"unknown source_format {fmt!r}")
         return df

@@ -279,6 +279,7 @@ class Grokker(Processor):
                 continue
             if isinstance(groks, str):
                 groks = [groks]
+            any_matched = F.lit(False)
             for grok in groks:
                 regex, targets = expand_grok(grok, patterns)
                 for target, group, typ in targets:
@@ -290,4 +291,8 @@ class Grokker(Processor):
                         value = value.cast(_TYPE_CASTS[typ])
                     matched = src.cast("string").rlike(regex)
                     df = self.set_when(df, target, cond & matched, value)
+                any_matched = any_matched | src.cast("string").rlike(regex)
+            # reference: event had the field but NO grok of the rule
+            # matched -> tag_on_failure (default _grokker_failure)
+            df = self.tag_failure(df, cond & src.isNotNull() & ~any_matched)
         return df

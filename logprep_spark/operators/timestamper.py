@@ -53,19 +53,21 @@ class Timestamper(Processor):
             if isinstance(dtype, T.TimestampType):
                 candidates.append(src)
             elif fmt == "UNIX":
-                secs = F.when(src.cast("double") > 1e11, src.cast("double") / 1000.0).otherwise(
-                    src.cast("double")
-                )
+                # try_cast, not cast: under ANSI (Spark 4 default) a
+                # non-numeric string would FAIL THE JOB instead of
+                # falling through to the next format / failure tag
+                num = src.cast("string").try_cast("double")
+                secs = F.when(num > 1e11, num / 1000.0).otherwise(num)
                 candidates.append(F.timestamp_seconds(secs))
             elif fmt == "ISO8601":
-                parsed = F.to_timestamp(src.cast("string"))
+                parsed = F.try_to_timestamp(src.cast("string"))
                 if shift:
                     parsed = F.when(has_offset, parsed).otherwise(
                         F.to_utc_timestamp(parsed, src_tz)
                     )
                 candidates.append(parsed)
             else:
-                parsed = F.to_timestamp(src.cast("string"), fmt)
+                parsed = F.try_to_timestamp(src.cast("string"), F.lit(fmt))
                 # zone-aware pattern letters (X/x/Z/z/O/V) outside
                 # quoted literals mean the parse already yields an
                 # instant; only naive formats get the source-tz shift
@@ -80,4 +82,6 @@ class Timestamper(Processor):
             ts = F.from_utc_timestamp(ts, tgt_tz)
         value = F.date_format(ts, ISO_FMT)
         target = cfg.get("target_field", "@timestamp")
-        return self.set_when(df, target, cond, value, overwrite=cfg.get("overwrite_target", True))
+        df = self.set_when(df, target, cond, value, overwrite=cfg.get("overwrite_target", True))
+        # unparseable under every configured format -> failure tag
+        return self.tag_failure(df, cond & src.isNotNull() & ts.isNull())

@@ -363,6 +363,35 @@ def test_geoip_stub(events):
     assert len(row.coordinates) == 2
 
 
+def test_tag_on_failure_grok_timestamp_decode(spark):
+    """Reference base rule semantics (base/rule.py:187): events a rule
+    fails to transform get tagged — default _<type>_failure, or the
+    rule's tag_on_failure list."""
+    df = spark.createDataFrame(
+        [(1, "GET /a HTTP/1.1", "2024-06-01T10:00:00Z", '{"k": "v"}'),
+         (2, "not a request",   "yesterday-ish",        "not json")],
+        "id long, request string, when string, payload string",
+    )
+    out = Grokker([
+        {"filter": "*", "grokker": {"mapping": {"request": "%{WORD:verb} %{URIPATH:path}"}}}
+    ]).transform(df)
+    tags = {r.id: r.tags for r in out.collect()}
+    assert tags[1] is None and tags[2] == ["_grokker_failure"]
+
+    out = Timestamper([
+        {"filter": "*", "tag_on_failure": ["_badtime", "alert"],
+         "timestamper": {"source_fields": ["when"], "target_field": "iso"}}
+    ]).transform(df)
+    tags = {r.id: r.tags for r in out.collect()}
+    assert tags[1] is None and tags[2] == ["_badtime", "alert"]
+
+    out = Decoder([
+        {"filter": "*", "decoder": {"source_fields": ["payload"], "target_field": "doc"}}
+    ]).transform(df)
+    tags = {r.id: r.tags for r in out.collect()}
+    assert tags[1] is None and tags[2] == ["_decoder_failure"]
+
+
 def test_geoip_table_binned_range_join(spark):
     """geo_table enrichment: values come from the interval table, and
     the plan is a binned broadcast HASH join — never a nested loop

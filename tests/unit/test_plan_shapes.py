@@ -197,6 +197,9 @@ def test_all_processor_queries_stay_narrow(spark, sf_dir):
     (pseudonym, origin) pairs, which is a real distinct shuffle."""
     qs = catalog.queries()
     allowed_shuffles = {"proc_pseudonymizer_pseudonyms": 1}
+    # geoip_table explodes range bins on the TINY broadcast dim side
+    # (2 rows -> ~4k bins), never on the event stream
+    allowed_generates = {"proc_pseudonymizer_pseudonyms", "proc_geoip_table"}
     offenders = {}
     for name, fn in qs.items():
         if not name.startswith(("proc_", "filter_", "source_")):
@@ -205,7 +208,7 @@ def test_all_processor_queries_stay_narrow(spark, sf_dir):
         shuffles = _shuffle_count(plan)
         generates = plan.count("Generate")
         budget = allowed_shuffles.get(name, 0)
-        if shuffles > budget or (generates and name not in allowed_shuffles):
+        if shuffles > budget or (generates and name not in allowed_generates):
             offenders[name] = f"shuffles={shuffles} generates={generates}"
     assert not offenders, offenders
 
