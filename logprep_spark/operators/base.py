@@ -152,3 +152,24 @@ class Pipeline:
         for proc in self.processors:
             df = proc.transform(df)
         return df
+
+    @staticmethod
+    def failed_condition(df: DataFrame, tags_field: str = "tags") -> Column:
+        """True where any processor attached a ``_*_failure`` tag."""
+        tags = fld.get_field(df, tags_field)
+        if tags is None:
+            return F.lit(False)
+        return F.exists(
+            F.coalesce(tags, F.array()), lambda t: t.rlike(r"^_.*_failure$")
+        )
+
+    def split_failed(self, df: DataFrame, tags_field: str = "tags"):
+        """Dead-letter routing (reference pipeline error output: events
+        a processor failed on go to the error topic, clean events to
+        the main output): returns ``(ok_df, failed_df)`` split on
+        failure tags. Both frames derive from ONE transformed plan —
+        persist the input when both sides are consumed to avoid a
+        double pass."""
+        out = self.transform(df)
+        failed = self.failed_condition(out, tags_field)
+        return out.filter(~failed), out.filter(failed)

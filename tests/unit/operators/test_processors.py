@@ -1130,3 +1130,27 @@ def test_geoip_customize_target_subfields(spark):
     geo = row.geoip.asDict()
     assert "country_iso" in geo and "location" in geo
     assert "country" not in geo
+
+
+def test_pipeline_split_failed_dead_letter(spark):
+    """Pipeline.split_failed: events any processor failure-tagged route
+    to the dead-letter frame, clean events to the main frame."""
+    from logprep_spark.operators import Pipeline
+
+    df = spark.createDataFrame(
+        [(1, "GET /a HTTP/1.1", '{"k": "v"}'),
+         (2, "garbled",         '{"k": "w"}'),
+         (3, "POST /b HTTP/1.1", "nope")],
+        "id long, request string, payload string",
+    )
+    pipe = Pipeline([
+        Grokker([{"filter": "*", "grokker": {
+            "mapping": {"request": "%{WORD:verb} %{URIPATH:path}"}}}]),
+        Decoder([{"filter": "*", "decoder": {
+            "source_fields": ["payload"], "target_field": "doc"}}]),
+    ])
+    ok, failed = pipe.split_failed(df)
+    assert {r.id for r in ok.collect()} == {1}
+    bad = {r.id: r.tags for r in failed.collect()}
+    assert bad[2] == ["_grokker_failure"]
+    assert bad[3] == ["_decoder_failure"]
