@@ -187,11 +187,12 @@ def tfidf_topk(
     flip the ranking of near-tied terms. Integer score → exact
     cross-engine ordering and value hash.
 
-    Distributed shape: one shuffle for (doc, term) tf, one term-keyed
-    shuffle for doc-freq, doc-count attached as a broadcast 1-row
-    cross join (no driver action), then a per-doc window top-k. The
-    doc-freq frame is vocabulary-sized — joined on term, left to AQE
-    to broadcast when it fits.
+    Distributed shape — ONE derivation of the token explode: (doc,
+    term) tf hash agg, then doc-freq as a count-over-term WINDOW on
+    the tf frame (a groupBy+self-join would re-derive the whole
+    explode subtree for the second consumer — the MinHash staging
+    lesson), doc-count attached as a broadcast 1-row cross join (no
+    driver action), then the per-doc top-k window.
     """
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
@@ -201,10 +202,9 @@ def tfidf_topk(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     )
     tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
     n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df_count", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(broadcast(n_docs))
         .withColumn(
             # integer div, not `/`+cast: float division then cast
