@@ -124,6 +124,31 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def substring_dup_groups(
+    df: DataFrame, k: int = 20, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-substring duplication at k-token-window granularity (the
+    training-data technique of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": long verbatim spans
+    shared across documents, which MinHash's whole-doc similarity can
+    miss between otherwise-different docs).
+
+    Suffix arrays don't distribute; the Spark shape is a rolling
+    window: per-doc DISTINCT k-token windows (narrow, staged token
+    array — see shingles_of), explode, 60-bit window hash, one
+    hash-keyed shuffle groups docs sharing any window. Returns
+    (window_hash, n_docs, keeper_id) for windows seen in >1 doc;
+    docs shorter than k contribute their full text as one window.
+    """
+    sha = shingle_arrays(df, text_col=text_col, id_col=id_col, k=k)
+    wins = sha.select(F.col(id_col), F.explode("sh").alias("_w"))
+    return (
+        wins.groupBy(h60(F.col("_w")).alias("window_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 # --- MinHash + LSH -----------------------------------------------------
 
 

@@ -100,7 +100,7 @@ _PRIORITY = [
     "split_train_val_test", "sketch_kmv_distinct",
     # --- r3 first-time rows: LLM-data ops + table-join enrichment ---
     "text_pii", "text_surprisal", "ann_topk_ivf",
-    "text_tfidf", "proc_geoip_table",
+    "text_tfidf", "proc_geoip_table", "dedup_substring",
     # --- anchors: §2.5 analytics core ---
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
     "sessionize_events", "event_rollup", "window_topk_orders",
@@ -108,14 +108,15 @@ _PRIORITY = [
     # --- anchors: §2.1 filter DSL ---
     "filter_lucene_bool", "filter_lucene_sigma",
     # --- anchors: §2.4 LLM-training-data ops ---
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_exact", "dedup_minhash_lsh",
     "dedup_embedding_cosine", "ann_topk_bruteforce", "ann_topk_lsh",
     "text_quality",
     # --- anchors: framework surface + flagship composition ---
     "pipeline_training_data", "pipeline_compose", "source_preprocessors",
-    # (text_langid and proc_grokker rotate out for the two new r3
-    # queries: both were officially green in r2 and their families
-    # stay covered — text_quality, proc_grokker_apache)
+    # (text_langid, proc_grokker and dedup_simhash rotate out for the
+    # three new r3 queries: all were officially green in r2 and their
+    # families stay covered — text_quality, proc_grokker_apache,
+    # dedup_minhash_lsh)
 ]
 
 
@@ -1830,6 +1831,27 @@ def text_tfidf(spark, sf_dir):
     idf so ranking and value hash are exact cross-engine."""
     docs = tables(spark, sf_dir)["documents"]
     return tx.tfidf_topk(docs, k=3)
+
+
+@register(
+    "dedup_substring",
+    f"""
+    WITH wins AS (
+        SELECT doc_id,
+               unnest(list_transform({_sql_shingles('text', 20)},
+                                     s -> {_sql_h60('s')})) AS window_hash
+        FROM documents
+    )
+    SELECT window_hash, count(*) AS n_docs, min(doc_id) AS keeper_id
+    FROM wins GROUP BY window_hash HAVING count(*) > 1
+    """,
+)
+def dedup_substring(spark, sf_dir):
+    """Exact-substring duplication at 20-token-window granularity
+    (functions/dedup.py substring_dup_groups — the Lee et al. 2022
+    long-verbatim-span detector MinHash whole-doc similarity misses)."""
+    docs = tables(spark, sf_dir)["documents"]
+    return dd.substring_dup_groups(docs, k=20)
 
 
 @register(
