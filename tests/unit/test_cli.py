@@ -35,14 +35,17 @@ output:
 
 @pytest.fixture()
 def paths(tmp_path):
-    events = tmp_path / "events.jsonl"
-    events.write_text(
+    # a directory source: batch reads it AND the streaming file source
+    # requires a directory (not a bare file)
+    events_dir = tmp_path / "events-in"
+    events_dir.mkdir()
+    (events_dir / "events.jsonl").write_text(
         "\n".join(json.dumps({"message": f"m{i}", "num": i}) for i in range(5)) + "\n"
     )
     out_dir = tmp_path / "out"
     cfg = tmp_path / "pipeline.yml"
-    cfg.write_text(CONFIG_YML.format(events=events, out_dir=out_dir))
-    return cfg, events, out_dir
+    cfg.write_text(CONFIG_YML.format(events=events_dir, out_dir=out_dir))
+    return cfg, events_dir, out_dir
 
 
 def test_cli_test_config_ok(paths, capsys):
@@ -90,3 +93,15 @@ def test_cli_print_json(paths, capsys):
     assert main(["print", str(cfg), "--output-format", "json"]) == 0
     doc = json.loads(capsys.readouterr().out)
     assert doc["version"] == 1 and "pipeline" in doc
+
+
+def test_cli_run_stream(paths, tmp_path, spark):
+    cfg, _, out_dir = paths
+    assert main(["run", str(cfg), "--stream",
+                 "--checkpoint", str(tmp_path / "ckpt")]) == 0
+    rows = [
+        json.loads(line)
+        for f in out_dir.glob("*.json")
+        for line in f.read_text().splitlines()
+    ]
+    assert len(rows) == 5 and all("doubled" in r for r in rows)
