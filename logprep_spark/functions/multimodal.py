@@ -52,9 +52,73 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> object:
-    """STUB: real impl would use PIL/libjpeg — not in this container."""
-    raise NotImplementedError("image codecs unavailable; inject a decoder")
+def decode_image(payload: bytes):
+    """Decode an UNCOMPRESSED image payload to an (H, W, 3) uint8 RGB
+    numpy array. REAL for binary PPM (P6) and 24-bit BMP — both are
+    header + raw pixels, no codec library needed. Compressed formats
+    (JPEG/PNG) still raise: libjpeg/zlib codecs aren't in this
+    container; inject a decoder where needed."""
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        # P6 <ws> width <ws> height <ws> maxval <single-ws> raw RGB
+        fields, idx = [], 2
+        while len(fields) < 3:
+            while idx < len(payload) and payload[idx : idx + 1].isspace():
+                idx += 1
+            if payload[idx : idx + 1] == b"#":  # comment to EOL
+                idx = payload.index(b"\n", idx) + 1
+                continue
+            start = idx
+            while idx < len(payload) and not payload[idx : idx + 1].isspace():
+                idx += 1
+            fields.append(int(payload[start:idx]))
+        idx += 1  # the single whitespace after maxval
+        width, height, maxval = fields
+        if maxval != 255:
+            raise ValueError(f"PPM maxval {maxval} unsupported")
+        raw = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=idx)
+        return raw.reshape(height, width, 3).copy()
+    if payload[:2] == b"BM":
+        import struct
+
+        data_offset = struct.unpack_from("<I", payload, 10)[0]
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise ValueError(f"BMP bpp={bpp} compression={compression} unsupported")
+        flip = height > 0
+        height = abs(height)
+        stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * height, offset=data_offset
+        ).reshape(height, stride)
+        bgr = rows[:, : width * 3].reshape(height, width, 3)
+        rgb = bgr[:, :, ::-1]
+        return (rgb[::-1] if flip else rgb).copy()  # BMP stores bottom-up
+    raise NotImplementedError(
+        "compressed image codecs unavailable; inject a decoder (PPM/BMP decode natively)"
+    )
+
+
+def encode_ppm(pixels) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as binary PPM (P6)."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def resample_nearest(pixels, width: int, height: int):
+    """Real nearest-neighbor resize on an (H, W, 3) array."""
+    import numpy as np
+
+    src_h, src_w = pixels.shape[:2]
+    ys = (np.arange(height) * src_h // height).clip(0, src_h - 1)
+    xs = (np.arange(width) * src_w // width).clip(0, src_w - 1)
+    return pixels[ys][:, xs]
 
 
 # --------------------------------------------------------------------
@@ -218,16 +282,30 @@ def extract_features(df: DataFrame, batch_decoder=None) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB resize: passes payload through and updates meta dims —
-    the real kernel swaps in a codec inside the same mapInPandas shape."""
+    """Resize image payloads inside the usual Arrow-batched
+    mapInPandas shape. REAL nearest-neighbor resample + PPM re-encode
+    for natively-decodable payloads (PPM/BMP); payloads the codec
+    can't decode pass through byte-identical with only the meta dims
+    updated (the prior stub behavior, kept so synthetic test media
+    still flows)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = pdf["meta"].map(
-                lambda m: {**(m or {}), "width": width, "height": height}
-            )
+            payloads, metas = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                new_meta = {**(meta or {}), "width": width, "height": height}
+                try:
+                    resized = resample_nearest(
+                        decode_image(bytes(payload)), width, height
+                    )
+                    payloads.append(encode_ppm(resized))
+                    new_meta["mime"] = "image/x-portable-pixmap"
+                except Exception:
+                    payloads.append(payload)  # undecodable: meta-only
+                metas.append(new_meta)
             out = pdf.copy()
-            out["meta"] = meta
+            out["payload"] = payloads
+            out["meta"] = metas
             yield out
 
     return df.mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -277,3 +277,50 @@ def test_hyperplane_bucket_overdim_raises(spark):
         df.select(
             hyperplane_bucket(F.col("vec"), n_planes=2, max_dim=4).alias("b")
         ).collect()
+
+
+def test_image_codec_ppm_bmp_and_real_resize(spark):
+    """REAL image path for uncompressed formats: PPM/BMP decode to the
+    same pixels, nearest-neighbor resize halves a gradient correctly,
+    and resize_images re-encodes decodable payloads on the cluster."""
+    import struct
+
+    import numpy as np
+
+    h = w = 64
+    grad = np.zeros((h, w, 3), dtype=np.uint8)
+    grad[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :] * 4       # R: x-gradient
+    grad[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None] * 4       # G: y-gradient
+    ppm = multimodal.encode_ppm(grad)
+    assert np.array_equal(multimodal.decode_image(ppm), grad)
+
+    # build a matching 24-bit BMP (bottom-up BGR, 4-byte row padding)
+    stride = (w * 3 + 3) & ~3
+    bgr = grad[::-1, :, ::-1]
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    bmp = (b"BM" + struct.pack("<IHHI", 54 + stride * h, 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+           + rows.tobytes())
+    assert np.array_equal(multimodal.decode_image(bmp), grad)
+
+    small = multimodal.resample_nearest(grad, 32, 32)
+    assert small.shape == (32, 32, 3)
+    assert small[0, 31, 0] == grad[0, 62, 0]  # nearest source pixel
+
+    media = spark.createDataFrame(
+        [(1, "image", ppm, {"mime": "image/x-portable-pixmap", "width": 64,
+                            "height": 64, "duration_ms": None}),
+         (2, "image", b"\x89PNG-not-decodable", {"mime": "image/png", "width": 8,
+                                                 "height": 8, "duration_ms": None})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in multimodal.resize_images(media, 32, 32).collect()}
+    resized = multimodal.decode_image(bytes(out[1].payload))
+    assert resized.shape == (32, 32, 3)
+    assert out[1].meta["width"] == 32
+    assert bytes(out[2].payload) == b"\x89PNG-not-decodable"  # passthrough
+    assert out[2].meta["width"] == 32
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n")
