@@ -188,23 +188,34 @@ def tfidf_topk(
     cross-engine ordering and value hash.
 
     Distributed shape — ONE derivation of the token explode: (doc,
-    term) tf hash agg, then doc-freq as a count-over-term WINDOW on
-    the tf frame (a groupBy+self-join would re-derive the whole
-    explode subtree for the second consumer — the MinHash staging
-    lesson), doc-count attached as a broadcast 1-row cross join (no
-    driver action), then the per-doc top-k window.
+    term) tf hash agg, PERSISTED (the MinHash staging discipline,
+    dedup.py — two consumers with different plans defeat exchange
+    reuse, so an unpersisted tf would re-run the whole explode
+    subtree), then doc-freq as ``tf.groupBy(term).count()`` joined
+    back on term. NOT a count-over-term window: a window has no
+    map-side partial aggregation, so a stop-word-grade term present in
+    essentially every doc would put billions of (doc, term) rows in
+    ONE task's partition at 100 TB. The groupBy gets partial agg
+    (map-side combine shrinks the shuffle to distinct terms per map
+    task) and the term-keyed equi-join is AQE-skew-splittable — a hot
+    term's rows spread over many tasks instead of one. Doc-count is
+    attached as a broadcast 1-row cross join (no driver action), then
+    the per-doc top-k window (bounded per doc — safe).
     """
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
+    from pyspark.storagelevel import StorageLevel
 
     words = df.select(
         F.col(id_col),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     )
     tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
     n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
     scored = (
-        tf.withColumn("df_count", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        tf.join(df_counts, "term")
         .crossJoin(broadcast(n_docs))
         .withColumn(
             # integer div, not `/`+cast: float division then cast

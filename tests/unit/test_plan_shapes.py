@@ -268,6 +268,24 @@ def test_skewed_join_splits_hot_keys(spark, sf_dir, no_auto_broadcast):
     assert out.exceptAll(plain).count() == 0 and plain.exceptAll(out).count() == 0
 
 
+def test_tfidf_no_window_over_term(plans):
+    """tfidf_topk: the doc-frequency must come from a partial-agg
+    groupBy + term-keyed join — NEVER a count-over-Window.partitionBy
+    (term). A window has no map-side combine, so one stop-word-grade
+    term would put billions of (doc, term) rows into a single task at
+    100 TB. Exactly one Window is allowed: the bounded per-doc top-k."""
+    plan = plans("text_tfidf")
+    # exactly one Window node (WindowGroupLimit = top-k pushdown, fine)
+    assert plan.count("Window [") == 1
+    # the surviving window partitions by doc_id, never term
+    win_line = next(line for line in plan.split("\n") if "Window [" in line)
+    assert "windowspecdefinition(doc_id" in win_line
+    # df_count derives from a hash agg (partial+final) on term
+    assert plan.count("HashAggregate") >= 2
+    # the persisted tf frame feeds both consumers
+    assert "InMemoryTableScan" in plan
+
+
 def test_asof_join_no_nested_loop(plans):
     """As-of join is union + carry-forward window: never a
     BroadcastNestedLoopJoin on the inequality (which is O(n*m) and
