@@ -37,9 +37,17 @@ def cmd_run(args) -> int:
     if args.stream:
         source = config.input.read_stream(spark)
         result = config.transform(source)
+        import inspect
+
+        def _takes_checkpoint(fn) -> bool:
+            try:
+                return "checkpoint" in inspect.signature(fn).parameters
+            except (TypeError, ValueError):  # C-implemented / unintrospectable
+                return False
+
         queries = [
             out.write_stream(result, checkpoint=f"{args.checkpoint}/{name}")
-            if "checkpoint" in out.write_stream.__code__.co_varnames
+            if _takes_checkpoint(out.write_stream)
             else out.write_stream(result)
             for name, out in config.outputs.items()
         ]

@@ -9,7 +9,8 @@ tokenize, drop (hex-)numeric tokens longer than 3 chars and any token
 longer than 30.
 
 The model is a logistic regression over hashed token counts (hashing
-trick, 64 buckets) trained by ``tools/train_amides.py`` on
+trick; bucket count = ``dim`` from ``amides_model.json``, currently
+256) trained by ``tools/train_amides.py`` on
 public-knowledge fixtures (Sigma-rule-style attack command lines vs
 ordinary process invocations) and serialized in-repo as
 ``amides_model.json``. Weights are integer micro-units, so the decision

@@ -103,14 +103,27 @@ def hybrid_encrypt(col: Column, analyst_secret: str, depseudo_secret: str) -> Co
     encryption without touching the plan shape.
 
     Token format: base64(wrap2) '.' base64(ciphertext).
+
+    INVARIANT: the nondeterministic per-row session key must evaluate
+    to the SAME bytes in the key-wrap and the ciphertext expression —
+    if the two occurrences ever re-seeded independently, every token
+    would be undecryptable. Rather than relying on Column-instance
+    reuse (observed-correct but not guaranteed semantics), the key is
+    bound ONCE as a lambda variable: ``transform(array(key), sk ->
+    token(sk))`` evaluates the uuid exactly once and both consumers
+    read the bound ``sk``.
     """
     value = col.cast("string")
     # fresh 32-byte session key per row (uuid -> sha2 -> raw bytes)
     session_key = F.unhex(F.sha2(F.concat(F.uuid(), value), 256))
-    wrapped = F.aes_encrypt(session_key, F.lit(_key_bytes(depseudo_secret)), F.lit("GCM"))
-    wrapped2 = F.aes_encrypt(wrapped, F.lit(_key_bytes(analyst_secret)), F.lit("GCM"))
-    ciphertext = F.aes_encrypt(value.cast("binary"), session_key, F.lit("GCM"))
-    return F.concat(_b64(wrapped2), F.lit("."), _b64(ciphertext))
+
+    def _token(sk: Column) -> Column:
+        wrapped = F.aes_encrypt(sk, F.lit(_key_bytes(depseudo_secret)), F.lit("GCM"))
+        wrapped2 = F.aes_encrypt(wrapped, F.lit(_key_bytes(analyst_secret)), F.lit("GCM"))
+        ciphertext = F.aes_encrypt(value.cast("binary"), sk, F.lit("GCM"))
+        return F.concat(_b64(wrapped2), F.lit("."), _b64(ciphertext))
+
+    return F.element_at(F.transform(F.array(session_key), _token), 1)
 
 
 def hybrid_decrypt(col: Column, analyst_secret: str, depseudo_secret: str) -> Column:

@@ -283,7 +283,12 @@ def skewed_join(
         ]
     if not hot_keys:
         return fact.join(dim, key, how)
-    hot = F.col(key).isin(hot_keys)
+    # NULL-safe routing: isin() is NULL for NULL keys, and both
+    # filter(hot) and filter(~hot) drop NULL predicates — an outer
+    # join would silently lose NULL-key rows a plain join keeps.
+    # coalesce(..., false) routes NULL keys to the cold branch, where
+    # the join treats them exactly as the plain join would.
+    hot = F.coalesce(F.col(key).isNotNull() & F.col(key).isin(hot_keys), F.lit(False))
     hot_part = fact.filter(hot).join(F.broadcast(dim.filter(hot)), key, how)
     cold_part = fact.filter(~hot).join(dim.filter(~hot), key, how)
     return hot_part.unionByName(cold_part)

@@ -77,14 +77,21 @@ def interval_join(
     stream-stream join would buffer both streams forever. The right
     watermark must cover the interval plus the left watermark (late
     left rows still need their right matches in state).
+
+    When both sides use the same timestamp name (default ``ts``), the
+    right side's is renamed to ``<right_ts>_right`` in the output —
+    otherwise two identically-named columns would make any later
+    ``select(left_ts)`` ambiguous.
     """
     lts, rts = f"__l_{left_ts}", f"__r_{right_ts}"
     lhs = left.withColumn(lts, F.col(left_ts)).withWatermark(lts, left_watermark)
-    rhs = (
-        right.withColumnRenamed(key, f"__r_{key}")
-        .withColumn(rts, F.col(right_ts))
-        .withWatermark(rts, right_watermark)
-    )
+    rhs = right.withColumnRenamed(key, f"__r_{key}")
+    if right_ts in lhs.columns:
+        rhs = rhs.withColumnRenamed(right_ts, f"{right_ts}_right")
+        rhs = rhs.withColumn(rts, F.col(f"{right_ts}_right"))
+    else:
+        rhs = rhs.withColumn(rts, F.col(right_ts))
+    rhs = rhs.withWatermark(rts, right_watermark)
     cond = (
         (F.col(key) == F.col(f"__r_{key}"))
         & (F.col(rts) <= F.col(lts))

@@ -268,6 +268,25 @@ def test_skewed_join_splits_hot_keys(spark, sf_dir, no_auto_broadcast):
     assert out.exceptAll(plain).count() == 0 and plain.exceptAll(out).count() == 0
 
 
+def test_skewed_join_keeps_null_keys_on_outer(spark):
+    """NULL fact keys must survive an outer skewed_join: isin() is
+    NULL for NULL keys, so an un-coalesced hot predicate would drop
+    them from BOTH branches — result must equal the plain join for
+    every `how`."""
+    from logprep_spark.plans.analytics import skewed_join
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (None, "c"), (2, "d")], "k int, fv string"
+    )
+    dim = spark.createDataFrame([(1, "x"), (3, "y")], "k int, dv string")
+    for how in ("inner", "left", "full"):
+        out = skewed_join(fact, dim, "k", hot_keys=[1], how=how)
+        plain = fact.join(dim, "k", how)
+        assert out.count() == plain.count(), how
+        assert out.exceptAll(plain).count() == 0, how
+        assert plain.exceptAll(out).count() == 0, how
+
+
 def test_tfidf_no_window_over_term(plans):
     """tfidf_topk: the doc-frequency must come from a partial-agg
     groupBy + term-keyed join — NEVER a count-over-Window.partitionBy

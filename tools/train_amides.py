@@ -5,7 +5,8 @@ Reference intent: /root/reference/logprep/processor/amides/detection.py
 (a trained sklearn classifier scores normalized command lines). The
 sandbox has no sklearn and no model zip, so this script trains a small
 logistic regression with plain numpy over HASHED TOKEN COUNTS (hashing
-trick, 64 buckets) using public-knowledge fixtures: command-line
+trick; DIM buckets, currently 256) using public-knowledge fixtures:
+command-line
 patterns that well-known SIEM rules (Sigma process_creation family)
 target, vs. ordinary benign process invocations.
 
