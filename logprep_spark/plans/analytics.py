@@ -265,32 +265,55 @@ def skewed_join(
     the plan swaps one monster reducer for two balanced jobs.
 
     ``hot_keys`` pins the hot values (the production shape: computed
-    offline from key histograms, passed as config). Without it, a
-    sampled count finds keys above ``hot_threshold`` — one extra
-    pass over the fact's key column only, acceptable when the skew
-    profile isn't known. AQE's skew-join handles moderate skew at
-    runtime; this is for the pathological key that outgrows a single
+    offline from key histograms, passed as config). Without it, the
+    hot set is DISCOVERED fully distributed: an aggregated hot-key
+    frame (``groupBy(key).count().filter(>= hot_threshold)`` —
+    partial-agg shrinks it map-side, the filter bounds it to the
+    pathological few) is persisted and broadcast-left-joined onto
+    both sides as a marker column. No ``.collect()``: the histogram
+    never lands on the driver, so a high-cardinality key column
+    can't OOM it. AQE's skew-join handles moderate skew at runtime;
+    this is for the pathological key that outgrows a single
     executor's spill space.
     """
-    if hot_keys is None:
-        hot_keys = [
-            r[key]
-            for r in fact.groupBy(key)
-            .count()
-            .filter(F.col("count") >= hot_threshold)
-            .select(key)
-            .collect()
-        ]
-    if not hot_keys:
-        return fact.join(dim, key, how)
-    # NULL-safe routing: isin() is NULL for NULL keys, and both
-    # filter(hot) and filter(~hot) drop NULL predicates — an outer
-    # join would silently lose NULL-key rows a plain join keeps.
-    # coalesce(..., false) routes NULL keys to the cold branch, where
-    # the join treats them exactly as the plain join would.
-    hot = F.coalesce(F.col(key).isNotNull() & F.col(key).isin(hot_keys), F.lit(False))
-    hot_part = fact.filter(hot).join(F.broadcast(dim.filter(hot)), key, how)
-    cold_part = fact.filter(~hot).join(dim.filter(~hot), key, how)
+    if hot_keys is not None:
+        if not hot_keys:
+            return fact.join(dim, key, how)
+        # NULL-safe routing: isin() is NULL for NULL keys, and both
+        # filter(hot) and filter(~hot) drop NULL predicates — an outer
+        # join would silently lose NULL-key rows a plain join keeps.
+        # coalesce(..., false) routes NULL keys to the cold branch,
+        # where the join treats them exactly as the plain join would.
+        hot = F.coalesce(
+            F.col(key).isNotNull() & F.col(key).isin(hot_keys), F.lit(False)
+        )
+        hot_part = fact.filter(hot).join(F.broadcast(dim.filter(hot)), key, how)
+        cold_part = fact.filter(~hot).join(dim.filter(~hot), key, how)
+        return hot_part.unionByName(cold_part)
+
+    from pyspark.storagelevel import StorageLevel
+
+    hotk = (
+        fact.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__hot_n"))
+        .filter(F.col("__hot_n") >= hot_threshold)
+        .select(key)
+        .withColumn("__hot", F.lit(True))
+        # persisted: the marker frame feeds four consumers (fact/dim x
+        # hot/cold) — unpersisted, the full fact scan + agg would
+        # re-run per consumer
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    fact_m = fact.join(F.broadcast(hotk), key, "left")
+    dim_m = dim.join(F.broadcast(hotk), key, "left")
+    # NULL keys never match the marker join -> __hot null -> cold
+    is_hot = F.coalesce(F.col("__hot"), F.lit(False))
+    hot_part = fact_m.filter(is_hot).drop("__hot").join(
+        F.broadcast(dim_m.filter(is_hot).drop("__hot")), key, how
+    )
+    cold_part = fact_m.filter(~is_hot).drop("__hot").join(
+        dim_m.filter(~is_hot).drop("__hot"), key, how
+    )
     return hot_part.unionByName(cold_part)
 
 

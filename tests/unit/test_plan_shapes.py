@@ -268,6 +268,35 @@ def test_skewed_join_splits_hot_keys(spark, sf_dir, no_auto_broadcast):
     assert out.exceptAll(plain).count() == 0 and plain.exceptAll(out).count() == 0
 
 
+def test_skewed_join_discovery_no_driver_collect(spark, sf_dir, no_auto_broadcast):
+    """hot_keys=None discovery path: the hot-key histogram stays a
+    broadcast frame — never a driver .collect() (a high-cardinality
+    key would OOM the driver). Result still equals the plain join."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from logprep_spark.plans.analytics import skewed_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    with mock.patch.object(
+        DataFrame, "collect", side_effect=AssertionError("driver collect in plan path")
+    ):
+        out = skewed_join(orders, customer, "o_custkey", hot_keys=None, hot_threshold=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # hot branch + marker joins
+    assert "Union" in plan
+    plain = orders.join(customer, "o_custkey")
+    assert out.count() == plain.count()
+    assert out.exceptAll(plain).count() == 0 and plain.exceptAll(out).count() == 0
+
+
 def test_skewed_join_keeps_null_keys_on_outer(spark):
     """NULL fact keys must survive an outer skewed_join: isin() is
     NULL for NULL keys, so an un-coalesced hot predicate would drop
