@@ -6,12 +6,20 @@ JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
 
 Each query is executed to completion (noop-sink consume — no
 driver-side collect of big results); per query the reported time is
-the MIN of two timed iterations. Rationale (r3): single-shot timings
-carry first-touch noise the query plan doesn't own — page-cache state
-of the parquet files and residual JIT at the larger SF produced a
-2.9-3.5 s spread on dedup_minhash_lsh whose steady state is ~1.6 s.
-Min-of-2 is the standard JMH-style answer; SURVEY §6 records the
-methodology change for cross-round comparability.
+the MEDIAN of three timed iterations (r4; was min-of-2). Rationale:
+single-shot timings carry first-touch noise the query plan doesn't
+own (page cache, residual JIT), and min-of-2 can't absorb a run where
+BOTH iterations land on a contended machine — r3's official numbers
+showed a 3.4x spread on dedup_minhash_lsh purely from driver-box
+contention. Median-of-3 plus an explicit machine-calibration probe
+(below) makes contended runs detectable and normalizable.
+
+Calibration probe: before the timed queries, a FIXED pure-CPU Spark
+job (sum over a 50M range — no IO, no shuffle payload, identical
+every round) is timed the same way and emitted as ``calib_s``. Query
+time is dominated by the same executor-thread pool, so a round whose
+calib_s is k-times another round's can have its query times divided
+by ~k for cross-round comparison. SURVEY §6 records the methodology.
 
 Before the timed region every headline query runs once at sf0.001:
 JVM JIT + whole-stage-codegen compilation of each query shape is a
@@ -64,15 +72,29 @@ def main() -> None:
         for name in HEADLINE:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
+    def timed_median3(run) -> float:
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            run()
+            ts.append(time.time() - t0)
+        return round(sorted(ts)[1], 3)
+
+    # fixed machine-calibration probe: pure CPU, no IO, identical
+    # every round — a contended box shows up here first
+    def calib() -> None:
+        spark.range(50_000_000).selectExpr("sum(id * 2) AS s").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    calib()  # warm the probe's own codegen outside its timing
+    calib_s = timed_median3(calib)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            df = qs[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = timed_median3(
+            lambda: qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -82,6 +104,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "calib_s": calib_s,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
