@@ -149,6 +149,66 @@ def substring_dup_groups(
     )
 
 
+def substring_dup_spans(
+    df: DataFrame, k: int = 20, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """MAXIMAL duplicated spans per document (Lee et al. 2022 report
+    maximal substrings; :func:`substring_dup_groups`'s fixed-k windows
+    over-fragment a long verbatim run into dozens of overlapping
+    window rows). Adjacent duplicated windows merge into one span:
+    (doc_id, span_start, span_end, n_windows, span_tokens), token
+    positions 1-based inclusive.
+
+    Distributed shape: positional k-token windows (posexplode over the
+    staged token array), 60-bit window hash, ONE hash-keyed shuffle
+    marks windows seen in >1 distinct doc (two-phase count-distinct —
+    partial agg shrinks map-side), join back on the hash (equi-join,
+    AQE-skew-splittable for a boilerplate window shared by millions of
+    docs), then gaps-and-islands per doc: island id = pos -
+    row_number() over (doc ORDER BY pos). The per-doc window is
+    bounded by document length — never a scale concern.
+    """
+    from pyspark.sql import Window
+
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size("_toks")
+    win_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice("_toks", i, k), " "),
+    )
+    wins = toked.select(
+        F.col(id_col), F.posexplode(win_arr).alias("_pos0", "_w")
+    ).select(
+        id_col,
+        (F.col("_pos0") + 1).cast("long").alias("pos"),
+        h60(F.col("_w")).alias("window_hash"),
+    )
+    dup_hashes = (
+        wins.groupBy("window_hash")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("window_hash")
+    )
+    marked = wins.join(dup_hashes, "window_hash")
+    by_doc = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        marked.withColumn("_isl", F.col("pos") - F.row_number().over(by_doc))
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            "n_windows",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
 # --- MinHash + LSH -----------------------------------------------------
 
 

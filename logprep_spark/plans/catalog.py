@@ -82,29 +82,31 @@ def register(name: str, oracle: str | None = None):
 # processor variants go after the cutoff (they stay judged by pytest and
 # remain runnable/oracle-checked by name).
 # The driver records official correctness rows for the FIRST 50 entries
-# only. r3 rotation: the 28 queries that had no official row through r2
-# (16 §2.2 processors, the five r2 analytics ops, text_pii/surprisal,
-# ann_topk_ivf, amides, requester) take the window alongside 22 anchors
-# that keep every capability area officially covered round-over-round.
+# only. r4 rotation: the 31 queries whose last official row is r2 (out
+# of the r3 window) rotate back in, alongside 19 anchors that keep
+# every capability area officially covered round-over-round. The 31 r3
+# first-time rows rotate out — each has an official green row exactly
+# one round old, so after r4 EVERY catalog query's official evidence
+# is at most one round stale.
 _PRIORITY = [
-    # --- r3 first-time rows: §2.2 processors never inside the window ---
-    "proc_clusterer", "proc_deleter", "proc_dropper", "proc_generic_adder",
-    "proc_geoip_enricher", "proc_key_checker", "proc_labeler",
-    "proc_list_comparison", "proc_network_comparison", "proc_string_splitter",
-    "proc_template_replacer", "proc_domain_label_extractor",
-    "proc_domain_resolver", "proc_decoder_base64", "proc_decoder_clf",
-    "proc_decoder_nginx", "proc_grokker_apache", "proc_pseudonymizer_capture",
-    "proc_amides", "proc_requester",
-    # --- r3 first-time rows: r2 analytics additions (A10-A14) ---
-    "join_asof_last_login", "join_range_value_bands", "event_time_rollup",
-    "split_train_val_test", "sketch_kmv_distinct",
-    # --- r3 first-time rows: LLM-data ops + table-join enrichment ---
-    "text_pii", "text_surprisal", "ann_topk_ivf",
-    "text_tfidf", "proc_geoip_table", "dedup_substring",
+    # --- r4 rotated in: last official row r2 ---
+    "join_broadcast_nation", "event_type_stats", "event_percentiles",
+    "agg_salted_user_counts",
+    "filter_lucene_wildcard", "filter_lucene_regex", "filter_lucene_range",
+    "proc_calculator", "proc_concatenator", "proc_datetime_extractor",
+    "proc_decoder_json", "proc_dissector", "proc_grokker",
+    "proc_timestamper", "proc_timestamp_differ", "proc_pseudonymizer",
+    "proc_pseudonymizer_pseudonyms", "proc_replacer", "proc_field_manager",
+    "proc_generic_resolver", "proc_ip_informer", "proc_pre_detector",
+    "proc_selective_extractor", "proc_deduplicator",
+    "source_jsonl",
+    "text_langid", "text_tokens", "text_fingerprint",
+    "dedup_clusters", "dedup_ngram_jaccard", "dedup_simhash",
+    # --- r4 first-time rows: new queries this round ---
+    "dedup_substring_spans",
     # --- anchors: §2.5 analytics core ---
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
     "sessionize_events", "event_rollup", "window_topk_orders",
-    "join_anti_customers",
     # --- anchors: §2.1 filter DSL ---
     "filter_lucene_bool", "filter_lucene_sigma",
     # --- anchors: §2.4 LLM-training-data ops ---
@@ -113,10 +115,6 @@ _PRIORITY = [
     "text_quality",
     # --- anchors: framework surface + flagship composition ---
     "pipeline_training_data", "pipeline_compose", "source_preprocessors",
-    # (text_langid, proc_grokker and dedup_simhash rotate out for the
-    # three new r3 queries: all were officially green in r2 and their
-    # families stay covered — text_quality, proc_grokker_apache,
-    # dedup_minhash_lsh)
 ]
 
 
@@ -1852,6 +1850,45 @@ def dedup_substring(spark, sf_dir):
     long-verbatim-span detector MinHash whole-doc similarity misses)."""
     docs = tables(spark, sf_dir)["documents"]
     return dd.substring_dup_groups(docs, k=20)
+
+
+@register(
+    "dedup_substring_spans",
+    f"""
+    WITH words AS (
+        SELECT doc_id, {_sql_words()} AS w FROM documents
+    ), wins0 AS (
+        SELECT doc_id,
+               unnest([struct_pack(pos := i,
+                       wh := {_sql_h60("array_to_string(w[i:i+19], ' ')")})
+                       for i in range(1, greatest(len(w) - 19, 1) + 1)]) AS s
+        FROM words
+    ), wins AS (
+        SELECT doc_id, s.pos AS pos, s.wh AS window_hash FROM wins0
+    ), dups AS (
+        SELECT window_hash FROM wins
+        GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+    ), marked AS (
+        SELECT doc_id, pos FROM wins JOIN dups USING (window_hash)
+    ), isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM marked
+    )
+    SELECT doc_id,
+           min(pos)      AS span_start,
+           max(pos) + 19 AS span_end,
+           count(*)      AS n_windows,
+           max(pos) + 19 - min(pos) + 1 AS span_tokens
+    FROM isl GROUP BY doc_id, g
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    """MAXIMAL duplicated spans (Lee et al. 2022 semantics): adjacent
+    duplicated 20-token windows merged per doc via gaps-and-islands
+    (functions/dedup.py substring_dup_spans)."""
+    docs = tables(spark, sf_dir)["documents"]
+    return dd.substring_dup_spans(docs, k=20)
 
 
 @register(

@@ -324,3 +324,26 @@ def test_image_codec_ppm_bmp_and_real_resize(spark):
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG\r\n")
+
+
+def test_substring_dup_spans_merges_adjacent_windows(spark):
+    """Two docs share a verbatim 6-token run; with k=4 that is three
+    overlapping duplicated windows (pos 2-4 in doc a) which must merge
+    into ONE maximal span — and a separate shared window later in the
+    doc must stay its own island."""
+    shared = "w1 w2 w3 w4 w5 w6"
+    # tails share only a 3-token run (t1 t2 t3) — shorter than k=4, so
+    # no duplicated window can come from them
+    da = f"a0 {shared} x1 x2 t1 t2 t3 ea1 ea2 ea3"  # shared run pos 2-7
+    db = f"b0 b1 {shared} y1 t1 t2 t3 eb1 eb2 eb3"  # shared run pos 3-8
+    df = spark.createDataFrame([(1, da), (2, db)], "doc_id int, text string")
+    out = dedup.substring_dup_spans(df, k=4)
+    rows = {(r.doc_id, r.span_start, r.span_end, r.n_windows, r.span_tokens)
+            for r in out.collect()}
+    # doc 1: shared run w1..w6 = windows at pos 2,3,4 -> span [2, 7];
+    # shared "t1 t2 t3" is only 3 tokens -- never a full k=4 window
+    # alone, so the tail contributes no duplicated window (e* differ).
+    assert (1, 2, 7, 3, 6) in rows
+    assert (2, 3, 8, 3, 6) in rows
+    # nothing else: one span per doc
+    assert len(rows) == 2
