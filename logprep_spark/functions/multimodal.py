@@ -1,8 +1,10 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-Image and video decode kernels are STUBS — those codec libraries
-aren't in this container. The AUDIO path is REAL for PCM WAV: stdlib
+IMAGE decode is REAL for PPM (P6), 24-bit BMP and PNG (pure-Python
+zlib-inflate + filter reconstruction, :func:`decode_png`); JPEG and
+video codec kernels are STUBS — those codec libraries aren't in this
+container. The AUDIO path is REAL for PCM WAV: stdlib
 ``wave`` + numpy decode (:func:`decode_wav`), DSP feature extraction
 (:func:`audio_features` — RMS/peak/zero-crossing/spectral centroid),
 and frame-boundary chunk re-encode inside :func:`chunk_audio` (each
@@ -52,13 +54,173 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int):
+    """Reverse PNG scanline filtering (spec filters 0-4: None, Sub,
+    Up, Average, Paeth). Up/None are vectorized; Sub/Average/Paeth
+    are inherently sequential along the row (each byte depends on the
+    reconstructed left neighbor)."""
+    import numpy as np
+
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        row = np.frombuffer(raw, np.uint8, stride, pos).copy()
+        pos += stride
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if ftype == 0:
+            cur = row
+        elif ftype == 1:  # Sub
+            cur = row
+            for i in range(bpp, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif ftype == 2:  # Up
+            cur = row + prev  # uint8 wraps mod 256, per spec
+        elif ftype == 3:  # Average
+            cur = row
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = row
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pr) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = cur
+    return out
+
+
+def decode_png(payload: bytes):
+    """Pure-Python PNG decode (public spec, RFC 2083): chunk walk,
+    zlib-inflate the concatenated IDAT stream, reverse scanline
+    filters. Supports the dominant web shapes — 8-bit gray (0),
+    RGB (2), gray+alpha (4) and RGBA (6), non-interlaced; alpha is
+    dropped, gray replicates to RGB. Palette/16-bit/Adam7 raise.
+    A production cluster swaps this for an injected libpng/Pillow
+    batch decoder; the Spark-side contract (bytes -> (H, W, 3)
+    uint8) is identical."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, []
+    width = height = bitd = colt = inter = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            width, height = struct.unpack_from(">II", data, 0)
+            bitd, colt, _comp, _filt, inter = data[8:13]
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bitd != 8 or inter != 0 or colt not in (0, 2, 4, 6):
+        raise ValueError(
+            f"PNG bit_depth={bitd} color_type={colt} interlace={inter} unsupported"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[colt]
+    stride = width * channels
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    arr = _png_unfilter(raw, height, stride, channels).reshape(height, width, channels)
+    if colt == 2:
+        return arr.copy()
+    if colt == 6:
+        return arr[:, :, :3].copy()
+    return np.repeat(arr[:, :, :1], 3, axis=2)  # gray / gray+alpha
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels, filter_type: int = 0) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a valid non-interlaced
+    PNG. ``filter_type`` selects the per-row filter (0-4) so tests can
+    exercise every reconstruction path in :func:`decode_png`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    bpp = 3
+    stride = w * bpp
+    flat = arr.reshape(h, stride).astype(np.int16)
+    lines = bytearray()
+    for y in range(h):
+        row = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int16)
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(bpp, np.int16), row[:-bpp]])
+            filt = row - left
+        elif filter_type == 2:
+            filt = row - prev
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(bpp, np.int16), row[:-bpp]])
+            filt = row - (left + prev) // 2
+        elif filter_type == 4:
+            filt = np.empty(stride, np.int16)
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[i] = row[i] - pr
+        else:
+            raise ValueError(f"filter_type {filter_type} invalid")
+        lines.append(filter_type)
+        lines.extend((filt & 0xFF).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes):
-    """Decode an UNCOMPRESSED image payload to an (H, W, 3) uint8 RGB
-    numpy array. REAL for binary PPM (P6) and 24-bit BMP — both are
-    header + raw pixels, no codec library needed. Compressed formats
-    (JPEG/PNG) still raise: libjpeg/zlib codecs aren't in this
+    """Decode an image payload to an (H, W, 3) uint8 RGB numpy array.
+    REAL for binary PPM (P6), 24-bit BMP (header + raw pixels) and
+    PNG (:func:`decode_png` — stdlib zlib inflate + filter
+    reconstruction). JPEG still raises: libjpeg isn't in this
     container; inject a decoder where needed."""
     import numpy as np
+
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
 
     if payload[:2] == b"P6":
         # P6 <ws> width <ws> height <ws> maxval <single-ws> raw RGB
@@ -98,7 +260,7 @@ def decode_image(payload: bytes):
         rgb = bgr[:, :, ::-1]
         return (rgb[::-1] if flip else rgb).copy()  # BMP stores bottom-up
     raise NotImplementedError(
-        "compressed image codecs unavailable; inject a decoder (PPM/BMP decode natively)"
+        "JPEG codec unavailable; inject a decoder (PPM/BMP/PNG decode natively)"
     )
 
 

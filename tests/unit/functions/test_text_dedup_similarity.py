@@ -347,3 +347,64 @@ def test_substring_dup_spans_merges_adjacent_windows(spark):
     assert (2, 3, 8, 3, 6) in rows
     # nothing else: one span per doc
     assert len(rows) == 2
+
+
+def test_image_codec_png(spark):
+    """REAL PNG path: stdlib-zlib decode reconstructs a gradient
+    bit-exactly under every spec filter type (0-4), handles gray and
+    RGBA color types, and PNG payloads flow through the cluster-side
+    resize with a correct round-trip."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h = w = 48
+    grad = np.zeros((h, w, 3), dtype=np.uint8)
+    grad[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :] * 5
+    grad[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None] * 5
+    grad[:, :, 2] = 17
+
+    for ftype in range(5):
+        png = multimodal.encode_png(grad, filter_type=ftype)
+        assert np.array_equal(multimodal.decode_png(png), grad), f"filter {ftype}"
+        assert np.array_equal(multimodal.decode_image(png), grad), f"filter {ftype}"
+
+    # hand-built grayscale (color type 0): decode replicates to RGB
+    gray = (np.arange(16, dtype=np.uint8) * 16).reshape(4, 4)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(4))
+    png_gray = (multimodal._PNG_SIG
+                + multimodal._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+                + multimodal._png_chunk(b"IDAT", zlib.compress(raw))
+                + multimodal._png_chunk(b"IEND", b""))
+    out = multimodal.decode_png(png_gray)
+    assert out.shape == (4, 4, 3)
+    assert np.array_equal(out[:, :, 0], gray) and np.array_equal(out[:, :, 2], gray)
+
+    # hand-built RGBA (color type 6): alpha dropped
+    rgba = np.dstack([grad[:4, :4], np.full((4, 4), 200, np.uint8)])
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(4))
+    png_rgba = (multimodal._PNG_SIG
+                + multimodal._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 6, 0, 0, 0))
+                + multimodal._png_chunk(b"IDAT", zlib.compress(raw))
+                + multimodal._png_chunk(b"IEND", b""))
+    assert np.array_equal(multimodal.decode_png(png_rgba), grad[:4, :4])
+
+    # unsupported shapes raise loudly, never mis-decode
+    with pytest.raises(ValueError):
+        bad = (multimodal._PNG_SIG
+               + multimodal._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0))
+               + multimodal._png_chunk(b"IEND", b""))
+        multimodal.decode_png(bad)
+
+    # cluster-side resize consumes PNG payloads like any other format
+    media = spark.createDataFrame(
+        [(1, "image", multimodal.encode_png(grad, filter_type=2),
+          {"mime": "image/png", "width": w, "height": h, "duration_ms": None})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out_rows = {r.media_id: r for r in multimodal.resize_images(media, 24, 24).collect()}
+    resized = multimodal.decode_image(bytes(out_rows[1].payload))
+    assert resized.shape == (24, 24, 3)
+    # nearest-neighbor: every resized pixel is an exact source pixel
+    assert resized[0, 23, 0] == grad[0, 46, 0]
