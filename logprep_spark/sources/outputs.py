@@ -179,12 +179,49 @@ class OpensearchOutput:
             creds = BasicAuthCredentials(self.user, self.secret)
         return creds.get_headers() if creds is not None else {}
 
+    def http_transport(self):
+        """Real HTTP bulk sender over stdlib urllib: POST the ndjson
+        body to ``{host}/_bulk`` (the public OpenSearch/Elasticsearch
+        bulk protocol), raise on transport errors AND on responses
+        whose per-item status reports a failure — both trigger the
+        chunk retry/backoff in :meth:`write_batch`. Closed over into
+        executors like any injected transport; no client library."""
+        host = self.hosts[0].rstrip("/")
+        url = f"{host}/_bulk"
+        # reference timeout is seconds (connector/opensearch/output.py
+        # timeout config); floor at 1s
+        timeout_s = max(1.0, float(self.timeout))
+
+        def send(body: str, headers: dict) -> None:
+            import json as _json
+            import urllib.request
+
+            req = urllib.request.Request(
+                url,
+                data=body.encode("utf-8"),
+                method="POST",
+                headers={"Content-Type": "application/x-ndjson", **headers},
+            )
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                payload = _json.loads(resp.read().decode("utf-8"))
+            if payload.get("errors"):
+                bad = [
+                    it["index"].get("status")
+                    for it in payload.get("items", [])
+                    if it.get("index", {}).get("status", 200) >= 400
+                ]
+                raise RuntimeError(f"bulk items failed with statuses {bad}")
+
+        return send
+
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         """Executor-side bulk assembly: each partition builds and ships
         its own bulk bodies (``foreachPartition``), chunked to
         ``message_backlog_size`` docs, with per-chunk retry — rows
         never funnel through the driver."""
         spool, transport, bulk = self.spool_dir, self.transport, self._bulk_lines
+        if transport is None and self.hosts:
+            transport = self.http_transport()
         chunk_size, max_retries = self.message_backlog_size, self.max_retries
         headers = self.auth_headers()
         import inspect

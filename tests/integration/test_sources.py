@@ -308,3 +308,70 @@ def test_http_input_real_server_end_to_end(spark, tmp_path, monkeypatch):
         assert rows == {"hi", "plain text"}
     finally:
         src.shutdown()
+
+
+def test_opensearch_bulk_http_end_to_end(spark):
+    """The bulk writer speaks REAL HTTP to a stdlib listener
+    implementing the public _bulk protocol: ndjson action/doc pairs,
+    per-item statuses, a first-attempt 429 that the chunk retry must
+    absorb, and basic-auth headers on every request."""
+    import base64
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    state = {"docs": [], "auth": set(), "remaining_429": 1, "requests": 0}
+    lock = threading.Lock()
+
+    class BulkHandler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            if self.path != "/_bulk":
+                self.send_response(404)
+                self.end_headers()
+                return
+            with lock:
+                state["requests"] += 1
+                state["auth"].add(self.headers.get("Authorization"))
+                if state["remaining_429"] > 0:
+                    state["remaining_429"] -= 1
+                    self.send_response(429)
+                    self.end_headers()
+                    return
+                lines = body.decode().splitlines()
+                items = []
+                for action, doc in zip(lines[::2], lines[1::2]):
+                    assert _json.loads(action)["index"]["_index"] == "ev-idx"
+                    state["docs"].append(_json.loads(doc))
+                    items.append({"index": {"status": 201}})
+            resp = _json.dumps({"errors": False, "items": items}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), BulkHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}"
+        sink = OpensearchOutput(
+            index="ev-idx", hosts=[url], message_backlog_size=4,
+            max_retries=3, user="u", secret="s",
+        )
+        df = spark.range(10).selectExpr("id AS event_id", "id * 2 AS v")
+        sink.write_batch(df.coalesce(1), batch_id=0)
+
+        assert {d["event_id"] for d in state["docs"]} == set(range(10))
+        assert all(d["v"] == d["event_id"] * 2 for d in state["docs"])
+        # 10 docs / 4-doc chunks = 3 successful sends + the one 429
+        assert state["requests"] == 4
+        expected_auth = "Basic " + base64.b64encode(b"u:s").decode()
+        assert state["auth"] == {expected_auth}
+    finally:
+        srv.shutdown()
+        srv.server_close()
