@@ -30,11 +30,28 @@ from logprep_spark.operators.base import Processor
 class GeoipEnricher(Processor):
     rule_type = "geoip_enricher"
 
-    def __init__(self, rules=None, geo_table: DataFrame | None = None, **kw):
+    def __init__(
+        self,
+        rules=None,
+        geo_table: DataFrame | None = None,
+        db_path: str | None = None,
+        **kw,
+    ):
         """``geo_table``: optional (net_start long, net_end long,
-        country string, city string, lat double, lon double)."""
+        country string, city string, lat double, lon double).
+        ``db_path``: reference config parity (processor.py:54) — a
+        MaxMind ``.mmdb`` file, parsed by the pure-Python reader in
+        sources/mmdb.py into the same interval table on first use."""
         super().__init__(rules, **kw)
         self.geo_table = geo_table
+        self.db_path = db_path
+
+    def _resolve_geo_table(self, df: DataFrame) -> DataFrame | None:
+        if self.geo_table is None and self.db_path is not None:
+            from logprep_spark.sources.mmdb import geo_table_from_mmdb
+
+            self.geo_table = geo_table_from_mmdb(df.sparkSession, self.db_path)
+        return self.geo_table
 
     def apply_rule(self, df: DataFrame, cond, cfg: dict) -> DataFrame:
         src = fld.get_field(df, cfg["source_fields"][0])
@@ -48,7 +65,7 @@ class GeoipEnricher(Processor):
 
         def named(default: str):
             return renames.get(default, default).rsplit(".", 1)[-1]
-        if self.geo_table is not None:
+        if self._resolve_geo_table(df) is not None:
             ip_long = ip_utils.ipv4_to_long(src)
             # explode each range to the /16 bins it covers (MaxMind
             # ranges are mostly narrower than /16, so the exploded
