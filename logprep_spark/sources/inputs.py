@@ -390,13 +390,19 @@ class KafkaInput(Input):
         schema: T.StructType | str | None = None,
         starting_offsets: str = "latest",
         kafka_config: dict[str, str] | None = None,
+        broker=None,
         **kw,
     ):
+        """``broker``: injectable fake implementing the reader contract
+        (sources/fake_kafka.FakeKafkaBroker) — swaps the wire-schema
+        source while the whole downstream decode/parse path stays the
+        production code. None = real ``format("kafka")``."""
         super().__init__(**kw)
         self.bootstrap_servers = bootstrap_servers
         self.topic = topic
         self.schema = schema
         self.starting_offsets = starting_offsets
+        self.broker = broker
         self.kafka_config = dict(kafka_config or {})
         self.kafka_config.setdefault("bootstrap.servers", bootstrap_servers)
         missing = [k for k in self.REQUIRED_KEYS if not self.kafka_config.get(k)]
@@ -418,7 +424,15 @@ class KafkaInput(Input):
         return spark.readStream.format("kafka").options(**self.options())
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
-        raw = self.reader(spark).load()
+        if self.broker is not None:
+            from logprep_spark.sources.fake_kafka import KAFKA_WIRE_SCHEMA
+
+            raw = (
+                spark.readStream.schema(KAFKA_WIRE_SCHEMA)
+                .json(self.broker.topic_dir(self.topic))
+            )
+        else:
+            raw = self.reader(spark).load()
         df = raw.select(F.col("value").cast("string").alias("raw"))
         if self.schema is not None:
             df = df.select("raw", F.from_json("raw", self.schema).alias("e")).select(

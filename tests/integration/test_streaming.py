@@ -357,3 +357,68 @@ def test_stream_stream_interval_join(spark, tmp_path):
     # click@10:05/u1 ← login@10:00/u1; click@10:45/u1 ← login@10:40/u1;
     # click@10:30/u2 has no login within 10 min (login was 10:02)
     assert pairs == {(20, 10), (21, 11)}
+
+
+def test_kafka_fake_broker_windowed_agg(spark, tmp_path):
+    """KafkaInput against the injectable fake broker: records produced
+    across two partitions carry monotonically increasing per-partition
+    offsets, flow through the PRODUCTION decode/parse path (value cast
+    + from_json), and drive a watermarked tumbling windowed agg.
+    Records produced between micro-batches are picked up like new
+    broker messages."""
+    from pyspark.sql import functions as F
+
+    from logprep_spark.sources import KafkaInput
+    from logprep_spark.sources.fake_kafka import FakeKafkaBroker
+
+    broker = FakeKafkaBroker(str(tmp_path / "broker"))
+
+    def produce(minute, second, user, etype, partition):
+        row = {"event_id": minute * 100 + second, "ts": _ts(minute, second),
+               "user_id": user, "event_type": etype, "value": 1.0}
+        return broker.produce("events", json.dumps(row), key=str(user),
+                              partition=partition, timestamp=_ts(minute, second))
+
+    assert produce(0, 10, 1, "click", 0) == 0
+    assert produce(0, 40, 2, "click", 1) == 0   # own offset sequence
+    assert produce(1, 5, 1, "click", 0) == 1
+    assert produce(2, 0, 1, "login", 0) == 2
+
+    # wire contract: offsets monotonic per partition, keys/topic real
+    wire = broker.wire_frame(spark, "events")
+    per_part = {
+        (r.partition, r.offset): bytes(r.key).decode()
+        for r in wire.collect()
+    }
+    assert per_part == {(0, 0): "1", (1, 0): "2", (0, 1): "1", (0, 2): "1"}
+
+    source = KafkaInput(
+        "fake:9092", "events", schema=SCHEMA,
+        kafka_config={"bootstrap.servers": "fake:9092", "group.id": "g"},
+        broker=broker,
+    ).read_stream(spark)
+    agg = (
+        source.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").cast("string").alias("w"), "event_type", "n")
+    )
+    q = (agg.writeStream.format("memory").queryName("kafka_agg")
+         .outputMode("complete").trigger(availableNow=True).start())
+    _run(q)
+    got = {(r.w, r.event_type): r.n
+           for r in spark.sql("SELECT * FROM kafka_agg").collect()}
+    assert got == {
+        ("2026-01-01 10:00:00", "click"): 2,
+        ("2026-01-01 10:01:00", "click"): 1,
+        ("2026-01-01 10:02:00", "login"): 1,
+    }
+
+    # a later produce lands in the next run like a new broker record
+    produce(2, 30, 3, "login", 1)
+    q2 = (agg.writeStream.format("memory").queryName("kafka_agg2")
+          .outputMode("complete").trigger(availableNow=True).start())
+    _run(q2)
+    got2 = {(r.w, r.event_type): r.n
+            for r in spark.sql("SELECT * FROM kafka_agg2").collect()}
+    assert got2[("2026-01-01 10:02:00", "login")] == 2
