@@ -183,6 +183,12 @@ def substring_dup_spans(
         (F.col("_pos0") + 1).cast("long").alias("pos"),
         h60(F.col("_w")).alias("window_hash"),
     )
+    # persisted (MinHash staging discipline): the dup-hash agg and the
+    # mark-join both consume wins with different plans — unpersisted,
+    # the whole scan+tokenize+posexplode subtree would run twice
+    from pyspark.storagelevel import StorageLevel
+
+    wins = wins.persist(StorageLevel.MEMORY_AND_DISK)
     dup_hashes = (
         wins.groupBy("window_hash")
         .agg(F.countDistinct(id_col).alias("_nd"))

@@ -334,6 +334,20 @@ def test_tfidf_no_window_over_term(plans):
     assert "InMemoryTableScan" in plan
 
 
+def test_substring_spans_staged_and_islands_windowed_by_doc(plans):
+    """dedup_substring_spans: the positional-window frame is persisted
+    (two consumers — dup-hash agg and mark-join — would otherwise each
+    re-run the scan+tokenize+posexplode subtree), the dup detection is
+    a two-phase hash agg (map-side partial), and the only Window is
+    the per-doc gaps-and-islands row_number (bounded by doc length)."""
+    plan = plans("dedup_substring_spans")
+    assert "InMemoryTableScan" in plan
+    assert plan.count("Window [") == 1
+    win_line = next(line for line in plan.split("\n") if "Window [" in line)
+    assert "windowspecdefinition(doc_id" in win_line
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_asof_join_no_nested_loop(plans):
     """As-of join is union + carry-forward window: never a
     BroadcastNestedLoopJoin on the inequality (which is O(n*m) and
