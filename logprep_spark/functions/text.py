@@ -175,6 +175,58 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et
+    al. 2021 repetition filters): fraction of the token stream taken
+    by the single most frequent unigram / bigram, and the fraction of
+    bigram occurrences that are repeats. High values mark the
+    boilerplate/spam documents a pretraining pipeline drops.
+
+    Integer milli-units (``1000 * x div total``) so the ranking is
+    exact long arithmetic — bit-identical in the DuckDB oracle.
+
+    Distributed shape: ONE tokenize, unigrams and bigrams tagged into
+    a single exploded stream (one Generate), then a three-stage agg
+    cascade — (doc, k, gram) tf, (doc, k) max/sum/uniq, (doc) pivot —
+    each stage with map-side partial agg, each keyed BY doc so a
+    globally hot gram ("the the") never concentrates: the doc id
+    prefixes every shuffle key. No windows, no joins.
+    """
+    toked = df.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks"))
+    n = F.size("_toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.array_join(F.slice("_toks", i, 2), " "),
+    )
+    staged = toked.select(F.col(id_col), F.col("_toks").alias("g1"), bigrams.alias("g2"))
+    tagged = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.transform("g1", lambda g: F.struct(F.lit(1).alias("k"), g.alias("g"))),
+                F.transform("g2", lambda g: F.struct(F.lit(2).alias("k"), g.alias("g"))),
+            )
+        ).alias("kg"),
+    ).select(id_col, F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
+    gtf = tagged.groupBy(id_col, "k", "g").agg(F.count(F.lit(1)).alias("c"))
+    stat = gtf.groupBy(id_col, "k").agg(
+        F.max("c").alias("max_c"),
+        F.sum("c").alias("tot_c"),
+        F.count(F.lit(1)).alias("uniq"),
+    )
+    k, max_c, tot_c, uniq = (F.col(c) for c in ("k", "max_c", "tot_c", "uniq"))
+    return stat.groupBy(id_col).agg(
+        F.max(F.when(k == 1, tot_c)).alias("n_tokens"),
+        F.max(F.when(k == 1, F.expr("1000 * max_c div tot_c"))).alias("top_1gram_milli"),
+        F.max(F.when(k == 2, F.expr("1000 * max_c div tot_c"))).alias("top_2gram_milli"),
+        F.max(F.when(k == 2, F.expr("1000 * (tot_c - uniq) div tot_c"))).alias(
+            "dup_2gram_milli"
+        ),
+    )
+
+
 def tfidf_topk(
     df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -103,10 +103,10 @@ _PRIORITY = [
     "text_langid", "text_tokens", "text_fingerprint",
     "dedup_clusters", "dedup_ngram_jaccard", "dedup_simhash",
     # --- r4 first-time rows: new queries this round ---
-    "dedup_substring_spans",
+    "dedup_substring_spans", "text_repetition",
     # --- anchors: §2.5 analytics core ---
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
-    "sessionize_events", "event_rollup", "window_topk_orders",
+    "sessionize_events", "event_rollup",
     # --- anchors: §2.1 filter DSL ---
     "filter_lucene_bool", "filter_lucene_sigma",
     # --- anchors: §2.4 LLM-training-data ops ---
@@ -1829,6 +1829,40 @@ def text_tfidf(spark, sf_dir):
     idf so ranking and value hash are exact cross-engine."""
     docs = tables(spark, sf_dir)["documents"]
     return tx.tfidf_topk(docs, k=3)
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH toked AS (
+        SELECT doc_id, {_sql_words("lower(text)")} AS w FROM documents
+    ), tagged AS (
+        SELECT doc_id, 1 AS k, unnest(w) AS g FROM toked
+        UNION ALL
+        SELECT doc_id, 2 AS k,
+               unnest([array_to_string(w[i:i+1], ' ')
+                       for i in range(1, greatest(len(w) - 1, 1) + 1)]) AS g
+        FROM toked
+    ), gtf AS (
+        SELECT doc_id, k, g, count(*) AS c FROM tagged GROUP BY 1, 2, 3
+    ), stat AS (
+        SELECT doc_id, k, max(c) AS max_c, sum(c) AS tot_c, count(*) AS uniq
+        FROM gtf GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           max(CASE WHEN k = 1 THEN tot_c END) AS n_tokens,
+           max(CASE WHEN k = 1 THEN 1000 * max_c // tot_c END) AS top_1gram_milli,
+           max(CASE WHEN k = 2 THEN 1000 * max_c // tot_c END) AS top_2gram_milli,
+           max(CASE WHEN k = 2 THEN 1000 * (tot_c - uniq) // tot_c END) AS dup_2gram_milli
+    FROM stat GROUP BY doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (functions/text.py
+    repetition_signals): top-unigram / top-bigram occupancy and
+    repeated-bigram fraction in integer milli-units."""
+    docs = tables(spark, sf_dir)["documents"]
+    return tx.repetition_signals(docs)
 
 
 @register(

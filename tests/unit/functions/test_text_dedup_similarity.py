@@ -408,3 +408,17 @@ def test_image_codec_png(spark):
     assert resized.shape == (24, 24, 3)
     # nearest-neighbor: every resized pixel is an exact source pixel
     assert resized[0, 23, 0] == grad[0, 46, 0]
+
+
+def test_repetition_signals_known_values(spark):
+    """'a a a b' -> unigrams: a=3,b=1 (top 750/1000); bigrams 'a a' x2,
+    'a b' x1 (top 666, dup (3-2)/3 = 333)."""
+    df = spark.createDataFrame([(1, "a a a b"), (2, "x y z w")],
+                               "doc_id long, text string")
+    rows = {r.doc_id: r for r in text.repetition_signals(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_tokens, r1.top_1gram_milli) == (4, 750)
+    assert (r1.top_2gram_milli, r1.dup_2gram_milli) == (666, 333)
+    r2 = rows[2]  # no repetition at all
+    assert (r2.n_tokens, r2.top_1gram_milli) == (4, 250)
+    assert (r2.top_2gram_milli, r2.dup_2gram_milli) == (333, 0)

@@ -348,6 +348,22 @@ def test_substring_spans_staged_and_islands_windowed_by_doc(plans):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_repetition_agg_cascade_no_window_no_join(plans):
+    """text_repetition: one Generate (the tagged gram explode), an agg
+    cascade whose every shuffle key is prefixed by doc_id (a globally
+    hot gram can never concentrate on one task), and neither windows
+    nor joins anywhere."""
+    plan = plans("text_repetition")
+    assert plan.count("Generate") == 1
+    assert "Window [" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per stage
+    # every hash shuffle carries doc_id as the leading key
+    for line in plan.split("\n"):
+        if "Exchange hashpartitioning" in line:
+            assert "doc_id" in line.split("hashpartitioning(")[1].split(",")[0]
+
+
 def test_asof_join_no_nested_loop(plans):
     """As-of join is union + carry-forward window: never a
     BroadcastNestedLoopJoin on the inequality (which is O(n*m) and
