@@ -215,6 +215,49 @@ def substring_dup_spans(
     )
 
 
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM
+    approach): flag every training document sharing at least one
+    k-token window (k=13 is the published choice) with an evaluation
+    benchmark, so it can be dropped before training. Returns
+    (doc_id, n_contaminated_windows) for flagged docs only.
+
+    Distributed shape: benchmark windows hash to 60 bits and
+    aggregate to a DISTINCT hash set — the benchmark side is tiny
+    relative to the corpus (eval sets, not training data), so the set
+    BROADCASTS and corpus windows never shuffle for the probe: the
+    plan is scan -> explode -> broadcast-hash-join -> per-doc partial
+    agg. One corpus shuffle total (the final per-doc count), keyed by
+    doc_id — never by the (possibly hot) window hash.
+    """
+    from pyspark.sql.functions import broadcast
+
+    def windows_of(df: DataFrame) -> DataFrame:
+        toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        n = F.size("_toks")
+        arr = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice("_toks", i, k), " "),
+        )
+        return toked.select(
+            F.col(id_col), F.explode(arr).alias("_w")
+        ).select(id_col, h60(F.col("_w")).alias("window_hash"))
+
+    bench_hashes = windows_of(benchmark).select("window_hash").distinct()
+    return (
+        windows_of(corpus)
+        .join(broadcast(bench_hashes), "window_hash")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_windows"))
+    )
+
+
 # --- MinHash + LSH -----------------------------------------------------
 
 

@@ -103,10 +103,10 @@ _PRIORITY = [
     "text_langid", "text_tokens", "text_fingerprint",
     "dedup_clusters", "dedup_ngram_jaccard", "dedup_simhash",
     # --- r4 first-time rows: new queries this round ---
-    "dedup_substring_spans", "text_repetition",
+    "dedup_substring_spans", "text_repetition", "dedup_contamination",
     # --- anchors: §2.5 analytics core ---
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
-    "sessionize_events", "event_rollup",
+    "sessionize_events",
     # --- anchors: §2.1 filter DSL ---
     "filter_lucene_bool", "filter_lucene_sigma",
     # --- anchors: §2.4 LLM-training-data ops ---
@@ -1863,6 +1863,39 @@ def text_repetition(spark, sf_dir):
     repeated-bigram fraction in integer milli-units."""
     docs = tables(spark, sf_dir)["documents"]
     return tx.repetition_signals(docs)
+
+
+def _sql_pos_windows(k: int, where: str) -> str:
+    """Positional (non-distinct) k-token window hashes per doc."""
+    return f"""
+        SELECT doc_id,
+               unnest([{_sql_h60(f"array_to_string(w[i:i+{k - 1}], ' ')")}
+                       for i in range(1, greatest(len(w) - {k - 1}, 1) + 1)]) AS window_hash
+        FROM (SELECT doc_id, {_sql_words()} AS w FROM documents WHERE {where})
+    """
+
+
+@register(
+    "dedup_contamination",
+    f"""
+    WITH bench AS (
+        SELECT DISTINCT window_hash FROM ({_sql_pos_windows(13, "doc_id % 5 = 0")})
+    ), corpus AS (
+        {_sql_pos_windows(13, "doc_id % 5 <> 0")}
+    )
+    SELECT doc_id, count(*) AS n_contaminated_windows
+    FROM corpus JOIN bench USING (window_hash)
+    GROUP BY doc_id
+    """,
+)
+def dedup_contamination(spark, sf_dir):
+    """Benchmark decontamination (functions/dedup.py
+    contamination_flags — GPT-3-style 13-gram overlap): every fifth
+    doc stands in for the eval benchmark, the rest are the corpus."""
+    docs = tables(spark, sf_dir)["documents"]
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return dd.contamination_flags(corpus, bench, k=13)
 
 
 @register(

@@ -422,3 +422,19 @@ def test_repetition_signals_known_values(spark):
     r2 = rows[2]  # no repetition at all
     assert (r2.n_tokens, r2.top_1gram_milli) == (4, 250)
     assert (r2.top_2gram_milli, r2.dup_2gram_milli) == (333, 0)
+
+
+def test_contamination_flags(spark):
+    """A corpus doc embedding a benchmark 5-token run (k=5) is
+    flagged with the window count; clean docs are absent."""
+    bench = spark.createDataFrame(
+        [(100, "q1 q2 q3 q4 q5 q6")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "x1 x2 q1 q2 q3 q4 q5 q6 y1"),   # both 5-windows of the run
+         (2, "clean text with nothing shared at all")],
+        "doc_id long, text string",
+    )
+    out = dedup.contamination_flags(corpus, bench, k=5)
+    rows = {r.doc_id: r.n_contaminated_windows for r in out.collect()}
+    assert rows == {1: 2}  # "q1..q5" and "q2..q6"

@@ -364,6 +364,23 @@ def test_repetition_agg_cascade_no_window_no_join(plans):
             assert "doc_id" in line.split("hashpartitioning(")[1].split(",")[0]
 
 
+def test_contamination_broadcasts_benchmark_never_shuffles_corpus_on_hash(plans):
+    """dedup_contamination: the benchmark hash set is the broadcast
+    side; the corpus probe is a broadcast-hash-join so corpus windows
+    never shuffle on the window hash — the only corpus shuffle is the
+    final per-doc count."""
+    plan = plans("dedup_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # no shuffle keyed by window_hash on the probe side (the benchmark
+    # side's distinct agg may shuffle its own tiny frame)
+    corpus_shuffles = [
+        line for line in plan.split("\n")
+        if "Exchange hashpartitioning(doc_id" in line
+    ]
+    assert corpus_shuffles  # the per-doc count
+
+
 def test_asof_join_no_nested_loop(plans):
     """As-of join is union + carry-forward window: never a
     BroadcastNestedLoopJoin on the inequality (which is O(n*m) and
