@@ -154,6 +154,82 @@ def cmd_print(args) -> int:
     return 0
 
 
+def cmd_pseudo_generate(args) -> int:
+    """reference util/pseudo/commands/generate_keys.py — emits key
+    material for the dual-keyholder pseudonymization. Deviation,
+    stated plainly (operators/pseudonymizer.py hybrid_encrypt): the
+    wraps are symmetric AES-GCM (no RSA primitive in-sandbox), so a
+    'key' here is a random 256-bit secret, not an RSA pair; the
+    file layout (-f writes <name>.key) matches the reference CLI."""
+    import secrets
+
+    key = secrets.token_hex(32)
+    if not args.file:
+        print(key)
+    else:
+        with open(f"{args.file}.key", "w", encoding="utf8") as fh:
+            fh.write(key)
+    return 0
+
+
+def _read_key(path: str) -> str:
+    with open(path, encoding="utf8") as fh:
+        return fh.read().strip()
+
+
+def cmd_pseudonymize(args) -> int:
+    """reference util/pseudo/commands/pseudonymize.py: encrypt one
+    string under BOTH keys. Runs the same Catalyst expression the
+    Pseudonymizer uses on a 1-row frame, so CLI tokens and pipeline
+    tokens are interchangeable."""
+    from pyspark.sql import functions as F
+
+    from logprep_spark.operators.pseudonymizer import hybrid_encrypt
+    from logprep_spark.session import get_spark
+
+    spark = get_spark("logprep-spark-pseudo")
+    token = (
+        spark.range(1)
+        .select(
+            hybrid_encrypt(
+                F.lit(args.string), _read_key(args.analyst_key), _read_key(args.depseudo_key)
+            ).alias("t")
+        )
+        .first()
+        .t
+    )
+    print(token)
+    return 0
+
+
+def cmd_depseudonymize(args) -> int:
+    """reference util/pseudo/commands/depseudonymize.py: recover the
+    origin given BOTH keys; wrong keys exit 1 (GCM auth failure)."""
+    from pyspark.sql import functions as F
+
+    from logprep_spark.operators.pseudonymizer import hybrid_decrypt
+    from logprep_spark.session import get_spark
+
+    spark = get_spark("logprep-spark-pseudo")
+    value = (
+        spark.range(1)
+        .select(
+            hybrid_decrypt(
+                F.lit(args.pseudo_string),
+                _read_key(args.analyst_key),
+                _read_key(args.depseudo_key),
+            ).alias("v")
+        )
+        .first()
+        .v
+    )
+    if value is None:
+        print("Error: decryption failed (wrong keys or corrupt token)", file=sys.stderr)
+        return 1
+    print(value)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="logprep_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -185,6 +261,25 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("config")
     pr.add_argument("--output-format", choices=("json", "yaml"), default="yaml")
     pr.set_defaults(fn=cmd_print)
+
+    ps = sub.add_parser("pseudo", help="dual-key pseudonymization tools")
+    ps_sub = ps.add_subparsers(dest="pseudo_command", required=True)
+
+    pg = ps_sub.add_parser("generate", help="generate key material")
+    pg.add_argument("-f", "--file", default=None, help="write to <file>.key")
+    pg.set_defaults(fn=cmd_pseudo_generate)
+
+    pp = ps_sub.add_parser("pseudonymize", help="pseudonymize a string")
+    pp.add_argument("analyst_key")
+    pp.add_argument("depseudo_key")
+    pp.add_argument("string")
+    pp.set_defaults(fn=cmd_pseudonymize)
+
+    pd = ps_sub.add_parser("depseudonymize", help="recover a pseudonymized string")
+    pd.add_argument("analyst_key")
+    pd.add_argument("depseudo_key")
+    pd.add_argument("pseudo_string")
+    pd.set_defaults(fn=cmd_depseudonymize)
     return parser
 
 

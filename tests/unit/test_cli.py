@@ -105,3 +105,23 @@ def test_cli_run_stream(paths, tmp_path, spark):
         for line in f.read_text().splitlines()
     ]
     assert len(rows) == 5 and all("doubled" in r for r in rows)
+
+
+def test_pseudo_cli_roundtrip(spark, tmp_path, capsys):
+    """reference run_logprep.py pseudo group: generate two keys,
+    pseudonymize with both, depseudonymize back; wrong keys exit 1."""
+    from logprep_spark.__main__ import main
+
+    a, d = str(tmp_path / "analyst"), str(tmp_path / "depseudo")
+    assert main(["pseudo", "generate", "-f", a]) == 0
+    assert main(["pseudo", "generate", "-f", d]) == 0
+
+    assert main(["pseudo", "pseudonymize", f"{a}.key", f"{d}.key", "alice"]) == 0
+    token = capsys.readouterr().out.strip().splitlines()[-1]
+    assert "." in token and "alice" not in token
+
+    assert main(["pseudo", "depseudonymize", f"{a}.key", f"{d}.key", token]) == 0
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "alice"
+
+    # swapped keys must fail closed, never emit a wrong plaintext
+    assert main(["pseudo", "depseudonymize", f"{d}.key", f"{a}.key", token]) == 1
