@@ -422,3 +422,64 @@ def test_kafka_fake_broker_windowed_agg(spark, tmp_path):
     got2 = {(r.w, r.event_type): r.n
             for r in spark.sql("SELECT * FROM kafka_agg2").collect()}
     assert got2[("2026-01-01 10:02:00", "login")] == 2
+
+
+def test_kafka_to_opensearch_full_wire(spark, tmp_path):
+    """Production-shaped wire, every hop real: fake-broker kafka
+    records -> KafkaInput decode/parse -> batch Processor objects on
+    the stream -> foreachBatch OpenSearch bulk over real HTTP to a
+    stdlib _bulk listener."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from logprep_spark.sources import KafkaInput
+    from logprep_spark.sources.fake_kafka import FakeKafkaBroker
+    from logprep_spark.sources.outputs import OpensearchOutput
+
+    state, lock = {"docs": []}, threading.Lock()
+
+    class BulkHandler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            lines = body.decode().splitlines()
+            with lock:
+                state["docs"].extend(json.loads(d) for d in lines[1::2])
+            resp = b'{"errors": false, "items": []}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), BulkHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        broker = FakeKafkaBroker(str(tmp_path / "broker"))
+        for i, etype in enumerate(["click", "error", "click"]):
+            broker.produce("ev", json.dumps(
+                {"event_id": i, "ts": _ts(i), "user_id": 1,
+                 "event_type": etype, "value": float(i)}), partition=i % 2)
+
+        source = KafkaInput(
+            "fake:9092", "ev", schema=SCHEMA,
+            kafka_config={"bootstrap.servers": "fake:9092"}, broker=broker,
+        ).read_stream(spark)
+        piped = Calculator(rules=[{
+            "filter": "event_type: click",
+            "calculator": {"target_field": "value_x10", "calc": "${value} * 10"},
+        }]).transform(source)
+        sink = OpensearchOutput(
+            index="wire-idx",
+            hosts=[f"http://127.0.0.1:{srv.server_port}"],
+        )
+        q = sink.write_stream(piped, checkpoint=str(tmp_path / "ckpt"))
+        _run(q)
+        docs = {d["event_id"]: d for d in state["docs"]}
+        assert set(docs) == {0, 1, 2}
+        assert docs[0]["value_x10"] == 0.0 and docs[2]["value_x10"] == 20.0
+        assert docs[1]["value_x10"] is None  # error event: rule did not match
+    finally:
+        srv.shutdown()
+        srv.server_close()
