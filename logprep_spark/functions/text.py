@@ -153,10 +153,17 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     engine (a double sum would depend on reduction order).
     """
     from pyspark.sql.functions import broadcast
+    from pyspark.storagelevel import StorageLevel
 
     toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     tok_rows = toked.select(id_col, F.explode("_toks").alias("tok"))
+    # staging discipline (see tfidf_topk): tok_rows feeds the vocab
+    # agg AND the re-join; vocab feeds the totals agg AND the join —
+    # unpersisted, the scan+explode subtree executes three times
+    # (verified in the physical plan: FileScan x3, Generate x3)
+    tok_rows = tok_rows.persist(StorageLevel.MEMORY_AND_DISK)
     vocab = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = vocab.persist(StorageLevel.MEMORY_AND_DISK)
     # corpus token total from the ALREADY-AGGREGATED vocab, attached as
     # a broadcast 1-row cross join — no driver-side count(), no second
     # scan+explode of the corpus (that extra pass was a full re-derive

@@ -381,6 +381,14 @@ def test_contamination_broadcasts_benchmark_never_shuffles_corpus_on_hash(plans)
     assert corpus_shuffles  # the per-doc count
 
 
+def test_surprisal_stages_persisted(plans):
+    """text_surprisal: tok_rows (vocab agg + re-join) and vocab
+    (totals + join) each feed two consumers — both persisted so the
+    scan+explode subtree executes once, not three times."""
+    plan = plans("text_surprisal")
+    assert plan.count("InMemoryTableScan") >= 2
+
+
 def test_asof_join_no_nested_loop(plans):
     """As-of join is union + carry-forward window: never a
     BroadcastNestedLoopJoin on the inequality (which is O(n*m) and
