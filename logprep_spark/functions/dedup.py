@@ -387,8 +387,12 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs (verification stage).
     Joins shingle sets onto the pair list — cost scales with the
-    candidate count, not n^2."""
-    sh = shingle_arrays(df, text_col, id_col, k)
+    candidate count, not n^2. The shingle frame is persisted: it feeds
+    BOTH pair sides under different aliases, which defeats exchange
+    reuse and would run the tokenize+shingle subtree twice."""
+    from pyspark.storagelevel import StorageLevel
+
+    sh = shingle_arrays(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -509,6 +513,8 @@ def simhash_pairs(
     matches exactly); band-key cardinality 2^15 keeps bucket sizes
     ~n/32768 — no near-quadratic blowup at scale (the old 8-bit-half
     scheme capped at 256 keys)."""
+    from pyspark.storagelevel import StorageLevel
+
     sh = simhash_df(df, text_col, id_col)
     banded = sh.select(
         id_col,
@@ -527,6 +533,10 @@ def simhash_pairs(
             )
         ).alias("bucket"),
     ).select(id_col, "sh", "bucket.band_id", "bucket.key")
+    # persisted (the MinHash materialize discipline): the two join
+    # sides project different aliases, so without it the whole
+    # signature subtree (token hashing + 60 bit-votes) runs twice
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select(
         F.col("band_id"), F.col("key"), F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
     )

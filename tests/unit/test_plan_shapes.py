@@ -381,6 +381,16 @@ def test_contamination_broadcasts_benchmark_never_shuffles_corpus_on_hash(plans)
     assert corpus_shuffles  # the per-doc count
 
 
+def test_self_join_dedup_stages_persisted(plans):
+    """simhash_pairs and ngram_jaccard self-join the signature /
+    shingle frame under different aliases — exchange reuse can't kick
+    in, so both stages must be persisted or the expensive narrow
+    subtree (bit-votes / tokenize+shingle) runs once per side."""
+    for name in ("dedup_simhash", "dedup_ngram_jaccard"):
+        plan = plans(name)
+        assert plan.count("InMemoryTableScan") >= 2, name
+
+
 def test_surprisal_stages_persisted(plans):
     """text_surprisal: tok_rows (vocab agg + re-join) and vocab
     (totals + join) each feed two consumers — both persisted so the
