@@ -53,6 +53,11 @@ HEADLINE = [
     "ann_topk_lsh",
     "text_quality",
     "pipeline_training_data",
+    # r4 additions — the 12-query prefix above stays the
+    # round-over-round comparable subtotal (SURVEY §6)
+    "text_tfidf",
+    "dedup_substring_spans",
+    "text_repetition",
 ]
 
 
