@@ -1,0 +1,442 @@
+"""Pure-Python baseline JPEG codec (public ITU-T T.81 spec).
+
+Reference intent: /root/reference's multimodal gap — image payloads in
+a training-data pipeline are mostly JPEG, and no libjpeg/Pillow ships
+in this container. Baseline sequential JPEG is a public format:
+segment stream (SOI/DQT/SOF0/DHT/SOS/EOI), per-8x8-block DCT +
+quantization, zigzag + DPCM/RLE, canonical Huffman coding with 0xFF
+byte-stuffing. This module implements both directions with numpy for
+the transforms and plain Python for the bit streams:
+
+- :func:`decode_jpeg`: baseline, 8-bit, grayscale or YCbCr with NO
+  chroma subsampling (4:4:4 — what :func:`encode_jpeg` emits) or any
+  single-component scan. Progressive, subsampled, arithmetic-coded
+  and restart-marker streams raise rather than mis-decode.
+- :func:`encode_jpeg`: 4:4:4 YCbCr, Annex K quantization tables
+  scaled by the IJG quality curve, Annex K Huffman tables.
+
+Correctness posture, stated plainly: the Huffman/quant tables are the
+spec's Annex K defaults and the codec round-trips itself (uniform
+blocks closed-form-exact, gradients to high PSNR — see
+tests/unit/test_codec_properties.py), but no external JPEG corpus
+exists in-sandbox to cross-validate byte streams produced by other
+encoders. Subsampled real-world files therefore raise loudly instead
+of risking silent mis-decode; inject a full decoder where fidelity to
+arbitrary external JPEGs matters. Per-block Python loops make this a
+correctness/portability codec, not a throughput one — at 100 TB you
+inject libjpeg-turbo behind the same bytes -> (H, W, 3) contract.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- spec tables (T.81 Annex K) --------------------------------------
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+QUANT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]).reshape(8, 8)
+
+QUANT_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]).reshape(8, 8)
+
+DC_LUM_BITS = [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHROM_BITS = [0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROM_VALS = list(range(12))
+
+AC_LUM_BITS = [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROM_BITS = [0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# DCT-II orthonormal basis: C @ block @ C.T is the 2D DCT
+_C = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _C[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+class JpegError(ValueError):
+    """Malformed or unsupported JPEG payload."""
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """(symbol -> (code, length)) and (length, code) -> symbol from a
+    T.81 BITS/HUFFVAL table (bits[1..16] = #codes of each length)."""
+    enc, dec = {}, {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            enc[vals[k]] = (code, length)
+            dec[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return enc, dec
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self._n -= 8
+
+    def flush(self) -> None:
+        if self._n:
+            self.write(0x7F, 8 - self._n)  # pad with 1s per spec
+
+
+class _BitReader:
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.buf):
+                raise JpegError("truncated entropy stream")
+            byte = self.buf[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.buf[self.pos] if self.pos < len(self.buf) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    raise JpegError(f"unexpected marker 0xFF{nxt:02X} in scan")
+            self._acc = byte
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def receive(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.12: map the magnitude bits to a signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, magnitude-bit pattern) for a signed coefficient."""
+    size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    if v < 0:
+        v = v + (1 << size) - 1
+    return size, v & ((1 << size) - 1) if size else 0
+
+
+# --- encoder ----------------------------------------------------------
+
+
+def encode_jpeg(pixels, quality: int = 85) -> bytes:
+    """(H, W, 3) uint8 RGB -> baseline 4:4:4 JPEG bytes."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise JpegError("encode_jpeg expects (H, W, 3) RGB")
+    h, w = arr.shape[:2]
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    q_lum = _quality_scale(QUANT_LUM, quality)
+    q_chrom = _quality_scale(QUANT_CHROM, quality)
+    dc_lum_enc, _ = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_lum_enc, _ = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    dc_chrom_enc, _ = _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)
+    ac_chrom_enc, _ = _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS)
+
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    padded = []
+    for p in planes:
+        pp = np.empty((ph, pw))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]  # edge replicate
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp - 128.0)
+
+    writer = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci in range(3):
+                q = q_lum if ci == 0 else q_chrom
+                dc_enc = dc_lum_enc if ci == 0 else dc_chrom_enc
+                ac_enc = ac_lum_enc if ci == 0 else ac_chrom_enc
+                block = padded[ci][by : by + 8, bx : bx + 8]
+                coef = _C @ block @ _C.T
+                quant = np.round(coef / q).astype(np.int32).reshape(64)[ZIGZAG]
+                diff = int(quant[0]) - prev_dc[ci]
+                prev_dc[ci] = int(quant[0])
+                size, bits = _magnitude(diff)
+                code, length = dc_enc[size]
+                writer.write(code, length)
+                if size:
+                    writer.write(bits, size)
+                run = 0
+                for k in range(1, 64):
+                    v = int(quant[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_enc[0xF0]  # ZRL
+                        writer.write(code, length)
+                        run -= 16
+                    size, bits = _magnitude(v)
+                    code, length = ac_enc[(run << 4) | size]
+                    writer.write(code, length)
+                    writer.write(bits, size)
+                    run = 0
+                if run:
+                    code, length = ac_enc[0x00]  # EOB
+                    writer.write(code, length)
+    writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in table.reshape(64)[ZIGZAG]))
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xFFC4, bytes([cls << 4 | tid]) + bytes(bits[1:17]) + bytes(vals))
+
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),  # 4:4:4
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (
+        b"\xff\xd8"
+        + dqt(0, q_lum)
+        + dqt(1, q_chrom)
+        + sof
+        + dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+        + dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+        + dht(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
+        + dht(1, 1, AC_CHROM_BITS, AC_CHROM_VALS)
+        + sos
+        + bytes(writer.out)
+        + b"\xff\xd9"
+    )
+
+
+# --- decoder ----------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes):
+    """Baseline JPEG bytes -> (H, W, 3) uint8 RGB."""
+    if payload[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG payload (no SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise JpegError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                pq, tid = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise JpegError("16-bit quant tables unsupported")
+                t = np.zeros(64, np.int32)
+                t[ZIGZAG] = np.frombuffer(body[i + 1 : i + 65], np.uint8)
+                qtables[tid] = t.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = [0] + list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                _, dec = _canonical_codes(bits, vals)
+                htables[(cls, tid)] = dec
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise JpegError("only 8-bit precision supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + c * 3 : 9 + c * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+                raise JpegError(
+                    "chroma-subsampled JPEG unsupported (4:4:4 / grayscale only)"
+                )
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise JpegError(f"non-baseline frame type 0xFF{marker:02X} unsupported")
+        elif marker == 0xDD:
+            raise JpegError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scan = []
+            for s in range(ns):
+                cs, tt = body[1 + s * 2 : 3 + s * 2]
+                scan.append({"cs": cs, "td": tt >> 4, "ta": tt & 0xF})
+            break
+        # APPn/COM and others: skipped
+    if frame is None or scan is None:
+        raise JpegError("missing SOF/SOS")
+
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    reader = _BitReader(payload, pos)
+
+    def huff_decode(dec: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | reader.read_bit()
+            length += 1
+            if (length, code) in dec:
+                return dec[(length, code)]
+        raise JpegError("invalid Huffman code")
+
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    planes = [np.zeros((ph, pw)) for _ in comps]
+    prev_dc = [0] * len(comps)
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for si, sc in enumerate(scan):
+                comp = by_id[sc["cs"]]
+                ci = comps.index(comp)
+                dc_dec = htables.get((0, sc["td"]))
+                ac_dec = htables.get((1, sc["ta"]))
+                if dc_dec is None or ac_dec is None:
+                    raise JpegError("missing Huffman table")
+                quant = np.zeros(64, np.int32)
+                size = huff_decode(dc_dec)
+                diff = _extend(reader.receive(size), size)
+                prev_dc[ci] += diff
+                quant[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    rs = huff_decode(ac_dec)
+                    run, size = rs >> 4, rs & 0xF
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise JpegError("AC run past block end")
+                    quant[k] = _extend(reader.receive(size), size)
+                    k += 1
+                q = qtables.get(comp["tq"])
+                if q is None:
+                    raise JpegError("missing quant table")
+                coef = np.zeros(64)
+                coef[ZIGZAG] = quant
+                block = _C.T @ (coef.reshape(8, 8) * q) @ _C
+                planes[ci][by : by + 8, bx : bx + 8] = block + 128.0
+
+    if len(comps) == 1:
+        y = np.clip(planes[0][:h, :w], 0, 255)
+        return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
+    y, cb, cr = (p[:h, :w] for p in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)

@@ -1,10 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-IMAGE decode is REAL for PPM (P6), 24-bit BMP and PNG (pure-Python
-zlib-inflate + filter reconstruction, :func:`decode_png`); JPEG and
-video codec kernels are STUBS — those codec libraries aren't in this
-container. The AUDIO path is REAL for PCM WAV: stdlib
+IMAGE decode is REAL for PPM (P6), 24-bit BMP, PNG (pure-Python
+zlib-inflate + filter reconstruction, :func:`decode_png`) and
+baseline 4:4:4/grayscale JPEG (functions/jpeg.py — pure-Python T.81
+with the Annex K tables; subsampled/progressive raise, see its
+posture note). Video codec kernels are STUBS — no container format
+ships here. The AUDIO path is REAL for PCM WAV: stdlib
 ``wave`` + numpy decode (:func:`decode_wav`), DSP feature extraction
 (:func:`audio_features` — RMS/peak/zero-crossing/spectral centroid),
 and frame-boundary chunk re-encode inside :func:`chunk_audio` (each
@@ -213,14 +215,19 @@ def encode_png(pixels, filter_type: int = 0) -> bytes:
 
 def decode_image(payload: bytes):
     """Decode an image payload to an (H, W, 3) uint8 RGB numpy array.
-    REAL for binary PPM (P6), 24-bit BMP (header + raw pixels) and
-    PNG (:func:`decode_png` — stdlib zlib inflate + filter
-    reconstruction). JPEG still raises: libjpeg isn't in this
-    container; inject a decoder where needed."""
+    REAL for binary PPM (P6), 24-bit BMP (header + raw pixels), PNG
+    (:func:`decode_png` — stdlib zlib inflate + filter reconstruction)
+    and baseline 4:4:4/grayscale JPEG (functions/jpeg.py — pure-Python
+    T.81). Subsampled/progressive JPEG raises (see jpeg.py posture);
+    inject a full decoder where arbitrary external JPEGs matter."""
     import numpy as np
 
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from logprep_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
 
     if payload[:2] == b"P6":
         # P6 <ws> width <ws> height <ws> maxval <single-ws> raw RGB
@@ -260,7 +267,8 @@ def decode_image(payload: bytes):
         rgb = bgr[:, :, ::-1]
         return (rgb[::-1] if flip else rgb).copy()  # BMP stores bottom-up
     raise NotImplementedError(
-        "JPEG codec unavailable; inject a decoder (PPM/BMP/PNG decode natively)"
+        "unknown image format; PPM/BMP/PNG/baseline-JPEG decode natively, "
+        "inject a decoder for anything else"
     )
 
 

@@ -57,3 +57,79 @@ def test_mmdb_roundtrip_any_disjoint_networks(nets):
     assert len(rows) == len(nets)
     for row in rows:
         assert row["net_start"] <= row["net_end"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    q=st.integers(min_value=70, max_value=100),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_roundtrip_psnr(h, w, q, seed):
+    """Lossy round-trip: shape/dtype exact for ANY content; smooth
+    (low-frequency) content — JPEG's design target — must clear a
+    real PSNR floor. Pure noise is excluded from the floor: heavy
+    high-frequency loss there is correct JPEG behavior, not a bug."""
+    from logprep_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    noise = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(noise, quality=q))
+    assert out.shape == noise.shape and out.dtype == np.uint8
+
+    # smooth content: a tiny random image upsampled 8x has almost no
+    # energy above the first DCT coefficients
+    smooth = np.repeat(np.repeat(
+        rng.randint(0, 256, size=(max(1, h // 4), max(1, w // 4), 3), dtype=np.uint8),
+        8, axis=0), 8, axis=1)
+    out = decode_jpeg(encode_jpeg(smooth, quality=q))
+    mse = np.mean((out.astype(float) - smooth.astype(float)) ** 2)
+    if mse > 0:
+        psnr = 10 * np.log10(255**2 / mse)
+        assert psnr > 28.0, (psnr, q)
+
+
+def test_jpeg_closed_form_and_guards():
+    from logprep_spark.functions.jpeg import JpegError, decode_jpeg, encode_jpeg
+
+    # uniform color is DC-only: decode must be within 1 LSB everywhere
+    img = np.full((16, 24, 3), [120, 64, 200], dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+    # gradients (smooth content, JPEG's home turf) decode above 40 dB
+    grad = np.zeros((64, 64, 3), np.uint8)
+    grad[:, :, 0] = np.arange(64, dtype=np.uint8)[None, :] * 4
+    grad[:, :, 1] = np.arange(64, dtype=np.uint8)[:, None] * 4
+    out = decode_jpeg(encode_jpeg(grad, quality=90))
+    mse = np.mean((out.astype(float) - grad.astype(float)) ** 2)
+    assert 10 * np.log10(255**2 / mse) > 40.0
+
+    # unsupported shapes fail loudly, never mis-decode
+    import pytest as _pytest
+
+    with _pytest.raises(JpegError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    blob = bytearray(encode_jpeg(grad))
+    sof_at = bytes(blob).find(b"\xff\xc0")
+    blob[sof_at + 1] = 0xC2  # rewrite frame marker to progressive
+    with _pytest.raises(JpegError, match="non-baseline"):
+        decode_jpeg(bytes(blob))
+
+
+def test_jpeg_flows_through_decode_image_and_resize(spark):
+    from logprep_spark.functions import multimodal
+    from logprep_spark.functions.jpeg import encode_jpeg
+
+    grad = np.zeros((48, 48, 3), np.uint8)
+    grad[:, :, 0] = np.arange(48, dtype=np.uint8)[None, :] * 5
+    payload = encode_jpeg(grad, quality=90)
+    assert multimodal.decode_image(payload).shape == (48, 48, 3)
+    media = spark.createDataFrame(
+        [(1, "image", payload, {"mime": "image/jpeg", "width": 48, "height": 48,
+                                "duration_ms": None})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in multimodal.resize_images(media, 24, 24).collect()}
+    assert multimodal.decode_image(bytes(out[1].payload)).shape == (24, 24, 3)
