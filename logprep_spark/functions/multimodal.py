@@ -507,18 +507,97 @@ _FRAME_SCHEMA = T.StructType(
 )
 
 
+# --------------------------------------------------------------------
+# REAL video container: MJPEG-in-AVI (RIFF — public spec)
+# --------------------------------------------------------------------
+
+
+def decode_avi(payload: bytes) -> dict:
+    """Parse an MJPEG AVI (RIFF) container: returns ``frame_ms`` (from
+    the avih microseconds-per-frame), ``width``/``height`` and the
+    raw JPEG bytes per frame (``00dc``/``00db`` chunks inside the movi
+    list). Each frame decodes with functions/jpeg.py. Non-AVI RIFF or
+    missing headers raise."""
+    import struct as _struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    frame_ms, width, height = None, None, None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal frame_ms, width, height
+        pos = start
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            (size,) = _struct.unpack_from("<I", payload, pos + 4)
+            body_at = pos + 8
+            if fourcc == b"LIST":
+                walk(body_at + 4, body_at + size)  # skip list type
+            elif fourcc == b"avih":
+                (us_per_frame,) = _struct.unpack_from("<I", payload, body_at)
+                frame_ms = max(us_per_frame // 1000, 1)
+                width, height = _struct.unpack_from("<II", payload, body_at + 32)
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(bytes(payload[body_at : body_at + size]))
+            pos = body_at + size + (size & 1)  # chunks pad to even
+
+    walk(12, len(payload))
+    if frame_ms is None:
+        raise ValueError("AVI missing avih header")
+    return {"frame_ms": frame_ms, "width": width, "height": height, "frames": frames}
+
+
+def encode_avi_mjpeg(frames: list[bytes], frame_ms: int, width: int, height: int) -> bytes:
+    """Build a minimal spec-valid MJPEG AVI from per-frame JPEG bytes."""
+    import struct as _struct
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + _struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return b"LIST" + _struct.pack("<I", len(body) + 4) + list_type + body
+
+    avih = _struct.pack(
+        "<14I", frame_ms * 1000, 0, 0, 0x10, len(frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + _struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, frame_ms, 1000,
+                                         0, len(frames), 0, 10000, -1)
+        + _struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = _struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+                        width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000, frame_decoder=None) -> DataFrame:
     """Video frame sampling: one output row per sampled timestamp
-    (``duration_ms // every_ms`` frames per video). The frame grab is a
-    STUB (``frame_decoder(payload, t_ms) -> bytes`` plugs a real
-    codec; default slices deterministic bytes from the payload) — the
-    Spark side is the real shape: fan-out happens INSIDE mapInPandas,
-    so one input batch yields many frame rows without a Generate/
-    explode pass over binary columns, and downstream repartition
-    spreads decode work."""
-    grab = frame_decoder or (
-        lambda payload, t_ms: (payload or b"")[t_ms % max(len(payload or b" "), 1) :][:16]
-    )
+    (``duration_ms // every_ms`` frames per video). MJPEG-AVI payloads
+    are REAL: the RIFF container parses (:func:`decode_avi`) and the
+    sampled row carries the actual JPEG frame nearest the timestamp
+    (decodable downstream with decode_image). Other codecs plug in via
+    ``frame_decoder(payload, t_ms) -> bytes``; the fallback slices
+    deterministic bytes so plumbing stays testable. The Spark side is
+    the real shape either way: fan-out happens INSIDE mapInPandas, so
+    one input batch yields many frame rows without a Generate/explode
+    pass over binary columns, and downstream repartition spreads
+    decode work."""
+
+    def default_grab(payload, t_ms):
+        payload = payload or b""
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            avi = decode_avi(payload)
+            if avi["frames"]:
+                idx = min(t_ms // avi["frame_ms"], len(avi["frames"]) - 1)
+                return avi["frames"][idx]
+        return payload[t_ms % max(len(payload or b" "), 1) :][:16]
+
+    grab = frame_decoder or default_grab
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

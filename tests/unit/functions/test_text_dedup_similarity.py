@@ -438,3 +438,34 @@ def test_contamination_flags(spark):
     out = dedup.contamination_flags(corpus, bench, k=5)
     rows = {r.doc_id: r.n_contaminated_windows for r in out.collect()}
     assert rows == {1: 2}  # "q1..q5" and "q2..q6"
+
+
+def test_sample_frames_real_mjpeg_avi(spark):
+    """Video is REAL for MJPEG-AVI: the sampled rows carry the actual
+    JPEG frame nearest each timestamp, decodable to the original
+    pixels (uniform frames -> closed-form exact within 1 LSB)."""
+    import numpy as np
+
+    from logprep_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from logprep_spark.functions.multimodal import encode_avi_mjpeg
+
+    colors = [(40, 100, 200), (80, 100, 170), (120, 100, 140), (160, 100, 110)]
+    frames = [
+        encode_jpeg(np.full((16, 16, 3), c, dtype=np.uint8), quality=95)
+        for c in colors
+    ]
+    # 4 frames @ 500ms each = 2000ms video; sample every 1000ms
+    avi = encode_avi_mjpeg(frames, frame_ms=500, width=16, height=16)
+    media = spark.createDataFrame(
+        [(7, "video", avi, {"mime": "video/x-msvideo", "width": 16, "height": 16,
+                            "duration_ms": 2000})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r.frame_idx: r for r in multimodal.sample_frames(media, every_ms=1000).collect()}
+    assert set(rows) == {0, 1}
+    for idx, t_expected in ((0, 0), (1, 1000)):
+        r = rows[idx]
+        assert r.t_ms == t_expected
+        pix = decode_jpeg(bytes(r.frame_payload))
+        want = np.array(colors[t_expected // 500])
+        assert np.abs(pix[0, 0].astype(int) - want).max() <= 1
