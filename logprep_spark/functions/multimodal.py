@@ -424,12 +424,35 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     return [int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)]
 
 
+def image_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL 8-dim image descriptor for natively-decodable payloads
+    (PPM/BMP/PNG/JPEG): per-channel mean and std (normalized), aspect
+    ratio and log-area — the cheap stand-in for an encoder embedding,
+    computed from ACTUAL pixels. Undecodable payloads fall back to the
+    deterministic fake so the pipeline shape never breaks."""
+    import numpy as np
+
+    try:
+        pix = decode_image(bytes(payload or b"")).astype(np.float64)
+    except Exception:  # noqa: BLE001 - undecodable => stable fake
+        return _fake_feature(payload, dim)
+    h, w = pix.shape[:2]
+    means = pix.reshape(-1, 3).mean(axis=0) / 255.0
+    stds = pix.reshape(-1, 3).std(axis=0) / 255.0
+    return [
+        float(means[0]), float(means[1]), float(means[2]),
+        float(stds[0]), float(stds[1]), float(stds[2]),
+        float(w / h), float(np.log1p(h * w) / 20.0),
+    ]
+
+
 def extract_features(df: DataFrame, batch_decoder=None) -> DataFrame:
     """media frame -> per-item features via Arrow-batched mapInPandas.
 
-    ``batch_decoder(payload bytes) -> list[float]`` plugs a real model;
-    default is the deterministic fake."""
-    decoder = batch_decoder or _fake_feature
+    ``batch_decoder(payload bytes) -> list[float]`` plugs a real
+    model; the default computes :func:`image_feature` from real
+    pixels where the payload decodes, else the deterministic fake."""
+    decoder = batch_decoder or image_feature
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib

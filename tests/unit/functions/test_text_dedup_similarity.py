@@ -469,3 +469,27 @@ def test_sample_frames_real_mjpeg_avi(spark):
         pix = decode_jpeg(bytes(r.frame_payload))
         want = np.array(colors[t_expected // 500])
         assert np.abs(pix[0, 0].astype(int) - want).max() <= 1
+
+
+def test_image_feature_real_pixels(spark):
+    """Feature extraction uses REAL pixels for decodable payloads: a
+    pure-red PNG yields mean=(1,0,0) and zero std; undecodable bytes
+    fall back to the deterministic fake."""
+    import numpy as np
+
+    red = np.zeros((10, 20, 3), np.uint8)
+    red[:, :, 0] = 255
+    payload = multimodal.encode_png(red)
+    media = spark.createDataFrame(
+        [(1, "image", payload, {"mime": "image/png", "width": 20, "height": 10,
+                                "duration_ms": None}),
+         (2, "image", b"junk-bytes", {"mime": "image/x", "width": 1, "height": 1,
+                                      "duration_ms": None})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    f = rows[1].feature
+    assert abs(f[0] - 1.0) < 1e-6 and f[1] == 0.0 and f[2] == 0.0  # means
+    assert f[3] == 0.0 and abs(f[6] - 2.0) < 1e-6                  # stds, aspect
+    fake = multimodal._fake_feature(b"junk-bytes")
+    assert all(abs(a - b) < 1e-6 for a, b in zip(rows[2].feature, fake))
