@@ -1,1 +1,1 @@
-from logprep_spark.functions import dedup, multimodal, similarity, text  # noqa: F401
+from logprep_spark.functions import dedup, jpeg, multimodal, similarity, text  # noqa: F401
