@@ -375,3 +375,94 @@ def test_opensearch_bulk_http_end_to_end(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_sigv4_matches_aws_published_vector():
+    """The signer reproduces the AWS documentation's SigV4 example
+    byte-for-byte (GET iam.amazonaws.com ListUsers, 20150830T123600Z,
+    AKIDEXAMPLE) — the strongest no-SDK correctness check available."""
+    from logprep_spark.sources.outputs import sigv4_headers
+
+    h = sigv4_headers(
+        "GET",
+        "https://iam.amazonaws.com/?Action=ListUsers&Version=2010-05-08",
+        b"",
+        "AKIDEXAMPLE",
+        "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+        region="us-east-1",
+        service="iam",
+        amz_date="20150830T123600Z",
+        extra_signed_headers={
+            "Content-Type": "application/x-www-form-urlencoded; charset=utf-8"
+        },
+    )
+    assert h["Authorization"] == (
+        "AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/20150830/us-east-1/iam/aws4_request, "
+        "SignedHeaders=content-type;host;x-amz-date, "
+        "Signature=5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7"
+    )
+
+
+def test_s3_http_put_end_to_end(spark):
+    """S3 REST path with zero jars: per-partition ndjson bodies PUT to
+    bucket/prefix keys over real HTTP, SigV4-signed; the listener
+    recomputes the signature with the (vector-verified) signer and
+    rejects mismatches."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from logprep_spark.sources.outputs import S3Output, sigv4_headers
+
+    state, lock = {"objects": {}}, threading.Lock()
+    access, secret = "AKTEST", "sekrit"
+
+    class S3Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_PUT(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            want = sigv4_headers(
+                "PUT",
+                f"http://{self.headers['Host']}{self.path}",
+                body,
+                access,
+                secret,
+                amz_date=self.headers["x-amz-date"],
+            )["Authorization"]
+            if self.headers.get("Authorization") != want:
+                self.send_response(403)
+                self.end_headers()
+                return
+            with lock:
+                state["objects"][self.path] = body
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), S3Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        sink = S3Output(
+            "s3://events-bucket",
+            endpoint=f"http://127.0.0.1:{srv.server_port}",
+            access_key=access,
+            secret_key=secret,
+        )
+        df = spark.range(6).selectExpr("id AS event_id", "id * 3 AS v").repartition(2)
+        sink.write_http(df, prefix="day=2026-08-13", batch_id=1)
+
+        keys = sorted(state["objects"])
+        assert len(keys) == 2
+        assert all(k.startswith("/events-bucket/day=2026-08-13/part-1-") for k in keys)
+        docs = [
+            _json.loads(line)
+            for body in state["objects"].values()
+            for line in body.decode().splitlines()
+        ]
+        assert {d["event_id"] for d in docs} == set(range(6))
+        assert all(d["v"] == d["event_id"] * 3 for d in docs)
+    finally:
+        srv.shutdown()
+        srv.server_close()
