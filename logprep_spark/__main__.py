@@ -10,6 +10,9 @@ no extra dependency.
     python -m logprep_spark test dry-run CONFIG EVENTS.jsonl
     python -m logprep_spark test unit CONFIG
     python -m logprep_spark print CONFIG [--output-format json|yaml]
+    python -m logprep_spark pseudo generate [-f FILE]
+    python -m logprep_spark pseudo pseudonymize AKEY DKEY STRING
+    python -m logprep_spark pseudo depseudonymize AKEY DKEY TOKEN
 
 ``run`` executes input → pipeline → output(s) on a SparkSession from
 ``session.get_spark`` — batch via connector ``.read``/``.write``,
