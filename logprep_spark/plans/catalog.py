@@ -83,11 +83,15 @@ def register(name: str, oracle: str | None = None):
 # remain runnable/oracle-checked by name).
 # The driver records official correctness rows for the FIRST 50 entries
 # only. r4 rotation: the 31 queries whose last official row is r2 (out
-# of the r3 window) rotate back in, alongside 19 anchors that keep
-# every capability area officially covered round-over-round. The 31 r3
-# first-time rows rotate out — each has an official green row exactly
-# one round old, so after r4 EVERY catalog query's official evidence
-# is at most one round stale.
+# of the r3 window) rotate back in, plus the 3 queries NEW this round
+# (no official row yet anywhere), alongside 16 anchors keeping every
+# capability area officially covered round-over-round. Rotated out:
+# the 31 r3 first-time rows and three r3-green anchors
+# (window_topk_orders, join_anti_customers, event_rollup — families
+# still covered by sessionize/tpch/event_time_rollup) — every
+# excluded query has an official green row exactly one round old, so
+# after r4 NO catalog query's official evidence is more than one
+# round stale.
 _PRIORITY = [
     # --- r4 rotated in: last official row r2 ---
     "join_broadcast_nation", "event_type_stats", "event_percentiles",
