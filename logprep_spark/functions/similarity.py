@@ -288,3 +288,36 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
     )
+
+
+def recall_eval(
+    exact: DataFrame, approx: DataFrame, k: int, queries: DataFrame | None = None
+) -> DataFrame:
+    """Recall@k of an approximate ANN result against the exact one —
+    the evaluation loop a production ANN deployment runs whenever
+    bucketing parameters change. Both inputs are (query_id, nbr_id,
+    ...) top-k frames; output is (query_id, n_hits, recall_milli),
+    integer milli-units for exact cross-engine hashing.
+
+    Scale shape: a (query_id, nbr_id)-keyed left-semi join (both
+    frames are k rows per query — tiny next to the corpus that
+    produced them) then a per-query count with map-side partial agg.
+    ``queries`` pins the output to every evaluated query id so a
+    zero-recall query surfaces as 0, not as a missing row.
+    """
+    hits = (
+        approx.select("query_id", "nbr_id")
+        .join(exact.select("query_id", "nbr_id"), ["query_id", "nbr_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = (
+        queries.select(F.col("query_id"))
+        if queries is not None
+        else exact.select("query_id").distinct()
+    )
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.expr(f"1000 * coalesce(n_hits, 0) div {k}").alias("recall_milli"),
+    )

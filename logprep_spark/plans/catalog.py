@@ -108,11 +108,14 @@ _PRIORITY = [
     "dedup_clusters", "dedup_ngram_jaccard", "dedup_simhash",
     # --- r4 first-time rows: new queries this round ---
     "dedup_substring_spans", "text_repetition", "dedup_contamination",
+    "ann_recall_lsh",
     # --- anchors: §2.5 analytics core ---
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
     "sessionize_events",
-    # --- anchors: §2.1 filter DSL ---
-    "filter_lucene_bool", "filter_lucene_sigma",
+    # --- anchors: §2.1 filter DSL (sigma r3-green, displaced by
+    # ann_recall_lsh; wildcard/regex/range rows above keep the family
+    # at five in-window entries) ---
+    "filter_lucene_bool",
     # --- anchors: §2.4 LLM-training-data ops ---
     "dedup_exact", "dedup_minhash_lsh",
     "dedup_embedding_cosine", "ann_topk_bruteforce", "ann_topk_lsh",
@@ -2273,3 +2276,60 @@ def ann_topk_lsh(spark, sf_dir):
     emb = tables(spark, sf_dir)["embeddings"]
     qs = emb.filter(F.col("vec_id") < 5)
     return sim.lsh_topk(emb, qs, k=3, n_planes=6)
+
+
+@register(
+    "ann_recall_lsh",
+    """
+    WITH exact AS (
+        SELECT query_id, nbr_id FROM (
+            SELECT query_id, nbr_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, nbr_id
+            ) AS rank FROM (
+                SELECT q.query_id, c.nbr_id, {cos_exact} AS cosine
+                FROM (SELECT vec_id AS query_id, embedding AS qv
+                      FROM embeddings WHERE vec_id < 5) q,
+                     (SELECT vec_id AS nbr_id, embedding AS nv FROM embeddings) c
+                WHERE query_id <> nbr_id
+            )
+        ) WHERE rank <= 3
+    ), approx AS (
+        SELECT query_id, nbr_id FROM (
+            SELECT query_id, nbr_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, nbr_id
+            ) AS rank FROM (
+                SELECT q.query_id, c.vec_id AS nbr_id, {cos_lsh} AS cosine
+                FROM (SELECT vec_id AS query_id, embedding AS qv, {bucket_q} AS bucket
+                      FROM embeddings WHERE vec_id < 5) q
+                JOIN (SELECT vec_id, embedding, {bucket_c} AS bucket
+                      FROM embeddings) c USING (bucket)
+                WHERE q.query_id <> c.vec_id
+            )
+        ) WHERE rank <= 3
+    ), hits AS (
+        SELECT query_id, count(*) AS n_hits
+        FROM approx JOIN exact USING (query_id, nbr_id) GROUP BY 1
+    )
+    SELECT query_id,
+           coalesce(n_hits, 0) AS n_hits,
+           1000 * coalesce(n_hits, 0) // 3 AS recall_milli
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) qs
+    LEFT JOIN hits USING (query_id)
+    """.format(
+        cos_exact=_sql_cosine("q.qv", "c.nv"),
+        cos_lsh=_sql_cosine("q.qv", "c.embedding"),
+        bucket_q=_sql_bucket("embedding", 6),
+        bucket_c=_sql_bucket("embedding", 6),
+    ),
+)
+def ann_recall_lsh(spark, sf_dir):
+    """Recall@3 of the LSH-bucketed ANN vs exact brute force
+    (functions/similarity.py recall_eval) — the evaluation query a
+    production ANN deployment runs when re-tuning bucket parameters."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = sim.brute_force_topk(emb, qs, k=3)
+    approx = sim.lsh_topk(emb, qs, k=3, n_planes=6)
+    return sim.recall_eval(
+        exact, approx, k=3, queries=qs.select(F.col("vec_id").alias("query_id"))
+    )

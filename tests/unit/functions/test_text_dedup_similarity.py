@@ -493,3 +493,20 @@ def test_image_feature_real_pixels(spark):
     assert f[3] == 0.0 and abs(f[6] - 2.0) < 1e-6                  # stds, aspect
     fake = multimodal._fake_feature(b"junk-bytes")
     assert all(abs(a - b) < 1e-6 for a, b in zip(rows[2].feature, fake))
+
+
+def test_recall_eval(spark):
+    """Hand-computed recall: approx finds 2 of 3 exact neighbors for
+    q0, 0 of 3 for q1 (absent from approx entirely -> row with 0)."""
+    exact = spark.createDataFrame(
+        [(0, 10), (0, 11), (0, 12), (1, 20), (1, 21), (1, 22)],
+        "query_id long, nbr_id long",
+    )
+    approx = spark.createDataFrame(
+        [(0, 10), (0, 11), (0, 99)], "query_id long, nbr_id long"
+    )
+    qs = spark.createDataFrame([(0,), (1,)], "query_id long")
+    rows = {r.query_id: r for r in
+            similarity.recall_eval(exact, approx, k=3, queries=qs).collect()}
+    assert (rows[0].n_hits, rows[0].recall_milli) == (2, 666)
+    assert (rows[1].n_hits, rows[1].recall_milli) == (0, 0)
