@@ -1853,7 +1853,8 @@ def text_tfidf(spark, sf_dir):
     ), gtf AS (
         SELECT doc_id, k, g, count(*) AS c FROM tagged GROUP BY 1, 2, 3
     ), stat AS (
-        SELECT doc_id, k, max(c) AS max_c, sum(c) AS tot_c, count(*) AS uniq
+        SELECT doc_id, k, max(c) AS max_c,
+               CAST(sum(c) AS BIGINT) AS tot_c, count(*) AS uniq
         FROM gtf GROUP BY 1, 2
     )
     SELECT doc_id,
