@@ -24,6 +24,7 @@ from logprep_spark.sources import (
     DummyOutput,
     FileInput,
     HttpInput,
+    HttpOutput,
     JsonInput,
     JsonlInput,
     JsonlOutput,
@@ -113,6 +114,15 @@ _OUTPUTS: dict[str, Any] = {
     "jsonl_output": lambda cfg: JsonlOutput(cfg.pop("output_file")),
     "console_output": lambda cfg: ConsoleOutput(),
     "dummy_output": lambda cfg: DummyOutput(),
+    "http_output": lambda cfg: HttpOutput(
+        cfg.pop("target_url"),
+        user=cfg.pop("user", ""),
+        password=cfg.pop("password", ""),
+        timeout=cfg.pop("timeout", 2),
+        verify=cfg.pop("verify", True),
+        batch_size=cfg.pop("batch_size", 500),
+        max_retries=cfg.pop("max_retries", 3),
+    ),
     "opensearch_output": lambda cfg: OpensearchOutput(
         cfg.pop("default_index", "logprep"),
         cfg.pop("spool_dir", None),

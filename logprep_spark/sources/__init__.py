@@ -20,6 +20,7 @@ from logprep_spark.sources.inputs import (
 from logprep_spark.sources.outputs import (
     ConsoleOutput,
     DummyOutput,
+    HttpOutput,
     JsonlOutput,
     KafkaOutput,
     OpensearchOutput,
@@ -33,6 +34,7 @@ __all__ = [
     "DummyOutput",
     "FileInput",
     "HttpInput",
+    "HttpOutput",
     "JsonInput",
     "JsonlInput",
     "JsonlOutput",

@@ -188,9 +188,11 @@ class OpensearchOutput:
         executors like any injected transport; no client library."""
         host = self.hosts[0].rstrip("/")
         url = f"{host}/_bulk"
-        # reference timeout is seconds (connector/opensearch/output.py
-        # timeout config); floor at 1s
-        timeout_s = max(1.0, float(self.timeout))
+        # reference documents timeout in MILLISECONDS (connector/
+        # opensearch/output.py:101-102 "default is 500ms"); honor that
+        # here (floor 100ms) so the default can't hang an executor
+        # task for minutes on a stuck bulk endpoint.
+        timeout_s = max(0.1, float(self.timeout) / 1000.0)
 
         def send(body: str, headers: dict) -> None:
             import json as _json
@@ -289,6 +291,128 @@ class OpensearchOutput:
         )
 
 
+class HttpOutput:
+    """reference ``connector/http/output.py:55-115`` — POST events as
+    ndjson to paths under a configured ``target_url`` with basic auth.
+
+    Option surface mirrors the reference Config (target_url, user,
+    password, timeout seconds, verify bool|ca-path); the reference's
+    ``store((target, events))`` tuple routing is expressed as an
+    optional per-row target column: rows are grouped by that column's
+    path inside each partition and each group POSTs to
+    ``target_url + path`` (rows without it go to the root).
+
+    Spark shape: ``foreachBatch`` → per-partition ndjson body
+    assembly on the executors, chunked to ``batch_size`` docs with
+    per-chunk retry/backoff — rows never funnel through the driver.
+    Transport is stdlib urllib (no client library); auth headers are
+    resolved ONCE driver-side (credentials file via
+    CredentialsFactory.from_target wins over the inline user/password
+    basic pair, matching OpensearchOutput precedence).
+    """
+
+    def __init__(
+        self,
+        target_url: str,
+        user: str = "",
+        password: str = "",
+        timeout: int = 2,
+        verify: bool | str = True,
+        batch_size: int = 500,
+        max_retries: int = 3,
+        target_col: str = "_target",
+    ):
+        self.target_url = target_url.rstrip("/")
+        self.user = user or ""
+        self.password = password or ""
+        # reference HttpOutput timeout is SECONDS (connector/http/
+        # output.py: requests timeout=(timeout, timeout), default 2)
+        self.timeout = max(0.1, float(timeout))
+        self.verify = verify
+        self.batch_size = max(1, int(batch_size))
+        self.max_retries = max(0, int(max_retries))
+        self.target_col = target_col
+
+    def auth_headers(self) -> dict:
+        from logprep_spark.credentials import BasicAuthCredentials, CredentialsFactory
+
+        creds = CredentialsFactory.from_target(self.target_url)
+        if creds is None and self.user:
+            creds = BasicAuthCredentials(self.user, self.password)
+        return creds.get_headers() if creds is not None else {}
+
+    def _ssl_context(self):
+        import ssl
+
+        if self.verify is True:
+            return None  # urllib default: verified context
+        if self.verify is False:
+            ctx = ssl.create_default_context()
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+            return ctx
+        return ssl.create_default_context(cafile=str(self.verify))
+
+    def write_batch(self, df: DataFrame, batch_id: int = 0) -> None:
+        base_url = self.target_url
+        target_col = self.target_col
+        headers = {
+            "Content-Type": "application/x-ndjson; charset=utf-8",
+            **self.auth_headers(),
+        }
+        timeout_s, max_retries = self.timeout, self.max_retries
+        chunk_size = self.batch_size
+        ctx = self._ssl_context()
+        has_target = target_col in df.columns
+
+        def post(path: str, body: str) -> None:
+            import time as _time
+            import urllib.request
+
+            req = urllib.request.Request(
+                base_url + path,
+                data=body.encode("utf-8"),
+                method="POST",
+                headers=headers,
+            )
+            for attempt in range(max_retries + 1):
+                try:
+                    with urllib.request.urlopen(req, timeout=timeout_s, context=ctx) as resp:
+                        resp.read()
+                    return
+                except Exception:  # noqa: BLE001 — retried, then re-raised
+                    if attempt == max_retries:
+                        raise
+                    _time.sleep(min(2**attempt * 0.1, 5.0))
+
+        def send_partition(rows_iter):
+            from itertools import islice
+
+            rows_iter = iter(rows_iter)
+            while True:
+                chunk = list(islice(rows_iter, chunk_size))
+                if not chunk:
+                    break
+                # group by target path, preserving row order per group
+                groups: dict[str, list[str]] = {}
+                for r in chunk:
+                    d = r.asDict(recursive=True)
+                    path = (d.pop(target_col, None) or "") if has_target else ""
+                    groups.setdefault(path, []).append(json.dumps(d, default=str))
+                for path, lines in groups.items():
+                    post(path, "\n".join(lines) + "\n")
+
+        df.foreachPartition(send_partition)
+
+    def write_stream(self, df: DataFrame, checkpoint: str, **trigger):
+        return (
+            df.writeStream.foreachBatch(self.write_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+
+
 def sigv4_headers(
     method: str,
     url: str,
@@ -317,7 +441,11 @@ def sigv4_headers(
     datestamp = amz_date[:8]
     payload_hash = hashlib.sha256(payload or b"").hexdigest()
 
-    canonical_uri = quote(parts.path or "/", safe="/")
+    # AWS S3 rule: the canonical URI is the path with each segment
+    # URI-encoded exactly ONCE. Callers pass an already-encoded URL
+    # (urllib requires that anyway), so keep existing %XX escapes
+    # verbatim (safe="%") instead of re-encoding them to %25XX.
+    canonical_uri = quote(parts.path or "/", safe="/%")
     query_items = sorted(
         pair.split("=", 1) if "=" in pair else [pair, ""]
         for pair in parts.query.split("&")
@@ -400,8 +528,17 @@ class S3Output:
     def write_http(self, df: DataFrame, prefix: str = "events", batch_id: int = 0) -> None:
         if not self.endpoint:
             raise ValueError("write_http needs endpoint=")
+        from urllib.parse import quote as _quote
+
         bucket = self.base_uri.split("://", 1)[-1].strip("/")
         endpoint = self.endpoint.rstrip("/")
+        # URL-encode each key segment exactly once at build time; the
+        # signer keeps the escapes verbatim (sigv4_headers safe="%"),
+        # so spaces/%/non-ASCII in prefixes neither crash urllib nor
+        # skew the signature.
+        key_prefix = "/".join(
+            _quote(seg, safe="") for seg in f"{bucket}/{prefix}".split("/") if seg
+        )
         access, secret, region = self.access_key, self.secret_key, self.region
 
         def send_partition(rows_iter):
@@ -417,7 +554,7 @@ class S3Output:
                 "\n".join(json.dumps(r.asDict(recursive=True), default=str) for r in rows)
                 + "\n"
             ).encode("utf-8")
-            url = f"{endpoint}/{bucket}/{prefix}/part-{batch_id}-{pid:05d}.json"
+            url = f"{endpoint}/{key_prefix}/part-{batch_id}-{pid:05d}.json"
             headers = {"Content-Type": "application/x-ndjson"}
             if access and secret:
                 headers.update(sigv4_headers("PUT", url, body, access, secret, region))

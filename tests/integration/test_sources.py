@@ -455,7 +455,10 @@ def test_s3_http_put_end_to_end(spark):
 
         keys = sorted(state["objects"])
         assert len(keys) == 2
-        assert all(k.startswith("/events-bucket/day=2026-08-13/part-1-") for k in keys)
+        # key segments are URL-encoded exactly once at build time
+        # (boto3-style), so hive '=' rides as %3D and the signature
+        # covers the same bytes as the wire path
+        assert all(k.startswith("/events-bucket/day%3D2026-08-13/part-1-") for k in keys)
         docs = [
             _json.loads(line)
             for body in state["objects"].values()
@@ -463,6 +466,76 @@ def test_s3_http_put_end_to_end(spark):
         ]
         assert {d["event_id"] for d in docs} == set(range(6))
         assert all(d["v"] == d["event_id"] * 3 for d in docs)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_output_end_to_end(spark):
+    """HttpOutput speaks REAL HTTP to a stdlib listener: ndjson bodies
+    POSTed to target_url plus the per-row target path (the reference's
+    (target, events) tuple routing), basic-auth on every request, and
+    a first-attempt 503 absorbed by the chunk retry."""
+    import base64
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from logprep_spark.sources import HttpOutput
+
+    state = {"docs": [], "auth": set(), "ctype": set(), "remaining_503": 1,
+             "requests": 0}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            with lock:
+                state["requests"] += 1
+                state["auth"].add(self.headers.get("Authorization"))
+                state["ctype"].add(self.headers.get("Content-Type"))
+                if state["remaining_503"] > 0:
+                    state["remaining_503"] -= 1
+                    self.send_response(503)
+                    self.end_headers()
+                    return
+                for line in body.decode().splitlines():
+                    state["docs"].append((self.path, _json.loads(line)))
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        sink = HttpOutput(
+            f"http://127.0.0.1:{srv.server_port}",
+            user="u", password="p", batch_size=4, max_retries=3,
+        )
+        # tuple-routing: odd ids go to /special, even ids to the root
+        df = spark.range(10).selectExpr(
+            "id AS event_id",
+            "id * 2 AS v",
+            "CASE WHEN id % 2 = 1 THEN '/special' END AS _target",
+        )
+        sink.write_batch(df.coalesce(1), batch_id=0)
+
+        assert {d["event_id"] for _, d in state["docs"]} == set(range(10))
+        # routing honored and the _target column stripped from payloads
+        for path, d in state["docs"]:
+            assert path == ("/special" if d["event_id"] % 2 else "/")
+            assert "_target" in d or "_target" not in d  # popped below
+            assert "_target" not in d
+            assert d["v"] == d["event_id"] * 2
+        expected_auth = "Basic " + base64.b64encode(b"u:p").decode()
+        assert state["auth"] == {expected_auth}
+        assert state["ctype"] == {"application/x-ndjson; charset=utf-8"}
+        # 10 rows / 4-row chunks = 3 chunks, each split into <=2 target
+        # groups; plus the one absorbed 503
+        assert state["requests"] >= 4
     finally:
         srv.shutdown()
         srv.server_close()
