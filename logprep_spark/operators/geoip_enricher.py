@@ -34,24 +34,39 @@ class GeoipEnricher(Processor):
         self,
         rules=None,
         geo_table: DataFrame | None = None,
+        geo_table_v6: DataFrame | None = None,
         db_path: str | None = None,
         **kw,
     ):
         """``geo_table``: optional (net_start long, net_end long,
         country string, city string, lat double, lon double).
+        ``geo_table_v6``: optional (net_start_hex string, net_end_hex
+        string, country, city, lat, lon) with 32-char hex bounds — the
+        v6 interval table (ip_utils hex-key encoding).
         ``db_path``: reference config parity (processor.py:54) — a
         MaxMind ``.mmdb`` file, parsed by the pure-Python reader in
-        sources/mmdb.py into the same interval table on first use."""
+        sources/mmdb.py on first use; a v6 database fills BOTH tables
+        (v4 from the ::/96 subtree, v6 from the full tree), matching
+        the reference's dual-stack geoip2 lookups."""
         super().__init__(rules, **kw)
         self.geo_table = geo_table
+        self.geo_table_v6 = geo_table_v6
         self.db_path = db_path
+        self._db_loaded = False
 
-    def _resolve_geo_table(self, df: DataFrame) -> DataFrame | None:
-        if self.geo_table is None and self.db_path is not None:
-            from logprep_spark.sources.mmdb import geo_table_from_mmdb
+    def _resolve_geo_tables(self, df: DataFrame) -> None:
+        if self._db_loaded or self.db_path is None:
+            return
+        self._db_loaded = True
+        from logprep_spark.sources.mmdb import MMDBReader, geo_table_from_mmdb
 
-            self.geo_table = geo_table_from_mmdb(df.sparkSession, self.db_path)
-        return self.geo_table
+        with open(self.db_path, "rb") as fh:
+            ip_version = MMDBReader(fh.read()).ip_version
+        spark = df.sparkSession
+        if self.geo_table is None:
+            self.geo_table = geo_table_from_mmdb(spark, self.db_path, ip_version=4)
+        if self.geo_table_v6 is None and ip_version == 6:
+            self.geo_table_v6 = geo_table_from_mmdb(spark, self.db_path, ip_version=6)
 
     def apply_rule(self, df: DataFrame, cond, cfg: dict) -> DataFrame:
         src = fld.get_field(df, cfg["source_fields"][0])
@@ -65,7 +80,14 @@ class GeoipEnricher(Processor):
 
         def named(default: str):
             return renames.get(default, default).rsplit(".", 1)[-1]
-        if self._resolve_geo_table(df) is not None:
+
+        self._resolve_geo_tables(df)
+        if self.geo_table_v6 is not None:
+            df = self._join_v6(df, src, cond, target, named)
+            src = fld.get_field(df, cfg["source_fields"][0])
+            if self.geo_table is None:
+                return df
+        if self.geo_table is not None:
             ip_long = ip_utils.ipv4_to_long(src)
             # explode each range to the /16 bins it covers (MaxMind
             # ranges are mostly narrower than /16, so the exploded
@@ -110,3 +132,39 @@ class GeoipEnricher(Processor):
             F.array(F.round(lon, 2), F.round(lat, 2)).alias(named("coordinates")),
         )
         return self.set_when(df, target, cond & ip_utils.is_ipv4(src), struct)
+
+    def _join_v6(self, df: DataFrame, src, cond, target: str, named) -> DataFrame:
+        """v6 interval enrichment: the event's normalized 128-bit hex
+        key equi-joins a /24-binned broadcast of the (net_start_hex,
+        net_end_hex) ranges, with a residual string-BETWEEN for exact
+        bounds — same binned-broadcast shape as the v4 path, lifted to
+        hex-string order. /24 bins (first 6 hex chars): real v6 geo
+        feeds allocate /16../48, so a range explodes to at most a few
+        hundred bins and the broadcast stays small."""
+        ip_hex = ip_utils.ipv6_to_hex(src)
+        bin_of = lambda c: F.conv(F.substring(c, 1, 6), 16, 10).cast("long")  # noqa: E731
+        geo = broadcast(
+            self.geo_table_v6.withColumn(
+                "_bin6",
+                F.explode(
+                    F.sequence(bin_of(F.col("net_start_hex")), bin_of(F.col("net_end_hex")))
+                ),
+            )
+        )
+        guarded_hex = F.when(ip_utils.is_ipv6(src), ip_hex)
+        df = df.join(
+            geo,
+            on=(bin_of(guarded_hex) == geo["_bin6"])
+            & (guarded_hex >= geo["net_start_hex"])
+            & (guarded_hex <= geo["net_end_hex"]),
+            how="left",
+        ).drop("_bin6")
+        struct = F.struct(
+            F.lit("Feature").alias(named("type")),
+            F.col("country").alias(named("country")),
+            F.col("city").alias(named("city")),
+            F.array(F.col("lon"), F.col("lat")).alias(named("coordinates")),
+        )
+        matched = F.col("net_start_hex").isNotNull()
+        df = self.set_when(df, target, cond & matched, struct)
+        return df.drop("net_start_hex", "net_end_hex", "country", "city", "lat", "lon")

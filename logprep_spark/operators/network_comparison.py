@@ -44,7 +44,9 @@ class NetworkComparison(Processor):
         for name, cidrs in networks.items():
             hit = None
             for cidr in cidrs:
-                test = ip_utils.in_cidr(src, cidr)
+                # family-dispatching: v6 CIDRs match v6 addresses via
+                # the hex-key BETWEEN, v4 via bit math
+                test = ip_utils.in_cidr_any(src, cidr)
                 hit = test if hit is None else (hit | test)
             if hit is not None:
                 matched_names.append(F.when(hit, F.lit(name)))

@@ -1182,6 +1182,67 @@ def proc_geoip_table(spark, sf_dir):
     )
 
 
+def _v6_bounds(cidr: str) -> tuple[str, str]:
+    import ipaddress
+
+    net = ipaddress.ip_network(cidr)
+    return f"{int(net.network_address):032x}", f"{int(net.broadcast_address):032x}"
+
+
+_V6_GEO = [
+    (*_v6_bounds("2001:db8::/46"), "DE", "berlin"),
+    (*_v6_bounds("2001:db8:8::/45"), "FR", "paris"),
+]
+
+
+@register(
+    "proc_geoip_v6",
+    f"""
+    WITH geo(net_start_hex, net_end_hex, country, city) AS (
+        VALUES {", ".join(f"('{s}', '{e}', '{c}', '{t}')" for s, e, c, t in _V6_GEO)}
+    ), ev AS (
+        SELECT event_id,
+               '20010db8000' || lower(to_hex(user_id % 16)) || '0000'
+               || '000000000000'
+               || lpad(lower(to_hex(1 + user_id % 50)), 4, '0') AS ip_hex
+        FROM events
+    )
+    SELECT event_id, country, city
+    FROM ev LEFT JOIN geo ON ip_hex BETWEEN net_start_hex AND net_end_hex
+    """,
+)
+def proc_geoip_v6(spark, sf_dir):
+    """IPv6 interval geo enrichment: ``2001:db8:X::Y`` literals parse
+    through the pure-Catalyst hex normalizer (ip_utils.ipv6_to_hex —
+    '::' expansion exercised per row) and join the /24-binned
+    broadcast v6 range table by string BETWEEN; the oracle mirrors
+    the same 128-bit hex-order interval join in SQL."""
+    geo6 = spark.createDataFrame(
+        [(s, e, c, t, 0.0, 0.0) for s, e, c, t in _V6_GEO],
+        "net_start_hex string, net_end_hex string, "
+        "country string, city string, lat double, lon double",
+    )
+    ev = _events(spark, sf_dir).withColumn(
+        "ip",
+        F.concat(
+            F.lit("2001:db8:"),
+            F.lower(F.hex(_u() % 16)),
+            F.lit("::"),
+            F.lower(F.hex(1 + _u() % 50)),
+        ),
+    )
+    proc = GeoipEnricher(
+        [{"filter": "*", "geoip_enricher": {"source_fields": ["ip"]}}],
+        geo_table_v6=geo6,
+    )
+    g = F.col("geoip")
+    return proc.transform(ev).select(
+        "event_id",
+        g.getField("country").alias("country"),
+        g.getField("city").alias("city"),
+    )
+
+
 @register(
     "proc_ip_informer",
     """

@@ -196,42 +196,100 @@ class MMDBReader:
                     )
                 # rec == node_count: empty branch
 
+    def networks_v6(self) -> Iterator[tuple[int, int, dict]]:
+        """Yield (prefix128, prefix_len, data) walking the FULL tree
+        at v6 width (a v4 tree is lifted into the v4-mapped
+        ``::ffff:0:0/96`` space). Complements :meth:`networks`, which
+        collapses a v6 tree to its v4-mapped subtree."""
+        if self.ip_version != 6:
+            # MaxMind convention: v4 lives at bits 0-95 zero (::/96),
+            # the same subtree networks() descends for v6 trees
+            for prefix, plen, data in self.networks():
+                yield (prefix, 96 + plen, data)
+            return
+        stack = [(0, 0, 0)]  # node, prefix, depth
+        while stack:
+            node, prefix, depth = stack.pop()
+            for side in (1, 0):
+                rec = self._record(node, side)
+                child_prefix = (prefix << 1) | side
+                if rec < self.node_count:
+                    if depth + 1 <= 128:
+                        stack.append((rec, child_prefix, depth + 1))
+                elif rec > self.node_count:
+                    yield (
+                        child_prefix << (128 - depth - 1),
+                        depth + 1,
+                        self._data_at(rec),
+                    )
+
+    @staticmethod
+    def _geo_fields(data: dict) -> dict:
+        """Geoip2-style nested records (country.iso_code, city.names.
+        en, location.latitude/longitude) or flat country/city/lat/
+        lon."""
+        country = data.get("country")
+        if isinstance(country, dict):
+            country = country.get("iso_code")
+        city = data.get("city")
+        if isinstance(city, dict):
+            city = (city.get("names") or {}).get("en")
+        loc = data.get("location") or {}
+        lat = loc.get("latitude", data.get("lat"))
+        lon = loc.get("longitude", data.get("lon"))
+        return {
+            "country": country,
+            "city": city,
+            "lat": float(lat) if lat is not None else None,
+            "lon": float(lon) if lon is not None else None,
+        }
+
     def interval_rows(self) -> list[dict]:
         """(net_start, net_end, country, city, lat, lon) rows for the
-        GeoipEnricher broadcast table. Understands both geoip2-style
-        nested records (country.iso_code, city.names.en,
-        location.latitude/longitude) and flat country/city/lat/lon."""
+        GeoipEnricher v4 broadcast table."""
         rows = []
         for prefix, plen, data in self.networks():
-            start = prefix
-            end = prefix | ((1 << (32 - plen)) - 1)
-            country = data.get("country")
-            if isinstance(country, dict):
-                country = country.get("iso_code")
-            city = data.get("city")
-            if isinstance(city, dict):
-                city = (city.get("names") or {}).get("en")
-            loc = data.get("location") or {}
-            lat = loc.get("latitude", data.get("lat"))
-            lon = loc.get("longitude", data.get("lon"))
             rows.append(
                 {
-                    "net_start": start,
-                    "net_end": end,
-                    "country": country,
-                    "city": city,
-                    "lat": float(lat) if lat is not None else None,
-                    "lon": float(lon) if lon is not None else None,
+                    "net_start": prefix,
+                    "net_end": prefix | ((1 << (32 - plen)) - 1),
+                    **self._geo_fields(data),
+                }
+            )
+        return rows
+
+    def interval_rows_v6(self) -> list[dict]:
+        """(net_start_hex, net_end_hex, country, city, lat, lon) rows
+        for the GeoipEnricher v6 broadcast table: 32-char lowercase
+        hex bounds whose lexicographic order is the 128-bit numeric
+        order (the ip_utils.py v6 key encoding)."""
+        rows = []
+        for prefix, plen, data in self.networks_v6():
+            end = prefix | ((1 << (128 - plen)) - 1)
+            rows.append(
+                {
+                    "net_start_hex": f"{prefix:032x}",
+                    "net_end_hex": f"{end:032x}",
+                    **self._geo_fields(data),
                 }
             )
         return rows
 
 
-def geo_table_from_mmdb(spark, path: str):
-    """Load an .mmdb file into the (net_start, net_end, country, city,
-    lat, lon) DataFrame ``GeoipEnricher(geo_table=...)`` consumes."""
+def geo_table_from_mmdb(spark, path: str, ip_version: int = 4):
+    """Load an .mmdb file into the interval DataFrame
+    ``GeoipEnricher`` consumes: ``ip_version=4`` gives (net_start,
+    net_end) longs from the v4(-mapped) networks; ``ip_version=6``
+    gives (net_start_hex, net_end_hex) 32-char hex bounds for the
+    string-BETWEEN join over the full v6 space."""
     with open(path, "rb") as fh:
         reader = MMDBReader(fh.read())
+    if ip_version == 6:
+        return spark.createDataFrame(
+            reader.interval_rows_v6(),
+            "net_start_hex string, net_end_hex string, "
+            "country string, city string, lat double, lon double",
+        )
     return spark.createDataFrame(
         reader.interval_rows(),
         "net_start long, net_end long, country string, city string, lat double, lon double",
@@ -275,17 +333,28 @@ def _encode_uint64(value: int) -> bytes:
 
 
 class MMDBWriter:
-    """Build a minimal spec-valid IPv4 database with 24-bit records."""
+    """Build a minimal spec-valid database with 24-bit records.
+    ``ip_version=4`` (default) builds a 32-bit tree; ``ip_version=6``
+    a 128-bit tree, with v4 CIDRs lifted into ``::ffff:0:0/96`` the
+    way real dual-stack MaxMind databases store them."""
 
-    def __init__(self, database_type: str = "Test-City"):
+    def __init__(self, database_type: str = "Test-City", ip_version: int = 4):
         self.database_type = database_type
+        self.ip_version = ip_version
+        self.width = 32 if ip_version == 4 else 128
         self._entries: list[tuple[int, int, dict]] = []
 
     def insert(self, cidr: str, data: dict) -> None:
-        ip, _, plen = cidr.partition("/")
-        parts = [int(p) for p in ip.split(".")]
-        value = (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
-        self._entries.append((value, int(plen), data))
+        import ipaddress
+
+        net = ipaddress.ip_network(cidr, strict=False)
+        value, plen = int(net.network_address), net.prefixlen
+        if net.version == 4 and self.ip_version == 6:
+            # MaxMind spec: v4 networks in a v6 tree sit under ::/96
+            plen = 96 + plen
+        elif net.version != self.ip_version:
+            raise MMDBError(f"cannot insert v{net.version} cidr into v{self.ip_version} tree")
+        self._entries.append((value, plen, data))
 
     def tobytes(self) -> bytes:
         # trie of dict nodes: {0: child, 1: child} or {"data": idx}
@@ -296,7 +365,7 @@ class MMDBWriter:
             for i in range(plen):
                 if "data" in node:
                     raise MMDBError("overlapping networks unsupported by test writer")
-                bit = (value >> (31 - i)) & 1
+                bit = (value >> (self.width - 1 - i)) & 1
                 node = node.setdefault(bit, {})
             if node:
                 raise MMDBError("overlapping networks unsupported by test writer")
@@ -343,7 +412,7 @@ class MMDBWriter:
             "build_epoch": 0,  # fixed: fixture bytes stay deterministic
             "node_count": node_count,
             "record_size": 24,
-            "ip_version": 4,
+            "ip_version": self.ip_version,
             "database_type": self.database_type,
             "languages": ["en"],
             "description": {"en": "test fixture"},

@@ -159,3 +159,74 @@ def test_geoip_enricher_db_path_config(spark, tmp_path, mmdb_bytes):
         db_path=str(path),
     ).transform(events)
     assert out.first().geoip.country == "DE"
+
+
+@pytest.fixture(scope="module")
+def mmdb_v6_bytes():
+    """Dual-stack v6 tree: v6 networks at full width plus v4 networks
+    lifted to ::/96 (the MaxMind storage convention)."""
+    w = MMDBWriter(ip_version=6)
+    w.insert("2001:db8::/48", _city("DE", "Berlin", 52.52, 13.405))
+    w.insert("2001:db8:8::/45", _city("FR", "Paris", 48.8566, 2.3522))
+    w.insert("fd00::/8", _city("XX", "ula", 0.0, 0.0))
+    w.insert("10.0.0.0/8", _city("US", "Austin", 30.2672, -97.7431))
+    return w.tobytes()
+
+
+def test_v6_networks_roundtrip(mmdb_v6_bytes):
+    r = MMDBReader(mmdb_v6_bytes)
+    assert r.ip_version == 6
+    # full-width walk sees all four networks
+    nets = {(p, l): d for p, l, d in r.networks_v6()}
+    assert (0x20010DB8 << 96, 48) in nets
+    assert (0x20010DB80008 << 80, 45) in nets
+    assert (0xFD << 120, 8) in nets
+    assert (10 << 24, 96 + 8) in nets  # v4 under ::/96
+    assert nets[(0x20010DB8 << 96, 48)]["city"]["names"]["en"] == "Berlin"
+    # the v4 walk of the same tree finds exactly the v4 network
+    v4 = {(p, l) for p, l, _ in r.networks()}
+    assert v4 == {(10 << 24, 8)}
+
+
+def test_v6_interval_rows_hex_bounds(mmdb_v6_bytes):
+    rows = {row["country"]: row for row in MMDBReader(mmdb_v6_bytes).interval_rows_v6()}
+    de = rows["DE"]
+    assert de["net_start_hex"] == "20010db8000000000000000000000000"
+    assert de["net_end_hex"] == "20010db80000ffffffffffffffffffff"
+    assert de["city"] == "Berlin"
+    assert rows["FR"]["net_end_hex"] == "20010db8000fffffffffffffffffffff"
+    # every bound is 32 lowercase hex chars (lexicographic == numeric)
+    for row in rows.values():
+        assert len(row["net_start_hex"]) == len(row["net_end_hex"]) == 32
+
+
+def test_geoip_enricher_v6_db_path_dual_stack(spark, tmp_path, mmdb_v6_bytes):
+    """A v6 mmdb via db_path fills BOTH interval tables: v4 events hit
+    the ::/96 subtree ranges, v6 events the full-width ranges, each
+    through its own binned broadcast join."""
+    from logprep_spark.operators.geoip_enricher import GeoipEnricher
+
+    path = tmp_path / "dual.mmdb"
+    path.write_bytes(mmdb_v6_bytes)
+    events = spark.createDataFrame(
+        [
+            (1, "2001:db8::1"),
+            (2, "2001:db8:c:5::9"),
+            (3, "fd12:3456::1"),
+            (4, "10.1.2.3"),
+            (5, "2001:db9::1"),
+            (6, "8.8.8.8"),
+        ],
+        "id long, client_ip string",
+    )
+    out = GeoipEnricher(
+        [{"filter": "*", "geoip_enricher": {"source_fields": ["client_ip"]}}],
+        db_path=str(path),
+    ).transform(events)
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].geoip.country == "DE" and rows[1].geoip.city == "Berlin"
+    assert rows[2].geoip.country == "FR"
+    assert rows[3].geoip.country == "XX"
+    assert rows[4].geoip.country == "US"
+    assert rows[5].geoip is None
+    assert rows[6].geoip is None

@@ -197,9 +197,13 @@ def test_all_processor_queries_stay_narrow(spark, sf_dir):
     (pseudonym, origin) pairs, which is a real distinct shuffle."""
     qs = catalog.queries()
     allowed_shuffles = {"proc_pseudonymizer_pseudonyms": 1}
-    # geoip_table explodes range bins on the TINY broadcast dim side
-    # (2 rows -> ~4k bins), never on the event stream
-    allowed_generates = {"proc_pseudonymizer_pseudonyms", "proc_geoip_table"}
+    # geoip_table/_v6 explode range bins on the TINY broadcast dim
+    # side (2 rows -> a few k bins), never on the event stream
+    allowed_generates = {
+        "proc_pseudonymizer_pseudonyms",
+        "proc_geoip_table",
+        "proc_geoip_v6",
+    }
     offenders = {}
     for name, fn in qs.items():
         if not name.startswith(("proc_", "filter_", "source_")):
