@@ -146,6 +146,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_planes: int = 6,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's hyperplane
     bucket, then exact cosine re-rank. The bucket join replaces the
@@ -154,17 +155,30 @@ def lsh_topk(
     The query side is broadcast: an equi-join on ``bucket`` would
     otherwise shuffle the ENTIRE corpus on a ≤2^n_planes-cardinality
     key (massively skewed at scale). Broadcast keeps the corpus
-    partition-local; bucket pruning happens map-side."""
+    partition-local; bucket pruning happens map-side.
+
+    ``multi_probe``: additionally probe the buckets reached by
+    flipping each of the first ``multi_probe`` sign bits (the probes
+    most likely to hold near neighbors lost to quantization). This is
+    how recall is recovered at scale when ``planes_for`` picks fine
+    buckets (~23 planes at 25B vectors): the query side explodes
+    ``1 + multi_probe`` ways — still tiny and broadcast — while the
+    corpus stays partition-local with exactly one bucket per row."""
     dim = probe_dim(df, vec_col)
     corpus = df.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("nbr_vec"),
         hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
+    bucket_q = hyperplane_bucket(F.col(vec_col), n_planes, dim)
+    if multi_probe > 0:
+        bucket_q = F.explode(
+            F.array(bucket_q, *[bucket_q.bitwiseXOR(1 << p) for p in range(multi_probe)])
+        )
     qs = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
-        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        bucket_q.alias("bucket"),
     )
     sim = F.round(cosine_sim(F.col("query_vec"), F.col("nbr_vec")), 6)
     scored = (

@@ -2395,3 +2395,146 @@ def ann_recall_lsh(spark, sf_dir):
     return sim.recall_eval(
         exact, approx, k=3, queries=qs.select(F.col("vec_id").alias("query_id"))
     )
+
+
+_SQL_ANN_EXACT3 = """
+        SELECT query_id, nbr_id FROM (
+            SELECT query_id, nbr_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, nbr_id
+            ) AS rank FROM (
+                SELECT q.query_id, c.nbr_id, {cos} AS cosine
+                FROM (SELECT vec_id AS query_id, embedding AS qv
+                      FROM embeddings WHERE vec_id < 5) q,
+                     (SELECT vec_id AS nbr_id, embedding AS nv FROM embeddings) c
+                WHERE query_id <> nbr_id
+            )
+        ) WHERE rank <= 3
+"""
+
+
+@register(
+    "ann_recall_lsh_multiprobe",
+    """
+    WITH exact AS ({exact}
+    ), b AS (
+        SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    ), qb AS (
+        SELECT vec_id AS query_id, embedding AS qv, bucket
+        FROM b WHERE vec_id < 5
+    ), qprobe AS (
+        SELECT query_id, qv, bucket, 'single' AS variant FROM qb
+        UNION ALL
+        SELECT query_id, qv,
+               unnest([bucket, {flips}]) AS bucket, 'multi' AS variant
+        FROM qb
+    ), approx AS (
+        SELECT variant, query_id, nbr_id FROM (
+            SELECT variant, query_id, c.vec_id AS nbr_id, row_number() OVER (
+                PARTITION BY variant, query_id ORDER BY {cos_c} DESC, c.vec_id
+            ) AS rank
+            FROM qprobe q JOIN b c USING (bucket)
+            WHERE q.query_id <> c.vec_id
+        ) WHERE rank <= 3
+    ), hits AS (
+        SELECT variant, query_id, count(*) AS n_hits
+        FROM approx JOIN exact USING (query_id, nbr_id) GROUP BY 1, 2
+    )
+    SELECT v.variant, query_id,
+           coalesce(n_hits, 0) AS n_hits,
+           1000 * coalesce(n_hits, 0) // 3 AS recall_milli
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) qs
+    CROSS JOIN (VALUES ('single'), ('multi')) v(variant)
+    LEFT JOIN hits USING (variant, query_id)
+    """.format(
+        exact=_SQL_ANN_EXACT3.format(cos=_sql_cosine("q.qv", "c.nv")),
+        bucket=_sql_bucket("embedding", 4),
+        flips=", ".join(f"xor(bucket, {1 << p})" for p in range(4)),
+        cos_c=_sql_cosine("q.qv", "c.embedding"),
+    ),
+)
+def ann_recall_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe recall recovery (functions/similarity.py lsh_topk
+    multi_probe): single-bucket probing loses recall to sign-bit
+    quantization (near-zero on this near-random synthetic corpus);
+    probing each single-bit flip measurably recovers it (133 vs 0
+    milli at sf0.01). Reports recall@3 per query for both variants
+    side by side — the measured version of the planes_for ladder's
+    recovery story."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    q_ids = qs.select(F.col("vec_id").alias("query_id"))
+    exact = sim.brute_force_topk(emb, qs, k=3)
+    out = None
+    for variant, probes in (("single", 0), ("multi", 4)):
+        approx = sim.lsh_topk(emb, qs, k=3, n_planes=4, multi_probe=probes)
+        rec = sim.recall_eval(exact, approx, k=3, queries=q_ids).select(
+            F.lit(variant).alias("variant"), "query_id", "n_hits", "recall_milli"
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out
+
+
+@register(
+    "ann_recall_ivf",
+    f"""
+    WITH exact AS ({_SQL_ANN_EXACT3.format(cos=_sql_cosine("q.qv", "c.nv"))}
+    ), cents AS (
+        SELECT embedding AS cvec,
+               row_number() OVER (ORDER BY {_sql_h60('vec_id::varchar')}, vec_id) AS cid
+        FROM embeddings
+        ORDER BY {_sql_h60('vec_id::varchar')}, vec_id LIMIT 16
+    ), scored_all AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_sql_cosine('e.embedding', 'c.cvec')} AS s
+        FROM embeddings e CROSS JOIN cents c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid AS bucket FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+            FROM scored_all
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, embedding AS qv, cid AS bucket, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+            FROM scored_all WHERE vec_id < 5
+        ) WHERE rn <= 4
+    ), sweep(n_probe) AS (VALUES (1), (2), (4)
+    ), approx AS (
+        SELECT n_probe, query_id, nbr_id FROM (
+            SELECT s.n_probe, p.query_id, a.vec_id AS nbr_id, row_number() OVER (
+                PARTITION BY s.n_probe, p.query_id
+                ORDER BY {_sql_cosine('p.qv', 'a.embedding')} DESC, a.vec_id
+            ) AS rank
+            FROM sweep s
+            JOIN probes p ON p.rn <= s.n_probe
+            JOIN assigned a USING (bucket)
+            WHERE p.query_id <> a.vec_id
+        ) WHERE rank <= 3
+    ), hits AS (
+        SELECT n_probe, query_id, count(*) AS n_hits
+        FROM approx JOIN exact USING (query_id, nbr_id) GROUP BY 1, 2
+    )
+    SELECT n_probe, query_id,
+           coalesce(n_hits, 0) AS n_hits,
+           1000 * coalesce(n_hits, 0) // 3 AS recall_milli
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) qs
+    CROSS JOIN sweep
+    LEFT JOIN hits USING (n_probe, query_id)
+    """,
+)
+def ann_recall_ivf(spark, sf_dir):
+    """IVF recall@3 across an n_probe sweep (1, 2, 4) against exact
+    brute force — measures the probe-count/recall trade-off that
+    tunes a production IVF deployment (functions/similarity.py
+    ivf_topk + recall_eval)."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    q_ids = qs.select(F.col("vec_id").alias("query_id"))
+    exact = sim.brute_force_topk(emb, qs, k=3)
+    out = None
+    for np_ in (1, 2, 4):
+        approx = sim.ivf_topk(emb, qs, k=3, n_centroids=16, n_probe=np_)
+        rec = sim.recall_eval(exact, approx, k=3, queries=q_ids).select(
+            F.lit(np_).alias("n_probe"), "query_id", "n_hits", "recall_milli"
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out

@@ -125,6 +125,29 @@ def test_lsh_topk_close_to_exact(embeddings):
         assert cos >= exact_best[q] - 0.3
 
 
+def test_lsh_multiprobe_superset_and_plan(embeddings):
+    """Multi-probe candidates are a superset of single-probe (the base
+    bucket is always probed), recall is monotone, and the plan keeps
+    the scale shape: exactly one BroadcastExchange (the exploded query
+    side) and zero corpus shuffles."""
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    single = similarity.lsh_topk(embeddings, queries, k=3, n_planes=4)
+    multi = similarity.lsh_topk(embeddings, queries, k=3, n_planes=4, multi_probe=4)
+    exact = similarity.brute_force_topk(embeddings, queries, k=3)
+    q_ids = queries.select(F.col("vec_id").alias("query_id"))
+    r_single = {r.query_id: r.n_hits for r in
+                similarity.recall_eval(exact, single, 3, q_ids).collect()}
+    r_multi = {r.query_id: r.n_hits for r in
+               similarity.recall_eval(exact, multi, 3, q_ids).collect()}
+    assert all(r_multi[q] >= r_single[q] for q in r_single)
+
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") == 1
+    # the only shuffle is the final per-query top-k window on the
+    # narrow (query_id, nbr_id, cosine) tuples — never the corpus
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
 def test_multimodal_features(docs, spark):
     media = multimodal.make_media_frame(spark, docs.limit(20))
     feats = multimodal.extract_features(media)
