@@ -35,7 +35,9 @@ def _run(query):
 
 
 def _ts(minute, second=0):
-    return f"2026-01-01T10:{minute:02d}:{second:02d}Z"
+    # minutes past 59 roll into the hour (a "10:60:00" literal would
+    # silently parse to null and freeze the watermark)
+    return f"2026-01-01T{10 + minute // 60:02d}:{minute % 60:02d}:{second:02d}Z"
 
 
 ROWS = [
@@ -480,6 +482,174 @@ def test_kafka_to_opensearch_full_wire(spark, tmp_path):
         assert set(docs) == {0, 1, 2}
         assert docs[0]["value_x10"] == 0.0 and docs[2]["value_x10"] == 20.0
         assert docs[1]["value_x10"] is None  # error event: rule did not match
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_session_window_over_stream_join_evicts_state(spark, tmp_path):
+    """Two chained stateful operators in ONE query — stream-stream
+    interval join feeding a session_window agg — with both sides
+    watermarked so BOTH state stores evict: the shape that runs
+    indefinitely on a cluster. Sessions close as later micro-batches
+    advance the watermark, and the progress metrics prove state stays
+    bounded (rows removed > 0, totals ≪ rows seen)."""
+    from pyspark.sql import functions as F
+
+    def _files(name, files):
+        d = tmp_path / name
+        d.mkdir()
+        for i, rows in enumerate(files):
+            (d / f"p{i}.jsonl").write_text(
+                "\n".join(json.dumps(r) for r in rows) + "\n"
+            )
+        return str(d)
+
+    clicks = _files("clicks", [
+        [{"event_id": 20, "ts": _ts(5), "user_id": 1, "event_type": "click", "value": 1.0},
+         {"event_id": 21, "ts": _ts(6), "user_id": 1, "event_type": "click", "value": 1.0}],
+        [{"event_id": 22, "ts": _ts(50), "user_id": 1, "event_type": "click", "value": 1.0}],
+        [{"event_id": 23, "ts": _ts(80), "user_id": 2, "event_type": "click", "value": 1.0}],
+    ])
+    logins = _files("logins", [
+        [{"event_id": 10, "ts": _ts(0), "user_id": 1, "event_type": "login", "value": 0.0}],
+        [{"event_id": 11, "ts": _ts(48), "user_id": 1, "event_type": "login", "value": 0.0}],
+        [{"event_id": 12, "ts": _ts(79), "user_id": 2, "event_type": "login", "value": 0.0}],
+    ])
+    # maxFilesPerTrigger=1 → one file per micro-batch, so the
+    # watermark advances across batches and closes earlier sessions
+    left = (spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1)
+            .json(clicks).withWatermark("ts", "10 minutes"))
+    right = (spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1)
+             .json(logins)
+             .select(F.col("event_id").alias("login_id"),
+                     F.col("ts").alias("rts"), F.col("user_id").alias("ruid"))
+             .withWatermark("rts", "10 minutes"))
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("ruid"))
+        & (F.col("rts") <= F.col("ts"))
+        & (F.col("rts") >= F.col("ts") - F.expr("INTERVAL 10 minutes")),
+        "inner",
+    )
+    sess = (
+        joined.groupBy(F.session_window("ts", "15 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").cast("string").alias("session_start"),
+                F.col("win.end").cast("string").alias("session_end"),
+                "user_id", "n_events")
+    )
+    q = (sess.writeStream.format("memory").queryName("sess_join_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    _run(q)
+
+    rows = {tuple(r) for r in spark.sql(
+        "SELECT session_start, user_id, n_events FROM sess_join_out").collect()}
+    # u1's two joined clicks at 10:05/10:06 form one session closed by
+    # the 10:50 click's watermark; later sessions stay open at stop
+    assert ("2026-01-01 10:05:00", 1, 2) in rows
+
+    ops = [
+        (s["operatorName"], s["numRowsTotal"], s["numRowsRemoved"])
+        for p in q.recentProgress
+        for s in p.get("stateOperators", [])
+    ]
+    assert any(n > 0 for op, _, n in ops if "sessionWindow" in op)  # session evicted
+    assert any(n > 0 for op, _, n in ops if "symmetricHashJoin" in op)  # join evicted
+    # bounded: never holds anywhere near all 7 input rows per store
+    assert all(total <= 4 for op, total, _ in ops)
+
+
+def test_kafka_neardup_to_opensearch_wire_eviction(spark, tmp_path):
+    """Full wire with bounded state: fake-broker kafka docs ->
+    KafkaInput decode -> streaming near-dup suppression
+    (dropDuplicatesWithinWatermark on the MinHash signature) ->
+    foreachBatch OpenSearch bulk over real HTTP. Three runs on one
+    checkpoint: a duplicate inside the horizon is suppressed, the
+    watermark then evicts the old fingerprints, and the SAME text
+    re-posted after the horizon is admitted again — eviction proven
+    semantically and by state-store row counts."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from logprep_spark.sources import KafkaInput
+    from logprep_spark.sources.fake_kafka import FakeKafkaBroker
+    from logprep_spark.sources.outputs import OpensearchOutput
+    from logprep_spark.streaming import dedupe_near_stream
+
+    state, lock = {"docs": []}, threading.Lock()
+
+    class BulkHandler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            with lock:
+                state["docs"].extend(
+                    json.loads(d) for d in body.decode().splitlines()[1::2])
+            resp = b'{"errors": false, "items": []}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), BulkHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        broker = FakeKafkaBroker(str(tmp_path / "broker"))
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        other = "a completely different document body mentioning unrelated things"
+        fresh = "yet another body of text that shares nothing with the others"
+
+        def produce(doc_id, minute, text):
+            broker.produce("docs", json.dumps(
+                {"doc_id": doc_id, "ts": _ts(minute), "text": text}))
+
+        def run():
+            source = KafkaInput(
+                "fake:9092", "docs", schema="doc_id long, ts timestamp, text string",
+                kafka_config={"bootstrap.servers": "fake:9092"}, broker=broker,
+            ).read_stream(spark)
+            sink = OpensearchOutput(
+                index="docs-idx", hosts=[f"http://127.0.0.1:{srv.server_port}"])
+            q = sink.write_stream(
+                dedupe_near_stream(source, watermark="10 minutes"),
+                checkpoint=str(tmp_path / "ckpt"))
+            _run(q)
+            return q
+
+        # run 1: dup inside the horizon suppressed
+        produce(1, 0, base)
+        produce(2, 1, base)
+        produce(3, 2, other)
+        run()
+        ids = sorted(d["doc_id"] for d in state["docs"])
+        assert 3 in ids and len(ids) == 2 and ids[0] in (1, 2)
+
+        # run 2: t=60 advances the watermark far past run 1's docs
+        # (eviction itself lands at the END of the NEXT batch, which
+        # checks state against the batch-START watermark)
+        produce(4, 60, fresh)
+        run()
+        assert sorted(d["doc_id"] for d in state["docs"])[-1] == 4
+
+        # run 3: this batch starts with watermark 10:50, so run 1's
+        # fingerprints are evicted while doc 5 is admitted
+        produce(5, 62, "yet another fresh body to push one more batch through")
+        run()
+
+        # run 4: SAME text as doc 1, after the horizon — its old
+        # fingerprint is gone, so it is admitted again
+        produce(6, 63, base)
+        q4 = run()
+        assert sorted(d["doc_id"] for d in state["docs"])[-1] == 6
+
+        totals = [s["numRowsTotal"] for p in q4.recentProgress
+                  for s in p.get("stateOperators", [])]
+        # state holds only the fingerprints inside the horizon (docs
+        # 4, 5, 6), never all 5+ distinct signatures ever seen
+        assert totals and max(totals) <= 3
     finally:
         srv.shutdown()
         srv.server_close()
