@@ -27,6 +27,19 @@ fixed per-process cost (measured ~2s on tpch_q1 alone) that a
 long-lived cluster amortizes to zero, so it is warmed outside the
 measurement, standard JMH-style. The timed runs still do all IO and
 compute at the target SF.
+
+sf1 spot-run (r5): after the headline, the five heaviest text/dedup/
+ANN queries run once more at a 10x scale point so the "scales
+linearly" plan claims are a measured curve, not an assertion. The
+driver ships no sf1 parquet, so the 10x inputs are DERIVED from sf0.1
+(documents + embeddings only — the tables these five queries read)
+and cached at .benchdata/sf1: ten replicas, each with shifted ids, a
+replica-specific alphabet rotation on text (replicas are NOT
+near-duplicates of each other — workload characteristics like
+cluster-size and bucket-occupancy distributions are preserved rather
+than multiplied), and a cyclic rotation on embedding vectors (norm
+preserved). Emitted as ``sf1_spot`` in the same JSON line with its
+own per-query times; ``SPARK_GRAFT_SF1_SPOT=0`` disables.
 """
 
 from __future__ import annotations
@@ -59,6 +72,82 @@ HEADLINE = [
     "dedup_substring_spans",
     "text_repetition",
 ]
+
+
+SF1_SPOT = [
+    "dedup_minhash_lsh",
+    "text_tfidf",
+    "dedup_substring_spans",
+    "text_repetition",
+    "ann_topk_lsh",
+]
+
+_REPLICAS = 10
+_ID_STRIDE = 10_000_000
+
+
+def ensure_sf1(spark, base_dir: str = "/root/testdata/sf0.1") -> str:
+    """Build (once, cached) the derived 10x documents/embeddings set."""
+    from pyspark.sql import functions as F
+
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchdata", "sf1")
+    doc_path = os.path.join(out_dir, "documents.parquet")
+    emb_path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.isdir(doc_path) and os.path.isdir(emb_path):
+        return out_dir
+
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
+    reps = []
+    for i in range(_REPLICAS):
+        rot = alpha[i:] + alpha[:i]
+        text = (
+            F.col("text")
+            if i == 0
+            else F.translate(
+                "text", alpha + alpha.upper(), rot + rot.upper()
+            )
+        )
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * _ID_STRIDE)).alias("doc_id"),
+                text.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    union = reps[0]
+    for r in reps[1:]:
+        union = union.unionByName(r)
+    # 32 output files: sf0.1 arrives as ONE split, and a 10x single
+    # file would serialize every downstream scan on 1-2 cores — real
+    # 10x data has 10x the files, so spread the derived set too
+    union.repartition(32).write.mode("overwrite").parquet(doc_path)
+
+    emb = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    reps = []
+    for i in range(_REPLICAS):
+        vec = (
+            F.col("embedding")
+            if i == 0
+            else F.expr(
+                f"concat(slice(embedding, {i + 1}, size(embedding) - {i}),"
+                f" slice(embedding, 1, {i}))"
+            )
+        )
+        reps.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * _ID_STRIDE)).alias("vec_id"),
+                vec.alias("embedding"),
+                "label",
+            )
+        )
+    union = reps[0]
+    for r in reps[1:]:
+        union = union.unionByName(r)
+    union.repartition(32).write.mode("overwrite").parquet(emb_path)
+    return out_dir
 
 
 def main() -> None:
@@ -101,19 +190,36 @@ def main() -> None:
             lambda: qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         )
 
+    sf1_block = None
+    if os.environ.get("SPARK_GRAFT_SF1_SPOT", "1") != "0":
+        sf1_dir = ensure_sf1(spark)
+        # single timed run per query: the spot exists to expose
+        # super-linear scaling (10x data, ~10x expected time) — that
+        # signal dwarfs single-run noise, and median-of-3 on the heavy
+        # set would triple the bench's tail
+        sf1_timings = {}
+        for name in SF1_SPOT:
+            t0 = time.time()
+            qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
+            sf1_timings[name] = round(time.time() - t0, 3)
+        sf1_block = {
+            "queries": sf1_timings,
+            "total": round(sum(sf1_timings.values()), 3),
+            "rows_vs_headline": _REPLICAS,
+        }
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "calib_s": calib_s,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "calib_s": calib_s,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if sf1_block is not None:
+        out["sf1_spot"] = sf1_block
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

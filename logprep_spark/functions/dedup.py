@@ -676,3 +676,72 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_occurrences: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level duplicated-line removal (the CCNet / RefinedWeb
+    pre-dedup step: boilerplate lines — nav menus, cookie banners,
+    license headers — repeat across millions of pages and survive
+    whole-document MinHash because each HOST document differs). A
+    non-blank line whose exact text occurs >= ``min_occurrences``
+    times in the corpus is kept only at its first corpus occurrence
+    (lowest (doc_id, line_no)) and dropped everywhere else.
+
+    Returns one row per input document: (id, text [lines rejoined with
+    ``sep``], n_lines, n_removed). A document whose every line is
+    removed keeps an empty-string text.
+
+    Distributed shape: posexplode the split (narrow), then ONE shuffle
+    on the 128-bit line fingerprint — row_number and count over the
+    same window partition, so first-occurrence marking and the
+    occurrence count ride one exchange (the md5 keeps long boilerplate
+    lines from shuffling verbatim) — and one doc-keyed shuffle to
+    reassemble (array_sort over collected (line_no, line) structs;
+    per-doc state is bounded by document length). A hot line (the same
+    cookie banner a billion times) concentrates one window partition:
+    at that scale pre-aggregate counts per (hash, doc-bucket) first or
+    let AQE skew-split the exchange; the count itself is all the state
+    the window carries, so the partition never materializes the lines.
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_ln", "_line"),
+    )
+    # blank lines never participate in dedup (they'd all collapse to
+    # one global survivor); null hash rows pass through untouched
+    h = F.when(F.length(F.trim("_line")) > 0, F.md5("_line"))
+    by_line = Window.partitionBy("_h")
+    by_line_first = by_line.orderBy(id_col, "_ln")
+    marked = (
+        lines.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(by_line_first))
+        .withColumn("_cnt", F.count("_h").over(by_line))
+        .withColumn(
+            "_keep",
+            F.col("_h").isNull()
+            | (F.col("_cnt") < min_occurrences)
+            | (F.col("_rn") == 1),
+        )
+    )
+    kept_struct = F.when(F.col("_keep"), F.struct("_ln", "_line"))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["_line"]
+                ),
+                sep,
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("_keep"), 0).otherwise(1)).alias("n_removed"),
+        )
+    )

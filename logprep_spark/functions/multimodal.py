@@ -439,11 +439,17 @@ def image_feature(payload: bytes, dim: int = 8) -> list[float]:
     h, w = pix.shape[:2]
     means = pix.reshape(-1, 3).mean(axis=0) / 255.0
     stds = pix.reshape(-1, 3).std(axis=0) / 255.0
-    return [
+    base = [
         float(means[0]), float(means[1]), float(means[2]),
         float(stds[0]), float(stds[1]), float(stds[2]),
         float(w / h), float(np.log1p(h * w) / 20.0),
     ]
+    # Honor dim on the real path too (the fake fallback already does),
+    # so one DataFrame never mixes vector lengths: truncate past dim,
+    # zero-pad beyond the 8 native stats.
+    if dim <= len(base):
+        return base[:dim]
+    return base + [0.0] * (dim - len(base))
 
 
 def extract_features(df: DataFrame, batch_decoder=None) -> DataFrame:

@@ -292,3 +292,75 @@ def tfidf_topk(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "df_count", "score_milli", "rnk")
     )
+
+
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document Gopher quality-filter signals (Rae et al. 2021,
+    "Scaling Language Models", Appendix A1.1 — the rule set most
+    pretraining pipelines start from). One row per doc with each
+    rule's measured value (milli-integer ratios so the oracle hash is
+    float-free) and pass flag, plus the overall conjunction.
+
+    Rules: 50 <= word count <= 100k; mean word length in [3, 10];
+    symbol-to-word ratio ('#' or '...') <= 0.1; <= 90% of lines
+    bullet-started and <= 30% ellipsis-ended; >= 80% of words contain
+    an alphabetic character; >= 2 of the 8 required English stop
+    words present.
+
+    Entirely narrow Catalyst expressions over one scan — no shuffle,
+    no UDF; at 100 TB this is a map stage fused into whatever filter
+    or dedup consumes it.
+    """
+    col = F.col(text_col)
+    toks = tokens(col)
+    n = F.size(toks)
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    lines = F.split(col, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    milli = lambda num: F.round(1000.0 * num).cast("long")  # noqa: E731
+
+    mean_word = milli(F.length(F.regexp_replace(col, r"\s+", "")) / nd)
+    alpha_words = milli(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / nd
+    )
+    symbol = milli(
+        (F.regexp_count(col, F.lit("#")) + F.regexp_count(col, F.lit(r"\.\.\."))) / nd
+    )
+    bullet = milli(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*([-*•])"))) / n_lines
+    )
+    ellipsis = milli(
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(F.lower(col))),
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+        )
+    )
+
+    out = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        mean_word.alias("mean_word_len_milli"),
+        symbol.alias("symbol_ratio_milli"),
+        bullet.alias("bullet_lines_milli"),
+        ellipsis.alias("ellipsis_lines_milli"),
+        alpha_words.alias("alpha_words_milli"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    return out.select(
+        "*",
+        (
+            F.col("n_words").between(50, 100_000)
+            & F.col("mean_word_len_milli").between(3000, 10_000)
+            & (F.col("symbol_ratio_milli") <= 100)
+            & (F.col("bullet_lines_milli") <= 900)
+            & (F.col("ellipsis_lines_milli") <= 300)
+            & (F.col("alpha_words_milli") >= 800)
+            & (F.col("stop_hits") >= 2)
+        ).alias("gopher_pass"),
+    )

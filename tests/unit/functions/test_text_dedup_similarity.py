@@ -533,3 +533,70 @@ def test_recall_eval(spark):
             similarity.recall_eval(exact, approx, k=3, queries=qs).collect()}
     assert (rows[0].n_hits, rows[0].recall_milli) == (2, 666)
     assert (rows[1].n_hits, rows[1].recall_milli) == (0, 0)
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    """'menu' repeats across (and within) docs: only its first corpus
+    occurrence (doc 1 line 0) survives; unique and blank lines pass
+    through; all-duplicate docs collapse to empty text."""
+    df = spark.createDataFrame(
+        [
+            (1, "menu\nunique one\nmenu"),
+            (2, "menu\nunique two\n\nends here"),
+            (3, "menu"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup.line_dedup(df).collect()}
+    assert rows[1].text == "menu\nunique one"
+    assert (rows[1].n_lines, rows[1].n_removed) == (3, 1)
+    # blank line kept verbatim, never deduplicated
+    assert rows[2].text == "unique two\n\nends here"
+    assert (rows[2].n_lines, rows[2].n_removed) == (4, 1)
+    assert rows[3].text == ""
+    assert (rows[3].n_lines, rows[3].n_removed) == (1, 1)
+
+
+def test_line_dedup_min_occurrences_threshold(spark):
+    """min_occurrences=3 leaves a twice-occurring line untouched."""
+    df = spark.createDataFrame(
+        [(1, "dup\nkeep a"), (2, "dup\nkeep b")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in dedup.line_dedup(df, min_occurrences=3).collect()}
+    assert rows[1].text == "dup\nkeep a"
+    assert rows[2].text == "dup\nkeep b"
+    assert rows[2].n_removed == 0
+
+
+def test_gopher_rules_known_values(spark):
+    """Hand-checked doc against every Gopher A1.1 rule."""
+    good = " ".join(
+        ["the quick brown fox jumps over lazy dogs and cats that have fun with toys"] * 5
+    )  # 75 words, all alphabetic, 5 required stop words
+    bad = "# # # ..."  # symbols only, 4 words, no alpha
+    df = spark.createDataFrame([(1, good), (2, bad)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in text.gopher_rules(df).collect()}
+    g = rows[1]
+    assert g.n_words == 75
+    assert g.alpha_words_milli == 1000
+    assert g.symbol_ratio_milli == 0
+    assert g.stop_hits == 5  # the, and, that, have, with
+    assert 3000 <= g.mean_word_len_milli <= 10000
+    assert bool(g.gopher_pass) is True
+    b = rows[2]
+    assert b.n_words == 4
+    assert b.alpha_words_milli == 0
+    # 3 '#' + 1 '...' over 4 words -> 1000 milli
+    assert b.symbol_ratio_milli == 1000
+    assert bool(b.gopher_pass) is False
+
+
+def test_gopher_rules_line_shape_rules(spark):
+    """Bullet-started and ellipsis-ended line ratios trip their rules."""
+    bullets = "\n".join(["- item one here"] * 9 + ["a normal line"])
+    dots = "\n".join(["trailing thought..."] * 4 + ["plain line one", "plain line two"])
+    df = spark.createDataFrame([(1, bullets), (2, dots)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in text.gopher_rules(df).collect()}
+    assert rows[1].bullet_lines_milli == 900   # 9/10 -> at the limit, passes
+    assert rows[2].ellipsis_lines_milli == 667  # 4/6 -> fails the 300 cap
+    assert bool(rows[2].gopher_pass) is False
