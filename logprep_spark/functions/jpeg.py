@@ -8,21 +8,25 @@ quantization, zigzag + DPCM/RLE, canonical Huffman coding with 0xFF
 byte-stuffing. This module implements both directions with numpy for
 the transforms and plain Python for the bit streams:
 
-- :func:`decode_jpeg`: baseline, 8-bit, grayscale or YCbCr with NO
-  chroma subsampling (4:4:4 — what :func:`encode_jpeg` emits) or any
-  single-component scan. Progressive, subsampled, arithmetic-coded
-  and restart-marker streams raise rather than mis-decode.
-- :func:`encode_jpeg`: 4:4:4 YCbCr, Annex K quantization tables
-  scaled by the IJG quality curve, Annex K Huffman tables.
+- :func:`decode_jpeg`: baseline sequential, 8-bit, grayscale or
+  interleaved YCbCr at ANY integer sampling-factor combination
+  (4:4:4, 4:2:0, 4:2:2, 4:4:0, ...; nearest-neighbor chroma
+  upsampling), with DRI/RSTn restart-marker support. Progressive,
+  arithmetic-coded and non-interleaved multi-scan streams raise
+  rather than mis-decode.
+- :func:`encode_jpeg`: 4:4:4 or 4:2:0 YCbCr (2x2-mean chroma
+  downsample), optional restart intervals, Annex K quantization
+  tables scaled by the IJG quality curve, Annex K Huffman tables.
 
 Correctness posture, stated plainly: the Huffman/quant tables are the
 spec's Annex K defaults and the codec round-trips itself (uniform
 blocks closed-form-exact, gradients to high PSNR — see
-tests/unit/test_codec_properties.py), but no external JPEG corpus
-exists in-sandbox to cross-validate byte streams produced by other
-encoders. Subsampled real-world files therefore raise loudly instead
-of risking silent mis-decode; inject a full decoder where fidelity to
-arbitrary external JPEGs matters. Per-block Python loops make this a
+tests/unit/test_codec_properties.py, incl. 4:2:0 and restart-marker
+round-trips), but no external JPEG corpus exists in-sandbox to
+cross-validate byte streams produced by other encoders. Unsupported
+frame types therefore raise loudly instead of risking silent
+mis-decode; inject a full decoder where fidelity to arbitrary
+external JPEGs matters. Per-block Python loops make this a
 correctness/portability codec, not a throughput one — at 100 TB you
 inject libjpeg-turbo behind the same bytes -> (H, W, 3) contract.
 """
@@ -192,6 +196,27 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker (T.81 E.2.4): drop the
+        pad bits of the current byte, skip any stuffed/fill bytes the
+        1-padding may have produced, then expect 0xFFD0-0xFFD7."""
+        self._n = 0
+        while self.pos + 1 < len(self.buf) and self.buf[self.pos] == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2  # stuffed pad byte
+            elif nxt == 0xFF:
+                self.pos += 1  # fill byte
+            else:
+                break
+        if (
+            self.pos + 1 >= len(self.buf)
+            or self.buf[self.pos] != 0xFF
+            or not (0xD0 <= self.buf[self.pos + 1] <= 0xD7)
+        ):
+            raise JpegError("expected restart marker")
+        self.pos += 2
+
 
 def _extend(v: int, size: int) -> int:
     """T.81 F.12: map the magnitude bits to a signed value."""
@@ -211,11 +236,21 @@ def _magnitude(v: int) -> tuple[int, int]:
 # --- encoder ----------------------------------------------------------
 
 
-def encode_jpeg(pixels, quality: int = 85) -> bytes:
-    """(H, W, 3) uint8 RGB -> baseline 4:4:4 JPEG bytes."""
+def encode_jpeg(
+    pixels, quality: int = 85, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
+    """(H, W, 3) uint8 RGB -> baseline JPEG bytes.
+
+    ``subsampling``: "444" (every component full resolution, 3 blocks
+    per MCU) or "420" (chroma halved both ways by 2x2 mean, MCUs of
+    4 Y + Cb + Cr blocks — the common camera/web layout). With
+    ``restart_interval`` > 0 a DRI segment is emitted and an RSTn
+    marker resets the DC predictors every that-many MCUs."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise JpegError("encode_jpeg expects (H, W, 3) RGB")
+    if subsampling not in ("444", "420"):
+        raise JpegError("subsampling must be '444' or '420'")
     h, w = arr.shape[:2]
     r = arr[:, :, 0].astype(np.float64)
     g = arr[:, :, 1].astype(np.float64)
@@ -232,51 +267,83 @@ def encode_jpeg(pixels, quality: int = 85) -> bytes:
     dc_chrom_enc, _ = _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)
     ac_chrom_enc, _ = _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS)
 
-    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    sampling = [(2, 2), (1, 1), (1, 1)] if subsampling == "420" else [(1, 1)] * 3
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def pad_to(p: np.ndarray, th: int, tw: int) -> np.ndarray:
+        sh, sw = p.shape
+        pp = np.empty((th, tw))
+        pp[:sh, :sw] = p
+        pp[sh:, :sw] = p[sh - 1 : sh, :]  # edge replicate
+        pp[:, sw:] = pp[:, sw - 1 : sw]
+        return pp - 128.0
+
     padded = []
-    for p in planes:
-        pp = np.empty((ph, pw))
-        pp[:h, :w] = p
-        pp[h:, :w] = p[h - 1 : h, :]  # edge replicate
-        pp[:, w:] = pp[:, w - 1 : w]
-        padded.append(pp - 128.0)
+    for ci, ((sh_, sv), p) in enumerate(zip(sampling, planes)):
+        if (sh_, sv) != (hmax, vmax):  # downsample chroma by block mean
+            fy, fx = vmax // sv, hmax // sh_
+            ph0 = (p.shape[0] + fy - 1) // fy * fy
+            pw0 = (p.shape[1] + fx - 1) // fx * fx
+            pe = np.empty((ph0, pw0))
+            pe[: p.shape[0], : p.shape[1]] = p
+            pe[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+            pe[:, p.shape[1] :] = pe[:, p.shape[1] - 1 : p.shape[1]]
+            p = pe.reshape(ph0 // fy, fy, pw0 // fx, fx).mean(axis=(1, 3))
+        padded.append(pad_to(p, mcy * sv * 8, mcx * sh_ * 8))
 
     writer = _BitWriter()
     prev_dc = [0, 0, 0]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci in range(3):
-                q = q_lum if ci == 0 else q_chrom
-                dc_enc = dc_lum_enc if ci == 0 else dc_chrom_enc
-                ac_enc = ac_lum_enc if ci == 0 else ac_chrom_enc
-                block = padded[ci][by : by + 8, bx : bx + 8]
-                coef = _C @ block @ _C.T
-                quant = np.round(coef / q).astype(np.int32).reshape(64)[ZIGZAG]
-                diff = int(quant[0]) - prev_dc[ci]
-                prev_dc[ci] = int(quant[0])
-                size, bits = _magnitude(diff)
-                code, length = dc_enc[size]
+
+    def encode_block(ci: int, block: np.ndarray) -> None:
+        q = q_lum if ci == 0 else q_chrom
+        dc_enc = dc_lum_enc if ci == 0 else dc_chrom_enc
+        ac_enc = ac_lum_enc if ci == 0 else ac_chrom_enc
+        coef = _C @ block @ _C.T
+        quant = np.round(coef / q).astype(np.int32).reshape(64)[ZIGZAG]
+        diff = int(quant[0]) - prev_dc[ci]
+        prev_dc[ci] = int(quant[0])
+        size, bits = _magnitude(diff)
+        code, length = dc_enc[size]
+        writer.write(code, length)
+        if size:
+            writer.write(bits, size)
+        run = 0
+        for k in range(1, 64):
+            v = int(quant[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_enc[0xF0]  # ZRL
                 writer.write(code, length)
-                if size:
-                    writer.write(bits, size)
-                run = 0
-                for k in range(1, 64):
-                    v = int(quant[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_enc[0xF0]  # ZRL
-                        writer.write(code, length)
-                        run -= 16
-                    size, bits = _magnitude(v)
-                    code, length = ac_enc[(run << 4) | size]
-                    writer.write(code, length)
-                    writer.write(bits, size)
-                    run = 0
-                if run:
-                    code, length = ac_enc[0x00]  # EOB
-                    writer.write(code, length)
+                run -= 16
+            size, bits = _magnitude(v)
+            code, length = ac_enc[(run << 4) | size]
+            writer.write(code, length)
+            writer.write(bits, size)
+            run = 0
+        if run:
+            code, length = ac_enc[0x00]  # EOB
+            writer.write(code, length)
+
+    mcu = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.flush()
+                # raw marker bytes — never byte-stuffed
+                writer.out += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
+                prev_dc[:] = [0, 0, 0]  # T.81 E.2.4: predictors reset
+            for ci, (sh_, sv) in enumerate(sampling):
+                for byi in range(sv):
+                    for bxi in range(sh_):
+                        by = (my * sv + byi) * 8
+                        bx = (mx * sh_ + bxi) * 8
+                        encode_block(ci, padded[ci][by : by + 8, bx : bx + 8])
+            mcu += 1
     writer.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -291,11 +358,19 @@ def encode_jpeg(pixels, quality: int = 85) -> bytes:
     sof = seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),  # 4:4:4
+        + bytes(
+            [
+                1, sampling[0][0] << 4 | sampling[0][1], 0,
+                2, sampling[1][0] << 4 | sampling[1][1], 1,
+                3, sampling[2][0] << 4 | sampling[2][1], 1,
+            ]
+        ),
     )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8"
+        + dri
         + dqt(0, q_lum)
         + dqt(1, q_chrom)
         + sof
@@ -321,6 +396,7 @@ def decode_jpeg(payload: bytes):
     htables: dict[tuple[int, int], dict] = {}
     frame = None
     scan = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}")
@@ -359,15 +435,13 @@ def decode_jpeg(payload: bytes):
             for c in range(nc):
                 cid, hv, tq = body[6 + c * 3 : 9 + c * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            if any(c["h"] != 1 or c["v"] != 1 for c in comps):
-                raise JpegError(
-                    "chroma-subsampled JPEG unsupported (4:4:4 / grayscale only)"
-                )
+            if any(not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4) for c in comps):
+                raise JpegError("sampling factors out of range")
             frame = {"h": fh, "w": fw, "comps": comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise JpegError(f"non-baseline frame type 0xFF{marker:02X} unsupported")
-        elif marker == 0xDD:
-            raise JpegError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = body[0]
             scan = []
@@ -393,49 +467,82 @@ def decode_jpeg(payload: bytes):
                 return dec[(length, code)]
         raise JpegError("invalid Huffman code")
 
-    ph, pw = (h + 7) & ~7, (w + 7) & ~7
-    planes = [np.zeros((ph, pw)) for _ in comps]
+    # MCU geometry (T.81 A.2.3): interleaved scans pack h_i x v_i
+    # blocks per component per MCU; each component's plane lives at its
+    # own resolution and is upsampled after decode.
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+        raise JpegError("non-integer sampling ratios unsupported")
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcy * c["v"] * 8, mcx * c["h"] * 8)) for c in comps]
     prev_dc = [0] * len(comps)
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for si, sc in enumerate(scan):
+
+    def decode_block(sc, comp, ci) -> np.ndarray:
+        dc_dec = htables.get((0, sc["td"]))
+        ac_dec = htables.get((1, sc["ta"]))
+        if dc_dec is None or ac_dec is None:
+            raise JpegError("missing Huffman table")
+        quant = np.zeros(64, np.int32)
+        size = huff_decode(dc_dec)
+        diff = _extend(reader.receive(size), size)
+        prev_dc[ci] += diff
+        quant[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            rs = huff_decode(ac_dec)
+            run, size = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise JpegError("AC run past block end")
+            quant[k] = _extend(reader.receive(size), size)
+            k += 1
+        q = qtables.get(comp["tq"])
+        if q is None:
+            raise JpegError("missing quant table")
+        coef = np.zeros(64)
+        coef[ZIGZAG] = quant
+        return _C.T @ (coef.reshape(8, 8) * q) @ _C + 128.0
+
+    mcu = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.restart()
+                prev_dc = [0] * len(comps)
+            for sc in scan:
                 comp = by_id[sc["cs"]]
                 ci = comps.index(comp)
-                dc_dec = htables.get((0, sc["td"]))
-                ac_dec = htables.get((1, sc["ta"]))
-                if dc_dec is None or ac_dec is None:
-                    raise JpegError("missing Huffman table")
-                quant = np.zeros(64, np.int32)
-                size = huff_decode(dc_dec)
-                diff = _extend(reader.receive(size), size)
-                prev_dc[ci] += diff
-                quant[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    rs = huff_decode(ac_dec)
-                    run, size = rs >> 4, rs & 0xF
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise JpegError("AC run past block end")
-                    quant[k] = _extend(reader.receive(size), size)
-                    k += 1
-                q = qtables.get(comp["tq"])
-                if q is None:
-                    raise JpegError("missing quant table")
-                coef = np.zeros(64)
-                coef[ZIGZAG] = quant
-                block = _C.T @ (coef.reshape(8, 8) * q) @ _C
-                planes[ci][by : by + 8, bx : bx + 8] = block + 128.0
+                for byi in range(comp["v"]):
+                    for bxi in range(comp["h"]):
+                        by = (my * comp["v"] + byi) * 8
+                        bx = (mx * comp["h"] + bxi) * 8
+                        planes[ci][by : by + 8, bx : bx + 8] = decode_block(
+                            sc, comp, ci
+                        )
+            mcu += 1
+
+    # nearest-neighbor chroma upsampling to full resolution, then crop
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1:
+            p = np.repeat(p, fy, axis=0)
+        if fx > 1:
+            p = np.repeat(p, fx, axis=1)
+        full.append(p[:h, :w])
 
     if len(comps) == 1:
-        y = np.clip(planes[0][:h, :w], 0, 255)
+        y = np.clip(full[0], 0, 255)
         return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
-    y, cb, cr = (p[:h, :w] for p in planes)
+    y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)

@@ -133,3 +133,64 @@ def test_jpeg_flows_through_decode_image_and_resize(spark):
     )
     out = {r.media_id: r for r in multimodal.resize_images(media, 24, 24).collect()}
     assert multimodal.decode_image(bytes(out[1].payload)).shape == (24, 24, 3)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    q=st.integers(min_value=75, max_value=98),
+    rst=st.integers(min_value=0, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_420_roundtrip_psnr(h, w, q, rst, seed):
+    """4:2:0 round-trip at any dimension (odd sizes exercise the
+    MCU-edge padding in both directions) with and without restart
+    intervals: shape/dtype exact always; smooth content clears a PSNR
+    floor despite the chroma downsample."""
+    from logprep_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    noise = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(noise, quality=q, subsampling="420",
+                                  restart_interval=rst))
+    assert out.shape == noise.shape and out.dtype == np.uint8
+
+    smooth = np.repeat(np.repeat(
+        rng.randint(0, 256, size=(max(1, h // 8), max(1, w // 8), 3), dtype=np.uint8),
+        16, axis=0), 16, axis=1)[:h, :w]
+    out = decode_jpeg(encode_jpeg(smooth, quality=q, subsampling="420",
+                                  restart_interval=rst))
+    mse = np.mean((out.astype(float) - smooth.astype(float)) ** 2)
+    if mse > 0:
+        psnr = 10 * np.log10(255**2 / mse)
+        assert psnr > 24.0, (psnr, q, rst)
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    """RSTn only re-segments the entropy stream (predictors reset,
+    byte-aligned): decoded pixels must be IDENTICAL to the
+    unsegmented encoding of the same image."""
+    from logprep_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    for ss in ("444", "420"):
+        base = decode_jpeg(encode_jpeg(img, 85, subsampling=ss))
+        for rst in (1, 2, 5):
+            seg = decode_jpeg(encode_jpeg(img, 85, subsampling=ss,
+                                          restart_interval=rst))
+            assert np.array_equal(base, seg), (ss, rst)
+        # DRI segment is actually present in the stream
+        blob = encode_jpeg(img, 85, subsampling=ss, restart_interval=2)
+        assert b"\xff\xdd" in blob and b"\xff\xd0" in blob
+
+
+def test_jpeg_420_uniform_near_exact():
+    """Uniform color survives 4:2:0 within 1 LSB: the 2x2 chroma mean
+    of a constant is the constant, so subsampling must cost nothing."""
+    from logprep_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((24, 40, 3), [90, 180, 40], dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsampling="420"))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
