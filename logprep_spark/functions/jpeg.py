@@ -8,15 +8,20 @@ quantization, zigzag + DPCM/RLE, canonical Huffman coding with 0xFF
 byte-stuffing. This module implements both directions with numpy for
 the transforms and plain Python for the bit streams:
 
-- :func:`decode_jpeg`: baseline sequential, 8-bit, grayscale or
-  interleaved YCbCr at ANY integer sampling-factor combination
-  (4:4:4, 4:2:0, 4:2:2, 4:4:0, ...; nearest-neighbor chroma
-  upsampling), with DRI/RSTn restart-marker support. Progressive,
-  arithmetic-coded and non-interleaved multi-scan streams raise
-  rather than mis-decode.
+- :func:`decode_jpeg`: baseline sequential (SOF0) AND progressive
+  (SOF2, T.81 Annex G: spectral selection, successive approximation,
+  EOB runs, DC/AC refinement), 8-bit, grayscale or interleaved YCbCr
+  at ANY integer sampling-factor combination (4:4:4, 4:2:0, 4:2:2,
+  4:4:0, ...; nearest-neighbor chroma upsampling), with DRI/RSTn
+  restart-marker support. Arithmetic-coded, hierarchical, and
+  lossless frames raise rather than mis-decode.
 - :func:`encode_jpeg`: 4:4:4 or 4:2:0 YCbCr (2x2-mean chroma
   downsample), optional restart intervals, Annex K quantization
   tables scaled by the IJG quality curve, Annex K Huffman tables.
+- :func:`encode_jpeg_progressive`: the common DC-first +
+  spectral-band + refinement scan ladder, giving the tests
+  self-generated progressive fixtures exercising every Annex G
+  decode path.
 
 Correctness posture, stated plainly: the Huffman/quant tables are the
 spec's Annex K defaults and the codec round-trips itself (uniform
@@ -397,10 +402,14 @@ def decode_jpeg(payload: bytes):
     frame = None
     scan = None
     restart_interval = 0
+    progressive = False
+    prog_state: dict = {}
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}")
         marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -427,7 +436,8 @@ def decode_jpeg(payload: bytes):
                 _, dec = _canonical_codes(bits, vals)
                 htables[(cls, tid)] = dec
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise JpegError("only 8-bit precision supported")
@@ -438,7 +448,7 @@ def decode_jpeg(payload: bytes):
             if any(not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4) for c in comps):
                 raise JpegError("sampling factors out of range")
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise JpegError(f"non-baseline frame type 0xFF{marker:02X} unsupported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -448,25 +458,20 @@ def decode_jpeg(payload: bytes):
             for s in range(ns):
                 cs, tt = body[1 + s * 2 : 3 + s * 2]
                 scan.append({"cs": cs, "td": tt >> 4, "ta": tt & 0xF})
-            break
+            if not progressive:
+                break
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            pos = _progressive_scan(
+                payload, pos, frame, scan, ss, se, a >> 4, a & 0xF,
+                qtables, htables, restart_interval, prog_state,
+            )
         # APPn/COM and others: skipped
     if frame is None or scan is None:
         raise JpegError("missing SOF/SOS")
 
     h, w = frame["h"], frame["w"]
     comps = frame["comps"]
-    by_id = {c["id"]: c for c in comps}
-    reader = _BitReader(payload, pos)
-
-    def huff_decode(dec: dict) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | reader.read_bit()
-            length += 1
-            if (length, code) in dec:
-                return dec[(length, code)]
-        raise JpegError("invalid Huffman code")
-
     # MCU geometry (T.81 A.2.3): interleaved scans pack h_i x v_i
     # blocks per component per MCU; each component's plane lives at its
     # own resolution and is upsampled after decode.
@@ -476,6 +481,52 @@ def decode_jpeg(payload: bytes):
         raise JpegError("non-integer sampling ratios unsupported")
     mcx = (w + 8 * hmax - 1) // (8 * hmax)
     mcy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    if progressive:
+        planes = _progressive_idct(comps, qtables, prog_state)
+    else:
+        planes = _baseline_entropy_decode(
+            payload, pos, comps, scan, qtables, htables,
+            restart_interval, mcx, mcy,
+        )
+
+    # nearest-neighbor chroma upsampling to full resolution, then crop
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1:
+            p = np.repeat(p, fy, axis=0)
+        if fx > 1:
+            p = np.repeat(p, fx, axis=1)
+        full.append(p[:h, :w])
+
+    if len(comps) == 1:
+        y = np.clip(full[0], 0, 255)
+        return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+
+
+def _huff_decode(reader: _BitReader, dec: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        if (length, code) in dec:
+            return dec[(length, code)]
+    raise JpegError("invalid Huffman code")
+
+
+def _baseline_entropy_decode(
+    payload, pos, comps, scan, qtables, htables, restart_interval, mcx, mcy
+):
+    """Single-scan sequential entropy decode -> per-component planes."""
+    by_id = {c["id"]: c for c in comps}
+    reader = _BitReader(payload, pos)
     planes = [np.zeros((mcy * c["v"] * 8, mcx * c["h"] * 8)) for c in comps]
     prev_dc = [0] * len(comps)
 
@@ -485,13 +536,13 @@ def decode_jpeg(payload: bytes):
         if dc_dec is None or ac_dec is None:
             raise JpegError("missing Huffman table")
         quant = np.zeros(64, np.int32)
-        size = huff_decode(dc_dec)
+        size = _huff_decode(reader, dc_dec)
         diff = _extend(reader.receive(size), size)
         prev_dc[ci] += diff
         quant[0] = prev_dc[ci]
         k = 1
         while k < 64:
-            rs = huff_decode(ac_dec)
+            rs = _huff_decode(reader, ac_dec)
             run, size = rs >> 4, rs & 0xF
             if rs == 0x00:  # EOB
                 break
@@ -527,23 +578,467 @@ def decode_jpeg(payload: bytes):
                             sc, comp, ci
                         )
             mcu += 1
+    return planes
 
-    # nearest-neighbor chroma upsampling to full resolution, then crop
-    full = []
+
+def _progressive_scan(
+    payload, pos, frame, scan, ss, se, ah, al,
+    qtables, htables, restart_interval, state,
+):
+    """Decode ONE progressive scan's entropy data (T.81 Annex G) into
+    the cross-scan coefficient store; returns the stream position of
+    the next marker. DC scans may be interleaved; AC scans cover one
+    component's own block raster (spec G.1: ns must be 1 when Ss>0).
+    EOB runs and successive-approximation refinement follow G.1.2.2-3.
+    """
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    if "store" not in state:
+        state["store"] = [
+            np.zeros((mcy * c["v"], mcx * c["h"], 64), np.int64) for c in comps
+        ]
+    store = state["store"]
+    reader = _BitReader(payload, pos)
+    ns = len(scan)
+    if ss > 0 and ns != 1:
+        raise JpegError("progressive AC scan must be single-component")
+    if ss == 0 and se != 0:
+        # G.1: a DC scan has Se=0; Ss=0/Se=63 is a sequential scan
+        # header mislabeled progressive — refuse, don't mis-decode
+        raise JpegError("bad progressive spectral selection")
+    if not (se < 64 and ss <= se and ah <= 13 and al <= 13):
+        raise JpegError("bad progressive scan parameters")
+
+    if ns > 1:
+        n_mcu_y, n_mcu_x = mcy, mcx
+
+        def mcu_units(my, mx):
+            for sc in scan:
+                comp = by_id[sc["cs"]]
+                ci = comps.index(comp)
+                for byi in range(comp["v"]):
+                    for bxi in range(comp["h"]):
+                        yield sc, ci, my * comp["v"] + byi, mx * comp["h"] + bxi
+
+    else:
+        sc0 = scan[0]
+        comp0 = by_id[sc0["cs"]]
+        ci0 = comps.index(comp0)
+        cw = -(-(w * comp0["h"]) // hmax)
+        ch = -(-(h * comp0["v"]) // vmax)
+        n_mcu_x = -(-cw // 8)
+        n_mcu_y = -(-ch // 8)
+
+        def mcu_units(my, mx):
+            yield sc0, ci0, my, mx
+
+    dc_pred = [0] * len(comps)
+    eobrun = 0
+
+    def ac_first(co, ac_dec):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(reader, ac_dec)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                break
+            k += r
+            if k > se:
+                raise JpegError("AC run past band end")
+            co[k] = _extend(reader.receive(s), s) * (1 << al)
+            k += 1
+
+    def ac_refine(co, ac_dec):
+        # T.81 G.1.2.3: refine known coefficients by one bit while
+        # inserting newly-nonzero ones; runs count zero-HISTORY
+        # positions only, correction bits ride along for the rest.
+        nonlocal eobrun
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_decode(reader, ac_dec)
+                r, s = rs >> 4, rs & 0xF
+                s_val = 0
+                if s == 0:
+                    if r != 15:  # EOBn
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history positions
+                elif s == 1:
+                    s_val = p1 if reader.read_bit() else m1
+                else:
+                    raise JpegError("bad refinement code")
+                while k <= se:
+                    if co[k]:
+                        if reader.read_bit() and (co[k] & p1) == 0:
+                            co[k] += p1 if co[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s and k <= se:
+                    co[k] = s_val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if co[k]:
+                    if reader.read_bit() and (co[k] & p1) == 0:
+                        co[k] += p1 if co[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    mcu = 0
+    for my in range(n_mcu_y):
+        for mx in range(n_mcu_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.restart()
+                dc_pred = [0] * len(comps)
+                eobrun = 0
+            for sc, ci, bby, bbx in mcu_units(my, mx):
+                co = store[ci][bby, bbx]
+                if ss == 0:
+                    if ah == 0:
+                        dc_dec = htables.get((0, sc["td"]))
+                        if dc_dec is None:
+                            raise JpegError("missing Huffman table")
+                        size = _huff_decode(reader, dc_dec)
+                        diff = _extend(reader.receive(size), size)
+                        dc_pred[ci] += diff
+                        co[0] = dc_pred[ci] << al
+                    elif reader.read_bit():
+                        co[0] |= 1 << al
+                else:
+                    ac_dec = htables.get((1, sc["ta"]))
+                    if ac_dec is None:
+                        raise JpegError("missing Huffman table")
+                    if ah == 0:
+                        ac_first(co, ac_dec)
+                    else:
+                        ac_refine(co, ac_dec)
+            mcu += 1
+
+    # advance past pad bits / trailing restart markers to next marker
+    p = reader.pos
+    while p + 1 < len(payload):
+        if (
+            payload[p] == 0xFF
+            and payload[p + 1] != 0x00
+            and not (0xD0 <= payload[p + 1] <= 0xD7)
+        ):
+            break
+        p += 1
+    return p
+
+
+def _progressive_idct(comps, qtables, state):
+    """Dequantize + IDCT the accumulated coefficient store, whole
+    planes at a time (vectorized einsum — one matmul pair per
+    component instead of per block)."""
+    if "store" not in state:
+        raise JpegError("progressive frame with no scans")
+    planes = []
     for ci, c in enumerate(comps):
-        p = planes[ci]
-        fy, fx = vmax // c["v"], hmax // c["h"]
-        if fy > 1:
-            p = np.repeat(p, fy, axis=0)
-        if fx > 1:
-            p = np.repeat(p, fx, axis=1)
-        full.append(p[:h, :w])
+        st = state["store"][ci]
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise JpegError("missing quant table")
+        nby, nbx = st.shape[:2]
+        nat = np.zeros((nby, nbx, 64))
+        nat[:, :, ZIGZAG] = st
+        nat = nat.reshape(nby, nbx, 8, 8) * q[None, None]
+        blocks = np.einsum("ij,abjk,kl->abil", _C.T, nat, _C) + 128.0
+        planes.append(blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
+    return planes
 
-    if len(comps) == 1:
-        y = np.clip(full[0], 0, 255)
-        return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
-    y, cb, cr = full
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+
+# --- progressive encoder ----------------------------------------------
+
+# Progressive scans emit EOBn symbols (r<<4, r up to 14) that the
+# sequential Annex K tables have no codes for, so the progressive
+# encoder ships its own flat canonical tables: every possible symbol
+# at a fixed code length (valid: the all-ones code is never assigned).
+_PROG_DC_BITS = [0, 0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_DC_VALS = list(range(16))
+_PROG_AC_VALS = [r << 4 for r in range(15)] + [0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 14)
+]
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_VALS)] + [0] * 8
+
+
+def encode_jpeg_progressive(
+    pixels, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """(H, W, 3) uint8 RGB -> progressive (SOF2) JPEG bytes.
+
+    Scan script (the common spectral-selection + successive-
+    approximation ladder): interleaved DC at Al=1, per-component AC
+    bands 1-5 and 6-63 at Al=1, per-component AC refinement to Al=0,
+    interleaved DC refinement — so a decoder must exercise EOB runs,
+    band logic, and both refinement paths to reproduce the pixels.
+    """
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise JpegError("encode_jpeg_progressive expects (H, W, 3) RGB")
+    if subsampling not in ("444", "420"):
+        raise JpegError("subsampling must be '444' or '420'")
+    h, w = arr.shape[:2]
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    q_lum = _quality_scale(QUANT_LUM, quality)
+    q_chrom = _quality_scale(QUANT_CHROM, quality)
+    sampling = [(2, 2), (1, 1), (1, 1)] if subsampling == "420" else [(1, 1)] * 3
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # quantized zigzag coefficient stores, one (nby, nbx, 64) per comp
+    stores = []
+    for ci, ((sh_, sv), p) in enumerate(zip(sampling, planes)):
+        if (sh_, sv) != (hmax, vmax):
+            fy, fx = vmax // sv, hmax // sh_
+            ph0 = (p.shape[0] + fy - 1) // fy * fy
+            pw0 = (p.shape[1] + fx - 1) // fx * fx
+            pe = np.empty((ph0, pw0))
+            pe[: p.shape[0], : p.shape[1]] = p
+            pe[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+            pe[:, p.shape[1] :] = pe[:, p.shape[1] - 1 : p.shape[1]]
+            p = pe.reshape(ph0 // fy, fy, pw0 // fx, fx).mean(axis=(1, 3))
+        th, tw = mcy * sv * 8, mcx * sh_ * 8
+        pp = np.empty((th, tw))
+        sh0, sw0 = p.shape
+        pp[:sh0, :sw0] = p
+        pp[sh0:, :sw0] = p[sh0 - 1 : sh0, :]
+        pp[:, sw0:] = pp[:, sw0 - 1 : sw0]
+        pp -= 128.0
+        nby, nbx = th // 8, tw // 8
+        blocks = pp.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        coefs = np.einsum("ij,abjk,kl->abil", _C, blocks, _C.T)
+        q = q_lum if ci == 0 else q_chrom
+        quant = np.round(coefs / q).astype(np.int64).reshape(nby, nbx, 64)
+        stores.append(quant[:, :, ZIGZAG])
+
+    dc_enc, _ = _canonical_codes(_PROG_DC_BITS, _PROG_DC_VALS)
+    ac_enc, _ = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def comp_raster(ci):
+        sh_, sv = sampling[ci]
+        cw = -(-(w * sh_) // hmax)
+        ch = -(-(h * sv) // vmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield by, bx
+
+    def dc_scan(ah, al) -> bytes:
+        wr = _BitWriter()
+        pred = [0, 0, 0]
+        for my in range(mcy):
+            for mx in range(mcx):
+                for ci, (sh_, sv) in enumerate(sampling):
+                    for byi in range(sv):
+                        for bxi in range(sh_):
+                            v = int(stores[ci][my * sv + byi, mx * sh_ + bxi, 0])
+                            if ah == 0:
+                                vt = v >> al
+                                diff = vt - pred[ci]
+                                pred[ci] = vt
+                                size, bits = _magnitude(diff)
+                                code, ln = dc_enc[size]
+                                wr.write(code, ln)
+                                if size:
+                                    wr.write(bits, size)
+                            else:
+                                wr.write((v >> al) & 1, 1)
+        wr.flush()
+        return bytes(wr.out)
+
+    def ac_first_scan(ci, ss, se, al) -> bytes:
+        wr = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                code, ln = ac_enc[n << 4]
+                wr.write(code, ln)
+                if n:
+                    wr.write(eobrun - (1 << n), n)
+                eobrun = 0
+
+        for by, bx in comp_raster(ci):
+            band = stores[ci][by, bx, ss : se + 1]
+            tvals = [
+                (abs(int(v)) >> al) * (1 if v >= 0 else -1) for v in band
+            ]
+            nz = [i for i, v in enumerate(tvals) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for i in range(nz[-1] + 1):
+                v = tvals[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_enc[0xF0]
+                    wr.write(code, ln)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, ln = ac_enc[(run << 4) | size]
+                wr.write(code, ln)
+                wr.write(bits, size)
+                run = 0
+            if nz[-1] < len(tvals) - 1:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        wr.flush()
+        return bytes(wr.out)
+
+    def ac_refine_scan(ci, ss, se, ah, al) -> bytes:
+        # T.81 G.1.2.3 encoder side: zero-HISTORY runs emit codes;
+        # previously-nonzero positions ride as buffered correction
+        # bits. TWO buffers, not one: bits bound to a pending EOB run
+        # (accumulated at block ends) flush right after the EOBn code,
+        # while the CURRENT block's bits flush after the current
+        # ZRL / run-size symbol — the decoder consumes the former
+        # during the EOB-run tail of earlier blocks and the latter
+        # during this symbol's coefficient advance, so merging the
+        # buffers desyncs the stream at block boundaries.
+        wr = _BitWriter()
+        eobrun = 0
+        run_bits: list[int] = []  # bound to the pending EOB run
+        cur: list[int] = []  # this block, since the last symbol
+
+        def flush_cur():
+            for bit in cur:
+                wr.write(bit, 1)
+            cur.clear()
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                code, ln = ac_enc[n << 4]
+                wr.write(code, ln)
+                if n:
+                    wr.write(eobrun - (1 << n), n)
+                eobrun = 0
+                for bit in run_bits:
+                    wr.write(bit, 1)
+                run_bits.clear()
+
+        for by, bx in comp_raster(ci):
+            band = [int(v) for v in stores[ci][by, bx, ss : se + 1]]
+            absv = [abs(v) >> al for v in band]
+            eobpos = -1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eobpos = i
+            run = 0
+            for i, t in enumerate(absv):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= eobpos:
+                    flush_eob()
+                    code, ln = ac_enc[0xF0]
+                    wr.write(code, ln)
+                    run -= 16
+                    flush_cur()
+                if t > 1:
+                    cur.append(absv[i] & 1)
+                    continue
+                flush_eob()
+                code, ln = ac_enc[(run << 4) | 1]
+                wr.write(code, ln)
+                wr.write(1 if band[i] >= 0 else 0, 1)
+                flush_cur()
+                run = 0
+            if run > 0 or cur:
+                eobrun += 1
+                run_bits.extend(cur)
+                cur.clear()
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        wr.flush()
+        return bytes(wr.out)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        return seg(
+            0xFFDB, bytes([tid]) + bytes(int(x) for x in table.reshape(64)[ZIGZAG])
+        )
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xFFC4, bytes([cls << 4 | tid]) + bytes(bits[1:17]) + bytes(vals))
+
+    def sos(comp_ids, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])  # td=0, ta=0 (shared tables)
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, body)
+
+    sof = seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes(
+            [
+                1, sampling[0][0] << 4 | sampling[0][1], 0,
+                2, sampling[1][0] << 4 | sampling[1][1], 1,
+                3, sampling[2][0] << 4 | sampling[2][1], 1,
+            ]
+        ),
+    )
+    out = (
+        b"\xff\xd8"
+        + dqt(0, q_lum)
+        + dqt(1, q_chrom)
+        + sof
+        + dht(0, 0, _PROG_DC_BITS, _PROG_DC_VALS)
+        + dht(1, 0, _PROG_AC_BITS, _PROG_AC_VALS)
+    )
+    out += sos([1, 2, 3], 0, 0, 0, 1) + dc_scan(0, 1)
+    for ci, cid in enumerate((1, 2, 3)):
+        out += sos([cid], 1, 5, 0, 1) + ac_first_scan(ci, 1, 5, 1)
+    for ci, cid in enumerate((1, 2, 3)):
+        out += sos([cid], 6, 63, 0, 1) + ac_first_scan(ci, 6, 63, 1)
+    for ci, cid in enumerate((1, 2, 3)):
+        out += sos([cid], 1, 63, 1, 0) + ac_refine_scan(ci, 1, 63, 1, 0)
+    out += sos([1, 2, 3], 0, 0, 1, 0) + dc_scan(1, 0)
+    return out + b"\xff\xd9"

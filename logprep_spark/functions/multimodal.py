@@ -2,10 +2,11 @@
 columns with typed metadata.
 
 IMAGE decode is REAL for PPM (P6), 24-bit BMP, PNG (pure-Python
-zlib-inflate + filter reconstruction, :func:`decode_png`) and
-baseline 4:4:4/grayscale JPEG (functions/jpeg.py — pure-Python T.81
-with the Annex K tables; subsampled/progressive raise, see its
-posture note). Video codec kernels are STUBS — no container format
+zlib-inflate + filter reconstruction, :func:`decode_png`) and JPEG —
+baseline at any integer subsampling AND progressive (SOF2), with
+restart markers (functions/jpeg.py — pure-Python T.81, Annex K/G;
+arithmetic/hierarchical raise, see its posture note). Video codec
+kernels are STUBS — no container format
 ships here. The AUDIO path is REAL for PCM WAV: stdlib
 ``wave`` + numpy decode (:func:`decode_wav`), DSP feature extraction
 (:func:`audio_features` — RMS/peak/zero-crossing/spectral centroid),
@@ -217,9 +218,11 @@ def decode_image(payload: bytes):
     """Decode an image payload to an (H, W, 3) uint8 RGB numpy array.
     REAL for binary PPM (P6), 24-bit BMP (header + raw pixels), PNG
     (:func:`decode_png` — stdlib zlib inflate + filter reconstruction)
-    and baseline 4:4:4/grayscale JPEG (functions/jpeg.py — pure-Python
-    T.81). Subsampled/progressive JPEG raises (see jpeg.py posture);
-    inject a full decoder where arbitrary external JPEGs matter."""
+    and JPEG, baseline at any integer subsampling and progressive
+    SOF2 incl. restart markers (functions/jpeg.py — pure-Python T.81
+    Annex K/G). Arithmetic-coded/hierarchical JPEG raises (see
+    jpeg.py posture); inject a full decoder where arbitrary external
+    JPEGs matter."""
     import numpy as np
 
     if payload[:8] == _PNG_SIG:

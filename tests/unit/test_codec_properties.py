@@ -113,8 +113,13 @@ def test_jpeg_closed_form_and_guards():
         decode_jpeg(b"\x89PNG not a jpeg")
     blob = bytearray(encode_jpeg(grad))
     sof_at = bytes(blob).find(b"\xff\xc0")
-    blob[sof_at + 1] = 0xC2  # rewrite frame marker to progressive
+    blob[sof_at + 1] = 0xC9  # rewrite frame marker to arithmetic-coded
     with _pytest.raises(JpegError, match="non-baseline"):
+        decode_jpeg(bytes(blob))
+    # a sequential scan mislabeled progressive (Ss=0, Se=63) must be
+    # refused, not mis-decoded as a DC scan
+    blob[sof_at + 1] = 0xC2
+    with _pytest.raises(JpegError, match="spectral"):
         decode_jpeg(bytes(blob))
 
 
@@ -194,3 +199,64 @@ def test_jpeg_420_uniform_near_exact():
     img = np.full((24, 40, 3), [90, 180, 40], dtype=np.uint8)
     out = decode_jpeg(encode_jpeg(img, quality=95, subsampling="420"))
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    h=st.integers(min_value=4, max_value=48),
+    w=st.integers(min_value=4, max_value=48),
+    q=st.integers(min_value=70, max_value=95),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+    ss=st.sampled_from(["444", "420"]),
+)
+def test_jpeg_progressive_matches_baseline(h, w, q, seed, ss):
+    """The progressive scan ladder transmits every coefficient bit the
+    sequential scan does, and both share the quantization path — so a
+    progressive decode must be BIT-IDENTICAL to decoding the baseline
+    encoding of the same image. This pins every Annex G path (EOB
+    runs, spectral bands, DC and AC successive-approximation
+    refinement) to the already-validated sequential decoder."""
+    from logprep_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(seed)
+    for img in (
+        rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8),  # dense coefs
+        np.repeat(np.repeat(  # smooth: long EOB runs, eobrun > 1
+            rng.randint(0, 256, size=(max(1, h // 8), max(1, w // 8), 3),
+                        dtype=np.uint8), 16, axis=0), 16, axis=1)[:h, :w],
+    ):
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=ss))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=q, subsampling=ss))
+        assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_stream_shape():
+    """The emitted stream really is progressive: SOF2 frame, multiple
+    SOS scans; and a truncated-after-first-scans decode still raises
+    cleanly rather than returning garbage."""
+    from logprep_spark.functions.jpeg import (
+        JpegError,
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+    import pytest as _pytest
+
+    img = np.full((16, 16, 3), [200, 30, 90], dtype=np.uint8)
+    blob = encode_jpeg_progressive(img, 90)
+    assert b"\xff\xc2" in blob
+    assert blob.count(b"\xff\xda") == 11  # 2 DC + 9 AC scans
+    out = decode_jpeg(blob)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+    # truncation inside a scan's entropy data raises, never returns
+    # garbage (noise image -> the DC scan alone spans many bytes;
+    # SOS header is 14 bytes, so +16 lands 2 bytes into entropy)
+    noisy = encode_jpeg_progressive(
+        np.random.RandomState(3).randint(0, 256, (32, 32, 3)).astype(np.uint8), 90
+    )
+    cut = noisy.find(b"\xff\xda") + 16
+    with _pytest.raises(JpegError, match="truncated"):
+        decode_jpeg(noisy[:cut])
