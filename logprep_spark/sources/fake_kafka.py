@@ -47,6 +47,10 @@ class FakeKafkaBroker:
         os.makedirs(path, exist_ok=True)
         return path
 
+    def topics(self) -> set[str]:
+        """Topics that have received at least one produce()."""
+        return {t for t, _ in self._next_offset}
+
     def produce(
         self,
         topic: str,

@@ -427,6 +427,15 @@ class KafkaInput(Input):
         if self.broker is not None:
             from logprep_spark.sources.fake_kafka import KAFKA_WIRE_SCHEMA
 
+            # a real broker rejects a subscribe to an unknown topic;
+            # without this check a typo'd topic name yields a silently
+            # empty stream (the file source needs the first produce()
+            # to have happened before the stream starts anyway)
+            if self.topic not in self.broker.topics():
+                raise ValueError(
+                    f"unknown topic {self.topic!r}: produce() to it before "
+                    f"starting the stream (known: {sorted(self.broker.topics())})"
+                )
             raw = (
                 spark.readStream.schema(KAFKA_WIRE_SCHEMA)
                 .json(self.broker.topic_dir(self.topic))

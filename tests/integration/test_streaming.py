@@ -497,12 +497,20 @@ def test_session_window_over_stream_join_evicts_state(spark, tmp_path):
     from pyspark.sql import functions as F
 
     def _files(name, files):
+        import os as _os
+        import time as _time
+
         d = tmp_path / name
         d.mkdir()
+        base = _time.time() - 3600
         for i, rows in enumerate(files):
-            (d / f"p{i}.jsonl").write_text(
-                "\n".join(json.dumps(r) for r in rows) + "\n"
-            )
+            p = d / f"p{i}.jsonl"
+            p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+            # FileStreamSource orders by mtime; identical timestamps
+            # make the per-batch file pick nondeterministic, and the
+            # watermark progression (hence which sessions close before
+            # stop) depends on that order — pin it
+            _os.utime(p, (base + i, base + i))
         return str(d)
 
     clicks = _files("clicks", [
@@ -556,8 +564,11 @@ def test_session_window_over_stream_join_evicts_state(spark, tmp_path):
     ]
     assert any(n > 0 for op, _, n in ops if "sessionWindow" in op)  # session evicted
     assert any(n > 0 for op, _, n in ops if "symmetricHashJoin" in op)  # join evicted
-    # bounded: never holds anywhere near all 7 input rows per store
-    assert all(total <= 4 for op, total, _ in ops)
+    # bounded: the join store peaks at 5 (3 clicks + 2 logins inside
+    # the watermark horizon at batch 1, before eviction kicks in) and
+    # never holds all 7 input rows; the session store never exceeds 2
+    assert all(total <= 5 for op, total, _ in ops)
+    assert all(total <= 2 for op, total, _ in ops if "sessionWindow" in op)
 
 
 def test_kafka_neardup_to_opensearch_wire_eviction(spark, tmp_path):
@@ -653,3 +664,18 @@ def test_kafka_neardup_to_opensearch_wire_eviction(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_kafka_unknown_topic_rejected(spark, tmp_path):
+    """A typo'd topic fails fast like a real broker's unknown-topic
+    error instead of yielding a silently empty stream."""
+    from logprep_spark.sources.fake_kafka import FakeKafkaBroker
+    from logprep_spark.sources.inputs import KafkaInput
+
+    broker = FakeKafkaBroker(str(tmp_path / "broker"))
+    broker.produce("events", '{"a": 1}')
+    inp = KafkaInput(
+        topic="evnets", bootstrap_servers="fake:9092", broker=broker
+    )
+    with pytest.raises(ValueError, match="unknown topic 'evnets'"):
+        inp.read_stream(spark)
