@@ -1,0 +1,54 @@
+"""Deterministic corpus sampling (training-data pipelines).
+
+`randomSplit`/`sample` are seed- and partitioning-dependent: the same
+document can land in different samples across runs, engines, or
+repartitions — poison for reproducible dataset builds. Everything
+here keys decisions off a hash of the document id instead, so any
+engine that can compute md5 reproduces the sample bit-for-bit (the
+DuckDB oracles do exactly that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logprep_spark.functions.dedup import h60
+
+
+def hash_bucket(id_col: Column, buckets: int = 1000, salt: str = "sample") -> Column:
+    """Stable bucket in [0, buckets) from a salted id hash. The salt
+    decorrelates independent sampling decisions on the same corpus
+    (a doc's split-bucket says nothing about its sample-bucket)."""
+    return h60(F.concat(F.lit(salt + ":"), id_col.cast("string"))) % buckets
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic downsampling — the standard
+    data-mixing move (e.g. cap the dominant language, keep all of the
+    rare ones). ``fractions`` maps stratum value -> keep fraction in
+    [0, 1]; missing strata are DROPPED (explicit mixing beats silent
+    passthrough). Milli-resolution: fraction 0.1234 rounds to 123.
+
+    Entirely narrow: the per-row decision is a hash compare against a
+    literal CASE map — no shuffle, no sampling state, and the filter
+    composes with pushdown. At 100 TB this costs one map stage fused
+    into the scan."""
+    bucket = hash_bucket(F.col(id_col), 1000, salt)
+    threshold = None
+    for value, frac in sorted(fractions.items()):
+        milli = int(round(1000 * frac))
+        cond = F.col(strata_col) == value
+        threshold = (
+            F.when(cond, F.lit(milli))
+            if threshold is None
+            else threshold.when(cond, F.lit(milli))
+        )
+    threshold = threshold.otherwise(F.lit(0)) if threshold is not None else F.lit(0)
+    return df.filter(bucket < threshold)

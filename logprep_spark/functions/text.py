@@ -364,3 +364,48 @@ def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
             & (F.col("stop_hits") >= 2)
         ).alias("gopher_pass"),
     )
+
+
+# --- URL canonicalization ---------------------------------------------
+
+# tracking parameters dropped during canonicalization (the usual
+# analytics/click-id noise that splinters one logical URL into many)
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|msclkid|ref|mc_eid)="
+
+
+def url_canonicalize(col: Column) -> Column:
+    """Canonical form of an absolute URL for web-corpus dedup: URLs
+    differing only in scheme/host case, default port, `www.` prefix,
+    tracking parameters, query-parameter order, trailing path slashes
+    or fragment collapse to one string (RFC 3986 §6 normalizations
+    plus the tracking-param and www conventions crawl pipelines add).
+    Paths stay case-sensitive per the RFC. Non-URLs (no scheme) yield
+    NULL. Pure Catalyst regex/array expressions — zero shuffle, zero
+    UDF; replicated verbatim in the DuckDB oracle."""
+    scheme = F.lower(F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    authority = F.lower(
+        F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(authority, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(authority, ":443$", ""))
+        .otherwise(authority)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(col, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qcanon = F.array_join(F.array_sort(params), "&")
+    built = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
+    )
+    return F.when(scheme != "", built)

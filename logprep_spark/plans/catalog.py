@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logprep_spark.functions import dedup as dd
+from logprep_spark.functions import sampling as smp
 from logprep_spark.functions import similarity as sim
 from logprep_spark.functions import text as tx
 from logprep_spark.operators import (
@@ -106,7 +107,8 @@ _PRIORITY = [
     "text_pii", "text_surprisal", "text_tfidf", "window_topk_orders",
     # --- r5 first-time rows: new queries this round ---
     "proc_geoip_v6", "ann_recall_ivf", "ann_recall_lsh_multiprobe",
-    "text_gopher", "dedup_lines",
+    "text_gopher", "dedup_lines", "text_url_canonical",
+    "split_stratified_sample",
     # --- anchor: r4's one red row, oracle typing fixed this round ---
     "text_repetition",
     # --- anchors: §2.5 analytics core (q3/q5 r4-green, family held
@@ -114,11 +116,11 @@ _PRIORITY = [
     "tpch_q1", "tpch_q6", "sessionize_events",
     # --- anchors: §2.1 filter DSL ---
     "filter_lucene_bool",
-    # --- anchors: §2.4 LLM-training-data ops (text family held
-    # in-window by text_gopher/text_tfidf/text_repetition) ---
-    "dedup_exact", "dedup_minhash_lsh", "ann_topk_lsh",
-    # --- anchors: framework surface + flagship composition ---
-    "pipeline_training_data", "source_preprocessors",
+    # --- anchors: §2.4 LLM-training-data ops (dedup/text families
+    # also held in-window by the first-time rows above) ---
+    "dedup_minhash_lsh", "ann_topk_lsh",
+    # --- anchor: flagship composition ---
+    "pipeline_training_data",
 ]
 
 
@@ -2023,6 +2025,122 @@ def dedup_lines(spark, sf_dir):
     )
     synth = docs.select("doc_id", F.array_join(lines_arr, "\n").alias("text"))
     return dd.line_dedup(synth).select("doc_id", "text", "n_lines", "n_removed")
+
+
+_SQL_URL_QCANON = (
+    "array_to_string(list_sort(list_filter(string_split(query0, '&'), "
+    "p -> p <> '' AND NOT regexp_matches(p, "
+    "'^(utm_[a-z]+|gclid|fbclid|msclkid|ref|mc_eid)='))), '&')"
+)
+
+@register(
+    "text_url_canonical",
+    """
+    WITH u AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END ||
+         '://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+         'Site' || (doc_id % 7)::VARCHAR || '.example.com' ||
+         CASE WHEN doc_id % 3 = 0 THEN ':443'
+              WHEN doc_id % 3 = 1 THEN ':80' ELSE ':8080' END ||
+         '/Path/p' || (doc_id % 5)::VARCHAR ||
+         CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+         '?utm_source=feed&z=9&a=' || (doc_id % 3)::VARCHAR ||
+         CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END) AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS authority,
+        regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        regexp_extract(url, '\\?([^#]*)', 1) AS query0
+      FROM u
+    ), canon AS (
+      SELECT doc_id, url,
+        scheme || '://' ||
+        regexp_replace(
+          CASE WHEN scheme = 'http' THEN regexp_replace(authority, ':80$', '')
+               WHEN scheme = 'https' THEN regexp_replace(authority, ':443$', '')
+               ELSE authority END, '^www\\.', '') ||
+        CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+             ELSE regexp_replace(path0, '/+$', '') END ||
+        CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END AS url_canonical
+      FROM parts
+    )
+    SELECT doc_id, url, url_canonical,
+           CAST(count(*) OVER (PARTITION BY url_canonical) AS BIGINT)
+               AS n_same_canonical
+    FROM canon
+    """.replace("{q}", _SQL_URL_QCANON),
+)
+def text_url_canonical(spark, sf_dir):
+    """URL canonicalization for web-corpus dedup (functions/text.py
+    url_canonicalize — RFC 3986 normalizations + tracking-param/www
+    stripping). No URL column ships in the testdata, so both engines
+    synthesize one per doc from doc_id with every normalization
+    branch represented (mixed-case scheme/host, www, default and
+    explicit ports, trailing slashes, utm params, unsorted query,
+    fragments), then count docs per canonical form."""
+    from pyspark.sql import Window
+
+    docs = tables(spark, sf_dir)["documents"]
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), (d % 7).cast("string"), F.lit(".example.com"),
+        F.when(d % 3 == 0, F.lit(":443"))
+        .when(d % 3 == 1, F.lit(":80"))
+        .otherwise(F.lit(":8080")),
+        F.lit("/Path/p"), (d % 5).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&z=9&a="), (d % 3).cast("string"),
+        F.when(d % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    out = docs.select("doc_id", url.alias("url")).withColumn(
+        "url_canonical", tx.url_canonicalize(F.col("url"))
+    )
+    return out.withColumn(
+        "n_same_canonical",
+        F.count(F.lit(1)).over(Window.partitionBy("url_canonical")).cast("long"),
+    )
+
+
+@register(
+    "split_stratified_sample",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             {_sql_h60("'strat:' || doc_id::VARCHAR")} % 1000 AS bucket
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 1000
+                             WHEN 'fr' THEN 500 WHEN 'es' THEN 750
+                             ELSE 0 END
+    GROUP BY lang
+    """,
+)
+def split_stratified_sample(spark, sf_dir):
+    """Deterministic stratified downsampling (functions/sampling.py
+    stratified_sample): cap the dominant language at 25%, keep all
+    German, half the French, three quarters of the Spanish, drop
+    unlisted strata (zh) — the data-mixing move of a training
+    pipeline, reproducible on any engine via the salted id hash."""
+    docs = tables(spark, sf_dir)["documents"]
+    sampled = smp.stratified_sample(
+        docs, {"en": 0.25, "de": 1.0, "fr": 0.5, "es": 0.75}, strata_col="lang"
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
 
 
 def _sql_pos_windows(k: int, where: str) -> str:

@@ -600,3 +600,47 @@ def test_gopher_rules_line_shape_rules(spark):
     assert rows[1].bullet_lines_milli == 900   # 9/10 -> at the limit, passes
     assert rows[2].ellipsis_lines_milli == 667  # 4/6 -> fails the 300 cap
     assert bool(rows[2].gopher_pass) is False
+
+
+def test_url_canonicalize_known_cases(spark):
+    """Every normalization branch hand-checked, non-URLs -> NULL."""
+    cases = [
+        (1, "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag"),
+        (2, "http://example.com:80/a/b"),
+        (3, "https://example.com"),
+        (4, "http://Example.com:8080/Case/Path?z=1"),
+        (5, "not a url at all"),
+        (6, "https://example.com/a/b?a=1&b=2"),
+    ]
+    from logprep_spark.functions.text import url_canonicalize
+
+    df = spark.createDataFrame(cases, "id long, url string")
+    rows = {r.id: r.c for r in df.select("id", url_canonicalize(F.col("url")).alias("c")).collect()}
+    assert rows[1] == "https://example.com/a/b?a=1&b=2"
+    assert rows[2] == "http://example.com/a/b"
+    assert rows[3] == "https://example.com/"
+    # explicit non-default port and path case survive
+    assert rows[4] == "http://example.com:8080/Case/Path?z=1"
+    assert rows[5] is None
+    # 1 and 6 collapse to the same canonical form
+    assert rows[1] == rows[6]
+
+
+def test_stratified_sample_deterministic_and_proportional(docs, spark):
+    """Same rows on every run; per-stratum rates track the requested
+    fractions; unlisted strata are dropped."""
+    from logprep_spark.functions.sampling import stratified_sample
+
+    fr = {"en": 0.2, "de": 1.0, "fr": 0.5}
+    a = {r.doc_id for r in stratified_sample(docs, fr).select("doc_id").collect()}
+    b = {r.doc_id for r in
+         stratified_sample(docs.repartition(7), fr).select("doc_id").collect()}
+    assert a == b and a  # partitioning-independent, non-empty
+    totals = {r.lang: r.n for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = {r.lang: r.n for r in
+            stratified_sample(docs, fr).groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(kept) == {"en", "de", "fr"}  # es/zh dropped
+    assert kept["de"] == totals["de"]       # fraction 1.0 keeps all
+    assert 0.05 <= kept["en"] / totals["en"] <= 0.4  # ~0.2 at small n
