@@ -36,3 +36,72 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
         .otherwise(F.round(F.lit(float(k - 1)) * F.lit(_H_MAX) / F.col("kth"), 2))
         .alias("distinct_estimate")
     )
+
+
+def heavy_hitters(df: DataFrame, item_col: str, min_frac: float = 0.01) -> DataFrame:
+    """Items with frequency share > ``min_frac`` of all rows, with
+    EXACT counts — hot-key / hot-term detection (the precursor to
+    salting a skewed join or pruning stop-words) at cardinalities
+    where a full groupBy would blow the shuffle.
+
+    Two phases. (1) Candidate discovery: per-partition Misra-Gries
+    with ceil(1/min_frac) counters via Arrow-batched ``mapInPandas``
+    — bounded memory per partition regardless of cardinality, emits
+    each partition's surviving items. Guarantee (pigeonhole over
+    partitions): an item with global count > n*min_frac must exceed
+    the per-partition threshold somewhere, and MG never drops an item
+    above its partition threshold — so the candidate union is a
+    SUPERSET of every true heavy hitter. (2) Exact verify: semi-join
+    the rows to the (tiny, broadcast) distinct candidate set, groupBy
+    count — partial agg over |candidates| keys only — and filter by
+    the exact global threshold (total row count rides a broadcast
+    1-row frame, no driver action).
+
+    The candidate set depends on arrival order inside partitions; the
+    RESULT does not — false candidates die at the exact threshold,
+    and true heavy hitters are always candidates. Hence oracle-able:
+    identical to plain ``GROUP BY ... HAVING count > n*min_frac``.
+    """
+    import math
+    from typing import Iterator
+
+    import pandas as pd
+
+    k = max(2, math.ceil(1.0 / min_frac))
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for batch in batches:
+            for item in batch[item_col]:
+                if item is None:
+                    continue
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k - 1:
+                    counters[item] = 1
+                else:  # decrement-all step
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({item_col: list(counters.keys())})
+
+    candidates = (
+        df.select(item_col).mapInPandas(mg, schema=f"{item_col} string").distinct()
+    )
+    total = df.agg(F.count(item_col).alias("_total"))
+    return (
+        df.join(F.broadcast(candidates), item_col)
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") > F.col("_total") * min_frac)
+        .select(
+            item_col,
+            "n",
+            F.expr("1000 * n div _total").alias("milli_share"),
+        )
+    )

@@ -404,3 +404,28 @@ def range_join(
         .filter(F.col(val_col).between(F.col(lo_col), F.col(hi_col)))
         .drop("_bin")
     )
+
+
+def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a fact-dim join —
+    the promo-revenue share of one ship month. The month filter pushes
+    to the lineitem scan; part is the broadcast side (dim), so the
+    fact never shuffles; the CASE sits inside the partial agg (both
+    numerator and denominator combine map-side to one row)."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    ).join(
+        broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue_pct"),
+        F.round(F.sum(rev), 2).alias("total_revenue"),
+    )

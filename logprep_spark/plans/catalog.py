@@ -108,16 +108,15 @@ _PRIORITY = [
     # --- r5 first-time rows: new queries this round ---
     "proc_geoip_v6", "ann_recall_ivf", "ann_recall_lsh_multiprobe",
     "text_gopher", "dedup_lines", "text_url_canonical",
-    "split_stratified_sample",
+    "split_stratified_sample", "sketch_heavy_hitters", "tpch_q14",
     # --- anchor: r4's one red row, oracle typing fixed this round ---
     "text_repetition",
-    # --- anchors: §2.5 analytics core (q3/q5 r4-green, family held
-    # by q1/q6 + sessionize) ---
-    "tpch_q1", "tpch_q6", "sessionize_events",
-    # --- anchors: §2.1 filter DSL ---
-    "filter_lucene_bool",
-    # --- anchors: §2.4 LLM-training-data ops (dedup/text families
-    # also held in-window by the first-time rows above) ---
+    # --- anchors: §2.5 analytics core (q3/q5/q6 r4-green; q6's
+    # pushdown also plan-guarded in pytest) ---
+    "tpch_q1", "sessionize_events",
+    # --- anchors: §2.4 LLM-training-data ops (filter DSL held
+    # in-window by the rotated sigma/wildcard/regex/range rows;
+    # dedup/text families by the first-time rows above) ---
     "dedup_minhash_lsh", "ann_topk_lsh",
     # --- anchor: flagship composition ---
     "pipeline_training_data",
@@ -219,6 +218,28 @@ def tpch_q5(spark, sf_dir):
 )
 def tpch_q6(spark, sf_dir):
     return an.q6_forecast_revenue(tables(spark, sf_dir)["lineitem"])
+
+
+@register(
+    "tpch_q14",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4)
+               AS promo_revenue_pct,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (plans/analytics.py q14_promo_revenue): conditional
+    agg over a broadcast fact-dim join, month filter pushed to scan."""
+    t = tables(spark, sf_dir)
+    return an.q14_promo_revenue(t["lineitem"], t["part"])
 
 
 @register(
@@ -2141,6 +2162,33 @@ def split_stratified_sample(spark, sf_dir):
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@register(
+    "sketch_heavy_hitters",
+    f"""
+    WITH toks AS (
+        SELECT unnest({_sql_words("lower(text)")}) AS tok FROM documents
+    ), tot AS (SELECT count(*) AS total FROM toks)
+    SELECT tok, CAST(count(*) AS BIGINT) AS n,
+           CAST(1000 * count(*) // any_value(total) AS BIGINT) AS milli_share
+    FROM toks, tot
+    GROUP BY tok
+    HAVING count(*) > any_value(total) * 0.02
+    """,
+)
+def sketch_heavy_hitters(spark, sf_dir):
+    """Hot-item detection (functions/sketch.py heavy_hitters):
+    per-partition Misra-Gries candidate discovery in bounded memory +
+    exact verification of the (superset) candidate set — the result
+    is deterministic and identical to a plain GROUP BY ... HAVING,
+    which is exactly what the oracle runs. Items are the lowercased
+    corpus tokens; threshold 2% of the token stream."""
+    from logprep_spark.functions.sketch import heavy_hitters
+
+    docs = tables(spark, sf_dir)["documents"]
+    items = docs.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("tok"))
+    return heavy_hitters(items, "tok", min_frac=0.02)
 
 
 def _sql_pos_windows(k: int, where: str) -> str:

@@ -644,3 +644,21 @@ def test_stratified_sample_deterministic_and_proportional(docs, spark):
     assert set(kept) == {"en", "de", "fr"}  # es/zh dropped
     assert kept["de"] == totals["de"]       # fraction 1.0 keeps all
     assert 0.05 <= kept["en"] / totals["en"] <= 0.4  # ~0.2 at small n
+
+
+def test_heavy_hitters_exact_and_bounded(spark):
+    """The MG candidate phase may keep extras but never loses a true
+    heavy hitter, and the exact-verify phase makes the result equal a
+    plain GROUP BY ... HAVING — checked against one computed here.
+    Skewed input: 'hot' 40%, 'warm' 12%, long tail of singletons."""
+    from logprep_spark.functions.sketch import heavy_hitters
+
+    rows = [("hot",)] * 200 + [("warm",)] * 60 + [(f"cold{i}",) for i in range(240)]
+    df = spark.createDataFrame(rows, "tok string").repartition(8)
+    got = {r.tok: (r.n, r.milli_share)
+           for r in heavy_hitters(df, "tok", min_frac=0.05).collect()}
+    assert got == {"hot": (200, 400), "warm": (60, 120)}
+    # threshold is exclusive: an item at exactly n*frac is out
+    df2 = spark.createDataFrame([("a",)] * 5 + [("b",)] * 95, "tok string")
+    got2 = {r.tok for r in heavy_hitters(df2, "tok", min_frac=0.05).collect()}
+    assert got2 == {"b"}
