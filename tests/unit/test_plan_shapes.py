@@ -424,3 +424,55 @@ def test_range_join_is_binned_equi_join(plans):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_gopher_rules_zero_shuffle(plans):
+    """text_gopher: every rule is a narrow expression over one scan —
+    any Exchange here means a rule leaked into an aggregation."""
+    plan = plans("text_gopher")
+    assert "Exchange" not in plan
+
+
+def test_line_dedup_two_exchanges_one_window_partitioning(plans):
+    """dedup_lines: first-occurrence mark and occurrence count must
+    ride ONE line-hash exchange (two Window nodes, same partitioning,
+    no Exchange between), plus the doc-keyed reassembly groupBy —
+    two hash exchanges total."""
+    plan = plans("dedup_lines")
+    assert plan.count("Exchange hashpartitioning") == 2
+    win_lines = [l for l in plan.split("\n") if "Window [" in l]
+    assert len(win_lines) == 2
+    assert all("windowspecdefinition(_h" in l for l in win_lines)
+
+
+def test_url_canonical_single_exchange(plans):
+    """text_url_canonical: canonicalization itself is narrow; the only
+    shuffle is the per-canonical count window."""
+    plan = plans("text_url_canonical")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("BroadcastExchange") == 0
+
+
+def test_stratified_sample_filter_is_narrow(plans):
+    """split_stratified_sample: the sampling decision is a pure filter
+    (no sampling state, no shuffle); the single exchange belongs to
+    the reporting groupBy."""
+    plan = plans("split_stratified_sample")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_heavy_hitters_broadcasts_candidates(plans):
+    """sketch_heavy_hitters: candidates and the 1-row total are the
+    broadcast sides; the corpus items are never broadcast and shuffle
+    only for the tiny candidate-distinct and the post-semi-join count."""
+    plan = plans("sketch_heavy_hitters")
+    assert plan.count("BroadcastExchange") == 2
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_q14_broadcasts_dim_no_fact_shuffle(plans):
+    """tpch_q14: part is the broadcast side; the filtered fact feeds a
+    single-row partial agg — zero hash exchanges."""
+    plan = plans("tpch_q14")
+    assert plan.count("BroadcastExchange") == 1
+    assert plan.count("Exchange hashpartitioning") == 0
