@@ -109,15 +109,17 @@ _PRIORITY = [
     "proc_geoip_v6", "ann_recall_ivf", "ann_recall_lsh_multiprobe",
     "text_gopher", "dedup_lines", "text_url_canonical",
     "split_stratified_sample", "sketch_heavy_hitters", "tpch_q14",
+    "text_html_extract",
     # --- anchor: r4's one red row, oracle typing fixed this round ---
     "text_repetition",
     # --- anchors: §2.5 analytics core (q3/q5/q6 r4-green; q6's
     # pushdown also plan-guarded in pytest) ---
     "tpch_q1", "sessionize_events",
     # --- anchors: §2.4 LLM-training-data ops (filter DSL held
-    # in-window by the rotated sigma/wildcard/regex/range rows;
-    # dedup/text families by the first-time rows above) ---
-    "dedup_minhash_lsh", "ann_topk_lsh",
+    # in-window by the rotated sigma/wildcard/regex/range rows; the
+    # ANN family by ann_topk_ivf + both recall rows; dedup/text
+    # families by the first-time rows above) ---
+    "dedup_minhash_lsh",
     # --- anchor: flagship composition ---
     "pipeline_training_data",
 ]
@@ -2189,6 +2191,67 @@ def sketch_heavy_hitters(spark, sf_dir):
     docs = tables(spark, sf_dir)["documents"]
     items = docs.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("tok"))
     return heavy_hitters(items, "tok", min_frac=0.02)
+
+
+_SQL_HTML_CLEAN = """regexp_replace(trim(regexp_replace(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(html,
+            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+            '(?i)</?(p|div|br|h[1-6]|li|tr|table|ul|ol)[^>]*>', chr(10), 'g'),
+            '<[^>]+>', ' ', 'g'),
+          '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"'), '&#39;', chr(39)),
+        '[ \t]+', ' ', 'g'),
+        ' ?\n[ \n]*', chr(10), 'g')), '^\s+|\s+$', '', 'g')"""
+
+
+@register(
+    "text_html_extract",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+        ('<html><head><script type="text/javascript">var x = 1 < 2;</script>' ||
+         '<style>.nav color: red;</style></head><body><h1>Doc ' ||
+         doc_id::VARCHAR || '</h1><p>' || text || '</p><!-- comment ' ||
+         doc_id::VARCHAR ||
+         ' --><div>footer &amp; nav&nbsp;&lt;end&gt;</div></body></html>')
+            AS html
+      FROM documents
+    )
+    SELECT doc_id,
+           {_SQL_HTML_CLEAN} AS text,
+           length({_SQL_HTML_CLEAN}) AS n_chars
+    FROM h
+    """,
+)
+def text_html_extract(spark, sf_dir):
+    """HTML boilerplate stripping (functions/text.py html_to_text —
+    the crawl-to-text extraction step). No HTML ships in the
+    testdata, so both engines wrap each doc's text in an identical
+    page skeleton (script/style subtrees, comments, block tags,
+    entities), then extract; the oracle replicates the regexp chain
+    verbatim in RE2-compatible patterns."""
+    docs = tables(spark, sf_dir)["documents"]
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><script type="text/javascript">var x = 1 < 2;</script>'),
+        F.lit("<style>.nav color: red;</style></head><body><h1>Doc "),
+        d,
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><!-- comment "),
+        d,
+        F.lit(" --><div>footer &amp; nav&nbsp;&lt;end&gt;</div></body></html>"),
+    )
+    extracted = tx.html_to_text(html)
+    return docs.select(
+        "doc_id",
+        extracted.alias("text"),
+        F.length(extracted).cast("long").alias("n_chars"),
+    )
 
 
 def _sql_pos_windows(k: int, where: str) -> str:

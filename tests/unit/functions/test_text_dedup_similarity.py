@@ -662,3 +662,26 @@ def test_heavy_hitters_exact_and_bounded(spark):
     df2 = spark.createDataFrame([("a",)] * 5 + [("b",)] * 95, "tok string")
     got2 = {r.tok for r in heavy_hitters(df2, "tok", min_frac=0.05).collect()}
     assert got2 == {"b"}
+
+
+def test_html_to_text_known_cases(spark):
+    """script/style/comment subtrees vanish, block tags keep paragraph
+    breaks, inline tags become spaces, entities decode, whitespace
+    collapses — hand-checked."""
+    from logprep_spark.functions.text import html_to_text
+
+    html = (
+        '<html><head><script>if (a < b) { alert("x"); }</script>'
+        "<style>p { margin: 0; }</style></head><body>"
+        "<h1>Title</h1><p>First  para with <b>bold</b> text.</p>"
+        "<!-- hidden --><ul><li>one</li><li>two</li></ul>"
+        "<p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, "no markup at all")], "id long, h string")
+    rows = {r.id: r.t for r in df.select("id", html_to_text(F.col("h")).alias("t")).collect()}
+    assert rows[1] == (
+        "Title\nFirst para with bold text.\none\ntwo\n"
+        "A & B <tag> \"q\" 's' end"
+    )
+    assert rows[2] == "no markup at all"
