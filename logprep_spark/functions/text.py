@@ -11,6 +11,7 @@ md5) so the DuckDB oracle can replicate results bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -449,3 +450,62 @@ def html_to_text(col: Column) -> Column:
     x = F.regexp_replace(x, r" ?\n[ \n]*", "\n")
     # trim() strips spaces only — edge newlines need the regex form
     return F.regexp_replace(x, r"^\s+|\s+$", "")
+
+
+# --- Unicode cleanup + compression signal -----------------------------
+
+# \x{...} spelling works in BOTH Java (Spark) and RE2 (DuckDB oracle)
+INVISIBLE_RE = r"[\x{200b}\x{200c}\x{200d}\x{2060}\x{feff}\x{ad}]"
+CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def strip_invisible(col: Column) -> Column:
+    """Drop zero-width characters (ZWSP/ZWNJ/ZWJ/WJ/BOM/soft hyphen)
+    and C0/DEL controls (except tab/newline/CR) — the invisible junk
+    that splits tokens and defeats exact dedup. Catalyst-only."""
+    return F.regexp_replace(F.regexp_replace(col, INVISIBLE_RE, ""), CONTROL_RE, "")
+
+
+def unicode_nfc(col: Column) -> Column:
+    """Unicode NFC normalization (composed forms): 'e'+COMBINING ACUTE
+    and precomposed 'é' become one byte sequence, so fingerprints,
+    exact dedup, and tokenization agree across sources. Spark has no
+    built-in normalizer, so this is the package's one Arrow-batched
+    scalar pandas_udf on the text path; DuckDB's native nfc_normalize
+    verifies it cross-engine (both implement UAX #15)."""
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    return _nfc(col)
+
+
+def compression_ratio(col: Column, level: int = 6) -> Column:
+    """zlib-compressed size over raw utf-8 size, 4 decimals — the
+    MassiveText/RefinedWeb-style redundancy signal: templated or
+    repetitive documents compress far below prose (~0.3 vs ~0.6), and
+    unlike n-gram repetition counters it catches long-range structure.
+    Arrow-batched pandas_udf (zlib isn't expressible in Catalyst);
+    rows-only gate — DuckDB exposes no zlib, so correctness rides the
+    pytest known-value checks rather than an oracle."""
+
+    @F.pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return 0.0
+            return round(len(zlib.compress(raw, level)) / len(raw), 4)
+
+        return s.map(one)
+
+    return _ratio(col)

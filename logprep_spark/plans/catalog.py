@@ -109,12 +109,13 @@ _PRIORITY = [
     "proc_geoip_v6", "ann_recall_ivf", "ann_recall_lsh_multiprobe",
     "text_gopher", "dedup_lines", "text_url_canonical",
     "split_stratified_sample", "sketch_heavy_hitters", "tpch_q14",
-    "text_html_extract",
+    "text_html_extract", "text_unicode_clean",
     # --- anchor: r4's one red row, oracle typing fixed this round ---
     "text_repetition",
-    # --- anchors: §2.5 analytics core (q3/q5/q6 r4-green; q6's
-    # pushdown also plan-guarded in pytest) ---
-    "tpch_q1", "sessionize_events",
+    # --- anchors: §2.5 analytics core (q3/q5/q6/sessionize r4-green;
+    # q6's pushdown also plan-guarded; event_rollup/event_time_rollup
+    # in-window keep the events family) ---
+    "tpch_q1",
     # --- anchors: §2.4 LLM-training-data ops (filter DSL held
     # in-window by the rotated sigma/wildcard/regex/range rows; the
     # ANN family by ann_topk_ivf + both recall rows; dedup/text
@@ -2251,6 +2252,55 @@ def text_html_extract(spark, sf_dir):
         "doc_id",
         extracted.alias("text"),
         F.length(extracted).cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "text_unicode_clean",
+    """
+    SELECT doc_id,
+           nfc_normalize(regexp_replace(regexp_replace(
+               text || ' cafe' || chr(769) || ' A' || chr(778) ||
+               chr(8203) || 'zero' || chr(65279) || chr(7) || 'end',
+               '[\\x{200b}\\x{200c}\\x{200d}\\x{2060}\\x{feff}\\x{ad}]', '', 'g'),
+               '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')) AS text,
+           length(nfc_normalize(regexp_replace(regexp_replace(
+               text || ' cafe' || chr(769) || ' A' || chr(778) ||
+               chr(8203) || 'zero' || chr(65279) || chr(7) || 'end',
+               '[\\x{200b}\\x{200c}\\x{200d}\\x{2060}\\x{feff}\\x{ad}]', '', 'g'),
+               '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'))) AS n_chars
+    FROM documents
+    """,
+)
+def text_unicode_clean(spark, sf_dir):
+    """Unicode cleanup (functions/text.py strip_invisible +
+    unicode_nfc): zero-width/control junk dropped Catalyst-side, then
+    NFC composition via the Arrow pandas_udf — checked cross-engine
+    against DuckDB's native nfc_normalize (both UAX #15). The ASCII
+    testdata gets a suffix with decomposed accents, ZWSP, BOM and a
+    control char appended identically in both engines."""
+    docs = tables(spark, sf_dir)["documents"]
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" cafe\u0301 A\u030a\u200bzero\ufeff\x07end"),
+    )
+    cleaned = tx.unicode_nfc(tx.strip_invisible(dirty))
+    return docs.select(
+        "doc_id",
+        cleaned.alias("text"),
+        F.length(cleaned).cast("long").alias("n_chars"),
+    )
+
+
+@register("text_compression")
+def text_compression(spark, sf_dir):
+    """zlib compression-ratio quality signal (functions/text.py
+    compression_ratio — the MassiveText/RefinedWeb redundancy filter).
+    No SQL oracle: DuckDB exposes no zlib, so this rides the weaker
+    rows-only driver check plus pytest known-value gates."""
+    docs = tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id", tx.compression_ratio(F.col("text")).alias("zlib_ratio")
     )
 
 

@@ -685,3 +685,44 @@ def test_html_to_text_known_cases(spark):
         "A & B <tag> \"q\" 's' end"
     )
     assert rows[2] == "no markup at all"
+
+
+def test_unicode_clean_known_values(spark):
+    """Decomposed accents compose (NFC), zero-width chars and controls
+    vanish, tab/newline survive."""
+    from logprep_spark.functions.text import strip_invisible, unicode_nfc
+
+    # decomposed accents via escapes (e + COMBINING ACUTE, A + RING)
+    dirty = "cafe\u0301 A\u030a x\u200by\ufeffz a\x07b keep\tthis\nline"
+    df = spark.createDataFrame([(1, dirty)], "id long, t string")
+    out = df.select(
+        unicode_nfc(strip_invisible(F.col("t"))).alias("c")
+    ).first().c
+    assert out == "caf\u00e9 \u00c5 xyz ab keep\tthis\nline"
+    assert "\u0301" not in out  # combining mark consumed by NFC
+
+
+def test_compression_ratio_separates_repetitive_from_prose(spark):
+    """Templated/repetitive text compresses far below varied prose;
+    empty text -> 0.0; the value is deterministic."""
+    from logprep_spark.functions.text import compression_ratio
+
+    repetitive = "spam ham " * 200
+    prose = ("the quick brown fox jumps over a lazy dog while seventeen "
+             "wizards briskly mix unique quartz vials of jade liquor ")
+    import random
+    rng = random.Random(7)
+    varied = " ".join("".join(rng.choice("abcdefghij") for _ in range(8))
+                      for _ in range(200))
+    df = spark.createDataFrame(
+        [(1, repetitive), (2, prose), (3, varied), (4, "")],
+        "id long, t string",
+    )
+    rows = {r.id: r.z for r in
+            df.select("id", compression_ratio(F.col("t")).alias("z")).collect()}
+    assert rows[1] < 0.05          # pure repetition collapses
+    assert rows[3] > 3 * rows[1]   # random-ish text compresses poorly
+    assert rows[4] == 0.0
+    again = {r.id: r.z for r in
+             df.select("id", compression_ratio(F.col("t")).alias("z")).collect()}
+    assert rows == again
