@@ -429,3 +429,50 @@ def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         ).alias("promo_revenue_pct"),
         F.round(F.sum(rev), 2).alias("total_revenue"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    horizon_s: int | None = None,
+) -> DataFrame:
+    """Ordered funnel analysis (ClickHouse windowFunnel-style): per
+    user, the deepest step reached by a strictly-increasing chain —
+    step i+1 must occur after the EARLIEST completion of step i
+    (greedy-earliest is optimal: taking the first possible timestamp
+    at each step never shortens the reachable chain). Optional
+    ``horizon_s`` bounds the whole chain to a window after step 1.
+
+    Distributed shape: one shuffle on the user key; each step's
+    timestamp is a filtered min over the same user-partition window,
+    so the N step columns stack as window operators on ONE exchange
+    (per-user state is bounded by that user's event count), then a
+    per-user agg collapses to (user, funnel_depth).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col)
+    df = events
+    prev = None
+    for i, step in enumerate(steps, 1):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+            if horizon_s is not None:
+                cond = cond & (
+                    F.col(ts_col)
+                    <= F.col("_t1") + F.expr(f"INTERVAL {int(horizon_s)} SECONDS")
+                )
+        df = df.withColumn(f"_t{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = f"_t{i}"
+    agg = df.groupBy(user_col).agg(
+        *[F.max(f"_t{i}").alias(f"_t{i}") for i in range(1, len(steps) + 1)]
+    )
+    depth = None
+    for i in range(1, len(steps) + 1):
+        term = F.when(F.col(f"_t{i}").isNotNull(), 1).otherwise(0)
+        depth = term if depth is None else depth + term
+    return agg.select(user_col, depth.cast("long").alias("funnel_depth"))

@@ -109,13 +109,11 @@ _PRIORITY = [
     "proc_geoip_v6", "ann_recall_ivf", "ann_recall_lsh_multiprobe",
     "text_gopher", "dedup_lines", "text_url_canonical",
     "split_stratified_sample", "sketch_heavy_hitters", "tpch_q14",
-    "text_html_extract", "text_unicode_clean",
+    "text_html_extract", "text_unicode_clean", "funnel_events",
     # --- anchor: r4's one red row, oracle typing fixed this round ---
+    # (analytics family held by q14 + the rotated event/window/join
+    # rows; tpch q1/q3/q5/q6 and sessionize are all r4-green) ---
     "text_repetition",
-    # --- anchors: §2.5 analytics core (q3/q5/q6/sessionize r4-green;
-    # q6's pushdown also plan-guarded; event_rollup/event_time_rollup
-    # in-window keep the events family) ---
-    "tpch_q1",
     # --- anchors: §2.4 LLM-training-data ops (filter DSL held
     # in-window by the rotated sigma/wildcard/regex/range rows; the
     # ANN family by ann_topk_ivf + both recall rows; dedup/text
@@ -2302,6 +2300,50 @@ def text_compression(spark, sf_dir):
     return docs.select(
         "doc_id", tx.compression_ratio(F.col("text")).alias("zlib_ratio")
     )
+
+
+@register(
+    "funnel_events",
+    """
+    WITH s1 AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+      FROM events GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, any_value(s1.t1) AS t1,
+             min(CASE WHEN e.event_type = 'view' AND e.ts > s1.t1
+                      THEN e.ts END) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, any_value(s2.t1) AS t1, any_value(s2.t2) AS t2,
+             min(CASE WHEN e.event_type = 'click' AND e.ts > s2.t2
+                      THEN e.ts END) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id
+    ), s4 AS (
+      SELECT e.user_id, any_value(s3.t1) AS t1, any_value(s3.t2) AS t2,
+             any_value(s3.t3) AS t3,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts > s3.t3
+                      THEN e.ts END) AS t4
+      FROM events e JOIN s3 ON e.user_id = s3.user_id GROUP BY e.user_id
+    )
+    SELECT user_id,
+           CAST(CASE WHEN t1 IS NULL THEN 0
+                     WHEN t2 IS NULL THEN 1
+                     WHEN t3 IS NULL THEN 2
+                     WHEN t4 IS NULL THEN 3
+                     ELSE 4 END AS BIGINT) AS funnel_depth
+    FROM s4
+    """,
+)
+def funnel_events(spark, sf_dir):
+    """Ordered funnel analysis (plans/analytics.py funnel —
+    windowFunnel-style): deepest step of signup → view → click →
+    purchase per user, strictly-increasing greedy-earliest chain.
+    The oracle expresses the same chain as nested conditional-min
+    CTEs; the Spark plan stacks the step windows on ONE user-keyed
+    exchange."""
+    events = tables(spark, sf_dir)["events"]
+    return an.funnel(events, ["signup", "view", "click", "purchase"])
 
 
 def _sql_pos_windows(k: int, where: str) -> str:

@@ -726,3 +726,30 @@ def test_compression_ratio_separates_repetitive_from_prose(spark):
     again = {r.id: r.z for r in
              df.select("id", compression_ratio(F.col("t")).alias("z")).collect()}
     assert rows == again
+
+
+def test_funnel_known_sequences(spark):
+    """Hand-checked funnel: ordering is strict, out-of-order steps
+    don't count, horizon cuts late completions."""
+    from logprep_spark.plans.analytics import funnel
+
+    rows = [
+        # u1 completes all 3 in order
+        (1, "2026-01-01 10:00:00", "a"), (1, "2026-01-01 10:01:00", "b"),
+        (1, "2026-01-01 10:02:00", "c"),
+        # u2 has b BEFORE a -> depth 1 (a found, no b after it)
+        (2, "2026-01-01 10:00:00", "b"), (2, "2026-01-01 10:01:00", "a"),
+        # u3 never starts -> depth 0
+        (3, "2026-01-01 10:00:00", "c"),
+        # u4 completes but b comes an hour late
+        (4, "2026-01-01 10:00:00", "a"), (4, "2026-01-01 11:30:00", "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, event_type string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    depths = {r.user_id: r.funnel_depth
+              for r in funnel(df, ["a", "b", "c"]).collect()}
+    assert depths == {1: 3, 2: 1, 3: 0, 4: 2}
+    capped = {r.user_id: r.funnel_depth
+              for r in funnel(df, ["a", "b", "c"], horizon_s=3600).collect()}
+    assert capped[4] == 1  # the 90-minute-late b falls outside the horizon
+    assert capped[1] == 3

@@ -476,3 +476,13 @@ def test_q14_broadcasts_dim_no_fact_shuffle(plans):
     plan = plans("tpch_q14")
     assert plan.count("BroadcastExchange") == 1
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_funnel_steps_share_one_user_exchange(plans):
+    """funnel_events: the four step-timestamp windows and the final
+    per-user agg must all ride ONE user-keyed exchange — a shuffle per
+    step would be 4x the data movement for the same answer."""
+    plan = plans("funnel_events")
+    assert plan.count("Exchange hashpartitioning") == 1
+    win_lines = [l for l in plan.split("\n") if "Window [" in l]
+    assert win_lines and all("windowspecdefinition(user_id" in l for l in win_lines)
