@@ -10,9 +10,15 @@ from logprep_spark.streaming.windows import (
     sliding_counts,
     tumbling_counts,
 )
-from logprep_spark.streaming.state import dedupe_near_stream, dedupe_stream, running_totals
+from logprep_spark.streaming.state import (
+    dedupe_near_stream,
+    dedupe_stream,
+    heavy_hitters_stream,
+    running_totals,
+)
 
 __all__ = [
+    "heavy_hitters_stream",
     "StreamingPipeline",
     "dedupe_near_stream",
     "dedupe_stream",

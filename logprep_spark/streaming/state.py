@@ -117,3 +117,73 @@ def dedupe_near_stream(
         .dropDuplicatesWithinWatermark(["_sig_fp"])
         .drop("_sig_fp", "_toks", "_sh", "_hb")
     )
+
+
+_HH_OUT_SCHEMA = "bucket long, item string, count_lb long"
+_HH_STATE_SCHEMA = "items array<string>, counts array<long>"
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    item_col: str,
+    n_buckets: int = 16,
+    k: int = 8,
+) -> DataFrame:
+    """Streaming hot-item tracking with CARDINALITY-BOUNDED state —
+    the streaming twin of functions/sketch.py heavy_hitters. Grouping
+    by the item itself would grow state with distinct-item count;
+    instead items hash into ``n_buckets`` groups and each group's
+    state is a Misra-Gries summary of at most ``k - 1`` counters, so
+    total state is n_buckets * (k-1) rows no matter the stream.
+
+    Per batch each bucket re-emits its surviving candidates with
+    their LOWER-BOUND counts (MG undercounts by at most
+    n_bucket_items / k). The exact-verify phase of the batch op has
+    no streaming analogue — candidates are the product here, feeding
+    either an alert sink or a periodic batch verification pass.
+    """
+    from pyspark.sql import functions as F
+
+    def fn(
+        key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts = state.get
+            counters = dict(zip(items, counts))
+        else:
+            counters = {}
+        for pdf in pdfs:
+            for item in pdf[item_col]:
+                if item is None:
+                    continue
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k - 1:
+                    counters[item] = 1
+                else:
+                    dead = []
+                    for ckey in counters:
+                        counters[ckey] -= 1
+                        if counters[ckey] == 0:
+                            dead.append(ckey)
+                    for ckey in dead:
+                        del counters[ckey]
+        state.update((list(counters.keys()), list(counters.values())))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(counters),
+                "item": list(counters.keys()),
+                "count_lb": list(counters.values()),
+            }
+        )
+
+    bucketed = events.withColumn(
+        "_b", F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("_b").applyInPandasWithState(
+        fn,
+        outputStructType=_HH_OUT_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -679,3 +679,56 @@ def test_kafka_unknown_topic_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="unknown topic 'evnets'"):
         inp.read_stream(spark)
+
+
+def test_heavy_hitters_stream_bounded_state(spark, tmp_path):
+    """Skewed items across multiple micro-batches: the hot items
+    survive in state with counts within the MG error bound, counts
+    accumulate across batches, and every bucket's state stays under
+    its k-1 counter cap regardless of distinct-item count."""
+    import os as _os
+    import time as _time
+
+    from logprep_spark.streaming import heavy_hitters_stream
+
+    d = tmp_path / "hh-in"
+    d.mkdir()
+    base = _time.time() - 3600
+    # 3 files -> 3 micro-batches with maxFilesPerTrigger=1:
+    # 'hot' 60x + 'warm' 24x spread over batches, 90 singletons
+    for i in range(3):
+        rows = (
+            [{"item": "hot"}] * 20
+            + [{"item": "warm"}] * 8
+            + [{"item": f"cold{i}_{j}"} for j in range(30)]
+        )
+        p = d / f"b{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        _os.utime(p, (base + i, base + i))
+
+    df = (spark.readStream.schema("item string")
+          .option("maxFilesPerTrigger", 1).json(str(d)))
+    k, n_buckets = 8, 4
+    q = (heavy_hitters_stream(df, "item", n_buckets=n_buckets, k=k)
+         .writeStream.format("memory").queryName("hh_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    _run(q)
+
+    rows = spark.sql("SELECT * FROM hh_out").collect()
+    # final (largest) lower-bound count per item across batch emissions
+    final = {}
+    for r in rows:
+        final[r.item] = max(final.get(r.item, 0), r.count_lb)
+    # MG guarantee: undercount by at most n_bucket_items/k; 'hot'
+    # shares its bucket with at most all 138 items -> slack 138/8
+    assert "hot" in final and final["hot"] >= 60 - 138 // k
+    assert final["hot"] <= 60  # lower bound never exceeds the truth
+    # state bounded by BUCKET count, not item cardinality: one state
+    # row per bucket (each holding <= k-1 counters), never one per
+    # distinct item — 120 cold items would otherwise mean 120+ rows
+    totals = [
+        s["numRowsTotal"]
+        for p in q.recentProgress
+        for s in p.get("stateOperators", [])
+    ]
+    assert totals and max(totals) <= n_buckets
