@@ -697,20 +697,19 @@ def line_dedup(
     ``sep``], n_lines, n_removed). A document whose every line is
     removed keeps an empty-string text.
 
-    Distributed shape: posexplode the split (narrow), then ONE shuffle
-    on the 128-bit line fingerprint — row_number and count over the
-    same window partition, so first-occurrence marking and the
-    occurrence count ride one exchange (the md5 keeps long boilerplate
-    lines from shuffling verbatim) — and one doc-keyed shuffle to
-    reassemble (array_sort over collected (line_no, line) structs;
-    per-doc state is bounded by document length). A hot line (the same
-    cookie banner a billion times) concentrates one window partition:
-    at that scale pre-aggregate counts per (hash, doc-bucket) first or
-    let AQE skew-split the exchange; the count itself is all the state
-    the window carries, so the partition never materializes the lines.
+    Distributed shape: posexplode the split (narrow), per-hash
+    (count, first-occurrence) via ``groupBy(_h)`` — PARTIAL
+    AGGREGATION is the skew defense: a cookie banner repeated a
+    billion times combines map-side to one row per task, where a
+    window over the hash (the shape this replaced) would concentrate
+    all billion rows in one partition that AQE cannot split — then an
+    AQE-skew-splittable equi-join back on the hash and one doc-keyed
+    shuffle to reassemble (array_sort over collected (line_no, line)
+    structs; per-doc state bounded by document length). The md5 keeps
+    long boilerplate lines from shuffling verbatim. First occurrence
+    = ``min(struct(doc_id, line_no))`` — lexicographic struct min,
+    computed inside the same partial agg.
     """
-    from pyspark.sql import Window
-
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("_ln", "_line"),
@@ -718,18 +717,25 @@ def line_dedup(
     # blank lines never participate in dedup (they'd all collapse to
     # one global survivor); null hash rows pass through untouched
     h = F.when(F.length(F.trim("_line")) > 0, F.md5("_line"))
-    by_line = Window.partitionBy("_h")
-    by_line_first = by_line.orderBy(id_col, "_ln")
-    marked = (
-        lines.withColumn("_h", h)
-        .withColumn("_rn", F.row_number().over(by_line_first))
-        .withColumn("_cnt", F.count("_h").over(by_line))
-        .withColumn(
-            "_keep",
-            F.col("_h").isNull()
-            | (F.col("_cnt") < min_occurrences)
-            | (F.col("_rn") == 1),
+    hashed = lines.withColumn("_h", h)
+    stats = (
+        hashed.filter(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("_ln").alias("l"))).alias(
+                "_first"
+            ),
         )
+    )
+    marked = hashed.join(stats, "_h", "left").withColumn(
+        "_keep",
+        F.col("_h").isNull()
+        | (F.col("_cnt") < min_occurrences)
+        | (
+            (F.col("_first.d") == F.col(id_col))
+            & (F.col("_first.l") == F.col("_ln"))
+        ),
     )
     kept_struct = F.when(F.col("_keep"), F.struct("_ln", "_line"))
     return (

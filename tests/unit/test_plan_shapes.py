@@ -433,16 +433,20 @@ def test_gopher_rules_zero_shuffle(plans):
     assert "Exchange" not in plan
 
 
-def test_line_dedup_two_exchanges_one_window_partitioning(plans):
-    """dedup_lines: first-occurrence mark and occurrence count must
-    ride ONE line-hash exchange (two Window nodes, same partitioning,
-    no Exchange between), plus the doc-keyed reassembly groupBy —
-    two hash exchanges total."""
+def test_line_dedup_partial_agg_no_hash_window(plans):
+    """dedup_lines: per-line stats must come from a partial-agg
+    groupBy(_h) + skew-splittable equi-join — NEVER a window over the
+    line hash. A window partition cannot be AQE-split, so one
+    billion-fold boilerplate line would land on a single task; the
+    groupBy combines it map-side to one row per task instead. Plan:
+    no Window at all, >= 2 HashAggregate (partial+final on _h), and
+    2-3 hash exchanges — at small SF the stats side broadcasts (2:
+    stats agg + doc reassembly); at scale the join shuffles (3), and
+    either shape is skew-safe."""
     plan = plans("dedup_lines")
-    assert plan.count("Exchange hashpartitioning") == 2
-    win_lines = [l for l in plan.split("\n") if "Window [" in l]
-    assert len(win_lines) == 2
-    assert all("windowspecdefinition(_h" in l for l in win_lines)
+    assert "Window [" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert 2 <= plan.count("Exchange hashpartitioning") <= 3
 
 
 def test_url_canonical_single_exchange(plans):
