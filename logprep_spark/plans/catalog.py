@@ -2105,8 +2105,6 @@ def text_url_canonical(spark, sf_dir):
     branch represented (mixed-case scheme/host, www, default and
     explicit ports, trailing slashes, utm params, unsorted query,
     fragments), then count docs per canonical form."""
-    from pyspark.sql import Window
-
     docs = tables(spark, sf_dir)["documents"]
     d = F.col("doc_id")
     url = F.concat(
@@ -2125,10 +2123,19 @@ def text_url_canonical(spark, sf_dir):
     out = docs.select("doc_id", url.alias("url")).withColumn(
         "url_canonical", tx.url_canonicalize(F.col("url"))
     )
-    return out.withColumn(
-        "n_same_canonical",
-        F.count(F.lit(1)).over(Window.partitionBy("url_canonical")).cast("long"),
+    # per-canonical counts via partial-agg groupBy + join back, not a
+    # count-over-window: a popular canonical URL is a hot key, and a
+    # window partition can't be AQE-split while the groupBy combines
+    # map-side. Null-safe join keeps non-URL (NULL-canonical) rows
+    # counted together, matching the oracle's window semantics.
+    stats = (
+        out.groupBy("url_canonical")
+        .agg(F.count(F.lit(1)).alias("n_same_canonical"))
+        .withColumnRenamed("url_canonical", "_uc")
     )
+    return out.join(
+        stats, F.col("url_canonical").eqNullSafe(F.col("_uc"))
+    ).select("doc_id", "url", "url_canonical", "n_same_canonical")
 
 
 @register(

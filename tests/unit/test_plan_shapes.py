@@ -449,12 +449,15 @@ def test_line_dedup_partial_agg_no_hash_window(plans):
     assert 2 <= plan.count("Exchange hashpartitioning") <= 3
 
 
-def test_url_canonical_single_exchange(plans):
-    """text_url_canonical: canonicalization itself is narrow; the only
-    shuffle is the per-canonical count window."""
+def test_url_canonical_no_hash_window(plans):
+    """text_url_canonical: canonicalization itself is narrow, and the
+    per-canonical count must come from a partial-agg groupBy + join
+    back — never a count-over-window on the canonical URL (a popular
+    URL is a hot key; window partitions can't be AQE-split)."""
     plan = plans("text_url_canonical")
-    assert plan.count("Exchange hashpartitioning") == 1
-    assert plan.count("BroadcastExchange") == 0
+    assert "Window [" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert 1 <= plan.count("Exchange hashpartitioning") <= 2
 
 
 def test_stratified_sample_filter_is_narrow(plans):
