@@ -476,3 +476,33 @@ def funnel(
         term = F.when(F.col(f"_t{i}").isNotNull(), 1).otherwise(0)
         depth = term if depth is None else depth + term
     return agg.select(user_col, depth.cast("long").alias("funnel_depth"))
+
+
+def retention(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Cohort retention matrix — the funnel's companion report: users
+    cohorted by first-active day, and for each (cohort_day,
+    day_offset) the count of distinct users active that many days
+    later (offset 0 = cohort size).
+
+    Distributed shape: cohort assignment is a user-keyed partial agg
+    (min day); the activity set is a distinct over (user, day) with
+    map-side combine — per-user event volume collapses before any
+    shuffle; the user-keyed join broadcasts the (small) cohort side
+    or shuffles skew-splittably at scale; the final matrix agg is
+    two-phase countDistinct over a bounded (cohorts x offsets) key
+    space."""
+    day = F.to_date(F.col(ts_col))
+    cohorts = events.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
+    active = events.select(F.col(user_col), day.alias("active_day")).distinct()
+    return (
+        active.join(cohorts, user_col)
+        .select(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").cast("long").alias("day_offset"),
+            user_col,
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

@@ -2353,6 +2353,30 @@ def funnel_events(spark, sf_dir):
     return an.funnel(events, ["signup", "view", "click", "purchase"])
 
 
+@register(
+    "retention_cohorts",
+    """
+    WITH cohorts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+    )
+    SELECT cohort_day,
+           CAST(datediff('day', cohort_day, active_day) AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM active JOIN cohorts USING (user_id)
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix (plans/analytics.py retention): users
+    cohorted by first-active day; distinct active users per
+    (cohort_day, day_offset). Day-offset-0 rows are cohort sizes."""
+    events = tables(spark, sf_dir)["events"]
+    return an.retention(events)
+
+
 def _sql_pos_windows(k: int, where: str) -> str:
     """Positional (non-distinct) k-token window hashes per doc."""
     return f"""

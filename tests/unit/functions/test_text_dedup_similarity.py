@@ -753,3 +753,26 @@ def test_funnel_known_sequences(spark):
               for r in funnel(df, ["a", "b", "c"], horizon_s=3600).collect()}
     assert capped[4] == 1  # the 90-minute-late b falls outside the horizon
     assert capped[1] == 3
+
+
+def test_retention_known_cohorts(spark):
+    """Hand-checked: two cohorts, offset-0 rows are cohort sizes,
+    multiple same-day events count once."""
+    from logprep_spark.plans.analytics import retention
+
+    rows = [
+        (1, "2026-01-01 09:00:00"), (1, "2026-01-01 17:00:00"),  # same day twice
+        (1, "2026-01-03 10:00:00"),
+        (2, "2026-01-01 12:00:00"), (2, "2026-01-02 12:00:00"),
+        (3, "2026-01-02 08:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = {(str(r.cohort_day), r.day_offset): r.n_users
+           for r in retention(df).collect()}
+    assert got == {
+        ("2026-01-01", 0): 2,  # users 1 and 2
+        ("2026-01-01", 1): 1,  # user 2 back next day
+        ("2026-01-01", 2): 1,  # user 1 back on day 3
+        ("2026-01-02", 0): 1,  # user 3's cohort
+    }
