@@ -2485,9 +2485,11 @@ def dedup_exact(spark, sf_dir):
     return dd.exact_dup_groups(docs)
 
 
-def _sql_minhash_bands() -> str:
+def _sql_minhash_bands(source: str = "documents") -> str:
     """CTE chain doc -> shingles -> 16-perm signature -> 4 LSH bands,
-    mirroring functions/dedup.py minhash_bands exactly."""
+    mirroring functions/dedup.py minhash_bands exactly. ``source`` is
+    the table/CTE the docs come from (a sampling CTE for eval
+    queries)."""
     sig_members = ", ".join(
         f"list_min(list_transform(hb, h -> ({dd.PERM_A[i]} * h + {dd.PERM_B[i]}) "
         f"% {dd.MERSENNE_P}))"
@@ -2504,7 +2506,7 @@ def _sql_minhash_bands() -> str:
     bands_union = " UNION ALL ".join(band_selects)
     return f"""
     sh AS (
-        SELECT doc_id, {_sql_shingles()} AS shingles FROM documents
+        SELECT doc_id, {_sql_shingles()} AS shingles FROM {source}
     ), sigs AS (
         SELECT doc_id, [{sig_members}] AS sig
         FROM (SELECT doc_id, list_transform(shingles,
@@ -2611,6 +2613,78 @@ _SIMHASH_BANDS_SQL = "\n        UNION ALL\n".join(
     f"((sh >> {b * dd.SIMHASH_BAND_BITS}) & {dd.SIMHASH_BAND_MASK}) AS key FROM sh"
     for b in range(dd.SIMHASH_BANDS)
 )
+
+
+@register(
+    "dedup_lsh_recall",
+    f"""
+    WITH docs_sample AS (
+        SELECT doc_id, text FROM documents
+        WHERE {_sql_h60("'lshr:' || doc_id::varchar")} % 2 = 0
+    ), {_sql_minhash_bands("docs_sample")}, truth AS (
+        SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
+        FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+        WHERE {_SQL_JACCARD} >= 0.5
+    ), hits AS (
+        SELECT t.id_a FROM truth t
+        JOIN pairs p ON t.id_a = p.id_a AND t.id_b = p.id_b
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+           CAST(1000 * (SELECT count(*) FROM hits)
+                // greatest((SELECT count(*) FROM truth), 1) AS BIGINT)
+               AS recall_milli
+    """,
+)
+def dedup_lsh_recall(spark, sf_dir):
+    """LSH candidate recall vs exact Jaccard ground truth — the
+    evaluation loop for the flagship dedup pipeline (the ANN family's
+    ann_recall_* twin): on a deterministic hash-sample of the corpus,
+    every pair with true Jaccard >= 0.5 is the ground truth; recall
+    is the fraction LSH banding surfaces as candidates. The all-pairs
+    exact baseline is the documented evaluation-only quadratic — the
+    hash sample bounds it at any corpus size, exactly how production
+    pipelines audit their banding parameters."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = tables(spark, sf_dir)["documents"]
+    sample = docs.filter(
+        dd.h60(F.concat(F.lit("lshr:"), F.col("doc_id").cast("string"))) % 2 == 0
+    )
+    sh = sample.select("doc_id", dd.shingles(F.col("text")).alias("shingles"))
+    # both sides of the all-pairs join consume sh — persist, or the
+    # scan+shingle subtree derives twice
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.greatest(F.size(F.array_distinct(F.concat("sh_a", "sh_b"))), F.lit(1)),
+        6,
+    )
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b")
+    )
+    truth = truth.persist(StorageLevel.MEMORY_AND_DISK)
+    cands = dd.minhash_lsh_pairs(sample).select("id_a", "id_b")
+    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    hits = truth.join(cands, ["id_a", "id_b"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.expr("1000 * n_hits div greatest(n_truth, 1)").alias("recall_milli"),
+        )
+    )
 
 
 @register(
