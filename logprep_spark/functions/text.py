@@ -295,6 +295,133 @@ def tfidf_topk(
     )
 
 
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document bigram language-model score against a model
+    trained on the corpus itself — the CCNet/RefinedWeb perplexity
+    filter shape (train an n-gram LM, drop the docs whose per-token
+    bits are far from the corpus median). A real conditional model,
+    one step up from :func:`unigram_surprisal`: P(w2|w1) with add-α
+    smoothing, so boilerplate word *sequences* score cheap and
+    incoherent sequences score expensive even when every unigram is
+    common.
+
+    bits(w1,w2) = log2((c(w1·) + α·V) / (c(w1,w2) + α)), α = 0.1,
+    V = |distinct continuation vocab|. Per-bigram bits are fixed to
+    integer MICRO-bits before the per-doc sum (long addition is
+    order-independent → bit-identical cross-engine; a double sum is
+    not); output is mean bits per bigram in milli-bits.
+
+    Distributed shape: ONE tokenize + ONE Generate produce the
+    (doc, w1, w2) bigram stream, PERSISTED (it feeds the count agg
+    and the score join — the tfidf staging discipline). Bigram counts
+    come from a (w1, w2)-keyed hash agg WITH map-side combine;
+    context counts c(w1·) re-aggregate the already-tiny count table,
+    never the stream; vocab size V is a 1-row broadcast. The score
+    join is gram-keyed and AQE-skew-splittable, so a stop-word bigram
+    ("of the") spreads over many tasks — no window, no driver
+    collect. At 100 TB the count table is the model you'd persist;
+    the scoring pass is the same join.
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.storagelevel import StorageLevel
+
+    toked = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    grams = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("_toks", i).alias("w1"),
+                    F.element_at("_toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    c2 = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c2 = c2.persist(StorageLevel.MEMORY_AND_DISK)
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = c2.agg(F.count_distinct("w2").alias("_v"))
+    micro = F.round(
+        F.log2((F.col("c1") + 0.1 * F.col("_v")) / (F.col("c2") + F.lit(0.1)))
+        * 1_000_000
+    ).cast("long")
+    return (
+        grams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(broadcast(vocab))
+        .groupBy(id_col)
+        .agg(F.sum(micro).alias("_sum_micro"), F.count(F.lit(1)).alias("n_bigrams"))
+        .select(
+            id_col,
+            "n_bigrams",
+            F.expr("_sum_micro div (n_bigrams * 1000)").alias("bits_milli"),
+        )
+    )
+
+
+def zipf_stats(df: DataFrame, top_n: int = 1000, text_col: str = "text") -> DataFrame:
+    """Corpus-level vocabulary statistics: Zipf slope of the top-N
+    frequency/rank curve, vocabulary size, token total, type-token
+    ratio. The corpus-health dashboard numbers a pretraining pipeline
+    tracks per crawl snapshot — a Zipf slope far from −1 flags
+    templated/spammy corpora before any per-doc filter runs.
+
+    The slope is least-squares over (log2 rank, log2 freq) of the
+    top-N terms, computed from MILLI-fixed longs with the closed-form
+    integer formula slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — all
+    sums are long additions (order-independent, exact cross-engine);
+    only the final division rounds, to milli. Magnitudes: x,y ≤
+    ~2·10⁴ milli-units, so n·Σxy ≤ ~10¹⁵ — safely inside int64.
+
+    Distributed shape: one explode → term-keyed hash agg with
+    map-side combine (the only corpus-sized shuffle); ranking happens
+    on the AGGREGATED vocab — top-N via a global sort of distinct
+    terms, not of the token stream; the regression is a single-row
+    final agg. Output is one row — every input of the final agg is
+    already tiny.
+    """
+    words = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    vocab = vocab.persist(StorageLevel.MEMORY_AND_DISK)
+    totals = vocab.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("c").alias("total_tokens"),
+    )
+    win = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    top = (
+        vocab.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.round(F.log2("rank") * 1000).cast("long").alias("x"),
+            F.round(F.log2("c") * 1000).cast("long").alias("y"),
+        )
+    )
+    reg = top.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return reg.crossJoin(F.broadcast(totals)).select(
+        "vocab_size",
+        "total_tokens",
+        F.expr("1000 * total_tokens div vocab_size").alias("tokens_per_type_milli"),
+        F.expr(
+            "(1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
+        ).alias("zipf_slope_milli"),
+    )
+
+
 GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 

@@ -505,4 +505,12 @@ def retention(
         )
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct(user_col).alias("n_users"))
+        # ISO string, not DATE: Spark DATE arrives in pandas as
+        # datetime.date objects, DuckDB DATE as datetime64 — same
+        # values, different dtype class → driver hash miss
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_users",
+        )
     )

@@ -2362,11 +2362,14 @@ def funnel_events(spark, sf_dir):
     ), active AS (
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
     )
-    SELECT cohort_day,
-           CAST(datediff('day', cohort_day, active_day) AS BIGINT) AS day_offset,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-    FROM active JOIN cohorts USING (user_id)
-    GROUP BY cohort_day, day_offset
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, day_offset, n_users
+    FROM (
+      SELECT cohort_day,
+             CAST(datediff('day', cohort_day, active_day) AS BIGINT) AS day_offset,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM active JOIN cohorts USING (user_id)
+      GROUP BY cohort_day, day_offset
+    )
     """,
 )
 def retention_cohorts(spark, sf_dir):
