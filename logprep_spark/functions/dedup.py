@@ -609,6 +609,52 @@ def embedding_dup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then drop any
+    vector whose cosine to a lower-id vector IN THE SAME CLUSTER
+    exceeds the threshold. Output is one row per dropped vector:
+    (vec_id, keeper_id, cosine) where keeper_id is the lowest-id
+    partner above threshold — the greedy keep-first policy every
+    other dedup op here uses.
+
+    Distributed shape: cluster assignment reuses the IVF machinery
+    (:func:`similarity.ivf_assign`) — centroids are plan literals, so
+    assignment is a zero-shuffle narrow map; the ONLY shuffle is the
+    bucket-keyed self-join (SemDeDup's entire point: within-cluster
+    pairs only, never all-pairs). The keeper choice is a (dropped-id)
+    keyed partial agg (min_by). At 100 TB you'd train real k-means
+    centroids and raise n_centroids so buckets stay executor-sized —
+    the plan shape is unchanged."""
+    from logprep_spark.functions import similarity as sim
+
+    cvecs = sim.ivf_centroids(df, n_centroids, vec_col, id_col)
+    assigned = sim.ivf_assign(df, cvecs, vec_col, id_col, out_id="_id", out_vec="_vec")
+    a = assigned.select("bucket", F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a"))
+    b = assigned.select("bucket", F.col("_id").alias("id_b"), F.col("_vec").alias("vec_b"))
+    cos = F.round(cosine_sim(F.col("vec_a"), F.col("vec_b")), 6)
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return (
+        pairs.groupBy("id_b")
+        .agg(
+            F.min("id_a").alias("keeper_id"),
+            F.min_by("cosine", "id_a").alias("cosine"),
+        )
+        .select(F.col("id_b").alias(id_col), "keeper_id", "cosine")
+    )
+
+
 # --- near-dup clustering ----------------------------------------------
 
 

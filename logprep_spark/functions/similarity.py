@@ -232,6 +232,33 @@ def _cos_to_centroid(vec: Column, cvec: list[float]) -> Column:
     return F.round(dot / (vnorm * F.lit(math.sqrt(sum(x * x for x in cvec)))), 6)
 
 
+def ivf_assign(
+    df: DataFrame,
+    cvecs: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_id: str = "nbr_id",
+    out_vec: str = "nbr_vec",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid bucket (argmax
+    cosine, ties → lowest centroid id). Centroids are PLAN LITERALS,
+    so this is a zero-shuffle narrow map over the corpus — the shared
+    first stage of IVF ANN probing and SemDeDup-style semantic dedup.
+    The score array is staged in its own select so the argmax reads
+    it twice without recomputing the cosine folds (CollapseProject
+    keeps the staging: _scores is referenced twice)."""
+    vec = F.col(vec_col)
+    return df.select(
+        F.col(id_col).alias(out_id),
+        vec.alias(out_vec),
+        F.array(*[_cos_to_centroid(vec, c) for c in cvecs]).alias("_scores"),
+    ).select(
+        out_id,
+        out_vec,
+        F.array_position(F.col("_scores"), F.array_max("_scores")).alias("bucket"),
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -254,23 +281,8 @@ def ivf_topk(
     bucketed table and train real k-means centroids — the plan shape
     is identical."""
     cvecs = ivf_centroids(df, n_centroids, vec_col, id_col)
-
-    def scores(vec: Column) -> Column:
-        return F.array(*[_cos_to_centroid(vec, c) for c in cvecs])
-
     vec = F.col(vec_col)
-    # stage the score array in its own select so the argmax reads it
-    # twice without recomputing n_centroids cosine folds twice per row
-    # (CollapseProject keeps the staging: _scores is referenced twice)
-    corpus = df.select(
-        F.col(id_col).alias("nbr_id"),
-        vec.alias("nbr_vec"),
-        scores(vec).alias("_scores"),
-    ).select(
-        "nbr_id",
-        "nbr_vec",
-        F.array_position(F.col("_scores"), F.array_max("_scores")).alias("bucket"),
-    )
+    corpus = ivf_assign(df, cvecs, vec_col, id_col)
     # per-query top-n_probe centroid ids: sort (−score, id) structs
     ranked = F.transform(
         F.array_sort(

@@ -380,11 +380,12 @@ def zipf_stats(df: DataFrame, top_n: int = 1000, text_col: str = "text") -> Data
     ~2·10⁴ milli-units, so n·Σxy ≤ ~10¹⁵ — safely inside int64.
 
     Distributed shape: one explode → term-keyed hash agg with
-    map-side combine (the only corpus-sized shuffle); ranking happens
-    on the AGGREGATED vocab — top-N via a global sort of distinct
-    terms, not of the token stream; the regression is a single-row
-    final agg. Output is one row — every input of the final agg is
-    already tiny.
+    map-side combine (the only corpus-sized shuffle); the top-N cut
+    happens on the AGGREGATED vocab via orderBy+limit — Spark plans
+    TakeOrderedAndProject (per-partition top-N then a merge of N-row
+    heaps), NOT a global sort, and NOT a single-partition window over
+    the whole vocabulary; the rank window then runs over ≤N rows.
+    The regression is a single-row final agg. Output is one row.
     """
     words = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
     vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
@@ -398,8 +399,9 @@ def zipf_stats(df: DataFrame, top_n: int = 1000, text_col: str = "text") -> Data
     )
     win = Window.orderBy(F.col("c").desc(), F.col("term").asc())
     top = (
-        vocab.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= top_n)
+        vocab.orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(win))
         .select(
             F.round(F.log2("rank") * 1000).cast("long").alias("x"),
             F.round(F.log2("c") * 1000).cast("long").alias("y"),

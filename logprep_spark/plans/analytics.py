@@ -514,3 +514,131 @@ def retention(
             "n_users",
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_milli: int = 850,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the graph
+    workload (host-graph ranking, near-dup authority scoring) that
+    stresses ITERATIVE joins rather than one-shot aggregation.
+
+    Exactness contract: ranks live in integer MICRO-units. Each
+    iteration is new_r = (1000 - d)·1000 + (d · Σ(r_j div deg_j))
+    div 1000 — pure long arithmetic (div = integer division), so the
+    result is bit-identical in any engine / any partitioning; a
+    float PageRank sums contributions in partition order and is not.
+    Magnitudes: r ≤ ~10⁶·N, deg ≥ 1, Σ over in-degree ≤ 10⁴ terms →
+    d·Σ ≤ ~10¹³, far inside int64.
+
+    Distributed shape: edges are persisted once (every iteration
+    re-reads them — the classic iterative-join pattern); each round
+    is ONE shuffle: rank⋈edges on src (AQE-skew-splittable; the
+    rank side is one row per node, partial agg collapses the
+    contribution sum map-side before the dst shuffle). Lineage is cut
+    every round with localCheckpoint — without it the plan doubles
+    per iteration and round N replays rounds 1..N-1. Nodes = distinct
+    edge sources (an undirected graph expressed as both-direction
+    edges has every node as a source; true dangling sinks would need
+    the standard dangling-mass term, out of scope here)."""
+    from pyspark.storagelevel import StorageLevel
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edeg = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("r"))
+    base = F.lit((1000 - damping_milli) * 1000).cast("long")
+    for i in range(iters):
+        # lineage cut BETWEEN rounds only — the final round stays a
+        # plain plan (inspectable, and no checkpoint write the caller
+        # never reuses); without the cut the plan doubles per round
+        if i > 0:
+            ranks = ranks.localCheckpoint(eager=False)
+        contrib = ranks.join(edeg, ranks["node"] == edeg["src"]).select(
+            F.col("dst"), F.expr("r div deg").alias("c")
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (base + F.expr(f"({damping_milli} * s) div 1000")).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_micro"))
+
+
+def customer_supplier_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Undirected customer↔supplier trade graph from the fact tables,
+    expressed as both-direction directed edges over a disjoint id
+    space (customers even, suppliers odd). The edge derivation is a
+    fact-fact shuffle join + distinct — itself a scale-relevant plan."""
+    pairs = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cust"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionAll(
+        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+
+
+def q4_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape (adapted to the driver schema's columns):
+    order-priority counts for a quarter of orders having at least one
+    returned lineitem — the EXISTS correlated subquery expressed as a
+    LEFT SEMI join. The semi join shuffles only the pre-filtered
+    (returnflag = 'R') orderkey projection, never the full lineitem
+    row; the agg is a tiny 5-group hash agg on top."""
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        ords.join(returned, ords.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q18_large_volume_customer(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, min_qty: float = 180.0
+) -> DataFrame:
+    """TPC-H Q18 shape: the IN-over-aggregated-subquery — orderkeys
+    whose total quantity exceeds a threshold, joined back to
+    customer/orders/lineitem for the report. The HAVING subquery is a
+    partial-agg groupBy (map-side combine collapses each order's
+    lines before the shuffle) and rejoins as a LEFT SEMI on
+    orderkey; quantities are integral doubles, so the threshold
+    compare and the reported sum are exact in either engine."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > min_qty)
+        .select("l_orderkey")
+    )
+    li = lineitem.join(big, "l_orderkey", "left_semi")
+    # customer stays a shuffle join: at 100 TB it is not a broadcast
+    # dim; the semi-join has already shrunk the fact side, so AQE is
+    # free to downgrade to broadcast when runtime sizes allow
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )

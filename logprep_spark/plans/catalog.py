@@ -3058,3 +3058,202 @@ def ann_recall_ivf(spark, sf_dir):
         )
         out = rec if out is None else out.unionByName(rec)
     return out
+
+
+# =====================================================================
+# r5 additions: TPC-H q4/q18, bigram LM, Zipf stats, SemDeDup, PageRank
+# =====================================================================
+
+
+@register(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (plans/analytics.py q4_order_priority): EXISTS
+    correlated subquery as LEFT SEMI join + priority hash agg."""
+    t = tables(spark, sf_dir)
+    return an.q4_order_priority(t["orders"], t["lineitem"])
+
+
+@register(
+    "tpch_q18",
+    """
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 180
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice,
+           CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem
+    JOIN big USING (l_orderkey)
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    """,
+)
+def tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (plans/analytics.py q18_large_volume_customer):
+    IN-over-aggregated-subquery as partial-agg groupBy + LEFT SEMI."""
+    t = tables(spark, sf_dir)
+    return an.q18_large_volume_customer(t["customer"], t["orders"], t["lineitem"])
+
+
+@register(
+    "text_bigram_lm",
+    f"""
+    WITH toked AS (
+        SELECT doc_id, {_sql_words('lower(text)')} AS w FROM documents
+    ), big AS (
+        SELECT doc_id,
+               unnest(w[1:len(w)-1]) AS w1,
+               unnest(w[2:len(w)])   AS w2
+        FROM toked WHERE len(w) >= 2
+    ), c2 AS (
+        SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+    ), v AS (
+        SELECT count(DISTINCT w2) AS _v FROM c2
+    ), scored AS (
+        SELECT b.doc_id,
+               CAST(round(log2((c1 + 0.1 * _v) / (c2 + 0.1)) * 1000000) AS BIGINT) AS micro
+        FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(micro) // (count(*) * 1000) AS BIGINT) AS bits_milli
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_lm(spark, sf_dir):
+    """Bigram LM perplexity filter (functions/text.py bigram_lm_score
+    — CCNet-style train-on-corpus scoring, add-0.1 smoothing,
+    micro-bit longs for order-independent sums)."""
+    docs = tables(spark, sf_dir)["documents"]
+    return tx.bigram_lm_score(docs)
+
+
+@register(
+    "corpus_zipf",
+    f"""
+    WITH words AS (
+        SELECT unnest({_sql_words('lower(text)')}) AS term FROM documents
+    ), vocab AS (
+        SELECT term, count(*) AS c FROM words GROUP BY term
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+               CAST(sum(c) AS BIGINT) AS total_tokens FROM vocab
+    ), top AS (
+        SELECT CAST(round(log2(rank) * 1000) AS BIGINT) AS x,
+               CAST(round(log2(c) * 1000) AS BIGINT) AS y
+        FROM (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rank
+              FROM vocab)
+        WHERE rank <= 1000
+    ), reg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM top
+    )
+    SELECT vocab_size, total_tokens,
+           CAST(1000 * total_tokens // vocab_size AS BIGINT) AS tokens_per_type_milli,
+           CAST((1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT)
+               AS zipf_slope_milli
+    FROM reg CROSS JOIN tot
+    """,
+)
+def corpus_zipf(spark, sf_dir):
+    """Corpus vocabulary health stats (functions/text.py zipf_stats):
+    Zipf slope over the top-1000 rank/frequency curve from milli-fixed
+    integer least squares; vocab size, token total, type-token ratio."""
+    docs = tables(spark, sf_dir)["documents"]
+    return tx.zipf_stats(docs)
+
+
+@register(
+    "dedup_semantic",
+    f"""
+    WITH cents AS (
+        SELECT embedding AS cvec,
+               row_number() OVER (ORDER BY {_sql_h60('vec_id::varchar')}, vec_id) AS cid
+        FROM embeddings
+        ORDER BY {_sql_h60('vec_id::varchar')}, vec_id LIMIT 16
+    ), scored_all AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_sql_cosine('e.embedding', 'c.cvec')} AS s
+        FROM embeddings e CROSS JOIN cents c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid AS bucket FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+            FROM scored_all
+        ) WHERE rn = 1
+    ), dup AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_sql_cosine('a.embedding', 'b.embedding')} AS cosine
+        FROM assigned a JOIN assigned b USING (bucket)
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_b AS vec_id, min(id_a) AS keeper_id, arg_min(cosine, id_a) AS cosine
+    FROM dup WHERE cosine >= 0.35 GROUP BY id_b
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup semantic dedup (functions/dedup.py semantic_dedup):
+    plan-literal centroid clustering (zero-shuffle assignment), pairs
+    confined within clusters, min-id keeper policy."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return dd.semantic_dedup(emb, threshold=0.35, n_centroids=16)
+
+
+def _sql_pagerank_rounds(iters: int) -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""r{i} AS (
+        SELECT e.dst AS node,
+               CAST(150000 + (850 * sum(r.r // d.deg)) // 1000 AS BIGINT) AS r
+        FROM {prev} r JOIN edges e ON r.node = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    )"""
+        )
+        prev = f"r{i}"
+    return ", ".join(rounds)
+
+
+@register(
+    "graph_pagerank",
+    f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+        SELECT cust AS src, supp AS dst FROM pairs
+        UNION ALL
+        SELECT supp AS src, cust AS dst FROM pairs
+    ), deg AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ), r0 AS (
+        SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg
+    ), {_sql_pagerank_rounds(3)}
+    SELECT node, r AS rank_micro FROM r3
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """Integer-exact PageRank (plans/analytics.py pagerank) over the
+    customer↔supplier trade graph (analytics.customer_supplier_edges)
+    — 3 fixed iterations, damping 0.85, micro-unit long ranks so the
+    iterative result hash-matches any engine bit-for-bit."""
+    t = tables(spark, sf_dir)
+    edges = an.customer_supplier_edges(t["orders"], t["lineitem"])
+    return an.pagerank(edges, iters=3)

@@ -493,3 +493,67 @@ def test_funnel_steps_share_one_user_exchange(plans):
     assert plan.count("Exchange hashpartitioning") == 1
     win_lines = [l for l in plan.split("\n") if "Window [" in l]
     assert win_lines and all("windowspecdefinition(user_id" in l for l in win_lines)
+
+
+def test_q4_exists_is_semi_join(plans):
+    """tpch_q4: the EXISTS subquery must compile to a LEFT SEMI hash
+    join on the pre-filtered returnflag projection — never a full
+    join + distinct, never a nested loop."""
+    plan = plans("tpch_q4")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    scan = next(l for l in plan.split("\n") if "FileScan" in l and "lineitem" in l)
+    assert "l_returnflag" in scan  # flag filter pushed to the lineitem scan
+
+
+def test_q18_having_subquery_is_partial_agg_semi_join(plans):
+    """tpch_q18: the HAVING-qty subquery is a partial-agg groupBy
+    (map-side combine before its shuffle) re-joined LEFT SEMI; no
+    window, no sort in the agg pipeline."""
+    plan = plans("tpch_q18")
+    assert "LeftSemi" in plan
+    assert "Window [" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
+
+
+def test_bigram_lm_no_window_staged_counts(plans):
+    """text_bigram_lm: the model counts must be hash aggs (map-side
+    combine) with the bigram stream persisted for its two consumers —
+    never a count-over-window on the gram (hot bigrams like 'of the'
+    would concentrate into one un-splittable window partition)."""
+    plan = plans("text_bigram_lm")
+    assert "Window [" not in plan
+    assert plan.count("InMemoryTableScan") >= 3  # grams x2 + c2 reuse
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_zipf_topn_is_take_ordered_not_global_sort(plans):
+    """corpus_zipf: the top-N cut must plan TakeOrderedAndProject
+    (per-partition heaps) over the AGGREGATED vocab; the only window
+    ranks the <= N surviving rows."""
+    plan = plans("corpus_zipf")
+    assert "TakeOrdered" in plan
+    assert plan.count("Window [") == 1
+
+
+def test_semantic_dedup_assignment_is_narrow(plans):
+    """dedup_semantic: centroid assignment must be a zero-shuffle map
+    against plan-literal centroids (no exchange between the scan and
+    the bucket self-join) and pairs must be bucket-confined — no
+    cartesian product anywhere."""
+    plan = plans("dedup_semantic")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # only the keeper groupBy may hash-shuffle at small SF (the bucket
+    # join broadcasts); at scale the join adds one more — never more
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_pagerank_edges_persisted_no_cartesian(plans):
+    """graph_pagerank: the edge+degree frame is persisted once and
+    re-read per iteration (InMemoryTableScan), every iteration is an
+    equi-join + partial-agg groupBy — no cartesian/nested-loop, no
+    window."""
+    plan = plans("graph_pagerank")
+    assert plan.count("InMemoryTableScan") >= 1
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Window [" not in plan
