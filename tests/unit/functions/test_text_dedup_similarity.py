@@ -776,3 +776,89 @@ def test_retention_known_cohorts(spark):
         ("2026-01-01", 2): 1,  # user 1 back on day 3
         ("2026-01-02", 0): 1,  # user 3's cohort
     }
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Two docs; model trained on both. Corpus bigrams: (a b) x2,
+    (b a) x1, (b b) x1 -> c2; c1(a)=2, c1(b)=2; V=|{a,b}|=2."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b b")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in text.bigram_lm_score(df).collect()}
+    assert rows[1]["n_bigrams"] == 3 and rows[2]["n_bigrams"] == 1
+
+    def bits(c2, c1, v=2):
+        return round(math.log2((c1 + 0.1 * v) / (c2 + 0.1)) * 1_000_000)
+
+    doc1 = bits(2, 2) + bits(1, 2) + bits(2, 2)  # a b, b a, a b
+    assert rows[1]["bits_milli"] == doc1 // (3 * 1000)
+    assert rows[2]["bits_milli"] == bits(1, 2) // 1000
+
+
+def test_zipf_stats_known_corpus(spark):
+    """Frequencies 4/2/1 over 3 types, 7 tokens; slope must be
+    negative and the integer formula must match a numpy lstsq fit
+    within a milli-rounding."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a a a b b c")], ["doc_id", "text"]
+    )
+    row = text.zipf_stats(df).collect()[0]
+    assert row["vocab_size"] == 3 and row["total_tokens"] == 7
+    assert row["tokens_per_type_milli"] == 7000 // 3
+    xs = [round(math.log2(r) * 1000) for r in (1, 2, 3)]
+    ys = [round(math.log2(c) * 1000) for c in (4, 2, 1)]
+    n = 3
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    # Spark `div` and DuckDB `//` both TRUNCATE negative quotients
+    # toward zero; Python `//` floors — hence the explicit negation
+    expected = -((1000 * (sx * sy - n * sxy)) // (n * sxx - sx * sx))
+    assert row["zipf_slope_milli"] == expected
+    assert row["zipf_slope_milli"] < 0
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    """Four vectors in two obvious clusters; near-identical pairs are
+    dropped with the min-id keeper, cross-cluster high-cosine pairs
+    are invisible because assignment separates them."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.01, 0.999, 0.0]),   # dup of 2
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: r["keeper_id"]
+        for r in dedup.semantic_dedup(df, threshold=0.95, n_centroids=2).collect()
+    }
+    # whichever two vectors the hash sample picks as centroids, the
+    # two near-identical pairs land in one cluster each
+    assert out in ({1: 0, 3: 2},)
+
+
+def test_pagerank_matches_pure_python(spark):
+    """3-node directed cycle + a feeder; compare against an
+    independent pure-Python evaluation of the same integer recurrence."""
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    from logprep_spark.plans.analytics import pagerank
+
+    got = {r["node"]: r["rank_micro"] for r in pagerank(df, iters=3).collect()}
+
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    ranks = {n: 1_000_000 for n in deg}
+    for _ in range(3):
+        sums = {}
+        for s, d in edges:
+            if s in ranks:
+                sums[d] = sums.get(d, 0) + ranks[s] // deg[s]
+        ranks = {d: 150_000 + (850 * s_) // 1000 for d, s_ in sums.items()}
+    assert got == ranks
