@@ -424,6 +424,85 @@ def zipf_stats(df: DataFrame, top_n: int = 1000, text_col: str = "text") -> Data
     )
 
 
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw-corpus document by how target-like its hashed
+    n-gram feature distribution is — log p_target(f)/p_raw(f) summed
+    over the doc's features, the quantity DSIR resamples on to tilt a
+    web crawl toward a quality domain.
+
+    Features are unigrams AND bigrams hashed into ``n_buckets``
+    (md5-derived, engine-reproducible); both bucket-count models get
+    add-1 smoothing. Per-feature log-ratios are fixed to integer
+    MICRO-bits before the per-doc sum (order-independent long adds);
+    output is (doc_id, n_feats, dsir_milli) with milli mean bits.
+
+    Distributed shape: ONE Generate per corpus tags unigrams+bigrams
+    into a single exploded stream mapped narrowly to bucket ids; the
+    two count models are bucket-keyed hash aggs with map-side combine
+    (cardinality ≤ n_buckets — tiny, broadcastable); scoring left-joins
+    the PERSISTED raw feature stream to both models (bucket-keyed,
+    broadcast at any scale since the models are bounded by n_buckets)
+    plus a 1-row totals broadcast; the final agg is doc-keyed. The
+    raw corpus never shuffles on a feature key."""
+    from pyspark.sql.functions import broadcast
+    from pyspark.storagelevel import StorageLevel
+
+    from logprep_spark.functions.dedup import h60
+
+    def feats(df: DataFrame) -> DataFrame:
+        toked = df.select(
+            F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks")
+        )
+        n = F.size("_toks")
+        bigrams = F.when(n >= 2, F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.array_join(F.slice("_toks", i, 2), " "),
+        )).otherwise(F.array().cast("array<string>"))
+        return toked.select(
+            F.col(id_col),
+            F.explode(F.concat("_toks", bigrams)).alias("g"),
+        ).select(id_col, (h60(F.col("g")) % n_buckets).alias("b"))
+
+    raw_feats = feats(raw).persist(StorageLevel.MEMORY_AND_DISK)
+    t_counts = feats(target).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    r_counts = raw_feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    t_counts = t_counts.persist(StorageLevel.MEMORY_AND_DISK)
+    r_counts = r_counts.persist(StorageLevel.MEMORY_AND_DISK)
+    totals = (
+        t_counts.agg(F.sum("ct").alias("_tt"))
+        .crossJoin(r_counts.agg(F.sum("cr").alias("_tr")))
+    )
+    ct = F.coalesce(F.col("ct"), F.lit(0)).cast("long")
+    cr = F.col("cr").cast("long")
+    micro = F.round(
+        F.log2(
+            ((ct + F.lit(1.0)) * (F.col("_tr") + n_buckets))
+            / ((F.col("_tt") + n_buckets) * (cr + F.lit(1.0)))
+        )
+        * 1_000_000
+    ).cast("long")
+    return (
+        raw_feats.join(broadcast(t_counts), "b", "left")
+        .join(broadcast(r_counts), "b")
+        .crossJoin(broadcast(totals))
+        .groupBy(id_col)
+        .agg(F.sum(micro).alias("_sum_micro"), F.count(F.lit(1)).alias("n_feats"))
+        .select(
+            id_col,
+            "n_feats",
+            F.expr("_sum_micro div (n_feats * 1000)").alias("dsir_milli"),
+        )
+    )
+
+
 GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 

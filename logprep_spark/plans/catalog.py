@@ -3257,3 +3257,48 @@ def graph_pagerank(spark, sf_dir):
     t = tables(spark, sf_dir)
     edges = an.customer_supplier_edges(t["orders"], t["lineitem"])
     return an.pagerank(edges, iters=3)
+
+
+def _sql_dsir_feats(src_filter: str) -> str:
+    words = _sql_words("lower(text)")
+    return f"""
+        SELECT doc_id, {_sql_h60('g')} % 10000 AS b FROM (
+            SELECT doc_id,
+                   unnest(list_concat(w,
+                       [array_to_string(w[i:i+1], ' ')
+                        for i in range(1, greatest(len(w) - 1, 0) + 1)])) AS g
+            FROM (SELECT doc_id, {words} AS w FROM documents WHERE {src_filter})
+        )
+    """
+
+
+@register(
+    "text_dsir",
+    f"""
+    WITH rf AS ({_sql_dsir_feats("source <> 'src0'")}),
+    tf AS ({_sql_dsir_feats("source = 'src0'")}),
+    tc AS (SELECT b, count(*) AS ct FROM tf GROUP BY b),
+    rc AS (SELECT b, count(*) AS cr FROM rf GROUP BY b),
+    tot AS (SELECT CAST(sum(ct) AS BIGINT) AS _tt FROM tc),
+    tor AS (SELECT CAST(sum(cr) AS BIGINT) AS _tr FROM rc),
+    scored AS (
+        SELECT r.doc_id,
+               CAST(round(log2(((coalesce(ct, 0) + 1.0) * (_tr + 10000))
+                              / ((_tt + 10000) * (cr + 1.0))) * 1000000)
+                    AS BIGINT) AS micro
+        FROM rf r LEFT JOIN tc USING (b) JOIN rc USING (b)
+        CROSS JOIN tot CROSS JOIN tor
+    )
+    SELECT doc_id, count(*) AS n_feats,
+           CAST(sum(micro) // (count(*) * 1000) AS BIGINT) AS dsir_milli
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_dsir(spark, sf_dir):
+    """DSIR importance weights (functions/text.py dsir_weights):
+    source 'src0' docs stand in for the target domain; every other
+    doc is scored by hashed-unigram+bigram log p_target/p_raw."""
+    docs = tables(spark, sf_dir)["documents"]
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    return tx.dsir_weights(raw, target)

@@ -862,3 +862,20 @@ def test_pagerank_matches_pure_python(spark):
                 sums[d] = sums.get(d, 0) + ranks[s] // deg[s]
         ranks = {d: 150_000 + (850 * s_) // 1000 for d, s_ in sums.items()}
     assert got == ranks
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """A raw doc made of target-domain vocabulary must outscore a raw
+    doc with out-of-domain vocabulary."""
+    target = spark.createDataFrame(
+        [(100, "spark shuffle partition join broadcast"),
+         (101, "spark partition join agg shuffle")],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [(1, "spark shuffle partition join"),
+         (2, "casino lottery jackpot winner")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["dsir_milli"] for r in text.dsir_weights(raw, target).collect()}
+    assert rows[1] > rows[2]

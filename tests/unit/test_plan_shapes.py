@@ -557,3 +557,15 @@ def test_pagerank_edges_persisted_no_cartesian(plans):
     assert plan.count("InMemoryTableScan") >= 1
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "Window [" not in plan
+
+
+def test_dsir_models_broadcast_corpus_never_shuffles_on_feature(plans):
+    """text_dsir: both bucket-count models (bounded by n_buckets) and
+    the totals row are broadcast; the raw feature stream is persisted
+    and consumed in place — no window, no corpus shuffle keyed by
+    feature (the doc-keyed final agg and the model-side aggs own the
+    hash exchanges)."""
+    plan = plans("text_dsir")
+    assert "Window [" not in plan
+    assert plan.count("BroadcastExchange") >= 3
+    assert plan.count("InMemoryTableScan") >= 3
