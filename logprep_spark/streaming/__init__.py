@@ -14,11 +14,13 @@ from logprep_spark.streaming.state import (
     dedupe_near_stream,
     dedupe_stream,
     heavy_hitters_stream,
+    rate_anomaly_stream,
     running_totals,
 )
 
 __all__ = [
     "heavy_hitters_stream",
+    "rate_anomaly_stream",
     "StreamingPipeline",
     "dedupe_near_stream",
     "dedupe_stream",

@@ -187,3 +187,91 @@ def heavy_hitters_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_ANOM_OUT_SCHEMA = (
+    "key string, batch_count long, n_prior long, "
+    "mean_prior_milli long, z_milli long, is_anomaly boolean"
+)
+_ANOM_STATE_SCHEMA = "n long, mean double, m2 double"
+
+_Z_SENTINEL_MILLI = 9_999_999
+
+
+def rate_anomaly_stream(
+    events: DataFrame,
+    key_col: str,
+    z_threshold: float = 3.0,
+    min_periods: int = 3,
+) -> DataFrame:
+    """Streaming rate anomaly detection: per key, the event count of
+    each micro-batch is z-scored against the running mean/variance of
+    PRIOR batches (Welford update — numerically stable, O(1) state).
+    With a fixed trigger interval a micro-batch is a fixed time
+    window, so this is the "alert when a log source goes 3σ off its
+    rate" monitor a shipping pipeline runs next to the indexer.
+
+    State is three scalars per key (n, mean, M2) — bounded by key
+    cardinality; for unbounded key spaces hash keys into buckets
+    first (the :func:`heavy_hitters_stream` pattern). The decision
+    uses the PRIOR stats, then folds the batch in, so a spike can't
+    mask itself. σ = 0 with a deviating count emits the ±sentinel
+    z (9_999_999 milli) rather than dividing by zero; the first
+    ``min_periods`` batches only learn, never alert."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    def fn(
+        key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        x = 0
+        for pdf in pdfs:
+            x += len(pdf)
+        if n >= 2:
+            var = m2 / (n - 1)
+            std = math.sqrt(var)
+        else:
+            std = 0.0
+        if n >= min_periods:
+            if std > 0.0:
+                z = (x - mean) / std
+                z_milli = int(round(z * 1000))
+                if abs(z_milli) > _Z_SENTINEL_MILLI:
+                    z_milli = int(math.copysign(_Z_SENTINEL_MILLI, z_milli))
+                anomaly = abs(z) > z_threshold
+            else:
+                deviates = x != mean
+                z_milli = _Z_SENTINEL_MILLI if x > mean else (
+                    -_Z_SENTINEL_MILLI if x < mean else 0
+                )
+                anomaly = deviates
+        else:
+            z_milli = 0
+            anomaly = False
+        out = pd.DataFrame(
+            {
+                "key": [key[0]],
+                "batch_count": [x],
+                "n_prior": [n],
+                "mean_prior_milli": [int(round(mean * 1000))],
+                "z_milli": [z_milli],
+                "is_anomaly": [anomaly],
+            }
+        )
+        # Welford fold of the current batch AFTER the decision
+        n += 1
+        delta = x - mean
+        mean += delta / n
+        m2 += delta * (x - mean)
+        state.update((n, float(mean), float(m2)))
+        yield out
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=_ANOM_OUT_SCHEMA,
+        stateStructType=_ANOM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

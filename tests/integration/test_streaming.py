@@ -732,3 +732,53 @@ def test_heavy_hitters_stream_bounded_state(spark, tmp_path):
         for s in p.get("stateOperators", [])
     ]
     assert totals and max(totals) <= n_buckets
+
+
+def test_rate_anomaly_stream_flags_spike(spark, tmp_path):
+    """Four learn batches at a steady per-type rate, then a 10x spike
+    for one type: only that (type, batch) is flagged, the learn
+    batches never alert, and state stays one row per key."""
+    import os as _os
+    import time as _time
+
+    from logprep_spark.streaming import rate_anomaly_stream
+
+    d = tmp_path / "anom-in"
+    d.mkdir()
+    base = _time.time() - 3600
+    # batches 0-3: login 10/batch +-1, error 5/batch (learning)
+    counts = [(10, 5), (11, 5), (9, 5), (10, 5)]
+    for i, (n_login, n_err) in enumerate(counts):
+        rows = [{"event_type": "login"}] * n_login + [{"event_type": "error"}] * n_err
+        p = d / f"b{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        _os.utime(p, (base + i, base + i))
+    # batch 4: login spikes 10x, error stays flat
+    p = d / "b4.jsonl"
+    rows = [{"event_type": "login"}] * 100 + [{"event_type": "error"}] * 5
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    _os.utime(p, (base + 4, base + 4))
+
+    df = (spark.readStream.schema("event_type string")
+          .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (rate_anomaly_stream(df, "event_type", z_threshold=3.0, min_periods=3)
+         .writeStream.format("memory").queryName("anom_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    _run(q)
+
+    rows = spark.sql("SELECT * FROM anom_out ORDER BY n_prior").collect()
+    flagged = [(r.key, r.batch_count) for r in rows if r.is_anomaly]
+    assert flagged == [("login", 100)]
+    spike = next(r for r in rows if r.is_anomaly)
+    assert spike.n_prior == 4 and spike.z_milli > 3000
+    # 'error' ran at zero variance throughout: its post-learn batches
+    # carry the zero z, never the sentinel, never a flag
+    err_rows = [r for r in rows if r.key == "error" and r.n_prior >= 3]
+    assert err_rows and all(r.z_milli == 0 and not r.is_anomaly for r in err_rows)
+    # state is one row per distinct key
+    totals = [
+        s["numRowsTotal"]
+        for p_ in q.recentProgress
+        for s in p_.get("stateOperators", [])
+    ]
+    assert totals and max(totals) <= 2
