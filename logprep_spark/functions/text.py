@@ -503,6 +503,44 @@ def dsir_weights(
     )
 
 
+def mix_weights(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Temperature-scaled domain mixing weights — the static data-mix
+    computation behind Pile-style corpus blending: sampling weight per
+    domain ∝ (token count)^(1/2), flattening the head domains so the
+    long tail is not drowned (temperature α = 0.5).
+
+    α = 0.5 deliberately: sqrt is CORRECTLY ROUNDED by IEEE 754 in
+    every engine, unlike pow(x, 0.3) whose last ulp is
+    implementation-defined. The per-domain sqrt is milli-fixed to a
+    long BEFORE the normalizing sum (exact long addition), so weights
+    are bit-identical cross-engine — randomness-free and
+    engine-portable the way a reproducible training mix must be.
+
+    Distributed shape: one narrow token-count map → group-keyed hash
+    agg with map-side combine (cardinality = #domains, tiny) → 1-row
+    broadcast total. No windows, no driver collect."""
+    from pyspark.sql.functions import broadcast
+
+    per = (
+        df.select(F.col(group_col).alias("domain"), token_count(F.col(text_col)).alias("_t"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_t").alias("n_tokens"))
+        .withColumn("_s", F.round(F.sqrt("n_tokens") * 1000).cast("long"))
+    )
+    total = per.agg(F.sum("_s").alias("_tot"))
+    return (
+        per.crossJoin(broadcast(total))
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            F.expr("1000 * _s div _tot").alias("weight_milli"),
+        )
+    )
+
+
 GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 

@@ -3302,3 +3302,29 @@ def text_dsir(spark, sf_dir):
     target = docs.filter(F.col("source") == "src0")
     raw = docs.filter(F.col("source") != "src0")
     return tx.dsir_weights(raw, target)
+
+
+@register(
+    "corpus_mix_weights",
+    f"""
+    WITH per AS (
+        SELECT source AS domain,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({_sql_words()})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), fixed AS (
+        SELECT *, CAST(round(sqrt(n_tokens) * 1000) AS BIGINT) AS _s FROM per
+    ), tot AS (
+        SELECT CAST(sum(_s) AS BIGINT) AS _tot FROM fixed
+    )
+    SELECT domain, n_docs, n_tokens,
+           CAST(1000 * _s // _tot AS BIGINT) AS weight_milli
+    FROM fixed CROSS JOIN tot
+    """,
+)
+def corpus_mix_weights(spark, sf_dir):
+    """Temperature-0.5 domain mixing weights (functions/text.py
+    mix_weights): per-source token counts, milli-fixed sqrt before the
+    normalizing sum so the mix is bit-identical cross-engine."""
+    docs = tables(spark, sf_dir)["documents"]
+    return tx.mix_weights(docs)

@@ -879,3 +879,24 @@ def test_dsir_weights_favor_target_like_docs(spark):
     )
     rows = {r["doc_id"]: r["dsir_milli"] for r in text.dsir_weights(raw, target).collect()}
     assert rows[1] > rows[2]
+
+
+def test_mix_weights_flatten_head_domain(spark):
+    """sqrt temperature: a domain with 4x the tokens gets only 2x the
+    weight; weights are exact integer milli from milli-fixed sqrts."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h", "big"), (2, "a b c d e f g h", "big"),
+         (3, "a b c d e f g h", "big"), (4, "a b c d e f g h", "big"),
+         (5, "a b c d e f g h", "small")],
+        ["doc_id", "text", "source"],
+    )
+    rows = {r["domain"]: r for r in text.mix_weights(df).collect()}
+    assert rows["big"]["n_tokens"] == 32 and rows["small"]["n_tokens"] == 8
+    s_big = round(math.sqrt(32) * 1000)
+    s_small = round(math.sqrt(8) * 1000)
+    assert rows["big"]["weight_milli"] == 1000 * s_big // (s_big + s_small)
+    assert rows["small"]["weight_milli"] == 1000 * s_small // (s_big + s_small)
+    # 4x tokens -> ~2x weight, not 4x
+    assert rows["big"]["weight_milli"] < 3 * rows["small"]["weight_milli"]
