@@ -71,6 +71,12 @@ HEADLINE = [
     "text_tfidf",
     "dedup_substring_spans",
     "text_repetition",
+    # r5 additions — heaviest of the new ops (two full-corpus n-gram
+    # model builds + the iterative graph workload); first-15 prefix
+    # comparable to r4's totals
+    "text_bigram_lm",
+    "text_dsir",
+    "graph_pagerank",
 ]
 
 

@@ -347,3 +347,104 @@ def recall_eval(
         F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
         F.expr(f"1000 * coalesce(n_hits, 0) div {k}").alias("recall_milli"),
     )
+
+
+# --- distributed k-means (integer-exact Lloyd's) ----------------------
+
+
+def micro_vec(vec: Column) -> Column:
+    """Fix a float vector to integer MICRO units. Rounding mode can't
+    diverge cross-engine: a binary float times 1e6 never lands exactly
+    on .5 (that would need a /5^6 factor no binary float has), so
+    HALF_UP vs HALF_EVEN never triggers. All downstream k-means arithmetic
+    is exact long math, so the clustering is bit-identical in any
+    engine and under any partitioning — a float Lloyd's iteration
+    sums coordinates in partition order and is neither."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * 1_000_000).cast("long"))
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column, run for a
+    FIXED number of iterations from a deterministic hash-ordered seed
+    sample (the ivf_centroids policy) — the clustering step behind
+    SemDeDup-at-scale, IVF index training, and corpus topic bucketing.
+
+    Exactness: vectors are micro-fixed longs; distances are exact
+    long squared-euclidean (|x| ≤ ~2·10⁶ micro ⇒ d² ≤ 64·1.6·10¹³ ≈
+    10¹⁵ < 2⁶³); centroid updates are per-dimension long sums with
+    integer division by cluster size. Every step is order-independent.
+
+    Distributed shape — the centroid set is a MODEL, not data: k·dim
+    longs, fetched driver-side per round (the ivf_centroids precedent,
+    similarity.py:199) and baked into the next round's plan as
+    LITERALS. Assignment is therefore a zero-shuffle narrow map — the
+    corpus never shuffles and never joins for assignment; the ONLY
+    wide op per round is the centroid-update agg, whose map-side
+    partial combine collapses every task to ≤ k rows of (count, dim
+    sums) before a k-key shuffle. The final assignment pass is pure
+    narrow codegen. Assignment ties break to the lowest centroid id
+    (array_min over (dist, cid) structs). An emptied cluster keeps
+    its previous centroid (standard Lloyd's repair). Returns
+    (vec_id, cluster, dist2) for the final assignment."""
+    dim = probe_dim(df, vec_col) or 0
+    vm = df.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("v"))
+    seed_rows = (
+        vm.orderBy(h60(F.col(id_col).cast("string")), F.col(id_col)).limit(k).collect()
+    )
+    cvecs: list[list[int]] = [[int(x) for x in r["v"]] for r in seed_rows]
+
+    def best_dc(cvs: list[list[int]]) -> Column:
+        # array of (dist2, cid) structs vs literal centroids; array_min
+        # compares lexicographically -> min dist, ties to lowest cid
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                "v",
+                                F.array(*[F.lit(c) for c in cv]),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x,
+                        ).alias("d"),
+                        F.lit(cid + 1).alias("cid"),
+                    )
+                    for cid, cv in enumerate(cvs)
+                ]
+            )
+        )
+
+    for _ in range(iters - 1):
+        assigned = vm.select("v", best_dc(cvecs).getField("cid").alias("cluster"))
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(F.element_at("v", i + 1)).alias(f"_s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        updated = dict(enumerate(cvecs))  # cid-1 -> old centroid (empty-cluster repair)
+        for r in stats:
+            updated[r["cluster"] - 1] = [
+                int(r[f"_s{i}"]) // r["_n"]
+                if r[f"_s{i}"] >= 0
+                else -((-int(r[f"_s{i}"])) // r["_n"])
+                for i in range(dim)
+            ]
+        cvecs = [updated[i] for i in range(len(cvecs))]
+    # stage the struct in its own select so the two getFields read one
+    # computed value (k distance folds once per row, not twice)
+    return vm.select(F.col(id_col), best_dc(cvecs).alias("_dc")).select(
+        id_col,
+        F.col("_dc.cid").alias("cluster"),
+        F.col("_dc.d").alias("dist2"),
+    )

@@ -3328,3 +3328,51 @@ def corpus_mix_weights(spark, sf_dir):
     normalizing sum so the mix is bit-identical cross-engine."""
     docs = tables(spark, sf_dir)["documents"]
     return tx.mix_weights(docs)
+
+
+_KM_MICRO = "list_transform(embedding, x -> CAST(round(x::double * 1000000) AS BIGINT))"
+_KM_DIST = (
+    "list_sum([(m.v[i] - c.cv[i]) * (m.v[i] - c.cv[i]) "
+    "for i in range(1, len(m.v) + 1)])"
+)
+
+
+@register(
+    "ml_kmeans",
+    f"""
+    WITH vm AS (
+        SELECT vec_id, {_KM_MICRO} AS v FROM embeddings
+    ), seeds AS (
+        SELECT row_number() OVER (ORDER BY {_sql_h60('vec_id::varchar')}, vec_id) AS cid,
+               v AS cv
+        FROM vm ORDER BY {_sql_h60('vec_id::varchar')}, vec_id LIMIT 8
+    ), scored1 AS (
+        SELECT m.vec_id, m.v, c.cid, {_KM_DIST} AS d
+        FROM vm m CROSS JOIN seeds c
+    ), a1 AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM scored1) WHERE rn = 1
+    ), sums1 AS (
+        SELECT cluster, dim,
+               CAST(sum(v[dim]) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+        FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) dims
+        GROUP BY cluster, dim
+    ), c1 AS (
+        SELECT cluster AS cid, list(m ORDER BY dim) AS cv FROM sums1 GROUP BY cluster
+    ), scored2 AS (
+        SELECT m.vec_id, m.v, c.cid, {_KM_DIST} AS d
+        FROM vm m CROSS JOIN c1 c
+    )
+    SELECT vec_id, cluster, dist2 FROM (
+        SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM scored2) WHERE rn = 1
+    """,
+)
+def ml_kmeans(spark, sf_dir):
+    """Integer-exact distributed Lloyd's k-means (functions/
+    similarity.py kmeans): micro-fixed long vectors, hash-ordered
+    deterministic seeds, k=8, 2 iterations, broadcast centroids."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return sim.kmeans(emb, k=8, iters=2)

@@ -900,3 +900,23 @@ def test_mix_weights_flatten_head_domain(spark):
     assert rows["small"]["weight_milli"] == 1000 * s_small // (s_big + s_small)
     # 4x tokens -> ~2x weight, not 4x
     assert rows["big"]["weight_milli"] < 3 * rows["small"]["weight_milli"]
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    """Two tight groups far apart: k=2 must put them in different
+    clusters with every member agreeing, regardless of which seeds
+    the hash sample picks."""
+    rows = [
+        (0, [10.0, 0.0]), (1, [10.1, 0.1]), (2, [9.9, -0.1]),
+        (3, [-10.0, 0.0]), (4, [-10.1, 0.1]), (5, [-9.9, -0.1]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.kmeans(df, k=2, iters=3)
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert len(set(got.values())) == 2
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    assert got[0] != got[3]
+    # deterministic: a second run is bit-identical
+    again = {r["vec_id"]: r["cluster"] for r in similarity.kmeans(df, k=2, iters=3).collect()}
+    assert got == again

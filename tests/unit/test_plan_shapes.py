@@ -569,3 +569,13 @@ def test_dsir_models_broadcast_corpus_never_shuffles_on_feature(plans):
     assert "Window [" not in plan
     assert plan.count("BroadcastExchange") >= 3
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_kmeans_final_assignment_zero_shuffle(plans):
+    """ml_kmeans: centroids are a driver-fetched model baked in as
+    plan literals, so the returned assignment pass is a pure narrow
+    map — NO exchange, no join, no window anywhere in the final plan
+    (iteration-update aggs run at build time, not in this plan)."""
+    plan = plans("ml_kmeans")
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Window [" not in plan
