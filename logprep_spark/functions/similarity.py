@@ -353,10 +353,11 @@ def recall_eval(
 
 
 def micro_vec(vec: Column) -> Column:
-    """Fix a float vector to integer MICRO units. Rounding mode can't
-    diverge cross-engine: a binary float times 1e6 never lands exactly
-    on .5 (that would need a /5^6 factor no binary float has), so
-    HALF_UP vs HALF_EVEN never triggers. All downstream k-means arithmetic
+    """Fix a float vector to integer MICRO units. Exact-.5 ties ARE
+    reachable (x = k/2^7 gives x·1e6 = k·7812.5 exactly), but both
+    engines round doubles half-AWAY-FROM-ZERO (probed: Spark ROUND and
+    DuckDB round() each give ±7813 for ±7812.5), so the fix is
+    bit-identical cross-engine. All downstream k-means arithmetic
     is exact long math, so the clustering is bit-identical in any
     engine and under any partitioning — a float Lloyd's iteration
     sums coordinates in partition order and is neither."""

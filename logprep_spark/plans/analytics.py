@@ -642,3 +642,51 @@ def q18_large_volume_customer(
             "total_qty",
         )
     )
+
+
+def gap_fill_hourly(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Time-series resampling with forward fill — the warehouse
+    gap-fill: per user, a dense hourly grid from first to last
+    activity, each hour carrying the mean event value, empty hours
+    forward-filled from the last observed hour (LOCF).
+
+    Exactness: values are micro-fixed to longs before the per-hour
+    mean (exact long sum + integer div) — a double AVG depends on
+    partition order. The ±.5 rounding tie is engine-safe (both round
+    half-away-from-zero; see functions/similarity.micro_vec).
+
+    Distributed shape: per-hour means and per-user bounds are partial
+    aggs (map-side combine); the grid EXPLODES FROM THE AGGREGATED
+    bounds (one row per user → span/hour rows), never from raw
+    events; the grid⋈hourly join is (user, hour)-keyed and
+    AQE-splittable; the forward fill is ONE user-keyed window whose
+    partitions are bounded by span hours, not event counts. Output
+    hours are ISO strings (date dtype classes differ across engines).
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    vm = F.round(F.col(value_col).cast("double") * 1_000_000).cast("long")
+    ev = events.select(F.col(user_col), hour.alias("h"), vm.alias("_vm"))
+    hourly = ev.groupBy(user_col, "h").agg(
+        F.expr("sum(_vm) div (count(1) * 1000)").alias("obs_milli")
+    )
+    bounds = hourly.groupBy(user_col).agg(F.min("h").alias("_h0"), F.max("h").alias("_h1"))
+    grid = bounds.select(
+        F.col(user_col),
+        F.explode(F.sequence("_h0", "_h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    win = (
+        Window.partitionBy(user_col)
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, [user_col, "h"], "left")
+        .select(
+            F.col(user_col),
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            F.last("obs_milli", ignorenulls=True).over(win).alias("value_milli"),
+            F.col("obs_milli").isNull().alias("filled"),
+        )
+    )

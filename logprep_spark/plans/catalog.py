@@ -3376,3 +3376,37 @@ def ml_kmeans(spark, sf_dir):
     deterministic seeds, k=8, 2 iterations, broadcast centroids."""
     emb = tables(spark, sf_dir)["embeddings"]
     return sim.kmeans(emb, k=8, iters=2)
+
+
+@register(
+    "events_gap_fill",
+    """
+    WITH ev AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(round(value::double * 1000000) AS BIGINT) AS vm
+        FROM events WHERE user_id % 10 = 0
+    ), hourly AS (
+        SELECT user_id, h,
+               CAST(sum(vm) // (count(*) * 1000) AS BIGINT) AS obs_milli
+        FROM ev GROUP BY user_id, h
+    ), bounds AS (
+        SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    )
+    SELECT g.user_id,
+           strftime(g.h, '%Y-%m-%d %H:00') AS hour,
+           last_value(hr.obs_milli IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_milli,
+           hr.obs_milli IS NULL AS filled
+    FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
+    """,
+)
+def events_gap_fill(spark, sf_dir):
+    """Hourly gap-fill + LOCF forward fill (plans/analytics.py
+    gap_fill_hourly) over a user subset — dense per-user hour grid
+    exploded from AGGREGATED bounds, micro-fixed exact means."""
+    events = tables(spark, sf_dir)["events"]
+    return an.gap_fill_hourly(events.filter(F.col("user_id") % 10 == 0))

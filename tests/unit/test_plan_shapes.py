@@ -579,3 +579,14 @@ def test_kmeans_final_assignment_zero_shuffle(plans):
     plan = plans("ml_kmeans")
     assert "Exchange" not in plan
     assert "Join" not in plan and "Window [" not in plan
+
+
+def test_gap_fill_grid_explodes_from_aggregated_bounds(plans):
+    """events_gap_fill: the hour grid must Generate from the per-user
+    BOUNDS agg (one row per user), never from raw events, and the
+    forward fill is a single user-keyed window."""
+    plan = plans("events_gap_fill")
+    gen = [l for l in plan.split("\n") if "Generate explode" in l]
+    assert len(gen) == 1
+    win_lines = [l for l in plan.split("\n") if "Window [" in l]
+    assert len(win_lines) == 1 and "windowspecdefinition(user_id" in win_lines[0]
