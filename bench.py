@@ -198,6 +198,12 @@ def main() -> None:
 
     sf1_block = None
     if os.environ.get("SPARK_GRAFT_SF1_SPOT", "1") != "0":
+        # release the headline queries' staging persists before the 10x
+        # block (see session.release_staging_cache — bounded by LRU
+        # either way, but the spot should start from a clean store)
+        from logprep_spark.session import release_staging_cache
+
+        release_staging_cache(spark)
         sf1_dir = ensure_sf1(spark)
         # single timed run per query: the spot exists to expose
         # super-linear scaling (10x data, ~10x expected time) — that

@@ -690,3 +690,45 @@ def gap_fill_hourly(
             F.col("obs_milli").isNull().alias("filled"),
         )
     )
+
+
+def q10_returned_items(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame, k: int = 20
+) -> DataFrame:
+    """TPC-H Q10 shape: the returned-item revenue report — a quarter
+    of orders joined to R-flagged lineitems and the customer/nation
+    dims, grouped per customer, top-k by revenue. Both fact filters
+    push to the scans; lineitem⋈orders stays a shuffle join (both
+    facts at scale); nation broadcasts; customer joins AFTER the
+    per-customer agg has shrunk the fact side to one row per customer
+    — joining the dim pre-agg would carry c_name/c_acctbal through
+    the fact shuffle for nothing. Top-k is TakeOrderedAndProject."""
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    items = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        items.join(ords, items.l_orderkey == ords.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev.join(customer, rev.o_custkey == customer.c_custkey)
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(k)
+    )

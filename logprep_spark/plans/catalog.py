@@ -3410,3 +3410,29 @@ def events_gap_fill(spark, sf_dir):
     exploded from AGGREGATED bounds, micro-fixed exact means."""
     events = tables(spark, sf_dir)["events"]
     return an.gap_fill_hourly(events.filter(F.col("user_id") % 10 == 0))
+
+
+@register(
+    "tpch_q10",
+    """
+    SELECT c_custkey, c_name, revenue, round(c_acctbal, 2) AS c_acctbal, n_name
+    FROM (
+        SELECT o_custkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY o_custkey
+    )
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape (plans/analytics.py q10_returned_items):
+    fact-fact shuffle join -> per-customer agg -> dim joins AFTER the
+    agg -> TakeOrdered top-20."""
+    t = tables(spark, sf_dir)
+    return an.q10_returned_items(t["customer"], t["orders"], t["lineitem"], t["nation"])

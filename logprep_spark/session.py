@@ -108,3 +108,17 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = Non
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+def release_staging_cache(spark: SparkSession) -> None:
+    """Unpersist every cached block in the session.
+
+    The dedup/text/similarity plan builders persist their staging
+    frames (tfidf's tf table, the LSH pair stage, the bigram stream,
+    …) because lazy return values give callers no hook to unpersist —
+    Spark's LRU eviction bounds the cost, but a long-lived session
+    that builds many plans accumulates cached blocks. Call this
+    between logical work units (the bench calls it between its
+    phases) to release them all; CacheManager re-caches on the next
+    use, so correctness is unaffected."""
+    spark.catalog.clearCache()

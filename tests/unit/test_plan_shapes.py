@@ -590,3 +590,17 @@ def test_gap_fill_grid_explodes_from_aggregated_bounds(plans):
     assert len(gen) == 1
     win_lines = [l for l in plan.split("\n") if "Window [" in l]
     assert len(win_lines) == 1 and "windowspecdefinition(user_id" in win_lines[0]
+
+
+def test_q10_aggregates_before_dim_join_takeordered(plans):
+    """tpch_q10: the per-customer agg runs BEFORE the customer/nation
+    joins (dims never ride the fact shuffle), the returnflag filter
+    pushes to the lineitem scan, and top-k is TakeOrderedAndProject."""
+    plan = plans("tpch_q10")
+    assert "TakeOrdered" in plan
+    scan = next(l for l in plan.split("\n") if "FileScan" in l and "lineitem" in l)
+    assert "l_returnflag" in scan
+    # the aggregate's grouping key is the fact-side custkey — the agg
+    # happens before c_name/c_acctbal exist in the stream
+    agg_lines = [l for l in plan.split("\n") if "HashAggregate" in l and "o_custkey" in l]
+    assert agg_lines and all("c_name" not in l for l in agg_lines)
