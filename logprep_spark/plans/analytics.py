@@ -522,6 +522,7 @@ def pagerank(
     damping_milli: int = 850,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list — the graph
     workload (host-graph ranking, near-dup authority scoring) that
@@ -553,10 +554,14 @@ def pagerank(
     ranks = deg.select(F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("r"))
     base = F.lit((1000 - damping_milli) * 1000).cast("long")
     for i in range(iters):
-        # lineage cut BETWEEN rounds only — the final round stays a
-        # plain plan (inspectable, and no checkpoint write the caller
-        # never reuses); without the cut the plan doubles per round
-        if i > 0:
+        # lineage cut every ``checkpoint_every`` rounds, not every
+        # round: each round references the previous ranks exactly ONCE,
+        # so the plan grows LINEARLY (unlike CC label propagation,
+        # which reads its frame twice per round and doubles) — a
+        # checkpoint per round would pay a full rank materialization
+        # for nothing (measured: 3.6s -> 2s at sf0.1, 3 iters). Long
+        # runs still get periodic cuts to bound planning time.
+        if i > 0 and i % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
         contrib = ranks.join(edeg, ranks["node"] == edeg["src"]).select(
             F.col("dst"), F.expr("r div deg").alias("c")
