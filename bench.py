@@ -77,6 +77,7 @@ HEADLINE = [
     "text_bigram_lm",
     "text_dsir",
     "graph_pagerank",
+    "pipeline_training_data_v2",
 ]
 
 

@@ -3259,7 +3259,7 @@ def graph_pagerank(spark, sf_dir):
     return an.pagerank(edges, iters=3)
 
 
-def _sql_dsir_feats(src_filter: str) -> str:
+def _sql_dsir_feats(src_filter: str, src: str = "documents") -> str:
     words = _sql_words("lower(text)")
     return f"""
         SELECT doc_id, {_sql_h60('g')} % 10000 AS b FROM (
@@ -3267,7 +3267,7 @@ def _sql_dsir_feats(src_filter: str) -> str:
                    unnest(list_concat(w,
                        [array_to_string(w[i:i+1], ' ')
                         for i in range(1, greatest(len(w) - 1, 0) + 1)])) AS g
-            FROM (SELECT doc_id, {words} AS w FROM documents WHERE {src_filter})
+            FROM (SELECT doc_id, {words} AS w FROM {src} WHERE {src_filter})
         )
     """
 
@@ -3436,3 +3436,169 @@ def tpch_q10(spark, sf_dir):
     agg -> TakeOrdered top-20."""
     t = tables(spark, sf_dir)
     return an.q10_returned_items(t["customer"], t["orders"], t["lineitem"], t["nation"])
+
+
+def _sql_gopher_pass_ids(src: str = "documents", min_stop_hits: int = 2) -> str:
+    """doc_ids passing the Gopher A1.1 conjunction (fragment mirror of
+    the text_gopher oracle, parameterized on the corpus relation).
+    ``min_stop_hits`` relaxes the required-stop-word rule: the
+    synthetic corpus's vocabulary carries only 'the' from the Gopher
+    list, so the paper's >= 2 would gate out every document."""
+    w = _sql_words()
+    return f"""
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   len({w}) AS n,
+                   greatest(len({w}), 1)::DOUBLE AS nd,
+                   greatest(len(string_split(text, chr(10))), 1)::DOUBLE AS nl,
+                   text
+            FROM {src}
+        ) WHERE n BETWEEN 50 AND 100000
+          AND round(1000.0 * length(regexp_replace(text, '\\s+', '', 'g')) / nd)
+              BETWEEN 3000 AND 10000
+          AND round(1000.0 * (len(regexp_extract_all(text, '#'))
+                              + len(regexp_extract_all(text, '\\.\\.\\.'))) / nd) <= 100
+          AND round(1000.0 * len(list_filter(string_split(text, chr(10)),
+                    l -> regexp_matches(l, '^\\s*([-*•])'))) / nl) <= 900
+          AND round(1000.0 * len(list_filter(string_split(text, chr(10)),
+                    l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) / nl) <= 300
+          AND round(1000.0 * len(list_filter({w},
+                    t -> regexp_matches(t, '[A-Za-z]'))) / nd) >= 800
+          AND len(list_intersect(list_distinct({_sql_words("lower(text)")}),
+                  {tx.GOPHER_REQUIRED_WORDS!r})) >= {min_stop_hits}
+    """
+
+
+@register(
+    "pipeline_training_data_v2",
+    f"""
+    WITH pass AS (
+        {_sql_gopher_pass_ids("documents", min_stop_hits=1)}
+    ), cents AS (
+        SELECT embedding AS cvec,
+               row_number() OVER (ORDER BY {_sql_h60('vec_id::varchar')}, vec_id) AS cid
+        FROM embeddings
+        ORDER BY {_sql_h60('vec_id::varchar')}, vec_id LIMIT 16
+    ), scored_all AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_sql_cosine('e.embedding', 'c.cvec')} AS s
+        FROM embeddings e CROSS JOIN cents c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid AS bucket FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+            FROM scored_all
+        ) WHERE rn = 1
+    ), sem_drop AS (
+        SELECT DISTINCT b.vec_id AS doc_id
+        FROM assigned a JOIN assigned b USING (bucket)
+        WHERE a.vec_id < b.vec_id
+          AND {_sql_cosine('a.embedding', 'b.embedding')} >= 0.35
+    ), surv AS (
+        SELECT d.* FROM documents d
+        JOIN pass USING (doc_id)
+        WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop)
+    ), toked AS (
+        SELECT doc_id, {_sql_words('lower(text)')} AS w FROM surv
+    ), big AS (
+        SELECT doc_id,
+               unnest(w[1:len(w)-1]) AS w1,
+               unnest(w[2:len(w)])   AS w2
+        FROM toked WHERE len(w) >= 2
+    ), c2 AS (
+        SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+    ), v AS (
+        SELECT count(DISTINCT w2) AS _v FROM c2
+    ), lmscored AS (
+        SELECT b.doc_id,
+               CAST(round(log2((c1 + 0.1 * _v) / (c2 + 0.1)) * 1000000) AS BIGINT) AS micro
+        FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    ), lm AS (
+        SELECT doc_id,
+               CAST(sum(micro) // (count(*) * 1000) AS BIGINT) AS bits_milli
+        FROM lmscored GROUP BY doc_id
+    ), rf AS ({_sql_dsir_feats("source <> 'src0'", "surv")}),
+    tf AS ({_sql_dsir_feats("source = 'src0'", "surv")}),
+    tc AS (SELECT b, count(*) AS ct FROM tf GROUP BY b),
+    rc AS (SELECT b, count(*) AS cr FROM rf GROUP BY b),
+    tot AS (SELECT CAST(sum(ct) AS BIGINT) AS _tt FROM tc),
+    tor AS (SELECT CAST(sum(cr) AS BIGINT) AS _tr FROM rc),
+    dsirscored AS (
+        SELECT r.doc_id,
+               CAST(round(log2(((coalesce(ct, 0) + 1.0) * (_tr + 10000))
+                              / ((_tt + 10000) * (cr + 1.0))) * 1000000)
+                    AS BIGINT) AS micro
+        FROM rf r LEFT JOIN tc USING (b) JOIN rc USING (b)
+        CROSS JOIN tot CROSS JOIN tor
+    ), dsir AS (
+        SELECT doc_id,
+               CAST(sum(micro) // (count(*) * 1000) AS BIGINT) AS dsir_milli
+        FROM dsirscored GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(len({_sql_words('s.text')}) AS BIGINT) AS n_tokens,
+           lm.bits_milli,
+           coalesce(dsir.dsir_milli, 0) AS dsir_milli,
+           s.source = 'src0' AS is_target
+    FROM surv s
+    JOIN lm USING (doc_id)
+    LEFT JOIN dsir USING (doc_id)
+    """,
+)
+def pipeline_training_data_v2(spark, sf_dir):
+    """Second flagship composition — the r5 operator set as ONE
+    pipeline: Gopher A1.1 rule gate -> SemDeDup anti-join (embedding
+    clusters, vec_id == doc_id) -> bigram-LM perplexity scored on the
+    SURVIVING corpus -> DSIR importance weights vs the src0 target
+    domain. The gate and anti-join are narrow-plus-one-shuffle each;
+    both scoring models are trained on survivors only (the order a
+    real cleanup runs: filter first, model second — a model trained
+    pre-filter learns the garbage it is supposed to remove)."""
+    from logprep_spark.session import fan_out
+
+    t = tables(spark, sf_dir)
+    docs = fan_out(t["documents"])
+    emb = t["embeddings"]
+    g = tx.gopher_rules(docs)
+    # gopher_pass demands >= 2 required stop words; this corpus's
+    # vocabulary carries only 'the' from the list, so the gate here is
+    # the same conjunction with stop_hits >= 1 (see _sql_gopher_pass_ids)
+    gate = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len_milli").between(3000, 10000)
+        & (F.col("symbol_ratio_milli") <= 100)
+        & (F.col("bullet_lines_milli") <= 900)
+        & (F.col("ellipsis_lines_milli") <= 300)
+        & (F.col("alpha_words_milli") >= 800)
+        & (F.col("stop_hits") >= 1)
+    )
+    passed = docs.join(g.filter(gate).select("doc_id"), "doc_id", "left_semi")
+    sem_dropped = dd.semantic_dedup(emb, threshold=0.35, n_centroids=16).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    surv = passed.join(sem_dropped, "doc_id", "left_anti")
+    from pyspark.storagelevel import StorageLevel
+
+    surv = surv.persist(StorageLevel.MEMORY_AND_DISK)
+    lm = tx.bigram_lm_score(surv).select("doc_id", "bits_milli")
+    dsir = tx.dsir_weights(
+        surv.filter(F.col("source") != "src0"),
+        surv.filter(F.col("source") == "src0"),
+    ).select("doc_id", "dsir_milli")
+    return (
+        surv.select(
+            "doc_id",
+            tx.token_count(F.col("text")).alias("n_tokens"),
+            (F.col("source") == "src0").alias("is_target"),
+        )
+        .join(lm, "doc_id")
+        .join(dsir, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "bits_milli",
+            F.coalesce("dsir_milli", F.lit(0)).alias("dsir_milli"),
+            "is_target",
+        )
+    )
