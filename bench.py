@@ -82,6 +82,7 @@ HEADLINE = [
 
 
 SF1_SPOT = [
+    "text_bigram_lm",
     "dedup_minhash_lsh",
     "text_tfidf",
     "dedup_substring_spans",

@@ -105,3 +105,45 @@ def heavy_hitters(df: DataFrame, item_col: str, min_frac: float = 0.01) -> DataF
             F.expr("1000 * n div _total").alias("milli_share"),
         )
     )
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str, rsd: float = 0.02) -> DataFrame:
+    """Per-group approximate distinct counts via Spark's native
+    HyperLogLog++ (``approx_count_distinct``) next to the exact
+    count — the memory-bounded scale path for billion-cardinality
+    distinct counting (exact distinct must shuffle every distinct
+    value; HLL++ ships a fixed-size sketch per group through the
+    partial agg). The exact column doubles as the in-query accuracy
+    witness; cross-engine sketch values legitimately differ, so the
+    driver gate is rows-only and the accuracy bound lives in pytest.
+    """
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.approx_count_distinct(value_col, rsd).alias("approx_distinct"),
+            F.count_distinct(value_col).alias("exact_distinct"),
+        )
+        .withColumn(
+            "err_milli",
+            F.expr(
+                "1000 * abs(approx_distinct - exact_distinct) div greatest(exact_distinct, 1)"
+            ),
+        )
+    )
+
+
+def quantile_sketch(
+    df: DataFrame, group_col: str, value_col: str, accuracy: int = 1000
+) -> DataFrame:
+    """Per-group approximate quantiles via Spark's native
+    Greenwald-Khanna sketch (``percentile_approx``) next to the exact
+    percentiles — the scale path when a full sort per group is off the
+    table. Same gating rationale as :func:`hll_distinct`: sketches
+    are engine-specific, so rows-only driver check + pytest accuracy
+    bound (GK guarantees rank error <= n/accuracy)."""
+    qs = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    return df.groupBy(group_col).agg(
+        F.percentile_approx(value_col, qs, F.lit(accuracy)).alias("approx_q"),
+        F.percentile(value_col, qs).alias("exact_q"),
+        F.count(F.lit(1)).alias("n"),
+    )

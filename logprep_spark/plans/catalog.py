@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from logprep_spark.functions import dedup as dd
 from logprep_spark.functions import sampling as smp
 from logprep_spark.functions import similarity as sim
+from logprep_spark.functions import sketch as sk
 from logprep_spark.functions import text as tx
 from logprep_spark.operators import (
     Calculator,
@@ -3602,3 +3603,27 @@ def pipeline_training_data_v2(spark, sf_dir):
             "is_target",
         )
     )
+
+
+# rows-only sketch queries: HLL++/GK sketch VALUES are engine-specific
+# (DuckDB's approx_count_distinct uses a different HLL seed/width), so
+# there is deliberately no oracle_sql entry — the driver records the
+# weaker rows-only check and the accuracy bound is pytest-gated
+# (tests/unit/functions: err_milli <= 3*rsd, GK rank error <= n/acc).
+
+
+@register("sketch_hll_distinct")
+def sketch_hll_distinct(spark, sf_dir):
+    """Per-event-type HLL++ approximate distinct users next to the
+    exact count (functions/sketch.py hll_distinct)."""
+    events = tables(spark, sf_dir)["events"]
+    return sk.hll_distinct(events, "event_type", "user_id")
+
+
+@register("sketch_quantiles_approx")
+def sketch_quantiles_approx(spark, sf_dir):
+    """Per-event-type Greenwald-Khanna approximate p50/p90/p99 of
+    event value next to the exact percentiles (functions/sketch.py
+    quantile_sketch)."""
+    events = tables(spark, sf_dir)["events"]
+    return sk.quantile_sketch(events, "event_type", "value")

@@ -920,3 +920,35 @@ def test_kmeans_separates_obvious_clusters(spark):
     # deterministic: a second run is bit-identical
     again = {r["vec_id"]: r["cluster"] for r in similarity.kmeans(df, k=2, iters=3).collect()}
     assert got == again
+
+
+def test_hll_distinct_within_error_bound(spark, sf_dir):
+    from logprep_spark.functions import sketch as sk
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = sk.hll_distinct(events, "event_type", "user_id", rsd=0.02).collect()
+    assert rows
+    for r in rows:
+        # HLL++ rsd=0.02 -> 3 sigma ~ 6%; allow 8% slack for small groups
+        assert r["err_milli"] <= 80, (r["event_type"], r["err_milli"])
+
+
+def test_quantile_sketch_rank_error_bound(spark, sf_dir):
+    from logprep_spark.functions import sketch as sk
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = sk.quantile_sketch(events, "event_type", "value", accuracy=1000).collect()
+    assert rows
+    # GK's guarantee is on RANK error (<= n/accuracy), not value
+    # distance — verify the returned value's actual rank per group
+    values = {}
+    for ev in events.select("event_type", "value").collect():
+        values.setdefault(ev["event_type"], []).append(ev["value"])
+    for r in rows:
+        vs = sorted(values[r["event_type"]])
+        n = len(vs)
+        for q, approx in zip((0.5, 0.9, 0.99), r["approx_q"]):
+            import bisect
+
+            rank = bisect.bisect_right(vs, approx)
+            assert abs(rank - q * n) <= n / 1000 + 2, (r["event_type"], q)
