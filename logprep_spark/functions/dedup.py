@@ -113,6 +113,37 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Continuous-ingestion dedup: a NEW batch against the historical
+    fingerprint store — the shape a daily crawl pipeline runs (the
+    store is yesterday's output of this same op). A batch doc
+    survives iff its normalized-text hash is (a) absent from history
+    and (b) first (lowest id) within the batch.
+
+    Distributed shape: history contributes ONLY its distinct md5
+    column — at 100 TB the store is a bucketed fingerprint table, and
+    this anti-join co-locates on the hash (AQE-splittable); the
+    in-batch keep-first is the exact_dedup min-id window on the
+    SURVIVORS (post-anti-join, so history-matched rows never enter
+    the window shuffle)."""
+    from pyspark.sql import Window
+
+    fp = F.md5(F.array_join(tokens(F.col(text_col)), " "))
+    hist = history.select(fp.alias("_fp")).distinct()
+    fresh = batch.withColumn("_fp", fp).join(hist, "_fp", "left_anti")
+    by_hash = Window.partitionBy("_fp").orderBy(id_col)
+    return (
+        fresh.withColumn("_rn", F.row_number().over(by_hash))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Duplicate groups: (text_hash, n_dups, keeper_id), groups > 1."""
     normalized = F.array_join(tokens(F.col(text_col)), " ")

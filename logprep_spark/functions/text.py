@@ -755,3 +755,37 @@ def compression_ratio(col: Column, level: int = 6) -> Column:
         return s.map(one)
 
     return _ratio(col)
+
+
+def bpe_pair_counts(df: DataFrame, top_n: int = 50, text_col: str = "text") -> DataFrame:
+    """One iteration of BPE merge-candidate counting — the inner loop
+    of byte-pair-encoding tokenizer training, run at corpus scale:
+    count every adjacent character pair WITHIN words, rank the merge
+    candidates. (A full BPE trainer repeats this after each merge;
+    the counting pass is the distributed-scale step.)
+
+    Distributed shape: words explode once, char pairs generate inside
+    an array column (one Generate), then a pair-keyed hash agg with
+    map-side combine — pair cardinality is bounded by charset², so
+    the shuffle is tiny regardless of corpus size; top-N is
+    TakeOrderedAndProject over the aggregated pairs."""
+    from pyspark.sql import Window
+
+    words = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    win = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        counted.orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(win))
+    )

@@ -737,3 +737,61 @@ def q10_returned_items(
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(k)
     )
+
+
+def ab_test(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    min_events: int = 14,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Two-proportion z-test over an A/B split — the experiment
+    readout next to the funnel/retention reports: variant = user
+    parity (a deterministic stand-in for the assignment column a real
+    experiment logs), conversion = the user emitted ``conversion_type``
+    at least once. One row: exposures/conversions per variant,
+    integer milli rates, and the pooled two-proportion z in milli.
+
+    Determinism: all inputs to the float z are exact integers from
+    distinct-count aggs; the z expression is a fixed operand-order
+    IEEE computation, identical in any engine — only the final milli
+    round is emitted. Distributed shape: per-user collapse is a
+    user-keyed partial agg (max(converted) folds a user's events
+    map-side); the final stats are a 2-row agg pivoted to one row."""
+    per_user = (
+        events.select(
+            F.col(user_col),
+            (F.col(user_col) % 2).alias("variant"),
+            (F.col(type_col) == conversion_type).cast("int").alias("conv"),
+        )
+        .groupBy(user_col, "variant")
+        .agg((F.sum("conv") >= min_events).cast("int").alias("converted"))
+    )
+    stats = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").alias("c"),
+    )
+    wide = stats.groupBy().agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("c"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("c"))).alias("c1"),
+    )
+    z = (
+        (F.col("c1") / F.col("n1") - F.col("c0") / F.col("n0"))
+        / F.sqrt(
+            ((F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1")))
+            * (1 - (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1")))
+            * (1 / F.col("n0") + 1 / F.col("n1"))
+        )
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.expr("1000 * c0 div n0").alias("rate0_milli"),
+        F.expr("1000 * c1 div n1").alias("rate1_milli"),
+        F.round(z * 1000).cast("long").alias("z_milli"),
+    )

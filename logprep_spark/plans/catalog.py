@@ -3627,3 +3627,90 @@ def sketch_quantiles_approx(spark, sf_dir):
     quantile_sketch)."""
     events = tables(spark, sf_dir)["events"]
     return sk.quantile_sketch(events, "event_type", "value")
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH hist AS (
+        SELECT DISTINCT md5(array_to_string({_sql_words()}, ' ')) AS fp
+        FROM documents WHERE doc_id < 250
+    ), batch AS (
+        SELECT *, md5(array_to_string({_sql_words()}, ' ')) AS fp
+        FROM documents WHERE doc_id >= 250
+    ), fresh AS (
+        SELECT b.* FROM batch b WHERE fp NOT IN (SELECT fp FROM hist)
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fresh
+    ) WHERE rn = 1
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Continuous-ingestion dedup (functions/dedup.py
+    incremental_dedup): docs < 250 stand in for the historical
+    fingerprint store; the rest arrive as the new batch."""
+    docs = tables(spark, sf_dir)["documents"]
+    history = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    return dd.incremental_dedup(batch, history)
+
+
+@register(
+    "ab_test_events",
+    """
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ), stats AS (
+        SELECT variant, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(converted) AS BIGINT) AS c
+        FROM per_user GROUP BY variant
+    ), wide AS (
+        SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+               max(CASE WHEN variant = 0 THEN c END) AS c0,
+               max(CASE WHEN variant = 1 THEN n END) AS n1,
+               max(CASE WHEN variant = 1 THEN c END) AS c1
+        FROM stats
+    )
+    SELECT n0, c0, n1, c1,
+           1000 * c0 // n0 AS rate0_milli,
+           1000 * c1 // n1 AS rate1_milli,
+           CAST(round(1000 * (c1 / n1 - c0 / n0)
+                / sqrt(((c0 + c1) / (n0 + n1)) * (1 - (c0 + c1) / (n0 + n1))
+                       * (1 / n0 + 1 / n1))) AS BIGINT) AS z_milli
+    FROM wide
+    """,
+)
+def ab_test_events(spark, sf_dir):
+    """Two-proportion z-test readout (plans/analytics.py ab_test):
+    user-parity variants, conversion = >= 14 purchases, pooled z in
+    milli."""
+    events = tables(spark, sf_dir)["events"]
+    return an.ab_test(events)
+
+
+@register(
+    "text_bpe_pairs",
+    f"""
+    WITH words AS (
+        SELECT unnest({_sql_words('lower(text)')}) AS w FROM documents
+    ), pairs AS (
+        SELECT unnest([substring(w, i, 2) for i in range(1, length(w))]) AS pair
+        FROM words WHERE length(w) >= 2
+    ), counted AS (
+        SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+    )
+    SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rank
+    FROM counted ORDER BY n DESC, pair LIMIT 50
+    """,
+)
+def text_bpe_pairs(spark, sf_dir):
+    """BPE merge-candidate counting (functions/text.py
+    bpe_pair_counts): corpus-wide adjacent-char-pair counts within
+    words, top-50 ranked — one iteration of BPE tokenizer training."""
+    docs = tables(spark, sf_dir)["documents"]
+    return tx.bpe_pair_counts(docs)

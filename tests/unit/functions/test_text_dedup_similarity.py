@@ -952,3 +952,29 @@ def test_quantile_sketch_rank_error_bound(spark, sf_dir):
 
             rank = bisect.bisect_right(vs, approx)
             assert abs(rank - q * n) <= n / 1000 + 2, (r["event_type"], q)
+
+
+def test_incremental_dedup_history_and_batch(spark):
+    hist = spark.createDataFrame(
+        [(1, "seen before"), (2, "old news")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(10, "seen  before"),      # dup of history (normalized) -> dropped
+         (11, "fresh content"),
+         (12, "fresh content"),     # in-batch dup -> keep 11 only
+         (13, "other thing")],
+        ["doc_id", "text"],
+    )
+    from logprep_spark.functions.dedup import incremental_dedup
+
+    kept = sorted(r["doc_id"] for r in incremental_dedup(batch, hist).collect())
+    assert kept == [11, 13]
+
+
+def test_bpe_pair_counts_known(spark):
+    df = spark.createDataFrame([(1, "abab abab xy")], ["doc_id", "text"])
+    rows = {r["pair"]: (r["n"], r["rank"]) for r in text.bpe_pair_counts(df).collect()}
+    # 'abab' twice: pairs ab, ba, ab per word -> ab x4, ba x2; xy x1
+    assert rows["ab"] == (4, 1)
+    assert rows["ba"] == (2, 2)
+    assert rows["xy"] == (1, 3)
