@@ -2200,7 +2200,7 @@ def sketch_heavy_hitters(spark, sf_dir):
     return heavy_hitters(items, "tok", min_frac=0.02)
 
 
-_SQL_HTML_CLEAN = """regexp_replace(trim(regexp_replace(regexp_replace(
+_SQL_HTML_CLEAN = r"""regexp_replace(trim(regexp_replace(regexp_replace(
         replace(replace(replace(replace(replace(replace(
           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
             regexp_replace(html,

@@ -604,3 +604,25 @@ def test_q10_aggregates_before_dim_join_takeordered(plans):
     # happens before c_name/c_acctbal exist in the stream
     agg_lines = [l for l in plan.split("\n") if "HashAggregate" in l and "o_custkey" in l]
     assert agg_lines and all("c_name" not in l for l in agg_lines)
+
+
+def test_no_cartesian_or_row_udf_anywhere_in_catalog(spark, sf_dir):
+    """Catalog-wide anti-pattern audit: NO query may plan a
+    CartesianProduct (a non-broadcast cross join is quadratic data
+    movement at scale; the deliberate 1-row/model attachments and the
+    broadcast-query ANN baseline plan BroadcastNestedLoopJoin, which
+    is allowed) and none may plan BatchEvalPython (row-at-a-time
+    Python UDF — the Arrow-batched ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas nodes are the sanctioned Python paths)."""
+    qs = catalog.queries()
+    offenders = {}
+    for name, fn in qs.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            bad.append("BatchEvalPython")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"anti-patterns in catalog plans: {offenders}"
