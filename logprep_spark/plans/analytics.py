@@ -550,6 +550,15 @@ def pagerank(
 
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Shuffle profile (measured via tools/shuffle_audit.py at sf0.1):
+    # the 40 MiB total is ~all edge DERIVATION (fact-fact join +
+    # distinct), not iteration traffic — AQE broadcasts the small rank
+    # side each round, so the cached edge frame never re-shuffles. An
+    # explicit repartition(src) before the persist was tried and
+    # reverted: it adds a full edge shuffle while saving none.
+    # At billion-node scale (ranks too big to broadcast) pre-bucketing
+    # edges by src IS the right move — plans/bucketing.py shows the
+    # zero-exchange pattern.
     edeg = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     ranks = deg.select(F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("r"))
     base = F.lit((1000 - damping_milli) * 1000).cast("long")
