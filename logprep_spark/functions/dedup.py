@@ -828,3 +828,48 @@ def line_dedup(
             F.sum(F.when(F.col("_keep"), 0).otherwise(1)).alias("n_removed"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS scheme): hash every k-token gram, slide a
+    w-hash window, keep each window's MINIMUM hash. Guarantee: any
+    verbatim match of at least w + k - 1 tokens shares a selected
+    fingerprint, while storing ~2/(w+1) of the gram hashes — the
+    storage/recall dial substring_dup_groups (all windows) doesn't
+    have. Ties take the lowest position; with 60-bit hashes ties are
+    vanishing, so engines agree.
+
+    Returns shared-fingerprint groups (fingerprint, n_docs,
+    keeper_id) for fingerprints selected in more than one document.
+
+    Distributed shape: gram hashing and window minima stay inside
+    array columns (one narrow projection, no explode of raw grams —
+    only the ~2/(w+1)-selected minima explode); the ONLY shuffle is
+    the fingerprint-keyed partial agg."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size("_toks")
+    kh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: h60(F.array_join(F.slice("_toks", i, k), " ")),
+    )
+    staged = toked.select(F.col(id_col), kh.alias("_kh"))
+    m = F.size("_kh")
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1))),
+            lambda j: F.array_min(F.slice("_kh", j, w)),
+        )
+    )
+    fps = staged.select(F.col(id_col), F.explode(sel).alias("fingerprint"))
+    return (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -3714,3 +3714,29 @@ def text_bpe_pairs(spark, sf_dir):
     words, top-50 ranked — one iteration of BPE tokenizer training."""
     docs = tables(spark, sf_dir)["documents"]
     return tx.bpe_pair_counts(docs)
+
+
+@register(
+    "dedup_winnow",
+    f"""
+    WITH staged AS (
+        SELECT doc_id,
+               [{_sql_h60("array_to_string(w[i:i+4], ' ')")}
+                for i in range(1, greatest(len(w) - 4, 1) + 1)] AS kh
+        FROM (SELECT doc_id, {_sql_words()} AS w FROM documents)
+    ), sel AS (
+        SELECT doc_id,
+               unnest(list_distinct([list_min(kh[j:j+3])
+                      for j in range(1, greatest(len(kh) - 3, 1) + 1)])) AS fingerprint
+        FROM staged
+    )
+    SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keeper_id
+    FROM sel GROUP BY fingerprint HAVING count(*) > 1
+    """,
+)
+def dedup_winnow(spark, sf_dir):
+    """Winnowing fingerprint groups (functions/dedup.py
+    winnow_fingerprints — SIGMOD'03 MOSS scheme, k=5 w=4): shared
+    selected-minima across documents."""
+    docs = tables(spark, sf_dir)["documents"]
+    return dd.winnow_fingerprints(docs, k=5, w=4)

@@ -978,3 +978,28 @@ def test_bpe_pair_counts_known(spark):
     assert rows["ab"] == (4, 1)
     assert rows["ba"] == (2, 2)
     assert rows["xy"] == (1, 3)
+
+
+def test_winnow_guarantee_and_sparsity(spark):
+    """Winnowing guarantee: a verbatim run of >= w+k-1 (= 8) tokens
+    shared by two docs yields a shared fingerprint; and winnowing
+    selects strictly fewer fingerprints than the all-windows scheme."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [(1, shared + " tail one two three"),
+         (2, "x y z " + shared),
+         (3, "совершенно unrelated words without overlap at all")],
+        ["doc_id", "text"],
+    )
+    groups = dedup.winnow_fingerprints(df, k=5, w=4)
+    rows = groups.collect()
+    keepers = {r["keeper_id"] for r in rows}
+    assert 1 in keepers  # docs 1 and 2 share at least one fingerprint
+    assert all(r["n_docs"] >= 2 for r in rows)
+    # sparsity: the selection keeps ~2/(w+1) of gram hashes — docs 1+2
+    # together have ~17 grams; all-windows substring groups would
+    # surface every shared gram, winnowing only the window minima
+    from pyspark.sql import functions as FF
+
+    all_windows = dedup.substring_dup_groups(df, k=5)
+    assert groups.count() <= all_windows.count()
