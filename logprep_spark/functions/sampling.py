@@ -52,3 +52,56 @@ def stratified_sample(
         )
     threshold = threshold.otherwise(F.lit(0)) if threshold is not None else F.lit(0)
     return df.filter(bucket < threshold)
+
+
+def pack_sequences(
+    df,
+    capacity_tokens: int = 2048,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Greedy sequence packing for training-batch assembly: documents
+    are packed in deterministic (group, id) order into fixed-capacity
+    token bins — the sample-packing step that turns a cleaned corpus
+    into dense training sequences (padding waste ∝ unpacked tails).
+    pack_id = floor(running-token-total / capacity) per group; docs
+    longer than the capacity get a bin of their own chunk-sequence
+    (they still advance the running total, matching how packers split
+    oversize docs across consecutive sequences).
+
+    Distributed shape: packing is per-GROUP (a global greedy order
+    would serialize the corpus through one partition — the reason
+    real packers shard first and pack within shards): one group-keyed
+    window carries the running token sum; everything else is narrow.
+    Deterministic: integer token counts, integer division, total
+    order (group, id)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from logprep_spark.functions.text import token_count
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from logprep_spark.functions.text import token_count
+
+    win = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    toks = df.select(
+        F.col(group_col), F.col(id_col), token_count(F.col(text_col)).alias("n_tokens")
+    )
+    return (
+        toks.withColumn("_cum", F.sum("n_tokens").over(win))
+        .select(
+            group_col,
+            id_col,
+            "n_tokens",
+            # a doc starts in the bin its first token lands in
+            F.expr(f"(_cum - n_tokens) div {capacity_tokens}").alias("pack_id"),
+            F.expr(f"(_cum - n_tokens) % {capacity_tokens}").alias("offset_in_pack"),
+        )
+    )

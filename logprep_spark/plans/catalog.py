@@ -3740,3 +3740,28 @@ def dedup_winnow(spark, sf_dir):
     selected-minima across documents."""
     docs = tables(spark, sf_dir)["documents"]
     return dd.winnow_fingerprints(docs, k=5, w=4)
+
+
+@register(
+    "split_pack_sequences",
+    f"""
+    WITH toks AS (
+        SELECT source, doc_id, CAST(len({_sql_words()}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), cum AS (
+        SELECT *, CAST(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS _cum
+        FROM toks
+    )
+    SELECT source, doc_id, n_tokens,
+           (_cum - n_tokens) // 2048 AS pack_id,
+           (_cum - n_tokens) % 2048 AS offset_in_pack
+    FROM cum
+    """,
+)
+def split_pack_sequences(spark, sf_dir):
+    """Deterministic greedy sequence packing (functions/sampling.py
+    pack_sequences): per-source 2048-token bins, running-sum window."""
+    docs = tables(spark, sf_dir)["documents"]
+    return smp.pack_sequences(docs, capacity_tokens=2048)

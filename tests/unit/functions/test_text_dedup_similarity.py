@@ -1003,3 +1003,20 @@ def test_winnow_guarantee_and_sparsity(spark):
 
     all_windows = dedup.substring_dup_groups(df, k=5)
     assert groups.count() <= all_windows.count()
+
+
+def test_pack_sequences_bins_and_offsets(spark):
+    from logprep_spark.functions.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a " * 1000, "s"), (2, "b " * 1500, "s"), (3, "c " * 600, "s"),
+         (4, "d " * 10, "t")],
+        ["doc_id", "text", "source"],
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(df, capacity_tokens=2048).collect()}
+    assert rows[1]["pack_id"] == 0 and rows[1]["offset_in_pack"] == 0
+    assert rows[2]["pack_id"] == 0 and rows[2]["offset_in_pack"] == 1000
+    # doc 3 starts at cumulative 2500 -> bin 1
+    assert rows[3]["pack_id"] == 1 and rows[3]["offset_in_pack"] == 2500 - 2048
+    # separate group restarts at bin 0
+    assert rows[4]["pack_id"] == 0 and rows[4]["offset_in_pack"] == 0
