@@ -561,7 +561,17 @@ def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     no UDF; at 100 TB this is a map stage fused into whatever filter
     or dedup consumes it.
     """
-    col = F.col(text_col)
+    out = df.select(F.col(id_col), *_gopher_metric_cols(F.col(text_col)))
+    return out.select(
+        "*",
+        _gopher_conjunction(min_stop_hits=2).alias("gopher_pass"),
+    )
+
+
+def _gopher_metric_cols(col: Column) -> list[Column]:
+    """The A1.1 per-doc metric expressions (narrow, milli-integer) —
+    shared by the metric frame (gopher_rules) and the inline gate
+    (gopher_gate)."""
     toks = tokens(col)
     n = F.size(toks)
     nd = F.greatest(n, F.lit(1)).cast("double")
@@ -588,9 +598,7 @@ def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
             F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
         )
     )
-
-    out = df.select(
-        F.col(id_col),
+    return [
         n.cast("long").alias("n_words"),
         mean_word.alias("mean_word_len_milli"),
         symbol.alias("symbol_ratio_milli"),
@@ -598,19 +606,34 @@ def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         ellipsis.alias("ellipsis_lines_milli"),
         alpha_words.alias("alpha_words_milli"),
         stop_hits.cast("long").alias("stop_hits"),
+    ]
+
+
+def _gopher_conjunction(min_stop_hits: int = 2) -> Column:
+    return (
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len_milli").between(3000, 10_000)
+        & (F.col("symbol_ratio_milli") <= 100)
+        & (F.col("bullet_lines_milli") <= 900)
+        & (F.col("ellipsis_lines_milli") <= 300)
+        & (F.col("alpha_words_milli") >= 800)
+        & (F.col("stop_hits") >= min_stop_hits)
     )
-    return out.select(
-        "*",
-        (
-            F.col("n_words").between(50, 100_000)
-            & F.col("mean_word_len_milli").between(3000, 10_000)
-            & (F.col("symbol_ratio_milli") <= 100)
-            & (F.col("bullet_lines_milli") <= 900)
-            & (F.col("ellipsis_lines_milli") <= 300)
-            & (F.col("alpha_words_milli") >= 800)
-            & (F.col("stop_hits") >= 2)
-        ).alias("gopher_pass"),
-    )
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text", min_stop_hits: int = 2) -> DataFrame:
+    """Apply the Gopher gate as a pure NARROW filter over the input —
+    no metric frame, no self-join back on doc_id (the join shape adds
+    a corpus-sized shuffle for a predicate that fuses into the scan).
+    The metrics are staged in an inner select and dropped after the
+    filter, so the plan is scan → project → filter → project."""
+    staged = df.select("*", *_gopher_metric_cols(F.col(text_col)))
+    metric_names = [
+        "n_words", "mean_word_len_milli", "symbol_ratio_milli",
+        "bullet_lines_milli", "ellipsis_lines_milli", "alpha_words_milli",
+        "stop_hits",
+    ]
+    return staged.filter(_gopher_conjunction(min_stop_hits)).drop(*metric_names)
 
 
 # --- URL canonicalization ---------------------------------------------

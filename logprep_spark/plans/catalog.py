@@ -3561,20 +3561,13 @@ def pipeline_training_data_v2(spark, sf_dir):
     t = tables(spark, sf_dir)
     docs = fan_out(t["documents"])
     emb = t["embeddings"]
-    g = tx.gopher_rules(docs)
     # gopher_pass demands >= 2 required stop words; this corpus's
-    # vocabulary carries only 'the' from the list, so the gate here is
-    # the same conjunction with stop_hits >= 1 (see _sql_gopher_pass_ids)
-    gate = (
-        F.col("n_words").between(50, 100000)
-        & F.col("mean_word_len_milli").between(3000, 10000)
-        & (F.col("symbol_ratio_milli") <= 100)
-        & (F.col("bullet_lines_milli") <= 900)
-        & (F.col("ellipsis_lines_milli") <= 300)
-        & (F.col("alpha_words_milli") >= 800)
-        & (F.col("stop_hits") >= 1)
-    )
-    passed = docs.join(g.filter(gate).select("doc_id"), "doc_id", "left_semi")
+    # vocabulary carries only 'the' from the list, so the gate runs
+    # the same conjunction with stop_hits >= 1 — as a pure NARROW
+    # filter (tx.gopher_filter), not a metric-frame self-join: the
+    # predicate fuses into the scan instead of adding a corpus-sized
+    # doc_id shuffle (see _sql_gopher_pass_ids for the SQL twin)
+    passed = tx.gopher_filter(docs, min_stop_hits=1)
     sem_dropped = dd.semantic_dedup(emb, threshold=0.35, n_centroids=16).select(
         F.col("vec_id").alias("doc_id")
     )
