@@ -804,3 +804,24 @@ def ab_test(
         F.expr("1000 * c1 div n1").alias("rate1_milli"),
         F.round(z * 1000).cast("long").alias("z_milli"),
     )
+
+
+def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q17 shape: the correlated scalar subquery ("below 20% of
+    this part's average quantity"), DECORRELATED the way Catalyst
+    would — a per-part average computed once as a partial agg and
+    joined back, never a per-row subquery execution. The brand filter
+    broadcasts the surviving part keys; the per-part averages join
+    the (brand-pruned) fact on partkey. Averages of integral-valued
+    quantities are exact in IEEE (sum of integers < 2^53 / exact
+    count), so the threshold compare is engine-stable."""
+    brand_parts = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li = lineitem.join(
+        broadcast(brand_parts), lineitem.l_partkey == F.col("p_partkey")
+    )
+    avgs = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("_avg_qty"))
+    return (
+        li.join(avgs, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )

@@ -3758,3 +3758,21 @@ def split_pack_sequences(spark, sf_dir):
     pack_sequences): per-source 2048-token bins, running-sum window."""
     docs = tables(spark, sf_dir)["documents"]
     return smp.pack_sequences(docs, capacity_tokens=2048)
+
+
+@register(
+    "tpch_q17",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape (plans/analytics.py q17_small_quantity_revenue):
+    correlated scalar subquery decorrelated to a per-part avg join;
+    the oracle keeps the correlated form to prove equivalence."""
+    t = tables(spark, sf_dir)
+    return an.q17_small_quantity_revenue(t["lineitem"], t["part"])
