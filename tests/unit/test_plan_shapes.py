@@ -626,3 +626,46 @@ def test_no_cartesian_or_row_udf_anywhere_in_catalog(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, f"anti-patterns in catalog plans: {offenders}"
+
+
+def test_incremental_dedup_anti_join_then_window(plans):
+    """dedup_incremental: history enters as a LEFT ANTI join on the
+    fingerprint; the keep-first window runs on the anti-join
+    SURVIVORS only (history-matched rows never enter its shuffle)."""
+    plan = plans("dedup_incremental")
+    assert plan.count("LeftAnti") == 1
+    assert plan.count("Window [") == 1
+
+
+def test_pack_sequences_single_group_window(plans):
+    """split_pack_sequences: exactly one group-keyed exchange + window
+    (per-group packing); everything else narrow."""
+    plan = plans("split_pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window [") == 1
+
+
+def test_bpe_pairs_takeordered_bounded_shuffle(plans):
+    """text_bpe_pairs: pair-keyed hash agg (bounded by charset²) then
+    TakeOrderedAndProject — no global sort of the pair stream."""
+    plan = plans("text_bpe_pairs")
+    assert "TakeOrdered" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_winnow_single_fingerprint_shuffle_no_gram_explode(plans):
+    """dedup_winnow: gram hashing and window minima stay inside array
+    columns — exactly ONE Generate (the selected minima) and ONE
+    fingerprint-keyed shuffle."""
+    plan = plans("dedup_winnow")
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window [" not in plan
+
+
+def test_q17_decorrelated_no_window_no_cartesian(plans):
+    """tpch_q17: the correlated subquery must run as a per-part agg
+    joined back — bounded exchanges, no per-row subquery artifacts."""
+    plan = plans("tpch_q17")
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "CartesianProduct" not in plan and "Window [" not in plan

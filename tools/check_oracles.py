@@ -65,6 +65,7 @@ def main():
     qs = catalog.queries()
     oracles = catalog.oracle_sql()
     failures = []
+    report = []  # (name, status, rows, hash) for LOCAL_CORRECTNESS.md
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -76,10 +77,12 @@ def main():
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
             failures.append(name)
+            report.append((name, "FAIL(spark)", "-", "-"))
             continue
         if name not in oracles:
             print(f"ok?   {name}: rows={len(srows)} (rows-only, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
+            report.append((name, "rows-only", len(srows), "-"))
             continue
         try:
             rel = con.sql(oracles[name])
@@ -88,6 +91,7 @@ def main():
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures.append(name)
+            report.append((name, "FAIL(duckdb)", "-", "-"))
             continue
         sh = frame_hash(scols, srows)
         oh = frame_hash(ocols, orows)
@@ -95,10 +99,36 @@ def main():
         if status == "FAIL":
             failures.append(name)
         print(f"{status}  {name}: spark={sh} duck={oh} [{time.time()-t0:.1f}s]")
+        report.append((name, status, sh[0], sh[2] if status == "PASS" else f"{sh[2]}≠{oh[2]}"))
         if status == "FAIL" and len(srows) < 30 and len(orows) < 30:
             print("   spark:", sorted(srows)[:8])
             print("   duck :", sorted(orows)[:8])
     print(f"\n{len(failures)} failures: {failures}")
+
+    if not only:
+        # full sweep -> committed evidence artifact: the driver's
+        # official gate samples the first 50 priority queries, so this
+        # file records a same-methodology local row for EVERY query
+        n_pass = sum(1 for r in report if r[1] == "PASS")
+        lines = [
+            "# LOCAL_CORRECTNESS — full catalog oracle sweep",
+            "",
+            f"sf dir: `{SF_DIR}` — methodology identical to the driver's t2",
+            "gate (row count + sorted columns + order-insensitive value",
+            f"hash vs the DuckDB oracle). {n_pass} PASS /",
+            f"{sum(1 for r in report if r[1] == 'rows-only')} rows-only /",
+            f"{len(failures)} FAIL out of {len(report)} queries.",
+            "",
+            "| query | status | rows | value hash |",
+            "|---|---|---:|---|",
+        ]
+        for name, status, rows_, h in report:
+            lines.append(f"| {name} | {status} | {rows_} | `{h}` |")
+        lines.append("")
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "LOCAL_CORRECTNESS.md"), "w") as f:
+            f.write("\n".join(lines))
+        print(f"wrote LOCAL_CORRECTNESS.md ({len(report)} rows)")
     return 1 if failures else 0
 
 
