@@ -825,3 +825,67 @@ def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFram
         .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+def drift_psi(
+    events: DataFrame,
+    split_ts: str = "2024-01-16",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Population Stability Index between two time windows — the
+    drift monitor an ML feature pipeline runs before retraining:
+    decile bounds come from the BASELINE window's exact percentiles,
+    both windows bucket against those bounds, PSI per bucket =
+    (p2 − p1)·ln(p2/p1) with add-1 smoothing (a bucket emptying out
+    is exactly the signal PSI must not NaN on).
+
+    Determinism: exact interpolated percentiles (sort-based, engine-
+    identical per the X8 event_percentiles precedent); bucket
+    assignment is pure double compares against those bounds; PSI
+    contributions are computed from exact integer counts in fixed
+    operand order and fixed to MICRO longs per bucket. Distributed
+    shape: the 9 bounds are a 1-row broadcast; bucket assignment is a
+    narrow fold; the only shuffles are the two 10-key count aggs
+    (map-side combine) and their tiny join."""
+    from pyspark.sql.functions import broadcast
+
+    w1 = events.filter(F.col(ts_col) < F.lit(split_ts))
+    w2 = events.filter(F.col(ts_col) >= F.lit(split_ts))
+    bounds = w1.agg(
+        F.percentile(value_col, F.array(*[F.lit(i / 10.0) for i in range(1, 10)])).alias(
+            "_bs"
+        )
+    )
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        b = F.aggregate(
+            "_bs",
+            F.lit(0),
+            lambda acc, bd: acc + F.when(F.col(value_col) > bd, 1).otherwise(0),
+        )
+        return (
+            df.crossJoin(broadcast(bounds))
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    c1 = bucketed(w1).select("bucket", F.col("n").alias("n1"))
+    c2 = bucketed(w2).select("bucket", F.col("n").alias("n2"))
+    t1 = w1.agg(F.count(F.lit(1)).alias("_t1"))
+    t2 = w2.agg(F.count(F.lit(1)).alias("_t2"))
+    p1 = (F.col("n1") + 1) / (F.col("_t1") + 10)
+    p2 = (F.col("n2") + 1) / (F.col("_t2") + 10)
+    return (
+        c1.join(c2, "bucket", "full")
+        .select("bucket", F.coalesce("n1", F.lit(0)).alias("n1"), F.coalesce("n2", F.lit(0)).alias("n2"))
+        .crossJoin(broadcast(t1))
+        .crossJoin(broadcast(t2))
+        .select(
+            "bucket",
+            "n1",
+            "n2",
+            F.round((p2 - p1) * F.log(p2 / p1) * 1_000_000).cast("long").alias("psi_micro"),
+        )
+    )

@@ -3776,3 +3776,38 @@ def tpch_q17(spark, sf_dir):
     the oracle keeps the correlated form to prove equivalence."""
     t = tables(spark, sf_dir)
     return an.q17_small_quantity_revenue(t["lineitem"], t["part"])
+
+
+@register(
+    "drift_psi_events",
+    """
+    WITH w1 AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+    w2 AS (SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+    bs AS (
+        SELECT [quantile_cont(value, 0.1), quantile_cont(value, 0.2), quantile_cont(value, 0.3), quantile_cont(value, 0.4), quantile_cont(value, 0.5), quantile_cont(value, 0.6), quantile_cont(value, 0.7), quantile_cont(value, 0.8), quantile_cont(value, 0.9)] AS _bs FROM w1
+    ), c1 AS (
+        SELECT list_sum([CASE WHEN value > b THEN 1 ELSE 0 END for b in _bs]) AS bucket,
+               count(*) AS n1
+        FROM w1 CROSS JOIN bs GROUP BY 1
+    ), c2 AS (
+        SELECT list_sum([CASE WHEN value > b THEN 1 ELSE 0 END for b in _bs]) AS bucket,
+               count(*) AS n2
+        FROM w2 CROSS JOIN bs GROUP BY 1
+    ), t AS (
+        SELECT (SELECT count(*) FROM w1) AS _t1, (SELECT count(*) FROM w2) AS _t2
+    )
+    SELECT bucket,
+           CAST(coalesce(n1, 0) AS BIGINT) AS n1,
+           CAST(coalesce(n2, 0) AS BIGINT) AS n2,
+           CAST(round((((coalesce(n2, 0) + 1) / (_t2 + 10)) - ((coalesce(n1, 0) + 1) / (_t1 + 10)))
+                * ln(((coalesce(n2, 0) + 1) / (_t2 + 10)) / ((coalesce(n1, 0) + 1) / (_t1 + 10)))
+                * 1000000) AS BIGINT) AS psi_micro
+    FROM c1 FULL JOIN c2 USING (bucket) CROSS JOIN t
+    """,
+)
+def drift_psi_events(spark, sf_dir):
+    """PSI drift between the first half-month and the rest
+    (plans/analytics.py drift_psi): baseline-decile buckets, add-1
+    smoothing, micro-fixed contributions."""
+    events = tables(spark, sf_dir)["events"]
+    return an.drift_psi(events)
