@@ -866,7 +866,10 @@ def drift_psi(
         )
         return (
             df.crossJoin(broadcast(bounds))
-            .select(b.alias("bucket"))
+            # long, not int: the oracle's list_sum promotes to HUGEINT,
+            # which pandas renders float64 against an int32 — same
+            # values, dtype-class hash miss (the dtype guard catches it)
+            .select(b.cast("long").alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n"))
         )

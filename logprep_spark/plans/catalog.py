@@ -3796,7 +3796,7 @@ def tpch_q17(spark, sf_dir):
     ), t AS (
         SELECT (SELECT count(*) FROM w1) AS _t1, (SELECT count(*) FROM w2) AS _t2
     )
-    SELECT bucket,
+    SELECT CAST(bucket AS BIGINT) AS bucket,
            CAST(coalesce(n1, 0) AS BIGINT) AS n1,
            CAST(coalesce(n2, 0) AS BIGINT) AS n2,
            CAST(round((((coalesce(n2, 0) + 1) / (_t2 + 10)) - ((coalesce(n1, 0) + 1) / (_t1 + 10)))
