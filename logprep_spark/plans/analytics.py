@@ -892,3 +892,21 @@ def drift_psi(
             F.round((p2 - p1) * F.log(p2 / p1) * 1_000_000).cast("long").alias("psi_micro"),
         )
     )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_event_counts(events: DataFrame) -> DataFrame:
+    """PIVOT: per-user event-type counts as columns. The value list is
+    EXPLICIT (the reference data's five types) — an unlisted pivot
+    makes Spark run a distinct-scan pre-pass AND caps cardinality at
+    spark.sql.pivotMaxValues; with literals the plan is exactly one
+    user-keyed hash agg of conditional counts, map-side combined,
+    identical to the CASE-WHEN SQL a warehouse would write."""
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )

@@ -3811,3 +3811,23 @@ def drift_psi_events(spark, sf_dir):
     smoothing, micro-fixed contributions."""
     events = tables(spark, sf_dir)["events"]
     return an.drift_psi(events)
+
+
+@register(
+    "event_pivot_counts",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def event_pivot_counts(spark, sf_dir):
+    """PIVOT with an explicit value list (plans/analytics.py
+    pivot_event_counts): one user-keyed conditional-count agg, no
+    distinct pre-pass."""
+    events = tables(spark, sf_dir)["events"]
+    return an.pivot_event_counts(events)
