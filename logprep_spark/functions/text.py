@@ -812,3 +812,44 @@ def bpe_pair_counts(df: DataFrame, top_n: int = 50, text_col: str = "text") -> D
         .limit(top_n)
         .withColumn("rank", F.row_number().over(win))
     )
+
+
+def chunk_passages(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    min_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Passage chunking with overlap — the RAG/retrieval preprocessing
+    step (and the context-window packing precursor): each document
+    splits into ``chunk_tokens``-token windows advancing by
+    ``stride`` (stride < chunk_tokens ⇒ overlapping passages, the
+    standard retrieval trick so answers spanning a boundary survive);
+    tail fragments shorter than ``min_tokens`` are dropped unless
+    they are the document's only chunk.
+
+    Distributed shape: tokenization and window slicing stay inside
+    array columns (one narrow projection), then ONE posexplode emits
+    the passages — no shuffle at all; at 100 TB this is a map stage
+    that fuses with the embedding UDF that usually follows it."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size("_toks")
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("long") + 1, F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice("_toks", i * stride + 1, chunk_tokens), " "),
+    )
+    out = toked.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    ).select(
+        id_col,
+        "chunk_id",
+        "chunk_text",
+        token_count(F.col("chunk_text")).alias("n_tokens"),
+    )
+    return out.filter((F.col("n_tokens") >= min_tokens) | (F.col("chunk_id") == 0))

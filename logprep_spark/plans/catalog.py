@@ -3831,3 +3831,32 @@ def event_pivot_counts(spark, sf_dir):
     distinct pre-pass."""
     events = tables(spark, sf_dir)["events"]
     return an.pivot_event_counts(events)
+
+
+@register(
+    "text_chunk_passages",
+    f"""
+    WITH toked AS (
+        SELECT doc_id, {_sql_words()} AS w FROM documents
+    ), staged AS (
+        SELECT doc_id,
+               greatest(CAST(ceil((len(w) - 64) / 48.0) AS BIGINT) + 1, 1) AS nc,
+               w
+        FROM toked
+    ), chunks AS (
+        SELECT doc_id,
+               i - 1 AS chunk_id,
+               array_to_string(w[(i - 1) * 48 + 1 : (i - 1) * 48 + 64], ' ') AS chunk_text
+        FROM staged, unnest(range(1, nc + 1)) AS t(i)
+    )
+    SELECT doc_id, chunk_id, chunk_text,
+           CAST(len({_sql_words('chunk_text')}) AS BIGINT) AS n_tokens
+    FROM chunks
+    WHERE len({_sql_words('chunk_text')}) >= 8 OR chunk_id = 0
+    """,
+)
+def text_chunk_passages(spark, sf_dir):
+    """Overlapping passage chunking (functions/text.py chunk_passages
+    — 64-token windows, stride 48): zero-shuffle narrow explode."""
+    docs = tables(spark, sf_dir)["documents"]
+    return tx.chunk_passages(docs)

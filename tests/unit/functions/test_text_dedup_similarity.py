@@ -1020,3 +1020,21 @@ def test_pack_sequences_bins_and_offsets(spark):
     assert rows[3]["pack_id"] == 1 and rows[3]["offset_in_pack"] == 2500 - 2048
     # separate group restarts at bin 0
     assert rows[4]["pack_id"] == 0 and rows[4]["offset_in_pack"] == 0
+
+
+def test_chunk_passages_overlap_and_tail(spark):
+    toks = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, toks), (2, "a b c")], ["doc_id", "text"])
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"])
+        for r in text.chunk_passages(df, chunk_tokens=64, stride=48).collect()
+    )
+    # doc 1: chunks at 0 (64 toks) and 48 (52 toks)
+    assert rows == [(1, 0, 64), (1, 1, 52), (2, 0, 3)]
+    first = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_text"]
+        for r in text.chunk_passages(df, chunk_tokens=64, stride=48).collect()
+    }
+    # overlap: chunk 1 starts at token 48, inside chunk 0's range
+    assert first[(1, 1)].split()[0] == "t48"
+    assert first[(1, 0)].split()[-1] == "t63"
