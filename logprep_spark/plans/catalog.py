@@ -3860,3 +3860,32 @@ def text_chunk_passages(spark, sf_dir):
     — 64-token windows, stride 48): zero-shuffle narrow explode."""
     docs = tables(spark, sf_dir)["documents"]
     return tx.chunk_passages(docs)
+
+
+@register(
+    "embed_center_normalize",
+    f"""
+    WITH vm AS (
+        SELECT vec_id, {_KM_MICRO} AS v FROM embeddings
+    ), mu AS (
+        SELECT list(m ORDER BY dim) AS mu FROM (
+            SELECT dim,
+                   CAST(sum(v[dim]) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+            FROM vm CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) dims
+            GROUP BY dim
+        )
+    )
+    SELECT vec_id,
+           [round((v[i] - mu[i]) / sqrt(list_sum(
+                [((v[j] - mu[j]) * (v[j] - mu[j]))::DOUBLE
+                 for j in range(1, len(v) + 1)])), 6)
+            for i in range(1, len(v) + 1)] AS centered
+    FROM vm CROSS JOIN mu
+    """,
+)
+def embed_center_normalize(spark, sf_dir):
+    """Mean-centering + L2 renormalization of the embedding corpus
+    (functions/similarity.py center_normalize): micro-exact mean,
+    broadcast model, narrow map."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return sim.center_normalize(emb)
