@@ -3889,3 +3889,147 @@ def embed_center_normalize(spark, sf_dir):
     broadcast model, narrow map."""
     emb = tables(spark, sf_dir)["embeddings"]
     return sim.center_normalize(emb)
+
+
+@register(
+    "sample_rate_limit",
+    f"""
+    SELECT event_id, user_id, week, slot FROM (
+        SELECT event_id, user_id,
+               strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+               row_number() OVER (
+                   PARTITION BY user_id, date_trunc('week', ts)
+                   ORDER BY {_sql_h60("'rl:' || event_id::varchar")}, event_id
+               ) AS slot
+        FROM events
+    ) WHERE slot <= 10
+    """,
+)
+def sample_rate_limit(spark, sf_dir):
+    """Per-(user, week) rate limiting: keep at most 10 events per key,
+    chosen by deterministic hash order (not arrival order — a
+    re-partitioned rerun keeps the SAME events, which arrival-order
+    sampling cannot promise; ~15 events/user-week here, so the cap
+    visibly binds). The log-volume cost-control operator: one
+    (user, week)-keyed window whose partitions are bounded by
+    per-user weekly volume."""
+    from pyspark.sql import Window
+
+    events = tables(spark, sf_dir)["events"]
+    week = F.date_trunc("week", F.col("ts"))
+    win = Window.partitionBy("user_id", week).orderBy(
+        dd.h60(F.concat(F.lit("rl:"), F.col("event_id").cast("string"))), "event_id"
+    )
+    return (
+        events.withColumn("slot", F.row_number().over(win))
+        .filter(F.col("slot") <= 10)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format(week, "yyyy-MM-dd").alias("week"),
+            "slot",
+        )
+    )
+
+
+@register(
+    "slo_burn_rate",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs
+        FROM events GROUP BY 1
+    ), rated AS (
+        SELECT h, n, errs,
+               CAST(sum(errs) OVER w6 AS BIGINT) AS errs6,
+               CAST(sum(n) OVER w6 AS BIGINT) AS n6
+        FROM hourly
+        WINDOW w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:00') AS hour, n, errs,
+           1000 * errs // n AS err_milli,
+           1000 * errs6 // n6 AS err6_milli,
+           (1000 * errs // n) > 2 * (1000 * errs6 // n6) AS burn_flag
+    FROM rated
+    """,
+)
+def slo_burn_rate(spark, sf_dir):
+    """SLO burn-rate report (observability analytics): hourly error
+    rate vs the trailing 6-hour rate; an hour burning at more than
+    2x its trailing budget is flagged. One hourly agg (map-side
+    combine) + one ordered window over the 720-row hourly frame —
+    the window input is already aggregated, never raw events."""
+    from pyspark.sql import Window
+
+    events = tables(spark, sf_dir)["events"]
+    hourly = events.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("errs"),
+    )
+    w6 = Window.orderBy("h").rowsBetween(-5, 0)
+    rated = hourly.select(
+        "h",
+        "n",
+        "errs",
+        F.sum("errs").over(w6).alias("errs6"),
+        F.sum("n").over(w6).alias("n6"),
+    )
+    err = F.expr("1000 * errs div n")
+    err6 = F.expr("1000 * errs6 div n6")
+    return rated.select(
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        "n",
+        "errs",
+        err.alias("err_milli"),
+        err6.alias("err6_milli"),
+        (err > 2 * err6).alias("burn_flag"),
+    )
+
+
+@register(
+    "ml_kmeans_inertia",
+    f"""
+    WITH vm AS (
+        SELECT vec_id, {_KM_MICRO} AS v FROM embeddings
+    ), seeds AS (
+        SELECT row_number() OVER (ORDER BY {_sql_h60('vec_id::varchar')}, vec_id) AS cid,
+               v AS cv
+        FROM vm ORDER BY {_sql_h60('vec_id::varchar')}, vec_id LIMIT 8
+    ), scored1 AS (
+        SELECT m.vec_id, m.v, c.cid, {_KM_DIST} AS d
+        FROM vm m CROSS JOIN seeds c
+    ), a1 AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM scored1) WHERE rn = 1
+    ), sums1 AS (
+        SELECT cluster, dim,
+               CAST(sum(v[dim]) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+        FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) dims
+        GROUP BY cluster, dim
+    ), c1 AS (
+        SELECT cluster AS cid, list(m ORDER BY dim) AS cv FROM sums1 GROUP BY cluster
+    ), scored2 AS (
+        SELECT m.vec_id, m.v, c.cid, {_KM_DIST} AS d
+        FROM vm m CROSS JOIN c1 c
+    ), a2 AS (
+        SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM scored2) WHERE rn = 1
+    )
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(dist2) AS BIGINT) AS inertia
+    FROM a2 GROUP BY cluster
+    """,
+)
+def ml_kmeans_inertia(spark, sf_dir):
+    """Per-cluster size + within-cluster squared distance (the
+    k-means quality readout — the elbow curve's y-axis): a k-key agg
+    over the zero-shuffle assignment from ml_kmeans."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    assigned = sim.kmeans(emb, k=8, iters=2)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("dist2").alias("inertia"),
+    )
