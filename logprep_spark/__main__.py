@@ -13,6 +13,8 @@ no extra dependency.
     python -m logprep_spark pseudo generate [-f FILE]
     python -m logprep_spark pseudo pseudonymize AKEY DKEY STRING
     python -m logprep_spark pseudo depseudonymize AKEY DKEY TOKEN
+    python -m logprep_spark query list
+    python -m logprep_spark query run NAME [--sf-dir D] [--limit N] [--explain]
 
 ``run`` executes input → pipeline → output(s) on a SparkSession from
 ``session.get_spark`` — batch via connector ``.read``/``.write``,
@@ -233,6 +235,35 @@ def cmd_depseudonymize(args) -> int:
     return 0
 
 
+def cmd_query_list(args) -> int:
+    from logprep_spark.plans import catalog
+
+    oracles = catalog.oracle_sql()
+    for name in catalog.queries():
+        gate = "sql-oracle" if name in oracles else "rows-only"
+        print(f"{name}\t{gate}")
+    return 0
+
+
+def cmd_query_run(args) -> int:
+    from logprep_spark.plans import catalog
+    from logprep_spark.session import get_spark
+
+    qs = catalog.queries()
+    if args.name not in qs:
+        print(f"unknown query: {args.name} (see `query list`)", file=sys.stderr)
+        return 1
+    spark = get_spark("logprep-spark-query")
+    df = qs[args.name](spark, args.sf_dir)
+    if args.explain:
+        print(df._jdf.queryExecution().executedPlan().toString())
+        return 0
+    rows = df.limit(args.limit).collect() if args.limit else df.collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="logprep_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -283,6 +314,20 @@ def build_parser() -> argparse.ArgumentParser:
     pd.add_argument("depseudo_key")
     pd.add_argument("pseudo_string")
     pd.set_defaults(fn=cmd_depseudonymize)
+
+    q = sub.add_parser("query", help="run catalog analytics queries")
+    q_sub = q.add_subparsers(dest="query_command", required=True)
+
+    ql = q_sub.add_parser("list", help="list catalog query names")
+    ql.set_defaults(fn=cmd_query_list)
+
+    qr = q_sub.add_parser("run", help="run one catalog query")
+    qr.add_argument("name")
+    qr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    qr.add_argument("--limit", type=int, default=20, help="0 = all rows")
+    qr.add_argument("--explain", action="store_true",
+                    help="print the physical plan instead of rows")
+    qr.set_defaults(fn=cmd_query_run)
     return parser
 
 

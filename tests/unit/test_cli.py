@@ -125,3 +125,19 @@ def test_pseudo_cli_roundtrip(spark, tmp_path, capsys):
 
     # swapped keys must fail closed, never emit a wrong plaintext
     assert main(["pseudo", "depseudonymize", f"{d}.key", f"{a}.key", token]) == 1
+
+
+def test_cli_query_list_and_run(capsys):
+    from logprep_spark.__main__ import main
+
+    assert main(["query", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "tpch_q1\tsql-oracle" in out and "text_compression\trows-only" in out
+
+    assert main(["query", "run", "tpch_q6", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out.strip()
+    import json as _json
+
+    assert "revenue" in _json.loads(out)
+
+    assert main(["query", "run", "no_such_query"]) == 1
