@@ -853,3 +853,73 @@ def chunk_passages(
         token_count(F.col("chunk_text")).alias("n_tokens"),
     )
     return out.filter((F.col("n_tokens") >= min_tokens) | (F.col("chunk_id") == 0))
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 lexical retrieval for a fixed query — the keyword
+    counterpart to the ANN vector path (a retrieval stack needs both;
+    hybrid search merges their ranked lists). Okapi BM25: idf(t) =
+    ln((N − df + 0.5)/(df + 0.5) + 1) (the Lucene non-negative
+    variant), tf saturation k1, length normalization b against the
+    corpus mean document length.
+
+    Distributed shape: the corpus statistics (N, total length, per-
+    term document frequencies for the HANDFUL of query terms) are ONE
+    agg of conditional sums → a 1-row broadcast; per-doc scoring is a
+    narrow map (array ops against term literals); top-k is
+    TakeOrderedAndProject. ZERO corpus shuffles — a full inverted
+    index is only worth building for high query volume; for ad-hoc
+    queries this scan shape is the right cost. Scores are milli-fixed
+    after a fixed-operand-order per-row computation (exact integer
+    corpus stats in, one rounding out) so ranking is engine-exact."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    toked = df.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks"))
+    stats = toked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.size("_toks")).alias("_total_len"),
+        *[
+            F.sum(
+                F.when(F.array_contains("_toks", t), 1).otherwise(0)
+            ).alias(f"_df{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    dl = F.size("_toks").cast("double")
+    avgdl = F.col("_total_len") / F.col("_n")
+    def term_tf(t: str):
+        # real closure, not a default-arg lambda: a two-parameter
+        # lambda makes F.filter pass (element, index) and the "term"
+        # silently becomes the index column
+        return F.size(F.filter("_toks", lambda x: x == F.lit(t))).cast("double")
+
+    parts = []
+    for i, t in enumerate(query_terms):
+        tf = term_tf(t)
+        idf = F.log(
+            (F.col("_n") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5) + 1.0
+        )
+        parts.append(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)))
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    scored = (
+        toked.crossJoin(broadcast(stats))
+        .select(F.col(id_col), F.round(score * 1000).cast("long").alias("score_milli"))
+        .filter(F.col("score_milli") > 0)
+    )
+    win = Window.orderBy(F.col("score_milli").desc(), F.col(id_col).asc())
+    return (
+        scored.orderBy(F.col("score_milli").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(win))
+    )

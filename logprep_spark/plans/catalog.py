@@ -4033,3 +4033,47 @@ def ml_kmeans_inertia(spark, sf_dir):
         F.count(F.lit(1)).alias("n_members"),
         F.sum("dist2").alias("inertia"),
     )
+
+
+_BM25_TERMS = ["spark", "shuffle", "join", "hash"]
+
+
+def _sql_bm25() -> str:
+    w = _sql_words("lower(text)")
+    dfs = ", ".join(
+        f"CAST(sum(CASE WHEN list_contains(w, '{t}') THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    parts = " + ".join(
+        f"(ln((_n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * len(list_filter(w, x -> x = '{t}'))::DOUBLE * (1.2 + 1)"
+        f" / (len(list_filter(w, x -> x = '{t}'))::DOUBLE"
+        f"    + 1.2 * (1 - 0.75 + 0.75 * len(w)::DOUBLE / (_total_len / _n))))"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    return f"""
+    WITH toked AS (
+        SELECT doc_id, {w} AS w FROM documents
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS _n,
+               CAST(sum(len(w)) AS BIGINT) AS _total_len,
+               {dfs}
+        FROM toked
+    ), scored AS (
+        SELECT doc_id, CAST(round(({parts}) * 1000) AS BIGINT) AS score_milli
+        FROM toked CROSS JOIN stats
+    )
+    SELECT doc_id, score_milli, row_number() OVER (
+               ORDER BY score_milli DESC, doc_id) AS rank
+    FROM scored WHERE score_milli > 0
+    ORDER BY score_milli DESC, doc_id LIMIT 20
+    """
+
+
+@register("search_bm25", _sql_bm25())
+def search_bm25(spark, sf_dir):
+    """Okapi BM25 top-20 for the fixed query 'spark shuffle join hash'
+    (functions/text.py bm25_search): one corpus-stats agg broadcast,
+    narrow per-doc scoring, TakeOrdered — zero corpus shuffles."""
+    docs = tables(spark, sf_dir)["documents"]
+    return tx.bm25_search(docs, _BM25_TERMS, k=20)

@@ -1038,3 +1038,16 @@ def test_chunk_passages_overlap_and_tail(spark):
     # overlap: chunk 1 starts at token 48, inside chunk 0's range
     assert first[(1, 1)].split()[0] == "t48"
     assert first[(1, 0)].split()[-1] == "t63"
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    df = spark.createDataFrame(
+        [(1, "spark shuffle join hash spark spark"),
+         (2, "spark is mentioned once here in passing text"),
+         (3, "completely unrelated words about cooking pasta")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text.bm25_search(df, ["spark", "shuffle"]).collect()}
+    assert 3 not in rows                      # zero-score docs drop out
+    assert rows[1]["rank"] == 1 and rows[2]["rank"] == 2
+    assert rows[1]["score_milli"] > rows[2]["score_milli"]

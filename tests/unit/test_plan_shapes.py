@@ -669,3 +669,13 @@ def test_q17_decorrelated_no_window_no_cartesian(plans):
     plan = plans("tpch_q17")
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "CartesianProduct" not in plan and "Window [" not in plan
+
+
+def test_bm25_zero_corpus_shuffle_takeordered(plans):
+    """search_bm25: corpus stats are a 1-row broadcast; per-doc
+    scoring is narrow; top-k is TakeOrderedAndProject — the only
+    acceptable exchanges are the stats agg's single-partition combine
+    and the bounded 20-row rank window."""
+    plan = plans("search_bm25")
+    assert "TakeOrdered" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
