@@ -4077,3 +4077,133 @@ def search_bm25(spark, sf_dir):
     narrow per-doc scoring, TakeOrdered — zero corpus shuffles."""
     docs = tables(spark, sf_dir)["documents"]
     return tx.bm25_search(docs, _BM25_TERMS, k=20)
+
+
+@register(
+    "search_rrf_fusion",
+    f"""
+    WITH lsh AS ({{lsh}}),
+    ivf AS ({{ivf}}),
+    fused AS (
+        SELECT coalesce(l.query_id, i.query_id) AS query_id,
+               coalesce(l.nbr_id, i.nbr_id) AS nbr_id,
+               CAST(round((coalesce(1.0 / (60 + l.rank), 0.0)
+                         + coalesce(1.0 / (60 + i.rank), 0.0)) * 1000000) AS BIGINT)
+                   AS rrf_micro
+        FROM lsh l FULL JOIN ivf i
+          ON l.query_id = i.query_id AND l.nbr_id = i.nbr_id
+    )
+    SELECT query_id, nbr_id, rrf_micro, fused_rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_micro DESC, nbr_id) AS fused_rank
+        FROM fused
+    ) WHERE fused_rank <= 3
+    """,
+)
+def search_rrf_fusion(spark, sf_dir):
+    """Reciprocal Rank Fusion of the LSH and IVF ANN lists (hybrid
+    retrieval's merge step, Cormack et al. 2009: score = Σ 1/(60+r)).
+    Fixed operand order (LSH term + IVF term) and integer ranks in →
+    micro-fixed fused scores, engine-exact. The fusion itself is a
+    (query, nbr)-keyed full join of two k-row-per-query lists — tiny
+    next to the corpus that produced them."""
+    from pyspark.sql import Window
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    lsh = sim.lsh_topk(emb, qs, k=3, n_planes=6).select(
+        "query_id", "nbr_id", F.col("rank").alias("r_lsh")
+    )
+    ivf = sim.ivf_topk(emb, qs, k=3, n_centroids=16, n_probe=2).select(
+        "query_id", "nbr_id", F.col("rank").alias("r_ivf")
+    )
+    rrf = (
+        F.coalesce(1.0 / (60 + F.col("r_lsh")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("r_ivf")), F.lit(0.0))
+    )
+    fused = lsh.join(ivf, ["query_id", "nbr_id"], "full").select(
+        "query_id",
+        "nbr_id",
+        F.round(rrf * 1_000_000).cast("long").alias("rrf_micro"),
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(win))
+        .filter(F.col("fused_rank") <= 3)
+    )
+
+
+# splice the two ANN oracles in as subqueries (single source of truth
+# for their SQL — the fusion oracle stays in lockstep with them)
+_ORACLES["search_rrf_fusion"] = _ORACLES["search_rrf_fusion"].format(
+    lsh=_ORACLES["ann_topk_lsh"], ivf=_ORACLES["ann_topk_ivf"]
+)
+
+
+@register(
+    "dq_expectations",
+    """
+    WITH checks AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count(l_orderkey) AS BIGINT) AS null_orderkey,
+               CAST(count(*) - count(l_quantity) AS BIGINT) AS null_quantity,
+               CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+                    AS BIGINT) AS qty_out_of_range,
+               CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END)
+                    AS BIGINT) AS disc_out_of_range,
+               CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)
+                    AS BIGINT) AS nonpositive_price,
+               CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                    AS BIGINT) AS dup_line_keys
+        FROM lineitem
+    )
+    SELECT check_name, violations, n_rows, violations = 0 AS passed
+    FROM checks
+    UNPIVOT (violations FOR check_name IN (
+        null_orderkey, null_quantity, qty_out_of_range,
+        disc_out_of_range, nonpositive_price, dup_line_keys))
+    """,
+)
+def dq_expectations(spark, sf_dir):
+    """Data-quality expectations over lineitem (the Great-
+    Expectations-style batch gate a pipeline runs before publishing a
+    table): not-null, value-range, positivity, and composite-key
+    uniqueness checks — ALL evaluated in ONE aggregation pass over
+    one scan (conditional sums with map-side combine; the uniqueness
+    check is the only distinct), then unpivoted to one row per check.
+    At 100 TB the single-pass shape is the whole point: six separate
+    validation queries would scan the table six times."""
+    li = tables(spark, sf_dir)["lineitem"]
+    checks = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("l_orderkey")).alias("null_orderkey"),
+        (F.count(F.lit(1)) - F.count("l_quantity")).alias("null_quantity"),
+        F.sum(
+            F.when(F.col("l_quantity").between(1, 50), 0).otherwise(1)
+        ).alias("qty_out_of_range"),
+        F.sum(
+            F.when(F.col("l_discount").between(0, 0.1), 0).otherwise(1)
+        ).alias("disc_out_of_range"),
+        F.sum(F.when(F.col("l_extendedprice") > 0, 0).otherwise(1)).alias(
+            "nonpositive_price"
+        ),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.struct("l_orderkey", "l_linenumber"))
+        ).alias("dup_line_keys"),
+    )
+    names = [
+        "null_orderkey", "null_quantity", "qty_out_of_range",
+        "disc_out_of_range", "nonpositive_price", "dup_line_keys",
+    ]
+    unpivoted = checks.unpivot(
+        ["n_rows"], names, "check_name", "violations"
+    )
+    return unpivoted.select(
+        "check_name",
+        "violations",
+        "n_rows",
+        (F.col("violations") == 0).alias("passed"),
+    )
