@@ -4207,3 +4207,48 @@ def dq_expectations(spark, sf_dir):
         "n_rows",
         (F.col("violations") == 0).alias("passed"),
     )
+
+
+@register(
+    "event_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), pairs AS (
+        SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ), totals AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM pairs GROUP BY event_type
+    )
+    SELECT p.event_type, p.next_type, p.n,
+           1000 * p.n // t.tot AS prob_milli
+    FROM pairs p JOIN totals t USING (event_type)
+    """,
+)
+def event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (the behavioral-model input next to the funnel): ONE
+    user-keyed window builds the (type, next) stream, a pair-keyed
+    hash agg counts transitions (5x5 = bounded output), row
+    probabilities in milli from exact counts. The window shuffle is
+    the only corpus-sized exchange; pair/total aggs ride cardinality
+    <= |types|^2."""
+    from pyspark.sql import Window
+
+    events = tables(spark, sf_dir)["events"]
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(win).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    totals = pairs.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return pairs.join(totals, "event_type").select(
+        "event_type",
+        "next_type",
+        "n",
+        F.expr("1000 * n div tot").alias("prob_milli"),
+    )
