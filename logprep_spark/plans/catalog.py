@@ -4252,3 +4252,48 @@ def event_transitions(spark, sf_dir):
         "n",
         F.expr("1000 * n div tot").alias("prob_milli"),
     )
+
+
+@register(
+    "corpus_quality_report",
+    f"""
+    WITH scored AS (
+        SELECT source,
+               len({_sql_words()}) AS n_tok,
+               CAST(round(({_SQL_QUALITY}) * 1000) AS BIGINT) AS q_milli,
+               CASE WHEN list_max({_sql_lang_hits()}).hits > 0
+                     AND list_max({_sql_lang_hits()}).lang = 'en'
+                    THEN 1 ELSE 0 END AS is_en,
+               n_chars
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(q_milli) // count(*) AS BIGINT) AS mean_quality_milli,
+           CAST(1000 * sum(is_en) // count(*) AS BIGINT) AS pct_en_milli,
+           CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars
+    FROM scored GROUP BY source
+    """,
+)
+def corpus_quality_report(spark, sf_dir):
+    """Per-source corpus health dashboard (the per-crawl-snapshot
+    report next to corpus_zipf's global view): doc/token volume, mean
+    quality (quarter-point scores are exact milli integers), English
+    fraction, mean length — all narrow scoring fused into ONE scan +
+    one source-keyed agg with map-side combine."""
+    docs = tables(spark, sf_dir)["documents"]
+    scored = docs.select(
+        "source",
+        tx.token_count(F.col("text")).alias("n_tok"),
+        F.round(tx.quality_score(F.col("text")) * 1000).cast("long").alias("q_milli"),
+        (tx.lang_id(F.col("text")) == "en").cast("long").alias("is_en"),
+        "n_chars",
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.expr("sum(q_milli) div count(1)").alias("mean_quality_milli"),
+        F.expr("1000 * sum(is_en) div count(1)").alias("pct_en_milli"),
+        F.expr("sum(n_chars) div count(1)").alias("mean_chars"),
+    )
