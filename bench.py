@@ -82,6 +82,7 @@ HEADLINE = [
 
 
 SF1_SPOT = [
+    "graph_pagerank",
     "text_bigram_lm",
     "dedup_minhash_lsh",
     "text_tfidf",
@@ -155,6 +156,34 @@ def ensure_sf1(spark, base_dir: str = "/root/testdata/sf0.1") -> str:
     for r in reps[1:]:
         union = union.unionByName(r)
     union.repartition(32).write.mode("overwrite").parquet(emb_path)
+
+    # 10x fact tables for the iterative graph spot: orderkeys and
+    # CUSTOMERS stride per replica (10x nodes on the customer side),
+    # suppliers stay SHARED — replicated data keeps its hub structure
+    # (hot suppliers gain 10x degree) instead of splitting into ten
+    # disconnected clones, which would understate skew
+    orders = spark.read.parquet(os.path.join(base_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(base_dir, "lineitem.parquet"))
+    o_reps, l_reps = [], []
+    for i in range(_REPLICAS):
+        o_reps.append(
+            orders.select(
+                (F.col("o_orderkey") + F.lit(i * _ID_STRIDE)).alias("o_orderkey"),
+                (F.col("o_custkey") + F.lit(i * _ID_STRIDE)).alias("o_custkey"),
+                "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+            )
+        )
+        l_reps.append(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * _ID_STRIDE))
+        )
+    u = o_reps[0]
+    for r in o_reps[1:]:
+        u = u.unionByName(r)
+    u.repartition(32).write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+    u = l_reps[0]
+    for r in l_reps[1:]:
+        u = u.unionByName(r)
+    u.repartition(32).write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
     return out_dir
 
 
