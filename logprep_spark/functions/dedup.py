@@ -873,3 +873,75 @@ def winnow_fingerprints(
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def near_dup_vs_history(
+    batch: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Incremental NEAR-dup suppression: the new batch probed against
+    the historical corpus's LSH band store — :func:`incremental_dedup`
+    catches byte-identical re-crawls, this catches the re-rendered /
+    lightly-edited ones. One row per near-duplicate batch doc:
+    (doc_id, hist_id, jaccard) with the lowest-id historical match.
+
+    Distributed shape: the history side contributes only its (band,
+    key, id) rows — in production that is yesterday's PERSISTED band
+    table, not a recompute; the probe is the (band, key)-keyed join
+    (never batch x history), candidates distinct to two-long rows,
+    and the expensive shingle-Jaccard verify left-semi-prunes BOTH
+    corpora to candidate docs first — the minhash_dedup verify
+    discipline applied across the batch/history boundary."""
+    from pyspark.storagelevel import StorageLevel
+
+    from logprep_spark.session import fan_out
+
+    bh = minhash_bands(fan_out(history), text_col, id_col).select(
+        F.col(id_col).alias("hist_id"), "band_id", "band_key"
+    )
+    bb = minhash_bands(fan_out(batch), text_col, id_col).select(
+        F.col(id_col).alias("batch_id"), "band_id", "band_key"
+    )
+    cand = (
+        bb.join(bh, ["band_id", "band_key"])
+        .select("batch_id", "hist_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sa = shingle_arrays(
+        batch.join(
+            cand.select(F.col("batch_id").alias(id_col)), id_col, "left_semi"
+        ),
+        text_col,
+        id_col,
+    ).select(F.col(id_col).alias("batch_id"), F.col("sh").alias("sh_b"))
+    sb = shingle_arrays(
+        history.join(
+            cand.select(F.col("hist_id").alias(id_col)), id_col, "left_semi"
+        ),
+        text_col,
+        id_col,
+    ).select(F.col(id_col).alias("hist_id"), F.col("sh").alias("sh_h"))
+    inter = F.size(F.array_intersect("sh_h", "sh_b"))
+    union = F.size(F.array_union("sh_h", "sh_b"))
+    verified = (
+        cand.join(sa, "batch_id")
+        .join(sb, "hist_id")
+        .select(
+            "batch_id",
+            "hist_id",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return (
+        verified.groupBy("batch_id")
+        .agg(
+            F.min("hist_id").alias("hist_id"),
+            F.min_by("jaccard", "hist_id").alias("jaccard"),
+        )
+        .select(F.col("batch_id").alias(id_col), "hist_id", "jaccard")
+    )

@@ -4297,3 +4297,32 @@ def corpus_quality_report(spark, sf_dir):
         F.expr("1000 * sum(is_en) div count(1)").alias("pct_en_milli"),
         F.expr("sum(n_chars) div count(1)").alias("mean_chars"),
     )
+
+
+@register(
+    "dedup_incremental_neardup",
+    f"""
+    WITH {_sql_minhash_bands()},
+    ver AS (
+        SELECT id_a, id_b, {_SQL_JACCARD} AS jaccard
+        FROM pairs
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE id_a < 250 AND id_b >= 250 AND {_SQL_JACCARD} >= 0.7
+    )
+    SELECT id_b AS doc_id, min(id_a) AS hist_id,
+           arg_min(jaccard, id_a) AS jaccard
+    FROM ver GROUP BY id_b
+    """,
+)
+def dedup_incremental_neardup(spark, sf_dir):
+    """Incremental near-dup suppression (functions/dedup.py
+    near_dup_vs_history): docs < 250 are the historical band store,
+    the rest the new batch. History ids all precede batch ids, so the
+    oracle reuses the whole-corpus band fragment filtered to
+    cross-boundary pairs — provably the same candidate set as the
+    two-frame band join."""
+    docs = tables(spark, sf_dir)["documents"]
+    history = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    return dd.near_dup_vs_history(batch, history)

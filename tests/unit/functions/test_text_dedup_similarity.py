@@ -1051,3 +1051,19 @@ def test_bm25_ranks_matching_docs_first(spark):
     assert 3 not in rows                      # zero-score docs drop out
     assert rows[1]["rank"] == 1 and rows[2]["rank"] == 2
     assert rows[1]["score_milli"] > rows[2]["score_milli"]
+
+
+def test_near_dup_vs_history(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    hist = spark.createDataFrame(
+        [(1, base), (2, "unrelated historical content entirely")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(10, base.replace("today", "tomorrow")),   # near-dup of 1
+         (11, "genuinely brand new content about query engines")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["hist_id"]
+            for r in dedup.near_dup_vs_history(batch, hist, threshold=0.5).collect()}
+    assert rows == {10: 1}
