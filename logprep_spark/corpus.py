@@ -1,0 +1,146 @@
+"""Config-driven corpus pipeline: the LLM-training-data operators
+(SURVEY §2.4) composed from a YAML/JSON spec the way the log half
+composes processors from a pipeline config — one declarative file
+describes the whole cleanup, and the engine assembles ONE lazy plan.
+
+    pipeline:
+      - op: gopher_filter          # narrow rule gate
+        min_stop_hits: 1
+      - op: line_dedup             # corpus-level boilerplate removal
+        min_occurrences: 2
+      - op: exact_dedup            # keep-first on normalized text
+      - op: pii_redact             # typed redaction, narrow
+      - op: quality_score          # adds a quality column
+      - op: filter                 # arbitrary Catalyst SQL predicate
+        where: "quality >= 0.5"
+
+Each step maps to the §2.4 function of the same name; steps compose
+left-to-right into a single DataFrame plan (narrow steps fuse into
+one codegen stage; only the dedups introduce their documented
+shuffles). Unknown ops or parameters raise ``ConfigError`` at BUILD
+time, not mid-job — the factory.py validation discipline.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logprep_spark.factory import ConfigError, _read_yaml_or_json
+from logprep_spark.functions import dedup as dd
+from logprep_spark.functions import text as tx
+
+
+def _step_gopher_filter(df: DataFrame, text_col: str, **kw) -> DataFrame:
+    return tx.gopher_filter(df, text_col=text_col, **kw)
+
+
+def _step_line_dedup(df: DataFrame, text_col: str, **kw) -> DataFrame:
+    out = dd.line_dedup(df, text_col=text_col, **kw)
+    # line_dedup returns (id, text, n_lines, n_removed); re-attach the
+    # surviving docs' other columns so downstream steps see them
+    others = df.drop(text_col)
+    return out.drop("n_lines", "n_removed").join(others, "doc_id")
+
+
+def _step_exact_dedup(df: DataFrame, text_col: str, **kw) -> DataFrame:
+    return dd.exact_dedup(df, text_col=text_col, **kw)
+
+
+def _step_pii_redact(df: DataFrame, text_col: str) -> DataFrame:
+    return df.withColumn(text_col, tx.pii_redact(F.col(text_col)))
+
+
+def _step_quality_score(df: DataFrame, text_col: str, out_col: str = "quality") -> DataFrame:
+    return df.withColumn(out_col, tx.quality_score(F.col(text_col)))
+
+
+def _step_lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    return df.withColumn(out_col, tx.lang_id(F.col(text_col)))
+
+
+def _step_token_count(df: DataFrame, text_col: str, out_col: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out_col, tx.token_count(F.col(text_col)))
+
+
+def _step_unicode_clean(df: DataFrame, text_col: str) -> DataFrame:
+    return df.withColumn(text_col, tx.unicode_nfc(tx.strip_invisible(F.col(text_col))))
+
+
+def _step_html_extract(df: DataFrame, text_col: str) -> DataFrame:
+    return df.withColumn(text_col, tx.html_to_text(F.col(text_col)))
+
+
+def _step_filter(df: DataFrame, text_col: str, where: str) -> DataFrame:
+    return df.filter(F.expr(where))
+
+
+STEPS: dict[str, Callable[..., DataFrame]] = {
+    "gopher_filter": _step_gopher_filter,
+    "line_dedup": _step_line_dedup,
+    "exact_dedup": _step_exact_dedup,
+    "pii_redact": _step_pii_redact,
+    "quality_score": _step_quality_score,
+    "lang_id": _step_lang_id,
+    "token_count": _step_token_count,
+    "unicode_clean": _step_unicode_clean,
+    "html_extract": _step_html_extract,
+    "filter": _step_filter,
+}
+
+
+class CorpusPipeline:
+    """Validated, composable corpus-cleanup pipeline."""
+
+    def __init__(self, steps: list[dict[str, Any]], text_col: str = "text"):
+        import inspect
+
+        self.text_col = text_col
+        self._steps: list[tuple[str, Callable[[DataFrame], DataFrame]]] = []
+        for i, spec in enumerate(steps):
+            if not isinstance(spec, dict) or "op" not in spec:
+                raise ConfigError(f"corpus step {i}: every step needs an 'op'")
+            kw = {k: v for k, v in spec.items() if k != "op"}
+            op = spec["op"]
+            fn = STEPS.get(op)
+            if fn is None:
+                raise ConfigError(
+                    f"corpus step {i}: unknown op {op!r} (known: {sorted(STEPS)})"
+                )
+            sig = inspect.signature(fn)
+            for k in kw:
+                if k not in sig.parameters:
+                    raise ConfigError(f"corpus step {i} ({op}): unknown option {k!r}")
+            required = [
+                p.name
+                for p in sig.parameters.values()
+                if p.default is inspect.Parameter.empty
+                and p.name not in ("df", "text_col")
+                and p.kind is not inspect.Parameter.VAR_KEYWORD
+            ]
+            missing = [r for r in required if r not in kw]
+            if missing:
+                raise ConfigError(f"corpus step {i} ({op}): missing option(s) {missing}")
+            self._steps.append(
+                (op, (lambda df, _fn=fn, _kw=kw: _fn(df, text_col=self.text_col, **_kw)))
+            )
+
+    @classmethod
+    def from_file(cls, path: str) -> "CorpusPipeline":
+        docs = _read_yaml_or_json(path)
+        spec = docs[0] if docs else {}
+        steps = spec.get("pipeline")
+        if not isinstance(steps, list) or not steps:
+            raise ConfigError("corpus config needs a non-empty 'pipeline' list")
+        return cls(steps, text_col=spec.get("text_col", "text"))
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        for _, fn in self._steps:
+            df = fn(df)
+        return df
+
+    @property
+    def step_names(self) -> list[str]:
+        return [n for n, _ in self._steps]

@@ -4326,3 +4326,45 @@ def dedup_incremental_neardup(spark, sf_dir):
     history = docs.filter(F.col("doc_id") < 250)
     batch = docs.filter(F.col("doc_id") >= 250)
     return dd.near_dup_vs_history(batch, history)
+
+
+@register(
+    "pipeline_corpus_config",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, text, {_SQL_QUALITY} AS quality FROM documents
+    ), kept AS (
+        SELECT * FROM scored WHERE doc_id IN (
+            SELECT min(doc_id) FROM scored
+            GROUP BY md5(array_to_string({_sql_words()}, ' '))
+        )
+    )
+    SELECT doc_id,
+           {_sql_pii_redact('text')} AS text,
+           round(quality, 2) AS quality,
+           CAST(len({_sql_words()}) AS BIGINT) AS n_tokens
+    FROM kept WHERE quality >= 0.5
+    """,
+)
+def pipeline_corpus_config(spark, sf_dir):
+    """The CONFIG-DRIVEN corpus pipeline (logprep_spark/corpus.py
+    CorpusPipeline) — same declarative-composition story as the log
+    half's factory: this spec assembles quality scoring, exact dedup,
+    PII redaction, token accounting, and a quality gate into ONE lazy
+    plan, and the oracle checks the whole composition."""
+    from logprep_spark.corpus import CorpusPipeline
+
+    pipe = CorpusPipeline(
+        [
+            {"op": "quality_score"},
+            {"op": "exact_dedup"},
+            {"op": "pii_redact"},
+            {"op": "token_count"},
+            {"op": "filter", "where": "quality >= 0.5"},
+        ]
+    )
+    docs = tables(spark, sf_dir)["documents"]
+    out = pipe.transform(docs.select("doc_id", "text"))
+    return out.select(
+        "doc_id", "text", F.round("quality", 2).alias("quality"), "n_tokens"
+    )

@@ -1,0 +1,63 @@
+"""Config-driven corpus pipeline (logprep_spark/corpus.py): the §2.4
+operators composed from YAML the way the log half composes processors."""
+
+import pytest
+
+from logprep_spark.corpus import CorpusPipeline
+from logprep_spark.factory import ConfigError
+
+
+def test_yaml_pipeline_end_to_end(spark, tmp_path):
+    cfg = tmp_path / "corpus.yml"
+    cfg.write_text(
+        """
+text_col: text
+pipeline:
+  - op: unicode_clean
+  - op: quality_score
+  - op: exact_dedup
+  - op: pii_redact
+  - op: token_count
+  - op: filter
+    where: "n_tokens >= 3"
+"""
+    )
+    p = CorpusPipeline.from_file(str(cfg))
+    assert p.step_names == [
+        "unicode_clean", "quality_score", "exact_dedup",
+        "pii_redact", "token_count", "filter",
+    ]
+    df = spark.createDataFrame(
+        [(1, "mail bob@x.co and some words here"),
+         (2, "mail bob@x.co and some words here"),   # exact dup
+         (3, "too short"),
+         (4, "another document with enough words in it")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in p.transform(df).collect()}
+    assert sorted(rows) == [1, 4]                       # dup 2 + short 3 dropped
+    assert "<pii:email>" in rows[1]["text"]
+    assert "quality" in rows[1].asDict() and "n_tokens" in rows[1].asDict()
+
+
+def test_unknown_op_and_option_fail_at_build(spark):
+    with pytest.raises(ConfigError, match="unknown op"):
+        CorpusPipeline([{"op": "nope"}])
+    with pytest.raises(ConfigError, match="unknown option"):
+        CorpusPipeline([{"op": "exact_dedup", "bogus": 1}])
+    with pytest.raises(ConfigError, match="missing option"):
+        CorpusPipeline([{"op": "filter"}])
+
+
+def test_line_dedup_step_keeps_other_columns(spark):
+    p = CorpusPipeline([{"op": "line_dedup"}])
+    df = spark.createDataFrame(
+        [(1, "keep me\nboilerplate line", "s1"),
+         (2, "boilerplate line\nunique text", "s2")],
+        ["doc_id", "text", "source"],
+    )
+    rows = {r["doc_id"]: r for r in p.transform(df).collect()}
+    assert rows[1]["source"] == "s1" and rows[2]["source"] == "s2"
+    # the second occurrence of the boilerplate line is gone
+    assert "boilerplate" not in rows[2]["text"]
+    assert "unique text" in rows[2]["text"]
