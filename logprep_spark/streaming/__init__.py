@@ -5,6 +5,8 @@ as ``readStream → transforms → writeStream``.
 
 from logprep_spark.streaming.pipeline import StreamingPipeline
 from logprep_spark.streaming.windows import (
+    drift_psi_stream,
+    psi_baseline,
     sessionize_stream,
     interval_join,
     sliding_counts,
@@ -23,6 +25,8 @@ __all__ = [
     "rate_anomaly_stream",
     "StreamingPipeline",
     "dedupe_near_stream",
+    "drift_psi_stream",
+    "psi_baseline",
     "dedupe_stream",
     "running_totals",
     "sessionize_stream",

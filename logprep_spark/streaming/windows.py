@@ -122,3 +122,93 @@ def sessionize_stream(
             "sum_value",
         )
     )
+
+
+def psi_baseline(df, value_col: str = "value", buckets: int = 10):
+    """Batch-side PSI baseline model: decile bounds + per-bucket
+    add-1-smoothed milli fractions, collected driver-side (a ~20-
+    number model, the broadcast-of-centroids pattern). Feed the
+    result to :func:`drift_psi_stream`."""
+    from pyspark.sql import functions as F
+
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = [
+        float(x)
+        for x in df.agg(
+            F.percentile(value_col, F.array(*[F.lit(q) for q in qs]))
+        ).first()[0]
+    ]
+    b = F.aggregate(
+        F.array(*[F.lit(x) for x in bounds]),
+        F.lit(0),
+        lambda acc, bd: acc + F.when(F.col(value_col) > bd, 1).otherwise(0),
+    )
+    counts = {r["bucket"]: r["n"] for r in df.groupBy(b.alias("bucket")).count().withColumnRenamed("count", "n").collect()}
+    total = sum(counts.values())
+    fracs_milli = [
+        round(1000 * (counts.get(i, 0) + 1) / (total + buckets)) for i in range(buckets)
+    ]
+    return bounds, fracs_milli
+
+
+def drift_psi_stream(
+    events,
+    bounds: list[float],
+    base_fracs_milli: list[int],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_duration: str = "10 minutes",
+    watermark: str = "10 minutes",
+):
+    """Streaming PSI drift against a static baseline — the batch
+    drift monitor (plans/analytics.drift_psi) as a live stream: each
+    event-time window's value distribution is bucketed against the
+    BASELINE bounds (plan literals — the stream never joins), and the
+    window's PSI is emitted once the watermark closes it.
+
+    This is a CHAINED stateful pipeline (Spark ≥3.4 append-mode
+    multi-stateful support): windowed (window, bucket) counts →
+    per-window assembly of the 10-bucket vector → PSI from the
+    literal baseline fractions. State is bounded by open windows ×
+    buckets; the watermark evicts both operators."""
+    from pyspark.sql import functions as F
+
+    n_buckets = len(base_fracs_milli)
+    b = F.aggregate(
+        F.array(*[F.lit(x) for x in bounds]),
+        F.lit(0),
+        lambda acc, bd: acc + F.when(F.col(value_col) > bd, 1).otherwise(0),
+    )
+    wcounts = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration).alias("win"), b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assembled = wcounts.groupBy("win").agg(
+        F.sum("n").alias("total"),
+        F.collect_list(F.struct("bucket", "n")).alias("_bn"),
+    )
+    def bucket_n(i: int):
+        # real closure — a default-arg lambda has two parameters and
+        # F.filter would silently pass (element, index) instead
+        # F.get (0-based) returns NULL past the end; ANSI element_at
+        # raises on the empty array an absent bucket produces
+        return F.coalesce(
+            F.get(F.filter("_bn", lambda x: x["bucket"] == F.lit(i)), 0)["n"],
+            F.lit(0),
+        )
+
+    parts = []
+    for i, f1_milli in enumerate(base_fracs_milli):
+        nb = bucket_n(i)
+        p2 = (nb + 1) / (F.col("total") + n_buckets)
+        p1 = F.lit(f1_milli / 1000.0)
+        parts.append((p2 - p1) * F.log(p2 / p1))
+    psi = parts[0]
+    for p in parts[1:]:
+        psi = psi + p
+    return assembled.select(
+        F.col("win.start").alias("window_start"),
+        "total",
+        F.round(psi * 1_000_000).cast("long").alias("psi_micro"),
+    )

@@ -782,3 +782,54 @@ def test_rate_anomaly_stream_flags_spike(spark, tmp_path):
         for s in p_.get("stateOperators", [])
     ]
     assert totals and max(totals) <= 2
+
+
+def test_drift_psi_stream_chained_stateful(spark, tmp_path):
+    """Streaming PSI against a static baseline, exercising CHAINED
+    stateful aggs in append mode: a window matching the baseline
+    scores near zero; a shifted window scores clearly higher; the
+    watermark closes windows (rows only appear once final)."""
+    import os as _os
+    import time as _time
+
+    from logprep_spark.streaming import drift_psi_stream, psi_baseline
+
+    # static baseline: uniform values 0..99
+    base = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], "value double"
+    )
+    bounds, fracs = psi_baseline(base)
+    assert len(bounds) == 9 and len(fracs) == 10
+    assert abs(sum(fracs) - 1000) <= 10
+
+    d = tmp_path / "psi-in"
+    d.mkdir()
+    t0 = _time.time()
+    # window 1 (10:00): matches baseline; window 2 (10:10): values
+    # concentrated high (drift); a late file advances the watermark
+    # past both windows so they close
+    rows1 = [{"ts": "2024-03-01 10:00:%02d" % (i % 60), "value": float(i % 100)}
+             for i in range(300)]
+    rows2 = [{"ts": "2024-03-01 10:10:%02d" % (i % 60), "value": 90.0 + (i % 10)}
+             for i in range(300)]
+    rows3 = [{"ts": "2024-03-01 10:45:00", "value": 1.0}]
+    for j, rows in enumerate((rows1, rows2, rows3)):
+        p = d / f"b{j}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        _os.utime(p, (t0 + j, t0 + j))
+
+    stream = (spark.readStream.schema("ts timestamp, value double")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    out = drift_psi_stream(stream, bounds, fracs)
+    q = (out.writeStream.format("memory").queryName("psi_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    _run(q)
+
+    got = {str(r.window_start): r.psi_micro
+           for r in spark.sql("SELECT * FROM psi_out").collect()}
+    w1 = got.get("2024-03-01 10:00:00")
+    w2 = got.get("2024-03-01 10:10:00")
+    assert w1 is not None and w2 is not None
+    assert w1 < 100_000            # near-baseline window: small PSI
+    assert w2 > 1_000_000          # concentrated window: large PSI
+    assert w2 > 10 * max(w1, 1)
