@@ -220,9 +220,11 @@ def decode_image(payload: bytes):
     (:func:`decode_png` — stdlib zlib inflate + filter reconstruction)
     and JPEG, baseline at any integer subsampling and progressive
     SOF2 incl. restart markers (functions/jpeg.py — pure-Python T.81
-    Annex K/G). Arithmetic-coded/hierarchical JPEG raises (see
-    jpeg.py posture); inject a full decoder where arbitrary external
-    JPEGs matter."""
+    Annex K/G), plus GIF87a/89a (functions/gif.py — full LZW,
+    interlacing, transparency; animated GIFs take frame 0, all frames
+    via gif.decode_gif_frames). Arithmetic-coded/hierarchical JPEG
+    raises (see jpeg.py posture); inject a full decoder where
+    arbitrary external formats matter."""
     import numpy as np
 
     if payload[:8] == _PNG_SIG:
@@ -231,6 +233,10 @@ def decode_image(payload: bytes):
         from logprep_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from logprep_spark.functions.gif import decode_gif
+
+        return decode_gif(payload)
 
     if payload[:2] == b"P6":
         # P6 <ws> width <ws> height <ws> maxval <single-ws> raw RGB
@@ -270,7 +276,7 @@ def decode_image(payload: bytes):
         rgb = bgr[:, :, ::-1]
         return (rgb[::-1] if flip else rgb).copy()  # BMP stores bottom-up
     raise NotImplementedError(
-        "unknown image format; PPM/BMP/PNG/baseline-JPEG decode natively, "
+        "unknown image format; PPM/BMP/PNG/GIF/baseline-JPEG decode natively, "
         "inject a decoder for anything else"
     )
 

@@ -260,3 +260,111 @@ def test_jpeg_progressive_stream_shape():
     cut = noisy.find(b"\xff\xda") + 16
     with _pytest.raises(JpegError, match="truncated"):
         decode_jpeg(noisy[:cut])
+
+
+# --- GIF ---------------------------------------------------------------
+
+
+def _lzw_compress_reference(indices, min_code_size):
+    """Independent REAL LZW compressor (dictionary-building, width
+    growth, 4096 reset) — validates the decoder against streams the
+    in-repo uncompressed-style encoder never produces (KwKwK, width
+    growth, dictionary resets)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def put(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    put(clear)
+    buf = b""
+    for s in bytes(indices):
+        cand = buf + bytes([s])
+        if cand in table:
+            buf = cand
+            continue
+        put(table[buf])
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            put(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        buf = bytes([s])
+    put(table[buf])
+    put(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+@given(
+    h=st.integers(2, 24),
+    w=st.integers(2, 24),
+    ncolors=st.integers(2, 8),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=25, deadline=None)
+def test_gif_roundtrip_any_image(h, w, ncolors, interlace, seed):
+    import numpy as np
+
+    from logprep_spark.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    img = (rng.integers(0, ncolors, (h, w, 1), dtype=np.uint8) * (255 // ncolors)).repeat(
+        3, axis=2
+    )
+    assert (decode_gif(encode_gif(img, interlace=interlace)) == img).all()
+
+
+def test_gif_lzw_decoder_vs_independent_compressor():
+    import random
+
+    from logprep_spark.functions.gif import _lzw_decode
+
+    random.seed(42)
+    cases = [
+        (2, bytes([0, 1] * 500)),               # KwKwK-heavy alternation
+        (2, bytes([i % 4 for i in range(3000)])),
+        (4, bytes(random.choices(range(16), k=5000))),
+        (2, b"\x00" * 4000),                    # one long run + dict reset
+    ]
+    for mcs, data in cases:
+        comp = _lzw_compress_reference(data, mcs)
+        assert bytes(_lzw_decode(mcs, comp, len(data))) == data
+
+
+def test_gif_transparency_and_multiframe():
+    import numpy as np
+    import struct as _s
+
+    from logprep_spark.functions.gif import decode_gif_frames, encode_gif
+
+    base = np.zeros((4, 4, 3), dtype=np.uint8)
+    base[:, :] = (10, 20, 30)
+    g = bytearray(encode_gif(base))
+    # splice a graphic-control extension declaring index 0 transparent
+    # ahead of the image descriptor, then decode: every pixel is index
+    # 0 -> transparent -> the background shows through unchanged
+    img_desc = g.index(0x2C, 13)
+    gce = bytes([0x21, 0xF9, 0x04, 0x01]) + _s.pack("<H", 0) + bytes([0x00, 0x00])
+    g2 = bytes(g[:img_desc]) + gce + bytes(g[img_desc:])
+    frames = decode_gif_frames(g2)
+    assert len(frames) == 1
+    # background color = global table entry 0 = the single color
+    assert (frames[0] == base).all()
