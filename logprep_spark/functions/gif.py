@@ -94,10 +94,10 @@ def _deinterlace(indices, height: int, width: int):
     return flat
 
 
-def decode_gif_frames(payload: bytes) -> list:
-    """Every frame as an (H, W, 3) uint8 RGB numpy array (composited
-    onto the logical screen's background; transparent pixels keep the
-    background/previous content per disposal none)."""
+def decode_gif_animation(payload: bytes) -> tuple[list, list]:
+    """(frames, delays_ms): every frame composited onto the logical
+    screen plus its graphic-control delay (centiseconds -> ms; the
+    0-delay convention renders as the de-facto 100 ms)."""
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -111,7 +111,9 @@ def decode_gif_frames(payload: bytes) -> list:
     screen = np.zeros((sh, sw, 3), dtype=np.uint8)
     screen[:, :] = bg_rgb
     frames = []
+    delays = []
     transparent = None
+    delay_ms = 100
     while off < len(payload):
         block = payload[off]
         off += 1
@@ -122,8 +124,9 @@ def decode_gif_frames(payload: bytes) -> list:
             off += 1
             data, off = _sub_blocks(payload, off)
             if label == 0xF9 and len(data) >= 4:  # graphic control
-                flags, _delay, tix = struct.unpack_from("<BHB", data, 0)
+                flags, delay_cs, tix = struct.unpack_from("<BHB", data, 0)
                 transparent = tix if flags & 0x01 else None
+                delay_ms = delay_cs * 10 if delay_cs else 100
             continue
         if block != 0x2C:
             raise ValueError(f"GIF: unknown block 0x{block:02x}")
@@ -155,10 +158,17 @@ def decode_gif_frames(payload: bytes) -> list:
         else:
             region[:, :] = rgb
         frames.append(screen.copy())
+        delays.append(delay_ms)
         transparent = None
+        delay_ms = 100
     if not frames:
         raise ValueError("GIF contained no image data")
-    return frames
+    return frames, delays
+
+
+def decode_gif_frames(payload: bytes) -> list:
+    """Every frame as an (H, W, 3) uint8 RGB numpy array."""
+    return decode_gif_animation(payload)[0]
 
 
 def decode_gif(payload: bytes):
@@ -237,5 +247,44 @@ def encode_gif(arr, interlace: bool = False) -> bytes:
         out.append(len(chunk))
         out += chunk
     out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def encode_gif_animation(frames, delays_ms) -> bytes:
+    """Multi-frame GIF89a for fixtures: one global color table over
+    the union palette (≤256), a graphic-control extension with the
+    real centisecond delay ahead of every frame."""
+    import numpy as np
+
+    h, w = frames[0].shape[:2]
+    union = np.unique(
+        np.concatenate([f.reshape(-1, 3) for f in frames], axis=0), axis=0
+    )
+    if len(union) > 256:
+        raise ValueError("encode_gif_animation: more than 256 distinct colors")
+    size_field = 0
+    while (2 << size_field) < len(union):
+        size_field += 1
+    n_entries = 2 << size_field
+    min_code = max(2, size_field + 1)
+    lut = {tuple(c): i for i, c in enumerate(union)}
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_field & 7), 0, 0)
+    for i in range(n_entries):
+        out += bytes(union[i]) if i < len(union) else b"\x00\x00\x00"
+    for frame, delay in zip(frames, delays_ms):
+        out += bytes([0x21, 0xF9, 0x04, 0x00])
+        out += struct.pack("<H", max(delay // 10, 1))
+        out += bytes([0x00, 0x00])
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(min_code)
+        idx = bytes(lut[tuple(p)] for p in frame.reshape(-1, 3))
+        stream = _lzw_encode_uncompressed(idx, min_code)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
     out.append(0x3B)
     return bytes(out)

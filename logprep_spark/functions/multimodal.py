@@ -618,7 +618,9 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, frame_decoder=None) -> Da
     (``duration_ms // every_ms`` frames per video). MJPEG-AVI payloads
     are REAL: the RIFF container parses (:func:`decode_avi`) and the
     sampled row carries the actual JPEG frame nearest the timestamp
-    (decodable downstream with decode_image). Other codecs plug in via
+    (decodable downstream with decode_image). Animated GIFs are REAL
+    too (r5): the per-frame graphic-control delays drive the timeline
+    and sampled frames re-encode as PPM. Other codecs plug in via
     ``frame_decoder(payload, t_ms) -> bytes``; the fallback slices
     deterministic bytes so plumbing stays testable. The Spark side is
     the real shape either way: fan-out happens INSIDE mapInPandas, so
@@ -633,6 +635,21 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, frame_decoder=None) -> Da
             if avi["frames"]:
                 idx = min(t_ms // avi["frame_ms"], len(avi["frames"]) - 1)
                 return avi["frames"][idx]
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            # animated GIF: walk the real per-frame delays to the frame
+            # covering t_ms; returned as PPM so downstream decode_image
+            # reads it regardless of the source palette
+            from logprep_spark.functions.gif import decode_gif_animation
+
+            frames, delays = decode_gif_animation(payload)
+            t = 0
+            chosen = frames[-1]
+            for frame, d in zip(frames, delays):
+                if t_ms < t + d:
+                    chosen = frame
+                    break
+                t += d
+            return encode_ppm(chosen)
         return payload[t_ms % max(len(payload or b" "), 1) :][:16]
 
     grab = frame_decoder or default_grab

@@ -1067,3 +1067,29 @@ def test_near_dup_vs_history(spark):
     rows = {r["doc_id"]: r["hist_id"]
             for r in dedup.near_dup_vs_history(batch, hist, threshold=0.5).collect()}
     assert rows == {10: 1}
+
+
+def test_sample_frames_animated_gif(spark):
+    """Animated GIF drives sample_frames: the real per-frame delays
+    place each sampled timestamp on the right frame, re-encoded as a
+    decodable PPM."""
+    import numpy as np
+
+    from logprep_spark.functions.gif import encode_gif_animation
+    from logprep_spark.functions.multimodal import decode_image, sample_frames
+
+    f1 = np.full((4, 4, 3), 10, dtype=np.uint8)
+    f2 = np.full((4, 4, 3), 200, dtype=np.uint8)
+    gif = encode_gif_animation([f1, f2], [1000, 1000])
+    df = spark.createDataFrame(
+        [(1, "video", gif, {"mime": "image/gif", "width": 4, "height": 4,
+                            "duration_ms": 2000})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = sorted(
+        sample_frames(df, every_ms=500).collect(), key=lambda r: r["t_ms"]
+    )
+    assert [r["t_ms"] for r in rows] == [0, 500, 1000, 1500]
+    decoded = [decode_image(bytes(r["frame_payload"])) for r in rows]
+    assert (decoded[0] == f1).all() and (decoded[1] == f1).all()
+    assert (decoded[2] == f2).all() and (decoded[3] == f2).all()
