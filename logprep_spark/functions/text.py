@@ -923,3 +923,69 @@ def bm25_search(
         .limit(k)
         .withColumn("rank", F.row_number().over(win))
     )
+
+
+QUALITY_MODEL_PATH = None  # default: packaged artifact
+
+
+def load_quality_model() -> dict:
+    import json
+    import os
+
+    path = QUALITY_MODEL_PATH or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "operators",
+        "quality_model.json",
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
+def quality_model_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", model: dict | None = None
+) -> DataFrame:
+    """Score documents with the TRAINED quality classifier
+    (tools/train_quality.py — hashed-unigram logistic regression
+    distilling the strict quality rule into a smooth probability, the
+    GPT-3/LLaMA-style quality-classifier technique) — entirely in
+    Catalyst expressions: the micro-int weight vector is a plan-
+    LITERAL array, the per-doc feature dot product is one ``aggregate``
+    fold over the token array (exact long addition — partition-order-
+    free), and only the final sigmoid runs in doubles. No UDF of any
+    kind — one step beyond amides' Arrow pandas_udf: model inference
+    fused into whole-stage codegen."""
+    from logprep_spark.functions.dedup import h60
+
+    model = model or load_quality_model()
+    dim = model["dim"]
+    warr = F.array(*[F.lit(int(x)).cast("long") for x in model["weights_micro"]])
+    bias = int(model["bias_micro"])
+    # stage the literal weight array as a per-ROW column: referenced
+    # inside the aggregate lambda it would be rebuilt per TOKEN (dim
+    # literals x tokens; measured ~2x end-to-end at sf0.01)
+    toked = df.select(
+        F.col(id_col),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+        warr.alias("_w"),
+    )
+    fold = F.aggregate(
+        "_toks",
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at("_w", (F.pmod(h60(t), F.lit(dim)) + 1).cast("int")),
+    )
+    staged = toked.select(
+        F.col(id_col),
+        F.size("_toks").alias("n_tokens"),
+        fold.alias("_wsum"),
+    )
+    logit = F.lit(bias) + F.expr("_wsum div greatest(n_tokens, 1)")
+    return staged.select(
+        id_col,
+        "n_tokens",
+        logit.alias("logit_micro"),
+        F.round(1000.0 / (1.0 + F.exp(-logit / 1_000_000.0))).cast("long").alias(
+            "prob_milli"
+        ),
+        (logit > 0).alias("pred_high_quality"),
+    )

@@ -4368,3 +4368,37 @@ def pipeline_corpus_config(spark, sf_dir):
     return out.select(
         "doc_id", "text", F.round("quality", 2).alias("quality"), "n_tokens"
     )
+
+
+def _sql_quality_model() -> str:
+    m = tx.load_quality_model()
+    wlist = "[" + ", ".join(str(int(x)) for x in m["weights_micro"]) + "]"
+    toks = _sql_words("lower(text)")
+    return f"""
+    WITH staged AS (
+        SELECT doc_id,
+               CAST(len({toks}) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform({toks},
+                    t -> ({wlist})[({_sql_h60('t')} % {m['dim']}) + 1])) AS BIGINT)
+                   AS _wsum
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           {int(m['bias_micro'])} + _wsum // greatest(n_tokens, 1) AS logit_micro,
+           CAST(round(1000.0 / (1.0 + exp(-({int(m['bias_micro'])}
+                + _wsum // greatest(n_tokens, 1)) / 1000000.0))) AS BIGINT)
+               AS prob_milli,
+           ({int(m['bias_micro'])} + _wsum // greatest(n_tokens, 1)) > 0
+               AS pred_high_quality
+    FROM staged
+    """
+
+
+@register("text_quality_model", _sql_quality_model())
+def text_quality_model(spark, sf_dir):
+    """Trained quality classifier scored in pure Catalyst
+    (functions/text.py quality_model_score; artifact from
+    tools/train_quality.py, holdout acc in the JSON): literal
+    micro-weight array, one aggregate fold per doc, no UDF."""
+    docs = tables(spark, sf_dir)["documents"]
+    return tx.quality_model_score(docs)

@@ -1093,3 +1093,21 @@ def test_sample_frames_animated_gif(spark):
     decoded = [decode_image(bytes(r["frame_payload"])) for r in rows]
     assert (decoded[0] == f1).all() and (decoded[1] == f1).all()
     assert (decoded[2] == f2).all() and (decoded[3] == f2).all()
+
+
+def test_quality_model_agrees_with_rule(docs, spark):
+    """The trained classifier (pure-Catalyst scoring) must agree with
+    the rule it distills on the vast majority of real docs, and the
+    artifact's recorded holdout accuracy must meet the trainer's own
+    floor."""
+    model = text.load_quality_model()
+    assert model["holdout_acc"] >= 0.70
+    scored = text.quality_model_score(docs.select("doc_id", "text"))
+    rule = docs.select(
+        "doc_id", (text.quality_score(F.col("text")) >= model["threshold"]).alias("y")
+    )
+    both = scored.join(rule, "doc_id").select(
+        (F.col("pred_high_quality") == F.col("y")).cast("int").alias("ok")
+    )
+    agree = both.agg(F.avg("ok")).first()[0]
+    assert agree >= 0.80, f"model/rule agreement {agree:.3f}"
