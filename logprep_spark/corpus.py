@@ -73,6 +73,13 @@ def _step_html_extract(df: DataFrame, text_col: str) -> DataFrame:
     return df.withColumn(text_col, tx.html_to_text(F.col(text_col)))
 
 
+def _step_quality_model(df: DataFrame, text_col: str, out_col: str = "prob_milli") -> DataFrame:
+    scored = tx.quality_model_score(df.select("doc_id", text_col)).select(
+        "doc_id", F.col("prob_milli").alias(out_col)
+    )
+    return df.join(scored, "doc_id")
+
+
 def _step_filter(df: DataFrame, text_col: str, where: str) -> DataFrame:
     return df.filter(F.expr(where))
 
@@ -87,6 +94,7 @@ STEPS: dict[str, Callable[..., DataFrame]] = {
     "token_count": _step_token_count,
     "unicode_clean": _step_unicode_clean,
     "html_extract": _step_html_extract,
+    "quality_model": _step_quality_model,
     "filter": _step_filter,
 }
 

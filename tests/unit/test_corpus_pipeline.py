@@ -61,3 +61,21 @@ def test_line_dedup_step_keeps_other_columns(spark):
     # the second occurrence of the boilerplate line is gone
     assert "boilerplate" not in rows[2]["text"]
     assert "unique text" in rows[2]["text"]
+
+
+def test_quality_model_step_in_pipeline(spark):
+    from logprep_spark.corpus import CorpusPipeline
+
+    p = CorpusPipeline(
+        [{"op": "quality_model"},
+         {"op": "filter", "where": "prob_milli >= 500"}]
+    )
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and then rests "
+             "for a while in the warm afternoon sun with friends"),
+         (2, "x")],
+        ["doc_id", "text"],
+    )
+    out = p.transform(df)
+    assert "prob_milli" in out.columns
+    assert out.count() <= 2  # model gate applied without error
