@@ -252,11 +252,17 @@ def main() -> None:
         }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    names = list(timings)
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # round-over-round comparability without manual arithmetic:
+        # the first 12 queries are the long-run subtotal (r1-r3), the
+        # first 15 the r4-comparable one (SURVEY §6)
+        "comparable_12": round(sum(timings[n] for n in names[:12]), 3),
+        "comparable_15": round(sum(timings[n] for n in names[:15]), 3),
         "calib_s": calib_s,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -4402,3 +4402,61 @@ def text_quality_model(spark, sf_dir):
     micro-weight array, one aggregate fold per doc, no UDF."""
     docs = tables(spark, sf_dir)["documents"]
     return tx.quality_model_score(docs)
+
+
+@register(
+    "dedup_semantic_clusters",
+    f"""
+    WITH RECURSIVE cents AS (
+        SELECT embedding AS cvec,
+               row_number() OVER (ORDER BY {_sql_h60('vec_id::varchar')}, vec_id) AS cid
+        FROM embeddings
+        ORDER BY {_sql_h60('vec_id::varchar')}, vec_id LIMIT 16
+    ), scored_all AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_sql_cosine('e.embedding', 'c.cvec')} AS s
+        FROM embeddings e CROSS JOIN cents c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid AS bucket FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+            FROM scored_all
+        ) WHERE rn = 1
+    ), dup AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assigned a JOIN assigned b USING (bucket)
+        WHERE a.vec_id < b.vec_id
+          AND {_sql_cosine('a.embedding', 'b.embedding')} >= 0.35
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM dup
+        UNION
+        SELECT id_b, id_a FROM dup
+    ), walk(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst
+    )
+    SELECT id AS vec_id, min(label) AS cluster_id FROM walk GROUP BY id
+    """,
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup pairs promoted to semantic CLUSTERS: connected
+    components (functions/dedup.py dup_clusters — iterative min-label
+    propagation) over the within-centroid-bucket cosine pairs; every
+    semantically-duplicated vector labeled with its cluster's min id.
+    Transitivity matters here — A~B and B~C chains merge even when
+    cos(A,C) dips under the threshold."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    cvecs = sim.ivf_centroids(emb, 16)
+    assigned = sim.ivf_assign(emb, cvecs, out_id="_id", out_vec="_vec")
+    a = assigned.select("bucket", F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a"))
+    b = assigned.select("bucket", F.col("_id").alias("id_b"), F.col("_vec").alias("vec_b"))
+    cos = F.round(dd.cosine_sim(F.col("vec_a"), F.col("vec_b")), 6)
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+    )
+    return dd.dup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
