@@ -393,12 +393,25 @@ def kmeans(
     (array_min over (dist, cid) structs). An emptied cluster keeps
     its previous centroid (standard Lloyd's repair). Returns
     (vec_id, cluster, dist2) for the final assignment."""
-    dim = probe_dim(df, vec_col) or 0
     vm = df.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("v"))
     seed_rows = (
         vm.orderBy(h60(F.col(id_col).cast("string")), F.col(id_col)).limit(k).collect()
     )
     cvecs: list[list[int]] = [[int(x) for x in r["v"]] for r in seed_rows]
+    return _kmeans_from_seeds(df, cvecs, iters, vec_col, id_col)
+
+
+def _kmeans_from_seeds(
+    df: DataFrame,
+    cvecs: list[list[int]],
+    iters: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's iterations + zero-shuffle final assignment from any
+    seed set (hash sample or :func:`gonzalez_seeds`)."""
+    dim = probe_dim(df, vec_col) or 0
+    vm = df.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("v"))
 
     def best_dc(cvs: list[list[int]]) -> Column:
         # array of (dist2, cid) structs vs literal centroids; array_min
@@ -496,3 +509,57 @@ def center_normalize(
             F.transform("_c", lambda x: F.round(x / F.col("_norm"), 6)).alias("centered"),
         )
     )
+
+
+def gonzalez_seeds(
+    df: DataFrame, k: int = 8, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> list[list[int]]:
+    """Farthest-first (Gonzalez 1985) seed selection on micro-fixed
+    vectors — the deterministic counterpart of k-means++ (D² sampling
+    needs randomness; farthest-first is its derandomized cousin with
+    a 2-approximation guarantee for k-center). Seed 0 is the
+    hash-order minimum (the ivf_centroids policy); each next seed
+    maximizes the minimum exact long distance to the chosen set, ties
+    to the lowest id.
+
+    Each round is a NARROW map against plan-literal chosen seeds plus
+    one 1-row argmax fetch (max_by over (dist, -id)) — k driver
+    round-trips of one row each, the iterative-model pattern of
+    :func:`kmeans`."""
+    vm = df.select(F.col(id_col).alias("_id"), micro_vec(F.col(vec_col)).alias("v"))
+    first = (
+        vm.orderBy(h60(F.col("_id").cast("string")), F.col("_id")).limit(1).collect()[0]
+    )
+    chosen: list[list[int]] = [[int(x) for x in first["v"]]]
+
+    def dist_to(cv: list[int]) -> Column:
+        return F.aggregate(
+            F.zip_with("v", F.array(*[F.lit(c) for c in cv]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    for _ in range(k - 1):
+        mind = F.least(*[dist_to(c) for c in chosen]) if len(chosen) > 1 else dist_to(chosen[0])
+        row = (
+            vm.select("_id", "v", mind.alias("_d"))
+            .orderBy(F.col("_d").desc(), F.col("_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append([int(x) for x in row["v"]])
+    return chosen
+
+
+def kmeans_gonzalez(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`kmeans` with farthest-first seeds instead of the hash
+    sample — better-spread initial centroids, same integer-exact
+    Lloyd's iterations and zero-shuffle final assignment."""
+    seeds = gonzalez_seeds(df, k, vec_col, id_col)
+    return _kmeans_from_seeds(df, seeds, iters, vec_col, id_col)

@@ -4460,3 +4460,77 @@ def dedup_semantic_clusters(spark, sf_dir):
     return dd.dup_clusters(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )
+
+
+def _sql_km_dist(a: str, b: str) -> str:
+    return (
+        f"list_sum([({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+        f"for i in range(1, len({a}) + 1)])"
+    )
+
+
+def _sql_gonzalez(k: int) -> str:
+    """Unrolled farthest-first seed CTEs s0..s{k-1} + a cents CTE."""
+    parts = [
+        f"""s0 AS (
+        SELECT v AS cv FROM vm
+        ORDER BY {_sql_h60('vec_id::varchar')}, vec_id LIMIT 1
+    )"""
+    ]
+    for j in range(1, k):
+        prevs = [f"s{i}" for i in range(j)]
+        joins = " ".join(f"CROSS JOIN {p}" for p in prevs)
+        dists = [
+            _sql_km_dist("m.v", f"{p}.cv") for p in prevs
+        ]
+        mind = dists[0] if len(dists) == 1 else "least(" + ", ".join(dists) + ")"
+        parts.append(
+            f"""s{j} AS (
+        SELECT m.v AS cv FROM vm m {joins}
+        ORDER BY {mind} DESC, m.vec_id LIMIT 1
+    )"""
+        )
+    cents = " UNION ALL ".join(
+        f"SELECT {i + 1} AS cid, cv FROM s{i}" for i in range(k)
+    )
+    parts.append(f"seeds AS ({cents})")
+    return ", ".join(parts)
+
+
+@register(
+    "ml_kmeans_gonzalez",
+    f"""
+    WITH vm AS (
+        SELECT vec_id, {_KM_MICRO} AS v FROM embeddings
+    ), {_sql_gonzalez(4)}, scored1 AS (
+        SELECT m.vec_id, m.v, c.cid, {_KM_DIST} AS d
+        FROM vm m CROSS JOIN seeds c
+    ), a1 AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM scored1) WHERE rn = 1
+    ), sums1 AS (
+        SELECT cluster, dim,
+               CAST(sum(v[dim]) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+        FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) dims
+        GROUP BY cluster, dim
+    ), c1 AS (
+        SELECT cluster AS cid, list(m ORDER BY dim) AS cv FROM sums1 GROUP BY cluster
+    ), scored2 AS (
+        SELECT m.vec_id, m.v, c.cid, {_KM_DIST} AS d
+        FROM vm m CROSS JOIN c1 c
+    )
+    SELECT vec_id, cluster, dist2 FROM (
+        SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM scored2) WHERE rn = 1
+    """,
+)
+def ml_kmeans_gonzalez(spark, sf_dir):
+    """k-means with farthest-first (Gonzalez) seeds — the
+    derandomized k-means++ (2-approximation for k-center), k=4:
+    better-spread seeds than the hash sample, same integer-exact
+    Lloyd's and zero-shuffle assignment (functions/similarity.py
+    kmeans_gonzalez)."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return sim.kmeans_gonzalez(emb, k=4, iters=2)

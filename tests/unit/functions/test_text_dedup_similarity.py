@@ -1111,3 +1111,17 @@ def test_quality_model_agrees_with_rule(docs, spark):
     )
     agree = both.agg(F.avg("ok")).first()[0]
     assert agree >= 0.80, f"model/rule agreement {agree:.3f}"
+
+
+def test_gonzalez_seeds_are_spread(spark):
+    """Farthest-first must pick one seed per well-separated blob; the
+    hash sample has no such guarantee."""
+    rows = [(i, [float(c), 0.0]) for i, c in enumerate([0, 0.1, 100, 100.2, -100, -99.9])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    seeds = similarity.gonzalez_seeds(df, k=3)
+    signs = sorted(0 if abs(s[0]) < 50_000_000 else (1 if s[0] > 0 else -1) for s in seeds)
+    assert signs == [-1, 0, 1]  # one seed per blob
+    out = {r["vec_id"]: r["cluster"]
+           for r in similarity.kmeans_gonzalez(df, k=3, iters=2).collect()}
+    assert out[0] == out[1] and out[2] == out[3] and out[4] == out[5]
+    assert len({out[0], out[2], out[4]}) == 3
