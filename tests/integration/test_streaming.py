@@ -833,3 +833,42 @@ def test_drift_psi_stream_chained_stateful(spark, tmp_path):
     assert w1 < 100_000            # near-baseline window: small PSI
     assert w2 > 1_000_000          # concentrated window: large PSI
     assert w2 > 10 * max(w1, 1)
+
+
+def test_streaming_windowed_hll_distinct(spark, tmp_path):
+    """HLL++ works as a windowed STREAMING aggregate (fixed-size
+    sketch through the watermarked window state): approx distinct
+    users per tumbling window lands within the rsd bound of exact."""
+    import os as _os
+    import time as _time
+
+    d = tmp_path / "hll-in"
+    d.mkdir()
+    t0 = _time.time()
+    rows = []
+    for w, base in ((0, 0), (10, 200)):
+        for i in range(150):
+            rows.append({"ts": f"2024-03-01 10:{w:02d}:{i % 60:02d}",
+                         "user_id": base + (i % 57)})
+    rows.append({"ts": "2024-03-01 10:45:00", "user_id": 1})
+    p = d / "b0.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    _os.utime(p, (t0, t0))
+
+    from pyspark.sql import functions as F
+
+    stream = (spark.readStream.schema("ts timestamp, user_id long")
+              .json(str(d)))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("win"))
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx"))
+    )
+    q = (agg.writeStream.format("memory").queryName("hllw_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    _run(q)
+    got = {str(r["win"]["start"]): r["approx"]
+           for r in spark.sql("SELECT * FROM hllw_out").collect()}
+    for start in ("2024-03-01 10:00:00", "2024-03-01 10:10:00"):
+        assert start in got
+        assert abs(got[start] - 57) <= 6  # ~3 sigma at rsd=0.02, small-n slack
