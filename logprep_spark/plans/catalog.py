@@ -4534,3 +4534,91 @@ def ml_kmeans_gonzalez(spark, sf_dir):
     kmeans_gonzalez)."""
     emb = tables(spark, sf_dir)["embeddings"]
     return sim.kmeans_gonzalez(emb, k=4, iters=2)
+
+
+@register(
+    "event_cube",
+    """
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(CAST(dow AS VARCHAR), '<all>') AS dow,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(value * 100)) AS BIGINT) AS value_cents
+    -- dayofweek conventions differ (DuckDB 0=Sun, Spark 1=Sun): +1 aligns
+    FROM (SELECT event_type, dayofweek(ts) + 1 AS dow, value FROM events)
+    GROUP BY CUBE (event_type, dow)
+    """,
+)
+def event_cube(spark, sf_dir):
+    """CUBE grouping sets (the full 2^k lattice — rollup's A13 row
+    covers only the prefix hierarchy): counts + exact cent sums per
+    (type, day-of-week), per type, per dow, and the grand total, all
+    in ONE shuffle of grouping-set-tagged partial aggs."""
+    events = tables(spark, sf_dir)["events"]
+    base = events.select(
+        "event_type", F.dayofweek("ts").alias("dow"), "value"
+    )
+    return (
+        base.cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value") * 100)).cast("long").alias("value_cents"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("dow").cast("string"), F.lit("<all>")).alias("dow"),
+            "n",
+            "value_cents",
+        )
+    )
+
+
+@register(
+    "corpus_ngram_novelty",
+    f"""
+    WITH grams AS (
+        SELECT doc_id, unnest({_sql_shingles()}) AS g FROM documents
+    ), firsts AS (
+        SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           CAST(1000 * sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS novelty_milli
+    FROM grams JOIN firsts USING (g)
+    GROUP BY doc_id
+    """,
+)
+def corpus_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty in corpus order (the redundancy-
+    growth profile: late crawl snapshots add fewer new 3-gram types —
+    the curve that justifies dedup spend): each distinct 3-gram is
+    credited to its FIRST document; a doc's novelty is the milli
+    fraction of its grams it introduced. Shapes: per-gram first-doc
+    via partial-agg groupBy (map-side combine — a boilerplate gram
+    collapses per task), AQE-splittable gram-keyed join back,
+    doc-keyed final agg."""
+    docs = tables(spark, sf_dir)["documents"]
+    sha = dd.shingle_arrays(docs, k=3)
+    from pyspark.storagelevel import StorageLevel
+
+    grams = sha.select("doc_id", F.explode("sh").alias("g")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("1000 * n_novel div n_grams").alias("novelty_milli"),
+        )
+    )
