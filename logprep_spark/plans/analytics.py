@@ -910,3 +910,38 @@ def pivot_event_counts(events: DataFrame) -> DataFrame:
         .count()
         .na.fill(0, EVENT_TYPES)
     )
+
+
+def q16_supplier_variety(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q16 shape (adapted to the driver schema): distinct
+    supplier counts per part attribute group, with a negated dim
+    predicate. The count-distinct runs as Spark's two-phase expand
+    (partial distinct per map task before the shuffle); the part dim
+    broadcasts after its filters prune it."""
+    parts = part.filter(
+        (F.col("p_brand") != "Brand#45") & (F.col("p_size") <= 20)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.join(broadcast(parts), lineitem.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def user_lifetime(events: DataFrame) -> DataFrame:
+    """Per-user lifetime mart — the dimension-build aggregation every
+    event warehouse materializes: first/last activity, span, active
+    days, event count, exact value cents. ONE user-keyed partial agg;
+    active days via two-phase count distinct over (user, day)."""
+    day = F.to_date("ts")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+            F.datediff(F.max(day), F.min(day)).cast("long").alias("span_days"),
+            F.count_distinct(day).alias("active_days"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * 100)).cast("long").alias("value_cents"),
+        )
+    )

@@ -4622,3 +4622,43 @@ def corpus_ngram_novelty(spark, sf_dir):
             F.expr("1000 * n_novel div n_grams").alias("novelty_milli"),
         )
     )
+
+
+@register(
+    "tpch_q16",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#45' AND p_size <= 20
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (plans/analytics.py q16_supplier_variety):
+    negated dim predicate + per-group two-phase count distinct."""
+    t = tables(spark, sf_dir)
+    return an.q16_supplier_variety(t["part"], t["lineitem"])
+
+
+@register(
+    "user_lifetime_mart",
+    """
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+           CAST(datediff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+                AS BIGINT) AS span_days,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(value * 100)) AS BIGINT) AS value_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def user_lifetime_mart(spark, sf_dir):
+    """Per-user lifetime dimension build (plans/analytics.py
+    user_lifetime): one user-keyed partial agg, two-phase distinct
+    active days, exact integral cent sums, ISO-string timestamps
+    (date/timestamp dtype classes differ across engines)."""
+    events = tables(spark, sf_dir)["events"]
+    return an.user_lifetime(events)
