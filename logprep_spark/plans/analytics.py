@@ -945,3 +945,31 @@ def user_lifetime(events: DataFrame) -> DataFrame:
             F.round(F.sum(F.col("value") * 100)).cast("long").alias("value_cents"),
         )
     )
+
+
+def q19_discounted_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: the OR-of-conjunctions predicate — Catalyst
+    must push the common l_quantity bounds and factor the disjunction
+    rather than evaluate three scans; the part dim broadcasts and the
+    residual OR evaluates post-join in one codegen stage."""
+    j = lineitem.join(broadcast(part), lineitem.l_partkey == part.p_partkey)
+    c1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(c1 | c2 | c3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )

@@ -4662,3 +4662,23 @@ def user_lifetime_mart(spark, sf_dir):
     (date/timestamp dtype classes differ across engines)."""
     events = tables(spark, sf_dir)["events"]
     return an.user_lifetime(events)
+
+
+@register(
+    "tpch_q19",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (plans/analytics.py q19_discounted_revenue):
+    OR-of-conjunctions over the dim join, single-row agg."""
+    t = tables(spark, sf_dir)
+    return an.q19_discounted_revenue(t["part"], t["lineitem"])
