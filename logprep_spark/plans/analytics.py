@@ -973,3 +973,30 @@ def q19_discounted_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
             "revenue"
         )
     )
+
+
+def q22_global_sales_opportunity(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22 shape (adapted): customers with above-average
+    balances and no LARGE order (>450k — every synthetic customer has
+    *some* order, so the plain never-ordered predicate is empty) —
+    the scalar-subquery threshold (a 1-row broadcast, no driver
+    action) combined with a LEFT ANTI join over the pre-filtered
+    order keys, then a per-segment report agg."""
+    from pyspark.sql.functions import broadcast as bc
+
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    rich = (
+        customer.crossJoin(bc(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    big_orders = orders.filter(F.col("o_totalprice") > 450_000).select("o_custkey")
+    never_ordered = rich.join(
+        big_orders, rich.c_custkey == F.col("o_custkey"), "left_anti"
+    )
+    return never_ordered.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )

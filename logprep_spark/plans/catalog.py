@@ -4682,3 +4682,24 @@ def tpch_q19(spark, sf_dir):
     OR-of-conjunctions over the dim join, single-row agg."""
     t = tables(spark, sf_dir)
     return an.q19_discounted_revenue(t["part"], t["lineitem"])
+
+
+@register(
+    "tpch_q22",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+    GROUP BY c_mktsegment
+    """,
+)
+def tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (plans/analytics.py
+    q22_global_sales_opportunity): scalar-subquery threshold
+    (1-row broadcast) + NOT EXISTS as LEFT ANTI + segment agg."""
+    t = tables(spark, sf_dir)
+    return an.q22_global_sales_opportunity(t["customer"], t["orders"])
