@@ -4245,6 +4245,12 @@ def event_transitions(spark, sf_dir):
         "event_type", F.lead("event_type").over(win).alias("next_type")
     ).filter(F.col("next_type").isNotNull())
     pairs = seq.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    # persist: totals AND the join both consume pairs — unpersisted,
+    # the whole corpus-sized lead-window subtree executes twice
+    # (plan showed 2 Window nodes / 5 exchanges; 1 / 3 persisted)
+    from pyspark.storagelevel import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     totals = pairs.groupBy("event_type").agg(F.sum("n").alias("tot"))
     return pairs.join(totals, "event_type").select(
         "event_type",

@@ -679,3 +679,39 @@ def test_bm25_zero_corpus_shuffle_takeordered(plans):
     plan = plans("search_bm25")
     assert "TakeOrdered" in plan
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_transitions_single_window_pass(plans):
+    """event_transitions: the corpus-sized lead-window subtree runs
+    ONCE — pairs is persisted and BOTH consumers (totals, the join)
+    read the cache. (The plan TEXT prints the cached subtree per
+    occurrence, so the guard counts InMemoryTableScans, not Window
+    strings.)"""
+    plan = plans("event_transitions")
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_cube_single_expand_single_shuffle(plans):
+    """event_cube: the 2^k lattice rides ONE Expand + ONE hash
+    exchange of grouping-set-tagged partials — never a union of
+    per-set scans."""
+    plan = plans("event_cube")
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Union") == 0
+
+
+def test_q19_single_stage_no_shuffle(plans):
+    """tpch_q19: broadcast dim + OR-of-conjunctions residual + 1-row
+    agg — zero hash exchanges."""
+    plan = plans("tpch_q19")
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("BroadcastExchange") == 1
+
+
+def test_q22_anti_join_broadcast_threshold(plans):
+    """tpch_q22: the scalar avg is a 1-row broadcast (no driver
+    action), NOT EXISTS is a LEFT ANTI."""
+    plan = plans("tpch_q22")
+    assert plan.count("LeftAnti") == 1
+    assert plan.count("BroadcastExchange") >= 1
