@@ -15,6 +15,7 @@ no extra dependency.
     python -m logprep_spark pseudo depseudonymize AKEY DKEY TOKEN
     python -m logprep_spark query list
     python -m logprep_spark query run NAME [--sf-dir D] [--limit N] [--explain]
+    python -m logprep_spark corpus run CONFIG INPUT OUTPUT [--format parquet|json]
 
 ``run`` executes input → pipeline → output(s) on a SparkSession from
 ``session.get_spark`` — batch via connector ``.read``/``.write``,
@@ -264,6 +265,24 @@ def cmd_query_run(args) -> int:
     return 0
 
 
+def cmd_corpus_run(args) -> int:
+    from logprep_spark.corpus import CorpusPipeline
+    from logprep_spark.session import get_spark
+
+    pipe = CorpusPipeline.from_file(args.config)
+    spark = get_spark("logprep-spark-corpus")
+    reader = spark.read
+    src = (
+        reader.parquet(args.input)
+        if args.input.endswith(".parquet") or args.input.rstrip("/").endswith(".parquet")
+        else reader.json(args.input)
+    )
+    out = pipe.transform(src)
+    out.write.mode("overwrite").format(args.format).save(args.output)
+    print(f"corpus pipeline [{' -> '.join(pipe.step_names)}] wrote {args.output}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="logprep_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -328,6 +347,15 @@ def build_parser() -> argparse.ArgumentParser:
     qr.add_argument("--explain", action="store_true",
                     help="print the physical plan instead of rows")
     qr.set_defaults(fn=cmd_query_run)
+
+    co = sub.add_parser("corpus", help="run a corpus-cleanup pipeline config")
+    co_sub = co.add_subparsers(dest="corpus_command", required=True)
+    cr = co_sub.add_parser("run", help="apply a corpus config to a dataset")
+    cr.add_argument("config")
+    cr.add_argument("input", help="parquet path (or a jsonl directory)")
+    cr.add_argument("output")
+    cr.add_argument("--format", choices=("parquet", "json"), default="parquet")
+    cr.set_defaults(fn=cmd_corpus_run)
     return parser
 
 

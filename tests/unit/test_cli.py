@@ -141,3 +141,21 @@ def test_cli_query_list_and_run(capsys):
     assert "revenue" in _json.loads(out)
 
     assert main(["query", "run", "no_such_query"]) == 1
+
+
+def test_cli_corpus_run(tmp_path, capsys, spark):
+    from logprep_spark.__main__ import main
+
+    cfg = tmp_path / "c.yml"
+    cfg.write_text(
+        "pipeline:\n  - op: quality_score\n  - op: token_count\n"
+        "  - op: filter\n    where: \"n_tokens >= 2\"\n"
+    )
+    out = tmp_path / "out"
+    assert main([
+        "corpus", "run", str(cfg),
+        "/root/testdata/sf0.001/documents.parquet", str(out),
+    ]) == 0
+    got = spark.read.parquet(str(out))
+    assert {"quality", "n_tokens"} <= set(got.columns)
+    assert got.count() > 0

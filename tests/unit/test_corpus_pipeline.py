@@ -79,3 +79,40 @@ def test_quality_model_step_in_pipeline(spark):
     out = p.transform(df)
     assert "prob_milli" in out.columns
     assert out.count() <= 2  # model gate applied without error
+
+
+def test_corpus_pipeline_runs_on_streams(spark, tmp_path):
+    """The narrow corpus steps run UNCHANGED on a Structured-Streaming
+    frame — the corpus half keeps the log half's batch/stream parity
+    promise (dedup steps are batch-only; the narrow scoring/redaction
+    front is the streaming-safe subset)."""
+    import json as _json
+
+    d = tmp_path / "docs-in"
+    d.mkdir()
+    (d / "b0.jsonl").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": "mail bob@x.co plus plenty of ordinary words"},
+                {"doc_id": 2, "text": "tiny"},
+            ]
+        )
+        + "\n"
+    )
+    p = CorpusPipeline(
+        [{"op": "quality_score"}, {"op": "pii_redact"}, {"op": "token_count"}]
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(d))
+    q = (
+        p.transform(stream)
+        .writeStream.format("memory")
+        .queryName("corpus_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM corpus_stream_out").collect()}
+    assert "<pii:email>" in rows[1]["text"]
+    assert rows[2]["n_tokens"] == 1 and "quality" in rows[1].asDict()
