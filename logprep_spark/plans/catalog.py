@@ -4709,3 +4709,109 @@ def tpch_q22(spark, sf_dir):
     (1-row broadcast) + NOT EXISTS as LEFT ANTI + segment agg."""
     t = tables(spark, sf_dir)
     return an.q22_global_sales_opportunity(t["customer"], t["orders"])
+
+
+@register(
+    "tpch_q7",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+            OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape: cross-nation trade flow — the dim chain
+    (supplier⋈nation, customer⋈nation) broadcasts with the
+    symmetric nation-pair OR predicate; lineitem⋈orders stays the
+    fact shuffle; per-(pair, year) agg."""
+    t = tables(spark, sf_dir)
+    ns = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = t["supplier"].join(
+        F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk")
+    ).select("s_suppkey", "supp_nation")
+    cust = t["customer"].join(
+        F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk")
+    ).select("c_custkey", "cust_nation")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    pair_pred = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(t["orders"], li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(pair_pred)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "window_value_percentile",
+    """
+    SELECT event_id, event_type,
+           1000 * (rnk - 1) // greatest(n - 1, 1) AS pct_rank_milli
+    FROM (
+        SELECT event_id, event_type,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id) AS rnk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    """,
+)
+def window_value_percentile(spark, sf_dir):
+    """percent_rank in exact integer milli — (rank−1)/(n−1) from
+    row_number + a partition count, one event_type-keyed window pass
+    (value ties broken by event_id so the rank is total and the milli
+    division exact — the float percent_rank builtin would hash-drift
+    on rendering)."""
+    from pyspark.sql import Window
+
+    events = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    return (
+        events.select(
+            "event_id",
+            "event_type",
+            F.row_number().over(w).alias("rnk"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("1000 * (rnk - 1) div greatest(n - 1, 1)").alias("pct_rank_milli"),
+        )
+    )
