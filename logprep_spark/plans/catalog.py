@@ -4815,3 +4815,49 @@ def window_value_percentile(spark, sf_dir):
             F.expr("1000 * (rnk - 1) div greatest(n - 1, 1)").alias("pct_rank_milli"),
         )
     )
+
+
+@register(
+    "events_error_streaks",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn_t
+        FROM events
+    ), streaks AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS streak_len
+        FROM seq WHERE event_type = 'error'
+        GROUP BY user_id, rn - rn_t
+    )
+    SELECT user_id,
+           CAST(max(streak_len) AS BIGINT) AS max_error_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def events_error_streaks(spark, sf_dir):
+    """Gaps-and-islands on event sequences: longest consecutive-error
+    run per user (the alerting signal 'N failures in a row' — order
+    matters, plain counts can't express it). The classic
+    rn − rn_per_type island key; BOTH window specs share one
+    user-keyed exchange (same partition prefix), then two bounded
+    aggs."""
+    from pyspark.sql import Window
+
+    events = tables(spark, sf_dir)["events"]
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("_island"),
+    ).filter(F.col("event_type") == "error")
+    streaks = seq.groupBy("user_id", "_island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("max_error_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )

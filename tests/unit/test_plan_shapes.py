@@ -715,3 +715,12 @@ def test_q22_anti_join_broadcast_threshold(plans):
     plan = plans("tpch_q22")
     assert plan.count("LeftAnti") == 1
     assert plan.count("BroadcastExchange") >= 1
+
+
+def test_error_streaks_share_one_user_exchange(plans):
+    """events_error_streaks: both island windows (user and
+    user+type partitioning share the user prefix) plus the two
+    bounded aggs ride ONE user-keyed exchange."""
+    plan = plans("events_error_streaks")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window [") == 2
