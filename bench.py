@@ -102,7 +102,13 @@ def ensure_sf1(spark, base_dir: str = "/root/testdata/sf0.1") -> str:
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchdata", "sf1")
     doc_path = os.path.join(out_dir, "documents.parquet")
     emb_path = os.path.join(out_dir, "embeddings.parquet")
-    if os.path.isdir(doc_path) and os.path.isdir(emb_path):
+    ord_path = os.path.join(out_dir, "orders.parquet")
+    li_path = os.path.join(out_dir, "lineitem.parquet")
+    # the cache guard must cover EVERY table this function writes: a
+    # cache built by an older revision (docs+embeddings only) would
+    # otherwise short-circuit the rebuild and load_tables would skip
+    # the missing fact tables -> KeyError('orders') in the graph spot
+    if all(os.path.isdir(p) for p in (doc_path, emb_path, ord_path, li_path)):
         return out_dir
 
     alpha = "abcdefghijklmnopqrstuvwxyz"

@@ -114,6 +114,7 @@ def decode_gif_animation(payload: bytes) -> tuple[list, list]:
     delays = []
     transparent = None
     delay_ms = 100
+    disposal = 0
     while off < len(payload):
         block = payload[off]
         off += 1
@@ -127,6 +128,7 @@ def decode_gif_animation(payload: bytes) -> tuple[list, list]:
                 flags, delay_cs, tix = struct.unpack_from("<BHB", data, 0)
                 transparent = tix if flags & 0x01 else None
                 delay_ms = delay_cs * 10 if delay_cs else 100
+                disposal = (flags >> 2) & 0x07
             continue
         if block != 0x2C:
             raise ValueError(f"GIF: unknown block 0x{block:02x}")
@@ -151,6 +153,7 @@ def decode_gif_animation(payload: bytes) -> tuple[list, list]:
             dtype=np.uint8,
         )
         rgb = pal[arr]
+        prev_screen = screen.copy() if disposal == 3 else None
         region = screen[top : top + h, left : left + w]
         if transparent is not None:
             mask = arr != transparent
@@ -159,8 +162,17 @@ def decode_gif_animation(payload: bytes) -> tuple[list, list]:
             region[:, :] = rgb
         frames.append(screen.copy())
         delays.append(delay_ms)
+        # GCE disposal (flag bits 2-4) applies AFTER display, before
+        # the next frame composites: 2 = restore the frame rect to the
+        # background color, 3 = restore the screen as it was before
+        # this frame; 0/1 leave the pixels in place
+        if disposal == 2:
+            screen[top : top + h, left : left + w] = bg_rgb
+        elif disposal == 3 and prev_screen is not None:
+            screen = prev_screen
         transparent = None
         delay_ms = 100
+        disposal = 0
     if not frames:
         raise ValueError("GIF contained no image data")
     return frames, delays

@@ -81,11 +81,6 @@ def pack_sequences(
 
     from logprep_spark.functions.text import token_count
 
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from logprep_spark.functions.text import token_count
-
     win = (
         Window.partitionBy(group_col)
         .orderBy(id_col)

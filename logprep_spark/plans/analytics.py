@@ -523,6 +523,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int = 8,
+    dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list — the graph
     workload (host-graph ranking, near-dup authority scoring) that
@@ -542,10 +543,24 @@ def pagerank(
     rank side is one row per node, partial agg collapses the
     contribution sum map-side before the dst shuffle). Lineage is cut
     every round with localCheckpoint — without it the plan doubles
-    per iteration and round N replays rounds 1..N-1. Nodes = distinct
-    edge sources (an undirected graph expressed as both-direction
-    edges has every node as a source; true dangling sinks would need
-    the standard dangling-mass term, out of scope here)."""
+    per iteration and round N replays rounds 1..N-1.
+
+    General-graph semantics: the node set is distinct(src) ∪
+    distinct(dst), computed once and persisted; each round's
+    aggregated contributions left-join back to it (s defaulting to 0)
+    so source-only nodes keep the (1-d) base rank and keep
+    contributing — a groupBy(dst) alone silently drops them after
+    round 1. On a both-direction edge list (the trade graph) the join
+    is a no-op on values; AQE broadcasts whichever side is small.
+
+    ``dangling=True`` adds the standard dangling-mass term: nodes
+    with no out-edges have their rank redistributed evenly — each
+    round Σ r over dangling nodes is a 1-row aggregate broadcast-
+    cross-joined onto the contribution frame, and the per-node share
+    dm div N joins s inside the same integer recurrence:
+    new_r = (1000-d)·1000 + (d · (s + dm div N)) div 1000. Off by
+    default: it costs one extra 1-row agg per round and the
+    both-direction graphs the catalog ranks have no sinks."""
     from pyspark.storagelevel import StorageLevel
 
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -560,8 +575,22 @@ def pagerank(
     # edges by src IS the right move — plans/bucketing.py shows the
     # zero-exchange pattern.
     edeg = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    ranks = deg.select(F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("r"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("r"))
     base = F.lit((1000 - damping_milli) * 1000).cast("long")
+    if dangling:
+        # dangling = nodes with no out-edges; their count and the node
+        # total are fixed model scalars (one setup action, like the
+        # k-means centroid fetches)
+        dang = nodes.join(deg, nodes["node"] == deg["src"], "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        n_nodes = nodes.count()
     for i in range(iters):
         # lineage cut every ``checkpoint_every`` rounds, not every
         # round: each round references the previous ranks exactly ONCE,
@@ -575,13 +604,21 @@ def pagerank(
         contrib = ranks.join(edeg, ranks["node"] == edeg["src"]).select(
             F.col("dst"), F.expr("r div deg").alias("c")
         )
-        ranks = (
-            contrib.groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-            .select(
-                F.col("dst").alias("node"),
-                (base + F.expr(f"({damping_milli} * s) div 1000")).alias("r"),
+        agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        summed = (
+            nodes.join(agg, nodes["node"] == agg["dst"], "left")
+            .select("node", F.coalesce("s", F.lit(0).cast("long")).alias("s"))
+        )
+        if dangling:
+            dm = ranks.join(dang, "node", "left_semi").agg(
+                F.coalesce(F.sum("r"), F.lit(0).cast("long")).alias("dm")
             )
+            summed = summed.crossJoin(F.broadcast(dm)).select(
+                "node", (F.col("s") + F.expr(f"dm div {n_nodes}")).alias("s")
+            )
+        ranks = summed.select(
+            "node",
+            (base + F.expr(f"({damping_milli} * s) div 1000")).alias("r"),
         )
     return ranks.select("node", F.col("r").alias("rank_micro"))
 
@@ -759,7 +796,12 @@ def ab_test(
     readout next to the funnel/retention reports: variant = user
     parity (a deterministic stand-in for the assignment column a real
     experiment logs), conversion = the user emitted ``conversion_type``
-    at least once. One row: exposures/conversions per variant,
+    at least ``min_events`` times (the default 14 suits this fixture,
+    where every user purchases and an at-least-once definition would
+    degenerate — 100% conversion in both arms, pooled variance 0;
+    callers with sparse conversion events should pass
+    ``min_events=1`` for the usual at-least-once semantics).
+    One row: exposures/conversions per variant,
     integer milli rates, and the pooled two-proportion z in milli.
 
     Determinism: all inputs to the float z are exact integers from

@@ -78,50 +78,46 @@ def register(name: str, oracle: str | None = None):
 
 
 # The grading driver records correctness rows for the FIRST 50 entries
-# of queries() only, so ordering is coverage policy: every capability
-# area (analytics core, filter DSL, §2.4 LLM-data ops, pipeline/source,
-# representative processors) must land inside the window; near-duplicate
-# processor variants go after the cutoff (they stay judged by pytest and
-# remain runnable/oracle-checked by name).
-# The driver records official correctness rows for the FIRST 50 entries
-# only. r5 rotation: the 35 queries whose last official row is r3 (out
-# of the r4 window) rotate back in, plus the 3 queries NEW this round
-# (proc_geoip_v6, ann_recall_ivf, ann_recall_lsh_multiprobe — no
-# official row yet), alongside 12 anchors keeping every capability
-# area officially covered round-over-round. text_repetition anchors
-# deliberately: its r4 row was the round's only red (oracle HUGEINT
-# typing, fixed at the `stat` CTE CAST) and the fix must show green
-# officially. Every rotated-out query has a green r4 row, so after r5
-# NO catalog query's official evidence is more than one round stale.
+# of queries() only, so ordering is coverage policy.
+#
+# Rotation cadence (146 queries / 50-row window => 3-round cycle; no
+# query's official row may age past 3 rounds):
+#   r6 window (THIS round): the 49 queries that have NEVER appeared in
+#     any driver CORRECTNESS window (everything added in r5's later
+#     phases — tpch_q4/q7/q10/q16/q17/q18/q19/q22, graph_pagerank,
+#     ml_kmeans*, bigram-LM/DSIR/SemDeDup, BM25/RRF, the late-r5
+#     analytics set, flagship v2) + queries NEW in r6 (first-time rows).
+#   r7 window (next round): the 47 queries whose last official row is
+#     r4 (tpch_q1/q3/q5/q6, filter_lucene_*, ann_topk_*, dedup basics,
+#     proc_* classics, sessionize, sources) + any r6-new queries that
+#     did not fit in the r6 window + flagship v1/v2 anchors.
+#   r8 window: the 50 queries whose last official row is r5
+#     (CORRECTNESS_r05.json keys), then the cycle repeats.
+# After r6 every catalog query has at least one official green row and
+# none is more than 2 rounds stale; the steady-state cycle keeps the
+# staleness bound at 3 rounds.
 _PRIORITY = [
-    # --- r5 rotated in: last official row r3 ---
-    "ann_topk_ivf", "dedup_substring", "event_rollup", "event_time_rollup",
-    "filter_lucene_sigma", "join_anti_customers", "join_asof_last_login",
-    "join_range_value_bands", "proc_amides", "proc_clusterer",
-    "proc_decoder_base64", "proc_decoder_clf", "proc_decoder_nginx",
-    "proc_deleter", "proc_domain_label_extractor", "proc_domain_resolver",
-    "proc_dropper", "proc_generic_adder", "proc_geoip_enricher",
-    "proc_geoip_table", "proc_grokker_apache", "proc_key_checker",
-    "proc_labeler", "proc_list_comparison", "proc_network_comparison",
-    "proc_pseudonymizer_capture", "proc_requester", "proc_string_splitter",
-    "proc_template_replacer", "sketch_kmv_distinct", "split_train_val_test",
-    "text_pii", "text_surprisal", "text_tfidf", "window_topk_orders",
-    # --- r5 first-time rows: new queries this round ---
-    "proc_geoip_v6", "ann_recall_ivf", "ann_recall_lsh_multiprobe",
-    "text_gopher", "dedup_lines", "text_url_canonical",
-    "split_stratified_sample", "sketch_heavy_hitters", "tpch_q14",
-    "text_html_extract", "text_unicode_clean", "funnel_events",
-    # --- anchor: r4's one red row, oracle typing fixed this round ---
-    # (analytics family held by q14 + the rotated event/window/join
-    # rows; tpch q1/q3/q5/q6 and sessionize are all r4-green) ---
-    "text_repetition",
-    # --- anchors: §2.4 LLM-training-data ops (filter DSL held
-    # in-window by the rotated sigma/wildcard/regex/range rows; the
-    # ANN family by ann_topk_ivf + both recall rows; dedup/text
-    # families by the first-time rows above) ---
-    "dedup_minhash_lsh",
-    # --- anchor: flagship composition ---
-    "pipeline_training_data",
+    # --- the 49 never-driver-checked queries (first official rows) ---
+    "ab_test_events", "corpus_mix_weights", "corpus_ngram_novelty",
+    "corpus_quality_report", "corpus_zipf", "dedup_incremental",
+    "dedup_incremental_neardup", "dedup_lsh_recall", "dedup_semantic",
+    "dedup_semantic_clusters", "dedup_winnow", "dq_expectations",
+    "drift_psi_events", "embed_center_normalize", "event_cube",
+    "event_pivot_counts", "event_transitions", "events_error_streaks",
+    "events_gap_fill", "graph_pagerank", "ml_kmeans",
+    "ml_kmeans_gonzalez", "ml_kmeans_inertia", "pipeline_corpus_config",
+    "pipeline_training_data_v2", "retention_cohorts", "sample_rate_limit",
+    "search_bm25", "search_rrf_fusion", "sketch_hll_distinct",
+    "sketch_quantiles_approx", "slo_burn_rate", "split_pack_sequences",
+    "text_bigram_lm", "text_bpe_pairs", "text_chunk_passages",
+    "text_compression", "text_dsir", "text_quality_model",
+    "tpch_q4", "tpch_q7", "tpch_q10", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q22", "user_lifetime_mart",
+    "window_value_percentile",
+    # --- slot 50: the capability NEW in r6 (first-time row; the
+    # flagship anchor role is covered by pipeline_training_data_v2
+    # above — v2 IS the flagship, and v1 has a green r5 row) ---
+    "corpus_domain_sampling",
 ]
 
 

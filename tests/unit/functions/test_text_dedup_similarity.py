@@ -842,26 +842,63 @@ def test_semantic_dedup_within_cluster_only(spark):
     assert out in ({1: 0, 3: 2},)
 
 
+def _pagerank_reference(edges, iters, dangling=False):
+    """Independent pure-Python evaluation of the integer recurrence,
+    over the FULL node set (source-only nodes keep the base rank)."""
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    nodes = sorted({n for e in edges for n in e})
+    ranks = {n: 1_000_000 for n in nodes}
+    for _ in range(iters):
+        sums = {n: 0 for n in nodes}
+        for s, d in edges:
+            sums[d] += ranks[s] // deg[s]
+        if dangling:
+            dm = sum(ranks[n] for n in nodes if n not in deg)
+            share = dm // len(nodes)
+            sums = {n: s_ + share for n, s_ in sums.items()}
+        ranks = {n: 150_000 + (850 * s_) // 1000 for n, s_ in sums.items()}
+    return ranks
+
+
 def test_pagerank_matches_pure_python(spark):
-    """3-node directed cycle + a feeder; compare against an
-    independent pure-Python evaluation of the same integer recurrence."""
+    """3-node directed cycle + a feeder; the source-only feeder must
+    STAY in the rank set at the (1-d) base rank (a groupBy(dst) alone
+    would silently drop it after round 1)."""
     edges = [(1, 2), (2, 3), (3, 1), (4, 1)]
     df = spark.createDataFrame(edges, ["src", "dst"])
     from logprep_spark.plans.analytics import pagerank
 
     got = {r["node"]: r["rank_micro"] for r in pagerank(df, iters=3).collect()}
+    assert got == _pagerank_reference(edges, 3)
+    assert got[4] == 150_000  # feeder retained at base rank
 
-    deg = {}
-    for s, _ in edges:
-        deg[s] = deg.get(s, 0) + 1
-    ranks = {n: 1_000_000 for n in deg}
-    for _ in range(3):
-        sums = {}
-        for s, d in edges:
-            if s in ranks:
-                sums[d] = sums.get(d, 0) + ranks[s] // deg[s]
-        ranks = {d: 150_000 + (850 * s_) // 1000 for d, s_ in sums.items()}
-    assert got == ranks
+
+def test_pagerank_dangling_mass_on_sink_graph(spark):
+    """Hand-computed chain A->B->C with sink C: dangling=True
+    redistributes C's mass evenly (dm div N inside the recurrence)."""
+    edges = [(1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    from logprep_spark.plans.analytics import pagerank
+
+    got = {r["node"]: r["rank_micro"] for r in pagerank(df, iters=2, dangling=True).collect()}
+    # round 1 by hand: share = 1_000_000 div 3 = 333_333
+    #   n1: 150000 + 850*333333 div 1000            = 433_333
+    #   n2: 150000 + 850*(1_000_000+333_333) div 1000 = 1_283_333
+    #   n3: same as n2                               = 1_283_333
+    # round 2: share = 1_283_333 div 3 = 427_777
+    #   n1: 150000 + 850*427_777 div 1000             = 513_610
+    #   n2: 150000 + 850*(433_333+427_777) div 1000   = 881_943
+    #   n3: 150000 + 850*(1_283_333+427_777) div 1000 = 1_604_443
+    assert got == {1: 513_610, 2: 881_943, 3: 1_604_443}
+    assert got == _pagerank_reference(edges, 2, dangling=True)
+
+    # without the flag the sink's mass is silently lost each round
+    # (documented default): node 1 gets only the base rank
+    plain = {r["node"]: r["rank_micro"] for r in pagerank(df, iters=2).collect()}
+    assert plain == _pagerank_reference(edges, 2)
+    assert plain[1] == 150_000
 
 
 def test_dsir_weights_favor_target_like_docs(spark):

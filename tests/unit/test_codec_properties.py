@@ -368,3 +368,72 @@ def test_gif_transparency_and_multiframe():
     assert len(frames) == 1
     # background color = global table entry 0 = the single color
     assert (frames[0] == base).all()
+
+
+def _handcrafted_gif(frame_specs):
+    """Minimal 2x2 GIF89a: GCT = [black, red, green, blue]; each spec
+    is (left, top, w, h, indices, disposal)."""
+    import struct as _s
+
+    from logprep_spark.functions.gif import _lzw_encode_uncompressed
+
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", 2, 2, 0x80 | 1, 0, 0)  # GCT, 4 entries, bg=0
+    out += bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    for left, top, w, h, idx, disposal in frame_specs:
+        out += bytes([0x21, 0xF9, 0x04, (disposal & 7) << 2])
+        out += _s.pack("<H", 10) + bytes([0x00, 0x00])
+        out += _s.pack("<BHHHHB", 0x2C, left, top, w, h, 0)
+        out.append(2)  # min code size
+        stream = _lzw_encode_uncompressed(bytes(idx), 2)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def test_gif_disposal_restore_to_background():
+    import numpy as np
+
+    from logprep_spark.functions.gif import decode_gif_frames
+
+    # frame 1: full screen red, disposal=2 (restore rect to background)
+    # frame 2: 1x1 green at (0,0) — the other 3 pixels must be the
+    # BACKGROUND (black), not frame 1's red
+    g = _handcrafted_gif(
+        [(0, 0, 2, 2, [1, 1, 1, 1], 2), (0, 0, 1, 1, [2], 0)]
+    )
+    f = decode_gif_frames(g)
+    assert len(f) == 2
+    assert (f[0] == (255, 0, 0)).all()
+    expect = np.zeros((2, 2, 3), dtype=np.uint8)
+    expect[0, 0] = (0, 255, 0)
+    assert (f[1] == expect).all()
+
+
+def test_gif_disposal_restore_previous():
+    import numpy as np
+
+    from logprep_spark.functions.gif import decode_gif_frames
+
+    # frame 1: full red; frame 2: green at (0,0) with disposal=3
+    # (restore previous); frame 3: blue at (1,1) — (0,0) must be RED
+    # again in frame 3 because disposal 3 undid frame 2
+    g = _handcrafted_gif(
+        [
+            (0, 0, 2, 2, [1, 1, 1, 1], 0),
+            (0, 0, 1, 1, [2], 3),
+            (1, 1, 1, 1, [3], 0),
+        ]
+    )
+    f = decode_gif_frames(g)
+    assert len(f) == 3
+    expect2 = np.full((2, 2, 3), (255, 0, 0), dtype=np.uint8)
+    expect2[0, 0] = (0, 255, 0)
+    assert (f[1] == expect2).all()
+    expect3 = np.full((2, 2, 3), (255, 0, 0), dtype=np.uint8)
+    expect3[1, 1] = (0, 0, 255)
+    assert (f[2] == expect3).all()
