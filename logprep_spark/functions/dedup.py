@@ -666,10 +666,30 @@ def semantic_dedup(
     from logprep_spark.functions import similarity as sim
 
     cvecs = sim.ivf_centroids(df, n_centroids, vec_col, id_col)
-    assigned = sim.ivf_assign(df, cvecs, vec_col, id_col, out_id="_id", out_vec="_vec")
-    a = assigned.select("bucket", F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a"))
-    b = assigned.select("bucket", F.col("_id").alias("id_b"), F.col("_vec").alias("vec_b"))
-    cos = F.round(cosine_sim(F.col("vec_a"), F.col("vec_b")), 6)
+    # out_norm: per-vector norms are staged ONCE in the assignment map
+    # — the pair verify below would otherwise re-fold both norms per
+    # PAIR (|bucket|²/2 folds instead of n); dot / (na * nb) keeps the
+    # exact operand order of cosine_sim, so values are unchanged
+    assigned = sim.ivf_assign(
+        df, cvecs, vec_col, id_col, out_id="_id", out_vec="_vec", out_norm="_vn"
+    )
+    a = assigned.select(
+        "bucket", F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a"),
+        F.col("_vn").alias("norm_a"),
+    )
+    b = assigned.select(
+        "bucket", F.col("_id").alias("id_b"), F.col("_vec").alias("vec_b"),
+        F.col("_vn").alias("norm_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("vec_a"), F.col("vec_b"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6)
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -215,6 +215,27 @@ def ivf_centroids(
     return [[float(x) for x in r[1]] for r in rows]
 
 
+def _centroid_literals(cvecs: list[list[float]]):
+    """(2-D centroid array, norm array) as plan literals parsed from
+    ONE SQL string each: composing them from ~n_centroids·dim
+    F.lit()/F.array() Column objects costs a py4j round-trip per node
+    (~0.9 s of plan-BUILD time per invocation at 16×64 centroids);
+    repr() round-trips doubles exactly, so values are unchanged."""
+    import math
+
+    carr = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in cvecs
+        ) + ")"
+    )
+    cnorms = F.expr(
+        "array(" + ",".join(
+            f"{math.sqrt(sum(x * x for x in c))!r}D" for c in cvecs
+        ) + ")"
+    )
+    return carr, cnorms
+
+
 def _cos_to_centroid(vec: Column, cvec: list[float]) -> Column:
     """Rounded cosine of a vector column against a LITERAL centroid
     (centroid norm precomputed driver-side; same fold order as the
@@ -239,23 +260,50 @@ def ivf_assign(
     id_col: str = "vec_id",
     out_id: str = "nbr_id",
     out_vec: str = "nbr_vec",
+    out_norm: str | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid bucket (argmax
     cosine, ties → lowest centroid id). Centroids are PLAN LITERALS,
     so this is a zero-shuffle narrow map over the corpus — the shared
     first stage of IVF ANN probing and SemDeDup-style semantic dedup.
-    The score array is staged in its own select so the argmax reads
-    it twice without recomputing the cosine folds (CollapseProject
-    keeps the staging: _scores is referenced twice)."""
+
+    Expression shape: the vector's norm is staged ONCE (`_vn`) and the
+    k cosines come from a single `transform` over a literal 2-D
+    centroid array + literal norm array — per-centroid dot folds keep
+    the exact left-to-right operand order of the per-centroid
+    expression they replace (values bit-identical), but the Catalyst
+    tree is k× smaller: 16 unrolled zip_with/aggregate folds each
+    re-deriving the norm measured ~2.4 s of codegen+eval at sf0.1
+    where this form is sub-second. ``out_norm`` optionally exposes the
+    staged norm so pair-verify consumers (SemDeDup) don't recompute
+    norms per PAIR."""
     vec = F.col(vec_col)
-    return df.select(
-        F.col(id_col).alias(out_id),
-        vec.alias(out_vec),
-        F.array(*[_cos_to_centroid(vec, c) for c in cvecs]).alias("_scores"),
-    ).select(
+    carr, cnorms = _centroid_literals(cvecs)
+    vnorm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    staged = df.select(F.col(id_col).alias(out_id), vec.alias(out_vec), vnorm.alias("_vn"))
+    svec = F.col(out_vec)
+    scores = F.transform(
+        F.sequence(F.lit(1), F.lit(len(cvecs))),
+        lambda i: F.round(
+            F.aggregate(
+                F.zip_with(
+                    svec, F.element_at(carr, i), lambda a, b: a.cast("double") * b
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / (F.col("_vn") * F.element_at(cnorms, i)),
+            6,
+        ),
+    )
+    keep_norm = [F.col("_vn").alias(out_norm)] if out_norm else []
+    return staged.select(out_id, out_vec, scores.alias("_scores"), *keep_norm).select(
         out_id,
         out_vec,
         F.array_position(F.col("_scores"), F.array_max("_scores")).alias("bucket"),
+        *([out_norm] if out_norm else []),
     )
 
 
@@ -283,21 +331,47 @@ def ivf_topk(
     cvecs = ivf_centroids(df, n_centroids, vec_col, id_col)
     vec = F.col(vec_col)
     corpus = ivf_assign(df, cvecs, vec_col, id_col)
-    # per-query top-n_probe centroid ids: sort (−score, id) structs
+    # per-query top-n_probe centroid ids: sort (−score, id) structs.
+    # Same staged-norm + literal-2D-array shape as ivf_assign — the
+    # per-centroid cosine keeps its fold order (values unchanged) but
+    # the plan builds in one py4j call instead of n_centroids folds.
+    carr, cnorms = _centroid_literals(cvecs)
+    qvnorm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    qstage = queries.select(
+        F.col(id_col).alias("query_id"), vec.alias("query_vec"), qvnorm.alias("_qvn")
+    )
+    qvec = F.col("query_vec")
     ranked = F.transform(
         F.array_sort(
-            F.array(
-                *[
-                    F.struct((-_cos_to_centroid(vec, c)).alias("ns"), F.lit(i + 1).alias("i"))
-                    for i, c in enumerate(cvecs)
-                ]
+            F.transform(
+                F.sequence(F.lit(1), F.lit(len(cvecs))),
+                lambda i: F.struct(
+                    (
+                        -F.round(
+                            F.aggregate(
+                                F.zip_with(
+                                    qvec,
+                                    F.element_at(carr, i),
+                                    lambda a, b: a.cast("double") * b,
+                                ),
+                                F.lit(0.0),
+                                lambda acc, v: acc + v,
+                            )
+                            / (F.col("_qvn") * F.element_at(cnorms, i)),
+                            6,
+                        )
+                    ).alias("ns"),
+                    i.alias("i"),
+                ),
             )
         ),
         lambda s: s.getField("i"),
     )
-    qs = queries.select(
-        F.col(id_col).alias("query_id"),
-        vec.alias("query_vec"),
+    qs = qstage.select(
+        "query_id",
+        "query_vec",
         F.explode(F.slice(ranked, 1, n_probe)).alias("bucket"),
     )
     sim = F.round(cosine_sim(F.col("query_vec"), F.col("nbr_vec")), 6)

@@ -546,12 +546,14 @@ def pagerank(
     per iteration and round N replays rounds 1..N-1.
 
     General-graph semantics: the node set is distinct(src) ∪
-    distinct(dst), computed once and persisted; each round's
-    aggregated contributions left-join back to it (s defaulting to 0)
-    so source-only nodes keep the (1-d) base rank and keep
-    contributing — a groupBy(dst) alone silently drops them after
-    round 1. On a both-direction edge list (the trade graph) the join
-    is a no-op on values; AQE broadcasts whichever side is small.
+    distinct(dst), computed once and persisted; each round the
+    contribution stream is UNIONed with one zero-contribution row per
+    node before the dst-keyed agg, so source-only nodes keep the
+    (1-d) base rank and keep contributing — a groupBy(dst) alone
+    silently drops them after round 1. The union rides the SAME
+    single shuffle as the agg (N extra rows, collapsed map-side);
+    a per-round join back to the node set was measured ~70% slower
+    (3.5 s → 5.9 s at sf0.1, 3 iters) for identical values.
 
     ``dangling=True`` adds the standard dangling-mass term: nodes
     with no out-edges have their rank redistributed evenly — each
@@ -604,10 +606,14 @@ def pagerank(
         contrib = ranks.join(edeg, ranks["node"] == edeg["src"]).select(
             F.col("dst"), F.expr("r div deg").alias("c")
         )
-        agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        zero = nodes.select(
+            F.col("node").alias("dst"), F.lit(0).cast("long").alias("c")
+        )
         summed = (
-            nodes.join(agg, nodes["node"] == agg["dst"], "left")
-            .select("node", F.coalesce("s", F.lit(0).cast("long")).alias("s"))
+            contrib.union(zero)
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(F.col("dst").alias("node"), "s")
         )
         if dangling:
             dm = ranks.join(dang, "node", "left_semi").agg(
