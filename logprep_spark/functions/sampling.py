@@ -100,3 +100,82 @@ def pack_sequences(
             F.expr(f"(_cum - n_tokens) % {capacity_tokens}").alias("offset_in_pack"),
         )
     )
+
+
+def domain_token_sampling(
+    df: DataFrame,
+    budget_num: int = 2,
+    budget_den: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "ds",
+) -> DataFrame:
+    """Per-domain temperature sampling curve — the step AFTER
+    computing temperature mix weights (text.mix_weights): turn the
+    α=0.5 weights into concrete per-domain TOKEN BUDGETS and pick the
+    documents deterministically. Total budget = budget_num/budget_den
+    of the corpus's token count (default 40% — binding at any SF);
+    each domain's share is budget · weight_milli ÷ 1000; within a
+    domain, docs are taken in salted-hash order (the A27 rate-limit
+    machinery: re-partitioned reruns keep the SAME docs, arrival-order
+    sampling cannot promise that) until the next doc would START past
+    the budget — the pack_sequences boundary convention.
+
+    Head domains get flattened (sqrt weights give them a budget far
+    under their raw share) while tail domains keep ~all their tokens:
+    the summary row per domain reports budget vs kept so the curve is
+    visible. All integers (exact long token sums, integer division) —
+    bit-identical in any engine.
+
+    Distributed shape: weights/budgets come from mix_weights' tiny
+    domain-keyed agg (broadcast back); the corpus shuffles ONCE on the
+    domain key for the running-token window; the kept-set summary agg
+    re-groups only the SURVIVORS. A per-domain total order serializes
+    each domain through one task — acceptable while domains are few
+    and budgeting is per-domain; at 100 TB with huge domains you shard
+    the order (domain × hash-bucket sub-windows, then a hierarchical
+    prefix over per-shard token totals — the same two-phase shape as
+    heavy hitters) or pre-compute a hash THRESHOLD from the budget and
+    filter narrowly; the greedy-prefix semantics here is the exact
+    reference both approximations are audited against."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    from logprep_spark.functions.text import mix_weights, token_count
+
+    from pyspark.storagelevel import StorageLevel
+
+    # weights is <= #domains rows but its subtree scans the corpus;
+    # both budgets and the total consume it — persist so the corpus
+    # is aggregated once, not twice
+    weights = mix_weights(df, group_col=group_col, text_col=text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    total = weights.agg(F.sum("n_tokens").alias("_total"))
+    budgets = weights.crossJoin(broadcast(total)).select(
+        "domain",
+        "weight_milli",
+        F.expr(
+            f"((_total * {budget_num}) div {budget_den}) * weight_milli div 1000"
+        ).alias("budget_tokens"),
+    )
+    toks = df.select(
+        F.col(group_col).alias("domain"),
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("_t"),
+    )
+    win = (
+        Window.partitionBy("domain")
+        .orderBy(h60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = (
+        toks.withColumn("_cum", F.sum("_t").over(win))
+        .join(broadcast(budgets), "domain")
+        .filter(F.col("_cum") - F.col("_t") < F.col("budget_tokens"))
+    )
+    return kept.groupBy("domain", "weight_milli", "budget_tokens").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("_t").alias("kept_tokens"),
+    )

@@ -3327,6 +3327,58 @@ def corpus_mix_weights(spark, sf_dir):
     return tx.mix_weights(docs)
 
 
+@register(
+    "corpus_domain_sampling",
+    f"""
+    WITH per AS (
+        SELECT source AS domain,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({_sql_words()})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), fixed AS (
+        SELECT *, CAST(round(sqrt(n_tokens) * 1000) AS BIGINT) AS _s FROM per
+    ), tot AS (
+        SELECT CAST(sum(_s) AS BIGINT) AS _tot,
+               CAST(sum(n_tokens) AS BIGINT) AS _total FROM fixed
+    ), budgets AS (
+        SELECT domain,
+               CAST(1000 * _s // _tot AS BIGINT) AS weight_milli,
+               CAST(((_total * 2) // 5) * (1000 * _s // _tot) // 1000 AS BIGINT)
+                   AS budget_tokens
+        FROM fixed CROSS JOIN tot
+    ), toks AS (
+        SELECT source AS domain, doc_id,
+               CAST(len({_sql_words()}) AS BIGINT) AS t
+        FROM documents
+    ), ordered AS (
+        SELECT domain, doc_id, t,
+               sum(t) OVER (
+                   PARTITION BY domain
+                   ORDER BY {_sql_h60("'ds:' || doc_id::varchar")}, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM toks
+    )
+    SELECT o.domain, b.weight_milli, b.budget_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(o.t) AS BIGINT) AS kept_tokens
+    FROM ordered o JOIN budgets b USING (domain)
+    WHERE o.cum - o.t < b.budget_tokens
+    GROUP BY o.domain, b.weight_milli, b.budget_tokens
+    """,
+)
+def corpus_domain_sampling(spark, sf_dir):
+    """Per-domain temperature sampling curve (functions/sampling.py
+    domain_token_sampling) — NEW r6: L36's α=0.5 mix weights turned
+    into per-domain token budgets, documents then taken in salted
+    hash order (A27's deterministic rate-limit machinery) until each
+    domain's budget is spent. One summary row per domain: budget vs
+    kept shows the flattening curve (head domains capped hard, tail
+    domains kept ~whole)."""
+    docs = tables(spark, sf_dir)["documents"]
+    return smp.domain_token_sampling(docs)
+
+
 _KM_MICRO = "list_transform(embedding, x -> CAST(round(x::double * 1000000) AS BIGINT))"
 _KM_DIST = (
     "list_sum([(m.v[i] - c.cv[i]) * (m.v[i] - c.cv[i]) "

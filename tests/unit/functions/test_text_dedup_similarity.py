@@ -1162,3 +1162,47 @@ def test_gonzalez_seeds_are_spread(spark):
            for r in similarity.kmeans_gonzalez(df, k=3, iters=2).collect()}
     assert out[0] == out[1] and out[2] == out[3] and out[4] == out[5]
     assert len({out[0], out[2], out[4]}) == 3
+
+
+def test_domain_token_sampling_flattens_head_domain(spark):
+    """Skewed corpus: the head domain (90% of tokens) must be capped
+    well below its raw share while the tail domain keeps ~all tokens;
+    totals follow the exact integer recurrence."""
+    from logprep_spark.functions.sampling import domain_token_sampling
+
+    rows = [(i, "w " * 90, "head") for i in range(40)]
+    rows += [(100 + i, "w " * 10, "tail") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["domain"]: r for r in domain_token_sampling(df).collect()}
+
+    # exact integer recurrence replicated independently
+    import hashlib, math
+    n_head, n_tail = 40 * 90, 40 * 10
+    s_head = round(math.sqrt(n_head) * 1000)
+    s_tail = round(math.sqrt(n_tail) * 1000)
+    tot = s_head + s_tail
+    w_head, w_tail = 1000 * s_head // tot, 1000 * s_tail // tot
+    budget = (n_head + n_tail) * 2 // 5
+    b_head = budget * w_head // 1000
+    b_tail = budget * w_tail // 1000
+    assert out["head"]["weight_milli"] == w_head
+    assert out["tail"]["weight_milli"] == w_tail
+    assert out["head"]["budget_tokens"] == b_head
+    assert out["tail"]["budget_tokens"] == b_tail
+    # head: 90-token docs, greedy prefix keeps ceil-ish b_head/90 docs
+    assert out["head"]["n_docs_kept"] == -(-b_head // 90)
+    # tail budget exceeds the whole domain -> everything kept
+    assert b_tail >= n_tail
+    assert out["tail"]["n_docs_kept"] == 40
+    assert out["tail"]["kept_tokens"] == n_tail
+    # the head cap binds: far fewer tokens than the raw 90% share
+    assert out["head"]["kept_tokens"] < n_head // 2
+
+    # determinism: same selection under a different partitioning
+    out2 = {
+        r["domain"]: r
+        for r in domain_token_sampling(df.repartition(7)).collect()
+    }
+    assert {k: (v["n_docs_kept"], v["kept_tokens"]) for k, v in out.items()} == {
+        k: (v["n_docs_kept"], v["kept_tokens"]) for k, v in out2.items()
+    }

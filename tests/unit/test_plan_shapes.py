@@ -724,3 +724,20 @@ def test_error_streaks_share_one_user_exchange(plans):
     plan = plans("events_error_streaks")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window [") == 2
+
+
+def test_domain_sampling_one_corpus_window_exchange(plans):
+    """corpus_domain_sampling: ONE window pass (the per-domain
+    running-token order) over ONE corpus-sized domain exchange; the
+    budget frame attaches by broadcast, never by shuffling the corpus
+    a second time on a non-domain key."""
+    plan = plans("corpus_domain_sampling")
+    assert plan.count("Window [") == 1
+    assert "CartesianProduct" not in plan
+    # every hash exchange is domain-keyed (window + tiny agg) — no
+    # shuffle on doc_id or any other corpus-wide key
+    import re
+    for line in plan.splitlines():
+        m = re.search(r"Exchange hashpartitioning\(([a-zA-Z_0-9#]+)", line)
+        if m:
+            assert m.group(1).startswith("domain"), line
