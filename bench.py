@@ -217,15 +217,32 @@ def main() -> None:
             ts.append(time.time() - t0)
         return round(sorted(ts)[1], 3)
 
-    # fixed machine-calibration probe: pure CPU, no IO, identical
-    # every round — a contended box shows up here first
+    # fixed machine-calibration probes, identical every round — a
+    # contended box shows up here first. Two axes because they load
+    # different subsystems: the CPU probe (pure codegen arithmetic, no
+    # IO) under-measured the r5 drift (probe +3%, queries +15-25%);
+    # the SCAN probe exercises the parquet decode path (page cache,
+    # syscalls, decompression) that real queries actually ride.
     def calib() -> None:
         spark.range(50_000_000).selectExpr("sum(id * 2) AS s").write.format(
             "noop"
         ).mode("overwrite").save()
 
-    calib()  # warm the probe's own codegen outside its timing
+    li_path = os.path.join(SF_DIR, "lineitem.parquet")
+
+    def calib_scan() -> None:
+        li = spark.read.parquet(li_path)
+        cols = ", ".join(li.columns)
+        # bit_xor fold: overflow-free under ANSI, still forces a full
+        # decode of every column
+        li.selectExpr(f"bit_xor(xxhash64({cols})) AS h").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    calib()  # warm the probes' codegen outside their timing
+    calib_scan()
     calib_s = timed_median3(calib)
+    calib_scan_s = timed_median3(calib_scan)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -270,6 +287,7 @@ def main() -> None:
         "comparable_12": round(sum(timings[n] for n in names[:12]), 3),
         "comparable_15": round(sum(timings[n] for n in names[:15]), 3),
         "calib_s": calib_s,
+        "calib_scan_s": calib_scan_s,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if sf1_block is not None:
