@@ -1048,3 +1048,185 @@ def q22_global_sales_opportunity(customer: DataFrame, orders: DataFrame) -> Data
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+def _epoch_micros(col) -> F.Column:
+    """Exact epoch microseconds, NTZ-safe: unix_micros rejects
+    TIMESTAMP_NTZ (the driver session reads the testdata's
+    TIMESTAMP(NANOS) as NTZ), so diff from an NTZ epoch literal after
+    an NTZ cast — a no-op for NTZ inputs, the UTC wall clock for
+    TIMESTAMP inputs (sessions here pin UTC), and the same number
+    DuckDB's epoch_us produces either way."""
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.expr("CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ)"),
+        col.cast("timestamp_ntz"),
+    )
+
+
+def q13_customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape (adapted to the driver schema): the customer
+    order-count distribution — how many customers placed exactly k
+    (non-urgent) orders, INCLUDING the zero bucket, which is the whole
+    point of the LEFT OUTER join (an inner join silently drops idle
+    customers and the histogram lies about the base).
+
+    Distributed shape: the join condition carries the o_orderpriority
+    filter (pushed to the orders scan — filtering after an outer join
+    would turn matched-but-filtered rows into fake zeros); per-customer
+    counts partial-agg map-side on the join's customer-key exchange;
+    the second agg groups the ALREADY-AGGREGATED per-customer frame
+    (cardinality = |customers|) on the tiny count key."""
+    joined = customer.join(
+        orders,
+        (customer["c_custkey"] == orders["o_custkey"])
+        & (orders["o_orderpriority"] != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q21_sole_return_supplier(
+    supplier: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q21 shape (adapted): suppliers who were the ONLY supplier
+    with a returned ('R') lineitem on a finished multi-supplier order
+    — the classic EXISTS + NOT-EXISTS pair over the same fact table,
+    DECORRELATED into one per-order statistics aggregate instead of
+    two correlated probes per lineitem row:
+      EXISTS(other supplier on the order)          ->  n_supp >= 2
+      NOT EXISTS(other supplier with 'R' on it)    ->  n_supp_r = 1
+    (the probing row itself has 'R', so "no OTHER R-supplier" is
+    exactly one distinct R-supplier). The oracle keeps the correlated
+    EXISTS/NOT-EXISTS SQL form to prove the rewrite's equivalence —
+    the q17 discipline.
+
+    Distributed shape: ONE orderkey-keyed agg over lineitem computes
+    both distinct-supplier counts (two-phase count distinct, partial
+    per map task); the R-rows then join it and the pre-filtered 'F'
+    orderkeys on the same orderkey; supplier name attaches by
+    broadcast at the end, after the fact rows have collapsed to a
+    per-supplier count."""
+    from pyspark.sql.functions import broadcast as bc
+
+    ord_stats = lineitem.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_r"),
+    )
+    finished = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    r_rows = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    waiting = (
+        r_rows.join(finished, r_rows["l_orderkey"] == finished["o_orderkey"])
+        .join(ord_stats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_supp_r") == 1))
+    )
+    per_supp = waiting.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
+    return per_supp.join(
+        bc(supplier.select("s_suppkey", "s_name")),
+        per_supp["l_suppkey"] == F.col("s_suppkey"),
+    ).select("s_name", "numwait")
+
+
+def moving_window_range(
+    events: DataFrame,
+    days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing N-day per-user moving aggregate with a RANGE frame —
+    the time-series smoothing shape ROWS frames cannot express (a
+    user's events are irregularly spaced; "last 7 days" is a value
+    range on the time axis, not a row count). Frame = (ts - (N-1)
+    days, ts] inclusive of the current event, keyed on exact epoch
+    MICROSECONDS so both engines bound the frame identically (casting
+    to seconds would make events straddling a second boundary member
+    of one engine's frame and not the other's).
+
+    Output per event: events in window, exact cent sum, milli mean
+    (integer division) — all long arithmetic. Distributed shape: ONE
+    user-keyed exchange carries the range window; partitions are
+    bounded by per-user volume. At 100 TB you'd bucket the window by
+    (user, coarse time) first — same frame semantics per bucket with
+    a boundary-overlap union, the standard stream-compaction trade."""
+    from pyspark.sql import Window
+
+    micros = _epoch_micros(F.col(ts_col))
+    span = (days * 86_400_000_000) - 1  # (ts - N days, ts] inclusive
+    win = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col("ts_micros"))
+        .rangeBetween(-span, 0)
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return (
+        events.select(
+            F.col("event_id"),
+            F.col(user_col),
+            micros.alias("ts_micros"),
+            cents.alias("_c"),
+        )
+        .select(
+            "event_id",
+            user_col,
+            "ts_micros",
+            F.count(F.lit(1)).over(win).alias("n_7d"),
+            F.sum("_c").over(win).alias("sum_cents_7d"),
+        )
+        .withColumn("mean_cents_milli_7d", F.expr("1000 * sum_cents_7d div n_7d"))
+    )
+
+
+def funnel_conversion_lag(
+    events: DataFrame,
+    first_step: str = "signup",
+    second_step: str = "purchase",
+) -> DataFrame:
+    """Time-to-convert distribution — the follow-up question every
+    funnel report raises: of the users who did convert, HOW FAST?
+    Per user: t1 = first ``first_step``, t2 = first ``second_step``
+    strictly after t1 (the funnel_events chain semantics); lag =
+    whole seconds (exact integer micros division). One summary row:
+    converter count, min/max lag, exact interpolated quartiles
+    (quantile_cont twin — the event_percentiles discipline).
+
+    Distributed shape: one user-keyed conditional-min agg collapses
+    each user's events map-side (the funnel exchange); the lag math is
+    narrow; the final distribution agg is a 1-row fold over
+    |converted users| rows."""
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == first_step, F.col("ts"))).alias("t1")
+    )
+    second = (
+        events.join(per_user, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == second_step) & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).alias("t2"),
+            F.any_value("t1").alias("t1"),
+        )
+    )
+    lags = second.filter(F.col("t2").isNotNull()).select(
+        F.timestamp_diff("MICROSECOND", F.col("t1"), F.col("t2")).alias("_lag_us")
+    ).select(F.expr("_lag_us div 1000000").alias("lag_sec"))
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("lag_sec").alias("min_sec"),
+        F.round(F.percentile("lag_sec", F.lit(0.25)), 6).alias("p25_sec"),
+        F.round(F.percentile("lag_sec", F.lit(0.5)), 6).alias("p50_sec"),
+        F.round(F.percentile("lag_sec", F.lit(0.75)), 6).alias("p75_sec"),
+        F.max("lag_sec").alias("max_sec"),
+    )

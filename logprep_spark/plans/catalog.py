@@ -2351,6 +2351,106 @@ def funnel_events(spark, sf_dir):
 
 
 @register(
+    "tpch_q13",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape (plans/analytics.py q13_customer_distribution):
+    customer order-count histogram with the zero bucket intact — the
+    filter rides the LEFT JOIN condition, not a post-join WHERE."""
+    t = tables(spark, sf_dir)
+    return an.q13_customer_distribution(t["customer"], t["orders"])
+
+
+@register(
+    "tpch_q21",
+    """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape (plans/analytics.py q21_sole_return_supplier):
+    EXISTS + NOT-EXISTS over the same fact, decorrelated into one
+    per-order distinct-supplier statistics agg; the oracle keeps the
+    correlated form to prove equivalence."""
+    t = tables(spark, sf_dir)
+    return an.q21_sole_return_supplier(t["supplier"], t["orders"], t["lineitem"])
+
+
+@register(
+    "window_moving_avg_range",
+    """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_micros,
+           CAST(count(*) OVER w AS BIGINT) AS n_7d,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS sum_cents_7d,
+           CAST(1000 * (sum(CAST(round(value * 100) AS BIGINT)) OVER w)
+                // (count(*) OVER w) AS BIGINT) AS mean_cents_milli_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 604799999999 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg_range(spark, sf_dir):
+    """Trailing 7-day per-user RANGE-frame moving aggregate
+    (plans/analytics.py moving_window_range): frame bounds on exact
+    epoch micros, integer cent sums and milli means."""
+    events = tables(spark, sf_dir)["events"]
+    return an.moving_window_range(events, days=7)
+
+
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH s1 AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+        FROM events GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, any_value(s1.t1) AS t1,
+               min(CASE WHEN e.event_type = 'purchase' AND e.ts > s1.t1
+                        THEN e.ts END) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id
+    ), lags AS (
+        SELECT (epoch_us(t2) - epoch_us(t1)) // 1000000 AS lag_sec
+        FROM s2 WHERE t2 IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(lag_sec) AS BIGINT) AS min_sec,
+           round(quantile_cont(lag_sec, 0.25), 6) AS p25_sec,
+           round(quantile_cont(lag_sec, 0.5), 6) AS p50_sec,
+           round(quantile_cont(lag_sec, 0.75), 6) AS p75_sec,
+           CAST(max(lag_sec) AS BIGINT) AS max_sec
+    FROM lags
+    """,
+)
+def funnel_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution (plans/analytics.py
+    funnel_conversion_lag): first signup → first later purchase lag in
+    whole seconds; converter count + min/quartiles/max."""
+    events = tables(spark, sf_dir)["events"]
+    return an.funnel_conversion_lag(events)
+
+
+@register(
     "retention_cohorts",
     """
     WITH cohorts AS (

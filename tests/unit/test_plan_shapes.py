@@ -741,3 +741,47 @@ def test_domain_sampling_one_corpus_window_exchange(plans):
         m = re.search(r"Exchange hashpartitioning\(([a-zA-Z_0-9#]+)", line)
         if m:
             assert m.group(1).startswith("domain"), line
+
+
+def test_q13_left_outer_keeps_zero_bucket(plans):
+    """tpch_q13: the priority filter rides the LEFT JOIN condition
+    (post-join filtering would fake zero-order customers); two hash
+    aggs, no cartesian."""
+    plan = plans("tpch_q13")
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_decorrelated_single_order_stats_agg(plans):
+    """tpch_q21: EXISTS/NOT-EXISTS decorrelated into ONE per-order
+    distinct-supplier agg — every corpus-sized hash exchange is keyed
+    on the orderkey (the supplier name attaches by broadcast after the
+    per-supplier collapse)."""
+    import re
+
+    plan = plans("tpch_q21")
+    assert "CartesianProduct" not in plan
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert keys, plan
+    assert all(k in ("l_orderkey", "l_suppkey") for k in keys), keys
+    # count_distinct over two metrics in one agg: expand writes 2 rows
+    assert "Expand" in plan
+
+
+def test_moving_range_window_single_user_exchange(plans):
+    """window_moving_avg_range: both range aggregates ride ONE
+    user-keyed exchange and one Window node."""
+    plan = plans("window_moving_avg_range")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window [") == 1
+
+
+def test_funnel_lag_user_keyed_aggs_only(plans):
+    """funnel_time_to_convert: the heavy exchanges are user-keyed
+    conditional-min aggs; the distribution fold is a single-partition
+    agg over the tiny converter set."""
+    import re
+
+    plan = plans("funnel_time_to_convert")
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert all(k == "user_id" for k in keys), keys
