@@ -994,3 +994,112 @@ def quality_model_score(
         ),
         (logit > 0).alias("pred_high_quality"),
     )
+
+
+def c4_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """C4-style heuristic cleanup (Raffel et al. 2020, §2.2 — the T5
+    corpus rules, the other canonical filter set next to Gopher's):
+    line-level retention plus document-level gates, in one narrow
+    pass.
+
+    Line rules (a line survives if ALL hold): ends in terminal
+    punctuation (. ! ? or closing quote after one), has >= 5 words,
+    and carries no cookie/javascript boilerplate marker. Document
+    rules over the SURVIVING lines: >= 3 sentences (terminal-punct
+    count), no "lorem ipsum", no '{' (code leak into prose corpora).
+
+    Output per doc: kept line count / original line count, sentence
+    count, each gate flag, the conjunction, and the retained text —
+    the filtered corpus AND the audit columns a pipeline logs.
+
+    Entirely narrow Catalyst array/regex expressions over one scan —
+    zero shuffle, zero UDF; fuses with downstream dedup/scoring the
+    way the Gopher gate does."""
+    col = F.col(text_col)
+    lines = F.split(col, "\n")
+    term = r'[.!?]["’”]?\s*$'
+    boiler = r"(?i)(javascript|cookie policy|terms of use|privacy policy)"
+    keep = F.filter(
+        lines,
+        lambda l: l.rlike(term)
+        & (F.size(F.filter(F.split(l, r"\s+"), lambda t: t != "")) >= 5)
+        & ~l.rlike(boiler),
+    )
+    kept_text = F.array_join(keep, "\n")
+    n_sent = F.regexp_count(kept_text, F.lit(r"[.!?]"))
+    no_lorem = ~F.lower(col).contains("lorem ipsum")
+    no_brace = ~col.contains("{")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(keep).cast("long").alias("n_lines_kept"),
+        n_sent.cast("long").alias("n_sentences"),
+        no_lorem.alias("no_lorem"),
+        no_brace.alias("no_brace"),
+        (
+            (F.size(keep) > 0) & (n_sent >= 3) & no_lorem & no_brace
+        ).alias("c4_pass"),
+        kept_text.alias("kept_text"),
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    top_n: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-N bigram collocations by pointwise mutual information — the
+    phrase-mining pass that turns a corpus into a multiword-expression
+    list (tokenizer vocab candidates, query expansion, stopword-pair
+    diagnostics). PMI = log2(T·c(w1,w2) / (c(w1,·)·c(·,w2))) with a
+    ``min_count`` support floor so hapax pairs don't dominate.
+
+    Determinism: counts are exact longs from hash aggs; the PMI float
+    is a fixed operand-order per-row expression rounded to MICRO
+    before the top-N cut; ties break on (w1, w2).
+
+    Distributed shape: ONE Generate produces the bigram stream; the
+    pair hash agg (map-side combine) is the only corpus-sized shuffle;
+    left/right marginals re-aggregate the count table, never the
+    stream; T is a 1-row broadcast; the cut is TakeOrderedAndProject
+    over the aggregated (and support-floored) pairs — per-partition
+    heaps, no global sort."""
+    from pyspark.sql.functions import broadcast
+    from pyspark.storagelevel import StorageLevel
+
+    toked = df.select(tokens(F.lower(F.col(text_col))).alias("_toks")).filter(
+        F.size("_toks") >= 2
+    )
+    grams = toked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("_toks", i).alias("w1"),
+                    F.element_at("_toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c2 = c2.persist(StorageLevel.MEMORY_AND_DISK)
+    left = c2.groupBy("w1").agg(F.sum("c2").alias("cl"))
+    right = c2.groupBy("w2").agg(F.sum("c2").alias("cr"))
+    total = c2.agg(F.sum("c2").alias("_t"))
+    pmi = F.round(
+        F.log2(
+            (F.col("_t").cast("double") * F.col("c2"))
+            / (F.col("cl").cast("double") * F.col("cr"))
+        )
+        * 1_000_000
+    ).cast("long")
+    return (
+        c2.filter(F.col("c2") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(broadcast(total))
+        .select("w1", "w2", "c2", pmi.alias("pmi_micro"))
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(top_n)
+    )

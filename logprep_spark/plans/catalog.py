@@ -2294,6 +2294,130 @@ def text_unicode_clean(spark, sf_dir):
     )
 
 
+@register(
+    "text_c4_filters",
+    f"""
+    WITH synth AS (
+        SELECT doc_id,
+            concat(
+              array_to_string(
+                list_transform(range(1, greatest(len({_sql_words()}) // 6, 1) + 1),
+                  i -> concat(
+                    CASE WHEN (doc_id + 2*i) % 13 = 0 THEN 'cookie policy ' ELSE '' END,
+                    array_to_string(
+                      ({_sql_words()})[(i-1)*6 + 1 : (i-1)*6 + 3 + (doc_id + i) % 5],
+                      ' '),
+                    (['.','!','?',''])[CAST((doc_id*31 + i) % 4 AS INT) + 1]
+                  )),
+                chr(10)),
+              CASE WHEN doc_id % 41 = 0
+                   THEN chr(10) || 'this text contains lorem ipsum filler.'
+                   ELSE '' END,
+              CASE WHEN doc_id % 37 = 0
+                   THEN chr(10) || 'var f = function() {{ return 1; }} and more words here.'
+                   ELSE '' END
+            ) AS text
+        FROM documents
+    ), staged AS (
+        SELECT doc_id, text,
+               string_split(text, chr(10)) AS lines,
+               list_filter(string_split(text, chr(10)),
+                   l -> regexp_matches(l, '[.!?]["’”]?\\s*$')
+                        AND len(list_filter(string_split_regex(l, '\\s+'),
+                                            x -> x != '')) >= 5
+                        AND NOT regexp_matches(l,
+                            '(?i)(javascript|cookie policy|terms of use|privacy policy)')
+               ) AS keep
+        FROM synth
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(keep) AS BIGINT) AS n_lines_kept,
+           CAST(len(regexp_extract_all(coalesce(array_to_string(keep, chr(10)), ''),
+                                       '[.!?]')) AS BIGINT) AS n_sentences,
+           NOT contains(lower(text), 'lorem ipsum') AS no_lorem,
+           NOT contains(text, '{{') AS no_brace,
+           (len(keep) > 0
+            AND len(regexp_extract_all(coalesce(array_to_string(keep, chr(10)), ''),
+                                       '[.!?]')) >= 3
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{{')) AS c4_pass,
+           coalesce(array_to_string(keep, chr(10)), '') AS kept_text
+    FROM staged
+    """,
+)
+def text_c4_filters(spark, sf_dir):
+    """C4-style heuristic cleanup (functions/text.py c4_filter —
+    Raffel et al. 2020 §2.2) over a deterministically SYNTHESIZED page
+    structure: the fixture corpus is punctuation- and newline-free, so
+    lines of hash-varying width (3–7 words), hash-chosen terminal
+    punctuation, and sprinkled boilerplate/lorem/brace markers are
+    derived from the tokens first (pure integer arithmetic — both
+    engines build the identical page), then the REAL filter runs:
+    terminal-punct + ≥5-word + no-boilerplate line retention,
+    ≥3-sentence / no-lorem / no-brace document gates. Narrow end to
+    end, zero shuffle."""
+    docs = tables(spark, sf_dir)["documents"]
+    synth = (
+        docs.selectExpr(
+            "doc_id", r"filter(split(text, '\\s+'), x -> x != '') AS w"
+        )
+        .selectExpr(
+            "doc_id",
+            "transform(sequence(1, greatest(size(w) div 6, 1)),"
+            " i -> concat("
+            "   CASE WHEN (doc_id + 2*i) % 13 = 0 THEN 'cookie policy ' ELSE '' END,"
+            "   array_join(slice(w, (i-1)*6 + 1, 3 + (doc_id + i) % 5), ' '),"
+            "   element_at(array('.','!','?',''), CAST((doc_id*31 + i) % 4 AS INT) + 1)"
+            " )) AS lines",
+        )
+        .selectExpr(
+            "doc_id",
+            "concat(array_join(lines, char(10)),"
+            " CASE WHEN doc_id % 41 = 0"
+            "   THEN concat(char(10), 'this text contains lorem ipsum filler.')"
+            "   ELSE '' END,"
+            " CASE WHEN doc_id % 37 = 0"
+            "   THEN concat(char(10), 'var f = function() { return 1; } and more words here.')"
+            "   ELSE '' END) AS text",
+        )
+    )
+    return tx.c4_filter(synth)
+
+
+@register(
+    "text_pmi_collocations",
+    f"""
+    WITH toked AS (
+        SELECT {_sql_words('lower(text)')} AS w FROM documents
+    ), big AS (
+        SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+        FROM toked WHERE len(w) >= 2
+    ), c2 AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY w1, w2
+    ), l AS (
+        SELECT w1, CAST(sum(c2) AS BIGINT) AS cl FROM c2 GROUP BY w1
+    ), r AS (
+        SELECT w2, CAST(sum(c2) AS BIGINT) AS cr FROM c2 GROUP BY w2
+    ), t AS (
+        SELECT CAST(sum(c2) AS BIGINT) AS _t FROM c2
+    )
+    SELECT w1, w2, c2,
+           CAST(round(log2((_t::DOUBLE * c2) / (cl::DOUBLE * cr)) * 1000000)
+                AS BIGINT) AS pmi_micro
+    FROM c2 JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
+    WHERE c2 >= 5
+    ORDER BY pmi_micro DESC, w1, w2 LIMIT 50
+    """,
+)
+def text_pmi_collocations(spark, sf_dir):
+    """Top-50 bigram collocations by micro-fixed PMI (functions/
+    text.py pmi_collocations): one bigram hash agg, marginals from the
+    count table, TakeOrderedAndProject cut."""
+    docs = tables(spark, sf_dir)["documents"]
+    return tx.pmi_collocations(docs, top_n=50, min_count=5)
+
+
 @register("text_compression")
 def text_compression(spark, sf_dir):
     """zlib compression-ratio quality signal (functions/text.py

@@ -1206,3 +1206,45 @@ def test_domain_token_sampling_flattens_head_domain(spark):
     assert {k: (v["n_docs_kept"], v["kept_tokens"]) for k, v in out.items()} == {
         k: (v["n_docs_kept"], v["kept_tokens"]) for k, v in out2.items()
     }
+
+
+def test_c4_filter_line_and_doc_rules(spark):
+    good = "\n".join([
+        "This is a proper sentence with enough words here.",   # keep
+        "Too short line.",                                      # <5 words
+        "This line has no terminal punctuation at all",         # no punct
+        "Please accept our cookie policy before proceeding further.",  # boiler
+        "Another well formed sentence that should survive easily!",    # keep
+        "Is this a third surviving sentence with words?",              # keep
+    ])
+    lorem = good + "\nSome lorem ipsum filler sits in this document."
+    brace = good + "\nvar f = function() { return 1; } words here."
+    thin = "Only one good sentence lives in this document."  # 1 sentence < 3
+    df = spark.createDataFrame(
+        [(1, good), (2, lorem), (3, brace), (4, thin)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in text.c4_filter(df).collect()}
+    assert rows[1]["n_lines"] == 6 and rows[1]["n_lines_kept"] == 3
+    assert rows[1]["n_sentences"] == 3 and rows[1]["c4_pass"]
+    assert rows[1]["kept_text"].count("\n") == 2
+    # lorem line itself would survive the line filter, but the doc gate kills it
+    assert not rows[2]["no_lorem"] and not rows[2]["c4_pass"]
+    assert not rows[3]["no_brace"] and not rows[3]["c4_pass"]
+    assert rows[4]["n_lines_kept"] == 1 and not rows[4]["c4_pass"]  # <3 sentences
+
+
+def test_pmi_collocations_favors_fixed_phrases(spark):
+    # "new york" components occur ONLY together; "the" spreads over
+    # cat/dog so its pairs have a bigger marginal and strictly lower PMI
+    rows = [(i, "the cat saw the dog in new york today") for i in range(3)]
+    rows += [(10 + i, "the dog saw a cat near new york now") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.pmi_collocations(df, top_n=5, min_count=5).collect()
+    assert out[0]["w1"] == "new" and out[0]["w2"] == "york"
+    by_pair = {(r["w1"], r["w2"]): r["pmi_micro"] for r in out}
+    assert by_pair[("new", "york")] > by_pair[("the", "dog")]
+    # support floor: every returned pair has c2 >= 5
+    assert all(r["c2"] >= 5 for r in out)
+    # PMI ordering is descending
+    pmis = [r["pmi_micro"] for r in out]
+    assert pmis == sorted(pmis, reverse=True)

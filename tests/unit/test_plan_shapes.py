@@ -785,3 +785,20 @@ def test_funnel_lag_user_keyed_aggs_only(plans):
     plan = plans("funnel_time_to_convert")
     keys = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
     assert all(k == "user_id" for k in keys), keys
+
+
+def test_c4_filter_zero_shuffle(plans):
+    """text_c4_filters: synthesis + line retention + doc gates are one
+    narrow codegen stage — no exchange at all."""
+    plan = plans("text_c4_filters")
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pmi_takeordered_single_gram_shuffle(plans):
+    """text_pmi_collocations: the bigram hash agg is the only
+    corpus-sized shuffle (marginals re-aggregate the persisted count
+    table); the top-N cut is TakeOrderedAndProject, never a global
+    sort."""
+    plan = plans("text_pmi_collocations")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
