@@ -1230,3 +1230,117 @@ def funnel_conversion_lag(
         F.round(F.percentile("lag_sec", F.lit(0.75)), 6).alias("p75_sec"),
         F.max("lag_sec").alias("max_sec"),
     )
+
+
+def scd2_user_tier(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from a change log —
+    the warehouse move that turns an event stream into a validity-
+    interval dimension table: per user, the props tier (k div 25)
+    collapses into [valid_from, valid_to) intervals at change points;
+    the open interval (valid_to NULL) is the current row.
+
+    Distributed shape: change detection (lag) and interval close
+    (lead over the CHANGE rows — a filter preserves partitioning, so
+    the second window reuses the first's user-keyed exchange) ride one
+    exchange; output is |changes| rows, far smaller than the input.
+    Timestamps are exact epoch micros so the interval bounds hash
+    cross-engine."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tiered = events.select(
+        "user_id", "ts", "event_id", F.expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 25").alias("tier")
+    )
+    changes = tiered.withColumn("_prev", F.lag("tier").over(w)).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col("tier"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "tier",
+        _epoch_micros(F.col("ts")).alias("valid_from_micros"),
+        _epoch_micros(F.lead("ts").over(w2)).alias("valid_to_micros"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+def attribution_last_touch(
+    events: DataFrame, conversion_type: str = "purchase"
+) -> DataFrame:
+    """Last-touch conversion attribution: every conversion event is
+    credited to the user's most recent PRECEDING non-conversion event
+    (the touch), with the touch type and the touch-to-conversion lag
+    in whole seconds. The marketing-analytics join no equi-join
+    expresses — an IGNORE NULLS last_value window over the event
+    stream (the same machinery as LOCF gap-fill, pointed backwards).
+
+    Two IGNORE NULLS windows share one user-keyed exchange and pick
+    the same row by construction (identical CASE condition), so the
+    (type, ts) pair stays consistent without a struct payload."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != conversion_type, F.col("event_type"))
+    touch_ts = F.when(F.col("event_type") != conversion_type, F.col("ts"))
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.last(touch, ignorenulls=True).over(w).alias("touch_type"),
+            F.last(touch_ts, ignorenulls=True).over(w).alias("_touch_ts"),
+        )
+        .filter(F.col("event_type") == conversion_type)
+        .select(
+            "event_id",
+            "user_id",
+            "touch_type",
+            F.expr(
+                "timestampdiff(MICROSECOND, _touch_ts, ts) div 1000000"
+            ).alias("touch_lag_sec"),
+        )
+    )
+
+
+def reconcile_orders_lineitems(
+    orders: DataFrame, lineitem: DataFrame, tolerance_cents: int = 0
+) -> DataFrame:
+    """Order-vs-lineitem reconciliation — the data-quality FULL OUTER
+    join every billing/warehouse pipeline runs: per orderkey, compare
+    o_totalprice with the lineitem net sum; classify every key as
+    matched / amount_mismatch / order_without_lineitems /
+    lineitems_without_order and report counts plus the absolute cent
+    discrepancy per class. Neither anti-join direction alone sees both
+    orphan classes — that is what FULL OUTER is for.
+
+    Distributed shape: lineitem collapses per orderkey FIRST (partial
+    agg), so the full join carries |orders| + |distinct orderkeys|
+    rows, never raw lineitems; the class report is a 4-row agg.
+    Exact integer cents everywhere."""
+    li = lineitem.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+        ).alias("li_cents")
+    )
+    o = orders.select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents")
+    )
+    joined = o.join(li, o["o_orderkey"] == li["l_orderkey"], "full_outer")
+    cls = (
+        F.when(F.col("o_orderkey").isNull(), F.lit("lineitems_without_order"))
+        .when(F.col("l_orderkey").isNull(), F.lit("order_without_lineitems"))
+        .when(
+            F.abs(F.col("o_cents") - F.col("li_cents")) <= tolerance_cents,
+            F.lit("matched"),
+        )
+        .otherwise(F.lit("amount_mismatch"))
+    )
+    diff = F.abs(F.coalesce("o_cents", F.lit(0)) - F.coalesce("li_cents", F.lit(0)))
+    return joined.select(cls.alias("recon_class"), diff.alias("_d")).groupBy(
+        "recon_class"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("_d").alias("abs_diff_cents"),
+    )

@@ -2575,6 +2575,103 @@ def funnel_time_to_convert(spark, sf_dir):
 
 
 @register(
+    "scd2_user_tier",
+    """
+    WITH tiered AS (
+        SELECT user_id, ts, event_id,
+               json_extract_string(props, '$.k')::BIGINT // 25 AS tier
+        FROM events
+    ), changes AS (
+        SELECT * FROM (
+            SELECT user_id, ts, event_id, tier,
+                   lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS _prev
+            FROM tiered
+        ) WHERE _prev IS NULL OR _prev <> tier
+    )
+    SELECT user_id, tier,
+           epoch_us(ts) AS valid_from_micros,
+           epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               AS valid_to_micros,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) IS NULL
+               AS is_current
+    FROM changes
+    """,
+)
+def scd2_user_tier(spark, sf_dir):
+    """SCD type-2 dimension build (plans/analytics.py scd2_user_tier):
+    props tier change log → validity intervals via lag-filter-lead on
+    one user-keyed exchange; open interval = current row."""
+    events = tables(spark, sf_dir)["events"]
+    return an.scd2_user_tier(events)
+
+
+@register(
+    "attribution_last_touch",
+    """
+    SELECT event_id, user_id, touch_type,
+           (epoch_us(ts) - epoch_us(_touch_ts)) // 1000000 AS touch_lag_sec
+    FROM (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS touch_type,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN ts END IGNORE NULLS)
+                   OVER w AS _touch_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ) WHERE event_type = 'purchase'
+    """,
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution (plans/analytics.py
+    attribution_last_touch): each purchase credited to the most recent
+    preceding non-purchase event via IGNORE NULLS last_value windows
+    sharing one user exchange."""
+    events = tables(spark, sf_dir)["events"]
+    return an.attribution_last_touch(events)
+
+
+@register(
+    "recon_orders_lineitems",
+    """
+    WITH li AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS li_cents
+        FROM lineitem GROUP BY l_orderkey
+    ), o AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        FROM orders
+    ), joined AS (
+        SELECT * FROM o FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT recon_class,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(_d) AS BIGINT) AS abs_diff_cents
+    FROM (
+        SELECT CASE WHEN o_orderkey IS NULL THEN 'lineitems_without_order'
+                    WHEN l_orderkey IS NULL THEN 'order_without_lineitems'
+                    WHEN abs(o_cents - li_cents) <= 0 THEN 'matched'
+                    ELSE 'amount_mismatch' END AS recon_class,
+               abs(coalesce(o_cents, 0) - coalesce(li_cents, 0)) AS _d
+        FROM joined
+    ) GROUP BY recon_class
+    """,
+)
+def recon_orders_lineitems(spark, sf_dir):
+    """FULL OUTER reconciliation (plans/analytics.py
+    reconcile_orders_lineitems): per-orderkey billing check classifying
+    matched / mismatch / both orphan directions; lineitems collapse
+    per order BEFORE the join."""
+    t = tables(spark, sf_dir)
+    return an.reconcile_orders_lineitems(t["orders"], t["lineitem"])
+
+
+@register(
     "retention_cohorts",
     """
     WITH cohorts AS (

@@ -802,3 +802,28 @@ def test_pmi_takeordered_single_gram_shuffle(plans):
     plan = plans("text_pmi_collocations")
     assert "TakeOrderedAndProject" in plan
     assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_scd2_both_windows_one_user_exchange(plans):
+    """scd2_user_tier: change-detect lag and interval-close lead ride
+    ONE user-keyed exchange (the filter between them preserves
+    partitioning)."""
+    plan = plans("scd2_user_tier")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window [") == 2
+
+
+def test_attribution_one_user_exchange(plans):
+    """attribution_last_touch: both IGNORE NULLS windows share one
+    user-keyed exchange; the conversion filter happens after."""
+    plan = plans("attribution_last_touch")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window [") == 1  # both last_values in one node
+
+
+def test_recon_full_outer_preaggregated(plans):
+    """recon_orders_lineitems: lineitems collapse per order BEFORE the
+    FULL OUTER join — the join input is the aggregated frame."""
+    plan = plans("recon_orders_lineitems")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
