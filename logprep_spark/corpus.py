@@ -84,6 +84,47 @@ def _step_filter(df: DataFrame, text_col: str, where: str) -> DataFrame:
     return df.filter(F.expr(where))
 
 
+def _step_c4_filter(df: DataFrame, text_col: str, keep_only: bool = True) -> DataFrame:
+    """C4 cleanup as a pipeline step: replaces the text column with the
+    retained lines; ``keep_only`` drops failing docs (default — the
+    filter's purpose in a cleanup chain), else the flags stay."""
+    out = tx.c4_filter(df, text_col=text_col)
+    others = df.drop(text_col)
+    merged = (
+        out.withColumnRenamed("kept_text", text_col)
+        .join(others, "doc_id")
+    )
+    if keep_only:
+        merged = merged.filter(F.col("c4_pass"))
+    return merged.drop(
+        "n_lines", "n_lines_kept", "n_sentences", "no_lorem", "no_brace", "c4_pass"
+    ) if keep_only else merged
+
+
+def _step_domain_sample(
+    df: DataFrame,
+    text_col: str,
+    budget_num: int = 2,
+    budget_den: int = 5,
+    group_col: str = "source",
+    salt: str = "ds",
+) -> DataFrame:
+    """Per-domain temperature token budgeting
+    (sampling.domain_token_sample_docs) as a SELECTION step: keeps the
+    hash-chosen docs within each domain's budget. Options are explicit
+    so build-time validation can reject typos."""
+    from logprep_spark.functions import sampling as smp
+
+    return smp.domain_token_sample_docs(
+        df,
+        budget_num=budget_num,
+        budget_den=budget_den,
+        group_col=group_col,
+        text_col=text_col,
+        salt=salt,
+    )
+
+
 STEPS: dict[str, Callable[..., DataFrame]] = {
     "gopher_filter": _step_gopher_filter,
     "line_dedup": _step_line_dedup,
@@ -96,6 +137,8 @@ STEPS: dict[str, Callable[..., DataFrame]] = {
     "html_extract": _step_html_extract,
     "quality_model": _step_quality_model,
     "filter": _step_filter,
+    "c4_filter": _step_c4_filter,
+    "domain_sample": _step_domain_sample,
 }
 
 

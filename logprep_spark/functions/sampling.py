@@ -179,3 +179,47 @@ def domain_token_sampling(
         F.count(F.lit(1)).alias("n_docs_kept"),
         F.sum("_t").alias("kept_tokens"),
     )
+
+
+def domain_token_sample_docs(
+    df: DataFrame,
+    budget_num: int = 2,
+    budget_den: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "ds",
+) -> DataFrame:
+    """The per-document view of :func:`domain_token_sampling` — the
+    SELECTED rows with all their original columns, for use as a
+    pipeline step (the summary variant reports the curve instead).
+    Same budgets, same hash order, same boundary convention."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+    from pyspark.storagelevel import StorageLevel
+
+    from logprep_spark.functions.text import mix_weights, token_count
+
+    weights = mix_weights(df, group_col=group_col, text_col=text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    total = weights.agg(F.sum("n_tokens").alias("_total"))
+    budgets = weights.crossJoin(broadcast(total)).select(
+        F.col("domain").alias(group_col),
+        F.expr(
+            f"((_total * {budget_num}) div {budget_den}) * weight_milli div 1000"
+        ).alias("_budget"),
+    )
+    win = (
+        Window.partitionBy(group_col)
+        .orderBy(h60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = df.withColumn("_t", token_count(F.col(text_col))).withColumn(
+        "_cum", F.sum("_t").over(win)
+    )
+    return (
+        staged.join(broadcast(budgets), group_col)
+        .filter(F.col("_cum") - F.col("_t") < F.col("_budget"))
+        .drop("_t", "_cum", "_budget")
+    )

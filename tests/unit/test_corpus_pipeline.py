@@ -116,3 +116,38 @@ def test_corpus_pipeline_runs_on_streams(spark, tmp_path):
     rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM corpus_stream_out").collect()}
     assert "<pii:email>" in rows[1]["text"]
     assert rows[2]["n_tokens"] == 1 and "quality" in rows[1].asDict()
+
+
+def test_c4_and_domain_sample_steps(spark):
+    """r6 steps: c4_filter rewrites text to the retained lines and
+    drops failing docs; domain_sample keeps the hash-chosen docs
+    within each domain's temperature budget."""
+    good = (
+        "This is a fine sentence with plenty of words today.\n"
+        "Another good sentence follows right here and now.\n"
+        "And a third one completes the minimum requirement nicely."
+    )
+    rows = [(i, good, f"s{i % 2}") for i in range(8)]
+    rows.append((99, "no punctuation no luck here", "s0"))  # c4 drops
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    p = CorpusPipeline([{"op": "c4_filter"}])
+    out = p.transform(df)
+    assert out.count() == 8  # doc 99 gated out
+    assert "c4_pass" not in out.columns  # audit cols dropped on keep_only
+
+    p2 = CorpusPipeline(
+        [{"op": "c4_filter"}, {"op": "domain_sample", "budget_num": 1, "budget_den": 2}]
+    )
+    kept = p2.transform(df)
+    n = kept.count()
+    assert 0 < n < 8  # the 50% token budget visibly binds
+    # deterministic under re-partitioning
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["doc_id"] for r in p2.transform(df.repartition(5)).collect()
+    )
+    assert ids == ids2
+
+    with pytest.raises(ConfigError):
+        CorpusPipeline([{"op": "domain_sample", "budget_numm": 1}])
