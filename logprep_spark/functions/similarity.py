@@ -637,3 +637,72 @@ def kmeans_gonzalez(
     Lloyd's iterations and zero-shuffle final assignment."""
     seeds = gonzalez_seeds(df, k, vec_col, id_col)
     return _kmeans_from_seeds(df, seeds, iters, vec_col, id_col)
+
+
+def top_component(
+    df: DataFrame,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Dominant principal direction of the (centered) embedding corpus
+    via INTEGER-EXACT power iteration — the first step of PCA
+    whitening / ABTT ("all-but-the-top") embedding post-processing,
+    and the measurement behind "our embedding space has a dominant
+    direction" (the reason center_normalize exists).
+
+    Exactness contract: vectors micro-fix to longs; the iterate v
+    lives in MILLI units renormalized each round by max|w| (an exact
+    integer max — no sqrt, no float norm), so every step is long
+    arithmetic: d_i = Σ_j c_ij·v_j, scaled d'_i = d_i div 10⁶,
+    w_j = Σ_i d'_i·c_ij, v'_j = (w_j·1000) div max|w|. Bit-identical
+    in any engine / any partitioning — a float power iteration sums
+    in partition order and is not. Output is the iterate after
+    ``iters`` rounds (deterministic by definition; convergence to the
+    true eigenvector is the usual power-iteration story and is
+    pytest-gated on an anisotropic fixture).
+
+    Magnitudes: |c| ≤ 2·10⁶, |v| ≤ 10³ → |d| ≤ dim·2·10⁹ ≈ 1.3·10¹¹,
+    |d'| ≤ 1.3·10⁵, per-term |d'·c| ≤ 2.6·10¹¹ → safe to ~10⁷ rows in
+    one partial sum; beyond that, re-scale d' (one more div) or
+    hierarchical partial aggregation — same recurrence.
+
+    Distributed shape: mean + each w are ONE map-side-collapsing agg
+    over dim cells; v and the mean broadcast as 1-row frames; nothing
+    but 1-row frames ever crosses the wire after the per-dim sums."""
+    from pyspark.sql.functions import broadcast
+
+    dim = probe_dim(df, vec_col) or 0
+    vm = df.select(micro_vec(F.col(vec_col)).alias("_v"))
+    mean = vm.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(F.element_at("_v", i + 1)).alias(f"_s{i}") for i in range(dim)],
+    ).select(F.array(*[F.expr(f"_s{i} div _n") for i in range(dim)]).alias("_mu"))
+    c = vm.crossJoin(broadcast(mean)).select(
+        F.zip_with("_v", "_mu", lambda a, b: a - b).alias("_c")
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    c = c.persist(StorageLevel.MEMORY_AND_DISK)
+    v = mean.select(
+        F.array(*[F.lit(1000).cast("long") for _ in range(dim)]).alias("_vec")
+    )
+    for _ in range(iters):
+        scored = c.crossJoin(broadcast(v)).select(
+            "_c",
+            F.expr(
+                "aggregate(zip_with(_c, _vec, (a, b) -> a * b),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x) div 1000000"
+            ).alias("_d"),
+        )
+        w = scored.agg(
+            *[
+                F.sum(F.col("_d") * F.element_at("_c", i + 1)).alias(f"_w{i}")
+                for i in range(dim)
+            ]
+        )
+        v = w.select(
+            F.array(*[F.col(f"_w{i}") for i in range(dim)]).alias("_w"),
+            F.greatest(*[F.abs(F.col(f"_w{i}")) for i in range(dim)]).alias("_m"),
+        ).selectExpr("transform(_w, a -> (a * 1000) div _m) AS _vec")
+    return v.select(F.col("_vec").alias("component_milli"))

@@ -3701,6 +3701,36 @@ def corpus_domain_sampling(spark, sf_dir):
 
 
 _KM_MICRO = "list_transform(embedding, x -> CAST(round(x::double * 1000000) AS BIGINT))"
+
+
+def _sql_power_iterations(iters: int, dim: int = 64) -> str:
+    """Unrolled power-iteration CTE chain (the pagerank oracle
+    discipline): d = Σ c·v div 1e6 per row, per-dim w sums, milli
+    renormalization by the exact integer max."""
+    parts = []
+    prev = "v0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""d{t} AS (
+        SELECT c, CAST(CAST(list_sum([c[i] * vec[i] for i in range(1, {dim + 1})])
+                  AS BIGINT) // 1000000 AS BIGINT) AS d
+        FROM c CROSS JOIN {prev}
+    ), w{t} AS (
+        SELECT dim, CAST(sum(d * c[dim]) AS BIGINT) AS wd
+        FROM d{t} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS dim) dims
+        GROUP BY dim
+    ), wl{t} AS (
+        SELECT list(wd ORDER BY dim) AS w,
+               CAST(max(abs(wd)) AS BIGINT) AS m
+        FROM w{t}
+    ), v{t} AS (
+        SELECT [CAST((w[i] * 1000) // m AS BIGINT)
+                for i in range(1, {dim + 1})] AS vec
+        FROM wl{t}
+    )"""
+        )
+        prev = f"v{t}"
+    return ", ".join(parts)
 _KM_DIST = (
     "list_sum([(m.v[i] - c.cv[i]) * (m.v[i] - c.cv[i]) "
     "for i in range(1, len(m.v) + 1)])"
@@ -4258,6 +4288,36 @@ def embed_center_normalize(spark, sf_dir):
     broadcast model, narrow map."""
     emb = tables(spark, sf_dir)["embeddings"]
     return sim.center_normalize(emb)
+
+
+@register(
+    "embed_top_component",
+    f"""
+    WITH vm AS (
+        SELECT {_KM_MICRO} AS v FROM embeddings
+    ), mu AS (
+        SELECT list(m ORDER BY dim) AS mu FROM (
+            SELECT dim,
+                   CAST(sum(v[dim]) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+            FROM vm CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) dims
+            GROUP BY dim
+        )
+    ), c AS (
+        SELECT [v[i] - mu[i] for i in range(1, 65)] AS c
+        FROM vm CROSS JOIN mu
+    ), v0 AS (
+        SELECT [CAST(1000 AS BIGINT) for i in range(1, 65)] AS vec
+    ), {_sql_power_iterations(3)}
+    SELECT vec AS component_milli FROM v3
+    """,
+)
+def embed_top_component(spark, sf_dir):
+    """Dominant principal direction via integer-exact power iteration
+    (functions/similarity.py top_component): micro-fixed centered
+    vectors, milli iterate renormalized by the exact integer max —
+    bit-identical in any engine; the PCA-whitening / ABTT first step."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return sim.top_component(emb, iters=3)
 
 
 @register(

@@ -1248,3 +1248,26 @@ def test_pmi_collocations_favors_fixed_phrases(spark):
     # PMI ordering is descending
     pmis = [r["pmi_micro"] for r in out]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_top_component_finds_dominant_direction(spark):
+    import random
+
+    random.seed(7)
+    rows = []
+    for i in range(200):
+        a = random.uniform(-1, 1) * 5
+        rows.append((i, [
+            a + random.uniform(-0.1, 0.1),
+            random.uniform(-0.5, 0.5),
+            random.uniform(-0.5, 0.5),
+            random.uniform(-0.5, 0.5),
+        ]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    comp = similarity.top_component(df, iters=3).first()["component_milli"]
+    # dominant axis pinned at the milli cap; noise axes near zero
+    assert abs(comp[0]) == 1000
+    assert all(abs(x) < 100 for x in comp[1:])
+    # integer-exact => identical under any partitioning
+    comp2 = similarity.top_component(df.repartition(7), iters=3).first()["component_milli"]
+    assert comp == comp2

@@ -827,3 +827,11 @@ def test_recon_full_outer_preaggregated(plans):
     plan = plans("recon_orders_lineitems")
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_top_component_no_corpus_shuffle(plans):
+    """embed_top_component: the corpus never hash-shuffles — every
+    round is a map-side-collapsing per-dim agg plus 1-row broadcast
+    cross joins (the iterate and the mean are 1-row frames)."""
+    plan = plans("embed_top_component")
+    assert "Exchange hashpartitioning" not in plan
