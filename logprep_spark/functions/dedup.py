@@ -965,3 +965,73 @@ def near_dup_vs_history(
         )
         .select(F.col("batch_id").alias(id_col), "hist_id", "jaccard")
     )
+
+
+def minhash_estimate(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Sketch-calibration report for the MinHash pipeline — the
+    accuracy witness next to the HLL/GK sketch queries: for every LSH
+    candidate pair, the signature-estimated Jaccard (fraction of
+    agreeing permutation minima, the estimator LSH banding is built
+    on) NEXT TO the exact shingle Jaccard, plus the absolute error.
+    This is the audit a pipeline runs before trusting a banding
+    config: if est_milli drifts from exact_milli, NUM_PERM is too
+    small for the document length distribution.
+
+    All integers: est = 1000·matches div NUM_PERM from exact long
+    signature equality; exact = the verify join's rounded Jaccard in
+    milli. Distributed shape: signatures persist once and feed both
+    the banding self-join AND the per-pair estimate join (two narrow
+    16-long rows per pair); exact verification left-semi-prunes to
+    candidate docs — the minhash_dedup discipline."""
+    from pyspark.storagelevel import StorageLevel
+
+    from logprep_spark.session import fan_out
+
+    df = fan_out(df)
+    sig = minhash_signature_df(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands = bands_from_signature(sig, id_col)
+    left = bands.select("band_id", "band_key", F.col(id_col).alias("id_a"))
+    right = bands.select("band_id", "band_key", F.col(id_col).alias("id_b"))
+    pairs = (
+        left.join(right, on=["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig_arr = sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(NUM_PERM)]).alias("_sig"),
+    )
+    est = (
+        pairs.join(sig_arr.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sa")), "id_a")
+        .join(sig_arr.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                f"1000 * size(filter(zip_with(_sa, _sb, (a, b) -> a = b), x -> x))"
+                f" div {NUM_PERM}"
+            ).alias("est_milli"),
+        )
+    )
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    candidates = df.join(cand_ids, id_col, "left_semi")
+    exact = ngram_jaccard(candidates, pairs, text_col, id_col).select(
+        "id_a", "id_b", F.round(F.col("jaccard") * 1000).cast("long").alias("exact_milli")
+    )
+    return est.join(exact, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "est_milli",
+        "exact_milli",
+        F.abs(F.col("est_milli") - F.col("exact_milli")).alias("abs_err_milli"),
+    )

@@ -2864,6 +2864,35 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_minhash_estimate",
+    f"""
+    WITH {_sql_minhash_bands()}
+    SELECT id_a, id_b, est_milli, exact_milli,
+           abs(est_milli - exact_milli) AS abs_err_milli
+    FROM (
+        SELECT p.id_a, p.id_b,
+               CAST(1000 * len([i for i in range(1, 17)
+                                if ga.sig[i] = gb.sig[i]]) // 16 AS BIGINT)
+                   AS est_milli,
+               CAST(round({_SQL_JACCARD} * 1000) AS BIGINT) AS exact_milli
+        FROM pairs p
+        JOIN sigs ga ON ga.doc_id = p.id_a
+        JOIN sigs gb ON gb.doc_id = p.id_b
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b
+    )
+    """,
+)
+def dedup_minhash_estimate(spark, sf_dir):
+    """MinHash sketch-calibration witness (functions/dedup.py
+    minhash_estimate): per LSH candidate pair, the signature-estimated
+    Jaccard next to the exact shingle Jaccard plus absolute error —
+    the audit run before trusting a banding config."""
+    docs = tables(spark, sf_dir)["documents"]
+    return dd.minhash_estimate(docs)
+
+
+@register(
     "dedup_clusters",
     f"""
     WITH RECURSIVE {_sql_minhash_bands()}, verified AS (

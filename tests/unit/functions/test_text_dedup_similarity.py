@@ -1271,3 +1271,21 @@ def test_top_component_finds_dominant_direction(spark):
     # integer-exact => identical under any partitioning
     comp2 = similarity.top_component(df.repartition(7), iters=3).first()["component_milli"]
     assert comp == comp2
+
+
+def test_minhash_estimate_calibration(spark):
+    """Near-identical docs: estimated Jaccard tracks exact within the
+    16-permutation resolution; identical docs estimate exactly 1000."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base.replace("today", "tomorrow"))],
+        "doc_id long, text string",
+    )
+    rows = {(r["id_a"], r["id_b"]): r for r in dedup.minhash_estimate(df).collect()}
+    assert rows[(1, 2)]["est_milli"] == 1000 and rows[(1, 2)]["exact_milli"] == 1000
+    assert rows[(1, 2)]["abs_err_milli"] == 0
+    # the near-pair estimate is within one permutation (1000/16 ≈ 63)
+    # times a couple of the true value
+    near = rows.get((1, 3)) or rows.get((2, 3))
+    assert near is not None
+    assert near["abs_err_milli"] <= 250
