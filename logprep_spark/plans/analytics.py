@@ -1344,3 +1344,101 @@ def reconcile_orders_lineitems(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("_d").alias("abs_diff_cents"),
     )
+
+
+def grouping_sets_report(spark, events: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS — the lattice between ROLLUP (prefix
+    hierarchy, A13) and CUBE (full 2^k, A13b): exactly the four
+    groupings a dashboard wants — (type, day), (type), (day), () —
+    in ONE shuffle of grouping-set-tagged partial aggs, with
+    grouping_id() disambiguating NULL-as-ALL from genuine NULLs.
+    Expressed in SQL because the DataFrame API exposes only
+    rollup/cube; the view comes from load_tables' registration."""
+    events.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM _gs_events
+        GROUP BY GROUPING SETS (
+            (event_type, date_format(date_trunc('day', ts), 'yyyy-MM-dd')),
+            (event_type),
+            (date_format(date_trunc('day', ts), 'yyyy-MM-dd')),
+            ()
+        )
+        """
+    )
+
+
+def time_weighted_average(events: DataFrame) -> DataFrame:
+    """Per-user time-weighted average value (TWAP) — the correct mean
+    for irregularly sampled series (a plain avg over-weights bursts;
+    monitoring and finance both weight each observation by how long it
+    was current). Each event's value holds until the user's next
+    event; weight = whole seconds until then; the last observation
+    carries no interval and drops out (standard left-closed
+    convention).
+
+    Integer-exact: cents × seconds summed as longs, one final integer
+    division to milli-cents. Magnitudes: ≤10⁵ cents × ≤2.6·10⁶ s per
+    interval ≈ 2.6·10¹¹ per term — safe to ~10⁷ events per user.
+    Distributed shape: ONE user-keyed exchange carries the lead window
+    AND the final agg (same key, partial agg collapses map-side)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur_sec = F.expr(
+        "timestampdiff(MICROSECOND, ts, _next_ts) div 1000000"
+    )
+    staged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("_cents"),
+        F.lead("ts").over(w).alias("_next_ts"),
+    ).filter(F.col("_next_ts").isNotNull())
+    return (
+        staged.select("user_id", "_cents", dur_sec.alias("_w"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("_cents") * F.col("_w")).alias("_num"),
+            F.sum("_w").alias("total_sec"),
+        )
+        .filter(F.col("total_sec") > 0)
+        .select(
+            "user_id",
+            "total_sec",
+            F.expr("(_num * 1000) div total_sec").alias("twap_cents_milli"),
+        )
+    )
+
+
+def week_over_week_users(spark, events: DataFrame) -> DataFrame:
+    """INTERSECT / EXCEPT set-op shapes over weekly active-user sets —
+    churn-and-retention counts (stayed, churned, new) between the
+    first two ISO weeks of the window. Set ops compile to
+    distinct + semi/anti joins; the point of the row is that the
+    engine supports the ANSI operators a migrating analyst will paste
+    in verbatim."""
+    events.createOrReplaceTempView("_wow_events")
+    return spark.sql(
+        """
+        WITH w1 AS (
+            SELECT DISTINCT user_id FROM _wow_events
+            WHERE date_format(date_trunc('week', ts), 'yyyy-MM-dd') = '2024-01-01'
+        ), w2 AS (
+            SELECT DISTINCT user_id FROM _wow_events
+            WHERE date_format(date_trunc('week', ts), 'yyyy-MM-dd') = '2024-01-08'
+        )
+        SELECT 'stayed' AS cohort,
+               CAST((SELECT count(*) FROM (SELECT * FROM w1 INTERSECT SELECT * FROM w2)) AS BIGINT) AS n_users
+        UNION ALL
+        SELECT 'churned',
+               CAST((SELECT count(*) FROM (SELECT * FROM w1 EXCEPT SELECT * FROM w2)) AS BIGINT)
+        UNION ALL
+        SELECT 'new',
+               CAST((SELECT count(*) FROM (SELECT * FROM w2 EXCEPT SELECT * FROM w1)) AS BIGINT)
+        """
+    )

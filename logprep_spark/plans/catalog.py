@@ -2575,6 +2575,89 @@ def funnel_time_to_convert(spark, sf_dir):
 
 
 @register(
+    "event_grouping_sets",
+    """
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(grouping(event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY GROUPING SETS (
+        (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')),
+        (event_type),
+        (strftime(date_trunc('day', ts), '%Y-%m-%d')),
+        ()
+    )
+    """,
+)
+def event_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS lattice with grouping_id()
+    (plans/analytics.py grouping_sets_report): the four dashboard
+    groupings in one shuffle of tagged partial aggs."""
+    events = tables(spark, sf_dir)["events"]
+    return an.grouping_sets_report(spark, events)
+
+
+@register(
+    "events_twap",
+    """
+    WITH staged AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000 AS w_sec
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(sum(w_sec) AS BIGINT) AS total_sec,
+           CAST((sum(cents * w_sec) * 1000) // sum(w_sec) AS BIGINT)
+               AS twap_cents_milli
+    FROM staged WHERE w_sec IS NOT NULL
+    GROUP BY user_id HAVING sum(w_sec) > 0
+    """,
+)
+def events_twap(spark, sf_dir):
+    """Per-user time-weighted average value (plans/analytics.py
+    time_weighted_average): each observation weighted by how long it
+    was current; exact cents×seconds longs, one user exchange."""
+    events = tables(spark, sf_dir)["events"]
+    return an.time_weighted_average(events)
+
+
+@register(
+    "users_week_over_week",
+    """
+    WITH w1 AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE strftime(date_trunc('week', ts), '%Y-%m-%d') = '2024-01-01'
+    ), w2 AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE strftime(date_trunc('week', ts), '%Y-%m-%d') = '2024-01-08'
+    )
+    SELECT 'stayed' AS cohort,
+           CAST((SELECT count(*) FROM (SELECT * FROM w1 INTERSECT SELECT * FROM w2))
+                AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'churned',
+           CAST((SELECT count(*) FROM (SELECT * FROM w1 EXCEPT SELECT * FROM w2))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'new',
+           CAST((SELECT count(*) FROM (SELECT * FROM w2 EXCEPT SELECT * FROM w1))
+                AS BIGINT)
+    """,
+)
+def users_week_over_week(spark, sf_dir):
+    """ANSI INTERSECT/EXCEPT set ops (plans/analytics.py
+    week_over_week_users): stayed/churned/new weekly-active cohorts —
+    the operators a migrating analyst pastes in verbatim."""
+    events = tables(spark, sf_dir)["events"]
+    return an.week_over_week_users(spark, events)
+
+
+@register(
     "scd2_user_tier",
     """
     WITH tiered AS (

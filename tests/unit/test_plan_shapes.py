@@ -835,3 +835,19 @@ def test_top_component_no_corpus_shuffle(plans):
     cross joins (the iterate and the mean are 1-row frames)."""
     plan = plans("embed_top_component")
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_grouping_sets_single_expand_shuffle(plans):
+    """event_grouping_sets: the 4-set lattice is ONE Expand over one
+    grouping-key shuffle — not four scans."""
+    plan = plans("event_grouping_sets")
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan") == 1
+
+
+def test_twap_one_user_exchange(plans):
+    """events_twap: lead window and the weighted agg ride one
+    user-keyed exchange."""
+    plan = plans("events_twap")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window [") == 1
