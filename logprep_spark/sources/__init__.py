@@ -19,6 +19,7 @@ from logprep_spark.sources.inputs import (
 )
 from logprep_spark.sources.outputs import (
     ConsoleOutput,
+    IdempotentBatchOutput,
     DummyOutput,
     HttpOutput,
     JsonlOutput,
@@ -30,6 +31,7 @@ from logprep_spark.sources.outputs import (
 
 __all__ = [
     "ConsoleOutput",
+    "IdempotentBatchOutput",
     "DummyInput",
     "DummyOutput",
     "FileInput",

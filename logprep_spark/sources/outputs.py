@@ -52,6 +52,63 @@ class ParquetOutput:
         writer.parquet(self.path)
 
 
+class IdempotentBatchOutput:
+    """Exactly-once micro-batch file sink — the ``foreachBatch``
+    idempotency pattern every production streaming job needs: Spark's
+    foreachBatch gives at-least-once delivery (a batch REPLAYS after a
+    crash between sink write and checkpoint commit), so the sink must
+    make re-delivery harmless. Each batch writes to a temp directory
+    and atomically renames it to ``batch-<id>``; a replayed batch sees
+    the committed directory and SKIPS — no duplicates, no partial
+    output visible to readers at any point (the transactional-rename
+    discipline of the fake Kafka broker and the reference's S3 batch
+    semantics, cf. logprep/connector/s3/output.py batch buffering).
+    """
+
+    def __init__(self, path: str, fmt: str = "json"):
+        self.path = path
+        self.fmt = fmt
+
+    def committed_batches(self) -> list[int]:
+        import os
+        import re as _re
+
+        if not os.path.isdir(self.path):
+            return []
+        out = []
+        for name in os.listdir(self.path):
+            m = _re.fullmatch(r"batch-(\d+)", name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> bool:
+        """Write one micro-batch; returns False when the batch was
+        already committed (replay) and nothing was written."""
+        import os
+        import shutil
+
+        final = os.path.join(self.path, f"batch-{batch_id}")
+        if os.path.isdir(final):
+            return False
+        tmp = os.path.join(self.path, f".tmp-batch-{batch_id}")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)  # crashed earlier attempt: discard
+        getattr(df.write.mode("overwrite"), self.fmt)(tmp)
+        os.rename(tmp, final)  # atomic commit
+        return True
+
+    def write_stream(self, df: DataFrame, checkpoint: str, **trigger):
+        return (
+            df.writeStream.foreachBatch(
+                lambda batch_df, batch_id: self.write_batch(batch_df, batch_id)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+
+
 class ConsoleOutput:
     """reference ``connector/console``."""
 

@@ -67,6 +67,7 @@ def interval_join(
     right_ts: str = "ts",
     left_watermark: str = "10 minutes",
     right_watermark: str = "20 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream equi-join with a bounded time interval: each left
     event pairs with right events for the same key whose timestamp
@@ -82,6 +83,12 @@ def interval_join(
     right side's is renamed to ``<right_ts>_right`` in the output —
     otherwise two identically-named columns would make any later
     ``select(left_ts)`` ambiguous.
+
+    ``how='left_outer'`` (Spark also accepts right/full here, passed
+    through) keeps unmatched left rows: they emit with NULL right
+    columns only once the watermark proves no match can still arrive —
+    the streaming semantics that make outer joins safe to run forever
+    (a batch outer join has all the data; a stream has to WAIT).
     """
     lts, rts = f"__l_{left_ts}", f"__r_{right_ts}"
     lhs = left.withColumn(lts, F.col(left_ts)).withWatermark(lts, left_watermark)
@@ -97,7 +104,7 @@ def interval_join(
         & (F.col(rts) <= F.col(lts))
         & (F.col(rts) >= F.col(lts) - F.expr(f"INTERVAL {within}"))
     )
-    return lhs.join(rhs, on=cond, how="inner").drop(f"__r_{key}", lts, rts)
+    return lhs.join(rhs, on=cond, how=how).drop(f"__r_{key}", lts, rts)
 
 
 def sessionize_stream(

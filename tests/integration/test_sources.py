@@ -539,3 +539,47 @@ def test_http_output_end_to_end(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_idempotent_batch_output_skips_replayed_batch(spark, tmp_path):
+    """foreachBatch exactly-once discipline: a replayed batch id is a
+    no-op (at-least-once delivery becomes exactly-once output), the
+    rename commit never exposes partial files, and distinct batch ids
+    append normally."""
+    import json as _json
+    import os
+
+    from logprep_spark.sources.outputs import IdempotentBatchOutput
+
+    out = IdempotentBatchOutput(str(tmp_path / "sink"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    df2 = spark.createDataFrame([(3, "c")], ["id", "v"])
+
+    assert out.write_batch(df1, 0) is True
+    assert out.write_batch(df2, 1) is True
+    # crash-replay of batch 0 with different data MUST NOT overwrite
+    assert out.write_batch(df2, 0) is False
+    assert out.committed_batches() == [0, 1]
+
+    def rows_in(batch_id):
+        d = os.path.join(str(tmp_path / "sink"), f"batch-{batch_id}")
+        rows = []
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                with open(os.path.join(d, name)) as fh:
+                    rows += [_json.loads(line) for line in fh if line.strip()]
+        return sorted(r["id"] for r in rows)
+
+    assert rows_in(0) == [1, 2]  # original batch-0 data intact
+    assert rows_in(1) == [3]
+
+    # streaming e2e: the same sink behind writeStream.foreachBatch
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "p.jsonl").write_text('{"id": 9, "v": "z"}\n')
+    stream = spark.readStream.schema("id long, v string").json(str(src_dir))
+    out2 = IdempotentBatchOutput(str(tmp_path / "sink2"))
+    q = out2.write_stream(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    q.stop()
+    assert out2.committed_batches() == [0]

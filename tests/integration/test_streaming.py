@@ -872,3 +872,40 @@ def test_streaming_windowed_hll_distinct(spark, tmp_path):
     for start in ("2024-03-01 10:00:00", "2024-03-01 10:10:00"):
         assert start in got
         assert abs(got[start] - 57) <= 6  # ~3 sigma at rsd=0.02, small-n slack
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """LEFT OUTER stream-stream join: a click with no login in its
+    10-minute lookback must STILL emit — with NULL login columns —
+    once the watermark proves no matching login can arrive. The
+    watermark is pushed past the eviction horizon by late traffic on
+    both sides (outer results only flush when state expires)."""
+    from pyspark.sql import functions as F
+
+    from logprep_spark.streaming import interval_join
+
+    logins = [
+        {"event_id": 10, "ts": _ts(0), "user_id": 1, "event_type": "login", "value": 0.0},
+        # watermark pushers, far past the horizon
+        {"event_id": 19, "ts": _ts(300), "user_id": 9, "event_type": "login", "value": 0.0},
+    ]
+    clicks = [
+        {"event_id": 20, "ts": _ts(5), "user_id": 1, "event_type": "click", "value": 1.0},
+        {"event_id": 22, "ts": _ts(30), "user_id": 2, "event_type": "click", "value": 1.0},  # no login
+        {"event_id": 29, "ts": _ts(300), "user_id": 9, "event_type": "click", "value": 1.0},
+    ]
+    left = JsonlInput(_events(tmp_path, clicks, "lo_clicks"), SCHEMA).read_stream(spark)
+    right = JsonlInput(_events(tmp_path, logins, "lo_logins"), SCHEMA).read_stream(spark)
+    joined = interval_join(
+        left.select("event_id", "ts", "user_id"),
+        right.select(F.col("event_id").alias("login_id"), "ts", "user_id"),
+        key="user_id", within="10 minutes", how="left_outer",
+    )
+    q = (joined.writeStream.format("memory").queryName("ssj_outer_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    _run(q)
+    rows = {r.event_id: r.login_id
+            for r in spark.sql("SELECT event_id, login_id FROM ssj_outer_out").collect()}
+    assert rows[20] == 10          # matched pair
+    assert 22 in rows and rows[22] is None  # unmatched left emitted with NULLs
+    assert rows[29] == 19
