@@ -78,6 +78,10 @@ HEADLINE = [
     "text_dsir",
     "graph_pagerank",
     "pipeline_training_data_v2",
+    # r6 additions — the iterative embedding model build and the
+    # corpus-wide budgeting window; first-19 prefix comparable to r5
+    "embed_top_component",
+    "corpus_domain_sampling",
 ]
 
 
@@ -286,6 +290,7 @@ def main() -> None:
         # first 15 the r4-comparable one (SURVEY §6)
         "comparable_12": round(sum(timings[n] for n in names[:12]), 3),
         "comparable_15": round(sum(timings[n] for n in names[:15]), 3),
+        "comparable_19": round(sum(timings[n] for n in names[:19]), 3),
         "calib_s": calib_s,
         "calib_scan_s": calib_scan_s,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
