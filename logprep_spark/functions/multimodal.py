@@ -104,15 +104,39 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int):
     return out
 
 
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unpack_bits(rows, width: int, bitd: int):
+    """Expand sub-byte palette/gray rows (bit depth 1/2/4) to one
+    value per pixel; 8-bit rows pass through trimmed to width."""
+    import numpy as np
+
+    if bitd == 8:
+        return rows[:, :width]
+    per_byte = 8 // bitd
+    shifts = [8 - bitd * (i + 1) for i in range(per_byte)]
+    mask = (1 << bitd) - 1
+    cols = [(rows >> s) & mask for s in shifts]
+    out = np.stack(cols, axis=2).reshape(rows.shape[0], -1)
+    return out[:, :width]
+
+
 def decode_png(payload: bytes):
-    """Pure-Python PNG decode (public spec, RFC 2083): chunk walk,
-    zlib-inflate the concatenated IDAT stream, reverse scanline
-    filters. Supports the dominant web shapes — 8-bit gray (0),
-    RGB (2), gray+alpha (4) and RGBA (6), non-interlaced; alpha is
-    dropped, gray replicates to RGB. Palette/16-bit/Adam7 raise.
-    A production cluster swaps this for an injected libpng/Pillow
-    batch decoder; the Spark-side contract (bytes -> (H, W, 3)
-    uint8) is identical."""
+    """Pure-Python PNG decode (public spec, RFC 2083 / W3C PNG):
+    chunk walk, zlib-inflate the concatenated IDAT stream, reverse
+    scanline filters. Supports the web-dominant shapes — 8-bit gray
+    (0), RGB (2), PALETTE (3, incl. 1/2/4-bit packed indices),
+    gray+alpha (4) and RGBA (6) — both non-interlaced and Adam7
+    INTERLACED (each of the 7 passes is its own filtered scanline
+    group; empty passes contribute zero bytes). Alpha is dropped,
+    gray replicates to RGB. 16-bit raises. A production cluster swaps
+    this for an injected libpng/Pillow batch decoder; the Spark-side
+    contract (bytes -> (H, W, 3) uint8) is identical."""
     import struct
     import zlib
 
@@ -122,6 +146,7 @@ def decode_png(payload: bytes):
         raise ValueError("not a PNG payload")
     pos, idat = 8, []
     width = height = bitd = colt = inter = None
+    plte = None
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
         typ = payload[pos + 4 : pos + 8]
@@ -130,22 +155,59 @@ def decode_png(payload: bytes):
         if typ == b"IHDR":
             width, height = struct.unpack_from(">II", data, 0)
             bitd, colt, _comp, _filt, inter = data[8:13]
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bitd != 8 or inter != 0 or colt not in (0, 2, 4, 6):
+    ok = (colt in (0, 2, 4, 6) and bitd == 8) or (
+        colt == 3 and bitd in (1, 2, 4, 8)
+    )
+    if not ok or inter not in (0, 1):
         raise ValueError(
             f"PNG bit_depth={bitd} color_type={colt} interlace={inter} unsupported"
         )
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}[colt]
-    stride = width * channels
+    if colt == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colt]
+    bits_px = bitd * channels
+    bpp_filt = max(1, bits_px // 8)
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    arr = _png_unfilter(raw, height, stride, channels).reshape(height, width, channels)
+
+    def pass_pixels(pw: int, ph: int, chunk: bytes):
+        stride = (pw * bits_px + 7) // 8
+        rows = _png_unfilter(chunk, ph, stride, bpp_filt)
+        if colt == 3:
+            return _png_unpack_bits(rows, pw, bitd).reshape(ph, pw, 1)
+        return rows.reshape(ph, pw, channels)
+
+    if inter == 0:
+        stride = (width * bits_px + 7) // 8
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        arr = pass_pixels(width, height, raw)
+    else:
+        arr = np.zeros((height, width, 1 if colt == 3 else channels), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * bits_px + 7) // 8
+            n = ph * (stride + 1)
+            arr[y0::dy, x0::dx] = pass_pixels(pw, ph, raw[off : off + n])
+            off += n
+        if off != len(raw):
+            raise ValueError("PNG interlaced data length mismatch")
+    if colt == 3:
+        idx = arr[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx].copy()
     if colt == 2:
         return arr.copy()
     if colt == 6:
@@ -163,22 +225,13 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(pixels, filter_type: int = 0) -> bytes:
-    """Encode an (H, W, 3) uint8 RGB array as a valid non-interlaced
-    PNG. ``filter_type`` selects the per-row filter (0-4) so tests can
-    exercise every reconstruction path in :func:`decode_png`."""
-    import struct
-    import zlib
-
+def _png_filter_rows(flat, stride: int, bpp: int, filter_type: int) -> bytes:
+    """Apply one PNG filter to every row of a (rows, stride) int16
+    array; returns the filter-byte-prefixed scanline stream."""
     import numpy as np
 
-    arr = np.asarray(pixels, dtype=np.uint8)
-    h, w = arr.shape[:2]
-    bpp = 3
-    stride = w * bpp
-    flat = arr.reshape(h, stride).astype(np.int16)
     lines = bytearray()
-    for y in range(h):
+    for y in range(flat.shape[0]):
         row = flat[y]
         prev = flat[y - 1] if y else np.zeros(stride, np.int16)
         if filter_type == 0:
@@ -205,11 +258,59 @@ def encode_png(pixels, filter_type: int = 0) -> bytes:
             raise ValueError(f"filter_type {filter_type} invalid")
         lines.append(filter_type)
         lines.extend((filt & 0xFF).astype(np.uint8).tobytes())
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return bytes(lines)
+
+
+def encode_png(
+    pixels, filter_type: int = 0, interlace: bool = False, palette: bool = False
+) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a valid PNG.
+    ``filter_type`` selects the per-row filter (0-4); ``interlace``
+    emits Adam7 (each pass filtered independently, per spec);
+    ``palette`` emits color type 3 with an 8-bit PLTE built from the
+    image's unique colors (≤256) — fixture generators for every
+    reconstruction path in :func:`decode_png`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    plte_chunk = b""
+    if palette:
+        colors, inverse = np.unique(arr.reshape(-1, 3), axis=0, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError("encode_png(palette=True): more than 256 colors")
+        planes = inverse.reshape(h, w, 1).astype(np.uint8)
+        colt, bpp = 3, 1
+        plte_chunk = _png_chunk(b"PLTE", colors.astype(np.uint8).tobytes())
+    else:
+        planes = arr
+        colt, bpp = 2, 3
+
+    def rows_of(sub) -> bytes:
+        ph, pw = sub.shape[:2]
+        stride = pw * bpp
+        return _png_filter_rows(
+            sub.reshape(ph, stride).astype(np.int16), stride, bpp, filter_type
+        )
+
+    if interlace:
+        stream = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = planes[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                stream += rows_of(sub)
+        data = bytes(stream)
+    else:
+        data = rows_of(planes)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colt, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + plte_chunk
+        + _png_chunk(b"IDAT", zlib.compress(data))
         + _png_chunk(b"IEND", b"")
     )
 

@@ -437,3 +437,68 @@ def test_gif_disposal_restore_previous():
     expect3 = np.full((2, 2, 3), (255, 0, 0), dtype=np.uint8)
     expect3[1, 1] = (0, 0, 255)
     assert (f[2] == expect3).all()
+
+
+@given(
+    h=st.integers(3, 20), w=st.integers(3, 20),
+    ftype=st.integers(0, 4), seed=st.integers(0, 10**6),
+)
+@settings(max_examples=12, deadline=None)
+def test_png_adam7_interlace_matches_progressive_none(h, w, ftype, seed):
+    """Adam7 decode is bit-identical to the non-interlaced decode of
+    the same pixels, under every filter type."""
+    import numpy as np
+
+    from logprep_spark.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    plain = decode_png(encode_png(img, filter_type=ftype))
+    inter = decode_png(encode_png(img, filter_type=ftype, interlace=True))
+    assert (plain == img).all()
+    assert (inter == img).all()
+
+
+def test_png_palette_roundtrip_and_subbyte_depths():
+    """Palette PNGs: 8-bit indices round-trip through our encoder;
+    1/2/4-bit packed index rows decode via hand-built streams."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from logprep_spark.functions.multimodal import (
+        _PNG_SIG, _png_chunk, decode_png, encode_png,
+    )
+
+    img = np.zeros((5, 7, 3), dtype=np.uint8)
+    img[::2, :] = (255, 0, 0)
+    img[:, ::3] = (0, 0, 255)
+    out = decode_png(encode_png(img, filter_type=2, palette=True))
+    assert (out == img).all()
+    # interlaced palette
+    out_i = decode_png(encode_png(img, filter_type=1, palette=True, interlace=True))
+    assert (out_i == img).all()
+
+    # hand-built sub-byte palette PNG: 2-bit indices, 5px wide (packed
+    # into 2 bytes/row with 3 bits padding), palette of 4 colors
+    plte = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    rows = []
+    idx = [[0, 1, 2, 3, 0], [3, 2, 1, 0, 3]]
+    for r in idx:
+        packed = bytearray(2)
+        for i, v in enumerate(r):
+            packed[i // 4] |= v << (8 - 2 * (i % 4 + 1))
+        rows.append(bytes([0]) + bytes(packed))
+    ihdr = struct.pack(">IIBBBBB", 5, 2, 2, 3, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = decode_png(payload)
+    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    expect = pal[np.array(idx)]
+    assert (got == expect).all()
