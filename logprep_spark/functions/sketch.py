@@ -147,3 +147,47 @@ def quantile_sketch(
         F.percentile(value_col, qs).alias("exact_q"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def hll_mergeable_distinct(
+    df: DataFrame, part_col: str, value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes sketches the
+    100 TB answer for distinct counting: build one Datasketches HLL
+    per partition slice (per day here), then UNION the sketches and
+    estimate, next to (a) the single-pass sketch estimate over all
+    rows and (b) the exact distinct. In production the per-slice
+    sketches are the stored artifact: yesterday's sketches never
+    recompute, a new day merges in O(sketch size), and any ad-hoc
+    slice union answers "distinct users over THIS date range" without
+    touching raw data. One row: union estimate, direct estimate,
+    exact, and milli errors — the accuracy witness discipline of
+    hll_distinct. Engine-specific sketch bytes → rows-only driver
+    gate; the bounds live in pytest."""
+    per_slice = df.groupBy(part_col).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("_sk")
+    )
+    merged = per_slice.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("union_estimate"),
+        F.count(F.lit(1)).alias("n_slices"),
+    )
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(value_col, F.lit(lg_k))).alias(
+            "direct_estimate"
+        ),
+        F.count_distinct(value_col).alias("exact_distinct"),
+    )
+    return merged.crossJoin(F.broadcast(direct)).select(
+        "n_slices",
+        "union_estimate",
+        "direct_estimate",
+        "exact_distinct",
+        F.expr(
+            "1000 * abs(union_estimate - exact_distinct)"
+            " div greatest(exact_distinct, 1)"
+        ).alias("union_err_milli"),
+        F.expr(
+            "1000 * abs(union_estimate - direct_estimate)"
+            " div greatest(direct_estimate, 1)"
+        ).alias("merge_drift_milli"),
+    )

@@ -1442,3 +1442,42 @@ def week_over_week_users(spark, events: DataFrame) -> DataFrame:
                CAST((SELECT count(*) FROM (SELECT * FROM w2 EXCEPT SELECT * FROM w1)) AS BIGINT)
         """
     )
+
+
+def incremental_agg_merge(
+    old_state: DataFrame, delta: DataFrame, key: str = "event_type"
+) -> DataFrame:
+    """Incremental view maintenance for an additive aggregate — the
+    warehouse pattern that turns an O(history) nightly recompute into
+    an O(delta) merge: yesterday's materialized (key, n, sum) state
+    FULL OUTER joined with the new slice's aggregate, counters added.
+    The catalog query's oracle is the DIRECT aggregate over the whole
+    table, so the driver hash-check IS the proof that merge ==
+    recompute (the invariant IVM lives or dies on).
+
+    Only additive/mergeable metrics qualify: count and sum here;
+    distinct-counts need sketch mergeability (see the HLL rows),
+    and non-mergeable metrics (exact medians) force the recompute.
+    Distributed shape: both inputs are already per-key aggregates
+    (|keys| rows), so the merge join is trivially broadcastable at
+    any corpus size — the whole point."""
+    o = old_state.select(
+        F.col(key), F.col("n_events").alias("_no"), F.col("total_cents").alias("_so")
+    )
+    d = delta.select(
+        F.col(key), F.col("n_events").alias("_nd"), F.col("total_cents").alias("_sd")
+    )
+    return o.join(d, key, "full_outer").select(
+        key,
+        (F.coalesce("_no", F.lit(0)) + F.coalesce("_nd", F.lit(0))).alias("n_events"),
+        (F.coalesce("_so", F.lit(0)) + F.coalesce("_sd", F.lit(0))).alias("total_cents"),
+    )
+
+
+def event_counts_state(events: DataFrame, key: str = "event_type") -> DataFrame:
+    """The additive per-key aggregate state incremental_agg_merge
+    maintains: exact counts + cent sums."""
+    return events.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )

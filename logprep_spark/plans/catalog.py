@@ -2575,6 +2575,28 @@ def funnel_time_to_convert(spark, sf_dir):
 
 
 @register(
+    "ivm_merge_event_counts",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def ivm_merge_event_counts(spark, sf_dir):
+    """Incremental view maintenance (plans/analytics.py
+    incremental_agg_merge): history-slice state merged with the
+    delta-slice aggregate; the oracle is the DIRECT aggregate over
+    everything, so the hash gate proves merge == recompute."""
+    events = tables(spark, sf_dir)["events"]
+    cutoff = "2024-01-20"
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    old_state = an.event_counts_state(events.filter(day < cutoff))
+    delta = an.event_counts_state(events.filter(day >= cutoff))
+    return an.incremental_agg_merge(old_state, delta)
+
+
+@register(
     "event_grouping_sets",
     """
     SELECT event_type,
@@ -4114,6 +4136,20 @@ def pipeline_training_data_v2(spark, sf_dir):
 # there is deliberately no oracle_sql entry — the driver records the
 # weaker rows-only check and the accuracy bound is pytest-gated
 # (tests/unit/functions: err_milli <= 3*rsd, GK rank error <= n/acc).
+
+
+@register("sketch_hll_mergeable")
+def sketch_hll_mergeable(spark, sf_dir):
+    """Datasketches HLL mergeability (functions/sketch.py
+    hll_mergeable_distinct): per-day user sketches unioned vs the
+    direct sketch vs exact — the stored-sketch architecture a 100 TB
+    distinct-count pipeline runs on. Rows-only (engine-specific
+    sketch); accuracy + drift bounds pytest-gated."""
+    events = tables(spark, sf_dir)["events"]
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    return sk.hll_mergeable_distinct(
+        events.withColumn("_day", day), "_day", "user_id"
+    )
 
 
 @register("sketch_hll_distinct")

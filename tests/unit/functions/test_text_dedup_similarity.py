@@ -1289,3 +1289,20 @@ def test_minhash_estimate_calibration(spark):
     near = rows.get((1, 3)) or rows.get((2, 3))
     assert near is not None
     assert near["abs_err_milli"] <= 250
+
+
+def test_hll_mergeable_union_matches_direct(spark):
+    """Sketch mergeability: the union of per-slice sketches estimates
+    within HLL error of exact, and drifts from the direct single
+    sketch by at most the same bound (lg_k=12 → rsd ≈ 1.04/√4096 ≈
+    1.6%; allow 3σ)."""
+    from logprep_spark.functions import sketch as sk
+
+    df = spark.range(30_000).selectExpr(
+        "id % 17 AS slice_key", "CAST(id % 9000 AS STRING) AS member"
+    )
+    row = sk.hll_mergeable_distinct(df, "slice_key", "member").first()
+    assert row["n_slices"] == 17
+    assert row["exact_distinct"] == 9000
+    assert row["union_err_milli"] <= 50      # 5% >> 3*rsd
+    assert row["merge_drift_milli"] <= 50
