@@ -80,22 +80,27 @@ def register(name: str, oracle: str | None = None):
 # The grading driver records correctness rows for the FIRST 50 entries
 # of queries() only, so ordering is coverage policy.
 #
-# Rotation cadence (146 queries / 50-row window => 3-round cycle; no
-# query's official row may age past 3 rounds):
-#   r6 window (THIS round): the 49 queries that have NEVER appeared in
+# Rotation cadence (163 queries / 50-row window; first-time rows take
+# priority, then oldest official evidence — the bound is ceil(163/50)
+# = 4 rounds once the catalog stops growing):
+#   r6 window (THIS round): the 49 queries that had NEVER appeared in
 #     any driver CORRECTNESS window (everything added in r5's later
 #     phases — tpch_q4/q7/q10/q16/q17/q18/q19/q22, graph_pagerank,
 #     ml_kmeans*, bigram-LM/DSIR/SemDeDup, BM25/RRF, the late-r5
-#     analytics set, flagship v2) + queries NEW in r6 (first-time rows).
-#   r7 window (next round): the 47 queries whose last official row is
-#     r4 (tpch_q1/q3/q5/q6, filter_lucene_*, ann_topk_*, dedup basics,
-#     proc_* classics, sessionize, sources) + any r6-new queries that
-#     did not fit in the r6 window + flagship v1/v2 anchors.
-#   r8 window: the 50 queries whose last official row is r5
-#     (CORRECTNESS_r05.json keys), then the cycle repeats.
-# After r6 every catalog query has at least one official green row and
-# none is more than 2 rounds stale; the steady-state cycle keeps the
-# staleness bound at 3 rounds.
+#     analytics set, flagship v2) + corpus_domain_sampling (new r6).
+#   r7 window (next round): the 16 r6-new queries that did not fit
+#     (text_c4_filters, text_pmi_collocations, tpch_q13, tpch_q21,
+#     window_moving_avg_range, funnel_time_to_convert,
+#     ivm_merge_event_counts, event_grouping_sets, events_twap,
+#     users_week_over_week, scd2_user_tier, attribution_last_touch,
+#     recon_orders_lineitems, dedup_minhash_estimate,
+#     sketch_hll_mergeable, embed_top_component) + the 34 oldest
+#     r4-checked queries (alphabetical from CORRECTNESS_r04's
+#     last-seen set).
+#   r8 window: the remaining 13 r4-checked + 37 of the r5-checked set.
+#   r9 window: the remaining 13 r5-checked + the r6-window set again.
+# All 163 queries stay locally oracle-gated every round via
+# tools/check_oracles.py (LOCAL_CORRECTNESS.md, same methodology).
 _PRIORITY = [
     # --- the 49 never-driver-checked queries (first official rows) ---
     "ab_test_events", "corpus_mix_weights", "corpus_ngram_novelty",

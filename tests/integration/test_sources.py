@@ -583,3 +583,32 @@ def test_idempotent_batch_output_skips_replayed_batch(spark, tmp_path):
     q.awaitTermination(60)
     q.stop()
     assert out2.committed_batches() == [0]
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """ParquetOutput(partition_by=day): a day-filtered read must show
+    PartitionFilters in the scan and touch only the matching
+    directory — the layout decision that turns a 100 TB date-range
+    query into a single-partition read."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from logprep_spark.sources.outputs import ParquetOutput
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 3) + 1:02d}", float(i)) for i in range(30)],
+        ["id", "day", "value"],
+    )
+    out = ParquetOutput(str(tmp_path / "part"), partition_by=["day"])
+    out.write(df)
+    assert sorted(
+        d for d in os.listdir(tmp_path / "part") if d.startswith("day=")
+    ) == ["day=2024-01-01", "day=2024-01-02", "day=2024-01-03"]
+
+    rd = spark.read.parquet(str(tmp_path / "part")).filter(F.col("day") == "2024-01-02")
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.split("\n") if "FileScan" in l)
+    assert "PartitionFilters: [isnotnull(day" in scan or "PartitionFilters: [" in scan
+    assert "day#" in scan.split("PartitionFilters")[1].split("]")[0]
+    assert rd.count() == 10
