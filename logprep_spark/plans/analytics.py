@@ -1481,3 +1481,68 @@ def event_counts_state(events: DataFrame, key: str = "event_type") -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
     )
+
+
+def cdc_latest_state(
+    events: DataFrame,
+    key: str = "user_id",
+    tombstone_type: str = "error",
+) -> DataFrame:
+    """Latest-row-per-key snapshot with tombstone semantics — the
+    state a change stream compacts to: per key the most recent event
+    (ts, then event_id) wins; a tombstone-typed winner DELETES the
+    key from the snapshot."""
+    w = Window.partitionBy(key).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col("event_type") != tombstone_type)
+        .select(
+            key,
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+    )
+
+
+def cdc_apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str = "user_id",
+    tombstone_type: str = "error",
+) -> DataFrame:
+    """MERGE INTO / CDC upsert-apply — the keyed counterpart of
+    incremental_agg_merge's additive IVM: yesterday's compacted
+    snapshot plus today's change slice produce the new snapshot
+    WITHOUT rereading history. Per key: the change slice's latest row
+    (collapsed delta-side FIRST, so the merge join carries |delta
+    keys| rows, never raw changes) upserts over the base row; a
+    tombstone-typed latest change deletes the key; untouched base
+    rows pass through.
+
+    The catalog oracle is cdc_latest_state over the WHOLE table, so
+    the driver hash gate proves apply(base, delta) == recompute — the
+    exactly-once-compaction invariant every Delta/Iceberg-style MERGE
+    relies on."""
+    w = Window.partitionBy(key).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest_change = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            key,
+            F.col("event_id").alias("_c_event_id"),
+            F.col("event_type").alias("_c_type"),
+            F.round(F.col("value") * 100).cast("long").alias("_c_cents"),
+        )
+    )
+    merged = base.join(latest_change, key, "full_outer")
+    upserted = merged.select(
+        key,
+        F.coalesce("_c_event_id", "event_id").alias("event_id"),
+        F.coalesce("_c_type", "event_type").alias("event_type"),
+        F.coalesce("_c_cents", "value_cents").alias("value_cents"),
+    )
+    # a tombstone-typed winning change deletes the key (base rows are
+    # already tombstone-free by construction)
+    return upserted.filter(F.col("event_type") != tombstone_type)

@@ -80,7 +80,7 @@ def register(name: str, oracle: str | None = None):
 # The grading driver records correctness rows for the FIRST 50 entries
 # of queries() only, so ordering is coverage policy.
 #
-# Rotation cadence (163 queries / 50-row window; first-time rows take
+# Rotation cadence (164 queries / 50-row window; first-time rows take
 # priority, then oldest official evidence — the bound is ceil(163/50)
 # = 4 rounds once the catalog stops growing):
 #   r6 window (THIS round): the 49 queries that had NEVER appeared in
@@ -94,7 +94,8 @@ def register(name: str, oracle: str | None = None):
 #     ivm_merge_event_counts, event_grouping_sets, events_twap,
 #     users_week_over_week, scd2_user_tier, attribution_last_touch,
 #     recon_orders_lineitems, dedup_minhash_estimate,
-#     sketch_hll_mergeable, embed_top_component) + the 34 oldest
+#     sketch_hll_mergeable, embed_top_component, cdc_apply_upserts
+#     — 17 with the one below) + the 33 oldest
 #     r4-checked queries (alphabetical from CORRECTNESS_r04's
 #     last-seen set).
 #   r8 window: the remaining 13 r4-checked + 37 of the r5-checked set.
@@ -2577,6 +2578,33 @@ def funnel_time_to_convert(spark, sf_dir):
     whole seconds; converter count + min/quartiles/max."""
     events = tables(spark, sf_dir)["events"]
     return an.funnel_conversion_lag(events)
+
+
+@register(
+    "cdc_apply_upserts",
+    """
+    SELECT user_id, event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_apply_upserts(spark, sf_dir):
+    """CDC MERGE/upsert apply (plans/analytics.py cdc_apply_changes):
+    the pre-cutoff compacted snapshot + the post-cutoff change slice
+    merged per key (latest wins, tombstone 'error' deletes); the
+    oracle recomputes the snapshot from the whole table, so the hash
+    gate proves apply(base, delta) == recompute — the keyed IVM
+    invariant next to ivm_merge_event_counts' additive one."""
+    events = tables(spark, sf_dir)["events"]
+    cutoff = "2024-01-20"
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    base = an.cdc_latest_state(events.filter(day < cutoff))
+    return an.cdc_apply_changes(base, events.filter(day >= cutoff))
 
 
 @register(

@@ -851,3 +851,13 @@ def test_twap_one_user_exchange(plans):
     plan = plans("events_twap")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window [") == 1
+
+
+def test_cdc_apply_delta_collapses_before_merge(plans):
+    """cdc_apply_upserts: the change slice collapses to latest-per-key
+    BEFORE the merge join (windows over the two slices, then one keyed
+    full-outer merge) — raw changes never ride the merge."""
+    plan = plans("cdc_apply_upserts")
+    assert plan.count("Window [") == 2
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
