@@ -673,36 +673,40 @@ def top_component(
     from pyspark.sql.functions import broadcast
 
     dim = probe_dim(df, vec_col) or 0
+    # every multi-column builder below is an F.expr STRING (one py4j
+    # parse each) — composing 64-column aggs from Column objects cost
+    # ~3.4 s of plan-build per invocation (the ivf_assign lesson)
     vm = df.select(micro_vec(F.col(vec_col)).alias("_v"))
     mean = vm.agg(
-        F.count(F.lit(1)).alias("_n"),
-        *[F.sum(F.element_at("_v", i + 1)).alias(f"_s{i}") for i in range(dim)],
-    ).select(F.array(*[F.expr(f"_s{i} div _n") for i in range(dim)]).alias("_mu"))
-    c = vm.crossJoin(broadcast(mean)).select(
-        F.zip_with("_v", "_mu", lambda a, b: a - b).alias("_c")
+        F.expr("count(1) AS _n"),
+        *[F.expr(f"sum(element_at(_v, {i + 1})) AS _s{i}") for i in range(dim)],
+    ).selectExpr(
+        "array(" + ",".join(f"_s{i} div _n" for i in range(dim)) + ") AS _mu"
+    )
+    c = vm.crossJoin(broadcast(mean)).selectExpr(
+        "zip_with(_v, _mu, (a, b) -> a - b) AS _c"
     )
     from pyspark.storagelevel import StorageLevel
 
     c = c.persist(StorageLevel.MEMORY_AND_DISK)
-    v = mean.select(
-        F.array(*[F.lit(1000).cast("long") for _ in range(dim)]).alias("_vec")
+    v = mean.selectExpr(
+        "array(" + ",".join("CAST(1000 AS BIGINT)" for _ in range(dim)) + ") AS _vec"
     )
     for _ in range(iters):
-        scored = c.crossJoin(broadcast(v)).select(
+        scored = c.crossJoin(broadcast(v)).selectExpr(
             "_c",
-            F.expr(
-                "aggregate(zip_with(_c, _vec, (a, b) -> a * b),"
-                " CAST(0 AS BIGINT), (acc, x) -> acc + x) div 1000000"
-            ).alias("_d"),
+            "aggregate(zip_with(_c, _vec, (a, b) -> a * b),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x) div 1000000 AS _d",
         )
         w = scored.agg(
+            F.expr(f"sum(_d * element_at(_c, 1)) AS _w0"),
             *[
-                F.sum(F.col("_d") * F.element_at("_c", i + 1)).alias(f"_w{i}")
-                for i in range(dim)
-            ]
+                F.expr(f"sum(_d * element_at(_c, {i + 1})) AS _w{i}")
+                for i in range(1, dim)
+            ],
         )
-        v = w.select(
-            F.array(*[F.col(f"_w{i}") for i in range(dim)]).alias("_w"),
-            F.greatest(*[F.abs(F.col(f"_w{i}")) for i in range(dim)]).alias("_m"),
+        v = w.selectExpr(
+            "array(" + ",".join(f"_w{i}" for i in range(dim)) + ") AS _w",
+            "greatest(" + ",".join(f"abs(_w{i})" for i in range(dim)) + ") AS _m",
         ).selectExpr("transform(_w, a -> (a * 1000) div _m) AS _vec")
     return v.select(F.col("_vec").alias("component_milli"))
