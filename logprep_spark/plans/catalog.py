@@ -4753,6 +4753,63 @@ _ORACLES["search_rrf_fusion"] = _ORACLES["search_rrf_fusion"].format(
 
 
 @register(
+    "search_rrf_mrr",
+    f"""
+    WITH fused_list AS ({{fused}}),
+    truth AS (
+        SELECT query_id, nbr_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_cosine('q.embedding', 'c.embedding')} DESC,
+                                c.vec_id
+                   ) AS rn
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 5
+        ) WHERE rn = 1
+    ), per_q AS (
+        SELECT t.query_id,
+               CAST(coalesce(1000000 // f.fused_rank, 0) AS BIGINT) AS rr_micro
+        FROM truth t
+        LEFT JOIN fused_list f
+          ON f.query_id = t.query_id AND f.nbr_id = t.nbr_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN rr_micro > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(sum(rr_micro) // count(*) AS BIGINT) AS mrr_micro
+    FROM per_q
+    """,
+)
+def search_rrf_mrr(spark, sf_dir):
+    """MRR@3 of the RRF-fused hybrid list against the exact nearest
+    neighbor — the retrieval-eval loop closed the way ann_recall_*
+    closed ANN's: ground truth is brute-force top-1; per query the
+    reciprocal fused rank in exact integer micro (1000000 div rank, 0
+    when the truth misses the fused top-3); one final mean. The
+    truth join touches k-row-per-query lists only."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    fused = search_rrf_fusion(spark, sf_dir).select(
+        "query_id", "nbr_id", "fused_rank"
+    )
+    truth = sim.brute_force_topk(emb, qs, k=1).select("query_id", "nbr_id")
+    per_q = truth.join(fused, ["query_id", "nbr_id"], "left").select(
+        "query_id",
+        F.coalesce(F.expr("1000000 div fused_rank"), F.lit(0)).alias("rr_micro"),
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum((F.col("rr_micro") > 0).cast("long")).alias("n_hit"),
+        F.expr("sum(rr_micro) div count(1)").alias("mrr_micro"),
+    )
+
+
+_ORACLES["search_rrf_mrr"] = _ORACLES["search_rrf_mrr"].format(
+    fused=_ORACLES["search_rrf_fusion"]
+)
+
+
+@register(
     "dq_expectations",
     """
     WITH checks AS (
