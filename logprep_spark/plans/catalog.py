@@ -80,7 +80,7 @@ def register(name: str, oracle: str | None = None):
 # The grading driver records correctness rows for the FIRST 50 entries
 # of queries() only, so ordering is coverage policy.
 #
-# Rotation cadence (164 queries / 50-row window; first-time rows take
+# Rotation cadence (165 queries / 50-row window; first-time rows take
 # priority, then oldest official evidence — the bound is ceil(163/50)
 # = 4 rounds once the catalog stops growing):
 #   r6 window (THIS round): the 49 queries that had NEVER appeared in
@@ -94,8 +94,8 @@ def register(name: str, oracle: str | None = None):
 #     ivm_merge_event_counts, event_grouping_sets, events_twap,
 #     users_week_over_week, scd2_user_tier, attribution_last_touch,
 #     recon_orders_lineitems, dedup_minhash_estimate,
-#     sketch_hll_mergeable, embed_top_component, cdc_apply_upserts
-#     — 17 with the one below) + the 33 oldest
+#     sketch_hll_mergeable, embed_top_component, cdc_apply_upserts,
+#     search_rrf_mrr — 18 total) + the 32 oldest
 #     r4-checked queries (alphabetical from CORRECTNESS_r04's
 #     last-seen set).
 #   r8 window: the remaining 13 r4-checked + 37 of the r5-checked set.
