@@ -93,6 +93,10 @@ SF1_SPOT = [
     "dedup_substring_spans",
     "text_repetition",
     "ann_topk_lsh",
+    # r6: the iterative embedding model build (10x vectors) and the
+    # corpus-wide budgeting window (10x documents)
+    "embed_top_component",
+    "corpus_domain_sampling",
 ]
 
 _REPLICAS = 10
