@@ -320,15 +320,16 @@ def minhash_signature_df(
         F.col(id_col),
         F.transform("sh", lambda s: h60(s) % MERSENNE_P).alias("hb"),
     )
-
-    def perm_min(i: int) -> Column:
-        a, b = PERM_A[i], PERM_B[i]
-        return F.array_min(
-            F.transform("hb", lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P)
-        )
-
-    return hb.select(
-        id_col, *[perm_min(i).alias(f"h{i}") for i in range(num_perm)]
+    # one parsed SQL expression per permutation (the plan-BUILD
+    # discipline of similarity._centroid_literals: Column-object
+    # composition costs a py4j round-trip per node)
+    return hb.selectExpr(
+        id_col,
+        *[
+            f"array_min(transform(hb, x -> ({PERM_A[i]} * x + {PERM_B[i]})"
+            f" % {MERSENNE_P})) AS h{i}"
+            for i in range(num_perm)
+        ],
     )
 
 
@@ -340,25 +341,17 @@ def minhash_bands(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def bands_from_signature(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Narrow banding over a (possibly persisted) signature frame."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        "-",
-                        *[
-                            F.col(f"h{b * BAND_ROWS + r}").cast("string")
-                            for r in range(BAND_ROWS)
-                        ],
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(NUM_BANDS)
-        ]
+    structs = ", ".join(
+        "struct({b} AS band_id, md5(concat_ws('-', {cols})) AS band_key)".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(h{b * BAND_ROWS + r} AS STRING)" for r in range(BAND_ROWS)
+            ),
+        )
+        for b in range(NUM_BANDS)
     )
-    return sig.select(F.col(id_col), F.explode(bands).alias("band")).select(
-        id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key")
+    return sig.selectExpr(id_col, f"explode(array({structs})) AS band").selectExpr(
+        id_col, "band.band_id AS band_id", "band.band_key AS band_key"
     )
 
 

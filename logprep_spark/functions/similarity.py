@@ -63,16 +63,21 @@ def hyperplane_bucket(
     one-row probe: ``probe_dim``) to bake exact-length arrays;
     otherwise a ``max_dim``-wide array is sliced to the vector length
     per row (the slice allocates per row — prefer the probe)."""
+    def weights_expr(p: int, n: int):
+        # ONE parsed SQL literal per plane: n F.lit()/F.array() Column
+        # objects cost a py4j round-trip each (~0.8 s of plan build for
+        # 6 planes x 64 dims x corpus+query sides); repr() round-trips
+        # doubles exactly, so values are unchanged
+        return F.expr(
+            "array(" + ",".join(f"{_plane_weight(p, i)!r}D" for i in range(n)) + ")"
+        )
+
     bits = []
     for p in range(n_planes):
         if dim is not None:
-            weights = F.array(*[F.lit(_plane_weight(p, i)) for i in range(dim)])
+            weights = weights_expr(p, dim)
         else:
-            weights = F.slice(
-                F.array(*[F.lit(_plane_weight(p, i)) for i in range(max_dim)]),
-                1,
-                F.size(vec),
-            )
+            weights = F.slice(weights_expr(p, max_dim), 1, F.size(vec))
         proj = F.aggregate(
             F.zip_with(vec, weights, lambda v, w: v.cast("double") * w),
             F.lit(0.0),
