@@ -1103,3 +1103,78 @@ def pmi_collocations(
         .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
         .limit(top_n)
     )
+
+
+def vocab_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    top_n: int = 2000,
+) -> DataFrame:
+    """Jensen–Shannon divergence between two corpora's unigram
+    distributions — the snapshot-over-snapshot vocabulary-drift
+    number a crawl pipeline tracks (PSI's lexical cousin: PSI watches
+    a numeric column, this watches the language itself). Computed
+    over the union of both corpora's ``top_n`` terms with add-1
+    smoothing so one-sided terms contribute finite divergence.
+
+    Exactness: counts are exact longs; per-term contributions to
+    JS = ½KL(p‖m) + ½KL(q‖m) are fixed to integer MICRO-nats before
+    the final sum (order-free long addition); output is one row with
+    js_micro ∈ [0, ln2·10⁶] plus the term-overlap share.
+
+    Distributed shape: one term-keyed hash agg per corpus (map-side
+    combine); the top-N cut is TakeOrderedAndProject on the
+    AGGREGATED vocab; the join of two ≤2·top_n-row frames is trivially
+    broadcastable; totals are 1-row broadcasts."""
+    from pyspark.sql.functions import broadcast
+    from pyspark.storagelevel import StorageLevel
+
+    def vocab(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("t"))
+            .limit(top_n)
+        )
+
+    va = vocab(a).withColumnRenamed("c", "ca").persist(StorageLevel.MEMORY_AND_DISK)
+    vb = vocab(b).withColumnRenamed("c", "cb").persist(StorageLevel.MEMORY_AND_DISK)
+    joined = va.join(vb, "t", "full_outer").select(
+        "t",
+        (F.coalesce("ca", F.lit(0)) + F.lit(1)).alias("na"),
+        (F.coalesce("cb", F.lit(0)) + F.lit(1)).alias("nb"),
+        F.col("ca").isNotNull().cast("int").alias("in_a"),
+        F.col("cb").isNotNull().cast("int").alias("in_b"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tot = joined.agg(
+        F.sum("na").alias("_ta"), F.sum("nb").alias("_tb"),
+        F.sum("in_a").alias("_n_a"), F.sum("in_b").alias("_n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("_n_both"),
+        F.count(F.lit(1)).alias("_n_terms"),
+    )
+    # p = na/ta, q = nb/tb, m = (p+q)/2; contribution fixed to micro
+    # BEFORE the sum; ln via fixed IEEE operand order in both engines
+    contrib = F.round(
+        (
+            F.lit(0.5) * (F.col("na") / F.col("_ta"))
+            * F.log((F.col("na") / F.col("_ta"))
+                    / ((F.col("na") / F.col("_ta") + F.col("nb") / F.col("_tb")) / 2))
+            + F.lit(0.5) * (F.col("nb") / F.col("_tb"))
+            * F.log((F.col("nb") / F.col("_tb"))
+                    / ((F.col("na") / F.col("_ta") + F.col("nb") / F.col("_tb")) / 2))
+        ) * 1_000_000
+    ).cast("long")
+    return (
+        joined.crossJoin(broadcast(tot))
+        .select(contrib.alias("_c"), "_n_terms", "_n_both")
+        .groupBy("_n_terms", "_n_both")
+        .agg(F.sum("_c").alias("js_micro"))
+        .select(
+            F.col("_n_terms").alias("n_terms"),
+            F.col("_n_both").alias("n_shared"),
+            F.expr("1000 * _n_both div _n_terms").alias("overlap_milli"),
+            "js_micro",
+        )
+    )

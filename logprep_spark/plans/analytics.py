@@ -1546,3 +1546,34 @@ def cdc_apply_changes(
     # a tombstone-typed winning change deletes the key (base rows are
     # already tombstone-free by construction)
     return upserted.filter(F.col("event_type") != tombstone_type)
+
+
+def cumulative_distinct_users(events: DataFrame) -> DataFrame:
+    """Running distinct users per day — the "cumulative uniques"
+    growth curve every product dashboard wants, and a shape naive SQL
+    gets catastrophically wrong (a per-day COUNT(DISTINCT) over an
+    expanding window rescans history per day = O(days·events)). The
+    right plan: each user collapses to their FIRST day (one user-keyed
+    agg), per-day new-user counts ride a tiny |days|-row frame, and
+    the running sum is a window over THOSE rows — the
+    dedup-before-window discipline. Daily actives come from the same
+    scan for contrast."""
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    first_seen = (
+        events.select(F.col("user_id"), day.alias("_d"))
+        .groupBy("user_id")
+        .agg(F.min("_d").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    active = (
+        events.select(day.alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active.join(first_seen, "day", "left")
+        .select("day", "n_active", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .withColumn("cumulative_users", F.sum("n_new").over(w))
+    )

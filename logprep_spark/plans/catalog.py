@@ -80,7 +80,7 @@ def register(name: str, oracle: str | None = None):
 # The grading driver records correctness rows for the FIRST 50 entries
 # of queries() only, so ordering is coverage policy.
 #
-# Rotation cadence (165 queries / 50-row window; first-time rows take
+# Rotation cadence (167 queries / 50-row window; first-time rows take
 # priority, then oldest official evidence — the bound is ceil(163/50)
 # = 4 rounds once the catalog stops growing):
 #   r6 window (THIS round): the 49 queries that had NEVER appeared in
@@ -95,7 +95,8 @@ def register(name: str, oracle: str | None = None):
 #     users_week_over_week, scd2_user_tier, attribution_last_touch,
 #     recon_orders_lineitems, dedup_minhash_estimate,
 #     sketch_hll_mergeable, embed_top_component, cdc_apply_upserts,
-#     search_rrf_mrr — 18 total) + the 32 oldest
+#     search_rrf_mrr, corpus_vocab_divergence, users_cumulative_distinct
+#     — 20 total) + the 30 oldest
 #     r4-checked queries (alphabetical from CORRECTNESS_r04's
 #     last-seen set).
 #   r8 window: the remaining 13 r4-checked + 37 of the r5-checked set.
@@ -2581,6 +2582,36 @@ def funnel_time_to_convert(spark, sf_dir):
 
 
 @register(
+    "users_cumulative_distinct",
+    """
+    WITH fs AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM (
+            SELECT user_id,
+                   min(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS day
+            FROM events GROUP BY user_id
+        ) GROUP BY day
+    ), act AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM events GROUP BY day
+    )
+    SELECT day, n_active, coalesce(n_new, 0) AS n_new,
+           CAST(sum(coalesce(n_new, 0)) OVER (
+               ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumulative_users
+    FROM act LEFT JOIN fs USING (day)
+    """,
+)
+def users_cumulative_distinct(spark, sf_dir):
+    """Cumulative distinct users per day (plans/analytics.py
+    cumulative_distinct_users): first-seen collapse + running sum over
+    the tiny per-day frame — never a per-day distinct rescan of
+    history."""
+    events = tables(spark, sf_dir)["events"]
+    return an.cumulative_distinct_users(events)
+
+
+@register(
     "cdc_apply_upserts",
     """
     SELECT user_id, event_id, event_type,
@@ -3813,6 +3844,56 @@ def corpus_mix_weights(spark, sf_dir):
     normalizing sum so the mix is bit-identical cross-engine."""
     docs = tables(spark, sf_dir)["documents"]
     return tx.mix_weights(docs)
+
+
+@register(
+    "corpus_vocab_divergence",
+    f"""
+    WITH va AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS ca FROM (
+            SELECT unnest({_sql_words('lower(text)')}) AS t
+            FROM documents WHERE source = 'src0'
+        ) GROUP BY t ORDER BY ca DESC, t LIMIT 2000
+    ), vb AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS cb FROM (
+            SELECT unnest({_sql_words('lower(text)')}) AS t
+            FROM documents WHERE source <> 'src0'
+        ) GROUP BY t ORDER BY cb DESC, t LIMIT 2000
+    ), joined AS (
+        SELECT coalesce(va.t, vb.t) AS t,
+               coalesce(ca, 0) + 1 AS na, coalesce(cb, 0) + 1 AS nb,
+               CASE WHEN ca IS NULL THEN 0 ELSE 1 END AS in_a,
+               CASE WHEN cb IS NULL THEN 0 ELSE 1 END AS in_b
+        FROM va FULL OUTER JOIN vb ON va.t = vb.t
+    ), tot AS (
+        SELECT CAST(sum(na) AS BIGINT) AS _ta, CAST(sum(nb) AS BIGINT) AS _tb,
+               CAST(sum(in_a * in_b) AS BIGINT) AS _n_both,
+               CAST(count(*) AS BIGINT) AS _n_terms
+        FROM joined
+    )
+    SELECT _n_terms AS n_terms, _n_both AS n_shared,
+           CAST(1000 * _n_both // _n_terms AS BIGINT) AS overlap_milli,
+           CAST(sum(CAST(round(
+               (0.5 * (na / _ta) * ln((na / _ta)
+                      / ((na / _ta + nb / _tb) / 2))
+              + 0.5 * (nb / _tb) * ln((nb / _tb)
+                      / ((na / _ta + nb / _tb) / 2))) * 1000000)
+               AS BIGINT)) AS BIGINT) AS js_micro
+    FROM joined CROSS JOIN tot
+    GROUP BY _n_terms, _n_both
+    """,
+)
+def corpus_vocab_divergence(spark, sf_dir):
+    """Jensen–Shannon vocabulary drift between the target domain
+    (src0) and the rest of the corpus (functions/text.py
+    vocab_divergence): top-2000-term unigram distributions, add-1
+    smoothing, micro-fixed per-term contributions — PSI's lexical
+    cousin for crawl-snapshot monitoring."""
+    docs = tables(spark, sf_dir)["documents"]
+    return tx.vocab_divergence(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") != "src0"),
+    )
 
 
 @register(

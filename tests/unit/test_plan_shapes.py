@@ -861,3 +861,24 @@ def test_cdc_apply_delta_collapses_before_merge(plans):
     assert plan.count("Window [") == 2
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_divergence_takeordered_tiny_join(plans):
+    """corpus_vocab_divergence: per-corpus vocab cuts are
+    TakeOrderedAndProject on the AGGREGATED vocab; the JS join touches
+    only the two ≤2k-row frames."""
+    plan = plans("corpus_vocab_divergence")
+    # pre-materialization the persisted joined frame's subtree prints
+    # once per consumer, so count >= 2 (exactly 2 distinct cuts)
+    assert plan.count("TakeOrderedAndProject(limit=2000") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_cumulative_users_no_expanding_rescan(plans):
+    """users_cumulative_distinct: the running sum windows over the
+    per-day frame (single tiny partition) — exactly one Window, and
+    the events table scans at most twice (first-seen + actives), not
+    once per day."""
+    plan = plans("users_cumulative_distinct")
+    assert plan.count("Window [") == 1
+    assert plan.count("FileScan") <= 2
