@@ -80,7 +80,7 @@ def register(name: str, oracle: str | None = None):
 # The grading driver records correctness rows for the FIRST 50 entries
 # of queries() only, so ordering is coverage policy.
 #
-# Rotation cadence (167 queries / 50-row window; first-time rows take
+# Rotation cadence (169 queries / 50-row window; first-time rows take
 # priority, then oldest official evidence — the bound is ceil(163/50)
 # = 4 rounds once the catalog stops growing):
 #   r6 window (THIS round): the 49 queries that had NEVER appeared in
@@ -95,8 +95,9 @@ def register(name: str, oracle: str | None = None):
 #     users_week_over_week, scd2_user_tier, attribution_last_touch,
 #     recon_orders_lineitems, dedup_minhash_estimate,
 #     sketch_hll_mergeable, embed_top_component, cdc_apply_upserts,
-#     search_rrf_mrr, corpus_vocab_divergence, users_cumulative_distinct
-#     — 20 total) + the 30 oldest
+#     search_rrf_mrr, corpus_vocab_divergence, users_cumulative_distinct,
+#     events_sequence_anomaly, events_anomaly_mad — 22 total) + the 28
+#     oldest
 #     r4-checked queries (alphabetical from CORRECTNESS_r04's
 #     last-seen set).
 #   r8 window: the remaining 13 r4-checked + 37 of the r5-checked set.
@@ -5005,6 +5006,135 @@ def event_transitions(spark, sf_dir):
         "next_type",
         "n",
         F.expr("1000 * n div tot").alias("prob_milli"),
+    )
+
+
+@register(
+    "events_anomaly_mad",
+    """
+    WITH med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        FROM events GROUP BY event_type
+    ), mad AS (
+        SELECT e.event_type,
+               round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT e.event_type, m.med, d.mad,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    GROUP BY e.event_type, m.med, d.mad
+    """,
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust outlier detection per event type: median + MAD (the
+    estimator a heavy-tailed value column needs — mean/stddev are
+    dragged by the very outliers they're meant to flag), then the
+    |x − med| > 3·MAD count. Exact interpolated percentiles (the
+    event_percentiles quantile_cont twin, rounded 6dp in both
+    engines). Three type-keyed agg passes — each with map-side
+    combine; the med/mad models are ≤|types| rows and broadcast back."""
+    from pyspark.sql.functions import broadcast
+
+    events = tables(spark, sf_dir)["events"]
+    med = events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    with_med = events.join(broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.round(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 6
+        ).alias("mad")
+    )
+    return (
+        with_med.join(broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "events_sequence_anomaly",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), pairs AS (
+        SELECT user_id, event_type, next_type FROM seq
+        WHERE next_type IS NOT NULL
+    ), model AS (
+        SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        FROM pairs GROUP BY event_type, next_type
+    ), totals AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+        FROM model GROUP BY event_type
+    ), scored AS (
+        SELECT p.user_id,
+               CAST(round(log2(t.tot / (1.0 * m.n)) * 1000000) AS BIGINT)
+                   AS bits_micro
+        FROM pairs p
+        JOIN model m USING (event_type, next_type)
+        JOIN totals t USING (event_type)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(bits_micro) // (count(*) * 1000) AS BIGINT) AS bits_milli
+    FROM scored GROUP BY user_id
+    """,
+)
+def events_sequence_anomaly(spark, sf_dir):
+    """Per-user sequence surprisal under the corpus's own Markov
+    transition model (the A30 matrix turned into an anomaly score —
+    sessions whose transition pattern deviates from the population
+    score high; the behavioral-analytics counterpart of the bigram-LM
+    perplexity filter). Per-pair bits are micro-fixed before the
+    order-free per-user sum.
+
+    Distributed shape: ONE user-keyed window builds the pair stream
+    (persisted — it feeds the model aggs AND the scoring join); the
+    model is ≤|types|² rows and broadcasts; the per-user agg is the
+    only other corpus-sized exchange."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+    from pyspark.storagelevel import StorageLevel
+
+    events = tables(spark, sf_dir)["events"]
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(win).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    model = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    totals = model.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    bits = F.round(
+        F.log2(F.col("tot") / (F.lit(1.0) * F.col("n"))) * 1_000_000
+    ).cast("long")
+    return (
+        pairs.join(broadcast(model), ["event_type", "next_type"])
+        .join(broadcast(totals), "event_type")
+        .select("user_id", bits.alias("bits_micro"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.expr("sum(bits_micro) div (count(1) * 1000)").alias("bits_milli"),
+        )
     )
 
 
