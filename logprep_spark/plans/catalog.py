@@ -80,7 +80,7 @@ def register(name: str, oracle: str | None = None):
 # The grading driver records correctness rows for the FIRST 50 entries
 # of queries() only, so ordering is coverage policy.
 #
-# Rotation cadence (169 queries / 50-row window; first-time rows take
+# Rotation cadence (170 queries / 50-row window; first-time rows take
 # priority, then oldest official evidence — the bound is ceil(163/50)
 # = 4 rounds once the catalog stops growing):
 #   r6 window (THIS round): the 49 queries that had NEVER appeared in
@@ -96,8 +96,8 @@ def register(name: str, oracle: str | None = None):
 #     recon_orders_lineitems, dedup_minhash_estimate,
 #     sketch_hll_mergeable, embed_top_component, cdc_apply_upserts,
 #     search_rrf_mrr, corpus_vocab_divergence, users_cumulative_distinct,
-#     events_sequence_anomaly, events_anomaly_mad — 22 total) + the 28
-#     oldest
+#     events_sequence_anomaly, events_anomaly_mad, basket_part_pairs —
+#     23 total) + the 27 oldest
 #     r4-checked queries (alphabetical from CORRECTNESS_r04's
 #     last-seen set).
 #   r8 window: the remaining 13 r4-checked + 37 of the r5-checked set.
@@ -5006,6 +5006,91 @@ def event_transitions(spark, sf_dir):
         "next_type",
         "n",
         F.expr("1000 * n div tot").alias("prob_milli"),
+    )
+
+
+@register(
+    "basket_part_pairs",
+    """
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ), pairs AS (
+        SELECT parts[i] AS a, parts[j] AS b
+        FROM baskets,
+             LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) ti,
+             LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS j) tj
+        WHERE j > i
+    ), pc AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM pairs GROUP BY a, b
+    ), marg AS (
+        SELECT part, CAST(count(*) AS BIGINT) AS n_p FROM (
+            SELECT l_orderkey, unnest(parts) AS part FROM baskets
+        ) GROUP BY part
+    ), nb AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets FROM baskets)
+    SELECT a AS part_a, b AS part_b, n_ab,
+           CAST(round((1.0 * n_ab * n_baskets) / (1.0 * ma.n_p * mb.n_p)
+                      * 1000000) AS BIGINT) AS lift_micro
+    FROM pc JOIN marg ma ON ma.part = a JOIN marg mb ON mb.part = b
+    CROSS JOIN nb
+    WHERE n_ab >= 3
+    ORDER BY lift_micro DESC, part_a, part_b LIMIT 25
+    """,
+)
+def basket_part_pairs(spark, sf_dir):
+    """Market-basket association mining over order baskets: top part
+    pairs by LIFT (support floor 3) — the co-purchase signal behind
+    recommendations. Scale shape: baskets collapse to per-order
+    DISTINCT part arrays (one orderkey agg), pairs generate INSIDE the
+    array (bounded by basket size², never an order-keyed self-join of
+    the fact table), pair/marginal aggs ride ≤|parts|² keys, the cut
+    is TakeOrderedAndProject. Lift is a fixed-operand-order micro
+    round from exact counts."""
+    from pyspark.sql.functions import broadcast
+    from pyspark.storagelevel import StorageLevel
+
+    li = tables(spark, sf_dir)["lineitem"]
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # guard: sequence(1, 0) DESCENDS in Spark, so a single-part basket
+    # would generate invalid element_at indices — empty array instead
+    pairs = baskets.selectExpr(
+        "explode(CASE WHEN size(parts) >= 2 THEN"
+        " flatten(transform(sequence(1, size(parts) - 1),"
+        " i -> transform(sequence(i + 1, size(parts)),"
+        " j -> struct(element_at(parts, i) AS a,"
+        " element_at(parts, j) AS b))))"
+        " ELSE CAST(array() AS array<struct<a:bigint,b:bigint>>) END) AS p"
+    ).selectExpr("p.a AS a", "p.b AS b")
+    pc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    marg = (
+        baskets.selectExpr("explode(parts) AS part")
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_p"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nb = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    lift = F.round(
+        (F.lit(1.0) * F.col("n_ab") * F.col("n_baskets"))
+        / (F.lit(1.0) * F.col("ma_n") * F.col("mb_n"))
+        * 1_000_000
+    ).cast("long")
+    return (
+        pc.filter(F.col("n_ab") >= 3)
+        .join(broadcast(marg.selectExpr("part AS a", "n_p AS ma_n")), "a")
+        .join(broadcast(marg.selectExpr("part AS b", "n_p AS mb_n")), "b")
+        .crossJoin(broadcast(nb))
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "n_ab",
+            lift.alias("lift_micro"),
+        )
+        .orderBy(F.col("lift_micro").desc(), "part_a", "part_b")
+        .limit(25)
     )
 
 

@@ -882,3 +882,17 @@ def test_cumulative_users_no_expanding_rescan(plans):
     plan = plans("users_cumulative_distinct")
     assert plan.count("Window [") == 1
     assert plan.count("FileScan") <= 2
+
+
+def test_basket_pairs_no_fact_self_join(plans):
+    """basket_part_pairs: pairs generate INSIDE the per-order array
+    (one orderkey agg + Generate) — the fact table never self-joins
+    on orderkey, and the cut is TakeOrderedAndProject."""
+    import re
+
+    plan = plans("basket_part_pairs")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the only orderkey-keyed exchange is the basket agg; every join
+    # in the plan is broadcast (marginals + 1-row count)
+    assert "SortMergeJoin" not in plan
