@@ -1178,3 +1178,64 @@ def vocab_divergence(
             "js_micro",
         )
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    top_n: int = 25,
+    min_phrase_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents") at corpus scale: candidate
+    phrases are the maximal stopword-free word runs; each word scores
+    degree/frequency (degree = Σ length of phrases containing it);
+    a phrase scores the sum of its words' ratios. The corpus-level
+    keyword list a search/tagging pipeline bootstraps from.
+
+    Fully INTEGER: deg and freq are exact counts, the per-word ratio
+    is (deg · 10⁶) div freq, and phrase scores are order-free long
+    sums of those micros — no float anywhere, bit-identical in any
+    engine. ``min_phrase_count`` floors support so one-off phrases
+    don't dominate.
+
+    Distributed shape: phrase splitting is narrow; the word agg and
+    the phrase agg are hash aggs with map-side combine (cardinality =
+    vocab / distinct phrases); the word-ratio table joins back
+    AQE-splittable; the cut is TakeOrderedAndProject."""
+    from pyspark.storagelevel import StorageLevel
+
+    stop_re = r"\b(?:" + "|".join(sorted(set(STOPWORDS_EN))) + r")\b"
+    phrases = (
+        df.select(F.split(F.lower(F.col(text_col)), stop_re).alias("_frags"))
+        .select(F.explode("_frags").alias("_frag"))
+        .select(
+            F.trim(F.regexp_replace(F.col("_frag"), r"\s+", " ")).alias("phrase")
+        )
+        .filter(F.col("phrase") != "")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pw = phrases.select(
+        "phrase",
+        F.size(F.split(F.col("phrase"), " ")).alias("_len"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    words = pw.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("_len").alias("deg"),
+    ).withColumn("ratio_micro", F.expr("(deg * 1000000) div freq"))
+    pc = phrases.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    scored = (
+        pw.select("phrase", "w")
+        .distinct()  # a word scores once per phrase TYPE (RAKE scores members)
+        .join(words.select("w", "ratio_micro"), "w")
+        .groupBy("phrase")
+        .agg(F.sum("ratio_micro").alias("score_micro"))
+    )
+    return (
+        scored.join(pc, "phrase")
+        .filter(F.col("n_occurrences") >= min_phrase_count)
+        .select("phrase", "n_occurrences", "score_micro")
+        .orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(top_n)
+    )

@@ -80,7 +80,7 @@ def register(name: str, oracle: str | None = None):
 # The grading driver records correctness rows for the FIRST 50 entries
 # of queries() only, so ordering is coverage policy.
 #
-# Rotation cadence (170 queries / 50-row window; first-time rows take
+# Rotation cadence (173 queries / 50-row window; first-time rows take
 # priority, then oldest official evidence — the bound is ceil(163/50)
 # = 4 rounds once the catalog stops growing):
 #   r6 window (THIS round): the 49 queries that had NEVER appeared in
@@ -96,8 +96,9 @@ def register(name: str, oracle: str | None = None):
 #     recon_orders_lineitems, dedup_minhash_estimate,
 #     sketch_hll_mergeable, embed_top_component, cdc_apply_upserts,
 #     search_rrf_mrr, corpus_vocab_divergence, users_cumulative_distinct,
-#     events_sequence_anomaly, events_anomaly_mad, basket_part_pairs —
-#     23 total) + the 27 oldest
+#     events_sequence_anomaly, events_anomaly_mad, basket_part_pairs,
+#     tpch_q2, window_ntile_deciles, text_rake_keywords — 26 total) +
+#     the 24 oldest
 #     r4-checked queries (alphabetical from CORRECTNESS_r04's
 #     last-seen set).
 #   r8 window: the remaining 13 r4-checked + 37 of the r5-checked set.
@@ -2426,6 +2427,50 @@ def text_pmi_collocations(spark, sf_dir):
     return tx.pmi_collocations(docs, top_n=50, min_count=5)
 
 
+_RAKE_STOP_RE = r"\b(?:" + "|".join(sorted(set(tx.STOPWORDS_EN))) + r")\b"
+
+
+@register(
+    "text_rake_keywords",
+    f"""
+    WITH frags AS (
+        SELECT unnest(string_split_regex(lower(text), '{_RAKE_STOP_RE}')) AS frag
+        FROM documents
+    ), phrases AS (
+        SELECT ph AS phrase FROM (
+            SELECT trim(regexp_replace(frag, '\\s+', ' ', 'g')) AS ph FROM frags
+        ) WHERE ph != ''
+    ), pw AS (
+        SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+               unnest(string_split(phrase, ' ')) AS w
+        FROM phrases
+    ), ratios AS (
+        SELECT w, (CAST(sum(plen) AS BIGINT) * 1000000)
+                  // CAST(count(*) AS BIGINT) AS ratio_micro
+        FROM pw GROUP BY w
+    ), pc AS (
+        SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM phrases GROUP BY phrase
+    ), scored AS (
+        SELECT phrase, CAST(sum(ratio_micro) AS BIGINT) AS score_micro
+        FROM (SELECT DISTINCT phrase, w FROM pw) dw JOIN ratios USING (w)
+        GROUP BY phrase
+    )
+    SELECT s.phrase, pc.n_occurrences, s.score_micro
+    FROM scored s JOIN pc USING (phrase)
+    WHERE n_occurrences >= 2
+    ORDER BY score_micro DESC, phrase LIMIT 25
+    """,
+)
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (functions/text.py rake_keywords —
+    Rose et al. 2010): stopword-free phrase runs scored by Σ
+    degree/frequency of member words, all-integer micro arithmetic;
+    top-25 with a support floor."""
+    docs = tables(spark, sf_dir)["documents"]
+    return tx.rake_keywords(docs, top_n=25, min_phrase_count=2)
+
+
 @register("text_compression")
 def text_compression(spark, sf_dir):
     """zlib compression-ratio quality signal (functions/text.py
@@ -2480,6 +2525,103 @@ def funnel_events(spark, sf_dir):
     exchange."""
     events = tables(spark, sf_dir)["events"]
     return an.funnel(events, ["signup", "view", "click", "purchase"])
+
+
+@register(
+    "tpch_q2",
+    """
+    WITH shipped AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), cheapest AS (
+        SELECT l_partkey AS p_key, min(s_acctbal) AS min_bal
+        FROM shipped JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+    FROM part p
+    JOIN shipped sh ON sh.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    JOIN cheapest c ON c.p_key = p.p_partkey AND s.s_acctbal = c.min_bal
+    WHERE p.p_size <= 10
+    """,
+)
+def tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (adapted to the driver schema): for every small
+    part, the minimum-balance supplier that ever shipped it — the
+    correlated-MIN subquery explicitly DECORRELATED (the q17
+    discipline): the per-part minimum is a partial agg over the
+    distinct (part, supplier) ship pairs, joined back as an equality
+    filter; supplier/part dims attach by broadcast. The oracle keeps
+    a join-form min; ties (two suppliers at the minimum balance) keep
+    both rows in both engines."""
+    from pyspark.sql.functions import broadcast
+
+    t = tables(spark, sf_dir)
+    from pyspark.storagelevel import StorageLevel
+
+    shipped = (
+        t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    supp = t["supplier"].select("s_suppkey", "s_name", "s_acctbal")
+    with_bal = shipped.join(
+        broadcast(supp), shipped["l_suppkey"] == supp["s_suppkey"]
+    )
+    cheapest = with_bal.groupBy("l_partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    small = t["part"].filter(F.col("p_size") <= 10).select("p_partkey", "p_brand")
+    return (
+        with_bal.join(cheapest, "l_partkey")
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+    )
+
+
+@register(
+    "window_ntile_deciles",
+    """
+    WITH t AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               ntile(10) OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(round(value * 100) AS BIGINT), event_id
+               ) AS decile
+        FROM events
+    )
+    SELECT event_type, decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents
+    FROM t GROUP BY event_type, decile
+    """,
+)
+def window_ntile_deciles(spark, sf_dir):
+    """NTILE(10) decile assignment per event type with per-decile
+    bounds — the equal-count bucketing window (percent_rank's
+    bucketed cousin, A36). Ties broken on (cents, event_id) so both
+    engines assign identical buckets. One type-keyed exchange carries
+    the window; the report agg groups the windowed frame."""
+    from pyspark.sql import Window
+
+    events = tables(spark, sf_dir)["events"]
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy(F.col("cents"), F.col("event_id"))
+    return (
+        events.select("event_id", "event_type", cents.alias("cents"))
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
 
 
 @register(

@@ -1306,3 +1306,21 @@ def test_hll_mergeable_union_matches_direct(spark):
     assert row["exact_distinct"] == 9000
     assert row["union_err_milli"] <= 50      # 5% >> 3*rsd
     assert row["merge_drift_milli"] <= 50
+
+
+def test_rake_scores_multiword_phrases_highest(spark):
+    """RAKE favors multiword phrases whose words co-occur in long
+    runs: 'deep learning model' (3-word run) outranks the 1-word
+    phrase 'data' even though 'data' occurs more often."""
+    rows = [
+        (1, "the deep learning model beats a deep learning model of data"),
+        (2, "deep learning model and data and data and more data"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.rake_keywords(df, top_n=10, min_phrase_count=2).collect()
+    by_phrase = {r["phrase"]: r for r in out}
+    assert "deep learning model" in by_phrase
+    assert by_phrase["deep learning model"]["score_micro"] > by_phrase["data"]["score_micro"]
+    # all-integer scores, deterministic under repartitioning
+    out2 = text.rake_keywords(df.repartition(4), top_n=10, min_phrase_count=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
