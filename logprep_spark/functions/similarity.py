@@ -715,3 +715,61 @@ def top_component(
             "greatest(" + ",".join(f"abs(_w{i})" for i in range(dim)) + ") AS _m",
         ).selectExpr("transform(_w, a -> (a * 1000) div _m) AS _vec")
     return v.select(F.col("_vec").alias("component_milli"))
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Linear int8 quantization of the embedding corpus — the 4x
+    memory cut that makes billion-vector ANN serveable (float32 →
+    int8 codes + one per-dim affine model). Per dim: scale by the
+    corpus [min, max] into [-127, 127]; the model is a 2·dim-number
+    broadcast. Output per vector: the int8 code array plus the exact
+    micro reconstruction error (max |x − dequant(x)| over dims), the
+    in-query accuracy witness.
+
+    Exactness: min/max come from micro-fixed longs (exact, order-
+    free); codes are integer arithmetic on micros: code =
+    round_half_away((x−mn)·254 / span) − 127 implemented as integer
+    ((x−mn)·254·2 + span) div (2·span) — no float, bit-identical
+    anywhere. Dequant and the error are integers too. Constant dims
+    (span 0) code to 0 with error = 0 by convention.
+
+    Distributed shape: ONE map-side-collapsing per-dim min/max agg →
+    1-row broadcast model → narrow quantize map. The expression
+    builders are parsed SQL strings (the plan-build discipline)."""
+    from pyspark.sql.functions import broadcast
+
+    dim = probe_dim(df, vec_col) or 0
+    vm = df.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("_v"))
+    model = vm.agg(
+        *[F.expr(f"min(element_at(_v, {i + 1})) AS _mn{i}") for i in range(dim)],
+        *[F.expr(f"max(element_at(_v, {i + 1})) AS _mx{i}") for i in range(dim)],
+    ).selectExpr(
+        "array(" + ",".join(f"_mn{i}" for i in range(dim)) + ") AS _mn",
+        "array(" + ",".join(f"_mx{i} - _mn{i}" for i in range(dim)) + ") AS _span",
+    )
+    staged = vm.crossJoin(broadcast(model))
+    # integer round-half-up division of non-negatives: (2a+b) div (2b)
+    code = (
+        "zip_with(zip_with(_v, _mn, (x, m) -> x - m), _span,"
+        " (d, s) -> CASE WHEN s = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE (2 * d * 254 + s) div (2 * s) - 127 END)"
+    )
+    # dequant micro = mn + round((c+127)·span / 254); all operands
+    # non-negative, so the same half-up integer division applies
+    dequant = (
+        "zip_with(zip_with(code, _mn, (c, m) ->"
+        " struct(c AS c, m AS m)), _span,"
+        " (cm, s) -> cm.m + (2 * (cm.c + 127) * s + 254) div 508)"
+    )
+    return (
+        staged.selectExpr(id_col, f"{code} AS code", "_v", "_mn", "_span")
+        .selectExpr(id_col, "code", f"{dequant} AS _dq", "_v")
+        .selectExpr(
+            id_col,
+            "CAST(code AS array<int>) AS code_int8",
+            "array_max(zip_with(_v, _dq, (x, d) -> abs(x - d)))"
+            " AS max_err_micro",
+        )
+    )

@@ -80,7 +80,7 @@ def register(name: str, oracle: str | None = None):
 # The grading driver records correctness rows for the FIRST 50 entries
 # of queries() only, so ordering is coverage policy.
 #
-# Rotation cadence (173 queries / 50-row window; first-time rows take
+# Rotation cadence (175 queries / 50-row window; first-time rows take
 # priority, then oldest official evidence — the bound is ceil(163/50)
 # = 4 rounds once the catalog stops growing):
 #   r6 window (THIS round): the 49 queries that had NEVER appeared in
@@ -97,8 +97,8 @@ def register(name: str, oracle: str | None = None):
 #     sketch_hll_mergeable, embed_top_component, cdc_apply_upserts,
 #     search_rrf_mrr, corpus_vocab_divergence, users_cumulative_distinct,
 #     events_sequence_anomaly, events_anomaly_mad, basket_part_pairs,
-#     tpch_q2, window_ntile_deciles, text_rake_keywords — 26 total) +
-#     the 24 oldest
+#     tpch_q2, window_ntile_deciles, text_rake_keywords,
+#     embed_quantize_int8, split_kfold — 28 total) + the 22 oldest
 #     r4-checked queries (alphabetical from CORRECTNESS_r04's
 #     last-seen set).
 #   r8 window: the remaining 13 r4-checked + 37 of the r5-checked set.
@@ -4693,6 +4693,79 @@ def embed_center_normalize(spark, sf_dir):
     broadcast model, narrow map."""
     emb = tables(spark, sf_dir)["embeddings"]
     return sim.center_normalize(emb)
+
+
+@register(
+    "split_kfold",
+    f"""
+    SELECT fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_sql_words()})) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM (
+        SELECT *, {_sql_h60("'kfold:' || doc_id::varchar")} % 5 AS fold
+        FROM documents
+    ) GROUP BY fold
+    """,
+)
+def split_kfold(spark, sf_dir):
+    """Deterministic 5-fold assignment (functions/sampling.py
+    hash_bucket, salt 'kfold') with per-fold size/token/source-spread
+    report — the cross-validation counterpart of split_train_val_test:
+    the same doc lands in the same fold on any engine, partitioning,
+    or rerun (randSplit promises none of those). Narrow hash map +
+    one 5-key agg."""
+    docs = tables(spark, sf_dir)["documents"]
+    fold = smp.hash_bucket(F.col("doc_id"), buckets=5, salt="kfold")
+    return (
+        docs.withColumn("fold", fold)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tx.token_count(F.col("text"))).alias("n_tokens"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+    )
+
+
+@register(
+    "embed_quantize_int8",
+    f"""
+    WITH vm AS (
+        SELECT vec_id, {_KM_MICRO} AS v FROM embeddings
+    ), model AS (
+        SELECT list(mn ORDER BY dim) AS mn,
+               list(mx - mn ORDER BY dim) AS span
+        FROM (
+            SELECT dim, CAST(min(v[dim]) AS BIGINT) AS mn,
+                   CAST(max(v[dim]) AS BIGINT) AS mx
+            FROM vm CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) dims
+            GROUP BY dim
+        )
+    ), coded AS (
+        SELECT vec_id, v, mn, span,
+               [CASE WHEN span[i] = 0 THEN CAST(0 AS BIGINT)
+                     ELSE (2 * (v[i] - mn[i]) * 254 + span[i])
+                          // (2 * span[i]) - 127 END
+                for i in range(1, 65)] AS code
+        FROM vm CROSS JOIN model
+    )
+    SELECT vec_id, code AS code_int8,
+           CAST(list_max([abs(v[i] - (mn[i]
+                + (2 * (code[i] + 127) * span[i] + 254) // 508))
+                for i in range(1, 65)]) AS BIGINT) AS max_err_micro
+    FROM coded
+    """,
+)
+def embed_quantize_int8(spark, sf_dir):
+    """Linear int8 quantization of the embedding corpus
+    (functions/similarity.py quantize_int8): per-dim [min,max] affine
+    model (one map-side-collapsing agg, 1-row broadcast), integer
+    round-half-up codes, and the exact micro reconstruction error as
+    the in-query accuracy witness — the 4x memory cut serving
+    billion-vector ANN."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return sim.quantize_int8(emb)
 
 
 @register(
