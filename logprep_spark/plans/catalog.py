@@ -80,7 +80,7 @@ def register(name: str, oracle: str | None = None):
 # The grading driver records correctness rows for the FIRST 50 entries
 # of queries() only, so ordering is coverage policy.
 #
-# Rotation cadence (175 queries / 50-row window; first-time rows take
+# Rotation cadence (176 queries / 50-row window; first-time rows take
 # priority, then oldest official evidence — the bound is ceil(163/50)
 # = 4 rounds once the catalog stops growing):
 #   r6 window (THIS round): the 49 queries that had NEVER appeared in
@@ -98,7 +98,8 @@ def register(name: str, oracle: str | None = None):
 #     search_rrf_mrr, corpus_vocab_divergence, users_cumulative_distinct,
 #     events_sequence_anomaly, events_anomaly_mad, basket_part_pairs,
 #     tpch_q2, window_ntile_deciles, text_rake_keywords,
-#     embed_quantize_int8, split_kfold — 28 total) + the 22 oldest
+#     embed_quantize_int8, split_kfold, customers_rfm — 29 total) + the
+#     21 oldest
 #     r4-checked queries (alphabetical from CORRECTNESS_r04's
 #     last-seen set).
 #   r8 window: the remaining 13 r4-checked + 37 of the r5-checked set.
@@ -2525,6 +2526,99 @@ def funnel_events(spark, sf_dir):
     exchange."""
     events = tables(spark, sf_dir)["events"]
     return an.funnel(events, ["signup", "view", "click", "purchase"])
+
+
+@register(
+    "customers_rfm",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(datediff('day', max(CAST(o_orderdate AS DATE)),
+                             DATE '1998-12-31') AS BIGINT) AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ), th AS (
+        SELECT round(quantile_cont(recency_days, 0.2), 6)  AS r1,
+               round(quantile_cont(recency_days, 0.4), 6)  AS r2,
+               round(quantile_cont(recency_days, 0.6), 6)  AS r3,
+               round(quantile_cont(recency_days, 0.8), 6)  AS r4,
+               round(quantile_cont(frequency, 0.2), 6)     AS f1,
+               round(quantile_cont(frequency, 0.4), 6)     AS f2,
+               round(quantile_cont(frequency, 0.6), 6)     AS f3,
+               round(quantile_cont(frequency, 0.8), 6)     AS f4,
+               round(quantile_cont(monetary_cents, 0.2), 6) AS m1,
+               round(quantile_cont(monetary_cents, 0.4), 6) AS m2,
+               round(quantile_cont(monetary_cents, 0.6), 6) AS m3,
+               round(quantile_cont(monetary_cents, 0.8), 6) AS m4
+        FROM per_cust
+    )
+    SELECT rfm_code,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS total_cents
+    FROM (
+        SELECT monetary_cents,
+               (CAST(5 - ((recency_days > r1)::INT + (recency_days > r2)::INT
+                        + (recency_days > r3)::INT + (recency_days > r4)::INT)
+                     AS BIGINT)) * 100
+             + (CAST(1 + (frequency > f1)::INT + (frequency > f2)::INT
+                       + (frequency > f3)::INT + (frequency > f4)::INT
+                     AS BIGINT)) * 10
+             + CAST(1 + (monetary_cents > m1)::INT + (monetary_cents > m2)::INT
+                      + (monetary_cents > m3)::INT + (monetary_cents > m4)::INT
+                    AS BIGINT) AS rfm_code
+        FROM per_cust CROSS JOIN th
+    ) GROUP BY rfm_code
+    """,
+)
+def customers_rfm(spark, sf_dir):
+    """RFM customer segmentation — the classic marketing mart done the
+    SCALE-correct way: quintile boundaries come from exact
+    interpolated percentiles broadcast as a 1-row model, and bucket
+    assignment is a narrow CASE fold — a global NTILE window would
+    serialize every customer through one task. Recency inverts (low
+    days = best = 5); segment code = R·100 + F·10 + M; output is the
+    per-segment census."""
+    from pyspark.sql.functions import broadcast
+
+    orders = tables(spark, sf_dir)["orders"]
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.max(F.col("o_orderdate").cast("date"))
+        ).cast("long").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    th = per_cust.agg(
+        *[
+            F.round(F.percentile(c, F.lit(q)), 6).alias(f"{c[0]}{i + 1}")
+            for c in ("recency_days", "frequency", "monetary_cents")
+            for i, q in enumerate((0.2, 0.4, 0.6, 0.8))
+        ]
+    )
+
+    def quint(col: str, prefix: str) -> str:
+        return " + ".join(
+            f"CAST(({col} > {prefix}{i}) AS INT)" for i in range(1, 5)
+        )
+
+    code = (
+        f"CAST(5 - ({quint('recency_days', 'r')}) AS BIGINT) * 100"
+        f" + CAST(1 + {quint('frequency', 'f')} AS BIGINT) * 10"
+        f" + CAST(1 + {quint('monetary_cents', 'm')} AS BIGINT)"
+    )
+    return (
+        per_cust.crossJoin(broadcast(th))
+        .selectExpr("monetary_cents", f"{code} AS rfm_code")
+        .groupBy("rfm_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").alias("total_cents"),
+        )
+    )
 
 
 @register(

@@ -896,3 +896,12 @@ def test_basket_pairs_no_fact_self_join(plans):
     # the only orderkey-keyed exchange is the basket agg; every join
     # in the plan is broadcast (marginals + 1-row count)
     assert "SortMergeJoin" not in plan
+
+
+def test_rfm_threshold_broadcast_no_global_window(plans):
+    """customers_rfm: quintile assignment must NOT be a global NTILE
+    window (single-task serialization at scale) — thresholds broadcast
+    and the bucket fold is narrow."""
+    plan = plans("customers_rfm")
+    assert "Window [" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
