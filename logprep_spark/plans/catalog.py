@@ -80,7 +80,7 @@ def register(name: str, oracle: str | None = None):
 # The grading driver records correctness rows for the FIRST 50 entries
 # of queries() only, so ordering is coverage policy.
 #
-# Rotation cadence (176 queries / 50-row window; first-time rows take
+# Rotation cadence (178 queries / 50-row window; first-time rows take
 # priority, then oldest official evidence — the bound is ceil(163/50)
 # = 4 rounds once the catalog stops growing):
 #   r6 window (THIS round): the 49 queries that had NEVER appeared in
@@ -98,8 +98,9 @@ def register(name: str, oracle: str | None = None):
 #     search_rrf_mrr, corpus_vocab_divergence, users_cumulative_distinct,
 #     events_sequence_anomaly, events_anomaly_mad, basket_part_pairs,
 #     tpch_q2, window_ntile_deciles, text_rake_keywords,
-#     embed_quantize_int8, split_kfold, customers_rfm — 29 total) + the
-#     21 oldest
+#     embed_quantize_int8, split_kfold, customers_rfm,
+#     text_langid_confusion, retention_decay_fit — 31 total) + the 19
+#     oldest
 #     r4-checked queries (alphabetical from CORRECTNESS_r04's
 #     last-seen set).
 #   r8 window: the remaining 13 r4-checked + 37 of the r5-checked set.
@@ -1687,6 +1688,96 @@ def _sql_lang_hits() -> str:
         for code, words in sorted(tx.LANG_MARKERS.items())
     )
     return f"[{structs}]"
+
+
+@register(
+    "text_langid_confusion",
+    f"""
+    WITH pred AS (
+        SELECT lang AS label,
+               CASE WHEN list_max({_sql_lang_hits()}).hits > 0
+                    THEN list_max({_sql_lang_hits()}).lang
+                    ELSE 'und' END AS predicted
+        FROM documents
+    )
+    SELECT label, predicted,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(1000 * sum(CASE WHEN label = predicted THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS cell_acc_milli
+    FROM pred GROUP BY label, predicted
+    """,
+)
+def text_langid_confusion(spark, sf_dir):
+    """Confusion matrix of the lang-ID heuristic against the corpus's
+    ground-truth labels — the model-eval loop closed for L8 the way
+    ann_recall closed ANN's: (label, predicted) cells with counts; the
+    diagonal's share IS the per-class accuracy. One narrow predict
+    map + a ≤|langs|² hash agg."""
+    docs = tables(spark, sf_dir)["documents"]
+    pred = docs.select(
+        F.col("lang").alias("label"),
+        tx.lang_id(F.col("text")).alias("predicted"),
+    )
+    return pred.groupBy("label", "predicted").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "1000 * sum(CASE WHEN label = predicted THEN 1 ELSE 0 END)"
+            " div count(1)"
+        ).alias("cell_acc_milli"),
+    )
+
+
+@register(
+    "retention_decay_fit",
+    """
+    WITH ret AS (
+        SELECT day_offset, CAST(sum(n_users) AS BIGINT) AS n_users FROM (
+            SELECT cohort_day,
+                   CAST(datediff('day', cohort_day, active_day) AS BIGINT)
+                       AS day_offset,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day
+                  FROM events) a
+            JOIN (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+                  FROM events GROUP BY user_id) c USING (user_id)
+            GROUP BY cohort_day, day_offset
+        ) WHERE day_offset > 0 GROUP BY day_offset
+    ), fixed AS (
+        SELECT CAST(round(log2(day_offset) * 1000) AS BIGINT) AS x,
+               CAST(round(log2(n_users) * 1000) AS BIGINT) AS y
+        FROM ret
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           CAST((count(*) * sum(x * y) - sum(x) * sum(y)) * 1000
+                // (count(*) * sum(x * x) - sum(x) * sum(x)) AS BIGINT)
+               AS decay_slope_milli
+    FROM fixed
+    """,
+)
+def retention_decay_fit(spark, sf_dir):
+    """Retention decay exponent: integer least squares over
+    (log2 day-offset, log2 retained-users) — the one-number summary
+    of the A17 retention matrix (power-law decay slope; the Zipf
+    regression machinery, L33, pointed at user retention). Milli-fixed
+    logs, exact long sums, one closed-form division."""
+    events = tables(spark, sf_dir)["events"]
+    ret = (
+        an.retention(events)
+        .filter(F.col("day_offset") > 0)
+        .groupBy("day_offset")
+        .agg(F.sum("n_users").alias("n_users"))
+    )
+    fixed = ret.select(
+        F.round(F.log2("day_offset") * 1000).cast("long").alias("x"),
+        F.round(F.log2("n_users") * 1000).cast("long").alias("y"),
+    )
+    return fixed.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.expr(
+            "(count(1) * sum(x * y) - sum(x) * sum(y)) * 1000"
+            " div (count(1) * sum(x * x) - sum(x) * sum(x))"
+        ).alias("decay_slope_milli"),
+    )
 
 
 @register(
