@@ -81,7 +81,7 @@ def register(name: str, oracle: str | None = None):
 # of queries() only, so ordering is coverage policy.
 #
 # Rotation cadence (178 queries / 50-row window; first-time rows take
-# priority, then oldest official evidence — the bound is ceil(163/50)
+# priority, then oldest official evidence — the bound is ceil(178/50)
 # = 4 rounds once the catalog stops growing):
 #   r6 window (THIS round): the 49 queries that had NEVER appeared in
 #     any driver CORRECTNESS window (everything added in r5's later
@@ -105,7 +105,7 @@ def register(name: str, oracle: str | None = None):
 #     last-seen set).
 #   r8 window: the remaining 13 r4-checked + 37 of the r5-checked set.
 #   r9 window: the remaining 13 r5-checked + the r6-window set again.
-# All 163 queries stay locally oracle-gated every round via
+# All 178 queries stay locally oracle-gated every round via
 # tools/check_oracles.py (LOCAL_CORRECTNESS.md, same methodology).
 _PRIORITY = [
     # --- the 49 never-driver-checked queries (first official rows) ---
