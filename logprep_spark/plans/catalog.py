@@ -6224,3 +6224,375 @@ def events_error_streaks(spark, sf_dir):
         F.max("streak_len").alias("max_error_streak"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+# --- TPC-H completion: the six remaining query shapes (q8 q9 q11 q12
+# q15 q20), adapted to the driver schema like q2/q13/q17 (no partsupp
+# / shipmode columns — each keeps the canonical PLAN SHAPE of its
+# TPC-H original so the optimizer discipline carries over).
+
+
+@register(
+    "tpch_q8",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(sum(CASE WHEN sn.n_name = 'NATION_5'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region   ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN part     ON l_partkey  = p_partkey
+    WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape — national market share: one nation's slice of
+    a region's yearly volume in one part type. The q14 conditional-
+    share agg over the full q5-style star: every dim chain (part
+    filtered to the type, supplier⋈nation for the share flag,
+    customer⋈nation⋈region for the market filter) broadcasts, so the
+    only exchange is lineitem⋈orders on the order key; the CASE sits
+    inside the partial agg (numerator and denominator combine
+    map-side)."""
+    t = tables(spark, sf_dir)
+    part = t["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].select(
+                    F.col("n_nationkey").alias("s_nk"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust_mkt = (
+        t["customer"]
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    F.broadcast(t["region"].filter(F.col("r_name") == "AMERICA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select(F.col("n_nationkey").alias("c_nk"))
+            ),
+            F.col("c_nationkey") == F.col("c_nk"),
+        )
+        .select("c_custkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_mkt), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+        )
+    )
+
+
+@register(
+    "tpch_q9",
+    """
+    SELECT sn.n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           sum(CAST(round((l_extendedprice * (1 - l_discount)
+                           - 0.5 * p_retailprice * l_quantity) * 100)
+                    AS BIGINT)) AS sum_profit_cents
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape — product-type profit by supplier nation and
+    year. The per-lineitem profit expression sources its cost from
+    the part dim (0.5·p_retailprice·qty stands in for the absent
+    ps_supplycost); the name-LIKE part filter and supplier⋈nation
+    chain broadcast, lineitem⋈orders is the one fact exchange, and
+    the (nation, year) agg combines map-side. Profit is per-row
+    integer cents summed as BIGINT — the mixed-sign sum cancels, so
+    a float round-after-sum drifts across engines; per-row rounding
+    of the identical double expression is deterministic in both."""
+    t = tables(spark, sf_dir)
+    part = t["part"].filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].select(
+                    F.col("n_nationkey").alias("s_nk"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    profit_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100
+    ).cast("long")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(profit_cents).alias("sum_profit_cents"))
+    )
+
+
+@register(
+    "tpch_q11",
+    """
+    WITH v AS (
+        SELECT l_partkey,
+               CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS val_cents
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_nationkey = 3
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, val_cents AS supply_value_cents
+    FROM v WHERE val_cents * 1000 > (SELECT sum(val_cents) FROM v)
+    """,
+)
+def tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape — important stock: parts whose one-nation
+    supply value exceeds 0.1% of that nation's total (supply value
+    proxied by shipped extendedprice; no partsupp in this schema).
+    The scalar HAVING subquery is the broadcast-1-row pattern: the
+    per-part agg is computed ONCE and persisted, the global total is
+    a second agg over it attached by broadcast crossJoin, and the
+    threshold compare is exact integer cents (×1000 vs sum — no
+    float boundary drift between engines)."""
+    from pyspark.storagelevel import StorageLevel
+
+    t = tables(spark, sf_dir)
+    supp = t["supplier"].filter(F.col("s_nationkey") == 3).select("s_suppkey")
+    v = (
+        t["lineitem"]
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum("l_extendedprice") * 100)
+            .cast("long")
+            .alias("val_cents")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = v.agg(F.sum("val_cents").alias("_total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("val_cents") * 1000 > F.col("_total"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("val_cents").alias("supply_value_cents"),
+        )
+    )
+
+
+@register(
+    "tpch_q12",
+    """
+    SELECT l_returnflag AS ship_bucket,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape — priority mix of late shipments per bucket
+    (returnflag stands in for the absent shipmode; 'late' = shipped
+    ≥60 days after order, the commit/receipt lag this schema can
+    express). The ship-year filter pushes to the lineitem scan; the
+    cross-row o_orderdate predicate rides the one fact⋈fact exchange
+    on the order key; both conditional counts combine map-side."""
+    t = tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q15",
+    """
+    WITH r AS (
+        SELECT l_suppkey,
+               CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100)
+                    AS BIGINT) AS total_rev_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev_cents
+    FROM r JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM r)
+    """,
+)
+def tpch_q15(spark, sf_dir):
+    """TPC-H Q15 shape — top supplier: the revenue view computed once
+    and persisted, its scalar max attached by broadcast crossJoin
+    (the argmax-by-scalar-subquery pattern, ties kept like the
+    original), supplier names by broadcast dim join. Integer cents
+    make the max-equality exact across engines."""
+    from pyspark.storagelevel import StorageLevel
+
+    t = tables(spark, sf_dir)
+    r = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+            .cast("long")
+            .alias("total_rev_cents")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    mx = r.agg(F.max("total_rev_cents").alias("_mx"))
+    return (
+        r.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev_cents") == F.col("_mx"))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_rev_cents")
+    )
+
+
+@register(
+    "tpch_q20",
+    """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(round(sum(l_quantity)) AS BIGINT) AS qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT l_partkey AS pk, CAST(sum(qty) AS BIGINT) AS total_qty
+        FROM ps GROUP BY 1
+    )
+    SELECT DISTINCT s_suppkey, s_name, n_name AS nation
+    FROM ps JOIN tot ON l_partkey = pk
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND 2 * qty > total_qty
+    """,
+)
+def tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape — potential part promotion: suppliers in one
+    region who dominated (>50% of shipped quantity, the original's
+    half-of-demand test with lineitem standing in for partsupp
+    availability) some filtered part's year. The nested agg is the
+    decorrelated two-level rollup over ONE persisted (part, supplier)
+    frame — per-part totals re-aggregate the small grouped frame, not
+    the fact; the dominance filter is exact integers; the qualifying
+    supplier set reaches the dim chain as a DISTINCT semi-side with
+    supplier⋈nation⋈region broadcast."""
+    from pyspark.storagelevel import StorageLevel
+
+    t = tables(spark, sf_dir)
+    part = t["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
+    ps = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.sum("l_quantity")).cast("long").alias("qty"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = ps.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").cast("long").alias("total_qty")
+    )
+    qualifying = (
+        ps.join(tot, ps["l_partkey"] == tot["pk"])
+        .filter(2 * F.col("qty") > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    asia_supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"]
+                .join(
+                    F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+                .select("n_nationkey", F.col("n_name").alias("nation"))
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "nation")
+    )
+    return qualifying.join(
+        F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "nation")
