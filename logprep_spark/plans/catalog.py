@@ -6596,3 +6596,90 @@ def tpch_q20(spark, sf_dir):
     return qualifying.join(
         F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey")
     ).select("s_suppkey", "s_name", "nation")
+
+
+@register(
+    "match_fuzzy_entities",
+    """
+    WITH clean AS (
+        SELECT c_custkey, substr(md5('ent:' || c_custkey::varchar), 1, 8) AS name
+        FROM customer
+    ), dirty AS (
+        SELECT c_custkey AS dirty_key,
+               substr(name, 1, pos - 1)
+                 || substr(md5('mut:' || c_custkey::varchar), 1, 1)
+                 || substr(name, pos + 1) AS dname
+        FROM (SELECT c_custkey, substr(md5('ent:' || c_custkey::varchar), 1, 8) AS name,
+                     1 + (c_custkey % 8)::int AS pos
+              FROM customer WHERE c_custkey % 3 = 0)
+    ), clean_halves AS (
+        SELECT c_custkey, name, 0 AS idx, substr(name, 1, 4) AS half FROM clean
+        UNION ALL
+        SELECT c_custkey, name, 1 AS idx, substr(name, 5, 4) AS half FROM clean
+    ), dirty_halves AS (
+        SELECT dirty_key, dname, 0 AS idx, substr(dname, 1, 4) AS half FROM dirty
+        UNION ALL
+        SELECT dirty_key, dname, 1 AS idx, substr(dname, 5, 4) AS half FROM dirty
+    )
+    SELECT DISTINCT dirty_key, c_custkey AS matched_custkey,
+           CAST(levenshtein(name, dname) AS BIGINT) AS dist
+    FROM clean_halves JOIN dirty_halves USING (idx, half)
+    WHERE levenshtein(name, dname) <= 1
+    """,
+)
+def match_fuzzy_entities(spark, sf_dir):
+    """Entity resolution under typos — the record-linkage join every
+    ingestion pipeline needs when keys are dirty strings, done WITHOUT
+    the O(n·m) all-pairs cross join: pigeonhole blocking (PassJoin
+    family, Li et al. 2011). A single-character substitution cannot
+    touch both halves of the string, so every true match (edit
+    distance ≤ 1, equal length) shares at least one positional half
+    verbatim — candidates come from an EQUI-join on (half_index,
+    half_text), i.e. one hash shuffle each side instead of a nested
+    loop, then JVM-codegen `levenshtein` verifies precision. Recall
+    is exact by construction (the pigeonhole bound), precision exact
+    by verification. At 100 TB both sides partition by the blocking
+    key; half-text buckets are ~uniform (hex), so no skew. The dirty
+    registry is synthesized deterministically in BOTH engines (the
+    text_c4_filters discipline): md5-derived 8-hex entity names, one
+    md5-chosen substitution at an id-chosen position for every third
+    customer."""
+    t = tables(spark, sf_dir)
+    clean = t["customer"].selectExpr(
+        "c_custkey", "substr(md5(concat('ent:', cast(c_custkey AS string))), 1, 8) AS name"
+    )
+    dirty = (
+        t["customer"]
+        .filter(F.col("c_custkey") % 3 == 0)
+        .selectExpr(
+            "c_custkey AS dirty_key",
+            "substr(md5(concat('ent:', cast(c_custkey AS string))), 1, 8) AS name",
+            "cast(1 + c_custkey % 8 AS int) AS pos",
+        )
+        .selectExpr(
+            "dirty_key",
+            "concat(substr(name, 1, pos - 1), "
+            "substr(md5(concat('mut:', cast(dirty_key AS string))), 1, 1), "
+            "substr(name, pos + 1)) AS dname",
+        )
+    )
+    clean_halves = clean.selectExpr(
+        "c_custkey", "name",
+        "explode(array(struct(0 AS idx, substr(name, 1, 4) AS half), "
+        "struct(1 AS idx, substr(name, 5, 4) AS half))) AS h",
+    ).selectExpr("c_custkey", "name", "h.idx AS idx", "h.half AS half")
+    dirty_halves = dirty.selectExpr(
+        "dirty_key", "dname",
+        "explode(array(struct(0 AS idx, substr(dname, 1, 4) AS half), "
+        "struct(1 AS idx, substr(dname, 5, 4) AS half))) AS h",
+    ).selectExpr("dirty_key", "dname", "h.idx AS idx", "h.half AS half")
+    return (
+        clean_halves.join(dirty_halves, ["idx", "half"])
+        .filter(F.levenshtein("name", "dname") <= 1)
+        .select(
+            "dirty_key",
+            F.col("c_custkey").alias("matched_custkey"),
+            F.levenshtein("name", "dname").cast("long").alias("dist"),
+        )
+        .distinct()
+    )
