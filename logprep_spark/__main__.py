@@ -265,6 +265,29 @@ def cmd_query_run(args) -> int:
     return 0
 
 
+def cmd_query_lint(args) -> int:
+    from logprep_spark.plans import catalog
+    from logprep_spark.plans.lint import ERROR, lint
+    from logprep_spark.session import get_spark
+
+    qs = catalog.queries()
+    names = list(qs) if args.name == "--all" or args.all else [args.name]
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown query: {unknown[0]} (see `query list`)", file=sys.stderr)
+        return 1
+    spark = get_spark("logprep-spark-lint")
+    n_errors = 0
+    for name in names:
+        findings = lint(qs[name](spark, args.sf_dir))
+        for f in findings:
+            print(f"{name}\t{f}")
+        n_errors += sum(1 for f in findings if f.severity == ERROR)
+    if not n_errors:
+        print(f"# {len(names)} plan(s) linted, 0 errors")
+    return 1 if n_errors else 0
+
+
 def cmd_corpus_run(args) -> int:
     from logprep_spark.corpus import CorpusPipeline
     from logprep_spark.session import get_spark
@@ -347,6 +370,14 @@ def build_parser() -> argparse.ArgumentParser:
     qr.add_argument("--explain", action="store_true",
                     help="print the physical plan instead of rows")
     qr.set_defaults(fn=cmd_query_run)
+
+    qt = q_sub.add_parser(
+        "lint", help="lint a query's physical plan for scale anti-patterns"
+    )
+    qt.add_argument("name", nargs="?", default="--all")
+    qt.add_argument("--all", action="store_true", help="lint every catalog query")
+    qt.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    qt.set_defaults(fn=cmd_query_lint)
 
     co = sub.add_parser("corpus", help="run a corpus-cleanup pipeline config")
     co_sub = co.add_subparsers(dest="corpus_command", required=True)

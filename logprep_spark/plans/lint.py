@@ -1,0 +1,131 @@
+"""Plan lint — the 100 TB plan-shape discipline as a user-facing tool.
+
+The repo's pytest plan guards (tests/unit/test_plan_shapes.py) assert
+shapes for the shipped catalog; this module gives USERS the same
+checks for their own DataFrames / catalog queries before they submit
+to a large cluster: `python -m logprep_spark query lint NAME|--all`,
+or programmatically `lint(df)`.
+
+Checks are string-level inspections of the pre-execution physical
+plan (AQE initial plan — broadcast hints and pushdown decisions are
+already visible there). They are heuristics, not proofs: ERROR
+findings are shapes that are wrong at any scale; WARN findings are
+legitimate in specific patterns (documented per check) and exist so a
+reviewer looks once.
+
+No reference counterpart — Logprep has no query planner; this is the
+operational companion a Spark-first engine needs.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+ERROR = "error"
+WARN = "warn"
+
+
+@dataclass
+class Finding:
+    severity: str
+    code: str
+    message: str
+
+    def __str__(self) -> str:  # CLI rendering
+        return f"{self.severity.upper():5s} {self.code}: {self.message}"
+
+
+def _plan_string(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# Window physical nodes render as
+#   Window [fns], [part_keys], [order]   — partition list empty => global
+_GLOBAL_WINDOW = re.compile(r"Window \[[^\]]*\], \[\], \[")
+
+
+def lint_plan(plan: str) -> list[Finding]:
+    """Lint a physical-plan string. See `lint` for the DataFrame entry."""
+    findings: list[Finding] = []
+
+    if "CartesianProduct" in plan:
+        findings.append(
+            Finding(
+                ERROR,
+                "cartesian-product",
+                "CartesianProduct: non-broadcast cross join is quadratic data "
+                "movement at scale. Broadcast the small side explicitly, or "
+                "rewrite the predicate as an equi-join (binning / blocking).",
+            )
+        )
+    if "BatchEvalPython" in plan:
+        findings.append(
+            Finding(
+                ERROR,
+                "row-python-udf",
+                "BatchEvalPython: row-at-a-time Python UDF in the plan. Use "
+                "built-in functions, or an Arrow-batched pandas_udf / "
+                "mapInPandas (ArrowEvalPython / MapInPandas nodes).",
+            )
+        )
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    if n_bnlj:
+        findings.append(
+            Finding(
+                WARN,
+                "nested-loop-join",
+                f"BroadcastNestedLoopJoin ×{n_bnlj}: fine for 1-row/model "
+                "attachments (the broadcast-scalar pattern) or a broadcast "
+                "query side; anything larger needs an equi-join rewrite.",
+            )
+        )
+    n_global_windows = len(_GLOBAL_WINDOW.findall(plan))
+    if n_global_windows:
+        findings.append(
+            Finding(
+                WARN,
+                "global-window",
+                f"Window with empty PARTITION BY ×{n_global_windows}: the "
+                "whole input serializes through one task. For ranks over a "
+                "bounded frame (an already-aggregated report) this is fine; "
+                "over a fact table, derive a partition key or use a "
+                "broadcast-threshold model instead.",
+            )
+        )
+    # A final global Sort without a TakeOrdered cut: full-data range
+    # shuffle. TakeOrderedAndProject (top-k) never plans a global sort.
+    if "Exchange rangepartitioning" in plan and "TakeOrdered" not in plan:
+        findings.append(
+            Finding(
+                WARN,
+                "global-sort",
+                "Exchange rangepartitioning (global sort) without a "
+                "TakeOrdered cut: ordering 100 TB to read the top rows is "
+                "the classic ORDER-BY-without-LIMIT trap; cut with limit / "
+                "window-per-group, or drop the ordering.",
+            )
+        )
+    scans = [l for l in plan.split("\n") if "FileScan" in l]
+    unfiltered = [
+        l
+        for l in scans
+        if "PushedFilters: []" in l and "DataFilters: [" in l and "DataFilters: []" not in l
+    ]
+    if unfiltered:
+        findings.append(
+            Finding(
+                WARN,
+                "unpushed-filters",
+                f"{len(unfiltered)} FileScan(s) evaluate data filters but "
+                "push NONE to the reader (PushedFilters: []): the predicate "
+                "shape defeats parquet row-group skipping — prefer plain "
+                "comparisons on raw columns over expressions of them.",
+            )
+        )
+    return findings
+
+
+def lint(df) -> list[Finding]:
+    """Lint a DataFrame's pre-execution physical plan."""
+    return lint_plan(_plan_string(df))

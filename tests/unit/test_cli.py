@@ -159,3 +159,46 @@ def test_cli_corpus_run(tmp_path, capsys, spark):
     got = spark.read.parquet(str(out))
     assert {"quality", "n_tokens"} <= set(got.columns)
     assert got.count() > 0
+
+
+def test_cli_query_lint(capsys):
+    from logprep_spark.__main__ import main
+
+    assert main(["query", "lint", "tpch_q5",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert "0 errors" in out
+
+    assert main(["query", "lint", "no_such_query"]) == 1
+
+
+def test_lint_plan_findings_unit():
+    """String-level lint checks against synthetic plan fragments —
+    each antipattern class fires, and clean fragments stay clean."""
+    from logprep_spark.plans.lint import ERROR, WARN, lint_plan
+
+    assert lint_plan("*(3) HashAggregate\n+- Exchange hashpartitioning") == []
+
+    codes = {f.code: f.severity for f in lint_plan(
+        "CartesianProduct\n+- BatchEvalPython [f(x)]\n"
+        "+- BroadcastNestedLoopJoin BuildRight\n"
+        "+- Window [sum(v)], [], [ts ASC]\n"
+        "+- Exchange rangepartitioning(ts ASC, 32)\n"
+        "+- FileScan parquet [a,b] DataFilters: [(a % 3) = 0], "
+        "PushedFilters: [], ReadSchema\n"
+    )}
+    assert codes["cartesian-product"] == ERROR
+    assert codes["row-python-udf"] == ERROR
+    assert codes["nested-loop-join"] == WARN
+    assert codes["global-window"] == WARN
+    assert codes["global-sort"] == WARN
+    assert codes["unpushed-filters"] == WARN
+
+    # partitioned window + TakeOrdered'd range exchange do NOT fire
+    clean = lint_plan(
+        "TakeOrderedAndProject\n+- Exchange rangepartitioning(x, 32)\n"
+        "+- Window [rank()], [user_id], [ts ASC]\n"
+        "+- FileScan parquet [a] DataFilters: [isnotnull(a)], "
+        "PushedFilters: [IsNotNull(a)], ReadSchema\n"
+    )
+    assert clean == []

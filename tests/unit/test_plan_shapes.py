@@ -967,3 +967,14 @@ def test_runtime_bloom_filter_injects_for_selective_join(spark, tmp_path):
             prev_scan,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+
+
+def test_week_over_week_pushed_ranges_cached_sets(plans):
+    """users_week_over_week: week membership must reach parquet as a
+    pushed ts range (the date_trunc-equality form pushed nothing),
+    and each weekly distinct set feeds all three set ops from cache —
+    no scan may plan with empty PushedFilters."""
+    plan = plans("users_week_over_week")
+    assert "InMemoryTableScan" in plan
+    scans = [l for l in plan.split("\n") if "FileScan" in l]
+    assert scans and all("PushedFilters: []" not in l for l in scans)
