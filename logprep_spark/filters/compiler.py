@@ -67,8 +67,15 @@ def _compile(node: ast.Node, schema: T.StructType) -> Column:
         return F.lit(bool(node.value))
     if isinstance(node, ast.Not):
         # null-safety boundary: NOT(no-match) must be True even when
-        # the child is null (missing key / null comparison)
-        return ~F.coalesce(_compile(node.child, schema), F.lit(False))
+        # the child is null (missing key / null comparison). For a
+        # LEAF child the null case is exactly "the key column is
+        # null" (literals are never null), so the negation compiles
+        # to Or(IsNull(col), Not(pred)) at the COLUMN level — which
+        # parquet pushdown accepts, where both ~coalesce(pred, false)
+        # and isnull(<expression>) push nothing (query-lint finding
+        # on proc_deleter). Composite children keep the generic
+        # expression-level form (same truth table, may not push).
+        return _compile_negated(node.child, schema)
     if isinstance(node, ast.And):
         out = _compile(node.children[0], schema)
         for child in node.children[1:]:
@@ -98,6 +105,44 @@ def _compile(node: ast.Node, schema: T.StructType) -> Column:
         return _leaf(_compile_leaf(node, col, dtype))
     raise TypeError(f"unknown filter node {node!r}")
 
+
+
+_LEAF_NODES = (
+    ast.Exists,
+    ast.Null,
+    ast.StringEq,
+    ast.IntEq,
+    ast.FloatEq,
+    ast.Wildcard,
+    ast.Regex,
+    ast.Range,
+)
+
+
+def _compile_negated(node: ast.Node, schema: T.StructType) -> Column:
+    """Null-safe negation of ``node`` (NOT no-match = match, so a null
+    child must come out True). Leaf children get the pushdown-eligible
+    column-level form; everything else falls back to the generic
+    expression-level equivalent."""
+    if isinstance(node, _LEAF_NODES):
+        col = get_field(schema, node.key)
+        dtype = field_type(schema, node.key)
+        if col is None:
+            return F.lit(True)  # NOT(missing key) matches (reference)
+        pred = _compile_leaf(node, col, dtype)
+        if pred is None:
+            return F.lit(True)  # NOT(type-mismatch no-match) matches
+        if isinstance(node, (ast.Exists, ast.Null)):
+            return ~pred  # never null
+        if isinstance(dtype, T.ArrayType):
+            # array_contains / exists() can be null when the ARRAY
+            # holds null elements (not just when the column is null):
+            # keep the expression-level null test for exactness
+            return pred.isNull() | ~pred
+        # pred is null iff col is null for eq/wildcard/regex/range
+        return col.isNull() | ~pred
+    child = _compile(node, schema)
+    return child.isNull() | ~child
 
 def _compile_leaf(node: ast.Node, col: Column, dtype: T.DataType) -> Column | None:
     if isinstance(node, ast.Exists):

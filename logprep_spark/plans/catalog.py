@@ -2960,10 +2960,12 @@ def cdc_apply_upserts(spark, sf_dir):
     gate proves apply(base, delta) == recompute — the keyed IVM
     invariant next to ivm_merge_event_counts' additive one."""
     events = tables(spark, sf_dir)["events"]
-    cutoff = "2024-01-20"
-    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
-    base = an.cdc_latest_state(events.filter(day < cutoff))
-    return an.cdc_apply_changes(base, events.filter(day >= cutoff))
+    # day-truncated cutoffs are raw ts comparisons (midnight literal):
+    # day(ts) < D ⟺ ts < D — the truncated form pushed NOTHING to
+    # parquet (query-lint finding), the raw range reaches the reader
+    cutoff = F.lit("2024-01-20")
+    base = an.cdc_latest_state(events.filter(F.col("ts") < cutoff))
+    return an.cdc_apply_changes(base, events.filter(F.col("ts") >= cutoff))
 
 
 @register(
@@ -2981,10 +2983,11 @@ def ivm_merge_event_counts(spark, sf_dir):
     delta-slice aggregate; the oracle is the DIRECT aggregate over
     everything, so the hash gate proves merge == recompute."""
     events = tables(spark, sf_dir)["events"]
-    cutoff = "2024-01-20"
-    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
-    old_state = an.event_counts_state(events.filter(day < cutoff))
-    delta = an.event_counts_state(events.filter(day >= cutoff))
+    # raw-ts cutoff (≡ day-truncated compare) so both slices push
+    # their range filter to the parquet reader — see cdc_apply_upserts
+    cutoff = F.lit("2024-01-20")
+    old_state = an.event_counts_state(events.filter(F.col("ts") < cutoff))
+    delta = an.event_counts_state(events.filter(F.col("ts") >= cutoff))
     return an.incremental_agg_merge(old_state, delta)
 
 
@@ -6682,4 +6685,128 @@ def match_fuzzy_entities(spark, sf_dir):
             F.levenshtein("name", "dname").cast("long").alias("dist"),
         )
         .distinct()
+    )
+
+
+@register(
+    "events_peak_concurrency",
+    """
+    WITH b AS (
+        SELECT ts, 1 AS delta, event_id FROM events
+        UNION ALL
+        SELECT ts + INTERVAL 300 SECOND, -1, event_id FROM events
+    ), r AS (
+        SELECT date_trunc('hour', ts)::timestamp AS hr,
+               sum(delta) OVER (ORDER BY ts, delta, event_id
+                                ROWS UNBOUNDED PRECEDING) AS conc
+        FROM b
+    )
+    SELECT hr AS hour, CAST(max(conc) AS BIGINT) AS peak_concurrency
+    FROM r GROUP BY hr
+    """,
+)
+def events_peak_concurrency(spark, sf_dir):
+    """Peak concurrent activity per hour — the sweep-line interval
+    query (each event opens a 300 s activity interval; concurrency =
+    open intervals) that naive SQL writes as ONE global running sum:
+    a single task dragging the whole corpus at scale. Distributed as
+    the textbook two-phase prefix sum: per-hour net deltas (map-side
+    combining agg → |hours| rows) → carry-in offsets via a window
+    over that BOUNDED frame → within-hour running sums under an
+    hour-partitioned window + broadcast offset join. carry_in +
+    in-hour prefix == the global prefix because the hour is a
+    prefix-respecting partition of the (ts, delta, event_id) total
+    order. The oracle keeps the naive global-window SQL — the hash
+    gate proves the decomposition exact."""
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"]
+    b = (
+        ev.select(F.col("ts"), F.lit(1).alias("delta"), "event_id")
+        .unionAll(
+            ev.select(
+                (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("ts"),
+                F.lit(-1).alias("delta"),
+                "event_id",
+            )
+        )
+        .withColumn("hr", F.date_trunc("hour", F.col("ts")))
+    )
+    net = b.groupBy("hr").agg(F.sum("delta").alias("net"))
+    w_carry = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = net.select(
+        "hr", F.coalesce(F.sum("net").over(w_carry), F.lit(0)).alias("carry_in")
+    )
+    w_in = (
+        Window.partitionBy("hr")
+        .orderBy("ts", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        b.withColumn("run_in", F.sum("delta").over(w_in))
+        .join(F.broadcast(offsets), "hr")
+        .groupBy(F.col("hr").alias("hour"))
+        .agg(F.max(F.col("carry_in") + F.col("run_in")).cast("long").alias("peak_concurrency"))
+    )
+
+
+@register(
+    "corpus_snapshot_diff",
+    """
+    WITH snap_a AS (
+        SELECT doc_id, md5(text) AS h FROM documents
+        WHERE ('0x' || substr(md5('snapA:' || doc_id::varchar), 1, 15))::bigint
+              % 10 <> 0
+    ), snap_b AS (
+        SELECT doc_id,
+               md5(CASE WHEN ('0x' || substr(md5('snapC:' || doc_id::varchar),
+                                             1, 15))::bigint % 7 = 0
+                        THEN text || ' v2' ELSE text END) AS h
+        FROM documents
+        WHERE ('0x' || substr(md5('snapB:' || doc_id::varchar), 1, 15))::bigint
+              % 10 <> 0
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs FROM (
+        SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN b.doc_id IS NULL THEN 'deleted'
+                    WHEN a.h <> b.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+    ) GROUP BY status
+    """,
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    """Crawl-snapshot delta report — the incremental-ingestion
+    bookkeeping between two corpus snapshots: added / deleted /
+    changed / unchanged doc counts from a FULL OUTER join of
+    content-hash frames. Per-snapshot frames carry (doc_id, md5)
+    only — the text never rides the join — so the exchange is
+    narrow; the classify-then-count agg combines map-side to ≤4
+    rows. Snapshots are synthesized deterministically in both
+    engines (hash-dropped membership, hash-chosen edits — the
+    text_c4_filters discipline)."""
+    from logprep_spark.functions.sampling import hash_bucket
+
+    docs = tables(spark, sf_dir)["documents"]
+    snap_a = docs.filter(hash_bucket(F.col("doc_id"), 10, "snapA") != 0).select(
+        F.col("doc_id").alias("a_id"), F.md5("text").alias("a_h")
+    )
+    edited = F.when(
+        hash_bucket(F.col("doc_id"), 7, "snapC") == 0,
+        F.concat(F.col("text"), F.lit(" v2")),
+    ).otherwise(F.col("text"))
+    snap_b = docs.filter(hash_bucket(F.col("doc_id"), 10, "snapB") != 0).select(
+        F.col("doc_id").alias("b_id"), F.md5(edited).alias("b_h")
+    )
+    status = (
+        F.when(F.col("a_id").isNull(), "added")
+        .when(F.col("b_id").isNull(), "deleted")
+        .when(F.col("a_h") != F.col("b_h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        snap_a.join(snap_b, F.col("a_id") == F.col("b_id"), "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )

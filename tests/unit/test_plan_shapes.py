@@ -978,3 +978,37 @@ def test_week_over_week_pushed_ranges_cached_sets(plans):
     assert "InMemoryTableScan" in plan
     scans = [l for l in plan.split("\n") if "FileScan" in l]
     assert scans and all("PushedFilters: []" not in l for l in scans)
+
+
+def test_deleter_negation_pushes_to_parquet(plans):
+    """proc_deleter: the null-safe negation must reach the reader as
+    Or(IsNull, Not(EqualTo)) — the ~coalesce(cond, false) form pushed
+    nothing (query-lint finding), silently re-reading every row group
+    of a 100 TB table to delete from it."""
+    scan = filescan_line(plans("proc_deleter"))
+    assert "PushedFilters: []" not in scan
+    assert "Or(IsNull(event_type),Not(EqualTo(event_type,click)))" in scan
+
+
+def test_cdc_ivm_cutoffs_push_to_parquet(plans):
+    """cdc_apply_upserts / ivm_merge_event_counts: both slice cutoffs
+    are raw ts ranges at the scan (the day-truncated compare pushed
+    nothing on either side of the cutoff)."""
+    for name in ("cdc_apply_upserts", "ivm_merge_event_counts"):
+        plan = plans(name)
+        scans = [l for l in plan.split("\n") if "FileScan" in l]
+        assert scans and all("PushedFilters: []" not in l for l in scans), name
+
+
+def test_peak_concurrency_two_phase_prefix(plans):
+    """events_peak_concurrency: the global running sum must decompose —
+    ONE hour-partitioned window over the boundary stream plus one
+    window over the bounded per-hour frame (the naive form is a single
+    empty-PARTITION-BY window dragging the whole corpus through one
+    task); offsets attach by broadcast."""
+    plan = plans("events_peak_concurrency")
+    assert plan.count("Window [") == 2
+    # the corpus-sized window is hour-partitioned; the global-ordered
+    # one runs over the |hours| aggregate only (after a HashAggregate)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
