@@ -133,10 +133,14 @@ def decode_png(payload: bytes):
     (0), RGB (2), PALETTE (3, incl. 1/2/4-bit packed indices),
     gray+alpha (4) and RGBA (6) — both non-interlaced and Adam7
     INTERLACED (each of the 7 passes is its own filtered scanline
-    group; empty passes contribute zero bytes). Alpha is dropped,
-    gray replicates to RGB. 16-bit raises. A production cluster swaps
-    this for an injected libpng/Pillow batch decoder; the Spark-side
-    contract (bytes -> (H, W, 3) uint8) is identical."""
+    group; empty passes contribute zero bytes), and 16-BIT depth for
+    the non-palette types (r6: filters operate on the 2-byte-sample
+    stride with bpp = 2·channels; big-endian samples collapse to
+    their high byte — exact for the v·257 scaling the spec
+    recommends for 8→16 promotion). Alpha is dropped, gray
+    replicates to RGB. A production cluster swaps this for an
+    injected libpng/Pillow batch decoder; the Spark-side contract
+    (bytes -> (H, W, 3) uint8) is identical."""
     import struct
     import zlib
 
@@ -163,7 +167,7 @@ def decode_png(payload: bytes):
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    ok = (colt in (0, 2, 4, 6) and bitd == 8) or (
+    ok = (colt in (0, 2, 4, 6) and bitd in (8, 16)) or (
         colt == 3 and bitd in (1, 2, 4, 8)
     )
     if not ok or inter not in (0, 1):
@@ -182,6 +186,9 @@ def decode_png(payload: bytes):
         rows = _png_unfilter(chunk, ph, stride, bpp_filt)
         if colt == 3:
             return _png_unpack_bits(rows, pw, bitd).reshape(ph, pw, 1)
+        if bitd == 16:
+            # big-endian u16 samples -> high byte (spec 16->8)
+            return rows.reshape(ph, pw, channels, 2)[:, :, :, 0]
         return rows.reshape(ph, pw, channels)
 
     if inter == 0:
@@ -262,14 +269,20 @@ def _png_filter_rows(flat, stride: int, bpp: int, filter_type: int) -> bytes:
 
 
 def encode_png(
-    pixels, filter_type: int = 0, interlace: bool = False, palette: bool = False
+    pixels,
+    filter_type: int = 0,
+    interlace: bool = False,
+    palette: bool = False,
+    bit_depth: int = 8,
 ) -> bytes:
     """Encode an (H, W, 3) uint8 RGB array as a valid PNG.
     ``filter_type`` selects the per-row filter (0-4); ``interlace``
     emits Adam7 (each pass filtered independently, per spec);
     ``palette`` emits color type 3 with an 8-bit PLTE built from the
-    image's unique colors (≤256) — fixture generators for every
-    reconstruction path in :func:`decode_png`."""
+    image's unique colors (≤256); ``bit_depth=16`` promotes samples
+    by the spec's exact v·257 scaling (big-endian, filters over the
+    2-byte stride) — fixture generators for every reconstruction
+    path in :func:`decode_png`."""
     import struct
     import zlib
 
@@ -279,12 +292,18 @@ def encode_png(
     h, w = arr.shape[:2]
     plte_chunk = b""
     if palette:
+        if bit_depth != 8:
+            raise ValueError("palette fixtures are 8-bit only")
         colors, inverse = np.unique(arr.reshape(-1, 3), axis=0, return_inverse=True)
         if len(colors) > 256:
             raise ValueError("encode_png(palette=True): more than 256 colors")
         planes = inverse.reshape(h, w, 1).astype(np.uint8)
         colt, bpp = 3, 1
         plte_chunk = _png_chunk(b"PLTE", colors.astype(np.uint8).tobytes())
+    elif bit_depth == 16:
+        # v*257 = (v << 8) | v: high byte == low byte == v
+        planes = np.stack([arr, arr], axis=3).reshape(h, w, 6)
+        colt, bpp = 2, 6
     else:
         planes = arr
         colt, bpp = 2, 3
@@ -305,7 +324,9 @@ def encode_png(
         data = bytes(stream)
     else:
         data = rows_of(planes)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, colt, 0, 0, 1 if interlace else 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, colt, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)

@@ -502,3 +502,26 @@ def test_png_palette_roundtrip_and_subbyte_depths():
     pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
     expect = pal[np.array(idx)]
     assert (got == expect).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    ftype=st.integers(min_value=0, max_value=4),
+    interlace=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_16bit_roundtrip_any_filter_and_interlace(h, w, ftype, interlace, seed):
+    """16-bit depth (r6): the encoder promotes by the spec's exact
+    v*257 scaling, the decoder collapses big-endian samples to their
+    high byte — bit-identical round trip under every filter type and
+    both interlace modes (filters run over the 2-byte-sample stride,
+    bpp = 6)."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    blob = encode_png(img, filter_type=ftype, interlace=interlace, bit_depth=16)
+    # IHDR declares depth 16 (byte 24 of the file: 8-sig + 4-len +
+    # 4-type + 8-dims)
+    assert blob[24] == 16
+    assert np.array_equal(decode_png(blob), img)
