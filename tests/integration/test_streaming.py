@@ -909,3 +909,57 @@ def test_stream_stream_left_outer_interval_join(spark, tmp_path):
     assert rows[20] == 10          # matched pair
     assert 22 in rows and rows[22] is None  # unmatched left emitted with NULLs
     assert rows[29] == 19
+
+
+def test_checkpoint_restart_recovery_exactly_once(spark, tmp_path):
+    """Production recovery drill for the exactly-once sink (C10): a
+    streaming job drains batch 1 and STOPS (crash / deploy); new data
+    arrives; the SAME checkpoint + sink restart and drain; a third
+    restart finds nothing new. The union of committed batch dirs must
+    hold every input row exactly once — the checkpoint guarantees no
+    loss across restarts, the idempotent rename guarantees no
+    duplicates from foreachBatch replay."""
+    import os
+    import time
+
+    from logprep_spark.sources.outputs import IdempotentBatchOutput
+
+    src = tmp_path / "src"
+    src.mkdir()
+    f0 = src / "a.jsonl"
+    f0.write_text("\n".join(json.dumps(r) for r in ROWS[:2]) + "\n")
+    now = time.time()
+    os.utime(f0, (now - 60, now - 60))
+
+    sink = IdempotentBatchOutput(str(tmp_path / "sink"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        df = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = sink.write_stream(df, checkpoint=ckpt)
+        q.awaitTermination(120)
+        q.stop()
+
+    drain()  # run 1: only batch(es) for f0
+    first_batches = sink.committed_batches()
+    assert first_batches
+
+    (src / "b.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in ROWS[2:]) + "\n"
+    )
+    drain()  # run 2: restart from checkpoint, drains only the new file
+    assert len(sink.committed_batches()) > len(first_batches)
+
+    drain()  # run 3: nothing new -> no further commits
+    batches = sink.committed_batches()
+    assert len(batches) == len(sink.committed_batches())
+
+    got = spark.read.json(
+        [str(tmp_path / "sink" / f"batch-{b}") for b in batches]
+    )
+    ids = sorted(r.event_id for r in got.select("event_id").collect())
+    assert ids == [r["event_id"] for r in ROWS]  # every row exactly once
