@@ -6810,3 +6810,125 @@ def corpus_snapshot_diff(spark, sf_dir):
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def _sql_idot(a: str, b: str, d: int) -> str:
+    """Exact integer-micro inner product of the first ``d`` dims —
+    per-element round(x·1000) to BIGINT, order-free integer sum."""
+    return (
+        f"list_sum(list_transform(list_zip({a}[1:{d}], {b}[1:{d}]), "
+        f"p -> CAST(round(p[1] * 1000) AS BIGINT)"
+        f" * CAST(round(p[2] * 1000) AS BIGINT)))"
+    )
+
+
+@register(
+    "embed_truncation_fidelity",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE ('0x' || substr(md5('mat:' || vec_id::varchar), 1, 15))::bigint
+              % 50 = 0
+    ), scored AS (
+        SELECT query_id, nbr_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d64 DESC, nbr_id) AS rn64,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d8 DESC, nbr_id) AS rn8,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d16 DESC, nbr_id) AS rn16,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d32 DESC, nbr_id) AS rn32
+        FROM (
+            SELECT query_id, e.vec_id AS nbr_id,
+                   {_sql_idot('qv', 'e.embedding', 64)} AS d64,
+                   {_sql_idot('qv', 'e.embedding', 8)}  AS d8,
+                   {_sql_idot('qv', 'e.embedding', 16)} AS d16,
+                   {_sql_idot('qv', 'e.embedding', 32)} AS d32
+            FROM q, embeddings e WHERE query_id <> e.vec_id
+        )
+    ), tops AS (
+        SELECT query_id,
+               max(CASE WHEN rn64 = 1 THEN nbr_id END) AS t64,
+               max(CASE WHEN rn8  = 1 THEN nbr_id END) AS t8,
+               max(CASE WHEN rn16 = 1 THEN nbr_id END) AS t16,
+               max(CASE WHEN rn32 = 1 THEN nbr_id END) AS t32
+        FROM scored GROUP BY query_id
+    )
+    SELECT 8 AS dims, CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum((t8 = t64)::int) * 1000 // count(*) AS BIGINT)
+               AS top1_agree_milli
+    FROM tops
+    UNION ALL
+    SELECT 16, CAST(count(*) AS BIGINT),
+           CAST(sum((t16 = t64)::int) * 1000 // count(*) AS BIGINT) FROM tops
+    UNION ALL
+    SELECT 32, CAST(count(*) AS BIGINT),
+           CAST(sum((t32 = t64)::int) * 1000 // count(*) AS BIGINT) FROM tops
+    """,
+)
+def embed_truncation_fidelity(spark, sf_dir):
+    """Matryoshka truncation fidelity (Kusupati et al. 2022): can the
+    first d dims stand in for all 64? Top-1 retrieval agreement of
+    the d-prefix inner product vs the full one, per d ∈ {8, 16, 32} —
+    the eval run before cutting embedding storage 2–8×. Integer-micro
+    dots (per-element round ×1000 → order-free BIGINT sums, the
+    embed_quantize discipline) make the argmax exact in any engine;
+    the hash-sampled query set keeps the brute-force pass a bounded
+    |q|×corpus broadcast join (the ann_topk_bruteforce shape); all
+    four rankings ride ONE query-keyed window exchange; the final
+    agreement aggs fold a |q|-row frame."""
+    from logprep_spark.functions.sampling import hash_bucket
+    from pyspark.sql import Window
+
+    # Catalyst discipline (the minhash_signature_df lesson): stage the
+    # integer arrays ONCE per row and the per-pair products ONCE per
+    # pair, so every downstream expression is a short tree over a
+    # column reference — four inlined zip_with(slice, slice) dot
+    # expressions made plan ANALYSIS alone take ~50 s.
+    to_int = "transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
+    emb = tables(spark, sf_dir)["embeddings"]
+    q = emb.filter(hash_bucket(F.col("vec_id"), 50, "mat") == 0).selectExpr(
+        "vec_id AS query_id", f"{to_int} AS qi"
+    )
+    c = emb.selectExpr("vec_id AS nbr_id", f"{to_int} AS ni")
+    prods = q.join(c, F.col("query_id") != F.col("nbr_id")).selectExpr(
+        "query_id",
+        "nbr_id",
+        "zip_with(qi, ni, (x, y) -> x * y) AS prods",
+    )
+    scored = prods.selectExpr(
+        "query_id",
+        "nbr_id",
+        *[
+            f"aggregate(slice(prods, 1, {d}), 0L, (acc, v) -> acc + v) AS d{d}"
+            for d in (64, 8, 16, 32)
+        ],
+    )
+    rn_cols = [
+        F.row_number()
+        .over(Window.partitionBy("query_id").orderBy(F.col(f"d{d}").desc(), "nbr_id"))
+        .alias(f"rn{d}")
+        for d in (64, 8, 16, 32)
+    ]
+    ranked = scored.select("query_id", "nbr_id", *rn_cols)
+    tops = ranked.groupBy("query_id").agg(
+        *[
+            F.max(F.when(F.col(f"rn{d}") == 1, F.col("nbr_id"))).alias(f"t{d}")
+            for d in (64, 8, 16, 32)
+        ]
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    tops = tops.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def agree(d: int):
+        return tops.agg(
+            F.lit(d).cast("int").alias("dims"),
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.expr(
+                f"CAST(sum(CAST(t{d} = t64 AS INT)) * 1000 div count(*) AS BIGINT)"
+            ).alias("top1_agree_milli"),
+        ).select("dims", "n_queries", "top1_agree_milli")
+
+    return agree(8).unionAll(agree(16)).unionAll(agree(32))
