@@ -88,9 +88,9 @@ def register(name: str, oracle: str | None = None):
 #     phases — tpch_q4/q7/q10/q16/q17/q18/q19/q22, graph_pagerank,
 #     ml_kmeans*, bigram-LM/DSIR/SemDeDup, BM25/RRF, the late-r5
 #     analytics set, flagship v2) + corpus_domain_sampling (new r6).
-#   r7 window (next round): the 16 r6-new queries that did not fit
-#     (text_c4_filters, text_pmi_collocations, tpch_q13, tpch_q21,
-#     window_moving_avg_range, funnel_time_to_convert,
+#   r7 window (next round): the 41 r6-new queries that postdate this
+#     window (text_c4_filters, text_pmi_collocations, tpch_q13,
+#     tpch_q21, window_moving_avg_range, funnel_time_to_convert,
 #     ivm_merge_event_counts, event_grouping_sets, events_twap,
 #     users_week_over_week, scd2_user_tier, attribution_last_touch,
 #     recon_orders_lineitems, dedup_minhash_estimate,
@@ -99,12 +99,13 @@ def register(name: str, oracle: str | None = None):
 #     events_sequence_anomaly, events_anomaly_mad, basket_part_pairs,
 #     tpch_q2, window_ntile_deciles, text_rake_keywords,
 #     embed_quantize_int8, split_kfold, customers_rfm,
-#     text_langid_confusion, retention_decay_fit — 31 total) + the 19
-#     oldest
-#     r4-checked queries (alphabetical from CORRECTNESS_r04's
-#     last-seen set).
-#   r8 window: the remaining 13 r4-checked + 37 of the r5-checked set.
-#   r9 window: the remaining 13 r5-checked + the r6-window set again.
+#     text_langid_confusion, retention_decay_fit, tpch_q8, tpch_q9,
+#     tpch_q11, tpch_q12, tpch_q15, tpch_q20, match_fuzzy_entities,
+#     events_peak_concurrency, corpus_snapshot_diff,
+#     embed_truncation_fidelity — 41 total) + the 9 oldest r4-checked
+#     queries (alphabetical from CORRECTNESS_r04's last-seen set).
+#   r8 window: the remaining 23 r4-checked + 27 of the r5-checked set.
+#   r9 window: the remaining r5-checked + the r6-window set again.
 # All 178 queries stay locally oracle-gated every round via
 # tools/check_oracles.py (LOCAL_CORRECTNESS.md, same methodology).
 _PRIORITY = [
