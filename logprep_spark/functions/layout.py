@@ -1,0 +1,61 @@
+"""Data-layout keys for multi-column pruning (Z-order / Morton).
+
+At 100 TB the cheapest rows are the ones never read: parquet keeps
+min/max stats per row group, and a reader's pushed range predicate
+skips groups whose stats cannot match. Sorting by ONE column makes
+one predicate selective and leaves any other column's stats spanning
+the whole domain; interleaving the bits of several columns' ranks
+(Z-order — the curve Delta/Iceberg OPTIMIZE ZORDER BY uses) keeps
+EVERY interleaved column locally clustered, so multi-dimensional box
+predicates prune on all of them at once.
+
+No reference counterpart (Logprep has no storage layer); public
+technique (Morton 1966; Databricks/Iceberg docs describe the same
+write path: compute the curve key, range-repartition + sort by it,
+write).
+
+Usage::
+
+    key = zorder_key([F.col("user_id"), F.col("value")], bits=12)
+    df.repartitionByRange(n, key).sortWithinPartitions(key).write...
+
+Everything is native Catalyst expressions — rank bucketing via
+exact percent-rank over a sample-free window is deliberately NOT
+used (a global window serializes the write); instead callers pass
+pre-scaled integer columns or use :func:`scale_to_bits` with known
+domain bounds (the broadcast-model discipline: compute bounds in one
+tiny agg, attach as literals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def scale_to_bits(col: Column, lo: float, hi: float, bits: int = 12) -> Column:
+    """Affine-map ``col`` from [lo, hi] to the integer grid
+    [0, 2^bits): the per-column rank proxy feeding the interleave.
+    Bounds come from a prior 1-row agg (broadcast-model pattern) or
+    domain knowledge; values outside clamp to the edge cells."""
+    cells = (1 << bits) - 1
+    unit = (col.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
+    clamped = F.least(F.greatest(unit, F.lit(0.0)), F.lit(1.0))
+    return F.round(clamped * cells).cast("long")
+
+
+def zorder_key(cols: list[Column], bits: int = 12) -> Column:
+    """Morton/Z-order key: bit-interleave ``cols`` (already integer
+    grid coordinates in [0, 2^bits), e.g. from :func:`scale_to_bits`).
+    Bit b of column c lands at position b·len(cols)+c — a pure
+    shift/or expression tree (2·bits·len(cols) native ops, codegen
+    folds it into one stage; no UDF, no shuffle)."""
+    n = len(cols)
+    if not n:
+        raise ValueError("zorder_key needs at least one column")
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        for c, col in enumerate(cols):
+            bit = F.shiftright(col.cast("long"), b).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, b * n + c))
+    return out
