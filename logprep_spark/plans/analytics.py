@@ -368,6 +368,75 @@ def asof_join(
     )
 
 
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    tolerance_us: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Nearest-neighbor as-of join with tolerance: each left row gets
+    the right timestamp minimizing |right_ts − left_ts| per key, NULL
+    when nothing lies within ``tolerance_us`` — the sensor-fusion /
+    quote-matching variant of :func:`asof_join` (which is
+    backward-only). Ties (equal distance both directions) prefer the
+    backward match, DuckDB/pandas ``merge_asof(direction='nearest')``
+    convention.
+
+    Scale shape: ONE union + ONE key shuffle carrying BOTH directions
+    — a backward pass (ascending carry-forward) and a forward pass
+    (descending carry-forward) are two window specs over the same
+    partition key, so Catalyst plans one exchange with two sorts; no
+    range join, no |left|×|right-per-key| explosion. The nearest pick
+    is a narrow integer-microsecond CASE."""
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_event_ts"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_r_ts"),
+    )
+    l = left.select("*", F.col(left_ts).alias("_event_ts"), F.lit(1).alias("_side"))
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy("_event_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # right rows order before left at the same instant in BOTH
+    # directions (ascending ts then side, descending ts then side) so
+    # a same-instant right row is visible to each pass (inclusive).
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_event_ts").desc(), "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = unioned.select(
+        *left.columns,
+        "_side",
+        F.last("_r_ts", ignorenulls=True).over(w_back).alias("_back_ts"),
+        F.last("_r_ts", ignorenulls=True).over(w_fwd).alias("_fwd_ts"),
+    ).filter(F.col("_side") == 1)
+    def _us(c: Column) -> Column:
+        # NTZ-safe: differences are TZ-invariant under the same cast
+        return F.unix_micros(c.cast("timestamp"))
+
+    db = _us(F.col(left_ts)) - _us(F.col("_back_ts"))
+    df_ = _us(F.col("_fwd_ts")) - _us(F.col(left_ts))
+    tol = F.lit(tolerance_us)
+    pick_back = F.col("_back_ts").isNotNull() & (db <= tol) & (
+        F.col("_fwd_ts").isNull() | (df_ > tol) | (db <= df_)
+    )
+    pick_fwd = F.col("_fwd_ts").isNotNull() & (df_ <= tol)
+    return staged.select(
+        *left.columns,
+        F.when(pick_back, F.col("_back_ts"))
+        .when(pick_fwd, F.col("_fwd_ts"))
+        .alias("ts_nearest"),
+        F.when(pick_back, db).when(pick_fwd, df_).alias("diff_us"),
+    )
+
+
 def range_join(
     left: DataFrame,
     val_col: str,

@@ -102,8 +102,9 @@ def register(name: str, oracle: str | None = None):
 #     text_langid_confusion, retention_decay_fit, tpch_q8, tpch_q9,
 #     tpch_q11, tpch_q12, tpch_q15, tpch_q20, match_fuzzy_entities,
 #     events_peak_concurrency, corpus_snapshot_diff,
-#     embed_truncation_fidelity — 41 total) + the 9 oldest r4-checked
-#     queries (alphabetical from CORRECTNESS_r04's last-seen set).
+#     embed_truncation_fidelity, join_asof_nearest — 42 total) + the 8
+#     oldest r4-checked queries (alphabetical from CORRECTNESS_r04's
+#     last-seen set).
 #   r8 window: the remaining 23 r4-checked + 27 of the r5-checked set.
 #   r9 window: the remaining r5-checked + the r6-window set again.
 # All 178 queries stay locally oracle-gated every round via
@@ -6933,3 +6934,60 @@ def embed_truncation_fidelity(spark, sf_dir):
         ).select("dims", "n_queries", "top1_agree_milli")
 
     return agree(8).unionAll(agree(16)).unionAll(agree(32))
+
+
+@register(
+    "join_asof_nearest",
+    """
+    WITH logins AS (SELECT user_id, ts FROM events WHERE event_type = 'login'),
+    purch AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'),
+    staged AS (
+        SELECT p.event_id, p.ts AS p_ts, b.ts AS back_ts, f.ts AS fwd_ts
+        FROM purch p
+        ASOF LEFT JOIN logins b ON p.user_id = b.user_id AND p.ts >= b.ts
+        ASOF LEFT JOIN logins f ON p.user_id = f.user_id AND p.ts <= f.ts
+    ), picked AS (
+        SELECT event_id, back_ts, fwd_ts,
+               epoch_us(p_ts) - epoch_us(back_ts) AS db,
+               epoch_us(fwd_ts) - epoch_us(p_ts) AS df,
+               CASE WHEN back_ts IS NOT NULL
+                         AND epoch_us(p_ts) - epoch_us(back_ts) <= 3600000000
+                         AND (fwd_ts IS NULL
+                              OR epoch_us(fwd_ts) - epoch_us(p_ts) > 3600000000
+                              OR epoch_us(p_ts) - epoch_us(back_ts)
+                                 <= epoch_us(fwd_ts) - epoch_us(p_ts))
+                    THEN 'b'
+                    WHEN fwd_ts IS NOT NULL
+                         AND epoch_us(fwd_ts) - epoch_us(p_ts) <= 3600000000
+                    THEN 'f' END AS pick
+        FROM staged
+    )
+    SELECT event_id,
+           CASE pick WHEN 'b' THEN back_ts WHEN 'f' THEN fwd_ts END
+               AS nearest_login_ts,
+           CAST(CASE pick WHEN 'b' THEN db WHEN 'f' THEN df END AS BIGINT)
+               AS diff_us
+    FROM picked
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """ASOF-NEAREST with tolerance (plans/analytics.py
+    asof_nearest_join): each purchase gets its user's nearest login
+    within ±1 h, either direction, ties backward — the sensor-fusion
+    member of the as-of family (A10 is backward-only). One union +
+    ONE key shuffle carries both directions (two window specs over
+    the same partition); integer-microsecond pick. The oracle stages
+    TWO native DuckDB ASOF joins (backward + forward) and replicates
+    the pick CASE."""
+    ev = tables(spark, sf_dir)["events"]
+    logins = ev.filter(F.col("event_type") == "login").select("user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = an.asof_nearest_join(purch, logins, ["user_id"], tolerance_us=3_600_000_000)
+    return out.select(
+        "event_id",
+        F.col("ts_nearest").alias("nearest_login_ts"),
+        F.col("diff_us").cast("long").alias("diff_us"),
+    )

@@ -1012,3 +1012,16 @@ def test_peak_concurrency_two_phase_prefix(plans):
     # one runs over the |hours| aggregate only (after a HashAggregate)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_nearest_one_exchange_no_range_join(plans):
+    """join_asof_nearest: both directions ride ONE union + ONE
+    user-keyed exchange (two window sorts over the same partition) —
+    never a range/nested-loop join."""
+    plan = plans("join_asof_nearest")
+    assert plan.count("Window [") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # one exchange for the union'd frame (plus at most the scans')
+    assert plan.count("Exchange hashpartitioning") == 1
