@@ -49,6 +49,25 @@ def _step_exact_dedup(df: DataFrame, text_col: str, **kw) -> DataFrame:
     return dd.exact_dedup(df, text_col=text_col, **kw)
 
 
+def _step_near_dedup(
+    df: DataFrame,
+    text_col: str,
+    threshold_milli: int = 700,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash→LSH→verify near-duplicate REMOVAL as a selection step
+    (exact_dedup's fuzzy sibling, the step a pre-training cleanup
+    actually runs): drop every doc that is the higher-id member of a
+    verified pair — the greedy keep-lowest-id rule (transitive
+    cluster-exact removal is dedup_clusters' job; greedy is the
+    single-extra-shuffle answer). Batch-only like exact_dedup."""
+    pairs = dd.minhash_dedup(
+        df.select(id_col, text_col), text_col, id_col, threshold_milli / 1000.0
+    )
+    kill = pairs.select(F.greatest("id_a", "id_b").alias(id_col)).distinct()
+    return df.join(kill, id_col, "left_anti")
+
+
 def _step_pii_redact(df: DataFrame, text_col: str) -> DataFrame:
     return df.withColumn(text_col, tx.pii_redact(F.col(text_col)))
 
@@ -129,6 +148,7 @@ STEPS: dict[str, Callable[..., DataFrame]] = {
     "gopher_filter": _step_gopher_filter,
     "line_dedup": _step_line_dedup,
     "exact_dedup": _step_exact_dedup,
+    "near_dedup": _step_near_dedup,
     "pii_redact": _step_pii_redact,
     "quality_score": _step_quality_score,
     "lang_id": _step_lang_id,

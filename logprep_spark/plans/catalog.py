@@ -102,9 +102,9 @@ def register(name: str, oracle: str | None = None):
 #     text_langid_confusion, retention_decay_fit, tpch_q8, tpch_q9,
 #     tpch_q11, tpch_q12, tpch_q15, tpch_q20, match_fuzzy_entities,
 #     events_peak_concurrency, corpus_snapshot_diff,
-#     embed_truncation_fidelity, join_asof_nearest — 42 total) + the 8
-#     oldest r4-checked queries (alphabetical from CORRECTNESS_r04's
-#     last-seen set).
+#     embed_truncation_fidelity, join_asof_nearest,
+#     corpus_near_dedup_step — 43 total) + the 7 oldest r4-checked
+#     queries (alphabetical from CORRECTNESS_r04's last-seen set).
 #   r8 window: the remaining 23 r4-checked + 27 of the r5-checked set.
 #   r9 window: the remaining r5-checked + the r6-window set again.
 # All 178 queries stay locally oracle-gated every round via
@@ -6990,4 +6990,42 @@ def join_asof_nearest(spark, sf_dir):
         "event_id",
         F.col("ts_nearest").alias("nearest_login_ts"),
         F.col("diff_us").cast("long").alias("diff_us"),
+    )
+
+
+@register(
+    "corpus_near_dedup_step",
+    f"""
+    WITH {_sql_minhash_bands()},
+    kill AS (
+        SELECT DISTINCT greatest(id_a, id_b) AS doc_id
+        FROM pairs
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE {_SQL_JACCARD} >= 0.7
+    )
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS n_chars
+    FROM documents d LEFT JOIN kill k ON d.doc_id = k.doc_id
+    WHERE k.doc_id IS NULL
+    GROUP BY d.source
+    """,
+)
+def corpus_near_dedup_step(spark, sf_dir):
+    """The corpus pipeline's near_dedup SELECTION step (corpus.py
+    _step_near_dedup) gated end-to-end: survivors per source after
+    dropping the higher-id member of every verified MinHash near-dup
+    pair (greedy keep-lowest-id). The oracle rebuilds the identical
+    banding + verify SQL and anti-joins the greatest-id kill set —
+    the driver hash gate proves the STEP (not just the pair list)
+    matches."""
+    from logprep_spark.corpus import CorpusPipeline
+
+    docs = tables(spark, sf_dir)["documents"]
+    kept = CorpusPipeline(
+        [{"op": "near_dedup", "threshold_milli": 700}]
+    ).transform(docs)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
     )

@@ -151,3 +151,29 @@ def test_c4_and_domain_sample_steps(spark):
 
     with pytest.raises(ConfigError):
         CorpusPipeline([{"op": "domain_sample", "budget_numm": 1}])
+
+
+def test_near_dedup_step_drops_higher_id_near_dupes(spark):
+    """r6 step: near_dedup removes the higher-id member of each
+    verified MinHash near-dup pair and keeps everything else — with
+    extra columns intact for downstream steps."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill nearby every single day"
+    )
+    near = base.replace("lazy", "sleepy")  # high Jaccard to base
+    other = (
+        "completely different content about spark partitions shuffles "
+        "and broadcast joins at a hundred terabytes of corpus scale"
+    )
+    df = spark.createDataFrame(
+        [(1, base, "s0"), (2, near, "s0"), (3, other, "s1")],
+        ["doc_id", "text", "source"],
+    )
+    out = CorpusPipeline([{"op": "near_dedup", "threshold_milli": 600}]).transform(df)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert sorted(rows) == [1, 3]  # doc 2 dropped, lowest id kept
+    assert rows[1].source == "s0"  # extra columns survive
+
+    with pytest.raises(ConfigError):
+        CorpusPipeline([{"op": "near_dedup", "treshold_milli": 600}])
