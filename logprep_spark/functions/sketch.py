@@ -191,3 +191,63 @@ def hll_mergeable_distinct(
             " div greatest(direct_estimate, 1)"
         ).alias("merge_drift_milli"),
     )
+
+
+def hll_audience_overlap(
+    df: DataFrame,
+    slice_col: str,
+    value_col: str,
+    slice_a: str,
+    slice_b: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Cross-slice audience overlap from stored sketches — the
+    inclusion–exclusion answer to "how many users were active in BOTH
+    weeks?" when only per-slice HLL sketches are kept: |A∩B| ≈
+    |A| + |B| − |A∪B|, every term an HLL estimate and the union an
+    O(sketch) merge of the two stored sketches (raw data never
+    re-read). HLL cannot intersect directly (that is theta sketches'
+    trick), so inclusion–exclusion is the standard HLL route; its
+    error grows as the overlap shrinks relative to the union — the
+    exact intersection and milli error ride along as the accuracy
+    witness, pytest-bounded. One row out; both sketch aggs combine
+    map-side; the exact check is two distinct aggs over the two
+    slices only."""
+    a = df.filter(F.col(slice_col) == slice_a)
+    b = df.filter(F.col(slice_col) == slice_b)
+    sk_a = a.agg(F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("_sa"))
+    sk_b = b.agg(F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("_sb"))
+    ests = (
+        sk_a.crossJoin(F.broadcast(sk_b))
+        .select(
+            F.hll_sketch_estimate("_sa").alias("est_a"),
+            F.hll_sketch_estimate("_sb").alias("est_b"),
+            F.hll_sketch_estimate(
+                F.hll_union("_sa", "_sb", True)
+            ).alias("est_union"),
+        )
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+        )
+    )
+    exact = (
+        a.select(F.col(value_col).alias("_v"))
+        .intersect(b.select(F.col(value_col).alias("_v")))
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return ests.crossJoin(F.broadcast(exact)).select(
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_intersection",
+        "exact_intersection",
+        F.expr(
+            "1000 * abs(est_intersection - exact_intersection)"
+            " div greatest(exact_intersection, 1)"
+        ).alias("err_milli"),
+    )

@@ -103,8 +103,9 @@ def register(name: str, oracle: str | None = None):
 #     tpch_q11, tpch_q12, tpch_q15, tpch_q20, match_fuzzy_entities,
 #     events_peak_concurrency, corpus_snapshot_diff,
 #     embed_truncation_fidelity, join_asof_nearest,
-#     corpus_near_dedup_step — 43 total) + the 7 oldest r4-checked
-#     queries (alphabetical from CORRECTNESS_r04's last-seen set).
+#     corpus_near_dedup_step, sketch_hll_overlap — 44 total) + the 6
+#     oldest r4-checked queries (alphabetical from CORRECTNESS_r04's
+#     last-seen set).
 #   r8 window: the remaining 23 r4-checked + 27 of the r5-checked set.
 #   r9 window: the remaining r5-checked + the r6-window set again.
 # All 178 queries stay locally oracle-gated every round via
@@ -7028,4 +7029,20 @@ def corpus_near_dedup_step(spark, sf_dir):
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@register("sketch_hll_overlap")
+def sketch_hll_overlap(spark, sf_dir):
+    """Stored-sketch audience overlap (functions/sketch.py
+    hll_audience_overlap): distinct users active in BOTH of two weeks
+    by inclusion–exclusion over per-slice HLL sketches — |A|+|B|−|A∪B|
+    with the union an O(sketch) merge; exact intersection + milli
+    error ride along as the accuracy witness. Rows-only driver gate
+    (engine-specific sketch); the error bound lives in pytest."""
+    events = tables(spark, sf_dir)["events"]
+    week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    return sk.hll_audience_overlap(
+        events.withColumn("_week", week), "_week", "user_id",
+        "2024-01-01", "2024-01-08",
     )

@@ -1324,3 +1324,20 @@ def test_rake_scores_multiword_phrases_highest(spark):
     # all-integer scores, deterministic under repartitioning
     out2 = text.rake_keywords(df.repartition(4), top_n=10, min_phrase_count=2).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_hll_overlap_inclusion_exclusion_accuracy(spark):
+    """Audience overlap from stored sketches: the inclusion–exclusion
+    intersection estimate lands within the compounded HLL error of
+    exact when the overlap is a healthy fraction of the union
+    (lg_k=12; three estimates compound, allow ~8%)."""
+    from logprep_spark.functions import sketch as sk
+
+    # slice A = ids [0, 6000), slice B = ids [3000, 9000): overlap 3000
+    df = spark.range(12_000).selectExpr(
+        "CASE WHEN id < 6000 THEN 'a' ELSE 'b' END AS s",
+        "CAST(CASE WHEN id < 6000 THEN id ELSE id - 3000 END AS STRING) AS member",
+    )
+    row = sk.hll_audience_overlap(df, "s", "member", "a", "b").first()
+    assert row["exact_intersection"] == 3000
+    assert row["err_milli"] <= 80
