@@ -118,6 +118,46 @@ class JsonlInput(Input):
     def read_stream(self, spark: SparkSession) -> DataFrame:
         return self._parse(spark.readStream.text(self.path), spark)
 
+    def read_with_quarantine(
+        self, spark: SparkSession
+    ) -> tuple[DataFrame, DataFrame]:
+        """(ok, quarantine) — the parse-level dead-letter split every
+        production ingest needs (the processor-level twin is X29's
+        tag_on_failure): a malformed line must neither kill the job
+        (FAILFAST) nor silently become an all-null row (the default
+        PERMISSIVE trap — from_json yields a struct of nulls for
+        malformed input, indistinguishable from a valid all-null
+        object). The columnNameOfCorruptRecord contract disambiguates:
+        malformed lines carry their raw text in the corrupt field and
+        quarantine WITH the source file for replay; everything else
+        parses normally (schema'd scan, no inference pass). Blank
+        lines are noise, not failures — dropped from both sides."""
+        if self.schema is None:
+            raise ValueError("quarantine read requires an explicit schema")
+        schema = (
+            T._parse_datatype_string(self.schema)
+            if isinstance(self.schema, str)
+            else self.schema
+        )
+        probed = T.StructType(
+            list(schema.fields) + [T.StructField("_corrupt", T.StringType())]
+        )
+        staged = spark.read.text(self.path).select(
+            F.col("value").alias("raw"),
+            F.input_file_name().alias("src_file"),
+            F.from_json(
+                "value", probed, {"columnNameOfCorruptRecord": "_corrupt"}
+            ).alias("e"),
+        )
+        bad = F.col("e").isNull() | F.col("e._corrupt").isNotNull()
+        ok = self._post(
+            staged.filter(~bad).select("raw", "e.*")
+        ).drop("raw", "_corrupt")
+        quarantine = staged.filter(
+            bad & (F.length(F.trim(F.col("raw"))) > 0)
+        ).select("raw", "src_file")
+        return ok, quarantine
+
 
 class JsonInput(JsonlInput):
     """reference ``connector/json`` — whole-file JSON documents."""

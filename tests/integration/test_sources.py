@@ -612,3 +612,29 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(day" in scan or "PartitionFilters: [" in scan
     assert "day#" in scan.split("PartitionFilters")[1].split("]")[0]
     assert rd.count() == 10
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    """Parse-level dead-letter: malformed lines quarantine with raw
+    text + source file; good lines parse; blank lines are dropped
+    from both sides; schema-drifted-but-valid JSON stays on the ok
+    side (missing fields null, the PERMISSIVE contract)."""
+    from logprep_spark.sources.inputs import JsonlInput
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        '{"event_id": 1, "event_type": "login"}\n'
+        "\n"
+        "{broken json!!\n"
+        '{"event_id": 2}\n'
+    )
+    ok, quarantine = JsonlInput(
+        str(d), "event_id long, event_type string"
+    ).read_with_quarantine(spark)
+    rows = {r.event_id: r for r in ok.collect()}
+    assert sorted(rows) == [1, 2]
+    assert rows[2].event_type is None  # drifted-but-valid stays ok
+    q = quarantine.collect()
+    assert len(q) == 1 and q[0].raw.startswith("{broken")
+    assert q[0].src_file.endswith("a.jsonl")
