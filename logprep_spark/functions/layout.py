@@ -59,3 +59,50 @@ def zorder_key(cols: list[Column], bits: int = 12) -> Column:
             bit = F.shiftright(col.cast("long"), b).bitwiseAND(F.lit(1))
             out = out.bitwiseOR(F.shiftleft(bit, b * n + c))
     return out
+
+
+def with_hilbert_key(
+    df,
+    x: Column,
+    y: Column,
+    bits: int = 12,
+    out_col: str = "_hilbert",
+):
+    """Append a 2-D Hilbert-curve index column (the curve Morton
+    approximates: no diagonal jumps, so range boxes map to fewer,
+    longer runs of the key — usually a little more pruning at equal
+    sort cost). Inputs are integer grid coordinates in [0, 2^bits)
+    (see :func:`scale_to_bits`).
+
+    Implementation note: the classic xy2d loop REWRITES x and y each
+    level (rotate/reflect), so a pure Column composition would double
+    its expression tree per level (2^bits blowup — the Catalyst
+    lesson from embed_truncation_fidelity). Returning a DataFrame
+    lets each level STAGE its rotated coordinates as real columns:
+    ``bits`` chained projections, each O(1) expressions, all fused by
+    whole-stage codegen into one narrow map."""
+    cx, cy, acc = "__hx", "__hy", "__hd"
+    out = df.withColumn(cx, x.cast("long")).withColumn(cy, y.cast("long")).withColumn(
+        acc, F.lit(0).cast("long")
+    )
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = F.shiftright(F.col(cx), level).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col(cy), level).bitwiseAND(F.lit(1))
+        d_inc = F.lit(s) * F.lit(s) * ((F.lit(3) * rx).bitwiseXOR(ry))
+        # rotate/reflect the sub-quadrant (only when ry == 0)
+        nx = (
+            F.when(ry == 0, F.when(rx == 1, F.lit(s - 1) - F.col(cy)).otherwise(F.col(cy)))
+            .otherwise(F.col(cx))
+        )
+        ny = (
+            F.when(ry == 0, F.when(rx == 1, F.lit(s - 1) - F.col(cx)).otherwise(F.col(cx)))
+            .otherwise(F.col(cy))
+        )
+        out = out.select(
+            *[c for c in out.columns if c not in (cx, cy, acc)],
+            nx.alias(cx),
+            ny.alias(cy),
+            (F.col(acc) + d_inc).alias(acc),
+        )
+    return out.withColumnRenamed(acc, out_col).drop(cx, cy)

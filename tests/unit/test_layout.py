@@ -94,3 +94,70 @@ def test_zorder_layout_prunes_row_groups(spark, tmp_path):
     c1, _ = candidates(str(tmp_path / "bydim"), lo, hi, lo, hi)
     cz, _ = candidates(str(tmp_path / "zorder"), lo, hi, lo, hi)
     assert cz <= c1 and cz <= int(0.15 * tz)
+
+
+def _xy2d_ref(n, x, y):
+    """Independent reference Hilbert xy2d (Wikipedia formulation)."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference(spark):
+    import random
+
+    from logprep_spark.functions.layout import with_hilbert_key
+
+    rng = random.Random(7)
+    bits = 8
+    pts = [(rng.randrange(1 << bits), rng.randrange(1 << bits)) for _ in range(200)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = with_hilbert_key(df, F.col("x"), F.col("y"), bits=bits, out_col="h")
+    got = {(r.x, r.y): r.h for r in out.collect()}
+    for x, y in pts:
+        assert got[(x, y)] == _xy2d_ref(1 << bits, x, y), (x, y)
+
+
+def test_hilbert_layout_prunes_like_zorder(spark, tmp_path):
+    """The Hilbert layout must prune at least as well as the baseline
+    claim made for z-order: a non-sort-dim predicate touches well
+    under half the row groups."""
+    import glob
+
+    from logprep_spark.functions.layout import with_hilbert_key
+
+    n = 200_000
+    df = (
+        spark.range(n)
+        .select(
+            F.abs(F.xxhash64(F.col("id")) % 1024).alias("a"),
+            F.abs(F.xxhash64(F.col("id"), F.lit(1)) % 1024).alias("b"),
+        )
+    )
+    keyed = with_hilbert_key(df, F.col("a"), F.col("b"), bits=10, out_col="_h")
+    keyed.repartition(1).sortWithinPartitions("_h").drop("_h").write.options(
+        **{"parquet.block.size": str(64 * 1024)}
+    ).parquet(str(tmp_path / "hilbert"))
+
+    total = cand = 0
+    for f in glob.glob(str(tmp_path / "hilbert") + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(len(md.schema))}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            sb = g.column(names["b"]).statistics
+            total += 1
+            if sb.min <= 250 and sb.max >= 100:
+                cand += 1
+    assert total >= 8
+    assert cand <= int(0.40 * total)
