@@ -103,9 +103,9 @@ def register(name: str, oracle: str | None = None):
 #     tpch_q11, tpch_q12, tpch_q15, tpch_q20, match_fuzzy_entities,
 #     events_peak_concurrency, corpus_snapshot_diff,
 #     embed_truncation_fidelity, join_asof_nearest,
-#     corpus_near_dedup_step, sketch_hll_overlap — 44 total) + the 6
-#     oldest r4-checked queries (alphabetical from CORRECTNESS_r04's
-#     last-seen set).
+#     corpus_near_dedup_step, sketch_hll_overlap, dedup_pair_lcs —
+#     45 total) + the 5 oldest r4-checked queries (alphabetical from
+#     CORRECTNESS_r04's last-seen set).
 #   r8 window: the remaining 23 r4-checked + 27 of the r5-checked set.
 #   r9 window: the remaining r5-checked + the r6-window set again.
 # All 178 queries stay locally oracle-gated every round via
@@ -7045,4 +7045,113 @@ def sketch_hll_overlap(spark, sf_dir):
     return sk.hll_audience_overlap(
         events.withColumn("_week", week), "_week", "user_id",
         "2024-01-01", "2024-01-08",
+    )
+
+
+@register(
+    "dedup_pair_lcs",
+    f"""
+    WITH {_sql_minhash_bands()},
+    vpairs AS (
+        SELECT id_a, id_b FROM pairs
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE {_SQL_JACCARD} >= 0.7
+    ), pw AS (
+        SELECT doc_id,
+               unnest([struct_pack(pos := i,
+                       wh := {_sql_h60("array_to_string(w[i:i+9], ' ')")})
+                       for i in range(1, greatest(len(w) - 9, 1) + 1)]) AS s
+        FROM (SELECT doc_id, {_sql_words()} AS w FROM documents)
+    ), pwf AS (
+        SELECT doc_id, s.pos AS pos, s.wh AS wh FROM pw
+    ), m AS (
+        SELECT v.id_a, v.id_b, a.pos AS pos_a, a.pos - b.pos AS diag
+        FROM vpairs v
+        JOIN pwf a ON a.doc_id = v.id_a
+        JOIN pwf b ON b.doc_id = v.id_b AND b.wh = a.wh
+    ), runs AS (
+        SELECT id_a, id_b,
+               CAST(count(*) + 9 AS BIGINT) AS run_tokens
+        FROM (
+            SELECT id_a, id_b, pos_a,
+                   pos_a - row_number() OVER (
+                       PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS isl,
+                   diag
+            FROM (SELECT DISTINCT id_a, id_b, pos_a, diag FROM m)
+        ) GROUP BY id_a, id_b, diag, isl
+    )
+    SELECT id_a, id_b, CAST(max(run_tokens) AS BIGINT) AS lcs_tokens
+    FROM runs GROUP BY id_a, id_b
+    ORDER BY lcs_tokens DESC, id_a, id_b LIMIT 10
+    """,
+)
+def dedup_pair_lcs(spark, sf_dir):
+    """Near-dup FORENSICS: the longest verbatim token run shared by
+    each verified MinHash pair — the evidence a dedup reviewer reads
+    before trusting a threshold ('0.72 Jaccard' is abstract; '61
+    verbatim tokens' is not). Exact longest-common-substring via the
+    diagonal trick on positional 10-token window hashes: a shared
+    window at (pos_a, pos_b) lies on diagonal pos_a−pos_b, and a
+    length-L common substring is exactly a run of L−k+1 consecutive
+    matches on ONE diagonal — gaps-and-islands per (pair, diagonal)
+    recovers it with no dynamic programming. Cost bounds: windows
+    only for docs IN verified pairs (semi-join prune), the match join
+    keys on (doc, window-hash) — never positions×positions; top-10 is
+    a TakeOrdered."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    docs = tables(spark, sf_dir)["documents"]
+    vpairs = (
+        dd.minhash_dedup(docs, threshold=0.7)
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pair_ids = (
+        vpairs.select(F.col("id_a").alias("doc_id"))
+        .union(vpairs.select(F.col("id_b")))
+        .distinct()
+    )
+    k = 10
+    toked = docs.join(pair_ids, "doc_id", "left_semi").select(
+        "doc_id", dd.tokens(F.col("text")).alias("_toks")
+    )
+    n = F.size("_toks")
+    win_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice("_toks", i, k), " "),
+    )
+    wins = (
+        toked.select("doc_id", F.posexplode(win_arr).alias("_pos0", "_w"))
+        .select(
+            "doc_id",
+            (F.col("_pos0") + 1).cast("long").alias("pos"),
+            dd.h60(F.col("_w")).alias("wh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wa = wins.select(
+        F.col("doc_id").alias("_da"), F.col("pos").alias("pos_a"), "wh"
+    )
+    wb = wins.select(
+        F.col("doc_id").alias("_db"), F.col("pos").alias("pos_b"), F.col("wh").alias("_whb")
+    )
+    m = (
+        vpairs.join(wa, F.col("id_a") == F.col("_da"))
+        .join(wb, (F.col("id_b") == F.col("_db")) & (F.col("wh") == F.col("_whb")))
+        .select("id_a", "id_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("diag"))
+        .distinct()
+    )
+    isl = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = (
+        m.withColumn("isl", F.col("pos_a") - F.row_number().over(isl))
+        .groupBy("id_a", "id_b", "diag", "isl")
+        .agg((F.count(F.lit(1)) + (k - 1)).cast("long").alias("run_tokens"))
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(F.max("run_tokens").cast("long").alias("lcs_tokens"))
+        .orderBy(F.col("lcs_tokens").desc(), "id_a", "id_b")
+        .limit(10)
     )
