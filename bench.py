@@ -82,6 +82,9 @@ HEADLINE = [
     # corpus-wide budgeting window; first-19 prefix comparable to r5
     "embed_top_component",
     "corpus_domain_sampling",
+    # late-r6 heavy op: minhash verify + positional windows + diagonal
+    # islands (the LCS forensics pass)
+    "dedup_pair_lcs",
 ]
 
 
@@ -97,6 +100,7 @@ SF1_SPOT = [
     # corpus-wide budgeting window (10x documents)
     "embed_top_component",
     "corpus_domain_sampling",
+    "dedup_pair_lcs",
 ]
 
 _REPLICAS = 10
