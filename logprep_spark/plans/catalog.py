@@ -168,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
     """,
 )
 def tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary: full-scan multi-aggregate per (returnflag, linestatus) — the hash-agg throughput yardstick."""
     return an.q1_pricing_summary(tables(spark, sf_dir)["lineitem"])
 
 
@@ -188,6 +189,7 @@ def tpch_q1(spark, sf_dir):
     """,
 )
 def tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority: fact-fact shuffle join + dim filter + top-10 revenue (TakeOrdered)."""
     t = tables(spark, sf_dir)
     return an.q3_shipping_priority(t["customer"], t["orders"], t["lineitem"])
 
@@ -211,6 +213,7 @@ def tpch_q3(spark, sf_dir):
     """,
 )
 def tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local supplier volume: the canonical multi-join star — dims broadcast, one fact exchange."""
     t = tables(spark, sf_dir)
     return an.q5_local_supplier_volume(
         t["region"], t["nation"], t["customer"], t["supplier"], t["orders"], t["lineitem"]
@@ -229,6 +232,7 @@ def tpch_q5(spark, sf_dir):
     """,
 )
 def tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecast revenue: pure scan-filter-aggregate; every predicate pushes to the parquet reader."""
     return an.q6_forecast_revenue(tables(spark, sf_dir)["lineitem"])
 
 
@@ -267,6 +271,7 @@ def tpch_q14(spark, sf_dir):
     """,
 )
 def join_broadcast_nation(spark, sf_dir):
+    """Broadcast dim join: per-nation order revenue with the 25-row nation table hint-broadcast."""
     t = tables(spark, sf_dir)
     return an.nation_revenue(t["nation"], t["customer"], t["orders"])
 
@@ -285,6 +290,7 @@ def join_broadcast_nation(spark, sf_dir):
     """,
 )
 def window_topk_orders(spark, sf_dir):
+    """Top-k orders per customer via a rank window — the per-group top-N shape."""
     return an.topk_orders_per_customer(tables(spark, sf_dir)["orders"], k=3)
 
 
@@ -300,6 +306,7 @@ def window_topk_orders(spark, sf_dir):
     """,
 )
 def join_anti_customers(spark, sf_dir):
+    """LEFT ANTI join: customers with no orders (NOT EXISTS realized without a subquery)."""
     t = tables(spark, sf_dir)
     return an.customers_without_orders(t["customer"], t["orders"])
 
@@ -473,6 +480,7 @@ def join_range_value_bands(spark, sf_dir):
     """,
 )
 def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization: 30-min inactivity splits per-user event streams into sessions (one user-keyed window)."""
     return an.sessionize(tables(spark, sf_dir)["events"], gap_minutes=30)
 
 
@@ -488,6 +496,7 @@ def sessionize_events(spark, sf_dir):
     """,
 )
 def event_type_stats(spark, sf_dir):
+    """Multi-key hash aggregate over events: counts + exact cent sums per event type."""
     return an.event_type_stats(tables(spark, sf_dir)["events"])
 
 
@@ -509,6 +518,7 @@ from logprep_spark.filters import compile_filter  # noqa: E402
     """,
 )
 def event_rollup(spark, sf_dir):
+    """ROLLUP lattice over (event_type, user bucket): subtotals + grand total in one shuffle of tagged partial aggs."""
     return an.event_rollup(tables(spark, sf_dir)["events"])
 
 
@@ -524,6 +534,7 @@ def event_rollup(spark, sf_dir):
     """,
 )
 def event_percentiles(spark, sf_dir):
+    """Exact interpolated p50/p90/p99 of event value per type (percentile, not approx — the oracle-comparable form)."""
     return an.event_percentiles(tables(spark, sf_dir)["events"])
 
 
@@ -550,6 +561,7 @@ def agg_salted_user_counts(spark, sf_dir):
     """,
 )
 def filter_lucene_bool(spark, sf_dir):
+    """Lucene filter DSL: AND/OR/NOT/parens compiled to one Catalyst predicate that pushes to the scan."""
     ev = tables(spark, sf_dir)["events"]
     cond = compile_filter(
         "event_type: error AND value: [100.0 TO 200.0] AND NOT user_id: 7", ev
@@ -566,6 +578,7 @@ def filter_lucene_bool(spark, sf_dir):
     """,
 )
 def filter_lucene_wildcard(spark, sf_dir):
+    """Lucene wildcard filters (*, ?) compiled to anchored rlike regexes."""
     ev = tables(spark, sf_dir)["events"]
     cond = compile_filter("event_type: *rror OR event_type: cl?ck", ev)
     return ev.filter(cond).select("event_id")
@@ -579,6 +592,7 @@ def filter_lucene_wildcard(spark, sf_dir):
     """,
 )
 def filter_lucene_regex(spark, sf_dir):
+    """Lucene regex filters (key:/re/) compiled to rlike."""
     ev = tables(spark, sf_dir)["events"]
     cond = compile_filter(r'props: /\{"k": 8\d\}/', ev)
     return ev.filter(cond).select("event_id")
@@ -593,6 +607,7 @@ def filter_lucene_regex(spark, sf_dir):
     """,
 )
 def filter_lucene_range(spark, sf_dir):
+    """Lucene range filters ([a TO b], {a TO b}) compiled to typed between/comparison predicates."""
     ev = tables(spark, sf_dir)["events"]
     cond = compile_filter("event_type: [click TO error] AND value: {50.0 TO 150.0]", ev)
     return ev.filter(cond).select("event_id")
@@ -606,6 +621,7 @@ def filter_lucene_range(spark, sf_dir):
     """,
 )
 def filter_lucene_sigma(spark, sf_dir):
+    """Sigma-style case-insensitive wildcard matching via per-field sigma_fields compilation."""
     ev = tables(spark, sf_dir)["events"]
     cond = compile_filter("event_type: ERR*", ev, sigma_fields=["event_type"])
     return ev.filter(cond).select("event_id")
@@ -685,6 +701,7 @@ def _events(spark, sf_dir):
     """,
 )
 def proc_calculator(spark, sf_dir):
+    """calculator processor: arithmetic expression template evaluated as native Column math."""
     proc = Calculator(
         [{"filter": "*", "calculator": {"calc": "${value} * 100 + ${user_id}", "target_field": "micros"}}]
     )
@@ -699,6 +716,7 @@ def proc_calculator(spark, sf_dir):
     """,
 )
 def proc_concatenator(spark, sf_dir):
+    """concatenator processor: concat_ws over source fields with delete_source/overwrite flags."""
     proc = Concatenator(
         [{"filter": "*", "concatenator": {
             "source_fields": ["event_type", "user_id", "props"],
@@ -720,6 +738,7 @@ def proc_concatenator(spark, sf_dir):
     """,
 )
 def proc_datetime_extractor(spark, sf_dir):
+    """datetime_extractor processor: timestamp parse + year/month/day/... part extraction."""
     proc = DatetimeExtractor(
         [{"filter": "*", "datetime_extractor": {"source_fields": ["ts"], "target_field": "dt"}}]
     )
@@ -745,6 +764,7 @@ def proc_datetime_extractor(spark, sf_dir):
     """,
 )
 def proc_decoder_json(spark, sf_dir):
+    """decoder processor (json): from_json into typed struct fields."""
     proc = Decoder(
         [{"filter": "*", "decoder": {"source_fields": ["props"], "target_field": "decoded"}}]
     )
@@ -759,6 +779,7 @@ def proc_decoder_json(spark, sf_dir):
     """,
 )
 def proc_decoder_base64(spark, sf_dir):
+    """decoder processor (base64): unbase64 + cast to string."""
     ev = _events(spark, sf_dir).withColumn(
         "b64", F.base64(F.encode(F.col("event_type"), "utf-8"))
     )
@@ -782,6 +803,7 @@ def proc_decoder_base64(spark, sf_dir):
     """,
 )
 def proc_decoder_clf(spark, sf_dir):
+    """decoder processor (CLF): Common-Log-Format regexp_extract into named fields."""
     ev = _events(spark, sf_dir).withColumn(
         "clf_line",
         F.concat(
@@ -819,6 +841,7 @@ def proc_decoder_clf(spark, sf_dir):
     """,
 )
 def proc_dissector(spark, sf_dir):
+    """dissector processor: %{field} pattern split + convert_datatype casts + append/pad modifiers."""
     ev = _events(spark, sf_dir).withColumn(
         "line", F.concat(F.lit("uid="), _s(_u()), F.lit(" type="), F.col("event_type"))
     )
@@ -841,6 +864,7 @@ def proc_dissector(spark, sf_dir):
     """,
 )
 def proc_grokker(spark, sf_dir):
+    """grokker processor: grok patterns (public logstash-patterns-core) compiled to regexp_extract named groups."""
     ev = _events(spark, sf_dir).withColumn(
         "line",
         F.concat(
@@ -909,6 +933,7 @@ def proc_grokker_apache(spark, sf_dir):
     """,
 )
 def proc_timestamper(spark, sf_dir):
+    """timestamper processor: source-format parse normalized to ISO-8601 via date_format."""
     proc = Timestamper(
         [{"filter": "*", "timestamper": {"source_fields": ["ts"], "target_field": "iso_ts"}}]
     )
@@ -924,6 +949,7 @@ def proc_timestamper(spark, sf_dir):
     """,
 )
 def proc_timestamp_differ(spark, sf_dir):
+    """timestamp_differ processor: unix_timestamp difference between two parsed fields, formatted output."""
     ev = _events(spark, sf_dir).withColumn("day_start", F.date_trunc("day", F.col("ts")))
     proc = TimestampDiffer(
         [{"filter": "*", "timestamp_differ": {
@@ -944,6 +970,7 @@ def proc_timestamp_differ(spark, sf_dir):
     """,
 )
 def proc_pseudonymizer(spark, sf_dir):
+    """pseudonymizer processor: sha2-based pseudonyms with regex part-selection + pseudonym side-output frame."""
     ev = _events(spark, sf_dir).withColumn("uname", F.concat(F.lit("user"), _s(_u())))
     proc = Pseudonymizer(
         [{"filter": "*", "pseudonymizer": {"mapping": {"uname": r"^user\d+$"}}}]
@@ -1001,6 +1028,7 @@ def proc_pseudonymizer_pseudonyms(spark, sf_dir):
     """,
 )
 def proc_decoder_nginx(spark, sf_dir):
+    """decoder processor (nginx error log): regexp_extract of level/pid/message fields."""
     ev = _events(spark, sf_dir).withColumn(
         "line",
         F.concat(
@@ -1039,6 +1067,7 @@ def proc_decoder_nginx(spark, sf_dir):
     """,
 )
 def proc_replacer(spark, sf_dir):
+    """replacer processor: %{...} template rewrites via regexp_replace."""
     ev = _events(spark, sf_dir).withColumn(
         "msg",
         F.concat(F.lit("user u"), _s(_u()), F.lit(" logged in from "), _ip_col()),
@@ -1059,6 +1088,7 @@ def proc_replacer(spark, sf_dir):
     """,
 )
 def proc_clusterer(spark, sf_dir):
+    """clusterer processor: log-signature extraction via an ordered regexp_replace chain."""
     ev = _events(spark, sf_dir).withColumn("message", _msg_col())
     proc = Clusterer([{"filter": "*", "clusterer": {}}])
     return proc.transform(ev).select("event_id", "cluster_signature")
@@ -1071,6 +1101,7 @@ def proc_clusterer(spark, sf_dir):
     """,
 )
 def proc_deleter(spark, sf_dir):
+    """deleter processor: matching events dropped via a pushdown-eligible null-safe anti-filter."""
     proc = Deleter([{"filter": "event_type: click", "deleter": {"delete": True}}])
     return proc.transform(_events(spark, sf_dir)).select("event_id")
 
@@ -1084,6 +1115,7 @@ def proc_deleter(spark, sf_dir):
     """,
 )
 def proc_dropper(spark, sf_dir):
+    """dropper processor: field removal (nulling) on matching events."""
     proc = Dropper([{"filter": "event_type: error", "dropper": {"drop": ["value"]}}])
     return proc.transform(_events(spark, sf_dir)).select(
         "event_id", F.col("value").alias("val_after")
@@ -1097,6 +1129,7 @@ def proc_dropper(spark, sf_dir):
     """,
 )
 def proc_field_manager(spark, sf_dir):
+    """field_manager processor: copy/move/merge field rewires as narrow column ops."""
     proc = FieldManager(
         [{"filter": "*", "field_manager": {
             "source_fields": ["event_type", "props"], "target_field": "merged_arr"}}]
@@ -1115,6 +1148,7 @@ def proc_field_manager(spark, sf_dir):
     """,
 )
 def proc_generic_adder(spark, sf_dir):
+    """generic_adder processor: literal field additions on matching events."""
     proc = GenericAdder(
         [{"filter": "event_type: signup", "generic_adder": {
             "add": {"enriched": "true", "pipeline.stage": "added"}}}]
@@ -1137,6 +1171,7 @@ def proc_generic_adder(spark, sf_dir):
     """,
 )
 def proc_generic_resolver(spark, sf_dir):
+    """generic_resolver processor: rlike CASE-WHEN chain mapping patterns to values."""
     proc = GenericResolver(
         [{"filter": "*", "generic_resolver": {
             "field_mapping": {"event_type": "level"},
@@ -1157,6 +1192,7 @@ def proc_generic_resolver(spark, sf_dir):
     """,
 )
 def proc_geoip_enricher(spark, sf_dir):
+    """geoip_enricher processor: deterministic stub enrich for the oracle; real mmdb interval path tested separately."""
     ev = _events(spark, sf_dir).withColumn("ip", _ip_col())
     proc = GeoipEnricher(
         [{"filter": "*", "geoip_enricher": {"source_fields": ["ip"]}}]
@@ -1286,6 +1322,7 @@ def proc_geoip_v6(spark, sf_dir):
     """,
 )
 def proc_ip_informer(spark, sf_dir):
+    """ip_informer processor: IPv4/IPv6 classification (private/loopback/global) via native bit math."""
     ev = _events(spark, sf_dir).withColumn("ip", _ip_col())
     proc = IpInformer(
         [{"filter": "*", "ip_informer": {"source_fields": ["ip"], "target_field": "ipinfo"}}]
@@ -1307,6 +1344,7 @@ def proc_ip_informer(spark, sf_dir):
     """,
 )
 def proc_key_checker(spark, sf_dir):
+    """key_checker processor: missing-key detection tagging."""
     proc = KeyChecker(
         [{"filter": "*", "key_checker": {
             "source_fields": ["event_type", "value", "not.there"],
@@ -1325,6 +1363,7 @@ def proc_key_checker(spark, sf_dir):
     """,
 )
 def proc_labeler(spark, sf_dir):
+    """labeler processor: filter-matched label array union with LabelingSchema validation."""
     proc = Labeler(
         [{"filter": "event_type: error", "labeler": {
             "label": {"reporter": ["windows", "syslog"]}}}]
@@ -1345,6 +1384,7 @@ def proc_labeler(spark, sf_dir):
     """,
 )
 def proc_list_comparison(spark, sf_dir):
+    """list_comparison processor: membership against list files via isin/broadcast join."""
     proc = ListComparison(
         [{"filter": "*", "list_comparison": {
             "source_fields": ["event_type"], "target_field": "check",
@@ -1368,6 +1408,7 @@ def proc_list_comparison(spark, sf_dir):
     """,
 )
 def proc_network_comparison(spark, sf_dir):
+    """network_comparison processor: CIDR membership via aton bit masks."""
     ev = _events(spark, sf_dir).withColumn("ip", _ip_col())
     proc = NetworkComparison(
         [{"filter": "*", "network_comparison": {
@@ -1394,6 +1435,7 @@ def proc_network_comparison(spark, sf_dir):
     """,
 )
 def proc_pre_detector(spark, sf_dir):
+    """pre_detector processor: matched events projected to an alert side-output frame."""
     proc = PreDetector(
         [{"filter": "event_type: error", "pre_detector": {
             "id": "rule-error-1", "title": "High error volume",
@@ -1417,6 +1459,7 @@ def proc_pre_detector(spark, sf_dir):
     """,
 )
 def proc_selective_extractor(spark, sf_dir):
+    """selective_extractor processor: field projection side-output frame."""
     proc = SelectiveExtractor(
         [{"filter": "event_type: error", "selective_extractor": {
             "source_fields": ["event_id", "user_id"],
@@ -1436,6 +1479,7 @@ def proc_selective_extractor(spark, sf_dir):
     """,
 )
 def proc_string_splitter(spark, sf_dir):
+    """string_splitter processor: delimiter split into array field."""
     ev = _events(spark, sf_dir).withColumn("message", _msg_col())
     proc = StringSplitter(
         [{"filter": "*", "string_splitter": {
@@ -1457,6 +1501,7 @@ def proc_string_splitter(spark, sf_dir):
     """,
 )
 def proc_deduplicator(spark, sf_dir):
+    """deduplicator processor: in-field list dedup via array_distinct."""
     ev = _events(spark, sf_dir).withColumn(
         "tags", F.split(F.concat(F.lit("a,b,a,"), F.col("event_type")), ",")
     )
@@ -1476,6 +1521,7 @@ def proc_deduplicator(spark, sf_dir):
     """,
 )
 def proc_template_replacer(spark, sf_dir):
+    """template_replacer processor: broadcast join against the template table."""
     proc = TemplateReplacer(
         template={("error",): "Generic error occurred", ("signup",): "New account created"},
         pattern_keys=["event_type"],
@@ -1498,6 +1544,7 @@ def proc_template_replacer(spark, sf_dir):
     """,
 )
 def proc_domain_label_extractor(spark, sf_dir):
+    """domain_label_extractor processor: registered-domain/subdomain/TLD split via regex."""
     ev = _events(spark, sf_dir).withColumn("domain", _domain_col())
     proc = DomainLabelExtractor(
         [{"filter": "*", "domain_label_extractor": {
@@ -1526,6 +1573,7 @@ def proc_domain_label_extractor(spark, sf_dir):
     """,
 )
 def proc_domain_resolver(spark, sf_dir):
+    """domain_resolver processor: deterministic hash-to-IP stub resolve; injected resolvers run once per distinct domain."""
     ev = _events(spark, sf_dir).withColumn("domain", _domain_col())
     proc = DomainResolver(
         [{"filter": "*", "domain_resolver": {"source_fields": ["domain"]}}]
@@ -1569,6 +1617,7 @@ def _amides_oracle() -> str:
 
 @register("proc_amides", _amides_oracle())
 def proc_amides(spark, sf_dir):
+    """amides processor: trained logistic-regression misuse detection (integer micro-weights, closed-form SQL oracle)."""
     from logprep_spark.operators import Amides
 
     ev = _events(spark, sf_dir).withColumn(
@@ -1594,6 +1643,7 @@ def proc_amides(spark, sf_dir):
     """,
 )
 def proc_requester(spark, sf_dir):
+    """requester processor: HTTP enrichment plumbing with a real urllib transport (rows-only gate)."""
     from logprep_spark.operators import Requester
 
     proc = Requester(
@@ -1612,6 +1662,7 @@ def proc_requester(spark, sf_dir):
     """,
 )
 def pipeline_compose(spark, sf_dir):
+    """N processors composed into ONE plan — a single pass over the events, no per-processor materialization."""
     pipeline = Pipeline([
         Calculator([{"filter": "*", "calculator": {"calc": "${value} * 2", "target_field": "v2"}}]),
         Concatenator([{"filter": "*", "concatenator": {
@@ -1632,6 +1683,7 @@ def pipeline_compose(spark, sf_dir):
     """,
 )
 def source_preprocessors(spark, sf_dir):
+    """ingest preprocessors: version_info, JVM-side HMAC-SHA256, log_arrival_time columns at read."""
     ev = _events(spark, sf_dir)
     return ev.select(
         "event_id",
@@ -1794,6 +1846,7 @@ def retention_decay_fit(spark, sf_dir):
     """,
 )
 def text_langid(spark, sf_dir):
+    """n-gram/stopword-heuristic language ID over documents (milli confidence)."""
     docs = tables(spark, sf_dir)["documents"]
     return docs.select("doc_id", tx.lang_id(F.col("text")).alias("lang_pred"))
 
@@ -1817,6 +1870,7 @@ _SQL_NTOK = f"len({_sql_words()})"
     """,
 )
 def text_quality(spark, sf_dir):
+    """quality scoring: length/punctuation/stopword-ratio signals per document."""
     docs = tables(spark, sf_dir)["documents"]
     return docs.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
 
@@ -1831,6 +1885,7 @@ def text_quality(spark, sf_dir):
     """,
 )
 def text_tokens(spark, sf_dir):
+    """token counting: whitespace + BPE-ish regex counts per document."""
     docs = tables(spark, sf_dir)["documents"]
     col = F.col("text")
     return docs.select(
@@ -1850,6 +1905,7 @@ def text_tokens(spark, sf_dir):
     """,
 )
 def text_fingerprint(spark, sf_dir):
+    """document fingerprinting: polynomial rolling hash over tokens."""
     docs = tables(spark, sf_dir)["documents"]
     return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
 
@@ -3305,6 +3361,7 @@ def dedup_substring_spans(spark, sf_dir):
     """,
 )
 def dedup_exact(spark, sf_dir):
+    """exact dedup: normalized-text hash groups, keep-lowest-id representative."""
     docs = tables(spark, sf_dir)["documents"]
     return dd.exact_dup_groups(docs)
 
@@ -3362,6 +3419,7 @@ _SQL_JACCARD = """
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash->LSH->verify near-dup pairs with true Jaccard >= 0.7 (candidate-only verification)."""
     docs = tables(spark, sf_dir)["documents"]
     return dd.minhash_dedup(docs, threshold=0.7)
 
@@ -3438,6 +3496,7 @@ def dedup_clusters(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
+    """exact n-gram Jaccard similarity over candidate pairs (the verify stage standalone)."""
     docs = tables(spark, sf_dir)["documents"]
     pairs = (
         docs.filter(F.col("doc_id") % 2 == 0)
@@ -3559,6 +3618,7 @@ def dedup_lsh_recall(spark, sf_dir):
     """,
 )
 def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: token-hash bit votes, banded 60-bit signatures, Hamming-distance verify."""
     docs = tables(spark, sf_dir)["documents"]
     return dd.simhash_pairs(docs, max_hamming=3)
 
@@ -3611,6 +3671,7 @@ def _sql_bucket(vec: str, n_planes: int) -> str:
     ),
 )
 def dedup_embedding_cosine(spark, sf_dir):
+    """embedding cosine near-dup pairs via normalized dot over a bucketed candidate join."""
     emb = tables(spark, sf_dir)["embeddings"]
     return dd.embedding_dup_pairs(emb, threshold=0.35, n_planes=4)
 
@@ -3632,6 +3693,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     """,
 )
 def ann_topk_bruteforce(spark, sf_dir):
+    """ANN ground truth: brute-force cosine top-k for a bounded query set (broadcast pass + per-query window)."""
     emb = tables(spark, sf_dir)["embeddings"]
     qs = emb.filter(F.col("vec_id") < 5)
     return sim.brute_force_topk(emb, qs, k=3)
@@ -3705,6 +3767,7 @@ def ann_topk_ivf(spark, sf_dir):
     ),
 )
 def ann_topk_lsh(spark, sf_dir):
+    """ANN via random-hyperplane LSH buckets: corpus never shuffles, plan-literal hyperplanes, bucket-join + rerank."""
     emb = tables(spark, sf_dir)["embeddings"]
     qs = emb.filter(F.col("vec_id") < 5)
     return sim.lsh_topk(emb, qs, k=3, n_planes=6)
