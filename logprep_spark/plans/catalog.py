@@ -6388,9 +6388,9 @@ def tpch_q8(spark, sf_dir):
     "tpch_q9",
     """
     SELECT sn.n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           sum(CAST(round((l_extendedprice * (1 - l_discount)
-                           - 0.5 * p_retailprice * l_quantity) * 100)
-                    AS BIGINT)) AS sum_profit_cents
+           CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                                - 0.5 * p_retailprice * l_quantity) * 100)
+                         AS BIGINT)) AS BIGINT) AS sum_profit_cents
     FROM lineitem
     JOIN part     ON l_partkey = p_partkey
     JOIN supplier ON l_suppkey = s_suppkey
