@@ -413,10 +413,12 @@ def test_image_codec_png(spark):
                 + multimodal._png_chunk(b"IEND", b""))
     assert np.array_equal(multimodal.decode_png(png_rgba), grad[:4, :4])
 
-    # unsupported shapes raise loudly, never mis-decode
+    # unsupported shapes raise loudly, never mis-decode (16-bit became
+    # a REAL decode path in r6, so the guard fixture is now a
+    # spec-invalid combination: 4-bit truecolor)
     with pytest.raises(ValueError):
         bad = (multimodal._PNG_SIG
-               + multimodal._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0))
+               + multimodal._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0))
                + multimodal._png_chunk(b"IEND", b""))
         multimodal.decode_png(bad)
 
