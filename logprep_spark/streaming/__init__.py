@@ -18,6 +18,7 @@ from logprep_spark.streaming.state import (
     heavy_hitters_stream,
     rate_anomaly_stream,
     running_totals,
+    token_bucket_stream,
 )
 
 __all__ = [
@@ -29,6 +30,7 @@ __all__ = [
     "psi_baseline",
     "dedupe_stream",
     "running_totals",
+    "token_bucket_stream",
     "sessionize_stream",
     "interval_join",
     "sliding_counts",

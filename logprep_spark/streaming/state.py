@@ -275,3 +275,70 @@ def rate_anomaly_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_BUCKET_OUT_SCHEMA = (
+    "user_id long, batch_events long, allowed long, dropped long, tokens_left double"
+)
+_BUCKET_STATE_SCHEMA = "tokens double, last_us long"
+
+
+def _token_bucket_fn(capacity: float, refill_per_sec: float, ts_col: str):
+    def fn(
+        key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        tokens, last_us = state.get if state.exists else (capacity, 0)
+        n = allowed = 0
+        for pdf in pdfs:
+            # event-time ordered replay inside the batch keeps the
+            # refill deterministic under any partition arrival order
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            for t in pdf[ts_col]:
+                t_us = int(t.value // 1_000) if hasattr(t, "value") else int(t)
+                if last_us:
+                    tokens = min(
+                        capacity, tokens + (t_us - last_us) / 1e6 * refill_per_sec
+                    )
+                last_us = max(last_us, t_us)
+                n += 1
+                if tokens >= 1.0:
+                    tokens -= 1.0
+                    allowed += 1
+        state.update((float(tokens), int(last_us)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "batch_events": [n],
+                "allowed": [allowed],
+                "dropped": [n - allowed],
+                "tokens_left": [float(tokens)],
+            }
+        )
+
+    return fn
+
+
+def token_bucket_stream(
+    events: DataFrame,
+    capacity: float = 5.0,
+    refill_per_sec: float = 1.0,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-key token-bucket rate limiting as a stateful streaming op —
+    the cost-control primitive (per-tenant API quotas, alert
+    throttling, log-volume caps) that A27's batch hash-order limiter
+    cannot express because it needs STATE: each key carries
+    (tokens, last_seen) across micro-batches, refilled in event time
+    and spent one token per event; the per-batch report counts
+    allowed vs dropped. State is a 2-field tuple per key — store
+    pressure is key cardinality, not traffic. Events replay in event-
+    time order inside each batch so re-partitioned re-runs make the
+    same allow/drop decisions."""
+    return events.groupBy(key_col).applyInPandasWithState(
+        _token_bucket_fn(capacity, refill_per_sec, ts_col),
+        outputStructType=_BUCKET_OUT_SCHEMA,
+        stateStructType=_BUCKET_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -963,3 +963,51 @@ def test_checkpoint_restart_recovery_exactly_once(spark, tmp_path):
     )
     ids = sorted(r.event_id for r in got.select("event_id").collect())
     assert ids == [r["event_id"] for r in ROWS]  # every row exactly once
+
+
+def test_token_bucket_stream_throttles_and_refills(spark, tmp_path):
+    """Per-key token bucket across micro-batches: a burst beyond
+    capacity drops the excess; the bucket refills in EVENT time, so
+    the second batch (one minute later) has tokens again; state
+    carries (tokens, last_seen) across batches."""
+    from logprep_spark.streaming import token_bucket_stream
+
+    burst = [
+        {"event_id": i, "ts": _ts(0, i), "user_id": 1,
+         "event_type": "click", "value": 1.0}
+        for i in range(8)  # 8 events in 8 seconds vs capacity 3
+    ]
+    later = [
+        {"event_id": 100 + i, "ts": _ts(5, i), "user_id": 1,
+         "event_type": "click", "value": 1.0}
+        for i in range(4)  # ~5 min later: bucket refilled to capacity
+    ]
+    quiet = [
+        {"event_id": 200, "ts": _ts(0, 30), "user_id": 2,
+         "event_type": "click", "value": 1.0}
+    ]
+    df = _two_batch_source(
+        spark, tmp_path, "bucket-src", burst + quiet, later
+    )
+    q = (
+        token_bucket_stream(df, capacity=3.0, refill_per_sec=0.01)
+        .writeStream.format("memory")
+        .queryName("bucket_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run(q)
+    rows = spark.sql(
+        "SELECT * FROM bucket_out ORDER BY user_id, batch_events"
+    ).collect()
+    by_batch = [
+        (r.user_id, r.batch_events, r.allowed, r.dropped) for r in rows
+    ]
+    # batch 1: user 1's 8-event burst spends the 3 tokens (plus the
+    # ~0.07 refilled during the 8 s burst -> still 3 allowed), user 2
+    # passes; batch 2: ~300 s * 0.01/s refills the bucket to full ->
+    # 3 of 4 allowed
+    assert (1, 8, 3, 5) in by_batch
+    assert (2, 1, 1, 0) in by_batch
+    assert (1, 4, 3, 1) in by_batch
