@@ -103,9 +103,9 @@ def register(name: str, oracle: str | None = None):
 #     tpch_q11, tpch_q12, tpch_q15, tpch_q20, match_fuzzy_entities,
 #     events_peak_concurrency, corpus_snapshot_diff,
 #     embed_truncation_fidelity, join_asof_nearest,
-#     corpus_near_dedup_step, sketch_hll_overlap, dedup_pair_lcs —
-#     45 total) + the 5 oldest r4-checked queries (alphabetical from
-#     CORRECTNESS_r04's last-seen set).
+#     corpus_near_dedup_step, sketch_hll_overlap, dedup_pair_lcs,
+#     events_value_trend — 46 total) + the 4 oldest r4-checked
+#     queries (alphabetical from CORRECTNESS_r04's last-seen set).
 #   r8 window: the remaining 23 r4-checked + 27 of the r5-checked set.
 #   r9 window: the remaining r5-checked + the r6-window set again.
 # All 178 queries stay locally oracle-gated every round via
@@ -7217,4 +7217,60 @@ def dedup_pair_lcs(spark, sf_dir):
         .agg(F.max("run_tokens").cast("long").alias("lcs_tokens"))
         .orderBy(F.col("lcs_tokens").desc(), "id_a", "id_b")
         .limit(10)
+    )
+
+
+@register(
+    "events_value_trend",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS x,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS day_cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), pts AS (
+        SELECT event_type, x, day_cents * 1000 // n AS y FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST((count(*) * sum(x * y) - sum(x) * sum(y)) * 1000
+                // (count(*) * sum(x * x) - sum(x) * sum(x)) AS BIGINT)
+               AS slope_millicents_per_day
+    FROM pts GROUP BY event_type
+    """,
+)
+def events_value_trend(spark, sf_dir):
+    """Per-group trend mart: the daily-mean-value slope for EVERY
+    event type in one pass — closed-form integer least squares GROUPED
+    (retention_decay_fit's machinery generalized from one global fit
+    to per-key fits, the shape a metrics warehouse materializes for
+    thousands of series). Daily means in exact milli-cents (integer
+    division), per-type moment sums (Σx, Σy, Σxy, Σx²) combine
+    map-side, one closed-form division per group — fitting 10⁶ series
+    costs the same two aggs as fitting one."""
+    events = tables(spark, sf_dir)["events"]
+    daily = (
+        events.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("day_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    pts = daily.select(
+        "event_type", "x", F.expr("day_cents * 1000 div n").alias("y")
+    )
+    return pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr(
+            "CAST((count(1) * sum(x * y) - sum(x) * sum(y)) * 1000"
+            " div (count(1) * sum(x * x) - sum(x) * sum(x)) AS BIGINT)"
+        ).alias("slope_millicents_per_day"),
     )
