@@ -104,8 +104,9 @@ def register(name: str, oracle: str | None = None):
 #     events_peak_concurrency, corpus_snapshot_diff,
 #     embed_truncation_fidelity, join_asof_nearest,
 #     corpus_near_dedup_step, sketch_hll_overlap, dedup_pair_lcs,
-#     events_value_trend — 46 total) + the 4 oldest r4-checked
-#     queries (alphabetical from CORRECTNESS_r04's last-seen set).
+#     events_value_trend, corpus_dedup_report — 47 total) + the 3
+#     oldest r4-checked queries (alphabetical from CORRECTNESS_r04's
+#     last-seen set).
 #   r8 window: the remaining 23 r4-checked + 27 of the r5-checked set.
 #   r9 window: the remaining r5-checked + the r6-window set again.
 # All 178 queries stay locally oracle-gated every round via
@@ -7273,4 +7274,84 @@ def events_value_trend(spark, sf_dir):
             "CAST((count(1) * sum(x * y) - sum(x) * sum(y)) * 1000"
             " div (count(1) * sum(x * x) - sum(x) * sum(x)) AS BIGINT)"
         ).alias("slope_millicents_per_day"),
+    )
+
+
+@register(
+    "corpus_dedup_report",
+    f"""
+    WITH {_sql_minhash_bands()},
+    kill AS (
+        SELECT DISTINCT greatest(id_a, id_b) AS doc_id
+        FROM pairs
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE {_SQL_JACCARD} >= 0.7
+    ), fp AS (
+        SELECT doc_id, source,
+               md5(array_to_string({_sql_words()}, ' ')) AS fp
+        FROM documents
+    ), exact_dup AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (
+                PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM fp
+        ) WHERE rn > 1
+    )
+    SELECT f.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(e.doc_id) AS BIGINT) AS n_exact_dups,
+           CAST(count(k.doc_id) AS BIGINT) AS n_near_killed,
+           CAST(count(e.doc_id) * 1000 // count(*) AS BIGINT)
+               AS exact_rate_milli,
+           CAST(count(k.doc_id) * 1000 // count(*) AS BIGINT)
+               AS near_rate_milli
+    FROM fp f
+    LEFT JOIN exact_dup e ON f.doc_id = e.doc_id
+    LEFT JOIN kill k ON f.doc_id = k.doc_id
+    GROUP BY f.source
+    """,
+)
+def corpus_dedup_report(spark, sf_dir):
+    """Per-source dedup health report — the monitoring row a corpus
+    pipeline publishes every ingest: docs, exact-duplicate rate
+    (non-keeper members of normalized-text hash groups) and near-dup
+    kill rate (higher-id members of verified MinHash pairs) in milli,
+    per source. One narrow fingerprint pass feeds the exact side; the
+    near side reuses the L70 kill set; both attach to the per-source
+    census as LEFT joins on doc_id (the fact never widens); report
+    agg combines map-side to |sources| rows."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    docs = tables(spark, sf_dir)["documents"]
+    fp = docs.select(
+        "doc_id", "source", F.md5(F.array_join(dd.tokens(F.col("text")), " ")).alias("fp")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    exact_dup = (
+        fp.select("doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") > 1)
+        .select(F.col("doc_id").alias("_ed"))
+    )
+    kill = (
+        dd.minhash_dedup(docs, threshold=0.7)
+        .select(F.greatest("id_a", "id_b").alias("_kd"))
+        .distinct()
+    )
+    return (
+        fp.join(exact_dup, fp["doc_id"] == F.col("_ed"), "left")
+        .join(kill, fp["doc_id"] == F.col("_kd"), "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_ed").alias("n_exact_dups"),
+            F.count("_kd").alias("n_near_killed"),
+            F.expr("CAST(count(_ed) * 1000 div count(1) AS BIGINT)").alias(
+                "exact_rate_milli"
+            ),
+            F.expr("CAST(count(_kd) * 1000 div count(1) AS BIGINT)").alias(
+                "near_rate_milli"
+            ),
+        )
     )
