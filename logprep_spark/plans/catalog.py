@@ -104,9 +104,9 @@ def register(name: str, oracle: str | None = None):
 #     events_peak_concurrency, corpus_snapshot_diff,
 #     embed_truncation_fidelity, join_asof_nearest,
 #     corpus_near_dedup_step, sketch_hll_overlap, dedup_pair_lcs,
-#     events_value_trend, corpus_dedup_report — 47 total) + the 3
-#     oldest r4-checked queries (alphabetical from CORRECTNESS_r04's
-#     last-seen set).
+#     events_value_trend, corpus_dedup_report, documents_profile —
+#     48 total) + the 2 oldest r4-checked queries (alphabetical from
+#     CORRECTNESS_r04's last-seen set).
 #   r8 window: the remaining 23 r4-checked + 27 of the r5-checked set.
 #   r9 window: the remaining r5-checked + the r6-window set again.
 # All 178 queries stay locally oracle-gated every round via
@@ -7354,4 +7354,75 @@ def corpus_dedup_report(spark, sf_dir):
                 "near_rate_milli"
             ),
         )
+    )
+
+
+@register(
+    "documents_profile",
+    """
+    SELECT col,
+           CAST(n_null AS BIGINT) AS n_null,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(avg_len_milli AS BIGINT) AS avg_len_milli
+    FROM (
+        SELECT 'text' AS col,
+               sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null,
+               count(DISTINCT text) AS n_distinct,
+               sum(length(text)) * 1000 // count(*) AS avg_len_milli
+        FROM documents
+        UNION ALL
+        SELECT 'lang',
+               sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT lang),
+               sum(length(lang)) * 1000 // count(*)
+        FROM documents
+        UNION ALL
+        SELECT 'source',
+               sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT source),
+               sum(length(source)) * 1000 // count(*)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars',
+               sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT n_chars),
+               sum(length(CAST(n_chars AS VARCHAR))) * 1000 // count(*)
+        FROM documents
+    )
+    """,
+)
+def documents_profile(spark, sf_dir):
+    """Column profiling report (the Deequ/dbt-docs row every dataset
+    onboarding starts with): per column — null count, exact distinct,
+    milli average rendered length — computed as ONE pass over one
+    scan: all per-column measures are conditional aggregates in a
+    single groupBy().agg() (profiling N columns with N queries = N
+    full scans at 100 TB), then a narrow unpivot to the per-column
+    report frame. Exact distinct per column rides the same agg via
+    count(DISTINCT col) — Spark plans one expand for the distinct
+    set, still one scan. At petabyte scale swap exact distincts for
+    the HLL rows' sketches; the report shape is unchanged."""
+    docs = tables(spark, sf_dir)["documents"]
+    aggs = []
+    for c in ("text", "lang", "source", "n_chars"):
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_null"),
+            F.count_distinct(F.col(c)).alias(f"{c}_nd"),
+            F.expr(
+                f"sum(length(CAST({c} AS STRING))) * 1000 div count(1)"
+            ).alias(f"{c}_len"),
+        ]
+    one = docs.agg(*aggs)
+    parts = [
+        f"struct('{c}' AS col, {c}_null AS n_null, {c}_nd AS n_distinct, "
+        f"{c}_len AS avg_len_milli)"
+        for c in ("text", "lang", "source", "n_chars")
+    ]
+    return one.selectExpr(
+        f"inline(array({', '.join(parts)}))"
+    ).select(
+        "col",
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("avg_len_milli").cast("long").alias("avg_len_milli"),
     )
