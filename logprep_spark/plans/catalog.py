@@ -104,9 +104,10 @@ def register(name: str, oracle: str | None = None):
 #     events_peak_concurrency, corpus_snapshot_diff,
 #     embed_truncation_fidelity, join_asof_nearest,
 #     corpus_near_dedup_step, sketch_hll_overlap, dedup_pair_lcs,
-#     events_value_trend, corpus_dedup_report, documents_profile —
-#     48 total) + the 2 oldest r4-checked queries (alphabetical from
-#     CORRECTNESS_r04's last-seen set).
+#     events_value_trend, corpus_dedup_report, documents_profile,
+#     events_dow_seasonality — 49 total) + the single oldest
+#     r4-checked query (alphabetical from CORRECTNESS_r04's
+#     last-seen set).
 #   r8 window: the remaining 23 r4-checked + 27 of the r5-checked set.
 #   r9 window: the remaining r5-checked + the r6-window set again.
 # All 178 queries stay locally oracle-gated every round via
@@ -7425,4 +7426,47 @@ def documents_profile(spark, sf_dir):
         F.col("n_null").cast("long").alias("n_null"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
         F.col("avg_len_milli").cast("long").alias("avg_len_milli"),
+    )
+
+
+@register(
+    "events_dow_seasonality",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(cents) * 1000 // sum(n) AS BIGINT) AS mean_cents_milli
+    FROM daily GROUP BY event_type, dow
+    """,
+)
+def events_dow_seasonality(spark, sf_dir):
+    """Day-of-week seasonality baseline per event type — the
+    decomposition step before any volume/value anomaly rule fires
+    (Monday ≠ Sunday; alerting off a flat mean pages on weekends).
+    Two cascaded map-side-combining aggs (daily then per-(type, dow));
+    exact integer cents and milli means; ≤ |types|·7 rows out. The
+    dow convention is pinned to Sunday=1 in BOTH engines (Spark
+    dayofweek == DuckDB dayofweek + 1, handled in the oracle)."""
+    events = tables(spark, sf_dir)["events"]
+    daily = events.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.dayofweek(F.col("ts").cast("date")).cast("long").alias("dow"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.expr("CAST(sum(cents) * 1000 div sum(n) AS BIGINT)").alias(
+            "mean_cents_milli"
+        ),
     )
