@@ -126,6 +126,57 @@ def lint_plan(plan: str) -> list[Finding]:
     return findings
 
 
+_BROADCASTABLE_BYTES = 8 * 1024 * 1024
+
+
+def _shuffle_join_min_sides(df) -> list[int]:
+    """Catalyst-estimated min(left, right) sizes for each logical
+    Join, used by the broadcast advisor. Best-effort py4j traversal —
+    returns [] if the stats surface is unavailable."""
+    try:
+        opt = df._jdf.queryExecution().optimizedPlan()
+        sizes: list[int] = []
+
+        def walk(node):
+            if node.getClass().getSimpleName() == "Join":
+                # py4j renders scala.math.BigInt as a Python int or a
+                # JavaObject depending on magnitude — str() covers both
+                ls = int(str(node.left().stats().sizeInBytes()))
+                rs = int(str(node.right().stats().sizeInBytes()))
+                sizes.append(min(ls, rs))
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+
+        walk(opt)
+        return sizes
+    except Exception:  # pragma: no cover - defensive py4j guard
+        return []
+
+
 def lint(df) -> list[Finding]:
-    """Lint a DataFrame's pre-execution physical plan."""
-    return lint_plan(_plan_string(df))
+    """Lint a DataFrame's pre-execution physical plan, plus the
+    stats-based broadcast advisor (needs the DataFrame, not just the
+    plan string)."""
+    plan = _plan_string(df)
+    findings = lint_plan(plan)
+    n_shuffle_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    if n_shuffle_joins:
+        tiny = [
+            s for s in _shuffle_join_min_sides(df) if s <= _BROADCASTABLE_BYTES
+        ]
+        if tiny:
+            findings.append(
+                Finding(
+                    WARN,
+                    "broadcastable-shuffle-join",
+                    f"{n_shuffle_joins} shuffle join(s) while some join has "
+                    f"an estimated small side (min {min(tiny)} B ≤ "
+                    f"{_BROADCASTABLE_BYTES} B): a broadcast() hint would "
+                    "drop the exchange. Heuristic — stats are estimates and "
+                    "logical joins are not 1:1 with physical ones; ignore if "
+                    "the small estimate is known-wrong or AQE already "
+                    "converts it at runtime.",
+                )
+            )
+    return findings

@@ -202,3 +202,30 @@ def test_lint_plan_findings_unit():
         "PushedFilters: [IsNotNull(a)], ReadSchema\n"
     )
     assert clean == []
+
+
+def test_lint_broadcast_advisor(spark):
+    """Stats-based advisor: a shuffle join whose small side is
+    KB-sized (broadcast disabled) draws the broadcastable warn; the
+    same join broadcast-hinted plans no shuffle join and stays
+    clean of that code."""
+    from pyspark.sql import functions as F
+
+    from logprep_spark.plans.lint import lint
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fact = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        dim = spark.read.parquet("/root/testdata/sf0.01/nation.parquet")
+        j = fact.join(dim, fact.l_suppkey % 25 == dim.n_nationkey)
+        codes = {f.code for f in lint(j)}
+        assert "broadcastable-shuffle-join" in codes
+
+        hinted = fact.join(
+            F.broadcast(dim), fact.l_suppkey % 25 == dim.n_nationkey
+        )
+        codes = {f.code for f in lint(hinted)}
+        assert "broadcastable-shuffle-join" not in codes
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
