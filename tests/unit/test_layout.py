@@ -161,3 +161,27 @@ def test_hilbert_layout_prunes_like_zorder(spark, tmp_path):
                 cand += 1
     assert total >= 8
     assert cand <= int(0.40 * total)
+
+
+def test_layout_report_span_ratios(spark, tmp_path):
+    """tools/layout_report.py: the span-ratio diagnostic separates a
+    clustered column (ratio << 1) from an unclustered one (~1) in the
+    same dataset."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from layout_report import span_ratios
+
+    df = spark.range(100_000).select(
+        F.col("id").alias("sorted_col"),
+        F.abs(F.xxhash64("id") % 1000).alias("random_col"),
+    )
+    df.repartition(1).sortWithinPartitions("sorted_col").write.options(
+        **{"parquet.block.size": str(64 * 1024)}
+    ).parquet(str(tmp_path / "d"))
+    out = span_ratios(str(tmp_path / "d"), ["sorted_col", "random_col"])
+    r_sorted, n = out["sorted_col"]
+    r_random, _ = out["random_col"]
+    assert n >= 5
+    assert r_sorted < 0.35
+    assert r_random > 0.9
