@@ -191,3 +191,4 @@ class MetricsExporter:
             self._server.shutdown()
             self._server.server_close()
             self._server = None
+

@@ -1,6 +1,10 @@
-"""TPC-H power run: every one of the 22 adapted query shapes timed at
-sf0.1 (median of 3, JIT-warmed at sf0.001), reported with the
-classic geometric mean. Writes TPCH_POWER.md.
+"""TPC-H power + throughput run: every one of the 22 adapted query
+shapes timed at sf0.1 (median of 3, JIT-warmed at sf0.001) with the
+classic geometric mean, then a THROUGHPUT test — N concurrent query
+streams, each a different rotation of the 22, as concurrent action
+threads sharing one session (the multi-tenant shape a shared cluster
+actually runs; FIFO job scheduling still overlaps stages whenever
+cores are free). Writes TPCH_POWER.md.
 
 Not an audited TPC-H result (driver-schema adaptations, local[32],
 derived data) — the point is one comparable whole-suite number per
@@ -20,6 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARM_DIR = "/root/testdata/sf0.001"
+
+
+N_STREAMS = int(os.environ.get("SPARK_GRAFT_TPCH_STREAMS", "2"))
 
 
 def main() -> None:
@@ -48,6 +55,26 @@ def main() -> None:
 
     geomean = round(math.exp(sum(math.log(t) for _, t in rows) / len(rows)), 3)
     total = round(sum(t for _, t in rows), 3)
+
+    # throughput: N concurrent streams, each a rotation of the suite
+    import threading
+
+    def run_stream(offset: int) -> None:
+        seq = names[offset:] + names[:offset]
+        for n in seq:
+            qs[n](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    t0 = time.time()
+    threads = [
+        threading.Thread(target=run_stream, args=(i * 7 % 22,))
+        for i in range(N_STREAMS)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    tput_wall = round(time.time() - t0, 3)
+    qph = round(N_STREAMS * 22 * 3600.0 / tput_wall, 1)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = [
         "# TPCH_POWER — full 22-query power run",
@@ -61,10 +88,14 @@ def main() -> None:
         *[f"| {n} | {t} |" for n, t in rows],
         "",
         f"**geomean {geomean} s · total {total} s · 22/22 queries**",
+        "",
+        f"Throughput: {N_STREAMS} concurrent streams (each a",
+        f"rotation of the 22) finished in **{tput_wall} s** = **{qph}",
+        "queries/hour** on local[32].",
     ]
     with open(os.path.join(root, "TPCH_POWER.md"), "w") as f:
         f.write("\n".join(out) + "\n")
-    print(f"geomean {geomean} total {total}")
+    print(f"geomean {geomean} total {total} tput_wall {tput_wall} qph {qph}")
 
 
 if __name__ == "__main__":
