@@ -300,8 +300,18 @@ def cmd_corpus_run(args) -> int:
         if args.input.endswith(".parquet") or args.input.rstrip("/").endswith(".parquet")
         else reader.json(args.input)
     )
-    out = pipe.transform(src)
-    out.write.mode("overwrite").format(args.format).save(args.output)
+    if getattr(args, "stats", False):
+        out, observations = pipe.transform_observed(src)
+        out.write.mode("overwrite").format(args.format).save(args.output)
+        prev = None
+        for label, obs in observations.items():
+            n = obs.get.get("n_docs", 0)
+            kept = "" if prev in (None, 0) else f"\t({1000 * n // prev} milli kept)"
+            print(f"{label}\t{n} docs{kept}")
+            prev = n
+    else:
+        out = pipe.transform(src)
+        out.write.mode("overwrite").format(args.format).save(args.output)
     print(f"corpus pipeline [{' -> '.join(pipe.step_names)}] wrote {args.output}")
     return 0
 
@@ -386,6 +396,9 @@ def build_parser() -> argparse.ArgumentParser:
     cr.add_argument("input", help="parquet path (or a jsonl directory)")
     cr.add_argument("output")
     cr.add_argument("--format", choices=("parquet", "json"), default="parquet")
+    cr.add_argument("--stats", action="store_true",
+                    help="print per-step retention counts (observe-based, "
+                    "zero extra scans)")
     cr.set_defaults(fn=cmd_corpus_run)
     return parser
 

@@ -212,6 +212,29 @@ class CorpusPipeline:
             df = fn(df)
         return df
 
+    def transform_observed(self, df: DataFrame):
+        """``transform`` plus per-step retention counters at ZERO extra
+        scans: an ``Observation`` (input) plus one after every step all
+        ride the SAME plan, so the single terminal action (the write)
+        fills every counter — per-step retention without the N-counts
+        = N-jobs trap. Returns ``(df, observations)`` where
+        ``observations`` is an ordered {label: Observation}; read
+        ``obs.get['n_docs']`` AFTER an action has run."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        observations: dict[str, Any] = {}
+
+        def attach(frame: DataFrame, label: str) -> DataFrame:
+            obs = Observation()
+            observations[label] = obs
+            return frame.observe(obs, F.count(F.lit(1)).alias("n_docs"))
+
+        df = attach(df, "input")
+        for i, (name, fn) in enumerate(self._steps):
+            df = attach(fn(df), f"{i}:{name}")
+        return df, observations
+
     @property
     def step_names(self) -> list[str]:
         return [n for n, _ in self._steps]

@@ -177,3 +177,42 @@ def test_near_dedup_step_drops_higher_id_near_dupes(spark):
 
     with pytest.raises(ConfigError):
         CorpusPipeline([{"op": "near_dedup", "treshold_milli": 600}])
+
+
+def test_transform_observed_per_step_retention(spark, tmp_path, capsys):
+    """Per-step retention at zero extra scans: every Observation on
+    the one plan fills from the single write action; counts match the
+    steps' actual filtering. Also exercised through the CLI --stats
+    path."""
+    rows = [
+        (1, "a good long document with many reasonable words here", "s0"),
+        (2, "a good long document with many reasonable words here", "s0"),
+        (3, "tiny", "s1"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    pipe = CorpusPipeline(
+        [{"op": "token_count"}, {"op": "filter", "where": "n_tokens >= 3"},
+         {"op": "exact_dedup"}]
+    )
+    out, obs = pipe.transform_observed(df)
+    out.write.mode("overwrite").parquet(str(tmp_path / "o"))
+    counts = {label: o.get["n_docs"] for label, o in obs.items()}
+    assert counts["input"] == 3
+    assert counts["1:filter"] == 2       # doc 3 gated
+    assert counts["2:exact_dedup"] == 1  # dup of doc 1 removed
+
+    from logprep_spark.__main__ import main
+
+    cfg = tmp_path / "c.yml"
+    cfg.write_text(
+        "pipeline:\n  - op: token_count\n"
+        "  - op: filter\n    where: \"n_tokens >= 3\"\n  - op: exact_dedup\n"
+    )
+    src = tmp_path / "src.parquet"
+    df.write.parquet(str(src))
+    assert main([
+        "corpus", "run", str(cfg), str(src), str(tmp_path / "out2"), "--stats",
+    ]) == 0
+    printed = capsys.readouterr().out
+    assert "input\t3 docs" in printed
+    assert "2:exact_dedup\t1 docs" in printed and "500 milli kept" in printed
