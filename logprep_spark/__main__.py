@@ -288,6 +288,25 @@ def cmd_query_lint(args) -> int:
     return 1 if n_errors else 0
 
 
+def cmd_profile(args) -> int:
+    from logprep_spark.plans.analytics import profile_columns
+    from logprep_spark.session import get_spark
+
+    spark = get_spark("logprep-spark-profile")
+    df = (
+        spark.read.parquet(args.path)
+        if args.path.rstrip("/").endswith(".parquet")
+        else spark.read.json(args.path)
+    )
+    cols = args.cols.split(",") if args.cols else None
+    for r in profile_columns(df, cols).collect():
+        print(
+            f"{r.col}\tnull={r.n_null}\tdistinct={r.n_distinct}"
+            f"\tavg_len_milli={r.avg_len_milli}"
+        )
+    return 0
+
+
 def cmd_corpus_run(args) -> int:
     from logprep_spark.corpus import CorpusPipeline
     from logprep_spark.session import get_spark
@@ -388,6 +407,13 @@ def build_parser() -> argparse.ArgumentParser:
     qt.add_argument("--all", action="store_true", help="lint every catalog query")
     qt.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     qt.set_defaults(fn=cmd_query_lint)
+
+    pf = sub.add_parser(
+        "profile", help="one-pass column profile of a parquet/jsonl dataset"
+    )
+    pf.add_argument("path")
+    pf.add_argument("--cols", default=None, help="comma-separated subset")
+    pf.set_defaults(fn=cmd_profile)
 
     co = sub.add_parser("corpus", help="run a corpus-cleanup pipeline config")
     co_sub = co.add_subparsers(dest="corpus_command", required=True)

@@ -1658,3 +1658,36 @@ def cumulative_distinct_users(events: DataFrame) -> DataFrame:
         .select("day", "n_active", F.coalesce("n_new", F.lit(0)).alias("n_new"))
         .withColumn("cumulative_users", F.sum("n_new").over(w))
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass column profiling for ANY frame (the documents_profile
+    catalog row generalized): per column — null count, exact distinct,
+    milli average rendered length — every measure a conditional
+    aggregate in ONE agg over one scan, inline-unpivoted to the
+    report. N profiling queries = N full scans at 100 TB; this is
+    always one. Swap count_distinct for HLL sketches at petabyte
+    scale; the report shape is unchanged."""
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__{c}_null"),
+            F.count_distinct(F.col(c)).alias(f"__{c}_nd"),
+            F.coalesce(
+                F.expr(f"sum(length(CAST(`{c}` AS STRING))) * 1000 div count(1)"),
+                F.lit(0),
+            ).alias(f"__{c}_len"),
+        ]
+    one = df.agg(*aggs)
+    parts = [
+        f"struct('{c}' AS col, `__{c}_null` AS n_null, `__{c}_nd` AS n_distinct, "
+        f"`__{c}_len` AS avg_len_milli)"
+        for c in cols
+    ]
+    return one.selectExpr(f"inline(array({', '.join(parts)}))").select(
+        "col",
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("avg_len_milli").cast("long").alias("avg_len_milli"),
+    )

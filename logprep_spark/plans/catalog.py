@@ -7404,29 +7404,7 @@ def documents_profile(spark, sf_dir):
     set, still one scan. At petabyte scale swap exact distincts for
     the HLL rows' sketches; the report shape is unchanged."""
     docs = tables(spark, sf_dir)["documents"]
-    aggs = []
-    for c in ("text", "lang", "source", "n_chars"):
-        aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_null"),
-            F.count_distinct(F.col(c)).alias(f"{c}_nd"),
-            F.expr(
-                f"sum(length(CAST({c} AS STRING))) * 1000 div count(1)"
-            ).alias(f"{c}_len"),
-        ]
-    one = docs.agg(*aggs)
-    parts = [
-        f"struct('{c}' AS col, {c}_null AS n_null, {c}_nd AS n_distinct, "
-        f"{c}_len AS avg_len_milli)"
-        for c in ("text", "lang", "source", "n_chars")
-    ]
-    return one.selectExpr(
-        f"inline(array({', '.join(parts)}))"
-    ).select(
-        "col",
-        F.col("n_null").cast("long").alias("n_null"),
-        F.col("n_distinct").cast("long").alias("n_distinct"),
-        F.col("avg_len_milli").cast("long").alias("avg_len_milli"),
-    )
+    return an.profile_columns(docs, ["text", "lang", "source", "n_chars"])
 
 
 @register(

@@ -229,3 +229,19 @@ def test_lint_broadcast_advisor(spark):
         assert "broadcastable-shuffle-join" not in codes
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_cli_profile(capsys):
+    from logprep_spark.__main__ import main
+
+    assert main([
+        "profile", "/root/testdata/sf0.001/nation.parquet",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "n_name\tnull=0\tdistinct=25" in out
+    assert main([
+        "profile", "/root/testdata/sf0.001/nation.parquet",
+        "--cols", "n_nationkey",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "n_nationkey" in out and "n_name" not in out
