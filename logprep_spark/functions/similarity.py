@@ -404,15 +404,22 @@ def recall_eval(
     ...) top-k frames; output is (query_id, n_hits, recall_milli),
     integer milli-units for exact cross-engine hashing.
 
-    Scale shape: a (query_id, nbr_id)-keyed left-semi join (both
-    frames are k rows per query — tiny next to the corpus that
-    produced them) then a per-query count with map-side partial agg.
+    Scale shape: a (query_id, nbr_id)-keyed left-semi join with the
+    exact list BROADCAST — both frames are k rows per query (bounded
+    by the evaluated query set, tiny next to the corpus that produced
+    them), so neither side should ride an exchange; the query-lint
+    broadcast advisor flagged the unhinted form on all three recall
+    queries (r6). Then a per-query count with map-side partial agg.
     ``queries`` pins the output to every evaluated query id so a
     zero-recall query surfaces as 0, not as a missing row.
     """
     hits = (
         approx.select("query_id", "nbr_id")
-        .join(exact.select("query_id", "nbr_id"), ["query_id", "nbr_id"], "left_semi")
+        .join(
+            F.broadcast(exact.select("query_id", "nbr_id")),
+            ["query_id", "nbr_id"],
+            "left_semi",
+        )
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

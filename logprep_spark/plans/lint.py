@@ -160,11 +160,26 @@ def lint(df) -> list[Finding]:
     plan string)."""
     plan = _plan_string(df)
     findings = lint_plan(plan)
-    n_shuffle_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    # FULL OUTER cannot broadcast-hash in Spark — a FullOuter SMJ is
+    # the correct plan at any size, never an advisory target
+    n_shuffle_joins = sum(
+        1
+        for l in plan.split("\n")
+        if ("SortMergeJoin" in l or "ShuffledHashJoin" in l)
+        and "FullOuter" not in l
+    )
     if n_shuffle_joins:
         tiny = [
             s for s in _shuffle_join_min_sides(df) if s <= _BROADCASTABLE_BYTES
         ]
+        # pair the counts: tiny logical joins that ALREADY became
+        # broadcast physical joins are fine — warn only when there are
+        # more tiny-sided joins than broadcast joins, i.e. some tiny
+        # side is actually riding an exchange
+        n_broadcast = plan.count("BroadcastHashJoin") + plan.count(
+            "BroadcastNestedLoopJoin"
+        )
+        tiny = tiny[: max(0, len(tiny) - n_broadcast)]
         if tiny:
             findings.append(
                 Finding(
