@@ -105,9 +105,8 @@ def register(name: str, oracle: str | None = None):
 #     embed_truncation_fidelity, join_asof_nearest,
 #     corpus_near_dedup_step, sketch_hll_overlap, dedup_pair_lcs,
 #     events_value_trend, corpus_dedup_report, documents_profile,
-#     events_dow_seasonality — 49 total) + the single oldest
-#     r4-checked query (alphabetical from CORRECTNESS_r04's
-#     last-seen set).
+#     events_dow_seasonality, dedup_simhash_recall — 50 total: they
+#     fill the r7 window exactly).
 #   r8 window: the remaining 23 r4-checked + 27 of the r5-checked set.
 #   r9 window: the remaining r5-checked + the r6-window set again.
 # All 178 queries stay locally oracle-gated every round via
@@ -7448,3 +7447,116 @@ def events_dow_seasonality(spark, sf_dir):
             "mean_cents_milli"
         ),
     )
+
+
+_SIMHASH_RECALL_ROW = """
+    SELECT {h} AS max_hamming,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand WHERE ham <= {h}) AS BIGINT)
+               AS n_candidates,
+           CAST((SELECT count(*) FROM truth t JOIN cand c
+                 ON t.id_a = c.id_a AND t.id_b = c.id_b AND c.ham <= {h})
+                AS BIGINT) AS n_hits,
+           CAST(1000 * (SELECT count(*) FROM truth t JOIN cand c
+                        ON t.id_a = c.id_a AND t.id_b = c.id_b AND c.ham <= {h})
+                // greatest((SELECT count(*) FROM truth), 1) AS BIGINT)
+               AS recall_milli
+"""
+
+
+@register(
+    "dedup_simhash_recall",
+    f"""
+    WITH docs_sample AS (
+        SELECT doc_id, text FROM documents
+        WHERE {_sql_h60("'shr:' || doc_id::varchar")} % 2 = 0
+    ), shn AS (
+        SELECT doc_id, {_sql_shingles('text', 3)} AS shingles FROM docs_sample
+    ), truth AS (
+        SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
+        FROM shn sa JOIN shn sb ON sa.doc_id < sb.doc_id
+        WHERE round(len(list_intersect(sa.shingles, sb.shingles))
+              / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1), 6)
+              >= 0.5
+    ), hs AS (
+        SELECT doc_id,
+               list_transform(list_distinct({_sql_words()}),
+                              t -> {_sql_h60('t')}) AS hashes
+        FROM docs_sample
+    ), sh AS (
+        SELECT doc_id, {_sql_simhash_terms('hashes')} AS sh FROM hs
+    ), bands AS (
+{_SIMHASH_BANDS_SQL}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.sh, b.sh)) AS ham
+        FROM bands a JOIN bands b USING (band_id, key)
+        WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
+    )
+    {_SIMHASH_RECALL_ROW.format(h=1)}
+    UNION ALL
+    {_SIMHASH_RECALL_ROW.format(h=2)}
+    UNION ALL
+    {_SIMHASH_RECALL_ROW.format(h=3)}
+    """,
+)
+def dedup_simhash_recall(spark, sf_dir):
+    """SimHash banding recall vs exact-Jaccard ground truth across a
+    Hamming-threshold sweep — the eval row that closes the last
+    asymmetry in the dedup family (MinHash has its calibration
+    witness L60 + recall loop, ANN has ann_recall_*; SimHash's
+    Hamming↔Jaccard fidelity was asserted, never measured). Same
+    hash-sample discipline as dedup_lsh_recall: ground truth is the
+    bounded all-pairs exact Jaccard ≥ 0.5; candidates are the banded
+    simhash pairs at hamming ≤ h for h ∈ {{1, 2, 3}}; the MEASURED
+    per-threshold recall is the tuning table for choosing h. The
+    candidate set computes ONCE at h=3 with its hamming distance and
+    the sweep filters it."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = tables(spark, sf_dir)["documents"]
+    sample = docs.filter(
+        dd.h60(F.concat(F.lit("shr:"), F.col("doc_id").cast("string"))) % 2 == 0
+    )
+    shn = sample.select(
+        "doc_id", dd.shingles(F.col("text")).alias("shingles")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = shn.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = shn.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.greatest(F.size(F.array_distinct(F.concat("sh_a", "sh_b"))), F.lit(1)),
+        6,
+    )
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand = dd.simhash_pairs(sample, max_hamming=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+
+    def row(h: int):
+        ch = cand.filter(F.col("hamming") <= h)
+        nc = ch.agg(F.count(F.lit(1)).alias("n_candidates"))
+        nh = truth.join(ch, ["id_a", "id_b"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        return (
+            nt.crossJoin(F.broadcast(nc))
+            .crossJoin(F.broadcast(nh))
+            .select(
+                F.lit(h).cast("int").alias("max_hamming"),
+                "n_truth",
+                "n_candidates",
+                "n_hits",
+                F.expr("1000 * n_hits div greatest(n_truth, 1)").alias(
+                    "recall_milli"
+                ),
+            )
+        )
+
+    return row(1).unionAll(row(2)).unionAll(row(3))
