@@ -111,3 +111,33 @@ def test_pushdown_stays_catalyst(spark, df):
     cond = compile_filter("message: Err* AND count: [10 TO 40]", df)
     plan = df.filter(cond)._jdf.queryExecution().optimizedPlan().toString()
     assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_negation_paths_r6(df, spark):
+    """The r6 pushdown-eligible negation rewrite, all three branches:
+    leaf (column-level Or(IsNull, Not)), array leaf (expression-level
+    — exists() can be null with a non-null column), and composite
+    child fallback (De-Morgan-free generic form). Semantics must
+    match the reference: null/missing = no-match, so NOT matches."""
+    # leaf: opt is null on ids 1 and 3 -> NOT opt: x keeps them
+    assert ids(df, "NOT opt: x") == [1, 3]
+    # leaf negation reaches the parquet reader in the Or(IsNull, Not) form
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(d)
+    pq = spark.read.parquet(d)
+    cond = compile_filter("NOT message: error", pq)
+    scan = next(
+        l
+        for l in pq.filter(cond)._jdf.queryExecution().executedPlan().toString().split("\n")
+        if "FileScan" in l
+    )
+    assert "Or(IsNull(message),Not(EqualTo(message,error)))" in scan
+    # array leaf: tags contains 'a' only on id 1; NOT keeps 2 (non-match)
+    # and 3 (empty array) — and a null-element array must still match NOT
+    assert ids(df, "NOT tags: a") == [2, 3]
+    # composite child: NOT (A OR B) keeps only rows matching neither
+    assert ids(df, "NOT (message: error OR count: 20)") == [3]
+    # composite with a null-valued leaf inside: null -> no-match -> NOT matches
+    assert ids(df, "NOT (opt: x AND count: 20)") == [1, 3]
