@@ -37,7 +37,12 @@ def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_dir = os.path.join(root, "PLANS")
     os.makedirs(out_dir, exist_ok=True)
-    for name in bench.HEADLINE:
+    tpch = sorted(
+        (n for n in qs if n.startswith("tpch_q")),
+        key=lambda n: int(n.split("tpch_q")[1]),
+    )
+    names = list(dict.fromkeys([*bench.HEADLINE, *tpch]))
+    for name in names:
         df = qs[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
