@@ -270,3 +270,24 @@ def test_cli_query_sql(capsys):
         "SELECT count(*) AS n FROM region, nation WHERE r_name <> n_name",
         "--sf-dir", "/root/testdata/sf0.001",
     ]) in (0, 1)  # small side may auto-broadcast; just must not crash
+
+
+def test_query_index_generator(tmp_path, monkeypatch):
+    """tools/gen_query_index.py: one row per catalog query, docstring
+    first-sentences, gate labels correct."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import gen_query_index
+
+    from logprep_spark.plans import catalog
+
+    monkeypatch.chdir("/root/repo")
+    gen_query_index.main()
+    text = open("/root/repo/docs/QUERIES.md").read()
+    qs = catalog.queries()
+    assert f"{len(qs)} queries" in text
+    assert "| `tpch_q1` | sql |" in text
+    assert "| `text_compression` | rows |" in text
+    # every query has a row
+    assert sum(1 for l in text.splitlines() if l.startswith("| `")) == len(qs)
