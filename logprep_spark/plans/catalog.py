@@ -80,59 +80,48 @@ def register(name: str, oracle: str | None = None):
 # The grading driver records correctness rows for the FIRST 50 entries
 # of queries() only, so ordering is coverage policy.
 #
-# Rotation cadence (178 queries / 50-row window; first-time rows take
-# priority, then oldest official evidence — the bound is ceil(178/50)
-# = 4 rounds once the catalog stops growing):
-#   r6 window (THIS round): the 49 queries that had NEVER appeared in
-#     any driver CORRECTNESS window (everything added in r5's later
-#     phases — tpch_q4/q7/q10/q16/q17/q18/q19/q22, graph_pagerank,
-#     ml_kmeans*, bigram-LM/DSIR/SemDeDup, BM25/RRF, the late-r5
-#     analytics set, flagship v2) + corpus_domain_sampling (new r6).
-#   r7 window (next round): the 41 r6-new queries that postdate this
-#     window (text_c4_filters, text_pmi_collocations, tpch_q13,
-#     tpch_q21, window_moving_avg_range, funnel_time_to_convert,
-#     ivm_merge_event_counts, event_grouping_sets, events_twap,
-#     users_week_over_week, scd2_user_tier, attribution_last_touch,
-#     recon_orders_lineitems, dedup_minhash_estimate,
-#     sketch_hll_mergeable, embed_top_component, cdc_apply_upserts,
-#     search_rrf_mrr, corpus_vocab_divergence, users_cumulative_distinct,
-#     events_sequence_anomaly, events_anomaly_mad, basket_part_pairs,
-#     tpch_q2, window_ntile_deciles, text_rake_keywords,
-#     embed_quantize_int8, split_kfold, customers_rfm,
-#     text_langid_confusion, retention_decay_fit, tpch_q8, tpch_q9,
-#     tpch_q11, tpch_q12, tpch_q15, tpch_q20, match_fuzzy_entities,
-#     events_peak_concurrency, corpus_snapshot_diff,
-#     embed_truncation_fidelity, join_asof_nearest,
-#     corpus_near_dedup_step, sketch_hll_overlap, dedup_pair_lcs,
-#     events_value_trend, corpus_dedup_report, documents_profile,
-#     events_dow_seasonality, dedup_simhash_recall — 50 total: they
-#     fill the r7 window exactly).
-#   r8 window: the remaining 23 r4-checked + 27 of the r5-checked set.
-#   r9 window: the remaining r5-checked + the r6-window set again.
-# All 178 queries stay locally oracle-gated every round via
-# tools/check_oracles.py (LOCAL_CORRECTNESS.md, same methodology).
+# Rotation cadence (50-row window; first-time rows take priority,
+# then repaired red rows, then oldest official evidence):
+#   r6 window (DONE): the 49 never-driver-checked r5-era queries +
+#     corpus_domain_sampling — 46 green, 2 documented rows-only,
+#     2 ERR (embed_center_normalize, sketch_quantiles_approx: array
+#     output the driver hash cannot canonicalize; repaired below).
+#   r7 window (THIS round): the two repaired r6-ERR queries FIRST
+#     (their red rows are the round's only red signal), then 48 of
+#     the 50 r6-new queries. 52 candidates > 50 slots, so the two
+#     lowest-risk r6-new rows — split_kfold and
+#     events_dow_seasonality, both trivial hash/agg shapes with
+#     local hash-PASS — are deferred to r8.
+#   r8 window: split_kfold + events_dow_seasonality + the r7-new
+#     queries (theta sketch etc.) + the oldest r4-checked rows.
+#   r9 window: the remaining r4/r5-checked rotation.
+# The full catalog (see the module docstring count; tools/
+# gen_query_index.py keeps it exact) stays locally oracle-gated
+# every round via tools/check_oracles.py (LOCAL_CORRECTNESS.md,
+# same hash methodology as the driver).
 _PRIORITY = [
-    # --- the 49 never-driver-checked queries (first official rows) ---
-    "ab_test_events", "corpus_mix_weights", "corpus_ngram_novelty",
-    "corpus_quality_report", "corpus_zipf", "dedup_incremental",
-    "dedup_incremental_neardup", "dedup_lsh_recall", "dedup_semantic",
-    "dedup_semantic_clusters", "dedup_winnow", "dq_expectations",
-    "drift_psi_events", "embed_center_normalize", "event_cube",
-    "event_pivot_counts", "event_transitions", "events_error_streaks",
-    "events_gap_fill", "graph_pagerank", "ml_kmeans",
-    "ml_kmeans_gonzalez", "ml_kmeans_inertia", "pipeline_corpus_config",
-    "pipeline_training_data_v2", "retention_cohorts", "sample_rate_limit",
-    "search_bm25", "search_rrf_fusion", "sketch_hll_distinct",
-    "sketch_quantiles_approx", "slo_burn_rate", "split_pack_sequences",
-    "text_bigram_lm", "text_bpe_pairs", "text_chunk_passages",
-    "text_compression", "text_dsir", "text_quality_model",
-    "tpch_q4", "tpch_q7", "tpch_q10", "tpch_q16", "tpch_q17",
-    "tpch_q18", "tpch_q19", "tpch_q22", "user_lifetime_mart",
-    "window_value_percentile",
-    # --- slot 50: the capability NEW in r6 (first-time row; the
-    # flagship anchor role is covered by pipeline_training_data_v2
-    # above — v2 IS the flagship, and v1 has a green r5 row) ---
-    "corpus_domain_sampling",
+    # --- the two repaired r6-ERR rows (array output scalarized;
+    # guard: tests/unit/test_catalog_scalar_outputs.py) ---
+    "embed_center_normalize", "sketch_quantiles_approx",
+    # --- 48 of the 50 r6-new queries (first official rows);
+    # split_kfold + events_dow_seasonality deferred to r8 ---
+    "text_c4_filters", "text_pmi_collocations", "tpch_q13",
+    "tpch_q21", "window_moving_avg_range", "funnel_time_to_convert",
+    "ivm_merge_event_counts", "event_grouping_sets", "events_twap",
+    "users_week_over_week", "scd2_user_tier", "attribution_last_touch",
+    "recon_orders_lineitems", "dedup_minhash_estimate",
+    "sketch_hll_mergeable", "embed_top_component", "cdc_apply_upserts",
+    "search_rrf_mrr", "corpus_vocab_divergence",
+    "users_cumulative_distinct", "events_sequence_anomaly",
+    "events_anomaly_mad", "basket_part_pairs", "tpch_q2",
+    "window_ntile_deciles", "text_rake_keywords", "embed_quantize_int8",
+    "customers_rfm", "text_langid_confusion", "retention_decay_fit",
+    "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
+    "tpch_q20", "match_fuzzy_entities", "events_peak_concurrency",
+    "corpus_snapshot_diff", "embed_truncation_fidelity",
+    "join_asof_nearest", "corpus_near_dedup_step", "sketch_hll_overlap",
+    "dedup_pair_lcs", "events_value_trend", "corpus_dedup_report",
+    "documents_profile", "dedup_simhash_recall",
 ]
 
 
@@ -4643,42 +4632,109 @@ def pipeline_training_data_v2(spark, sf_dir):
     )
 
 
-# rows-only sketch queries: HLL++/GK sketch VALUES are engine-specific
-# (DuckDB's approx_count_distinct uses a different HLL seed/width), so
-# there is deliberately no oracle_sql entry — the driver records the
-# weaker rows-only check and the accuracy bound is pytest-gated
+# Sketch queries — hash-gated accuracy WITNESSES. The sketch VALUES
+# are engine-specific (DuckDB's approx_count_distinct uses a different
+# HLL seed/width than Spark's HLL++ / Datasketches), so the hashed
+# frame carries only the cross-engine-exact columns plus a boolean
+# `within_tol` computed FROM the Spark-side sketch (the oracle emits
+# the same exact columns + literal TRUE): the driver row then proves
+# the sketch estimate landed inside its documented band, instead of
+# the weaker rows-only count. Tight bounds stay pytest-gated
 # (tests/unit/functions: err_milli <= 3*rsd, GK rank error <= n/acc).
 
 
-@register("sketch_hll_mergeable")
+@register(
+    "sketch_hll_mergeable",
+    """
+    SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_slices,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS within_tol
+    FROM events
+    """,
+)
 def sketch_hll_mergeable(spark, sf_dir):
     """Datasketches HLL mergeability (functions/sketch.py
     hll_mergeable_distinct): per-day user sketches unioned vs the
     direct sketch vs exact — the stored-sketch architecture a 100 TB
-    distinct-count pipeline runs on. Rows-only (engine-specific
-    sketch); accuracy + drift bounds pytest-gated."""
+    distinct-count pipeline runs on. Hash-gated witness: within_tol
+    asserts union-vs-exact AND union-vs-direct drift <= 60 milli
+    (3x the lg_k=12 rsd); the engine-specific estimates stay out of
+    the hashed frame."""
     events = tables(spark, sf_dir)["events"]
     day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
-    return sk.hll_mergeable_distinct(
+    raw = sk.hll_mergeable_distinct(
         events.withColumn("_day", day), "_day", "user_id"
+    )
+    return raw.select(
+        "n_slices",
+        "exact_distinct",
+        (
+            (F.col("union_err_milli") <= 60) & (F.col("merge_drift_milli") <= 60)
+        ).alias("within_tol"),
     )
 
 
-@register("sketch_hll_distinct")
+@register(
+    "sketch_hll_distinct",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
 def sketch_hll_distinct(spark, sf_dir):
-    """Per-event-type HLL++ approximate distinct users next to the
-    exact count (functions/sketch.py hll_distinct)."""
+    """Per-event-type HLL++ approximate distinct users
+    (functions/sketch.py hll_distinct). Hash-gated witness:
+    within_tol asserts the HLL++ estimate is within 60 milli
+    (3x rsd=0.02) of exact; the engine-specific estimate stays out
+    of the hashed frame."""
     events = tables(spark, sf_dir)["events"]
-    return sk.hll_distinct(events, "event_type", "user_id")
+    raw = sk.hll_distinct(events, "event_type", "user_id")
+    return raw.select(
+        "event_type",
+        "exact_distinct",
+        (F.col("err_milli") <= 60).alias("within_tol"),
+    )
 
 
-@register("sketch_quantiles_approx")
+@register(
+    "sketch_quantiles_approx",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4)  AS p50_exact,
+           round(quantile_cont(value, 0.9), 4)  AS p90_exact,
+           round(quantile_cont(value, 0.99), 4) AS p99_exact,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
 def sketch_quantiles_approx(spark, sf_dir):
     """Per-event-type Greenwald-Khanna approximate p50/p90/p99 of
     event value next to the exact percentiles (functions/sketch.py
-    quantile_sketch)."""
+    quantile_sketch). Hash-gated witness: the exact percentiles are
+    cross-engine (Spark `percentile` and DuckDB `quantile_cont` use
+    the same linear interpolation, verified to 4dp) and within_tol
+    asserts each GK estimate is within 5% relative of exact; the
+    engine-specific sketch values stay out of the hashed frame. The
+    tight GK rank-error bound (n/accuracy) stays pytest-gated."""
     events = tables(spark, sf_dir)["events"]
-    return sk.quantile_sketch(events, "event_type", "value")
+    raw = sk.quantile_sketch(events, "event_type", "value")
+
+    def _ok(i: int):
+        return F.abs(
+            F.element_at("approx_q", i) - F.element_at("exact_q", i)
+        ) <= 0.05 * F.greatest(F.abs(F.element_at("exact_q", i)), F.lit(1.0))
+
+    return raw.select(
+        "event_type",
+        F.round(F.element_at("exact_q", 1), 4).alias("p50_exact"),
+        F.round(F.element_at("exact_q", 2), 4).alias("p90_exact"),
+        F.round(F.element_at("exact_q", 3), 4).alias("p99_exact"),
+        "n",
+        (_ok(1) & _ok(2) & _ok(3)).alias("within_tol"),
+    )
 
 
 @register(
@@ -4933,21 +4989,30 @@ def text_chunk_passages(spark, sf_dir):
             FROM vm CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) dims
             GROUP BY dim
         )
-    )
+    ), wide AS (
     SELECT vec_id,
            [round((v[i] - mu[i]) / sqrt(list_sum(
                 [((v[j] - mu[j]) * (v[j] - mu[j]))::DOUBLE
                  for j in range(1, len(v) + 1)])), 6)
             for i in range(1, len(v) + 1)] AS centered
     FROM vm CROSS JOIN mu
+    )
+    SELECT vec_id, CAST(i AS BIGINT) AS dim, centered[i] AS value
+    FROM wide CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
     """,
 )
 def embed_center_normalize(spark, sf_dir):
     """Mean-centering + L2 renormalization of the embedding corpus
     (functions/similarity.py center_normalize): micro-exact mean,
-    broadcast model, narrow map."""
+    broadcast model, narrow map. Driver-facing shape: the vector is
+    EXPLODED to (vec_id, dim, value) scalar rows — the driver's hash
+    canonicalizer cannot factorize array cells (the r6 ERR), so no
+    catalog query may emit a top-level array (guard:
+    tests/unit/plans/test_catalog_scalar_outputs.py)."""
     emb = tables(spark, sf_dir)["embeddings"]
-    return sim.center_normalize(emb)
+    return sim.center_normalize(emb).select(
+        "vec_id", F.posexplode("centered").alias("dim", "value")
+    ).select("vec_id", (F.col("dim") + 1).cast("long").alias("dim"), "value")
 
 
 @register(
@@ -5005,7 +5070,7 @@ def split_kfold(spark, sf_dir):
                 for i in range(1, 65)] AS code
         FROM vm CROSS JOIN model
     )
-    SELECT vec_id, code AS code_int8,
+    SELECT vec_id, array_to_string(code, ' ') AS code_int8,
            CAST(list_max([abs(v[i] - (mn[i]
                 + (2 * (code[i] + 127) * span[i] + 254) // 508))
                 for i in range(1, 65)]) AS BIGINT) AS max_err_micro
@@ -5018,9 +5083,19 @@ def embed_quantize_int8(spark, sf_dir):
     model (one map-side-collapsing agg, 1-row broadcast), integer
     round-half-up codes, and the exact micro reconstruction error as
     the in-query accuracy witness — the 4x memory cut serving
-    billion-vector ANN."""
+    billion-vector ANN. Driver-facing shape: the int8 code vector is
+    rendered space-joined (integer-exact, so the string is
+    cross-engine bit-identical) — no catalog query may emit a
+    top-level array (the r6 driver-hash ERR class; guard:
+    tests/unit/test_catalog_scalar_outputs.py)."""
     emb = tables(spark, sf_dir)["embeddings"]
-    return sim.quantize_int8(emb)
+    return sim.quantize_int8(emb).select(
+        "vec_id",
+        F.array_join(
+            F.expr("transform(code_int8, c -> CAST(c AS STRING))"), " "
+        ).alias("code_int8"),
+        "max_err_micro",
+    )
 
 
 @register(
@@ -5041,16 +5116,26 @@ def embed_quantize_int8(spark, sf_dir):
     ), v0 AS (
         SELECT [CAST(1000 AS BIGINT) for i in range(1, 65)] AS vec
     ), {_sql_power_iterations(3)}
-    SELECT vec AS component_milli FROM v3
+    SELECT CAST(i AS BIGINT) AS dim, vec[i] AS value_milli
+    FROM v3 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
     """,
 )
 def embed_top_component(spark, sf_dir):
     """Dominant principal direction via integer-exact power iteration
     (functions/similarity.py top_component): micro-fixed centered
     vectors, milli iterate renormalized by the exact integer max —
-    bit-identical in any engine; the PCA-whitening / ABTT first step."""
+    bit-identical in any engine; the PCA-whitening / ABTT first step.
+    Driver-facing shape: the 1-row component vector is EXPLODED to
+    (dim, value_milli) scalar rows (the r6 driver-hash ERR class;
+    guard: tests/unit/test_catalog_scalar_outputs.py)."""
     emb = tables(spark, sf_dir)["embeddings"]
-    return sim.top_component(emb, iters=3)
+    return (
+        sim.top_component(emb, iters=3)
+        .select(F.posexplode("component_milli").alias("dim", "value_milli"))
+        .select(
+            (F.col("dim") + 1).cast("long").alias("dim"), "value_milli"
+        )
+    )
 
 
 @register(
@@ -7096,19 +7181,38 @@ def corpus_near_dedup_step(spark, sf_dir):
     )
 
 
-@register("sketch_hll_overlap")
+@register(
+    "sketch_hll_overlap",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS exact_intersection,
+           TRUE AS within_tol
+    FROM (
+        SELECT user_id FROM events
+        WHERE date_trunc('week', ts) = DATE '2024-01-01'
+        INTERSECT
+        SELECT user_id FROM events
+        WHERE date_trunc('week', ts) = DATE '2024-01-08'
+    )
+    """,
+)
 def sketch_hll_overlap(spark, sf_dir):
     """Stored-sketch audience overlap (functions/sketch.py
     hll_audience_overlap): distinct users active in BOTH of two weeks
     by inclusion–exclusion over per-slice HLL sketches — |A|+|B|−|A∪B|
-    with the union an O(sketch) merge; exact intersection + milli
-    error ride along as the accuracy witness. Rows-only driver gate
-    (engine-specific sketch); the error bound lives in pytest."""
+    with the union an O(sketch) merge. Hash-gated witness: within_tol
+    asserts the inclusion–exclusion estimate is within 100 milli of
+    the exact intersection (inclusion–exclusion error grows as the
+    overlap shrinks — the documented reason theta sketches exist; see
+    sketch_theta_overlap for the direct-intersection path)."""
     events = tables(spark, sf_dir)["events"]
     week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
-    return sk.hll_audience_overlap(
+    raw = sk.hll_audience_overlap(
         events.withColumn("_week", week), "_week", "user_id",
         "2024-01-01", "2024-01-08",
+    )
+    return raw.select(
+        "exact_intersection",
+        (F.col("err_milli") <= 100).alias("within_tol"),
     )
 
 
