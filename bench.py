@@ -28,6 +28,23 @@ long-lived cluster amortizes to zero, so it is warmed outside the
 measurement, standard JMH-style. The timed runs still do all IO and
 compute at the target SF.
 
+Probe gate (r7): the r6 official JSON was taken on a box whose CPU
+probe read 25% over the same code's idle measurement, and individual
+queries diverged up to 2.4x from idle re-runs — numbers that grade
+the machine, not the plans. The bench now brackets every headline
+attempt with BOTH probes (before and after), compares the worst
+probe against a committed idle reference (``CALIB_REF``, with the
+band ``PROBE_BAND``), and re-runs the whole headline (up to
+``SPARK_GRAFT_BENCH_ATTEMPTS``, default 3) while the probes are out
+of band — transient contention usually passes. If every attempt is
+contended the BEST attempt (lowest probe ratio) is emitted rather
+than refusing (the driver archives exactly one JSON per round), with
+``probe_verdict: "out_of_band"`` and the measured ratio so the
+reader normalizes or discards instead of mistaking load for a plan
+regression. The gate only binds at the official sf0.1 config; other
+SFs emit ``probe_verdict: "ungated_sf"`` (the scan probe's cost is
+SF-dependent).
+
 sf1 spot-run (r5): after the headline, the five heaviest text/dedup/
 ANN queries run once more at a 10x scale point so the "scales
 linearly" plan claims are a measured curve, not an assertion. The
@@ -105,6 +122,19 @@ SF1_SPOT = [
 
 _REPLICAS = 10
 _ID_STRIDE = 10_000_000
+
+# Committed idle reference for the machine-calibration probes,
+# measured IN BENCH CONTEXT (after the full sf0.001 warmup pass —
+# probes in a cold session read ~60% higher from shallower JIT, so a
+# cold-session measurement would leave the band permanently slack):
+# r7 build box, 32 cores, loadavg < 0.1/core, 2026-08-14. A FASTER
+# box reads ratio < 1 and is always in-band — the gate is one-sided,
+# catching contention/slowdown only. The scan probe swings ~25%
+# within a single idle run (page-cache / readahead state), which the
+# band absorbs. Re-measure and re-commit when the probes' definition
+# changes, never to make a hot run pass.
+CALIB_REF = {"calib_s": 0.13, "calib_scan_s": 0.35}
+PROBE_BAND = 1.3
 
 
 def ensure_sf1(spark, base_dir: str = "/root/testdata/sf0.1") -> str:
@@ -221,13 +251,15 @@ def main() -> None:
         for name in HEADLINE:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
-    def timed_median3(run) -> float:
+    def timed_median(run, n: int = 3) -> float:
         ts = []
-        for _ in range(3):
+        for _ in range(n):
             t0 = time.time()
             run()
             ts.append(time.time() - t0)
-        return round(sorted(ts)[1], 3)
+        return round(sorted(ts)[n // 2], 3)
+
+    timed_median3 = timed_median
 
     # fixed machine-calibration probes, identical every round — a
     # contended box shows up here first. Two axes because they load
@@ -253,14 +285,60 @@ def main() -> None:
 
     calib()  # warm the probes' codegen outside their timing
     calib_scan()
-    calib_s = timed_median3(calib)
-    calib_scan_s = timed_median3(calib_scan)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        timings[name] = timed_median3(
-            lambda: qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    def probes() -> tuple[float, float]:
+        # median-of-5: the probes GATE the run, so they get two more
+        # samples than the queries to keep false out-of-band retries
+        # (each a full headline re-run) rare
+        return timed_median(calib, 5), timed_median(calib_scan, 5)
+
+    def run_headline() -> dict[str, float]:
+        t: dict[str, float] = {}
+        for name in HEADLINE:
+            t[name] = timed_median3(
+                lambda: qs[name](spark, SF_DIR)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+        return t
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # the band only binds at the official config: the scan probe's
+    # absolute cost is SF-dependent, so the committed reference only
+    # means something at sf0.1
+    gated = sf_val == 0.1
+    max_attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3")))
+    best = None
+    for attempt in range(1, max_attempts + 1):
+        pre = probes()
+        timings = run_headline()
+        post = probes()
+        ratio = round(
+            max(
+                max(pre[0], post[0]) / CALIB_REF["calib_s"],
+                max(pre[1], post[1]) / CALIB_REF["calib_scan_s"],
+            ),
+            3,
         )
+        if best is None or ratio < best[0]:
+            best = (ratio, pre, post, timings, attempt)
+        if not gated or ratio <= PROBE_BAND:
+            break
+        print(
+            f"bench: attempt {attempt} probes out of band "
+            f"(ratio {ratio} > {PROBE_BAND}), retrying",
+            file=sys.stderr,
+        )
+    ratio, pre, post, timings, _ = best
+    attempts_used = attempt
+    verdict = (
+        "ungated_sf"
+        if not gated
+        else ("in_band" if ratio <= PROBE_BAND else "out_of_band")
+    )
+    calib_s, calib_scan_s = pre
 
     sf1_block = None
     if os.environ.get("SPARK_GRAFT_SF1_SPOT", "1") != "0":
@@ -286,7 +364,6 @@ def main() -> None:
             "rows_vs_headline": _REPLICAS,
         }
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     names = list(timings)
     out = {
         "metric": "headline_total",
@@ -301,7 +378,14 @@ def main() -> None:
         "comparable_19": round(sum(timings[n] for n in names[:19]), 3),
         "calib_s": calib_s,
         "calib_scan_s": calib_scan_s,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calib_post_s": post[0],
+        "calib_scan_post_s": post[1],
+        "calib_ref": CALIB_REF,
+        "probe_band": PROBE_BAND,
+        "probe_ratio": ratio,
+        "probe_verdict": verdict,
+        "bench_attempts": attempts_used,
+        "sf": sf_val,
     }
     if sf1_block is not None:
         out["sf1_spot"] = sf1_block

@@ -92,26 +92,38 @@ def _step_html_extract(df: DataFrame, text_col: str) -> DataFrame:
     return df.withColumn(text_col, tx.html_to_text(F.col(text_col)))
 
 
-def _step_quality_model(df: DataFrame, text_col: str, out_col: str = "prob_milli") -> DataFrame:
-    scored = tx.quality_model_score(df.select("doc_id", text_col)).select(
-        "doc_id", F.col("prob_milli").alias(out_col)
-    )
-    return df.join(scored, "doc_id")
+def _step_quality_model(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "prob_milli",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    scored = tx.quality_model_score(
+        df.select(id_col, text_col), text_col=text_col, id_col=id_col
+    ).select(id_col, F.col("prob_milli").alias(out_col))
+    return df.join(scored, id_col)
 
 
 def _step_filter(df: DataFrame, text_col: str, where: str) -> DataFrame:
     return df.filter(F.expr(where))
 
 
-def _step_c4_filter(df: DataFrame, text_col: str, keep_only: bool = True) -> DataFrame:
+def _step_c4_filter(
+    df: DataFrame,
+    text_col: str,
+    keep_only: bool = True,
+    id_col: str = "doc_id",
+) -> DataFrame:
     """C4 cleanup as a pipeline step: replaces the text column with the
     retained lines; ``keep_only`` drops failing docs (default — the
-    filter's purpose in a cleanup chain), else the flags stay."""
-    out = tx.c4_filter(df, text_col=text_col)
+    filter's purpose in a cleanup chain), else the flags stay.
+    ``id_col`` names the document key (like near_dedup — a corpus
+    whose id column isn't ``doc_id`` must be able to run the step)."""
+    out = tx.c4_filter(df, text_col=text_col, id_col=id_col)
     others = df.drop(text_col)
     merged = (
         out.withColumnRenamed("kept_text", text_col)
-        .join(others, "doc_id")
+        .join(others, id_col)
     )
     if keep_only:
         merged = merged.filter(F.col("c4_pass"))

@@ -1669,23 +1669,37 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     always one. Swap count_distinct for HLL sketches at petabyte
     scale; the report shape is unchanged."""
     cols = cols or df.columns
+    # every column is renamed to a positional safe name FIRST (toDF
+    # is a plan-free projection), so no raw name ever reaches a
+    # resolver or an expression string — a column named we`ird or
+    # o'clock or dot.ted profiles fine; the original name survives
+    # only as the report literal
+    all_cols = df.columns
+    safe = df.toDF(*[f"__c{j}" for j in range(len(all_cols))])
+    pos = {c: j for j, c in enumerate(all_cols)}
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
+        s = safe[f"__c{pos[c]}"]
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__{c}_null"),
-            F.count_distinct(F.col(c)).alias(f"__{c}_nd"),
-            F.coalesce(
-                F.expr(f"sum(length(CAST(`{c}` AS STRING))) * 1000 div count(1)"),
-                F.lit(0),
-            ).alias(f"__{c}_len"),
+            F.sum(F.when(s.isNull(), 1).otherwise(0)).alias(f"__n{i}"),
+            F.count_distinct(s).alias(f"__d{i}"),
+            F.sum(F.length(s.cast("string"))).alias(f"__s{i}"),
         ]
-    one = df.agg(*aggs)
+    one = safe.agg(F.count(F.lit(1)).alias("__cnt"), *aggs)
     parts = [
-        f"struct('{c}' AS col, `__{c}_null` AS n_null, `__{c}_nd` AS n_distinct, "
-        f"`__{c}_len` AS avg_len_milli)"
-        for c in cols
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"__n{i}").alias("n_null"),
+            F.col(f"__d{i}").alias("n_distinct"),
+            # integer div keeps the milli average exact at any scale
+            # (a double divide drifts past 2^53 total chars)
+            F.coalesce(
+                F.expr(f"(__s{i} * 1000) div __cnt"), F.lit(0)
+            ).alias("avg_len_milli"),
+        )
+        for i, c in enumerate(cols)
     ]
-    return one.selectExpr(f"inline(array({', '.join(parts)}))").select(
+    return one.select(F.inline(F.array(*parts))).select(
         "col",
         F.col("n_null").cast("long").alias("n_null"),
         F.col("n_distinct").cast("long").alias("n_distinct"),

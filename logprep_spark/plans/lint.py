@@ -175,11 +175,15 @@ def lint(df) -> list[Finding]:
         # pair the counts: tiny logical joins that ALREADY became
         # broadcast physical joins are fine — warn only when there are
         # more tiny-sided joins than broadcast joins, i.e. some tiny
-        # side is actually riding an exchange
+        # side is actually riding an exchange. Attribute the broadcast
+        # conversions to the SMALLEST estimates (Spark broadcasts the
+        # smallest sides first), so sort before trimming — truncating
+        # the unsorted list could discard the genuinely unconverted
+        # estimate and report an already-broadcast one's size
         n_broadcast = plan.count("BroadcastHashJoin") + plan.count(
             "BroadcastNestedLoopJoin"
         )
-        tiny = tiny[: max(0, len(tiny) - n_broadcast)]
+        tiny = sorted(tiny, reverse=True)[: max(0, len(tiny) - n_broadcast)]
         if tiny:
             findings.append(
                 Finding(

@@ -289,11 +289,17 @@ def _token_bucket_fn(capacity: float, refill_per_sec: float, ts_col: str):
     ) -> Iterator[pd.DataFrame]:
         tokens, last_us = state.get if state.exists else (capacity, 0)
         n = allowed = 0
-        for pdf in pdfs:
-            # event-time ordered replay inside the batch keeps the
-            # refill deterministic under any partition arrival order
-            pdf = pdf.sort_values(ts_col, kind="mergesort")
-            for t in pdf[ts_col]:
+        # materialize the whole micro-batch BEFORE sorting: the
+        # iterator yields Arrow-sized chunks, and sorting each chunk
+        # independently would make refill/spend decisions depend on
+        # chunk boundaries and partition arrival order — the batch
+        # must replay in one global event-time order for
+        # re-partitioned re-runs to make the same allow/drop calls
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            batch = batch.sort_values(ts_col, kind="mergesort")
+            for t in batch[ts_col]:
                 t_us = int(t.value // 1_000) if hasattr(t, "value") else int(t)
                 if last_us:
                     tokens = min(

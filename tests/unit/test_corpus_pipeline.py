@@ -153,6 +153,31 @@ def test_c4_and_domain_sample_steps(spark):
         CorpusPipeline([{"op": "domain_sample", "budget_numm": 1}])
 
 
+def test_c4_and_quality_model_steps_honor_id_col(spark):
+    """A corpus whose id column isn't ``doc_id`` must still run the
+    c4_filter and quality_model steps (the r6 ADVICE finding: the
+    steps hardcoded the join key even though text_col was
+    configurable)."""
+    good = (
+        "This is a fine sentence with plenty of words today.\n"
+        "Another good sentence follows right here and now.\n"
+        "And a third one completes the minimum requirement nicely."
+    )
+    rows = [(i, good, f"s{i % 2}") for i in range(4)]
+    rows.append((99, "no punctuation no luck here", "s0"))
+    df = spark.createDataFrame(rows, ["page_id", "text", "source"])
+
+    p = CorpusPipeline(
+        [
+            {"op": "c4_filter", "id_col": "page_id"},
+            {"op": "quality_model", "id_col": "page_id"},
+        ]
+    )
+    out = p.transform(df)
+    assert out.count() == 4  # doc 99 gated out, the rest scored
+    assert "prob_milli" in out.columns and "page_id" in out.columns
+
+
 def test_near_dedup_step_drops_higher_id_near_dupes(spark):
     """r6 step: near_dedup removes the higher-id member of each
     verified MinHash near-dup pair and keeps everything else — with
