@@ -251,3 +251,168 @@ def hll_audience_overlap(
             " div greatest(exact_intersection, 1)"
         ).alias("err_milli"),
     )
+
+
+#: integer H_MAX twin of the float one for exact-mode theta sketches
+_H_MAX_LONG = 1 << 60
+
+
+def theta_sketch_slices(
+    df: DataFrame,
+    slice_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-slice KMV/theta sketch: one row per slice holding
+    ``(theta, sample)`` where ``theta`` is the k-th smallest 60-bit
+    md5 hash of the slice's distinct values and ``sample`` the k-1
+    hashes below it (exact mode — theta = 2^60, sample = everything —
+    when the slice has fewer than k distinct values). Unlike HLL,
+    theta sketches support direct SET ALGEBRA over the stored
+    samples: intersection/difference estimates don't inherit the
+    inclusion–exclusion error blowup when the overlap is small
+    relative to the union (the documented hll_audience_overlap
+    limitation this exists to fix).
+
+    Deterministic: md5 hashing, so the sketch AND every estimate
+    derived from it are bit-identical in any engine — the oracle gate
+    hash-compares the estimates themselves, no tolerance band needed.
+
+    Scale shape: a cardinality HINT (one map-side-combining
+    approx_count_distinct per slice, broadcast back) prefilters
+    candidate hashes to ``h < 2^60 · 8k / n̂`` before anything
+    shuffles, so the per-slice top-k window sorts ~8k candidate
+    hashes instead of every distinct value — at 10⁹ values/slice the
+    shuffle stays O(k·slices). The 8× margin makes losing the true
+    k-th smallest to the prefilter a <2⁻ᵏ Chernoff tail; slices whose
+    hint is under 8k skip the prefilter entirely (cut = 2^60)."""
+    from pyspark.sql import Window
+
+    h = h60(F.col(value_col).cast("string"))
+    hints = (
+        df.groupBy(slice_col)
+        .agg(F.approx_count_distinct(value_col).alias("_n_hint"))
+        .select(
+            slice_col,
+            # double math for the cut (8k·2^60 overflows a long): the
+            # prefilter is a safety-margined hint, not part of the
+            # deterministic estimate, so float rounding is harmless
+            F.when(
+                F.col("_n_hint") > 8 * k,
+                (F.lit(float(_H_MAX_LONG) * 8 * k) / F.col("_n_hint")).cast(
+                    "long"
+                ),
+            )
+            .otherwise(F.lit(_H_MAX_LONG))
+            .alias("_cut"),
+        )
+    )
+    cand = (
+        df.select(F.col(slice_col), h.alias("_h"))
+        .join(F.broadcast(hints), slice_col)
+        .filter(F.col("_h") < F.col("_cut"))
+        .select(slice_col, "_h")
+        .distinct()
+    )
+    win = Window.partitionBy(slice_col).orderBy("_h")
+    ranked = cand.withColumn("_rn", F.row_number().over(win)).filter(
+        F.col("_rn") <= k
+    )
+    return ranked.groupBy(slice_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.max(F.when(F.col("_rn") == k, F.col("_h"))).alias("_kth"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_rn") < k, F.col("_h")))
+        ).alias("_sample"),
+    ).select(
+        slice_col,
+        F.coalesce("_kth", F.lit(_H_MAX_LONG)).alias("_theta"),
+        "_sample",
+        "_n_kept",
+    )
+
+
+def theta_audience_overlap(
+    df: DataFrame,
+    slice_col: str,
+    value_col: str,
+    slice_a: str,
+    slice_b: str,
+    k: int = 64,
+) -> DataFrame:
+    """Stored-sketch audience overlap by DIRECT theta-sketch
+    intersection — the answer hll_audience_overlap documents it
+    cannot give precisely: θ_AB = min(θ_A, θ_B), the intersection
+    estimate is ``|{h ∈ sample_A ∩ sample_B : h < θ_AB}| · 2^60 /
+    θ_AB``, whose relative error stays ~1/√k regardless of how small
+    the overlap is (inclusion–exclusion error scales with the UNION,
+    swamping small intersections). Per-slice estimates ride along;
+    exact intersection + milli error are the in-query accuracy
+    witness. Everything after the two 1-row sketches is broadcast
+    arithmetic on ≤k-element arrays."""
+    sk = theta_sketch_slices(
+        df.filter(F.col(slice_col).isin(slice_a, slice_b)),
+        slice_col,
+        value_col,
+        k,
+    )
+    a = sk.filter(F.col(slice_col) == slice_a).select(
+        F.col("_theta").alias("_ta"),
+        F.col("_sample").alias("_sa"),
+        F.col("_n_kept").alias("_na"),
+    )
+    b = sk.filter(F.col(slice_col) == slice_b).select(
+        F.col("_theta").alias("_tb"),
+        F.col("_sample").alias("_sb"),
+        F.col("_n_kept").alias("_nb"),
+    )
+
+    def est_one(theta: str, n_kept: str) -> Column:
+        return (
+            F.when(
+                F.col(theta) == _H_MAX_LONG, F.col(n_kept).cast("double")
+            ).otherwise(
+                F.round(F.lit(float(k - 1)) * F.lit(_H_MAX) / F.col(theta), 2)
+            )
+        )
+
+    ests = (
+        a.crossJoin(F.broadcast(b))
+        .withColumn("_tab", F.least("_ta", "_tb"))
+        .withColumn(
+            "_n_int",
+            F.size(
+                F.filter(
+                    F.array_intersect("_sa", "_sb"),
+                    lambda x: x < F.col("_tab"),
+                )
+            ),
+        )
+        .select(
+            est_one("_ta", "_na").alias("est_a"),
+            est_one("_tb", "_nb").alias("est_b"),
+            F.round(
+                F.col("_n_int") * F.lit(_H_MAX) / F.col("_tab"), 2
+            ).alias("est_intersection"),
+        )
+    )
+    va, vb = F.col(value_col), F.col(slice_col)
+    exact = (
+        df.filter(vb == slice_a)
+        .select(va.alias("_v"))
+        .intersect(df.filter(vb == slice_b).select(va.alias("_v")))
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return ests.crossJoin(F.broadcast(exact)).select(
+        "est_a",
+        "est_b",
+        "est_intersection",
+        "exact_intersection",
+        F.floor(
+            F.lit(1000.0)
+            * F.abs(F.col("est_intersection") - F.col("exact_intersection"))
+            / F.greatest(F.col("exact_intersection"), F.lit(1))
+        )
+        .cast("long")
+        .alias("err_milli"),
+    )

@@ -7206,13 +7206,98 @@ def sketch_hll_overlap(spark, sf_dir):
     sketch_theta_overlap for the direct-intersection path)."""
     events = tables(spark, sf_dir)["events"]
     week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    # redundant raw-ts range beside the derived-week predicate (the
+    # pushable form — see sketch_theta_overlap)
+    raw_range = (F.col("ts") >= F.lit("2024-01-01")) & (
+        F.col("ts") < F.lit("2024-01-15")
+    )
     raw = sk.hll_audience_overlap(
-        events.withColumn("_week", week), "_week", "user_id",
-        "2024-01-01", "2024-01-08",
+        events.filter(raw_range).withColumn("_week", week),
+        "_week", "user_id", "2024-01-01", "2024-01-08",
     )
     return raw.select(
         "exact_intersection",
         (F.col("err_milli") <= 100).alias("within_tol"),
+    )
+
+
+@register(
+    "sketch_theta_overlap",
+    f"""
+    WITH wk AS (
+        SELECT user_id,
+               strftime(date_trunc('week', ts), '%Y-%m-%d') AS w
+        FROM events
+    ), ha AS (
+        SELECT DISTINCT {_sql_h60("user_id::VARCHAR")} AS h
+        FROM wk WHERE w = '2024-01-01'
+    ), hb AS (
+        SELECT DISTINCT {_sql_h60("user_id::VARCHAR")} AS h
+        FROM wk WHERE w = '2024-01-08'
+    ), ra AS (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha
+    ), rb AS (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb
+    ), sa AS (
+        SELECT coalesce(max(CASE WHEN rn = 64 THEN h END),
+                        1152921504606846976::BIGINT) AS theta,
+               count(*) FILTER (WHERE rn <= 64) AS n_kept
+        FROM ra
+    ), sb AS (
+        SELECT coalesce(max(CASE WHEN rn = 64 THEN h END),
+                        1152921504606846976::BIGINT) AS theta,
+               count(*) FILTER (WHERE rn <= 64) AS n_kept
+        FROM rb
+    ), ints AS (
+        SELECT count(*) AS n_int
+        FROM ra JOIN rb USING (h), sa, sb
+        WHERE ra.rn < 64 AND rb.rn < 64
+          AND h < least(sa.theta, sb.theta)
+    ), ex AS (
+        SELECT count(*) AS exact_intersection FROM (
+            SELECT user_id FROM wk WHERE w = '2024-01-01'
+            INTERSECT
+            SELECT user_id FROM wk WHERE w = '2024-01-08'
+        )
+    )
+    SELECT
+        CASE WHEN sa.theta = 1152921504606846976 THEN sa.n_kept::DOUBLE
+             ELSE round(63.0 * 1152921504606846976.0 / sa.theta, 2)
+        END AS est_a,
+        CASE WHEN sb.theta = 1152921504606846976 THEN sb.n_kept::DOUBLE
+             ELSE round(63.0 * 1152921504606846976.0 / sb.theta, 2)
+        END AS est_b,
+        round(ints.n_int * 1152921504606846976.0
+              / least(sa.theta, sb.theta), 2) AS est_intersection,
+        ex.exact_intersection,
+        CAST(floor(1000.0 * abs(round(ints.n_int * 1152921504606846976.0
+                  / least(sa.theta, sb.theta), 2) - ex.exact_intersection)
+             / greatest(ex.exact_intersection, 1)) AS BIGINT) AS err_milli
+    FROM sa, sb, ints, ex
+    """,
+)
+def sketch_theta_overlap(spark, sf_dir):
+    """Audience overlap by DIRECT theta-sketch intersection
+    (functions/sketch.py theta_audience_overlap) — the fix for the
+    documented hll inclusion–exclusion limitation (its error scales
+    with the UNION, swamping small overlaps; theta set algebra stays
+    ~1/√k at any overlap). k=64 so estimate mode engages at sf0.01
+    (150 users/week); production default is 4096. md5-based, so the
+    driver row hash-compares the ESTIMATES themselves against the
+    DuckDB replica — a stronger gate than the hll rows' within_tol
+    band. Scale: the cardinality-hint prefilter bounds the per-slice
+    shuffle to ~8k candidate hashes (see theta_sketch_slices)."""
+    events = tables(spark, sf_dir)["events"]
+    week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    # redundant raw-ts range beside the derived-week predicate: the
+    # range is what the parquet reader can actually push (row-group
+    # skipping), the week filter keeps the exact semantics
+    raw_range = (F.col("ts") >= F.lit("2024-01-01")) & (
+        F.col("ts") < F.lit("2024-01-15")
+    )
+    return sk.theta_audience_overlap(
+        events.filter(raw_range).withColumn("_week", week),
+        "_week", "user_id", "2024-01-01", "2024-01-08", k=64,
     )
 
 
