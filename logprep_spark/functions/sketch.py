@@ -356,16 +356,24 @@ def theta_audience_overlap(
         value_col,
         k,
     )
-    a = sk.filter(F.col(slice_col) == slice_a).select(
-        F.col("_theta").alias("_ta"),
-        F.col("_sample").alias("_sa"),
-        F.col("_n_kept").alias("_na"),
-    )
-    b = sk.filter(F.col(slice_col) == slice_b).select(
-        F.col("_theta").alias("_tb"),
-        F.col("_sample").alias("_sb"),
-        F.col("_n_kept").alias("_nb"),
-    )
+
+    def one_sketch(slice_val: str, suffix: str) -> DataFrame:
+        # global .agg() so an EMPTY slice still yields one row — an
+        # exact-mode default (theta=2^60, empty sample, n_kept=0)
+        # that estimates 0.0, matching the always-1-row SQL oracle
+        # (an absent groupBy row would otherwise empty the crossJoin)
+        return sk.filter(F.col(slice_col) == slice_val).agg(
+            F.coalesce(F.first("_theta"), F.lit(_H_MAX_LONG)).alias(
+                f"_t{suffix}"
+            ),
+            F.coalesce(
+                F.first("_sample"), F.array().cast("array<bigint>")
+            ).alias(f"_s{suffix}"),
+            F.coalesce(F.first("_n_kept"), F.lit(0)).alias(f"_n{suffix}"),
+        )
+
+    a = one_sketch(slice_a, "a")
+    b = one_sketch(slice_b, "b")
 
     def est_one(theta: str, n_kept: str) -> Column:
         return (
@@ -412,6 +420,175 @@ def theta_audience_overlap(
             F.lit(1000.0)
             * F.abs(F.col("est_intersection") - F.col("exact_intersection"))
             / F.greatest(F.col("exact_intersection"), F.lit(1))
+        )
+        .cast("long")
+        .alias("err_milli"),
+    )
+
+
+def theta_audience_diff(
+    df: DataFrame,
+    slice_col: str,
+    value_col: str,
+    slice_a: str,
+    slice_b: str,
+    k: int = 64,
+) -> DataFrame:
+    """A\\B difference estimate over the same stored per-slice KMV
+    rows as :func:`theta_audience_overlap` — the remaining direct
+    set-algebra operation HLL cannot do. With θ_AB = min(θ_A, θ_B),
+    KMV retains EVERY hash of a slice below its θ, so membership of
+    any h < θ_AB is an exact test against sample_B:
+
+        est(A\\B) = |{h ∈ sample_A : h < θ_AB, h ∉ sample_B}| · 2^60 / θ_AB
+
+    (relative error ~1/√k like intersection — no subtracting two big
+    inclusion–exclusion terms). Both directions + exact witnesses in one
+    row; everything after the two 1-row sketches is broadcast
+    arithmetic on ≤k-element arrays. Deterministic md5 → the
+    estimates themselves are oracle-hashable."""
+    sk = theta_sketch_slices(
+        df.filter(F.col(slice_col).isin(slice_a, slice_b)),
+        slice_col,
+        value_col,
+        k,
+    )
+
+    def one_sketch(slice_val: str, suffix: str) -> DataFrame:
+        return sk.filter(F.col(slice_col) == slice_val).agg(
+            F.coalesce(F.first("_theta"), F.lit(_H_MAX_LONG)).alias(
+                f"_t{suffix}"
+            ),
+            F.coalesce(
+                F.first("_sample"), F.array().cast("array<bigint>")
+            ).alias(f"_s{suffix}"),
+        )
+
+    def diff_est(sa: str, sb: str) -> Column:
+        n = F.size(
+            F.filter(
+                F.array_except(F.col(sa), F.col(sb)),
+                lambda x: x < F.col("_tab"),
+            )
+        )
+        return F.when(
+            F.col("_tab") == _H_MAX_LONG, n.cast("double")
+        ).otherwise(F.round(n * F.lit(_H_MAX) / F.col("_tab"), 2))
+
+    ests = (
+        one_sketch(slice_a, "a")
+        .crossJoin(F.broadcast(one_sketch(slice_b, "b")))
+        .withColumn("_tab", F.least("_ta", "_tb"))
+        .select(
+            diff_est("_sa", "_sb").alias("est_diff_ab"),
+            diff_est("_sb", "_sa").alias("est_diff_ba"),
+        )
+    )
+    va, vb = F.col(value_col), F.col(slice_col)
+
+    def exact_diff(x: str, y: str, name: str) -> DataFrame:
+        return (
+            df.filter(vb == x)
+            .select(va.alias("_v"))
+            .join(
+                df.filter(vb == y).select(va.alias("_v")),
+                "_v",
+                "left_anti",
+            )
+            .agg(F.count_distinct("_v").alias(name))
+        )
+
+    return (
+        ests.crossJoin(F.broadcast(exact_diff(slice_a, slice_b, "exact_diff_ab")))
+        .crossJoin(F.broadcast(exact_diff(slice_b, slice_a, "exact_diff_ba")))
+        .select(
+            "est_diff_ab",
+            "exact_diff_ab",
+            "est_diff_ba",
+            "exact_diff_ba",
+            F.floor(
+                F.lit(1000.0)
+                * F.abs(F.col("est_diff_ab") - F.col("exact_diff_ab"))
+                / F.greatest(F.col("exact_diff_ab"), F.lit(1))
+            )
+            .cast("long")
+            .alias("err_ab_milli"),
+        )
+    )
+
+
+def theta_union_range(
+    df: DataFrame,
+    slice_col: str,
+    value_col: str,
+    lo: str,
+    hi: str,
+    k: int = 64,
+) -> DataFrame:
+    """Distinct count over an AD-HOC slice range from stored per-slice
+    theta sketches — the query hll_mergeable_distinct documents
+    ("distinct users over THIS date range without touching raw data"),
+    done with the deterministic KMV family so the estimate itself
+    hash-compares cross-engine.
+
+    Union of stored sketches: θ_U = min over selected slices' θ; the
+    pooled retained hashes below θ_U are exactly the union's distinct
+    hashes below θ_U (each slice retains ALL its hashes < θ_slice ≥
+    θ_U), so  est = |{distinct h ∈ ∪ samples : h < θ_U}| · 2^60 / θ_U
+    — the unbiased θ-sketch union estimator, variance ~1/√k. Each
+    slice's k-th hash equals its own θ ≥ θ_U, so samples (rn < k)
+    alone carry the pool.
+
+    Scale shape: the per-slice sketch build is the one pass over raw
+    data (prefilter-bounded, see :func:`theta_sketch_slices`) and is
+    the STORED artifact; every ad-hoc range after that is O(slices·k)
+    arithmetic on the sketch rows — here a ≤(slices·k)-row explode,
+    one distinct, one 1-row agg. Empty range → exact-mode default
+    (θ=2^60, empty pool) → est 0.0, matching an always-1-row oracle.
+
+    The exact distinct + milli error ride along as the in-query
+    accuracy witness (the verification scan a production run omits).
+    """
+    in_range = (F.col(slice_col) >= lo) & (F.col(slice_col) <= hi)
+    sketches = theta_sketch_slices(
+        df.filter(in_range), slice_col, value_col, k
+    )
+    # θ_U and slice count: one row even over zero slices
+    theta_u = sketches.agg(
+        F.coalesce(F.min("_theta"), F.lit(_H_MAX_LONG)).alias("_tu"),
+        F.count(F.lit(1)).alias("n_slices"),
+    )
+    pool = (
+        sketches.select(F.explode("_sample").alias("_h"))
+        .distinct()
+        .crossJoin(F.broadcast(theta_u))
+        .filter(F.col("_h") < F.col("_tu"))
+        .agg(F.count(F.lit(1)).alias("_n_pool"))
+    )
+    est = (
+        theta_u.crossJoin(F.broadcast(pool))
+        .select(
+            "n_slices",
+            F.when(
+                F.col("_tu") == _H_MAX_LONG, F.col("_n_pool").cast("double")
+            )
+            .otherwise(
+                F.round(F.col("_n_pool") * F.lit(_H_MAX) / F.col("_tu"), 2)
+            )
+            .alias("est_union"),
+        )
+    )
+    exact = df.filter(in_range).agg(
+        F.count_distinct(value_col).alias("exact_union")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_slices",
+        "est_union",
+        "exact_union",
+        F.floor(
+            F.lit(1000.0)
+            * F.abs(F.col("est_union") - F.col("exact_union"))
+            / F.greatest(F.col("exact_union"), F.lit(1))
         )
         .cast("long")
         .alias("err_milli"),

@@ -1668,18 +1668,29 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     report. N profiling queries = N full scans at 100 TB; this is
     always one. Swap count_distinct for HLL sketches at petabyte
     scale; the report shape is unchanged."""
-    cols = cols or df.columns
     # every column is renamed to a positional safe name FIRST (toDF
     # is a plan-free projection), so no raw name ever reaches a
     # resolver or an expression string — a column named we`ird or
     # o'clock or dot.ted profiles fine; the original name survives
-    # only as the report literal
+    # only as the report literal. Selection is by POSITION, not a
+    # name->index dict, so duplicate column names each profile their
+    # own column (one report row per position) instead of the last
+    # duplicate winning twice.
     all_cols = df.columns
     safe = df.toDF(*[f"__c{j}" for j in range(len(all_cols))])
-    pos = {c: j for j, c in enumerate(all_cols)}
+    wanted = None if cols is None else set(cols)
+    picked = [
+        (j, c)
+        for j, c in enumerate(all_cols)
+        if wanted is None or c in wanted
+    ]
+    if wanted is not None:
+        missing = wanted - {c for _, c in picked}
+        if missing:
+            raise ValueError(f"profile_columns: unknown columns {sorted(missing)}")
     aggs = []
-    for i, c in enumerate(cols):
-        s = safe[f"__c{pos[c]}"]
+    for i, (j, c) in enumerate(picked):
+        s = safe[f"__c{j}"]
         aggs += [
             F.sum(F.when(s.isNull(), 1).otherwise(0)).alias(f"__n{i}"),
             F.count_distinct(s).alias(f"__d{i}"),
@@ -1697,7 +1708,7 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
                 F.expr(f"(__s{i} * 1000) div __cnt"), F.lit(0)
             ).alias("avg_len_milli"),
         )
-        for i, c in enumerate(cols)
+        for i, (_, c) in enumerate(picked)
     ]
     return one.select(F.inline(F.array(*parts))).select(
         "col",

@@ -86,42 +86,45 @@ def register(name: str, oracle: str | None = None):
 #     corpus_domain_sampling — 46 green, 2 documented rows-only,
 #     2 ERR (embed_center_normalize, sketch_quantiles_approx: array
 #     output the driver hash cannot canonicalize; repaired below).
-#   r7 window (THIS round): the two repaired r6-ERR queries FIRST
-#     (their red rows are the round's only red signal), then 48 of
-#     the 50 r6-new queries. 52 candidates > 50 slots, so the two
-#     lowest-risk r6-new rows — split_kfold and
-#     events_dow_seasonality, both trivial hash/agg shapes with
-#     local hash-PASS — are deferred to r8.
-#   r8 window: split_kfold + events_dow_seasonality + the r7-new
-#     queries (theta sketch etc.) + the oldest r4-checked rows.
-#   r9 window: the remaining r4/r5-checked rotation.
+#   r7 window (DONE): the two repaired r6-ERR queries FIRST, then
+#     48 of the 50 r6-new queries — 50/50 green, all hash-gated
+#     (split_kfold and events_dow_seasonality deferred here).
+#   r8 window (THIS round): the queries with NO driver row FIRST —
+#     the two r7 deferrals, the r7-new sketch_theta_overlap, and
+#     this round's new queries — then the oldest official evidence:
+#     the 46 newest-first r4-checked rows that fit the remaining
+#     slots (CORRECTNESS_r04 is 3 rounds stale).
+#   r9 window: the r4 rows that did not fit + the r5-checked
+#     rotation (oldest evidence first).
 # The full catalog (see the module docstring count; tools/
 # gen_query_index.py keeps it exact) stays locally oracle-gated
 # every round via tools/check_oracles.py (LOCAL_CORRECTNESS.md,
 # same hash methodology as the driver).
 _PRIORITY = [
-    # --- the two repaired r6-ERR rows (array output scalarized;
-    # guard: tests/unit/test_catalog_scalar_outputs.py) ---
-    "embed_center_normalize", "sketch_quantiles_approx",
-    # --- 48 of the 50 r6-new queries (first official rows);
-    # split_kfold + events_dow_seasonality deferred to r8 ---
-    "text_c4_filters", "text_pmi_collocations", "tpch_q13",
-    "tpch_q21", "window_moving_avg_range", "funnel_time_to_convert",
-    "ivm_merge_event_counts", "event_grouping_sets", "events_twap",
-    "users_week_over_week", "scd2_user_tier", "attribution_last_touch",
-    "recon_orders_lineitems", "dedup_minhash_estimate",
-    "sketch_hll_mergeable", "embed_top_component", "cdc_apply_upserts",
-    "search_rrf_mrr", "corpus_vocab_divergence",
-    "users_cumulative_distinct", "events_sequence_anomaly",
-    "events_anomaly_mad", "basket_part_pairs", "tpch_q2",
-    "window_ntile_deciles", "text_rake_keywords", "embed_quantize_int8",
-    "customers_rfm", "text_langid_confusion", "retention_decay_fit",
-    "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
-    "tpch_q20", "match_fuzzy_entities", "events_peak_concurrency",
-    "corpus_snapshot_diff", "embed_truncation_fidelity",
-    "join_asof_nearest", "corpus_near_dedup_step", "sketch_hll_overlap",
-    "dedup_pair_lcs", "events_value_trend", "corpus_dedup_report",
-    "documents_profile", "dedup_simhash_recall",
+    # --- queries with no official driver row yet: the two r7
+    # deferrals (local hash-PASS since r6), the r7-new theta
+    # overlap, and this round's new theta-algebra row ---
+    "split_kfold", "events_dow_seasonality", "sketch_theta_overlap",
+    "sketch_theta_union_range",
+    # --- oldest official evidence: r4-checked rows (46 of 47;
+    # proc_deduplicator deferred to r9) ---
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+    "join_broadcast_nation", "event_type_stats", "event_percentiles",
+    "agg_salted_user_counts", "filter_lucene_bool",
+    "filter_lucene_wildcard", "filter_lucene_regex",
+    "filter_lucene_range", "dedup_exact", "dedup_clusters",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
+    "ann_topk_bruteforce", "ann_topk_lsh", "text_langid",
+    "text_quality", "text_tokens", "text_fingerprint",
+    "pipeline_compose", "source_preprocessors", "source_jsonl",
+    "proc_calculator", "proc_concatenator", "proc_datetime_extractor",
+    "proc_decoder_json", "proc_dissector", "proc_grokker",
+    "proc_timestamper", "proc_timestamp_differ", "proc_pseudonymizer",
+    "proc_pseudonymizer_pseudonyms", "proc_replacer",
+    "proc_field_manager", "proc_generic_resolver", "proc_ip_informer",
+    "proc_pre_detector", "proc_selective_extractor",
+    "sessionize_events", "dedup_substring_spans",
+    "dedup_contamination", "ann_recall_lsh",
 ]
 
 
@@ -5008,7 +5011,7 @@ def embed_center_normalize(spark, sf_dir):
     EXPLODED to (vec_id, dim, value) scalar rows — the driver's hash
     canonicalizer cannot factorize array cells (the r6 ERR), so no
     catalog query may emit a top-level array (guard:
-    tests/unit/plans/test_catalog_scalar_outputs.py)."""
+    tests/unit/test_catalog_scalar_outputs.py)."""
     emb = tables(spark, sf_dir)["embeddings"]
     return sim.center_normalize(emb).select(
         "vec_id", F.posexplode("centered").alias("dim", "value")
@@ -7298,6 +7301,78 @@ def sketch_theta_overlap(spark, sf_dir):
     return sk.theta_audience_overlap(
         events.filter(raw_range).withColumn("_week", week),
         "_week", "user_id", "2024-01-01", "2024-01-08", k=64,
+    )
+
+
+@register(
+    "sketch_theta_union_range",
+    f"""
+    WITH wk AS (
+        SELECT user_id,
+               strftime(date_trunc('week', ts), '%Y-%m-%d') AS w
+        FROM events
+    ), sel AS (
+        SELECT * FROM wk WHERE w >= '2024-01-01' AND w <= '2024-01-15'
+    ), hs AS (
+        SELECT w, h, row_number() OVER (PARTITION BY w ORDER BY h) AS rn
+        FROM (
+            SELECT DISTINCT w, {_sql_h60("user_id::VARCHAR")} AS h
+            FROM sel
+        )
+    ), th AS (
+        SELECT w,
+               coalesce(max(CASE WHEN rn = 64 THEN h END),
+                        1152921504606846976::BIGINT) AS theta
+        FROM hs GROUP BY w
+    ), tu AS (
+        SELECT coalesce(min(theta), 1152921504606846976::BIGINT) AS theta_u,
+               count(*) AS n_slices
+        FROM th
+    ), pool AS (
+        SELECT count(*) AS n_pool FROM (
+            SELECT DISTINCT h FROM hs, tu
+            WHERE rn < 64 AND h < tu.theta_u
+        )
+    ), est AS (
+        SELECT CASE WHEN tu.theta_u = 1152921504606846976
+                    THEN pool.n_pool::DOUBLE
+                    ELSE round(pool.n_pool * 1152921504606846976.0
+                               / tu.theta_u, 2)
+               END AS est_union
+        FROM tu, pool
+    ), ex AS (
+        SELECT count(DISTINCT user_id) AS exact_union FROM sel
+    )
+    SELECT tu.n_slices AS n_slices,
+           est.est_union AS est_union,
+           ex.exact_union AS exact_union,
+           CAST(floor(1000.0 * abs(est.est_union - ex.exact_union)
+                / greatest(ex.exact_union, 1)) AS BIGINT) AS err_milli
+    FROM tu, est, ex
+    """,
+)
+def sketch_theta_union_range(spark, sf_dir):
+    """Distinct users over an AD-HOC 3-week range from STORED per-week
+    theta sketches (functions/sketch.py theta_union_range) — the
+    mergeability query hll_mergeable_distinct documents, done with the
+    deterministic KMV family: θ_U = min θ over selected weeks, pool =
+    distinct sample hashes < θ_U, est = |pool|·2^60/θ_U. md5-based, so
+    the driver row hash-compares the union ESTIMATE itself against the
+    DuckDB replica of the full construction (no tolerance band). k=64
+    engages estimate mode at sf0.01; production default is 4096.
+    Scale: the sketch build is the one raw-data pass (prefilter-
+    bounded, see theta_sketch_slices); every later range query is
+    O(weeks·k) arithmetic over sketch rows. The redundant raw-ts range
+    beside the derived-week predicate keeps the parquet scan
+    row-group-skippable."""
+    events = tables(spark, sf_dir)["events"]
+    week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    raw_range = (F.col("ts") >= F.lit("2024-01-01")) & (
+        F.col("ts") < F.lit("2024-01-22")
+    )
+    return sk.theta_union_range(
+        events.filter(raw_range).withColumn("_week", week),
+        "_week", "user_id", "2024-01-01", "2024-01-15", k=64,
     )
 
 

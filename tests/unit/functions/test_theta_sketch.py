@@ -17,8 +17,10 @@ from pyspark.sql import functions as F
 
 from logprep_spark.functions.sketch import (
     _H_MAX_LONG,
+    theta_audience_diff,
     theta_audience_overlap,
     theta_sketch_slices,
+    theta_union_range,
 )
 
 
@@ -81,6 +83,104 @@ def test_repartitioning_never_changes_the_estimate(spark):
     ref = theta_audience_overlap(df, "slice", "val", "a", "b", k=128).collect()
     got = theta_audience_overlap(
         df.repartition(13), "slice", "val", "a", "b", k=128
+    ).collect()
+    assert ref == got
+
+
+def test_empty_slice_yields_one_zero_row(spark):
+    """A week constant matching no data must still produce ONE row
+    estimating 0.0 — the SQL oracle always emits a row, so an empty
+    crossJoin would be a latent row-count FAIL (ADVICE r7)."""
+    df = _df(spark, {"a": list(range(20))})
+    (row,) = theta_audience_overlap(
+        df, "slice", "val", "a", "missing", k=64
+    ).collect()
+    assert row.est_a == 20.0
+    assert row.est_b == 0.0
+    assert row.est_intersection == 0.0
+    assert row.exact_intersection == 0
+    (row,) = theta_audience_overlap(
+        df, "slice", "val", "gone", "also_gone", k=64
+    ).collect()
+    assert row.est_a == row.est_b == row.est_intersection == 0.0
+
+
+def test_diff_exact_mode_is_exact(spark):
+    df = _df(spark, {"a": list(range(40)), "b": list(range(30, 70))})
+    (row,) = theta_audience_diff(df, "slice", "val", "a", "b", k=64).collect()
+    assert row.est_diff_ab == 30.0 == row.exact_diff_ab
+    assert row.est_diff_ba == 30.0 == row.exact_diff_ba
+    assert row.err_ab_milli == 0
+
+
+def test_diff_matches_python_replica(spark):
+    """Estimate mode: the A\\B estimate equals the pure-Python KMV
+    replica exactly (md5-deterministic), and is within ~4/√k of
+    truth."""
+    k = 256
+    a = list(range(10_000))
+    b = list(range(8_000, 18_000))
+    df = _df(spark, {"a": a, "b": b})
+    (row,) = theta_audience_diff(df, "slice", "val", "a", "b", k=k).collect()
+    ha = sorted(_h60(v) for v in set(a))
+    hb = sorted(_h60(v) for v in set(b))
+    theta_ab = min(ha[k - 1], hb[k - 1])
+    sa, sb = set(ha[: k - 1]), set(hb[: k - 1])
+    n = sum(1 for h in sa - sb if h < theta_ab)
+    assert row.est_diff_ab == round(n * float(_H_MAX_LONG) / theta_ab, 2)
+    assert row.exact_diff_ab == 8_000
+    assert abs(row.est_diff_ab - 8_000) / 8_000 < 4 / (k - 1) ** 0.5
+
+
+def test_union_range_matches_python_replica(spark):
+    """3-of-4 slices selected: the union estimate equals the Python
+    θ-union replica (pool = distinct sample hashes < min θ) and is
+    within ~3/√k of the exact union."""
+    k = 128
+    slices = {
+        "2024-01-01": list(range(5_000)),
+        "2024-01-08": list(range(3_000, 9_000)),
+        "2024-01-15": list(range(8_000, 12_000)),
+        "2024-01-22": list(range(90_000, 99_000)),  # outside range
+    }
+    df = _df(spark, slices)
+    (row,) = theta_union_range(
+        df, "slice", "val", "2024-01-01", "2024-01-15", k=k
+    ).collect()
+    assert row.n_slices == 3
+    sel = ["2024-01-01", "2024-01-08", "2024-01-15"]
+    hs = {s: sorted(_h60(v) for v in set(slices[s])) for s in sel}
+    theta_u = min(hs[s][k - 1] for s in sel)
+    pool = {h for s in sel for h in hs[s][: k - 1] if h < theta_u}
+    assert row.est_union == round(
+        len(pool) * float(_H_MAX_LONG) / theta_u, 2
+    )
+    assert row.exact_union == 12_000
+    assert abs(row.est_union - 12_000) / 12_000 < 3 / (k - 1) ** 0.5
+
+
+def test_union_range_exact_mode_and_empty_range(spark):
+    df = _df(spark, {"2024-01-01": list(range(30)), "2024-01-08": list(range(20, 50))})
+    (row,) = theta_union_range(
+        df, "slice", "val", "2024-01-01", "2024-01-08", k=64
+    ).collect()
+    assert row.est_union == 50.0 == row.exact_union
+    assert row.err_milli == 0
+    (row,) = theta_union_range(
+        df, "slice", "val", "2030-01-01", "2030-12-31", k=64
+    ).collect()
+    assert row.n_slices == 0
+    assert row.est_union == 0.0 and row.exact_union == 0
+
+
+def test_union_range_repartition_invariant(spark):
+    df = _df(
+        spark,
+        {"a": list(range(4_000)), "b": list(range(2_000, 7_000))},
+    )
+    ref = theta_union_range(df, "slice", "val", "a", "b", k=128).collect()
+    got = theta_union_range(
+        df.repartition(17), "slice", "val", "a", "b", k=128
     ).collect()
     assert ref == got
 
