@@ -6,7 +6,10 @@ JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
 
 Each query is executed to completion (noop-sink consume — no
 driver-side collect of big results); per query the reported time is
-the MEDIAN of three timed iterations (r4; was min-of-2). Rationale:
+the MEDIAN of three timed iterations (r4; was min-of-2), and the
+full {min, med, max} spread of those same three runs is published as
+``queries_spread`` (r8) so single-query swings are adjudicable from
+the JSON alone. Rationale:
 single-shot timings carry first-touch noise the query plan doesn't
 own (page cache, residual JIT), and min-of-2 can't absorb a run where
 BOTH iterations land on a contended machine — r3's official numbers
@@ -133,7 +136,10 @@ _ID_STRIDE = 10_000_000
 # within a single idle run (page-cache / readahead state), which the
 # band absorbs. Re-measure and re-commit when the probes' definition
 # changes, never to make a hot run pass.
-CALIB_REF = {"calib_s": 0.13, "calib_scan_s": 0.35}
+# r8: calib_s tightened from the r7 value 0.13 to the MEASURED idle
+# reference 0.113 (the r7 judge showed the slack 0.13 x 1.3 band
+# would have admitted the r6 contended box at ratio 1.08).
+CALIB_REF = {"calib_s": 0.113, "calib_scan_s": 0.35}
 PROBE_BAND = 1.3
 
 
@@ -251,15 +257,27 @@ def main() -> None:
         for name in HEADLINE:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
-    def timed_median(run, n: int = 3) -> float:
+    def timed_stats(run, n: int = 3) -> dict[str, float]:
+        # min/med/max of n runs: the median is the headline number;
+        # the published spread lets a reader adjudicate per-query
+        # swings that box-level probes cannot see (r7's
+        # dedup_minhash_lsh 0.52->1.16 forensics pass — if the min is
+        # flat round-over-round, the swing is measurement noise, not
+        # a plan regression)
         ts = []
         for _ in range(n):
             t0 = time.time()
             run()
             ts.append(time.time() - t0)
-        return round(sorted(ts)[n // 2], 3)
+        ts.sort()
+        return {
+            "min": round(ts[0], 3),
+            "med": round(ts[n // 2], 3),
+            "max": round(ts[-1], 3),
+        }
 
-    timed_median3 = timed_median
+    def timed_median(run, n: int = 3) -> float:
+        return timed_stats(run, n)["med"]
 
     # fixed machine-calibration probes, identical every round — a
     # contended box shows up here first. Two axes because they load
@@ -292,10 +310,10 @@ def main() -> None:
         # (each a full headline re-run) rare
         return timed_median(calib, 5), timed_median(calib_scan, 5)
 
-    def run_headline() -> dict[str, float]:
-        t: dict[str, float] = {}
+    def run_headline() -> dict[str, dict[str, float]]:
+        t: dict[str, dict[str, float]] = {}
         for name in HEADLINE:
-            t[name] = timed_median3(
+            t[name] = timed_stats(
                 lambda: qs[name](spark, SF_DIR)
                 .write.format("noop")
                 .mode("overwrite")
@@ -331,7 +349,8 @@ def main() -> None:
             f"(ratio {ratio} > {PROBE_BAND}), retrying",
             file=sys.stderr,
         )
-    ratio, pre, post, timings, _ = best
+    ratio, pre, post, spreads, _ = best
+    timings = {n: s["med"] for n, s in spreads.items()}
     attempts_used = attempt
     verdict = (
         "ungated_sf"
@@ -370,6 +389,10 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # per-query iteration spread of the SAME 3 timed runs the
+        # median comes from — free evidence for adjudicating a
+        # single-query swing without a forensics re-run
+        "queries_spread": spreads,
         # round-over-round comparability without manual arithmetic:
         # the first 12 queries are the long-run subtotal (r1-r3), the
         # first 15 the r4-comparable one (SURVEY §6)
