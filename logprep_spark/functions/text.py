@@ -35,6 +35,23 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(col, r"\s+"), lambda t: t != "")
 
 
+def text_rows(df: DataFrame, text_col: str) -> DataFrame:
+    """Raw-column companion predicate for token-derived filters — the
+    pushdown playbook (see sketch_theta_overlap's raw-ts range): any
+    downstream constraint of the form ``size(tokens(text)) > 0`` (the
+    shape Catalyst infers from a join key or an explicit token-count
+    filter) is an EXPRESSION of ``text``, which the parquet reader
+    cannot push (``PushedFilters: []`` — no row-group skipping). It
+    strictly implies ``text IS NOT NULL AND text <> ''``, two plain
+    raw-column comparisons the reader CAN push, so stating them
+    explicitly beside the derived predicate restores row-group
+    skipping over null/empty-heavy files without changing a single
+    output row (null/empty text produces zero tokens and zero
+    exploded rows either way)."""
+    c = F.col(text_col)
+    return df.filter(c.isNotNull() & (c != ""))
+
+
 def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
@@ -156,7 +173,9 @@ def unigram_surprisal(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     from pyspark.sql.functions import broadcast
     from pyspark.storagelevel import StorageLevel
 
-    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    toked = text_rows(df, text_col).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
     tok_rows = toked.select(id_col, F.explode("_toks").alias("tok"))
     # staging discipline (see tfidf_topk): tok_rows feeds the vocab
     # agg AND the re-join; vocab feeds the totals agg AND the join —
@@ -327,7 +346,7 @@ def bigram_lm_score(
     from pyspark.sql.functions import broadcast
     from pyspark.storagelevel import StorageLevel
 
-    toked = df.select(
+    toked = text_rows(df, text_col).select(
         F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks")
     ).filter(F.size("_toks") >= 2)
     grams = toked.select(
@@ -631,8 +650,14 @@ def gopher_filter(df: DataFrame, text_col: str = "text", min_stop_hits: int = 2)
     no metric frame, no self-join back on doc_id (the join shape adds
     a corpus-sized shuffle for a predicate that fuses into the scan).
     The metrics are staged in an inner select and dropped after the
-    filter, so the plan is scan → project → filter → project."""
-    staged = df.select("*", *_gopher_metric_cols(F.col(text_col)))
+    filter, so the plan is scan → project → filter → project.
+    text_rows states the gate's pushable raw-column implication
+    (n_words ≥ min implies non-null, non-empty text) so the scan
+    row-group-skips — output rows are unchanged (null/empty text
+    already failed the conjunction)."""
+    staged = text_rows(df, text_col).select(
+        "*", *_gopher_metric_cols(F.col(text_col))
+    )
     metric_names = [
         "n_words", "mean_word_len_milli", "symbol_ratio_milli",
         "bullet_lines_milli", "ellipsis_lines_milli", "alpha_words_milli",
@@ -1068,9 +1093,9 @@ def pmi_collocations(
     from pyspark.sql.functions import broadcast
     from pyspark.storagelevel import StorageLevel
 
-    toked = df.select(tokens(F.lower(F.col(text_col))).alias("_toks")).filter(
-        F.size("_toks") >= 2
-    )
+    toked = text_rows(df, text_col).select(
+        tokens(F.lower(F.col(text_col))).alias("_toks")
+    ).filter(F.size("_toks") >= 2)
     grams = toked.select(
         F.explode(
             F.transform(
@@ -1207,7 +1232,8 @@ def rake_keywords(
 
     stop_re = r"\b(?:" + "|".join(sorted(set(STOPWORDS_EN))) + r")\b"
     phrases = (
-        df.select(F.split(F.lower(F.col(text_col)), stop_re).alias("_frags"))
+        text_rows(df, text_col)
+        .select(F.split(F.lower(F.col(text_col)), stop_re).alias("_frags"))
         .select(F.explode("_frags").alias("_frag"))
         .select(
             F.trim(F.regexp_replace(F.col("_frag"), r"\s+", " ")).alias("phrase")

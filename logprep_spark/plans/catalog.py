@@ -3554,6 +3554,12 @@ def dedup_lsh_recall(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     docs = tables(spark, sf_dir)["documents"]
+    # lint note (unpushed-filters, IRREDUCIBLE): the sample predicate
+    # is a uniform md5 hash of doc_id — by design it selects rows
+    # independently of any raw column's value order, so NO raw-column
+    # range implies it and every row group contains sampled rows; the
+    # raw-range-beside-derived-predicate playbook cannot apply. This
+    # is inherent to deterministic hash sampling, not a plan defect.
     sample = docs.filter(
         dd.h60(F.concat(F.lit("lshr:"), F.col("doc_id").cast("string"))) % 2 == 0
     )
