@@ -282,6 +282,8 @@ def cmd_query_lint(args) -> int:
         findings = lint(qs[name](spark, args.sf_dir))
         for f in findings:
             print(f"{name}\t{f}")
+            if args.fix_hints and f.hint:
+                print(f"{name}\tHINT  {f.code}: {f.hint}")
         n_errors += sum(1 for f in findings if f.severity == ERROR)
     if not n_errors:
         print(f"# {len(names)} plan(s) linted, 0 errors")
@@ -436,6 +438,11 @@ def build_parser() -> argparse.ArgumentParser:
     qt.add_argument("name", nargs="?", default="--all")
     qt.add_argument("--all", action="store_true", help="lint every catalog query")
     qt.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    qt.add_argument(
+        "--fix-hints", action="store_true",
+        help="print the suggested rewrite for each finding (the "
+        "playbook that historically fixed that shape)",
+    )
     qt.set_defaults(fn=cmd_query_lint)
 
     pf = sub.add_parser(

@@ -31,6 +31,9 @@ class Finding:
     severity: str
     code: str
     message: str
+    #: optional suggested rewrite (``query lint --fix-hints``) — the
+    #: playbook that historically fixed this shape, made reusable
+    hint: str | None = None
 
     def __str__(self) -> str:  # CLI rendering
         return f"{self.severity.upper():5s} {self.code}: {self.message}"
@@ -45,6 +48,72 @@ def _plan_string(df) -> str:
 _GLOBAL_WINDOW = re.compile(r"Window \[[^\]]*\], \[\], \[")
 
 
+# --- fix hints: the five historically-hand-fixed pushdown shapes ----
+#
+# Each entry pairs a detector over the offending predicate/plan text
+# with the concrete rewrite that fixed the shape in this repo, so the
+# knowledge is reusable instead of re-derived per review:
+#   1. truncated-date predicate  -> raw-ts range companion
+#      (sketch_theta_overlap / sketch_hll_overlap, r7)
+#   2. token-derived predicate   -> text IS NOT NULL AND text <> ''
+#      (functions/text.py text_rows, r8)
+#   3. negation without null guard -> null-safe peephole form
+#      (filters/compiler.py negation pushdown, r4)
+#   4. hash-sample predicate     -> irreducible; annotate, don't chase
+#      (dedup_lsh_recall, r8)
+#   5. small-side shuffle join   -> F.broadcast() hint
+#      (broadcastable-shuffle-join advisor, r6)
+
+_DERIVED_DATE = re.compile(r"date_trunc|date_format|\byear\(|\bmonth\(|\bweekofyear\(")
+_DERIVED_TOKEN = re.compile(r"size\(.*split\(|split\(.*size\(")
+_NEGATION = re.compile(r"NOT \(.*=")
+_HASH_SAMPLE = re.compile(r"md5|xxhash|hash\(|\bconv\(")
+
+
+def _unpushed_hint(data_filters: list[str]) -> str:
+    """Classify the unpushed predicates and suggest the rewrite that
+    historically fixed that shape."""
+    blob = " ".join(data_filters)
+    hints: list[str] = []
+    if _DERIVED_DATE.search(blob):
+        hints.append(
+            "truncated-date predicate: add the implied RAW range "
+            "beside it (ts >= '<start>' AND ts < '<end>') so the "
+            "parquet reader row-group-skips on the raw column — the "
+            "derived predicate keeps exact semantics (playbook: "
+            "sketch_theta_overlap's raw-ts range, catalog.py)"
+        )
+    if _DERIVED_TOKEN.search(blob):
+        hints.append(
+            "token-derived predicate: state the implied raw-column "
+            "companion `text IS NOT NULL AND text <> ''` before "
+            "tokenizing (functions/text.py text_rows) — identical "
+            "output rows, pushable filter"
+        )
+    if _NEGATION.search(blob):
+        hints.append(
+            "negation: rewrite to the null-safe peephole form "
+            "`(col != v) OR col IS NULL` so the Not(EqualTo) pushes "
+            "with correct null semantics (filters/compiler.py "
+            "negation pushdown)"
+        )
+    if _HASH_SAMPLE.search(blob):
+        hints.append(
+            "hash-derived predicate (deterministic sample/bucket): "
+            "IRREDUCIBLE — a uniform hash selects rows independently "
+            "of any raw column order, so no raw range implies it; "
+            "annotate the site instead of rewriting (see "
+            "dedup_lsh_recall)"
+        )
+    if not hints:
+        hints.append(
+            "rewrite the predicate as plain comparisons on raw "
+            "columns, or add an implied raw-column companion "
+            "predicate beside the derived one"
+        )
+    return "; ".join(hints)
+
+
 def lint_plan(plan: str) -> list[Finding]:
     """Lint a physical-plan string. See `lint` for the DataFrame entry."""
     findings: list[Finding] = []
@@ -57,6 +126,9 @@ def lint_plan(plan: str) -> list[Finding]:
                 "CartesianProduct: non-broadcast cross join is quadratic data "
                 "movement at scale. Broadcast the small side explicitly, or "
                 "rewrite the predicate as an equi-join (binning / blocking).",
+                hint="wrap the provably-small side in F.broadcast(...), or "
+                "derive a blocking key on both sides (binning the join "
+                "value) and join equi on it",
             )
         )
     if "BatchEvalPython" in plan:
@@ -67,6 +139,8 @@ def lint_plan(plan: str) -> list[Finding]:
                 "BatchEvalPython: row-at-a-time Python UDF in the plan. Use "
                 "built-in functions, or an Arrow-batched pandas_udf / "
                 "mapInPandas (ArrowEvalPython / MapInPandas nodes).",
+                hint="decorate with @pandas_udf(returnType) (Arrow batches) "
+                "or express in pyspark.sql.functions to stay in codegen",
             )
         )
     n_bnlj = plan.count("BroadcastNestedLoopJoin")
@@ -104,6 +178,9 @@ def lint_plan(plan: str) -> list[Finding]:
                 "TakeOrdered cut: ordering 100 TB to read the top rows is "
                 "the classic ORDER-BY-without-LIMIT trap; cut with limit / "
                 "window-per-group, or drop the ordering.",
+                hint="append .limit(k) right after the orderBy (plans as "
+                "TakeOrderedAndProject: per-partition heaps, no range "
+                "shuffle), or rank inside Window.partitionBy(key)",
             )
         )
     scans = [l for l in plan.split("\n") if "FileScan" in l]
@@ -113,6 +190,10 @@ def lint_plan(plan: str) -> list[Finding]:
         if "PushedFilters: []" in l and "DataFilters: [" in l and "DataFilters: []" not in l
     ]
     if unfiltered:
+        dfilters = []
+        for l in unfiltered:
+            m = re.search(r"DataFilters: \[(.*?)\](?:, Format|$)", l)
+            dfilters.append(m.group(1) if m else l)
         findings.append(
             Finding(
                 WARN,
@@ -121,6 +202,7 @@ def lint_plan(plan: str) -> list[Finding]:
                 "push NONE to the reader (PushedFilters: []): the predicate "
                 "shape defeats parquet row-group skipping — prefer plain "
                 "comparisons on raw columns over expressions of them.",
+                hint=_unpushed_hint(dfilters),
             )
         )
     return findings
@@ -196,6 +278,9 @@ def lint(df) -> list[Finding]:
                     "logical joins are not 1:1 with physical ones; ignore if "
                     "the small estimate is known-wrong or AQE already "
                     "converts it at runtime.",
+                    hint="wrap the small side in F.broadcast(small_df) at "
+                    "the join site — the exchange and sort on the big side "
+                    "disappear (BroadcastHashJoin)",
                 )
             )
     return findings

@@ -204,6 +204,71 @@ def test_lint_plan_findings_unit():
     assert clean == []
 
 
+def test_lint_fix_hints_five_shapes():
+    """--fix-hints fixtures: the historically-hand-fixed pushdown
+    shapes each draw their specific rewrite suggestion (the r6 verdict
+    task — the lint's knowledge made reusable). Fixtures are the
+    DataFilters shapes those fixes addressed: truncated-date (r7
+    sketch overlap rows), token-derived (r8 text_rows), negation
+    (r4 compiler peephole), hash-sample (r8 irreducible annotation)."""
+    from logprep_spark.plans.lint import lint_plan
+
+    def hint_for(datafilter: str) -> str:
+        (f,) = [
+            f
+            for f in lint_plan(
+                f"FileScan parquet [a,b] DataFilters: [{datafilter}], "
+                "PushedFilters: [], ReadSchema\n"
+            )
+            if f.code == "unpushed-filters"
+        ]
+        assert f.hint
+        return f.hint
+
+    h = hint_for("(date_trunc(week, ts#1) = 2024-01-01 00:00:00)")
+    assert "RAW range" in h and "sketch_theta_overlap" in h
+
+    h = hint_for("(size(split(text#2, \\s+, -1), true) > 0)")
+    assert "text_rows" in h and "IS NOT NULL" in h
+
+    h = hint_for("NOT (upper(status#3) = OK)")
+    assert "null-safe" in h and "compiler" in h
+
+    h = hint_for("((conv(substring(md5(cast(id#4 as string)), 1, 15), 16, 10) % 2) = 0)")
+    assert "IRREDUCIBLE" in h
+
+    # unrecognized derived shape falls back to the generic rewrite
+    h = hint_for("((a#5 % 3) = 0)")
+    assert "raw-column companion" in h
+
+
+def test_lint_broadcast_hint(spark):
+    """The broadcastable-shuffle-join advisor carries the F.broadcast
+    rewrite as its hint (fifth historically-fixed shape)."""
+    from logprep_spark.plans.lint import lint
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fact = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        dim = spark.read.parquet("/root/testdata/sf0.01/nation.parquet")
+        j = fact.join(dim, fact.l_suppkey % 25 == dim.n_nationkey)
+        (f,) = [x for x in lint(j) if x.code == "broadcastable-shuffle-join"]
+        assert f.hint and "F.broadcast" in f.hint
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_cli_query_lint_fix_hints(capsys):
+    """--fix-hints prints a HINT line per finding that carries one."""
+    from logprep_spark.__main__ import main
+
+    assert main(["query", "lint", "dedup_lsh_recall", "--fix-hints",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert "HINT" in out and "IRREDUCIBLE" in out
+
+
 def test_lint_broadcast_advisor(spark):
     """Stats-based advisor: a shuffle join whose small side is
     KB-sized (broadcast disabled) draws the broadcastable warn; the
