@@ -18,6 +18,7 @@ from logprep_spark.streaming.state import (
     heavy_hitters_stream,
     rate_anomaly_stream,
     running_totals,
+    theta_window_stream,
     token_bucket_stream,
 )
 
@@ -30,6 +31,7 @@ __all__ = [
     "psi_baseline",
     "dedupe_stream",
     "running_totals",
+    "theta_window_stream",
     "token_bucket_stream",
     "sessionize_stream",
     "interval_join",

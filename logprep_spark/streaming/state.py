@@ -348,3 +348,121 @@ def token_bucket_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_THETA_OUT_SCHEMA = (
+    "slice string, win_start timestamp, est_distinct double, "
+    "n_kept long, is_final boolean"
+)
+_THETA_STATE_SCHEMA = "hashes array<bigint>, win_end_ms long"
+
+#: 60-bit hash space twin of functions/sketch.py
+_THETA_H_MAX = 1 << 60
+
+_DUR_UNITS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+
+def _duration_seconds(spec: str) -> int:
+    n, unit = spec.strip().split()
+    return int(n) * _DUR_UNITS[unit.lower()]
+
+
+def _theta_fn(value_col: str, window_sec: int, k: int):
+    import hashlib
+
+    def emit(slice_v, win_start, hashes, final):
+        n = len(hashes)
+        if n < k:
+            est = float(n)
+        else:
+            est = round((k - 1) * float(_THETA_H_MAX) / hashes[k - 1], 2)
+        return pd.DataFrame(
+            {
+                "slice": [slice_v],
+                "win_start": [win_start],
+                "est_distinct": [est],
+                "n_kept": [n],
+                "is_final": [final],
+            }
+        )
+
+    def fn(
+        key: Tuple[Any, Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        slice_v, win_start = key
+        if state.hasTimedOut:
+            hashes, _ = state.get
+            yield emit(slice_v, win_start, list(hashes), True)
+            state.remove()
+            return
+        hs = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                if v is None:
+                    continue
+                hs.add(int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16))
+        hashes = sorted(hs)[:k]
+        win_end_ms = int(win_start.value // 1_000_000) + window_sec * 1000
+        state.update((hashes, win_end_ms))
+        # evict when the watermark passes the window end: the state
+        # store holds only OPEN windows, each at most k longs
+        state.setTimeoutTimestamp(win_end_ms)
+        yield emit(slice_v, win_start, hashes, False)
+
+    return fn
+
+
+def theta_window_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    slice_col: str = "slice",
+    value_col: str = "value",
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    k: int = 64,
+) -> DataFrame:
+    """Streaming twin of functions/sketch.py theta_sketch_slices: a
+    per-(window, slice) KMV/theta sketch maintained through the
+    watermarked window state machinery (the L39 HLL streaming twin's
+    pattern, with the deterministic md5 family instead of HLL++ so
+    estimates are engine-exact and the EVICTED sketch rows are the
+    stored artifact the batch union/intersection algebra
+    (theta_union_range, theta_audience_overlap) consumes directly).
+
+    State per open (window, slice) group is the k smallest 60-bit
+    hashes — at most k longs, FIXED SIZE regardless of window traffic;
+    eviction rides the event-time timeout (set to window end, fired
+    once the watermark passes), which emits the window's FINAL sketch
+    row (``is_final = true``) and removes the state. Per-batch update
+    rows carry the running estimate for live dashboards.
+
+    At 100 TB/day this is the shape that works: the stream never
+    stores raw values, the state store holds (open windows x slices x
+    k) longs, and closed windows land as mergeable sketch rows any
+    later ad-hoc range query unions in O(k) per slice."""
+    from pyspark.sql import functions as F
+
+    window_sec = _duration_seconds(window)
+    # the watermark must ride the column the stateful op sees:
+    # projecting window(ts).start strips the event-time tag from ts,
+    # so the delay is (re)declared on win_start — lateness is then
+    # measured against window STARTS, which only shifts the horizon
+    # by one fixed window length (fold it into `watermark` if exact
+    # event-lateness semantics matter)
+    keyed = events.select(
+        F.col(slice_col).cast("string").alias("slice"),
+        F.window(ts_col, window).start.alias("win_start"),
+        F.col(value_col).cast("string").alias("_v"),
+    ).withWatermark("win_start", watermark)
+    return keyed.groupBy("slice", "win_start").applyInPandasWithState(
+        _theta_fn("_v", window_sec, k),
+        outputStructType=_THETA_OUT_SCHEMA,
+        stateStructType=_THETA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1011,3 +1011,83 @@ def test_token_bucket_stream_throttles_and_refills(spark, tmp_path):
     assert (1, 8, 3, 5) in by_batch
     assert (2, 1, 1, 0) in by_batch
     assert (1, 4, 3, 1) in by_batch
+
+
+def test_theta_window_stream_sketch_and_eviction(spark, tmp_path):
+    """Streaming theta-sketch twin (functions/sketch.py
+    theta_sketch_slices): per-(window, slice) KMV state stays at most
+    k hashes, the watermark-driven timeout emits the window's FINAL
+    sketch row and removes the state, and the final estimate equals
+    the pure-Python md5 KMV replica exactly (estimate mode) / the
+    exact count (exact mode)."""
+    import hashlib
+    import os as _os
+    import time as _time
+
+    from logprep_spark.streaming import theta_window_stream
+
+    k = 16
+    d = tmp_path / "theta-in"
+    d.mkdir()
+    t0 = _time.time()
+    # batch 0: window 10:00-10:10 — slice s1 sees 200 events over 120
+    # distinct values (estimate mode at k=16), slice s2 sees 10
+    # distinct (exact mode)
+    rows = [
+        {"ts": f"2026-03-01 10:0{i % 6}:{i % 60:02d}",
+         "slice": "s1", "value": f"u{i % 120}"}
+        for i in range(200)
+    ] + [
+        {"ts": "2026-03-01 10:05:00", "slice": "s2", "value": f"v{j}"}
+        for j in range(10)
+    ]
+    # batches 1/2: watermark pushers — b1's 10:30 event advances the
+    # watermark to 10:20 for batch 2's processing, past the 10:10
+    # window end, so the timeout (eviction + final emit) fires in b2
+    for i, batch in enumerate(
+        (rows,
+         [{"ts": "2026-03-01 10:30:00", "slice": "s3", "value": "x"}],
+         [{"ts": "2026-03-01 10:40:00", "slice": "s3", "value": "y"}])
+    ):
+        p = d / f"b{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in batch) + "\n")
+        _os.utime(p, (t0 + i, t0 + i))
+
+    df = (spark.readStream.schema("ts timestamp, slice string, value string")
+          .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (theta_window_stream(df, "ts", "slice", "value",
+                             window="10 minutes", watermark="10 minutes", k=k)
+         .writeStream.format("memory").queryName("theta_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    _run(q)
+
+    rows_out = spark.sql("SELECT * FROM theta_out").collect()
+    finals = {(r.slice, str(r.win_start)): r for r in rows_out if r.is_final}
+    updates = [r for r in rows_out if not r.is_final]
+    assert updates  # live running estimates were emitted per batch
+
+    # exact mode: 10 distinct < k -> exact count
+    f2 = finals[("s2", "2026-03-01 10:00:00")]
+    assert f2.est_distinct == 10.0 and f2.n_kept == 10
+
+    # estimate mode: equals the Python KMV replica bit-for-bit
+    f1 = finals[("s1", "2026-03-01 10:00:00")]
+    hs = sorted(
+        int(hashlib.md5(f"u{v}".encode()).hexdigest()[:15], 16)
+        for v in range(120)
+    )
+    expected = round((k - 1) * float(1 << 60) / hs[k - 1], 2)
+    assert f1.n_kept == k
+    assert f1.est_distinct == expected
+    assert abs(f1.est_distinct - 120) / 120 < 3 / (k - 1) ** 0.5
+
+    # bounded state: never more rows than open (window, slice) groups,
+    # each holding <= k hashes; eviction shrinks the store after the
+    # timeout batch (s1/s2 windows removed)
+    totals = [
+        s["numRowsTotal"]
+        for p in q.recentProgress
+        for s in p.get("stateOperators", [])
+    ]
+    assert totals and max(totals) <= 4  # s1, s2, and the s3 windows
+    assert totals[-1] < max(totals)
