@@ -94,8 +94,9 @@ def register(name: str, oracle: str | None = None):
 #     this round's new queries — then the oldest official evidence:
 #     the 46 newest-first r4-checked rows that fit the remaining
 #     slots (CORRECTNESS_r04 is 3 rounds stale).
-#   r9 window: the r4 rows that did not fit + the r5-checked
-#     rotation (oldest evidence first).
+#   r9 window: sketch_theta_diff (r8-new, local hash-PASS) +
+#     proc_deduplicator (the r4 row that did not fit) + the
+#     r5-checked rotation (oldest evidence first).
 # The full catalog (see the module docstring count; tools/
 # gen_query_index.py keeps it exact) stays locally oracle-gated
 # every round via tools/check_oracles.py (LOCAL_CORRECTNESS.md,
@@ -7379,6 +7380,94 @@ def sketch_theta_union_range(spark, sf_dir):
     return sk.theta_union_range(
         events.filter(raw_range).withColumn("_week", week),
         "_week", "user_id", "2024-01-01", "2024-01-15", k=64,
+    )
+
+
+@register(
+    "sketch_theta_diff",
+    f"""
+    WITH wk AS (
+        SELECT user_id,
+               strftime(date_trunc('week', ts), '%Y-%m-%d') AS w
+        FROM events
+    ), ha AS (
+        SELECT DISTINCT {_sql_h60("user_id::VARCHAR")} AS h
+        FROM wk WHERE w = '2024-01-01'
+    ), hb AS (
+        SELECT DISTINCT {_sql_h60("user_id::VARCHAR")} AS h
+        FROM wk WHERE w = '2024-01-08'
+    ), ra AS (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha
+    ), rb AS (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb
+    ), sa AS (
+        SELECT coalesce(max(CASE WHEN rn = 64 THEN h END),
+                        1152921504606846976::BIGINT) AS theta
+        FROM ra
+    ), sb AS (
+        SELECT coalesce(max(CASE WHEN rn = 64 THEN h END),
+                        1152921504606846976::BIGINT) AS theta
+        FROM rb
+    ), tab AS (
+        SELECT least(sa.theta, sb.theta) AS t FROM sa, sb
+    ), dab AS (
+        SELECT count(*) AS n FROM ra, tab
+        WHERE ra.rn < 64 AND ra.h < tab.t
+          AND ra.h NOT IN (SELECT h FROM rb WHERE rn < 64)
+    ), dba AS (
+        SELECT count(*) AS n FROM rb, tab
+        WHERE rb.rn < 64 AND rb.h < tab.t
+          AND rb.h NOT IN (SELECT h FROM ra WHERE rn < 64)
+    ), est AS (
+        SELECT
+            CASE WHEN tab.t = 1152921504606846976 THEN dab.n::DOUBLE
+                 ELSE round(dab.n * 1152921504606846976.0 / tab.t, 2)
+            END AS est_diff_ab,
+            CASE WHEN tab.t = 1152921504606846976 THEN dba.n::DOUBLE
+                 ELSE round(dba.n * 1152921504606846976.0 / tab.t, 2)
+            END AS est_diff_ba
+        FROM tab, dab, dba
+    ), xab AS (
+        SELECT count(*) AS exact_diff_ab FROM (
+            SELECT DISTINCT user_id FROM wk WHERE w = '2024-01-01'
+            EXCEPT
+            SELECT DISTINCT user_id FROM wk WHERE w = '2024-01-08'
+        )
+    ), xba AS (
+        SELECT count(*) AS exact_diff_ba FROM (
+            SELECT DISTINCT user_id FROM wk WHERE w = '2024-01-08'
+            EXCEPT
+            SELECT DISTINCT user_id FROM wk WHERE w = '2024-01-01'
+        )
+    )
+    SELECT est.est_diff_ab, xab.exact_diff_ab,
+           est.est_diff_ba, xba.exact_diff_ba,
+           CAST(floor(1000.0 * abs(est.est_diff_ab - xab.exact_diff_ab)
+                / greatest(xab.exact_diff_ab, 1)) AS BIGINT) AS err_ab_milli
+    FROM est, xab, xba
+    """,
+)
+def sketch_theta_diff(spark, sf_dir):
+    """Audience DIFFERENCE (churn: active week A but not week B, and
+    the reverse) by direct theta-sketch set algebra (functions/
+    sketch.py theta_audience_diff) — the remaining stored-sketch
+    operation HLL cannot do at all (inclusion–exclusion gives
+    \\|A\\\\B\\| = \\|A\\| − \\|A∩B\\| with BOTH terms' union-scaled
+    errors compounding). KMV retains every hash below θ, so
+    membership of any h < θ_AB is an EXACT test against the stored
+    samples: est = \\|{{h ∈ sample_A : h < θ_AB}} ∖ sample_B\\| ·
+    2^60/θ_AB, error ~1/√k. md5-deterministic → the driver row
+    hash-compares both direction estimates against the DuckDB KMV
+    replica. Same raw-ts-range pushdown + prefilter scale shape as
+    sketch_theta_overlap."""
+    events = tables(spark, sf_dir)["events"]
+    week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    raw_range = (F.col("ts") >= F.lit("2024-01-01")) & (
+        F.col("ts") < F.lit("2024-01-15")
+    )
+    return sk.theta_audience_diff(
+        events.filter(raw_range).withColumn("_week", week),
+        "_week", "user_id", "2024-01-01", "2024-01-08", k=64,
     )
 
 
