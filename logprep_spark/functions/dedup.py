@@ -171,7 +171,13 @@ def substring_dup_groups(
     (window_hash, n_docs, keeper_id) for windows seen in >1 doc;
     docs shorter than k contribute their full text as one window.
     """
-    sha = shingle_arrays(df, text_col=text_col, id_col=id_col, k=k)
+    # isNotNull(text) companion (pushable): a null text yields a NULL
+    # shingle array, which the explode below already drops — zero row
+    # change; empty text keeps its documented one-window convention
+    sha = shingle_arrays(
+        df.filter(F.col(text_col).isNotNull()), text_col=text_col,
+        id_col=id_col, k=k,
+    )
     wins = sha.select(F.col(id_col), F.explode("sh").alias("_w"))
     return (
         wins.groupBy(h60(F.col("_w")).alias("window_hash"))

@@ -431,7 +431,9 @@ def join_range_value_bands(spark, sf_dir):
     on bin_id + residual BETWEEN, never a nested-loop range scan.
     Oracle: plain BETWEEN join."""
     t = tables(spark, sf_dir)
-    bands = t["nation"].select(
+    # raw isNotNull companion for the inferred isnotnull(key * 15)
+    # join constraint (derived-expression form the scan can't push)
+    bands = t["nation"].filter(F.col("n_nationkey").isNotNull()).select(
         (F.col("n_nationkey") * 15).cast("long").alias("lo"),
         (F.col("n_nationkey") * 15 + 29).cast("long").alias("hi"),
         F.col("n_name").alias("band"),
@@ -575,7 +577,12 @@ def filter_lucene_wildcard(spark, sf_dir):
     """Lucene wildcard filters (*, ?) compiled to anchored rlike regexes."""
     ev = tables(spark, sf_dir)["events"]
     cond = compile_filter("event_type: *rror OR event_type: cl?ck", ev)
-    return ev.filter(cond).select("event_id")
+    # rlike cannot push to parquet, and Catalyst won't infer notnull
+    # through an OR — but this top-level POSITIVE filter implies the
+    # field matched some regex, so the raw isNotNull companion pushes
+    # (inside the compiler this would break Lucene NOT-semantics over
+    # missing fields; at a known-positive site it is exact)
+    return ev.filter(F.col("event_type").isNotNull() & cond).select("event_id")
 
 
 @register(
@@ -1994,8 +2001,10 @@ def pipeline_training_data(spark, sf_dir):
     from logprep_spark.session import fan_out
 
     # the quality/lang-id regex front is heavy per-row work and the
-    # testdata parquet is one input split — spread it across cores
-    docs = fan_out(tables(spark, sf_dir)["documents"])
+    # testdata parquet is one input split — spread it across cores;
+    # text_rows states the quality gate's pushable implication
+    # (quality >= 0.5 scores null/empty text 0.0 — see text.py)
+    docs = tx.text_rows(fan_out(tables(spark, sf_dir)["documents"]), "text")
     scored = docs.select(
         "doc_id",
         "text",
@@ -2313,6 +2322,9 @@ def split_stratified_sample(spark, sf_dir):
     unlisted strata (zh) — the data-mixing move of a training
     pipeline, reproducible on any engine via the salted id hash."""
     docs = tables(spark, sf_dir)["documents"]
+    # lint note (unpushed-filters, IRREDUCIBLE): hash-bucket sampling
+    # selects rows independently of any raw column order — no raw
+    # range implies membership (see dedup_lsh_recall)
     sampled = smp.stratified_sample(
         docs, {"en": 0.25, "de": 1.0, "fr": 0.5, "es": 0.75}, strata_col="lang"
     )
@@ -6133,7 +6145,10 @@ def corpus_ngram_novelty(spark, sf_dir):
     via partial-agg groupBy (map-side combine — a boilerplate gram
     collapses per task), AQE-splittable gram-keyed join back,
     doc-keyed final agg."""
-    docs = tables(spark, sf_dir)["documents"]
+    # isNotNull(text) companion: a null text yields a NULL shingle
+    # array, which explode() already drops — pushable, zero row change
+    # (empty text keeps its documented one-window convention)
+    docs = tables(spark, sf_dir)["documents"].filter(F.col("text").isNotNull())
     sha = dd.shingle_arrays(docs, k=3)
     from pyspark.storagelevel import StorageLevel
 
@@ -6810,11 +6825,14 @@ def match_fuzzy_entities(spark, sf_dir):
     md5-chosen substitution at an id-chosen position for every third
     customer."""
     t = tables(spark, sf_dir)
-    clean = t["customer"].selectExpr(
+    # raw isNotNull companion for the inferred isnotnull(md5(key))
+    # blocking-join constraint (pushable form of the same implication)
+    cust = t["customer"].filter(F.col("c_custkey").isNotNull())
+    clean = cust.selectExpr(
         "c_custkey", "substr(md5(concat('ent:', cast(c_custkey AS string))), 1, 8) AS name"
     )
     dirty = (
-        t["customer"]
+        cust
         .filter(F.col("c_custkey") % 3 == 0)
         .selectExpr(
             "c_custkey AS dirty_key",
@@ -6882,7 +6900,9 @@ def events_peak_concurrency(spark, sf_dir):
     gate proves the decomposition exact."""
     from pyspark.sql import Window
 
-    ev = tables(spark, sf_dir)["events"]
+    # raw isNotNull(ts) companion for the inferred
+    # isnotnull(date_trunc(hour, ts)) join constraint
+    ev = tables(spark, sf_dir)["events"].filter(F.col("ts").isNotNull())
     b = (
         ev.select(F.col("ts"), F.lit(1).alias("delta"), "event_id")
         .unionAll(
@@ -6950,6 +6970,9 @@ def corpus_snapshot_diff(spark, sf_dir):
     from logprep_spark.functions.sampling import hash_bucket
 
     docs = tables(spark, sf_dir)["documents"]
+    # lint note (unpushed-filters, IRREDUCIBLE): snapshot membership
+    # is hash-bucket sampling — uniform over every row group by
+    # design, no pushable raw companion (see dedup_lsh_recall)
     snap_a = docs.filter(hash_bucket(F.col("doc_id"), 10, "snapA") != 0).select(
         F.col("doc_id").alias("a_id"), F.md5("text").alias("a_h")
     )
