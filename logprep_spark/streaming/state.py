@@ -352,7 +352,7 @@ def token_bucket_stream(
 
 _THETA_OUT_SCHEMA = (
     "slice string, win_start timestamp, est_distinct double, "
-    "n_kept long, is_final boolean"
+    "n_kept long, is_final boolean, theta long, sample array<bigint>"
 )
 _THETA_STATE_SCHEMA = "hashes array<bigint>, win_end_ms long"
 
@@ -376,11 +376,19 @@ def _theta_fn(value_col: str, window_sec: int, k: int):
     import hashlib
 
     def emit(slice_v, win_start, hashes, final):
+        # rows carry the SKETCH itself (theta + retained sample), not
+        # just the estimate: the final rows are the stored mergeable
+        # artifact the batch algebra (theta_union_range /
+        # theta_audience_overlap) consumes directly — exact-mode
+        # convention matches theta_sketch_slices (theta = 2^60,
+        # sample = everything) so the union math is interchangeable
         n = len(hashes)
         if n < k:
-            est = float(n)
+            est, theta, sample = float(n), _THETA_H_MAX, hashes
         else:
-            est = round((k - 1) * float(_THETA_H_MAX) / hashes[k - 1], 2)
+            theta = hashes[k - 1]
+            sample = hashes[: k - 1]
+            est = round((k - 1) * float(_THETA_H_MAX) / theta, 2)
         return pd.DataFrame(
             {
                 "slice": [slice_v],
@@ -388,6 +396,8 @@ def _theta_fn(value_col: str, window_sec: int, k: int):
                 "est_distinct": [est],
                 "n_kept": [n],
                 "is_final": [final],
+                "theta": [theta],
+                "sample": [sample],
             }
         )
 

@@ -1070,7 +1070,9 @@ def test_theta_window_stream_sketch_and_eviction(spark, tmp_path):
     f2 = finals[("s2", "2026-03-01 10:00:00")]
     assert f2.est_distinct == 10.0 and f2.n_kept == 10
 
-    # estimate mode: equals the Python KMV replica bit-for-bit
+    # estimate mode: equals the Python KMV replica bit-for-bit, and
+    # the emitted row IS the sketch (theta + retained sample), exactly
+    # the theta_sketch_slices convention
     f1 = finals[("s1", "2026-03-01 10:00:00")]
     hs = sorted(
         int(hashlib.md5(f"u{v}".encode()).hexdigest()[:15], 16)
@@ -1080,6 +1082,28 @@ def test_theta_window_stream_sketch_and_eviction(spark, tmp_path):
     assert f1.n_kept == k
     assert f1.est_distinct == expected
     assert abs(f1.est_distinct - 120) / 120 < 3 / (k - 1) ** 0.5
+    assert f1.theta == hs[k - 1] and list(f1.sample) == hs[: k - 1]
+
+    # MERGEABILITY: the evicted rows feed the batch union math
+    # directly — theta_U = min theta, pool = union-sample hashes
+    # below it — and match a from-scratch KMV union over both slices
+    # (s1's 120 users + s2's 10, disjoint -> 130 distinct)
+    theta_u = min(f1.theta, f2.theta)
+    pool = {h for f in (f1, f2) for h in f.sample if h < theta_u}
+    union_est = round(len(pool) * float(1 << 60) / theta_u, 2)
+    all_hs = sorted(hs + [
+        int(hashlib.md5(f"v{j}".encode()).hexdigest()[:15], 16)
+        for j in range(10)
+    ])
+    # replica: same union math over full per-slice KMV sketches
+    r_pool = {h for h in hs[: k - 1] if h < theta_u} | {
+        h for h in all_hs if h in set(
+            int(hashlib.md5(f"v{j}".encode()).hexdigest()[:15], 16)
+            for j in range(10)
+        ) and h < theta_u
+    }
+    assert union_est == round(len(r_pool) * float(1 << 60) / theta_u, 2)
+    assert abs(union_est - 130) / 130 < 3 / (k - 1) ** 0.5
 
     # bounded state: never more rows than open (window, slice) groups,
     # each holding <= k hashes; eviction shrinks the store after the
