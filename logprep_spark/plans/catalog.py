@@ -7897,6 +7897,9 @@ def dedup_simhash_recall(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     docs = tables(spark, sf_dir)["documents"]
+    # lint note (unpushed-filters, IRREDUCIBLE): uniform md5 hash
+    # sample — no raw-column range implies membership, same class as
+    # dedup_lsh_recall / split_stratified_sample / corpus_snapshot_diff
     sample = docs.filter(
         dd.h60(F.concat(F.lit("shr:"), F.col("doc_id").cast("string"))) % 2 == 0
     )
