@@ -487,43 +487,43 @@ def kmeans(
     return _kmeans_from_seeds(df, cvecs, iters, vec_col, id_col)
 
 
-def _kmeans_from_seeds(
-    df: DataFrame,
-    cvecs: list[list[int]],
-    iters: int,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Lloyd's iterations + zero-shuffle final assignment from any
-    seed set (hash sample or :func:`gonzalez_seeds`)."""
-    dim = probe_dim(df, vec_col) or 0
-    vm = df.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("v"))
-
-    def best_dc(cvs: list[list[int]]) -> Column:
-        # array of (dist2, cid) structs vs literal centroids; array_min
-        # compares lexicographically -> min dist, ties to lowest cid
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        F.aggregate(
-                            F.zip_with(
-                                "v",
-                                F.array(*[F.lit(c) for c in cv]),
-                                lambda a, b: (a - b) * (a - b),
-                            ),
-                            F.lit(0).cast("long"),
-                            lambda acc, x: acc + x,
-                        ).alias("d"),
-                        F.lit(cid + 1).alias("cid"),
-                    )
-                    for cid, cv in enumerate(cvs)
-                ]
-            )
+def _best_dc(vcol: str, cvs: list[list[int]]) -> Column:
+    """(dist2, cid) of the closest literal centroid to ``vcol`` —
+    array_min compares lexicographically: min dist, ties to lowest
+    cid."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vcol,
+                            F.array(*[F.lit(c) for c in cv]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(cid + 1).alias("cid"),
+                )
+                for cid, cv in enumerate(cvs)
+            ]
         )
+    )
 
+
+def _lloyd_centroids(
+    vm: DataFrame, cvecs: list[list[int]], iters: int, dim: int
+) -> list[list[int]]:
+    """``iters - 1`` integer-exact Lloyd update rounds over a
+    micro-fixed frame with column ``v``; returns the final centroid
+    list (the MODEL — k·dim longs, fetched driver-side per round and
+    baked into the next plan as literals). Emptied clusters keep
+    their previous centroid (standard Lloyd's repair)."""
     for _ in range(iters - 1):
-        assigned = vm.select("v", best_dc(cvecs).getField("cid").alias("cluster"))
+        assigned = vm.select(
+            "v", _best_dc("v", cvecs).getField("cid").alias("cluster")
+        )
         stats = (
             assigned.groupBy("cluster")
             .agg(
@@ -541,9 +541,24 @@ def _kmeans_from_seeds(
                 for i in range(dim)
             ]
         cvecs = [updated[i] for i in range(len(cvecs))]
+    return cvecs
+
+
+def _kmeans_from_seeds(
+    df: DataFrame,
+    cvecs: list[list[int]],
+    iters: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's iterations + zero-shuffle final assignment from any
+    seed set (hash sample or :func:`gonzalez_seeds`)."""
+    dim = probe_dim(df, vec_col) or 0
+    vm = df.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("v"))
+    cvecs = _lloyd_centroids(vm, cvecs, iters, dim)
     # stage the struct in its own select so the two getFields read one
     # computed value (k distance folds once per row, not twice)
-    return vm.select(F.col(id_col), best_dc(cvecs).alias("_dc")).select(
+    return vm.select(F.col(id_col), _best_dc("v", cvecs).alias("_dc")).select(
         id_col,
         F.col("_dc.cid").alias("cluster"),
         F.col("_dc.d").alias("dist2"),
@@ -779,4 +794,75 @@ def quantize_int8(
             "array_max(zip_with(_v, _dq, (x, d) -> abs(x - d)))"
             " AS max_err_micro",
         )
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = 4,
+    ncodes: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): split each vector into ``m``
+    subvectors, train an independent ``ncodes``-centroid codebook per
+    subspace (integer-exact Lloyd's — the :func:`kmeans` machinery),
+    and encode every vector as ``m`` small code ids. The memory
+    story IVF/int8 can't tell: dim·4 bytes → m·log2(ncodes) bits per
+    vector (64-dim float32 = 256 B → 4 codes = 3 B here), while ADC
+    distance tables keep search cheap. Output per vector: the m code
+    ids (scalar columns) + the exact squared micro reconstruction
+    error — the in-query accuracy witness next to the codes.
+
+    Determinism: one hash-ordered seed sample (the ivf_centroids
+    policy) supplies all m subspace seed sets — micro-fixed longs,
+    integer Lloyd updates, floor-division centroids; every step is
+    order-independent, so codebooks AND codes are bit-identical in
+    any engine and the DuckDB oracle replicates the full construction.
+
+    Distributed shape: the corpus never shuffles — per training round
+    each subspace contributes one map-side-collapsing (cluster, dim
+    sums) agg over ncodes keys; codebooks are a MODEL (m·ncodes·d
+    longs) baked into the encode plan as literals, so encoding is a
+    single zero-shuffle narrow map emitting all m codes + the error
+    in one pass. The micro frame persists once and feeds every
+    subspace round (m·(iters−1)+1 bounded scans of the cached frame,
+    never the parquet)."""
+    from pyspark.storagelevel import StorageLevel
+
+    dim = probe_dim(df, vec_col) or 0
+    if m <= 0 or dim % m:
+        raise ValueError(f"pq_encode: dim {dim} not divisible by m={m}")
+    d = dim // m
+    vm = df.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("v"))
+    vm = vm.persist(StorageLevel.MEMORY_AND_DISK)
+    seed_rows = (
+        vm.orderBy(h60(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(ncodes)
+        .collect()
+    )
+    codebooks: list[list[list[int]]] = []
+    for j in range(m):
+        seeds = [[int(x) for x in r["v"][j * d : (j + 1) * d]] for r in seed_rows]
+        sub = vm.select(F.slice("v", j * d + 1, d).alias("v"))
+        codebooks.append(_lloyd_centroids(sub, seeds, iters, d))
+    staged = vm.select(
+        F.col(id_col),
+        *[F.slice("v", j * d + 1, d).alias(f"_sv{j}") for j in range(m)],
+    ).select(
+        F.col(id_col),
+        *[
+            _best_dc(f"_sv{j}", codebooks[j]).alias(f"_dc{j}")
+            for j in range(m)
+        ],
+    )
+    total = F.col("_dc0.d")
+    for j in range(1, m):
+        total = total + F.col(f"_dc{j}.d")
+    return staged.select(
+        F.col(id_col),
+        *[F.col(f"_dc{j}.cid").alias(f"code_{j + 1}") for j in range(m)],
+        total.alias("recon_dist2"),
     )

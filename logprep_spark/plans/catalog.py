@@ -94,7 +94,8 @@ def register(name: str, oracle: str | None = None):
 #     this round's new queries — then the oldest official evidence:
 #     the 46 newest-first r4-checked rows that fit the remaining
 #     slots (CORRECTNESS_r04 is 3 rounds stale).
-#   r9 window: sketch_theta_diff (r8-new, local hash-PASS) +
+#   r9 window: sketch_theta_diff + embed_pq_codes (r8-new, local
+#     hash-PASS each) +
 #     proc_deduplicator (the r4 row that did not fit) + the
 #     r5-checked rotation (oldest evidence first).
 # The full catalog (see the module docstring count; tools/
@@ -5118,6 +5119,82 @@ def embed_quantize_int8(spark, sf_dir):
         ).alias("code_int8"),
         "max_err_micro",
     )
+
+
+@register(
+    "embed_pq_codes",
+    f"""
+    WITH vm AS (
+        SELECT vec_id, {_KM_MICRO} AS v FROM embeddings
+    ), js AS (
+        SELECT unnest(range(1, 5)) AS j
+    ), sub AS (
+        SELECT vec_id, j, v[(j-1)*16+1 : j*16] AS sv
+        FROM vm CROSS JOIN js
+    ), seedids AS (
+        SELECT vec_id,
+               row_number() OVER (
+                   ORDER BY {_sql_h60('vec_id::varchar')}, vec_id) AS cid
+        FROM vm ORDER BY {_sql_h60('vec_id::varchar')}, vec_id LIMIT 8
+    ), seeds AS (
+        SELECT s.j, si.cid, s.sv AS cv
+        FROM seedids si JOIN sub s ON s.vec_id = si.vec_id
+    ), scored1 AS (
+        SELECT s.vec_id, s.j, s.sv, c.cid,
+               list_sum([(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])
+                         for i in range(1, 17)]) AS dd
+        FROM sub s JOIN seeds c USING (j)
+    ), a1 AS (
+        SELECT vec_id, j, sv, cid AS cluster FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, j ORDER BY dd, cid) AS rn
+            FROM scored1) WHERE rn = 1
+    ), sums1 AS (
+        SELECT j, cluster, dim,
+               CAST(sum(sv[dim]) AS BIGINT)
+                   // CAST(count(*) AS BIGINT) AS mu
+        FROM a1 CROSS JOIN (SELECT unnest(range(1, 17)) AS dim) dims
+        GROUP BY j, cluster, dim
+    ), c1 AS (
+        SELECT j, cluster AS cid, list(mu ORDER BY dim) AS cv
+        FROM sums1 GROUP BY j, cluster
+    ), scored2 AS (
+        SELECT s.vec_id, s.j, c.cid,
+               list_sum([(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])
+                         for i in range(1, 17)]) AS dd
+        FROM sub s JOIN c1 c USING (j)
+    ), enc AS (
+        SELECT vec_id, j, cid, dd FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, j ORDER BY dd, cid) AS rn
+            FROM scored2) WHERE rn = 1
+    )
+    SELECT vec_id,
+           CAST(max(CASE WHEN j = 1 THEN cid END) AS INT) AS code_1,
+           CAST(max(CASE WHEN j = 2 THEN cid END) AS INT) AS code_2,
+           CAST(max(CASE WHEN j = 3 THEN cid END) AS INT) AS code_3,
+           CAST(max(CASE WHEN j = 4 THEN cid END) AS INT) AS code_4,
+           CAST(sum(dd) AS BIGINT) AS recon_dist2
+    FROM enc GROUP BY vec_id
+    """,
+)
+def embed_pq_codes(spark, sf_dir):
+    """Product quantization (functions/similarity.py pq_encode —
+    Jégou et al. 2011): m=4 subspaces x 8-centroid codebooks trained
+    by the integer-exact Lloyd machinery (hash-ordered seeds, 2
+    iterations), every vector encoded as 4 code ids + its exact
+    squared micro reconstruction error. The memory step past int8
+    (embed_quantize_int8): 64-dim float32 = 256 B -> 4 codes = 3 B
+    with ADC tables keeping search cheap. Deterministic end-to-end
+    (micro-fixed longs, floor-division centroids), so the driver row
+    hash-compares codebook ASSIGNMENTS AND the reconstruction error
+    against a DuckDB replica of the full train+encode construction.
+    Scale shape: corpus never shuffles — per round one
+    map-side-collapsing (cluster, dim-sums) agg per subspace;
+    codebooks are plan-literal models; encode is ONE zero-shuffle
+    narrow map emitting all 4 codes + the error."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return sim.pq_encode(emb, m=4, ncodes=8, iters=2)
 
 
 @register(

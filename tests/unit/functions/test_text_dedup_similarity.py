@@ -1343,3 +1343,43 @@ def test_hll_overlap_inclusion_exclusion_accuracy(spark):
     row = sk.hll_audience_overlap(df, "s", "member", "a", "b").first()
     assert row["exact_intersection"] == 3000
     assert row["err_milli"] <= 80
+
+
+def test_pq_encode_quantizes_separable_subspaces(spark):
+    """Product quantization: vectors built from two well-separated
+    patterns per subspace must (1) reconstruct with far smaller error
+    than the vector magnitudes, (2) assign SAME-pattern vectors the
+    same code per subspace, (3) be invariant under repartitioning,
+    and (4) reject a dim not divisible by m."""
+    import pytest as _pytest
+
+    from logprep_spark.functions.similarity import pq_encode
+
+    # 40 vectors, dim 8, m=2 (sub-dim 4): subspace pattern A = +1s,
+    # B = -1s, chosen independently per half from the vector id, with
+    # a small deterministic jitter so clusters aren't degenerate
+    rows = []
+    for i in range(40):
+        jit = (i % 5) * 0.01
+        first = [1.0 + jit] * 4 if i % 2 == 0 else [-1.0 - jit] * 4
+        second = [1.0 + jit] * 4 if i % 3 == 0 else [-1.0 - jit] * 4
+        rows.append((i, first + second))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = pq_encode(df, m=2, ncodes=2, iters=3).collect()
+    by_id = {r.vec_id: r for r in out}
+    # same subspace pattern -> same code
+    even_codes = {by_id[i].code_1 for i in range(0, 40, 2)}
+    odd_codes = {by_id[i].code_1 for i in range(1, 40, 2)}
+    assert len(even_codes) == 1 and len(odd_codes) == 1
+    assert even_codes != odd_codes
+    mod3_codes = {by_id[i].code_2 for i in range(0, 40, 3)}
+    assert len(mod3_codes) == 1
+    # reconstruction error far below the signal: centroids sit within
+    # the jitter band (0.04 micro-units = 4e4), not at the +-1e6 scale
+    for r in out:
+        assert r.recon_dist2 < 8 * (50_000) ** 2
+    # repartition invariance (integer-exact everywhere)
+    again = pq_encode(df.repartition(7), m=2, ncodes=2, iters=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    with _pytest.raises(ValueError):
+        pq_encode(df, m=3)
