@@ -832,22 +832,8 @@ def pq_encode(
     never the parquet)."""
     from pyspark.storagelevel import StorageLevel
 
-    dim = probe_dim(df, vec_col) or 0
-    if m <= 0 or dim % m:
-        raise ValueError(f"pq_encode: dim {dim} not divisible by m={m}")
-    d = dim // m
-    vm = df.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("v"))
-    vm = vm.persist(StorageLevel.MEMORY_AND_DISK)
-    seed_rows = (
-        vm.orderBy(h60(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(ncodes)
-        .collect()
-    )
-    codebooks: list[list[list[int]]] = []
-    for j in range(m):
-        seeds = [[int(x) for x in r["v"][j * d : (j + 1) * d]] for r in seed_rows]
-        sub = vm.select(F.slice("v", j * d + 1, d).alias("v"))
-        codebooks.append(_lloyd_centroids(sub, seeds, iters, d))
+    vm, codebooks, d = _pq_train(df, m, ncodes, iters, vec_col, id_col)
+    m = len(codebooks)
     staged = vm.select(
         F.col(id_col),
         *[F.slice("v", j * d + 1, d).alias(f"_sv{j}") for j in range(m)],
@@ -865,4 +851,161 @@ def pq_encode(
         F.col(id_col),
         *[F.col(f"_dc{j}.cid").alias(f"code_{j + 1}") for j in range(m)],
         total.alias("recon_dist2"),
+    )
+
+
+def _pq_train(
+    df: DataFrame,
+    m: int,
+    ncodes: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+):
+    """Shared PQ training: persist the micro frame, hash-order ONE
+    seed sample whose subvectors seed every subspace, run the
+    integer-exact Lloyd rounds per subspace. Returns (persisted micro
+    frame, per-subspace codebooks, sub-dim)."""
+    from pyspark.storagelevel import StorageLevel
+
+    dim = probe_dim(df, vec_col) or 0
+    if m <= 0 or dim % m:
+        raise ValueError(f"pq_encode: dim {dim} not divisible by m={m}")
+    d = dim // m
+    vm = df.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("v"))
+    vm = vm.persist(StorageLevel.MEMORY_AND_DISK)
+    seed_rows = (
+        vm.orderBy(h60(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(ncodes)
+        .collect()
+    )
+    codebooks: list[list[list[int]]] = []
+    for j in range(m):
+        seeds = [[int(x) for x in r["v"][j * d : (j + 1) * d]] for r in seed_rows]
+        sub = vm.select(F.slice("v", j * d + 1, d).alias("v"))
+        codebooks.append(_lloyd_centroids(sub, seeds, iters, d))
+    return vm, codebooks, d
+
+
+def brute_force_topk_l2(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by squared euclidean distance over MICRO-fixed
+    vectors — the integer-exact L2 ground truth for the PQ/ADC eval
+    (PQ approximates L2, so the cosine baseline of brute_force_topk
+    would conflate metric mismatch with quantization loss). Same
+    scale shape as brute_force_topk: queries broadcast, corpus never
+    shuffles, only (query_id, nbr_id, dist2) tuples reach the
+    per-query top-k window. All-long arithmetic -> bit-identical
+    ranking in any engine."""
+    corpus = df.select(
+        F.col(id_col).alias("nbr_id"), micro_vec(F.col(vec_col)).alias("nv")
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), micro_vec(F.col(vec_col)).alias("qv")
+    )
+    dist2 = F.aggregate(
+        F.zip_with("qv", "nv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", dist2.alias("dist2"))
+    )
+    window = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "dist2", "rank")
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 4,
+    ncodes: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k by PQ ASYMMETRIC DISTANCE (ADC, Jégou et al.
+    2011 §III): the corpus is stored only as m code ids per vector;
+    a query scores a vector as the sum over subspaces of the exact
+    squared distance between the query's subvector and the CENTROID
+    its code names. The memory story at billions of vectors: search
+    touches 3 bytes + m centroid lookups per candidate, never the
+    float vector.
+
+    Distributed shape: codebooks are plan-literal models, so corpus
+    encoding AND the per-candidate ADC sum are one narrow map over
+    the broadcast query set — the corpus never shuffles; only
+    (query_id, nbr_id, adc_dist2) tuples reach the per-query top-k
+    window (the brute_force_topk discipline). ``element_at`` on a
+    literal ncodes-array replaces the per-query distance table — the
+    same lookups, resolved by Catalyst constant folding.
+
+    Integer-exact end to end (micro vectors, long sums), so the
+    approximate RANKING is bit-identical cross-engine and the recall
+    row hash-gates against a DuckDB replica."""
+    vm, codebooks, d = _pq_train(df, m, ncodes, iters, vec_col, id_col)
+    m = len(codebooks)
+    codes = vm.select(
+        F.col(id_col),
+        *[F.slice("v", j * d + 1, d).alias(f"_sv{j}") for j in range(m)],
+    ).select(
+        F.col(id_col).alias("nbr_id"),
+        *[
+            _best_dc(f"_sv{j}", codebooks[j]).getField("cid").alias(f"_c{j}")
+            for j in range(m)
+        ],
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), micro_vec(F.col(vec_col)).alias("qv")
+    ).select(
+        "query_id",
+        *[F.slice("qv", j * d + 1, d).alias(f"_q{j}") for j in range(m)],
+    )
+
+    def cb_literal(j: int) -> Column:
+        # ONE parsed SQL literal per subspace codebook (the plan-build
+        # discipline): ncodes x d longs as a nested array
+        inner = ",".join(
+            "array(" + ",".join(f"{c}L" for c in cv) + ")"
+            for cv in codebooks[j]
+        )
+        return F.expr(f"array({inner})")
+
+    def adc(j: int) -> Column:
+        centroid = F.element_at(cb_literal(j), F.col(f"_c{j}"))
+        return F.aggregate(
+            F.zip_with(F.col(f"_q{j}"), centroid, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    total = adc(0)
+    for j in range(1, m):
+        total = total + adc(j)
+    scored = (
+        codes.crossJoin(F.broadcast(qs))
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", total.alias("adc_dist2"))
+    )
+    window = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "adc_dist2", "rank")
     )

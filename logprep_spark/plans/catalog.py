@@ -94,8 +94,8 @@ def register(name: str, oracle: str | None = None):
 #     this round's new queries — then the oldest official evidence:
 #     the 46 newest-first r4-checked rows that fit the remaining
 #     slots (CORRECTNESS_r04 is 3 rounds stale).
-#   r9 window: sketch_theta_diff + embed_pq_codes (r8-new, local
-#     hash-PASS each) +
+#   r9 window: sketch_theta_diff + embed_pq_codes + ann_recall_pq
+#     (r8-new, local hash-PASS each) +
 #     proc_deduplicator (the r4 row that did not fit) + the
 #     r5-checked rotation (oldest evidence first).
 # The full catalog (see the module docstring count; tools/
@@ -5121,28 +5121,32 @@ def embed_quantize_int8(spark, sf_dir):
     )
 
 
-@register(
-    "embed_pq_codes",
-    f"""
-    WITH vm AS (
+def _sql_pq_chain(m: int = 4, d: int = 16, ncodes: int = 8) -> str:
+    """Shared DuckDB replica of the PQ train+encode construction
+    (m subspaces of sub-dim d, ncodes centroids, iters=2): micro
+    vectors -> subspace slices -> hash-ordered seeds -> one Lloyd
+    update -> final codebooks c1 -> per-(vec, subspace) codes enc.
+    Used by embed_pq_codes (m=4, d=16, ncodes=8) and ann_recall_pq
+    (m=16, d=4, ncodes=16)."""
+    return f"""vm AS (
         SELECT vec_id, {_KM_MICRO} AS v FROM embeddings
     ), js AS (
-        SELECT unnest(range(1, 5)) AS j
+        SELECT unnest(range(1, {m + 1})) AS j
     ), sub AS (
-        SELECT vec_id, j, v[(j-1)*16+1 : j*16] AS sv
+        SELECT vec_id, j, v[(j-1)*{d}+1 : j*{d}] AS sv
         FROM vm CROSS JOIN js
     ), seedids AS (
         SELECT vec_id,
                row_number() OVER (
                    ORDER BY {_sql_h60('vec_id::varchar')}, vec_id) AS cid
-        FROM vm ORDER BY {_sql_h60('vec_id::varchar')}, vec_id LIMIT 8
+        FROM vm ORDER BY {_sql_h60('vec_id::varchar')}, vec_id LIMIT {ncodes}
     ), seeds AS (
         SELECT s.j, si.cid, s.sv AS cv
         FROM seedids si JOIN sub s ON s.vec_id = si.vec_id
     ), scored1 AS (
         SELECT s.vec_id, s.j, s.sv, c.cid,
                list_sum([(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])
-                         for i in range(1, 17)]) AS dd
+                         for i in range(1, {d + 1})]) AS dd
         FROM sub s JOIN seeds c USING (j)
     ), a1 AS (
         SELECT vec_id, j, sv, cid AS cluster FROM (
@@ -5153,7 +5157,7 @@ def embed_quantize_int8(spark, sf_dir):
         SELECT j, cluster, dim,
                CAST(sum(sv[dim]) AS BIGINT)
                    // CAST(count(*) AS BIGINT) AS mu
-        FROM a1 CROSS JOIN (SELECT unnest(range(1, 17)) AS dim) dims
+        FROM a1 CROSS JOIN (SELECT unnest(range(1, {d + 1})) AS dim) dims
         GROUP BY j, cluster, dim
     ), c1 AS (
         SELECT j, cluster AS cid, list(mu ORDER BY dim) AS cv
@@ -5161,14 +5165,20 @@ def embed_quantize_int8(spark, sf_dir):
     ), scored2 AS (
         SELECT s.vec_id, s.j, c.cid,
                list_sum([(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])
-                         for i in range(1, 17)]) AS dd
+                         for i in range(1, {d + 1})]) AS dd
         FROM sub s JOIN c1 c USING (j)
     ), enc AS (
         SELECT vec_id, j, cid, dd FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY vec_id, j ORDER BY dd, cid) AS rn
             FROM scored2) WHERE rn = 1
-    )
+    )"""
+
+
+@register(
+    "embed_pq_codes",
+    f"""
+    WITH {_sql_pq_chain()}
     SELECT vec_id,
            CAST(max(CASE WHEN j = 1 THEN cid END) AS INT) AS code_1,
            CAST(max(CASE WHEN j = 2 THEN cid END) AS INT) AS code_2,
@@ -5195,6 +5205,73 @@ def embed_pq_codes(spark, sf_dir):
     narrow map emitting all 4 codes + the error."""
     emb = tables(spark, sf_dir)["embeddings"]
     return sim.pq_encode(emb, m=4, ncodes=8, iters=2)
+
+
+@register(
+    "ann_recall_pq",
+    f"""
+    WITH {_sql_pq_chain(m=16, d=4, ncodes=16)},
+    qsub AS (
+        SELECT vec_id AS query_id, j, v[(j-1)*4+1 : j*4] AS qsv
+        FROM vm CROSS JOIN js WHERE vec_id < 5
+    ), adc AS (
+        SELECT q.query_id, e.vec_id AS nbr_id,
+               CAST(sum(list_sum([(q.qsv[i] - c.cv[i])
+                                  * (q.qsv[i] - c.cv[i])
+                                  for i in range(1, 5)])) AS BIGINT)
+                   AS adc_dist2
+        FROM enc e
+        JOIN c1 c ON c.j = e.j AND c.cid = e.cid
+        JOIN qsub q ON q.j = e.j
+        WHERE q.query_id <> e.vec_id
+        GROUP BY q.query_id, e.vec_id
+    ), approx AS (
+        SELECT query_id, nbr_id FROM (
+            SELECT query_id, nbr_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc_dist2, nbr_id) AS rn
+            FROM adc) WHERE rn <= 3
+    ), exact AS (
+        SELECT query_id, nbr_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id ORDER BY
+                       list_sum([(q.v[i] - c.v[i]) * (q.v[i] - c.v[i])
+                                 for i in range(1, 65)]), c.vec_id) AS rn
+            FROM vm q JOIN vm c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5) WHERE rn <= 3
+    ), hits AS (
+        SELECT query_id, count(*) AS n_hits
+        FROM approx JOIN exact USING (query_id, nbr_id) GROUP BY 1
+    )
+    SELECT query_id,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           1000 * coalesce(n_hits, 0) // 3 AS recall_milli
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) qs
+    LEFT JOIN hits USING (query_id)
+    """,
+)
+def ann_recall_pq(spark, sf_dir):
+    """Recall@3 of PQ asymmetric-distance search vs the exact
+    integer-L2 brute force (functions/similarity.py pq_topk /
+    brute_force_topk_l2) — the eval row closing the PQ loop the way
+    ann_recall_lsh/ivf/multiprobe closed theirs: before trusting
+    3-byte codes for retrieval, measure what the quantization costs
+    at this codebook size. L2 ground truth (not cosine) so the row
+    isolates QUANTIZATION loss from metric mismatch. Operating point
+    m=16/ncodes=16 (8 B per vector): measured recall ~0.3 at sf0.01
+    — and the sweep that chose it is the point of the row: the
+    embed_pq_codes coding (4x8, 3 B) recalls 0/3 on these
+    near-uniform synthetic embeddings, exposed, not hidden.
+    Integer-exact end to end: the approximate ranking itself
+    hash-compares against the DuckDB replica of the full
+    train+encode+ADC construction."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = sim.brute_force_topk_l2(emb, qs, k=3)
+    approx = sim.pq_topk(emb, qs, k=3, m=16, ncodes=16, iters=2)
+    return sim.recall_eval(
+        exact, approx, k=3, queries=qs.select(F.col("vec_id").alias("query_id"))
+    )
 
 
 @register(
