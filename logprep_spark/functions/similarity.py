@@ -490,26 +490,24 @@ def kmeans(
 def _best_dc(vcol: str, cvs: list[list[int]]) -> Column:
     """(dist2, cid) of the closest literal centroid to ``vcol`` —
     array_min compares lexicographically: min dist, ties to lowest
-    cid."""
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            vcol,
-                            F.array(*[F.lit(c) for c in cv]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    F.lit(cid + 1).alias("cid"),
-                )
-                for cid, cv in enumerate(cvs)
-            ]
+    cid. Built as ONE parsed SQL string (the plan-build discipline,
+    see hyperplane_bucket): the Column-composition form costs a py4j
+    round-trip per centroid component — at PQ scale (m=16 subspaces
+    x 16 centroids x 4 dims) that alone was ~14 s of driver-side
+    plan build; one F.expr call is milliseconds. Values are exact
+    integer literals, so plans and results are unchanged."""
+    structs = ",".join(
+        "struct(aggregate(zip_with({v}, array({lits}),"
+        " (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d,"
+        " {cid} AS cid)".format(
+            v=vcol,
+            lits=",".join(f"{int(c)}L" for c in cv),
+            cid=cid + 1,
         )
+        for cid, cv in enumerate(cvs)
     )
+    return F.expr(f"array_min(array({structs}))")
 
 
 def _lloyd_centroids(
@@ -879,11 +877,65 @@ def _pq_train(
         .limit(ncodes)
         .collect()
     )
-    codebooks: list[list[list[int]]] = []
-    for j in range(m):
-        seeds = [[int(x) for x in r["v"][j * d : (j + 1) * d]] for r in seed_rows]
-        sub = vm.select(F.slice("v", j * d + 1, d).alias("v"))
-        codebooks.append(_lloyd_centroids(sub, seeds, iters, d))
+    codebooks: list[list[list[int]]] = [
+        [[int(x) for x in r["v"][j * d : (j + 1) * d]] for r in seed_rows]
+        for j in range(m)
+    ]
+    # ONE update job per Lloyd round for ALL m subspaces — the
+    # subspace id is DATA, not a Python loop: each row explodes to m
+    # (j, cluster_j, subvector) structs (narrow), then a single
+    # (j, cluster)-keyed agg with map-side combine collapses every
+    # task to <= m*ncodes rows of (count, d dim-sums). A per-subspace
+    # loop would run m sequential jobs per round (measured 16 jobs /
+    # ~20 s at m=16 on sf0.1 before this shape; one job after).
+    # Arithmetic is identical to _lloyd_centroids, so codebooks are
+    # bit-equal either way.
+    for _ in range(iters - 1):
+        staged = vm.select(
+            *[F.slice("v", j * d + 1, d).alias(f"_sv{j}") for j in range(m)]
+        )
+        stacked = staged.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _best_dc(f"_sv{j}", codebooks[j])
+                            .getField("cid")
+                            .alias("cluster"),
+                            F.col(f"_sv{j}").alias("sv"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("x")
+        ).select("x.j", "x.cluster", "x.sv")
+        stats = (
+            stacked.groupBy("j", "cluster")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.element_at("sv", i + 1)).alias(f"_s{i}")
+                    for i in range(d)
+                ],
+            )
+            .collect()
+        )
+        updated = {
+            (j, cid): cv
+            for j, book in enumerate(codebooks)
+            for cid, cv in enumerate(book)
+        }  # empty-cluster repair: keep the previous centroid
+        for r in stats:
+            updated[(r["j"], r["cluster"] - 1)] = [
+                int(r[f"_s{i}"]) // r["_n"]
+                if r[f"_s{i}"] >= 0
+                else -((-int(r[f"_s{i}"])) // r["_n"])
+                for i in range(d)
+            ]
+        codebooks = [
+            [updated[(j, c)] for c in range(ncodes)] for j in range(m)
+        ]
     return vm, codebooks, d
 
 
