@@ -105,6 +105,12 @@ HEADLINE = [
     # late-r6 heavy op: minhash verify + positional windows + diagonal
     # islands (the LCS forensics pass)
     "dedup_pair_lcs",
+    # r8 additions — the theta-sketch build over events (prefiltered
+    # KMV + broadcast set algebra) and the PQ train+encode pipeline
+    # (stacked one-job Lloyd rounds + zero-shuffle literal-codebook
+    # encode); first-22 prefix comparable to r6/r7 totals
+    "sketch_theta_overlap",
+    "embed_pq_codes",
 ]
 
 
@@ -121,6 +127,10 @@ SF1_SPOT = [
     "embed_top_component",
     "corpus_domain_sampling",
     "dedup_pair_lcs",
+    # r8: the PQ pipeline at 10x vectors (codebook train + encode —
+    # expected ~linear: one stats job + narrow encode); theta reads
+    # events, which the derived sf1 set does not include
+    "embed_pq_codes",
 ]
 
 _REPLICAS = 10
@@ -399,6 +409,7 @@ def main() -> None:
         "comparable_12": round(sum(timings[n] for n in names[:12]), 3),
         "comparable_15": round(sum(timings[n] for n in names[:15]), 3),
         "comparable_19": round(sum(timings[n] for n in names[:19]), 3),
+        "comparable_22": round(sum(timings[n] for n in names[:22]), 3),
         "calib_s": calib_s,
         "calib_scan_s": calib_scan_s,
         "calib_post_s": post[0],
