@@ -1383,3 +1383,25 @@ def test_pq_encode_quantizes_separable_subspaces(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
     with _pytest.raises(ValueError):
         pq_encode(df, m=3)
+
+
+def test_pq_topk_adc_finds_cluster_neighbors(spark):
+    """ADC search: with two well-separated clusters, every query's
+    top-k comes from its own cluster, and the ADC ranking is
+    repartition-invariant (integer-exact literals end to end)."""
+    from logprep_spark.functions.similarity import pq_topk
+
+    rows = []
+    for i in range(30):
+        jit = (i % 7) * 0.02
+        base = 1.0 if i % 2 == 0 else -1.0
+        rows.append((i, [base + jit] * 8))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = df.filter("vec_id < 4")  # two per cluster
+    out = pq_topk(df, qs, k=3, m=2, ncodes=2, iters=3).collect()
+    assert {r.query_id for r in out} == {0, 1, 2, 3}
+    for r in out:
+        # same parity = same cluster
+        assert r.nbr_id % 2 == r.query_id % 2, r
+    again = pq_topk(df.repartition(5), qs, k=3, m=2, ncodes=2, iters=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
