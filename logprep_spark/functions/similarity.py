@@ -872,6 +872,16 @@ def _pq_train(
     d = dim // m
     vm = df.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("v"))
     vm = vm.persist(StorageLevel.MEMORY_AND_DISK)
+    codebooks = _pq_train_micro(vm, m, ncodes, iters, d, id_col)
+    return vm, codebooks, d
+
+
+def _pq_train_micro(
+    vm: DataFrame, m: int, ncodes: int, iters: int, d: int, id_col: str
+):
+    """PQ codebook training over an ALREADY micro-fixed frame with
+    column ``v`` (raw vectors for pq_encode, coarse-cell residuals
+    for ivfpq) — see :func:`_pq_train` for the job-shape notes."""
     seed_rows = (
         vm.orderBy(h60(F.col(id_col).cast("string")), F.col(id_col))
         .limit(ncodes)
@@ -936,7 +946,7 @@ def _pq_train(
         codebooks = [
             [updated[(j, c)] for c in range(ncodes)] for j in range(m)
         ]
-    return vm, codebooks, d
+    return codebooks
 
 
 def brute_force_topk_l2(
@@ -1050,6 +1060,154 @@ def pq_topk(
         total = total + adc(j)
     scored = (
         codes.crossJoin(F.broadcast(qs))
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", total.alias("adc_dist2"))
+    )
+    window = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "adc_dist2", "rank")
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    ncodes: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the billion-scale ANN architecture
+    (FAISS IndexIVFPQ; Jégou et al. 2011 §V): a coarse quantizer
+    partitions the corpus into ``nlist`` cells, PQ encodes each
+    vector's RESIDUAL against its cell centroid (residuals are far
+    more compact than raw vectors, so the same codebook budget buys
+    much finer quantization), and a query scans only its ``nprobe``
+    nearest cells, scoring candidates by ADC between the query's
+    per-cell residual and the residual codebooks.
+
+    Distributed shape — the index IS the DataFrame: (nbr_id, cell,
+    m codes) built in one narrow map (coarse centroids and residual
+    codebooks are plan-literal models; the only training shuffles are
+    the per-round <= nlist-row and <= m*ncodes-row stat aggs). Search
+    joins the corpus to the BROADCAST exploded query-probe frame on
+    ``cell`` — the corpus stays partition-local (no shuffle on the
+    skewed cell key), candidates prune map-side to the probed cells,
+    and only (query_id, nbr_id, adc_dist2) survivors reach the
+    per-query top-k window. At 25B vectors this is the shape that
+    works: 3-byte codes + cell id per row, nprobe/nlist of the corpus
+    touched per query, zero corpus shuffles.
+
+    Integer-exact end to end (micro vectors, long residuals, long
+    ADC sums) -> bit-identical rankings in any engine; the recall row
+    hash-gates the full construction against a DuckDB replica."""
+    dim = probe_dim(df, vec_col) or 0
+    if m <= 0 or dim % m:
+        raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m={m}")
+    d = dim // m
+    from pyspark.storagelevel import StorageLevel
+
+    vm = df.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("v"))
+    vm = vm.persist(StorageLevel.MEMORY_AND_DISK)
+    # coarse quantizer: nlist centroids over the full vectors
+    seed_rows = (
+        vm.orderBy(h60(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(nlist)
+        .collect()
+    )
+    coarse = _lloyd_centroids(
+        vm.select("v"), [[int(x) for x in r["v"]] for r in seed_rows], iters, dim
+    )
+    coarse_lit = "array(" + ",".join(
+        "array(" + ",".join(f"{int(c)}L" for c in cv) + ")" for cv in coarse
+    ) + ")"
+    # residuals against the assigned cell centroid (narrow, exact)
+    res = vm.select(
+        F.col(id_col),
+        _best_dc("v", coarse).getField("cid").alias("cell"),
+        F.col("v"),
+    ).select(
+        id_col,
+        "cell",
+        F.expr(
+            f"zip_with(v, element_at({coarse_lit}, cell), (a, b) -> a - b)"
+        ).alias("v"),
+    )
+    res = res.persist(StorageLevel.MEMORY_AND_DISK)
+    codebooks = _pq_train_micro(res, m, ncodes, iters, d, id_col)
+    index = res.select(
+        F.col(id_col).alias("nbr_id"),
+        "cell",
+        *[F.slice("v", j * d + 1, d).alias(f"_sv{j}") for j in range(m)],
+    ).select(
+        "nbr_id",
+        "cell",
+        *[
+            _best_dc(f"_sv{j}", codebooks[j]).getField("cid").alias(f"_c{j}")
+            for j in range(m)
+        ],
+    )
+    # query probes: nprobe nearest cells, each with the query's
+    # per-cell residual subvectors (exploded -> still tiny, broadcast)
+    probes_expr = (
+        "slice(array_sort(transform(sequence(1, {nlist}), c -> "
+        "named_struct('d', aggregate(zip_with(qv, element_at({lit}, c), "
+        "(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), "
+        "(acc, x) -> acc + x), 'cell', c))), 1, {nprobe})"
+    ).format(nlist=nlist, lit=coarse_lit, nprobe=nprobe)
+    qs = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            micro_vec(F.col(vec_col)).alias("qv"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            F.explode(F.expr(probes_expr)).alias("_p"),
+        )
+        .select("query_id", "qv", F.col("_p.cell").alias("cell"))
+        .select(
+            "query_id",
+            "cell",
+            F.expr(
+                f"zip_with(qv, element_at({coarse_lit}, cell), (a, b) -> a - b)"
+            ).alias("qres"),
+        )
+        .select(
+            "query_id",
+            "cell",
+            *[F.slice("qres", j * d + 1, d).alias(f"_q{j}") for j in range(m)],
+        )
+    )
+
+    def cb_literal(j: int) -> Column:
+        inner = ",".join(
+            "array(" + ",".join(f"{int(c)}L" for c in cv) + ")"
+            for cv in codebooks[j]
+        )
+        return F.expr(f"array({inner})")
+
+    def adc(j: int) -> Column:
+        centroid = F.element_at(cb_literal(j), F.col(f"_c{j}"))
+        return F.aggregate(
+            F.zip_with(F.col(f"_q{j}"), centroid, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    total = adc(0)
+    for j in range(1, m):
+        total = total + adc(j)
+    scored = (
+        index.join(F.broadcast(qs), "cell")
         .filter(F.col("query_id") != F.col("nbr_id"))
         .select("query_id", "nbr_id", total.alias("adc_dist2"))
     )

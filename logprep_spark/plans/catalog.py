@@ -95,7 +95,7 @@ def register(name: str, oracle: str | None = None):
 #     the 46 newest-first r4-checked rows that fit the remaining
 #     slots (CORRECTNESS_r04 is 3 rounds stale).
 #   r9 window: sketch_theta_diff + embed_pq_codes + ann_recall_pq
-#     (r8-new, local hash-PASS each) +
+#     + ann_recall_ivfpq (r8-new, local hash-PASS each) +
 #     proc_deduplicator (the r4 row that did not fit) + the
 #     r5-checked rotation (oldest evidence first).
 # The full catalog (see the module docstring count; tools/
@@ -5121,15 +5121,23 @@ def embed_quantize_int8(spark, sf_dir):
     )
 
 
-def _sql_pq_chain(m: int = 4, d: int = 16, ncodes: int = 8) -> str:
+def _sql_pq_chain(
+    m: int = 4, d: int = 16, ncodes: int = 8, src: str | None = None
+) -> str:
     """Shared DuckDB replica of the PQ train+encode construction
     (m subspaces of sub-dim d, ncodes centroids, iters=2): micro
     vectors -> subspace slices -> hash-ordered seeds -> one Lloyd
     update -> final codebooks c1 -> per-(vec, subspace) codes enc.
-    Used by embed_pq_codes (m=4, d=16, ncodes=8) and ann_recall_pq
-    (m=16, d=4, ncodes=16)."""
+    Used by embed_pq_codes (m=4, d=16, ncodes=8), ann_recall_pq
+    (m=16, d=4, ncodes=16) and — with ``src`` pointing at the
+    coarse-residual CTE — ann_recall_ivfpq."""
+    vm_body = (
+        f"SELECT vec_id, v FROM {src}"
+        if src
+        else f"SELECT vec_id, {_KM_MICRO} AS v FROM embeddings"
+    )
     return f"""vm AS (
-        SELECT vec_id, {_KM_MICRO} AS v FROM embeddings
+        {vm_body}
     ), js AS (
         SELECT unnest(range(1, {m + 1})) AS j
     ), sub AS (
@@ -5272,6 +5280,130 @@ def ann_recall_pq(spark, sf_dir):
     return sim.recall_eval(
         exact, approx, k=3, queries=qs.select(F.col("vec_id").alias("query_id"))
     )
+
+
+@register(
+    "ann_recall_ivfpq",
+    f"""
+    WITH cvm AS (
+        SELECT vec_id, {_KM_MICRO} AS v FROM embeddings
+    ), cseeds AS (
+        SELECT row_number() OVER (
+                   ORDER BY {_sql_h60('vec_id::varchar')}, vec_id) AS cid,
+               v AS cv
+        FROM cvm ORDER BY {_sql_h60('vec_id::varchar')}, vec_id LIMIT 8
+    ), cs1 AS (
+        SELECT m.vec_id, m.v, c.cid, {_KM_DIST} AS dd
+        FROM cvm m CROSS JOIN cseeds c
+    ), ca1 AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dd, cid) AS rn
+            FROM cs1) WHERE rn = 1
+    ), csum AS (
+        SELECT cluster, dim,
+               CAST(sum(v[dim]) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu
+        FROM ca1 CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) dims
+        GROUP BY cluster, dim
+    ), cc1 AS (
+        SELECT cluster AS cid, list(mu ORDER BY dim) AS cv
+        FROM csum GROUP BY cluster
+    ), cs2 AS (
+        SELECT m.vec_id, m.v, c.cid, {_KM_DIST} AS dd
+        FROM cvm m CROSS JOIN cc1 c
+    ), ca2 AS (
+        SELECT vec_id, v, cid AS cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dd, cid) AS rn
+            FROM cs2) WHERE rn = 1
+    ), resid AS (
+        SELECT a.vec_id, a.cell,
+               [a.v[i] - c.cv[i] for i in range(1, 65)] AS v
+        FROM ca2 a JOIN cc1 c ON c.cid = a.cell
+    ), {_sql_pq_chain(m=16, d=4, ncodes=16, src="resid")},
+    qrank AS (
+        SELECT q.vec_id AS query_id, c.cid AS cell, q.v AS qv,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_sum([(q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])
+                                      for i in range(1, 65)]), c.cid) AS rn
+        FROM cvm q CROSS JOIN cc1 c WHERE q.vec_id < 5
+    ), variants AS (
+        SELECT * FROM (VALUES (1), (2), (4)) AS t(n_probe)
+    ), qres AS (
+        SELECT v.n_probe, r.query_id, r.cell,
+               [r.qv[i] - c.cv[i] for i in range(1, 65)] AS qv
+        FROM qrank r JOIN cc1 c ON c.cid = r.cell
+        CROSS JOIN variants v
+        WHERE r.rn <= v.n_probe
+    ), adc AS (
+        SELECT q.n_probe, q.query_id, r.vec_id AS nbr_id,
+               CAST(sum(list_sum([(q.qv[(e.j-1)*4+i] - c.cv[i])
+                                  * (q.qv[(e.j-1)*4+i] - c.cv[i])
+                                  for i in range(1, 5)])) AS BIGINT)
+                   AS adc_dist2
+        FROM resid r
+        JOIN enc e ON e.vec_id = r.vec_id
+        JOIN c1 c ON c.j = e.j AND c.cid = e.cid
+        JOIN qres q ON q.cell = r.cell
+        WHERE q.query_id <> r.vec_id
+        GROUP BY q.n_probe, q.query_id, r.vec_id
+    ), approx AS (
+        SELECT n_probe, query_id, nbr_id FROM (
+            SELECT n_probe, query_id, nbr_id, row_number() OVER (
+                PARTITION BY n_probe, query_id
+                ORDER BY adc_dist2, nbr_id) AS rn
+            FROM adc) WHERE rn <= 3
+    ), exact AS (
+        SELECT query_id, nbr_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id ORDER BY
+                       list_sum([(q.v[i] - c.v[i]) * (q.v[i] - c.v[i])
+                                 for i in range(1, 65)]), c.vec_id) AS rn
+            FROM cvm q JOIN cvm c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5) WHERE rn <= 3
+    ), hits AS (
+        SELECT n_probe, query_id, count(*) AS n_hits
+        FROM approx JOIN exact USING (query_id, nbr_id) GROUP BY 1, 2
+    )
+    SELECT v.n_probe, qs.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           1000 * coalesce(h.n_hits, 0) // 3 AS recall_milli
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) qs
+    CROSS JOIN variants v
+    LEFT JOIN hits h ON h.query_id = qs.query_id AND h.n_probe = v.n_probe
+    """,
+)
+def ann_recall_ivfpq(spark, sf_dir):
+    """Recall@3 of IVF-PQ (functions/similarity.py ivfpq_topk) vs the
+    exact integer-L2 brute force, swept over n_probe in {1, 2, 4} of
+    8 coarse cells — the tuning table the billion-scale architecture
+    is operated by: recall climbs with probed fraction (measured 0 ->
+    2/15 -> 3/15 hits at sf0.01, plateauing at the residual-PQ
+    quantization floor) while cost stays n_probe/nlist of the corpus.
+    The whole construction — coarse k-means, residuals, residual
+    codebooks, probe ranking, ADC — is integer-exact, so the driver
+    hash-gates it against the full DuckDB replica."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = sim.brute_force_topk_l2(emb, qs, k=3)
+    qids = qs.select(F.col("vec_id").alias("query_id"))
+    parts = []
+    for npb in (1, 2, 4):
+        approx = sim.ivfpq_topk(
+            emb, qs, k=3, nlist=8, nprobe=npb, m=16, ncodes=16, iters=2
+        )
+        parts.append(
+            sim.recall_eval(exact, approx, k=3, queries=qids).select(
+                F.lit(npb).alias("n_probe"), "query_id", "n_hits",
+                "recall_milli",
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
 
 
 @register(

@@ -1405,3 +1405,26 @@ def test_pq_topk_adc_finds_cluster_neighbors(spark):
         assert r.nbr_id % 2 == r.query_id % 2, r
     again = pq_topk(df.repartition(5), qs, k=3, m=2, ncodes=2, iters=3).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_ivfpq_topk_probes_right_cells(spark):
+    """IVF-PQ: with well-separated clusters the coarse quantizer
+    sends each query to its own cell even at nprobe=1, so top-k stays
+    in-cluster; results are repartition-invariant."""
+    from logprep_spark.functions.similarity import ivfpq_topk
+
+    rows = []
+    for i in range(40):
+        jit = (i % 9) * 0.02
+        base = 2.0 if i % 2 == 0 else -2.0
+        rows.append((i, [base + jit] * 8))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = df.filter("vec_id < 4")
+    out = ivfpq_topk(df, qs, k=3, nlist=2, nprobe=1, m=2, ncodes=4, iters=3).collect()
+    assert {r.query_id for r in out} == {0, 1, 2, 3}
+    for r in out:
+        assert r.nbr_id % 2 == r.query_id % 2, r
+    again = ivfpq_topk(
+        df.repartition(6), qs, k=3, nlist=2, nprobe=1, m=2, ncodes=4, iters=3
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
