@@ -90,26 +90,28 @@ def register(name: str, oracle: str | None = None):
 #     48 of the 50 r6-new queries — 50/50 green, all hash-gated
 #     (split_kfold and events_dow_seasonality deferred here).
 #   r8 window (THIS round): the queries with NO driver row FIRST —
-#     the two r7 deferrals, the r7-new sketch_theta_overlap, and
-#     this round's new queries — then the oldest official evidence:
-#     the 46 newest-first r4-checked rows that fit the remaining
-#     slots (CORRECTNESS_r04 is 3 rounds stale).
-#   r9 window: sketch_theta_diff + embed_pq_codes + ann_recall_pq
-#     + ann_recall_ivfpq (r8-new, local hash-PASS each) +
-#     proc_deduplicator (the r4 row that did not fit) + the
-#     r5-checked rotation (oldest evidence first).
+#     the two r7 deferrals, the r7-new sketch_theta_overlap, and the
+#     five r8-new rows (theta union-range/diff, PQ encode, PQ + IVFPQ
+#     recall), every one local hash-PASS — then the oldest official
+#     evidence: the 42 r4-checked rows that fit the remaining slots
+#     (CORRECTNESS_r04 is 3 rounds stale).
+#   r9 window: the five r4 rows that did not fit (proc_deduplicator,
+#     sessionize_events, dedup_substring_spans, dedup_contamination,
+#     ann_recall_lsh) + the r5-checked rotation (oldest first).
 # The full catalog (see the module docstring count; tools/
 # gen_query_index.py keeps it exact) stays locally oracle-gated
 # every round via tools/check_oracles.py (LOCAL_CORRECTNESS.md,
 # same hash methodology as the driver).
 _PRIORITY = [
-    # --- queries with no official driver row yet: the two r7
-    # deferrals (local hash-PASS since r6), the r7-new theta
-    # overlap, and this round's new theta-algebra row ---
+    # --- queries with no official driver row yet (first-time rows
+    # take priority): the two r7 deferrals (local hash-PASS since
+    # r6), the r7-new theta overlap, and the five r8-new rows —
+    # theta union-range/diff, PQ encode, PQ + IVF-PQ recall ---
     "split_kfold", "events_dow_seasonality", "sketch_theta_overlap",
-    "sketch_theta_union_range",
-    # --- oldest official evidence: r4-checked rows (46 of 47;
-    # proc_deduplicator deferred to r9) ---
+    "sketch_theta_union_range", "sketch_theta_diff",
+    "embed_pq_codes", "ann_recall_pq", "ann_recall_ivfpq",
+    # --- oldest official evidence: r4-checked rows (42 of 47;
+    # 5 deferred to r9, see the rotation comment) ---
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
     "join_broadcast_nation", "event_type_stats", "event_percentiles",
     "agg_salted_user_counts", "filter_lucene_bool",
@@ -125,8 +127,6 @@ _PRIORITY = [
     "proc_pseudonymizer_pseudonyms", "proc_replacer",
     "proc_field_manager", "proc_generic_resolver", "proc_ip_informer",
     "proc_pre_detector", "proc_selective_extractor",
-    "sessionize_events", "dedup_substring_spans",
-    "dedup_contamination", "ann_recall_lsh",
 ]
 
 
