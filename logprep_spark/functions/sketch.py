@@ -517,6 +517,231 @@ def theta_audience_diff(
     )
 
 
+def cm_sketch(
+    df: DataFrame,
+    item_col: str,
+    d: int = 3,
+    w: int = 256,
+) -> DataFrame:
+    """Count-Min sketch of ``item_col`` frequencies as a DataFrame:
+    one row per non-empty cell ``(row, col, cnt)``, at most ``d*w``
+    rows total regardless of input cardinality — the mergeable
+    FREQUENCY sketch completing the family (theta/HLL: cardinality,
+    GK: quantiles, Misra-Gries: heavy hitters). Cell assignment for
+    hash row ``r`` is ``h60(r || ':' || item) mod w``; each input row
+    increments d cells, so a point query reads d counters and takes
+    their min (Cormode & Muthukrishnan 2005: est >= true always,
+    over-count <= 2n/w with prob 1-(1/2)^d per query).
+
+    Deterministic md5 cells → the sketch AND every estimate derived
+    from it are bit-identical in any engine; the oracle hash-compares
+    the estimates themselves.
+
+    Scale shape: the d-way cell explode is narrow (map-side), and the
+    groupBy collapses it into <= d*w keys in the partial agg — the
+    shuffle is O(d*w) bytes per partition at ANY input size, which is
+    the whole point of a CM sketch. Merging sketches of two corpora
+    is cell-wise addition (see pytest mergeability gate)."""
+    cell = F.posexplode(
+        F.array(
+            *[
+                F.pmod(
+                    h60(
+                        F.concat(
+                            F.lit(f"{r}:"), F.col(item_col).cast("string")
+                        )
+                    ),
+                    F.lit(w),
+                )
+                for r in range(d)
+            ]
+        )
+    )
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(cell.alias("row", "col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_point_estimates(
+    df: DataFrame,
+    item_col: str,
+    queries: DataFrame,
+    d: int = 3,
+    w: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for the items in ``queries`` (a
+    1-column frame named ``item_col``) read from the Count-Min sketch
+    of ``df`` — plus the exact count and over-count witness per item.
+
+    The sketch (<= d*w rows) broadcasts; each query item derives its
+    d cells narrowly and joins the broadcast sketch, so the probe
+    never shuffles the corpus — at 100 TB the corpus is read once to
+    build the sketch and every later point query is O(d) lookups.
+    A cell the sketch never touched reads as 0 (left join coalesce):
+    CM has no false negatives, so est >= exact always and
+    ``overcount`` is the in-query accuracy witness."""
+    sketch = cm_sketch(df, item_col, d, w)
+    probe_cell = F.posexplode(
+        F.array(
+            *[
+                F.pmod(
+                    h60(
+                        F.concat(
+                            F.lit(f"{r}:"), F.col(item_col).cast("string")
+                        )
+                    ),
+                    F.lit(w),
+                )
+                for r in range(d)
+            ]
+        )
+    )
+    probes = queries.select(F.col(item_col), probe_cell.alias("row", "col"))
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+    )
+    exact = (
+        df.join(F.broadcast(queries), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        est.join(exact, item_col, "left")
+        .select(
+            item_col,
+            "est_count",
+            F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
+        )
+        .withColumn("overcount", F.col("est_count") - F.col("exact_count"))
+    )
+
+
+def bloom_bits(
+    df: DataFrame,
+    value_col: str,
+    m: int = 512,
+    j: int = 3,
+) -> DataFrame:
+    """Bloom filter of the distinct ``value_col`` values as a
+    DataFrame of SET bit positions — one row per set bit, at most
+    ``m`` rows — the mergeable MEMBERSHIP sketch (union of two
+    filters = distinct union of their position rows). Value ``v``
+    sets the ``j`` positions ``h60(i || ':' || v) mod m``.
+
+    Deterministic md5 positions → the filter and every probe verdict
+    hash-compare cross-engine.
+
+    Scale shape: the j-way position explode is narrow and the
+    distinct collapses to <= m rows in the partial agg — O(m) shuffle
+    bytes at any input cardinality. The stored artifact is the
+    position frame; probing never re-reads the build-side raw data."""
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(
+                    h60(
+                        F.concat(
+                            F.lit(f"{i}:"), F.col(value_col).cast("string")
+                        )
+                    ),
+                    F.lit(m),
+                )
+                for i in range(j)
+            ]
+        )
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(pos.alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_membership(
+    build_df: DataFrame,
+    probe_df: DataFrame,
+    value_col: str,
+    m: int = 512,
+    j: int = 3,
+) -> DataFrame:
+    """Probe the distinct ``probe_df`` values against the Bloom
+    filter built from ``build_df`` and report the 1-row accuracy
+    readout: bits set, probes, hits (all j positions present), the
+    exact overlap witness, false positives = hits - exact (Bloom has
+    NO false negatives, so hits >= exact always), and the measured
+    false-positive rate in milli units over the true negatives.
+
+    All-integer output → the oracle hash-compares the verdicts
+    themselves. Scale: the <= m-row filter broadcasts to the probe
+    side; each distinct probe value checks j positions via the
+    broadcast join — the probe corpus is read once, never shuffled
+    on anything but its own distinct."""
+    bits = bloom_bits(build_df, value_col, m, j)
+    probe_pos = F.posexplode(
+        F.array(
+            *[
+                F.pmod(
+                    h60(
+                        F.concat(
+                            F.lit(f"{i}:"), F.col(value_col).cast("string")
+                        )
+                    ),
+                    F.lit(m),
+                )
+                for i in range(j)
+            ]
+        )
+    )
+    probes = probe_df.filter(F.col(value_col).isNotNull()).select(
+        value_col
+    ).distinct()
+    hits = (
+        probes.select(F.col(value_col), probe_pos.alias("_i", "pos"))
+        .join(F.broadcast(bits.withColumn("_set", F.lit(1))), "pos", "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce("_set", F.lit(0))).alias("_all_set"))
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum("_all_set").alias("n_hits"),
+        )
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    exact = (
+        probes.join(
+            build_df.select(F.col(value_col)).distinct(),
+            value_col,
+            "left_semi",
+        ).agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        n_bits.crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_bits_set",
+            "n_probes",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            "exact_overlap",
+            (F.coalesce("n_hits", F.lit(0)) - F.col("exact_overlap")).alias(
+                "false_positives"
+            ),
+            F.floor(
+                F.lit(1000.0)
+                * (F.coalesce("n_hits", F.lit(0)) - F.col("exact_overlap"))
+                / F.greatest(
+                    F.col("n_probes") - F.col("exact_overlap"), F.lit(1)
+                )
+            )
+            .cast("long")
+            .alias("fpr_milli"),
+        )
+    )
+
+
 def theta_union_range(
     df: DataFrame,
     slice_col: str,

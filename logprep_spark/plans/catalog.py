@@ -95,9 +95,12 @@ def register(name: str, oracle: str | None = None):
 #     recall), every one local hash-PASS — then the oldest official
 #     evidence: the 42 r4-checked rows that fit the remaining slots
 #     (CORRECTNESS_r04 is 3 rounds stale).
-#   r9 window: the five r4 rows that did not fit (proc_deduplicator,
-#     sessionize_events, dedup_substring_spans, dedup_contamination,
-#     ann_recall_lsh) + the r5-checked rotation (oldest first).
+#   r9 window: first-time rows first (sketch_cm_freq,
+#     sketch_bloom_membership — added after the r8 window was set;
+#     both local hash-PASS), then the five r4 rows that did not fit
+#     (proc_deduplicator, sessionize_events, dedup_substring_spans,
+#     dedup_contamination, ann_recall_lsh) + the r5-checked rotation
+#     (oldest first).
 # The full catalog (see the module docstring count; tools/
 # gen_query_index.py keeps it exact) stays locally oracle-gated
 # every round via tools/check_oracles.py (LOCAL_CORRECTNESS.md,
@@ -7778,6 +7781,138 @@ def sketch_theta_diff(spark, sf_dir):
         events.filter(raw_range).withColumn("_week", week),
         "_week", "user_id", "2024-01-01", "2024-01-08", k=64,
     )
+
+
+@register(
+    "sketch_cm_freq",
+    f"""
+    WITH ev AS (
+        SELECT user_id FROM events WHERE user_id IS NOT NULL
+    ), r3 AS (
+        SELECT unnest([0, 1, 2]) AS r
+    ), cells AS (
+        SELECT r,
+               {_sql_h60("r::VARCHAR || ':' || user_id::VARCHAR")} % 128 AS c,
+               count(*) AS cnt
+        FROM ev, r3 GROUP BY 1, 2
+    ), top5 AS (
+        SELECT user_id, count(*) AS exact_count
+        FROM ev GROUP BY 1
+        ORDER BY exact_count DESC, user_id LIMIT 10
+    ), probe AS (
+        SELECT t.user_id, t.exact_count,
+               min(coalesce(cells.cnt, 0)) AS est_count
+        FROM top5 t
+        CROSS JOIN r3
+        LEFT JOIN cells
+          ON cells.r = r3.r
+         AND cells.c = {_sql_h60("r3.r::VARCHAR || ':' || t.user_id::VARCHAR")} % 128
+        GROUP BY 1, 2
+    )
+    SELECT user_id, est_count, exact_count,
+           est_count - exact_count AS overcount
+    FROM probe ORDER BY user_id
+    """,
+)
+def sketch_cm_freq(spark, sf_dir):
+    """Count-Min point-frequency estimates (functions/sketch.py
+    cm_sketch / cm_point_estimates) for the ten most active users —
+    the mergeable FREQUENCY sketch completing the family (theta/HLL:
+    cardinality, GK: quantiles, Misra-Gries: heavy hitters). d=3
+    rows x w=128 columns: the sketch is <= 3072 counter rows at ANY
+    input cardinality (the d-way cell explode collapses map-side into
+    the bounded keyspace), the probe reads d broadcast cells per item
+    and takes their min. md5 cell assignment -> est_count is
+    bit-identical cross-engine, so the driver row hash-compares the
+    ESTIMATES (and the overcount witness: est >= exact always, the CM
+    no-false-negative guarantee). w=128 ~ 7x the sf0.01 user
+    cardinality so over-counts stay small but visible; production
+    sizes w ~ e/eps for an eps*n over-count bound."""
+    events = tables(spark, sf_dir)["events"]
+    top5 = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), "user_id")
+        .limit(10)
+        .select("user_id")
+    )
+    return sk.cm_point_estimates(
+        events, "user_id", top5, d=3, w=128
+    ).orderBy("user_id")
+
+
+@register(
+    "sketch_bloom_membership",
+    f"""
+    WITH build AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase'
+          AND ts >= '2024-01-01' AND ts < '2024-01-03'
+          AND user_id IS NOT NULL
+    ), probe AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE ts >= '2024-01-08' AND ts < '2024-01-15'
+          AND user_id IS NOT NULL
+    ), j3 AS (
+        SELECT unnest([0, 1, 2]) AS i
+    ), bits AS (
+        SELECT DISTINCT
+               {_sql_h60("i::VARCHAR || ':' || user_id::VARCHAR")} % 512 AS pos
+        FROM build, j3
+    ), hitmap AS (
+        SELECT p.user_id,
+               min(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS all_set
+        FROM probe p
+        CROSS JOIN j3
+        LEFT JOIN bits b
+          ON b.pos = {_sql_h60("j3.i::VARCHAR || ':' || p.user_id::VARCHAR")} % 512
+        GROUP BY 1
+    ), agg AS (
+        SELECT count(*) AS n_probes,
+               CAST(sum(all_set) AS BIGINT) AS n_hits
+        FROM hitmap
+    ), nb AS (
+        SELECT count(*) AS n_bits_set FROM bits
+    ), ex AS (
+        SELECT count(*) AS exact_overlap FROM probe
+        WHERE user_id IN (SELECT user_id FROM build)
+    )
+    SELECT nb.n_bits_set, agg.n_probes, agg.n_hits, ex.exact_overlap,
+           agg.n_hits - ex.exact_overlap AS false_positives,
+           CAST(floor(1000.0 * (agg.n_hits - ex.exact_overlap)
+                / greatest(agg.n_probes - ex.exact_overlap, 1)) AS BIGINT)
+               AS fpr_milli
+    FROM nb, agg, ex
+    """,
+)
+def sketch_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership (functions/sketch.py bloom_bits /
+    bloom_membership): 'did this user purchase in the Jan 1-2 window?'
+    probed for every user active the following week — the mergeable
+    MEMBERSHIP sketch (union = distinct union of set-bit rows; the
+    suppression-list / seen-before primitive a 100 TB pipeline checks
+    without re-reading the build corpus). m=512 bits, j=3 hashes:
+    the filter is <= 512 position rows at any build cardinality and
+    broadcasts to the probe side. md5 positions -> every verdict is
+    bit-identical cross-engine; the driver row hash-compares the full
+    readout, including false_positives = hits - exact (>= 0, Bloom's
+    no-false-negative guarantee) and the measured fpr over the true
+    negatives. m=512 is sized for the sf0.01 gate (~97 build keys ->
+    ~8% measured fpr); production sizes m ~ 1.44*n*log2(1/p). Both
+    date predicates are raw-column ranges the parquet reader
+    row-group-skips on."""
+    events = tables(spark, sf_dir)["events"]
+    build = events.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.lit("2024-01-01"))
+        & (F.col("ts") < F.lit("2024-01-03"))
+    )
+    probe = events.filter(
+        (F.col("ts") >= F.lit("2024-01-08"))
+        & (F.col("ts") < F.lit("2024-01-15"))
+    )
+    return sk.bloom_membership(build, probe, "user_id", m=512, j=3)
 
 
 @register(

@@ -1,0 +1,169 @@
+"""Count-Min + Bloom sketches: guarantees, replicas, determinism.
+
+CM (Cormode & Muthukrishnan 2005): est >= true always, the sketch is
+cell-wise mergeable, and the whole construction is md5-deterministic
+so a pure-Python replica must match BIT-exactly (the cross-engine
+property the oracle gate relies on). Bloom: no false negatives ever,
+the filter is position-wise mergeable, and probe verdicts match a
+Python replica exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from logprep_spark.functions.sketch import (
+    bloom_bits,
+    bloom_membership,
+    cm_point_estimates,
+    cm_sketch,
+)
+
+
+def _h60(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+
+def _cm_cells(items, d, w):
+    cells: dict = {}
+    for it in items:
+        for r in range(d):
+            key = (r, _h60(f"{r}:{it}") % w)
+            cells[key] = cells.get(key, 0) + 1
+    return cells
+
+
+def _skewed(spark):
+    # zipf-ish: item i appears 200//(i+1) times over 40 items
+    rows = [(f"item{i}",) for i in range(40) for _ in range(200 // (i + 1))]
+    return spark.createDataFrame(rows, ["item"])
+
+
+def test_cm_sketch_matches_python_replica(spark):
+    d, w = 3, 32
+    df = _skewed(spark)
+    got = {
+        (r.row, r.col): r.cnt
+        for r in cm_sketch(df, "item", d=d, w=w).collect()
+    }
+    items = [f"item{i}" for i in range(40) for _ in range(200 // (i + 1))]
+    assert got == _cm_cells(items, d, w)
+    assert len(got) <= d * w
+
+
+def test_cm_estimates_never_undercount(spark):
+    """The CM guarantee: min over d counters >= the true count, for
+    EVERY item — and is exact when no row collides."""
+    d, w = 3, 32
+    df = _skewed(spark)
+    queries = spark.createDataFrame(
+        [(f"item{i}",) for i in range(40)], ["item"]
+    )
+    rows = cm_point_estimates(df, "item", queries, d=d, w=w).collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert r.exact_count == 200 // (int(r.item[4:]) + 1)
+        assert r.est_count >= r.exact_count
+        assert r.overcount == r.est_count - r.exact_count
+    # w=32 over 40 items MUST collide somewhere (pigeonhole), and a
+    # probe whose cells are all clean must be exact
+    assert any(r.overcount > 0 for r in rows)
+
+
+def test_cm_mergeability(spark):
+    """sketch(A) + sketch(B) cell-wise == sketch(A union B) — the
+    property that lets per-day sketches roll up without raw data."""
+    d, w = 3, 16
+    a = spark.createDataFrame([(f"u{i % 7}",) for i in range(50)], ["item"])
+    b = spark.createDataFrame([(f"u{i % 11}",) for i in range(80)], ["item"])
+    merged = (
+        cm_sketch(a, "item", d=d, w=w)
+        .unionAll(cm_sketch(b, "item", d=d, w=w))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cm_sketch(a.unionAll(b), "item", d=d, w=w)
+    as_map = lambda frame: {  # noqa: E731
+        (r.row, r.col): r.cnt for r in frame.collect()
+    }
+    assert as_map(merged) == as_map(whole)
+
+
+def test_cm_repartition_invariant_and_null_safe(spark):
+    df = spark.createDataFrame(
+        [(f"x{i % 9}",) for i in range(60)] + [(None,)], ["item"]
+    )
+    q = spark.createDataFrame([(f"x{i}",) for i in range(9)], ["item"])
+    ref = sorted(map(tuple, cm_point_estimates(df, "item", q, 3, 16).collect()))
+    got = sorted(
+        map(
+            tuple,
+            cm_point_estimates(df.repartition(13), "item", q, 3, 16).collect(),
+        )
+    )
+    assert ref == got
+    assert sum(r[2] for r in ref) == 60  # the null row counted nowhere
+
+
+def _bloom_positions(values, m, j):
+    return {_h60(f"{i}:{v}") % m for v in values for i in range(j)}
+
+
+def test_bloom_no_false_negatives_and_replica(spark):
+    m, j = 128, 3
+    build_vals = [f"k{i}" for i in range(30)]
+    build = spark.createDataFrame([(v,) for v in build_vals], ["val"])
+    probe_vals = [f"k{i}" for i in range(60)]  # 30 members + 30 others
+    probe = spark.createDataFrame([(v,) for v in probe_vals], ["val"])
+
+    bits = {r.pos for r in bloom_bits(build, "val", m=m, j=j).collect()}
+    assert bits == _bloom_positions(build_vals, m, j)
+
+    (row,) = bloom_membership(build, probe, "val", m=m, j=j).collect()
+    assert row.n_bits_set == len(bits)
+    assert row.n_probes == 60
+    assert row.exact_overlap == 30
+    # replica verdicts: a probe hits iff all j positions are set
+    hits = sum(
+        1
+        for v in probe_vals
+        if all(_h60(f"{i}:{v}") % m in bits for i in range(j))
+    )
+    assert row.n_hits == hits
+    assert row.n_hits >= 30  # every member hits: no false negatives
+    assert row.false_positives == hits - 30 >= 0
+    assert row.fpr_milli == 1000 * (hits - 30) // 30
+
+
+def test_bloom_merge_is_position_union(spark):
+    """union of two filters == filter of the union — the mergeable-
+    membership property (per-day suppression lists roll up)."""
+    m, j = 64, 3
+    a = spark.createDataFrame([(f"a{i}",) for i in range(20)], ["val"])
+    b = spark.createDataFrame([(f"b{i}",) for i in range(20)], ["val"])
+    merged = bloom_bits(a, "val", m, j).unionAll(
+        bloom_bits(b, "val", m, j)
+    ).distinct()
+    whole = bloom_bits(a.unionAll(b), "val", m, j)
+    assert {r.pos for r in merged.collect()} == {
+        r.pos for r in whole.collect()
+    }
+
+
+def test_bloom_empty_build_and_repartition_invariance(spark):
+    m, j = 64, 3
+    empty = spark.createDataFrame([], "val string")
+    probe = spark.createDataFrame([(f"p{i}",) for i in range(10)], ["val"])
+    (row,) = bloom_membership(empty, probe, "val", m=m, j=j).collect()
+    assert row.n_bits_set == 0
+    assert row.n_hits == 0 and row.false_positives == 0
+    assert row.exact_overlap == 0 and row.n_probes == 10
+
+    build = spark.createDataFrame([(f"p{i}",) for i in range(5)], ["val"])
+    ref = bloom_membership(build, probe, "val", m=m, j=j).collect()
+    got = bloom_membership(
+        build.repartition(7), probe.repartition(5), "val", m=m, j=j
+    ).collect()
+    assert ref == got
