@@ -13,6 +13,7 @@ from logprep_spark.streaming.windows import (
     tumbling_counts,
 )
 from logprep_spark.streaming.state import (
+    cm_window_stream,
     dedupe_near_stream,
     dedupe_stream,
     heavy_hitters_stream,
@@ -23,6 +24,7 @@ from logprep_spark.streaming.state import (
 )
 
 __all__ = [
+    "cm_window_stream",
     "heavy_hitters_stream",
     "rate_anomaly_stream",
     "StreamingPipeline",

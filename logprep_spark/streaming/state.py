@@ -359,6 +359,12 @@ _THETA_STATE_SCHEMA = "hashes array<bigint>, win_end_ms long"
 #: 60-bit hash space twin of functions/sketch.py
 _THETA_H_MAX = 1 << 60
 
+_CM_OUT_SCHEMA = (
+    "win_start timestamp, row int, col int, cnt long, is_final boolean"
+)
+_CM_STATE_SCHEMA = "cols array<int>, cnts array<long>, win_end_ms long"
+
+
 _DUR_UNITS = {
     "second": 1, "seconds": 1,
     "minute": 60, "minutes": 60,
@@ -473,6 +479,117 @@ def theta_window_stream(
         _theta_fn("_v", window_sec, k),
         outputStructType=_THETA_OUT_SCHEMA,
         stateStructType=_THETA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _cm_fn(window_sec: int):
+    def emit(win_start, row, cells: dict, final):
+        cols = sorted(cells)
+        return pd.DataFrame(
+            {
+                "win_start": [win_start] * len(cols),
+                "row": [row] * len(cols),
+                "col": cols,
+                "cnt": [cells[c] for c in cols],
+                "is_final": [final] * len(cols),
+            }
+        )
+
+    def fn(
+        key: Tuple[Any, Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        win_start, row = key
+        if state.hasTimedOut:
+            cols, cnts, _ = state.get
+            yield emit(win_start, row, dict(zip(cols, cnts)), True)
+            state.remove()
+            return
+        if state.exists:
+            cols, cnts, _ = state.get
+            cells = dict(zip(cols, cnts))
+        else:
+            cells = {}
+        for pdf in pdfs:
+            for c, n in pdf["_c"].value_counts().items():
+                c = int(c)
+                cells[c] = cells.get(c, 0) + int(n)
+        win_end_ms = int(win_start.value // 1_000_000) + window_sec * 1000
+        state.update((sorted(cells), [cells[c] for c in sorted(cells)], win_end_ms))
+        # evict when the watermark passes the window end: the state
+        # store holds only OPEN windows, each at most w counters
+        state.setTimeoutTimestamp(win_end_ms)
+        yield emit(win_start, row, cells, False)
+
+    return fn
+
+
+def cm_window_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    item_col: str = "item",
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    d: int = 3,
+    w: int = 256,
+) -> DataFrame:
+    """Streaming twin of functions/sketch.py cm_sketch: a per-window
+    Count-Min sketch maintained through the watermarked window state
+    machinery (the theta twin's pattern). Each event derives its d
+    ``(hash_row, col)`` cells JVM-side (md5, the same h60 family as
+    the batch sketch) and the stream is keyed by ``(window,
+    hash_row)`` — so one group's state is at most w counters (FIXED
+    SIZE regardless of traffic) and the d rows of one window spread
+    over d tasks instead of funneling the whole window through one.
+
+    Eviction rides the event-time timeout: when the watermark passes
+    the window end, the group emits its FINAL ``(row, col, cnt)``
+    cells (``is_final = true``) and drops its state. The final rows
+    are the mergeable artifact: cell-wise addition with any batch
+    ``cm_sketch`` frame (or other windows) is the CM merge, and point
+    estimates read min-over-d-rows exactly as in
+    ``cm_point_estimates``. Per-batch update rows carry the running
+    cells for live dashboards.
+
+    At 100 TB/day this is the shape that works: raw items are never
+    stored, the state store holds (open windows x d) groups of <= w
+    longs, and closed windows land as sketch rows any later frequency
+    query reads in O(d) per item."""
+    from pyspark.sql import functions as F
+
+    from logprep_spark.functions.dedup import h60
+
+    window_sec = _duration_seconds(window)
+    cell = F.posexplode(
+        F.array(
+            *[
+                F.pmod(
+                    h60(
+                        F.concat(
+                            F.lit(f"{r}:"), F.col(item_col).cast("string")
+                        )
+                    ),
+                    F.lit(w),
+                ).cast("int")
+                for r in range(d)
+            ]
+        )
+    )
+    # watermark re-declared on win_start after projecting the window
+    # start — same horizon note as theta_window_stream
+    keyed = (
+        events.filter(F.col(item_col).isNotNull())
+        .select(
+            F.window(ts_col, window).start.alias("win_start"),
+            cell.alias("row", "_c"),
+        )
+        .withWatermark("win_start", watermark)
+    )
+    return keyed.groupBy("win_start", "row").applyInPandasWithState(
+        _cm_fn(window_sec),
+        outputStructType=_CM_OUT_SCHEMA,
+        stateStructType=_CM_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

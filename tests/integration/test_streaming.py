@@ -1115,3 +1115,96 @@ def test_theta_window_stream_sketch_and_eviction(spark, tmp_path):
     ]
     assert totals and max(totals) <= 4  # s1, s2, and the s3 windows
     assert totals[-1] < max(totals)
+
+
+def test_cm_window_stream_sketch_and_eviction(spark, tmp_path):
+    """Streaming Count-Min twin (functions/sketch.py cm_sketch):
+    per-(window, hash-row) state stays at most w counters, the
+    watermark-driven timeout emits the window's FINAL cells and
+    removes the state, and the final cells equal the batch cm_sketch
+    construction bit-for-bit — so evicted windows merge into batch
+    sketches by plain cell-wise addition."""
+    import hashlib
+    import os as _os
+    import time as _time
+
+    from logprep_spark.streaming import cm_window_stream
+
+    d_rows, w = 3, 16
+    indir = tmp_path / "cm-in"
+    indir.mkdir()
+    t0 = _time.time()
+    # window 10:00-10:10: a zipf-ish item mix (item i appears 60//(i+1)
+    # times over 12 items, 40 > w counters' worth of cells exercised)
+    items = [f"item{i}" for i in range(12) for _ in range(60 // (i + 1))]
+    rows = [
+        {"ts": f"2026-03-01 10:0{n % 6}:{n % 60:02d}", "item": it}
+        for n, it in enumerate(items)
+    ]
+    for i, batch in enumerate(
+        (rows,
+         [{"ts": "2026-03-01 10:30:00", "item": "late1"}],
+         [{"ts": "2026-03-01 10:40:00", "item": "late2"}])
+    ):
+        p = indir / f"b{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in batch) + "\n")
+        _os.utime(p, (t0 + i, t0 + i))
+
+    df = (spark.readStream.schema("ts timestamp, item string")
+          .option("maxFilesPerTrigger", 1).json(str(indir)))
+    q = (cm_window_stream(df, "ts", "item",
+                          window="10 minutes", watermark="10 minutes",
+                          d=d_rows, w=w)
+         .writeStream.format("memory").queryName("cm_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    _run(q)
+
+    out = spark.sql("SELECT * FROM cm_out").collect()
+    finals = [r for r in out if r.is_final
+              and str(r.win_start) == "2026-03-01 10:00:00"]
+    assert [r for r in out if not r.is_final]  # running cells emitted
+
+    # bit-equality with the batch construction (and hence the Python
+    # replica): same md5 family, same cells, same counts
+    def h60(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    expected: dict = {}
+    for it in items:
+        for r in range(d_rows):
+            key = (r, h60(f"{r}:{it}") % w)
+            expected[key] = expected.get(key, 0) + 1
+    got = {(r.row, r.col): r.cnt for r in finals}
+    assert got == expected
+
+    # bounded state: every hash row held at most w cells
+    for r in range(d_rows):
+        assert len([1 for (rr, _) in got if rr == r]) <= w
+
+    # the evicted rows ARE the mergeable artifact: cell-wise addition
+    # with a batch cm_sketch over a second corpus equals the sketch
+    # of the union, and point estimates never undercount
+    from logprep_spark.functions.sketch import cm_sketch
+
+    other = spark.createDataFrame(
+        [(f"item{i % 5}",) for i in range(40)], ["item"]
+    )
+    batch_cells = {
+        (r.row, r.col): r.cnt
+        for r in cm_sketch(other, "item", d=d_rows, w=w).collect()
+    }
+    merged: dict = dict(got)
+    for k2, v in batch_cells.items():
+        merged[k2] = merged.get(k2, 0) + v
+    union_items = items + [f"item{i % 5}" for i in range(40)]
+    whole: dict = {}
+    for it in union_items:
+        for r in range(d_rows):
+            key = (r, h60(f"{r}:{it}") % w)
+            whole[key] = whole.get(key, 0) + 1
+    assert merged == whole
+    true_item0 = sum(1 for it in union_items if it == "item0")
+    est_item0 = min(
+        merged.get((r, h60(f"{r}:item0") % w), 0) for r in range(d_rows)
+    )
+    assert est_item0 >= true_item0
