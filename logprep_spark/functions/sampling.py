@@ -223,3 +223,48 @@ def domain_token_sample_docs(
         .filter(F.col("_cum") - F.col("_t") < F.col("_budget"))
         .drop("_t", "_cum", "_budget")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirtakis
+    2006, A-Res): each row gets priority ``ln(u) / weight`` with
+    ``u = (h60('ws:' || id) + 1) / 2^60`` and the n largest
+    priorities are the sample — equivalent to drawing n items
+    sequentially with probability proportional to weight. The
+    importance-sampling primitive that pairs with DSIR / temperature
+    mix weights: build the weights once, then take a reproducible
+    quality-weighted subsample of any size.
+
+    Deterministic: u comes from the salted id hash, not a seed — the
+    same doc gets the same priority in any engine, run, or
+    partitioning (the module contract). The SELECTED SET is therefore
+    engine-exact; the float priority itself is dropped from the
+    output (ln may differ in the last ulp across libm
+    implementations, which could flip the ORDER of two adjacent
+    picks but flips set membership only when the n-th and (n+1)-th
+    priorities collide within ~1 ulp — vanishing for continuous
+    hash-derived u; the oracle gate would catch it).
+
+    Scale shape: priority is one narrow projection (no shuffle);
+    the top-n is TakeOrderedAndProject — per-partition top-n, then a
+    single merge of n rows per partition. Weights <= 0 are excluded
+    (A-Res domain)."""
+    u = (
+        h60(F.concat(F.lit("ws:"), F.col(id_col).cast("string"))) + 1
+    ) / F.lit(_WS_H_MAX)
+    pri = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_pri", pri)
+        .orderBy(F.desc("_pri"))
+        .limit(n)
+        .drop("_pri")
+    )
+
+
+_WS_H_MAX = float(1 << 60)

@@ -96,8 +96,9 @@ def register(name: str, oracle: str | None = None):
 #     evidence: the 42 r4-checked rows that fit the remaining slots
 #     (CORRECTNESS_r04 is 3 rounds stale).
 #   r9 window: first-time rows first (sketch_cm_freq,
-#     sketch_bloom_membership — added after the r8 window was set;
-#     both local hash-PASS), then the five r4 rows that did not fit
+#     sketch_bloom_membership, corpus_weighted_sample — added after
+#     the r8 window was set; all local hash-PASS), then the five r4
+#     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
 #     dedup_contamination, ann_recall_lsh) + the r5-checked rotation
 #     (oldest first).
@@ -7913,6 +7914,40 @@ def sketch_bloom_membership(spark, sf_dir):
         & (F.col("ts") < F.lit("2024-01-15"))
     )
     return sk.bloom_membership(build, probe, "user_id", m=512, j=3)
+
+
+@register(
+    "corpus_weighted_sample",
+    f"""
+    WITH pri AS (
+        SELECT doc_id, source, n_chars,
+               ln(({_sql_h60("'ws:' || doc_id::VARCHAR")} + 1)
+                  / 1152921504606846976.0) / n_chars AS p
+        FROM documents WHERE n_chars > 0
+    ), top AS (
+        SELECT doc_id, source, n_chars FROM pri ORDER BY p DESC LIMIT 20
+    )
+    SELECT doc_id, source, n_chars FROM top ORDER BY doc_id
+    """,
+)
+def corpus_weighted_sample(spark, sf_dir):
+    """Length-weighted 20-doc subsample WITHOUT replacement
+    (functions/sampling.py weighted_sample, Efraimidis & Spirtakis
+    A-Res: priority = ln(u)/weight from the salted id hash, top-n) —
+    the reproducible importance-sampling step a training-data build
+    runs after computing quality/DSIR weights: same doc -> same
+    priority in any engine, run, or partitioning, so the SAMPLE
+    ITSELF is the hash-gated artifact (the float priority is dropped;
+    set membership is ulp-stable, see the function docstring).
+    Scale: priority is a narrow projection, the top-n is
+    TakeOrderedAndProject — per-partition top-n then one n-row-per-
+    partition merge; no shuffle of the corpus."""
+    docs = tables(spark, sf_dir)["documents"]
+    return (
+        smp.weighted_sample(docs, "n_chars", 20)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
 
 
 @register(
