@@ -156,6 +156,24 @@ def _step_domain_sample(
     )
 
 
+def _step_weighted_sample(
+    df: DataFrame,
+    text_col: str,
+    weight_col: str = "n_chars",
+    n: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """A-Res weighted subsampling (sampling.weighted_sample) as a
+    SELECTION step: keep the n docs drawn without replacement with
+    probability proportional to ``weight_col`` — typically run AFTER
+    quality_score/quality_model so the weight reflects quality.
+    Deterministic (salted id hash, not a seed): the same corpus and
+    config reproduce the same sample in any engine or partitioning."""
+    from logprep_spark.functions import sampling as smp
+
+    return smp.weighted_sample(df, weight_col, n, id_col=id_col)
+
+
 STEPS: dict[str, Callable[..., DataFrame]] = {
     "gopher_filter": _step_gopher_filter,
     "line_dedup": _step_line_dedup,
@@ -171,6 +189,7 @@ STEPS: dict[str, Callable[..., DataFrame]] = {
     "filter": _step_filter,
     "c4_filter": _step_c4_filter,
     "domain_sample": _step_domain_sample,
+    "weighted_sample": _step_weighted_sample,
 }
 
 

@@ -241,3 +241,35 @@ def test_transform_observed_per_step_retention(spark, tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "input\t3 docs" in printed
     assert "2:exact_dedup\t1 docs" in printed and "500 milli kept" in printed
+
+
+def test_weighted_sample_step(spark):
+    """r8 step: A-Res weighted subsampling keeps n docs with
+    probability proportional to the weight column — deterministic
+    (salted id hash), so the same pipeline config reproduces the same
+    sample; non-default weight_col and n are honored."""
+    import hashlib
+    import math
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} text", (i % 5) + 1) for i in range(60)],
+        ["doc_id", "text", "quality_w"],
+    )
+    p = CorpusPipeline(
+        [{"op": "weighted_sample", "weight_col": "quality_w", "n": 12}]
+    )
+    out = p.transform(df).collect()
+    assert len(out) == 12
+    assert {r["text"] for r in out} <= {f"doc {i} text" for i in range(60)}
+
+    def pri(i, w):
+        h = int(hashlib.md5(f"ws:{i}".encode()).hexdigest()[:15], 16)
+        return math.log((h + 1) / float(1 << 60)) / w
+
+    want = {
+        i for i, _ in sorted(
+            ((i, (i % 5) + 1) for i in range(60)),
+            key=lambda r: -pri(r[0], r[1]),
+        )[:12]
+    }
+    assert {r["doc_id"] for r in out} == want
