@@ -96,7 +96,8 @@ def register(name: str, oracle: str | None = None):
 #     evidence: the 42 r4-checked rows that fit the remaining slots
 #     (CORRECTNESS_r04 is 3 rounds stale).
 #   r9 window: first-time rows first (sketch_cm_freq,
-#     sketch_bloom_membership, corpus_weighted_sample — added after
+#     sketch_bloom_membership, corpus_weighted_sample,
+#     events_top_sequences — added after
 #     the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -6087,6 +6088,59 @@ def events_sequence_anomaly(spark, sf_dir):
             F.count(F.lit(1)).alias("n_transitions"),
             F.expr("sum(bits_micro) div (count(1) * 1000)").alias("bits_milli"),
         )
+    )
+
+
+@register(
+    "events_top_sequences",
+    """
+    WITH tri AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM tri WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n_occurrences DESC, e1, e2, e3 LIMIT 10
+    """,
+)
+def events_top_sequences(spark, sf_dir):
+    """Sequential-pattern discovery: the 10 most frequent 3-step
+    event-type sequences across all user timelines, with how many
+    distinct users exhibit each — the DISCOVERY counterpart of the
+    fixed-funnel rows (funnel_conversion asks 'how many completed
+    THIS path'; this asks 'which paths happen') and the length-3
+    extension of the A51 Markov bigram model.
+
+    Distributed shape: ONE user-keyed window (the only corpus
+    shuffle) derives both leads in the same window frame; the
+    groupBy collapses map-side into <= |types|^3 trigram keys (125
+    here), with the distinct-user support riding the same exchange
+    as a partial distinct aggregate; top-10 is TakeOrdered with a
+    total tiebreak."""
+    from pyspark.sql import Window
+
+    events = tables(spark, sf_dir)["events"]
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = events.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(win).alias("e2"),
+        F.lead("event_type", 2).over(win).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), "e1", "e2", "e3")
+        .limit(10)
     )
 
 
