@@ -13,6 +13,7 @@ from logprep_spark.streaming.windows import (
     tumbling_counts,
 )
 from logprep_spark.streaming.state import (
+    bloom_window_stream,
     cm_window_stream,
     dedupe_near_stream,
     dedupe_stream,
@@ -24,6 +25,7 @@ from logprep_spark.streaming.state import (
 )
 
 __all__ = [
+    "bloom_window_stream",
     "cm_window_stream",
     "heavy_hitters_stream",
     "rate_anomaly_stream",

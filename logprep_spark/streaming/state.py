@@ -364,6 +364,11 @@ _CM_OUT_SCHEMA = (
 )
 _CM_STATE_SCHEMA = "cols array<int>, cnts array<long>, win_end_ms long"
 
+_BLOOM_OUT_SCHEMA = (
+    "win_start timestamp, shard int, pos long, is_final boolean"
+)
+_BLOOM_STATE_SCHEMA = "poss array<long>, win_end_ms long"
+
 
 _DUR_UNITS = {
     "second": 1, "seconds": 1,
@@ -479,6 +484,116 @@ def theta_window_stream(
         _theta_fn("_v", window_sec, k),
         outputStructType=_THETA_OUT_SCHEMA,
         stateStructType=_THETA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _bloom_fn(window_sec: int):
+    def emit(win_start, shard, poss, final):
+        ps = sorted(poss)
+        return pd.DataFrame(
+            {
+                "win_start": [win_start] * len(ps),
+                "shard": [shard] * len(ps),
+                "pos": ps,
+                "is_final": [final] * len(ps),
+            }
+        )
+
+    def fn(
+        key: Tuple[Any, Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        win_start, shard = key
+        if state.hasTimedOut:
+            poss, _ = state.get
+            yield emit(win_start, shard, list(poss), True)
+            state.remove()
+            return
+        ps = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            ps.update(int(p) for p in pdf["_p"])
+        win_end_ms = int(win_start.value // 1_000_000) + window_sec * 1000
+        state.update((sorted(ps), win_end_ms))
+        # evict when the watermark passes the window end: the state
+        # store holds only OPEN windows, each shard <= ceil(m/shards)
+        # distinct positions
+        state.setTimeoutTimestamp(win_end_ms)
+        yield emit(win_start, shard, sorted(ps), False)
+
+    return fn
+
+
+def bloom_window_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    m: int = 512,
+    j: int = 3,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Streaming twin of functions/sketch.py bloom_bits: a per-window
+    Bloom filter maintained through the watermarked window state
+    machinery (the theta/CM twins' pattern). Each event derives its j
+    bit positions JVM-side (``h60(i || ':' || v) mod m`` — the exact
+    md5 family of the batch sketch) and the stream is keyed by
+    ``(window, shard)`` with ``shard = pos mod n_shards``, so one
+    group's state is at most ceil(m / n_shards) distinct positions
+    (FIXED SIZE regardless of traffic) and a hot window's bit-set
+    spreads over n_shards tasks instead of funneling through one.
+
+    Eviction rides the event-time timeout: when the watermark passes
+    the window end, the group emits its FINAL ``(shard, pos)`` rows
+    (``is_final = true``) and drops its state. The final rows ARE the
+    mergeable artifact: their distinct union across shards equals the
+    batch ``bloom_bits`` position frame of the window's values
+    bit-for-bit, so closed windows union into stored batch filters by
+    plain position-row distinct — and ``bloom_membership``-style
+    probes (all j positions present) read the merged frame with NO
+    false negatives ever. Per-batch update rows carry the running
+    bit-set for live suppression checks.
+
+    At 100 TB/day this is the shape that works: raw values are never
+    stored, the state store holds (open windows x n_shards) groups of
+    <= m/n_shards longs, and closed windows land as position rows any
+    later membership probe joins against in O(m) per window."""
+    from pyspark.sql import functions as F
+
+    from logprep_spark.functions.dedup import h60
+
+    window_sec = _duration_seconds(window)
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(
+                    h60(
+                        F.concat(
+                            F.lit(f"{i}:"), F.col(value_col).cast("string")
+                        )
+                    ),
+                    F.lit(m),
+                )
+                for i in range(j)
+            ]
+        )
+    )
+    # watermark re-declared on win_start after projecting the window
+    # start — same horizon note as theta_window_stream
+    keyed = (
+        events.filter(F.col(value_col).isNotNull())
+        .select(
+            F.window(ts_col, window).start.alias("win_start"),
+            pos.alias("_p"),
+        )
+        .withColumn("shard", F.pmod("_p", F.lit(n_shards)).cast("int"))
+        .withWatermark("win_start", watermark)
+    )
+    return keyed.groupBy("win_start", "shard").applyInPandasWithState(
+        _bloom_fn(window_sec),
+        outputStructType=_BLOOM_OUT_SCHEMA,
+        stateStructType=_BLOOM_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -1208,3 +1208,87 @@ def test_cm_window_stream_sketch_and_eviction(spark, tmp_path):
         merged.get((r, h60(f"{r}:item0") % w), 0) for r in range(d_rows)
     )
     assert est_item0 >= true_item0
+
+
+def test_bloom_window_stream_sketch_and_eviction(spark, tmp_path):
+    """Streaming Bloom twin (functions/sketch.py bloom_bits):
+    per-(window, shard) state stays at most ~m/n_shards positions, the
+    watermark-driven timeout emits the window's FINAL (shard, pos)
+    rows and removes the state, and the final rows' distinct union
+    equals the batch bloom_bits construction bit-for-bit — so evicted
+    windows merge into stored batch filters by plain position-row
+    distinct, and probes keep the no-false-negatives guarantee."""
+    import hashlib
+    import os as _os
+    import time as _time
+
+    from logprep_spark.streaming import bloom_window_stream
+
+    m, j, n_shards = 64, 3, 4
+    indir = tmp_path / "bloom-in"
+    indir.mkdir()
+    t0 = _time.time()
+    # window 10:00-10:10: 20 distinct users, some repeated (repeats
+    # must not change the bit-set)
+    vals = [f"user{i % 20}" for i in range(50)]
+    rows = [
+        {"ts": f"2026-03-01 10:0{n % 6}:{n % 60:02d}", "value": v}
+        for n, v in enumerate(vals)
+    ]
+    for i, batch in enumerate(
+        (rows,
+         [{"ts": "2026-03-01 10:30:00", "value": "late1"}],
+         [{"ts": "2026-03-01 10:40:00", "value": "late2"}])
+    ):
+        p = indir / f"b{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in batch) + "\n")
+        _os.utime(p, (t0 + i, t0 + i))
+
+    df = (spark.readStream.schema("ts timestamp, value string")
+          .option("maxFilesPerTrigger", 1).json(str(indir)))
+    q = (bloom_window_stream(df, "ts", "value",
+                             window="10 minutes", watermark="10 minutes",
+                             m=m, j=j, n_shards=n_shards)
+         .writeStream.format("memory").queryName("bloom_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    _run(q)
+
+    out = spark.sql("SELECT * FROM bloom_out").collect()
+    finals = [r for r in out if r.is_final
+              and str(r.win_start) == "2026-03-01 10:00:00"]
+    assert [r for r in out if not r.is_final]  # running bit-set emitted
+
+    # bit-equality with the batch construction (and hence the Python
+    # replica): same md5 family, same positions
+    def h60(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    expected = {h60(f"{i}:{v}") % m for v in set(vals) for i in range(j)}
+    got = {r.pos for r in finals}
+    assert got == expected
+    # shard key is derived from the position itself, so rows land in
+    # the shard they claim and no position appears twice
+    assert len(finals) == len(got)
+    assert all(r.pos % n_shards == r.shard for r in finals)
+
+    # bounded state: each shard held only its residue class of the
+    # <= m positions
+    for s in range(n_shards):
+        n_in_shard = len([1 for r in finals if r.shard == s])
+        assert n_in_shard <= (m + n_shards - 1) // n_shards
+
+    # the evicted rows ARE the mergeable artifact: distinct union with
+    # a batch bloom_bits frame over a second corpus equals the filter
+    # of the union corpus, and probes never miss a present value
+    from logprep_spark.functions.sketch import bloom_bits
+
+    other = spark.createDataFrame(
+        [(f"user{i % 7}",) for i in range(30)] + [("extra",)], ["value"]
+    )
+    batch_pos = {r.pos for r in bloom_bits(other, "value", m=m, j=j).collect()}
+    merged = got | batch_pos
+    union_vals = set(vals) | {f"user{i % 7}" for i in range(30)} | {"extra"}
+    whole = {h60(f"{i}:{v}") % m for v in union_vals for i in range(j)}
+    assert merged == whole
+    for v in union_vals:  # no false negatives against the merged filter
+        assert all(h60(f"{i}:{v}") % m in merged for i in range(j))
