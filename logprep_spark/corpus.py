@@ -174,7 +174,31 @@ def _step_weighted_sample(
     return smp.weighted_sample(df, weight_col, n, id_col=id_col)
 
 
+def _step_bloom_suppress(
+    df: DataFrame,
+    text_col: str,
+    path: str,
+    key_col: str = "doc_id",
+    m: int = 512,
+    j: int = 3,
+) -> DataFrame:
+    """Suppression-list gate (functions/sketch.py bloom_suppress):
+    drop every doc whose ``key_col`` hits the STORED Bloom filter at
+    ``path`` (a ``bloom_bits`` position parquet — opt-out ids,
+    already-ingested fingerprints, contamination keys). The filter is
+    <= m rows and broadcasts; the corpus is never shuffled, and
+    Bloom's no-false-negative guarantee means a listed key NEVER
+    leaks through — the trade is fp-collateral bounded by the
+    filter's sizing. The build corpus itself is never re-read: the
+    position frame IS the artifact, which is the point at 100 TB."""
+    from logprep_spark.functions import sketch as sk
+
+    bits = df.sparkSession.read.parquet(path).select("pos")
+    return sk.bloom_suppress(df, bits, key_col, m=m, j=j)
+
+
 STEPS: dict[str, Callable[..., DataFrame]] = {
+    "bloom_suppress": _step_bloom_suppress,
     "gopher_filter": _step_gopher_filter,
     "line_dedup": _step_line_dedup,
     "exact_dedup": _step_exact_dedup,

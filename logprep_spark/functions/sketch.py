@@ -818,3 +818,44 @@ def theta_union_range(
         .cast("long")
         .alias("err_milli"),
     )
+
+
+def bloom_suppress(
+    df: DataFrame,
+    bits: DataFrame,
+    value_col: str,
+    m: int = 512,
+    j: int = 3,
+    keep_hits: bool = False,
+) -> DataFrame:
+    """Gate ``df`` against a STORED Bloom filter (the ``bloom_bits``
+    position frame): drop every row whose ``value_col`` hits the
+    filter (all j positions set) — the suppression-list primitive
+    (opt-out users, already-ingested doc fingerprints, eval-set
+    contamination keys) applied WITHOUT re-reading the corpus the
+    filter was built from. ``keep_hits=True`` inverts the gate
+    (keep only probable members — the "seen before" view).
+
+    Bloom has no false negatives, so suppression NEVER leaks a true
+    member through; the cost is false-positive collateral (innocent
+    rows suppressed), bounded by the filter's fpr — size m
+    accordingly (m ~ 1.44*n*log2(1/p) bits).
+
+    Scale shape: the filter is <= m position rows and BROADCASTS; the
+    probe is j broadcast hash joins on derived positions — the gated
+    corpus is never shuffled and the gate fuses into the scan stage.
+    NULL keys cannot be members (hit requires all j probes present)
+    and so pass a suppression gate untouched."""
+    out = df
+    hit = F.col(value_col).isNotNull()
+    for i in range(j):
+        b = bits.select(F.col("pos").alias(f"_bp{i}")).distinct()
+        probe = F.pmod(
+            h60(F.concat(F.lit(f"{i}:"), F.col(value_col).cast("string"))),
+            F.lit(m),
+        )
+        out = out.join(F.broadcast(b), probe == F.col(f"_bp{i}"), "left")
+        hit = hit & F.col(f"_bp{i}").isNotNull()
+    out = out.withColumn("_hit", hit)
+    kept = out.filter(F.col("_hit") if keep_hits else ~F.col("_hit"))
+    return kept.drop("_hit", *[f"_bp{i}" for i in range(j)])

@@ -97,7 +97,7 @@ def register(name: str, oracle: str | None = None):
 #     (CORRECTNESS_r04 is 3 rounds stale).
 #   r9 window: first-time rows first (sketch_cm_freq,
 #     sketch_bloom_membership, corpus_weighted_sample,
-#     events_top_sequences — added after
+#     events_top_sequences, corpus_bloom_suppress — added after
 #     the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -7968,6 +7968,112 @@ def sketch_bloom_membership(spark, sf_dir):
         & (F.col("ts") < F.lit("2024-01-15"))
     )
     return sk.bloom_membership(build, probe, "user_id", m=512, j=3)
+
+
+@register(
+    "corpus_bloom_suppress",
+    f"""
+    WITH build AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase'
+          AND ts >= '2024-01-01' AND ts < '2024-01-03'
+          AND user_id IS NOT NULL
+    ), j3 AS (
+        SELECT unnest([0, 1, 2]) AS i
+    ), bits AS (
+        SELECT DISTINCT
+               {_sql_h60("i::VARCHAR || ':' || user_id::VARCHAR")} % 512 AS pos
+        FROM build, j3
+    ), wk2 AS (
+        SELECT event_type, user_id FROM events
+        WHERE ts >= '2024-01-08' AND ts < '2024-01-15'
+    ), hitmap AS (
+        SELECT p.user_id,
+               min(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS hit
+        FROM (SELECT DISTINCT user_id FROM wk2
+              WHERE user_id IS NOT NULL) p
+        CROSS JOIN j3
+        LEFT JOIN bits b
+          ON b.pos = {_sql_h60("j3.i::VARCHAR || ':' || p.user_id::VARCHAR")} % 512
+        GROUP BY 1
+    )
+    SELECT w.event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN coalesce(h.hit, 0) = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(coalesce(h.hit, 0)) AS BIGINT) AS n_suppressed,
+           CAST(sum(CASE WHEN w.user_id IN (SELECT user_id FROM build)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+           CAST(sum(coalesce(h.hit, 0))
+                - sum(CASE WHEN w.user_id IN (SELECT user_id FROM build)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp_collateral
+    FROM wk2 w
+    LEFT JOIN hitmap h ON h.user_id = w.user_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def corpus_bloom_suppress(spark, sf_dir):
+    """Suppression-list gating (functions/sketch.py bloom_suppress,
+    the corpus-pipeline ``bloom_suppress`` step): week-2 events gated
+    against the STORED Bloom filter of week-1 purchasers — the
+    opt-out / already-ingested / contamination-key primitive a 100 TB
+    pipeline applies WITHOUT re-reading the corpus the filter was
+    built from (the <= 512-row position frame IS the artifact). Per
+    event_type the row reports the gated integers AND the honesty
+    witnesses: n_members (exact week-1 purchasers among week-2 rows —
+    every one suppressed, Bloom's no-false-negative guarantee) and
+    fp_collateral = n_suppressed - n_members >= 0, the innocent rows
+    the m=512 sizing sacrifices (~8% fpr at the sf0.01 build
+    cardinality; production sizes m ~ 1.44*n*log2(1/p)). md5
+    positions -> the verdicts hash-compare cross-engine. Scale: the
+    filter BROADCASTS; the gate is j=3 broadcast probes fused into
+    the week-2 scan — the gated corpus is never shuffled, and both
+    date predicates are raw ranges the parquet reader row-group-skips
+    on. NULL-user rows cannot be members and pass untouched."""
+    events = tables(spark, sf_dir)["events"]
+    build = events.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.lit("2024-01-01"))
+        & (F.col("ts") < F.lit("2024-01-03"))
+    )
+    bits = sk.bloom_bits(build, "user_id", m=512, j=3)
+    week2 = events.filter(
+        (F.col("ts") >= F.lit("2024-01-08"))
+        & (F.col("ts") < F.lit("2024-01-15"))
+    ).select("event_type", "user_id")
+    kept = sk.bloom_suppress(week2, bits, "user_id", m=512, j=3)
+    members = build.select("user_id").distinct().withColumn(
+        "_m", F.lit(1)
+    )
+    total = (
+        week2.join(F.broadcast(members), "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce("_m", F.lit(0))).alias("n_members"),
+        )
+    )
+    keptagg = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    return (
+        total.join(keptagg, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_events") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_suppressed"
+            ),
+            "n_members",
+            (
+                F.col("n_events")
+                - F.coalesce("n_kept", F.lit(0))
+                - F.col("n_members")
+            ).alias("fp_collateral"),
+        )
+        .orderBy("event_type")
+    )
 
 
 @register(

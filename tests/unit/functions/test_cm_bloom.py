@@ -169,6 +169,72 @@ def test_bloom_empty_build_and_repartition_invariance(spark):
     assert ref == got
 
 
+def test_bloom_suppress_never_leaks_members(spark):
+    """The suppression gate's load-bearing guarantee: a key in the
+    filter NEVER survives (no false negatives); the collateral is
+    only ever innocent keys, and exactly the replica-predicted ones;
+    NULL keys pass untouched; keep_hits inverts the gate."""
+    from logprep_spark.functions.sketch import bloom_suppress
+
+    m, j = 64, 3
+    members = [f"m{i}" for i in range(25)]
+    others = [f"o{i}" for i in range(25)]
+    build = spark.createDataFrame([(v,) for v in members], ["key"])
+    bits = bloom_bits(build, "key", m=m, j=j)
+    corpus = spark.createDataFrame(
+        [(v, len(v)) for v in members + others] + [(None, -1)],
+        ["key", "payload"],
+    )
+
+    kept = bloom_suppress(corpus, bits, "key", m=m, j=j).collect()
+    kept_keys = {r.key for r in kept}
+    assert not kept_keys & set(members)  # no member ever leaks
+    assert None in {r.key for r in kept}  # NULL passes a suppression gate
+    # exactly the replica's survivors: v kept iff some position unset
+    bitset = _bloom_positions(members, m, j)
+    want = {
+        v
+        for v in others
+        if not all(_h60(f"{i}:{v}") % m in bitset for i in range(j))
+    }
+    assert kept_keys == want | {None}
+    # other columns intact, no helper columns leak
+    assert sorted(kept[0].asDict()) == ["key", "payload"]
+    assert all(r.payload == len(r.key) for r in kept if r.key is not None)
+
+    hits = bloom_suppress(
+        corpus, bits, "key", m=m, j=j, keep_hits=True
+    ).collect()
+    # inversion partitions the non-null rows exactly
+    assert {r.key for r in hits} == (set(members) | set(others)) - (
+        kept_keys - {None}
+    )
+    assert len(hits) + len(kept) == 51
+
+
+def test_bloom_suppress_repartition_invariant_and_broadcast(spark):
+    from logprep_spark.functions.sketch import bloom_suppress
+
+    build = spark.createDataFrame([(f"k{i}",) for i in range(10)], ["key"])
+    bits = bloom_bits(build, "key", m=64, j=3)
+    corpus = spark.createDataFrame(
+        [(f"k{i}",) for i in range(30)], ["key"]
+    )
+    ref = sorted(r.key for r in bloom_suppress(corpus, bits, "key", 64, 3).collect())
+    got = sorted(
+        r.key
+        for r in bloom_suppress(
+            corpus.repartition(7), bits.repartition(3), "key", 64, 3
+        ).collect()
+    )
+    assert ref == got
+    # the gate is broadcast joins only: the corpus side never shuffles
+    plan = bloom_suppress(corpus, bits, "key", 64, 3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_stored_sketch_roundtrip_drives_the_algebra(spark, tmp_path):
     """The stored-artifact claim, end to end: theta/CM/Bloom sketch
     rows written to parquet and read back drive the set/frequency

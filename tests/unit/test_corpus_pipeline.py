@@ -273,3 +273,34 @@ def test_weighted_sample_step(spark):
         )[:12]
     }
     assert {r["doc_id"] for r in out} == want
+
+
+def test_bloom_suppress_step_gates_on_stored_filter(spark, tmp_path):
+    """r8 step: the pipeline drops every doc whose key hits the
+    STORED Bloom filter at the configured path — the opt-out /
+    already-ingested gate applied without re-reading the filter's
+    build corpus. Members never survive (no false negatives)."""
+    from logprep_spark.functions.sketch import bloom_bits
+
+    optout = spark.createDataFrame(
+        [(f"doc{i}",) for i in range(0, 40, 2)], ["doc_id"]
+    )
+    path = str(tmp_path / "optout_bloom")
+    bloom_bits(optout, "doc_id", m=256, j=3).write.parquet(path)
+
+    df = spark.createDataFrame(
+        [(f"doc{i}", f"text {i}") for i in range(40)], ["doc_id", "text"]
+    )
+    p = CorpusPipeline(
+        [{"op": "bloom_suppress", "path": path, "m": 256, "j": 3}]
+    )
+    out = p.transform(df).collect()
+    kept = {r.doc_id for r in out}
+    # every even (listed) doc suppressed, survivors only odd docs
+    assert not kept & {f"doc{i}" for i in range(0, 40, 2)}
+    assert kept <= {f"doc{i}" for i in range(1, 40, 2)}
+    assert all(r.text == f"text {r.doc_id[3:]}" for r in out)
+
+    # path is required at BUILD time
+    with pytest.raises(ConfigError):
+        CorpusPipeline([{"op": "bloom_suppress"}])
