@@ -1265,3 +1265,73 @@ def rake_keywords(
         .orderBy(F.col("score_micro").desc(), "phrase")
         .limit(top_n)
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    top_n: int = 20,
+    iters: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:
+    Bringing Order into Text") at corpus scale — the graph-based
+    complement to RAKE's frequency heuristics: content words are
+    nodes, adjacency in the stopword-filtered token stream is a
+    weighted undirected edge (weight = corpus-wide co-occurrence
+    count), and the keyword score is weighted PageRank over that
+    graph, so a word ranks high when it neighbors other high-ranking
+    words — not merely when it is frequent.
+
+    Fully integer (micro-unit long ranks via analytics.pagerank's
+    weighted recurrence, damping 0.85, fixed ``iters``): the ranked
+    list is bit-identical in any engine / partitioning. Tie-break
+    (rank desc, word) makes the top-n cut total.
+
+    Distributed shape: tokenize → stopword-filter → adjacent-pair
+    derivation are ONE narrow projection (arrays only, no explode
+    until the pair rows); the edge aggregation collapses map-side
+    into the vocab²-bounded (a, b) keyspace; ranking shuffles the
+    ≤vocab-sized edge frame per round (see pagerank's shape notes),
+    never the corpus. The corpus is read exactly once."""
+    from logprep_spark.plans import analytics as an
+
+    stops = sorted(set(STOPWORDS_EN))
+    stoparr = F.array(*[F.lit(s) for s in stops])
+    cw = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda x: (x != F.lit("")) & ~F.array_contains(stoparr, x),
+    )
+    # adjacent pairs of the filtered stream: zip(w[:-1], w[1:]);
+    # self-pairs (same word twice in a row) carry no graph signal
+    pairs = (
+        text_rows(df, text_col)
+        .select(cw.alias("_cw"))
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(
+                        F.col("_cw"),
+                        F.lit(1),
+                        F.greatest(F.size("_cw") - 1, F.lit(0)),
+                    ).alias("a"),
+                    F.expr(
+                        "slice(_cw, 2, greatest(size(_cw) - 1, 0))"
+                    ).alias("b"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    ranks = an.pagerank(edges, iters=iters, weight_col="wt")
+    return (
+        ranks.select(F.col("node").alias("word"), "rank_micro")
+        .orderBy(F.col("rank_micro").desc(), "word")
+        .limit(top_n)
+    )

@@ -593,6 +593,7 @@ def pagerank(
     dst_col: str = "dst",
     checkpoint_every: int = 8,
     dangling: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list — the graph
     workload (host-graph ranking, near-dup authority scoring) that
@@ -631,11 +632,26 @@ def pagerank(
     dm div N joins s inside the same integer recurrence:
     new_r = (1000-d)·1000 + (d · (s + dm div N)) div 1000. Off by
     default: it costs one extra 1-row agg per round and the
-    both-direction graphs the catalog ranks have no sinks."""
+    both-direction graphs the catalog ranks have no sinks.
+
+    ``weight_col`` turns on WEIGHTED PageRank (the TextRank
+    recurrence, Mihalcea & Tarau 2004 eq. 2): deg becomes the long
+    out-weight Σw, each contribution (w·r) div Σw — still pure long
+    arithmetic, and weight 1 everywhere reduces bit-exactly to the
+    unweighted form. Magnitude contract: w·r must stay inside int64
+    (w ≤ ~10⁵ co-occurrence counts × r ≤ ~10¹² hub mass is fine;
+    re-scale weights before ranking a graph that exceeds it)."""
     from pyspark.storagelevel import StorageLevel
 
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    wt = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), wt.alias("wt")
+    )
+    deg = e.groupBy("src").agg(F.sum("wt").alias("deg"))
     # Shuffle profile (measured via tools/shuffle_audit.py at sf0.1):
     # the 40 MiB total is ~all edge DERIVATION (fact-fact join +
     # distinct), not iteration traffic — AQE broadcasts the small rank
@@ -673,7 +689,7 @@ def pagerank(
         if i > 0 and i % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
         contrib = ranks.join(edeg, ranks["node"] == edeg["src"]).select(
-            F.col("dst"), F.expr("r div deg").alias("c")
+            F.col("dst"), F.expr("(wt * r) div deg").alias("c")
         )
         zero = nodes.select(
             F.col("node").alias("dst"), F.lit(0).cast("long").alias("c")

@@ -97,7 +97,8 @@ def register(name: str, oracle: str | None = None):
 #     (CORRECTNESS_r04 is 3 rounds stale).
 #   r9 window: first-time rows first (sketch_cm_freq,
 #     sketch_bloom_membership, corpus_weighted_sample,
-#     events_top_sequences, corpus_bloom_suppress — added after
+#     events_top_sequences, corpus_bloom_suppress,
+#     text_textrank_keywords — added after
 #     the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -2632,6 +2633,73 @@ def text_rake_keywords(spark, sf_dir):
     top-25 with a support floor."""
     docs = tables(spark, sf_dir)["documents"]
     return tx.rake_keywords(docs, top_n=25, min_phrase_count=2)
+
+
+def _sql_textrank_rounds(iters: int) -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""r{i} AS (
+        SELECT e.dst AS node,
+               CAST(150000 + (850 * sum((e.wt * r.r) // d.deg)) // 1000
+                    AS BIGINT) AS r
+        FROM {prev} r JOIN tr_edges e ON r.node = e.src
+        JOIN tr_deg d ON d.src = e.src
+        GROUP BY e.dst
+    )"""
+        )
+        prev = f"r{i}"
+    return ", ".join(rounds)
+
+
+_SQL_STOPS = "[" + ", ".join(
+    f"'{s}'" for s in sorted(set(tx.STOPWORDS_EN))
+) + "]"
+
+
+@register(
+    "text_textrank_keywords",
+    f"""
+    WITH cw AS (
+        SELECT list_filter({_sql_words("lower(text)")},
+                           x -> NOT list_contains({_SQL_STOPS}, x)) AS w
+        FROM documents
+    ), pr AS (
+        SELECT unnest([struct_pack(a := w[i], b := w[i+1])
+                       for i in range(1, greatest(len(w), 1))]) AS p
+        FROM cw
+    ), pairs AS (
+        SELECT p.a AS a, p.b AS b FROM pr WHERE p.a <> p.b
+    ), tr_edges AS (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS wt FROM (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL
+            SELECT b AS src, a AS dst FROM pairs
+        ) GROUP BY 1, 2
+    ), tr_deg AS (
+        SELECT src, CAST(sum(wt) AS BIGINT) AS deg FROM tr_edges GROUP BY src
+    ), r0 AS (
+        SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM tr_deg
+    ), {_sql_textrank_rounds(3)}
+    SELECT node AS word, r AS rank_micro FROM r3
+    ORDER BY rank_micro DESC, word LIMIT 20
+    """,
+)
+def text_textrank_keywords(spark, sf_dir):
+    """TextRank keywords (functions/text.py textrank_keywords —
+    Mihalcea & Tarau 2004): weighted PageRank over the corpus-wide
+    word co-occurrence graph (content-word adjacency, symmetric,
+    weight = pair count), 3 fixed iterations of the integer-exact
+    micro-unit recurrence so the RANKS hash-compare against a DuckDB
+    replica of the full construction. The graph-based complement to
+    RAKE (text_rake_keywords): a word ranks high when its NEIGHBORS
+    rank high, not merely when it is frequent. Scale: the corpus is
+    read once into a narrow pair projection; every later stage is
+    vocab-bounded (edge agg collapses map-side; each rank round
+    shuffles the edge frame, never the corpus)."""
+    docs = tables(spark, sf_dir)["documents"]
+    return tx.textrank_keywords(docs, top_n=20, iters=3)
 
 
 @register("text_compression")
@@ -8072,7 +8140,9 @@ def corpus_bloom_suppress(spark, sf_dir):
                 - F.col("n_members")
             ).alias("fp_collateral"),
         )
-        .orderBy("event_type")
+        # no final orderBy: the report is per-type rows the driver
+        # hash-compares order-insensitively; a global sort would be
+        # the one range exchange in an otherwise shuffle-free gate
     )
 
 

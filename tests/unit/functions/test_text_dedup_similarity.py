@@ -903,6 +903,87 @@ def test_pagerank_dangling_mass_on_sink_graph(spark):
     assert plain[1] == 150_000
 
 
+def _weighted_pagerank_reference(edges, iters):
+    """Pure-Python weighted recurrence: contribution (w·r) // Σw."""
+    deg = {}
+    for s, _, w in edges:
+        deg[s] = deg.get(s, 0) + w
+    nodes = sorted({n for s, d, _ in edges for n in (s, d)})
+    ranks = {n: 1_000_000 for n in nodes}
+    for _ in range(iters):
+        sums = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            sums[d] += (w * ranks[s]) // deg[s]
+        ranks = {n: 150_000 + (850 * s_) // 1000 for n, s_ in sums.items()}
+    return ranks
+
+
+def test_pagerank_weighted_matches_replica_and_reduces_to_unweighted(spark):
+    from logprep_spark.plans.analytics import pagerank
+
+    edges = [(1, 2, 5), (2, 3, 1), (2, 1, 3), (3, 1, 2), (1, 3, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst", "wt"])
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(df, iters=3, weight_col="wt").collect()
+    }
+    assert got == _weighted_pagerank_reference(edges, 3)
+    # node 2 funnels 5/6 of node 1's mass vs 1/6 to node 3
+    assert got[2] > got[3]
+    # weight 1 everywhere == the unweighted recurrence, bit-exactly
+    ones = spark.createDataFrame(
+        [(s, d, 1) for s, d, _ in edges], ["src", "dst", "wt"]
+    )
+    w1 = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(ones, iters=3, weight_col="wt").collect()
+    }
+    plain = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(ones.drop("wt"), iters=3).collect()
+    }
+    assert w1 == plain
+
+
+def test_textrank_keywords_matches_python_replica(spark):
+    """Tiny corpus, full pipeline replica: stopword-filtered adjacent
+    pairs -> symmetric weighted graph -> 3 integer rounds -> top-n.
+    The hub word ('spark', adjacent to everything) must outrank the
+    equally-frequent but peripherally-connected word ('niche')."""
+    from logprep_spark.functions.text import STOPWORDS_EN, textrank_keywords
+
+    docs = [
+        (1, "the spark shuffle is a spark join on the spark agg"),
+        (2, "niche niche with niche and spark shuffle"),
+        (3, "join agg shuffle spark"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    stops = set(STOPWORDS_EN)
+    edges = {}
+    for _, text in docs:
+        cw = [w for w in text.lower().split() if w and w not in stops]
+        for a, b in zip(cw, cw[1:]):
+            if a != b:
+                edges[(a, b)] = edges.get((a, b), 0) + 1
+                edges[(b, a)] = edges.get((b, a), 0) + 1
+    ranks = _weighted_pagerank_reference(
+        [(s, d, w) for (s, d), w in edges.items()], 3
+    )
+    want = sorted(ranks.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    got = [
+        (r["word"], r["rank_micro"])
+        for r in textrank_keywords(df, top_n=4, iters=3).collect()
+    ]
+    assert got == want
+    assert ranks["spark"] > ranks["niche"]
+    # repartition invariance: integer arithmetic is order-free
+    got7 = [
+        (r["word"], r["rank_micro"])
+        for r in textrank_keywords(df.repartition(7), top_n=4, iters=3).collect()
+    ]
+    assert got7 == got
+
+
 def test_dsir_weights_favor_target_like_docs(spark):
     """A raw doc made of target-domain vocabulary must outscore a raw
     doc with out-of-domain vocabulary."""
