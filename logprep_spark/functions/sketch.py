@@ -859,3 +859,157 @@ def bloom_suppress(
     out = out.withColumn("_hit", hit)
     kept = out.filter(F.col("_hit") if keep_hits else ~F.col("_hit"))
     return kept.drop("_hit", *[f"_bp{i}" for i in range(j)])
+
+
+def sq_sketch_slices(
+    df: DataFrame,
+    slice_col: str,
+    key_col: str,
+    value_col: str,
+    k: int = 512,
+) -> DataFrame:
+    """Per-slice SAMPLE-QUANTILE sketch — the quantile member of the
+    stored deterministic-sketch family (theta: distinct, CM:
+    frequency, Bloom: membership): one row per slice holding the k
+    ROWS whose md5 row-key hashes are smallest, each as an (h, value)
+    pair, plus the exact row count. Bottom-k by a uniform hash of a
+    UNIQUE row key is a uniform random-but-DETERMINISTIC sample, so
+    sample order statistics estimate population quantiles with rank
+    error ~sqrt(p(1-p)/k) (Hoeffding) — and because the selection is
+    md5-driven, the sketch AND every quantile read from it are
+    bit-identical in any engine / run / partitioning: the oracle gate
+    hash-compares the estimates themselves.
+
+    Mergeable: pools from disjoint row sets merge by keeping the k
+    smallest (h, value) pairs of the union — exactly the KMV
+    discipline, so per-day pools answer "p99 over any ad-hoc range"
+    without raw data (:func:`sq_union_range`). Exact mode when the
+    slice has ≤ k rows (the pool IS the slice).
+
+    Scale shape (theta_sketch_slices' prefilter, with the exact
+    per-slice count as the hint): rows whose hash clears
+    ``2^60·8k/n`` are dropped BEFORE the shuffle, so the per-slice
+    top-k window sorts ~8k candidates at any slice size; the 8×
+    margin makes losing a true bottom-k row a <2⁻ᵏ tail."""
+    from pyspark.sql import Window
+
+    from logprep_spark.functions.dedup import h60
+
+    base = df.filter(
+        F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(slice_col),
+        h60(F.concat(F.lit("sq:"), F.col(key_col).cast("string"))).alias(
+            "_h"
+        ),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    hints = (
+        base.groupBy(slice_col)
+        .agg(F.count(F.lit(1)).alias("_n_rows"))
+        .withColumn(
+            "_cut",
+            F.when(
+                F.col("_n_rows") > 8 * k,
+                (
+                    F.lit(float(_H_MAX_LONG) * 8 * k) / F.col("_n_rows")
+                ).cast("long"),
+            ).otherwise(F.lit(_H_MAX_LONG)),
+        )
+    )
+    cand = base.join(F.broadcast(hints), slice_col).filter(
+        F.col("_h") < F.col("_cut")
+    )
+    win = Window.partitionBy(slice_col).orderBy("_h")
+    ranked = cand.withColumn("_rn", F.row_number().over(win)).filter(
+        F.col("_rn") <= k
+    )
+    return ranked.groupBy(slice_col).agg(
+        F.first("_n_rows").alias("_n_rows"),
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.sort_array(F.collect_list(F.struct("_h", "_v"))).alias("_pool"),
+    )
+
+
+def _sq_select(pool, n_kept, p_milli: int):
+    """Nearest-rank selection from an (h, v) pool, fully integer:
+    value at 1-based rank ceil(p·n) = (p_milli·n + 999) div 1000 in
+    (value, h) order — total order, so ties select identically in
+    any engine. NULL on an empty pool."""
+    byv = F.sort_array(
+        F.transform(
+            pool, lambda x: F.struct(x["_v"].alias("_v"), x["_h"].alias("_h"))
+        )
+    )
+    idx = F.greatest(
+        (F.lit(p_milli) * n_kept + F.lit(999)) / F.lit(1000), F.lit(1)
+    ).cast("long")
+    return F.get(byv, (idx - 1).cast("int"))["_v"]
+
+
+def sq_quantiles(
+    sketch: DataFrame,
+    slice_col: str,
+    ps_milli: tuple = (500, 900, 990),
+) -> DataFrame:
+    """Per-slice quantile estimates read from stored
+    :func:`sq_sketch_slices` rows — O(k log k) array arithmetic per
+    slice, no raw data touched. Column ``q{p}`` per requested milli
+    quantile."""
+    return sketch.select(
+        slice_col,
+        F.col("_n_rows").alias("n_rows"),
+        F.col("_n_kept").alias("n_kept"),
+        *[
+            _sq_select(F.col("_pool"), F.col("_n_kept"), p).alias(f"q{p}")
+            for p in ps_milli
+        ],
+    )
+
+
+def sq_union_range(
+    sketch: DataFrame,
+    slice_col: str,
+    lo,
+    hi,
+    k: int = 256,
+    ps_milli: tuple = (500, 900, 990),
+) -> DataFrame:
+    """Quantiles over an AD-HOC slice range from stored per-slice
+    sample-quantile sketches — "p99 event value over ANY date range
+    without raw data": pools of the selected slices merge by keeping
+    the k smallest (h, value) pairs of the union (bottom-k of a union
+    = bottom-k of the merged bottom-k's, the KMV merge), which is
+    again a uniform deterministic sample of the range's rows.
+
+    One row: n_slices, total rows, merged-pool size, and the
+    selected quantiles. Scale: the explode is ≤ slices·k rows, the
+    merge is a TakeOrdered (per-partition heaps, no range shuffle),
+    the selection is one k-array sort."""
+    in_range = (F.col(slice_col) >= lo) & (F.col(slice_col) <= hi)
+    sel = sketch.filter(in_range)
+    totals = sel.agg(
+        F.count(F.lit(1)).alias("n_slices"),
+        F.coalesce(F.sum("_n_rows"), F.lit(0)).alias("n_rows"),
+    )
+    merged = (
+        sel.select(F.explode("_pool").alias("_p"))
+        .select(F.col("_p._h").alias("_h"), F.col("_p._v").alias("_v"))
+        .orderBy("_h")
+        .limit(k)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sort_array(F.collect_list(F.struct("_h", "_v"))).alias(
+                "_pool"
+            ),
+        )
+    )
+    return totals.crossJoin(F.broadcast(merged)).select(
+        "n_slices",
+        "n_rows",
+        "n_kept",
+        *[
+            _sq_select(F.col("_pool"), F.col("n_kept"), p).alias(f"q{p}")
+            for p in ps_milli
+        ],
+    )

@@ -98,7 +98,8 @@ def register(name: str, oracle: str | None = None):
 #   r9 window: first-time rows first (sketch_cm_freq,
 #     sketch_bloom_membership, corpus_weighted_sample,
 #     events_top_sequences, corpus_bloom_suppress,
-#     text_textrank_keywords — added after
+#     text_textrank_keywords, sketch_sq_quantiles,
+#     sketch_sq_union_range — added after
 #     the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -8143,6 +8144,253 @@ def corpus_bloom_suppress(spark, sf_dir):
         # no final orderBy: the report is per-type rows the driver
         # hash-compares order-insensitively; a global sort would be
         # the one range exchange in an otherwise shuffle-free gate
+    )
+
+
+_SQL_SQ_POOL = """
+        SELECT slice, v, h, n_rows,
+               row_number() OVER (PARTITION BY slice ORDER BY v, h) AS vrn,
+               count(*) OVER (PARTITION BY slice) AS n_kept
+        FROM (
+            SELECT slice, v, h, n_rows FROM (
+                SELECT slice, v, h,
+                       row_number() OVER (PARTITION BY slice ORDER BY h)
+                           AS rn,
+                       count(*) OVER (PARTITION BY slice) AS n_rows
+                FROM base
+            ) WHERE rn <= {k}
+        )
+"""
+
+
+def _sql_sq_est(ps=(500, 900, 990)) -> str:
+    picks = ", ".join(
+        f"max(CASE WHEN vrn = greatest(({p} * n_kept + 999) // 1000, 1) "
+        f"THEN v END) AS p{p}"
+        for p in ps
+    )
+    return (
+        "SELECT slice, any_value(n_rows) AS n_rows, "
+        f"any_value(n_kept) AS n_kept, {picks} FROM psel GROUP BY slice"
+    )
+
+
+@register(
+    "sketch_sq_quantiles",
+    f"""
+    WITH base AS (
+        SELECT event_type AS slice, value AS v,
+               {_sql_h60("'sq:' || event_id::VARCHAR")} AS h
+        FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+    ), psel AS ({_SQL_SQ_POOL.format(k=512)}
+    ), est AS ({_sql_sq_est()}
+    ), rk AS (
+        SELECT b.slice,
+               CAST(sum(CASE WHEN b.v <= e.p500 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rk50,
+               CAST(sum(CASE WHEN b.v <= e.p900 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rk90,
+               CAST(sum(CASE WHEN b.v <= e.p990 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rk99
+        FROM base b JOIN est e USING (slice) GROUP BY 1
+    )
+    SELECT e.slice AS event_type, e.n_rows, e.n_kept,
+           e.p500 AS p50, e.p900 AS p90, e.p990 AS p99,
+           1000 * rk50 // e.n_rows AS r50_milli,
+           1000 * rk90 // e.n_rows AS r90_milli,
+           1000 * rk99 // e.n_rows AS r99_milli,
+           (abs(1000 * rk50 // e.n_rows - 500)
+                <= 67 + 1000 // e.n_kept + 1)
+           AND (abs(1000 * rk90 // e.n_rows - 900)
+                <= 40 + 1000 // e.n_kept + 1)
+           AND (abs(1000 * rk99 // e.n_rows - 990)
+                <= 14 + 1000 // e.n_kept + 1) AS tol_ok
+    FROM est e JOIN rk USING (slice)
+    """,
+)
+def sketch_sq_quantiles(spark, sf_dir):
+    """Sample-quantile sketch readout (functions/sketch.py
+    sq_sketch_slices / sq_quantiles): per event type, p50/p90/p99
+    read from the stored bottom-k-by-hash row sample (k=512) — the
+    QUANTILE member of the deterministic mergeable-sketch family
+    (theta: distinct, CM: frequency, Bloom: membership). md5 row-key
+    selection means the sample, hence every order statistic read from
+    it, is bit-identical cross-engine: the driver row hash-compares
+    the ESTIMATES themselves against a DuckDB replica of the full
+    construction (unlike percentile_approx's engine-specific GK,
+    sketch_quantiles_approx). The exact rank of each estimate
+    (r50/r90/r99_milli, integer) plus a Hoeffding tolerance verdict ride
+    along as the accuracy witness — the verification scan a
+    production run omits (3σ rank bands at k=512: ±67/±40/±14 milli,
+    plus the 1000/n_kept discreteness term). Scale: the sketch build
+    prefilters to ~8k candidate rows per slice before its one
+    shuffle; selection is O(k log k) array arithmetic per slice."""
+    from pyspark.storagelevel import StorageLevel
+
+    ev = tables(spark, sf_dir)["events"]
+    base = ev.select(
+        F.col("event_type").alias("slice"), "event_id", "value"
+    )
+    est = sk.sq_quantiles(
+        sk.sq_sketch_slices(base, "slice", "event_id", "value", k=512),
+        "slice",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    raw = base.filter(
+        F.col("event_id").isNotNull() & F.col("value").isNotNull()
+    )
+    ranks = (
+        raw.join(
+            F.broadcast(est.select("slice", "q500", "q900", "q990")),
+            "slice",
+        )
+        .groupBy("slice")
+        .agg(
+            *[
+                F.sum(
+                    (F.col("value") <= F.col(f"q{p}")).cast("long")
+                ).alias(f"rk{p}")
+                for p in (500, 900, 990)
+            ]
+        )
+    )
+    disc = F.expr("1000 div n_kept") + F.lit(1)
+
+    def r_milli(p):
+        return F.expr(f"1000 * rk{p} div n_rows")
+
+    return est.join(ranks, "slice").select(
+        F.col("slice").alias("event_type"),
+        "n_rows",
+        "n_kept",
+        F.col("q500").alias("p50"),
+        F.col("q900").alias("p90"),
+        F.col("q990").alias("p99"),
+        r_milli(500).alias("r50_milli"),
+        r_milli(900).alias("r90_milli"),
+        r_milli(990).alias("r99_milli"),
+        (
+            (F.abs(r_milli(500) - 500) <= F.lit(67) + disc)
+            & (F.abs(r_milli(900) - 900) <= F.lit(40) + disc)
+            & (F.abs(r_milli(990) - 990) <= F.lit(14) + disc)
+        ).alias("tol_ok"),
+    )
+
+
+@register(
+    "sketch_sq_union_range",
+    f"""
+    WITH base AS (
+        SELECT CAST(ts AS DATE) AS slice, value AS v,
+               {_sql_h60("'sq:' || event_id::VARCHAR")} AS h
+        FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+    ), psel AS ({_SQL_SQ_POOL.format(k=256)}
+    ), merged AS (
+        SELECT v, h FROM psel
+        WHERE slice >= '2024-01-08' AND slice <= '2024-01-14'
+        ORDER BY h LIMIT 256
+    ), msel AS (
+        SELECT v, row_number() OVER (ORDER BY v, h) AS vrn,
+               count(*) OVER () AS n_kept
+        FROM merged
+    ), est AS (
+        SELECT any_value(n_kept) AS n_kept,
+               max(CASE WHEN vrn = greatest((500 * n_kept + 999) // 1000, 1)
+                        THEN v END) AS p50,
+               max(CASE WHEN vrn = greatest((900 * n_kept + 999) // 1000, 1)
+                        THEN v END) AS p90,
+               max(CASE WHEN vrn = greatest((990 * n_kept + 999) // 1000, 1)
+                        THEN v END) AS p99
+        FROM msel
+    ), tot AS (
+        SELECT CAST(count(DISTINCT slice) AS BIGINT) AS n_slices,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM base
+        WHERE slice >= '2024-01-08' AND slice <= '2024-01-14'
+    ), rk AS (
+        SELECT CAST(sum(CASE WHEN b.v <= e.p50 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rk50,
+               CAST(sum(CASE WHEN b.v <= e.p90 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rk90,
+               CAST(sum(CASE WHEN b.v <= e.p99 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rk99
+        FROM base b CROSS JOIN est e
+        WHERE b.slice >= '2024-01-08' AND b.slice <= '2024-01-14'
+    )
+    SELECT t.n_slices, t.n_rows, e.n_kept, e.p50, e.p90, e.p99,
+           1000 * rk50 // t.n_rows AS r50_milli,
+           1000 * rk90 // t.n_rows AS r90_milli,
+           1000 * rk99 // t.n_rows AS r99_milli,
+           (abs(1000 * rk50 // t.n_rows - 500)
+                <= 94 + 1000 // e.n_kept + 1)
+           AND (abs(1000 * rk90 // t.n_rows - 900)
+                <= 56 + 1000 // e.n_kept + 1)
+           AND (abs(1000 * rk99 // t.n_rows - 990)
+                <= 19 + 1000 // e.n_kept + 1) AS tol_ok
+    FROM tot t CROSS JOIN est e CROSS JOIN rk
+    """,
+)
+def sketch_sq_union_range(spark, sf_dir):
+    """Ad-hoc range quantiles from STORED per-day sample-quantile
+    sketches (functions/sketch.py sq_union_range) — "p99 event value
+    over any date range without raw data", the quantile sibling of
+    sketch_theta_union_range: per-day bottom-k pools (k=256) merge by
+    keeping the k smallest (hash, value) pairs of the union (the KMV
+    merge — again a uniform deterministic sample of the range), and
+    the range quantiles are nearest-rank selections from the merged
+    pool, bit-identical cross-engine so the driver row hash-gates the
+    estimates. Exact ranks over the raw range rows + the Hoeffding
+    verdict (3σ at k=256: ±94/±56/±19 milli + discreteness) ride
+    along as the witness scan a production run omits. Scale: sketch
+    build is the one raw pass; the range query explodes ≤ slices·k
+    pool rows, merges via TakeOrdered (per-partition heaps, no range
+    shuffle), and selects from one k-array."""
+    ev = tables(spark, sf_dir)["events"]
+    day = ev.select(
+        F.to_date("ts").alias("slice"), "event_id", "value"
+    )
+    sketch = sk.sq_sketch_slices(day, "slice", "event_id", "value", k=256)
+    est = sk.sq_union_range(
+        sketch, "slice", F.lit("2024-01-08"), F.lit("2024-01-14"), k=256
+    )
+    # witness scan: RAW ts range (parquet row-group-skippable), not
+    # the derived to_date(ts) — the pushdown playbook; [08, 15) on ts
+    # is exactly slice in [2024-01-08, 2024-01-14]
+    raw = ev.filter(
+        F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("ts") >= F.lit("2024-01-08"))
+        & (F.col("ts") < F.lit("2024-01-15"))
+    ).select("value")
+    disc = F.expr("1000 div n_kept") + F.lit(1)
+
+    def r_milli(p):
+        return F.expr(f"1000 * rk{p} div n_rows")
+
+    ranks = raw.crossJoin(
+        F.broadcast(est.select("q500", "q900", "q990"))
+    ).agg(
+        *[
+            F.sum((F.col("value") <= F.col(f"q{p}")).cast("long")).alias(
+                f"rk{p}"
+            )
+            for p in (500, 900, 990)
+        ]
+    )
+    return est.crossJoin(F.broadcast(ranks)).select(
+        "n_slices",
+        "n_rows",
+        "n_kept",
+        F.col("q500").alias("p50"),
+        F.col("q900").alias("p90"),
+        F.col("q990").alias("p99"),
+        r_milli(500).alias("r50_milli"),
+        r_milli(900).alias("r90_milli"),
+        r_milli(990).alias("r99_milli"),
+        (
+            (F.abs(r_milli(500) - 500) <= F.lit(94) + disc)
+            & (F.abs(r_milli(900) - 900) <= F.lit(56) + disc)
+            & (F.abs(r_milli(990) - 990) <= F.lit(19) + disc)
+        ).alias("tol_ok"),
     )
 
 

@@ -20,6 +20,7 @@ from logprep_spark.streaming.state import (
     heavy_hitters_stream,
     rate_anomaly_stream,
     running_totals,
+    sq_window_stream,
     theta_window_stream,
     token_bucket_stream,
 )
@@ -35,6 +36,7 @@ __all__ = [
     "psi_baseline",
     "dedupe_stream",
     "running_totals",
+    "sq_window_stream",
     "theta_window_stream",
     "token_bucket_stream",
     "sessionize_stream",

@@ -708,3 +708,118 @@ def cm_window_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+_SQ_OUT_SCHEMA = (
+    "slice string, win_start timestamp, n_rows long, n_kept long, "
+    "is_final boolean, pool_h array<bigint>, pool_v array<double>"
+)
+_SQ_STATE_SCHEMA = (
+    "hs array<bigint>, vs array<double>, n_rows long, win_end_ms long"
+)
+
+
+def _sq_fn(window_sec: int, k: int):
+    def emit(slice_v, win_start, pairs, n_rows, final):
+        return pd.DataFrame(
+            {
+                "slice": [slice_v],
+                "win_start": [win_start],
+                "n_rows": [n_rows],
+                "n_kept": [len(pairs)],
+                "is_final": [final],
+                "pool_h": [[h for h, _ in pairs]],
+                "pool_v": [[v for _, v in pairs]],
+            }
+        )
+
+    def fn(
+        key: Tuple[Any, Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        slice_v, win_start = key
+        if state.hasTimedOut:
+            hs, vs, n_rows, _ = state.get
+            yield emit(
+                slice_v, win_start, sorted(zip(hs, vs)), n_rows, True
+            )
+            state.remove()
+            return
+        if state.exists:
+            hs, vs, n_rows, _ = state.get
+            pairs = list(zip(hs, vs))
+        else:
+            pairs, n_rows = [], 0
+        for pdf in pdfs:
+            pairs.extend(
+                (int(h), float(v)) for h, v in zip(pdf["_h"], pdf["_v"])
+            )
+            n_rows += len(pdf)
+        # bottom-k merge is order-free: the same pairs in any batch /
+        # chunk order produce the same pool (the KMV determinism)
+        pairs = sorted(pairs)[:k]
+        win_end_ms = int(win_start.value // 1_000_000) + window_sec * 1000
+        state.update(
+            ([h for h, _ in pairs], [v for _, v in pairs], n_rows, win_end_ms)
+        )
+        state.setTimeoutTimestamp(win_end_ms)
+        yield emit(slice_v, win_start, pairs, n_rows, False)
+
+    return fn
+
+
+def sq_window_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    slice_col: str = "slice",
+    key_col: str = "key",
+    value_col: str = "value",
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+    k: int = 256,
+) -> DataFrame:
+    """Streaming twin of functions/sketch.py sq_sketch_slices: a
+    per-(window, slice) SAMPLE-QUANTILE sketch — the k rows with the
+    smallest md5 row-key hashes, carried as (hash, value) pairs —
+    maintained through the watermarked window state machinery (the
+    theta twin's pattern; quantiles complete the streaming sketch
+    family: theta/HLL cardinality, CM frequency, Bloom membership).
+
+    Hashes derive JVM-side from the same md5 family as the batch
+    build, and the bottom-k merge is order-free, so the EVICTED final
+    rows are bit-identical to a batch ``sq_sketch_slices`` over the
+    same window's rows — zip pool_h/pool_v into the (h, v) struct
+    pool and ``sq_union_range`` answers ad-hoc range quantiles over
+    closed windows without raw data. ``n_rows`` rides along exact.
+
+    State per open (window, slice) group: k (long, double) pairs +
+    one counter — FIXED SIZE at any traffic; eviction rides the
+    event-time timeout (window end + watermark), emitting the final
+    sketch row and removing the state. Update-mode rows carry the
+    running pool for live dashboards."""
+    from pyspark.sql import functions as F
+
+    from logprep_spark.functions.dedup import h60
+
+    window_sec = _duration_seconds(window)
+    # watermark horizon note: see theta_window_stream
+    keyed = (
+        events.filter(
+            F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(slice_col).cast("string").alias("slice"),
+            F.window(ts_col, window).start.alias("win_start"),
+            h60(
+                F.concat(F.lit("sq:"), F.col(key_col).cast("string"))
+            ).alias("_h"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .withWatermark("win_start", watermark)
+    )
+    return keyed.groupBy("slice", "win_start").applyInPandasWithState(
+        _sq_fn(window_sec, k),
+        outputStructType=_SQ_OUT_SCHEMA,
+        stateStructType=_SQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1292,3 +1292,125 @@ def test_bloom_window_stream_sketch_and_eviction(spark, tmp_path):
     assert merged == whole
     for v in union_vals:  # no false negatives against the merged filter
         assert all(h60(f"{i}:{v}") % m in merged for i in range(j))
+
+
+def test_sq_window_stream_pool_and_eviction(spark, tmp_path):
+    """Streaming sample-quantile twin (functions/sketch.py
+    sq_sketch_slices): per-(window, slice) state stays at most k
+    (hash, value) pairs, the watermark-driven timeout emits the FINAL
+    pool and removes the state, and the final pool is bit-identical
+    to the batch construction over the same rows — so evicted rows
+    feed sq_union_range directly."""
+    import hashlib
+    import os as _os
+    import time as _time
+
+    from logprep_spark.functions.sketch import (
+        sq_sketch_slices,
+        sq_union_range,
+    )
+    from logprep_spark.streaming import sq_window_stream
+
+    k = 16
+    d = tmp_path / "sq-in"
+    d.mkdir()
+    t0 = _time.time()
+    # window 10:00-10:10: slice s1 sees 120 rows (sketch mode at
+    # k=16), slice s2 sees 8 rows (exact mode); one NULL-value row
+    # and one NULL-key row must sketch nowhere
+    rows = [
+        {"ts": f"2026-03-01 10:0{i % 6}:{i % 60:02d}", "slice": "s1",
+         "key": f"k{i}", "value": float((i * 37) % 211)}
+        for i in range(120)
+    ] + [
+        {"ts": "2026-03-01 10:05:00", "slice": "s2",
+         "key": f"e{j}", "value": float(j)}
+        for j in range(8)
+    ] + [
+        {"ts": "2026-03-01 10:05:00", "slice": "s1", "key": "knull",
+         "value": None},
+        {"ts": "2026-03-01 10:05:00", "slice": "s1", "key": None,
+         "value": 3.0},
+    ]
+    for i, batch in enumerate(
+        (rows,
+         [{"ts": "2026-03-01 10:30:00", "slice": "s3", "key": "x",
+           "value": 1.0}],
+         [{"ts": "2026-03-01 10:40:00", "slice": "s3", "key": "y",
+           "value": 1.0}])
+    ):
+        p = d / f"b{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in batch) + "\n")
+        _os.utime(p, (t0 + i, t0 + i))
+
+    df = (spark.readStream
+          .schema("ts timestamp, slice string, key string, value double")
+          .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (sq_window_stream(df, "ts", "slice", "key", "value",
+                          window="10 minutes", watermark="10 minutes", k=k)
+         .writeStream.format("memory").queryName("sq_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    _run(q)
+
+    out = spark.sql("SELECT * FROM sq_out").collect()
+    finals = {(r.slice, str(r.win_start)): r for r in out if r.is_final}
+    assert [r for r in out if not r.is_final]  # running updates emitted
+
+    def replica(pairs_in, kk):
+        hp = sorted(
+            (int(hashlib.md5(f"sq:{key}".encode()).hexdigest()[:15], 16), v)
+            for key, v in pairs_in
+        )
+        return hp[:kk]
+
+    # sketch mode: pool == Python replica AND == the batch build
+    f1 = finals[("s1", "2026-03-01 10:00:00")]
+    want1 = replica([(f"k{i}", float((i * 37) % 211)) for i in range(120)], k)
+    assert f1.n_rows == 120 and f1.n_kept == k
+    assert list(zip(f1.pool_h, f1.pool_v)) == want1
+
+    batch_df = spark.createDataFrame(
+        [("s1", f"k{i}", float((i * 37) % 211)) for i in range(120)],
+        ["slice", "key", "value"],
+    )
+    (b1,) = sq_sketch_slices(batch_df, "slice", "key", "value", k=k).collect()
+    assert [(p["_h"], p["_v"]) for p in b1["_pool"]] == list(
+        zip(f1.pool_h, f1.pool_v)
+    )
+
+    # exact mode: the pool IS the slice
+    f2 = finals[("s2", "2026-03-01 10:00:00")]
+    assert f2.n_rows == 8 == f2.n_kept
+
+    # evicted rows feed the batch range algebra directly: zip the
+    # parallel arrays into the (h, v) struct pool and ask for the
+    # range p50 across both closed slices
+    import pyspark.sql.functions as F
+
+    stored = spark.sql(
+        "SELECT slice, n_rows AS _n_rows, n_kept AS _n_kept, "
+        "arrays_zip(pool_h, pool_v) AS _z FROM sq_out WHERE is_final"
+    ).select(
+        "slice", "_n_rows", "_n_kept",
+        F.transform(
+            "_z",
+            lambda x: F.struct(
+                x["pool_h"].alias("_h"), x["pool_v"].alias("_v")
+            ),
+        ).alias("_pool"),
+    )
+    (rng,) = sq_union_range(stored, "slice", "s1", "s2", k=k).collect()
+    union_pool = replica(
+        [(f"k{i}", float((i * 37) % 211)) for i in range(120)]
+        + [(f"e{j}", float(j)) for j in range(8)],
+        k,
+    )
+    byv = sorted((v, h) for h, v in union_pool)
+    assert rng["n_rows"] == 128 and rng["n_kept"] == k
+    assert rng["q500"] == byv[max((500 * k + 999) // 1000, 1) - 1][0]
+
+    # bounded state + eviction: the s1/s2 windows are gone after the
+    # timeout batch — only the open s3 windows remain
+    prog = q.lastProgress
+    if prog and prog.get("stateOperators"):
+        assert prog["stateOperators"][0]["numRowsTotal"] <= 2
