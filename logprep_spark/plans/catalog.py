@@ -99,7 +99,7 @@ def register(name: str, oracle: str | None = None):
 #     sketch_bloom_membership, corpus_weighted_sample,
 #     events_top_sequences, corpus_bloom_suppress,
 #     text_textrank_keywords, sketch_sq_quantiles,
-#     sketch_sq_union_range — added after
+#     sketch_sq_union_range, graph_triangles — added after
 #     the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -4257,6 +4257,83 @@ def graph_pagerank(spark, sf_dir):
     t = tables(spark, sf_dir)
     edges = an.customer_supplier_edges(t["orders"], t["lineitem"])
     return an.pagerank(edges, iters=3)
+
+
+@register(
+    "graph_triangles",
+    """
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ), allpairs AS (
+        SELECT parts[i] AS a, parts[j] AS b
+        FROM baskets,
+             LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) ti,
+             LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS j) tj
+        WHERE j > i
+    ), ed AS (
+        SELECT a, b FROM allpairs GROUP BY a, b HAVING count(*) >= 2
+    ), und AS (
+        SELECT a AS n FROM ed UNION ALL SELECT b FROM ed
+    ), deg AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY n
+    ), o AS (
+        SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                    THEN e.a ELSE e.b END AS src,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                    THEN e.b ELSE e.a END AS dst
+        FROM ed e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b
+    ), tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (SELECT o1.src AS u, o2.dst AS w
+              FROM o o1 JOIN o o2 ON o2.src = o1.dst) wed
+        JOIN o ON o.src = wed.u AND o.dst = wed.w
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        FROM deg
+    ), ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ed)
+    SELECT s.n_nodes, ne.n_edges, s.n_wedges, t.n_triangles,
+           3000 * t.n_triangles // greatest(s.n_wedges, 1)
+               AS clustering_milli
+    FROM stats s CROSS JOIN ne CROSS JOIN tri t
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Exact triangle census (plans/analytics.py triangle_stats —
+    Schank & Wagner 2005 degree-ordered edge iterator) over the part
+    co-purchase graph: parts are linked when they co-occur in ≥ 2
+    order baskets. One all-integer row — nodes, edges, wedges,
+    triangles, global clustering in milli — hash-gated vs the DuckDB
+    replica. The edge derivation reuses basket_part_pairs' shape
+    (pairs generate INSIDE the per-order part array, never an
+    order-keyed fact self-join); the census itself is the
+    orientation trick that keeps hubs from enumerating their
+    neighbor pairs — out-degree bounded O(√m), so the wedge join
+    survives skew at 100×."""
+    from pyspark.storagelevel import StorageLevel
+
+    li = tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    # in-array pair generation (see basket_part_pairs for the
+    # sequence(1, 0)-descends guard rationale)
+    pairs = baskets.selectExpr(
+        "explode(CASE WHEN size(parts) >= 2 THEN"
+        " flatten(transform(sequence(1, size(parts) - 1),"
+        " i -> transform(sequence(i + 1, size(parts)),"
+        " j -> struct(element_at(parts, i) AS a,"
+        " element_at(parts, j) AS b))))"
+        " ELSE CAST(array() AS array<struct<a:bigint,b:bigint>>) END) AS p"
+    ).selectExpr("p.a AS src", "p.b AS dst")
+    edges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .drop("_w")
+    )
+    return an.triangle_stats(edges)
 
 
 def _sql_dsir_feats(src_filter: str, src: str = "documents") -> str:

@@ -903,6 +903,37 @@ def test_pagerank_dangling_mass_on_sink_graph(spark):
     assert plain[1] == 150_000
 
 
+def test_triangle_stats_exact_census(spark):
+    """Hand-counted graph: K4 on {1,2,3,4} (4 triangles, 12 wedges)
+    plus a pendant 5-1 and an isolated edge 6-7 — pendant and
+    isolated edges add wedges/edges but no triangles; each triangle
+    is counted exactly once despite the hub skew on node 1."""
+    from logprep_spark.plans.analytics import triangle_stats
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(1, 5), (6, 7)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    (r,) = triangle_stats(df).collect()
+    assert r["n_nodes"] == 7 and r["n_edges"] == 8
+    # degrees: 1->4, 2/3/4->3, 5->1, 6/7->1; wedges = C(4,2)+3*C(3,2)
+    assert r["n_wedges"] == 6 + 3 * 3
+    assert r["n_triangles"] == 4
+    assert r["clustering_milli"] == 3000 * 4 // 15
+
+    # repartition invariance + input orientation independence: the
+    # same unordered pairs written (hi, lo) census identically
+    flipped = spark.createDataFrame(
+        [(b, a) for a, b in edges], ["src", "dst"]
+    ).repartition(7)
+    assert triangle_stats(flipped).collect() == [r]
+
+    # triangle-free (star) graph: zero triangles, wedges intact
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
+    (s,) = triangle_stats(star).collect()
+    assert s["n_triangles"] == 0 and s["n_wedges"] == 10
+    assert s["clustering_milli"] == 0
+
+
 def _weighted_pagerank_reference(edges, iters):
     """Pure-Python weighted recurrence: contribution (w·r) // Σw."""
     deg = {}
