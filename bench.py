@@ -111,6 +111,13 @@ HEADLINE = [
     # encode); first-22 prefix comparable to r6/r7 totals
     "sketch_theta_overlap",
     "embed_pq_codes",
+    # late-r8 additions — the basket-pair graph build + triangle
+    # census (heaviest new op: 1.2M-pair explode feeding the
+    # degree-ordered wedge join) and the corpus co-occurrence
+    # TextRank (weighted-PageRank rounds over a vocab-bounded
+    # graph); first-24 prefix comparable to the r8 totals
+    "graph_triangles",
+    "text_textrank_keywords",
 ]
 
 
@@ -410,6 +417,7 @@ def main() -> None:
         "comparable_15": round(sum(timings[n] for n in names[:15]), 3),
         "comparable_19": round(sum(timings[n] for n in names[:19]), 3),
         "comparable_22": round(sum(timings[n] for n in names[:22]), 3),
+        "comparable_24": round(sum(timings[n] for n in names[:24]), 3),
         "calib_s": calib_s,
         "calib_scan_s": calib_scan_s,
         "calib_post_s": post[0],
