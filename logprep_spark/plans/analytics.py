@@ -1812,3 +1812,72 @@ def triangle_stats(
             ).alias("clustering_milli"),
         )
     )
+
+
+def holt_forecast(
+    series: DataFrame,
+    group_col: str,
+    period_col: str,
+    x_col: str,
+    alpha_milli: int = 300,
+    beta_milli: int = 100,
+) -> DataFrame:
+    """Per-group Holt double-exponential smoothing (level + trend)
+    over an ordered series — the FORECASTING member of the
+    time-series family (trend fit: events_value_trend, seasonality:
+    events_dow_seasonality, outliers: events_anomaly_mad): one row
+    per group with the final level/trend state, the one-step-ahead
+    forecast, and the largest one-step-ahead absolute residual seen
+    while fitting (the in-query anomaly witness).
+
+    The recurrence l' = (α·1000·x + (1000−α)(l+t)) div 1000,
+    t' = (β(l'−l) + (1000−β)t) div 1000 runs in integer MILLI units
+    (both engines truncate integer division toward zero), so the
+    fitted state is bit-identical cross-engine — a float EWMA is not.
+
+    Catalyst shape: the fold is ONE ``aggregate`` higher-order
+    expression over the per-group period array — the sequential
+    recurrence stays inside a single whole-stage-codegen projection,
+    no UDF, no per-step shuffle; the only exchange is the group agg
+    that builds the array (map-side combining, |groups|·|periods|
+    bounded). Inlining l' into the t' slot doubles the lambda's
+    expression tree ONCE (struct fields cannot reference siblings),
+    not per element — the documented higher-order-function CSE
+    caveat, bounded here."""
+    a, b = alpha_milli, beta_milli
+    arr = series.groupBy(group_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(period_col), F.col(x_col)))
+        ).alias("_s")
+    ).select(
+        group_col,
+        F.expr(f"transform(_s, p -> CAST(p.{x_col} AS BIGINT))").alias(
+            "_xs"
+        ),
+    )
+    lnew = f"(({a} * x * 1000 + {1000 - a} * (acc.l + acc.t)) div 1000)"
+    folded = arr.select(
+        group_col,
+        F.size("_xs").cast("long").alias("n_periods"),
+        F.expr(
+            f"""aggregate(
+                slice(_xs, 2, greatest(size(_xs) - 1, 0)),
+                struct(CAST(element_at(_xs, 1) * 1000 AS BIGINT) AS l,
+                       CAST(0 AS BIGINT) AS t,
+                       CAST(0 AS BIGINT) AS r),
+                (acc, x) -> struct(
+                    {lnew} AS l,
+                    (({b} * ({lnew} - acc.l)
+                      + {1000 - b} * acc.t) div 1000) AS t,
+                    greatest(acc.r,
+                             abs(x * 1000 - (acc.l + acc.t))) AS r))"""
+        ).alias("_f"),
+    )
+    return folded.select(
+        group_col,
+        "n_periods",
+        F.col("_f.l").alias("level_milli"),
+        F.col("_f.t").alias("trend_milli"),
+        (F.col("_f.l") + F.col("_f.t")).alias("forecast_milli"),
+        F.col("_f.r").alias("max_resid_milli"),
+    )

@@ -99,7 +99,8 @@ def register(name: str, oracle: str | None = None):
 #     sketch_bloom_membership, corpus_weighted_sample,
 #     events_top_sequences, corpus_bloom_suppress,
 #     text_textrank_keywords, sketch_sq_quantiles,
-#     sketch_sq_union_range, graph_triangles — added after
+#     sketch_sq_union_range, graph_triangles,
+#     events_holt_forecast — added after
 #     the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -4334,6 +4335,57 @@ def graph_triangles(spark, sf_dir):
         .drop("_w")
     )
     return an.triangle_stats(edges)
+
+
+@register(
+    "events_holt_forecast",
+    """
+    WITH series AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), arr AS (
+        SELECT event_type, list(x ORDER BY d) AS xs
+        FROM series GROUP BY 1
+    ), f AS (
+        SELECT event_type, CAST(len(xs) AS BIGINT) AS n_periods,
+               list_reduce(
+                   list_concat([[xs[1] * 1000, 0, 0]],
+                               [[x, 0, 0] for x in xs[2:]]),
+                   (acc, e) -> [
+                       (300 * e[1] * 1000 + 700 * (acc[1] + acc[2])) // 1000,
+                       (100 * (((300 * e[1] * 1000
+                                 + 700 * (acc[1] + acc[2])) // 1000)
+                               - acc[1]) + 900 * acc[2]) // 1000,
+                       greatest(acc[3],
+                                abs(e[1] * 1000 - (acc[1] + acc[2])))
+                   ]
+               ) AS fd
+        FROM arr
+    )
+    SELECT event_type, n_periods,
+           fd[1] AS level_milli, fd[2] AS trend_milli,
+           fd[1] + fd[2] AS forecast_milli,
+           fd[3] AS max_resid_milli
+    FROM f
+    """,
+)
+def events_holt_forecast(spark, sf_dir):
+    """Holt double-exponential-smoothing forecast
+    (plans/analytics.py holt_forecast) of the next day's event count
+    per type, fitted over the daily series — the forecasting member
+    of the time-series family, with the largest one-step-ahead
+    residual as the in-query anomaly witness. Integer milli
+    recurrence (α=0.3, β=0.1) folded by ONE Catalyst ``aggregate``
+    expression per group (no UDF, no per-step shuffle), so the
+    fitted state hash-compares against a DuckDB list_reduce replica
+    bit-for-bit. Scale: the daily pre-agg collapses map-side to
+    |types|·|days| keys; the fold is a projection."""
+    ev = tables(spark, sf_dir)["events"]
+    series = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return an.holt_forecast(series, "event_type", "d", "x")
 
 
 def _sql_dsir_feats(src_filter: str, src: str = "documents") -> str:

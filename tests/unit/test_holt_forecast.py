@@ -1,0 +1,88 @@
+"""Holt double-exponential smoothing fold: Python-replica equality
+for the integer milli recurrence, trend tracking, single-period edge,
+repartition invariance.
+"""
+
+from __future__ import annotations
+
+from logprep_spark.plans.analytics import holt_forecast
+
+
+def _trunc_div(y: int, d: int) -> int:
+    """Truncate toward zero — both Spark `div` and DuckDB `//`."""
+    q = abs(y) // d
+    return q if y >= 0 else -q
+
+
+def _replica(xs, a=300, b=100):
+    l, t, r = xs[0] * 1000, 0, 0
+    for x in xs[1:]:
+        resid = abs(x * 1000 - (l + t))
+        l_new = _trunc_div(a * x * 1000 + (1000 - a) * (l + t), 1000)
+        t = _trunc_div(b * (l_new - l) + (1000 - b) * t, 1000)
+        l, r = l_new, max(r, resid)
+    return {
+        "n_periods": len(xs),
+        "level_milli": l,
+        "trend_milli": t,
+        "forecast_milli": l + t,
+        "max_resid_milli": r,
+    }
+
+
+def _series(spark, xs, grp="g"):
+    return spark.createDataFrame(
+        [(grp, i, x) for i, x in enumerate(xs)], ["grp", "period", "x"]
+    )
+
+
+def test_holt_matches_python_replica(spark):
+    xs = [50, 55, 60, 52, 70, 65, 80, 78, 90, 30]  # spike-down at end
+    (r,) = holt_forecast(_series(spark, xs), "grp", "period", "x").collect()
+    want = _replica(xs)
+    assert {k: r[k] for k in want} == want
+    # the end spike is the largest one-step-ahead residual
+    assert r["max_resid_milli"] >= abs(30 - 90) * 1000 - 100_000
+
+
+def test_holt_tracks_a_linear_trend(spark):
+    """On x_i = 100 + 10·i the fitted trend converges toward +10
+    (milli 10_000) and the forecast lands near the true next value."""
+    xs = [100 + 10 * i for i in range(40)]
+    (r,) = holt_forecast(_series(spark, xs), "grp", "period", "x").collect()
+    assert {k: r[k] for k in ("level_milli", "trend_milli")} == {
+        k: _replica(xs)[k] for k in ("level_milli", "trend_milli")
+    }
+    assert abs(r["trend_milli"] - 10_000) < 3_000
+    assert abs(r["forecast_milli"] - (100 + 10 * 40) * 1000) < 30_000
+
+
+def test_holt_negative_trend_and_single_period(spark):
+    """A falling series drives trend NEGATIVE — the truncate-toward-
+    zero division contract must match the replica on negatives too;
+    a single-period group is its own level with zero trend."""
+    xs = [1000 - 40 * i for i in range(20)]
+    (r,) = holt_forecast(_series(spark, xs), "grp", "period", "x").collect()
+    want = _replica(xs)
+    assert {k: r[k] for k in want} == want
+    assert r["trend_milli"] < 0
+
+    (one,) = holt_forecast(_series(spark, [7]), "grp", "period", "x").collect()
+    assert one["n_periods"] == 1
+    assert one["level_milli"] == 7000 and one["trend_milli"] == 0
+    assert one["forecast_milli"] == 7000 and one["max_resid_milli"] == 0
+
+
+def test_holt_multi_group_and_repartition_invariance(spark):
+    xs_a = [10, 20, 15, 30]
+    xs_b = [5, 5, 5]
+    df = _series(spark, xs_a, "a").unionAll(_series(spark, xs_b, "b"))
+    got = {
+        r["grp"]: r.asDict()
+        for r in holt_forecast(df.repartition(7), "grp", "period", "x").collect()
+    }
+    for g, xs in (("a", xs_a), ("b", xs_b)):
+        want = _replica(xs)
+        assert {k: got[g][k] for k in want} == want
+    # flat series: zero trend, forecast = level = x
+    assert got["b"]["trend_milli"] == 0 and got["b"]["forecast_milli"] == 5000
