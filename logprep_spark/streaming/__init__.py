@@ -18,6 +18,7 @@ from logprep_spark.streaming.state import (
     dedupe_near_stream,
     dedupe_stream,
     heavy_hitters_stream,
+    holt_window_stream,
     rate_anomaly_stream,
     running_totals,
     sq_window_stream,
@@ -29,6 +30,7 @@ __all__ = [
     "bloom_window_stream",
     "cm_window_stream",
     "heavy_hitters_stream",
+    "holt_window_stream",
     "rate_anomaly_stream",
     "StreamingPipeline",
     "dedupe_near_stream",

@@ -823,3 +823,124 @@ def sq_window_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+_HOLT_OUT_SCHEMA = (
+    "grp string, win_start timestamp, n_periods long, level_milli long, "
+    "trend_milli long, forecast_milli long, max_resid_milli long, "
+    "is_final boolean"
+)
+_HOLT_STATE_SCHEMA = (
+    "periods array<long>, counts array<long>, win_end_ms long"
+)
+
+
+def _holt_fold(xs, a: int, b: int):
+    """The batch recurrence (plans/analytics.py holt_forecast),
+    truncate-toward-zero division — int() on a positive-or-negative
+    exact float would drift; use explicit sign handling."""
+
+    def tdiv(y, d):
+        q = abs(y) // d
+        return q if y >= 0 else -q
+
+    l, t, r = xs[0] * 1000, 0, 0
+    for x in xs[1:]:
+        resid = abs(x * 1000 - (l + t))
+        l_new = tdiv(a * x * 1000 + (1000 - a) * (l + t), 1000)
+        t = tdiv(b * (l_new - l) + (1000 - b) * t, 1000)
+        l, r = l_new, max(r, resid)
+    return l, t, r
+
+
+def _holt_fn(window_sec: int, alpha_milli: int, beta_milli: int):
+    def emit(grp, win_start, per_counts: dict, final):
+        xs = [per_counts[p] for p in sorted(per_counts)]
+        l, t, r = _holt_fold(xs, alpha_milli, beta_milli)
+        return pd.DataFrame(
+            {
+                "grp": [grp],
+                "win_start": [win_start],
+                "n_periods": [len(xs)],
+                "level_milli": [l],
+                "trend_milli": [t],
+                "forecast_milli": [l + t],
+                "max_resid_milli": [r],
+                "is_final": [final],
+            }
+        )
+
+    def fn(
+        key: Tuple[Any, Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        grp, win_start = key
+        if state.hasTimedOut:
+            periods, counts, _ = state.get
+            yield emit(grp, win_start, dict(zip(periods, counts)), True)
+            state.remove()
+            return
+        pc: dict = (
+            dict(zip(*state.get[:2])) if state.exists else {}
+        )
+        for pdf in pdfs:
+            for p in pdf["_p"]:
+                p = int(p)
+                pc[p] = pc.get(p, 0) + 1
+        win_end_ms = int(win_start.value // 1_000_000) + window_sec * 1000
+        ps = sorted(pc)
+        state.update((ps, [pc[p] for p in ps], win_end_ms))
+        state.setTimeoutTimestamp(win_end_ms)
+        yield emit(grp, win_start, pc, False)
+
+    return fn
+
+
+def holt_window_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "grp",
+    window: str = "1 day",
+    period: str = "1 hour",
+    watermark: str = "1 hour",
+    alpha_milli: int = 300,
+    beta_milli: int = 100,
+) -> DataFrame:
+    """Streaming twin of plans/analytics.py holt_forecast: per
+    (group, window) the stream accumulates PERIOD event counts (e.g.
+    hourly counts inside a daily window) and, when the watermark
+    closes the window, emits the Holt level/trend state fitted over
+    the ordered periods, the next-period forecast, and the largest
+    one-step residual — trend-aware volume anomaly detection, the
+    forecasting sibling of rate_anomaly_stream's static baseline.
+
+    Determinism: counts accumulate order-free and the fold runs over
+    the SORTED period array only at emit time, so the final row is
+    bit-identical to the batch ``holt_forecast`` over the same rows'
+    per-period series — any arrival order, chunking, or partitioning.
+
+    State per open (group, window): at most windows/period counters
+    (24 for hourly-in-daily) — fixed size at any traffic; eviction
+    rides the event-time timeout. Update rows carry the running fit
+    for live dashboards."""
+    from pyspark.sql import functions as F
+
+    window_sec = _duration_seconds(window)
+    period_sec = _duration_seconds(period)
+    # Catalyst rejects two window() expressions in one projection
+    # ("cartesian product of rows"); the period bucket is plain
+    # epoch arithmetic instead — same tumbling semantics
+    keyed = events.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.window(ts_col, window).start.alias("win_start"),
+        (
+            (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col(ts_col)) % period_sec)
+            * 1000
+        ).alias("_p"),
+    ).withWatermark("win_start", watermark)
+    return keyed.groupBy("grp", "win_start").applyInPandasWithState(
+        _holt_fn(window_sec, alpha_milli, beta_milli),
+        outputStructType=_HOLT_OUT_SCHEMA,
+        stateStructType=_HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1414,3 +1414,66 @@ def test_sq_window_stream_pool_and_eviction(spark, tmp_path):
     prog = q.lastProgress
     if prog and prog.get("stateOperators"):
         assert prog["stateOperators"][0]["numRowsTotal"] <= 2
+
+
+def test_holt_window_stream_fit_and_eviction(spark, tmp_path):
+    """Streaming Holt twin (plans/analytics.py holt_forecast):
+    per-(group, window) state holds at most windows/period counters,
+    eviction emits the fitted level/trend/forecast row, and the final
+    fit is bit-identical to the batch fold over the same rows'
+    per-period series — regardless of arrival order (the late batch
+    delivers earlier hours)."""
+    import os as _os
+    import time as _time
+
+    from logprep_spark.plans.analytics import holt_forecast
+    from logprep_spark.streaming import holt_window_stream
+
+    d = tmp_path / "holt-in"
+    d.mkdir()
+    t0 = _time.time()
+    # day window 2026-03-01: hours 0..5 with rising counts 2,4,6,8,10,12
+    # — but hours arrive OUT OF ORDER across two batches
+    def hour_rows(hours):
+        return [
+            {"ts": f"2026-03-01 {h:02d}:{m:02d}:00", "grp": "a"}
+            for h in hours
+            for m in range(2 * (h + 1))
+        ]
+
+    batches = (
+        hour_rows([1, 3, 5]),
+        hour_rows([0, 2, 4]),          # earlier hours arrive later
+        [{"ts": "2026-03-03 12:00:00", "grp": "z"}],  # watermark pusher
+        [{"ts": "2026-03-05 12:00:00", "grp": "z"}],
+    )
+    for i, batch in enumerate(batches):
+        p = d / f"b{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in batch) + "\n")
+        _os.utime(p, (t0 + i, t0 + i))
+
+    df = (spark.readStream.schema("ts timestamp, grp string")
+          .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (holt_window_stream(df, "ts", "grp",
+                            window="1 day", period="1 hour",
+                            watermark="1 hour")
+         .writeStream.format("memory").queryName("holt_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    _run(q)
+
+    out = spark.sql("SELECT * FROM holt_out").collect()
+    finals = {(r.grp, str(r.win_start)): r for r in out if r.is_final}
+    f = finals[("a", "2026-03-01 00:00:00")]
+    assert f.n_periods == 6
+
+    # batch equivalence: same rows -> per-hour series -> batch fold
+    series = spark.createDataFrame(
+        [("a", h, 2 * (h + 1)) for h in range(6)], ["grp", "period", "x"]
+    )
+    (want,) = holt_forecast(series, "grp", "period", "x").collect()
+    assert f.level_milli == want["level_milli"]
+    assert f.trend_milli == want["trend_milli"]
+    assert f.forecast_milli == want["forecast_milli"]
+    assert f.max_resid_milli == want["max_resid_milli"]
+    # rising series -> positive trend, forecast above last level
+    assert f.trend_milli > 0
