@@ -967,6 +967,34 @@ def sq_quantiles(
     )
 
 
+def _sq_merge(sketch: DataFrame, slice_col: str, lo, hi, k: int):
+    """Merge the pools of the slices in [lo, hi]: bottom-k (h, v)
+    pairs of the union (the KMV merge — again a uniform deterministic
+    sample of the range's rows). Returns two 1-row frames:
+    (n_slices, n_rows) totals and the (n_kept, _pool) merged sample.
+    The explode is ≤ slices·k rows and the merge is a TakeOrdered
+    (per-partition heaps, no range shuffle)."""
+    in_range = (F.col(slice_col) >= lo) & (F.col(slice_col) <= hi)
+    sel = sketch.filter(in_range)
+    totals = sel.agg(
+        F.count(F.lit(1)).alias("n_slices"),
+        F.coalesce(F.sum("_n_rows"), F.lit(0)).alias("n_rows"),
+    )
+    merged = (
+        sel.select(F.explode("_pool").alias("_p"))
+        .select(F.col("_p._h").alias("_h"), F.col("_p._v").alias("_v"))
+        .orderBy("_h")
+        .limit(k)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sort_array(F.collect_list(F.struct("_h", "_v"))).alias(
+                "_pool"
+            ),
+        )
+    )
+    return totals, merged
+
+
 def sq_union_range(
     sketch: DataFrame,
     slice_col: str,
@@ -986,24 +1014,7 @@ def sq_union_range(
     selected quantiles. Scale: the explode is ≤ slices·k rows, the
     merge is a TakeOrdered (per-partition heaps, no range shuffle),
     the selection is one k-array sort."""
-    in_range = (F.col(slice_col) >= lo) & (F.col(slice_col) <= hi)
-    sel = sketch.filter(in_range)
-    totals = sel.agg(
-        F.count(F.lit(1)).alias("n_slices"),
-        F.coalesce(F.sum("_n_rows"), F.lit(0)).alias("n_rows"),
-    )
-    merged = (
-        sel.select(F.explode("_pool").alias("_p"))
-        .select(F.col("_p._h").alias("_h"), F.col("_p._v").alias("_v"))
-        .orderBy("_h")
-        .limit(k)
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.sort_array(F.collect_list(F.struct("_h", "_v"))).alias(
-                "_pool"
-            ),
-        )
-    )
+    totals, merged = _sq_merge(sketch, slice_col, lo, hi, k)
     return totals.crossJoin(F.broadcast(merged)).select(
         "n_slices",
         "n_rows",
@@ -1012,4 +1023,88 @@ def sq_union_range(
             _sq_select(F.col("_pool"), F.col("n_kept"), p).alias(f"q{p}")
             for p in ps_milli
         ],
+    )
+
+
+def sq_drift_psi(
+    sketch: DataFrame,
+    slice_col: str,
+    base_lo,
+    base_hi,
+    cur_lo,
+    cur_hi,
+    k: int = 256,
+    bins: int = 10,
+) -> DataFrame:
+    """Population-stability-index drift between TWO ad-hoc slice
+    ranges computed entirely from stored sample-quantile pools — the
+    monitoring query a 100 TB pipeline runs nightly WITHOUT touching
+    raw data (the raw-data twin is analytics.drift_psi): equi-depth
+    bin boundaries come from the baseline range's merged pool
+    (nearest-rank selections at i/bins, the _sq_select rule), both
+    ranges' bin shares come from their pools, and the per-bin PSI
+    contribution uses the same add-1-smoothed micro-rounded formula
+    as drift_psi_events. One row per bin: sample counts n_base/n_cur
+    and psi_micro.
+
+    Accuracy: shares are sample estimates with ±~1/√k absolute error
+    per bin; the deterministic md5 pools make the OUTPUT bit-stable
+    cross-engine (ln rounds at micro like the raw-data row).
+
+    Scale: two bottom-k merges (TakeOrdered over ≤ slices·k rows)
+    plus array arithmetic on two ≤k pools — the raw corpus is never
+    read."""
+    _, base = _sq_merge(sketch, slice_col, base_lo, base_hi, k)
+    _, cur = _sq_merge(sketch, slice_col, cur_lo, cur_hi, k)
+    bounds = F.array(
+        *[
+            _sq_select(F.col("_pool"), F.col("n_kept"), (1000 * i) // bins)
+            for i in range(1, bins)
+        ]
+    )
+    b = base.select(
+        F.col("n_kept").alias("_nb"),
+        F.expr("transform(_pool, p -> p._v)").alias("_bv"),
+        bounds.alias("_bounds"),
+    )
+    c = cur.select(
+        F.col("n_kept").alias("_nc"),
+        F.expr("transform(_pool, p -> p._v)").alias("_cv"),
+    )
+
+    def bucket_counts(vals_col: str, out: str):
+        # per-value bucket = #boundaries strictly below it (the same
+        # `value > b` rule as drift_psi); counts per bin as an array
+        return F.expr(
+            f"""transform(sequence(0, {bins - 1}), i ->
+                   size(filter({vals_col}, x ->
+                       size(filter(_bounds, bd -> x > bd)) = i)))"""
+        ).alias(out)
+
+    joined = b.crossJoin(F.broadcast(c)).select(
+        "_nb",
+        "_nc",
+        bucket_counts("_bv", "_cb"),
+        bucket_counts("_cv", "_cc"),
+    )
+    per_bin = joined.select(
+        "_nb",
+        "_nc",
+        F.posexplode(F.arrays_zip("_cb", "_cc")).alias("bucket", "_z"),
+    ).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("_z._cb").cast("long").alias("n_base"),
+        F.col("_z._cc").cast("long").alias("n_cur"),
+        "_nb",
+        "_nc",
+    )
+    p = (F.col("n_cur") + 1) / (F.col("_nc") + bins)
+    q = (F.col("n_base") + 1) / (F.col("_nb") + bins)
+    return per_bin.select(
+        "bucket",
+        "n_base",
+        "n_cur",
+        F.round((p - q) * F.log(p / q) * 1e6)
+        .cast("long")
+        .alias("psi_micro"),
     )

@@ -100,7 +100,7 @@ def register(name: str, oracle: str | None = None):
 #     events_top_sequences, corpus_bloom_suppress,
 #     text_textrank_keywords, sketch_sq_quantiles,
 #     sketch_sq_union_range, graph_triangles,
-#     events_holt_forecast — added after
+#     events_holt_forecast, sketch_sq_drift — added after
 #     the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -8520,6 +8520,90 @@ def sketch_sq_union_range(spark, sf_dir):
             & (F.abs(r_milli(900) - 900) <= F.lit(56) + disc)
             & (F.abs(r_milli(990) - 990) <= F.lit(19) + disc)
         ).alias("tol_ok"),
+    )
+
+
+_SQL_SQ_BOUNDS = ",\n             ".join(
+    f"max(CASE WHEN vrn = greatest(({100 * i} * nb + 999) // 1000, 1) "
+    "THEN v END)"
+    for i in range(1, 10)
+)
+
+
+@register(
+    "sketch_sq_drift",
+    f"""
+    WITH base AS (
+        SELECT CAST(ts AS DATE) AS slice, value AS v,
+               {_sql_h60("'sq:' || event_id::VARCHAR")} AS h
+        FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+    ), psel AS ({_SQL_SQ_POOL.format(k=256)}
+    ), bmerge AS (
+        SELECT v, h FROM psel
+        WHERE slice >= '2024-01-01' AND slice <= '2024-01-07'
+        ORDER BY h LIMIT 256
+    ), cmerge AS (
+        SELECT v, h FROM psel
+        WHERE slice >= '2024-01-22' AND slice <= '2024-01-28'
+        ORDER BY h LIMIT 256
+    ), bsel AS (
+        SELECT v, row_number() OVER (ORDER BY v, h) AS vrn,
+               count(*) OVER () AS nb
+        FROM bmerge
+    ), bounds AS (
+        SELECT [{_SQL_SQ_BOUNDS}] AS bs
+        FROM bsel
+    ), cb AS (
+        SELECT list_sum([CASE WHEN m.v > b THEN 1 ELSE 0 END
+                         for b in bs]) AS bucket,
+               count(*) AS nbase
+        FROM bmerge m CROSS JOIN bounds GROUP BY 1
+    ), cc AS (
+        SELECT list_sum([CASE WHEN m.v > b THEN 1 ELSE 0 END
+                         for b in bs]) AS bucket,
+               count(*) AS ncur
+        FROM cmerge m CROSS JOIN bounds GROUP BY 1
+    ), t AS (
+        SELECT (SELECT count(*) FROM bmerge) AS _nb,
+               (SELECT count(*) FROM cmerge) AS _nc
+    ), spine AS (SELECT unnest(range(0, 10)) AS bucket)
+    SELECT CAST(spine.bucket AS BIGINT) AS bucket,
+           CAST(coalesce(nbase, 0) AS BIGINT) AS n_base,
+           CAST(coalesce(ncur, 0) AS BIGINT) AS n_cur,
+           CAST(round((((coalesce(ncur, 0) + 1) / (_nc + 10))
+                       - ((coalesce(nbase, 0) + 1) / (_nb + 10)))
+                * ln(((coalesce(ncur, 0) + 1) / (_nc + 10))
+                     / ((coalesce(nbase, 0) + 1) / (_nb + 10)))
+                * 1000000) AS BIGINT) AS psi_micro
+    FROM spine
+    LEFT JOIN cb ON cb.bucket = spine.bucket
+    LEFT JOIN cc ON cc.bucket = spine.bucket
+    CROSS JOIN t
+    """,
+)
+def sketch_sq_drift(spark, sf_dir):
+    """PSI drift between week 1 and week 4, computed ENTIRELY from
+    stored per-day sample-quantile pools (functions/sketch.py
+    sq_drift_psi) — the nightly monitoring query a 100 TB pipeline
+    answers without re-reading raw data (drift_psi_events is the
+    raw-data twin): baseline deciles from week 1's merged pool, bin
+    shares from both pools, the same add-1-smoothed micro-rounded PSI
+    contribution per bin. md5 pools -> the sampled counts and PSI
+    values hash-compare against the DuckDB replica of the whole
+    construction. Scale: two bottom-k merges over ≤ slices·k pool
+    rows + array arithmetic; shares carry ±~1/√k sample error
+    (documented in the function)."""
+    ev = tables(spark, sf_dir)["events"]
+    day = ev.select(F.to_date("ts").alias("slice"), "event_id", "value")
+    sketch = sk.sq_sketch_slices(day, "slice", "event_id", "value", k=256)
+    return sk.sq_drift_psi(
+        sketch,
+        "slice",
+        F.lit("2024-01-01"),
+        F.lit("2024-01-07"),
+        F.lit("2024-01-22"),
+        F.lit("2024-01-28"),
+        k=256,
     )
 
 

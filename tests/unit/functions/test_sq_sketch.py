@@ -152,3 +152,37 @@ def test_sq_stored_pools_drive_range_queries(spark, tmp_path):
     live = sq_union_range(sketch, "slice", "d1", "d2", k=32).collect()
     from_disk = sq_union_range(stored, "slice", "d1", "d2", k=32).collect()
     assert live == from_disk
+
+
+def test_sq_drift_psi_detects_a_shift(spark):
+    """Baseline days hold values 0..99; current days hold 100..199 —
+    every current sample lands past the top decile boundary, so the
+    top bucket's PSI contribution dominates. Identical ranges yield
+    symmetric counts and ~zero PSI."""
+    from logprep_spark.functions.sketch import sq_drift_psi
+
+    base_rows = [(i, float(i % 100)) for i in range(400)]
+    cur_rows = [(i + 10_000, 100.0 + (i % 100)) for i in range(400)]
+    df = (
+        _df(spark, base_rows[:200], "d1")
+        .unionAll(_df(spark, base_rows[200:], "d2"))
+        .unionAll(_df(spark, cur_rows[:200], "d8"))
+        .unionAll(_df(spark, cur_rows[200:], "d9"))
+    )
+    sketch = sq_sketch_slices(df, "slice", "key", "v", k=64)
+    rows = sq_drift_psi(
+        sketch, "slice", "d1", "d2", "d8", "d9", k=64
+    ).collect()
+    assert len(rows) == 10
+    by_bucket = {r["bucket"]: r for r in rows}
+    assert sum(r["n_base"] for r in rows) == 64
+    assert sum(r["n_cur"] for r in rows) == 64
+    # all current mass in the top bucket; its contribution dominates
+    assert by_bucket[9]["n_cur"] == 64
+    assert by_bucket[9]["psi_micro"] == max(r["psi_micro"] for r in rows)
+    assert by_bucket[9]["psi_micro"] > 1_000_000  # PSI >> 0.25 alarm line
+
+    # no drift: same range on both sides -> identical counts, psi ~ 0
+    flat = sq_drift_psi(sketch, "slice", "d1", "d2", "d1", "d2", k=64).collect()
+    assert all(r["n_base"] == r["n_cur"] for r in flat)
+    assert all(r["psi_micro"] == 0 for r in flat)
