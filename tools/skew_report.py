@@ -37,8 +37,8 @@ def skew_stats(df, col: str, top_n: int = 10) -> dict:
     )
     moments = counts.agg(
         F.count(F.lit(1)).alias("distinct"),
-        F.sum("n").alias("total"),
-        F.max("n").alias("max_n"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_n"),
     ).collect()[0]
     top = [
         (r["key"], r["n"])
