@@ -100,7 +100,8 @@ def register(name: str, oracle: str | None = None):
 #     events_top_sequences, corpus_bloom_suppress,
 #     text_textrank_keywords, sketch_sq_quantiles,
 #     sketch_sq_union_range, graph_triangles,
-#     events_holt_forecast, sketch_sq_drift — added after
+#     events_holt_forecast, sketch_sq_drift,
+#     sketch_theta_retention — added after
 #     the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -7873,6 +7874,98 @@ def sketch_theta_overlap(spark, sf_dir):
     return sk.theta_audience_overlap(
         events.filter(raw_range).withColumn("_week", week),
         "_week", "user_id", "2024-01-01", "2024-01-08", k=64,
+    )
+
+
+@register(
+    "sketch_theta_retention",
+    f"""
+    WITH wk AS (
+        SELECT DISTINCT strftime(date_trunc('week', ts), '%Y-%m-%d') AS w,
+               user_id
+        FROM events
+        WHERE event_type = 'purchase'
+          AND ts >= '2024-01-01' AND ts < '2024-01-29'
+          AND user_id IS NOT NULL
+    ), hs AS (
+        SELECT w, h, row_number() OVER (PARTITION BY w ORDER BY h) AS rn
+        FROM (SELECT DISTINCT w, {_sql_h60("user_id::VARCHAR")} AS h
+              FROM wk)
+    ), th AS (
+        SELECT w,
+               coalesce(max(CASE WHEN rn = 64 THEN h END),
+                        1152921504606846976::BIGINT) AS theta,
+               count(*) FILTER (WHERE rn <= 64) AS n_kept
+        FROM hs GROUP BY w
+    ), ints AS (
+        SELECT a.w AS cohort, b.w AS week, count(*) AS n_int
+        FROM hs a JOIN hs b ON b.h = a.h AND a.w < b.w
+        JOIN th ta ON ta.w = a.w JOIN th tb ON tb.w = b.w
+        WHERE a.rn < 64 AND b.rn < 64
+          AND a.h < least(ta.theta, tb.theta)
+        GROUP BY 1, 2
+    ), cells AS (
+        SELECT ta.w AS cohort, tb.w AS week,
+               CASE WHEN ta.theta = 1152921504606846976
+                    THEN ta.n_kept::DOUBLE
+                    ELSE round(63.0 * 1152921504606846976.0 / ta.theta, 2)
+               END AS est_cohort,
+               round(coalesce(i.n_int, 0) * 1152921504606846976.0
+                     / least(ta.theta, tb.theta), 2) AS est_both
+        FROM th ta JOIN th tb ON ta.w < tb.w
+        LEFT JOIN ints i ON i.cohort = ta.w AND i.week = tb.w
+    ), exc AS (
+        SELECT w AS cohort, CAST(count(*) AS BIGINT) AS exact_cohort
+        FROM wk GROUP BY w
+    ), exb AS (
+        SELECT a.w AS cohort, b.w AS week,
+               CAST(count(*) AS BIGINT) AS exact_both
+        FROM wk a JOIN wk b ON b.user_id = a.user_id AND a.w < b.w
+        GROUP BY 1, 2
+    )
+    SELECT c.cohort, c.week, c.est_cohort, c.est_both,
+           exc.exact_cohort,
+           CAST(coalesce(exb.exact_both, 0) AS BIGINT) AS exact_both,
+           CAST(floor(1000.0 * c.est_both / greatest(c.est_cohort, 1.0))
+                AS BIGINT) AS est_retention_milli,
+           1000 * coalesce(exb.exact_both, 0)
+               // greatest(exc.exact_cohort, 1) AS exact_retention_milli,
+           abs(CAST(floor(1000.0 * c.est_both
+                          / greatest(c.est_cohort, 1.0)) AS BIGINT)
+               - 1000 * coalesce(exb.exact_both, 0)
+                   // greatest(exc.exact_cohort, 1)) AS err_milli
+    FROM cells c
+    JOIN exc ON exc.cohort = c.cohort
+    LEFT JOIN exb ON exb.cohort = c.cohort AND exb.week = c.week
+    """,
+)
+def sketch_theta_retention(spark, sf_dir):
+    """Cohort-retention matrix from stored per-week theta sketches
+    (functions/sketch.py theta_retention_matrix): weekly PURCHASER
+    cohorts (the non-degenerate audience — every user is merely
+    active every week in this data), all 6 ordered pairs of
+    January's 4 full weeks, each cell the DIRECT sketch
+    intersection (θ_ab = min, ~1/√k error at any overlap — the
+    documented fix for inclusion–exclusion) with estimated cohort
+    size, overlap, milli retention, and the exact witnesses the
+    production run omits. md5 sketches → the whole MATRIX
+    hash-compares against the DuckDB KMV replica. Scale: sketch
+    build is the one raw pass; the matrix is a ≤|weeks|²-row
+    broadcast non-equi join over ≤k arrays — at 1000 weekly slices
+    that is ~500k O(k) cells, still zero raw-data reads. Raw-ts
+    range beside the derived week: the pushable predicate form."""
+    events = tables(spark, sf_dir)["events"]
+    week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    raw_range = (
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.lit("2024-01-01"))
+        & (F.col("ts") < F.lit("2024-01-29"))
+    )
+    return sk.theta_retention_matrix(
+        events.filter(raw_range).withColumn("_week", week),
+        "_week",
+        "user_id",
+        k=64,
     )
 
 

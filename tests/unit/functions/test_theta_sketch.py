@@ -198,3 +198,64 @@ def test_prefilter_never_loses_the_kth_hash(spark):
         assert row._theta == hs[k - 1]
         assert list(row._sample) == hs[: k - 1]
         assert row._theta < _H_MAX_LONG
+
+
+def test_retention_matrix_exact_mode_and_witnesses(spark):
+    """Small slices (exact mode): every cell's estimates equal the
+    exact counts, retention millis agree, err 0 — and the ordered
+    pairing covers exactly the upper triangle."""
+    from logprep_spark.functions.sketch import theta_retention_matrix
+
+    slices = {
+        "w1": [f"u{i}" for i in range(20)],
+        "w2": [f"u{i}" for i in range(10, 25)],   # 10 of w1 retained
+        "w3": [f"u{i}" for i in range(18, 30)],   # 2 of w1, 7 of w2
+    }
+    df = _df(spark, slices)
+    rows = {(r.cohort, r.week): r for r in
+            theta_retention_matrix(df, "slice", "val", k=64).collect()}
+    assert set(rows) == {("w1", "w2"), ("w1", "w3"), ("w2", "w3")}
+    want = {
+        ("w1", "w2"): (20, 10),
+        ("w1", "w3"): (20, 2),
+        ("w2", "w3"): (15, 7),
+    }
+    for key, (nc, nb) in want.items():
+        r = rows[key]
+        assert r.exact_cohort == nc and r.exact_both == nb
+        assert r.est_cohort == float(nc) and r.est_both == float(nb)
+        assert r.exact_retention_milli == 1000 * nb // nc
+        assert r.est_retention_milli == r.exact_retention_milli
+        assert r.err_milli == 0
+
+
+def test_retention_matrix_estimate_mode_replica_and_accuracy(spark):
+    """k=16 over 300-user slices with a 150-user overlap: each cell
+    equals the pure-Python KMV pairwise math bit-for-bit, and the
+    estimate lands within the 3/sqrt(k-1) band."""
+    from logprep_spark.functions.sketch import theta_retention_matrix
+
+    k = 16
+    slices = {
+        "w1": [f"u{i}" for i in range(300)],
+        "w2": [f"u{i}" for i in range(150, 450)],
+    }
+    df = _df(spark, slices)
+    (r,) = theta_retention_matrix(df, "slice", "val", k=k).collect()
+
+    def kmv(vals):
+        hs = sorted(_h60(v) for v in set(vals))
+        if len(hs) < k:
+            return (1 << 60), set(hs), len(hs)
+        return hs[k - 1], set(hs[: k - 1]), k
+
+    t1, s1, n1 = kmv(slices["w1"])
+    t2, s2, n2 = kmv(slices["w2"])
+    tab = min(t1, t2)
+    n_int = sum(1 for h in s1 & s2 if h < tab)
+    est_c = n1 if t1 == (1 << 60) else round((k - 1) * float(1 << 60) / t1, 2)
+    est_b = round(n_int * float(1 << 60) / tab, 2)
+    assert r.est_cohort == est_c and r.est_both == est_b
+    assert r.exact_cohort == 300 and r.exact_both == 150
+    import math
+    assert abs(r.est_both - 150) / 150 < 3 / math.sqrt(k - 1)
