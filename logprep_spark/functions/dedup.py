@@ -1034,3 +1034,104 @@ def minhash_estimate(
         "exact_milli",
         F.abs(F.col("est_milli") - F.col("exact_milli")).alias("abs_err_milli"),
     )
+
+
+# --- exact set-similarity join (prefix filtering) ---------------------
+
+
+def setsim_prefix_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau_milli: int = 500,
+    k: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering — the
+    deterministic complement to MinHash LSH (reference behavior:
+    logprep/processor/deduplicator re-emits only novel events; this
+    is the corpus-scale pair discovery that feeds such gates when
+    false negatives are not acceptable).
+
+    Technique (public: Chaudhuri et al. ICDE'06 SSJoin; Xiao et al.
+    WWW'08 PPJoin): order each doc's distinct k-shingles globally
+    RAREST-FIRST (ascending document frequency, shingle text as the
+    tie-break), keep only the first ``s - ceil(tau*s) + 1`` as the
+    doc's PREFIX. Two sets with Jaccard >= tau MUST share a prefix
+    element (pigeonhole: disjoint prefixes leave fewer than tau*s
+    common elements), so joining on prefix shingles alone finds every
+    qualifying pair — exactness the brute-force DuckDB oracle gates.
+
+    Scale shape:
+      * the document-frequency agg is vocabulary-sized with map-side
+        partial aggregation (one shuffle on shingle);
+      * candidate generation explodes ONLY prefixes — the (1-tau)
+        rarest fraction of each doc — and the join key's fan-out is
+        bounded by construction (a prefix shingle is one of its doc's
+        globally rarest, so hot shingles never enter hot prefixes:
+        the skew resistance hashing cannot give);
+      * the length filter ``tau*max(s_a,s_b) <= min(s_a,s_b)`` prunes
+        before distinct; verification shuffles only the candidate
+        pairs on doc id.
+    All arithmetic integer-milli so the pair set and scores
+    hash-compare bit-for-bit across engines.
+    """
+    sh = shingle_arrays(df, text_col, id_col, k)
+    sh = sh.withColumn("_s", F.size("sh"))
+    tok = sh.select(id_col, "_s", F.explode("sh").alias("_g"))
+    dfreq = tok.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        tok.join(dfreq, "_g")
+        .groupBy(id_col, "_s")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "_g"))).alias("_o"))
+    )
+    # prefix length p = s - ceil(tau*s/1000) + 1  (0-based: pos < p)
+    p = (
+        F.col("_s")
+        - F.ceil(F.col("_s") * F.lit(tau_milli) / F.lit(1000.0)).cast("int")
+        + F.lit(1)
+    )
+    pre = ordered.select(
+        F.col(id_col), F.col("_s"), F.posexplode(F.col("_o._g"))
+    ).filter(F.col("pos") < p)
+    a = pre.select(
+        F.col(id_col).alias("id_a"), F.col("_s").alias("_sa"), "col"
+    )
+    b = pre.select(
+        F.col(id_col).alias("id_b"), F.col("_s").alias("_sb"), "col"
+    )
+    cand = (
+        a.join(b, "col")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.lit(1000) * F.least("_sa", "_sb")
+                >= F.lit(tau_milli) * F.greatest("_sa", "_sb")
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("_ta"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("_tb"))
+    ver = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("_ta", "_tb")).cast("long")
+        )
+        .withColumn(
+            "n_union",
+            (F.size("_ta") + F.size("_tb")).cast("long") - F.col("n_inter"),
+        )
+        .filter(
+            F.lit(1000) * F.col("n_inter")
+            >= F.lit(tau_milli) * F.col("n_union")
+        )
+    )
+    return ver.select(
+        "id_a",
+        "id_b",
+        "n_inter",
+        "n_union",
+        F.expr("1000 * n_inter div n_union").alias("jaccard_milli"),
+    )

@@ -101,7 +101,7 @@ def register(name: str, oracle: str | None = None):
 #     text_textrank_keywords, sketch_sq_quantiles,
 #     sketch_sq_union_range, graph_triangles,
 #     events_holt_forecast, sketch_sq_drift,
-#     sketch_theta_retention — added after
+#     sketch_theta_retention, dedup_setsim_prefix — added after
 #     the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -9185,3 +9185,38 @@ def dedup_simhash_recall(spark, sf_dir):
         )
 
     return row(1).unionAll(row(2)).unionAll(row(3))
+
+
+@register(
+    "dedup_setsim_prefix",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_sql_shingles(k=3)} AS t FROM documents
+    )
+    SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+           CAST(len(list_intersect(sa.t, sb.t)) AS BIGINT) AS n_inter,
+           CAST(len(sa.t) + len(sb.t)
+                - len(list_intersect(sa.t, sb.t)) AS BIGINT) AS n_union,
+           1000 * len(list_intersect(sa.t, sb.t))
+               // (len(sa.t) + len(sb.t)
+                   - len(list_intersect(sa.t, sb.t))) AS jaccard_milli
+    FROM sh sa JOIN sh sb ON sb.doc_id > sa.doc_id
+    WHERE 1000 * len(list_intersect(sa.t, sb.t))
+          >= 500 * (len(sa.t) + len(sb.t) - len(list_intersect(sa.t, sb.t)))
+    """,
+)
+def dedup_setsim_prefix(spark, sf_dir):
+    """EXACT Jaccard >= 0.5 shingle-set self-join by prefix filtering
+    (functions/dedup.py setsim_prefix_join — SSJoin/PPJoin family):
+    every doc explodes only its ``s - ceil(tau*s) + 1`` globally
+    RAREST shingles, a pigeonhole-complete candidate set, then exact
+    verification. The ORACLE IS THE BRUTE FORCE — hash equality of
+    the full pair list proves the prefix filter dropped no qualifying
+    pair (zero false negatives, the guarantee MinHash LSH trades
+    away; compare dedup_lsh_recall, which measures recall < 1).
+    Scale: candidate join keys are each doc's rarest shingles, so
+    fan-out per key is bounded by construction (hot shingles never
+    enter hot prefixes); the brute force the oracle runs is the
+    O(n^2) plan this query exists to avoid."""
+    docs = tables(spark, sf_dir)["documents"]
+    return dd.setsim_prefix_join(docs, tau_milli=500, k=3)

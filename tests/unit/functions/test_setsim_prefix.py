@@ -1,0 +1,77 @@
+"""Prefix-filter set-similarity join: completeness vs brute force,
+threshold edge behavior, repartition invariance.
+
+The catalog row's oracle IS the O(n^2) brute force, so these tests
+pin the same guarantee on controlled inputs where the expected pair
+set is known by hand: the prefix filter must find EVERY pair with
+Jaccard >= tau (pigeonhole completeness), never a sub-threshold one.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from logprep_spark.functions.dedup import setsim_prefix_join
+
+
+DOCS = [
+    # two heavy near-dups (one word swapped out of 12)
+    (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"),
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam nu"),
+    # an exact duplicate of doc 0
+    (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"),
+    # unrelated docs sharing vocabulary but not shingles
+    (3, "mu lam kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+    (4, "one two three four five six seven eight nine ten eleven twelve"),
+    (5, "one two three four five six SEVEN eight nine ten eleven twelve"),
+]
+
+
+def _shingles(text: str, k: int = 3) -> set:
+    w = text.split()
+    if len(w) <= k:
+        return {" ".join(w)}
+    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+
+def _brute(tau_milli: int) -> list:
+    out = []
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        sa, sb = _shingles(ta), _shingles(tb)
+        i, u = len(sa & sb), len(sa | sb)
+        if 1000 * i >= tau_milli * u:
+            out.append((ia, ib, i, u, 1000 * i // u))
+    return sorted(out)
+
+
+def _run(spark, tau_milli: int, partitions: int = 1) -> list:
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    if partitions > 1:
+        df = df.repartition(partitions)
+    rows = setsim_prefix_join(df, tau_milli=tau_milli).collect()
+    return sorted(
+        (r.id_a, r.id_b, r.n_inter, r.n_union, r.jaccard_milli) for r in rows
+    )
+
+
+def test_matches_brute_force(spark):
+    assert _run(spark, 500) == _brute(500)
+    # the hand-known pair set: 0-1 and 0-2 (dup), 1-2, 4-5
+    got = {(a, b) for a, b, *_ in _run(spark, 500)}
+    assert (0, 2) in got and (0, 1) in got and (4, 5) in got
+
+
+def test_exact_duplicate_scores_1000(spark):
+    rows = {(a, b): jm for a, b, _, _, jm in _run(spark, 500)}
+    assert rows[(0, 2)] == 1000
+
+
+def test_tau_is_inclusive_floor(spark):
+    # raising tau above a pair's jaccard drops it; at the exact
+    # threshold (integer-milli comparison) it is kept
+    for tau in (200, 700, 900, 1000):
+        assert _run(spark, tau) == _brute(tau)
+
+
+def test_repartition_invariance(spark):
+    assert _run(spark, 500, partitions=5) == _run(spark, 500)
