@@ -1814,6 +1814,72 @@ def triangle_stats(
     )
 
 
+def assortativity_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Degree assortativity (Newman 2002, Phys. Rev. Lett. 89) over
+    an undirected graph (one row per unordered pair) — the mixing
+    diagnostic completing the graph family (components, ranking,
+    cohesion): r > 0 means hubs attach to hubs (social cores),
+    r < 0 means hubs attach to leaves (hub-and-spoke) — and for a
+    100 TB edge dump it is the one-row profile that tells you
+    whether the pagerank/triangle stages face a correlated-hub
+    topology (broadcast the hub list) or a star topology (salt the
+    hub keys).
+
+    r is the Pearson correlation of endpoint degrees over DIRECTED
+    stubs (each edge in both orientations). By stub symmetry
+    Sx = Sy and Sxx = Syy, so r = (M·Sxy − Sx²) / (M·Sxx − Sx²) —
+    every term an INTEGER sum (no sqrt), formed here with exact
+    64-bit arithmetic; only the final milli ratio touches doubles,
+    identically in both engines (floor(1000·num/den)).
+
+    Distributed shape: one degree agg (map-side partial), one
+    equi-join of stubs to the degree table per endpoint, one global
+    agg — no window, no driver loop; the readout is 1-row scalar
+    arithmetic. Degenerate den = 0 (regular graph: every stub sees
+    the same degree pair) reports r = 0 like a correlation of a
+    constant."""
+    from pyspark.storagelevel import StorageLevel
+
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    stubs = e.select("a", "b").unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = stubs.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    dx = deg.select(F.col("a"), F.col("d").alias("_dx"))
+    dy = deg.select(F.col("a").alias("b"), F.col("d").alias("_dy"))
+    sums = (
+        stubs.join(dx, "a")
+        .join(dy, "b")
+        .agg(
+            F.count(F.lit(1)).alias("_m"),
+            F.sum("_dx").alias("_sx"),
+            F.sum(F.col("_dx") * F.col("_dy")).alias("_sxy"),
+            F.sum(F.col("_dx") * F.col("_dx")).alias("_sxx"),
+        )
+    )
+    nn = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.max("d").alias("max_degree")
+    )
+    return (
+        sums.crossJoin(F.broadcast(nn))
+        .select(
+            "n_nodes",
+            F.expr("_m div 2").alias("n_edges"),
+            "max_degree",
+            F.expr("1000 * _m div n_nodes").alias("mean_degree_milli"),
+            F.expr(
+                "CASE WHEN _m * _sxx - _sx * _sx = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(floor(1000.0 * (_m * _sxy - _sx * _sx)"
+                " / (_m * _sxx - _sx * _sx)) AS BIGINT) END"
+            ).alias("assortativity_milli"),
+        )
+    )
+
+
 def holt_forecast(
     series: DataFrame,
     group_col: str,

@@ -101,7 +101,8 @@ def register(name: str, oracle: str | None = None):
 #     text_textrank_keywords, sketch_sq_quantiles,
 #     sketch_sq_union_range, graph_triangles,
 #     events_holt_forecast, sketch_sq_drift,
-#     sketch_theta_retention, dedup_setsim_prefix — added after
+#     sketch_theta_retention, dedup_setsim_prefix,
+#     graph_assortativity — added after
 #     the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -9220,3 +9221,78 @@ def dedup_setsim_prefix(spark, sf_dir):
     O(n^2) plan this query exists to avoid."""
     docs = tables(spark, sf_dir)["documents"]
     return dd.setsim_prefix_join(docs, tau_milli=500, k=3)
+
+
+@register(
+    "graph_assortativity",
+    """
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ), allpairs AS (
+        SELECT parts[i] AS a, parts[j] AS b
+        FROM baskets,
+             LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) ti,
+             LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS j) tj
+        WHERE j > i
+    ), ed AS (
+        SELECT a, b FROM allpairs GROUP BY a, b HAVING count(*) >= 2
+    ), stubs AS (
+        SELECT a AS x, b AS y FROM ed UNION ALL SELECT b, a FROM ed
+    ), deg AS (
+        SELECT x AS n, CAST(count(*) AS BIGINT) AS d FROM stubs GROUP BY x
+    ), j AS (
+        SELECT da.d AS dx, db.d AS dy
+        FROM stubs s JOIN deg da ON da.n = s.x JOIN deg db ON db.n = s.y
+    ), sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(dx) AS BIGINT) AS sx,
+               CAST(sum(dx * dy) AS BIGINT) AS sxy,
+               CAST(sum(dx * dx) AS BIGINT) AS sxx
+        FROM j
+    ), nn AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(max(d) AS BIGINT) AS max_degree
+        FROM deg
+    )
+    SELECT nn.n_nodes, sums.m // 2 AS n_edges, nn.max_degree,
+           1000 * sums.m // nn.n_nodes AS mean_degree_milli,
+           CASE WHEN sums.m * sums.sxx - sums.sx * sums.sx = 0
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(1000.0 * (sums.m * sums.sxy
+                                          - sums.sx * sums.sx)
+                          / (sums.m * sums.sxx - sums.sx * sums.sx))
+                     AS BIGINT) END AS assortativity_milli
+    FROM sums, nn
+    """,
+)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity (plans/analytics.py assortativity_stats
+    — Newman 2002) of the part co-purchase graph (same >= 2-basket
+    edge derivation as graph_triangles): the one-row mixing profile
+    that says whether hubs attach to hubs (r > 0) or to leaves
+    (r < 0) — the topology signal that picks the downstream graph
+    strategy (broadcast the correlated hub core vs salt star hubs).
+    By stub symmetry r needs NO sqrt: every Pearson term is an exact
+    integer sum, so the row hash-gates except one final
+    floor(1000·num/den). Scale: one degree agg + two stub equi-joins
+    + a global agg — no window, no driver loop."""
+    li = tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.selectExpr(
+        "explode(CASE WHEN size(parts) >= 2 THEN"
+        " flatten(transform(sequence(1, size(parts) - 1),"
+        " i -> transform(sequence(i + 1, size(parts)),"
+        " j -> struct(element_at(parts, i) AS a,"
+        " element_at(parts, j) AS b))))"
+        " ELSE CAST(array() AS array<struct<a:bigint,b:bigint>>) END) AS p"
+    ).selectExpr("p.a AS src", "p.b AS dst")
+    edges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .drop("_w")
+    )
+    return an.assortativity_stats(edges)

@@ -1540,3 +1540,34 @@ def test_ivfpq_topk_probes_right_cells(spark):
         df.repartition(6), qs, k=3, nlist=2, nprobe=1, m=2, ncodes=4, iters=3
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_assortativity_known_graphs(spark):
+    """Hand-computed mixing: a star is perfectly DISassortative
+    (every edge pairs the hub with a leaf, r = -1), any regular
+    graph has zero degree variance (den = 0 -> reported 0), and a
+    path of 3 is also exactly -1 (Sx=6, M=4, Sxy=8, Sxx=10)."""
+    from logprep_spark.plans.analytics import assortativity_stats
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], ["src", "dst"]
+    )
+    (s,) = assortativity_stats(star).collect()
+    assert s["n_nodes"] == 6 and s["n_edges"] == 5
+    assert s["max_degree"] == 5
+    assert s["mean_degree_milli"] == 1000 * 10 // 6
+    assert s["assortativity_milli"] == -1000
+
+    k3 = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["src", "dst"])
+    (t,) = assortativity_stats(k3).collect()
+    assert t["assortativity_milli"] == 0  # regular: den = 0
+
+    path3 = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    (p,) = assortativity_stats(path3).collect()
+    assert p["assortativity_milli"] == -1000
+
+    # orientation + partitioning invariance
+    flipped = spark.createDataFrame(
+        [(b, a) for a, b in [(0, i) for i in range(1, 6)]], ["src", "dst"]
+    ).repartition(5)
+    assert assortativity_stats(flipped).collect() == [s]
