@@ -106,3 +106,70 @@ def with_hilbert_key(
             (F.col(acc) + d_inc).alias(acc),
         )
     return out.withColumnRenamed(acc, out_col).drop(cx, cy)
+
+
+def layout_pruning_stats(
+    df,
+    cx_col: str,
+    cy_col: str,
+    id_col: str,
+    n_files: int = 16,
+    x_probe: tuple[int, int] = (1843, 2252),
+    y_probe: tuple[int, int] = (1843, 2252),
+    bits: int = 12,
+):
+    """Measure what Z-ordering buys BEFORE rewriting a table: assign
+    rows to ``n_files`` equal-count files under (a) the linear layout
+    (sorted by cx, then cy) and (b) the Z-order layout (sorted by the
+    Morton key), collect per-file min/max of both dimensions — the
+    stats a parquet footer would carry — and count the files a range
+    probe cannot skip on each dimension and on the 2-D box. The
+    linear layout prunes its leading column and NOTHING else (every
+    file spans the full cy domain); Z-order prunes on both at once —
+    this frame is that claim, measured, as data.
+
+    Inputs are integer grid coordinates (see :func:`scale_to_bits` /
+    the integer-exact inline variant in the catalog row) plus a
+    unique ``id_col`` tie-break so the file assignment is a total
+    order — deterministic in any engine, which is what lets the
+    whole report hash-compare against a SQL replica.
+
+    Gate-scale honesty: ``ntile`` over a global ORDER BY serializes
+    one sort — fine for measuring a layout decision, NOT the write
+    path. Production writes ``repartitionByRange(n, key)`` +
+    ``sortWithinPartitions(key)`` (module docstring) and reads the
+    REAL footer stats back with tools/layout_report.py; ntile is the
+    deterministic stand-in for the range split so the file
+    boundaries (and hence the report) are bit-stable."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    z = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(cx_col).cast("long").alias("_cx"),
+        F.col(cy_col).cast("long").alias("_cy"),
+    ).withColumn("_zk", zorder_key([F.col("_cx"), F.col("_cy")], bits))
+
+    def one(layout: str, order_cols: list):
+        files = z.withColumn(
+            "_f", F.ntile(n_files).over(Window.orderBy(*order_cols))
+        )
+        per = files.groupBy("_f").agg(
+            F.min("_cx").alias("_xlo"),
+            F.max("_cx").alias("_xhi"),
+            F.min("_cy").alias("_ylo"),
+            F.max("_cy").alias("_yhi"),
+        )
+        hit_x = (F.col("_xlo") <= x_probe[1]) & (F.col("_xhi") >= x_probe[0])
+        hit_y = (F.col("_ylo") <= y_probe[1]) & (F.col("_yhi") >= y_probe[0])
+        as_cnt = lambda c: F.sum(c.cast("long")).cast("long")  # noqa: E731
+        return per.agg(
+            F.count(F.lit(1)).alias("n_files"),
+            as_cnt(hit_x).alias("files_hit_x"),
+            as_cnt(hit_y).alias("files_hit_y"),
+            as_cnt(hit_x & hit_y).alias("files_hit_box"),
+        ).select(F.lit(layout).alias("layout"), "*")
+
+    return one("linear", [F.col("_cx"), F.col("_cy"), F.col("_id")]).unionAll(
+        one("zorder", [F.col("_zk"), F.col("_id")])
+    )

@@ -102,7 +102,7 @@ def register(name: str, oracle: str | None = None):
 #     sketch_sq_union_range, graph_triangles,
 #     events_holt_forecast, sketch_sq_drift,
 #     sketch_theta_retention, dedup_setsim_prefix,
-#     graph_assortativity — added after
+#     graph_assortativity, layout_zorder_pruning — added after
 #     the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -9296,3 +9296,100 @@ def graph_assortativity(spark, sf_dir):
         .drop("_w")
     )
     return an.assortativity_stats(edges)
+
+
+def _sql_zkey(u: str, v: str, bits: int = 12) -> str:
+    """Morton interleave replica of functions/layout.py zorder_key
+    (cols=[u, v]: bit b of u lands at 2b, of v at 2b+1)."""
+    terms = " + ".join(
+        f"((({c} >> {b}) & 1) << {2 * b + i})"
+        for b in range(bits)
+        for i, c in ((0, u), (1, v))
+    )
+    return f"({terms})"
+
+
+@register(
+    "layout_zorder_pruning",
+    f"""
+    WITH b AS (
+        SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+               min(CAST(floor(value * 1000) AS BIGINT)) AS vlo,
+               max(CAST(floor(value * 1000) AS BIGINT)) AS vhi
+        FROM events
+    ), g AS (
+        SELECT event_id,
+               ((user_id - b.ulo) * 4095)
+                   // greatest(b.uhi - b.ulo, 1) AS cx,
+               ((CAST(floor(value * 1000) AS BIGINT) - b.vlo) * 4095)
+                   // greatest(b.vhi - b.vlo, 1) AS cy
+        FROM events, b
+    ), z AS (
+        SELECT event_id, cx, cy, {_sql_zkey('cx', 'cy')} AS zk FROM g
+    ), lin AS (
+        SELECT cx, cy,
+               ntile(16) OVER (ORDER BY cx, cy, event_id) AS f
+        FROM z
+    ), zo AS (
+        SELECT cx, cy, ntile(16) OVER (ORDER BY zk, event_id) AS f
+        FROM z
+    ), fl AS (
+        SELECT 'linear' AS layout, f, min(cx) AS xlo, max(cx) AS xhi,
+               min(cy) AS ylo, max(cy) AS yhi
+        FROM lin GROUP BY f
+        UNION ALL
+        SELECT 'zorder', f, min(cx), max(cx), min(cy), max(cy)
+        FROM zo GROUP BY f
+    )
+    SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(count(*) FILTER (WHERE xlo <= 2252 AND xhi >= 1843)
+                AS BIGINT) AS files_hit_x,
+           CAST(count(*) FILTER (WHERE ylo <= 2252 AND yhi >= 1843)
+                AS BIGINT) AS files_hit_y,
+           CAST(count(*) FILTER (WHERE xlo <= 2252 AND xhi >= 1843
+                                   AND ylo <= 2252 AND yhi >= 1843)
+                AS BIGINT) AS files_hit_box
+    FROM fl GROUP BY layout
+    """,
+)
+def layout_zorder_pruning(spark, sf_dir):
+    """Measured Z-order pruning benefit (functions/layout.py
+    layout_pruning_stats) on events over (user_id, value): both
+    layouts' per-file min/max stats — what a parquet footer carries —
+    probed with a central ~10% range per dimension and the 2-D box.
+    The two hash-gated rows ARE the layout decision: linear prunes
+    its leading column only (files_hit_y ~ all 16), Z-order prunes
+    both at once — the difference, at 100 TB, is whether a
+    two-predicate dashboard query reads 6% of the table or 100%.
+    Integer-exact end to end: affine cell mapping by integer floor
+    division off a 1-row bounds agg (broadcast-model pattern), Morton
+    key a pure shift/or tree, ntile over a total order (unique
+    event_id tie-break) as the deterministic stand-in for the
+    range-split write. Production path: repartitionByRange + real
+    footer stats via tools/layout_report.py."""
+    ev = tables(spark, sf_dir)["events"]
+    b = ev.agg(
+        F.min("user_id").alias("_ulo"),
+        F.max("user_id").alias("_uhi"),
+        F.min(F.floor(F.col("value") * 1000).cast("long")).alias("_vlo"),
+        F.max(F.floor(F.col("value") * 1000).cast("long")).alias("_vhi"),
+    )
+    g = (
+        ev.select(
+            "event_id", "user_id",
+            F.floor(F.col("value") * 1000).cast("long").alias("_vm"),
+        )
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_id",
+            F.expr(
+                "(user_id - _ulo) * 4095 div greatest(_uhi - _ulo, 1)"
+            ).alias("cx"),
+            F.expr(
+                "(_vm - _vlo) * 4095 div greatest(_vhi - _vlo, 1)"
+            ).alias("cy"),
+        )
+    )
+    from logprep_spark.functions.layout import layout_pruning_stats
+
+    return layout_pruning_stats(g, "cx", "cy", "event_id")

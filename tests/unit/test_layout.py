@@ -185,3 +185,42 @@ def test_layout_report_span_ratios(spark, tmp_path):
     assert n >= 5
     assert r_sorted < 0.35
     assert r_random > 0.9
+
+
+def test_layout_pruning_stats_grid(spark):
+    """16x16 uniform grid, 16 files of 16 rows: Morton order makes
+    each file EXACTLY one 4x4 block (the low 4 interleaved bits
+    enumerate a 4x4 sub-square), while the linear layout makes each
+    file one full cx column. Hand-derived hits for a one-block probe
+    (4..7): linear prunes x (4 files) but never y (all 16); Z-order
+    hits 4/4, and the 2-D box collapses to ONE file."""
+    from logprep_spark.functions.layout import layout_pruning_stats
+
+    rows = [(16 * j + i, i, j) for i in range(16) for j in range(16)]
+    df = spark.createDataFrame(rows, ["id", "cx", "cy"])
+    got = {
+        r["layout"]: r
+        for r in layout_pruning_stats(
+            df, "cx", "cy", "id",
+            n_files=16, x_probe=(4, 7), y_probe=(4, 7), bits=4,
+        ).collect()
+    }
+    lin, zo = got["linear"], got["zorder"]
+    assert lin["n_files"] == zo["n_files"] == 16
+    assert lin["files_hit_x"] == 4
+    assert lin["files_hit_y"] == 16  # every file spans the cy domain
+    assert lin["files_hit_box"] == 4
+    assert zo["files_hit_x"] == 4
+    assert zo["files_hit_y"] == 4
+    assert zo["files_hit_box"] == 1  # the multi-dim win, exactly
+
+    # repartition invariance: file assignment is a total order
+    sh = spark.createDataFrame(rows[::-1], ["id", "cx", "cy"]).repartition(7)
+    again = {
+        r["layout"]: r
+        for r in layout_pruning_stats(
+            sh, "cx", "cy", "id",
+            n_files=16, x_probe=(4, 7), y_probe=(4, 7), bits=4,
+        ).collect()
+    }
+    assert again == got
