@@ -1219,3 +1219,111 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "adc_dist2", "rank")
     )
+
+
+# --- Johnson–Lindenstrauss random projection ---------------------------
+
+
+def jl_signs(m: int, d: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix (Achlioptas 2001: sign
+    entries preserve the JL guarantee of Gaussian ones): sign(k, j)
+    from the parity of the md5-derived 60-bit hash of ``jl:k:j`` —
+    NOT a seeded RNG, so any engine (and the DuckDB oracle) rebuilds
+    the identical matrix from the string alone."""
+    import hashlib
+
+    def sgn(k: int, j: int) -> int:
+        h = int(hashlib.md5(f"jl:{k}:{j}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 0 else -1
+
+    return [[sgn(k, j) for j in range(d)] for k in range(m)]
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 16,
+    d: int = 64,
+) -> DataFrame:
+    """Project micro-fixed vectors to ``m`` dims: out_k = Σ_j
+    sign(k,j)·v_j — ALL-INTEGER (the 1/√m normalization is folded
+    into downstream ratio arithmetic instead of scaling the stored
+    values), so projections are bit-identical cross-engine. The sign
+    matrix inlines as a plan literal (m·d ints — the broadcast-model
+    discipline; zero joins, zero shuffle: projection is a narrow
+    map fused into the scan)."""
+    signs = jl_signs(m, d)
+    mat = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(str(s) for s in row) + ")" for row in signs
+        )
+        + ")"
+    )
+    vm = df.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("_v"))
+    return vm.withColumn(
+        "_p",
+        F.expr(
+            f"transform({mat}, sr -> aggregate(zip_with(sr, _v,"
+            " (s, x) -> s * x), CAST(0 AS BIGINT), (a, b) -> a + b))"
+        ),
+    )
+
+
+def jl_distortion_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 16,
+    d: int = 64,
+    sample_mod: int = 16,
+) -> DataFrame:
+    """Measured JL distortion on a deterministic id-hash pair sample:
+    for each sampled pair, ratio_milli = 1000·‖Δproj‖² div (m·‖Δ‖²)
+    — expectation exactly 1000 under the sign projection — reported
+    as one row (n_pairs, mean/min/max ratio, count within ±20%).
+    EVERY number is exact 64-bit integer arithmetic (micro vectors,
+    integer signs, integer floor divisions): the whole report
+    hash-compares against the SQL replica bit-for-bit, unlike any
+    float-Gaussian projection. Scale: the projection is a zero-
+    shuffle map; only the ~(n/sample_mod)² sampled pairs meet in the
+    (broadcast) pair join — the same witness discipline as
+    embed_truncation_fidelity."""
+    pr = jl_project(df, vec_col, id_col, m, d).filter(
+        h60(F.concat(F.lit("jl:"), F.col(id_col).cast("string")))
+        % sample_mod
+        == 0
+    )
+    a = pr.select(
+        F.col(id_col).alias("_ia"), F.col("_v").alias("_va"),
+        F.col("_p").alias("_pa"),
+    )
+    b = pr.select(
+        F.col(id_col).alias("_ib"), F.col("_v").alias("_vb"),
+        F.col("_p").alias("_pb"),
+    )
+    sq = (
+        "CAST(aggregate(zip_with({x}, {y}, (p, q) -> (p - q) * (p - q)),"
+        " CAST(0 AS BIGINT), (acc, t) -> acc + t) AS BIGINT)"
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("_ib") > F.col("_ia"))
+        .withColumn("_d0", F.expr(sq.format(x="_va", y="_vb")))
+        .withColumn("_dp", F.expr(sq.format(x="_pa", y="_pb")))
+        .select(
+            F.expr(
+                f"CASE WHEN _d0 = 0 THEN CAST(1000 AS BIGINT)"
+                f" ELSE 1000 * _dp div ({m} * _d0) END"
+            ).alias("_rm")
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("sum(_rm) div count(*)").alias("mean_ratio_milli"),
+        F.min("_rm").alias("min_ratio_milli"),
+        F.max("_rm").alias("max_ratio_milli"),
+        F.sum(
+            (F.abs(F.col("_rm") - 1000) <= 200).cast("long")
+        ).cast("long").alias("n_within_20pct"),
+    )

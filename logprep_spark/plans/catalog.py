@@ -102,7 +102,8 @@ def register(name: str, oracle: str | None = None):
 #     sketch_sq_union_range, graph_triangles,
 #     events_holt_forecast, sketch_sq_drift,
 #     sketch_theta_retention, dedup_setsim_prefix,
-#     graph_assortativity, layout_zorder_pruning — added after
+#     graph_assortativity, layout_zorder_pruning,
+#     embed_jl_distortion — added after
 #     the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -9393,3 +9394,64 @@ def layout_zorder_pruning(spark, sf_dir):
     from logprep_spark.functions.layout import layout_pruning_stats
 
     return layout_pruning_stats(g, "cx", "cy", "event_id")
+
+
+_JL_SGN = (
+    "CASE WHEN ('0x' || substr(md5('jl:' || k::VARCHAR || ':' ||"
+    " j::VARCHAR), 1, 15))::BIGINT % 2 = 0 THEN 1 ELSE -1 END"
+)
+
+
+@register(
+    "embed_jl_distortion",
+    f"""
+    WITH sel AS (
+        SELECT vec_id, {_KM_MICRO} AS v FROM embeddings
+        WHERE ('0x' || substr(md5('jl:' || vec_id::VARCHAR), 1, 15))::BIGINT
+              % 16 = 0
+    ), sm AS (
+        SELECT [[{_JL_SGN} for j in range(0, 64)]
+                for k in range(0, 16)] AS s
+    ), pr AS (
+        SELECT vec_id, v,
+               list_transform(sm.s, sr ->
+                   CAST(list_sum(list_transform(range(1, 65),
+                        j -> sr[j] * v[j])) AS BIGINT)) AS p
+        FROM sel, sm
+    ), pairs AS (
+        SELECT CAST(list_sum(list_transform(range(1, 65),
+                    j -> (a.v[j] - b.v[j]) * (a.v[j] - b.v[j])))
+                    AS BIGINT) AS d0,
+               CAST(list_sum(list_transform(range(1, 17),
+                    j -> (a.p[j] - b.p[j]) * (a.p[j] - b.p[j])))
+                    AS BIGINT) AS dp
+        FROM pr a JOIN pr b ON b.vec_id > a.vec_id
+    ), r AS (
+        SELECT CASE WHEN d0 = 0 THEN 1000
+                    ELSE 1000 * dp // (16 * d0) END AS rm
+        FROM pairs
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(rm) // count(*) AS BIGINT) AS mean_ratio_milli,
+           CAST(min(rm) AS BIGINT) AS min_ratio_milli,
+           CAST(max(rm) AS BIGINT) AS max_ratio_milli,
+           CAST(count(*) FILTER (WHERE abs(rm - 1000) <= 200) AS BIGINT)
+               AS n_within_20pct
+    FROM r
+    """,
+)
+def embed_jl_distortion(spark, sf_dir):
+    """Johnson–Lindenstrauss ±1 projection 64→16 dims with a MEASURED
+    distortion report (functions/similarity.py jl_project /
+    jl_distortion_report — Achlioptas 2001 sign matrix): per sampled
+    pair, 1000·‖Δproj‖² div (16·‖Δ‖²), expectation exactly 1000;
+    one row of n_pairs / mean / min / max / within-±20% count. The
+    md5-derived sign matrix and micro-fixed integers make the WHOLE
+    report hash-compare vs the DuckDB replica — including how wide
+    m=16 really is (min 282, max 2094 at sf0.01: the honest reason
+    production uses m ≥ 64·ln n — this row is the tool that sizes
+    m). Scale: projection is a zero-shuffle narrow map (plan-literal
+    matrix, no join); only the hash-sampled pairs meet in a
+    broadcast join — raw vectors never shuffle."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return sim.jl_distortion_report(emb, m=16, d=64, sample_mod=16)
