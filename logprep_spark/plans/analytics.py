@@ -1814,6 +1814,87 @@ def triangle_stats(
     )
 
 
+def holt_winters_forecast(
+    series: DataFrame,
+    group_col: str,
+    period_col: str,
+    x_col: str,
+    period: int = 7,
+    alpha_milli: int = 300,
+    beta_milli: int = 100,
+    gamma_milli: int = 300,
+) -> DataFrame:
+    """Per-group Holt-Winters ADDITIVE triple smoothing (level +
+    trend + ``period``-slot seasonal state) — holt_forecast grown a
+    season: the forecast for the next step is l + t + s[next slot],
+    and the seasonal amplitude max(s) - min(s) rides along as the
+    one-scalar witness that the fit actually captured a cycle
+    (compare events_dow_seasonality, which measures the cycle but
+    cannot forecast with it).
+
+    Same exactness contract as holt_forecast: the whole recurrence
+    runs in integer MILLI units (both engines truncate integer
+    division toward zero), standard zero-season init (l = x_0, t = 0,
+    s = 0s; slot for step k is k mod period), so the fitted state is
+    bit-identical cross-engine and under any partitioning.
+
+    Catalyst shape: ONE ``aggregate`` fold per group, the seasonal
+    array updated in place by an indexed ``transform`` — state is a
+    struct carrying an array column, still a single whole-stage-
+    codegen projection, no UDF, no per-step shuffle. The inlined
+    l' expression (struct fields cannot reference siblings) appears
+    3x instead of holt's 2x — a constant factor, once per plan."""
+    a, b, g, p = alpha_milli, beta_milli, gamma_milli, period
+    arr = series.groupBy(group_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(period_col), F.col(x_col)))
+        ).alias("_s")
+    ).select(
+        group_col,
+        F.expr(f"transform(_s, q -> CAST(q.{x_col} AS BIGINT))").alias(
+            "_xs"
+        ),
+    )
+    sl = f"((acc.i + 1) % {p})"
+    sv = f"element_at(acc.s, CAST({sl} AS INT) + 1)"
+    ln = f"(({a} * (x * 1000 - {sv}) + {1000 - a} * (acc.l + acc.t)) div 1000)"
+    folded = arr.select(
+        group_col,
+        F.size("_xs").cast("long").alias("n_periods"),
+        F.expr(
+            f"""aggregate(
+                slice(_xs, 2, greatest(size(_xs) - 1, 0)),
+                struct(CAST(element_at(_xs, 1) * 1000 AS BIGINT) AS l,
+                       CAST(0 AS BIGINT) AS t,
+                       CAST(0 AS BIGINT) AS r,
+                       CAST(0 AS BIGINT) AS i,
+                       array_repeat(CAST(0 AS BIGINT), {p}) AS s),
+                (acc, x) -> struct(
+                    {ln} AS l,
+                    (({b} * ({ln} - acc.l)
+                      + {1000 - b} * acc.t) div 1000) AS t,
+                    greatest(acc.r,
+                             abs(x * 1000 - (acc.l + acc.t + {sv}))) AS r,
+                    acc.i + 1 AS i,
+                    transform(acc.s, (v, idx) -> IF(idx = {sl},
+                        (({g} * (x * 1000 - {ln})
+                          + {1000 - g} * {sv}) div 1000), v)) AS s))"""
+        ).alias("_f"),
+    )
+    nxt = f"element_at(_f.s, CAST((_f.i + 1) % {p} AS INT) + 1)"
+    return folded.select(
+        group_col,
+        "n_periods",
+        F.col("_f.l").alias("level_milli"),
+        F.col("_f.t").alias("trend_milli"),
+        F.expr(f"_f.l + _f.t + {nxt}").alias("forecast_milli"),
+        F.expr("array_max(_f.s) - array_min(_f.s)").alias(
+            "season_amp_milli"
+        ),
+        F.col("_f.r").alias("max_resid_milli"),
+    )
+
+
 def assortativity_stats(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:

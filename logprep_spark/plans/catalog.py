@@ -103,7 +103,7 @@ def register(name: str, oracle: str | None = None):
 #     events_holt_forecast, sketch_sq_drift,
 #     sketch_theta_retention, dedup_setsim_prefix,
 #     graph_assortativity, layout_zorder_pruning,
-#     embed_jl_distortion — added after
+#     embed_jl_distortion, events_holt_winters — added after
 #     the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -9455,3 +9455,63 @@ def embed_jl_distortion(spark, sf_dir):
     broadcast join — raw vectors never shuffle."""
     emb = tables(spark, sf_dir)["embeddings"]
     return sim.jl_distortion_report(emb, m=16, d=64, sample_mod=16)
+
+
+@register(
+    "events_holt_winters",
+    """
+    WITH series AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), arr AS (
+        SELECT event_type, list(x ORDER BY d) AS xs
+        FROM series GROUP BY 1
+    ), f AS (
+        SELECT event_type, CAST(len(xs) AS BIGINT) AS n_periods,
+               list_reduce(
+                   list_concat(
+                       [[xs[1] * 1000, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]],
+                       [[x, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+                        for x in xs[2:]]),
+                   (acc, e) -> list_concat(
+                       [((300 * (e[1] * 1000 - acc[5 + ((acc[4] + 1) % 7)]) + 700 * (acc[1] + acc[2])) // 1000),
+                        ((100 * (((300 * (e[1] * 1000 - acc[5 + ((acc[4] + 1) % 7)]) + 700 * (acc[1] + acc[2])) // 1000) - acc[1]) + 900 * acc[2]) // 1000),
+                        greatest(acc[3],
+                                 abs(e[1] * 1000
+                                     - (acc[1] + acc[2] + acc[5 + ((acc[4] + 1) % 7)]))),
+                        acc[4] + 1],
+                       [CASE WHEN j = ((acc[4] + 1) % 7) THEN
+                            ((300 * (e[1] * 1000 - ((300 * (e[1] * 1000 - acc[5 + ((acc[4] + 1) % 7)]) + 700 * (acc[1] + acc[2])) // 1000))
+                              + 700 * acc[5 + ((acc[4] + 1) % 7)]) // 1000)
+                        ELSE acc[5 + j] END for j in range(0, 7)])
+               ) AS fd
+        FROM arr
+    )
+    SELECT event_type, n_periods,
+           fd[1] AS level_milli, fd[2] AS trend_milli,
+           fd[1] + fd[2] + fd[5 + ((fd[4] + 1) % 7)] AS forecast_milli,
+           list_max(fd[5:11]) - list_min(fd[5:11]) AS season_amp_milli,
+           fd[3] AS max_resid_milli
+    FROM f
+    """,
+)
+def events_holt_winters(spark, sf_dir):
+    """Holt-Winters ADDITIVE seasonal forecast (plans/analytics.py
+    holt_winters_forecast) of the next day's event count per type
+    with a 7-slot day-of-week season — events_holt_forecast grown the
+    cycle events_dow_seasonality only measures: forecast =
+    l + t + s[next dow], seasonal amplitude rides along as the
+    captured-cycle witness (6-12 events/day at sf0.01, real). Integer
+    milli recurrence (alpha=0.3, beta=0.1, gamma=0.3) folded by ONE
+    Catalyst aggregate expression per group whose state is a struct
+    CARRYING THE 7-SLOT SEASONAL ARRAY, updated in place by an
+    indexed transform - still a single codegen projection, no UDF,
+    no per-step shuffle, hash-identical to the DuckDB list_reduce
+    replica. Scale: identical to holt - the daily pre-agg collapses
+    map-side; the fold is a projection."""
+    ev = tables(spark, sf_dir)["events"]
+    series = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return an.holt_winters_forecast(series, "event_type", "d", "x")

@@ -86,3 +86,88 @@ def test_holt_multi_group_and_repartition_invariance(spark):
         assert {k: got[g][k] for k in want} == want
     # flat series: zero trend, forecast = level = x
     assert got["b"]["trend_milli"] == 0 and got["b"]["forecast_milli"] == 5000
+
+
+# --- Holt-Winters additive seasonal -----------------------------------
+
+
+def _hw_replica(xs, p=7, a=300, b=100, g=300):
+    from logprep_spark.plans.analytics import holt_winters_forecast  # noqa: F401
+
+    l, t, r, i = xs[0] * 1000, 0, 0, 0
+    s = [0] * p
+    for x in xs[1:]:
+        i += 1
+        sl = i % p
+        resid = abs(x * 1000 - (l + t + s[sl]))
+        ln = _trunc_div(a * (x * 1000 - s[sl]) + (1000 - a) * (l + t), 1000)
+        tn = _trunc_div(b * (ln - l) + (1000 - b) * t, 1000)
+        s[sl] = _trunc_div(g * (x * 1000 - ln) + (1000 - g) * s[sl], 1000)
+        l, t, r = ln, tn, max(r, resid)
+    return {
+        "n_periods": len(xs),
+        "level_milli": l,
+        "trend_milli": t,
+        "forecast_milli": l + t + s[(i + 1) % p],
+        "season_amp_milli": max(s) - min(s),
+        "max_resid_milli": r,
+    }
+
+
+def _hw_run(spark, groups: dict, partitions: int = 1):
+    from logprep_spark.plans.analytics import holt_winters_forecast
+
+    rows = [
+        (grp, idx, x)
+        for grp, xs in groups.items()
+        for idx, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "d", "x"])
+    if partitions > 1:
+        df = df.repartition(partitions)
+    return {
+        r["grp"]: r.asDict()
+        for r in holt_winters_forecast(df, "grp", "d", "x").collect()
+    }
+
+
+def test_hw_matches_python_replica(spark):
+    """Noisy weekly cycle + declining trend (negative milli divisions
+    exercised) — the fitted struct equals the truncating replica
+    exactly, per group."""
+    weekly = [20, 35, 30, 25, 40, 60, 55]
+    rising = [10 + 2 * k + weekly[k % 7] for k in range(21)]
+    falling = [300 - 9 * k + (weekly[k % 7] if k % 3 else -7) for k in range(20)]
+    got = _hw_run(spark, {"up": rising, "down": falling})
+    for name, xs in (("up", rising), ("down", falling)):
+        exp = _hw_replica(xs)
+        assert {k: got[name][k] for k in exp} == exp, name
+
+
+def test_hw_captures_pure_cycle(spark):
+    """A perfectly periodic zero-trend series: the seasonal state
+    must absorb the cycle — amplitude within 30% of the true 50·1000
+    after 6 full weeks, trend near zero."""
+    cycle = [100, 80, 120, 90, 110, 70, 130]
+    xs = cycle * 6
+    got = _hw_run(spark, {"c": xs})["c"]
+    assert got == {**got, **_hw_replica(xs)}  # replica first, always
+    true_amp = (max(cycle) - min(cycle)) * 1000
+    assert abs(got["season_amp_milli"] - true_amp) <= true_amp * 3 // 10
+    assert abs(got["trend_milli"]) < 2000
+
+
+def test_hw_single_period_edge(spark):
+    got = _hw_run(spark, {"one": [42]})["one"]
+    assert got["level_milli"] == 42_000
+    assert got["trend_milli"] == 0
+    assert got["season_amp_milli"] == 0
+    assert got["forecast_milli"] == 42_000
+    assert got["max_resid_milli"] == 0
+
+
+def test_hw_repartition_invariance(spark):
+    xs = [17, 23, 5, 40, 31, 12, 26, 19, 44, 8, 35, 29, 15, 22]
+    assert _hw_run(spark, {"g": xs}, partitions=7) == _hw_run(
+        spark, {"g": xs}
+    )
