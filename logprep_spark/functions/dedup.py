@@ -1135,3 +1135,87 @@ def setsim_prefix_join(
         "n_union",
         F.expr("1000 * n_inter div n_union").alias("jaccard_milli"),
     )
+
+
+def containment_prefix_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau_milli: int = 800,
+    k: int = 3,
+) -> DataFrame:
+    """EXACT containment-threshold join: ordered pairs (a, b), a != b,
+    with C(a in b) = |A∩B| / |A| >= tau — the ASYMMETRIC sibling of
+    setsim_prefix_join that Jaccard structurally cannot see: a 50-
+    shingle doc swallowed whole by a 5000-shingle doc has containment
+    1.0 but Jaccard ~0.01 (boilerplate pages engulfing short docs,
+    quoted-in-full posts, training docs that contain an eval set —
+    the decontamination shape).
+
+    Same pigeonhole prefix (Chaudhuri et al. ICDE'06, rarest-first
+    global order) on the PROBE side only: if a's prefix (its
+    ``s - ceil(tau*s) + 1`` rarest shingles) is disjoint from B, then
+    |A∩B| < tau·|A|. The INDEX side must post its full shingle set —
+    this is exactly an inverted index, the asymmetry that lets |B|
+    be unbounded. Pruning: probe fan-out is bounded by construction
+    (rarest shingles); the only length filter is the one containment
+    implies (|B| >= tau·|A|, since |A∩B| <= |B|). Verification
+    shuffles candidate pairs on doc id; all arithmetic integer-milli
+    so the pair set hash-compares against the brute-force oracle
+    (completeness gate, like setsim)."""
+    sh = shingle_arrays(df, text_col, id_col, k)
+    sh = sh.withColumn("_s", F.size("sh"))
+    tok = sh.select(id_col, "_s", F.explode("sh").alias("_g"))
+    dfreq = tok.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        tok.join(dfreq, "_g")
+        .groupBy(id_col, "_s")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "_g"))).alias("_o"))
+    )
+    p = (
+        F.col("_s")
+        - F.ceil(F.col("_s") * F.lit(tau_milli) / F.lit(1000.0)).cast("int")
+        + F.lit(1)
+    )
+    probe = (
+        ordered.select(
+            F.col(id_col), F.col("_s"), F.posexplode(F.col("_o._g"))
+        )
+        .filter(F.col("pos") < p)
+        .select(
+            F.col(id_col).alias("id_a"), F.col("_s").alias("_sa"), "col"
+        )
+    )
+    index = tok.select(
+        F.col(id_col).alias("id_b"), F.col("_s").alias("_sb"),
+        F.col("_g").alias("col"),
+    )
+    cand = (
+        probe.join(index, "col")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.lit(1000) * F.col("_sb") >= F.lit(tau_milli) * F.col("_sa"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("_ta"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("_tb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("_ta", "_tb")).cast("long")
+        )
+        .withColumn("n_a", F.size("_ta").cast("long"))
+        .filter(
+            F.lit(1000) * F.col("n_inter") >= F.lit(tau_milli) * F.col("n_a")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_a",
+            F.expr("1000 * n_inter div n_a").alias("containment_milli"),
+        )
+    )

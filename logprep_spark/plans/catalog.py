@@ -103,7 +103,8 @@ def register(name: str, oracle: str | None = None):
 #     events_holt_forecast, sketch_sq_drift,
 #     sketch_theta_retention, dedup_setsim_prefix,
 #     graph_assortativity, layout_zorder_pruning,
-#     embed_jl_distortion, events_holt_winters — added after
+#     embed_jl_distortion, events_holt_winters,
+#     dedup_containment_join — added after
 #     the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -9515,3 +9516,35 @@ def events_holt_winters(spark, sf_dir):
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count(F.lit(1)).alias("x"))
     return an.holt_winters_forecast(series, "event_type", "d", "x")
+
+
+@register(
+    "dedup_containment_join",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_sql_shingles(k=3)} AS t FROM documents
+    )
+    SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+           CAST(len(list_intersect(sa.t, sb.t)) AS BIGINT) AS n_inter,
+           CAST(len(sa.t) AS BIGINT) AS n_a,
+           1000 * len(list_intersect(sa.t, sb.t)) // len(sa.t)
+               AS containment_milli
+    FROM sh sa JOIN sh sb ON sa.doc_id != sb.doc_id
+    WHERE 1000 * len(list_intersect(sa.t, sb.t)) >= 800 * len(sa.t)
+    """,
+)
+def dedup_containment_join(spark, sf_dir):
+    """EXACT containment >= 0.8 join (functions/dedup.py
+    containment_prefix_join): ordered pairs where doc a's shingle set
+    is mostly INSIDE doc b — the asymmetric near-dup Jaccard cannot
+    see (a short doc quoted whole in a long one scores containment
+    1.0, Jaccard ~0.01; the decontamination shape). Probe-side
+    pigeonhole prefix (rarest shingles) against a full inverted
+    index; the ORACLE IS THE BRUTE FORCE, so hash equality of the
+    pair list proves the asymmetric prefix filter dropped nothing.
+    Scale: probe fan-out bounded by rarest-first construction; the
+    index side is a plain inverted index (corpus-token-count rows —
+    the search-engine trade), pruned by the containment-implied
+    |B| >= tau·|A| length filter before distinct."""
+    docs = tables(spark, sf_dir)["documents"]
+    return dd.containment_prefix_join(docs, tau_milli=800, k=3)

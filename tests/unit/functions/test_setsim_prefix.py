@@ -75,3 +75,67 @@ def test_tau_is_inclusive_floor(spark):
 
 def test_repartition_invariance(spark):
     assert _run(spark, 500, partitions=5) == _run(spark, 500)
+
+
+# --- asymmetric containment join --------------------------------------
+
+
+CONTAIN_DOCS = DOCS + [
+    # doc 6 contains doc 4 verbatim inside a much longer text:
+    # containment(4 in 6) = 1.0 but Jaccard is far below 0.5
+    (
+        6,
+        "prefix words before the quote one two three four five six "
+        "seven eight nine ten eleven twelve and then a long tail of "
+        "extra unrelated filler tokens stretching the set much "
+        "further out",
+    ),
+]
+
+
+def _brute_containment(tau_milli: int) -> list:
+    out = []
+    for ia, ta in CONTAIN_DOCS:
+        for ib, tb in CONTAIN_DOCS:
+            if ia == ib:
+                continue
+            sa, sb = _shingles(ta), _shingles(tb)
+            i = len(sa & sb)
+            if 1000 * i >= tau_milli * len(sa):
+                out.append((ia, ib, i, len(sa), 1000 * i // len(sa)))
+    return sorted(out)
+
+
+def _run_containment(spark, tau_milli: int, partitions: int = 1) -> list:
+    from logprep_spark.functions.dedup import containment_prefix_join
+
+    df = spark.createDataFrame(CONTAIN_DOCS, ["doc_id", "text"])
+    if partitions > 1:
+        df = df.repartition(partitions)
+    rows = containment_prefix_join(df, tau_milli=tau_milli).collect()
+    return sorted(
+        (r.id_a, r.id_b, r.n_inter, r.n_a, r.containment_milli)
+        for r in rows
+    )
+
+
+def test_containment_matches_brute_force(spark):
+    for tau in (500, 800, 1000):
+        assert _run_containment(spark, tau) == _brute_containment(tau)
+
+
+def test_containment_sees_what_jaccard_cannot(spark):
+    """Doc 4 inside doc 6: containment(4->6) = 1000 (every shingle of
+    4 appears in 6) while their Jaccard is under the 0.5 setsim gate
+    — and the pair is ASYMMETRIC (6->4 fails the 0.8 threshold)."""
+    got = {(a, b): cm for a, b, _, _, cm in _run_containment(spark, 800)}
+    assert got[(4, 6)] == 1000
+    assert (6, 4) not in got
+    setsim = {(a, b) for a, b, *_ in _run(spark, 500)}
+    assert (4, 6) not in setsim and (6, 4) not in setsim
+
+
+def test_containment_repartition_invariance(spark):
+    assert _run_containment(spark, 800, partitions=5) == _run_containment(
+        spark, 800
+    )
