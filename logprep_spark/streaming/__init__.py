@@ -19,6 +19,7 @@ from logprep_spark.streaming.state import (
     dedupe_stream,
     heavy_hitters_stream,
     holt_window_stream,
+    hw_window_stream,
     rate_anomaly_stream,
     running_totals,
     sq_window_stream,
@@ -31,6 +32,7 @@ __all__ = [
     "cm_window_stream",
     "heavy_hitters_stream",
     "holt_window_stream",
+    "hw_window_stream",
     "rate_anomaly_stream",
     "StreamingPipeline",
     "dedupe_near_stream",

@@ -944,3 +944,123 @@ def holt_window_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+_HW_OUT_SCHEMA = (
+    "grp string, win_start timestamp, n_periods long, level_milli long, "
+    "trend_milli long, forecast_milli long, season_amp_milli long, "
+    "max_resid_milli long, is_final boolean"
+)
+_HW_STATE_SCHEMA = _HOLT_STATE_SCHEMA
+
+
+def _hw_fold(xs, a: int, b: int, g: int, p: int):
+    """The batch recurrence (plans/analytics.py holt_winters_forecast):
+    level + trend + p-slot additive season, truncate-toward-zero
+    integer milli division — slot for the k-th ordered period is
+    k mod p, zero-season init, identical to the Catalyst fold."""
+
+    def tdiv(y, d):
+        q = abs(y) // d
+        return q if y >= 0 else -q
+
+    l, t, r, i = xs[0] * 1000, 0, 0, 0
+    s = [0] * p
+    for x in xs[1:]:
+        i += 1
+        sl = i % p
+        resid = abs(x * 1000 - (l + t + s[sl]))
+        ln = tdiv(a * (x * 1000 - s[sl]) + (1000 - a) * (l + t), 1000)
+        tn = tdiv(b * (ln - l) + (1000 - b) * t, 1000)
+        s[sl] = tdiv(g * (x * 1000 - ln) + (1000 - g) * s[sl], 1000)
+        l, t, r = ln, tn, max(r, resid)
+    nxt = s[(i + 1) % p]
+    return l, t, l + t + nxt, max(s) - min(s), r
+
+
+def _hw_fn(window_sec: int, a: int, b: int, g: int, p: int):
+    def emit(grp, win_start, per_counts: dict, final):
+        xs = [per_counts[q] for q in sorted(per_counts)]
+        l, t, fc, amp, r = _hw_fold(xs, a, b, g, p)
+        return pd.DataFrame(
+            {
+                "grp": [grp],
+                "win_start": [win_start],
+                "n_periods": [len(xs)],
+                "level_milli": [l],
+                "trend_milli": [t],
+                "forecast_milli": [fc],
+                "season_amp_milli": [amp],
+                "max_resid_milli": [r],
+                "is_final": [final],
+            }
+        )
+
+    def fn(
+        key: Tuple[Any, Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        grp, win_start = key
+        if state.hasTimedOut:
+            periods, counts, _ = state.get
+            yield emit(grp, win_start, dict(zip(periods, counts)), True)
+            state.remove()
+            return
+        pc: dict = dict(zip(*state.get[:2])) if state.exists else {}
+        for pdf in pdfs:
+            for q in pdf["_p"]:
+                q = int(q)
+                pc[q] = pc.get(q, 0) + 1
+        win_end_ms = int(win_start.value // 1_000_000) + window_sec * 1000
+        ps = sorted(pc)
+        state.update((ps, [pc[q] for q in ps], win_end_ms))
+        state.setTimeoutTimestamp(win_end_ms)
+        yield emit(grp, win_start, pc, False)
+
+    return fn
+
+
+def hw_window_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "grp",
+    window: str = "7 day",
+    period: str = "1 day",
+    watermark: str = "1 hour",
+    season: int = 7,
+    alpha_milli: int = 300,
+    beta_milli: int = 100,
+    gamma_milli: int = 300,
+) -> DataFrame:
+    """Streaming twin of plans/analytics.py holt_winters_forecast:
+    holt_window_stream grown the additive season — per (group,
+    window) the stream accumulates PERIOD counts, and eviction emits
+    the triple-smoothed state (level, trend, seasonal amplitude),
+    the season-aware next-period forecast, and the largest one-step
+    residual: a volume monitor that stops paging on the weekend dip.
+
+    Determinism contract is holt's, unchanged: counts accumulate
+    order-free, the fold runs over the SORTED period array only at
+    emit, so the final row is bit-identical to the batch
+    ``holt_winters_forecast`` over the same rows' series under any
+    arrival order, chunking, or partitioning. State per open (group,
+    window) is the same windows/period counters — the p seasonal
+    slots live only inside the emit fold, never in state."""
+    from pyspark.sql import functions as F
+
+    window_sec = _duration_seconds(window)
+    period_sec = _duration_seconds(period)
+    keyed = events.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.window(ts_col, window).start.alias("win_start"),
+        (
+            (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col(ts_col)) % period_sec)
+            * 1000
+        ).alias("_p"),
+    ).withWatermark("win_start", watermark)
+    return keyed.groupBy("grp", "win_start").applyInPandasWithState(
+        _hw_fn(window_sec, alpha_milli, beta_milli, gamma_milli, season),
+        outputStructType=_HW_OUT_SCHEMA,
+        stateStructType=_HW_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1477,3 +1477,69 @@ def test_holt_window_stream_fit_and_eviction(spark, tmp_path):
     assert f.max_resid_milli == want["max_resid_milli"]
     # rising series -> positive trend, forecast above last level
     assert f.trend_milli > 0
+
+
+def test_hw_window_stream_seasonal_fit_and_eviction(spark, tmp_path):
+    """Streaming Holt-Winters twin: per-(group, window) state is the
+    same period counters as holt's (seasonal slots exist only inside
+    the emit fold), eviction emits the triple-smoothed row, and the
+    final fit is bit-identical to the batch holt_winters_forecast
+    over the same rows' series — with hours arriving OUT OF ORDER."""
+    import os as _os
+    import time as _time
+
+    from logprep_spark.plans.analytics import holt_winters_forecast
+    from logprep_spark.streaming import hw_window_stream
+
+    d = tmp_path / "hw-in"
+    d.mkdir()
+    t0 = _time.time()
+    # one daily window 2026-03-01, hourly periods 0..23 following a
+    # 6-hour cycle with a deep dip (the "quiet hours" shape)
+    cycle = [6, 7, 8, 6, 3, 2]
+    counts = {h: cycle[h % 6] for h in range(24)}
+
+    def hour_rows(hours):
+        return [
+            {"ts": f"2026-03-01 {h:02d}:{m:02d}:00", "grp": "a"}
+            for h in hours
+            for m in range(counts[h])
+        ]
+
+    batches = (
+        hour_rows([1, 4, 7, 10, 13, 16, 19, 22]),
+        hour_rows([0, 3, 6, 9, 12, 15, 18, 21]),  # earlier hours later
+        hour_rows([2, 5, 8, 11, 14, 17, 20, 23]),
+        [{"ts": "2026-03-03 12:00:00", "grp": "z"}],  # watermark pusher
+        [{"ts": "2026-03-05 12:00:00", "grp": "z"}],
+    )
+    for i, batch in enumerate(batches):
+        p = d / f"b{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in batch) + "\n")
+        _os.utime(p, (t0 + i, t0 + i))
+
+    df = (spark.readStream.schema("ts timestamp, grp string")
+          .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (hw_window_stream(df, "ts", "grp",
+                          window="1 day", period="1 hour",
+                          watermark="1 hour", season=6)
+         .writeStream.format("memory").queryName("hw_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    _run(q)
+
+    out = spark.sql("SELECT * FROM hw_out").collect()
+    finals = {(r.grp, str(r.win_start)): r for r in out if r.is_final}
+    f = finals[("a", "2026-03-01 00:00:00")]
+    assert f.n_periods == 24
+
+    series = spark.createDataFrame(
+        [("a", h, counts[h]) for h in range(24)], ["grp", "period", "x"]
+    )
+    (want,) = holt_winters_forecast(
+        series, "grp", "period", "x", period=6
+    ).collect()
+    for col in ("level_milli", "trend_milli", "forecast_milli",
+                "season_amp_milli", "max_resid_milli"):
+        assert f[col] == want[col], col
+    # the cycle is real: amplitude captured, not flattened into resid
+    assert f.season_amp_milli > 2000
