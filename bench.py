@@ -118,6 +118,12 @@ HEADLINE = [
     # graph); first-24 prefix comparable to the r8 totals
     "graph_triangles",
     "text_textrank_keywords",
+    # late-r8 additions — the two exact prefix-filter joins (rarest-
+    # shingle candidate generation: symmetric Jaccard + asymmetric
+    # containment vs the full inverted index); first-26 prefix
+    # comparable to this round's totals
+    "dedup_setsim_prefix",
+    "dedup_containment_join",
 ]
 
 
@@ -138,6 +144,12 @@ SF1_SPOT = [
     # expected ~linear: one stats job + narrow encode); theta reads
     # events, which the derived sf1 set does not include
     "embed_pq_codes",
+    # NOT here: dedup_setsim_prefix / dedup_containment_join — the
+    # derived 10x corpus replicates every doc verbatim (strided ids),
+    # so each doc gains 9 exact duplicates and the TRUE pair set
+    # grows quadratically by construction (~45 self-pairs per doc +
+    # 100x each original pair). Any exact join must emit those rows:
+    # a 10x spot would measure the replica artifact, not the plan.
 ]
 
 _REPLICAS = 10
@@ -418,6 +430,7 @@ def main() -> None:
         "comparable_19": round(sum(timings[n] for n in names[:19]), 3),
         "comparable_22": round(sum(timings[n] for n in names[:22]), 3),
         "comparable_24": round(sum(timings[n] for n in names[:24]), 3),
+        "comparable_26": round(sum(timings[n] for n in names[:26]), 3),
         "calib_s": calib_s,
         "calib_scan_s": calib_scan_s,
         "calib_post_s": post[0],

@@ -9205,11 +9205,11 @@ def dedup_simhash_recall(spark, sf_dir):
                    - len(list_intersect(sa.t, sb.t))) AS jaccard_milli
     FROM sh sa JOIN sh sb ON sb.doc_id > sa.doc_id
     WHERE 1000 * len(list_intersect(sa.t, sb.t))
-          >= 500 * (len(sa.t) + len(sb.t) - len(list_intersect(sa.t, sb.t)))
+          >= 700 * (len(sa.t) + len(sb.t) - len(list_intersect(sa.t, sb.t)))
     """,
 )
 def dedup_setsim_prefix(spark, sf_dir):
-    """EXACT Jaccard >= 0.5 shingle-set self-join by prefix filtering
+    """EXACT Jaccard >= 0.7 shingle-set self-join by prefix filtering
     (functions/dedup.py setsim_prefix_join — SSJoin/PPJoin family):
     every doc explodes only its ``s - ceil(tau*s) + 1`` globally
     RAREST shingles, a pigeonhole-complete candidate set, then exact
@@ -9222,7 +9222,7 @@ def dedup_setsim_prefix(spark, sf_dir):
     enter hot prefixes); the brute force the oracle runs is the
     O(n^2) plan this query exists to avoid."""
     docs = tables(spark, sf_dir)["documents"]
-    return dd.setsim_prefix_join(docs, tau_milli=500, k=3)
+    return dd.setsim_prefix_join(docs, tau_milli=700, k=3)
 
 
 @register(
