@@ -268,3 +268,40 @@ def weighted_sample(
 
 
 _WS_H_MAX = float(1 << 60)
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    weight_col: str,
+    group_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum A-Res (see :func:`weighted_sample`): the n largest
+    ``ln(u)/weight`` priorities WITHIN each group — the shape a
+    production corpus mix actually runs (sample k docs per domain /
+    language / quality bin in one pass, not one global top-n that a
+    heavy domain swallows). Same determinism contract: u from the
+    salted id hash, priority dropped from the output, the per-group
+    SELECTED SET is engine-exact.
+
+    Scale shape: ONE window shuffle on the group key (row_number
+    over priority), no per-group jobs, no driver loop — 10⁶ strata
+    cost the same single exchange; skewed strata are one hot
+    partition each, the bound a global top-n cannot give."""
+    from pyspark.sql import Window
+
+    u = (
+        h60(F.concat(F.lit("ws:"), F.col(id_col).cast("string"))) + 1
+    ) / F.lit(_WS_H_MAX)
+    pri = F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("_pri"), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_pri", pri)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .drop("_pri", "_rn")
+    )

@@ -104,7 +104,8 @@ def register(name: str, oracle: str | None = None):
 #     sketch_theta_retention, dedup_setsim_prefix,
 #     graph_assortativity, layout_zorder_pruning,
 #     embed_jl_distortion, events_holt_winters,
-#     dedup_containment_join — added after
+#     dedup_containment_join,
+#     corpus_weighted_sample_per_domain — added after
 #     the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -9548,3 +9549,38 @@ def dedup_containment_join(spark, sf_dir):
     |B| >= tau·|A| length filter before distinct."""
     docs = tables(spark, sf_dir)["documents"]
     return dd.containment_prefix_join(docs, tau_milli=800, k=3)
+
+
+@register(
+    "corpus_weighted_sample_per_domain",
+    f"""
+    WITH pri AS (
+        SELECT doc_id, source, n_chars,
+               ln(({_sql_h60("'ws:' || doc_id::VARCHAR")} + 1)
+                  / 1152921504606846976.0) / n_chars AS p
+        FROM documents WHERE n_chars > 0
+    ), rn AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY p DESC, doc_id) AS r
+        FROM pri
+    )
+    SELECT doc_id, source, n_chars FROM rn WHERE r <= 5
+    """,
+)
+def corpus_weighted_sample_per_domain(spark, sf_dir):
+    """Per-STRATUM A-Res (functions/sampling.py
+    weighted_sample_per_group): 5 length-weighted docs from EVERY
+    source in one pass — the shape a corpus mix actually samples
+    (k docs per domain/language/quality bin), where the global top-n
+    (corpus_weighted_sample) would let one heavy domain swallow the
+    budget. Same determinism: salted-id-hash priorities, priority
+    dropped, the per-domain SET is the hash-gated artifact. Scale:
+    ONE window shuffle on the stratum key — 10⁶ strata cost the same
+    single exchange, no per-group jobs, no driver loop."""
+    docs = tables(spark, sf_dir)["documents"]
+    return (
+        smp.weighted_sample_per_group(docs, "n_chars", "source", 5)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )

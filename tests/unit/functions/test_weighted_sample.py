@@ -49,3 +49,63 @@ def test_repartition_invariant_and_domain_guard(spark):
     }
     assert a == b and len(a) == 25
     assert 900 not in a and 901 not in a  # non-positive weights excluded
+
+
+def test_per_group_matches_python_replica(spark):
+    """Per-stratum A-Res: each group independently keeps its n
+    largest ln(u)/w priorities — replica equality per group, heavy
+    weights dominate within their own stratum only."""
+    import math
+
+    from logprep_spark.functions.sampling import (
+        _WS_H_MAX,
+        weighted_sample_per_group,
+    )
+    from logprep_spark.functions.dedup import _perm_const  # noqa: F401
+    import hashlib
+
+    rows = [
+        (i, "g%d" % (i % 3), float(w))
+        for i, w in enumerate([5, 1, 50, 3, 8, 2, 40, 1, 9, 7, 60, 4])
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "w"])
+    got = {
+        (r.grp, r.doc_id)
+        for r in weighted_sample_per_group(
+            df, "w", "grp", 2, id_col="doc_id"
+        ).collect()
+    }
+
+    def pri(i, w):
+        h = int(hashlib.md5(f"ws:{i}".encode()).hexdigest()[:15], 16)
+        return math.log((h + 1) / _WS_H_MAX) / w
+
+    want = set()
+    for g in ("g0", "g1", "g2"):
+        members = [(i, w) for i, gg, w in rows if gg == g]
+        top = sorted(members, key=lambda t: (-pri(*t), t[0]))[:2]
+        want |= {(g, i) for i, _ in top}
+    assert got == want
+    # every group contributes exactly 2
+    for g in ("g0", "g1", "g2"):
+        assert sum(1 for gg, _ in got if gg == g) == 2
+
+    # repartition invariance
+    again = {
+        (r.grp, r.doc_id)
+        for r in weighted_sample_per_group(
+            df.repartition(5), "w", "grp", 2, id_col="doc_id"
+        ).collect()
+    }
+    assert again == got
+
+
+def test_per_group_excludes_nonpositive_weights(spark):
+    from logprep_spark.functions.sampling import weighted_sample_per_group
+
+    df = spark.createDataFrame(
+        [(1, "g", 0.0), (2, "g", -3.0), (3, "g", 1.0)],
+        ["doc_id", "grp", "w"],
+    )
+    got = weighted_sample_per_group(df, "w", "grp", 5).collect()
+    assert [r.doc_id for r in got] == [3]
