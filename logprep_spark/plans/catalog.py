@@ -105,7 +105,7 @@ def register(name: str, oracle: str | None = None):
 #     graph_assortativity, layout_zorder_pruning,
 #     embed_jl_distortion, events_holt_winters,
 #     dedup_containment_join,
-#     corpus_weighted_sample_per_domain — added after
+#     corpus_weighted_sample_per_domain, graph_kcore — added after
 #     the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -9584,3 +9584,85 @@ def corpus_weighted_sample_per_domain(spark, sf_dir):
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+def _sql_kcore(k: int = 3, rounds: int = 12) -> str:
+    """Unrolled fixed-round peeling replica of plans/analytics.py
+    kcore_stats. MATERIALIZED is load-bearing: each round references
+    the previous THREE times, so default CTE inlining re-expands the
+    chain 3^rounds-fold (DuckDB exhausts file handles re-scanning the
+    base parquet); materializing evaluates every round once — the
+    same role the Spark loop's persist/unpersist plays."""
+    blocks = [
+        """e0 AS MATERIALIZED (
+        SELECT a, b FROM allpairs GROUP BY a, b HAVING count(*) >= 2
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        blocks.append(f"""k{r} AS MATERIALIZED (
+        SELECT n FROM (
+            SELECT a AS n FROM e{r - 1} UNION ALL SELECT b FROM e{r - 1}
+        ) GROUP BY n HAVING count(*) >= {k}
+    ), e{r} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e{r - 1} e
+        JOIN k{r} ka ON ka.n = e.a JOIN k{r} kb ON kb.n = e.b
+    )""")
+    last, prev = f"e{rounds}", f"e{rounds - 1}"
+    return f"""
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ), allpairs AS (
+        SELECT parts[i] AS a, parts[j] AS b
+        FROM baskets,
+             LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) ti,
+             LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS j) tj
+        WHERE j > i
+    ), {', '.join(blocks)}, deg AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT a AS n FROM {last} UNION ALL SELECT b FROM {last}
+        ) GROUP BY n
+    )
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM deg) AS BIGINT) AS core_nodes,
+           CAST((SELECT count(*) FROM {last}) AS BIGINT) AS core_edges,
+           CAST(coalesce((SELECT min(d) FROM deg), 0) AS BIGINT)
+               AS core_min_degree,
+           (SELECT count(*) FROM {prev}) = (SELECT count(*) FROM {last})
+               AS converged
+    """
+
+
+@register("graph_kcore", _sql_kcore(k=3, rounds=12))
+def graph_kcore(spark, sf_dir):
+    """3-core of the part co-purchase graph (plans/analytics.py
+    kcore_stats — Seidman 1983, synchronized-round peeling): the
+    subgraph where every part keeps >= 3 co-purchase partners, the
+    engagement-shell screen completing the graph family (components,
+    ranking, cohesion, mixing). FIXED 12 rounds keep both engines on
+    the identical computation; the ``converged`` column witnesses the
+    fixpoint in-query (935-node core, TRUE at sf0.01) — a graph
+    needing more rounds would say so instead of lying. Scale: each
+    round is one degree agg + two semi-joins (AQE-splittable
+    equi-joins), round frames persisted once and unpersisted behind
+    (the pagerank lineage discipline); peel depth in practice
+    ~O(log n) and the witness proves the budget sufficed."""
+    li = tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.selectExpr(
+        "explode(CASE WHEN size(parts) >= 2 THEN"
+        " flatten(transform(sequence(1, size(parts) - 1),"
+        " i -> transform(sequence(i + 1, size(parts)),"
+        " j -> struct(element_at(parts, i) AS a,"
+        " element_at(parts, j) AS b))))"
+        " ELSE CAST(array() AS array<struct<a:bigint,b:bigint>>) END) AS p"
+    ).selectExpr("p.a AS src", "p.b AS dst")
+    edges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .drop("_w")
+    )
+    return an.kcore_stats(edges, k=3, rounds=12)

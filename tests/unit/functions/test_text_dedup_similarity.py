@@ -1571,3 +1571,40 @@ def test_assortativity_known_graphs(spark):
         [(b, a) for a, b in [(0, i) for i in range(1, 6)]], ["src", "dst"]
     ).repartition(5)
     assert assortativity_stats(flipped).collect() == [s]
+
+
+def test_kcore_known_graphs(spark):
+    """Hand-peeled graphs: K4 with a pendant chain — the chain peels
+    away over multiple rounds (4-5-6 at degree 1, then nothing: K4
+    survives as the exact 3-core); a pure cycle is its own 2-core
+    but has NO 3-core (empty result, converged); a two-triangle
+    bowtie's 2-core is the whole graph."""
+    from logprep_spark.plans.analytics import kcore_stats
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    chain = k4 + [(4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(chain, ["src", "dst"])
+    (r,) = kcore_stats(df, k=3, rounds=12).collect()
+    assert (r["core_nodes"], r["core_edges"]) == (4, 6)
+    assert r["core_min_degree"] == 3 and bool(r["converged"])
+
+    cycle = [(i, (i + 1) % 6) for i in range(6)]
+    cdf = spark.createDataFrame(cycle, ["src", "dst"])
+    (c2,) = kcore_stats(cdf, k=2, rounds=12).collect()
+    assert (c2["core_nodes"], c2["core_edges"]) == (6, 6)
+    (c3,) = kcore_stats(cdf, k=3, rounds=12).collect()
+    assert (c3["core_nodes"], c3["core_edges"]) == (0, 0)
+    assert c3["core_min_degree"] == 0 and bool(c3["converged"])
+
+    # too-few rounds: the witness reports non-convergence honestly
+    long_chain = [(i, i + 1) for i in range(30)]
+    ldf = spark.createDataFrame(long_chain, ["src", "dst"])
+    (h,) = kcore_stats(ldf, k=2, rounds=3).collect()
+    assert not bool(h["converged"]) and h["core_edges"] > 0
+
+    # repartition invariance
+    again = kcore_stats(
+        spark.createDataFrame(chain[::-1], ["src", "dst"]).repartition(5),
+        k=3, rounds=12,
+    ).collect()
+    assert again == [r]
