@@ -1327,3 +1327,68 @@ def jl_distortion_report(
             (F.abs(F.col("_rm") - 1000) <= 200).cast("long")
         ).cast("long").alias("n_within_20pct"),
     )
+
+
+# --- ranked-retrieval evaluation: NDCG -------------------------------
+
+
+def ndcg_weights_micro(k: int) -> dict[int, int]:
+    """Integer micro log-discount table w_i = round(1e6/log2(i+1)) —
+    the ONE place floats touch NDCG; both engines consume the same
+    literal table, so DCG sums are exact 64-bit integers."""
+    import math
+
+    return {i: round(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)}
+
+
+def ndcg_at_k(approx: DataFrame, truth: DataFrame, k: int = 10) -> DataFrame:
+    """NDCG@k of an approximate ranking against an exact one — the
+    GRADED member of the retrieval-eval family (recall@k counts hits,
+    MRR scores the first hit, NDCG scores the whole ranked list with
+    position discounts: the metric that distinguishes 'found them
+    all, in the wrong order' from 'nailed the head').
+
+    Inputs are (query_id, nbr_id, rank) frames, rank 1-based; truth
+    supplies graded relevance rel = k+1-rank (top truth hit worth k,
+    the k-th worth 1; absent pairs worth 0). DCG_micro =
+    Σ rel·w_rank over the approx list with the integer weight table
+    above; IDCG is the same sum over a perfect ranking — a Python
+    int constant. Per query: ndcg_milli = 1000·DCG div IDCG, plus
+    the n_overlap witness. Everything after the rank windows is one
+    ≤k-rows-per-query left join + a group-by: the eval costs nothing
+    at any corpus size."""
+    w = ndcg_weights_micro(k)
+    idcg = sum((k + 1 - i) * w[i] for i in range(1, k + 1))
+    wexpr = (
+        "CASE rank "
+        + " ".join(f"WHEN {i} THEN {v}" for i, v in w.items())
+        + " ELSE 0 END"
+    )
+    t = truth.filter(F.col("rank") <= k).select(
+        "query_id", "nbr_id",
+        (F.lit(k + 1) - F.col("rank")).cast("long").alias("_rel"),
+    )
+    j = (
+        approx.filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank")
+        .join(t, ["query_id", "nbr_id"], "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("_rel"), F.lit(0)).alias("_rel"),
+            F.expr(wexpr).alias("_w"),
+        )
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.sum(F.col("_rel") * F.col("_w")).alias("_dcg"),
+            F.sum((F.col("_rel") > 0).cast("long")).cast("long").alias(
+                "n_overlap"
+            ),
+        )
+        .select(
+            "query_id",
+            "n_overlap",
+            F.expr(f"1000 * _dcg div {idcg}").alias("ndcg_milli"),
+        )
+    )

@@ -105,7 +105,8 @@ def register(name: str, oracle: str | None = None):
 #     graph_assortativity, layout_zorder_pruning,
 #     embed_jl_distortion, events_holt_winters,
 #     dedup_containment_join,
-#     corpus_weighted_sample_per_domain, graph_kcore — added after
+#     corpus_weighted_sample_per_domain, graph_kcore,
+#     search_ndcg_jl — added after
 #     the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -9579,11 +9580,13 @@ def corpus_weighted_sample_per_domain(spark, sf_dir):
     ONE window shuffle on the stratum key — 10⁶ strata cost the same
     single exchange, no per-group jobs, no driver loop."""
     docs = tables(spark, sf_dir)["documents"]
-    return (
-        smp.weighted_sample_per_group(docs, "n_chars", "source", 5)
-        .select("doc_id", "source", "n_chars")
-        .orderBy("doc_id")
-    )
+    # no orderBy: the driver hash is order-insensitive, and a global
+    # sort after the per-group window is exactly the ORDER-BY-without-
+    # LIMIT exchange `query lint` flags (it caught this row's first
+    # draft)
+    return smp.weighted_sample_per_group(
+        docs, "n_chars", "source", 5
+    ).select("doc_id", "source", "n_chars")
 
 
 def _sql_kcore(k: int = 3, rounds: int = 12) -> str:
@@ -9666,3 +9669,99 @@ def graph_kcore(spark, sf_dir):
         .drop("_w")
     )
     return an.kcore_stats(edges, k=3, rounds=12)
+
+
+@register(
+    "search_ndcg_jl",
+    f"""
+    WITH sel AS (
+        SELECT vec_id, {_KM_MICRO} AS v FROM embeddings
+    ), sm AS (
+        SELECT [[{_JL_SGN} for j in range(0, 64)]
+                for k in range(0, 16)] AS s
+    ), pr AS (
+        SELECT vec_id, v,
+               list_transform(sm.s, sr ->
+                   CAST(list_sum(list_transform(range(1, 65),
+                        j -> sr[j] * v[j])) AS BIGINT)) AS p
+        FROM sel, sm
+    ), pairs AS (
+        SELECT q.vec_id AS query_id, a.vec_id AS nbr_id,
+               CAST(list_sum(list_transform(range(1, 65), j -> (a.v[j] - q.v[j]) * (a.v[j] - q.v[j]))) AS BIGINT) AS d0,
+               CAST(list_sum(list_transform(range(1, 17), j -> (a.p[j] - q.p[j]) * (a.p[j] - q.p[j]))) AS BIGINT) AS dp
+        FROM pr q JOIN pr a ON a.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+    ), ranked AS (
+        SELECT query_id, nbr_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d0, nbr_id) AS rt,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dp, nbr_id) AS ra
+        FROM pairs
+    ), t AS (
+        SELECT query_id, nbr_id, 11 - rt AS rel
+        FROM ranked WHERE rt <= 10
+    ), ap AS (
+        SELECT r.query_id, coalesce(t.rel, 0) AS rel,
+               (CASE r.ra WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000 WHEN 4 THEN 430677 WHEN 5 THEN 386853 WHEN 6 THEN 356207 WHEN 7 THEN 333333 WHEN 8 THEN 315465 WHEN 9 THEN 301030 WHEN 10 THEN 289065 ELSE 0 END) AS w
+        FROM ranked r LEFT JOIN t
+          ON t.query_id = r.query_id AND t.nbr_id = r.nbr_id
+        WHERE r.ra <= 10
+    )
+    SELECT query_id,
+           CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overlap,
+           CAST(1000 * sum(rel * w) // 29966114 AS BIGINT) AS ndcg_milli
+    FROM ap GROUP BY query_id
+    """,
+)
+def search_ndcg_jl(spark, sf_dir):
+    """NDCG@10 of the JL-16-projected neighbor ranking against the
+    exact micro-L2 ranking (functions/similarity.py ndcg_at_k +
+    jl_project) — the GRADED retrieval metric completing the eval
+    family (recall@k: ann_recall_*, MRR: search_rrf_mrr): it scores
+    the WHOLE ranked list with position discounts, separating
+    'found them, wrong order' from 'nailed the head'. The integer
+    micro weight table is the one float touchpoint, shared as a
+    literal by both engines, so every DCG is an exact 64-bit sum and
+    all 5 per-query rows hash-gate. Doubles as the task-level answer
+    to embed_jl_distortion's geometry-level report: m=16 distorts
+    pair distances up to 2x, yet NDCG shows how much of the RANKING
+    survives. Scale: rankings are one broadcast-query scoring pass +
+    per-query windows; the eval join touches 10-row lists."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    pr = sim.jl_project(emb)
+    qs = pr.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_v").alias("_qv"), F.col("_p").alias("_qp"),
+    )
+    sq = (
+        "CAST(aggregate(zip_with({x}, {y}, (u, w) -> (u - w) * (u - w)),"
+        " CAST(0 AS BIGINT), (acc, e) -> acc + e) AS BIGINT)"
+    )
+    pairs = (
+        pr.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("nbr_id"),
+            F.expr(sq.format(x="_v", y="_qv")).alias("_d0"),
+            F.expr(sq.format(x="_p", y="_qp")).alias("_dp"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("query_id").orderBy("_d0", "nbr_id")
+    wa = Window.partitionBy("query_id").orderBy("_dp", "nbr_id")
+    ranked = pairs.select(
+        "query_id", "nbr_id",
+        F.row_number().over(wt).alias("_rt"),
+        F.row_number().over(wa).alias("_ra"),
+    )
+    truth = ranked.select(
+        "query_id", "nbr_id", F.col("_rt").alias("rank")
+    )
+    approx = ranked.select(
+        "query_id", "nbr_id", F.col("_ra").alias("rank")
+    )
+    return sim.ndcg_at_k(approx, truth, k=10)

@@ -74,3 +74,60 @@ def test_distortion_report_replica_and_invariance(spark):
     assert jl_distortion_report(
         shuffled, m=M, d=D, sample_mod=1
     ).collect() == [row]
+
+
+# --- NDCG@k ------------------------------------------------------------
+
+
+def test_ndcg_hand_values(spark):
+    """Hand-checked gradings at k=3: perfect ranking = 1000, a
+    disjoint list = 0, and a REVERSED ranking's DCG computed by hand
+    from the integer weight table."""
+    from logprep_spark.functions.similarity import (
+        ndcg_at_k,
+        ndcg_weights_micro,
+    )
+
+    k = 3
+    w = ndcg_weights_micro(k)
+    idcg = sum((k + 1 - i) * w[i] for i in range(1, k + 1))
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        ["query_id", "nbr_id", "rank"],
+    )
+    perfect = truth
+    (r,) = ndcg_at_k(perfect, truth, k=k).collect()
+    assert r["ndcg_milli"] == 1000 and r["n_overlap"] == 3
+
+    disjoint = spark.createDataFrame(
+        [(1, 90, 1), (1, 91, 2), (1, 92, 3)],
+        ["query_id", "nbr_id", "rank"],
+    )
+    (d,) = ndcg_at_k(disjoint, truth, k=k).collect()
+    assert d["ndcg_milli"] == 0 and d["n_overlap"] == 0
+
+    reverse = spark.createDataFrame(
+        [(1, 12, 1), (1, 11, 2), (1, 10, 3)],
+        ["query_id", "nbr_id", "rank"],
+    )
+    (v,) = ndcg_at_k(reverse, truth, k=k).collect()
+    dcg = 1 * w[1] + 2 * w[2] + 3 * w[3]
+    assert v["ndcg_milli"] == 1000 * dcg // idcg
+    assert 0 < v["ndcg_milli"] < 1000
+
+
+def test_ndcg_ignores_beyond_k(spark):
+    """rank > k rows on either side must not contribute."""
+    from logprep_spark.functions.similarity import ndcg_at_k
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 99, 7)],
+        ["query_id", "nbr_id", "rank"],
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 99, 3), (1, 10, 9)],
+        ["query_id", "nbr_id", "rank"],
+    )
+    (r,) = ndcg_at_k(approx, truth, k=2).collect()
+    assert r["n_overlap"] == 2 and r["ndcg_milli"] == 1000
