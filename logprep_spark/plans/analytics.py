@@ -1347,6 +1347,55 @@ def scd2_user_tier(events: DataFrame) -> DataFrame:
     )
 
 
+def scd2_point_in_time(events: DataFrame) -> DataFrame:
+    """Point-in-time (PIT) fact enrichment against the SCD2 tier
+    dimension — THE warehouse join (every fact row reads the
+    dimension attribute that was valid AT ITS OWN TIMESTAMP, not
+    today's): purchases pick up the user tier in force when the
+    purchase happened.
+
+    Realization: NOT an interval join. Because SCD2 validity
+    intervals partition each key's timeline, "interval containing
+    ts" == "latest change <= ts" — an AS-OF join, so the union +
+    carry-forward machinery (:func:`asof_join`: ONE key shuffle, no
+    |facts| x |intervals-per-key| explosion) answers the PIT
+    question the textbook BETWEEN-join shape cannot afford at
+    100 TB. Change rows collapse to one per (user, ts) first — the
+    LAST change at an instant (by event id) is the state after it —
+    which also makes the carry deterministic under ties.
+    Same-instant semantics are inclusive (a purchase at the exact
+    change timestamp sees the NEW tier), matching DuckDB ASOF JOIN
+    (the oracle)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tiered = events.select(
+        "user_id", "ts", "event_id",
+        F.expr(
+            "CAST(get_json_object(props, '$.k') AS BIGINT) div 25"
+        ).alias("tier"),
+    )
+    changes = tiered.withColumn("_prev", F.lag("tier").over(w)).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col("tier"))
+    )
+    w_inst = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    per_instant = (
+        changes.withColumn("_rn", F.row_number().over(w_inst))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "tier")
+    )
+    facts = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    enriched = asof_join(facts, per_instant, ["user_id"])
+    return enriched.select(
+        "event_id",
+        "user_id",
+        _epoch_micros(F.col("ts")).alias("ts_micros"),
+        F.col("tier_asof").alias("tier_at_purchase"),
+    )
+
+
 def attribution_last_touch(
     events: DataFrame, conversion_type: str = "purchase"
 ) -> DataFrame:

@@ -106,7 +106,7 @@ def register(name: str, oracle: str | None = None):
 #     embed_jl_distortion, events_holt_winters,
 #     dedup_containment_join,
 #     corpus_weighted_sample_per_domain, graph_kcore,
-#     search_ndcg_jl — added after
+#     search_ndcg_jl, scd2_point_in_time — added after
 #     the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -9765,3 +9765,51 @@ def search_ndcg_jl(spark, sf_dir):
         "query_id", "nbr_id", F.col("_ra").alias("rank")
     )
     return sim.ndcg_at_k(approx, truth, k=10)
+
+
+@register(
+    "scd2_point_in_time",
+    """
+    WITH tiered AS (
+        SELECT user_id, ts, event_id,
+               json_extract_string(props, '$.k')::BIGINT // 25 AS tier
+        FROM events
+    ), changes AS (
+        SELECT user_id, ts, event_id, tier FROM (
+            SELECT user_id, ts, event_id, tier,
+                   lag(tier) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS _prev
+            FROM tiered
+        ) WHERE _prev IS NULL OR _prev <> tier
+    ), per_instant AS (
+        SELECT user_id, ts, tier FROM (
+            SELECT user_id, ts, tier,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS _rn
+            FROM changes
+        ) WHERE _rn = 1
+    ), facts AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, epoch_us(f.ts) AS ts_micros,
+           c.tier AS tier_at_purchase
+    FROM facts f ASOF LEFT JOIN per_instant c
+      ON f.user_id = c.user_id AND f.ts >= c.ts
+    """,
+)
+def scd2_point_in_time(spark, sf_dir):
+    """Point-in-time enrichment of purchases against the SCD2 tier
+    dimension (plans/analytics.py scd2_point_in_time): each purchase
+    reads the tier valid AT ITS OWN TIMESTAMP — the fact-joins-
+    dimension-history query every warehouse runs. Realized as an
+    AS-OF join (validity intervals partition the timeline, so
+    "containing interval" == "latest change <= ts"): union +
+    carry-forward, ONE user-keyed shuffle, no |facts| x |intervals|
+    interval-join explosion — while the ORACLE uses DuckDB's native
+    ASOF LEFT JOIN, so the gate cross-checks two INDEPENDENT PIT
+    realizations row-for-row (inclusive same-instant semantics,
+    deterministic under same-timestamp change ties via the
+    last-change-at-instant collapse)."""
+    events = tables(spark, sf_dir)["events"]
+    return an.scd2_point_in_time(events)
