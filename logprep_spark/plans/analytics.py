@@ -1944,6 +1944,90 @@ def holt_winters_forecast(
     )
 
 
+def cusum_shift(
+    series: DataFrame,
+    group_col: str,
+    period_col: str,
+    x_col: str,
+    baseline_periods: int = 7,
+) -> DataFrame:
+    """Two-sided CUSUM level-shift detector (Page 1954) per group —
+    the CHANGE-POINT member of the time-series family (outliers:
+    MAD flags single points, forecast: Holt/HW track smoothly; CUSUM
+    is the one that catches a small PERSISTENT shift fast, the
+    canary for "the pipeline silently started dropping 5%").
+
+    Baseline μ = milli mean of the first ``baseline_periods``
+    ordered values; slack κ = μ div 20 (5%), threshold h = μ div 2 —
+    the classic κ = δ/2 sizing for a 10% shift. Over the remaining
+    periods: S⁺ = max(0, S⁺ + x·1000 − μ − κ), S⁻ = max(0, S⁻ + μ −
+    x·1000 − κ); an alarm is either side crossing h. Output per
+    group: μ, max S, the 1-based period index of the FIRST alarm
+    (0 = clean), alarm count. All integer milli — both engines fold
+    the identical recurrence, so the detector state hash-gates.
+
+    Catalyst shape: same as holt_forecast — ONE ``aggregate``
+    expression per group over the sorted period array (the μ slice
+    and the fold share it), no UDF, no per-step shuffle; the daily
+    pre-agg is the only exchange."""
+    b = baseline_periods
+    arr = series.groupBy(group_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(period_col), F.col(x_col)))
+        ).alias("_s")
+    ).select(
+        group_col,
+        F.expr(f"transform(_s, q -> CAST(q.{x_col} AS BIGINT))").alias(
+            "_xs"
+        ),
+    )
+    staged = arr.select(
+        group_col,
+        "_xs",
+        F.size("_xs").cast("long").alias("n_periods"),
+        F.expr(
+            f"1000 * aggregate(slice(_xs, 1, least(size(_xs), {b})),"
+            f" CAST(0 AS BIGINT), (a, x) -> a + x)"
+            f" div least(size(_xs), {b})"
+        ).alias("mu_milli"),
+    )
+    kappa = "(mu_milli div 20)"
+    h = "(mu_milli div 2)"
+    shi = f"greatest(CAST(0 AS BIGINT), acc.hi + x * 1000 - mu_milli - {kappa})"
+    slo = f"greatest(CAST(0 AS BIGINT), acc.lo + mu_milli - x * 1000 - {kappa})"
+    alarm = f"(({shi}) > {h} OR ({slo}) > {h})"
+    folded = staged.select(
+        group_col,
+        "n_periods",
+        "mu_milli",
+        F.expr(
+            f"""aggregate(
+                slice(_xs, {b} + 1, greatest(size(_xs) - {b}, 0)),
+                struct(CAST(0 AS BIGINT) AS hi, CAST(0 AS BIGINT) AS lo,
+                       CAST(0 AS BIGINT) AS mx, CAST(0 AS BIGINT) AS first,
+                       CAST({b} AS BIGINT) AS i,
+                       CAST(0 AS BIGINT) AS n_alarms),
+                (acc, x) -> struct(
+                    {shi} AS hi,
+                    {slo} AS lo,
+                    greatest(acc.mx, {shi}, {slo}) AS mx,
+                    CASE WHEN acc.first = 0 AND {alarm}
+                         THEN acc.i + 1 ELSE acc.first END AS first,
+                    acc.i + 1 AS i,
+                    acc.n_alarms + CASE WHEN {alarm} THEN 1 ELSE 0 END
+                        AS n_alarms))"""
+        ).alias("_f"),
+    )
+    return folded.select(
+        group_col,
+        "n_periods",
+        "mu_milli",
+        F.col("_f.mx").alias("max_cusum_milli"),
+        F.col("_f.first").alias("first_alarm_period"),
+        F.col("_f.n_alarms").alias("n_alarm_periods"),
+    )
+
+
 def assortativity_stats(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:

@@ -106,8 +106,8 @@ def register(name: str, oracle: str | None = None):
 #     embed_jl_distortion, events_holt_winters,
 #     dedup_containment_join,
 #     corpus_weighted_sample_per_domain, graph_kcore,
-#     search_ndcg_jl, scd2_point_in_time — added after
-#     the r8 window was set; all local hash-PASS), then the five r4
+#     search_ndcg_jl, scd2_point_in_time, events_cusum_shift — added
+#     after the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
 #     dedup_contamination, ann_recall_lsh) + the r5-checked rotation
@@ -9813,3 +9813,58 @@ def scd2_point_in_time(spark, sf_dir):
     last-change-at-instant collapse)."""
     events = tables(spark, sf_dir)["events"]
     return an.scd2_point_in_time(events)
+
+
+@register(
+    "events_cusum_shift",
+    """
+    WITH series AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), arr AS (
+        SELECT event_type, list(x ORDER BY d) AS xs FROM series GROUP BY 1
+    ), st AS (
+        SELECT event_type, xs, CAST(len(xs) AS BIGINT) AS n_periods,
+               1000 * list_sum(xs[1:least(len(xs), 7)])
+                   // least(len(xs), 7) AS mu
+        FROM arr
+    ), f AS (
+        SELECT event_type, n_periods, mu,
+               list_reduce(
+                   list_concat([[0, 0, 0, 0, 7, 0]],
+                               [[x, 0, 0, 0, 0, 0] for x in xs[7 + 1:]]),
+                   (acc, e) -> [
+                       greatest(0, acc[1] + e[1] * 1000 - mu - (mu // 20)), greatest(0, acc[2] + mu - e[1] * 1000 - (mu // 20)),
+                       greatest(acc[3], greatest(0, acc[1] + e[1] * 1000 - mu - (mu // 20)), greatest(0, acc[2] + mu - e[1] * 1000 - (mu // 20))),
+                       CASE WHEN acc[4] = 0 AND ((greatest(0, acc[1] + e[1] * 1000 - mu - (mu // 20))) > (mu // 2) OR (greatest(0, acc[2] + mu - e[1] * 1000 - (mu // 20))) > (mu // 2))
+                            THEN acc[5] + 1 ELSE acc[4] END,
+                       acc[5] + 1,
+                       acc[6] + CASE WHEN ((greatest(0, acc[1] + e[1] * 1000 - mu - (mu // 20))) > (mu // 2) OR (greatest(0, acc[2] + mu - e[1] * 1000 - (mu // 20))) > (mu // 2)) THEN 1 ELSE 0 END]
+               ) AS fd
+        FROM st
+    )
+    SELECT event_type, n_periods, mu AS mu_milli,
+           fd[3] AS max_cusum_milli, fd[4] AS first_alarm_period,
+           fd[6] AS n_alarm_periods
+    FROM f
+    """,
+)
+def events_cusum_shift(spark, sf_dir):
+    """Two-sided CUSUM level-shift detection (plans/analytics.py
+    cusum_shift — Page 1954) on per-type daily counts: baseline mu
+    from the first 7 days, slack mu/20, threshold mu/2 — the
+    change-point member of the time-series family (MAD flags single
+    outliers, Holt/HW track smoothly; CUSUM catches a small
+    PERSISTENT shift, the canary for silent partial data loss). At
+    sf0.01 the detector genuinely fires: click alarms first at
+    period 13, purchase at 18, error/signup/view stay clean — all
+    six state columns hash-gated against the DuckDB list_reduce
+    replica. Same Catalyst shape as Holt: one aggregate fold per
+    group, integer milli throughout, the daily pre-agg the only
+    exchange."""
+    ev = tables(spark, sf_dir)["events"]
+    series = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return an.cusum_shift(series, "event_type", "d", "x")

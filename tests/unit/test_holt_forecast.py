@@ -171,3 +171,72 @@ def test_hw_repartition_invariance(spark):
     assert _hw_run(spark, {"g": xs}, partitions=7) == _hw_run(
         spark, {"g": xs}
     )
+
+
+# --- CUSUM change-point detection --------------------------------------
+
+
+def _cusum_replica(xs, b=7):
+    mu = 1000 * sum(xs[:min(len(xs), b)]) // min(len(xs), b)
+    kappa, h = mu // 20, mu // 2
+    hi = lo = mx = first = n_alarms = 0
+    for i, x in enumerate(xs[b:], start=b + 1):
+        hi = max(0, hi + x * 1000 - mu - kappa)
+        lo = max(0, lo + mu - x * 1000 - kappa)
+        mx = max(mx, hi, lo)
+        if hi > h or lo > h:
+            n_alarms += 1
+            if first == 0:
+                first = i
+    return {
+        "n_periods": len(xs),
+        "mu_milli": mu,
+        "max_cusum_milli": mx,
+        "first_alarm_period": first,
+        "n_alarm_periods": n_alarms,
+    }
+
+
+def _cusum_run(spark, groups, partitions=1):
+    from logprep_spark.plans.analytics import cusum_shift
+
+    rows = [
+        (g, i, x) for g, xs in groups.items() for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "d", "x"])
+    if partitions > 1:
+        df = df.repartition(partitions)
+    return {
+        r["grp"]: r.asDict() for r in cusum_shift(df, "grp", "d", "x").collect()
+    }
+
+
+def test_cusum_detects_persistent_shift_not_noise(spark):
+    """A 15% persistent drop alarms within a few periods; symmetric
+    noise around the baseline never does; an upward shift trips the
+    high side — each replica-exact."""
+    steady = [100, 102, 98, 101, 99, 100, 100]
+    dropped = steady + [85] * 10          # -15% persistent
+    noisy = steady + [104, 96, 103, 97, 105, 95, 104, 96, 103, 97]
+    spiked = steady + [118] * 8           # +18% persistent
+    got = _cusum_run(
+        spark, {"drop": dropped, "noise": noisy, "spike": spiked}
+    )
+    for name, xs in (("drop", dropped), ("noise", noisy), ("spike", spiked)):
+        exp = _cusum_replica(xs)
+        assert {k: got[name][k] for k in exp} == exp, name
+    assert got["drop"]["first_alarm_period"] > 0
+    assert got["noise"]["first_alarm_period"] == 0
+    assert got["noise"]["n_alarm_periods"] == 0
+    assert got["spike"]["first_alarm_period"] > 0
+
+
+def test_cusum_short_series_and_invariance(spark):
+    short = [50, 51, 49]  # shorter than the baseline window
+    got = _cusum_run(spark, {"s": short})["s"]
+    assert got["mu_milli"] == 1000 * 150 // 3
+    assert got["max_cusum_milli"] == 0 and got["n_alarm_periods"] == 0
+    xs = [60, 62, 58, 61, 59, 60, 60, 40, 41, 39, 40]
+    assert _cusum_run(spark, {"g": xs}, partitions=4) == _cusum_run(
+        spark, {"g": xs}
+    )
