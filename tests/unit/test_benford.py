@@ -1,0 +1,48 @@
+"""Benford screen: digit extraction is integer-exact, a genuinely
+Benford-distributed sample passes, a uniform one fails."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _screen(spark, values):
+    from logprep_spark.plans.catalog import dq_benford  # noqa: F401 — row uses lineitem
+    # exercise the same expression shape directly
+    df = spark.createDataFrame([(v,) for v in values], ["l_extendedprice"])
+    digits = df.filter(F.col("l_extendedprice") > 0).select(
+        F.substring(
+            F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
+            1, 1,
+        ).cast("long").alias("digit")
+    )
+    return {
+        r["digit"]: r["n"]
+        for r in digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def test_digit_extraction_integer_safe(spark):
+    # powers of ten and near-boundary cents: no log10 ulp flips
+    got = _screen(spark, [10.00, 9.99, 100.0, 0.01, 0.09, 19.95, 0.10, 29.50])
+    assert got == {1: 5, 9: 2, 2: 1}
+
+
+def test_benford_vs_uniform(spark):
+    # log-uniform sample follows Benford; uniform does not
+    import itertools
+
+    logu = [10 ** (i / 200 % 3) for i in range(600)]   # log-spaced
+    freq = _screen(spark, logu)
+    tot = sum(freq.values())
+    for d in range(1, 10):
+        expect = math.log10(1 + 1 / d)
+        assert abs(freq.get(d, 0) / tot - expect) < 0.02, d
+
+    uni = [1.0 + 8.0 * i / 600 for i in range(600)]    # uniform 1..9
+    ufreq = _screen(spark, uni)
+    utot = sum(ufreq.values())
+    # digit 1 massively under Benford's 30.1% under uniformity
+    assert ufreq[1] / utot < 0.2
