@@ -107,7 +107,7 @@ def register(name: str, oracle: str | None = None):
 #     dedup_containment_join,
 #     corpus_weighted_sample_per_domain, graph_kcore,
 #     search_ndcg_jl, scd2_point_in_time, events_cusum_shift,
-#     dq_benford — added
+#     dq_benford, text_readability — added
 #     after the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -9925,3 +9925,37 @@ def dq_benford(spark, sf_dir):
             "abs(1000 * n_obs div _t - (CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125 WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58 WHEN 8 THEN 51 WHEN 9 THEN 46 ELSE 0 END))"
         ).alias("dev_milli"),
     )
+
+
+@register(
+    "text_readability",
+    f"""
+    WITH c AS (
+        SELECT doc_id,
+               CAST(len({_sql_words()}) AS BIGINT) AS w,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS s,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS sy
+        FROM documents
+    ), m AS (
+        SELECT doc_id, w, s, sy,
+               1000 * w // greatest(s, 1) AS wps,
+               1000 * sy // greatest(w, 1) AS spw
+        FROM c
+    )
+    SELECT doc_id, w AS n_words, s AS n_sentences, sy AS n_syllables,
+           206835 - (1015 * wps) // 1000 - (84600 * spw) // 1000
+               AS flesch_milli
+    FROM m
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease per document (functions/text.py
+    readability_scores): the classic audience-level feature corpus
+    curricula bin on, computed as an all-integer milli pipeline
+    (vowel-run syllable heuristic, [.!?]+ sentences floored at 1) so
+    all 500 rows hash-gate. Three regexp counts fused into one
+    narrow projection — no shuffle, free at any corpus size."""
+    docs = tables(spark, sf_dir)["documents"]
+    return tx.readability_scores(docs)

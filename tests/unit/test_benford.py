@@ -46,3 +46,36 @@ def test_benford_vs_uniform(spark):
     utot = sum(ufreq.values())
     # digit 1 massively under Benford's 30.1% under uniformity
     assert ufreq[1] / utot < 0.2
+
+
+# --- Flesch readability -------------------------------------------------
+
+
+def test_readability_hand_values(spark):
+    """Hand-counted: 'The cat sat. It ran.' = 5 whitespace tokens
+    ('sat.' is one token), 2 sentences, 5 vowel runs -> wps=2500,
+    spw=1000."""
+    from logprep_spark.functions.text import readability_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. It ran."),
+            (2, "Antidisestablishmentarianism!"),
+            (3, ""),  # degenerate: zero words
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in readability_scores(df).collect()}
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (5, 2, 5)
+    assert r1["flesch_milli"] == 206835 - (1015 * 2500) // 1000 - (84600 * 1000) // 1000
+
+    # one long word: a(1) i(1) i(1) e(1) a(1) i(1) i(1) a(1) i(1) a(1) i(1)...
+    r2 = got[2]
+    assert r2["n_words"] == 1 and r2["n_sentences"] == 1
+    assert r2["n_syllables"] == len(
+        __import__("re").findall(r"[aeiouy]+", "antidisestablishmentarianism")
+    )
+
+    r3 = got[3]
+    assert r3["n_words"] == 0 and r3["flesch_milli"] == 206835 - 0 - 0
