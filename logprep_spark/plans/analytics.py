@@ -1944,6 +1944,80 @@ def holt_winters_forecast(
     )
 
 
+def sprt_ab(
+    events: DataFrame,
+    variant_col,
+    success_col,
+    order_cols: list[str],
+    s_inc_micro: int,
+    f_inc_micro: int,
+    bound_micro: int,
+) -> DataFrame:
+    """Sequential probability ratio test (Wald 1945) per variant —
+    the SEQUENTIAL member of the experimentation family (the
+    fixed-horizon two-proportion z: ab_test; SPRT is the one that
+    STOPS EARLY with guaranteed error rates, the always-valid way to
+    peek): fold the ordered Bernoulli stream, llr += s_inc on
+    success else f_inc, decide at the first crossing of
+    ±bound (sticky — observations after the decision don't reopen
+    it, Wald's stopping rule). The log-likelihood increments and the
+    boundary arrive as INTEGER MICRO literals (the caller computes
+    ln(p1/p0), ln((1−p1)/(1−p0)), ln((1−β)/α) once in Python — both
+    engines consume identical constants), so the entire trajectory
+    state is exact 64-bit arithmetic and hash-gates.
+
+    Catalyst shape: the cusum_shift/holt discipline — one
+    ``aggregate`` fold per variant over the sorted observation
+    array; the only exchange is the variant pre-shuffle. Output per
+    variant: n_obs, final llr, decision (1 accept H1, −1 accept H0,
+    0 still undecided), the 1-based observation index of the
+    decision, and the llr AT decision time."""
+    obs = events.select(
+        variant_col.alias("_variant"),
+        F.struct(
+            *[F.col(c) for c in order_cols], success_col.alias("_x")
+        ).alias("_o"),
+    )
+    arr = obs.groupBy("_variant").agg(
+        F.sort_array(F.collect_list("_o")).alias("_s")
+    ).select(
+        "_variant",
+        F.expr("transform(_s, q -> CAST(q._x AS BIGINT))").alias("_xs"),
+    )
+    llr = f"(acc.llr + CASE WHEN x = 1 THEN {s_inc_micro} ELSE {f_inc_micro} END)"
+    crossed = f"(({llr}) >= {bound_micro} OR ({llr}) <= -{bound_micro})"
+    folded = arr.select(
+        F.col("_variant").alias("variant"),
+        F.size("_xs").cast("long").alias("n_obs"),
+        F.expr(
+            f"""aggregate(
+                _xs,
+                struct(CAST(0 AS BIGINT) AS llr, CAST(0 AS BIGINT) AS dec,
+                       CAST(0 AS BIGINT) AS at, CAST(0 AS BIGINT) AS dllr,
+                       CAST(0 AS BIGINT) AS i),
+                (acc, x) -> struct(
+                    {llr} AS llr,
+                    CASE WHEN acc.dec <> 0 THEN acc.dec
+                         WHEN ({llr}) >= {bound_micro} THEN CAST(1 AS BIGINT)
+                         WHEN ({llr}) <= -{bound_micro} THEN CAST(-1 AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END AS dec,
+                    CASE WHEN acc.dec = 0 AND {crossed}
+                         THEN acc.i + 1 ELSE acc.at END AS at,
+                    CASE WHEN acc.dec = 0 AND {crossed}
+                         THEN {llr} ELSE acc.dllr END AS dllr,
+                    acc.i + 1 AS i))"""
+        ).alias("_f"),
+    )
+    return folded.select(
+        "variant",
+        "n_obs",
+        F.col("_f.llr").alias("final_llr_micro"),
+        F.col("_f.dec").alias("decision"),
+        F.col("_f.at").alias("decided_at_obs"),
+        F.col("_f.dllr").alias("llr_at_decision_micro"),
+    )
+
+
 def cusum_shift(
     series: DataFrame,
     group_col: str,

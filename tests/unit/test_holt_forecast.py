@@ -5,6 +5,8 @@ repartition invariance.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from logprep_spark.plans.analytics import holt_forecast
 
 
@@ -240,3 +242,50 @@ def test_cusum_short_series_and_invariance(spark):
     assert _cusum_run(spark, {"g": xs}, partitions=4) == _cusum_run(
         spark, {"g": xs}
     )
+
+
+# --- Wald SPRT sequential A/B ------------------------------------------
+
+
+def _sprt_run(spark, streams, s_inc, f_inc, bound, partitions=1):
+    from logprep_spark.plans.analytics import sprt_ab
+
+    rows = [
+        (v, i, x) for v, xs in streams.items() for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, ["variant", "seq", "x"])
+    if partitions > 1:
+        df = df.repartition(partitions)
+    return {
+        r["variant"]: r.asDict()
+        for r in sprt_ab(
+            df,
+            variant_col=F.col("variant"),
+            success_col=F.col("x").cast("long"),
+            order_cols=["seq"],
+            s_inc_micro=s_inc,
+            f_inc_micro=f_inc,
+            bound_micro=bound,
+        ).collect()
+    }
+
+
+def test_sprt_decisions_and_stickiness(spark):
+    """With +100/-50 increments and boundary 300: six successes
+    cross +300 at observation 3 and the decision STAYS 1 even after
+    a run of failures; all-failure stream crosses -300 at 6; an
+    alternating stream never decides."""
+    streams = {
+        1: [1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+        0: [0] * 8,
+        2: [1, 0, 1, 0, 1, 0, 1, 0],
+    }
+    got = _sprt_run(spark, streams, 100, -50, 300)
+    assert got[1]["decision"] == 1 and got[1]["decided_at_obs"] == 3
+    assert got[1]["llr_at_decision_micro"] == 300
+    assert got[1]["final_llr_micro"] == 300 - 9 * 50  # keeps accumulating
+    assert got[0]["decision"] == -1 and got[0]["decided_at_obs"] == 6
+    assert got[2]["decision"] == 0 and got[2]["decided_at_obs"] == 0
+    assert got[2]["final_llr_micro"] == 4 * 100 - 4 * 50
+
+    assert _sprt_run(spark, streams, 100, -50, 300, partitions=5) == got
