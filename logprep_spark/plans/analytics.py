@@ -2018,6 +2018,57 @@ def sprt_ab(
     )
 
 
+def gini_concentration(
+    df: DataFrame, value_col: str = "x", id_col: str = "user_id"
+) -> DataFrame:
+    """Gini coefficient + top-decile share of a per-key value frame —
+    the CONCENTRATION profile (spend inequality, traffic-per-key
+    skew): the same number that tells a revenue analyst "whales" and
+    a pipeline engineer "salt this key" (a Gini near 1 on
+    bytes-per-key IS the skew_report warning, condensed to one row).
+
+    Exactness: with x in integer units and rank i from a total order
+    (value, id), Gini = (2·Σi·x − (n+1)·Σx) / (n·Σx) — every term an
+    integer; the Σi·x and n·Σx products are carried in DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB) because at n ~ 10⁹ keys they overflow
+    int64 — the milli readout casts back down. One window over the
+    PER-KEY frame (aggregated first: |keys| ≪ |events|) then two
+    scalar aggs; the global rank sort is over keys, not facts —
+    same budget class as a top-n readout, annotate before reusing
+    on raw facts."""
+    ranked = df.select(
+        F.col(value_col).alias("_x"), F.col(id_col).alias("_id")
+    ).withColumn(
+        "_i",
+        F.row_number().over(Window.orderBy("_x", "_id")).cast("long"),
+    )
+    d38 = "decimal(38,0)"
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").cast(d38).alias("_tot"),
+        F.sum(F.col("_i").cast(d38) * F.col("_x").cast(d38)).alias("_ix"),
+    )
+    top = (
+        ranked.crossJoin(F.broadcast(agg.select("n")))
+        .filter(F.col("_i") > F.col("n") - F.expr("n div 10"))
+        .agg(F.sum("_x").cast(d38).alias("_top"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(top))
+        .select(
+            F.col("n").alias("n_keys"),
+            F.col("_tot").cast("long").alias("total_units"),
+            F.expr(
+                "CAST((1000 * (2 * _ix - (n + 1) * _tot))"
+                " div (n * _tot) AS BIGINT)"
+            ).alias("gini_milli"),
+            F.expr("CAST(1000 * _top div _tot AS BIGINT)").alias(
+                "top_decile_share_milli"
+            ),
+        )
+    )
+
+
 def cusum_shift(
     series: DataFrame,
     group_col: str,

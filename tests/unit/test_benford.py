@@ -79,3 +79,34 @@ def test_readability_hand_values(spark):
 
     r3 = got[3]
     assert r3["n_words"] == 0 and r3["flesch_milli"] == 206835 - 0 - 0
+
+
+# --- Gini concentration -------------------------------------------------
+
+
+def test_gini_known_distributions(spark):
+    """Hand-checked: perfect equality = 0; one key owning everything
+    approaches (n-1)/n; a hand-computed mixed case matches the exact
+    integer formula; repartition-invariant."""
+    from logprep_spark.plans.analytics import gini_concentration
+
+    eq = spark.createDataFrame([(i, 100) for i in range(10)], ["user_id", "x"])
+    (r,) = gini_concentration(eq, "x", "user_id").collect()
+    assert r["gini_milli"] == 0
+    assert r["top_decile_share_milli"] == 100  # 1 of 10 keys = 1/10 of total
+
+    mono = spark.createDataFrame(
+        [(i, 1) for i in range(9)] + [(9, 991)], ["user_id", "x"]
+    )
+    (m,) = gini_concentration(mono, "x", "user_id").collect()
+    # exact: n=10, tot=1000, sorted xs -> sum i*x = 45*1 - ... compute
+    xs = sorted([1] * 9 + [991])
+    ix = sum((i + 1) * x for i, x in enumerate(xs))
+    want = (1000 * (2 * ix - 11 * 1000)) // (10 * 1000)
+    assert m["gini_milli"] == want and want > 850
+    assert m["top_decile_share_milli"] == 991
+
+    (m2,) = gini_concentration(
+        mono.repartition(4), "x", "user_id"
+    ).collect()
+    assert m2 == m
