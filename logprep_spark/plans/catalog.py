@@ -9828,8 +9828,8 @@ def scd2_point_in_time(spark, sf_dir):
         SELECT event_type, list(x ORDER BY d) AS xs FROM series GROUP BY 1
     ), st AS (
         SELECT event_type, xs, CAST(len(xs) AS BIGINT) AS n_periods,
-               1000 * list_sum(xs[1:least(len(xs), 7)])
-                   // least(len(xs), 7) AS mu
+               CAST(1000 * list_sum(xs[1:least(len(xs), 7)])
+                   // least(len(xs), 7) AS BIGINT) AS mu
         FROM arr
     ), f AS (
         SELECT event_type, n_periods, mu,
