@@ -117,6 +117,7 @@ def layout_pruning_stats(
     x_probe: tuple[int, int] = (1843, 2252),
     y_probe: tuple[int, int] = (1843, 2252),
     bits: int = 12,
+    with_hilbert: bool = False,
 ):
     """Measure what Z-ordering buys BEFORE rewriting a table: assign
     rows to ``n_files`` equal-count files under (a) the linear layout
@@ -170,6 +171,31 @@ def layout_pruning_stats(
             as_cnt(hit_x & hit_y).alias("files_hit_box"),
         ).select(F.lit(layout).alias("layout"), "*")
 
-    return one("linear", [F.col("_cx"), F.col("_cy"), F.col("_id")]).unionAll(
+    out = one("linear", [F.col("_cx"), F.col("_cy"), F.col("_id")]).unionAll(
         one("zorder", [F.col("_zk"), F.col("_id")])
     )
+    if with_hilbert:
+        nonlocal_z = with_hilbert_key(
+            z, F.col("_cx"), F.col("_cy"), bits=bits, out_col="_hk"
+        )
+        files = nonlocal_z.withColumn(
+            "_f",
+            F.ntile(n_files).over(Window.orderBy(F.col("_hk"), F.col("_id"))),
+        )
+        per = files.groupBy("_f").agg(
+            F.min("_cx").alias("_xlo"),
+            F.max("_cx").alias("_xhi"),
+            F.min("_cy").alias("_ylo"),
+            F.max("_cy").alias("_yhi"),
+        )
+        hit_x = (F.col("_xlo") <= x_probe[1]) & (F.col("_xhi") >= x_probe[0])
+        hit_y = (F.col("_ylo") <= y_probe[1]) & (F.col("_yhi") >= y_probe[0])
+        as_cnt = lambda c: F.sum(c.cast("long")).cast("long")  # noqa: E731
+        hrow = per.agg(
+            F.count(F.lit(1)).alias("n_files"),
+            as_cnt(hit_x).alias("files_hit_x"),
+            as_cnt(hit_y).alias("files_hit_y"),
+            as_cnt(hit_x & hit_y).alias("files_hit_box"),
+        ).select(F.lit("hilbert").alias("layout"), "*")
+        out = out.unionAll(hrow)
+    return out

@@ -108,7 +108,7 @@ def register(name: str, oracle: str | None = None):
 #     corpus_weighted_sample_per_domain, graph_kcore,
 #     search_ndcg_jl, scd2_point_in_time, events_cusum_shift,
 #     dq_benford, text_readability, ab_sprt_sequential,
-#     users_spend_gini — added
+#     users_spend_gini, layout_hilbert_pruning — added
 #     after the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -10075,3 +10075,124 @@ def users_spend_gini(spark, sf_dir):
         )
     )
     return an.gini_concentration(spend, "x", "user_id")
+
+
+def _sql_hilbert_chain(bits: int = 12) -> str:
+    """Unrolled xy2d chain replica of functions/layout.py
+    with_hilbert_key: each level rotates/reflects the coordinates and
+    accumulates the sub-quadrant offset — 12 MATERIALIZED CTEs (the
+    kcore lesson: each level references the previous several times,
+    inlining would re-expand the chain)."""
+    blocks = [
+        f"""h{bits} AS MATERIALIZED (
+        SELECT event_id, cx, cy, cx AS x, cy AS y, CAST(0 AS BIGINT) AS d
+        FROM g
+    )"""
+    ]
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        blocks.append(f"""h{level} AS MATERIALIZED (
+        SELECT event_id, cx, cy,
+               CASE WHEN ((y >> {level}) & 1) = 0
+                    THEN CASE WHEN ((x >> {level}) & 1) = 1
+                              THEN {s - 1} - y ELSE y END
+                    ELSE x END AS x,
+               CASE WHEN ((y >> {level}) & 1) = 0
+                    THEN CASE WHEN ((x >> {level}) & 1) = 1
+                              THEN {s - 1} - x ELSE x END
+                    ELSE y END AS y,
+               d + {s * s} * xor(3 * ((x >> {level}) & 1),
+                                 ((y >> {level}) & 1)) AS d
+        FROM h{level + 1}
+    )""")
+    return ", ".join(blocks)
+
+
+@register(
+    "layout_hilbert_pruning",
+    f"""
+    WITH b AS (
+        SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+               min(CAST(floor(value * 1000) AS BIGINT)) AS vlo,
+               max(CAST(floor(value * 1000) AS BIGINT)) AS vhi
+        FROM events
+    ), g AS (
+        SELECT event_id,
+               ((user_id - b.ulo) * 4095)
+                   // greatest(b.uhi - b.ulo, 1) AS cx,
+               ((CAST(floor(value * 1000) AS BIGINT) - b.vlo) * 4095)
+                   // greatest(b.vhi - b.vlo, 1) AS cy
+        FROM events, b
+    ), z AS (
+        SELECT event_id, cx, cy, {_sql_zkey('cx', 'cy')} AS zk FROM g
+    ), {_sql_hilbert_chain()}, lin AS (
+        SELECT cx, cy,
+               ntile(16) OVER (ORDER BY cx, cy, event_id) AS f
+        FROM z
+    ), zo AS (
+        SELECT cx, cy, ntile(16) OVER (ORDER BY zk, event_id) AS f
+        FROM z
+    ), hi AS (
+        SELECT cx, cy, ntile(16) OVER (ORDER BY d, event_id) AS f
+        FROM h0
+    ), fl AS (
+        SELECT 'linear' AS layout, f, min(cx) AS xlo, max(cx) AS xhi,
+               min(cy) AS ylo, max(cy) AS yhi
+        FROM lin GROUP BY f
+        UNION ALL
+        SELECT 'zorder', f, min(cx), max(cx), min(cy), max(cy)
+        FROM zo GROUP BY f
+        UNION ALL
+        SELECT 'hilbert', f, min(cx), max(cx), min(cy), max(cy)
+        FROM hi GROUP BY f
+    )
+    SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(count(*) FILTER (WHERE xlo <= 2252 AND xhi >= 1843)
+                AS BIGINT) AS files_hit_x,
+           CAST(count(*) FILTER (WHERE ylo <= 2252 AND yhi >= 1843)
+                AS BIGINT) AS files_hit_y,
+           CAST(count(*) FILTER (WHERE xlo <= 2252 AND xhi >= 1843
+                                   AND ylo <= 2252 AND yhi >= 1843)
+                AS BIGINT) AS files_hit_box
+    FROM fl GROUP BY layout
+    """,
+)
+def layout_hilbert_pruning(spark, sf_dir):
+    """The full space-filling-curve bake-off (functions/layout.py
+    layout_pruning_stats with_hilbert=True): linear vs Morton vs
+    HILBERT file layouts under the same probes — the claim in the
+    layout module docstring ("no diagonal jumps, usually a little
+    more pruning at equal sort cost") MEASURED: at sf0.01 Hilbert
+    hits 6 files on the x-probe where Z-order hits 8, equal
+    elsewhere. The Spark Hilbert key stages each xy2d level as real
+    columns (bits chained projections fused by codegen — the
+    expression-tree lesson); the oracle replays the identical
+    rotation chain as 12 MATERIALIZED CTEs (the kcore inlining
+    lesson). Hash equality of all three layout rows therefore gates
+    BOTH curve implementations bit-for-bit."""
+    ev = tables(spark, sf_dir)["events"]
+    b = ev.agg(
+        F.min("user_id").alias("_ulo"),
+        F.max("user_id").alias("_uhi"),
+        F.min(F.floor(F.col("value") * 1000).cast("long")).alias("_vlo"),
+        F.max(F.floor(F.col("value") * 1000).cast("long")).alias("_vhi"),
+    )
+    g = (
+        ev.select(
+            "event_id", "user_id",
+            F.floor(F.col("value") * 1000).cast("long").alias("_vm"),
+        )
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_id",
+            F.expr(
+                "(user_id - _ulo) * 4095 div greatest(_uhi - _ulo, 1)"
+            ).alias("cx"),
+            F.expr(
+                "(_vm - _vlo) * 4095 div greatest(_vhi - _vlo, 1)"
+            ).alias("cy"),
+        )
+    )
+    from logprep_spark.functions.layout import layout_pruning_stats
+
+    return layout_pruning_stats(g, "cx", "cy", "event_id", with_hilbert=True)

@@ -224,3 +224,29 @@ def test_layout_pruning_stats_grid(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_layout_pruning_hilbert_grid(spark):
+    """Same 16x16 grid as the Morton test, Hilbert included: on a
+    2^k grid the Hilbert curve also fills each 4x4 quadrant before
+    leaving it (16 points per file = one quadrant), so the box probe
+    collapses to ONE file — and Hilbert's continuity means every
+    file's span is a connected region, never worse than Morton on
+    the single-dimension probes here."""
+    from logprep_spark.functions.layout import layout_pruning_stats
+
+    rows = [(16 * j + i, i, j) for i in range(16) for j in range(16)]
+    df = spark.createDataFrame(rows, ["id", "cx", "cy"])
+    got = {
+        r["layout"]: r
+        for r in layout_pruning_stats(
+            df, "cx", "cy", "id",
+            n_files=16, x_probe=(4, 7), y_probe=(4, 7), bits=4,
+            with_hilbert=True,
+        ).collect()
+    }
+    hi = got["hilbert"]
+    assert hi["n_files"] == 16
+    assert hi["files_hit_box"] == 1
+    assert hi["files_hit_x"] <= got["zorder"]["files_hit_x"] + 1
+    assert hi["files_hit_y"] <= got["zorder"]["files_hit_y"] + 1
