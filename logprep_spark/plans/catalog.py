@@ -108,7 +108,8 @@ def register(name: str, oracle: str | None = None):
 #     corpus_weighted_sample_per_domain, graph_kcore,
 #     search_ndcg_jl, scd2_point_in_time, events_cusum_shift,
 #     dq_benford, text_readability, ab_sprt_sequential,
-#     users_spend_gini, layout_hilbert_pruning — added
+#     users_spend_gini, layout_hilbert_pruning,
+#     dedup_setsim_incremental — added
 #     after the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -10196,3 +10197,43 @@ def layout_hilbert_pruning(spark, sf_dir):
     from logprep_spark.functions.layout import layout_pruning_stats
 
     return layout_pruning_stats(g, "cx", "cy", "event_id", with_hilbert=True)
+
+
+@register(
+    "dedup_setsim_incremental",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_sql_shingles(k=3)} AS t FROM documents
+    ), hist AS (
+        SELECT * FROM sh WHERE doc_id % 3 <> 0
+    ), batch AS (
+        SELECT * FROM sh WHERE doc_id % 3 = 0
+    )
+    SELECT b.doc_id AS id_batch, h.doc_id AS id_hist,
+           CAST(len(list_intersect(b.t, h.t)) AS BIGINT) AS n_inter,
+           CAST(len(b.t) + len(h.t)
+                - len(list_intersect(b.t, h.t)) AS BIGINT) AS n_union,
+           1000 * len(list_intersect(b.t, h.t))
+               // (len(b.t) + len(h.t) - len(list_intersect(b.t, h.t)))
+               AS jaccard_milli
+    FROM batch b JOIN hist h ON TRUE
+    WHERE 1000 * len(list_intersect(b.t, h.t))
+          >= 700 * (len(b.t) + len(h.t) - len(list_intersect(b.t, h.t)))
+    """,
+)
+def dedup_setsim_incremental(spark, sf_dir):
+    """Incremental EXACT near-dup gate (functions/dedup.py
+    setsim_incremental): today's batch (doc_id % 3 = 0) against the
+    historical corpus, Jaccard >= 0.7, ZERO false negatives — the
+    guarantee dedup_incremental_neardup's MinHash probe trades for
+    speed. The load-bearing design: prefixes under the FIXED
+    h60-hash order (valid under any total order; rarity order drifts
+    as corpora grow, silently breaking a STORED prefix index — hash
+    order makes history's index write-once). ORACLE IS THE BRUTE
+    FORCE over batch x history: hash equality proves the stored-
+    index scheme drops nothing. Scale: history ships only its
+    ~(1-tau) prefix index; batch-side frames are broadcast-scale."""
+    docs = tables(spark, sf_dir)["documents"]
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    history = docs.filter(F.col("doc_id") % 3 != 0)
+    return dd.setsim_incremental(batch, history, tau_milli=700, k=3)

@@ -139,3 +139,64 @@ def test_containment_repartition_invariance(spark):
     assert _run_containment(spark, 800, partitions=5) == _run_containment(
         spark, 800
     )
+
+
+# --- incremental (hash-order prefix) -----------------------------------
+
+
+def _brute_incremental(batch_ids, tau_milli):
+    out = []
+    docs = dict(DOCS)
+    for ib in batch_ids:
+        for ih, th in DOCS:
+            if ih in batch_ids:
+                continue
+            sa, sb = _shingles(docs[ib]), _shingles(th)
+            i, u = len(sa & sb), len(sa | sb)
+            if 1000 * i >= tau_milli * u:
+                out.append((ib, ih, i, u, 1000 * i // u))
+    return sorted(out)
+
+
+def test_incremental_matches_brute_force(spark):
+    """Batch {0, 4} against history {1, 2, 3, 5}: the hash-order
+    prefix index finds every qualifying cross pair at several taus
+    — completeness does not depend on the rarity order."""
+    from logprep_spark.functions.dedup import setsim_incremental
+
+    batch_ids = {0, 4}
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    batch = df.filter(df.doc_id.isin(*batch_ids))
+    hist = df.filter(~df.doc_id.isin(*batch_ids))
+    for tau in (500, 700, 1000):
+        rows = setsim_incremental(batch, hist, tau_milli=tau).collect()
+        got = sorted(
+            (r.id_batch, r.id_hist, r.n_inter, r.n_union, r.jaccard_milli)
+            for r in rows
+        )
+        assert got == _brute_incremental(batch_ids, tau), tau
+
+
+def test_incremental_stored_index_stability(spark):
+    """The hash order is corpus-independent: history's prefix rows
+    are IDENTICAL whether computed against a 4-doc or a 400-doc
+    corpus (rarity order would reshuffle them) — the property that
+    makes the stored index write-once."""
+    from logprep_spark.functions.dedup import setsim_incremental
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    small_hist = df.filter(df.doc_id.isin(1, 2))
+    big_hist = df.filter(df.doc_id != 0)
+    batch = df.filter(df.doc_id == 0)
+    small = {
+        (r.id_batch, r.id_hist)
+        for r in setsim_incremental(batch, small_hist, tau_milli=700).collect()
+    }
+    big = {
+        (r.id_batch, r.id_hist)
+        for r in setsim_incremental(batch, big_hist, tau_milli=700).collect()
+    }
+    # pairs found against the small history are a subset found
+    # against the big one (nothing lost as the corpus grows)
+    assert small <= big
+    assert (0, 2) in small  # the exact duplicate is always caught
