@@ -144,12 +144,13 @@ SF1_SPOT = [
     # expected ~linear: one stats job + narrow encode); theta reads
     # events, which the derived sf1 set does not include
     "embed_pq_codes",
-    # NOT here: dedup_setsim_prefix / dedup_containment_join — the
-    # derived 10x corpus replicates every doc verbatim (strided ids),
-    # so each doc gains 9 exact duplicates and the TRUE pair set
-    # grows quadratically by construction (~45 self-pairs per doc +
-    # 100x each original pair). Any exact join must emit those rows:
-    # a 10x spot would measure the replica artifact, not the plan.
+    # r8: the exact prefix-filter joins at 10x docs. The derived
+    # corpus alphabet-rotates each replica's text, so cross-replica
+    # shingles never match: the TRUE pair set scales exactly 10x
+    # (25 -> 250 within-replica pairs) and the spot measures the
+    # candidate/verify plan, not a replica artifact.
+    "dedup_setsim_prefix",
+    "dedup_containment_join",
 ]
 
 _REPLICAS = 10
