@@ -109,7 +109,7 @@ def register(name: str, oracle: str | None = None):
 #     search_ndcg_jl, scd2_point_in_time, events_cusum_shift,
 #     dq_benford, text_readability, ab_sprt_sequential,
 #     users_spend_gini, layout_hilbert_pruning,
-#     dedup_setsim_incremental — added
+#     dedup_setsim_incremental, graph_lpa_communities — added
 #     after the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -10237,3 +10237,95 @@ def dedup_setsim_incremental(spark, sf_dir):
     batch = docs.filter(F.col("doc_id") % 3 == 0)
     history = docs.filter(F.col("doc_id") % 3 != 0)
     return dd.setsim_incremental(batch, history, tau_milli=700, k=3)
+
+
+def _sql_lpa(rounds: int = 6) -> str:
+    """Unrolled damped-LPA replica of plans/analytics.py
+    lpa_communities (MATERIALIZED per round — the kcore inlining
+    lesson; each round references the previous twice)."""
+    blocks = [
+        """stubs AS MATERIALIZED (
+        SELECT a AS x, b AS y FROM ed UNION ALL SELECT b, a FROM ed
+    ), l0 AS MATERIALIZED (
+        SELECT DISTINCT x AS n, x AS lbl FROM stubs
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        blocks.append(f"""c{r} AS MATERIALIZED (
+        SELECT n, lbl, count(*) AS cnt FROM (
+            SELECT s.x AS n, l.lbl
+            FROM stubs s JOIN l{r - 1} l ON l.n = s.y
+            UNION ALL
+            SELECT n, lbl FROM l{r - 1}
+        ) GROUP BY 1, 2
+    ), l{r} AS MATERIALIZED (
+        SELECT n, lbl FROM (
+            SELECT n, lbl, row_number() OVER (PARTITION BY n
+                ORDER BY cnt DESC, lbl) AS rn
+            FROM c{r}
+        ) WHERE rn = 1
+    )""")
+    return f"""
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ), allpairs AS (
+        SELECT parts[i] AS a, parts[j] AS b
+        FROM baskets,
+             LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) ti,
+             LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS j) tj
+        WHERE j > i
+    ), ed AS (
+        SELECT a, b FROM allpairs GROUP BY a, b HAVING count(*) >= 2
+    ), {', '.join(blocks)}, comm AS (
+        SELECT lbl, CAST(count(*) AS BIGINT) AS sz
+        FROM l{rounds} GROUP BY lbl
+    ), chg AS (
+        SELECT CAST(count(*) AS BIGINT) AS changed
+        FROM l{rounds} a JOIN l{rounds - 1} b
+          ON b.n = a.n AND b.lbl <> a.lbl
+    )
+    SELECT CAST((SELECT count(*) FROM l{rounds}) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM comm) AS BIGINT) AS n_communities,
+           CAST((SELECT max(sz) FROM comm) AS BIGINT) AS largest_community,
+           chg.changed AS changed_last_round
+    FROM chg
+    """
+
+
+@register("graph_lpa_communities", _sql_lpa(rounds=6))
+def graph_lpa_communities(spark, sf_dir):
+    """Damped label-propagation communities (plans/analytics.py
+    lpa_communities — Raghavan et al. 2007 with a self-vote) on the
+    part co-purchase graph: the DENSE-community member of the graph
+    family (components find reachability; LPA finds the cliques-ish
+    neighborhoods inside one component). The self-vote is the
+    determinism-preserving damping — pure synchronous LPA two-cycles
+    on dense structure (96% of labels still churning at round 6
+    without it; 2 of 1880 with it, the changed_last_round witness
+    says exactly that). Fixed 6 rounds, smallest-label ties: both
+    engines run the identical computation, the one-row readout
+    (1880 nodes, 355 communities, largest 40) hash-gates vs the
+    unrolled MATERIALIZED-CTE replica. Scale per round: one (node,
+    label) agg + one per-node argmax window, both node-keyed
+    shuffles; labels localCheckpoint'ed per round (referenced twice:
+    kcore's lineage discipline)."""
+    li = tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.selectExpr(
+        "explode(CASE WHEN size(parts) >= 2 THEN"
+        " flatten(transform(sequence(1, size(parts) - 1),"
+        " i -> transform(sequence(i + 1, size(parts)),"
+        " j -> struct(element_at(parts, i) AS a,"
+        " element_at(parts, j) AS b))))"
+        " ELSE CAST(array() AS array<struct<a:bigint,b:bigint>>) END) AS p"
+    ).selectExpr("p.a AS src", "p.b AS dst")
+    edges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .drop("_w")
+    )
+    return an.lpa_communities(edges, rounds=6)

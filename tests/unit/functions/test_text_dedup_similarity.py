@@ -1608,3 +1608,62 @@ def test_kcore_known_graphs(spark):
         k=3, rounds=12,
     ).collect()
     assert again == [r]
+
+
+def _lpa_replica(edges, rounds):
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(list)
+    for a, b in edges:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    lbl = {n: n for n in nbrs}
+    prev = dict(lbl)
+    for _ in range(rounds):
+        prev = dict(lbl)
+        new = {}
+        for n in nbrs:
+            c = Counter(prev[m] for m in nbrs[n])
+            c[prev[n]] += 1  # the self-vote damping
+            best = max(c.items(), key=lambda t: (t[1], -t[0]))
+            new[n] = best[0]
+        lbl = new
+    from collections import Counter as C
+
+    sizes = C(lbl.values())
+    changed = sum(1 for n in lbl if lbl[n] != prev[n])
+    return {
+        "n_nodes": len(lbl),
+        "n_communities": len(sizes),
+        "largest_community": max(sizes.values()),
+        "changed_last_round": changed,
+    }
+
+
+def test_lpa_two_triangles_bridge(spark):
+    """Two triangles joined by one bridge edge: damped LPA settles
+    into exactly the two triangle communities (replica-exact), fully
+    converged; a clique collapses to one community labeled by its
+    smallest node."""
+    from logprep_spark.plans.analytics import lpa_communities
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    (r,) = lpa_communities(df, rounds=6).collect()
+    exp = _lpa_replica(edges, 6)
+    assert {k: r[k] for k in exp} == exp
+    assert r["n_communities"] == 2 and r["largest_community"] == 3
+    assert r["changed_last_round"] == 0
+
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    (c,) = lpa_communities(
+        spark.createDataFrame(k5, ["src", "dst"]), rounds=6
+    ).collect()
+    assert c["n_communities"] == 1 and c["largest_community"] == 5
+    assert c["changed_last_round"] == 0
+
+    # repartition + orientation invariance
+    flipped = spark.createDataFrame(
+        [(b, a) for a, b in edges], ["src", "dst"]
+    ).repartition(5)
+    assert lpa_communities(flipped, rounds=6).collect() == [r]
