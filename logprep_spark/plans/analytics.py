@@ -2069,6 +2069,77 @@ def gini_concentration(
     )
 
 
+def acf_lags(
+    series: DataFrame,
+    period_col: str,
+    x_col: str,
+    max_lag: int = 14,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Integer-EXACT autocorrelation function over an ordered series
+    — the periodicity SCANNER of the time-series family (the dow
+    row measures a cycle you already suspect; ACF finds which lag to
+    suspect): for each lag k, the centered products are computed
+    WITHOUT a rational mean via the n-scaling identity
+    Σ(n·x_t − S)(n·x_{t+k} − S) / Σ(n·x_t − S)² (S = Σx) — every
+    term 64-bit integer, acf_milli = the 1000-scaled truncating
+    quotient, so the whole correlogram hash-gates cross-engine
+    (a float ACF's summation order does not). Magnitudes: |n·x − S|
+    <= n·max|x|; products n²·max|x|² — at 10⁶ periods of counts
+    ~10⁶ this overflows int64: pre-aggregate to coarser periods or
+    demote units first (same discipline as gini_concentration,
+    written down before it bites).
+
+    Catalyst shape: one sorted collect per group (the holt family's
+    array fold), then max_lag `aggregate` expressions in ONE
+    projection — no self-join per lag, no shuffle beyond the
+    grouping pre-agg."""
+    gcol = group_col or "_g"
+    base = series if group_col else series.withColumn(gcol, F.lit(1))
+    arr = base.groupBy(gcol).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(period_col), F.col(x_col)))
+        ).alias("_s")
+    ).select(
+        gcol,
+        F.expr(f"transform(_s, q -> CAST(q.{x_col} AS BIGINT))").alias(
+            "_xs"
+        ),
+    ).select(
+        gcol,
+        "_xs",
+        F.size("_xs").cast("long").alias("_n"),
+        F.expr(
+            "aggregate(_xs, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("_sum"),
+    )
+    den = (
+        "aggregate(sequence(1, CAST(_n AS INT)), CAST(0 AS BIGINT),"
+        " (a, i) -> a + (_n * element_at(_xs, i) - _sum)"
+        " * (_n * element_at(_xs, i) - _sum))"
+    )
+    def num(k: int) -> str:
+        return (
+            f"aggregate(sequence(1, CAST(_n - {k} AS INT)),"
+            f" CAST(0 AS BIGINT),"
+            f" (a, i) -> a + (_n * element_at(_xs, i) - _sum)"
+            f" * (_n * element_at(_xs, i + {k}) - _sum))"
+        )
+    pairs = ", ".join(
+        f"struct(CAST({k} AS BIGINT) AS lag,"
+        f" 1000 * ({num(k)}) div ({den}) AS acf_milli)"
+        for k in range(1, max_lag + 1)
+    )
+    out = arr.filter(F.col("_n") > max_lag).select(
+        gcol, F.explode(F.expr(f"array({pairs})")).alias("_l")
+    ).select(
+        gcol,
+        F.col("_l.lag").alias("lag"),
+        F.col("_l.acf_milli").alias("acf_milli"),
+    )
+    return out.drop("_g") if not group_col else out
+
+
 def cusum_shift(
     series: DataFrame,
     group_col: str,

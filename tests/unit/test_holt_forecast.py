@@ -289,3 +289,61 @@ def test_sprt_decisions_and_stickiness(spark):
     assert got[2]["final_llr_micro"] == 4 * 100 - 4 * 50
 
     assert _sprt_run(spark, streams, 100, -50, 300, partitions=5) == got
+
+
+# --- integer-exact ACF --------------------------------------------------
+
+
+def test_acf_pure_cycle_and_replica(spark):
+    """A pure period-4 cycle: ACF peaks at exactly lag 4 and 8, dips
+    negative at half-period; values equal the integer replica."""
+    from logprep_spark.plans.analytics import acf_lags
+
+    xs = [10, 20, 30, 20] * 6
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], ["d", "x"]
+    )
+    got = {
+        r["lag"]: r["acf_milli"]
+        for r in acf_lags(df, "d", "x", max_lag=8).collect()
+    }
+
+    n, s = len(xs), sum(xs)
+
+    def replica(k):
+        num = sum(
+            (n * xs[i] - s) * (n * xs[i + k] - s) for i in range(n - k)
+        )
+        den = sum((n * x - s) ** 2 for x in xs)
+        q = abs(1000 * num) // den
+        return q if num >= 0 else -q
+
+    for k in range(1, 9):
+        assert got[k] == replica(k), k
+    assert got[4] > 700 and got[8] > 500      # the cycle
+    assert got[2] < -700                       # the half-period dip
+    # repartition invariance
+    again = {
+        r["lag"]: r["acf_milli"]
+        for r in acf_lags(
+            df.repartition(5), "d", "x", max_lag=8
+        ).collect()
+    }
+    assert again == got
+
+
+def test_acf_grouped_and_short_series_guard(spark):
+    from logprep_spark.plans.analytics import acf_lags
+
+    rows = [("a", i, [5, 9][i % 2]) for i in range(12)] + [
+        ("short", i, i) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["g", "d", "x"])
+    got = acf_lags(df, "d", "x", max_lag=4, group_col="g").collect()
+    # short series (n <= max_lag) is excluded rather than emitting
+    # divide-by-zero garbage
+    assert {r["g"] for r in got} == {"a"}
+    byg = {r["lag"]: r["acf_milli"] for r in got}
+    # lag-2 ACF of a perfect alternation is (n-2)/n, not 1: the
+    # numerator loses its two boundary terms (n=12 -> exactly 833)
+    assert byg[2] == 833 and byg[1] < -800
