@@ -1392,3 +1392,84 @@ def ndcg_at_k(approx: DataFrame, truth: DataFrame, k: int = 10) -> DataFrame:
             F.expr(f"1000 * _dcg div {idcg}").alias("ndcg_milli"),
         )
     )
+
+
+def remove_top_component(
+    df: DataFrame,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int = 16,
+) -> DataFrame:
+    """All-but-the-top embedding post-processing (Mu & Viswanath
+    2018): center the corpus and subtract each vector's projection
+    onto the dominant direction — the cheap isotropy fix that
+    measurably improves similarity tasks on anisotropic embedding
+    spaces (the condition embed_top_component measures). Composes
+    :func:`top_component` (integer-exact power iteration) with an
+    integer projection: with centered c (micro) and component u
+    (milli), num = Σc·u, den = Σu², c'_j = c_j − (num·u_j) div den —
+    pure long arithmetic per row (|num·u| ≤ ~2.6e14), so the
+    projected vectors are bit-identical cross-engine.
+
+    Output (driver-hash discipline: scalars only): one row per
+    (sampled id, dim) with the post-removal micro value, plus the
+    vector's residual dot product with u — ≤ 64·1000 from truncation
+    alone vs ~1e11 before removal: the witness that the direction
+    is actually GONE rides in the hashed frame.
+
+    Distributed shape: everything model-sized broadcasts (mean,
+    component, den are 1-row frames); the projection is a narrow
+    map; only the hash-sampled ids explode to rows."""
+    from pyspark.sql.functions import broadcast
+
+    dim = probe_dim(df, vec_col) or 0
+    comp = top_component(df, iters, vec_col, id_col).selectExpr(
+        "component_milli AS _u",
+        "aggregate(zip_with(component_milli, component_milli,"
+        " (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        " AS _den",
+    )
+    vm = df.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("_v"))
+    mean = vm.agg(
+        F.expr("count(1) AS _n"),
+        *[
+            F.expr(f"sum(element_at(_v, {i + 1})) AS _s{i}")
+            for i in range(dim)
+        ],
+    ).selectExpr(
+        "array(" + ",".join(f"_s{i} div _n" for i in range(dim)) + ") AS _mu"
+    )
+    centered = vm.crossJoin(broadcast(mean)).select(
+        id_col, F.expr("zip_with(_v, _mu, (a, b) -> a - b)").alias("_c")
+    )
+    proj = (
+        centered.filter(F.col(id_col) % sample_mod == 0)
+        .crossJoin(broadcast(comp))
+        .withColumn(
+            "_num",
+            F.expr(
+                "aggregate(zip_with(_c, _u, (a, b) -> a * b),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ),
+        )
+        .withColumn(
+            "_p", F.expr("zip_with(_c, _u, (a, b) -> a - (_num * b) div _den)")
+        )
+        .withColumn(
+            "resid_dot",
+            F.expr(
+                "aggregate(zip_with(_p, _u, (a, b) -> a * b),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x) div 1000"
+            ),
+        )
+    )
+    return proj.select(
+        F.col(id_col), F.posexplode("_p").alias("dim", "value_micro"),
+        "resid_dot",
+    ).select(
+        id_col,
+        (F.col("dim") + 1).cast("long").alias("dim"),
+        "value_micro",
+        "resid_dot",
+    )

@@ -110,7 +110,7 @@ def register(name: str, oracle: str | None = None):
 #     dq_benford, text_readability, ab_sprt_sequential,
 #     users_spend_gini, layout_hilbert_pruning,
 #     dedup_setsim_incremental, graph_lpa_communities,
-#     events_autocorrelation — added
+#     events_autocorrelation, embed_all_but_top — added
 #     after the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -10371,3 +10371,63 @@ def events_autocorrelation(spark, sf_dir):
         F.count(F.lit(1)).alias("x")
     )
     return an.acf_lags(series, "d", "x", max_lag=14)
+
+
+@register(
+    "embed_all_but_top",
+    f"""
+    WITH vm AS (
+        SELECT vec_id, {_KM_MICRO} AS v FROM embeddings
+    ), mu AS (
+        SELECT list(m ORDER BY dim) AS mu FROM (
+            SELECT dim,
+                   CAST(sum(v[dim]) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+            FROM vm CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) dims
+            GROUP BY dim
+        )
+    ), cid AS (
+        SELECT vec_id, [v[i] - mu[i] for i in range(1, 65)] AS cv
+        FROM vm CROSS JOIN mu
+    ), c AS (
+        SELECT cv AS c FROM cid
+    ), v0 AS (
+        SELECT [CAST(1000 AS BIGINT) for i in range(1, 65)] AS vec
+    ), {_sql_power_iterations(3)}, den AS (
+        SELECT CAST(list_sum([vec[i] * vec[i]
+                    for i in range(1, 65)]) AS BIGINT) AS den
+        FROM v3
+    ), proj AS (
+        SELECT cid.vec_id, cid.cv, v3.vec, den.den,
+               CAST(list_sum([cid.cv[i] * v3.vec[i]
+                    for i in range(1, 65)]) AS BIGINT) AS num
+        FROM cid CROSS JOIN v3 CROSS JOIN den
+        WHERE cid.vec_id % 16 = 0
+    ), rem AS (
+        SELECT vec_id,
+               [cv[i] - (num * vec[i]) // den
+                for i in range(1, 65)] AS p,
+               vec
+        FROM proj
+    )
+    SELECT vec_id, CAST(i AS BIGINT) AS dim,
+           CAST(p[i] AS BIGINT) AS value_micro,
+           CAST(list_sum([p[j] * vec[j] for j in range(1, 65)])
+                AS BIGINT) // 1000 AS resid_dot
+    FROM rem CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+    """,
+)
+def embed_all_but_top(spark, sf_dir):
+    """All-but-the-top post-processing (functions/similarity.py
+    remove_top_component — Mu & Viswanath 2018): center, then
+    subtract each vector's projection onto the power-iteration
+    dominant direction — the cheap isotropy fix for anisotropic
+    embedding spaces, composed from embed_top_component's
+    integer-exact machinery (micro vectors, milli component, pure
+    long projection arithmetic). The hashed frame carries its own
+    proof: resid_dot (the post-removal dot with the component,
+    truncation-noise-sized) rides beside every (sampled id, dim,
+    micro) row. Scale: mean/component/den are 1-row broadcasts, the
+    projection a narrow map; the brute-force part of the oracle is
+    the power-iteration REPLICA, not the Spark plan."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return sim.remove_top_component(emb, iters=3, sample_mod=16)

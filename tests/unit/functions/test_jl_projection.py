@@ -131,3 +131,48 @@ def test_ndcg_ignores_beyond_k(spark):
     )
     (r,) = ndcg_at_k(approx, truth, k=2).collect()
     assert r["n_overlap"] == 2 and r["ndcg_milli"] == 1000
+
+
+# --- all-but-the-top ----------------------------------------------------
+
+
+def test_remove_top_component_kills_the_direction(spark):
+    """Anisotropic fixture: vectors dominated by a shared direction
+    plus small noise. After removal (a) every residual dot with the
+    component is truncation-noise-sized, (b) the variance along the
+    dominant axis collapses, and (c) the result is repartition-
+    invariant."""
+    from logprep_spark.functions.similarity import (
+        remove_top_component,
+        top_component,
+    )
+
+    d = 8
+    base = [1.0, 2.0, -1.0, 0.5, 0.25, -0.75, 1.5, -0.5]
+    vecs = []
+    for i in range(16):
+        scale = (i - 8) * 2.0                     # strong shared axis
+        noise = [((i * 7 + j * 3) % 5 - 2) * 0.01 for j in range(d)]
+        vecs.append((i, [scale * b + z for b, z in zip(base, noise)]))
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+
+    rows = remove_top_component(df, iters=3, sample_mod=1).collect()
+    assert len(rows) == 16 * d
+    # (a) residual dot is tiny vs the pre-removal magnitude (~1e9+)
+    assert max(abs(r["resid_dot"]) for r in rows) <= d * 1000
+    # (b) variance along the component collapses: reconstruct per-vec
+    # projections onto u from the removed frame
+    (comp,) = top_component(df, iters=3).collect()
+    u = comp["component_milli"]
+    per_vec = {}
+    for r in rows:
+        per_vec.setdefault(r["vec_id"], [0] * d)[r["dim"] - 1] = r["value_micro"]
+    dots = [
+        sum(v[j] * u[j] for j in range(d)) for v in per_vec.values()
+    ]
+    assert max(map(abs, dots)) <= d * 1_000_000   # vs ~1e12 before
+
+    again = remove_top_component(
+        df.repartition(5), iters=3, sample_mod=1
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
