@@ -15,6 +15,7 @@ from logprep_spark.streaming.windows import (
 from logprep_spark.streaming.state import (
     bloom_window_stream,
     cm_window_stream,
+    cusum_window_stream,
     dedupe_near_stream,
     dedupe_stream,
     heavy_hitters_stream,
@@ -30,6 +31,7 @@ from logprep_spark.streaming.state import (
 __all__ = [
     "bloom_window_stream",
     "cm_window_stream",
+    "cusum_window_stream",
     "heavy_hitters_stream",
     "holt_window_stream",
     "hw_window_stream",

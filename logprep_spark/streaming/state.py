@@ -1064,3 +1064,114 @@ def hw_window_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+_CUSUM_OUT_SCHEMA = (
+    "grp string, win_start timestamp, n_periods long, mu_milli long, "
+    "max_cusum_milli long, first_alarm_period long, "
+    "n_alarm_periods long, is_final boolean"
+)
+_CUSUM_STATE_SCHEMA = _HOLT_STATE_SCHEMA
+
+
+def _cusum_fold(xs, b: int):
+    """The batch recurrence (plans/analytics.py cusum_shift):
+    two-sided Page CUSUM, baseline mu from the first b ordered
+    periods, slack mu div 20, threshold mu div 2 — truncating
+    integer division, identical to the Catalyst fold."""
+    mu = 1000 * sum(xs[: min(len(xs), b)]) // min(len(xs), b)
+    kappa, h = mu // 20, mu // 2
+    hi = lo = mx = first = n_alarms = 0
+    for i, x in enumerate(xs[b:], start=b + 1):
+        hi = max(0, hi + x * 1000 - mu - kappa)
+        lo = max(0, lo + mu - x * 1000 - kappa)
+        mx = max(mx, hi, lo)
+        if hi > h or lo > h:
+            n_alarms += 1
+            if first == 0:
+                first = i
+    return mu, mx, first, n_alarms
+
+
+def _cusum_fn(window_sec: int, baseline_periods: int):
+    def emit(grp, win_start, per_counts: dict, final):
+        xs = [per_counts[q] for q in sorted(per_counts)]
+        mu, mx, first, n_alarms = _cusum_fold(xs, baseline_periods)
+        return pd.DataFrame(
+            {
+                "grp": [grp],
+                "win_start": [win_start],
+                "n_periods": [len(xs)],
+                "mu_milli": [mu],
+                "max_cusum_milli": [mx],
+                "first_alarm_period": [first],
+                "n_alarm_periods": [n_alarms],
+                "is_final": [final],
+            }
+        )
+
+    def fn(
+        key: Tuple[Any, Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        grp, win_start = key
+        if state.hasTimedOut:
+            periods, counts, _ = state.get
+            yield emit(grp, win_start, dict(zip(periods, counts)), True)
+            state.remove()
+            return
+        pc: dict = dict(zip(*state.get[:2])) if state.exists else {}
+        for pdf in pdfs:
+            for q in pdf["_p"]:
+                q = int(q)
+                pc[q] = pc.get(q, 0) + 1
+        win_end_ms = int(win_start.value // 1_000_000) + window_sec * 1000
+        ps = sorted(pc)
+        state.update((ps, [pc[q] for q in ps], win_end_ms))
+        state.setTimeoutTimestamp(win_end_ms)
+        yield emit(grp, win_start, pc, False)
+
+    return fn
+
+
+def cusum_window_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "grp",
+    window: str = "1 day",
+    period: str = "1 hour",
+    watermark: str = "1 hour",
+    baseline_periods: int = 7,
+) -> DataFrame:
+    """Streaming twin of plans/analytics.py cusum_shift: per (group,
+    window) the stream accumulates PERIOD counts and every update —
+    plus the watermark-closing final — re-folds the two-sided Page
+    CUSUM over the sorted periods: the silent-partial-loss canary
+    (rate_anomaly_stream z-scores single batches; CUSUM accumulates
+    a small persistent shift until it cannot be noise), live.
+
+    Determinism contract unchanged from the holt/hw twins: counts
+    accumulate order-free, the fold runs at emit over the SORTED
+    period array, so the final row is bit-identical to the batch
+    ``cusum_shift`` over the same rows' series under any arrival
+    order, chunking, or partitioning. State is the same bounded
+    windows/period counters; the CUSUM trajectory lives only inside
+    the emit fold, never in state."""
+    from pyspark.sql import functions as F
+
+    window_sec = _duration_seconds(window)
+    period_sec = _duration_seconds(period)
+    keyed = events.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.window(ts_col, window).start.alias("win_start"),
+        (
+            (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col(ts_col)) % period_sec)
+            * 1000
+        ).alias("_p"),
+    ).withWatermark("win_start", watermark)
+    return keyed.groupBy("grp", "win_start").applyInPandasWithState(
+        _cusum_fn(window_sec, baseline_periods),
+        outputStructType=_CUSUM_OUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

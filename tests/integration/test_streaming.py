@@ -1543,3 +1543,62 @@ def test_hw_window_stream_seasonal_fit_and_eviction(spark, tmp_path):
         assert f[col] == want[col], col
     # the cycle is real: amplitude captured, not flattened into resid
     assert f.season_amp_milli > 2000
+
+
+def test_cusum_window_stream_shift_detection(spark, tmp_path):
+    """Streaming CUSUM twin: hourly counts hold a steady baseline
+    for 7 hours then drop ~25% persistently; the evicted final row
+    is bit-identical to the batch cusum_shift over the same series
+    (hours arriving OUT OF ORDER), and the alarm genuinely fires."""
+    import os as _os
+    import time as _time
+
+    from logprep_spark.plans.analytics import cusum_shift
+    from logprep_spark.streaming import cusum_window_stream
+
+    d = tmp_path / "cusum-in"
+    d.mkdir()
+    t0 = _time.time()
+    counts = {h: (8 if h < 7 else 6) for h in range(24)}
+
+    def hour_rows(hours):
+        return [
+            {"ts": f"2026-03-01 {h:02d}:{m:02d}:00", "grp": "a"}
+            for h in hours
+            for m in range(counts[h])
+        ]
+
+    batches = (
+        hour_rows(list(range(1, 24, 2))),
+        hour_rows(list(range(0, 24, 2))),   # earlier hours later
+        [{"ts": "2026-03-03 12:00:00", "grp": "z"}],
+        [{"ts": "2026-03-05 12:00:00", "grp": "z"}],
+    )
+    for i, batch in enumerate(batches):
+        p = d / f"b{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in batch) + "\n")
+        _os.utime(p, (t0 + i, t0 + i))
+
+    df = (spark.readStream.schema("ts timestamp, grp string")
+          .option("maxFilesPerTrigger", 1).json(str(d)))
+    q = (cusum_window_stream(df, "ts", "grp",
+                             window="1 day", period="1 hour",
+                             watermark="1 hour", baseline_periods=7)
+         .writeStream.format("memory").queryName("cusum_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    _run(q)
+
+    out = spark.sql("SELECT * FROM cusum_out").collect()
+    finals = {(r.grp, str(r.win_start)): r for r in out if r.is_final}
+    f = finals[("a", "2026-03-01 00:00:00")]
+    assert f.n_periods == 24
+
+    series = spark.createDataFrame(
+        [("a", h, counts[h]) for h in range(24)], ["grp", "period", "x"]
+    )
+    (want,) = cusum_shift(series, "grp", "period", "x").collect()
+    for col in ("mu_milli", "max_cusum_milli", "first_alarm_period",
+                "n_alarm_periods"):
+        assert f[col] == want[col], col
+    # the 25% persistent drop trips the low side
+    assert f.first_alarm_period > 7 and f.n_alarm_periods > 0
