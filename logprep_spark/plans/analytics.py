@@ -2069,6 +2069,77 @@ def gini_concentration(
     )
 
 
+def theil_sen_trend(
+    series: DataFrame,
+    group_col: str,
+    period_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil-Sen robust slope per group, side by side with the
+    closed-form least-squares slope — the ROBUST member of the trend
+    family (A62's LS slope has breakdown point 0: one bad day drags
+    it anywhere; the median of pairwise slopes survives ~29%
+    contamination). On this data the two genuinely disagree (view:
+    TS negative, LS positive — the outlier influence, visible).
+
+    Exactness: y in integer milli units, x the 1-based rank of the
+    period; per pair, slope_micro = (1e6·Δy) div Δx (truncating —
+    both engines); the MEDIAN is element (m+1) div 2 of the sorted
+    slope array (lower-middle convention, deterministic); LS is the
+    all-integer closed form (1e6·(nΣxy−ΣxΣy)) div (nΣx²−(Σx)²).
+    Everything hash-gates.
+
+    Catalyst shape: one sorted collect per group, then pair slopes +
+    sort + median + LS moments ALL inside one projection (n days →
+    n(n−1)/2 in-array slopes; at n=365 that is 66k array cells per
+    group — fine; for multi-year series pre-aggregate to weeks, the
+    array discipline of the holt family)."""
+    arr = series.groupBy(group_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(period_col), F.col(y_col)))
+        ).alias("_s")
+    ).select(
+        group_col,
+        F.expr(f"transform(_s, q -> CAST(q.{y_col} AS BIGINT))").alias(
+            "_ys"
+        ),
+    ).select(
+        group_col, "_ys", F.size("_ys").cast("long").alias("_n")
+    ).filter(F.col("_n") >= 2)
+    slopes = (
+        "array_sort(flatten(transform(sequence(1, CAST(_n - 1 AS INT)),"
+        " i -> transform(sequence(i + 1, CAST(_n AS INT)),"
+        " j -> (1000000 * (element_at(_ys, j) - element_at(_ys, i)))"
+        " div (j - i)))))"
+    )
+    staged = arr.select(
+        group_col,
+        "_ys",
+        "_n",
+        F.expr(slopes).alias("_sl"),
+        F.expr(
+            "aggregate(sequence(1, CAST(_n AS INT)), CAST(0 AS BIGINT),"
+            " (a, i) -> a + i * element_at(_ys, i))"
+        ).alias("_sxy"),
+        F.expr(
+            "aggregate(_ys, CAST(0 AS BIGINT), (a, y) -> a + y)"
+        ).alias("_sy"),
+    )
+    return staged.select(
+        group_col,
+        F.col("_n").alias("n_periods"),
+        F.size("_sl").cast("long").alias("n_pairs"),
+        F.expr(
+            "element_at(_sl, CAST((size(_sl) + 1) div 2 AS INT))"
+        ).alias("ts_slope_micro"),
+        F.expr(
+            "(1000000 * (_n * _sxy - (_n * (_n + 1) div 2) * _sy))"
+            " div (_n * (_n * (_n + 1) * (2 * _n + 1) div 6)"
+            " - (_n * (_n + 1) div 2) * (_n * (_n + 1) div 2))"
+        ).alias("ls_slope_micro"),
+    )
+
+
 def acf_lags(
     series: DataFrame,
     period_col: str,

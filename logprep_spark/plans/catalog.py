@@ -110,7 +110,8 @@ def register(name: str, oracle: str | None = None):
 #     dq_benford, text_readability, ab_sprt_sequential,
 #     users_spend_gini, layout_hilbert_pruning,
 #     dedup_setsim_incremental, graph_lpa_communities,
-#     events_autocorrelation, embed_all_but_top — added
+#     events_autocorrelation, embed_all_but_top,
+#     events_theilsen_trend — added
 #     after the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -10431,3 +10432,60 @@ def embed_all_but_top(spark, sf_dir):
     the power-iteration REPLICA, not the Spark plan."""
     emb = tables(spark, sf_dir)["embeddings"]
     return sim.remove_top_component(emb, iters=3, sample_mod=16)
+
+
+@register(
+    "events_theilsen_trend",
+    """
+    WITH series AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                    // count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), arr AS (
+        SELECT event_type, list(y ORDER BY d) AS ys,
+               CAST(len(list(y)) AS BIGINT) AS n
+        FROM series GROUP BY 1
+    ), slopes AS (
+        SELECT event_type, n, ys,
+               list_sort(flatten(
+                   [[(1000000 * (ys[j] - ys[i])) // (j - i)
+                     for j in range(i + 1, n + 1)]
+                    for i in range(1, n + 1)])) AS sl
+        FROM arr WHERE n >= 2
+    ), ls AS (
+        SELECT event_type,
+               CAST(list_sum([i * ys[i]
+                    for i in range(1, n + 1)]) AS BIGINT) AS sxy,
+               CAST(list_sum(ys) AS BIGINT) AS sy, n
+        FROM slopes
+    )
+    SELECT s.event_type, s.n AS n_periods,
+           CAST(len(s.sl) AS BIGINT) AS n_pairs,
+           CAST(s.sl[(len(s.sl) + 1) // 2] AS BIGINT) AS ts_slope_micro,
+           CAST((1000000 * (l.n * l.sxy
+                            - (l.n * (l.n + 1) // 2) * l.sy))
+                // (l.n * (l.n * (l.n + 1) * (2 * l.n + 1) // 6)
+                    - (l.n * (l.n + 1) // 2) * (l.n * (l.n + 1) // 2))
+                AS BIGINT) AS ls_slope_micro
+    FROM slopes s JOIN ls l USING (event_type)
+    """,
+)
+def events_theilsen_trend(spark, sf_dir):
+    """Theil-Sen robust slope beside the LS slope, per event type
+    (plans/analytics.py theil_sen_trend): the ROBUST trend member —
+    LS (A62) has breakdown point 0, the median of pairwise slopes
+    survives ~29% contamination, and on this data they genuinely
+    disagree (view: TS −10.4 vs LS +16.1 micro/day — outlier
+    influence, measured). Integer micro pair slopes, lower-middle
+    median, closed-form integer LS; 435 in-array slopes per type in
+    ONE projection (no pair self-join); hash-gated. Scale: the
+    per-group array discipline — pre-aggregate multi-year series to
+    weeks before folding."""
+    ev = tables(spark, sf_dir)["events"]
+    series = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.expr(
+            "sum(CAST(round(value * 1000) AS BIGINT)) div count(1)"
+        ).alias("y")
+    )
+    return an.theil_sen_trend(series, "event_type", "d", "y")

@@ -347,3 +347,46 @@ def test_acf_grouped_and_short_series_guard(spark):
     # lag-2 ACF of a perfect alternation is (n-2)/n, not 1: the
     # numerator loses its two boundary terms (n=12 -> exactly 833)
     assert byg[2] == 833 and byg[1] < -800
+
+
+# --- Theil-Sen robust trend ---------------------------------------------
+
+
+def test_theilsen_robust_vs_ls(spark):
+    """A clean slope-3 line with ONE wild outlier: TS recovers the
+    true slope exactly (3,000,000 micro), LS is dragged far off;
+    median convention and pair slopes replica-checked."""
+    from logprep_spark.plans.analytics import theil_sen_trend
+
+    ys = [10 + 3 * i for i in range(11)]
+    # the outlier sits at the END: a contaminated point at the mean
+    # of x moves only the intercept (zero leverage on the slope)
+    ys[10] = 500
+    df = spark.createDataFrame(
+        [("g", i, y) for i, y in enumerate(ys)], ["g", "d", "y"]
+    )
+    (r,) = theil_sen_trend(df, "g", "d", "y").collect()
+
+    n = len(ys)
+    slopes = sorted(
+        (1_000_000 * (ys[j] - ys[i])) // (j - i) if (ys[j] - ys[i]) >= 0
+        else -((-1_000_000 * (ys[j] - ys[i])) // (j - i))
+        for i in range(n) for j in range(i + 1, n)
+    )
+    assert r["n_pairs"] == n * (n - 1) // 2
+    assert r["ts_slope_micro"] == slopes[(len(slopes) + 1) // 2 - 1]
+    assert r["ts_slope_micro"] == 3_000_000       # exact recovery
+    assert abs(r["ls_slope_micro"] - 3_000_000) > 2_000_000  # LS dragged
+
+    # clean line: both agree exactly
+    clean = spark.createDataFrame(
+        [("g", i, 10 + 3 * i) for i in range(11)], ["g", "d", "y"]
+    )
+    (c,) = theil_sen_trend(clean, "g", "d", "y").collect()
+    assert c["ts_slope_micro"] == c["ls_slope_micro"] == 3_000_000
+
+    # repartition invariance
+    (rr,) = theil_sen_trend(
+        df.repartition(4), "g", "d", "y"
+    ).collect()
+    assert rr == r
