@@ -2069,6 +2069,72 @@ def gini_concentration(
     )
 
 
+def km_survival(
+    obs: DataFrame, t_col: str = "t", event_col: str = "event"
+) -> DataFrame:
+    """Kaplan-Meier survival estimator with right-censoring (Kaplan
+    & Meier 1958) — the time-to-event member of the analytics family
+    (retention counts cohorts at fixed lags; KM answers "what
+    fraction survives past t" when many subjects are still censored,
+    the statistically honest way): S(t) = Π_{t_i <= t}
+    (1 − d_i/r_i) over EVENT times, where r_i counts every
+    observation (event or censored) with T >= t_i.
+
+    Exactness: the product is folded stepwise in integer MICRO —
+    S' = (S·(r_i − d_i)) div r_i, truncating — so the whole curve is
+    bit-identical cross-engine (a float product is not
+    associativity-safe under reordering); at_risk comes from one
+    descending cumulative sum over the per-t tally.
+
+    Catalyst shape: tally agg (|distinct t| rows), one window for
+    at_risk, one sorted collect, then ONE ``aggregate`` whose
+    accumulator CARRIES THE CURVE (struct of running S + the
+    emitted array) — the holt-family fold grown an output tape;
+    explode at the end. Event-time cardinality, not row cardinality,
+    bounds every post-tally step."""
+    tidy = obs.groupBy(t_col).agg(
+        F.sum(F.col(event_col).cast("long")).alias("_d"),
+        F.count(F.lit(1)).alias("_ending"),
+    )
+    w = Window.orderBy(F.col(t_col).desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = tidy.withColumn(
+        "_r", F.sum("_ending").over(w).cast("long")
+    ).filter(F.col("_d") > 0)
+    arr = risk.groupBy().agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(t_col).cast("long").alias("t"), "_d", "_r"
+                )
+            )
+        ).alias("_s")
+    )
+    folded = arr.select(
+        F.expr(
+            """aggregate(
+                _s,
+                struct(CAST(1000000 AS BIGINT) AS s,
+                       CAST(array() AS
+                            array<struct<t:bigint,d:bigint,r:bigint,
+                                         sv:bigint>>) AS out),
+                (acc, e) -> struct(
+                    (acc.s * (e._r - e._d)) div e._r AS s,
+                    array_append(acc.out,
+                        struct(e.t AS t, e._d AS d, e._r AS r,
+                               (acc.s * (e._r - e._d)) div e._r AS sv))
+                        AS out))"""
+        ).alias("_f")
+    )
+    return folded.select(F.explode("_f.out").alias("_o")).select(
+        F.col("_o.t").alias("t"),
+        F.col("_o.r").alias("at_risk"),
+        F.col("_o.d").alias("n_events"),
+        F.col("_o.sv").alias("surv_micro"),
+    )
+
+
 def theil_sen_trend(
     series: DataFrame,
     group_col: str,

@@ -111,7 +111,7 @@ def register(name: str, oracle: str | None = None):
 #     users_spend_gini, layout_hilbert_pruning,
 #     dedup_setsim_incremental, graph_lpa_communities,
 #     events_autocorrelation, embed_all_but_top,
-#     events_theilsen_trend — added
+#     events_theilsen_trend, survival_repurchase_km — added
 #     after the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -10489,3 +10489,87 @@ def events_theilsen_trend(spark, sf_dir):
         ).alias("y")
     )
     return an.theil_sen_trend(series, "event_type", "d", "y")
+
+
+@register(
+    "survival_repurchase_km",
+    """
+    WITH span AS (SELECT max(CAST(ts AS DATE)) AS horizon FROM events),
+    p AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        FROM events WHERE event_type = 'purchase'
+    ), g AS (
+        SELECT user_id, d,
+               lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nxt
+        FROM p
+    ), obs AS (
+        SELECT CASE WHEN nxt IS NULL
+                    THEN CAST(datediff('day', d, horizon) AS BIGINT)
+                    ELSE CAST(datediff('day', d, nxt) AS BIGINT) END AS t,
+               CAST(nxt IS NOT NULL AS INT) AS event
+        FROM g, span
+    ), tidy AS (
+        SELECT t, CAST(sum(event) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS ending
+        FROM obs GROUP BY t
+    ), risk AS (
+        SELECT t, d, CAST(sum(ending) OVER (ORDER BY t DESC) AS BIGINT) AS r
+        FROM tidy
+    ), ev AS (
+        SELECT list([t, d, r] ORDER BY t) AS steps
+        FROM risk WHERE d > 0
+    ), fold AS (
+        SELECT list_reduce(
+            list_concat([[CAST(1000000 AS BIGINT)]], steps),
+            (acc, e) -> list_concat(acc,
+                [e[1], e[2], e[3],
+                 (acc[len(acc)] * (e[3] - e[2])) // e[3]])
+        ) AS f
+        FROM ev
+    )
+    SELECT f[4 * i - 2] AS t, f[4 * i] AS at_risk,
+           f[4 * i - 1] AS n_events, f[4 * i + 1] AS surv_micro
+    FROM fold, (SELECT unnest(range(1, 100)) AS i) idx
+    WHERE 4 * i + 1 <= len(f)
+    """,
+)
+def survival_repurchase_km(spark, sf_dir):
+    """Kaplan-Meier repurchase-latency curve (plans/analytics.py
+    km_survival): per purchase day, time until the user's NEXT
+    purchase day, right-censored at the data horizon — the
+    statistically honest answer to "how long until customers buy
+    again" when many windows are still open (a naive mean of closed
+    gaps is survivorship-biased low). S(1)=0.64, S(2)=0.41 at
+    sf0.01: median repurchase gap ~2 days, read off the hash-gated
+    curve. Integer micro product fold (S' = S·(r−d) div r,
+    truncating) inside ONE Catalyst aggregate whose accumulator
+    carries the curve as an output tape; the DuckDB replica is the
+    same fold as a growing-list list_reduce. Post-tally cost is
+    bounded by event-TIME cardinality, not row count."""
+    ev = tables(spark, sf_dir)["events"]
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("_h"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    from pyspark.sql import Window as W
+
+    nxt = F.lead("d").over(
+        W.partitionBy("user_id").orderBy("d")
+    )
+    obs = (
+        p.withColumn("_nxt", nxt)
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("_nxt").isNull(),
+                F.datediff(F.col("_h"), F.col("d")),
+            )
+            .otherwise(F.datediff(F.col("_nxt"), F.col("d")))
+            .cast("long")
+            .alias("t"),
+            F.col("_nxt").isNotNull().cast("int").alias("event"),
+        )
+    )
+    return an.km_survival(obs, "t", "event")

@@ -390,3 +390,49 @@ def test_theilsen_robust_vs_ls(spark):
         df.repartition(4), "g", "d", "y"
     ).collect()
     assert rr == r
+
+
+# --- Kaplan-Meier survival ----------------------------------------------
+
+
+def test_km_textbook_example(spark):
+    """Hand-computed KM with censoring (classic small example):
+    events at t=1 (2 of 10), t=3 (1 of 7: one censored at 2 left 7
+    at risk), t=5 (2 of 4: censoring at 4 again thins the risk set).
+    Censored subjects deplete at_risk WITHOUT stepping the curve."""
+    from logprep_spark.plans.analytics import km_survival
+
+    obs = (
+        [(1, 1)] * 2 + [(2, 0)]      # 2 events @1, 1 censored @2
+        + [(3, 1)] + [(4, 0)] * 2    # 1 event @3, 2 censored @4
+        + [(5, 1)] * 2 + [(6, 0)] * 2  # 2 events @5, 2 censored @6
+    )
+    df = spark.createDataFrame(obs, ["t", "event"])
+    rows = {r["t"]: r for r in km_survival(df, "t", "event").collect()}
+    assert set(rows) == {1, 3, 5}
+    assert (rows[1]["at_risk"], rows[1]["n_events"]) == (10, 2)
+    s1 = (1_000_000 * 8) // 10
+    assert rows[1]["surv_micro"] == s1
+    assert (rows[3]["at_risk"], rows[3]["n_events"]) == (7, 1)
+    s3 = (s1 * 6) // 7
+    assert rows[3]["surv_micro"] == s3
+    assert (rows[5]["at_risk"], rows[5]["n_events"]) == (4, 2)
+    assert rows[5]["surv_micro"] == (s3 * 2) // 4
+
+    # no censoring: KM reduces to the empirical survival function
+    plain = spark.createDataFrame(
+        [(t, 1) for t in [1, 1, 2, 3, 3, 3]], ["t", "event"]
+    )
+    got = {
+        r["t"]: r["surv_micro"]
+        for r in km_survival(plain, "t", "event").collect()
+    }
+    assert got[1] == (1_000_000 * 4) // 6
+    assert got[3] == 0
+
+    # repartition invariance
+    again = {
+        r["t"]: r.asDict()
+        for r in km_survival(df.repartition(4), "t", "event").collect()
+    }
+    assert again == {t: r.asDict() for t, r in rows.items()}
