@@ -2069,6 +2069,64 @@ def gini_concentration(
     )
 
 
+def mann_whitney_u(
+    obs: DataFrame, value_col: str = "vm", variant_col: str = "variant"
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test — the
+    NONPARAMETRIC member of the experimentation family (the
+    two-proportion z tests a rate, SPRT stops early on a rate; this
+    tests whether one variant's VALUE DISTRIBUTION is stochastically
+    larger, immune to outliers and any monotone transform): midranks
+    with ties carried as 2x-INTEGER ranks (2·avgrank of a tie group
+    = 2·rank_before + cnt + 1 — no rationals), U doubled likewise
+    (u_times_2 = ΣR1_2x − n1(n1+1)), the rank-biserial effect size
+    in integer milli, and the tie-CORRECTED normal z in milli (the
+    one sqrt, computed from exact integer moments identically in
+    both engines, floor-milli'd).
+
+    Catalyst shape: one tally agg on the (already integer-quantized)
+    value + one cumulative window over DISTINCT values (value
+    cardinality, not row cardinality) + a 1-row readout — rank-sum
+    at any scale without ever sorting the raw rows."""
+    tally = obs.groupBy(value_col).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum((F.col(variant_col) == 1).cast("long")).alias("_c1"),
+    )
+    w = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = tally.withColumn(
+        "_rb", F.coalesce(F.sum("_cnt").over(w), F.lit(0)).cast("long")
+    )
+    agg = ranked.agg(
+        F.sum("_cnt").cast("long").alias("_nn"),
+        F.sum("_c1").cast("long").alias("_n1"),
+        F.sum(
+            F.col("_c1") * (2 * F.col("_rb") + F.col("_cnt") + 1)
+        ).cast("long").alias("_r1"),
+        F.sum(
+            F.col("_cnt") * F.col("_cnt") * F.col("_cnt") - F.col("_cnt")
+        ).cast("long").alias("_ties"),
+    )
+    return agg.select(
+        (F.col("_nn") - F.col("_n1")).alias("n0"),
+        F.col("_n1").alias("n1"),
+        F.expr("_r1 - _n1 * (_n1 + 1)").alias("u_times_2"),
+        F.expr(
+            "(1000 * (_r1 - _n1 * (_n1 + 1)) - 1000 * (_nn - _n1) * _n1)"
+            " div ((_nn - _n1) * _n1)"
+        ).alias("rank_biserial_milli"),
+        F.expr(
+            "CASE WHEN _ties = _nn * _nn * _nn - _nn THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(floor(1000.0 * ((_r1 - _n1 * (_n1 + 1))"
+            " - (_nn - _n1) * _n1)"
+            " / (2.0 * sqrt((_nn - _n1) * _n1 / 12.0"
+            " * ((_nn + 1) - _ties * 1.0 / (_nn * (_nn - 1))))))"
+            " AS BIGINT) END"
+        ).alias("z_milli"),
+    )
+
+
 def km_survival(
     obs: DataFrame, t_col: str = "t", event_col: str = "event"
 ) -> DataFrame:

