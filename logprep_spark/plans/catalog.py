@@ -112,7 +112,7 @@ def register(name: str, oracle: str | None = None):
 #     dedup_setsim_incremental, graph_lpa_communities,
 #     events_autocorrelation, embed_all_but_top,
 #     events_theilsen_trend, survival_repurchase_km,
-#     ab_mann_whitney — added
+#     ab_mann_whitney, bootstrap_mean_ci — added
 #     after the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -10634,3 +10634,55 @@ def ab_mann_whitney(spark, sf_dir):
         (F.col("user_id") % 2).cast("long").alias("variant"),
     )
     return an.mann_whitney_u(obs, "vm", "variant")
+
+
+@register(
+    "bootstrap_mean_ci",
+    """
+    WITH obs AS (
+        SELECT event_id, CAST(round(value * 1000) AS BIGINT) AS vm
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), pairs AS (
+        SELECT vm, b, CASE WHEN h < 424136118829305344 THEN 0 WHEN h < 848272237658610688 THEN 1 WHEN h < 1060340297073263360 THEN 2 WHEN h < 1131029650211480960 THEN 3 WHEN h < 1148701988496035328 THEN 4 WHEN h < 1152236456152946176 THEN 5 WHEN h < 1152825534095764608 THEN 6 ELSE 7 END AS w
+        FROM obs, (SELECT unnest(range(0, 40)) AS b),
+        LATERAL (SELECT ('0x' || substr(md5('pb:' || event_id::VARCHAR
+                 || ':' || b::VARCHAR), 1, 15))::BIGINT AS h) hh
+    ), per_b AS (
+        SELECT b, CAST(sum(w * vm) AS BIGINT)
+                  // greatest(CAST(sum(w) AS BIGINT), 1) AS mean_milli
+        FROM pairs GROUP BY b
+    ), sorted_means AS (
+        SELECT list_sort(list(mean_milli)) AS ms FROM per_b
+    ), pt AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(vm) AS BIGINT) // count(*) AS point_mean_milli
+        FROM obs
+    )
+    SELECT pt.n, CAST(40 AS BIGINT) AS n_resamples, pt.point_mean_milli,
+           CAST(ms[1] AS BIGINT) AS boot_lo_milli,
+           CAST(ms[40] AS BIGINT) AS boot_hi_milli
+    FROM pt, sorted_means
+    """,
+)
+def bootstrap_mean_ci(spark, sf_dir):
+    """Poisson-bootstrap confidence band for the mean purchase value
+    (functions/sampling.py poisson_bootstrap_mean — the one-pass
+    resampling scheme for data too large to multinomial-resample:
+    per (row, b) an independent Poisson(1) weight, all 40 resamples
+    riding one scan). Weights from the salted md5 hash through
+    Python-precomputed inverse-CDF cut points — NOT an RNG, so the
+    band [46.26, 50.35] around the 48.19 point mean is reproducible
+    in any engine/run/partitioning and the readout hash-gates. The
+    UNCERTAINTY member of the analytics family: every mart mean in
+    this catalog can wear this band for the cost of one extra
+    B-key agg."""
+    ev = tables(spark, sf_dir)["events"]
+    obs = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    return smp.poisson_bootstrap_mean(
+        obs, "vm", "event_id", n_resamples=40
+    )

@@ -109,3 +109,52 @@ def test_per_group_excludes_nonpositive_weights(spark):
     )
     got = weighted_sample_per_group(df, "w", "grp", 5).collect()
     assert [r.doc_id for r in got] == [3]
+
+
+# --- Poisson bootstrap --------------------------------------------------
+
+
+def test_poisson_bootstrap_replica_and_coverage(spark):
+    """The weights are hash-deterministic (Python replica equality),
+    Poisson(1)-shaped (mean weight ~1), the band brackets the point
+    mean, and the whole readout is repartition-invariant."""
+    import hashlib
+    import math
+
+    from logprep_spark.functions.sampling import (
+        poisson_bootstrap_mean,
+        poisson_bootstrap_thresholds,
+    )
+
+    rows = [(i, 1000 + 37 * (i % 19)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "vm"])
+    (r,) = poisson_bootstrap_mean(df, "vm", "id", n_resamples=20).collect()
+
+    th = poisson_bootstrap_thresholds()
+
+    def w(i, b):
+        h = int(
+            hashlib.md5(f"pb:{i}:{b}".encode()).hexdigest()[:15], 16
+        )
+        for k, t in enumerate(th):
+            if h < t:
+                return k
+        return 7
+
+    means = sorted(
+        sum(w(i, b) * v for i, v in rows)
+        // max(sum(w(i, b) for i, _ in rows), 1)
+        for b in range(20)
+    )
+    assert r["point_mean_milli"] == sum(v for _, v in rows) // len(rows)
+    assert r["boot_lo_milli"] == means[0]
+    assert r["boot_hi_milli"] == means[-1]
+    assert r["boot_lo_milli"] <= r["point_mean_milli"] <= r["boot_hi_milli"]
+    # Poisson(1) sanity: total weight over 300x20 draws ~ 6000 ± 5%
+    total_w = sum(w(i, b) for i, _ in rows for b in range(20))
+    assert abs(total_w - 6000) < 300
+
+    (again,) = poisson_bootstrap_mean(
+        df.repartition(7), "vm", "id", n_resamples=20
+    ).collect()
+    assert again == r
