@@ -120,10 +120,16 @@ HEADLINE = [
     "text_textrank_keywords",
     # late-r8 additions — the two exact prefix-filter joins (rarest-
     # shingle candidate generation: symmetric Jaccard + asymmetric
-    # containment vs the full inverted index); first-26 prefix
-    # comparable to this round's totals
+    # containment vs the full inverted index) at positions 27-28:
+    # the first-26 prefix (through textrank) is the r8-comparable
+    # subtotal, first-28 adds these two
     "dedup_setsim_prefix",
     "dedup_containment_join",
+    # late-r8 wave 2 — the two fixed-round iterative graph ops
+    # (per-round lineage cuts: localCheckpoint every round) at 29-30;
+    # the 28/30 prefixes become the r9-comparable subtotals
+    "graph_kcore",
+    "graph_lpa_communities",
 ]
 
 
@@ -151,6 +157,11 @@ SF1_SPOT = [
     # candidate/verify plan, not a replica artifact.
     "dedup_setsim_prefix",
     "dedup_containment_join",
+    # late-r8 wave 2: the same two iterative graph ops at 10x edges
+    # (peel depth and LPA churn are the scale-sensitive parts; the
+    # derived fact set already feeds the pagerank spot)
+    "graph_kcore",
+    "graph_lpa_communities",
 ]
 
 _REPLICAS = 10
@@ -432,6 +443,7 @@ def main() -> None:
         "comparable_22": round(sum(timings[n] for n in names[:22]), 3),
         "comparable_24": round(sum(timings[n] for n in names[:24]), 3),
         "comparable_26": round(sum(timings[n] for n in names[:26]), 3),
+        "comparable_28": round(sum(timings[n] for n in names[:28]), 3),
         "calib_s": calib_s,
         "calib_scan_s": calib_scan_s,
         "calib_post_s": post[0],
