@@ -1380,3 +1380,78 @@ def readability_scores(
             "206835 - (1015 * _wps) div 1000 - (84600 * _spw) div 1000"
         ).alias("flesch_milli"),
     )
+
+
+def hashed_gram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "n_chars",
+    id_col: str = "doc_id",
+    d: int = 16,
+) -> DataFrame:
+    """Exact sufficient statistics for a hashed-feature linear model
+    (ridge/OLS) in ONE pass: per doc, x_b = count of tokens whose
+    md5-h60 hashes into bucket b (the feature-hashing trick —
+    Weinberger et al. 2009); emitted are the integer Gram upper
+    triangle G = ΣxxT, the moment vector X'y, n and Σy — everything
+    the normal equations (G + λI)w = X'y need. THIS is how a linear
+    model trains at 100 TB: the d(d+1)/2 + d sums combine map-side
+    in one aggregation (no gradient passes, no driver-side data);
+    the d x d solve is a driver triviality afterwards. All counts
+    and labels are integers, so the statistics are EXACT and
+    hash-gate cross-engine — the distributed (expensive) stage is
+    gated bit-for-bit, the tiny solve is pytest-gated against a
+    dense lstsq.
+
+    Output rows (kind-coded): (i, j>=i, G_ij), (i, -1, X'y_i),
+    (-1, -1, n), (-1, -2, Σy)."""
+    hs = (
+        f"transform(filter(split({text_col}, '\\\\s+'), t -> t != ''),"
+        " t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+    )
+    feat = df.select(
+        F.col(id_col),
+        F.col(label_col).cast("long").alias("_y"),
+        F.expr(
+            f"transform(sequence(0, {d - 1}), b -> CAST(size(filter("
+            f"{hs}, h -> h % {d} = b)) AS BIGINT))"
+        ).alias("_x"),
+    )
+    aggs = [F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_sy")]
+    names = []
+    for i in range(d):
+        aggs.append(
+            F.expr(f"sum(element_at(_x, {i + 1}) * _y)").alias(f"_b{i}")
+        )
+        for j in range(i, d):
+            aggs.append(
+                F.expr(
+                    f"sum(element_at(_x, {i + 1})"
+                    f" * element_at(_x, {j + 1}))"
+                ).alias(f"_g{i}_{j}")
+            )
+            names.append((i, j))
+    wide = feat.agg(*aggs)
+    entries = ", ".join(
+        f"struct(CAST({i} AS BIGINT) AS i, CAST({j} AS BIGINT) AS j,"
+        f" _g{i}_{j} AS v)"
+        for i, j in names
+    )
+    entries += ", " + ", ".join(
+        f"struct(CAST({i} AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,"
+        f" _b{i} AS v)"
+        for i in range(d)
+    )
+    entries += (
+        ", struct(CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,"
+        " _n AS v)"
+        ", struct(CAST(-1 AS BIGINT) AS i, CAST(-2 AS BIGINT) AS j,"
+        " _sy AS v)"
+    )
+    return wide.select(
+        F.explode(F.expr(f"array({entries})")).alias("_e")
+    ).select(
+        F.col("_e.i").alias("i"),
+        F.col("_e.j").alias("j"),
+        F.col("_e.v").cast("long").alias("v"),
+    )

@@ -112,7 +112,8 @@ def register(name: str, oracle: str | None = None):
 #     dedup_setsim_incremental, graph_lpa_communities,
 #     events_autocorrelation, embed_all_but_top,
 #     events_theilsen_trend, survival_repurchase_km,
-#     ab_mann_whitney, bootstrap_mean_ci, ab_chi_square — added
+#     ab_mann_whitney, bootstrap_mean_ci, ab_chi_square,
+#     ml_ridge_normal_eqs — added
 #     after the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -10725,3 +10726,55 @@ def ab_chi_square(spark, sf_dir):
         "event_type", (F.col("user_id") % 2).cast("long").alias("variant")
     )
     return an.chi_square_cells(obs, "event_type", "variant")
+
+
+@register(
+    "ml_ridge_normal_eqs",
+    """
+WITH tok AS (
+    SELECT doc_id, n_chars,
+           [('0x' || substr(md5(t), 1, 15))::BIGINT
+            for t in list_filter(string_split_regex(text, '\s+'),
+                                 x -> x != '')] AS hs
+    FROM documents
+), feat AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS y, [CAST(len(list_filter(hs, h -> h % 16 = b)) AS BIGINT)
+          for b in range(0, 16)] AS x FROM tok
+), gram AS (
+    SELECT i.i, j.j,
+           CAST(sum(x[i.i + 1] * x[j.j + 1]) AS BIGINT) AS v
+    FROM feat,
+         (SELECT unnest(range(0, 16)) AS i) i,
+         (SELECT unnest(range(0, 16)) AS j) j
+    WHERE j.j >= i.i
+    GROUP BY i.i, j.j
+), xty AS (
+    SELECT i.i, CAST(-1 AS BIGINT) AS j,
+           CAST(sum(x[i.i + 1] * y) AS BIGINT) AS v
+    FROM feat, (SELECT unnest(range(0, 16)) AS i) i
+    GROUP BY i.i
+), meta AS (
+    SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+           CAST(count(*) AS BIGINT) AS v
+    FROM feat
+    UNION ALL
+    SELECT -1, -2, CAST(sum(y) AS BIGINT) FROM feat
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, v FROM gram
+UNION ALL SELECT i, j, v FROM xty
+UNION ALL SELECT i, j, v FROM meta
+    """,
+)
+def ml_ridge_normal_eqs(spark, sf_dir):
+    """Exact sufficient statistics for a hashed-feature linear model
+    (functions/text.py hashed_gram_stats — the feature-hashing trick
+    of Weinberger et al. 2009 feeding the normal equations): integer
+    Gram upper triangle, X'y, n, Σy over 16 hashed unigram-count
+    features predicting n_chars. THIS is distributed linear-model
+    training: the d(d+1)/2 + d sums combine MAP-SIDE in one
+    aggregation over one scan — no gradient passes, no driver data —
+    and the d x d solve is a driver triviality afterwards. The
+    expensive (distributed) stage hash-gates bit-for-bit; the solve
+    is pytest-gated against dense lstsq on the raw design matrix."""
+    docs = tables(spark, sf_dir)["documents"]
+    return tx.hashed_gram_stats(docs, "text", "n_chars", d=16)

@@ -110,3 +110,59 @@ def test_gini_known_distributions(spark):
         mono.repartition(4), "x", "user_id"
     ).collect()
     assert m2 == m
+
+
+# --- hashed-feature normal equations ------------------------------------
+
+
+def test_gram_stats_solve_matches_dense_lstsq(spark):
+    """The distributed sufficient statistics reconstruct the SAME
+    least-squares solution as dense numpy lstsq on the raw design
+    matrix — the whole point of the one-pass Gram accumulation —
+    and the statistics themselves equal a Python replica exactly."""
+    import hashlib
+
+    import numpy as np
+
+    from logprep_spark.functions.text import hashed_gram_stats
+
+    D = 4
+    docs = [
+        (i, f"alpha beta gamma {'delta ' * (i % 3)}word{i % 5}", 50 + 7 * i)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "n_chars"])
+    rows = hashed_gram_stats(df, "text", "n_chars", d=D).collect()
+    got = {(r["i"], r["j"]): r["v"] for r in rows}
+
+    def h(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+
+    X, y = [], []
+    for _, text, n in docs:
+        toks = [t for t in text.split() if t]
+        x = [sum(1 for t in toks if h(t) % D == b) for b in range(D)]
+        X.append(x)
+        y.append(n)
+    X, yv = np.array(X, dtype=float), np.array(y, dtype=float)
+
+    # exact statistics
+    G = (X.T @ X).astype(int)
+    b = (X.T @ yv).astype(int)
+    for i in range(D):
+        assert got[(i, -1)] == b[i]
+        for j in range(i, D):
+            assert got[(i, j)] == G[i][j], (i, j)
+    assert got[(-1, -1)] == len(docs)
+    assert got[(-1, -2)] == sum(y)
+
+    # the solve: ridge with tiny lambda from the frame == dense lstsq
+    lam = 1e-9
+    Gf = np.zeros((D, D))
+    for i in range(D):
+        for j in range(i, D):
+            Gf[i][j] = Gf[j][i] = got[(i, j)]
+    w_frame = np.linalg.solve(Gf + lam * np.eye(D),
+                              np.array([got[(i, -1)] for i in range(D)]))
+    w_dense, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    assert np.allclose(w_frame, w_dense, atol=1e-4)
