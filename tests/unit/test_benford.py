@@ -166,3 +166,25 @@ def test_gram_stats_solve_matches_dense_lstsq(spark):
                               np.array([got[(i, -1)] for i in range(D)]))
     w_dense, *_ = np.linalg.lstsq(X, yv, rcond=None)
     assert np.allclose(w_frame, w_dense, atol=1e-4)
+
+
+def test_calibration_bins_structure(spark, sf_dir):
+    """The reliability frame's invariants on real data: bins within
+    0..9, midpoints = 100*bin+50, gap consistent with obs vs mid,
+    and Σn_docs equals the corpus size."""
+    from logprep_spark.plans import catalog
+
+    rows = catalog.queries()["model_calibration_bins"](
+        spark, sf_dir
+    ).collect()
+    assert rows and all(0 <= r["bin"] <= 9 for r in rows)
+    total = 0
+    for r in rows:
+        total += r["n_docs"]
+        assert r["pred_mid_milli"] == 100 * r["bin"] + 50
+        assert r["obs_rate_milli"] == 1000 * r["n_pos"] // r["n_docs"]
+        assert r["gap_milli"] == abs(
+            r["pred_mid_milli"] - r["obs_rate_milli"]
+        )
+    n_docs = catalog.tables(spark, sf_dir)["documents"].count()
+    assert total == n_docs
