@@ -2069,6 +2069,76 @@ def gini_concentration(
     )
 
 
+def isotonic_pools(
+    bins: DataFrame,
+    bin_col: str = "bin",
+    pos_col: str = "s",
+    n_col: str = "n",
+    passes: int = 6,
+) -> DataFrame:
+    """Isotonic regression by pool-adjacent-violators (Ayer et al.
+    1955 / Barlow-Brunk PAVA) over an ordered bin frame — the REPAIR
+    for what the reliability diagram measures: the monotone rate fit
+    that recalibrates a sharp-but-miscalibrated classifier (pools
+    replace each decreasing run with its pooled rate; the result is
+    the closest monotone fit in L2, the textbook guarantee).
+
+    Realization: repeated LEFT-SCAN passes, each ONE Catalyst
+    ``aggregate`` whose accumulator is the flat pool array —
+    scan the pairs, merge into the last pool while its rate exceeds
+    the incomer's (violation tested by integer CROSS-MULTIPLICATION:
+    s_last·n > s·n_last — no rational means, ever). A single pass
+    can leave violations to its left, so ``passes`` fixed rounds run
+    (n-pass worst case; the measured data converges in 2) with the
+    kcore-family ``converged`` witness (pass P == pass P−1) emitted
+    on every row. Bin cardinality (~10) bounds everything after the
+    one grouped count."""
+    merge = (
+        "CASE WHEN size(acc) = 0 THEN e"
+        " WHEN element_at(acc, size(acc) - 1) * element_at(e, 2)"
+        " > element_at(e, 1) * element_at(acc, size(acc))"
+        " THEN concat(slice(acc, 1, size(acc) - 2),"
+        " array(element_at(acc, size(acc) - 1) + element_at(e, 1),"
+        " element_at(acc, size(acc)) + element_at(e, 2)))"
+        " ELSE concat(acc, e) END"
+    )
+    one_pass = (
+        "aggregate(transform(sequence(1, CAST(size({p}) div 2 AS INT)),"
+        " i -> array(element_at({p}, 2 * i - 1),"
+        " element_at({p}, 2 * i))),"
+        " CAST(array() AS array<bigint>), (acc, e) -> " + merge + ")"
+    )
+    cur = bins.groupBy().agg(
+        F.expr(
+            f"flatten(transform(sort_array(collect_list(struct("
+            f"{bin_col}, {pos_col}, {n_col}))),"
+            f" q -> array(CAST(q.{pos_col} AS BIGINT),"
+            f" CAST(q.{n_col} AS BIGINT))))"
+        ).alias("_p0")
+    )
+    for r in range(1, passes + 1):
+        cur = cur.withColumn(
+            f"_p{r}", F.expr(one_pass.format(p=f"_p{r - 1}"))
+        )
+    last, prev = f"_p{passes}", f"_p{passes - 1}"
+    return cur.select(
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, CAST(size({last}) div 2 AS INT)),"
+                f" i -> struct(element_at({last}, 2 * i - 1) AS s,"
+                f" element_at({last}, 2 * i) AS n))"
+            )
+        ).alias("_i", "_e"),
+        (F.col(last) == F.col(prev)).alias("converged"),
+    ).select(
+        (F.col("_i") + 1).cast("long").alias("pool"),
+        F.col("_e.n").alias("n_docs"),
+        F.col("_e.s").alias("n_pos"),
+        F.expr("1000 * _e.s div _e.n").alias("iso_rate_milli"),
+        "converged",
+    )
+
+
 def chi_square_cells(
     df: DataFrame, row_col: str, col_col: str
 ) -> DataFrame:

@@ -113,7 +113,8 @@ def register(name: str, oracle: str | None = None):
 #     events_autocorrelation, embed_all_but_top,
 #     events_theilsen_trend, survival_repurchase_km,
 #     ab_mann_whitney, bootstrap_mean_ci, ab_chi_square,
-#     ml_ridge_normal_eqs, model_calibration_bins — added
+#     ml_ridge_normal_eqs, model_calibration_bins,
+#     model_calibration_isotonic — added
 #     after the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -10868,3 +10869,121 @@ def model_calibration_bins(spark, sf_dir):
             ).alias("gap_milli"),
         )
     )
+
+
+@register(
+    "model_calibration_isotonic",
+    """
+    WITH staged AS (
+        SELECT doc_id, text,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x != ''),
+                    t -> ([0, 0, 0, 0, -1076418, 0, 0, -1103245, 0, -4296549, 0, 0, 0, 0, 0, 0, 0, -3393636, 0, 0, 0, 0, 0, -2174335, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -1367423, 0, -320225, 0, 0, 0, 0, 0, 0, 0, 0, 0, -225591, 0, 0, 0, 0, 0, 1853209, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -2765896, 0, 0, 0, 0, 0, 0, 141562, -420003, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -711605, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 503339, 21318691, 0, 0, 23123785, 0, 0, 0, 0, 0, -1148220, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -1331208, -4787674, 0, 0, 0, 0, 0, -12773, 0, 0, -1476636, -3472335, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 150406, 0, 0, 0, 0, 0, -1119757, 0, 0, 0, 0, -2998017, -1028203, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -1278683, 0, 0, 0, 0, 0, 0, 0, 0, -3007599, 0, 0, 0, 0, 0, 0, -1625597, -1064064, 0, -4534717, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0])[(('0x' || substr(md5(t), 1, 15))::bigint % 256) + 1])) AS BIGINT)
+                   AS _wsum
+        FROM documents
+    ), scored AS (
+        SELECT 687442 + _wsum // greatest(n_tokens, 1) AS logit,
+               (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END
+                + CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                            / greatest(length(text), 1) >= 0.6 THEN 0.25 ELSE 0.0 END
+                + CASE WHEN len(regexp_extract_all(lower(text),
+                            '\\b(the|and|of|to|in|is|that|it|for|with|a|an|as|at|by|on|or|be)\\b'))
+                            / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')), 1) >= 0.05 THEN 0.25 ELSE 0.0 END
+                + CASE WHEN length(text) / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')), 1) BETWEEN 3 AND 12
+                       THEN 0.25 ELSE 0.0 END
+               ) >= 1.0 AS label
+        FROM staged
+    ), bins AS (
+        SELECT CAST(CASE WHEN logit >= (-2197225) THEN 1 ELSE 0 END + CASE WHEN logit >= (-1386294) THEN 1 ELSE 0 END + CASE WHEN logit >= (-847298) THEN 1 ELSE 0 END + CASE WHEN logit >= (-405465) THEN 1 ELSE 0 END + CASE WHEN logit >= (0) THEN 1 ELSE 0 END + CASE WHEN logit >= (405465) THEN 1 ELSE 0 END + CASE WHEN logit >= (847298) THEN 1 ELSE 0 END + CASE WHEN logit >= (1386294) THEN 1 ELSE 0 END + CASE WHEN logit >= (2197225) THEN 1 ELSE 0 END AS BIGINT) AS bin,
+               CAST(sum(CAST(label AS INT)) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM scored GROUP BY bin
+    ), p0 AS MATERIALIZED (
+        SELECT flatten(list([s, n] ORDER BY bin)) AS p FROM bins
+    ), p1 AS MATERIALIZED (
+        SELECT list_reduce(
+            list_concat([[CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)]],
+                [[p[2 * i - 1], p[2 * i]]
+                 for i in range(1, len(p) // 2 + 1)]),
+            (acc, e) -> CASE WHEN len(acc) = 2 AND acc[1] = -1 THEN e WHEN acc[len(acc) - 1] * e[2] > e[1] * acc[len(acc)] THEN list_concat(acc[1:len(acc) - 2], [acc[len(acc) - 1] + e[1], acc[len(acc)] + e[2]]) ELSE list_concat(acc, e) END) AS p
+        FROM p0
+    ), p2 AS MATERIALIZED (
+        SELECT list_reduce(
+            list_concat([[CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)]],
+                [[p[2 * i - 1], p[2 * i]]
+                 for i in range(1, len(p) // 2 + 1)]),
+            (acc, e) -> CASE WHEN len(acc) = 2 AND acc[1] = -1 THEN e WHEN acc[len(acc) - 1] * e[2] > e[1] * acc[len(acc)] THEN list_concat(acc[1:len(acc) - 2], [acc[len(acc) - 1] + e[1], acc[len(acc)] + e[2]]) ELSE list_concat(acc, e) END) AS p
+        FROM p1
+    ), p3 AS MATERIALIZED (
+        SELECT list_reduce(
+            list_concat([[CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)]],
+                [[p[2 * i - 1], p[2 * i]]
+                 for i in range(1, len(p) // 2 + 1)]),
+            (acc, e) -> CASE WHEN len(acc) = 2 AND acc[1] = -1 THEN e WHEN acc[len(acc) - 1] * e[2] > e[1] * acc[len(acc)] THEN list_concat(acc[1:len(acc) - 2], [acc[len(acc) - 1] + e[1], acc[len(acc)] + e[2]]) ELSE list_concat(acc, e) END) AS p
+        FROM p2
+    ), p4 AS MATERIALIZED (
+        SELECT list_reduce(
+            list_concat([[CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)]],
+                [[p[2 * i - 1], p[2 * i]]
+                 for i in range(1, len(p) // 2 + 1)]),
+            (acc, e) -> CASE WHEN len(acc) = 2 AND acc[1] = -1 THEN e WHEN acc[len(acc) - 1] * e[2] > e[1] * acc[len(acc)] THEN list_concat(acc[1:len(acc) - 2], [acc[len(acc) - 1] + e[1], acc[len(acc)] + e[2]]) ELSE list_concat(acc, e) END) AS p
+        FROM p3
+    ), p5 AS MATERIALIZED (
+        SELECT list_reduce(
+            list_concat([[CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)]],
+                [[p[2 * i - 1], p[2 * i]]
+                 for i in range(1, len(p) // 2 + 1)]),
+            (acc, e) -> CASE WHEN len(acc) = 2 AND acc[1] = -1 THEN e WHEN acc[len(acc) - 1] * e[2] > e[1] * acc[len(acc)] THEN list_concat(acc[1:len(acc) - 2], [acc[len(acc) - 1] + e[1], acc[len(acc)] + e[2]]) ELSE list_concat(acc, e) END) AS p
+        FROM p4
+    ), p6 AS MATERIALIZED (
+        SELECT list_reduce(
+            list_concat([[CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)]],
+                [[p[2 * i - 1], p[2 * i]]
+                 for i in range(1, len(p) // 2 + 1)]),
+            (acc, e) -> CASE WHEN len(acc) = 2 AND acc[1] = -1 THEN e WHEN acc[len(acc) - 1] * e[2] > e[1] * acc[len(acc)] THEN list_concat(acc[1:len(acc) - 2], [acc[len(acc) - 1] + e[1], acc[len(acc)] + e[2]]) ELSE list_concat(acc, e) END) AS p
+        FROM p5
+    )
+    SELECT CAST(i AS BIGINT) AS pool,
+           CAST(f.p[2 * i] AS BIGINT) AS n_docs,
+           CAST(f.p[2 * i - 1] AS BIGINT) AS n_pos,
+           1000 * f.p[2 * i - 1] // f.p[2 * i] AS iso_rate_milli,
+           (SELECT a.p = b.p FROM p6 a, p5 b) AS converged
+    FROM p6 f, (SELECT unnest(range(1, 100)) AS i) idx
+    WHERE 2 * i <= len(f.p)
+    """,
+)
+def model_calibration_isotonic(spark, sf_dir):
+    """Isotonic (PAVA) recalibration of the quality classifier
+    (plans/analytics.py isotonic_pools) — the REPAIR for exactly
+    what model_calibration_bins measured: the decreasing tail of
+    the reliability curve (1000, 1000, 960 across the top deciles)
+    pools to one monotone 994-milli plateau; the per-pool rates ARE
+    the recalibration map (predict pool rate instead of the raw
+    sigmoid). Violations tested by integer cross-multiplication (no
+    rational means), fixed 6 left-scan passes with the converged
+    witness on every row (the measured data needs 2); the DuckDB
+    replica folds the identical flat-pool recurrence, so all 7 pool
+    rows hash-gate. Everything after the one grouped count is
+    bounded by BIN cardinality."""
+    docs = tables(spark, sf_dir)["documents"]
+    scored = tx.quality_model_score(docs).select("doc_id", "logit_micro")
+    labeled = docs.select(
+        "doc_id", (tx.quality_score(F.col("text")) >= 1.0).alias("_lab")
+    )
+    bin_expr = " + ".join(
+        "CASE WHEN logit_micro >= (" + str(c) + ") THEN 1 ELSE 0 END"
+        for c in _CALIB_CUTS
+    )
+    bins = (
+        scored.join(labeled, "doc_id")
+        .select(
+            F.expr("CAST(" + bin_expr + " AS BIGINT)").alias("bin"),
+            F.col("_lab").cast("long").alias("_pos"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("_pos").cast("long").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return an.isotonic_pools(bins, "bin", "s", "n", passes=6)

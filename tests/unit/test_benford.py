@@ -188,3 +188,38 @@ def test_calibration_bins_structure(spark, sf_dir):
         )
     n_docs = catalog.tables(spark, sf_dir)["documents"].count()
     assert total == n_docs
+
+
+# --- isotonic (PAVA) ----------------------------------------------------
+
+
+def test_isotonic_pools_textbook(spark):
+    """Classic PAVA fixtures: already-monotone input is untouched; a
+    strictly decreasing sequence collapses to ONE pool at the global
+    rate; the standard violation-in-the-middle case pools exactly
+    the violating pair; output rates are always non-decreasing."""
+    from logprep_spark.plans.analytics import isotonic_pools
+
+    def run(triples, passes=6):
+        df = spark.createDataFrame(triples, ["bin", "s", "n"])
+        rows = isotonic_pools(df, passes=passes).collect()
+        return [(r["n_docs"], r["n_pos"], r["iso_rate_milli"]) for r in rows], rows
+
+    mono, rows = run([(1, 0, 10), (2, 5, 10), (3, 9, 10)])
+    assert mono == [(10, 0, 0), (10, 5, 500), (10, 9, 900)]
+    assert all(r["converged"] for r in rows)
+
+    dec, _ = run([(1, 9, 10), (2, 5, 10), (3, 1, 10)])
+    assert dec == [(30, 15, 500)]
+
+    mid, _ = run([(1, 1, 10), (2, 8, 10), (3, 6, 10), (4, 9, 10)])
+    # 0.8 > 0.6 pools to 14/20 = 0.7; result 0.1, 0.7, 0.9 monotone
+    assert mid == [(10, 1, 100), (20, 14, 700), (10, 9, 900)]
+    rates = [r for _, _, r in mid]
+    assert rates == sorted(rates)
+
+    # a case needing >1 pass: merge creates a NEW violation leftward
+    multi, rows2 = run([(1, 5, 10), (2, 1, 10), (3, 2, 10), (4, 2, 10)])
+    # pass1: 5/10 > 1/10 -> pool (6,20)=0.3 > 0.2 etc; final single pool
+    assert multi == [(40, 10, 250)]
+    assert all(r["converged"] for r in rows2)
