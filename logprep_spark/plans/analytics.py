@@ -2139,6 +2139,67 @@ def isotonic_pools(
     )
 
 
+def cuped_adjusted_means(
+    per_user: DataFrame,
+    variant_col: str = "variant",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. WSDM 2013) — the
+    experimentation-family member every modern A/B platform runs
+    before the significance test: adjust the metric by the
+    PRE-period covariate, y' = y − θ(x − x̄), θ = cov(x,y)/var(x);
+    the variance shrinks by ρ² (reported as var_reduction_milli —
+    the fraction of the experiment you no longer have to run).
+
+    Exactness: all five moments (Σx, Σy, Σx², Σxy, Σy²) are exact
+    integer sums over integer-unit inputs; θ and the adjusted means
+    touch doubles only in the final readout, built from those exact
+    integers with ORACLE-IDENTICAL term structure, floor-milli'd.
+    Overflow: Σx² at 10⁹ users of 10⁶-unit spend needs
+    DECIMAL(38,0) — the gini discipline, noted before it bites.
+
+    Output one row per variant: n, raw mean, ADJUSTED mean (the
+    number to run the t/z test on), with θ and the reduction
+    alongside. Shape: one per-user pre-agg, one 5-moment global agg
+    (map-side combining), one per-variant agg, broadcast readout."""
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x_col).cast("long").alias("sx"),
+        F.sum(y_col).cast("long").alias("sy"),
+        F.sum(F.col(x_col) * F.col(x_col)).cast("long").alias("sxx"),
+        F.sum(F.col(x_col) * F.col(y_col)).cast("long").alias("sxy"),
+        F.sum(F.col(y_col) * F.col(y_col)).cast("long").alias("syy"),
+    )
+    v = per_user.groupBy(variant_col).agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.sum(x_col).cast("long").alias("sxv"),
+        F.sum(y_col).cast("long").alias("syv"),
+    )
+    return v.crossJoin(F.broadcast(m)).select(
+        F.col(variant_col).alias("variant"),
+        F.col("nv").alias("n_users"),
+        F.expr("1000 * syv div nv").alias("mean_y_micro"),
+        F.expr(
+            "CAST(floor(1000.0 * syv / nv"
+            " - (1.0 * (n * sxy - sx * sy)"
+            " / greatest(n * sxx - sx * sx, 1))"
+            " * (1000.0 * sxv / nv - 1000.0 * sx / n)) AS BIGINT)"
+        ).alias("mean_adj_micro"),
+        F.expr(
+            "CAST(floor(1000000.0 * (n * sxy - sx * sy)"
+            " / greatest(n * sxx - sx * sx, 1)) AS BIGINT)"
+        ).alias("theta_micro"),
+        F.expr(
+            "CAST(floor(1000.0 * (n * sxy - sx * sy)"
+            " * (n * sxy - sx * sy)"
+            " / (greatest(CAST(n * sxx - sx * sx AS DOUBLE), 1.0d)"
+            " * greatest(CAST(n * syy - sy * sy AS DOUBLE), 1.0d)))"
+            " AS BIGINT)"
+        ).alias("var_reduction_milli"),
+    )
+
+
 def chi_square_cells(
     df: DataFrame, row_col: str, col_col: str
 ) -> DataFrame:

@@ -114,7 +114,7 @@ def register(name: str, oracle: str | None = None):
 #     events_theilsen_trend, survival_repurchase_km,
 #     ab_mann_whitney, bootstrap_mean_ci, ab_chi_square,
 #     ml_ridge_normal_eqs, model_calibration_bins,
-#     model_calibration_isotonic — added
+#     model_calibration_isotonic, ab_cuped_adjusted — added
 #     after the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -10987,3 +10987,85 @@ def model_calibration_isotonic(spark, sf_dir):
         )
     )
     return an.isotonic_pools(bins, "bin", "s", "n", passes=6)
+
+
+@register(
+    "ab_cuped_adjusted",
+    """
+WITH per_user AS (
+    SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+           CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+    FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+      AND ts >= '2024-01-01' AND ts < '2024-01-29'
+    GROUP BY 1, 2
+), m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM per_user
+), v AS (
+    SELECT variant, CAST(count(*) AS BIGINT) AS nv,
+           CAST(sum(x) AS BIGINT) AS sxv, CAST(sum(y) AS BIGINT) AS syv
+    FROM per_user GROUP BY variant
+)
+SELECT v.variant, v.nv AS n_users,
+       1000 * v.syv // v.nv AS mean_y_micro,
+       CAST(floor(1000.0 * v.syv / v.nv
+            - (1.0 * (m.n * m.sxy - m.sx * m.sy)
+               / greatest(m.n * m.sxx - m.sx * m.sx, 1))
+              * (1000.0 * v.sxv / v.nv - 1000.0 * m.sx / m.n))
+           AS BIGINT) AS mean_adj_micro,
+       CAST(floor(1000000.0 * (m.n * m.sxy - m.sx * m.sy)
+            / greatest(m.n * m.sxx - m.sx * m.sx, 1)) AS BIGINT)
+           AS theta_micro,
+       CAST(floor(1000.0 * (m.n * m.sxy - m.sx * m.sy)
+                  * (m.n * m.sxy - m.sx * m.sy)
+            / (greatest(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE), 1.0)
+               * greatest(CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE), 1.0)))
+           AS BIGINT) AS var_reduction_milli
+FROM v, m
+    """,
+)
+def ab_cuped_adjusted(spark, sf_dir):
+    """CUPED covariate adjustment (plans/analytics.py
+    cuped_adjusted_means — Deng et al. 2013) on the purchase A/B:
+    pre-period (Jan 1-14) spend as covariate, experiment period
+    (Jan 15-28) as metric. On this data rho^2 = 49 milli — a 4.9%
+    variance cut (iid synthetic users have weak pre/post
+    correlation; production user metrics typically give 30-60%) —
+    and the adjusted means move toward each other exactly as the
+    negative theta dictates. Exact integer moments, oracle-identical
+    double readout, hash-gated per variant."""
+    ev = tables(spark, sf_dir)["events"]
+    per_user = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+            & (F.col("ts") >= F.lit("2024-01-01"))
+            & (F.col("ts") < F.lit("2024-01-29"))
+        )
+        .groupBy(
+            "user_id", (F.col("user_id") % 2).cast("long").alias("variant")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts") < F.lit("2024-01-15").cast("timestamp"),
+                    F.round(F.col("value") * 1000).cast("long"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("x"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= F.lit("2024-01-15").cast("timestamp"),
+                    F.round(F.col("value") * 1000).cast("long"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("y"),
+        )
+    )
+    return an.cuped_adjusted_means(per_user, "variant", "x", "y")

@@ -504,3 +504,69 @@ def test_chi_square_cells_hand_table(spark):
     total = sum(r["chi_contrib_micro"] for r in drows)
     assert total == 2 * (30_000_000 // 4)
     assert len(drows) == 2  # absent cells emit no row (documented)
+
+
+# --- CUPED --------------------------------------------------------------
+
+
+def test_cuped_hand_values(spark):
+    """Balanced design: x distributions identical per variant and
+    y = 2x + 50·variant — theta is exactly 2, rho^2 ~ 1, and the
+    adjusted difference recovers the true +50 shift. Imbalanced
+    design: the adjusted difference lands far closer to the true
+    shift than the raw one — but not exactly on it (pooled theta is
+    confounded; CUPED assumes randomization). Uncorrelated covariate: the adjustment is a
+    no-op."""
+    from logprep_spark.plans.analytics import cuped_adjusted_means
+
+    # (a) balanced: users i and i+10 share the same x; variant = i//10
+    rows = [
+        (i, i // 10, 100 + 13 * (i % 10), 2 * (100 + 13 * (i % 10)) + 50 * (i // 10))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["uid", "variant", "x", "y"])
+    got = {
+        r["variant"]: r
+        for r in cuped_adjusted_means(df, "variant", "x", "y").collect()
+    }
+    assert got[0]["theta_micro"] == 2_000_000
+    # rho^2 is NOT 1: the treatment shift itself adds y-variance the
+    # covariate cannot explain — 4Vx/(4Vx + 2500·Vv) = 899 milli here
+    assert got[0]["var_reduction_milli"] == 899
+    diff_adj = got[1]["mean_adj_micro"] - got[0]["mean_adj_micro"]
+    assert abs(diff_adj - 50_000) <= 2_000
+
+    # (b) imbalanced covariate: variant 1 got luckier pre-period
+    # users; raw diff overstates the true +50 shift, adjusted
+    # recovers it better
+    rows_b = [
+        (i, 0, 100 + 13 * i, 2 * (100 + 13 * i)) for i in range(10)
+    ] + [
+        (10 + i, 1, 200 + 13 * i, 2 * (200 + 13 * i) + 50)
+        for i in range(10)
+    ]
+    db = spark.createDataFrame(rows_b, ["uid", "variant", "x", "y"])
+    gb = {
+        r["variant"]: r
+        for r in cuped_adjusted_means(db, "variant", "x", "y").collect()
+    }
+    raw = gb[1]["mean_y_micro"] - gb[0]["mean_y_micro"]
+    adj = gb[1]["mean_adj_micro"] - gb[0]["mean_adj_micro"]
+    # the adjustment pulls hard toward the truth (250k raw -> 18k
+    # adj vs a 50k true shift) but does NOT recover it exactly:
+    # pooled theta is itself confounded when the covariate is
+    # imbalanced — CUPED is variance reduction under randomization,
+    # not causal correction. The caveat, pinned.
+    assert abs(adj - 50_000) < abs(raw - 50_000) // 4
+
+    # (c) uncorrelated covariate: no-op adjustment
+    flat = spark.createDataFrame(
+        [(i, i % 2, (i * 7) % 11, 100 + (i % 2)) for i in range(40)],
+        ["uid", "variant", "x", "y"],
+    )
+    g2 = {
+        r["variant"]: r
+        for r in cuped_adjusted_means(flat, "variant", "x", "y").collect()
+    }
+    assert abs(g2[0]["theta_micro"]) < 100_000
+    assert g2[0]["var_reduction_milli"] < 200
