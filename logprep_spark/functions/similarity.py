@@ -1262,6 +1262,23 @@ def jl_project(
         + ")"
     )
     vm = df.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("_v"))
+    # a vector whose dim differs from d would zip_with null-padded
+    # signs and null-poison the aggregate fold into a silent NULL
+    # projection — fail loudly instead (the hyperplane_bucket
+    # discipline)
+    vm = vm.withColumn(
+        "_v",
+        F.when(
+            F.size("_v") == d, F.col("_v")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"jl_project: vector dim != d={d}: "),
+                    F.size("_v").cast("string"),
+                )
+            ).cast("array<long>")
+        ),
+    )
     return vm.withColumn(
         "_p",
         F.expr(

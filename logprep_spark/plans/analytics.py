@@ -2031,7 +2031,10 @@ def gini_concentration(
     (value, id), Gini = (2·Σi·x − (n+1)·Σx) / (n·Σx) — every term an
     integer; the Σi·x and n·Σx products are carried in DECIMAL(38,0)
     (Spark) / HUGEINT (DuckDB) because at n ~ 10⁹ keys they overflow
-    int64 — the milli readout casts back down. One window over the
+    int64 — the milli readout casts back down. Small-n convention:
+    with n < 10 keys the "top decile" is the single top key
+    (greatest(n div 10, 1)), so top_decile_share_milli is never a
+    silent NULL from an empty slice. One window over the
     PER-KEY frame (aggregated first: |keys| ≪ |events|) then two
     scalar aggs; the global rank sort is over keys, not facts —
     same budget class as a top-n readout, annotate before reusing
@@ -2048,10 +2051,17 @@ def gini_concentration(
         F.sum("_x").cast(d38).alias("_tot"),
         F.sum(F.col("_i").cast(d38) * F.col("_x").cast(d38)).alias("_ix"),
     )
+    # small-n convention: with n < 10 keys the "top decile" is the
+    # single top key (greatest(n div 10, 1)) — never an empty slice
+    # whose sum would surface as a silent NULL milli readout
     top = (
         ranked.crossJoin(F.broadcast(agg.select("n")))
-        .filter(F.col("_i") > F.col("n") - F.expr("n div 10"))
-        .agg(F.sum("_x").cast(d38).alias("_top"))
+        .filter(F.col("_i") > F.col("n") - F.expr("greatest(n div 10, 1)"))
+        .agg(
+            F.coalesce(
+                F.sum("_x").cast(d38), F.lit(0).cast(d38)
+            ).alias("_top")
+        )
     )
     return (
         agg.crossJoin(F.broadcast(top))
@@ -2216,6 +2226,9 @@ def chi_square_cells(
     count emit no row (a groupBy cannot see them), so the summed
     statistic under-counts tables with structural zeros — densify
     with a label cross join first if absent cells are possible.
+    Overflow: the margin products 1000·r·c and o·N − r·c are carried
+    in DECIMAL(38,0) (the gini_concentration discipline) — at the
+    100 TB scale margins reach ~5e10 and 1000·r·c would wrap int64.
     Shape: one grouped count + three window sums over the |R|x|C|
     TABLE (never the raw rows)."""
     tab = df.groupBy(row_col, col_col).agg(
@@ -2228,18 +2241,22 @@ def chi_square_cells(
         row_col,
         col_col,
         "o",
-        F.sum("o").over(wr).cast("long").alias("_r"),
-        F.sum("o").over(wc).cast("long").alias("_c"),
-        F.sum("o").over(wall).cast("long").alias("_nn"),
+        F.sum("o").over(wr).cast("decimal(38,0)").alias("_r"),
+        F.sum("o").over(wc).cast("decimal(38,0)").alias("_c"),
+        F.sum("o").over(wall).cast("decimal(38,0)").alias("_nn"),
     )
     return m.select(
         row_col,
         col_col,
         F.col("o").alias("observed"),
-        F.expr("1000 * _r * _c div _nn").alias("expected_milli"),
+        F.expr("CAST(1000 * _r * _c div _nn AS BIGINT)").alias(
+            "expected_milli"
+        ),
         F.expr(
-            "CAST(floor(1000000.0 * (o * _nn - _r * _c)"
-            " * (o * _nn - _r * _c) / (_nn * _r * _c)) AS BIGINT)"
+            "CAST(floor(1000000.0"
+            " * CAST(o * _nn - _r * _c AS DOUBLE)"
+            " * CAST(o * _nn - _r * _c AS DOUBLE)"
+            " / CAST(_nn * _r * _c AS DOUBLE)) AS BIGINT)"
         ).alias("chi_contrib_micro"),
     )
 

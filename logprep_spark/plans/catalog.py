@@ -10049,8 +10049,8 @@ def ab_sprt_sequential(spark, sf_dir):
                sum(i * x) AS ix
         FROM ranked
     ), topd AS (
-        SELECT CAST(sum(x) AS BIGINT) AS top_x
-        FROM ranked, agg WHERE i > n - n // 10
+        SELECT CAST(coalesce(sum(x), 0) AS BIGINT) AS top_x
+        FROM ranked, agg WHERE i > n - greatest(n // 10, 1)
     )
     SELECT agg.n AS n_keys, agg.tot AS total_units,
            CAST((1000 * (2 * agg.ix - (agg.n + 1) * agg.tot))
@@ -10601,8 +10601,8 @@ def survival_repurchase_km(spark, sf_dir):
                CAST(sum(c1) AS BIGINT) AS n1,
                CAST(sum(c1 * (2 * rb + cnt + 1)) AS BIGINT) AS r1_2x,
                CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
-        FROM agg0
-    ), agg0 AS (SELECT * FROM ranked)
+        FROM ranked
+    )
     SELECT nn - n1 AS n0, n1,
            r1_2x - n1 * (n1 + 1) AS u_times_2,
            (1000 * (r1_2x - n1 * (n1 + 1)) - 1000 * (nn - n1) * n1)
@@ -10732,7 +10732,7 @@ def ab_chi_square(spark, sf_dir):
 
 @register(
     "ml_ridge_normal_eqs",
-    """
+    r"""
 WITH tok AS (
     SELECT doc_id, n_chars,
            [('0x' || substr(md5(t), 1, 15))::BIGINT
@@ -10787,7 +10787,7 @@ _CALIB_CUTS = [-2197225, -1386294, -847298, -405465, 0, 405465, 847298, 1386294,
 
 @register(
     "model_calibration_bins",
-    """
+    r"""
     WITH staged AS (
         SELECT doc_id, text,
                CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
@@ -10874,7 +10874,7 @@ def model_calibration_bins(spark, sf_dir):
 
 @register(
     "model_calibration_isotonic",
-    """
+    r"""
     WITH staged AS (
         SELECT doc_id, text,
                CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS BIGINT) AS n_tokens,

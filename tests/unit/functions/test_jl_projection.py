@@ -49,6 +49,18 @@ def test_projection_matches_python_replica(spark):
         assert got[vid] == _replica_project(vec)
 
 
+def test_projection_raises_on_dim_mismatch(spark):
+    """A vector whose dim differs from d must fail loudly, not
+    null-poison the fold into silent NULL projections."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("bad", [0.5] * (D - 1))], ["vec_id", "embedding"]
+    )
+    with pytest.raises(Exception, match="jl_project"):
+        jl_project(df, m=M, d=D).collect()
+
+
 def test_distortion_report_replica_and_invariance(spark):
     df = spark.createDataFrame(VECS, ["vec_id", "embedding"])
     (row,) = jl_distortion_report(

@@ -112,6 +112,19 @@ def test_gini_known_distributions(spark):
     assert m2 == m
 
 
+def test_gini_small_n_top_decile_is_top_key(spark):
+    """With n < 10 keys, the "top decile" collapses to the single top
+    key (greatest(n div 10, 1)) — never a NULL from an empty slice."""
+    from logprep_spark.plans.analytics import gini_concentration
+
+    small = spark.createDataFrame(
+        [(0, 100), (1, 300), (2, 600)], ["user_id", "x"]
+    )
+    (r,) = gini_concentration(small, "x", "user_id").collect()
+    assert r["n_keys"] == 3
+    assert r["top_decile_share_milli"] == 600  # top key = 600/1000
+
+
 # --- hashed-feature normal equations ------------------------------------
 
 
