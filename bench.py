@@ -9,7 +9,14 @@ driver-side collect of big results); per query the reported time is
 the MEDIAN of three timed iterations (r4; was min-of-2), and the
 full {min, med, max} spread of those same three runs is published as
 ``queries_spread`` (r8) so single-query swings are adjudicable from
-the JSON alone. Rationale:
+the JSON alone. r9: the spread (and the sf1 spot detail) moved OFF
+the final stdout line — the r8 headline line grew past the driver's
+tail capture and archived as ``parsed: null``. The FINAL line is now
+a compact headline (value, queries medians, comparable_*, calib_*,
+probe_*, sf, sf1_total); the full artifact including
+``queries_spread`` and ``sf1_spot`` is printed as its OWN earlier
+stdout line AND written to the committed side file
+``BENCH_FULL.json``, so every spread stays recoverable. Rationale:
 single-shot timings carry first-touch noise the query plan doesn't
 own (page cache, residual JIT), and min-of-2 can't absorb a run where
 BOTH iterations land on a contended machine — r3's official numbers
@@ -58,8 +65,14 @@ replica-specific alphabet rotation on text (replicas are NOT
 near-duplicates of each other — workload characteristics like
 cluster-size and bucket-occupancy distributions are preserved rather
 than multiplied), and a cyclic rotation on embedding vectors (norm
-preserved). Emitted as ``sf1_spot`` in the same JSON line with its
-own per-query times; ``SPARK_GRAFT_SF1_SPOT=0`` disables.
+preserved). Emitted as ``sf1_spot`` in the full artifact with its
+own per-query times (``sf1_total`` on the headline line);
+``SPARK_GRAFT_SF1_SPOT=0`` disables. r9: spot values are MIN-OF-2
+(the r3 headline lesson applied to the spot) — the r8 single-shot
+spot read uniformly 1.2-1.5x slower on an in-band box and faked the
+exact super-linearity signal the spot exists to catch; one clean run
+of two bounds the plan's cost, and super-linearity (the signal) still
+dwarfs what min-of-2 can absorb.
 """
 
 from __future__ import annotations
@@ -409,19 +422,28 @@ def main() -> None:
 
         release_staging_cache(spark)
         sf1_dir = ensure_sf1(spark)
-        # single timed run per query: the spot exists to expose
-        # super-linear scaling (10x data, ~10x expected time) — that
-        # signal dwarfs single-run noise, and median-of-3 on the heavy
-        # set would triple the bench's tail
+        # min-of-2 per query (r9; was single-shot): the spot exists to
+        # expose super-linear scaling (10x data, ~10x expected time),
+        # but the r8 single-shot spot on a contended box read 1.2-1.5x
+        # slow across the board and faked that exact signal — the min
+        # of two runs bounds the plan's cost; median-of-3 on the heavy
+        # set would triple the bench's tail for little more
         sf1_timings = {}
         for name in SF1_SPOT:
-            t0 = time.time()
-            qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
-            sf1_timings[name] = round(time.time() - t0, 3)
+            ts = []
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf1_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                ts.append(time.time() - t0)
+            sf1_timings[name] = round(min(ts), 3)
         sf1_block = {
             "queries": sf1_timings,
             "total": round(sum(sf1_timings.values()), 3),
             "rows_vs_headline": _REPLICAS,
+            "runs_per_query": 2,
+            "stat": "min",
         }
 
     names = list(timings)
@@ -430,10 +452,6 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        # per-query iteration spread of the SAME 3 timed runs the
-        # median comes from — free evidence for adjudicating a
-        # single-query swing without a forensics re-run
-        "queries_spread": spreads,
         # round-over-round comparability without manual arithmetic:
         # the first 12 queries are the long-run subtotal (r1-r3), the
         # first 15 the r4-comparable one (SURVEY §6)
@@ -455,8 +473,26 @@ def main() -> None:
         "bench_attempts": attempts_used,
         "sf": sf_val,
     }
+    # full artifact: headline + per-query spreads + the sf1 spot
+    # detail. Printed as its OWN stdout line (before the headline, so
+    # a tail capture always ends on the compact line) and written to
+    # the committed side file BENCH_FULL.json at the official config
+    # — the r8 headline line carried all of this inline and overflowed
+    # the driver's tail capture (BENCH_r08 archived "parsed": null).
+    full = dict(out)
+    full["metric"] = "headline_full"
+    full["queries_spread"] = spreads
     if sf1_block is not None:
-        out["sf1_spot"] = sf1_block
+        full["sf1_spot"] = sf1_block
+        out["sf1_total"] = sf1_block["total"]
+    print(json.dumps(full))
+    if gated:
+        side = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        )
+        with open(side, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
     print(json.dumps(out))
 
 

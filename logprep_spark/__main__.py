@@ -280,7 +280,14 @@ def cmd_query_lint(args) -> int:
     n_errors = 0
     for name in names:
         findings = lint(qs[name](spark, args.sf_dir))
+        waivers = catalog.LINT_WAIVERS.get(name, {})
         for f in findings:
+            # adjudicated WARNs render as WAIVED with the reason — the
+            # finding stays in the audit; ERRORs are never waivable
+            reason = waivers.get(f.code)
+            if reason is not None and f.severity != ERROR:
+                print(f"{name}\tWAIVED {f.code}: {reason}")
+                continue
             print(f"{name}\t{f}")
             if args.fix_hints and f.hint:
                 print(f"{name}\tHINT  {f.code}: {f.hint}")

@@ -89,68 +89,105 @@ def register(name: str, oracle: str | None = None):
 #   r7 window (DONE): the two repaired r6-ERR queries FIRST, then
 #     48 of the 50 r6-new queries — 50/50 green, all hash-gated
 #     (split_kfold and events_dow_seasonality deferred here).
-#   r8 window (THIS round): the queries with NO driver row FIRST —
+#   r8 window (DONE): the queries with NO driver row FIRST —
 #     the two r7 deferrals, the r7-new sketch_theta_overlap, and the
 #     five r8-new rows (theta union-range/diff, PQ encode, PQ + IVFPQ
-#     recall), every one local hash-PASS — then the oldest official
-#     evidence: the 42 r4-checked rows that fit the remaining slots
-#     (CORRECTNESS_r04 is 3 rounds stale).
-#   r9 window: first-time rows first (sketch_cm_freq,
-#     sketch_bloom_membership, corpus_weighted_sample,
-#     events_top_sequences, corpus_bloom_suppress,
-#     text_textrank_keywords, sketch_sq_quantiles,
-#     sketch_sq_union_range, graph_triangles,
-#     events_holt_forecast, sketch_sq_drift,
-#     sketch_theta_retention, dedup_setsim_prefix,
-#     graph_assortativity, layout_zorder_pruning,
-#     embed_jl_distortion, events_holt_winters,
-#     dedup_containment_join,
-#     corpus_weighted_sample_per_domain, graph_kcore,
-#     search_ndcg_jl, scd2_point_in_time, events_cusum_shift,
-#     dq_benford, text_readability, ab_sprt_sequential,
-#     users_spend_gini, layout_hilbert_pruning,
-#     dedup_setsim_incremental, graph_lpa_communities,
-#     events_autocorrelation, embed_all_but_top,
-#     events_theilsen_trend, survival_repurchase_km,
-#     ab_mann_whitney, bootstrap_mean_ci, ab_chi_square,
-#     ml_ridge_normal_eqs, model_calibration_bins,
-#     model_calibration_isotonic, ab_cuped_adjusted,
-#     ab_diff_in_diff — added
-#     after the r8 window was set; all local hash-PASS), then the five r4
-#     rows that did not fit
+#     recall) — then the 42 oldest r4-checked rows; 50/50 green,
+#     all hash-gated.
+#   r9 window (THIS round): the 42 rows that have never had a driver
+#     row (all r8-new; local hash-PASS, 15 judge-re-verified in the
+#     r8 session), + sketch_hll_distinct (its only driver row is
+#     r6 no_oracle, from before the r7 hash-gate upgrade — the r8
+#     verdict addition), + the five r4 rows deferred from r8
 #     (proc_deduplicator, sessionize_events, dedup_substring_spans,
-#     dedup_contamination, ann_recall_lsh) + the r5-checked rotation
-#     (oldest first).
+#     dedup_contamination, ann_recall_lsh), + 2 fill slots from the
+#     oldest r5 evidence (ann_topk_ivf, dedup_substring — r5 window
+#     order). After this window every hash-gateable catalog query
+#     has a driver row under its current gate.
+#   r10 window: the r9-new rows first (text_bpe_encode,
+#     sketch_theta_stored_range, ... — local hash-PASS), then the
+#     remaining r5-checked rotation (oldest first).
 # The full catalog (see the module docstring count; tools/
 # gen_query_index.py keeps it exact) stays locally oracle-gated
 # every round via tools/check_oracles.py (LOCAL_CORRECTNESS.md,
 # same hash methodology as the driver).
 _PRIORITY = [
-    # --- queries with no official driver row yet (first-time rows
-    # take priority): the two r7 deferrals (local hash-PASS since
-    # r6), the r7-new theta overlap, and the five r8-new rows —
-    # theta union-range/diff, PQ encode, PQ + IVF-PQ recall ---
-    "split_kfold", "events_dow_seasonality", "sketch_theta_overlap",
-    "sketch_theta_union_range", "sketch_theta_diff",
-    "embed_pq_codes", "ann_recall_pq", "ann_recall_ivfpq",
-    # --- oldest official evidence: r4-checked rows (42 of 47;
-    # 5 deferred to r9, see the rotation comment) ---
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
-    "join_broadcast_nation", "event_type_stats", "event_percentiles",
-    "agg_salted_user_counts", "filter_lucene_bool",
-    "filter_lucene_wildcard", "filter_lucene_regex",
-    "filter_lucene_range", "dedup_exact", "dedup_clusters",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
-    "ann_topk_bruteforce", "ann_topk_lsh", "text_langid",
-    "text_quality", "text_tokens", "text_fingerprint",
-    "pipeline_compose", "source_preprocessors", "source_jsonl",
-    "proc_calculator", "proc_concatenator", "proc_datetime_extractor",
-    "proc_decoder_json", "proc_dissector", "proc_grokker",
-    "proc_timestamper", "proc_timestamp_differ", "proc_pseudonymizer",
-    "proc_pseudonymizer_pseudonyms", "proc_replacer",
-    "proc_field_manager", "proc_generic_resolver", "proc_ip_informer",
-    "proc_pre_detector", "proc_selective_extractor",
+    # --- r9 window: the 42 rows that have NEVER had a driver row
+    # (all local hash-PASS; 15 judge-re-verified in the r8 session) ---
+    "sketch_cm_freq",
+    "sketch_bloom_membership",
+    "corpus_weighted_sample",
+    "events_top_sequences",
+    "corpus_bloom_suppress",
+    "text_textrank_keywords",
+    "sketch_sq_quantiles",
+    "sketch_sq_union_range",
+    "graph_triangles",
+    "events_holt_forecast",
+    "sketch_sq_drift",
+    "sketch_theta_retention",
+    "dedup_setsim_prefix",
+    "graph_assortativity",
+    "layout_zorder_pruning",
+    "embed_jl_distortion",
+    "events_holt_winters",
+    "dedup_containment_join",
+    "corpus_weighted_sample_per_domain",
+    "graph_kcore",
+    "search_ndcg_jl",
+    "scd2_point_in_time",
+    "events_cusum_shift",
+    "dq_benford",
+    "text_readability",
+    "ab_sprt_sequential",
+    "users_spend_gini",
+    "layout_hilbert_pruning",
+    "dedup_setsim_incremental",
+    "graph_lpa_communities",
+    "events_autocorrelation",
+    "embed_all_but_top",
+    "events_theilsen_trend",
+    "survival_repurchase_km",
+    "ab_mann_whitney",
+    "bootstrap_mean_ci",
+    "ab_chi_square",
+    "ml_ridge_normal_eqs",
+    "model_calibration_bins",
+    "model_calibration_isotonic",
+    "ab_cuped_adjusted",
+    "ab_diff_in_diff",
+    # --- sketch_hll_distinct: its only driver row is r6 no_oracle,
+    # from before the r7 hash-gate upgrade (the r8 verdict addition) ---
+    "sketch_hll_distinct",
+    # --- the five r4 rows deferred from the r8 window ---
+    "proc_deduplicator", "sessionize_events",
+    "dedup_substring_spans", "dedup_contamination",
+    "ann_recall_lsh",
+    # --- fill to 50 from the oldest r5 evidence (r5 window order) ---
+    "ann_topk_ivf", "dedup_substring",
 ]
+
+
+# Adjudicated lint findings: query -> {finding code -> why the WARN is
+# inherent to the operator's semantics, not a fixable plan shape}.
+# `query lint` renders these as WAIVED lines with the reason instead of
+# WARN — the finding stays auditable in PLANS/LINT.txt while the WARN
+# count reflects only unadjudicated shapes. ERROR findings are never
+# waivable. Each waived site also carries an in-file `lint note` at the
+# offending filter so a reader lands on the justification either way.
+_HASH_SAMPLE_WAIVER = (
+    "deterministic hash-sample membership: a uniform md5-derived hash "
+    "of the id selects rows independently of any raw column's order, "
+    "so no raw-range companion can imply it and EVERY row group "
+    "contains sampled rows — inherent to reproducible sampling, not a "
+    "plan defect (in-file note at the filter site)"
+)
+LINT_WAIVERS: dict[str, dict[str, str]] = {
+    "split_stratified_sample": {"unpushed-filters": _HASH_SAMPLE_WAIVER},
+    "corpus_snapshot_diff": {"unpushed-filters": _HASH_SAMPLE_WAIVER},
+    "dedup_lsh_recall": {"unpushed-filters": _HASH_SAMPLE_WAIVER},
+    "dedup_simhash_recall": {"unpushed-filters": _HASH_SAMPLE_WAIVER},
+}
 
 
 def queries() -> dict:
@@ -10802,7 +10839,7 @@ _CALIB_CUTS = [-2197225, -1386294, -847298, -405465, 0, 405465, 847298, 1386294,
                 + CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                             / greatest(length(text), 1) >= 0.6 THEN 0.25 ELSE 0.0 END
                 + CASE WHEN len(regexp_extract_all(lower(text),
-                            '\\b(the|and|of|to|in|is|that|it|for|with|a|an|as|at|by|on|or|be)\\b'))
+                            '\b(the|and|of|to|in|is|that|it|for|with|a|an|as|at|by|on|or|be)\b'))
                             / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')), 1) >= 0.05 THEN 0.25 ELSE 0.0 END
                 + CASE WHEN length(text) / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')), 1) BETWEEN 3 AND 12
                        THEN 0.25 ELSE 0.0 END
@@ -10888,7 +10925,7 @@ def model_calibration_bins(spark, sf_dir):
                 + CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                             / greatest(length(text), 1) >= 0.6 THEN 0.25 ELSE 0.0 END
                 + CASE WHEN len(regexp_extract_all(lower(text),
-                            '\\b(the|and|of|to|in|is|that|it|for|with|a|an|as|at|by|on|or|be)\\b'))
+                            '\b(the|and|of|to|in|is|that|it|for|with|a|an|as|at|by|on|or|be)\b'))
                             / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')), 1) >= 0.05 THEN 0.25 ELSE 0.0 END
                 + CASE WHEN length(text) / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')), 1) BETWEEN 3 AND 12
                        THEN 0.25 ELSE 0.0 END

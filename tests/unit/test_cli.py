@@ -172,6 +172,22 @@ def test_cli_query_lint(capsys):
     assert main(["query", "lint", "no_such_query"]) == 1
 
 
+def test_cli_query_lint_waiver(capsys):
+    """Adjudicated findings (catalog.LINT_WAIVERS) render as WAIVED
+    with the reason instead of WARN — the audit line survives, the
+    unadjudicated WARN count is what burns down."""
+    from logprep_spark.__main__ import main
+    from logprep_spark.plans.catalog import LINT_WAIVERS
+
+    assert "unpushed-filters" in LINT_WAIVERS["split_stratified_sample"]
+    assert main(["query", "lint", "split_stratified_sample",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert "WAIVED unpushed-filters" in out
+    assert "WARN  unpushed-filters" not in out
+    assert "hash-sample membership" in out
+
+
 def test_lint_plan_findings_unit():
     """String-level lint checks against synthetic plan fragments —
     each antipattern class fires, and clean fragments stay clean."""
@@ -260,13 +276,21 @@ def test_lint_broadcast_hint(spark):
 
 
 def test_cli_query_lint_fix_hints(capsys):
-    """--fix-hints prints a HINT line per finding that carries one."""
+    """--fix-hints prints a HINT line per unwaived finding that
+    carries one; a WAIVED finding prints its adjudicated reason
+    INSTEAD of the hint (r9: the four hash-sample queries moved from
+    WARN+IRREDUCIBLE-hint to WAIVED — the reason now travels on the
+    waiver line, hint-level coverage lives in
+    test_lint_fix_hints_five_shapes)."""
     from logprep_spark.__main__ import main
 
     assert main(["query", "lint", "dedup_lsh_recall", "--fix-hints",
                  "--sf-dir", "/root/testdata/sf0.001"]) == 0
     out = capsys.readouterr().out
-    assert "HINT" in out and "IRREDUCIBLE" in out
+    assert "WAIVED unpushed-filters" in out
+    assert "hash-sample membership" in out
+    # the waived finding must not ALSO print its pre-adjudication hint
+    assert "HINT  unpushed-filters" not in out
 
 
 def test_lint_broadcast_advisor(spark):
