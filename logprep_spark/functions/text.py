@@ -844,6 +844,134 @@ def bpe_pair_counts(df: DataFrame, top_n: int = 50, text_col: str = "text") -> D
     )
 
 
+#: Rank-ordered BPE merge table (the trained artifact a tokenizer
+#: trainer emits — bpe_pair_counts is one iteration of that training;
+#: this table closes the loop by being APPLIED at corpus scale). A
+#: real pipeline loads its own table; either way the merges inline as
+#: plan literals. ("r", "ing") is deliberately OUT of dependency
+#: order — its right symbol forms at a LATER rank (("in","g")), so a
+#: single rank-order pass cannot fire it and the fixed-round
+#: iteration below is exercised, not just asserted.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "ing"), ("r", "e"), ("a", "t"),
+    ("e", "n"), ("o", "r"), ("e", "s"), ("s", "t"), ("in", "g"),
+    ("o", "u"), ("t", "o"),
+]
+
+
+def _bpe_merge_once(arr: Column, a: str, b: str) -> Column:
+    """Apply ONE merge rule exhaustively left-to-right: a single
+    Catalyst ``aggregate`` fold whose accumulator is the merged
+    symbol array — when the incoming symbol is ``b`` and the
+    accumulator's last symbol is ``a``, they fuse to ``a+b`` (the
+    fused symbol can then pair with the NEXT incomer, which is
+    exactly the greedy sweep semantics); otherwise append. Zero
+    shuffle — a narrow row-level expression."""
+    merged = a + b
+    return F.aggregate(
+        arr,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, F.lit(-1)) == a)
+            & (x == b),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_merge_pass(arr: Column, merges: list[tuple[str, str]]) -> Column:
+    """One ROUND: every merge rule applied once, in rank order."""
+    out = arr
+    for a, b in merges:
+        out = _bpe_merge_once(out, a, b)
+    return out
+
+
+def bpe_encode_words(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+    rounds: int = 3,
+) -> DataFrame:
+    """Apply a trained BPE merge table to the corpus — the ENCODER
+    that closes the BPE loop (bpe_pair_counts trains; this
+    tokenizes): per distinct word, ``rounds`` fixed rank-order merge
+    rounds as chained Catalyst ``aggregate`` folds (the holt-family
+    array-fold discipline — merges are plan literals, zero shuffle in
+    the encode itself), with the kcore-family ``converged`` witness
+    (round R == round R−1) emitted per word.
+
+    Semantics, stated honestly: each round applies every rule
+    exhaustively in rank order; repeated rounds reach the classic
+    lowest-rank-first tokenizer's fixpoint for merge tables whose
+    composite symbols form at an earlier-or-equal rank than the rules
+    consuming them — plus out-of-order rules (("r","ing")) which fire
+    on the NEXT round. A table where a later-rank sweep could consume
+    a pair that a newly-enabled earlier-rank merge would claim can
+    diverge from the sequential tokenizer; ours has no such overlap
+    and the converged witness certifies the fixpoint either way.
+
+    Scale shape: words aggregate to the DISTINCT vocabulary FIRST
+    (one grouped count — vocab ≪ occurrences, Heaps' law), the fold
+    chain runs once per vocab entry, and occurrence weights ride the
+    tiny vocab frame. Returns (w, n_w, tokens, converged)."""
+    if merges is None:
+        merges = BPE_MERGES
+    words = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                lambda w: w != "",
+            )
+        ).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    staged = vocab.withColumn("_c0", F.split("w", ""))
+    for r in range(1, rounds + 1):
+        staged = staged.withColumn(
+            f"_c{r}", bpe_merge_pass(F.col(f"_c{r - 1}"), merges)
+        )
+    return staged.select(
+        "w",
+        "n_w",
+        F.col(f"_c{rounds}").alias("tokens"),
+        (F.col(f"_c{rounds}") == F.col(f"_c{rounds - 1}")).alias(
+            "converged"
+        ),
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+    rounds: int = 3,
+    top_n: int = 30,
+) -> DataFrame:
+    """Corpus token-frequency readout of the BPE encoder: explode the
+    per-vocab-word token arrays weighted by occurrence count, sum per
+    token, top-N — plus the corpus-wide ``converged`` witness
+    (bool-min over the vocabulary) on every row."""
+    enc = bpe_encode_words(df, text_col=text_col, merges=merges, rounds=rounds)
+    tok = enc.select(
+        F.explode("tokens").alias("token"), "n_w", "converged"
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum("n_w").cast("long").alias("n_occurrences")
+    )
+    conv = tok.agg(F.min("converged").alias("converged"))
+    return (
+        counts.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(top_n)
+        .crossJoin(F.broadcast(conv))
+    )
+
+
 def chunk_passages(
     df: DataFrame,
     chunk_tokens: int = 64,

@@ -5102,6 +5102,70 @@ def text_bpe_pairs(spark, sf_dir):
     return tx.bpe_pair_counts(docs)
 
 
+def _sql_bpe_pass(expr: str) -> str:
+    """DuckDB replica of functions/text.py bpe_merge_pass: one
+    rank-order round of the BPE merge table as nested list_reduce
+    folds (the isotonic-oracle sentinel-init discipline — list_reduce
+    has no init value, so a chr(1) sentinel row seeds the list
+    accumulator and the first real element replaces it)."""
+    from logprep_spark.functions.text import BPE_MERGES
+
+    out = expr
+    for a, b in BPE_MERGES:
+        m = a + b
+        out = (
+            "list_reduce(list_concat([[chr(1)]], [[c] for c in "
+            + out
+            + "]), (acc, e) -> CASE WHEN acc = [chr(1)] THEN e "
+            + f"WHEN acc[-1] = '{a}' AND e[1] = '{b}' "
+            + f"THEN list_concat(acc[1:len(acc)-1], ['{m}']) "
+            + "ELSE list_concat(acc, e) END)"
+        )
+    return out
+
+
+@register(
+    "text_bpe_encode",
+    f"""
+    WITH words AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x != '')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM words GROUP BY w
+    ), p1 AS (
+        SELECT w, n_w, {_sql_bpe_pass("string_split(w, '')")} AS t1 FROM vocab
+    ), p2 AS (
+        SELECT w, n_w, {_sql_bpe_pass("t1")} AS t2 FROM p1
+    ), p3 AS (
+        SELECT w, n_w, t2, {_sql_bpe_pass("t2")} AS t3 FROM p2
+    ), counts AS (
+        SELECT token, CAST(sum(n_w) AS BIGINT) AS n_occurrences
+        FROM (SELECT n_w, unnest(t3) AS token FROM p3)
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token LIMIT 30
+    )
+    SELECT counts.token, counts.n_occurrences, conv.converged
+    FROM counts, (SELECT bool_and(t3 = t2) AS converged FROM p3) conv
+    """,
+)
+def text_bpe_encode(spark, sf_dir):
+    """BPE merge-table ENCODER at corpus scale (functions/text.py
+    bpe_token_counts) — closes the BPE loop: text_bpe_pairs computes
+    one TRAINING iteration's pair counts; this APPLIES the trained
+    merge table (17 rank-ordered merges as plan literals, incl. the
+    deliberately out-of-dependency-order ("r","ing") that needs a
+    second round) to tokenize the corpus. Three fixed rank-order
+    merge rounds as chained Catalyst aggregate folds over the
+    DISTINCT vocabulary (vocab ≪ occurrences — the fold chain runs
+    once per vocab entry; occurrence weights ride the tiny vocab
+    frame), with the kcore-family converged witness (round 3 ==
+    round 2) on every output row. Readout: top-30 tokens by weighted
+    occurrence count."""
+    docs = tables(spark, sf_dir)["documents"]
+    return tx.bpe_token_counts(docs)
+
+
 @register(
     "dedup_winnow",
     f"""

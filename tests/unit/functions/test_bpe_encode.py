@@ -1,0 +1,93 @@
+"""BPE merge-table encoder (functions/text.py bpe_encode_words /
+bpe_token_counts): known-vocabulary encodings hand-computed against
+the documented semantics (rank-order exhaustive passes, fixed rounds,
+converged witness), including the out-of-dependency-order rule
+("r","ing") that only fires on the second round."""
+
+from pyspark.sql import functions as F
+
+from logprep_spark.functions.text import (
+    BPE_MERGES,
+    bpe_encode_words,
+    bpe_token_counts,
+)
+
+
+def _python_pass(symbols, merges):
+    """Reference replica of one rank-order round: each rule applied
+    exhaustively left-to-right (the fused symbol re-pairs with the
+    next incomer)."""
+    out = list(symbols)
+    for a, b in merges:
+        acc = []
+        for x in out:
+            if acc and acc[-1] == a and x == b:
+                acc[-1] = a + b
+            else:
+                acc.append(x)
+        out = acc
+    return out
+
+
+def _python_encode(word, rounds=3):
+    t = list(word)
+    for _ in range(rounds):
+        t = _python_pass(t, BPE_MERGES)
+    return t
+
+
+def test_hand_computed_sequences(spark):
+    """Literal hand-computed expectations — not just replica parity."""
+    df = spark.createDataFrame(
+        [("the ring string interesting",)], ["text"]
+    )
+    got = {
+        r["w"]: (list(r["tokens"]), r["converged"])
+        for r in bpe_encode_words(df).collect()
+    }
+    # the: t+h -> th (rank 1), th+e -> the (rank 2), round 1
+    assert got["the"] == (["the"], True)
+    # ring: i+n (rank 3) -> [r, in, g]; in+g (rank 15) -> [r, ing];
+    # r+ing (rank 8) is OUT of order — only fires in round 2
+    assert got["ring"] == (["ring"], True)
+    # string: i+n -> [s,t,r,in,g]; s+t (rank 14) -> [st,r,in,g];
+    # in+g -> [st,r,ing]; round 2: r+ing -> [st, ring]
+    assert got["string"] == (["st", "ring"], True)
+    assert got["interesting"] == (
+        ["in", "t", "er", "es", "t", "ing"],
+        True,
+    )
+
+
+def test_matches_python_replica_and_weights(spark):
+    words = [
+        "hello", "world", "and", "another", "tokenization",
+        "round", "bpe", "xyz", "aaa", "the", "the", "ring",
+    ]
+    df = spark.createDataFrame([(" ".join(words),)], ["text"])
+    enc = {r["w"]: (list(r["tokens"]), r["n_w"]) for r in bpe_encode_words(df).collect()}
+    for w in set(words):
+        assert enc[w][0] == _python_encode(w), w
+        assert enc[w][1] == words.count(w)
+
+
+def test_token_counts_weighted_and_converged(spark):
+    df = spark.createDataFrame([("the the the ring",)], ["text"])
+    rows = bpe_token_counts(df, top_n=5).collect()
+    got = {r["token"]: r["n_occurrences"] for r in rows}
+    assert got == {"the": 3, "ring": 1}
+    assert all(r["converged"] for r in rows)
+
+
+def test_unconverged_witness_with_starved_rounds(spark):
+    """rounds=1 cannot fire the out-of-order ("r","ing") rule; the
+    witness must say so instead of silently emitting the truncation.
+    (rounds=2 completes the merge but compares against round 1, so
+    the witness honestly reports non-convergence until round 3.)"""
+    df = spark.createDataFrame([("ring",)], ["text"])
+    (r1,) = bpe_encode_words(df, rounds=2).collect()
+    assert list(r1["tokens"]) == ["ring"]
+    assert r1["converged"] is False
+    (r3,) = bpe_encode_words(df, rounds=3).collect()
+    assert list(r3["tokens"]) == ["ring"]
+    assert r3["converged"] is True
