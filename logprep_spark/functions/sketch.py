@@ -820,6 +820,90 @@ def theta_union_range(
     )
 
 
+def theta_stored_union_range(
+    df: DataFrame,
+    slice_col: str,
+    value_col: str,
+    lo: str,
+    hi: str,
+    k: int = 64,
+    store_path: str | None = None,
+    witness_prefilter: Column | None = None,
+) -> DataFrame:
+    """The stored-sketch round trip the whole theta family is FOR —
+    build → **write parquet** → **read back** → merge → estimate, in
+    one query: per-slice sketches are built over the WHOLE frame (the
+    write-once pass), persisted to ``store_path``, and the ad-hoc
+    [lo, hi] union estimate is computed from the READ-BACK store alone
+    — the raw data is touched again only by the exact-count accuracy
+    witness (the verification scan a production run omits). Union math
+    identical to :func:`theta_union_range`; `n_slices_stored` (total
+    rows in the store, beyond the range) witnesses that the store
+    holds every slice and the range filter ran against the STORE.
+
+    Scale shape: the store is O(slices·k) rows — the range predicate
+    is pushed into its parquet scan (slice_col is a stored column), so
+    an ad-hoc range over a 100 TB corpus's sketch store reads KBs.
+    Requires ``store_path``; the caller owns placement/retention.
+    ``witness_prefilter`` — a redundant RAW-column predicate implied
+    by the derived [lo, hi] range — keeps the exact-witness scan
+    row-group-skippable (the derived slice_col expression alone
+    defeats parquet pushdown on the raw frame)."""
+    if store_path is None:
+        raise ValueError("theta_stored_union_range requires store_path")
+    sketches = theta_sketch_slices(df, slice_col, value_col, k)
+    sketches.write.mode("overwrite").parquet(store_path)
+    stored = df.sparkSession.read.parquet(store_path)
+    n_stored = stored.agg(F.count(F.lit(1)).alias("n_slices_stored"))
+    sel = stored.filter(
+        (F.col(slice_col) >= lo) & (F.col(slice_col) <= hi)
+    )
+    theta_u = sel.agg(
+        F.coalesce(F.min("_theta"), F.lit(_H_MAX_LONG)).alias("_tu"),
+        F.count(F.lit(1)).alias("n_slices"),
+    )
+    pool = (
+        sel.select(F.explode("_sample").alias("_h"))
+        .distinct()
+        .crossJoin(F.broadcast(theta_u))
+        .filter(F.col("_h") < F.col("_tu"))
+        .agg(F.count(F.lit(1)).alias("_n_pool"))
+    )
+    est = theta_u.crossJoin(F.broadcast(pool)).select(
+        "n_slices",
+        F.when(
+            F.col("_tu") == _H_MAX_LONG, F.col("_n_pool").cast("double")
+        )
+        .otherwise(
+            F.round(F.col("_n_pool") * F.lit(_H_MAX) / F.col("_tu"), 2)
+        )
+        .alias("est_union"),
+    )
+    in_range = (F.col(slice_col) >= lo) & (F.col(slice_col) <= hi)
+    if witness_prefilter is not None:
+        in_range = witness_prefilter & in_range
+    exact = df.filter(in_range).agg(
+        F.count_distinct(value_col).alias("exact_union")
+    )
+    return (
+        est.crossJoin(F.broadcast(n_stored))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_slices_stored",
+            "n_slices",
+            "est_union",
+            "exact_union",
+            F.floor(
+                F.lit(1000.0)
+                * F.abs(F.col("est_union") - F.col("exact_union"))
+                / F.greatest(F.col("exact_union"), F.lit(1))
+            )
+            .cast("long")
+            .alias("err_milli"),
+        )
+    )
+
+
 def bloom_suppress(
     df: DataFrame,
     bits: DataFrame,

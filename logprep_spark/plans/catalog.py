@@ -8157,6 +8157,95 @@ def sketch_theta_union_range(spark, sf_dir):
 
 
 @register(
+    "sketch_theta_stored_range",
+    f"""
+    WITH wk AS (
+        SELECT user_id,
+               strftime(date_trunc('week', ts), '%Y-%m-%d') AS w
+        FROM events
+    ), hs AS (
+        SELECT w, h, row_number() OVER (PARTITION BY w ORDER BY h) AS rn
+        FROM (
+            SELECT DISTINCT w, {_sql_h60("user_id::VARCHAR")} AS h
+            FROM wk
+        )
+    ), th AS (
+        SELECT w,
+               coalesce(max(CASE WHEN rn = 64 THEN h END),
+                        1152921504606846976::BIGINT) AS theta
+        FROM hs GROUP BY w
+    ), stored AS (
+        SELECT count(*) AS n_slices_stored FROM th
+    ), tu AS (
+        SELECT coalesce(min(theta), 1152921504606846976::BIGINT) AS theta_u,
+               count(*) AS n_slices
+        FROM th WHERE w >= '2024-01-15' AND w <= '2024-01-29'
+    ), pool AS (
+        SELECT count(*) AS n_pool FROM (
+            SELECT DISTINCT h FROM hs, tu
+            WHERE w >= '2024-01-15' AND w <= '2024-01-29'
+              AND rn < 64 AND h < tu.theta_u
+        )
+    ), est AS (
+        SELECT CASE WHEN tu.theta_u = 1152921504606846976
+                    THEN pool.n_pool::DOUBLE
+                    ELSE round(pool.n_pool * 1152921504606846976.0
+                               / tu.theta_u, 2)
+               END AS est_union
+        FROM tu, pool
+    ), ex AS (
+        SELECT count(DISTINCT user_id) AS exact_union FROM wk
+        WHERE w >= '2024-01-15' AND w <= '2024-01-29'
+    )
+    SELECT stored.n_slices_stored AS n_slices_stored,
+           tu.n_slices AS n_slices,
+           est.est_union AS est_union,
+           ex.exact_union AS exact_union,
+           CAST(floor(1000.0 * abs(est.est_union - ex.exact_union)
+                / greatest(ex.exact_union, 1)) AS BIGINT) AS err_milli
+    FROM stored, tu, est, ex
+    """,
+)
+def sketch_theta_stored_range(spark, sf_dir):
+    """The stored-sketch ROUND TRIP as a gated row (functions/
+    sketch.py theta_stored_union_range) — the architecture the whole
+    mergeable-sketch family pitches, finally exercised end-to-end in
+    one query: per-week theta sketches over ALL weeks are built,
+    WRITTEN to a parquet sketch store (spark-warehouse/sketch_store/,
+    gitignored, keyed by sf so concurrent sf0.01/sf0.1 runs don't
+    collide), READ BACK, and an ad-hoc 3-week union estimate is
+    answered from the read-back store alone — raw data is re-touched
+    only by the exact-count witness. `n_slices_stored` (all 5 weeks)
+    vs `n_slices` (the 3 selected) proves the range filter ran against
+    the STORE, where it pushes into the store's parquet scan. The
+    DuckDB oracle replicates the full construction from raw data —
+    a parquet round trip of bigint + array<bigint> columns must be
+    value-exact, so the estimate still hash-gates bit-for-bit."""
+    import os
+
+    events = tables(spark, sf_dir)["events"]
+    week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    store = os.path.join(
+        root,
+        "spark-warehouse",
+        "sketch_store",
+        f"theta_week_user_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    return sk.theta_stored_union_range(
+        events.withColumn("_week", week),
+        "_week", "user_id", "2024-01-15", "2024-01-29",
+        k=64, store_path=store,
+        # redundant raw-ts range implied by the derived weeks: keeps
+        # the exact-witness scan row-group-skippable
+        witness_prefilter=(F.col("ts") >= F.lit("2024-01-15"))
+        & (F.col("ts") < F.lit("2024-02-05")),
+    )
+
+
+@register(
     "sketch_theta_diff",
     f"""
     WITH wk AS (

@@ -20,6 +20,7 @@ from logprep_spark.functions.sketch import (
     theta_audience_diff,
     theta_audience_overlap,
     theta_sketch_slices,
+    theta_stored_union_range,
     theta_union_range,
 )
 
@@ -183,6 +184,42 @@ def test_union_range_repartition_invariant(spark):
         df.repartition(17), "slice", "val", "a", "b", k=128
     ).collect()
     assert ref == got
+
+
+def test_stored_round_trip_matches_direct_union(spark, tmp_path):
+    """build → write parquet → read → merge → estimate: the stored
+    path's estimate columns are bit-identical to theta_union_range
+    over the same selection (a parquet round trip of bigint +
+    array<bigint> must be value-exact), n_slices_stored counts ALL
+    slices (the write-once store covers slices outside the range),
+    and a second run overwrites idempotently."""
+    slices = {
+        "2024-01-01": list(range(5_000)),
+        "2024-01-08": list(range(3_000, 9_000)),
+        "2024-01-15": list(range(90_000, 94_000)),  # outside range
+    }
+    df = _df(spark, slices)
+    store = str(tmp_path / "theta_store")
+    (got,) = theta_stored_union_range(
+        df, "slice", "val", "2024-01-01", "2024-01-08", k=128,
+        store_path=store,
+    ).collect()
+    (ref,) = theta_union_range(
+        df.filter(F.col("slice") <= "2024-01-08"),
+        "slice", "val", "2024-01-01", "2024-01-08", k=128,
+    ).collect()
+    assert got.n_slices_stored == 3
+    assert (got.n_slices, got.est_union, got.exact_union, got.err_milli) == (
+        ref.n_slices, ref.est_union, ref.exact_union, ref.err_milli
+    )
+    # the store is a readable sketch table holding every slice
+    stored = spark.read.parquet(store)
+    assert sorted(r["slice"] for r in stored.collect()) == sorted(slices)
+    (again,) = theta_stored_union_range(
+        df, "slice", "val", "2024-01-01", "2024-01-08", k=128,
+        store_path=store,
+    ).collect()
+    assert again == got
 
 
 def test_prefilter_never_loses_the_kth_hash(spark):
