@@ -1110,6 +1110,46 @@ def sq_union_range(
     )
 
 
+def sq_stored_union_range(
+    df: DataFrame,
+    slice_col: str,
+    key_col: str,
+    value_col: str,
+    lo,
+    hi,
+    k: int = 256,
+    ps_milli: tuple = (500, 900, 990),
+    store_path: str | None = None,
+) -> DataFrame:
+    """The quantile member's stored round trip — the SQ twin of
+    :func:`theta_stored_union_range`: per-slice bottom-k pools over
+    the WHOLE frame are built, WRITTEN to a parquet sketch store,
+    READ BACK, and the ad-hoc [lo, hi] range quantiles are answered
+    from the read-back store alone via :func:`sq_union_range` (KMV
+    pool merge + nearest-rank selection — raw data never re-touched;
+    the selection is deterministic so a lossy round trip of the
+    (hash, double) pool structs could not hash-gate).
+    `n_slices_stored` witnesses the store covers every slice. Scale:
+    the store is O(slices·k) (h, v) pairs; the range predicate pushes
+    into the store's parquet scan."""
+    if store_path is None:
+        raise ValueError("sq_stored_union_range requires store_path")
+    sketch = sq_sketch_slices(df, slice_col, key_col, value_col, k)
+    sketch.write.mode("overwrite").parquet(store_path)
+    stored = df.sparkSession.read.parquet(store_path)
+    n_stored = stored.agg(
+        F.count(F.lit(1)).alias("n_slices_stored")
+    )
+    est = sq_union_range(stored, slice_col, lo, hi, k, ps_milli)
+    return est.crossJoin(F.broadcast(n_stored)).select(
+        "n_slices_stored",
+        "n_slices",
+        "n_rows",
+        "n_kept",
+        *[f"q{p}" for p in ps_milli],
+    )
+
+
 def sq_drift_psi(
     sketch: DataFrame,
     slice_col: str,

@@ -8820,6 +8820,81 @@ def sketch_sq_union_range(spark, sf_dir):
     )
 
 
+@register(
+    "sketch_sq_stored_range",
+    f"""
+    WITH base AS (
+        SELECT CAST(ts AS DATE) AS slice, value AS v,
+               {_sql_h60("'sq:' || event_id::VARCHAR")} AS h
+        FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+    ), psel AS ({_SQL_SQ_POOL.format(k=256)}
+    ), stored AS (
+        SELECT CAST(count(DISTINCT slice) AS BIGINT) AS n_slices_stored
+        FROM base
+    ), merged AS (
+        SELECT v, h FROM psel
+        WHERE slice >= '2024-01-15' AND slice <= '2024-01-21'
+        ORDER BY h LIMIT 256
+    ), msel AS (
+        SELECT v, row_number() OVER (ORDER BY v, h) AS vrn,
+               count(*) OVER () AS n_kept
+        FROM merged
+    ), est AS (
+        SELECT CAST(any_value(n_kept) AS BIGINT) AS n_kept,
+               max(CASE WHEN vrn = greatest((500 * n_kept + 999) // 1000, 1)
+                        THEN v END) AS q500,
+               max(CASE WHEN vrn = greatest((900 * n_kept + 999) // 1000, 1)
+                        THEN v END) AS q900,
+               max(CASE WHEN vrn = greatest((990 * n_kept + 999) // 1000, 1)
+                        THEN v END) AS q990
+        FROM msel
+    ), tot AS (
+        SELECT CAST(count(DISTINCT slice) AS BIGINT) AS n_slices,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM base
+        WHERE slice >= '2024-01-15' AND slice <= '2024-01-21'
+    )
+    SELECT s.n_slices_stored, t.n_slices, t.n_rows,
+           e.n_kept, e.q500, e.q900, e.q990
+    FROM stored s CROSS JOIN tot t CROSS JOIN est e
+    """,
+)
+def sketch_sq_stored_range(spark, sf_dir):
+    """The quantile member's stored ROUND TRIP (functions/sketch.py
+    sq_stored_union_range) — the SQ twin of sketch_theta_stored_range:
+    per-day bottom-k pools over ALL days are built, WRITTEN to a
+    parquet sketch store, READ BACK, and an ad-hoc week's quantiles
+    are answered from the read-back store alone (KMV pool merge +
+    nearest-rank selection; raw data never re-touched — unlike
+    sketch_sq_union_range this row carries no exact-rank witness, the
+    round trip itself is what's under test). The selection is
+    deterministic integer rank math over (hash, double) pool structs,
+    so a lossy parquet round trip could not hash-gate; the DuckDB
+    oracle replicates the full construction from raw data.
+    `n_slices_stored` (all days) vs `n_slices` (the 7 selected)
+    proves the range filter ran against the STORE."""
+    import os
+
+    ev = tables(spark, sf_dir)["events"]
+    day = ev.select(
+        F.to_date("ts").alias("slice"), "event_id", "value"
+    )
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    store = os.path.join(
+        root,
+        "spark-warehouse",
+        "sketch_store",
+        f"sq_day_value_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    return sk.sq_stored_union_range(
+        day, "slice", "event_id", "value",
+        F.lit("2024-01-15"), F.lit("2024-01-21"),
+        k=256, store_path=store,
+    )
+
+
 _SQL_SQ_BOUNDS = ",\n             ".join(
     f"max(CASE WHEN vrn = greatest(({100 * i} * nb + 999) // 1000, 1) "
     "THEN v END)"

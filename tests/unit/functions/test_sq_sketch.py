@@ -11,6 +11,7 @@ import hashlib
 from logprep_spark.functions.sketch import (
     sq_quantiles,
     sq_sketch_slices,
+    sq_stored_union_range,
     sq_union_range,
 )
 
@@ -152,6 +153,32 @@ def test_sq_stored_pools_drive_range_queries(spark, tmp_path):
     live = sq_union_range(sketch, "slice", "d1", "d2", k=32).collect()
     from_disk = sq_union_range(stored, "slice", "d1", "d2", k=32).collect()
     assert live == from_disk
+
+
+def test_sq_stored_union_range_round_trip(spark, tmp_path):
+    """The one-call round trip (build → write → read → merge →
+    select): matches sq_union_range on the live sketch for the same
+    range, reports the FULL store's slice count, and overwrites
+    idempotently."""
+    rows = [(i, float(i * 3 % 211)) for i in range(600)]
+    df = (
+        _df(spark, rows[:200], "d1")
+        .unionAll(_df(spark, rows[200:400], "d2"))
+        .unionAll(_df(spark, rows[400:], "d5"))  # outside range
+    )
+    store = str(tmp_path / "sq_store")
+    (got,) = sq_stored_union_range(
+        df, "slice", "key", "v", "d1", "d2", k=32, store_path=store
+    ).collect()
+    live_sketch = sq_sketch_slices(df, "slice", "key", "v", k=32)
+    (ref,) = sq_union_range(live_sketch, "slice", "d1", "d2", k=32).collect()
+    assert got["n_slices_stored"] == 3
+    for c in ("n_slices", "n_rows", "n_kept", "q500", "q900", "q990"):
+        assert got[c] == ref[c], c
+    (again,) = sq_stored_union_range(
+        df, "slice", "key", "v", "d1", "d2", k=32, store_path=store
+    ).collect()
+    assert again == got
 
 
 def test_sq_drift_psi_detects_a_shift(spark):
