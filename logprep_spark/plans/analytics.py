@@ -2757,6 +2757,92 @@ def kcore_stats(
     )
 
 
+def bfs_hops(
+    edges: DataFrame,
+    rounds: int = 12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Single-source BFS hop distances by synchronized frontier
+    expansion — the reachability/distance member of the graph family
+    (components answer WHETHER two nodes connect; this answers HOW
+    FAR), and the recursive-query capability a warehouse user reaches
+    for with WITH RECURSIVE: the oracle IS DuckDB's recursive CTE,
+    the distributed form is the level-synchronous loop. Source =
+    min node id (deterministic, in-plan — no driver-side choice).
+
+    Per round: frontier ⋈ edges (equi-join on node id,
+    AQE-splittable) → distinct neighbors → anti-join the visited set
+    → the new level. Visited and frontier localCheckpoint every
+    round (visited is referenced by the anti-join AND the next
+    union — the kcore lineage discipline). Early-exit when a level
+    comes back empty is SAFE for determinism (BFS levels are
+    contiguous: an empty level means the fixpoint), and ``converged``
+    witnesses it: TRUE iff some level ≤ rounds was empty, which by
+    contiguity equals "no node sits at exactly level ``rounds``" —
+    the same predicate the SQL replica checks. Unreached nodes are
+    counted, not dropped (disconnected components are data, not
+    noise).
+
+    Returns one row per hop level: (hop, n_nodes, source_node,
+    n_unreachable, converged). Scale: each round shuffles only the
+    frontier-adjacent edges; the visited set stays partitioned by
+    node id; total work O(E · diameter / p) with diameter ~O(log n)
+    for real co-occurrence graphs — the witness proves the budget."""
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionAll(
+            edges.select(
+                F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = sym.select(F.col("a").alias("n")).distinct()
+    total = nodes.agg(F.count(F.lit(1)).alias("_n_total"))
+    source = nodes.agg(F.min("n").alias("n"))
+    visited = source.select(
+        "n", F.lit(0).cast("int").alias("hop")
+    ).localCheckpoint()
+    frontier = visited.select("n")
+    converged = False
+    for r in range(1, rounds + 1):
+        new = (
+            frontier.join(sym, frontier["n"] == sym["a"])
+            .select(F.col("b").alias("n"))
+            .distinct()
+            .join(visited, "n", "left_anti")
+            .select("n", F.lit(r).cast("int").alias("hop"))
+            .localCheckpoint()
+        )
+        if new.isEmpty():
+            converged = True
+            break
+        visited = visited.unionAll(new).localCheckpoint()
+        frontier = new.select("n")
+    hist = visited.groupBy("hop").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    meta = visited.agg(
+        F.min(F.when(F.col("hop") == 0, F.col("n"))).alias("source_node"),
+        F.count(F.lit(1)).alias("_n_reached"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(meta))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("hop").cast("long").alias("hop"),
+            "n_nodes",
+            "source_node",
+            (F.col("_n_total") - F.col("_n_reached")).alias(
+                "n_unreachable"
+            ),
+            F.lit(converged).alias("converged"),
+        )
+    )
+
+
 def lpa_communities(
     edges: DataFrame,
     rounds: int = 6,

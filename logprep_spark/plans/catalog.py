@@ -9946,6 +9946,81 @@ def graph_kcore(spark, sf_dir):
 
 
 @register(
+    "graph_bfs_hops",
+    """
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ), allpairs AS (
+        SELECT parts[i] AS a, parts[j] AS b
+        FROM baskets,
+             LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) ti,
+             LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS j) tj
+        WHERE j > i
+    ), e0 AS (
+        SELECT a, b FROM allpairs GROUP BY a, b HAVING count(*) >= 2
+    ), sym AS (
+        SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+    ), src AS (SELECT min(a) AS s FROM sym
+    ), bfs AS (
+        WITH RECURSIVE r(n, d) AS (
+            SELECT s, 0 FROM src
+            UNION
+            SELECT e.b, r.d + 1 FROM r JOIN sym e ON e.a = r.n
+            WHERE r.d < 12
+        ) SELECT n, min(d) AS d FROM r GROUP BY n
+    ), meta AS (
+        SELECT min(CASE WHEN d = 0 THEN n END) AS source_node,
+               CAST((SELECT count(DISTINCT a) FROM sym) - count(*)
+                    AS BIGINT) AS n_unreachable,
+               sum(CASE WHEN d = 12 THEN 1 ELSE 0 END) = 0 AS converged
+        FROM bfs
+    )
+    SELECT CAST(d AS BIGINT) AS hop,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           any_value(meta.source_node) AS source_node,
+           any_value(meta.n_unreachable) AS n_unreachable,
+           any_value(meta.converged) AS converged
+    FROM bfs, meta GROUP BY d
+    """,
+)
+def graph_bfs_hops(spark, sf_dir):
+    """Single-source BFS hop-distance histogram over the part
+    co-purchase graph (plans/analytics.py bfs_hops) — the recursive-
+    query capability a warehouse user writes as WITH RECURSIVE, and
+    the oracle IS that recursive CTE: the distributed form runs
+    level-synchronous frontier expansion (frontier ⋈ edges →
+    anti-join visited, localCheckpoint per round — the kcore lineage
+    discipline), 12 fixed rounds with empty-level early-exit (safe:
+    BFS levels are contiguous) and the honest ``converged`` witness
+    (TRUE ⇔ no node sits at exactly level 12 — identical predicate
+    both engines). Source = min node id, in-plan. At sf0.01: 11
+    levels, max hop 10, 20 unreachable nodes counted not dropped.
+    Scale: each round shuffles only frontier-adjacent edges;
+    diameter ~O(log n) on co-occurrence graphs, witness proves the
+    budget sufficed."""
+    li = tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.selectExpr(
+        "explode(CASE WHEN size(parts) >= 2 THEN"
+        " flatten(transform(sequence(1, size(parts) - 1),"
+        " i -> transform(sequence(i + 1, size(parts)),"
+        " j -> struct(element_at(parts, i) AS a,"
+        " element_at(parts, j) AS b))))"
+        " ELSE CAST(array() AS array<struct<a:bigint,b:bigint>>) END) AS p"
+    ).selectExpr("p.a AS src", "p.b AS dst")
+    edges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .drop("_w")
+    )
+    return an.bfs_hops(edges, rounds=12)
+
+
+@register(
     "search_ndcg_jl",
     f"""
     WITH sel AS (

@@ -1610,6 +1610,38 @@ def test_kcore_known_graphs(spark):
     assert again == [r]
 
 
+def test_bfs_hops_known_graphs(spark):
+    """Hand-computed BFS levels: a path graph (one node per level,
+    source = min id), a disconnected extra component (counted
+    unreachable, never dropped), direction-blindness (edges stored
+    either way give the same levels), and the starved-budget witness
+    (rounds < eccentricity -> converged False, reached set
+    truncated honestly)."""
+    from logprep_spark.plans.analytics import bfs_hops
+
+    path = [(1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(path + [(8, 9)], ["src", "dst"])
+    rows = bfs_hops(df, rounds=12).collect()
+    assert {r["hop"]: r["n_nodes"] for r in rows} == {0: 1, 1: 1, 2: 1, 3: 1}
+    assert all(r["source_node"] == 1 for r in rows)
+    assert all(r["n_unreachable"] == 2 for r in rows)  # the 8-9 island
+    assert all(bool(r["converged"]) for r in rows)
+
+    # direction-blind: reversed edges, shuffled partitioning
+    rev = spark.createDataFrame(
+        [(b, a) for a, b in path + [(8, 9)]], ["src", "dst"]
+    ).repartition(5)
+    assert sorted(map(tuple, bfs_hops(rev, rounds=12).collect())) == sorted(
+        map(tuple, rows)
+    )
+
+    # budget starved at 2 rounds: levels 0..2 only, witness says so
+    got = bfs_hops(spark.createDataFrame(path, ["src", "dst"]), rounds=2).collect()
+    assert {r["hop"]: r["n_nodes"] for r in got} == {0: 1, 1: 1, 2: 1}
+    assert all(not bool(r["converged"]) for r in got)
+    assert all(r["n_unreachable"] == 1 for r in got)  # node 4 unreached
+
+
 def _lpa_replica(edges, rounds):
     from collections import Counter, defaultdict
 
