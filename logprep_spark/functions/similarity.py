@@ -563,6 +563,82 @@ def _kmeans_from_seeds(
     )
 
 
+def kmeans_silhouette(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-cluster SIMPLIFIED-silhouette quality readout for the same
+    Lloyd's run as :func:`kmeans` — the cluster-quality eval that
+    belongs beside inertia (inertia always improves with k; the
+    silhouette exposes overlapping clusters): per point, a² = squared
+    distance to its own centroid, b² = squared distance to the
+    nearest OTHER centroid, score = (b² − a²)/max(a², b²). This is
+    the Hruschka et al. 2004 centroid-based simplification — O(n·k)
+    where the classic Rousseeuw silhouette's mean-pairwise distances
+    are O(n²), which is the whole reason it's the one a 100 TB
+    pipeline can run — computed on SQUARED distances so everything
+    stays exact long math (milli scores by integer floor division; no
+    sqrt, no float drift; (b²−a²)·1000 ≤ 10¹⁸ < 2⁶³ at micro-fixed
+    64-dim). Because assignment IS argmin over the same centroids,
+    a² ≤ b² always: scores live in [0, 1000] milli — well-separated
+    points ≈ 1000, boundary points ≈ 0 (the negative band of the
+    classic formulation is unreachable by construction; stated here
+    so the readout isn't misread). Duplicate-centroid degenerate case
+    (a² = b² = 0) scores 0.
+
+    Distributed shape: identical to kmeans' final pass — centroids
+    are plan literals, the per-point sorted distance array is one
+    narrow codegen map (zero corpus shuffles), and the only wide op
+    is the final k-key agg. Returns one row per cluster:
+    (cluster, n_members, mean_sil_milli, min_sil_milli)."""
+    vm = df.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("v"))
+    seed_rows = (
+        vm.orderBy(h60(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    cvecs = [[int(x) for x in r["v"]] for r in seed_rows]
+    dim = probe_dim(df, vec_col) or 0
+    cvecs = _lloyd_centroids(vm, cvecs, iters, dim)
+    structs = ",".join(
+        "struct(aggregate(zip_with({v}, array({lits}),"
+        " (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d,"
+        " {cid} AS cid)".format(
+            v="v",
+            lits=",".join(f"{int(c)}L" for c in cv),
+            cid=cid + 1,
+        )
+        for cid, cv in enumerate(cvecs)
+    )
+    # sorted (d, cid) structs: [0] = own cluster (argmin), [1] =
+    # nearest other — staged in its own select so the three reads
+    # share one computed array (the _kmeans_from_seeds discipline)
+    pt = vm.select(
+        F.expr(f"array_sort(array({structs}))").alias("_ds")
+    ).select(
+        F.expr("_ds[0].cid").alias("cluster"),
+        F.expr("_ds[0].d").alias("_a2"),
+        F.expr("_ds[1].d").alias("_b2"),
+    )
+    scored = pt.select(
+        "cluster",
+        F.when(F.greatest("_a2", "_b2") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr("(_b2 - _a2) * 1000L div greatest(_a2, _b2)")
+        )
+        .alias("_s"),
+    )
+    return scored.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.expr("sum(_s) div count(1)").alias("mean_sil_milli"),
+        F.min("_s").alias("min_sil_milli"),
+    )
+
+
 def center_normalize(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -5909,6 +5909,69 @@ def ml_kmeans_inertia(spark, sf_dir):
     )
 
 
+@register(
+    "ml_kmeans_silhouette",
+    f"""
+    WITH vm AS (
+        SELECT vec_id, {_KM_MICRO} AS v FROM embeddings
+    ), seeds AS (
+        SELECT row_number() OVER (ORDER BY {_sql_h60('vec_id::varchar')}, vec_id) AS cid,
+               v AS cv
+        FROM vm ORDER BY {_sql_h60('vec_id::varchar')}, vec_id LIMIT 8
+    ), scored1 AS (
+        SELECT m.vec_id, m.v, c.cid, {_KM_DIST} AS d
+        FROM vm m CROSS JOIN seeds c
+    ), a1 AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM scored1) WHERE rn = 1
+    ), sums1 AS (
+        SELECT cluster, dim,
+               CAST(sum(v[dim]) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+        FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) dims
+        GROUP BY cluster, dim
+    ), c1 AS (
+        SELECT cluster AS cid, list(m ORDER BY dim) AS cv FROM sums1 GROUP BY cluster
+    ), scored2 AS (
+        SELECT m.vec_id, c.cid, CAST({_KM_DIST} AS BIGINT) AS d
+        FROM vm m CROSS JOIN c1 c
+    ), ranked AS (
+        SELECT vec_id, cid, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM scored2
+    ), ab AS (
+        SELECT r1.vec_id, r1.cid AS cluster, r1.d AS a2, r2.d AS b2
+        FROM ranked r1 JOIN ranked r2
+          ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2
+    ), sc AS (
+        SELECT cluster,
+               CASE WHEN greatest(a2, b2) = 0 THEN 0
+                    ELSE (b2 - a2) * 1000 // greatest(a2, b2) END AS s
+        FROM ab
+    )
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(s) // count(*) AS BIGINT) AS mean_sil_milli,
+           CAST(min(s) AS BIGINT) AS min_sil_milli
+    FROM sc GROUP BY cluster
+    """,
+)
+def ml_kmeans_silhouette(spark, sf_dir):
+    """Per-cluster simplified-silhouette quality (functions/
+    similarity.py kmeans_silhouette) for the same k=8/2-iter Lloyd's
+    run as ml_kmeans — the eval that belongs beside inertia: inertia
+    always improves with k, the silhouette exposes OVERLAP (mean
+    ~0 = the cluster's points sit on the boundary to their nearest
+    neighbor cluster). Centroid-based simplification (Hruschka 2004,
+    O(n·k) not O(n²) — the variant a 100 TB corpus can afford) on
+    SQUARED micro-fixed distances: exact long math end-to-end, milli
+    scores by integer floor division, bit-identical cross-engine.
+    Zero corpus shuffles: centroids are plan literals, the sorted
+    per-point distance array is narrow codegen, the k-key agg is the
+    only wide op."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return sim.kmeans_silhouette(emb, k=8, iters=2)
+
+
 _BM25_TERMS = ["spark", "shuffle", "join", "hash"]
 
 

@@ -1073,6 +1073,38 @@ def test_kmeans_separates_obvious_clusters(spark):
     assert got == again
 
 
+def test_kmeans_silhouette_separation_signal(spark):
+    """Tight far-apart blobs score near 1000 milli; a point parked
+    midway between the two centroids scores near 0 and drags its
+    cluster's min down — the overlap signal inertia can't give.
+    Scores are bounded to [0, 1000] by construction (assignment is
+    argmin over the same centroids)."""
+    far = [
+        (0, [10.0, 0.0]), (1, [10.1, 0.1]), (2, [9.9, -0.1]),
+        (3, [-10.0, 0.0]), (4, [-10.1, 0.1]), (5, [-9.9, -0.1]),
+    ]
+    df = spark.createDataFrame(far, ["vec_id", "embedding"])
+    rows = similarity.kmeans_silhouette(df, k=2, iters=3).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["n_members"] == 3
+        assert r["mean_sil_milli"] > 950
+        assert 0 <= r["min_sil_milli"] <= 1000
+
+    # a straggler midway between the blobs: its own cluster's
+    # centroid is dragged toward it (4 points -> centroid ~7.5), so
+    # its score lands near (b2-a2)/b2 ~ 0.45 — far below the clean
+    # blobs' >0.95, which is exactly the overlap signal
+    mid = far + [(6, [0.05, 0.0])]
+    mdf = spark.createDataFrame(mid, ["vec_id", "embedding"])
+    mrows = similarity.kmeans_silhouette(mdf, k=2, iters=3).collect()
+    assert min(r["min_sil_milli"] for r in mrows) < 500
+    assert max(r["mean_sil_milli"] for r in mrows) > 950  # clean blob
+    # deterministic: bit-identical rerun
+    again = similarity.kmeans_silhouette(mdf, k=2, iters=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, mrows))
+
+
 def test_hll_distinct_within_error_bound(spark, sf_dir):
     from logprep_spark.functions import sketch as sk
 
