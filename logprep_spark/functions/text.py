@@ -972,6 +972,70 @@ def bpe_token_counts(
     )
 
 
+def bpe_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    domain_col: str = "source",
+    merges: list[tuple[str, str]] | None = None,
+    rounds: int = 3,
+) -> DataFrame:
+    """Per-domain tokenizer-fit readout over the BPE encoder — the
+    numbers a tokenizer owner actually watches per corpus slice:
+    FERTILITY (tokens per word; high fertility = the merge table
+    doesn't fit that domain, its text costs more sequence length per
+    word) and CHARS PER TOKEN (compression; low = fragmenting into
+    characters). Encoding runs ONCE over the GLOBAL distinct
+    vocabulary (Heaps' law — the fold chain never touches occurrence
+    rows); per-(domain, word) counts then join the tiny encoded-vocab
+    frame (equi-join on the word, AQE-splittable) and the readout is
+    one domain-key agg of exact integer products. A per-domain
+    ``converged`` witness rides along (bool-min over the domain's
+    words).
+    Returns (domain_col, n_words, n_tokens, fertility_milli,
+    chars_per_token_milli, converged)."""
+    if merges is None:
+        merges = BPE_MERGES
+    words = df.select(
+        F.col(domain_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                lambda w: w != "",
+            )
+        ).alias("w"),
+    )
+    counts = words.groupBy(domain_col, "w").agg(
+        F.count(F.lit(1)).alias("n_w")
+    )
+    staged = counts.select("w").distinct().withColumn(
+        "_c0", F.split("w", "")
+    )
+    for r in range(1, rounds + 1):
+        staged = staged.withColumn(
+            f"_c{r}", bpe_merge_pass(F.col(f"_c{r - 1}"), merges)
+        )
+    enc = staged.select(
+        "w",
+        F.size(F.col(f"_c{rounds}")).cast("long").alias("_n_tok"),
+        F.length("w").cast("long").alias("_n_chars"),
+        (F.col(f"_c{rounds}") == F.col(f"_c{rounds - 1}")).alias("_conv"),
+    )
+    joined = counts.join(enc, "w")
+    return joined.groupBy(domain_col).agg(
+        F.sum("n_w").cast("long").alias("n_words"),
+        F.sum(F.col("n_w") * F.col("_n_tok")).cast("long").alias(
+            "n_tokens"
+        ),
+        F.expr("1000 * sum(n_w * _n_tok) div sum(n_w)").alias(
+            "fertility_milli"
+        ),
+        F.expr(
+            "1000 * sum(n_w * _n_chars) div sum(n_w * _n_tok)"
+        ).alias("chars_per_token_milli"),
+        F.min("_conv").alias("converged"),
+    )
+
+
 def chunk_passages(
     df: DataFrame,
     chunk_tokens: int = 64,

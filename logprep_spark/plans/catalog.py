@@ -5167,6 +5167,56 @@ def text_bpe_encode(spark, sf_dir):
 
 
 @register(
+    "text_bpe_fertility",
+    f"""
+    WITH words AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x != '')) AS w
+        FROM documents
+    ), counts AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS n_w
+        FROM words GROUP BY source, w
+    ), vocab AS (
+        SELECT DISTINCT w FROM counts
+    ), p1 AS (
+        SELECT w, {_sql_bpe_pass("string_split(w, '')")} AS t1 FROM vocab
+    ), p2 AS (
+        SELECT w, {_sql_bpe_pass("t1")} AS t2 FROM p1
+    ), p3 AS (
+        SELECT w, t2, {_sql_bpe_pass("t2")} AS t3 FROM p2
+    ), enc AS (
+        SELECT w, CAST(len(t3) AS BIGINT) AS n_tok,
+               CAST(length(w) AS BIGINT) AS n_chars,
+               t3 = t2 AS conv
+        FROM p3
+    )
+    SELECT c.source,
+           CAST(sum(c.n_w) AS BIGINT) AS n_words,
+           CAST(sum(c.n_w * e.n_tok) AS BIGINT) AS n_tokens,
+           1000 * sum(c.n_w * e.n_tok) // sum(c.n_w) AS fertility_milli,
+           1000 * sum(c.n_w * e.n_chars) // sum(c.n_w * e.n_tok)
+               AS chars_per_token_milli,
+           bool_and(e.conv) AS converged
+    FROM counts c JOIN enc e USING (w)
+    GROUP BY c.source
+    """,
+)
+def text_bpe_fertility(spark, sf_dir):
+    """Per-domain tokenizer-fit readout (functions/text.py
+    bpe_fertility) — what the BPE encoder row exists to FEED: fertility
+    (tokens per word, milli — high = the merge table doesn't fit that
+    domain, its text costs more sequence length) and chars-per-token
+    (compression) per source, with exact integer products and the
+    per-domain converged witness. The encode fold chain runs once
+    over the GLOBAL distinct vocabulary; per-(source, word) counts
+    join the tiny encoded frame and the readout is one source-key
+    agg."""
+    docs = tables(spark, sf_dir)["documents"]
+    return tx.bpe_fertility(docs)
+
+
+@register(
     "dedup_winnow",
     f"""
     WITH staged AS (

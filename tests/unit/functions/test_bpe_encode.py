@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from logprep_spark.functions.text import (
     BPE_MERGES,
     bpe_encode_words,
+    bpe_fertility,
     bpe_token_counts,
 )
 
@@ -77,6 +78,31 @@ def test_token_counts_weighted_and_converged(spark):
     got = {r["token"]: r["n_occurrences"] for r in rows}
     assert got == {"the": 3, "ring": 1}
     assert all(r["converged"] for r in rows)
+
+
+def test_fertility_hand_computed_per_domain(spark):
+    """Two domains with hand-countable encodings: 'the ring' encodes
+    to 1 token per word (fertility 1000); 'xyz xyz' stays 3 chars
+    (fertility 3000, chars/token 1000). WeIGHTS are occurrence
+    counts, chars/token divides exact integer products."""
+    df = spark.createDataFrame(
+        [("merged", "the ring the"), ("frag", "xyz xyz")],
+        ["source", "text"],
+    )
+    rows = {r["source"]: r for r in bpe_fertility(df).collect()}
+    m = rows["merged"]
+    # the(1 tok) x2 + ring(1 tok) x1 -> 3 words, 3 tokens
+    assert (m["n_words"], m["n_tokens"]) == (3, 3)
+    assert m["fertility_milli"] == 1000
+    # chars: the(3)x2 + ring(4) = 10 over 3 tokens -> 3333
+    assert m["chars_per_token_milli"] == 3333
+    assert m["converged"] is True
+    f = rows["frag"]
+    # xyz never merges: 2 words, 6 tokens, 6 chars
+    assert (f["n_words"], f["n_tokens"]) == (2, 6)
+    assert f["fertility_milli"] == 3000
+    assert f["chars_per_token_milli"] == 1000
+    assert f["converged"] is True
 
 
 def test_unconverged_witness_with_starved_rounds(spark):
