@@ -641,6 +641,121 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def image_dhash_frame(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    side: int = 8,
+) -> DataFrame:
+    """Perceptual DIFFERENCE-HASH (dHash) fingerprints through a REAL
+    PNG round trip — the image-dedup primitive, wired so the codec
+    itself sits on the hash-gated path: each row's vector renders to
+    a deterministic ``side``×``side`` grayscale image (pixel =
+    micro-fixed component mod 256 — pure integer, engine-free), the
+    image is ENCODED to a real PNG and DECODED BACK
+    (:func:`encode_png`/:func:`decode_png`, the production seam where
+    a cluster injects libpng), and the dHash is computed from the
+    DECODED pixels: bit (r, c) set iff p[r][c+1] > p[r][c] —
+    side·(side−1) bits packed little-endian into a long (56 bits at
+    side=8). An oracle that replicates the fingerprint ARITHMETIC
+    straight from the raw vector therefore proves, bit-for-bit, that
+    the encode→decode round trip is lossless over the whole corpus —
+    the strongest gate available for a codec DuckDB cannot run.
+
+    Spark shape: ONE Arrow-batched ``mapInPandas`` (binary payloads
+    batch through executors, never row-by-row Python churn), zero
+    shuffles; dedup readouts (groupBy dhash, hamming-band joins) are
+    downstream DataFrame ops on the (id, dhash) frame."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for rid, vec in zip(pdf[id_col], pdf[vec_col]):
+                v = np.asarray(vec, dtype=np.float64) * 1_000_000
+                # half-AWAY-FROM-ZERO to match Spark ROUND / DuckDB
+                # round (np.round is banker's and WOULD diverge on
+                # the reachable exact-.5 ties — see micro_vec)
+                micro = np.where(
+                    v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)
+                ).astype(np.int64)
+                pix = np.mod(micro[: side * side], 256).astype(np.uint8)
+                gray = pix.reshape(side, side)
+                rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                decoded = decode_png(encode_png(rgb))  # the round trip
+                g = decoded[:, :, 0].astype(np.int64)
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()
+                hashes.append(int((bits << np.arange(bits.size)).sum()))
+                ids.append(int(rid))
+            yield pd.DataFrame({id_col: ids, "dhash": hashes})
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
+
+
+def dhash_neardup_pairs(
+    fp: DataFrame,
+    id_col: str = "vec_id",
+    bits: int = 56,
+    threshold: int = 3,
+) -> DataFrame:
+    """Near-duplicate image pairs from dHash fingerprints by
+    HAMMING-BAND LSH — the banding trick transplanted from MinHash to
+    perceptual hashes: split the ``bits``-bit hash into
+    ``threshold + 1`` bands, so any pair within ``threshold`` bit
+    flips agrees EXACTLY on at least one band (pigeonhole — the band
+    count is derived from the threshold precisely so the filter is
+    provably COMPLETE, which the brute-force oracle then certifies);
+    candidates join on (band index, band value), the verify is one
+    ``bit_count(a ^ b)`` per surviving pair. Zero O(n²) anywhere:
+    the corpus shuffles once on the band key, exact-equality buckets
+    are small by construction for near-uniform hashes. Returns
+    (id_a, id_b, hamming), id_a < id_b."""
+    nb = threshold + 1
+    width = bits // nb
+    mask = (1 << width) - 1
+    bands = fp.select(
+        F.col(id_col).alias("_id"),
+        F.col("dhash").alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("b"),
+                        F.expr(
+                            f"shiftright(dhash, {i * width}) & {mask}"
+                        ).alias("v"),
+                    )
+                    for i in range(nb)
+                ]
+            )
+        ).alias("_bv"),
+    ).select("_id", "_h", F.col("_bv.b").alias("b"), F.col("_bv.v").alias("v"))
+    a = bands.select(
+        F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "b", "v"
+    )
+    b = bands.select(
+        F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), "b", "v"
+    )
+    cand = (
+        a.join(b, ["b", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.expr("bit_count(_ha ^ _hb)").cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= threshold)
+
+
 def make_media_frame(spark, docs: DataFrame) -> DataFrame:
     """Synthesize a media table from documents (payload = utf8 bytes)
     for tests — deterministic, no external data."""

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logprep_spark.functions import dedup as dd
+from logprep_spark.functions import multimodal as mm
 from logprep_spark.functions import sampling as smp
 from logprep_spark.functions import similarity as sim
 from logprep_spark.functions import sketch as sk
@@ -5957,6 +5958,113 @@ def ml_kmeans_inertia(spark, sf_dir):
         F.count(F.lit(1)).alias("n_members"),
         F.sum("dist2").alias("inertia"),
     )
+
+
+@register(
+    "multimodal_image_dhash",
+    """
+    WITH px AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   ((CAST(round(x::DOUBLE * 1000000) AS BIGINT) % 256)
+                    + 256) % 256) AS p
+        FROM embeddings
+    ), h AS (
+        SELECT vec_id,
+               CAST(list_sum([CASE WHEN p[(b // 7) * 8 + (b % 7) + 2]
+                                      > p[(b // 7) * 8 + (b % 7) + 1]
+                                   THEN (1::BIGINT << b) ELSE 0 END
+                              for b in range(0, 56)]) AS BIGINT) AS dhash
+        FROM px
+    ), w AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_images,
+               CAST(count(DISTINCT dhash) AS BIGINT) AS n_distinct
+        FROM h
+    )
+    SELECT h.vec_id, h.dhash, w.n_images, w.n_distinct FROM h, w
+    """,
+)
+def multimodal_image_dhash(spark, sf_dir):
+    """Perceptual dHash fingerprints through a REAL PNG round trip
+    (functions/multimodal.py image_dhash_frame) — the image-dedup
+    primitive with the CODEC on the hash-gated path: each embedding
+    renders to a deterministic 8x8 grayscale image (micro-fixed
+    component mod 256), is encoded to a real PNG, decoded back
+    (functions/multimodal.py encode_png/decode_png — the injectable
+    production seam), and the 56-bit difference hash is computed from
+    the DECODED pixels in one Arrow-batched mapInPandas. The DuckDB
+    oracle computes the identical fingerprint ARITHMETIC straight
+    from the raw vector — it cannot run the codec, so hash equality
+    over every row IS a proof that the encode->decode round trip is
+    lossless at corpus scale (the strongest gate available for
+    codec-path work). n_images/n_distinct witness the (absent)
+    exact-duplicate population; downstream dedup is plain DataFrame
+    ops on the (id, dhash) frame."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    fp = mm.image_dhash_frame(emb)
+    w = fp.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.count_distinct("dhash").alias("n_distinct"),
+    )
+    return fp.crossJoin(F.broadcast(w))
+
+
+@register(
+    "multimodal_dhash_neardup",
+    """
+    WITH base AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000,
+               list_transform(embedding, (x, i) ->
+                   CASE WHEN i = 1 THEN x + 0.000003 ELSE x END)
+        FROM embeddings
+    ), px AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   ((CAST(round(x::DOUBLE * 1000000) AS BIGINT) % 256)
+                    + 256) % 256) AS p
+        FROM base
+    ), h AS (
+        SELECT vec_id,
+               CAST(list_sum([CASE WHEN p[(b // 7) * 8 + (b % 7) + 2]
+                                      > p[(b // 7) * 8 + (b % 7) + 1]
+                                   THEN (1::BIGINT << b) ELSE 0 END
+                              for b in range(0, 56)]) AS BIGINT) AS dhash
+        FROM px
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.vec_id < b.vec_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    """,
+)
+def multimodal_dhash_neardup(spark, sf_dir):
+    """Near-duplicate image detection over the PNG-round-trip dHash
+    frame (functions/multimodal.py dhash_neardup_pairs) — MinHash's
+    banding trick transplanted to perceptual hashes: the 56-bit dHash
+    splits into 4 bands of 14 bits, so any pair within 3 bit flips
+    agrees exactly on >= 1 band (pigeonhole — band count DERIVED from
+    the threshold so the candidate filter is provably complete);
+    candidates join on (band, value), verify is one bit_count(xor).
+    A +3-micro perturbed twin of every image is synthesized in-query
+    (the twin moves one pixel, which touches exactly one dHash
+    comparison -> hamming <= 1), so the expected pair set is the 500
+    twins plus any true collisions. THE ORACLE IS THE O(n²) BRUTE
+    FORCE (the setsim-join discipline): hash equality proves the band
+    filter dropped NOTHING, not just that the survivors agree. Scale:
+    the corpus shuffles once on the band key; no cross join anywhere
+    in the Spark plan."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    twins = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(3.0e-6)).otherwise(x),
+        ).alias("embedding"),
+    )
+    fp = mm.image_dhash_frame(emb.select("vec_id", "embedding").unionAll(twins))
+    return mm.dhash_neardup_pairs(fp, threshold=3)
 
 
 @register(

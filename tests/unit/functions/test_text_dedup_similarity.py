@@ -496,6 +496,48 @@ def test_sample_frames_real_mjpeg_avi(spark):
         assert np.abs(pix[0, 0].astype(int) - want).max() <= 1
 
 
+def test_image_dhash_round_trip_and_neardup_bands(spark):
+    """dHash through the real PNG encode->decode equals a pure-numpy
+    replica computed WITHOUT the codec (round-trip losslessness on
+    the hashed path); a one-pixel perturbation flips at most one
+    dHash bit and the banded near-dup join finds exactly the planted
+    twin pairs with no cross join."""
+    import numpy as np
+
+    vecs = [
+        (i, [((i * 37 + j * 11) % 97) / 97.0 for j in range(64)])
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: r["dhash"]
+        for r in multimodal.image_dhash_frame(df).collect()
+    }
+
+    def replica(vec):
+        v = np.asarray(vec, dtype=np.float64) * 1_000_000
+        micro = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+        g = np.mod(micro.astype(np.int64), 256).reshape(8, 8)
+        bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()
+        return int((bits << np.arange(56)).sum())
+
+    for vid, vec in vecs:
+        assert got[vid] == replica(vec), vid
+
+    # planted twins: +3 micro on component 0 -> hamming <= 1
+    twins = [(vid + 100, [v[0] + 3.0e-6] + v[1:]) for vid, v in vecs]
+    both = spark.createDataFrame(vecs + twins, ["vec_id", "embedding"])
+    fp = multimodal.image_dhash_frame(both)
+    pairs = multimodal.dhash_neardup_pairs(fp, threshold=3).collect()
+    twin_pairs = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert {(vid, vid + 100) for vid, _ in vecs} <= twin_pairs
+    assert all(p["hamming"] <= 3 for p in pairs)
+    # the twin pair itself is within one bit flip
+    by_pair = {(p["id_a"], p["id_b"]): p["hamming"] for p in pairs}
+    for vid, _ in vecs:
+        assert by_pair[(vid, vid + 100)] <= 1
+
+
 def test_image_feature_real_pixels(spark):
     """Feature extraction uses REAL pixels for decodable payloads: a
     pure-red PNG yields mean=(1,0,0) and zero std; undecodable bytes
