@@ -2843,6 +2843,66 @@ def bfs_hops(
     )
 
 
+def random_walks(
+    edges: DataFrame,
+    steps: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic random walks over an undirected graph — the
+    node2vec/DeepWalk TRAINING-DATA generator (walks are the corpus a
+    graph-embedding model trains on), derandomized the engine way:
+    step t from node v moves to ``nbrs[h60(v || ':' || t) % degree]``
+    over the SORTED neighbor list, so the "random" choice is a pure
+    function of (node, step) — bit-identical across engines, runs,
+    partitionings, and exactly replicable in SQL (the same h60/sort/
+    mod the weighted-sampling family uses: reproducibility is a
+    feature, an A-Res-style rerun yields the same corpus).
+
+    Distributed shape: adjacency aggregates once to (node, sorted
+    neighbor array); each step is ONE equi-join of the walk frontier
+    against adjacency (shuffle on node id, AQE-splittable) + a narrow
+    element_at pick — walk state is one row wide, never an
+    accumulating array, so a billion walks cost `steps` joins
+    regardless of walk count. More walks per node = more start rows
+    with a walk-index salt in the hash. Returns one row per start
+    node: (start, s1..s{steps})."""
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionAll(
+            edges.select(
+                F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+            )
+        )
+        .distinct()
+    )
+    adj = sym.groupBy(F.col("a").alias("n")).agg(
+        F.array_sort(F.collect_set("b")).alias("nbrs")
+    )
+    from logprep_spark.functions.dedup import h60
+
+    walks = adj.select(F.col("n").alias("start"), F.col("n").alias("_cur"))
+    for t in range(1, steps + 1):
+        pick = (
+            h60(
+                F.concat(
+                    F.col("_cur").cast("string"), F.lit(f":{t}")
+                )
+            )
+            % F.size("nbrs")
+        ).cast("int") + 1
+        walks = (
+            walks.join(adj, walks["_cur"] == adj["n"])
+            .select(
+                "start",
+                *[f"s{i}" for i in range(1, t)],
+                F.element_at("nbrs", pick).alias(f"s{t}"),
+            )
+            .withColumn("_cur", F.col(f"s{t}"))
+        )
+    return walks.select("start", *[f"s{i}" for i in range(1, steps + 1)])
+
+
 def lpa_communities(
     edges: DataFrame,
     rounds: int = 6,

@@ -10242,6 +10242,78 @@ def graph_bfs_hops(spark, sf_dir):
 
 
 @register(
+    "graph_random_walks",
+    f"""
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ), allpairs AS (
+        SELECT parts[i] AS a, parts[j] AS b
+        FROM baskets,
+             LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) ti,
+             LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS j) tj
+        WHERE j > i
+    ), e0 AS (
+        SELECT a, b FROM allpairs GROUP BY a, b HAVING count(*) >= 2
+    ), sym AS (
+        SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+    ), adj AS (
+        SELECT a AS n, list_sort(list(DISTINCT b)) AS nbrs
+        FROM sym GROUP BY a
+    ), w0 AS (
+        SELECT n AS start, n AS cur FROM adj
+    ), w1 AS (
+        SELECT w0.start,
+               adj.nbrs[({_sql_h60("w0.cur::VARCHAR || ':1'")})
+                        % len(adj.nbrs) + 1] AS s1
+        FROM w0 JOIN adj ON adj.n = w0.cur
+    ), w2 AS (
+        SELECT w1.start, w1.s1,
+               adj.nbrs[({_sql_h60("w1.s1::VARCHAR || ':2'")})
+                        % len(adj.nbrs) + 1] AS s2
+        FROM w1 JOIN adj ON adj.n = w1.s1
+    ), w3 AS (
+        SELECT w2.start, w2.s1, w2.s2,
+               adj.nbrs[({_sql_h60("w2.s2::VARCHAR || ':3'")})
+                        % len(adj.nbrs) + 1] AS s3
+        FROM w2 JOIN adj ON adj.n = w2.s2
+    )
+    SELECT start, s1, s2, s3 FROM w3
+    """,
+)
+def graph_random_walks(spark, sf_dir):
+    """Deterministic random walks over the part co-purchase graph
+    (plans/analytics.py random_walks) — the node2vec/DeepWalk
+    training-corpus generator, derandomized the engine way: step t
+    from node v goes to nbrs[h60(v || ':t') % degree] over the SORTED
+    neighbor list, a pure function of (node, step), so the whole walk
+    corpus is bit-identical across engines/runs/partitionings and the
+    driver row hash-gates every walk (1880 4-node walks at sf0.01).
+    Scale: adjacency aggregates once; each step is ONE frontier ⋈
+    adjacency equi-join + a narrow pick — walk state stays one row
+    wide, a billion walks cost `steps` joins."""
+    li = tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.selectExpr(
+        "explode(CASE WHEN size(parts) >= 2 THEN"
+        " flatten(transform(sequence(1, size(parts) - 1),"
+        " i -> transform(sequence(i + 1, size(parts)),"
+        " j -> struct(element_at(parts, i) AS a,"
+        " element_at(parts, j) AS b))))"
+        " ELSE CAST(array() AS array<struct<a:bigint,b:bigint>>) END) AS p"
+    ).selectExpr("p.a AS src", "p.b AS dst")
+    edges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .drop("_w")
+    )
+    return an.random_walks(edges, steps=3)
+
+
+@register(
     "search_ndcg_jl",
     f"""
     WITH sel AS (

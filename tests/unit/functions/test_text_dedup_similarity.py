@@ -1716,6 +1716,44 @@ def test_bfs_hops_known_graphs(spark):
     assert all(r["n_unreachable"] == 1 for r in got)  # node 4 unreached
 
 
+def test_random_walks_replica_and_validity(spark):
+    """Every step lands on a true neighbor of the previous node, the
+    pick matches the Python replica of the h60-mod rule over the
+    sorted neighbor list, and a repartitioned rerun is bit-identical
+    (reproducible corpus — the A-Res discipline on graphs)."""
+    import hashlib
+
+    from logprep_spark.plans.analytics import random_walks
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (2, 5)]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    adj = {n: sorted(v) for n, v in adj.items()}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def walk(start, steps=3):
+        cur, out = start, []
+        for t in range(1, steps + 1):
+            nbrs = adj[cur]
+            cur = nbrs[h60(f"{cur}:{t}") % len(nbrs)]
+            out.append(cur)
+        return out
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = random_walks(df, steps=3).collect()
+    assert len(rows) == 5  # one walk per node
+    for r in rows:
+        assert [r["s1"], r["s2"], r["s3"]] == walk(r["start"])
+        assert r["s1"] in adj[r["start"]]
+        assert r["s2"] in adj[r["s1"]]
+    again = random_walks(df.repartition(7), steps=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
 def _lpa_replica(edges, rounds):
     from collections import Counter, defaultdict
 
