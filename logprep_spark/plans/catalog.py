@@ -11,7 +11,7 @@ per-row IEEE arithmetic (same operand order) is left exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logprep_spark.functions import dedup as dd
@@ -3617,6 +3617,137 @@ def dedup_clusters(spark, sf_dir):
     transitive closure."""
     docs = tables(spark, sf_dir)["documents"]
     return dd.dup_clusters(dd.minhash_dedup(docs, threshold=0.7))
+
+
+@register(
+    "split_leakage_free",
+    f"""
+    WITH RECURSIVE {_sql_minhash_bands()}, verified AS (
+        SELECT id_a, id_b
+        FROM pairs
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE {_SQL_JACCARD} >= 0.7
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION
+        SELECT id_b, id_a FROM verified
+    ), walk(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst
+    ), cl AS (
+        SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+    ), g AS (
+        SELECT d.doc_id,
+               coalesce(cl.cluster_id, d.doc_id) AS gid,
+               cl.doc_id IS NOT NULL AS clustered
+        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+    ), asn AS (
+        SELECT doc_id, clustered,
+               CASE WHEN {_sql_h60("'split:' || gid::varchar")} % 100 < 80
+                      THEN 'train'
+                    WHEN {_sql_h60("'split:' || gid::varchar")} % 100 < 90
+                      THEN 'val'
+                    ELSE 'test' END AS split,
+               CASE WHEN {_sql_h60("'split:' || doc_id::varchar")} % 100 < 80
+                      THEN 'train'
+                    WHEN {_sql_h60("'split:' || doc_id::varchar")} % 100 < 90
+                      THEN 'val'
+                    ELSE 'test' END AS naive_split
+        FROM g
+    ), leak AS (
+        SELECT CAST(sum(CASE WHEN a.split != b.split THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cross_pairs,
+               CAST(sum(CASE WHEN a.naive_split != b.naive_split
+                             THEN 1 ELSE 0 END)
+                    AS BIGINT) AS naive_cross_pairs
+        FROM verified v
+        JOIN asn a ON a.doc_id = v.id_a
+        JOIN asn b ON b.doc_id = v.id_b
+    )
+    SELECT asn.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clustered,
+           any_value(leak.cross_pairs) AS cross_pairs,
+           any_value(leak.naive_cross_pairs) AS naive_cross_pairs
+    FROM asn, leak GROUP BY asn.split
+    """,
+)
+def split_leakage_free(spark, sf_dir):
+    """GROUP-AWARE train/val/test split — the split a pretraining
+    pipeline actually needs: a naive per-doc hash split puts one copy
+    of a near-duplicate in train and its twin in test (eval
+    contamination by construction); here verified near-dup CLUSTERS
+    (the dedup_clusters connected components) are the atomic unit —
+    every member hashes on the CLUSTER id, so a cluster moves to one
+    split whole. The leakage witness rides on every row: cross_pairs
+    (verified near-dup pairs straddling two splits) is 0 by
+    construction, next to naive_cross_pairs — what the per-doc split
+    WOULD have leaked (nonzero on this corpus: the problem is real,
+    not hypothetical). Scale: the split itself is a narrow hash map
+    over the (doc, cluster) frame; clustering cost is the dedup
+    pipeline already being run; the witness joins the tiny verified
+    pair list to the assignment twice (AQE equi-joins)."""
+    docs = tables(spark, sf_dir)["documents"]
+    pairs = dd.minhash_dedup(docs, threshold=0.7)
+    clusters = dd.dup_clusters(pairs)
+    g = (
+        docs.select("doc_id")
+        .join(clusters.withColumnRenamed("cluster_id", "_cid"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_cid", "doc_id").alias("_gid"),
+            F.col("_cid").isNotNull().alias("_clustered"),
+        )
+    )
+
+    def tag(key: Column) -> Column:
+        b = dd.h60(F.concat(F.lit("split:"), key.cast("string"))) % 100
+        return (
+            F.when(b < 80, F.lit("train"))
+            .when(b < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    asn = g.select(
+        "doc_id",
+        "_clustered",
+        tag(F.col("_gid")).alias("split"),
+        tag(F.col("doc_id")).alias("_naive"),
+    )
+    a = asn.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("split").alias("_sa"),
+        F.col("_naive").alias("_na"),
+    )
+    b = asn.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("split").alias("_sb"),
+        F.col("_naive").alias("_nb"),
+    )
+    leak = (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .agg(
+            F.sum((F.col("_sa") != F.col("_sb")).cast("long")).alias(
+                "cross_pairs"
+            ),
+            F.sum((F.col("_na") != F.col("_nb")).cast("long")).alias(
+                "naive_cross_pairs"
+            ),
+        )
+    )
+    return (
+        asn.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("_clustered").cast("long")).alias("n_clustered"),
+        )
+        .crossJoin(F.broadcast(leak))
+    )
 
 
 @register(

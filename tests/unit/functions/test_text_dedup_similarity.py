@@ -1716,6 +1716,24 @@ def test_bfs_hops_known_graphs(spark):
     assert all(r["n_unreachable"] == 1 for r in got)  # node 4 unreached
 
 
+def test_leakage_free_split_invariants(spark, sf_dir):
+    """The group-aware split's contract on real data: splits
+    partition the corpus, every verified near-dup pair stays within
+    one split (cross_pairs == 0 by construction), and the
+    witness columns are identical on every row (corpus-wide)."""
+    from logprep_spark.plans import catalog
+
+    rows_ = catalog.queries()["split_leakage_free"](
+        spark, sf_dir
+    ).collect()
+    assert {r["split"] for r in rows_} <= {"train", "val", "test"}
+    assert all(r["cross_pairs"] == 0 for r in rows_)
+    assert len({(r["cross_pairs"], r["naive_cross_pairs"]) for r in rows_}) == 1
+    n_docs = sum(r["n_docs"] for r in rows_)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert n_docs == docs.count()
+
+
 def test_random_walks_replica_and_validity(spark):
     """Every step lands on a true neighbor of the previous node, the
     pick matches the Python replica of the h60-mod rule over the
