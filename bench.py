@@ -143,6 +143,17 @@ HEADLINE = [
     # the 28/30 prefixes become the r9-comparable subtotals
     "graph_kcore",
     "graph_lpa_communities",
+    # r9 additions — the level-synchronous BFS (frontier joins +
+    # per-round lineage cuts), the PNG-codec-on-the-gated-path
+    # mapInPandas image fingerprint (the one Arrow-batched Python
+    # stage in the headline, deliberately: its throughput IS the
+    # multimodal story), and the group-aware split (full dedup
+    # pipeline + cluster-atomic assignment + double witness join) at
+    # 31-33; the first-30 prefix (through lpa) is the r9-comparable
+    # subtotal, first-33 becomes r10's
+    "graph_bfs_hops",
+    "multimodal_image_dhash",
+    "split_leakage_free",
 ]
 
 
@@ -175,6 +186,12 @@ SF1_SPOT = [
     # derived fact set already feeds the pagerank spot)
     "graph_kcore",
     "graph_lpa_communities",
+    # r9: the level-synchronous BFS at 10x edges (frontier width and
+    # level count are the scale-sensitive parts) and the mapInPandas
+    # PNG round trip at 10x vectors (Arrow batch throughput — the
+    # Python-stage scaling story, expected ~linear)
+    "graph_bfs_hops",
+    "multimodal_image_dhash",
 ]
 
 _REPLICAS = 10
@@ -462,6 +479,7 @@ def main() -> None:
         "comparable_24": round(sum(timings[n] for n in names[:24]), 3),
         "comparable_26": round(sum(timings[n] for n in names[:26]), 3),
         "comparable_28": round(sum(timings[n] for n in names[:28]), 3),
+        "comparable_30": round(sum(timings[n] for n in names[:30]), 3),
         "calib_s": calib_s,
         "calib_scan_s": calib_scan_s,
         "calib_post_s": post[0],
