@@ -972,6 +972,81 @@ def bpe_token_counts(
     )
 
 
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> DataFrame:
+    """The full BPE TRAINER (Sennrich et al. 2016) — completes the
+    tokenizer arc (bpe_pair_counts = one iteration's counts;
+    bpe_encode_words APPLIES a table; this LEARNS one): ``n_merges``
+    rounds of (count adjacent token pairs weighted by word frequency
+    → adopt the most frequent pair as the next merge → re-tokenize),
+    with the deterministic tie-break (count DESC, lhs ASC, rhs ASC)
+    both engines share.
+
+    Distributed shape, per round: pair counting is ONE map-side-
+    combining agg over the DISTINCT vocabulary (pair keyspace ≤
+    alphabet², tiny shuffle — the bpe_pair_counts shape); the winning
+    pair is a 1-ROW driver fetch (the Lloyd-centroid precedent: the
+    merge table is a MODEL, k rows of (pair, count), never data) and
+    bakes into the next round's re-tokenize fold as plan literals
+    (:func:`_bpe_merge_once` — narrow, zero shuffle). Token arrays
+    localCheckpoint each round (fold-chain lineage discipline).
+    Vocabulary frequencies are computed ONCE; rounds never re-touch
+    the corpus — at 100 TB the trainer costs one corpus pass plus
+    n_merges vocab-sized rounds. Returns the learned table:
+    (rank, lhs, rhs, pair_count). Stops early (fewer rows) if no
+    pair remains."""
+    words = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                lambda w: w != "",
+            )
+        ).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .withColumn("t", F.split("w", ""))
+        .localCheckpoint()
+    )
+    learned: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        pairs = (
+            vocab.select(
+                "n_w",
+                F.explode(
+                    # guard: sequence(1, 0) DESCENDS in Spark, so a
+                    # 1-token word would index past the array
+                    F.expr(
+                        "transform(CASE WHEN size(t) >= 2"
+                        " THEN sequence(1, size(t) - 1)"
+                        " ELSE CAST(array() AS array<int>) END,"
+                        " i -> struct(element_at(t, i) AS a,"
+                        " element_at(t, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n_w").cast("long").alias("cnt"))
+        )
+        top = pairs.orderBy(
+            F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        learned.append((r, a, b, cnt))
+        vocab = vocab.withColumn(
+            "t", _bpe_merge_once(F.col("t"), a, b)
+        ).localCheckpoint()
+    return df.sparkSession.createDataFrame(
+        learned, "rank INT, lhs STRING, rhs STRING, pair_count LONG"
+    )
+
+
 def bpe_fertility(
     df: DataFrame,
     text_col: str = "text",

@@ -5326,9 +5326,10 @@ def text_bpe_encode(spark, sf_dir):
     SELECT c.source,
            CAST(sum(c.n_w) AS BIGINT) AS n_words,
            CAST(sum(c.n_w * e.n_tok) AS BIGINT) AS n_tokens,
-           1000 * sum(c.n_w * e.n_tok) // sum(c.n_w) AS fertility_milli,
-           1000 * sum(c.n_w * e.n_chars) // sum(c.n_w * e.n_tok)
-               AS chars_per_token_milli,
+           CAST(1000 * sum(c.n_w * e.n_tok) // sum(c.n_w) AS BIGINT)
+               AS fertility_milli,
+           CAST(1000 * sum(c.n_w * e.n_chars) // sum(c.n_w * e.n_tok)
+                AS BIGINT) AS chars_per_token_milli,
            bool_and(e.conv) AS converged
     FROM counts c JOIN enc e USING (w)
     GROUP BY c.source
@@ -5346,6 +5347,81 @@ def text_bpe_fertility(spark, sf_dir):
     agg."""
     docs = tables(spark, sf_dir)["documents"]
     return tx.bpe_fertility(docs)
+
+
+def _sql_bpe_train(n_merges: int = 6) -> str:
+    """Unrolled DuckDB replica of functions/text.py bpe_train: per
+    round, a pair-count stage (adjacent-token structs unnested,
+    summed by word frequency), a 1-row argmax stage (the learned
+    merge — count DESC, lhs, rhs), and a re-tokenize stage whose
+    list_reduce fold reads the merge from the cross-joined 1-row
+    frame (a correlated column inside the lambda — the _KM_DIST
+    discipline). MATERIALIZED is load-bearing on the token stages:
+    each is referenced twice, so default inlining would re-expand
+    the nested folds 2^rounds-fold."""
+    blocks = [
+        """t0 AS MATERIALIZED (
+        SELECT w, n_w, string_split(w, '') AS t FROM vocab
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"t{r - 1}"
+        blocks.append(
+            f"""p{r} AS (
+        SELECT u.a AS a, u.b AS b, CAST(sum(n_w) AS BIGINT) AS cnt
+        FROM (
+            SELECT n_w,
+                   unnest([{{'a': t[i], 'b': t[i + 1]}}
+                           for i in range(1, len(t))]) AS u
+            FROM {prev}
+        ) GROUP BY u.a, u.b
+    ), m{r} AS MATERIALIZED (
+        SELECT CAST({r} AS INT) AS rank, a AS lhs, b AS rhs, cnt
+        FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+    ), t{r} AS MATERIALIZED (
+        SELECT w, n_w,
+               list_reduce(
+                   list_concat([[chr(1)]], [[c] for c in {prev}.t]),
+                   (acc, e) -> CASE
+                       WHEN acc = [chr(1)] THEN e
+                       WHEN acc[-1] = m{r}.lhs AND e[1] = m{r}.rhs
+                         THEN list_concat(acc[1:len(acc)-1],
+                                          [m{r}.lhs || m{r}.rhs])
+                       ELSE list_concat(acc, e) END) AS t
+        FROM {prev}, m{r}
+    )"""
+        )
+    union = "\n        UNION ALL\n        ".join(
+        f"SELECT * FROM m{r}" for r in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH words AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x != '')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM words GROUP BY w
+    ), {', '.join(blocks)}
+    SELECT rank, lhs, rhs, cnt AS pair_count FROM ({union})
+    """
+
+
+@register("text_bpe_train", _sql_bpe_train(n_merges=6))
+def text_bpe_train(spark, sf_dir):
+    """The full BPE TRAINER at corpus scale (functions/text.py
+    bpe_train) — completes the tokenizer arc text_bpe_pairs (one
+    iteration's counts) → THIS (learn a table) → text_bpe_encode
+    (apply it) → text_bpe_fertility (audit the fit): six rounds of
+    count-adopt-retokenize with the engine-shared tie-break (count
+    DESC, lhs, rhs). Per round the pair agg collapses map-side to an
+    ≤alphabet²-key shuffle over the DISTINCT vocabulary; the winning
+    pair is a 1-row model fetch (Lloyd precedent) baked into the next
+    fold as literals; the corpus is touched exactly once. The learned
+    table itself is the hash-gated artifact — six (rank, lhs, rhs,
+    pair_count) rows, bit-compared against DuckDB re-learning the
+    same table through the unrolled replica."""
+    docs = tables(spark, sf_dir)["documents"]
+    return tx.bpe_train(docs, n_merges=6)
 
 
 @register(

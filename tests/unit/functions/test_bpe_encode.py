@@ -11,6 +11,7 @@ from logprep_spark.functions.text import (
     bpe_encode_words,
     bpe_fertility,
     bpe_token_counts,
+    bpe_train,
 )
 
 
@@ -103,6 +104,27 @@ def test_fertility_hand_computed_per_domain(spark):
     assert f["fertility_milli"] == 3000
     assert f["chars_per_token_milli"] == 1000
     assert f["converged"] is True
+
+
+def test_train_hand_computed_merges_and_early_stop(spark):
+    """Hand-run the trainer: 'abab'x3 + 'cd' + single chars. Round 1
+    adopts (a,b) with weighted count 6 (two occurrences per 'abab' —
+    the exhaustive left-to-right count), round 2 (ab,ab)=3, round 3
+    (c,d)=1; round 4 finds NO pair left and the trainer stops early
+    with 3 rows instead of padding. Single-char words exercise the
+    empty-pair guard."""
+    df = spark.createDataFrame(
+        [("abab abab abab cd c d",)], ["text"]
+    )
+    rows = bpe_train(df, n_merges=4).collect()
+    assert [(r["rank"], r["lhs"], r["rhs"], r["pair_count"]) for r in rows] == [
+        (1, "a", "b", 6),
+        (2, "ab", "ab", 3),
+        (3, "c", "d", 1),
+    ]
+    # determinism: rerun is bit-identical
+    again = bpe_train(df, n_merges=4).collect()
+    assert again == rows
 
 
 def test_unconverged_witness_with_starved_rounds(spark):
