@@ -639,6 +639,81 @@ def kmeans_silhouette(
     )
 
 
+def embed_diversity_gram(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Mean pairwise dot product per label — the corpus DIVERSITY /
+    cluster-cohesion readout — in ONE PASS via the Gram identity:
+    Σ_{i≠j} vᵢ·vⱼ = ‖Σv‖² − Σ‖v‖², so the number everyone computes
+    with an O(n²) pair join falls out of a single per-label aggregate
+    (per-dim sums + self-norm sum), and a 100 TB corpus's diversity
+    costs one map-side-combining agg — no pairs ever materialize.
+    THE ORACLE IS THE O(n²) BRUTE FORCE, so the gate literally proves
+    the identity on real data.
+
+    Exactness: micro-fixed integer vectors; per-dim sums and their
+    squares carried in DECIMAL(38,0) (the gini discipline — ‖Σv‖²
+    wraps int64 near a billion rows per label); the mean readouts are
+    one floor on a double built from those exact integers (the CUPED
+    discipline — identical term structure in the oracle; floor, not
+    integer div, because a centered corpus makes the pair sum
+    NEGATIVE and trunc-vs-floor would diverge between engines there).
+    A corpus-wide row (label = -1) rides along: within-label cohesion
+    vs global diversity in the same frame. Returns (label, n_vecs,
+    n_pairs, mean_self_dot, mean_pair_dot); single-vector labels emit
+    n_pairs = 0 and a NULL mean_pair_dot (stated, not silent)."""
+    dim = probe_dim(df, vec_col) or 0
+    d38 = "decimal(38,0)"
+    vm = df.select(
+        F.col(label_col).cast("long").alias("label"),
+        micro_vec(F.col(vec_col)).alias("v"),
+    )
+
+    def block(grouped) -> DataFrame:
+        agg = grouped.agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.expr(
+                    "aggregate(v, CAST(0 AS BIGINT),"
+                    " (acc, x) -> acc + x * x)"
+                )
+            )
+            .cast(d38)
+            .alias("_self"),
+            *[
+                F.sum(F.element_at("v", i + 1))
+                .cast(d38)
+                .alias(f"_s{i}")
+                for i in range(dim)
+            ],
+        )
+        sum_norm2 = " + ".join(f"_s{i} * _s{i}" for i in range(dim))
+        return agg.select(
+            "label",
+            "n_vecs",
+            (F.col("n_vecs") * (F.col("n_vecs") - 1))
+            .cast("long")
+            .alias("n_pairs"),
+            F.expr(
+                "CAST(floor(CAST(_self AS DOUBLE) / n_vecs) AS BIGINT)"
+            ).alias("mean_self_dot"),
+            F.expr(
+                f"CAST(floor(CAST(({sum_norm2}) - _self AS DOUBLE)"
+                " / nullif(n_vecs * (n_vecs - 1), 0)) AS BIGINT)"
+            ).alias("mean_pair_dot"),
+        )
+
+    per_label = block(vm.groupBy("label"))
+    global_row = block(
+        vm.select(F.lit(-1).cast("long").alias("label"), "v").groupBy(
+            "label"
+        )
+    )
+    return per_label.unionByName(global_row)
+
+
 def center_normalize(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -6275,6 +6275,60 @@ def multimodal_dhash_neardup(spark, sf_dir):
 
 
 @register(
+    "embed_diversity_gram",
+    f"""
+    WITH vm AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label, {_KM_MICRO} AS v
+        FROM embeddings
+    ), both_scopes AS (
+        SELECT vec_id, label, v FROM vm
+        UNION ALL
+        SELECT vec_id, -1 AS label, v FROM vm
+    ), dots AS (
+        SELECT a.label,
+               CAST(list_sum([a.v[i] * b.v[i]
+                              for i in range(1, {{dim}} + 1)])
+                    AS HUGEINT) AS dot
+        FROM both_scopes a JOIN both_scopes b
+          ON a.label = b.label AND a.vec_id != b.vec_id
+    ), selfs AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(list_sum([v[i] * v[i]
+                                  for i in range(1, {{dim}} + 1)]))
+                    AS HUGEINT) AS self_sum
+        FROM both_scopes GROUP BY label
+    ), pair AS (
+        SELECT label, CAST(sum(dot) AS HUGEINT) AS pair_sum,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM dots GROUP BY label
+    )
+    SELECT s.label, s.n_vecs,
+           coalesce(p.n_pairs, 0) AS n_pairs,
+           CAST(floor(s.self_sum::DOUBLE / s.n_vecs) AS BIGINT)
+               AS mean_self_dot,
+           CAST(floor(p.pair_sum::DOUBLE / p.n_pairs) AS BIGINT)
+               AS mean_pair_dot
+    FROM selfs s LEFT JOIN pair p USING (label)
+    """.replace("{dim}", "64"),
+)
+def embed_diversity_gram(spark, sf_dir):
+    """Per-label + corpus-wide mean pairwise dot product in ONE PASS
+    via the Gram identity (functions/similarity.py
+    embed_diversity_gram): the sum of vi·vj over i≠j equals
+    ||Σv||² − Σ||v||², so the
+    diversity/cohesion number everyone computes with an O(n²) pair
+    join falls out of a single map-side-combining aggregate — no
+    pairs ever materialize in the Spark plan. THE ORACLE IS THE
+    O(n²) BRUTE FORCE (250k pair dots at sf0.01), so the hash gate
+    literally proves the identity on real data. DECIMAL(38,0)
+    internal products (gini discipline), floor-on-double readout
+    (CUPED discipline — floor not div: a centered corpus makes the
+    pair sum negative, where trunc and floor diverge)."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return sim.embed_diversity_gram(emb)
+
+
+@register(
     "ml_kmeans_silhouette",
     f"""
     WITH vm AS (

@@ -1115,6 +1115,48 @@ def test_kmeans_separates_obvious_clusters(spark):
     assert got == again
 
 
+def test_embed_diversity_gram_identity_and_edges(spark):
+    """The one-pass Gram identity equals the brute-force pair mean on
+    hand-built vectors, including a CENTERED label whose pair sum is
+    NEGATIVE (the floor-vs-trunc branch: floor(-1.5) = -2) and a
+    single-vector label (n_pairs 0, NULL mean stated not silent)."""
+    rows = [
+        (0, [1.0, 0.0]), (0, [-1.0, 0.0]), (0, [0.0, 1.0]),  # centered
+        (1, [1.0, 1.0]), (1, [1.0, 1.0]),                    # identical
+        (2, [0.5, 0.5]),                                      # singleton
+    ]
+    df = spark.createDataFrame(rows, ["label", "embedding"])
+    got = {
+        r["label"]: r
+        for r in similarity.embed_diversity_gram(df).collect()
+    }
+
+    def brute(vecs):
+        m = [[round(x * 1e6) for x in v] for v in vecs]
+        dots = [
+            sum(a * b for a, b in zip(m[i], m[j]))
+            for i in range(len(m))
+            for j in range(len(m))
+            if i != j
+        ]
+        import math
+
+        return math.floor(sum(dots) / len(dots)) if dots else None
+
+    by_label = {}
+    for lab, v in rows:
+        by_label.setdefault(lab, []).append(v)
+    for lab, vecs in by_label.items():
+        assert got[lab]["mean_pair_dot"] == brute(vecs), lab
+        assert got[lab]["n_pairs"] == len(vecs) * (len(vecs) - 1)
+    # label 0's pair sum is negative: -2*(1e6)^2 over 6 ordered pairs
+    assert got[0]["mean_pair_dot"] < 0
+    assert got[2]["n_pairs"] == 0 and got[2]["mean_pair_dot"] is None
+    # the corpus-wide row aggregates everything
+    assert got[-1]["mean_pair_dot"] == brute([v for _, v in rows])
+    assert got[-1]["n_vecs"] == 6
+
+
 def test_kmeans_silhouette_separation_signal(spark):
     """Tight far-apart blobs score near 1000 milli; a point parked
     midway between the two centroids scores near 0 and drags its
