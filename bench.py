@@ -449,6 +449,15 @@ def main() -> None:
         for name in SF1_SPOT:
             ts = []
             for _ in range(2):
+                # clear persisted staging BEFORE each iteration, not
+                # just before the block: several spot queries persist
+                # their pair/model stages, so without this the second
+                # run measures INCREMENTAL cost and min-of-2 reads a
+                # cached 0.5 s for a 10x minhash run — exactly the
+                # kind of too-good number the spot exists to catch,
+                # manufactured by the spot itself. min-of-2 should
+                # absorb CONTENTION, never cache reuse.
+                release_staging_cache(spark)
                 t0 = time.time()
                 qs[name](spark, sf1_dir).write.format("noop").mode(
                     "overwrite"
