@@ -571,6 +571,7 @@ def cm_point_estimates(
     queries: DataFrame,
     d: int = 3,
     w: int = 256,
+    sketch: DataFrame | None = None,
 ) -> DataFrame:
     """Point-frequency estimates for the items in ``queries`` (a
     1-column frame named ``item_col``) read from the Count-Min sketch
@@ -582,8 +583,12 @@ def cm_point_estimates(
     build the sketch and every later point query is O(d) lookups.
     A cell the sketch never touched reads as 0 (left join coalesce):
     CM has no false negatives, so est >= exact always and
-    ``overcount`` is the in-query accuracy witness."""
-    sketch = cm_sketch(df, item_col, d, w)
+    ``overcount`` is the in-query accuracy witness. Pass ``sketch``
+    to probe a PRE-BUILT cell frame (e.g. read back from a parquet
+    store — the stored-round-trip rows) instead of rebuilding;
+    ``df`` is then touched only by the exact witness."""
+    if sketch is None:
+        sketch = cm_sketch(df, item_col, d, w)
     probe_cell = F.posexplode(
         F.array(
             *[
@@ -668,6 +673,7 @@ def bloom_membership(
     value_col: str,
     m: int = 512,
     j: int = 3,
+    bits: DataFrame | None = None,
 ) -> DataFrame:
     """Probe the distinct ``probe_df`` values against the Bloom
     filter built from ``build_df`` and report the 1-row accuracy
@@ -680,8 +686,12 @@ def bloom_membership(
     themselves. Scale: the <= m-row filter broadcasts to the probe
     side; each distinct probe value checks j positions via the
     broadcast join — the probe corpus is read once, never shuffled
-    on anything but its own distinct."""
-    bits = bloom_bits(build_df, value_col, m, j)
+    on anything but its own distinct. Pass ``bits`` to probe a
+    PRE-BUILT position frame (e.g. read back from a parquet store —
+    the stored-round-trip rows); ``build_df`` is then touched only
+    by the exact-overlap witness."""
+    if bits is None:
+        bits = bloom_bits(build_df, value_col, m, j)
     probe_pos = F.posexplode(
         F.array(
             *[

@@ -8948,6 +8948,154 @@ def sketch_bloom_membership(spark, sf_dir):
 
 
 @register(
+    "sketch_cm_stored",
+    f"""
+    WITH ev AS (
+        SELECT user_id FROM events WHERE user_id IS NOT NULL
+    ), r3 AS (
+        SELECT unnest([0, 1, 2]) AS r
+    ), cells AS (
+        SELECT r,
+               {_sql_h60("r::VARCHAR || ':' || user_id::VARCHAR")} % 64 AS c,
+               count(*) AS cnt
+        FROM ev, r3 GROUP BY 1, 2
+    ), top5 AS (
+        SELECT user_id, count(*) AS exact_count
+        FROM ev GROUP BY 1
+        ORDER BY exact_count DESC, user_id LIMIT 10
+    ), probe AS (
+        SELECT t.user_id, t.exact_count,
+               min(coalesce(cells.cnt, 0)) AS est_count
+        FROM top5 t
+        CROSS JOIN r3
+        LEFT JOIN cells
+          ON cells.r = r3.r
+         AND cells.c = {_sql_h60("r3.r::VARCHAR || ':' || t.user_id::VARCHAR")} % 64
+        GROUP BY 1, 2
+    )
+    SELECT user_id, est_count, exact_count,
+           est_count - exact_count AS overcount
+    FROM probe ORDER BY user_id
+    """,
+)
+def sketch_cm_stored(spark, sf_dir):
+    """Count-Min STORED round trip — the frequency member joins the
+    theta/SQ stored rows: the d=3 x w=64 cell frame is built, WRITTEN
+    to a parquet sketch store, READ BACK, and the top-10 point
+    estimates are answered from the read-back cells alone (the raw
+    corpus is re-touched only by the exact witness and the probe-set
+    choice). w=64 is deliberately UNDERSIZED (~2 keys per column at
+    sf0.01) so the stored estimates carry visible over-counts — the
+    row gates that a lossy store could not reproduce the exact
+    over-count pattern. Math identical to sketch_cm_freq at w=128."""
+    import os
+
+    events = tables(spark, sf_dir)["events"]
+    sketch = sk.cm_sketch(events, "user_id", d=3, w=64)
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    store = os.path.join(
+        root, "spark-warehouse", "sketch_store",
+        f"cm_user_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    sketch.write.mode("overwrite").parquet(store)
+    stored = spark.read.parquet(store)
+    top5 = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), "user_id")
+        .limit(10)
+        .select("user_id")
+    )
+    return sk.cm_point_estimates(
+        events, "user_id", top5, d=3, w=64, sketch=stored
+    ).orderBy("user_id")
+
+
+@register(
+    "sketch_bloom_stored",
+    f"""
+    WITH build AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase'
+          AND ts >= '2024-01-03' AND ts < '2024-01-06'
+          AND user_id IS NOT NULL
+    ), probe AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE ts >= '2024-01-15' AND ts < '2024-01-22'
+          AND user_id IS NOT NULL
+    ), j3 AS (
+        SELECT unnest([0, 1, 2]) AS i
+    ), bits AS (
+        SELECT DISTINCT
+               {_sql_h60("i::VARCHAR || ':' || user_id::VARCHAR")} % 512 AS pos
+        FROM build, j3
+    ), hitmap AS (
+        SELECT p.user_id,
+               min(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS all_set
+        FROM probe p
+        CROSS JOIN j3
+        LEFT JOIN bits b
+          ON b.pos = {_sql_h60("j3.i::VARCHAR || ':' || p.user_id::VARCHAR")} % 512
+        GROUP BY 1
+    ), agg AS (
+        SELECT count(*) AS n_probes,
+               CAST(sum(all_set) AS BIGINT) AS n_hits
+        FROM hitmap
+    ), nb AS (
+        SELECT count(*) AS n_bits_set FROM bits
+    ), ex AS (
+        SELECT count(*) AS exact_overlap FROM probe
+        WHERE user_id IN (SELECT user_id FROM build)
+    )
+    SELECT nb.n_bits_set, agg.n_probes, agg.n_hits, ex.exact_overlap,
+           agg.n_hits - ex.exact_overlap AS false_positives,
+           CAST(floor(1000.0 * (agg.n_hits - ex.exact_overlap)
+                / greatest(agg.n_probes - ex.exact_overlap, 1)) AS BIGINT)
+               AS fpr_milli
+    FROM nb, agg, ex
+    """,
+)
+def sketch_bloom_stored(spark, sf_dir):
+    """Bloom STORED round trip — the membership member joins the
+    theta/SQ/CM stored rows and completes the family: the set-bit
+    position frame for Jan 3-5 purchasers is built, WRITTEN to a
+    parquet sketch store, READ BACK, and the following-week activity
+    probes against the read-back filter alone (n_bits_set is counted
+    FROM the store; build-side raw data is re-touched only by the
+    exact-overlap witness). Every verdict incl. the measured fpr
+    hash-gates — a store that dropped or duplicated one position row
+    would shift n_bits_set or flip a membership verdict."""
+    import os
+
+    events = tables(spark, sf_dir)["events"]
+    build = events.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.lit("2024-01-03"))
+        & (F.col("ts") < F.lit("2024-01-06"))
+    )
+    probe = events.filter(
+        (F.col("ts") >= F.lit("2024-01-15"))
+        & (F.col("ts") < F.lit("2024-01-22"))
+    )
+    bits = sk.bloom_bits(build, "user_id", m=512, j=3)
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    store = os.path.join(
+        root, "spark-warehouse", "sketch_store",
+        f"bloom_purchase_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    bits.write.mode("overwrite").parquet(store)
+    stored = spark.read.parquet(store)
+    return sk.bloom_membership(
+        build, probe, "user_id", m=512, j=3, bits=stored
+    )
+
+
+@register(
     "corpus_bloom_suppress",
     f"""
     WITH build AS (

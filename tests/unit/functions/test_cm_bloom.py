@@ -235,6 +235,38 @@ def test_bloom_suppress_repartition_invariant_and_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_cm_and_bloom_probe_from_stored_frames(spark, tmp_path):
+    """The sketch= / bits= injection seams: point estimates and
+    membership verdicts computed against a parquet-round-tripped
+    sketch are bit-identical to the live build — the stored-row
+    catalog queries ride exactly this path."""
+    build = spark.createDataFrame(
+        [(f"u{i % 40}",) for i in range(400)], ["val"]
+    )
+    queries = spark.createDataFrame([(f"u{i}",) for i in range(5)], ["val"])
+    live_sketch = cm_sketch(build, "val", d=3, w=32)
+    p = str(tmp_path / "cm")
+    live_sketch.write.parquet(p)
+    est_live = cm_point_estimates(build, "val", queries, d=3, w=32).collect()
+    est_stored = cm_point_estimates(
+        build, "val", queries, d=3, w=32, sketch=spark.read.parquet(p)
+    ).collect()
+    assert sorted(map(tuple, est_stored)) == sorted(map(tuple, est_live))
+
+    probe = spark.createDataFrame(
+        [(f"u{i}",) for i in range(30, 60)], ["val"]
+    )
+    bits = bloom_bits(build, "val", m=128, j=3)
+    bp = str(tmp_path / "bloom")
+    bits.write.parquet(bp)
+    (live,) = bloom_membership(build, probe, "val", m=128, j=3).collect()
+    (stored,) = bloom_membership(
+        build, probe, "val", m=128, j=3,
+        bits=spark.read.parquet(bp),
+    ).collect()
+    assert tuple(stored) == tuple(live)
+
+
 def test_stored_sketch_roundtrip_drives_the_algebra(spark, tmp_path):
     """The stored-artifact claim, end to end: theta/CM/Bloom sketch
     rows written to parquet and read back drive the set/frequency

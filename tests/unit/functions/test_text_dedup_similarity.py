@@ -538,6 +538,51 @@ def test_image_dhash_round_trip_and_neardup_bands(spark):
         assert by_pair[(vid, vid + 100)] <= 1
 
 
+def test_image_dhash_streaming_parity(spark, tmp_path):
+    """The codec mapInPandas stage runs UNCHANGED on a Structured-
+    Streaming frame and emits the same fingerprints as the batch
+    path — the multimodal half keeps the batch/stream parity promise
+    (mapInPandas is stateless per batch, so the PNG round trip is
+    streaming-safe by construction)."""
+    import json as _json
+
+    vecs = [
+        (i, [((i * 37 + j * 11) % 97) / 97.0 for j in range(64)])
+        for i in range(4)
+    ]
+    d = tmp_path / "vecs-in"
+    d.mkdir()
+    (d / "b0.jsonl").write_text(
+        "\n".join(
+            _json.dumps({"vec_id": i, "embedding": v}) for i, v in vecs
+        )
+        + "\n"
+    )
+    batch = {
+        r["vec_id"]: r["dhash"]
+        for r in multimodal.image_dhash_frame(
+            spark.createDataFrame(vecs, ["vec_id", "embedding"])
+        ).collect()
+    }
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).json(str(d))
+    q = (
+        multimodal.image_dhash_frame(stream)
+        .writeStream.format("memory")
+        .queryName("dhash_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r["vec_id"]: r["dhash"]
+        for r in spark.sql("SELECT * FROM dhash_stream_out").collect()
+    }
+    assert got == batch
+
+
 def test_image_feature_real_pixels(spark):
     """Feature extraction uses REAL pixels for decodable payloads: a
     pure-red PNG yields mean=(1,0,0) and zero std; undecodable bytes
