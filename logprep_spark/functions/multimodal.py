@@ -716,8 +716,20 @@ def dhash_neardup_pairs(
     ``bit_count(a ^ b)`` per surviving pair. Zero O(n²) anywhere:
     the corpus shuffles once on the band key, exact-equality buckets
     are small by construction for near-uniform hashes. Returns
-    (id_a, id_b, hamming), id_a < id_b."""
+    (id_a, id_b, hamming), id_a < id_b.
+
+    ``bits`` must divide evenly into ``threshold + 1`` bands —
+    leftover high bits would belong to NO band and a pair differing
+    only there would be silently missed; the pigeonhole completeness
+    claim (and the brute-force oracle that certifies it) depends on
+    every bit being banded, so an uneven split fails loudly."""
     nb = threshold + 1
+    if bits % nb != 0:
+        raise ValueError(
+            f"bits={bits} not divisible into {nb} bands: "
+            f"{bits % nb} high bits would be unbanded and the "
+            "candidate filter silently incomplete"
+        )
     width = bits // nb
     mask = (1 << width) - 1
     bands = fp.select(
