@@ -5429,6 +5429,74 @@ def text_bpe_train(spark, sf_dir):
     return tx.bpe_train(docs, n_merges=6)
 
 
+def _sql_bpe_pipeline(n_merges: int = 6) -> str:
+    """Train-then-tokenize replica: the trainer stages (see
+    _sql_bpe_train) leave t{n} = the vocabulary tokenized by the
+    learned table applied incrementally — which equals ONE rank-order
+    encoder round (same composition: each merge applied exhaustively,
+    in rank order, over the result of the earlier ones). A SECOND
+    full pass (n more fold stages reading the learned m{r} frames)
+    yields the encoder's round 2; the converged witness compares the
+    two, and the readout is weighted token counts from round 2."""
+    train = _sql_bpe_train(n_merges)
+    # reuse the trainer CTE chain up to t{n}; strip its final SELECT
+    with_body = train[: train.rindex("SELECT rank")]
+    blocks = []
+    prev = f"t{n_merges}"
+    for r in range(1, n_merges + 1):
+        blocks.append(
+            f"""e{r} AS MATERIALIZED (
+        SELECT w, n_w,
+               list_reduce(
+                   list_concat([[chr(1)]], [[c] for c in {prev}.t]),
+                   (acc, e) -> CASE
+                       WHEN acc = [chr(1)] THEN e
+                       WHEN acc[-1] = m{r}.lhs AND e[1] = m{r}.rhs
+                         THEN list_concat(acc[1:len(acc)-1],
+                                          [m{r}.lhs || m{r}.rhs])
+                       ELSE list_concat(acc, e) END) AS t
+        FROM {prev}, m{r}
+    )"""
+        )
+        prev = f"e{r}"
+    return f"""{with_body}, {', '.join(blocks)}, counts AS (
+        SELECT token, CAST(sum(n_w) AS BIGINT) AS n_occurrences
+        FROM (SELECT n_w, unnest(t) AS token FROM {prev})
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token LIMIT 20
+    ), conv AS (
+        SELECT bool_and(a.t = b.t) AS converged
+        FROM t{n_merges} a JOIN {prev} b USING (w)
+    )
+    SELECT counts.token, counts.n_occurrences, conv.converged
+    FROM counts, conv
+    """
+
+
+@register("text_bpe_pipeline", _sql_bpe_pipeline(n_merges=6))
+def text_bpe_pipeline(spark, sf_dir):
+    """The tokenizer arc END-TO-END in one gated query: TRAIN a
+    6-merge BPE table on the corpus (functions/text.py bpe_train),
+    then TOKENIZE the same corpus with the table just learned
+    (bpe_token_counts with the learned merges as plan literals,
+    2 encoder rounds) — top-20 weighted token counts plus the
+    converged witness, which is structurally TRUE here because a
+    greedily-learned table is dependency-ordered by construction
+    (every composite operand formed at an earlier rank), so round 2
+    must reproduce round 1; the witness PROVES that property on real
+    data rather than asserting it. The oracle re-learns the table
+    AND re-tokenizes through the unrolled replica, so the hash gate
+    covers the whole train->apply composition."""
+    docs = tables(spark, sf_dir)["documents"]
+    learned = [
+        (r["lhs"], r["rhs"])
+        for r in tx.bpe_train(docs, n_merges=6).collect()
+    ]
+    return tx.bpe_token_counts(
+        docs, merges=learned, rounds=2, top_n=20
+    )
+
+
 @register(
     "dedup_winnow",
     f"""

@@ -127,6 +127,26 @@ def test_train_hand_computed_merges_and_early_stop(spark):
     assert again == rows
 
 
+def test_learned_table_is_dependency_ordered(spark):
+    """A greedily-learned table is dependency-ordered by
+    construction (every composite operand formed at an earlier
+    rank), so encoding with it converges in ONE rank-order round —
+    round 2 reproduces round 1 and the witness is TRUE everywhere;
+    tokens match the trainer's own final state (here 'abab' fully
+    merged)."""
+    df = spark.createDataFrame([("abab abab abab cd c d",)], ["text"])
+    learned = [
+        (r["lhs"], r["rhs"]) for r in bpe_train(df, n_merges=4).collect()
+    ]
+    enc = {
+        r["w"]: (list(r["tokens"]), r["converged"])
+        for r in bpe_encode_words(df, merges=learned, rounds=2).collect()
+    }
+    assert enc["abab"] == (["abab"], True)
+    assert enc["cd"] == (["cd"], True)
+    assert all(conv for _, conv in enc.values())
+
+
 def test_unconverged_witness_with_starved_rounds(spark):
     """rounds=1 cannot fire the out-of-order ("r","ing") rule; the
     witness must say so instead of silently emitting the truncation.
