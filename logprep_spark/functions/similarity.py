@@ -1372,6 +1372,73 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_rerank_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cand: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    ncodes: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage retrieval — the shape a production vector search
+    actually runs (FAISS IndexIVFPQ + refine / every RAG stack):
+    stage 1 pulls ``n_cand`` candidates per query by compressed ADC
+    over the probed cells (:func:`ivfpq_topk` — n_probe/nlist of the
+    corpus touched, 3-byte codes scored); stage 2 RE-RANKS only those
+    candidates by exact L2 on the raw vectors. Rerank repairs
+    QUANTIZATION error (an ADC mis-ordering inside the candidate set)
+    for the cost of n_cand raw-vector reads per query; probe misses
+    (true neighbor in an unprobed cell) are n_probe's job, not
+    rerank's — the recall row reports both stages so the two failure
+    modes stay separable.
+
+    Scale shape: the candidate frame is n_cand rows per query (tiny);
+    the rerank join fetches exactly those raw vectors by id
+    (AQE-splittable equi-join against the corpus — at 25B vectors
+    this is the point: raw vectors are read for candidates ONLY).
+    Integer-exact end to end -> hash-gates cross-engine. Pass
+    ``candidates`` (a (query_id, nbr_id, ...) frame) to rerank an
+    ALREADY-BUILT candidate set instead of re-running stage 1 — the
+    catalog row scores both stages off one index build this way."""
+    cands = candidates
+    if cands is None:
+        cands = ivfpq_topk(
+            df, queries, k=n_cand, nlist=nlist, nprobe=nprobe, m=m,
+            ncodes=ncodes, iters=iters, vec_col=vec_col, id_col=id_col,
+        )
+    corpus = df.select(
+        F.col(id_col).alias("nbr_id"), micro_vec(F.col(vec_col)).alias("nv")
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), micro_vec(F.col(vec_col)).alias("qv")
+    )
+    dist2 = F.aggregate(
+        F.zip_with("qv", "nv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cands.select("query_id", "nbr_id")
+        .join(corpus, "nbr_id")
+        .join(F.broadcast(qs), "query_id")
+        .select("query_id", "nbr_id", dist2.alias("dist2"))
+    )
+    window = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "dist2", "rank")
+    )
+
+
 # --- Johnson–Lindenstrauss random projection ---------------------------
 
 

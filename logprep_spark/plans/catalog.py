@@ -6057,6 +6057,148 @@ def ann_recall_ivfpq(spark, sf_dir):
 
 
 @register(
+    "ann_ivfpq_rerank",
+    f"""
+    WITH cvm AS (
+        SELECT vec_id, {_KM_MICRO} AS v FROM embeddings
+    ), cseeds AS (
+        SELECT row_number() OVER (
+                   ORDER BY {_sql_h60('vec_id::varchar')}, vec_id) AS cid,
+               v AS cv
+        FROM cvm ORDER BY {_sql_h60('vec_id::varchar')}, vec_id LIMIT 8
+    ), cs1 AS (
+        SELECT m.vec_id, m.v, c.cid, {_KM_DIST} AS dd
+        FROM cvm m CROSS JOIN cseeds c
+    ), ca1 AS (
+        SELECT vec_id, v, cid AS cluster FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dd, cid) AS rn
+            FROM cs1) WHERE rn = 1
+    ), csum AS (
+        SELECT cluster, dim,
+               CAST(sum(v[dim]) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu
+        FROM ca1 CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) dims
+        GROUP BY cluster, dim
+    ), cc1 AS (
+        SELECT cluster AS cid, list(mu ORDER BY dim) AS cv
+        FROM csum GROUP BY cluster
+    ), cs2 AS (
+        SELECT m.vec_id, m.v, c.cid, {_KM_DIST} AS dd
+        FROM cvm m CROSS JOIN cc1 c
+    ), ca2 AS (
+        SELECT vec_id, v, cid AS cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dd, cid) AS rn
+            FROM cs2) WHERE rn = 1
+    ), resid AS (
+        SELECT a.vec_id, a.cell,
+               [a.v[i] - c.cv[i] for i in range(1, 65)] AS v
+        FROM ca2 a JOIN cc1 c ON c.cid = a.cell
+    ), {_sql_pq_chain(m=16, d=4, ncodes=16, src="resid")},
+    qrank AS (
+        SELECT q.vec_id AS query_id, c.cid AS cell, q.v AS qv,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_sum([(q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i])
+                                      for i in range(1, 65)]), c.cid) AS rn
+        FROM cvm q CROSS JOIN cc1 c WHERE q.vec_id < 5
+    ), qres AS (
+        SELECT r.query_id, r.cell,
+               [r.qv[i] - c.cv[i] for i in range(1, 65)] AS qv
+        FROM qrank r JOIN cc1 c ON c.cid = r.cell
+        WHERE r.rn <= 2
+    ), adc AS (
+        SELECT q.query_id, r.vec_id AS nbr_id,
+               CAST(sum(list_sum([(q.qv[(e.j-1)*4+i] - c.cv[i])
+                                  * (q.qv[(e.j-1)*4+i] - c.cv[i])
+                                  for i in range(1, 5)])) AS BIGINT)
+                   AS adc_dist2
+        FROM resid r
+        JOIN enc e ON e.vec_id = r.vec_id
+        JOIN c1 c ON c.j = e.j AND c.cid = e.cid
+        JOIN qres q ON q.cell = r.cell
+        WHERE q.query_id <> r.vec_id
+        GROUP BY q.query_id, r.vec_id
+    ), cand AS (
+        SELECT query_id, nbr_id, rn FROM (
+            SELECT query_id, nbr_id, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_dist2, nbr_id) AS rn
+            FROM adc) WHERE rn <= 10
+    ), rerank AS (
+        SELECT query_id, nbr_id FROM (
+            SELECT k.query_id, k.nbr_id, row_number() OVER (
+                PARTITION BY k.query_id ORDER BY
+                list_sum([(q.v[i] - n.v[i]) * (q.v[i] - n.v[i])
+                          for i in range(1, 65)]), k.nbr_id) AS rn
+            FROM cand k
+            JOIN cvm q ON q.vec_id = k.query_id
+            JOIN cvm n ON n.vec_id = k.nbr_id
+        ) WHERE rn <= 3
+    ), exact AS (
+        SELECT query_id, nbr_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id ORDER BY
+                       list_sum([(q.v[i] - c.v[i]) * (q.v[i] - c.v[i])
+                                 for i in range(1, 65)]), c.vec_id) AS rn
+            FROM cvm q JOIN cvm c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5) WHERE rn <= 3
+    ), hits_adc AS (
+        SELECT query_id, count(*) AS n FROM cand
+        JOIN exact USING (query_id, nbr_id) WHERE cand.rn <= 3
+        GROUP BY query_id
+    ), hits_rr AS (
+        SELECT query_id, count(*) AS n FROM rerank
+        JOIN exact USING (query_id, nbr_id) GROUP BY query_id
+    )
+    SELECT qs.query_id,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_hits_adc,
+           CAST(coalesce(r.n, 0) AS BIGINT) AS n_hits_rerank,
+           1000 * coalesce(a.n, 0) // 3 AS recall_adc_milli,
+           1000 * coalesce(r.n, 0) // 3 AS recall_rerank_milli
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) qs
+    LEFT JOIN hits_adc a USING (query_id)
+    LEFT JOIN hits_rr r USING (query_id)
+    """,
+)
+def ann_ivfpq_rerank(spark, sf_dir):
+    """TWO-STAGE retrieval — the shape a production vector search /
+    RAG stack actually runs (functions/similarity.py
+    ivfpq_rerank_topk): IVF-PQ ADC pulls 10 candidates per query from
+    the 2 probed cells (compressed codes only), then exact L2 on the
+    RAW vectors re-ranks just those 10 — quantization mis-orderings
+    inside the candidate set are repaired for the cost of 10 raw
+    reads per query, while probe misses stay n_probe's problem. Both
+    stages' recall@3 ride in the same row so the two failure modes
+    are separable (rerank >= ADC per query, structurally). The whole
+    construction hash-gates against the full DuckDB replica."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    qids = qs.select(F.col("vec_id").alias("query_id"))
+    exact = sim.brute_force_topk_l2(emb, qs, k=3)
+    cands = sim.ivfpq_topk(
+        emb, qs, k=10, nlist=8, nprobe=2, m=16, ncodes=16, iters=2
+    )
+    adc3 = cands.filter(F.col("rank") <= 3)
+    rr3 = sim.ivfpq_rerank_topk(emb, qs, k=3, candidates=cands)
+    r_adc = sim.recall_eval(exact, adc3, k=3, queries=qids).select(
+        "query_id",
+        F.col("n_hits").alias("n_hits_adc"),
+        F.col("recall_milli").alias("recall_adc_milli"),
+    )
+    r_rr = sim.recall_eval(exact, rr3, k=3, queries=qids).select(
+        "query_id",
+        F.col("n_hits").alias("n_hits_rerank"),
+        F.col("recall_milli").alias("recall_rerank_milli"),
+    )
+    return r_adc.join(r_rr, "query_id").select(
+        "query_id", "n_hits_adc", "n_hits_rerank",
+        "recall_adc_milli", "recall_rerank_milli",
+    )
+
+
+@register(
     "embed_top_component",
     f"""
     WITH vm AS (

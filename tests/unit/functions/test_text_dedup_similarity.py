@@ -1160,6 +1160,30 @@ def test_kmeans_separates_obvious_clusters(spark):
     assert got == again
 
 
+def test_ivfpq_rerank_never_hurts_and_is_bounded_by_candidates(spark, sf_dir):
+    """Structural contracts of two-stage retrieval: the reranked
+    top-3 is a subset of the ADC candidate set (stage 2 reads raw
+    vectors for candidates ONLY), and per-query recall after exact
+    rerank is >= pure-ADC recall (exact distance can only repair
+    quantization mis-orderings inside the set, never lose a hit
+    that ADC's own top-3 had)."""
+    from logprep_spark.plans import catalog
+
+    rows_ = catalog.queries()["ann_ivfpq_rerank"](spark, sf_dir).collect()
+    assert rows_
+    for r in rows_:
+        assert r["n_hits_rerank"] >= r["n_hits_adc"], tuple(r)
+        assert 0 <= r["recall_rerank_milli"] <= 1000
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3)
+    cands = similarity.ivfpq_topk(emb, qs, k=8, nlist=4, nprobe=2, m=16, ncodes=8)
+    rr = similarity.ivfpq_rerank_topk(emb, qs, k=3, candidates=cands)
+    cand_set = {(r["query_id"], r["nbr_id"]) for r in cands.collect()}
+    for r in rr.collect():
+        assert (r["query_id"], r["nbr_id"]) in cand_set
+
+
 def test_embed_diversity_gram_identity_and_edges(spark):
     """The one-pass Gram identity equals the brute-force pair mean on
     hand-built vectors, including a CENTERED label whose pair sum is
