@@ -1160,6 +1160,79 @@ def sq_stored_union_range(
     )
 
 
+def sq_merge_late(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    slice_col: str,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+    ps_milli: tuple = (500, 900, 990),
+) -> DataFrame:
+    """SAME-SLICE late-data merge — the mergeability claim exercised
+    where it actually bites (a late batch arrives for a day whose
+    pool is already stored): per-slice pools built from each batch
+    independently merge by keeping the k smallest (h, value) pairs of
+    the union, and by KMV merge closure (bottom-k of a union =
+    bottom-k of the merged bottom-k's — EXACT, not approximate) the
+    merged pool is bit-identical to building from all data at once.
+    The in-query ``merge_exact`` witness compares the merged pool
+    against a from-scratch build per slice; the oracle replicates the
+    FULL build, so the hash gate proves the merge path lands on it.
+    Returns per-slice (slice, n_rows, n_kept, q{p}..., merge_exact).
+    Scale: merging is an explode of ≤ 2k rows per slice + one
+    per-slice window — the stored pools never re-touch raw data;
+    only the witness rebuild does (the verification a production
+    late-merge job omits)."""
+    from pyspark.sql import Window
+
+    sk_a = sq_sketch_slices(df_a, slice_col, key_col, value_col, k)
+    sk_b = sq_sketch_slices(df_b, slice_col, key_col, value_col, k)
+    both = sk_a.unionByName(sk_b)
+    totals = both.groupBy(slice_col).agg(
+        F.sum("_n_rows").alias("_n_rows")
+    )
+    win = Window.partitionBy(slice_col).orderBy("_p._h")
+    pooled = (
+        both.select(F.col(slice_col), F.explode("_pool").alias("_p"))
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .groupBy(slice_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n_kept"),
+            F.sort_array(F.collect_list("_p")).alias("_pool"),
+        )
+    )
+    merged = totals.join(pooled, slice_col)
+    full = sq_sketch_slices(
+        df_a.unionByName(df_b), slice_col, key_col, value_col, k
+    ).select(
+        F.col(slice_col),
+        F.col("_n_rows").alias("_fn_rows"),
+        F.col("_n_kept").alias("_fn_kept"),
+        F.col("_pool").alias("_fpool"),
+    )
+    return (
+        merged.join(full, slice_col)
+        .select(
+            F.col(slice_col),
+            F.col("_n_rows").alias("n_rows"),
+            F.col("_n_kept").alias("n_kept"),
+            *[
+                _sq_select(F.col("_pool"), F.col("_n_kept"), p).alias(
+                    f"q{p}"
+                )
+                for p in ps_milli
+            ],
+            (
+                (F.col("_pool") == F.col("_fpool"))
+                & (F.col("_n_rows") == F.col("_fn_rows"))
+                & (F.col("_n_kept") == F.col("_fn_kept"))
+            ).alias("merge_exact"),
+        )
+    )
+
+
 def sq_drift_psi(
     sketch: DataFrame,
     slice_col: str,

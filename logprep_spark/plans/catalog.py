@@ -9740,6 +9740,62 @@ def sketch_sq_stored_range(spark, sf_dir):
     )
 
 
+@register(
+    "sketch_sq_merge_late",
+    f"""
+    WITH base AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS slice, value AS v,
+               {_sql_h60("'sq:' || event_id::VARCHAR")} AS h
+        FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+          AND ts >= '2024-01-08' AND ts < '2024-01-15'
+    ), psel AS ({_SQL_SQ_POOL.format(k=64)}
+    ), est AS (
+        SELECT slice, CAST(any_value(n_rows) AS BIGINT) AS n_rows,
+               CAST(any_value(n_kept) AS BIGINT) AS n_kept,
+               max(CASE WHEN vrn = greatest((500 * n_kept + 999) // 1000, 1)
+                        THEN v END) AS q500,
+               max(CASE WHEN vrn = greatest((900 * n_kept + 999) // 1000, 1)
+                        THEN v END) AS q900,
+               max(CASE WHEN vrn = greatest((990 * n_kept + 999) // 1000, 1)
+                        THEN v END) AS q990
+        FROM psel GROUP BY slice
+    )
+    SELECT slice, n_rows, n_kept, q500, q900, q990,
+           TRUE AS merge_exact
+    FROM est
+    """,
+)
+def sketch_sq_merge_late(spark, sf_dir):
+    """SAME-SLICE late-data merge (functions/sketch.py sq_merge_late)
+    — the mergeability claim exercised where it bites: the week's
+    events split by event-id parity into an 'initial' and a 'late'
+    batch, per-day pools built INDEPENDENTLY from each, merged by
+    keeping the k smallest (hash, value) pairs of the union. KMV
+    merge closure makes the merged pool bit-identical to building
+    from all data at once — the in-query merge_exact witness
+    compares pools element-wise against a from-scratch build, and
+    the ORACLE IS THE FULL BUILD, so the hash gate proves the merge
+    path lands exactly on it (quantiles AND witness). Raw-ts range
+    predicates keep both batch scans row-group-skippable."""
+    ev = tables(spark, sf_dir)["events"]
+    week = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-08"))
+        & (F.col("ts") < F.lit("2024-01-15"))
+    ).select(
+        # string day key: DATE round-trips as pandas object on the
+        # Spark side but datetime64 from DuckDB — the dtype meta-test
+        # (and the driver's rendered-value hash) want one class
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("slice"),
+        "event_id",
+        "value",
+    )
+    initial = week.filter(F.col("event_id") % 2 == 0)
+    late = week.filter(F.col("event_id") % 2 == 1)
+    return sk.sq_merge_late(
+        initial, late, "slice", "event_id", "value", k=64
+    )
+
+
 _SQL_SQ_BOUNDS = ",\n             ".join(
     f"max(CASE WHEN vrn = greatest(({100 * i} * nb + 999) // 1000, 1) "
     "THEN v END)"

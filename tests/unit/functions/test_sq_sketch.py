@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import hashlib
 
+from pyspark.sql import functions as F
+
 from logprep_spark.functions.sketch import (
     sq_quantiles,
     sq_sketch_slices,
@@ -179,6 +181,38 @@ def test_sq_stored_union_range_round_trip(spark, tmp_path):
         df, "slice", "key", "v", "d1", "d2", k=32, store_path=store
     ).collect()
     assert again == got
+
+
+def test_sq_merge_late_equals_full_build(spark):
+    """KMV merge closure, end to end: per-slice pools built from two
+    UNEVEN batches and merged land bit-identical on the from-scratch
+    build — quantiles equal and the merge_exact witness TRUE — for
+    both estimate-mode (big slice, k truncates) and exact-mode
+    (small slice) rows."""
+    from logprep_spark.functions.sketch import sq_merge_late
+
+    rows = [("d1", i, float(i * 7 % 211)) for i in range(300)] + [
+        ("d2", 1000 + i, float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["slice", "key", "v"])
+    a = df.filter(F.col("key") % 3 == 0)  # uneven 1/3 vs 2/3 split
+    b = df.filter(F.col("key") % 3 != 0)
+    got = {
+        r["slice"]: r
+        for r in sq_merge_late(a, b, "slice", "key", "v", k=32).collect()
+    }
+    full = {
+        r["slice"]: r
+        for r in sq_quantiles(
+            sq_sketch_slices(df, "slice", "key", "v", k=32), "slice"
+        ).collect()
+    }
+    assert set(got) == {"d1", "d2"}
+    for s in got:
+        assert bool(got[s]["merge_exact"]), s
+        assert got[s]["n_rows"] == full[s]["n_rows"]
+        for p in (500, 900, 990):
+            assert got[s][f"q{p}"] == full[s][f"q{p}"], (s, p)
 
 
 def test_sq_drift_psi_detects_a_shift(spark):
