@@ -84,6 +84,55 @@ def _step_token_count(df: DataFrame, text_col: str, out_col: str = "n_tokens") -
     return df.withColumn(out_col, tx.token_count(F.col(text_col)))
 
 
+def _step_bpe_token_count(
+    df: DataFrame,
+    text_col: str,
+    key_col: str = "doc_id",
+    rounds: int = 2,
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Per-doc BPE sequence-length cost — the budget number packing
+    and pricing actually need (token_count's whitespace/regex proxies
+    under- or over-state it for merge-heavy text): each doc's words
+    join the GLOBAL encoded vocabulary (the encode fold runs once per
+    DISTINCT word — Heaps' law, the bpe_fertility shape — never per
+    occurrence), summed back per ``key_col``. Docs with no word reach
+    0, not null. Two bounded shuffles (word-keyed agg over the vocab,
+    doc-keyed sum); the fold chain itself is zero-shuffle narrow."""
+    words = df.select(
+        F.col(key_col).alias("_k"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                lambda w: w != "",
+            )
+        ).alias("w"),
+    )
+    per_doc_word = words.groupBy("_k", "w").agg(
+        F.count(F.lit(1)).alias("_n_w")
+    )
+    staged = per_doc_word.select("w").distinct().withColumn(
+        "_c0", F.split("w", "")
+    )
+    for r in range(1, rounds + 1):
+        staged = staged.withColumn(
+            f"_c{r}", tx.bpe_merge_pass(F.col(f"_c{r - 1}"), tx.BPE_MERGES)
+        )
+    enc = staged.select(
+        "w", F.size(F.col(f"_c{rounds}")).cast("long").alias("_n_tok")
+    )
+    per_doc = (
+        per_doc_word.join(enc, "w")
+        .groupBy("_k")
+        .agg(F.sum(F.col("_n_w") * F.col("_n_tok")).alias(out_col))
+    )
+    return (
+        df.join(per_doc, df[key_col] == per_doc["_k"], "left")
+        .drop("_k")
+        .withColumn(out_col, F.coalesce(out_col, F.lit(0).cast("long")))
+    )
+
+
 def _step_unicode_clean(df: DataFrame, text_col: str) -> DataFrame:
     return df.withColumn(text_col, tx.unicode_nfc(tx.strip_invisible(F.col(text_col))))
 
@@ -207,6 +256,7 @@ STEPS: dict[str, Callable[..., DataFrame]] = {
     "quality_score": _step_quality_score,
     "lang_id": _step_lang_id,
     "token_count": _step_token_count,
+    "bpe_token_count": _step_bpe_token_count,
     "unicode_clean": _step_unicode_clean,
     "html_extract": _step_html_extract,
     "quality_model": _step_quality_model,

@@ -118,6 +118,21 @@ def test_corpus_pipeline_runs_on_streams(spark, tmp_path):
     assert rows[2]["n_tokens"] == 1 and "quality" in rows[1].asDict()
 
 
+def test_bpe_token_count_step(spark):
+    """The BPE sequence-length budget step: 'the ring' costs 2 BPE
+    tokens (both fully merge) where the whitespace proxy also says 2,
+    but 'xyz xyz' costs 6 BPE tokens (never merges) vs the proxy's 2
+    — the divergence the step exists to expose; wordless docs read 0,
+    and the step composes in a config like any other."""
+    df = spark.createDataFrame(
+        [(1, "the ring"), (2, "xyz xyz"), (3, "!!!")],
+        ["doc_id", "text"],
+    )
+    p = CorpusPipeline([{"op": "bpe_token_count", "rounds": 3}])
+    rows = {r["doc_id"]: r["n_bpe_tokens"] for r in p.transform(df).collect()}
+    assert rows == {1: 2, 2: 6, 3: 0}
+
+
 def test_c4_and_domain_sample_steps(spark):
     """r6 steps: c4_filter rewrites text to the retained lines and
     drops failing docs; domain_sample keeps the hash-chosen docs
