@@ -714,6 +714,86 @@ def pagerank(
     return ranks.select("node", F.col("r").alias("rank_micro"))
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping_milli: int = 850,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank — teleport to a SEED SET instead of
+    uniformly (the "related to THESE items" / account-neighborhood
+    ranking query; Page et al. 1999 §6 personalization vector):
+    seeds start with rank 10⁶ micro and receive the (1−d) base each
+    round, non-seeds start at 0 and earn rank only through walks
+    from the seeds, so the scores ARE seed-proximity. Same integer
+    recurrence discipline as :func:`pagerank` (pure long arithmetic,
+    bit-identical in any engine / partitioning).
+
+    Distributed shape per round: ONE shuffle — contributions union a
+    zero row per node and the seed FLAG rides those zero rows, so the
+    per-node base re-attaches inside the same dst-keyed agg (max of
+    the flag) with no extra join; the early rounds where most ranks
+    are 0 prune map-side (r > 0 filter). ``seeds`` is a 1-column
+    (node) frame, broadcast. Returns (node, rank_micro, is_seed)."""
+    from pyspark.storagelevel import StorageLevel
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edeg = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    flagged = nodes.join(
+        F.broadcast(seeds.select(F.col("node"), F.lit(1).alias("_s"))),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce("_s", F.lit(0)).cast("long").alias("_s")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ranks = flagged.select(
+        "node", (F.col("_s") * F.lit(1_000_000)).cast("long").alias("r")
+    )
+    base = (1000 - damping_milli) * 1000
+    for _ in range(iters):
+        contrib = (
+            ranks.filter(F.col("r") > 0)
+            .join(edeg, ranks["node"] == edeg["src"])
+            .select(
+                F.col("dst"),
+                F.expr("r div deg").alias("c"),
+                F.lit(0).cast("long").alias("_s"),
+            )
+        )
+        zero = flagged.select(
+            F.col("node").alias("dst"), F.lit(0).cast("long").alias("c"), "_s"
+        )
+        ranks = (
+            contrib.union(zero)
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"), F.max("_s").alias("_sf"))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.col("_sf") * F.lit(base)
+                    + F.expr(f"({damping_milli} * s) div 1000")
+                ).cast("long").alias("r"),
+                # the flag survives the agg, so the output needs no
+                # join back to the node frame (which at 10^9 nodes
+                # would be a real exchange, not a broadcast)
+                F.col("_sf"),
+            )
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_micro"),
+        (F.col("_sf") == 1).alias("is_seed"),
+    )
+
+
 def customer_supplier_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Undirected customer↔supplier trade graph from the fact tables,
     expressed as both-direction directed edges over a disjoint id

@@ -4450,6 +4450,83 @@ def graph_pagerank(spark, sf_dir):
     return an.pagerank(edges, iters=3)
 
 
+def _sql_ppr_rounds(iters: int) -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""r{i} AS (
+        SELECT n.node,
+               CAST(CASE WHEN sd.node IS NOT NULL THEN 150000 ELSE 0 END
+                    + (850 * coalesce(c.sc, 0)) // 1000 AS BIGINT) AS r
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(r.r // d.deg) AS sc
+            FROM {prev} r
+            JOIN edges e ON r.node = e.src
+            JOIN deg d ON d.src = e.src
+            WHERE r.r > 0 GROUP BY e.dst
+        ) c ON c.node = n.node
+        LEFT JOIN seeds sd ON sd.node = n.node
+    )"""
+        )
+        prev = f"r{i}"
+    return ", ".join(rounds)
+
+
+@register(
+    "graph_ppr_seeds",
+    f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+        SELECT cust AS src, supp AS dst FROM pairs
+        UNION ALL
+        SELECT supp AS src, cust AS dst FROM pairs
+    ), deg AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+    ), seeds AS (
+        SELECT node FROM nodes ORDER BY node LIMIT 3
+    ), r0 AS (
+        SELECT n.node,
+               CAST(CASE WHEN s.node IS NOT NULL THEN 1000000 ELSE 0 END
+                    AS BIGINT) AS r
+        FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+    ), {_sql_ppr_rounds(3)}
+    SELECT r3.node, r3.r AS rank_micro,
+           sd.node IS NOT NULL AS is_seed
+    FROM r3 LEFT JOIN seeds sd ON sd.node = r3.node
+    ORDER BY r3.r DESC, r3.node LIMIT 20
+    """,
+)
+def graph_ppr_seeds(spark, sf_dir):
+    """PERSONALIZED PageRank (plans/analytics.py
+    personalized_pagerank) over the customer↔supplier trade graph —
+    teleport to the 3 smallest-id customer nodes instead of
+    uniformly: the "rank everything by proximity to THESE accounts"
+    query (fraud neighborhoods, related-item ranking). Non-seeds
+    earn rank only through walks from the seeds, so the top-20
+    readout IS the seeds' trade neighborhood, with the seeds
+    themselves flagged. Same integer-micro recurrence discipline as
+    graph_pagerank (bit-identical cross-engine); per round ONE
+    shuffle — the seed flag rides the zero-contribution rows through
+    the same dst-keyed agg, and the early mostly-zero rounds prune
+    map-side (r > 0)."""
+    t = tables(spark, sf_dir)
+    edges = an.customer_supplier_edges(t["orders"], t["lineitem"])
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(3)
+    ppr = an.personalized_pagerank(edges, seeds, iters=3)
+    return ppr.orderBy(F.col("rank_micro").desc(), F.col("node")).limit(20)
+
+
 @register(
     "graph_triangles",
     """

@@ -1795,6 +1795,44 @@ def test_kcore_known_graphs(spark):
     assert again == [r]
 
 
+def test_personalized_pagerank_localizes_to_seeds(spark):
+    """Two disconnected components; seeding only component A must
+    leave every component-B node at EXACTLY zero (no uniform
+    teleport), seeds carry the base each round, and a Python replica
+    of the integer recurrence matches bit-for-bit."""
+    from logprep_spark.plans.analytics import personalized_pagerank
+
+    comp_a = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)]
+    comp_b = [(10, 11), (11, 10)]
+    edges = spark.createDataFrame(comp_a + comp_b, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {
+        r["node"]: (r["rank_micro"], r["is_seed"])
+        for r in personalized_pagerank(edges, seeds, iters=3).collect()
+    }
+    assert got[10] == (0, False) and got[11] == (0, False)
+    assert got[1][1] is True and got[2][1] is False
+
+    # integer replica
+    adj = {}
+    deg = {}
+    for s, d in comp_a + comp_b:
+        adj.setdefault(s, []).append(d)
+        deg[s] = deg.get(s, 0) + 1
+    r = {n: 1_000_000 if n == 1 else 0 for n in {1, 2, 3, 10, 11}}
+    for _ in range(3):
+        s = {n: 0 for n in r}
+        for src, outs in adj.items():
+            if r[src] > 0:
+                for d in outs:
+                    s[d] += r[src] // deg[src]
+        r = {
+            n: (150_000 if n == 1 else 0) + (850 * s[n]) // 1000
+            for n in r
+        }
+    assert {n: v for n, (v, _) in got.items()} == r
+
+
 def test_bfs_hops_known_graphs(spark):
     """Hand-computed BFS levels: a path graph (one node per level,
     source = min id), a disconnected extra component (counted
