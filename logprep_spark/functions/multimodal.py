@@ -699,6 +699,71 @@ def image_dhash_frame(
     return df.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
 
 
+def audio_roundtrip_frame(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Integer audio fingerprints through a REAL WAV round trip — the
+    AUDIO twin of :func:`image_dhash_frame`'s codec-on-the-gated-path
+    pattern: each row's vector derives a deterministic int16 sample
+    block (micro-fixed component mod 2¹⁶, recentred), which is
+    ENCODED to a real PCM WAV and DECODED BACK
+    (:func:`encode_wav`/:func:`decode_wav` — stdlib ``wave``), and
+    four integer features are computed from the DECODED samples:
+    energy (Σ pcm²), peak |pcm|, zero crossings (sign-boundary
+    convention pcm ≥ 0), and a position-weighted linear checksum
+    (Σ pcm·(i+1)) that no sample-level corruption can survive. An
+    oracle replicating the fingerprint arithmetic straight from the
+    raw vector — including encode's one float rounding,
+    trunc((v/32768)·32767), replicated operation-for-operation —
+    proves the encode→decode round trip sample-exact over the corpus.
+    One Arrow-batched ``mapInPandas``; zero shuffles."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("energy", T.LongType()),
+            T.StructField("peak", T.LongType()),
+            T.StructField("zero_crossings", T.LongType()),
+            T.StructField("lincheck", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (id_col, "energy", "peak",
+                                   "zero_crossings", "lincheck")}
+            for rid, vec in zip(pdf[id_col], pdf[vec_col]):
+                v = np.asarray(vec, dtype=np.float64) * 1_000_000
+                micro = np.where(
+                    v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)
+                ).astype(np.int64)
+                raw = np.mod(micro, 65536) - 32768  # int16 range
+                # /32768 is a power-of-two scale (exact in float64):
+                # encode's only rounding is the *32767 product, which
+                # the oracle replicates in the same operation order
+                samples = raw.astype(np.float64) / 32768.0
+                decoded = decode_wav(encode_wav(samples, 16_000))
+                pcm = np.round(
+                    decoded["samples"].astype(np.float64) * 32768.0
+                ).astype(np.int64)
+                nz = (pcm >= 0).astype(np.int64)
+                out[id_col].append(int(rid))
+                out["energy"].append(int((pcm * pcm).sum()))
+                out["peak"].append(int(np.abs(pcm).max()))
+                out["zero_crossings"].append(
+                    int(np.abs(np.diff(nz)).sum())
+                )
+                out["lincheck"].append(
+                    int((pcm * np.arange(1, pcm.size + 1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
+
+
 def dhash_neardup_pairs(
     fp: DataFrame,
     id_col: str = "vec_id",

