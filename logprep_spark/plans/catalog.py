@@ -105,15 +105,16 @@ def register(name: str, oracle: str | None = None):
 #     oldest r5 evidence (ann_topk_ivf, dedup_substring — r5 window
 #     order). After this window every hash-gateable catalog query
 #     has a driver row under its current gate.
-#   r10 window: the 17 r9-new rows first (text_bpe_encode,
+#   r10 window: the 19 r9-new rows first (text_bpe_encode,
 #     text_bpe_train, text_bpe_pipeline, text_bpe_fertility,
 #     sketch_theta_stored_range, sketch_sq_stored_range,
 #     sketch_cm_stored, sketch_bloom_stored, sketch_sq_merge_late,
-#     graph_bfs_hops, graph_random_walks, ml_kmeans_silhouette,
-#     embed_diversity_gram, multimodal_image_dhash,
-#     multimodal_dhash_neardup, split_leakage_free, ann_ivfpq_rerank
-#     — all local hash-PASS in the committed r9 ledger), then the
-#     remaining r5-checked rotation (oldest first).
+#     graph_bfs_hops, graph_random_walks, graph_ppr_seeds,
+#     ml_kmeans_silhouette, embed_diversity_gram,
+#     multimodal_image_dhash, multimodal_dhash_neardup,
+#     multimodal_audio_roundtrip, split_leakage_free,
+#     ann_ivfpq_rerank — all local hash-PASS in the committed r9
+#     ledger), then the remaining r5-checked rotation (oldest first).
 # The full catalog (see the module docstring count; tools/
 # gen_query_index.py keeps it exact) stays locally oracle-gated
 # every round via tools/check_oracles.py (LOCAL_CORRECTNESS.md,
