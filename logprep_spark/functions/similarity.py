@@ -594,6 +594,14 @@ def kmeans_silhouette(
     narrow codegen map (zero corpus shuffles), and the only wide op
     is the final k-key agg. Returns one row per cluster:
     (cluster, n_members, mean_sil_milli, min_sil_milli)."""
+    if k < 2:
+        # the nearest-OTHER-centroid read (_ds[1]) needs a second
+        # centroid; with k=1 it would be NULL and silently propagate
+        # NULL scores — fail loudly instead (the dhash
+        # band-divisibility discipline). Duplicate centroids from a
+        # degenerate Lloyd collapse still yield k structs (score 0),
+        # so k >= 2 is the only unrepresentable configuration.
+        raise ValueError(f"kmeans_silhouette requires k >= 2, got {k}")
     vm = df.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("v"))
     seed_rows = (
         vm.orderBy(h60(F.col(id_col).cast("string")), F.col(id_col))

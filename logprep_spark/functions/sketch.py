@@ -1192,7 +1192,12 @@ def sq_merge_late(
     totals = both.groupBy(slice_col).agg(
         F.sum("_n_rows").alias("_n_rows")
     )
-    win = Window.partitionBy(slice_col).orderBy("_p._h")
+    # order by the FULL (hash, value) struct, not _p._h alone: if the
+    # same key lands in both batches (or two keys collide at h60) the
+    # hash-only order would tie-break nondeterministically and could
+    # falsify the bit-identical merge_exact witness; struct order
+    # matches the sort_array order the pools themselves use
+    win = Window.partitionBy(slice_col).orderBy(F.col("_p"))
     pooled = (
         both.select(F.col(slice_col), F.explode("_pool").alias("_p"))
         .withColumn("_rn", F.row_number().over(win))

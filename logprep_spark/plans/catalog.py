@@ -68,6 +68,38 @@ def tables(spark: SparkSession, sf_dir: str) -> dict:
     return _TABLE_CACHE[key]
 
 
+def _sketch_store_path(sf_dir: str, name: str) -> str:
+    """Unique-per-invocation sketch-store directory under the
+    gitignored spark-warehouse/sketch_store/. The UUID suffix is the
+    ADVICE-r9 fix: stored-sketch queries execute their build+write
+    eagerly at query-construction time, so two concurrent runs at the
+    same sf (or plan-only tooling racing a live run) must never share
+    a reader-vs-overwrite path. Each construction writes its own
+    directory; a best-effort atexit rmtree reclaims it. (Plan-only
+    tooling still pays the build+write — documented in each query's
+    docstring — but can no longer corrupt a concurrent reader.)"""
+    import atexit
+    import os
+    import shutil
+    import uuid
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    path = os.path.join(
+        root,
+        "spark-warehouse",
+        "sketch_store",
+        "{}_{}_{}".format(
+            name,
+            os.path.basename(os.path.normpath(sf_dir)),
+            uuid.uuid4().hex[:12],
+        ),
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         _QUERIES[name] = fn
@@ -105,74 +137,82 @@ def register(name: str, oracle: str | None = None):
 #     oldest r5 evidence (ann_topk_ivf, dedup_substring — r5 window
 #     order). After this window every hash-gateable catalog query
 #     has a driver row under its current gate.
-#   r10 window: the 19 r9-new rows first (text_bpe_encode,
-#     text_bpe_train, text_bpe_pipeline, text_bpe_fertility,
-#     sketch_theta_stored_range, sketch_sq_stored_range,
-#     sketch_cm_stored, sketch_bloom_stored, sketch_sq_merge_late,
-#     graph_bfs_hops, graph_random_walks, graph_ppr_seeds,
-#     ml_kmeans_silhouette, embed_diversity_gram,
-#     multimodal_image_dhash, multimodal_dhash_neardup,
-#     multimodal_audio_roundtrip, split_leakage_free,
-#     ann_ivfpq_rerank — all local hash-PASS in the committed r9
-#     ledger), then the remaining r5-checked rotation (oldest first).
+#   r10 window (THIS round): the 19 r9-new rows first (text_bpe_*,
+#     the four stored-sketch rows, sketch_sq_merge_late, the three
+#     graph-recursion rows, ml_kmeans_silhouette,
+#     embed_diversity_gram, the three multimodal codec rows,
+#     split_leakage_free, ann_ivfpq_rerank — all local hash-PASS in
+#     the committed r9 ledger, 16 judge-re-verified), then 31 of the
+#     48 remaining r5-checked rows (r5 window order, oldest first).
+#   r11 window: the r10-new rows first (pipeline_pretrain_v3,
+#     graph_lpa_modularity, ...), then the 17 r5-checked rows left
+#     over from r10 (text_tfidf, window_topk_orders, proc_geoip_v6,
+#     ann_recall_ivf, ann_recall_lsh_multiprobe, text_gopher,
+#     dedup_lines, text_url_canonical, split_stratified_sample,
+#     sketch_heavy_hitters, tpch_q14, text_html_extract,
+#     text_unicode_clean, funnel_events, text_repetition,
+#     dedup_minhash_lsh, pipeline_training_data), then the oldest-r6
+#     rotation.
 # The full catalog (see the module docstring count; tools/
 # gen_query_index.py keeps it exact) stays locally oracle-gated
 # every round via tools/check_oracles.py (LOCAL_CORRECTNESS.md,
 # same hash methodology as the driver).
 _PRIORITY = [
-    # --- r9 window: the 42 rows that have NEVER had a driver row
-    # (all local hash-PASS; 15 judge-re-verified in the r8 session) ---
-    "sketch_cm_freq",
-    "sketch_bloom_membership",
-    "corpus_weighted_sample",
-    "events_top_sequences",
-    "corpus_bloom_suppress",
-    "text_textrank_keywords",
-    "sketch_sq_quantiles",
-    "sketch_sq_union_range",
-    "graph_triangles",
-    "events_holt_forecast",
-    "sketch_sq_drift",
-    "sketch_theta_retention",
-    "dedup_setsim_prefix",
-    "graph_assortativity",
-    "layout_zorder_pruning",
-    "embed_jl_distortion",
-    "events_holt_winters",
-    "dedup_containment_join",
-    "corpus_weighted_sample_per_domain",
-    "graph_kcore",
-    "search_ndcg_jl",
-    "scd2_point_in_time",
-    "events_cusum_shift",
-    "dq_benford",
-    "text_readability",
-    "ab_sprt_sequential",
-    "users_spend_gini",
-    "layout_hilbert_pruning",
-    "dedup_setsim_incremental",
-    "graph_lpa_communities",
-    "events_autocorrelation",
-    "embed_all_but_top",
-    "events_theilsen_trend",
-    "survival_repurchase_km",
-    "ab_mann_whitney",
-    "bootstrap_mean_ci",
-    "ab_chi_square",
-    "ml_ridge_normal_eqs",
-    "model_calibration_bins",
-    "model_calibration_isotonic",
-    "ab_cuped_adjusted",
-    "ab_diff_in_diff",
-    # --- sketch_hll_distinct: its only driver row is r6 no_oracle,
-    # from before the r7 hash-gate upgrade (the r8 verdict addition) ---
-    "sketch_hll_distinct",
-    # --- the five r4 rows deferred from the r8 window ---
-    "proc_deduplicator", "sessionize_events",
-    "dedup_substring_spans", "dedup_contamination",
-    "ann_recall_lsh",
-    # --- fill to 50 from the oldest r5 evidence (r5 window order) ---
-    "ann_topk_ivf", "dedup_substring",
+    # --- r10 window: the 19 r9-new rows FIRST (every one a local
+    # hash-PASS in the committed r9 ledger; 16 judge-re-verified in
+    # the r9 session) ---
+    "text_bpe_encode",
+    "text_bpe_train",
+    "text_bpe_pipeline",
+    "text_bpe_fertility",
+    "sketch_theta_stored_range",
+    "sketch_sq_stored_range",
+    "sketch_cm_stored",
+    "sketch_bloom_stored",
+    "sketch_sq_merge_late",
+    "graph_bfs_hops",
+    "graph_random_walks",
+    "graph_ppr_seeds",
+    "ml_kmeans_silhouette",
+    "embed_diversity_gram",
+    "multimodal_image_dhash",
+    "multimodal_dhash_neardup",
+    "multimodal_audio_roundtrip",
+    "split_leakage_free",
+    "ann_ivfpq_rerank",
+    # --- fill to 50 with the oldest official evidence: 31 of the 48
+    # rows whose latest driver row is r5 (r5 window order) ---
+    "event_rollup",
+    "event_time_rollup",
+    "filter_lucene_sigma",
+    "join_anti_customers",
+    "join_asof_last_login",
+    "join_range_value_bands",
+    "proc_amides",
+    "proc_clusterer",
+    "proc_decoder_base64",
+    "proc_decoder_clf",
+    "proc_decoder_nginx",
+    "proc_deleter",
+    "proc_domain_label_extractor",
+    "proc_domain_resolver",
+    "proc_dropper",
+    "proc_generic_adder",
+    "proc_geoip_enricher",
+    "proc_geoip_table",
+    "proc_grokker_apache",
+    "proc_key_checker",
+    "proc_labeler",
+    "proc_list_comparison",
+    "proc_network_comparison",
+    "proc_pseudonymizer_capture",
+    "proc_requester",
+    "proc_string_splitter",
+    "proc_template_replacer",
+    "sketch_kmv_distinct",
+    "split_train_val_test",
+    "text_pii",
+    "text_surprisal",
 ]
 
 
@@ -5442,7 +5482,13 @@ def _sql_bpe_train(n_merges: int = 6) -> str:
     frame (a correlated column inside the lambda — the _KM_DIST
     discipline). MATERIALIZED is load-bearing on the token stages:
     each is referenced twice, so default inlining would re-expand
-    the nested folds 2^rounds-fold."""
+    the nested folds 2^rounds-fold. The re-tokenize stage LEFT JOINs
+    its 1-row m{r} (ADVICE-r9 fix): on a degenerate corpus with fewer
+    than n_merges learnable pairs, m{r} is EMPTY for the tail rounds
+    — a cross join would annihilate every later token CTE, while the
+    LEFT JOIN leaves lhs/rhs NULL, the fold's equality predicate
+    evaluates NULL -> ELSE pass-through, and the replica returns the
+    same learned-prefix rows Spark's early-stop does."""
     blocks = [
         """t0 AS MATERIALIZED (
         SELECT w, n_w, string_split(w, '') AS t FROM vocab
@@ -5472,7 +5518,7 @@ def _sql_bpe_train(n_merges: int = 6) -> str:
                          THEN list_concat(acc[1:len(acc)-1],
                                           [m{r}.lhs || m{r}.rhs])
                        ELSE list_concat(acc, e) END) AS t
-        FROM {prev}, m{r}
+        FROM {prev} LEFT JOIN m{r} ON TRUE
     )"""
         )
     union = "\n        UNION ALL\n        ".join(
@@ -5534,7 +5580,7 @@ def _sql_bpe_pipeline(n_merges: int = 6) -> str:
                          THEN list_concat(acc[1:len(acc)-1],
                                           [m{r}.lhs || m{r}.rhs])
                        ELSE list_concat(acc, e) END) AS t
-        FROM {prev}, m{r}
+        FROM {prev} LEFT JOIN m{r} ON TRUE
     )"""
         )
         prev = f"e{r}"
@@ -9032,8 +9078,10 @@ def sketch_theta_stored_range(spark, sf_dir):
     mergeable-sketch family pitches, finally exercised end-to-end in
     one query: per-week theta sketches over ALL weeks are built,
     WRITTEN to a parquet sketch store (spark-warehouse/sketch_store/,
-    gitignored, keyed by sf so concurrent sf0.01/sf0.1 runs don't
-    collide), READ BACK, and an ad-hoc 3-week union estimate is
+    gitignored, a unique per-invocation directory — see
+    _sketch_store_path — so concurrent runs never race; note the
+    build+write executes at query-construction time, so plan-only
+    tooling pays it too), READ BACK, and an ad-hoc 3-week union estimate is
     answered from the read-back store alone — raw data is re-touched
     only by the exact-count witness. `n_slices_stored` (all 5 weeks)
     vs `n_slices` (the 3 selected) proves the range filter ran against
@@ -9041,19 +9089,9 @@ def sketch_theta_stored_range(spark, sf_dir):
     DuckDB oracle replicates the full construction from raw data —
     a parquet round trip of bigint + array<bigint> columns must be
     value-exact, so the estimate still hash-gates bit-for-bit."""
-    import os
-
     events = tables(spark, sf_dir)["events"]
     week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
-    root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    store = os.path.join(
-        root,
-        "spark-warehouse",
-        "sketch_store",
-        f"theta_week_user_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    store = _sketch_store_path(sf_dir, "theta_week_user")
     return sk.theta_stored_union_range(
         events.withColumn("_week", week),
         "_week", "user_id", "2024-01-15", "2024-01-29",
@@ -9326,17 +9364,9 @@ def sketch_cm_stored(spark, sf_dir):
     sf0.01) so the stored estimates carry visible over-counts — the
     row gates that a lossy store could not reproduce the exact
     over-count pattern. Math identical to sketch_cm_freq at w=128."""
-    import os
-
     events = tables(spark, sf_dir)["events"]
     sketch = sk.cm_sketch(events, "user_id", d=3, w=64)
-    root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    store = os.path.join(
-        root, "spark-warehouse", "sketch_store",
-        f"cm_user_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    store = _sketch_store_path(sf_dir, "cm_user")
     sketch.write.mode("overwrite").parquet(store)
     stored = spark.read.parquet(store)
     top5 = (
@@ -9406,8 +9436,6 @@ def sketch_bloom_stored(spark, sf_dir):
     exact-overlap witness). Every verdict incl. the measured fpr
     hash-gates — a store that dropped or duplicated one position row
     would shift n_bits_set or flip a membership verdict."""
-    import os
-
     events = tables(spark, sf_dir)["events"]
     build = events.filter(
         (F.col("event_type") == "purchase")
@@ -9419,13 +9447,7 @@ def sketch_bloom_stored(spark, sf_dir):
         & (F.col("ts") < F.lit("2024-01-22"))
     )
     bits = sk.bloom_bits(build, "user_id", m=512, j=3)
-    root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    store = os.path.join(
-        root, "spark-warehouse", "sketch_store",
-        f"bloom_purchase_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    store = _sketch_store_path(sf_dir, "bloom_purchase")
     bits.write.mode("overwrite").parquet(store)
     stored = spark.read.parquet(store)
     return sk.bloom_membership(
@@ -9841,21 +9863,11 @@ def sketch_sq_stored_range(spark, sf_dir):
     oracle replicates the full construction from raw data.
     `n_slices_stored` (all days) vs `n_slices` (the 7 selected)
     proves the range filter ran against the STORE."""
-    import os
-
     ev = tables(spark, sf_dir)["events"]
     day = ev.select(
         F.to_date("ts").alias("slice"), "event_id", "value"
     )
-    root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    store = os.path.join(
-        root,
-        "spark-warehouse",
-        "sketch_store",
-        f"sq_day_value_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    store = _sketch_store_path(sf_dir, "sq_day_value")
     return sk.sq_stored_union_range(
         day, "slice", "event_id", "value",
         F.lit("2024-01-15"), F.lit("2024-01-21"),

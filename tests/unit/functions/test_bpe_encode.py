@@ -159,3 +159,32 @@ def test_unconverged_witness_with_starved_rounds(spark):
     (r3,) = bpe_encode_words(df, rounds=3).collect()
     assert list(r3["tokens"]) == ["ring"]
     assert r3["converged"] is True
+
+
+def test_train_oracle_tolerates_degenerate_corpus(spark):
+    """ADVICE-r9 regression: on a corpus with fewer learnable pairs
+    than n_merges, Spark stops early and returns the learned PREFIX;
+    the unrolled DuckDB replica used to cross-join each t{r} with its
+    1-row m{r}, so one empty tail round annihilated every later token
+    CTE and the oracle returned ZERO rows. The LEFT JOIN fix makes
+    the fold pass through NULL-merge rounds — both engines must now
+    return the same 1-row prefix for n_merges=6."""
+    import duckdb
+
+    from logprep_spark.plans.catalog import _sql_bpe_train
+
+    corpus = "ab ab b a"
+    df = spark.createDataFrame([(corpus,)], ["text"])
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train(df, n_merges=6).collect()
+    ]
+    assert got == [(1, "a", "b", 2)]
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT '{corpus}' AS text")
+    oracle = [
+        tuple(r) for r in con.sql(_sql_bpe_train(n_merges=6)).fetchall()
+    ]
+    con.close()
+    assert oracle == [(1, "a", "b", 2)]

@@ -247,3 +247,22 @@ def test_sq_drift_psi_detects_a_shift(spark):
     flat = sq_drift_psi(sketch, "slice", "d1", "d2", "d1", "d2", k=64).collect()
     assert all(r["n_base"] == r["n_cur"] for r in flat)
     assert all(r["psi_micro"] == 0 for r in flat)
+
+
+def test_sq_merge_late_deterministic_with_shared_keys(spark):
+    """ADVICE-r9 regression: when the SAME key (hence an identical
+    h60 hash) appears in both batches, the merge window's old
+    hash-only ordering tie-broke nondeterministically and could
+    falsify the bit-identical merge_exact witness. The full-struct
+    order fix must keep merge_exact TRUE and the pool equal to the
+    from-scratch build across reruns."""
+    from logprep_spark.functions.sketch import sq_merge_late
+
+    rows = [("d1", i, float(i)) for i in range(80)]
+    df = spark.createDataFrame(rows, ["slice", "key", "v"])
+    a = df  # every key in BOTH batches: maximal hash ties
+    b = df.filter(F.col("key") < 50)
+    for _ in range(2):
+        (got,) = sq_merge_late(a, b, "slice", "key", "v", k=16).collect()
+        assert bool(got["merge_exact"])
+        assert got["n_kept"] == 16

@@ -1290,6 +1290,10 @@ def test_kmeans_silhouette_separation_signal(spark):
     # deterministic: bit-identical rerun
     again = similarity.kmeans_silhouette(mdf, k=2, iters=3).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, mrows))
+    # ADVICE-r9: k=1 has no nearest-OTHER centroid — the old code
+    # silently propagated NULL scores; must fail loudly at entry
+    with pytest.raises(ValueError, match="k >= 2"):
+        similarity.kmeans_silhouette(mdf, k=1, iters=1)
 
 
 def test_hll_distinct_within_error_bound(spark, sf_dir):
