@@ -2983,31 +2983,17 @@ def random_walks(
     return walks.select("start", *[f"s{i}" for i in range(1, steps + 1)])
 
 
-def lpa_communities(
+def _lpa_labels(
     edges: DataFrame,
-    rounds: int = 6,
-    src_col: str = "src",
-    dst_col: str = "dst",
-) -> DataFrame:
-    """Community detection by synchronized label propagation
-    (Raghavan et al. 2007), DAMPED with a self-vote — the clustering
-    member of the graph family that finds DENSE communities where
-    connected components (dedup_clusters) only finds reachability:
-    every node starts labeled with itself and each round adopts the
-    most frequent label among its neighbors PLUS ITSELF (the
-    self-vote is the determinism-preserving damping: pure
-    synchronous LPA two-cycles on dense/bipartite structure — 96% of
-    this graph's labels still churning at round 6 without it, 0.1%
-    with it), ties to the SMALLEST label. Fixed ``rounds`` keeps
-    both engines on the identical computation; ``changed_last_round``
-    is the honest convergence witness (kcore's discipline).
-
-    Distributed shape per round: one (node, label) count agg over
-    stubs + a per-node argmax window — both shuffle on node id,
-    AQE-splittable; labels frame localCheckpoint'ed every round (it
-    is referenced twice per round: the join and the change count).
-    Hub damping is inherited from the co-purchase edge derivation;
-    label counts per node are bounded by degree."""
+    rounds: int,
+    src_col: str,
+    dst_col: str,
+):
+    """Shared damped-LPA label loop (see :func:`lpa_communities` for
+    semantics and the per-round plan shape) — factored out so the
+    modularity readout (:func:`lpa_modularity`) scores the SAME label
+    assignment the community readout reports. Returns
+    (stubs, labels, prev_round_labels), each localCheckpoint'ed."""
     stubs = (
         edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
         .unionAll(
@@ -3041,6 +3027,35 @@ def lpa_communities(
             .select("n", "lbl")
             .localCheckpoint()
         )
+    return stubs, labels, prev
+
+
+def lpa_communities(
+    edges: DataFrame,
+    rounds: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronized label propagation
+    (Raghavan et al. 2007), DAMPED with a self-vote — the clustering
+    member of the graph family that finds DENSE communities where
+    connected components (dedup_clusters) only finds reachability:
+    every node starts labeled with itself and each round adopts the
+    most frequent label among its neighbors PLUS ITSELF (the
+    self-vote is the determinism-preserving damping: pure
+    synchronous LPA two-cycles on dense/bipartite structure — 96% of
+    this graph's labels still churning at round 6 without it, 0.1%
+    with it), ties to the SMALLEST label. Fixed ``rounds`` keeps
+    both engines on the identical computation; ``changed_last_round``
+    is the honest convergence witness (kcore's discipline).
+
+    Distributed shape per round: one (node, label) count agg over
+    stubs + a per-node argmax window — both shuffle on node id,
+    AQE-splittable; labels frame localCheckpoint'ed every round (it
+    is referenced twice per round: the join and the change count).
+    Hub damping is inherited from the co-purchase edge derivation;
+    label counts per node are bounded by degree."""
+    stubs, labels, prev = _lpa_labels(edges, rounds, src_col, dst_col)
     comm = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
     stats = comm.agg(
         F.count(F.lit(1)).alias("n_communities"),
@@ -3059,6 +3074,97 @@ def lpa_communities(
         .select(
             "n_nodes", "n_communities", "largest_community",
             "changed_last_round",
+        )
+    )
+
+
+def lpa_modularity(
+    edges: DataFrame,
+    rounds: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Newman MODULARITY of the LPA partition — the cluster-quality
+    eval the graph family was missing (the kmeans_silhouette
+    discipline applied to communities: LPA reports counts, this
+    MEASURES whether the labels are denser-than-chance):
+    Q = Σ_c (e_c/m − (d_c/2m)²) over the final LPA labels, where m =
+    |edges|, e_c = intra-community edges, d_c = degree sum of c
+    (Newman & Girvan 2004). Computed EXACTLY as integers first —
+    Q = N / 4m² with N = Σ_c (4·m·e_c − d_c²) carried in
+    DECIMAL(38,0) (the gini discipline: d_c² wraps int64 once a
+    community's degree sum passes ~3·10⁹ stubs) — then ONE floor on
+    a double built from the exact terms (the CUPED discipline;
+    identical term structure in the oracle). ``q_null_milli`` is the
+    in-row null baseline: the same formula over the all-singletons
+    partition (e_c = 0, so N_null = −Σ_n deg_n²) — a partition no
+    better than chance reads ≈ 0, so Q ≫ Q_null is the quality
+    witness riding in the row itself.
+
+    Distributed shape: the LPA loop is shared (:func:`_lpa_labels`);
+    the readout adds one degree agg over stubs (node-keyed), one
+    label join + lbl-keyed agg for d_c, one edges⋈labels⋈labels
+    equi-join chain + lbl-keyed agg for e_c — every shuffle is
+    node- or label-keyed and AQE-splittable; the three 1-row frames
+    (m, N, null-N) attach as broadcasts. Returns one row:
+    (n_nodes, n_communities, m_edges, intra_edges, q_milli,
+    q_null_milli)."""
+    stubs, labels, _ = _lpa_labels(edges, rounds, src_col, dst_col)
+    d38 = "decimal(38,0)"
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("m_edges"))
+    deg = stubs.groupBy(F.col("x").alias("n")).agg(
+        F.count(F.lit(1)).cast("long").alias("_dg")
+    )
+    dc = (
+        labels.join(deg, "n")
+        .groupBy("lbl")
+        .agg(F.sum("_dg").cast(d38).alias("_d_c"))
+    )
+    ec = (
+        edges.select(
+            F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+        )
+        .join(labels.select(F.col("n").alias("_a"), F.col("lbl").alias("_la")), "_a")
+        .join(labels.select(F.col("n").alias("_b"), F.col("lbl").alias("_lb")), "_b")
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_e_c"))
+    )
+    percomm = dc.join(ec, "lbl", "left").select(
+        "lbl",
+        "_d_c",
+        F.coalesce(F.col("_e_c"), F.lit(0)).cast(d38).alias("_e_c"),
+    )
+    num = percomm.crossJoin(F.broadcast(m)).agg(
+        F.sum(
+            F.lit(4).cast(d38) * F.col("m_edges").cast(d38) * F.col("_e_c")
+            - F.col("_d_c") * F.col("_d_c")
+        ).cast(d38).alias("_num"),
+        F.sum("_e_c").cast("long").alias("intra_edges"),
+    )
+    null_num = deg.agg(
+        (-F.sum(F.col("_dg").cast(d38) * F.col("_dg").cast(d38)))
+        .cast(d38)
+        .alias("_null_num")
+    )
+    counts = labels.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.count_distinct("lbl").cast("long").alias("n_communities"),
+    )
+    q = "floor(1000.0 * CAST({n} AS DOUBLE) / (4.0 * m_edges * m_edges))"
+    return (
+        counts.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(null_num))
+        .select(
+            "n_nodes",
+            "n_communities",
+            "m_edges",
+            "intra_edges",
+            F.expr(q.format(n="_num")).cast("long").alias("q_milli"),
+            F.expr(q.format(n="_null_num")).cast("long").alias(
+                "q_null_milli"
+            ),
         )
     )
 

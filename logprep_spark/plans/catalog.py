@@ -11693,10 +11693,13 @@ def dedup_setsim_incremental(spark, sf_dir):
     return dd.setsim_incremental(batch, history, tau_milli=700, k=3)
 
 
-def _sql_lpa(rounds: int = 6) -> str:
-    """Unrolled damped-LPA replica of plans/analytics.py
-    lpa_communities (MATERIALIZED per round — the kcore inlining
-    lesson; each round references the previous twice)."""
+def _sql_lpa_chain(rounds: int) -> str:
+    """The shared unrolled damped-LPA CTE chain (co-purchase edges
+    `ed`, `stubs`, label rounds l0..l{rounds}; MATERIALIZED per round
+    — the kcore inlining lesson; each round references the previous
+    twice). Composed by _sql_lpa (community readout) and
+    _sql_lpa_modularity (quality readout) so both oracles score the
+    IDENTICAL label assignment."""
     blocks = [
         """stubs AS MATERIALIZED (
         SELECT a AS x, b AS y FROM ed UNION ALL SELECT b, a FROM ed
@@ -11719,8 +11722,7 @@ def _sql_lpa(rounds: int = 6) -> str:
             FROM c{r}
         ) WHERE rn = 1
     )""")
-    return f"""
-    WITH baskets AS (
+    return f"""baskets AS (
         SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
         FROM lineitem GROUP BY l_orderkey
     ), allpairs AS (
@@ -11731,7 +11733,14 @@ def _sql_lpa(rounds: int = 6) -> str:
         WHERE j > i
     ), ed AS (
         SELECT a, b FROM allpairs GROUP BY a, b HAVING count(*) >= 2
-    ), {', '.join(blocks)}, comm AS (
+    ), {', '.join(blocks)}"""
+
+
+def _sql_lpa(rounds: int = 6) -> str:
+    """Unrolled damped-LPA replica of plans/analytics.py
+    lpa_communities (chain shared with _sql_lpa_modularity)."""
+    return f"""
+    WITH {_sql_lpa_chain(rounds)}, comm AS (
         SELECT lbl, CAST(count(*) AS BIGINT) AS sz
         FROM l{rounds} GROUP BY lbl
     ), chg AS (
@@ -11783,6 +11792,94 @@ def graph_lpa_communities(spark, sf_dir):
         .drop("_w")
     )
     return an.lpa_communities(edges, rounds=6)
+
+
+def _sql_lpa_modularity(rounds: int = 6) -> str:
+    """Newman-modularity replica over the SHARED unrolled LPA chain
+    (_sql_lpa_chain — the oracle scores the identical label
+    assignment): exact integer terms first (4·m·e_c − d_c² summed in
+    DECIMAL(38,0) — the gini discipline), then ONE floor on a double
+    with the identical term structure as Spark (the CUPED
+    discipline)."""
+    lf = f"l{rounds}"
+    return f"""
+    WITH {_sql_lpa_chain(rounds)}, mm AS (
+        SELECT CAST(count(*) AS BIGINT) AS m FROM ed
+    ), deg AS (
+        SELECT x AS n, CAST(count(*) AS BIGINT) AS dg
+        FROM stubs GROUP BY x
+    ), dc AS (
+        SELECT l.lbl, CAST(sum(d.dg) AS DECIMAL(38,0)) AS d_c
+        FROM {lf} l JOIN deg d ON d.n = l.n GROUP BY l.lbl
+    ), ec AS (
+        SELECT la.lbl AS lbl, CAST(count(*) AS BIGINT) AS e_c
+        FROM ed e JOIN {lf} la ON la.n = e.a
+                  JOIN {lf} lb ON lb.n = e.b
+        WHERE la.lbl = lb.lbl GROUP BY la.lbl
+    ), pc AS (
+        SELECT dc.lbl, dc.d_c,
+               CAST(coalesce(ec.e_c, 0) AS DECIMAL(38,0)) AS e_c
+        FROM dc LEFT JOIN ec USING (lbl)
+    ), num AS (
+        SELECT CAST(sum(CAST(4 AS DECIMAL(38,0)) * mm.m * pc.e_c
+                        - pc.d_c * pc.d_c) AS DECIMAL(38,0)) AS nm,
+               CAST(sum(pc.e_c) AS BIGINT) AS intra_edges
+        FROM pc, mm
+    ), nnum AS (
+        SELECT CAST(-sum(CAST(dg AS DECIMAL(38,0)) * dg)
+                    AS DECIMAL(38,0)) AS null_nm
+        FROM deg
+    ), cc AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(count(DISTINCT lbl) AS BIGINT) AS n_communities
+        FROM {lf}
+    )
+    SELECT cc.n_nodes, cc.n_communities, mm.m AS m_edges,
+           num.intra_edges,
+           CAST(floor(1000.0 * CAST(num.nm AS DOUBLE)
+                      / (4.0 * mm.m * mm.m)) AS BIGINT) AS q_milli,
+           CAST(floor(1000.0 * CAST(nnum.null_nm AS DOUBLE)
+                      / (4.0 * mm.m * mm.m)) AS BIGINT) AS q_null_milli
+    FROM cc, mm, num, nnum
+    """
+
+
+@register("graph_lpa_modularity", _sql_lpa_modularity(rounds=6))
+def graph_lpa_modularity(spark, sf_dir):
+    """Newman modularity of the LPA partition (plans/analytics.py
+    lpa_modularity — Newman & Girvan 2004) on the SAME part
+    co-purchase graph and the SAME 6-round damped-LPA labels as
+    graph_lpa_communities: the community-QUALITY readout the graph
+    family was missing (the kmeans_silhouette discipline — LPA's
+    community quality was asserted, this measures it).
+    Q = Σ_c(e_c/m − (d_c/2m)²) in exact integer terms
+    (4·m·e_c − d_c² summed in DECIMAL(38,0)), one double floor at
+    the end; ``q_null_milli`` (the all-singletons partition, ≈ 0)
+    rides in-row as the better-than-chance witness, so Q ≫ Q_null is
+    gated, not argued. The oracle re-runs the identical unrolled LPA
+    chain and the identical term structure. Scale: LPA's per-round
+    cost dominates; the readout adds one node-keyed degree agg, one
+    lbl-keyed degree-sum agg, and an edges⋈labels⋈labels equi-join
+    chain — all AQE-splittable, 1-row frames broadcast-attached."""
+    li = tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.selectExpr(
+        "explode(CASE WHEN size(parts) >= 2 THEN"
+        " flatten(transform(sequence(1, size(parts) - 1),"
+        " i -> transform(sequence(i + 1, size(parts)),"
+        " j -> struct(element_at(parts, i) AS a,"
+        " element_at(parts, j) AS b))))"
+        " ELSE CAST(array() AS array<struct<a:bigint,b:bigint>>) END) AS p"
+    ).selectExpr("p.a AS src", "p.b AS dst")
+    edges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .drop("_w")
+    )
+    return an.lpa_modularity(edges, rounds=6)
 
 
 @register(

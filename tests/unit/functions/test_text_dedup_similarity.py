@@ -2016,3 +2016,36 @@ def test_lpa_two_triangles_bridge(spark):
         [(b, a) for a, b in edges], ["src", "dst"]
     ).repartition(5)
     assert lpa_communities(flipped, rounds=6).collect() == [r]
+
+
+def test_lpa_modularity_two_triangles(spark):
+    """Newman modularity on the two-triangles-plus-bridge graph,
+    hand-computed: LPA finds the two triangles (m=7, intra=6,
+    d_c = 7 per side), so Q = [2·(4·7·3 − 49)] / (4·49) = 70/196 →
+    q_milli = 357 — HIGH for the true partition, while the in-row
+    singleton null baseline N = −Σdeg² = −34 → q_null_milli = -174
+    (≈ 0-or-below for a no-better-than-chance partition). A single
+    clique (one community = the whole graph) scores exactly 0:
+    e_c = m and d_c = 2m make the numerator vanish."""
+    from logprep_spark.plans.analytics import lpa_modularity
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    (r,) = lpa_modularity(df, rounds=6).collect()
+    assert r["n_nodes"] == 6 and r["n_communities"] == 2
+    assert r["m_edges"] == 7 and r["intra_edges"] == 6
+    assert r["q_milli"] == 357  # floor(1000 * 70/196)
+    assert r["q_null_milli"] == -174  # floor(1000 * -34/196)
+    assert r["q_milli"] > 300 > 0 > r["q_null_milli"]
+
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    (c,) = lpa_modularity(
+        spark.createDataFrame(k5, ["src", "dst"]), rounds=6
+    ).collect()
+    assert c["n_communities"] == 1 and c["q_milli"] == 0
+
+    # orientation + partitioning invariance (bit-identical readout)
+    flipped = spark.createDataFrame(
+        [(b, a) for a, b in edges], ["src", "dst"]
+    ).repartition(5)
+    assert lpa_modularity(flipped, rounds=6).collect() == [r]
