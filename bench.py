@@ -192,6 +192,14 @@ SF1_SPOT = [
     # Python-stage scaling story, expected ~linear)
     "graph_bfs_hops",
     "multimodal_image_dhash",
+    # r10 (the r9-verdict ask): the two newest heavy rows measured at
+    # 10x instead of argued — the clustering-pipeline composite split
+    # (10x documents; the embedded min-label-propagation rounds are
+    # the scale-sensitive part) and the two-stage IVF-PQ + exact
+    # rerank retrieval (10x vectors; candidate-set width drives the
+    # rerank join)
+    "split_leakage_free",
+    "ann_ivfpq_rerank",
 ]
 
 _REPLICAS = 10

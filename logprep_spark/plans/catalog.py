@@ -11009,14 +11009,23 @@ def graph_kcore(spark, sf_dir):
         SELECT min(CASE WHEN d = 0 THEN n END) AS source_node,
                CAST((SELECT count(DISTINCT a) FROM sym) - count(*)
                     AS BIGINT) AS n_unreachable,
-               sum(CASE WHEN d = 12 THEN 1 ELSE 0 END) = 0 AS converged
+               sum(CASE WHEN d = 12 THEN 1 ELSE 0 END) = 0 AS converged,
+               -- rounds actually executed: by level contiguity the
+               -- early-exit loop runs max_hop + 1 rounds when it
+               -- converged (the final empty probe round), else the
+               -- full budget (= max_hop, since a node sits at
+               -- exactly level `rounds` iff not converged)
+               CAST(CASE WHEN sum(CASE WHEN d = 12 THEN 1 ELSE 0 END) = 0
+                    THEN max(d) + 1 ELSE max(d) END AS BIGINT)
+                   AS n_rounds_run
         FROM bfs
     )
     SELECT CAST(d AS BIGINT) AS hop,
            CAST(count(*) AS BIGINT) AS n_nodes,
            any_value(meta.source_node) AS source_node,
            any_value(meta.n_unreachable) AS n_unreachable,
-           any_value(meta.converged) AS converged
+           any_value(meta.converged) AS converged,
+           any_value(meta.n_rounds_run) AS n_rounds_run
     FROM bfs, meta GROUP BY d
     """,
 )
@@ -11030,8 +11039,13 @@ def graph_bfs_hops(spark, sf_dir):
     discipline), 12 fixed rounds with empty-level early-exit (safe:
     BFS levels are contiguous) and the honest ``converged`` witness
     (TRUE ⇔ no node sits at exactly level 12 — identical predicate
-    both engines). Source = min node id, in-plan. At sf0.01: 11
-    levels, max hop 10, 20 unreachable nodes counted not dropped.
+    both engines), plus the ``n_rounds_run`` budget witness (r9
+    verdict: a skewed graph eating the whole budget without
+    converging is visible IN the row — n_rounds_run = 12, converged
+    FALSE — not just in the wall clock; the replica derives it from
+    max hop by level contiguity). Source = min node id, in-plan. At
+    sf0.01: 11 levels, max hop 10, 11 rounds run, 20 unreachable
+    nodes counted not dropped.
     Scale: each round shuffles only frontier-adjacent edges;
     diameter ~O(log n) on co-occurrence graphs, witness proves the
     budget sufficed."""

@@ -1887,6 +1887,8 @@ def test_bfs_hops_known_graphs(spark):
     assert all(r["source_node"] == 1 for r in rows)
     assert all(r["n_unreachable"] == 2 for r in rows)  # the 8-9 island
     assert all(bool(r["converged"]) for r in rows)
+    # 3 expanding rounds + the empty probe round that proved fixpoint
+    assert all(r["n_rounds_run"] == 4 for r in rows)
 
     # direction-blind: reversed edges, shuffled partitioning
     rev = spark.createDataFrame(
@@ -1901,6 +1903,9 @@ def test_bfs_hops_known_graphs(spark):
     assert {r["hop"]: r["n_nodes"] for r in got} == {0: 1, 1: 1, 2: 1}
     assert all(not bool(r["converged"]) for r in got)
     assert all(r["n_unreachable"] == 1 for r in got)  # node 4 unreached
+    # the whole budget was consumed without convergence — visible
+    # in the row (the r9-verdict budget-honesty witness)
+    assert all(r["n_rounds_run"] == 2 for r in got)
 
 
 def test_leakage_free_split_invariants(spark, sf_dir):
