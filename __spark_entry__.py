@@ -23,10 +23,13 @@ _FLAGSHIP_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the end-to-end training-data pipeline (quality gate →
-    language filter → exact dedup → PII redaction → token accounting)
-    over sf0.001 — the engine's headline use case in one plan."""
-    return catalog.queries()["pipeline_training_data"](spark, _FLAGSHIP_SF_DIR)
+    """Flagship v3: the full pretraining-corpus pipeline as ONE
+    composed plan — Gopher quality gate → near-dup cluster dedup →
+    Bloom decontamination vs the benchmark's 13-grams → leakage-free
+    group-aware split → BPE trained on the train-split survivors →
+    per-split token budget, with the leakage and fp-collateral
+    witnesses riding in-row (catalog: pipeline_pretrain_v3)."""
+    return catalog.queries()["pipeline_pretrain_v3"](spark, _FLAGSHIP_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -154,6 +154,14 @@ HEADLINE = [
     "graph_bfs_hops",
     "multimodal_image_dhash",
     "split_leakage_free",
+    # r10 additions — the third flagship (gate -> cluster dedup ->
+    # Bloom decontamination -> group-aware split -> BPE train on the
+    # train split -> per-split token budget, ONE composed plan) and
+    # the Newman-modularity readout over the shared LPA chain at
+    # 34-35; the first-33 prefix (through split_leakage_free) is the
+    # r10-comparable subtotal, first-35 becomes r11's
+    "pipeline_pretrain_v3",
+    "graph_lpa_modularity",
 ]
 
 

@@ -33,8 +33,10 @@ from logprep_spark.functions import dedup as dd
 from logprep_spark.functions import text as tx
 
 
-def _step_gopher_filter(df: DataFrame, text_col: str, **kw) -> DataFrame:
-    return tx.gopher_filter(df, text_col=text_col, **kw)
+def _step_gopher_filter(
+    df: DataFrame, text_col: str, min_stop_hits: int = 2
+) -> DataFrame:
+    return tx.gopher_filter(df, text_col=text_col, min_stop_hits=min_stop_hits)
 
 
 def _step_line_dedup(df: DataFrame, text_col: str, **kw) -> DataFrame:
@@ -246,8 +248,154 @@ def _step_bloom_suppress(
     return sk.bloom_suppress(df, bits, key_col, m=m, j=j)
 
 
+def _step_cluster_dedup(
+    df: DataFrame,
+    text_col: str,
+    threshold_milli: int = 700,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-EXACT near-dup removal (near_dedup's transitive
+    sibling, the pipeline_pretrain_v3 stage): MinHash->LSH->verify
+    pairs, connected components (dd.dup_clusters — every member
+    labeled with the cluster's min id), keep exactly the min-id
+    representative per cluster. Greedy near_dedup can keep two
+    members of one chain-shaped cluster; this cannot. Batch-only."""
+    pairs = dd.minhash_dedup(
+        df.select(id_col, text_col),
+        text_col,
+        id_col,
+        threshold_milli / 1000.0,
+    )
+    cl = dd.dup_clusters(pairs)
+    kill = cl.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return df.join(kill, id_col, "left_anti")
+
+
+def _step_decontaminate(
+    df: DataFrame,
+    text_col: str,
+    path: str,
+    k: int = 13,
+    m: int = 524288,
+    j: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination against a STORED Bloom filter of the
+    eval set's k-gram window hashes (``path`` = a bloom_bits position
+    parquet built from dd.window_hashes of the benchmark): drop every
+    doc with at least one window hitting all j positions. Bloom has
+    no false negatives, so no exact-overlap doc ever leaks into
+    training; the collateral is fp-bounded by the filter sizing. The
+    filter broadcasts; the corpus is never shuffled and the benchmark
+    text is never re-read (the position frame IS the artifact)."""
+    from logprep_spark.functions import sketch as sk
+
+    bits = df.sparkSession.read.parquet(path).select("pos")
+    wh = dd.window_hashes(df, k, text_col, id_col).distinct()
+    hits = (
+        sk.bloom_suppress(wh, bits, "window_hash", m=m, j=j, keep_hits=True)
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(hits, id_col, "left_anti")
+
+
+def _step_leakage_split(
+    df: DataFrame,
+    text_col: str,
+    threshold_milli: int = 700,
+    id_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """GROUP-AWARE train/val/test tag (the split_leakage_free /
+    pipeline_pretrain_v3 assignment): verified near-dup clusters are
+    the atomic unit — every member hashes on the CLUSTER id
+    (coalesce(cluster_id, doc_id)), so a cluster lands in one split
+    whole and no verified pair can straddle train/test. The tag is a
+    narrow md5 map once the cluster frame exists."""
+    pairs = dd.minhash_dedup(
+        df.select(id_col, text_col),
+        text_col,
+        id_col,
+        threshold_milli / 1000.0,
+    )
+    cl = dd.dup_clusters(pairs).withColumnRenamed("cluster_id", "_cid")
+    gid = F.coalesce("_cid", id_col)
+    b = dd.h60(F.concat(F.lit("split:"), gid.cast("string"))) % 100
+    return (
+        df.join(cl, id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(b < 80, F.lit("train"))
+            .when(b < 90, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+        .drop("_cid")
+    )
+
+
+def _step_bpe_train_token_count(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 6,
+    rounds: int = 2,
+    train_where: str | None = None,
+    key_col: str = "doc_id",
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """bpe_token_count with a table LEARNED in-pipeline instead of the
+    static BPE_MERGES: train n_merges BPE rounds on the docs matching
+    ``train_where`` (default: the whole frame — pass "split = 'train'"
+    after a leakage_split step for the pretrain-v3 discipline of
+    fitting the tokenizer on the train split only), then encode EVERY
+    doc via the global-vocab encode join. The learned table is a
+    <= n_merges-row model fetch (the Lloyd precedent); the folds are
+    plan literals, zero shuffle."""
+    train = df.filter(F.expr(train_where)) if train_where else df
+    learned = [
+        (r["lhs"], r["rhs"])
+        for r in tx.bpe_train(train, text_col=text_col, n_merges=n_merges).collect()
+    ]
+    words = df.select(
+        F.col(key_col).alias("_k"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                lambda w: w != "",
+            )
+        ).alias("w"),
+    )
+    per_doc_word = words.groupBy("_k", "w").agg(
+        F.count(F.lit(1)).alias("_n_w")
+    )
+    staged = per_doc_word.select("w").distinct().withColumn(
+        "_c0", F.split("w", "")
+    )
+    for r in range(1, rounds + 1):
+        staged = staged.withColumn(
+            f"_c{r}", tx.bpe_merge_pass(F.col(f"_c{r - 1}"), learned)
+        )
+    enc = staged.select(
+        "w", F.size(F.col(f"_c{rounds}")).cast("long").alias("_n_tok")
+    )
+    per_doc = (
+        per_doc_word.join(enc, "w")
+        .groupBy("_k")
+        .agg(F.sum(F.col("_n_w") * F.col("_n_tok")).alias(out_col))
+    )
+    return (
+        df.join(per_doc, df[key_col] == per_doc["_k"], "left")
+        .drop("_k")
+        .withColumn(out_col, F.coalesce(out_col, F.lit(0).cast("long")))
+    )
+
+
 STEPS: dict[str, Callable[..., DataFrame]] = {
     "bloom_suppress": _step_bloom_suppress,
+    "cluster_dedup": _step_cluster_dedup,
+    "decontaminate": _step_decontaminate,
+    "leakage_split": _step_leakage_split,
+    "bpe_train_token_count": _step_bpe_train_token_count,
     "gopher_filter": _step_gopher_filter,
     "line_dedup": _step_line_dedup,
     "exact_dedup": _step_exact_dedup,

@@ -275,24 +275,41 @@ def contamination_flags(
     """
     from pyspark.sql.functions import broadcast
 
-    def windows_of(df: DataFrame) -> DataFrame:
-        toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-        n = F.size("_toks")
-        arr = F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-            lambda i: F.array_join(F.slice("_toks", i, k), " "),
-        )
-        return toked.select(
-            F.col(id_col), F.explode(arr).alias("_w")
-        ).select(id_col, h60(F.col("_w")).alias("window_hash"))
-
-    bench_hashes = windows_of(benchmark).select("window_hash").distinct()
+    bench_hashes = (
+        window_hashes(benchmark, k, text_col, id_col)
+        .select("window_hash")
+        .distinct()
+    )
     return (
-        windows_of(corpus)
+        window_hashes(corpus, k, text_col, id_col)
         .join(broadcast(bench_hashes), "window_hash")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated_windows"))
     )
+
+
+def window_hashes(
+    df: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional k-token window hashes per document — the shared
+    fingerprint primitive under :func:`contamination_flags` (exact
+    13-gram overlap) and the Bloom decontamination gate
+    (pipeline_pretrain_v3): (id, window_hash) with one row per
+    window position (non-distinct — callers distinct where set
+    semantics apply). Narrow explode; h60 md5 hashes so both
+    engines fingerprint identically."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size("_toks")
+    arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice("_toks", i, k), " "),
+    )
+    return toked.select(
+        F.col(id_col), F.explode(arr).alias("_w")
+    ).select(id_col, h60(F.col("_w")).alias("window_hash"))
 
 
 # --- MinHash + LSH -----------------------------------------------------

@@ -3439,13 +3439,13 @@ def retention_cohorts(spark, sf_dir):
     return an.retention(events)
 
 
-def _sql_pos_windows(k: int, where: str) -> str:
+def _sql_pos_windows(k: int, where: str, src: str = "documents") -> str:
     """Positional (non-distinct) k-token window hashes per doc."""
     return f"""
         SELECT doc_id,
                unnest([{_sql_h60(f"array_to_string(w[i:i+{k - 1}], ' ')")}
                        for i in range(1, greatest(len(w) - {k - 1}, 1) + 1)]) AS window_hash
-        FROM (SELECT doc_id, {_sql_words()} AS w FROM documents WHERE {where})
+        FROM (SELECT doc_id, {_sql_words()} AS w FROM {src} WHERE {where})
     """
 
 
@@ -5166,6 +5166,458 @@ def pipeline_training_data_v2(spark, sf_dir):
     )
 
 
+def _sql_bpe_chain(n_merges: int = 6, src: str = "documents") -> str:
+    """The unrolled BPE-TRAINER CTE chain shared by _sql_bpe_train,
+    _sql_bpe_pipeline, and the pipeline_pretrain_v3 oracle: per
+    round, a pair-count stage (adjacent-token structs unnested,
+    summed by word frequency), a 1-row argmax stage (the learned
+    merge — count DESC, lhs, rhs), and a re-tokenize stage whose
+    list_reduce fold reads the merge from the joined 1-row frame (a
+    correlated column inside the lambda — the _KM_DIST discipline).
+    MATERIALIZED is load-bearing on the token stages: each is
+    referenced twice, so default inlining would re-expand the nested
+    folds 2^rounds-fold. The re-tokenize stage LEFT JOINs its 1-row
+    m{r} (ADVICE-r9 fix): on a degenerate corpus with fewer than
+    n_merges learnable pairs, m{r} is EMPTY for the tail rounds — a
+    cross join would annihilate every later token CTE, while the
+    LEFT JOIN leaves lhs/rhs NULL, the fold's equality predicate
+    evaluates NULL -> ELSE pass-through, and the chain yields the
+    same learned-prefix rows Spark's early-stop does. ``src`` is the
+    training-corpus relation (must expose ``text``). Yields CTEs
+    words, vocab, t0..t{n}, p1..p{n}, m1..m{n} — no WITH, no final
+    SELECT."""
+    blocks = [
+        f"""words AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x != '')) AS w
+        FROM {src}
+    ), vocab AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM words GROUP BY w
+    ), t0 AS MATERIALIZED (
+        SELECT w, n_w, string_split(w, '') AS t FROM vocab
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"t{r - 1}"
+        blocks.append(
+            f"""p{r} AS (
+        SELECT u.a AS a, u.b AS b, CAST(sum(n_w) AS BIGINT) AS cnt
+        FROM (
+            SELECT n_w,
+                   unnest([{{'a': t[i], 'b': t[i + 1]}}
+                           for i in range(1, len(t))]) AS u
+            FROM {prev}
+        ) GROUP BY u.a, u.b
+    ), m{r} AS MATERIALIZED (
+        SELECT CAST({r} AS INT) AS rank, a AS lhs, b AS rhs, cnt
+        FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+    ), t{r} AS MATERIALIZED (
+        SELECT w, n_w,
+               list_reduce(
+                   list_concat([[chr(1)]], [[c] for c in {prev}.t]),
+                   (acc, e) -> CASE
+                       WHEN acc = [chr(1)] THEN e
+                       WHEN acc[-1] = m{r}.lhs AND e[1] = m{r}.rhs
+                         THEN list_concat(acc[1:len(acc)-1],
+                                          [m{r}.lhs || m{r}.rhs])
+                       ELSE list_concat(acc, e) END) AS t
+        FROM {prev} LEFT JOIN m{r} ON TRUE
+    )"""
+        )
+    return ", ".join(blocks)
+
+
+def _sql_bpe_learned_union(n_merges: int = 6) -> str:
+    """UNION ALL of the learned m{r} rows (empty tail rounds drop
+    out naturally — the Spark early-stop prefix)."""
+    return "\n        UNION ALL\n        ".join(
+        f"SELECT * FROM m{r}" for r in range(1, n_merges + 1)
+    )
+
+
+def _sql_bpe_train(n_merges: int = 6) -> str:
+    """Unrolled DuckDB replica of functions/text.py bpe_train — the
+    shared chain (_sql_bpe_chain) plus the learned-table readout."""
+    return f"""
+    WITH {_sql_bpe_chain(n_merges)}
+    SELECT rank, lhs, rhs, cnt AS pair_count
+    FROM ({_sql_bpe_learned_union(n_merges)})
+    """
+
+
+_V3_BLOOM_M = 524288  # ~1% fpr at the sf0.1 benchmark-window count
+_V3_BLOOM_J = 3
+
+
+def _sql_pretrain_v3() -> str:
+    """Unrolled replica of the whole pipeline_pretrain_v3 composition
+    — every stage re-expressed from the already-proven fragments:
+    gopher gate (_sql_gopher_pass_ids), MinHash->LSH->verify +
+    recursive-CTE clustering (the split_leakage_free chain),
+    Bloom-position decontamination (the corpus_bloom_suppress
+    arithmetic over 13-gram window hashes), the group-aware split
+    tags, the BPE trainer chain on the train split (_sql_bpe_chain),
+    and the global-vocab encode join (12 LEFT-JOIN fold stages = 2
+    rank-order rounds x 6 learned merges)."""
+    m, j = _V3_BLOOM_M, _V3_BLOOM_J
+    n_merges = 6
+    # 2 encoder rounds x n_merges fold stages over the final-corpus
+    # vocabulary, each reading its learned 1-row m{r} via LEFT JOIN
+    # (degenerate-safe — the _sql_bpe_chain discipline)
+    enc_blocks = []
+    prev = "e0"
+    for s in range(1, 2 * n_merges + 1):
+        mr = f"m{(s - 1) % n_merges + 1}"
+        enc_blocks.append(f"""e{s} AS MATERIALIZED (
+        SELECT w,
+               list_reduce(
+                   list_concat([[chr(1)]], [[c] for c in {prev}.t]),
+                   (acc, e) -> CASE
+                       WHEN acc = [chr(1)] THEN e
+                       WHEN acc[-1] = {mr}.lhs AND e[1] = {mr}.rhs
+                         THEN list_concat(acc[1:len(acc)-1],
+                                          [{mr}.lhs || {mr}.rhs])
+                       ELSE list_concat(acc, e) END) AS t
+        FROM {prev} LEFT JOIN {mr} ON TRUE
+    )""")
+        prev = f"e{s}"
+    enc_last = prev
+    h_gid = _sql_h60("'split:' || gid::varchar")
+    h_doc = _sql_h60("'split:' || doc_id::varchar")
+    split_tag = (
+        f"CASE WHEN {h_gid} % 100 < 80 THEN 'train'"
+        f" WHEN {h_gid} % 100 < 90 THEN 'val' ELSE 'test' END"
+    )
+    naive_tag = (
+        f"CASE WHEN {h_doc} % 100 < 80 THEN 'train'"
+        f" WHEN {h_doc} % 100 < 90 THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+    WITH RECURSIVE corpus AS (
+        SELECT * FROM documents WHERE doc_id % 5 <> 0
+    ), pass AS (
+        {_sql_gopher_pass_ids("corpus", min_stop_hits=1)}
+    ), gated AS MATERIALIZED (
+        SELECT c.* FROM corpus c JOIN pass USING (doc_id)
+    ), {_sql_minhash_bands("gated")}, verified AS (
+        SELECT id_a, id_b
+        FROM pairs
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE {_SQL_JACCARD} >= 0.7
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION
+        SELECT id_b, id_a FROM verified
+    ), walk(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst
+    ), cl AS (
+        SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+    ), g AS MATERIALIZED (
+        SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS gid
+        FROM gated d LEFT JOIN cl ON cl.doc_id = d.doc_id
+    ), reps AS MATERIALIZED (
+        SELECT doc_id FROM (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY gid) AS rep
+            FROM g
+        ) WHERE doc_id = rep
+    ), bw AS MATERIALIZED (
+        SELECT DISTINCT window_hash
+        FROM ({_sql_pos_windows(13, "doc_id % 5 = 0")})
+    ), jj AS (SELECT unnest([{", ".join(str(i) for i in range(j))}]) AS i
+    ), bits AS MATERIALIZED (
+        SELECT DISTINCT
+               {_sql_h60("i::VARCHAR || ':' || window_hash::VARCHAR")}
+                   % {m} AS pos
+        FROM bw, jj
+    ), repdocs AS MATERIALIZED (
+        SELECT d.* FROM gated d JOIN reps USING (doc_id)
+    ), rw AS MATERIALIZED (
+        SELECT DISTINCT doc_id, window_hash
+        FROM ({_sql_pos_windows(13, "TRUE", "repdocs")})
+    ), suppressed AS MATERIALIZED (
+        SELECT doc_id FROM (
+            SELECT rw.doc_id, rw.window_hash,
+                   min(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                       AS allhit
+            FROM rw CROSS JOIN jj
+            LEFT JOIN bits b
+              ON b.pos = {_sql_h60(
+                  "jj.i::VARCHAR || ':' || rw.window_hash::VARCHAR"
+              )} % {m}
+            GROUP BY rw.doc_id, rw.window_hash
+        ) GROUP BY doc_id HAVING max(allhit) = 1
+    ), exactc AS (
+        SELECT DISTINCT rw.doc_id FROM rw JOIN bw USING (window_hash)
+    ), finals AS MATERIALIZED (
+        SELECT doc_id FROM reps
+        WHERE doc_id NOT IN (SELECT doc_id FROM suppressed)
+    ), asn AS MATERIALIZED (
+        SELECT doc_id, gid, {split_tag} AS split, {naive_tag} AS naive
+        FROM g
+    ), leak AS (
+        SELECT CAST(sum(CASE WHEN a.split != b.split THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cross_pairs,
+               CAST(sum(CASE WHEN a.naive != b.naive THEN 1 ELSE 0 END)
+                    AS BIGINT) AS naive_cross_pairs
+        FROM verified v
+        JOIN asn a ON a.doc_id = v.id_a
+        JOIN asn b ON b.doc_id = v.id_b
+    ), trainsel AS MATERIALIZED (
+        SELECT d.text FROM repdocs d
+        JOIN finals USING (doc_id)
+        JOIN asn USING (doc_id)
+        WHERE asn.split = 'train'
+    ), {_sql_bpe_chain(n_merges, "trainsel")}, mc AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_merges_learned
+        FROM ({_sql_bpe_learned_union(n_merges)})
+    ), fdocs AS (
+        SELECT d.doc_id, d.text FROM repdocs d JOIN finals USING (doc_id)
+    ), pdw AS MATERIALIZED (
+        SELECT doc_id, u AS w, CAST(count(*) AS BIGINT) AS n_w FROM (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x != '')) AS u
+            FROM fdocs
+        ) GROUP BY doc_id, u
+    ), e0 AS MATERIALIZED (
+        SELECT w, string_split(w, '') AS t FROM (SELECT DISTINCT w FROM pdw)
+    ), {", ".join(enc_blocks)}, enc AS (
+        SELECT w, CAST(len(t) AS BIGINT) AS n_tok FROM {enc_last}
+    ), perdoc AS (
+        SELECT doc_id, CAST(sum(n_w * n_tok) AS BIGINT) AS n_bpe
+        FROM pdw JOIN enc USING (w) GROUP BY doc_id
+    ), stat AS (
+        SELECT asn.doc_id, asn.split,
+               CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rep,
+               CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_sup,
+               CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_exact,
+               CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_final,
+               CASE WHEN f.doc_id IS NOT NULL
+                    THEN coalesce(p.n_bpe, 0) ELSE 0 END AS n_bpe
+        FROM asn
+        LEFT JOIN reps r ON r.doc_id = asn.doc_id
+        LEFT JOIN suppressed s ON s.doc_id = asn.doc_id
+        LEFT JOIN exactc x ON x.doc_id = asn.doc_id
+        LEFT JOIN finals f ON f.doc_id = asn.doc_id
+        LEFT JOIN perdoc p ON p.doc_id = asn.doc_id
+    )
+    SELECT stat.split,
+           CAST(count(*) AS BIGINT) AS n_gated,
+           CAST(sum(is_rep) AS BIGINT) AS n_reps,
+           CAST(sum(is_sup) AS BIGINT) AS n_suppressed,
+           CAST(sum(is_exact) AS BIGINT) AS n_exact_contam,
+           CAST(sum(is_sup) - sum(is_exact) AS BIGINT) AS fp_collateral,
+           CAST(sum(is_final) AS BIGINT) AS n_final,
+           CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+           any_value(mc.n_merges_learned) AS n_merges_learned,
+           any_value(leak.cross_pairs) AS cross_pairs,
+           any_value(leak.naive_cross_pairs) AS naive_cross_pairs
+    FROM stat, leak, mc GROUP BY stat.split
+    """
+
+
+@register("pipeline_pretrain_v3", _sql_pretrain_v3())
+def pipeline_pretrain_v3(spark, sf_dir):
+    """THIRD flagship — the full pretraining-corpus pipeline as ONE
+    gated composition (the r9 verdict's integration ask; every stage
+    already exists as its own gated row, this row proves they compose
+    at PLAN level): every fifth doc stands in for the eval benchmark
+    (the dedup_contamination convention); the remaining corpus runs
+    Gopher quality gate -> MinHash near-dup clustering with
+    cluster-exact keep-min-rep removal -> Bloom decontamination
+    (13-gram window hashes probed against the m=2^19/j=3 filter built
+    from the benchmark — the corpus_bloom_suppress architecture
+    applied to eval contamination; no false negatives, so every
+    exact-overlap doc is provably suppressed and fp_collateral =
+    n_suppressed - n_exact_contam >= 0 is the sizing cost, both
+    gated) -> leakage-free GROUP-AWARE split (every doc hashes on its
+    near-dup CLUSTER id, so clusters move to one split whole; the
+    witness pair rides in-row: cross_pairs = 0 by construction next
+    to naive_cross_pairs = what a per-doc split would have leaked on
+    this corpus) -> BPE trained on the TRAIN-split survivors ONLY
+    (the v2 models-on-survivors discipline; n_merges_learned gates
+    the table materialized) -> per-split BPE token budget via the
+    global-vocab encode join (the corpus-pipeline bpe_token_count
+    shape with the LEARNED table, 2 rank-order rounds).
+
+    Plan shape at 100 TB: the gate is a narrow filter fused into the
+    scan; survivors persist ONCE and feed clustering, the Bloom
+    probe, the trainer, and the budget join; the Bloom filter is
+    <= 2^19 position rows and BROADCASTS (the corpus is never
+    shuffled for decontamination); the split tag is a narrow md5 map
+    on the cluster-id frame; the trainer touches the train corpus
+    once (Heaps'-law vocab rounds after); the encode join shuffles
+    the bounded (doc, word) frame, never raw text. The DuckDB oracle
+    replicates every stage from the proven fragments, so the hash
+    gate covers the whole composition."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    m, j = _V3_BLOOM_M, _V3_BLOOM_J
+    docs = tables(spark, sf_dir)["documents"]
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    gated = tx.gopher_filter(corpus, min_stop_hits=1).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs = dd.minhash_dedup(gated, threshold=0.7).localCheckpoint()
+    clusters = dd.dup_clusters(pairs)
+    g = (
+        gated.select("doc_id")
+        .join(
+            clusters.withColumnRenamed("cluster_id", "_cid"),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("_cid", "doc_id").alias("_gid"))
+    )
+    g = g.withColumn(
+        "_is_rep",
+        F.col("doc_id")
+        == F.min("doc_id").over(Window.partitionBy("_gid")),
+    ).localCheckpoint()
+    reps = g.filter("_is_rep").select("doc_id")
+    rep_docs = gated.join(reps, "doc_id")
+    bench_wh = (
+        dd.window_hashes(bench, 13).select("window_hash").distinct()
+    )
+    bits = sk.bloom_bits(bench_wh, "window_hash", m=m, j=j)
+    rep_wh = dd.window_hashes(rep_docs, 13).distinct()
+    hits = (
+        sk.bloom_suppress(
+            rep_wh, bits, "window_hash", m=m, j=j, keep_hits=True
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    exact = (
+        dd.contamination_flags(rep_docs, bench, k=13)
+        .select("doc_id")
+        .distinct()
+    )
+    final_ids = reps.join(hits, "doc_id", "left_anti")
+    final_docs = rep_docs.join(hits, "doc_id", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    def tag(key: Column) -> Column:
+        b = dd.h60(F.concat(F.lit("split:"), key.cast("string"))) % 100
+        return (
+            F.when(b < 80, F.lit("train"))
+            .when(b < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    asn = g.select(
+        "doc_id",
+        "_is_rep",
+        tag(F.col("_gid")).alias("split"),
+        tag(F.col("doc_id")).alias("_naive"),
+    )
+    a = asn.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("split").alias("_sa"),
+        F.col("_naive").alias("_na"),
+    )
+    b = asn.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("split").alias("_sb"),
+        F.col("_naive").alias("_nb"),
+    )
+    leak = (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .agg(
+            F.sum((F.col("_sa") != F.col("_sb")).cast("long")).alias(
+                "cross_pairs"
+            ),
+            F.sum((F.col("_na") != F.col("_nb")).cast("long")).alias(
+                "naive_cross_pairs"
+            ),
+        )
+    )
+    train_docs = final_docs.join(
+        asn.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+    )
+    # the learned merge table is a MODEL: <= 6 rows fetched to the
+    # driver and baked into the encode folds as plan literals (the
+    # Lloyd-centroid / text_bpe_pipeline precedent)
+    learned_rows = tx.bpe_train(train_docs, n_merges=6).collect()
+    learned = [(r["lhs"], r["rhs"]) for r in learned_rows]
+    words = final_docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda w: w != "",
+            )
+        ).alias("w"),
+    )
+    pdw = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("_n_w")
+    )
+    staged = pdw.select("w").distinct().withColumn(
+        "_c0", F.split("w", "")
+    )
+    for r in range(1, 3):
+        staged = staged.withColumn(
+            f"_c{r}", tx.bpe_merge_pass(F.col(f"_c{r - 1}"), learned)
+        )
+    enc = staged.select(
+        "w", F.size("_c2").cast("long").alias("_n_tok")
+    )
+    perdoc = (
+        pdw.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("_n_w") * F.col("_n_tok")).alias("_n_bpe"))
+    )
+    stat = (
+        asn.join(hits.withColumn("_sup", F.lit(1)), "doc_id", "left")
+        .join(exact.withColumn("_ex", F.lit(1)), "doc_id", "left")
+        .join(final_ids.withColumn("_fin", F.lit(1)), "doc_id", "left")
+        .join(perdoc, "doc_id", "left")
+    )
+    per = stat.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_gated"),
+        F.sum(F.col("_is_rep").cast("long")).alias("n_reps"),
+        F.sum(F.coalesce("_sup", F.lit(0))).cast("long").alias(
+            "n_suppressed"
+        ),
+        F.sum(F.coalesce("_ex", F.lit(0))).cast("long").alias(
+            "n_exact_contam"
+        ),
+        F.sum(F.coalesce("_fin", F.lit(0))).cast("long").alias("n_final"),
+        F.sum(
+            F.when(
+                F.col("_fin").isNotNull(),
+                F.coalesce("_n_bpe", F.lit(0)),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+    return per.crossJoin(F.broadcast(leak)).select(
+        "split",
+        "n_gated",
+        "n_reps",
+        "n_suppressed",
+        "n_exact_contam",
+        (F.col("n_suppressed") - F.col("n_exact_contam")).alias(
+            "fp_collateral"
+        ),
+        "n_final",
+        "bpe_tokens",
+        F.lit(len(learned)).cast("long").alias("n_merges_learned"),
+        "cross_pairs",
+        "naive_cross_pairs",
+    )
+
+
 # Sketch queries — hash-gated accuracy WITNESSES. The sketch VALUES
 # are engine-specific (DuckDB's approx_count_distinct uses a different
 # HLL seed/width than Spark's HLL++ / Datasketches), so the hashed
@@ -5471,69 +5923,6 @@ def text_bpe_fertility(spark, sf_dir):
     agg."""
     docs = tables(spark, sf_dir)["documents"]
     return tx.bpe_fertility(docs)
-
-
-def _sql_bpe_train(n_merges: int = 6) -> str:
-    """Unrolled DuckDB replica of functions/text.py bpe_train: per
-    round, a pair-count stage (adjacent-token structs unnested,
-    summed by word frequency), a 1-row argmax stage (the learned
-    merge — count DESC, lhs, rhs), and a re-tokenize stage whose
-    list_reduce fold reads the merge from the cross-joined 1-row
-    frame (a correlated column inside the lambda — the _KM_DIST
-    discipline). MATERIALIZED is load-bearing on the token stages:
-    each is referenced twice, so default inlining would re-expand
-    the nested folds 2^rounds-fold. The re-tokenize stage LEFT JOINs
-    its 1-row m{r} (ADVICE-r9 fix): on a degenerate corpus with fewer
-    than n_merges learnable pairs, m{r} is EMPTY for the tail rounds
-    — a cross join would annihilate every later token CTE, while the
-    LEFT JOIN leaves lhs/rhs NULL, the fold's equality predicate
-    evaluates NULL -> ELSE pass-through, and the replica returns the
-    same learned-prefix rows Spark's early-stop does."""
-    blocks = [
-        """t0 AS MATERIALIZED (
-        SELECT w, n_w, string_split(w, '') AS t FROM vocab
-    )"""
-    ]
-    for r in range(1, n_merges + 1):
-        prev = f"t{r - 1}"
-        blocks.append(
-            f"""p{r} AS (
-        SELECT u.a AS a, u.b AS b, CAST(sum(n_w) AS BIGINT) AS cnt
-        FROM (
-            SELECT n_w,
-                   unnest([{{'a': t[i], 'b': t[i + 1]}}
-                           for i in range(1, len(t))]) AS u
-            FROM {prev}
-        ) GROUP BY u.a, u.b
-    ), m{r} AS MATERIALIZED (
-        SELECT CAST({r} AS INT) AS rank, a AS lhs, b AS rhs, cnt
-        FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
-    ), t{r} AS MATERIALIZED (
-        SELECT w, n_w,
-               list_reduce(
-                   list_concat([[chr(1)]], [[c] for c in {prev}.t]),
-                   (acc, e) -> CASE
-                       WHEN acc = [chr(1)] THEN e
-                       WHEN acc[-1] = m{r}.lhs AND e[1] = m{r}.rhs
-                         THEN list_concat(acc[1:len(acc)-1],
-                                          [m{r}.lhs || m{r}.rhs])
-                       ELSE list_concat(acc, e) END) AS t
-        FROM {prev} LEFT JOIN m{r} ON TRUE
-    )"""
-        )
-    union = "\n        UNION ALL\n        ".join(
-        f"SELECT * FROM m{r}" for r in range(1, n_merges + 1)
-    )
-    return f"""
-    WITH words AS (
-        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-                                  x -> x != '')) AS w
-        FROM documents
-    ), vocab AS (
-        SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM words GROUP BY w
-    ), {', '.join(blocks)}
-    SELECT rank, lhs, rhs, cnt AS pair_count FROM ({union})
-    """
 
 
 @register("text_bpe_train", _sql_bpe_train(n_merges=6))

@@ -2,6 +2,7 @@
 operators composed from YAML the way the log half composes processors."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from logprep_spark.corpus import CorpusPipeline
 from logprep_spark.factory import ConfigError
@@ -319,3 +320,70 @@ def test_bloom_suppress_step_gates_on_stored_filter(spark, tmp_path):
     # path is required at BUILD time
     with pytest.raises(ConfigError):
         CorpusPipeline([{"op": "bloom_suppress"}])
+
+
+def test_pretrain_v3_yaml_parity(spark, sf_dir, tmp_path):
+    """The X30 factory can express the pipeline_pretrain_v3 flagship:
+    a YAML pipeline (benchmark exclusion -> gopher gate -> group-aware
+    leakage_split -> cluster_dedup -> stored-Bloom decontaminate ->
+    BPE trained on the train split + per-doc token budget) must land
+    on the SAME per-split survivor counts and BPE token totals as the
+    hash-gated catalog query. (leakage_split runs before cluster_dedup
+    — for surviving representatives the cluster-id hash equals their
+    own-id hash, so either order tags survivors identically; before
+    matches the catalog query's construction.)"""
+    from logprep_spark.functions import dedup as dd
+    from logprep_spark.functions import sketch as sk
+    from logprep_spark.plans import catalog
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the stored decontamination artifact: the benchmark's 13-gram
+    # window-hash Bloom position frame
+    bench = docs.filter("doc_id % 5 = 0")
+    bloom_path = str(tmp_path / "bench_bloom")
+    sk.bloom_bits(
+        dd.window_hashes(bench, 13).select("window_hash").distinct(),
+        "window_hash", m=524288, j=3,
+    ).write.parquet(bloom_path)
+
+    cfg = tmp_path / "pretrain.yml"
+    cfg.write_text(
+        f"""
+text_col: text
+pipeline:
+  - op: filter
+    where: "doc_id % 5 != 0"
+  - op: gopher_filter
+    min_stop_hits: 1
+  - op: leakage_split
+    threshold_milli: 700
+  - op: cluster_dedup
+    threshold_milli: 700
+  - op: decontaminate
+    path: "{bloom_path}"
+    k: 13
+    m: 524288
+    j: 3
+  - op: bpe_train_token_count
+    n_merges: 6
+    rounds: 2
+    train_where: "split = 'train'"
+"""
+    )
+    out = CorpusPipeline.from_file(str(cfg)).transform(docs)
+    got = {
+        r["split"]: (r["n_final"], r["bpe_tokens"])
+        for r in out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_final"),
+            F.sum("n_bpe_tokens").alias("bpe_tokens"),
+        )
+        .collect()
+    }
+    want = {
+        r["split"]: (r["n_final"], r["bpe_tokens"])
+        for r in catalog.queries()["pipeline_pretrain_v3"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
