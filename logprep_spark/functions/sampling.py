@@ -181,6 +181,93 @@ def domain_token_sampling(
     )
 
 
+def mix_allocate(
+    df: DataFrame,
+    budget_num: int = 1,
+    budget_den: int = 1,
+    max_epochs_milli: int = 1500,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """EPOCH-CAPPED token allocation over the temperature mix — the
+    step between computing mix weights (text.mix_weights) and
+    selecting documents (domain_token_sampling): temperature
+    upweights small domains, but a real mixture caps repetition
+    (training a 2-epoch-max policy cannot grant a tiny domain the 4
+    epochs its sqrt share asks for). Round 1 gives every domain
+    budget · weight_milli ÷ 1000 capped at n_tokens ·
+    max_epochs_milli ÷ 1000; ONE redistribution round hands the
+    capped domains' leftover to the uncapped ones by the same
+    weights (capped again). ``residual_shortfall`` = budget − Σ
+    allocated rides every row: 0 when two rounds placed the whole
+    budget, positive when even the redistribution hit caps (or as
+    floor dust) — the honest single-redistribution witness instead
+    of a hidden waterfill loop. ``epochs_milli`` per domain ≤
+    max_epochs_milli by construction, gated.
+
+    All arithmetic is exact long math on the mix_weights outputs —
+    bit-identical cross-engine. Distributed shape: mix_weights' tiny
+    domain-keyed agg (persisted — its subtree scans the corpus once)
+    plus three 1-row broadcast aggregates; no corpus re-read, no
+    windows."""
+    from pyspark.sql.functions import broadcast
+
+    from logprep_spark.functions.text import mix_weights
+
+    from pyspark.storagelevel import StorageLevel
+
+    per = mix_weights(df, group_col=group_col, text_col=text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    budget = per.agg(
+        F.expr(
+            f"(sum(n_tokens) * {budget_num}) div {budget_den}"
+        ).alias("_budget")
+    )
+    r1 = per.crossJoin(broadcast(budget)).select(
+        "domain",
+        "n_tokens",
+        "weight_milli",
+        "_budget",
+        F.expr("_budget * weight_milli div 1000").alias("_req"),
+        F.expr(f"n_tokens * {max_epochs_milli} div 1000").alias("_cap"),
+    ).withColumn("_a1", F.least("_req", "_cap"))
+    pools = r1.agg(
+        F.expr("max(_budget) - sum(_a1)").alias("_leftover"),
+        F.sum(
+            F.when(F.col("_a1") < F.col("_cap"), F.col("weight_milli"))
+        ).alias("_wu"),
+    )
+    r2 = r1.crossJoin(broadcast(pools)).select(
+        "domain",
+        "n_tokens",
+        "weight_milli",
+        "_budget",
+        "_req",
+        "_cap",
+        F.least(
+            F.when(
+                (F.col("_a1") < F.col("_cap")) & (F.col("_wu") > 0),
+                F.col("_a1")
+                + F.expr("_leftover * weight_milli div _wu"),
+            ).otherwise(F.col("_a1")),
+            F.col("_cap"),
+        ).alias("_alloc"),
+    )
+    placed = r2.agg(
+        F.expr("max(_budget) - sum(_alloc)").alias("residual_shortfall")
+    )
+    return r2.crossJoin(broadcast(placed)).select(
+        "domain",
+        "n_tokens",
+        "weight_milli",
+        F.col("_req").alias("requested_tokens"),
+        F.col("_alloc").alias("allocated_tokens"),
+        F.expr("_alloc * 1000 div n_tokens").alias("epochs_milli"),
+        "residual_shortfall",
+    )
+
+
 def domain_token_sample_docs(
     df: DataFrame,
     budget_num: int = 2,

@@ -954,6 +954,128 @@ def quantize_int8(
     )
 
 
+def matryoshka_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    dims: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Truncated-PREFIX exact top-k — the Matryoshka-representation
+    serving mode (Kusupati et al. 2022: a nested-trained embedding's
+    first d components are themselves a usable embedding, so serving
+    truncates to cut memory/compute and recall_eval against the
+    full-dim search measures what the truncation costs): rank by
+    cosine over ``F.slice(vec, 1, dims)`` only.
+
+    Plan: identical to :func:`brute_force_topk` on the sliced frames
+    — the slice is a narrow map fused into the scan (column pruning
+    unchanged: same one array column read), the query side still
+    broadcasts, the corpus never shuffles, and the scored tuples that
+    do shuffle are the same narrow (query_id, nbr_id, cosine) rows.
+    At 100 TB the dims sweep re-reads the corpus per setting; a
+    production eval would stage the sliced prefixes once."""
+    sliced = F.slice(F.col(vec_col), 1, dims)
+    return brute_force_topk(
+        df.withColumn(vec_col, sliced),
+        queries.withColumn(vec_col, sliced),
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+
+
+def int8_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k over the DEQUANTIZED int8 corpus — the eval loop
+    :func:`quantize_int8` was missing (the silhouette discipline:
+    the code array and its reconstruction error are gated, but what
+    a deployment serves is SEARCH over the codes — this measures the
+    quantization-induced ranking loss via recall_eval against the
+    float search): both sides quantize under the corpus per-dim
+    affine model, decode back to micro integers, and rank by the
+    cosine of the dequantized vectors.
+
+    Exactness: dequantized components are micro LONGS (the
+    quantize_int8 integer round-half-up arithmetic), so the dot and
+    both self-norms are exact 64-bit sums (|micro| <= ~2^21 keeps
+    the 64-dim dot under 2^49); the one double step is
+    dot / (sqrt(qq) * sqrt(nn)) on exactly-representable integers —
+    bit-identical cross-engine, then round 6.
+
+    Plan: the 1-row model broadcast + narrow dequant map, then the
+    brute_force_topk shape (queries broadcast, corpus unshuffled,
+    narrow scored tuples to the per-query top-k window)."""
+    from pyspark.sql.functions import broadcast
+
+    dim = probe_dim(df, vec_col) or 0
+    vm = df.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("_v"))
+    model = vm.agg(
+        *[F.expr(f"min(element_at(_v, {i + 1})) AS _mn{i}") for i in range(dim)],
+        *[F.expr(f"max(element_at(_v, {i + 1})) AS _mx{i}") for i in range(dim)],
+    ).selectExpr(
+        "array(" + ",".join(f"_mn{i}" for i in range(dim)) + ") AS _mn",
+        "array(" + ",".join(f"_mx{i} - _mn{i}" for i in range(dim)) + ") AS _span",
+    )
+    # code then decode in one expression: dequant micro =
+    # mn + round_half_up((code+127)·span / 254) with the same
+    # integer divisions as quantize_int8 — bit-identical to storing
+    # the codes and decoding at serve time
+    code = (
+        "zip_with(zip_with(_v, _mn, (x, m) -> x - m), _span,"
+        " (d, s) -> CASE WHEN s = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE (2 * d * 254 + s) div (2 * s) - 127 END)"
+    )
+    dequant = (
+        "zip_with(zip_with(code, _mn, (c, m) ->"
+        " struct(c AS c, m AS m)), _span,"
+        " (cm, s) -> cm.m + (2 * (cm.c + 127) * s + 254) div 508)"
+    )
+
+    def dq(frame: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        staged = frame.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("_v"))
+        return (
+            staged.crossJoin(broadcast(model))
+            .selectExpr(id_col, f"{code} AS code", "_mn", "_span")
+            .selectExpr(f"{id_col} AS {out_id}", f"{dequant} AS {out_vec}")
+        )
+
+    corpus = dq(df, "nbr_id", "_nv")
+    qs = dq(queries, "query_id", "_qv")
+    intdot = F.expr(
+        "aggregate(zip_with(_qv, _nv, (a, b) -> a * b),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    norm = (
+        "sqrt(CAST(aggregate(transform({v}, x -> x * x),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE))"
+    )
+    cos = F.round(
+        intdot.cast("double")
+        / (F.expr(norm.format(v="_qv")) * F.expr(norm.format(v="_nv"))),
+        6,
+    )
+    scored = (
+        corpus.crossJoin(broadcast(qs))
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", cos.alias("cosine"))
+    )
+    window = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
 def pq_encode(
     df: DataFrame,
     m: int = 4,

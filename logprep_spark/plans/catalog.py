@@ -4767,6 +4767,92 @@ def corpus_mix_weights(spark, sf_dir):
     return tx.mix_weights(docs)
 
 
+_SQL_MIX_TIER = (
+    "CASE WHEN CAST(substr(source, 4) AS INT) >= 18 THEN 'code'"
+    " WHEN CAST(substr(source, 4) AS INT) >= 12 THEN 'books'"
+    " ELSE 'web' END"
+)
+
+
+@register(
+    "corpus_mix_allocate",
+    f"""
+    WITH per AS (
+        SELECT {_SQL_MIX_TIER} AS domain,
+               CAST(sum(len({_sql_words()})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ), fixed AS (
+        SELECT *, CAST(round(sqrt(n_tokens) * 1000) AS BIGINT) AS _s FROM per
+    ), tot AS (
+        SELECT CAST(sum(_s) AS BIGINT) AS _tot,
+               CAST(sum(n_tokens) AS BIGINT) AS _budget
+        FROM fixed
+    ), w AS (
+        SELECT domain, n_tokens, _budget,
+               CAST(1000 * _s // _tot AS BIGINT) AS weight_milli
+        FROM fixed CROSS JOIN tot
+    ), r1 AS (
+        SELECT *,
+               _budget * weight_milli // 1000 AS _req,
+               n_tokens * 1500 // 1000 AS _cap,
+               least(_budget * weight_milli // 1000,
+                     n_tokens * 1500 // 1000) AS _a1
+        FROM w
+    ), pools AS (
+        SELECT max(_budget) - CAST(sum(_a1) AS BIGINT) AS _leftover,
+               CAST(sum(CASE WHEN _a1 < _cap THEN weight_milli END)
+                    AS BIGINT) AS _wu
+        FROM r1
+    ), r2 AS (
+        SELECT r1.*,
+               least(CASE WHEN _a1 < _cap AND _wu > 0
+                          THEN _a1 + _leftover * weight_milli // _wu
+                          ELSE _a1 END, _cap) AS _alloc
+        FROM r1 CROSS JOIN pools
+    ), placed AS (
+        SELECT max(_budget) - CAST(sum(_alloc) AS BIGINT)
+                   AS residual_shortfall
+        FROM r2
+    )
+    SELECT domain, n_tokens, weight_milli,
+           CAST(_req AS BIGINT) AS requested_tokens,
+           CAST(_alloc AS BIGINT) AS allocated_tokens,
+           CAST(_alloc * 1000 // n_tokens AS BIGINT) AS epochs_milli,
+           placed.residual_shortfall
+    FROM r2 CROSS JOIN placed
+    """,
+)
+def corpus_mix_allocate(spark, sf_dir):
+    """EPOCH-CAPPED mix allocation (functions/sampling.py
+    mix_allocate) — the step corpus_mix_weights feeds and
+    corpus_domain_sampling consumes, over a skewed source taxonomy
+    (web = src0-11, books = src12-17, code = src18-19 — the tier map
+    a real mixture defines over its feeds): a 1x-corpus token budget
+    split by the temperature-0.5 weights UPWEIGHTS the small code
+    tier past its 1.5-epoch repetition cap, so the cap bites there
+    (epochs_milli = 1500 exactly, gated) and ONE redistribution
+    round hands the leftover to web/books by the same weights.
+    ``residual_shortfall`` >= 0 on every row witnesses how much
+    budget even the redistribution could not place (floor dust here;
+    a cap-saturated mixture would show it honestly). All exact long
+    arithmetic on the mix_weights outputs. Plan: one corpus-scanning
+    domain agg + three 1-row broadcasts — no corpus re-read."""
+    docs = tables(spark, sf_dir)["documents"]
+    n = F.substring("source", 4, 10).cast("int")
+    tier = (
+        F.when(n >= 18, F.lit("code"))
+        .when(n >= 12, F.lit("books"))
+        .otherwise(F.lit("web"))
+    )
+    return smp.mix_allocate(
+        docs.withColumn("_tier", tier),
+        budget_num=1,
+        budget_den=1,
+        max_epochs_milli=1500,
+        group_col="_tier",
+    )
+
+
 @register(
     "corpus_vocab_divergence",
     f"""
@@ -6709,6 +6795,154 @@ def ann_ivfpq_rerank(spark, sf_dir):
     return r_adc.join(r_rr, "query_id").select(
         "query_id", "n_hits_adc", "n_hits_rerank",
         "recall_adc_milli", "recall_rerank_milli",
+    )
+
+
+@register(
+    "ann_matryoshka_recall",
+    f"""
+    WITH exact AS ({_SQL_ANN_EXACT3.format(cos=_sql_cosine("q.qv", "c.nv"))}
+    ), sweep(dims) AS (VALUES (16), (32), (48), (56)
+    ), approx AS (
+        SELECT dims, query_id, nbr_id FROM (
+            SELECT s.dims, q.query_id, c.nbr_id, row_number() OVER (
+                PARTITION BY s.dims, q.query_id
+                ORDER BY {_sql_cosine(
+                    "list_slice(q.qv, 1, s.dims)",
+                    "list_slice(c.nv, 1, s.dims)",
+                )} DESC, c.nbr_id
+            ) AS rank
+            FROM sweep s,
+                 (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < 5) q,
+                 (SELECT vec_id AS nbr_id, embedding AS nv
+                  FROM embeddings) c
+            WHERE query_id <> nbr_id
+        ) WHERE rank <= 3
+    ), hits AS (
+        SELECT dims, query_id, count(*) AS n_hits
+        FROM approx JOIN exact USING (query_id, nbr_id) GROUP BY 1, 2
+    )
+    SELECT CAST(dims AS BIGINT) AS dims, query_id,
+           coalesce(n_hits, 0) AS n_hits,
+           1000 * coalesce(n_hits, 0) // 3 AS recall_milli
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) qs
+    CROSS JOIN sweep
+    LEFT JOIN hits USING (dims, query_id)
+    """,
+)
+def ann_matryoshka_recall(spark, sf_dir):
+    """Matryoshka truncation recall@3 across a dims sweep (16, 32,
+    48, 56 of 64 — functions/similarity.py matryoshka_topk, Kusupati
+    et al. 2022): rank by cosine over the embedding PREFIX only,
+    recall_eval against the full-dim exact search — the
+    dimension/recall curve that prices serving a nested-trained
+    embedding at a fraction of the memory and FLOPs. Same
+    brute-force plan shape per setting (queries broadcast, corpus
+    unshuffled, narrow scored tuples). This corpus is NOT
+    Matryoshka-trained, so the curve is steep (0/15 -> 9/15 hits
+    over the sweep at sf0.01) — exactly the penalty the eval exists
+    to expose; an MRL-trained embedding would flatten it."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    q_ids = qs.select(F.col("vec_id").alias("query_id"))
+    exact = sim.brute_force_topk(emb, qs, k=3)
+    out = None
+    for d in (16, 32, 48, 56):
+        approx = sim.matryoshka_topk(emb, qs, k=3, dims=d)
+        rec = sim.recall_eval(exact, approx, k=3, queries=q_ids).select(
+            F.lit(d).cast("long").alias("dims"),
+            "query_id",
+            "n_hits",
+            "recall_milli",
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out
+
+
+@register(
+    "ann_int8_recall",
+    f"""
+    WITH exact AS ({_SQL_ANN_EXACT3.format(cos=_sql_cosine("q.qv", "c.nv"))}
+    ), vm AS (
+        SELECT vec_id, {_KM_MICRO} AS v FROM embeddings
+    ), model AS (
+        SELECT list(mn ORDER BY dim) AS mn,
+               list(mx - mn ORDER BY dim) AS span
+        FROM (
+            SELECT dim, CAST(min(v[dim]) AS BIGINT) AS mn,
+                   CAST(max(v[dim]) AS BIGINT) AS mx
+            FROM vm CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) dims
+            GROUP BY dim
+        )
+    ), dq AS (
+        SELECT vec_id,
+               [CASE WHEN span[i] = 0 THEN mn[i]
+                     ELSE mn[i] + (2 * (((2 * (v[i] - mn[i]) * 254
+                          + span[i]) // (2 * span[i]) - 127) + 127)
+                          * span[i] + 254) // 508 END
+                for i in range(1, 65)] AS d
+        FROM vm CROSS JOIN model
+    ), approx AS (
+        SELECT query_id, nbr_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                   row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY round(
+                    list_sum([q.d[i] * c.d[i] for i in range(1, 65)])::DOUBLE
+                    / (sqrt(list_sum([q.d[i] * q.d[i]
+                                      for i in range(1, 65)])::DOUBLE)
+                       * sqrt(list_sum([c.d[i] * c.d[i]
+                                        for i in range(1, 65)])::DOUBLE)),
+                    6) DESC, c.vec_id
+            ) AS rank
+            FROM (SELECT * FROM dq WHERE vec_id < 5) q, dq c
+            WHERE q.vec_id <> c.vec_id
+        ) WHERE rank <= 3
+    ), hits AS (
+        SELECT query_id, count(*) AS n_hits
+        FROM approx JOIN exact USING (query_id, nbr_id) GROUP BY 1
+    ), err AS (
+        SELECT CAST(max(list_max([abs(v[i] - d[i])
+                                  for i in range(1, 65)])) AS BIGINT)
+                   AS corpus_max_err_micro
+        FROM vm JOIN dq USING (vec_id)
+    )
+    SELECT query_id,
+           coalesce(n_hits, 0) AS n_hits,
+           1000 * coalesce(n_hits, 0) // 3 AS recall_milli,
+           err.corpus_max_err_micro
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) qs
+    LEFT JOIN hits USING (query_id)
+    CROSS JOIN err
+    """,
+)
+def ann_int8_recall(spark, sf_dir):
+    """int8-quantized retrieval recall@3 (functions/similarity.py
+    int8_topk) — the eval loop embed_quantize_int8 was missing (the
+    silhouette discipline: the codes and their reconstruction error
+    were gated, but what a deployment SERVES is search over the
+    codes): both sides quantize under the corpus per-dim affine
+    model, decode to exact micro longs, rank by the integer-dot
+    cosine, recall_eval against the float search. The corpus-wide
+    max reconstruction error rides every row, tying the ranking loss
+    to the quantization error that caused it. Plan: 1-row model
+    broadcast + narrow code/decode map, then the brute-force shape
+    (queries broadcast, corpus unshuffled)."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    q_ids = qs.select(F.col("vec_id").alias("query_id"))
+    exact = sim.brute_force_topk(emb, qs, k=3)
+    approx = sim.int8_topk(emb, qs, k=3)
+    err = sim.quantize_int8(emb).agg(
+        F.max("max_err_micro").alias("corpus_max_err_micro")
+    )
+    return (
+        sim.recall_eval(exact, approx, k=3, queries=q_ids)
+        .crossJoin(F.broadcast(err))
+        .select(
+            "query_id", "n_hits", "recall_milli", "corpus_max_err_micro"
+        )
     )
 
 

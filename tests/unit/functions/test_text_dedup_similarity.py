@@ -2054,3 +2054,79 @@ def test_lpa_modularity_two_triangles(spark):
         [(b, a) for a, b in edges], ["src", "dst"]
     ).repartition(5)
     assert lpa_modularity(flipped, rounds=6).collect() == [r]
+
+
+def test_matryoshka_topk_prefix_semantics(spark):
+    """Hand-built 3-dim vectors where the FIRST dimension alone ranks
+    differently than the full vector: truncation to dims=1 must
+    reorder the neighbors exactly as the prefix cosine says, dims=3
+    must equal brute_force_topk on the full vectors."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 1.0, 0.0]),   # best full-cosine neighbor of 2
+        (2, [1.0, 0.9, 0.1]),
+        (3, [1.0, -1.0, 0.0]),  # best PREFIX neighbor of 2 (dim-1 all tie
+                                # at cos=1; id tie-break)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = df.filter("vec_id = 2")
+    full = similarity.brute_force_topk(df, qs, k=3)
+    m3 = similarity.matryoshka_topk(df, qs, k=3, dims=3)
+    assert sorted(map(tuple, m3.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    m1 = {r["rank"]: r["nbr_id"] for r in
+          similarity.matryoshka_topk(df, qs, k=3, dims=1).collect()}
+    # dim-1 cosine of 1-d vectors is 1.0 for every positive pair:
+    # ranks collapse to the deterministic id tie-break
+    assert m1 == {1: 0, 2: 1, 3: 3}
+
+
+def test_int8_topk_deterministic_and_near_exact(spark, sf_dir):
+    """int8 search over the real embeddings table: bit-identical
+    rerun (integer quantization + exact-integer ranking), and recall
+    vs the float search stays high (the corpus max reconstruction
+    error is micro-scale against ~unit vectors)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter("vec_id < 3")
+    q_ids = qs.select(F.col("vec_id").alias("query_id"))
+    a = similarity.int8_topk(emb, qs, k=3)
+    b = similarity.int8_topk(emb, qs, k=3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    exact = similarity.brute_force_topk(emb, qs, k=3)
+    rec = similarity.recall_eval(exact, a, k=3, queries=q_ids)
+    total = sum(r["n_hits"] for r in rec.collect())
+    assert total >= 6  # >= 2/3 of the 9 exact hits survive int8
+
+
+def test_mix_allocate_caps_and_redistributes(spark):
+    """Hand-computed epoch-capped allocation: two domains, 9000 vs
+    1000 tokens, budget = corpus (10000), cap 1.5 epochs. sqrt-milli
+    weights 94868/31623 -> floor-milli 749/250 (sum 126491). Small
+    domain requests 2500 = 2.5 epochs -> capped at 1500; big
+    requests 7490; leftover 10000-7490-1500 = 1010 redistributes
+    entirely to the one uncapped domain (1010·749 div 749), landing
+    at 8500 under its cap; residual = 0 — the whole budget placed
+    in one redistribution round."""
+    from logprep_spark.functions.sampling import mix_allocate
+
+    df = spark.createDataFrame(
+        [(i, "big", "w " * 9000) for i in range(1)]
+        + [(10, "small", "w " * 1000)],
+        ["doc_id", "source", "text"],
+    )
+    rows = {r["domain"]: r for r in mix_allocate(
+        df, budget_num=1, budget_den=1, max_epochs_milli=1500
+    ).collect()}
+    big, small = rows["big"], rows["small"]
+    assert small["n_tokens"] == 1000 and big["n_tokens"] == 9000
+    assert small["requested_tokens"] == 2500
+    assert small["allocated_tokens"] == 1500      # the cap
+    assert small["epochs_milli"] == 1500
+    assert big["requested_tokens"] == 7490
+    assert big["allocated_tokens"] == 8500        # 7490 + 1010
+    assert big["epochs_milli"] == 944
+    assert big["residual_shortfall"] == 0
+    assert small["residual_shortfall"] == 0
