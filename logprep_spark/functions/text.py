@@ -384,6 +384,110 @@ def bigram_lm_score(
     )
 
 
+def kn_trigram_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document INTERPOLATED KNESER-NEY trigram score against a
+    model trained on the corpus itself — the canonical n-gram
+    smoothing (Kneser & Ney 1995; Chen & Goodman 1999) and the
+    KenLM-perplexity filter shape modern corpus curation
+    (CCNet/DataComp) actually runs, one step up from the add-α bigram
+    (:func:`bigram_lm_score`): absolute discount D = 0.75 at every
+    level, with the mass freed by discounting backed off to the
+    CONTINUATION distribution (how many distinct contexts a word
+    completes — "Francisco" is frequent but only ever follows "San",
+    so its continuation probability is tiny; add-α cannot express
+    that).
+
+        p(w3|w1w2) = (max(c(w123)−D,0) + D·N1+(w12·)·pc2(w3|w2)) / c(w12·)
+        pc2(w3|w2) = (max(t(w23)−D,0) + D·N1+(·w2·-types)·pc1(w3)) / t(w2·)
+        pc1(w3)    = t(·w3) / |bigram types|
+
+    where t counts TRIGRAM TYPES (distinct w1 preceding w2w3) — the
+    Kneser-Ney substitution of type counts for token counts at the
+    backoff levels. Scored on the training corpus every trigram has
+    c ≥ 1, so no unseen-path branch is exercised (the max() guards
+    stay for honesty). Exactness: every count is an exact long; the
+    probability is a fixed chain of IEEE double ops on those longs
+    (identical term structure in the oracle — D = 0.75 is binary-
+    exact), and the per-trigram −log2 fixes to MICRO-bits before the
+    per-doc sum (long addition is order-free; a double sum is not).
+
+    Distributed shape: ONE tokenize + ONE Generate produce the
+    (doc, w1, w2, w3) stream, persisted (it feeds the count agg and
+    the score join — the bigram discipline); every model table
+    derives from the already-tiny trigram count table, never the
+    stream (c2ctx/N1+ re-aggregate c3; the type tables re-aggregate
+    each other down to the 1-row bigram-type total, which
+    broadcasts). The score join chain is gram-keyed and
+    AQE-skew-splittable. At 100 TB the count tables are the model
+    you'd persist. Returns (id, n_trigrams, bits_milli)."""
+    from pyspark.sql.functions import broadcast
+    from pyspark.storagelevel import StorageLevel
+
+    D = 0.75
+    toked = text_rows(df, text_col).select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks")
+    ).filter(F.size("_toks") >= 3)
+    grams = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - 2),
+                lambda i: F.struct(
+                    F.element_at("_toks", i).alias("w1"),
+                    F.element_at("_toks", i + 1).alias("w2"),
+                    F.element_at("_toks", i + 2).alias("w3"),
+                ),
+            )
+        ).alias("tg"),
+    ).select(
+        id_col,
+        F.col("tg.w1").alias("w1"),
+        F.col("tg.w2").alias("w2"),
+        F.col("tg.w3").alias("w3"),
+    )
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    c3 = grams.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    c3 = c3.persist(StorageLevel.MEMORY_AND_DISK)
+    c2ctx = c3.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c2ctx"), F.count(F.lit(1)).alias("n1f")
+    )
+    t2 = c3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("t2"))
+    t2 = t2.persist(StorageLevel.MEMORY_AND_DISK)
+    t2ctx = t2.groupBy("w2").agg(
+        F.sum("t2").alias("t2ctx"), F.count(F.lit(1)).alias("n1f2")
+    )
+    t1 = t2.groupBy("w3").agg(F.count(F.lit(1)).alias("t1"))
+    tt = t2.agg(F.count(F.lit(1)).alias("_tt"))
+    pc1 = "(t1 / _tt)"
+    pc2 = f"((greatest(t2 - {D}, 0.0) + {D} * n1f2 * {pc1}) / t2ctx)"
+    p = f"((greatest(c3 - {D}, 0.0) + {D} * n1f * {pc2}) / c2ctx)"
+    micro = F.expr(f"CAST(round(-log2({p}) * 1000000) AS BIGINT)")
+    return (
+        grams.join(c3, ["w1", "w2", "w3"])
+        .join(c2ctx, ["w1", "w2"])
+        .join(t2, ["w2", "w3"])
+        .join(t2ctx, "w2")
+        .join(t1, "w3")
+        .crossJoin(broadcast(tt))
+        .groupBy(id_col)
+        .agg(
+            F.sum(micro).alias("_sum_micro"),
+            F.count(F.lit(1)).alias("n_trigrams"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
+            F.expr("_sum_micro div (n_trigrams * 1000)").alias(
+                "bits_milli"
+            ),
+        )
+    )
+
+
 def zipf_stats(df: DataFrame, top_n: int = 1000, text_col: str = "text") -> DataFrame:
     """Corpus-level vocabulary statistics: Zipf slope of the top-N
     frequency/rank curve, vocabulary size, token total, type-token

@@ -4375,6 +4375,68 @@ def text_bigram_lm(spark, sf_dir):
 
 
 @register(
+    "text_kn_trigram",
+    f"""
+    WITH toked AS (
+        SELECT doc_id, {_sql_words('lower(text)')} AS w FROM documents
+    ), tri AS (
+        SELECT doc_id,
+               unnest(w[1:len(w)-2]) AS w1,
+               unnest(w[2:len(w)-1]) AS w2,
+               unnest(w[3:len(w)])   AS w3
+        FROM toked WHERE len(w) >= 3
+    ), c3 AS (
+        SELECT w1, w2, w3, count(*) AS c3 FROM tri GROUP BY 1, 2, 3
+    ), c2ctx AS (
+        SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2ctx,
+               CAST(count(*) AS BIGINT) AS n1f
+        FROM c3 GROUP BY 1, 2
+    ), t2 AS (
+        SELECT w2, w3, CAST(count(*) AS BIGINT) AS t2
+        FROM c3 GROUP BY 1, 2
+    ), t2ctx AS (
+        SELECT w2, CAST(sum(t2) AS BIGINT) AS t2ctx,
+               CAST(count(*) AS BIGINT) AS n1f2
+        FROM t2 GROUP BY 1
+    ), t1 AS (
+        SELECT w3, CAST(count(*) AS BIGINT) AS t1 FROM t2 GROUP BY 1
+    ), tt AS (
+        SELECT CAST(count(*) AS BIGINT) AS _tt FROM t2
+    ), scored AS (
+        SELECT g.doc_id,
+               CAST(round(-log2(
+                   (greatest(c3 - 0.75, 0.0) + 0.75 * n1f *
+                    ((greatest(t2 - 0.75, 0.0) + 0.75 * n1f2 *
+                      (t1 / _tt)) / t2ctx)) / c2ctx
+               ) * 1000000) AS BIGINT) AS micro
+        FROM tri g
+        JOIN c3 USING (w1, w2, w3)
+        JOIN c2ctx USING (w1, w2)
+        JOIN t2 USING (w2, w3)
+        JOIN t2ctx USING (w2)
+        JOIN t1 USING (w3)
+        CROSS JOIN tt
+    )
+    SELECT doc_id, count(*) AS n_trigrams,
+           CAST(sum(micro) // (count(*) * 1000) AS BIGINT) AS bits_milli
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_kn_trigram(spark, sf_dir):
+    """Interpolated Kneser-Ney TRIGRAM perplexity scoring
+    (functions/text.py kn_trigram_score — Kneser & Ney 1995, the
+    KenLM-filter shape): absolute discount 0.75 with continuation-
+    count backoff (type counts, not token counts, at the backoff
+    levels — the property add-α smoothing cannot express), trained
+    on the corpus and scored per doc in micro-bit longs. The model
+    tables all derive from the trigram count table; the 1-row
+    bigram-type total broadcasts; score joins are gram-keyed and
+    AQE-splittable."""
+    docs = tables(spark, sf_dir)["documents"]
+    return tx.kn_trigram_score(docs)
+
+
+@register(
     "corpus_zipf",
     f"""
     WITH words AS (

@@ -2130,3 +2130,61 @@ def test_mix_allocate_caps_and_redistributes(spark):
     assert big["epochs_milli"] == 944
     assert big["residual_shortfall"] == 0
     assert small["residual_shortfall"] == 0
+
+
+def test_kn_trigram_matches_python_replica(spark):
+    """Bit-exact Python replica of the interpolated-KN recurrence on
+    a tiny corpus, plus the Kneser-Ney signature property: a word
+    that is FREQUENT but only ever completes one context ('francisco'
+    after 'san') earns a smaller continuation probability than a
+    word of equal frequency seen after many contexts — so the doc
+    full of novel-context trigrams scores more bits than add-alpha
+    would admit."""
+    import math
+    from collections import Counter, defaultdict
+
+    from logprep_spark.functions.text import kn_trigram_score
+
+    docs = [
+        (1, "the cat sat on the mat and the dog sat on the rug"),
+        (2, "san francisco is in california and san francisco is big"),
+        (3, "a b c a b d a b e"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_trigrams"], r["bits_milli"])
+           for r in kn_trigram_score(df).collect()}
+
+    # python replica (same float term structure)
+    tris = defaultdict(list)
+    for i, t in docs:
+        w = [x for x in t.lower().split() if x]
+        tris[i] = [tuple(w[j:j + 3]) for j in range(len(w) - 2)]
+    c3 = Counter(g for gs in tris.values() for g in gs)
+    c2ctx, n1f = Counter(), Counter()
+    for (w1, w2, w3), c in c3.items():
+        c2ctx[(w1, w2)] += c
+        n1f[(w1, w2)] += 1
+    t2 = Counter((w2, w3) for (w1, w2, w3) in c3)
+    t2ctx, n1f2 = Counter(), Counter()
+    for (w2, w3), c in t2.items():
+        t2ctx[w2] += c
+        n1f2[w2] += 1
+    t1 = Counter(w3 for (w2, w3) in t2)
+    tt = len(t2)
+    D = 0.75
+    for i, gs in tris.items():
+        micros = []
+        for (w1, w2, w3) in gs:
+            pc1 = t1[w3] / tt
+            pc2 = (max(t2[(w2, w3)] - D, 0.0)
+                   + D * n1f2[w2] * pc1) / t2ctx[w2]
+            p = (max(c3[(w1, w2, w3)] - D, 0.0)
+                 + D * n1f[(w1, w2)] * pc2) / c2ctx[(w1, w2)]
+            micros.append(round(-math.log2(p) * 1_000_000))
+        want = (len(gs), sum(micros) // (len(gs) * 1000))
+        assert got[i] == want, i
+
+    # determinism under repartitioning
+    again = {r["doc_id"]: (r["n_trigrams"], r["bits_milli"])
+             for r in kn_trigram_score(df.repartition(5)).collect()}
+    assert again == got
