@@ -1572,6 +1572,117 @@ def ivfpq_rerank_topk(
 # --- Johnson–Lindenstrauss random projection ---------------------------
 
 
+def mmr_diversify(
+    df: DataFrame,
+    queries: DataFrame,
+    k_final: int = 5,
+    k_pool: int = 10,
+    lambda_milli: int = 700,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversification pass between retrieval and a RAG
+    context window: from each query's ``k_pool`` exact candidates,
+    greedily select ``k_final`` maximizing λ·relevance −
+    (1−λ)·max-similarity-to-already-selected, so near-duplicate
+    passages stop crowding out coverage.
+
+    Exactness: relevance and candidate-pair similarities are cosine
+    MICRO-fixed to longs once (round(cos·10⁶) — the micro_vec
+    rounding contract), so every greedy round is an INTEGER argmax
+    (λ_milli·rel − (1000−λ_milli)·max_sim, ties to the lowest id) —
+    the whole selection is bit-identical across engines, runs, and
+    partitionings, and the oracle unrolls the same k_final rounds.
+
+    Distributed shape: candidates come from :func:`brute_force_topk`
+    (queries broadcast, corpus unshuffled); the pairwise-similarity
+    frame is candidates ⋈ candidates WITHIN a query — k_pool² rows
+    per query, bounded by the evaluated query set, never the corpus;
+    each greedy round is one query-keyed agg + one per-query argmax
+    window over ≤ k_pool rows. Returns (query_id, pick_rank, nbr_id,
+    mmr_score_nano — micro-cosine × milli-λ units)."""
+    cands = brute_force_topk(
+        df, queries, k=k_pool, vec_col=vec_col, id_col=id_col
+    ).select(
+        "query_id",
+        "nbr_id",
+        F.round(F.col("cosine") * 1_000_000).cast("long").alias("_rel"),
+    ).localCheckpoint()
+    vecs = df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("_v"))
+    a = cands.select("query_id", F.col("nbr_id").alias("_a")).join(
+        vecs.select(F.col("nbr_id").alias("_a"), F.col("_v").alias("_va")),
+        "_a",
+    )
+    b = cands.select("query_id", F.col("nbr_id").alias("_b")).join(
+        vecs.select(F.col("nbr_id").alias("_b"), F.col("_v").alias("_vb")),
+        "_b",
+    )
+    from logprep_spark.functions.dedup import cosine_sim
+
+    pairsim = (
+        a.join(b, "query_id")
+        .filter(F.col("_a") != F.col("_b"))
+        .select(
+            "query_id",
+            "_a",
+            "_b",
+            F.round(cosine_sim(F.col("_va"), F.col("_vb")) * 1_000_000)
+            .cast("long")
+            .alias("_sim"),
+        )
+        .localCheckpoint()
+    )
+    lam, mu = lambda_milli, 1000 - lambda_milli
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("nbr_id").asc()
+    )
+    selected = (
+        cands.withColumn("_score", F.col("_rel") * lam)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("pick_rank"),
+            "nbr_id",
+            F.col("_score").alias("mmr_score_nano"),
+        )
+        .localCheckpoint()
+    )
+    for r in range(2, k_final + 1):
+        remaining = cands.join(
+            selected.select("query_id", "nbr_id"),
+            ["query_id", "nbr_id"],
+            "left_anti",
+        )
+        maxsim = (
+            pairsim.join(
+                selected.select(
+                    "query_id", F.col("nbr_id").alias("_b")
+                ),
+                ["query_id", "_b"],
+            )
+            .groupBy("query_id", F.col("_a").alias("nbr_id"))
+            .agg(F.max("_sim").alias("_ms"))
+        )
+        pick = (
+            remaining.join(maxsim, ["query_id", "nbr_id"])
+            .withColumn(
+                "_score", F.col("_rel") * lam - F.col("_ms") * mu
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "query_id",
+                F.lit(r).alias("pick_rank"),
+                "nbr_id",
+                F.col("_score").alias("mmr_score_nano"),
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected
+
+
 def jl_signs(m: int, d: int) -> list[list[int]]:
     """Deterministic ±1 projection matrix (Achlioptas 2001: sign
     entries preserve the JL guarantee of Gaussian ones): sign(k, j)

@@ -6860,6 +6860,102 @@ def ann_ivfpq_rerank(spark, sf_dir):
     )
 
 
+def _sql_mmr(k_final: int = 5, k_pool: int = 10, lam: int = 700) -> str:
+    """Unrolled MMR replica of functions/similarity.py mmr_diversify:
+    candidate pool + pairwise micro-sims once, then k_final greedy
+    rounds, each an anti-join against the previous selection, a
+    max-sim agg over it, and the same integer argmax (λ·rel −
+    (1−λ)·max_sim, ties to the lowest id)."""
+    mu = 1000 - lam
+    blocks = [
+        f"""sel1 AS MATERIALIZED (
+        SELECT query_id, 1 AS pick_rank, nbr_id,
+               rel * {lam} AS mmr_score_nano
+        FROM (
+            SELECT query_id, nbr_id, rel, row_number() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, nbr_id
+            ) AS rn FROM cand
+        ) WHERE rn = 1
+    )"""
+    ]
+    for r in range(2, k_final + 1):
+        prev = f"sel{r - 1}"
+        blocks.append(f"""pick{r} AS (
+        SELECT query_id, {r} AS pick_rank, nbr_id,
+               score AS mmr_score_nano
+        FROM (
+            SELECT query_id, nbr_id, score, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, nbr_id
+            ) AS rn
+            FROM (
+                SELECT c.query_id, c.nbr_id,
+                       c.rel * {lam} - max(p.sim) * {mu} AS score
+                FROM cand c
+                LEFT JOIN {prev} d
+                  ON d.query_id = c.query_id AND d.nbr_id = c.nbr_id
+                JOIN pair p
+                  ON p.query_id = c.query_id AND p.a = c.nbr_id
+                JOIN {prev} s
+                  ON s.query_id = p.query_id AND s.nbr_id = p.b
+                WHERE d.nbr_id IS NULL
+                GROUP BY c.query_id, c.nbr_id, c.rel
+            )
+        ) WHERE rn = 1
+    ), sel{r} AS MATERIALIZED (
+        SELECT * FROM {prev} UNION ALL SELECT * FROM pick{r}
+    )""")
+    cos = _sql_cosine("q.qv", "c.nv")
+    psim = _sql_cosine("ea.embedding", "eb.embedding")
+    return f"""
+    WITH cand AS MATERIALIZED (
+        SELECT query_id, nbr_id,
+               CAST(round(cosine * 1000000) AS BIGINT) AS rel
+        FROM (
+            SELECT q.query_id, c.nbr_id, {cos} AS cosine,
+                   row_number() OVER (
+                PARTITION BY q.query_id ORDER BY {cos} DESC, c.nbr_id
+            ) AS rank
+            FROM (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < 5) q,
+                 (SELECT vec_id AS nbr_id, embedding AS nv
+                  FROM embeddings) c
+            WHERE query_id <> nbr_id
+        ) WHERE rank <= {k_pool}
+    ), pair AS MATERIALIZED (
+        SELECT ca.query_id, ca.nbr_id AS a, cb.nbr_id AS b,
+               CAST(round({psim} * 1000000) AS BIGINT) AS sim
+        FROM cand ca
+        JOIN cand cb USING (query_id)
+        JOIN embeddings ea ON ea.vec_id = ca.nbr_id
+        JOIN embeddings eb ON eb.vec_id = cb.nbr_id
+        WHERE ca.nbr_id <> cb.nbr_id
+    ), {', '.join(blocks)}
+    SELECT query_id, CAST(pick_rank AS BIGINT) AS pick_rank, nbr_id,
+           CAST(mmr_score_nano AS BIGINT) AS mmr_score_nano
+    FROM sel{k_final}
+    """
+
+
+@register("ann_mmr_diversify", _sql_mmr(k_final=5, k_pool=10, lam=700))
+def ann_mmr_diversify(spark, sf_dir):
+    """Maximal Marginal Relevance diversification
+    (functions/similarity.py mmr_diversify — Carbonell & Goldstein
+    1998): the pass between retrieval and a RAG context window that
+    stops near-duplicate passages crowding out coverage — from each
+    query's 10 exact candidates, greedily pick 5 maximizing
+    λ·relevance − (1−λ)·max-sim-to-selected (λ = 0.7). Every greedy
+    round is an INTEGER argmax on micro-fixed cosines (ties to the
+    lowest id), so the selection is bit-identical cross-engine and
+    the oracle unrolls the same 5 rounds. Scale: candidates from the
+    brute-force path (queries broadcast, corpus unshuffled); the
+    pairwise frame is k_pool² rows per query — bounded by the
+    evaluated queries, never the corpus; each round is one
+    query-keyed agg + one ≤k_pool-row argmax window."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    return sim.mmr_diversify(emb, qs, k_final=5, k_pool=10)
+
+
 @register(
     "ann_matryoshka_recall",
     f"""

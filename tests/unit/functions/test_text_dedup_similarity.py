@@ -2188,3 +2188,66 @@ def test_kn_trigram_matches_python_replica(spark):
     again = {r["doc_id"]: (r["n_trigrams"], r["bits_milli"])
              for r in kn_trigram_score(df.repartition(5)).collect()}
     assert again == got
+
+
+def test_mmr_diversify_prefers_coverage(spark):
+    """Hand-built case: the query's two most-relevant candidates are
+    near-clones of each other; a slightly less relevant but DIVERSE
+    candidate exists. Pure relevance ranks the clone second; MMR at
+    lambda=0.4 must demote it behind the diverse pick (on the unit
+    sphere a perfect clone of the top pick survives lambda >= 0.5 —
+    the 0.6 diversity weight is what makes demotion provable by
+    hand). Plus a
+    Python greedy replica over the micro-fixed integers and a
+    repartition-invariance rerun."""
+    import math
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),        # the query
+        (1, [0.9, 0.1, 0.0, 0.0]),        # most relevant
+        (2, [0.9, 0.1, 0.001, 0.0]),      # its near-clone
+        (3, [0.6, -0.8, 0.0, 0.0]),       # diverse, lower relevance
+        (4, [0.5, 0.86, 0.0, 0.0]),       # filler
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = df.filter("vec_id = 0")
+    got = {
+        r["pick_rank"]: r["nbr_id"]
+        for r in similarity.mmr_diversify(
+            df, qs, k_final=3, k_pool=4, lambda_milli=400
+        ).collect()
+    }
+    # relevance order is 1, 2, 4, 3 — but 2 is 1's clone, so MMR
+    # picks the diverse 3 (and then 4) before it
+    assert got[1] == 1
+    assert got[2] != 2
+    # python replica of the integer greedy
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            round(d / (math.sqrt(sum(x * x for x in a))
+                       * math.sqrt(sum(x * x for x in b))), 6) * 1e6
+        )
+    vecs = dict(rows)
+    rel = {i: cos(vecs[0], vecs[i]) for i in (1, 2, 3, 4)}
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:4]
+    sel = [max(pool, key=lambda i: (rel[i] * 400, -i))]
+    for _ in range(2):
+        rest = [i for i in pool if i not in sel]
+        sel.append(max(
+            rest,
+            key=lambda i: (
+                rel[i] * 400
+                - max(cos(vecs[i], vecs[j]) for j in sel) * 600,
+                -i,
+            ),
+        ))
+    assert [got[r] for r in (1, 2, 3)] == sel
+    again = {
+        r["pick_rank"]: r["nbr_id"]
+        for r in similarity.mmr_diversify(
+            df.repartition(5), qs, k_final=3, k_pool=4,
+            lambda_milli=400,
+        ).collect()
+    }
+    assert again == got
