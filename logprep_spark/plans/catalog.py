@@ -144,8 +144,13 @@ def register(name: str, oracle: str | None = None):
 #     split_leakage_free, ann_ivfpq_rerank — all local hash-PASS in
 #     the committed r9 ledger, 16 judge-re-verified), then 31 of the
 #     48 remaining r5-checked rows (r5 window order, oldest first).
-#   r11 window: the r10-new rows first (pipeline_pretrain_v3,
-#     graph_lpa_modularity, ...), then the 17 r5-checked rows left
+#   r11 window: the 7 r10-new rows first (pipeline_pretrain_v3,
+#     graph_lpa_modularity, ann_matryoshka_recall, ann_int8_recall,
+#     corpus_mix_allocate, text_kn_trigram, ann_mmr_diversify — all
+#     local hash-PASS in the committed r10 ledger; graph_bfs_hops'
+#     r10 row already gates the n_rounds_run witness — the schema
+#     changed before the r10 driver ran), then the 17 r5-checked
+#     rows left
 #     over from r10 (text_tfidf, window_topk_orders, proc_geoip_v6,
 #     ann_recall_ivf, ann_recall_lsh_multiprobe, text_gopher,
 #     dedup_lines, text_url_canonical, split_stratified_sample,
