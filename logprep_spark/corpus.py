@@ -287,17 +287,71 @@ def _step_decontaminate(
     no false negatives, so no exact-overlap doc ever leaks into
     training; the collateral is fp-bounded by the filter sizing. The
     filter broadcasts; the corpus is never shuffled and the benchmark
-    text is never re-read (the position frame IS the artifact)."""
+    text is never re-read (the position frame IS the artifact). On a
+    STREAMING frame the same gate runs as a pure narrow expression
+    (the anti-join shape is illegal there): the position frame folds
+    into a bitmap literal and an exists() lambda probes it in-row —
+    no join, no state, append-safe; batch/stream parity is
+    pytest-gated."""
     from logprep_spark.functions import sketch as sk
 
     bits = df.sparkSession.read.parquet(path).select("pos")
-    wh = dd.window_hashes(df, k, text_col, id_col).distinct()
-    hits = (
-        sk.bloom_suppress(wh, bits, "window_hash", m=m, j=j, keep_hits=True)
-        .select(id_col)
-        .distinct()
+    if not df.isStreaming:
+        wh = dd.window_hashes(df, k, text_col, id_col).distinct()
+        hits = (
+            sk.bloom_suppress(
+                wh, bits, "window_hash", m=m, j=j, keep_hits=True
+            )
+            .select(id_col)
+            .distinct()
+        )
+        return df.join(hits, id_col, "left_anti")
+    # STREAMING path: the anti-join shape above is illegal on a
+    # stream (left-anti with a stream-derived right side), so the
+    # position frame folds into a BITMAP LITERAL instead — a bounded
+    # driver fetch (<= m rows; the filter IS a model, the centroid
+    # precedent) — and the gate becomes a PURE NARROW expression:
+    # per row, the k-token windows stay inside an array column and
+    # an exists() lambda probes all j bit positions against the
+    # literal. No join, no shuffle, no state — append-mode-safe,
+    # and incidentally the shape a 100 TB batch gate would also
+    # prefer once the filter fits a literal (m/32 longs of plan).
+    from logprep_spark.functions.dedup import h60
+    from logprep_spark.functions.text import tokens
+
+    words32 = [0] * ((m + 31) // 32)
+    for r in bits.collect():
+        words32[r["pos"] // 32] |= 1 << (r["pos"] % 32)
+    bm = F.array(*[F.lit(w).cast("long") for w in words32])
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
-    return df.join(hits, id_col, "left_anti")
+
+    def bit_set(i: int, w):
+        pos = F.pmod(
+            h60(F.concat(F.lit(f"{i}:"), h60(w).cast("string"))),
+            F.lit(m),
+        )
+        word = F.element_at(
+            bm, (F.floor(pos / 32) + 1).cast("int")
+        )
+        mask = F.element_at(pow2, F.pmod(pos, 32).cast("int") + 1)
+        return word.bitwiseAND(mask) != 0
+
+    import functools
+    import operator
+
+    hit = F.exists(
+        wins,
+        lambda w: functools.reduce(
+            operator.and_, [bit_set(i, w) for i in range(j)]
+        ),
+    )
+    return df.filter(~hit)
 
 
 def _step_leakage_split(

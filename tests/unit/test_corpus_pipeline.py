@@ -387,3 +387,59 @@ pipeline:
         ).collect()
     }
     assert got == want
+
+
+def test_decontaminate_step_batch_stream_parity(spark, tmp_path):
+    """The stored-Bloom decontaminate step is a broadcast-join gate
+    (narrow against the stream side), so it runs UNCHANGED on a
+    Structured-Streaming frame and keeps exactly the docs the batch
+    run keeps — the suppression-list architecture live at ingest
+    time: the filter artifact is read once, the stream is never
+    shuffled, and Bloom's no-false-negative guarantee means a listed
+    13-gram can never slip into the live corpus."""
+    import json as _json
+
+    from logprep_spark.functions import dedup as dd
+    from logprep_spark.functions import sketch as sk
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta " * 5)], ["doc_id", "text"]
+    )
+    bloom_path = str(tmp_path / "bloom")
+    sk.bloom_bits(
+        dd.window_hashes(bench, 4).select("window_hash").distinct(),
+        "window_hash", m=4096, j=3,
+    ).write.parquet(bloom_path)
+
+    docs = [
+        {"doc_id": 1, "text": "alpha beta gamma delta echoed verbatim"},
+        {"doc_id": 2, "text": "entirely unrelated clean document text"},
+    ]
+    p = CorpusPipeline(
+        [{"op": "decontaminate", "path": bloom_path, "k": 4, "m": 4096}]
+    )
+    batch = p.transform(
+        spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in docs], ["doc_id", "text"]
+        )
+    )
+    assert [r["doc_id"] for r in batch.collect()] == [2]
+
+    d = tmp_path / "stream-in"
+    d.mkdir()
+    (d / "b0.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in docs) + "\n"
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(d))
+    q = (
+        p.transform(stream)
+        .writeStream.format("memory")
+        .queryName("decontam_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = [r["doc_id"] for r in
+           spark.sql("SELECT doc_id FROM decontam_stream_out").collect()]
+    assert got == [2]
