@@ -2465,6 +2465,91 @@ def km_survival(
     )
 
 
+def mann_kendall_trend(
+    series: DataFrame,
+    group_col: str,
+    period_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend TEST per group (Mann 1945;
+    Kendall 1975) — Theil-Sen's significance twin (theil_sen_trend
+    gives the robust slope MAGNITUDE; this answers whether a
+    monotonic trend exists at all, distribution-free — the pairing
+    every hydrology/ops-monitoring handbook prescribes):
+    S = Σ_{i<j} sign(y_j − y_i), and the tie-corrected variance
+    18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) over tie groups of
+    size t, with the continuity-corrected normal approximation
+    z = (S − sign(S)) / √Var.
+
+    Exactness: S and 18·Var are EXACT integers (in-array pair signs
+    and tie multiplicities — no float until the final z, whose one
+    double chain on exact ints is identical cross-engine and rounds
+    to milli). ``trend`` calls it at the 5% two-sided level
+    (|z| ≥ 1.96). All-tied series (Var = 0) read z = 0 / no_trend
+    rather than dividing by zero.
+
+    Catalyst shape: the theil_sen array discipline — one sorted
+    collect per group, then the n(n−1)/2 pair signs, tie counts, and
+    the z all inside ONE projection; pre-aggregate multi-year series
+    to weeks before folding. Returns
+    (group, n_periods, s_stat, var_s18, z_milli, trend)."""
+    arr = series.groupBy(group_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(period_col), F.col(y_col)))
+        ).alias("_s")
+    ).select(
+        group_col,
+        F.expr(f"transform(_s, q -> CAST(q.{y_col} AS BIGINT))").alias(
+            "_ys"
+        ),
+    ).select(
+        group_col, "_ys", F.size("_ys").cast("long").alias("_n")
+    ).filter(F.col("_n") >= 2)
+    s_expr = (
+        "aggregate(flatten(transform(sequence(1, CAST(_n - 1 AS INT)),"
+        " i -> transform(sequence(i + 1, CAST(_n AS INT)),"
+        " j -> CASE WHEN element_at(_ys, j) > element_at(_ys, i)"
+        " THEN 1 WHEN element_at(_ys, j) < element_at(_ys, i)"
+        " THEN -1 ELSE 0 END))),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    ties = (
+        "aggregate(transform(array_distinct(_ys),"
+        " v -> CAST(size(filter(_ys, y -> y = v)) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (a, t) -> a + t * (t - 1) * (2 * t + 5))"
+    )
+    staged = arr.select(
+        group_col,
+        F.col("_n").alias("n_periods"),
+        F.expr(s_expr).alias("s_stat"),
+        (
+            F.col("_n") * (F.col("_n") - 1) * (2 * F.col("_n") + 5)
+            - F.expr(ties)
+        ).alias("var_s18"),
+    )
+    cc = (
+        "CASE WHEN s_stat > 0 THEN s_stat - 1"
+        " WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END"
+    )
+    z = (
+        f"CASE WHEN var_s18 <= 0 THEN CAST(0 AS BIGINT)"
+        f" ELSE CAST(round({cc} / sqrt(var_s18 / 18.0) * 1000)"
+        f" AS BIGINT) END"
+    )
+    return staged.select(
+        group_col,
+        "n_periods",
+        "s_stat",
+        "var_s18",
+        F.expr(z).alias("z_milli"),
+        F.expr(
+            f"CASE WHEN {z} >= 1960 THEN 'increasing'"
+            f" WHEN {z} <= -1960 THEN 'decreasing'"
+            " ELSE 'no_trend' END"
+        ).alias("trend"),
+    )
+
+
 def theil_sen_trend(
     series: DataFrame,
     group_col: str,

@@ -12784,6 +12784,71 @@ def embed_all_but_top(spark, sf_dir):
 
 
 @register(
+    "events_mann_kendall",
+    """
+    WITH series AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), arr AS (
+        SELECT event_type, list(y ORDER BY d) AS ys,
+               CAST(len(list(y)) AS BIGINT) AS n
+        FROM series GROUP BY 1
+    ), staged AS (
+        SELECT event_type, n AS n_periods,
+               CAST(list_sum(flatten(
+                   [[CASE WHEN ys[j] > ys[i] THEN 1
+                          WHEN ys[j] < ys[i] THEN -1 ELSE 0 END
+                     for j in range(i + 1, n + 1)]
+                    for i in range(1, n + 1)])) AS BIGINT) AS s_stat,
+               n * (n - 1) * (2 * n + 5)
+               - CAST(list_sum(list_transform(list_distinct(ys),
+                     v -> CAST(len(list_filter(ys, y -> y = v)) AS BIGINT)
+                          * (len(list_filter(ys, y -> y = v)) - 1)
+                          * (2 * len(list_filter(ys, y -> y = v)) + 5)))
+                 AS BIGINT) AS var_s18
+        FROM arr WHERE n >= 2
+    )
+    SELECT event_type, n_periods, s_stat, var_s18,
+           CASE WHEN var_s18 <= 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(round((CASE WHEN s_stat > 0 THEN s_stat - 1
+                                      WHEN s_stat < 0 THEN s_stat + 1
+                                      ELSE 0 END)
+                          / sqrt(var_s18 / 18.0) * 1000) AS BIGINT)
+           END AS z_milli,
+           CASE WHEN var_s18 > 0
+                 AND round((CASE WHEN s_stat > 0 THEN s_stat - 1
+                                 WHEN s_stat < 0 THEN s_stat + 1
+                                 ELSE 0 END)
+                           / sqrt(var_s18 / 18.0) * 1000) >= 1960
+                THEN 'increasing'
+                WHEN var_s18 > 0
+                 AND round((CASE WHEN s_stat > 0 THEN s_stat - 1
+                                 WHEN s_stat < 0 THEN s_stat + 1
+                                 ELSE 0 END)
+                           / sqrt(var_s18 / 18.0) * 1000) <= -1960
+                THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM staged
+    """,
+)
+def events_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotonic-trend test per event type
+    (plans/analytics.py mann_kendall_trend — Mann 1945/Kendall 1975,
+    Theil-Sen's significance twin): S and the tie-corrected 18·Var(S)
+    as exact in-array integers over the daily-count series (counts,
+    not milli means, deliberately — integer ties occur, so the tie
+    correction is EXERCISED, not decorative), continuity-corrected
+    z at the end. Same one-projection array discipline as
+    events_theilsen_trend."""
+    ev = tables(spark, sf_dir)["events"]
+    series = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return an.mann_kendall_trend(series, "event_type", "d", "y")
+
+
+@register(
     "events_theilsen_trend",
     """
     WITH series AS (

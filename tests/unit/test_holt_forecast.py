@@ -605,3 +605,44 @@ def test_did_separates_preexisting_gap(spark):
     ).collect()[0]
     assert wide["did"] == 7_000
     assert wide["naive"] == 107_000
+
+
+def test_mann_kendall_hand_computed(spark):
+    """Hand-computed Mann-Kendall: a strictly increasing 10-period
+    series has S = 45 (all pairs concordant), untied 18*Var =
+    10*9*25 = 2250, z = 44/sqrt(125) = 3.935 -> 'increasing'; its
+    mirror is 'decreasing'; an all-tied series has Var = 0 and
+    honestly reads z = 0 / no_trend instead of dividing by zero; and
+    a tied series's var_s18 carries the exact Kendall tie correction
+    (two pairs tied -> minus 2 * 2*1*9 = 36)."""
+    from logprep_spark.plans.analytics import mann_kendall_trend
+
+    rows = (
+        [("up", i, i * 10) for i in range(1, 11)]
+        + [("down", i, 200 - i * 10) for i in range(1, 11)]
+        + [("flat", i, 7) for i in range(1, 11)]
+        + [("tied", 1, 1), ("tied", 2, 1), ("tied", 3, 2),
+           ("tied", 4, 2), ("tied", 5, 3)]
+    )
+    df = spark.createDataFrame(rows, ["g", "p", "y"])
+    got = {r["g"]: r for r in
+           mann_kendall_trend(df, "g", "p", "y").collect()}
+    up = got["up"]
+    assert up["s_stat"] == 45 and up["var_s18"] == 2250
+    assert up["z_milli"] == 3935  # 44 / sqrt(125) = 3.9353
+    assert up["trend"] == "increasing"
+    down = got["down"]
+    assert down["s_stat"] == -45 and down["trend"] == "decreasing"
+    assert down["z_milli"] == -3935
+    flat = got["flat"]
+    assert flat["s_stat"] == 0 and flat["var_s18"] == 0
+    assert flat["z_milli"] == 0 and flat["trend"] == "no_trend"
+    tied = got["tied"]
+    # S: pairs (i<j): concordant 8, tied 2 -> S = 8
+    assert tied["s_stat"] == 8
+    # 18Var = 5*4*15 - 2*(2*1*9) = 300 - 36 = 264
+    assert tied["var_s18"] == 264
+    # deterministic under repartitioning
+    again = {r["g"]: tuple(r) for r in
+             mann_kendall_trend(df.repartition(7), "g", "p", "y").collect()}
+    assert again == {k: tuple(v) for k, v in got.items()}
