@@ -256,6 +256,127 @@ def hll_audience_overlap(
 #: integer H_MAX twin of the float one for exact-mode theta sketches
 _H_MAX_LONG = 1 << 60
 
+#: deterministic-HLL defaults: p=9 -> m=512 registers, rsd ~ 4.6%
+HLL_OWN_P = 9
+
+
+def _hll_alpha_m2(p: int) -> float:
+    """alpha_m * m**2 for the Flajolet et al. 2007 estimator, as a
+    Python double embedded as the SAME literal in Spark and SQL."""
+    m = 1 << p
+    return (0.7213 / (1.0 + 1.079 / m)) * m * m
+
+
+def hll_register_slices(
+    df: DataFrame,
+    slice_col: str,
+    value_col: str,
+    p: int = HLL_OWN_P,
+) -> DataFrame:
+    """Per-slice DETERMINISTIC HyperLogLog registers (Flajolet et al.
+    2007) — the md5 counterpart of the engine HLL++ rows: Spark's
+    builtin sketch (sketch_hll_distinct) can only gate a tolerance
+    witness because its seed/width are engine-specific; THESE
+    registers are pure integer arithmetic on the shared h60 hash
+    (top p bits -> register index, rank of the leading 1 in the
+    remaining 60−p bits -> rho, computed EXACTLY via
+    length(bin(w)) — both engines' ``bin`` renders minimal binary
+    digits), so the registers AND the estimate hash-compare
+    bit-for-bit cross-engine.
+
+    Mergeable the HLL way: registers from disjoint row sets (or late
+    batches) merge by per-register MAX — the same shape
+    :func:`hll_own_union_range` exercises across a slice range.
+    Returns (slice, reg, rho) — at most m rows per slice, O(slices·m)
+    total however large the input: the map-side partial agg collapses
+    every partition to ≤ m rows before the one tiny shuffle."""
+    hb = 60 - p
+    h = h60(F.col(value_col).cast("string"))
+    staged = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(slice_col),
+        F.shiftright(h, hb).cast("int").alias("reg"),
+        F.pmod(h, F.lit(1 << hb)).alias("_w"),
+    )
+    rho = F.expr(
+        f"CASE WHEN _w = 0 THEN {hb + 1}"
+        f" ELSE {hb} - (length(bin(_w)) - 1) END"
+    ).cast("int")
+    return (
+        staged.select(slice_col, "reg", rho.alias("_rho"))
+        .groupBy(slice_col, "reg")
+        .agg(F.max("_rho").alias("rho"))
+    )
+
+
+def hll_own_union_range(
+    regs: DataFrame,
+    slice_col: str,
+    lo,
+    hi,
+    p: int = HLL_OWN_P,
+) -> DataFrame:
+    """Ad-hoc range distinct-count from stored deterministic-HLL
+    registers alone: merge the [lo, hi] slices by per-register MAX,
+    then the Flajolet estimator — raw harmonic mean over all m
+    registers with Σ 2^(−rho) carried EXACTLY (each term as
+    2^(62−rho) in DECIMAL(38,0) — a double sum of dyadics is
+    order-dependent, an integer sum is not), absent registers
+    contributing 2^62 (rho = 0), and the small-range linear-counting
+    regime (V zero registers, E ≤ 2.5m) via log2·ln2 with the SAME
+    literal constants in both engines. The one double division and
+    the log2 are fixed-structure IEEE ops on exact integers, so the
+    ESTIMATE itself hash-gates — the claim the engine-HLL rows could
+    not make. Returns (n_slices, n_regs_present, v_zero,
+    est_distinct)."""
+    m = 1 << p
+    am2 = repr(_hll_alpha_m2(p))
+    sel = regs.filter(
+        (F.col(slice_col) >= lo) & (F.col(slice_col) <= hi)
+    )
+    ns = sel.agg(
+        F.count_distinct(slice_col).cast("long").alias("n_slices")
+    )
+    merged = sel.groupBy("reg").agg(F.max("rho").alias("rho"))
+    agg = merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs_present"),
+        F.sum(
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(62 - rho AS INT)) AS DECIMAL(38,0))"
+            )
+        ).alias("_zp"),
+    )
+    est = (
+        f"CASE WHEN v_zero > 0 AND ({am2} * 4.611686018427387904e18"
+        f" / CAST(_z AS DOUBLE)) <= {2.5 * m}"
+        f" THEN round({float(m)} * log2({float(m)} / v_zero)"
+        f" * 0.6931471805599453, 2)"
+        f" ELSE round({am2} * 4.611686018427387904e18"
+        f" / CAST(_z AS DOUBLE), 2) END"
+    )
+    return (
+        agg.select(
+            "n_regs_present",
+            (F.lit(m) - F.col("n_regs_present")).cast("long").alias(
+                "v_zero"
+            ),
+            (
+                F.col("_zp")
+                + (F.lit(m) - F.col("n_regs_present")).cast(
+                    "decimal(38,0)"
+                )
+                * F.lit(1 << 62).cast("decimal(38,0)")
+            ).alias("_z"),
+        )
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "n_slices",
+            "n_regs_present",
+            "v_zero",
+            F.expr(est).alias("est_distinct"),
+        )
+    )
+
 
 def theta_sketch_slices(
     df: DataFrame,

@@ -9808,6 +9808,109 @@ def sketch_theta_union_range(spark, sf_dir):
     )
 
 
+_HLL_AM2 = repr(sk._hll_alpha_m2(sk.HLL_OWN_P))
+
+
+@register(
+    "sketch_hll_own_range",
+    f"""
+    WITH hv AS (
+        SELECT CAST(ts AS DATE) AS slice,
+               {_sql_h60('user_id::VARCHAR')} AS h
+        FROM events WHERE user_id IS NOT NULL
+    ), regs AS (
+        SELECT slice, CAST(h // {1 << 51} AS INT) AS reg,
+               CAST(max(CASE WHEN h % {1 << 51} = 0 THEN 52
+                        ELSE 51 - (length(bin(h % {1 << 51})) - 1)
+                        END) AS INT) AS rho
+        FROM hv GROUP BY 1, 2
+    ), sel AS (
+        SELECT * FROM regs
+        WHERE slice >= DATE '2024-01-15' AND slice <= DATE '2024-01-21'
+    ), ns AS (
+        SELECT CAST(count(DISTINCT slice) AS BIGINT) AS n_slices FROM sel
+    ), merged AS (
+        SELECT reg, max(rho) AS rho FROM sel GROUP BY reg
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_regs_present,
+               CAST(sum(CAST((1::BIGINT << (62 - rho)) AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS zp
+        FROM merged
+    ), staged AS (
+        SELECT n_regs_present,
+               CAST(512 - n_regs_present AS BIGINT) AS v_zero,
+               zp + CAST(512 - n_regs_present AS DECIMAL(38,0))
+                    * CAST({1 << 62} AS DECIMAL(38,0)) AS z
+        FROM agg
+    ), estimated AS (
+        SELECT n_regs_present, v_zero,
+               CASE WHEN v_zero > 0
+                     AND ({_HLL_AM2} * 4.611686018427387904e18
+                          / CAST(z AS DOUBLE)) <= 1280.0
+                    THEN round(512.0 * log2(512.0 / v_zero)
+                               * 0.6931471805599453, 2)
+                    ELSE round({_HLL_AM2} * 4.611686018427387904e18
+                               / CAST(z AS DOUBLE), 2)
+               END AS est_distinct
+        FROM staged
+    ), exact AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND ts >= '2024-01-15' AND ts < '2024-01-22'
+    )
+    SELECT ns.n_slices, e.n_regs_present, e.v_zero, e.est_distinct,
+           x.exact_distinct,
+           CAST(floor(1000.0 * abs(e.est_distinct - x.exact_distinct)
+                / greatest(x.exact_distinct, 1)) AS BIGINT) AS err_milli
+    FROM estimated e, exact x, ns
+    """,
+)
+def sketch_hll_own_range(spark, sf_dir):
+    """DETERMINISTIC HyperLogLog over an ad-hoc slice range
+    (functions/sketch.py hll_register_slices + hll_own_union_range —
+    Flajolet et al. 2007 on the shared md5 h60 hash): per-day
+    registers of distinct users merge by per-register MAX across the
+    selected week, and the ESTIMATE ITSELF hash-gates bit-for-bit —
+    the claim the engine-HLL rows (sketch_hll_distinct/mergeable)
+    structurally cannot make, closing that caveat with an in-repo
+    HLL: rho is exact integer arithmetic (length(bin(w)) — minimal
+    binary digits in both engines), Σ2^(−rho) is carried as exact
+    2^(62−rho) integers in DECIMAL(38,0) (a double sum of dyadics is
+    order-dependent; an integer sum is not), and the one double
+    division + the linear-counting log2 are fixed-structure IEEE ops
+    on exact operands. The exact-count witness and err_milli ride
+    in-row (m=512 -> rsd ~4.6%). Scale: registers collapse map-side
+    to ≤ m rows per slice before the one tiny shuffle; the range
+    merge reads O(slices·m) rows, never raw data."""
+    events = tables(spark, sf_dir)["events"]
+    day = events.withColumn("_day", F.to_date("ts"))
+    regs = sk.hll_register_slices(day, "_day", "user_id")
+    est = sk.hll_own_union_range(
+        regs, "_day", F.lit("2024-01-15").cast("date"),
+        F.lit("2024-01-21").cast("date"),
+    )
+    exact = events.filter(
+        F.col("user_id").isNotNull()
+        & (F.col("ts") >= F.lit("2024-01-15"))
+        & (F.col("ts") < F.lit("2024-01-22"))
+    ).agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_slices",
+        "n_regs_present",
+        "v_zero",
+        "est_distinct",
+        "exact_distinct",
+        F.floor(
+            F.lit(1000.0)
+            * F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.greatest(F.col("exact_distinct"), F.lit(1))
+        )
+        .cast("long")
+        .alias("err_milli"),
+    )
+
+
 @register(
     "sketch_theta_stored_range",
     f"""

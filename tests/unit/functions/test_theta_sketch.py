@@ -296,3 +296,51 @@ def test_retention_matrix_estimate_mode_replica_and_accuracy(spark):
     assert r.exact_cohort == 300 and r.exact_both == 150
     import math
     assert abs(r.est_both - 150) / 150 < 3 / math.sqrt(k - 1)
+
+
+def test_hll_own_registers_merge_and_both_regimes(spark):
+    """Deterministic HLL (m=512): (1) per-register MAX merge of two
+    disjoint batches equals the registers of the union — the HLL
+    mergeability law, bit-exact here because registers are pure h60
+    integer arithmetic; (2) the small-range (linear counting) regime
+    reads near-exact at tiny cardinality; (3) the raw-estimator
+    regime (E > 2.5m, v_zero shrinking) stays within ~3 rsd of a 5000
+    true distinct; (4) repartition invariance."""
+    from logprep_spark.functions.sketch import (
+        hll_own_union_range,
+        hll_register_slices,
+    )
+
+    big = spark.createDataFrame(
+        [("d1", f"u{i}") for i in range(5000)], ["s", "v"]
+    )
+    small = spark.createDataFrame(
+        [("d1", f"u{i}") for i in range(40)], ["s", "v"]
+    )
+    # regime 2: tiny cardinality -> linear counting, near exact
+    (r_small,) = hll_own_union_range(
+        hll_register_slices(small, "s", "v"), "s", "d1", "d1"
+    ).collect()
+    assert r_small["v_zero"] > 0
+    assert abs(r_small["est_distinct"] - 40) <= 4
+    # regime 3: 5000 distinct over 512 registers -> raw estimator
+    (r_big,) = hll_own_union_range(
+        hll_register_slices(big, "s", "v"), "s", "d1", "d1"
+    ).collect()
+    assert abs(r_big["est_distinct"] - 5000) / 5000 <= 3 * 1.04 / (512 ** 0.5)
+    # (1) merge law: two disjoint halves, registers max-merged via
+    # the range union, equal the all-at-once build's estimate
+    halves = spark.createDataFrame(
+        [("a" if i % 2 == 0 else "b", f"u{i}") for i in range(5000)],
+        ["s", "v"],
+    )
+    (r_merged,) = hll_own_union_range(
+        hll_register_slices(halves, "s", "v"), "s", "a", "b"
+    ).collect()
+    assert r_merged["est_distinct"] == r_big["est_distinct"]
+    assert r_merged["n_regs_present"] == r_big["n_regs_present"]
+    # (4) determinism under partitioning
+    (again,) = hll_own_union_range(
+        hll_register_slices(big.repartition(13), "s", "v"), "s", "d1", "d1"
+    ).collect()
+    assert tuple(again) == tuple(r_big)
