@@ -491,6 +491,84 @@ def minhash_dedup(
     )
 
 
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CROSS-SET fuzzy benchmark decontamination — the MinHash
+    variant of :func:`contamination_flags` (The Pile / GPT-3 ran
+    both): the exact 13-gram pass catches verbatim spans, THIS
+    catches paraphrase-grade contamination — a training doc that is
+    a near-duplicate of an eval doc without sharing a single
+    13-token window verbatim. Corpus bands join BENCHMARK bands
+    (cross-set, not self-join), candidates verify by true shingle
+    Jaccard, and every corpus doc with a verified match >= threshold
+    is flagged with its match count and best-matching eval doc.
+
+    Distributed shape: the benchmark side is tiny (eval sets), so
+    its band frame BROADCASTS — the corpus's band stream never
+    shuffles for candidate generation; verification left-semi-prunes
+    both sides to candidates before any shingle materializes (the
+    minhash_dedup discipline). Returns one row per flagged corpus
+    doc: (doc_id, n_bench_matches, best_jaccard, best_bench_id) —
+    best = highest Jaccard, ties to the lowest eval id
+    (deterministic)."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    cb = minhash_bands(corpus, text_col, id_col)
+    bb = minhash_bands(bench, text_col, id_col).select(
+        F.col(id_col).alias("_bench_id"), "band_id", "band_key"
+    )
+    cand = (
+        cb.join(F.broadcast(bb), ["band_id", "band_key"])
+        .select(F.col(id_col), F.col("_bench_id"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c_docs = corpus.join(cand.select(id_col), id_col, "left_semi")
+    b_docs = bench.join(
+        cand.select(F.col("_bench_id").alias(id_col)), id_col, "left_semi"
+    )
+    sh_c = shingle_arrays(c_docs, text_col, id_col).select(
+        F.col(id_col), F.col("sh").alias("_sh_c")
+    )
+    sh_b = shingle_arrays(b_docs, text_col, id_col).select(
+        F.col(id_col).alias("_bench_id"), F.col("sh").alias("_sh_b")
+    )
+    inter = F.size(F.array_intersect("_sh_c", "_sh_b"))
+    union = F.size(F.array_union("_sh_c", "_sh_b"))
+    ver = (
+        cand.join(sh_c, id_col)
+        .join(F.broadcast(sh_b), "_bench_id")
+        .select(
+            id_col,
+            "_bench_id",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias(
+                "_jaccard"
+            ),
+        )
+        .filter(F.col("_jaccard") >= threshold)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_jaccard").desc(), F.col("_bench_id").asc()
+    )
+    return (
+        ver.withColumn("_rn", F.row_number().over(w))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_matches"),
+            F.max("_jaccard").alias("best_jaccard"),
+            F.min(
+                F.when(F.col("_rn") == 1, F.col("_bench_id"))
+            ).alias("best_bench_id"),
+        )
+    )
+
+
 # --- SimHash -----------------------------------------------------------
 
 

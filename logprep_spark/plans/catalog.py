@@ -144,9 +144,10 @@ def register(name: str, oracle: str | None = None):
 #     split_leakage_free, ann_ivfpq_rerank — all local hash-PASS in
 #     the committed r9 ledger, 16 judge-re-verified), then 31 of the
 #     48 remaining r5-checked rows (r5 window order, oldest first).
-#   r11 window: the 7 r10-new rows first (pipeline_pretrain_v3,
+#   r11 window: the 9 r10-new rows first (pipeline_pretrain_v3,
 #     graph_lpa_modularity, ann_matryoshka_recall, ann_int8_recall,
-#     corpus_mix_allocate, text_kn_trigram, ann_mmr_diversify — all
+#     corpus_mix_allocate, text_kn_trigram, ann_mmr_diversify,
+#     events_mann_kendall, sketch_hll_own_range — all
 #     local hash-PASS in the committed r10 ledger; graph_bfs_hops'
 #     r10 row already gates the n_rounds_run witness — the schema
 #     changed before the r10 driver ran), then the 17 r5-checked
@@ -3454,6 +3455,39 @@ def _sql_pos_windows(k: int, where: str, src: str = "documents") -> str:
     """
 
 
+def _sql_bands_suffixed(source: str, sfx: str) -> str:
+    """One SIDE of a cross-set LSH join: the doc -> shingles ->
+    signature -> band chain of _sql_minhash_bands with suffixed CTE
+    names (sh{sfx}/sigs{sfx}/bands{sfx}) and no pair self-join —
+    composed twice by the fuzzy-decontamination oracle."""
+    sig_members = ", ".join(
+        f"list_min(list_transform(hb, h -> ({dd.PERM_A[i]} * h + {dd.PERM_B[i]}) "
+        f"% {dd.MERSENNE_P}))"
+        for i in range(dd.NUM_PERM)
+    )
+    band_selects = []
+    for b in range(dd.NUM_BANDS):
+        parts = " || '-' || ".join(
+            f"sig[{b * dd.BAND_ROWS + r + 1}]::varchar"
+            for r in range(dd.BAND_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({parts}) AS band_key"
+            f" FROM sigs{sfx}"
+        )
+    bands_union = " UNION ALL ".join(band_selects)
+    return f"""
+    sh{sfx} AS (
+        SELECT doc_id, {_sql_shingles()} AS shingles FROM {source}
+    ), sigs{sfx} AS (
+        SELECT doc_id, [{sig_members}] AS sig
+        FROM (SELECT doc_id, list_transform(shingles,
+                  s -> {_sql_h60('s')} % {dd.MERSENNE_P}) AS hb FROM sh{sfx})
+    ), bands{sfx} AS (
+        {bands_union}
+    )"""
+
+
 @register(
     "dedup_contamination",
     f"""
@@ -3475,6 +3509,8 @@ def dedup_contamination(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return dd.contamination_flags(corpus, bench, k=13)
+
+
 
 
 @register(
@@ -3592,6 +3628,56 @@ _SQL_JACCARD = """
     round(len(list_intersect(sa.shingles, sb.shingles))
           / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1), 6)
 """
+
+
+
+
+@register(
+    "dedup_fuzzy_decontaminate",
+    f"""
+    WITH corpus AS (
+        SELECT * FROM documents WHERE doc_id % 5 <> 0
+    ), benchd AS (
+        SELECT * FROM documents WHERE doc_id % 5 = 0
+    ), {_sql_bands_suffixed("corpus", "c")}, {_sql_bands_suffixed("benchd", "b")}, cand AS (
+        SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id
+        FROM bandsc c JOIN bandsb b USING (band_id, band_key)
+    ), ver AS (
+        SELECT cand.doc_id, cand.bench_id, {_SQL_JACCARD} AS jaccard
+        FROM cand
+        JOIN shc sa ON sa.doc_id = cand.doc_id
+        JOIN shb sb ON sb.doc_id = cand.bench_id
+        WHERE {_SQL_JACCARD} >= 0.7
+    ), ranked AS (
+        SELECT doc_id, bench_id, jaccard, row_number() OVER (
+            PARTITION BY doc_id ORDER BY jaccard DESC, bench_id
+        ) AS rn
+        FROM ver
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bench_matches,
+           max(jaccard) AS best_jaccard,
+           CAST(min(CASE WHEN rn = 1 THEN bench_id END) AS BIGINT)
+               AS best_bench_id
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def dedup_fuzzy_decontaminate(spark, sf_dir):
+    """CROSS-SET fuzzy benchmark decontamination (functions/dedup.py
+    fuzzy_decontaminate — the MinHash variant of dedup_contamination;
+    The Pile / GPT-3 ran both passes): corpus LSH bands join the
+    BENCHMARK's bands (cross-set, benchmark side broadcast — the
+    corpus band stream never shuffles for candidates), true shingle
+    Jaccard verifies, and every training doc that is a near-duplicate
+    of an eval doc WITHOUT sharing a verbatim 13-gram is flagged with
+    its match count and best-matching eval doc (ties to the lowest
+    eval id). Verification left-semi-prunes both sides to candidates
+    first — at 100 TB the expensive intersect/union only ever touches
+    candidate text."""
+    docs = tables(spark, sf_dir)["documents"]
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return dd.fuzzy_decontaminate(corpus, bench, threshold=0.7)
 
 
 @register(

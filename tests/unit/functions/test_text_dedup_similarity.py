@@ -2251,3 +2251,42 @@ def test_mmr_diversify_prefers_coverage(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_fuzzy_decontaminate_catches_reordered_eval_doc(spark):
+    """The complementarity claim, proven on one corpus: an eval doc
+    whose four 12-token sentences are REORDERED in a training doc
+    shares zero verbatim 13-grams (max identical run = 12), so the
+    exact-window pass (contamination_flags, k=13) finds NOTHING —
+    while shingle Jaccard stays high (within-sentence 3-shingles all
+    survive: 40 of 52 union -> 0.769) and fuzzy_decontaminate flags
+    it. Corpus-internal near-dups must NOT be flagged (cross-set
+    only), and the readout is repartition-invariant."""
+    from logprep_spark.functions.dedup import (
+        contamination_flags,
+        fuzzy_decontaminate,
+    )
+
+    s = [
+        " ".join(f"w{i}{j}" for j in range(12)) for i in range(4)
+    ]  # four 12-token sentences, all tokens distinct
+    bench = spark.createDataFrame(
+        [(100, f"{s[0]} {s[1]} {s[2]} {s[3]}")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, f"{s[2]} {s[0]} {s[3]} {s[1]}"),   # reordered eval doc
+            (2, "totally unrelated words only here"),
+            (3, "totally unrelated words only here"),  # corpus-internal dup
+        ],
+        ["doc_id", "text"],
+    )
+    assert contamination_flags(corpus, bench, k=13).count() == 0
+    got = fuzzy_decontaminate(corpus, bench, threshold=0.7).collect()
+    assert [(r["doc_id"], r["n_bench_matches"], r["best_bench_id"])
+            for r in got] == [(1, 1, 100)]
+    assert abs(got[0]["best_jaccard"] - 40 / 52) < 1e-6
+    again = fuzzy_decontaminate(
+        corpus.repartition(5), bench, threshold=0.7
+    ).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
