@@ -268,6 +268,78 @@ def mix_allocate(
     )
 
 
+def mix_materialize(
+    df: DataFrame,
+    alloc: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mx",
+) -> DataFrame:
+    """Materialize a token allocation into per-doc COPY COUNTS — the
+    "write the training set" step that closes the mixing arc
+    (mix_weights → mix_allocate → THIS): each domain repeats every
+    doc ``allocated div n_tokens`` times (the full epochs) and grants
+    ONE extra copy to the deterministic salted-hash-ordered prefix
+    whose running token sum covers the remainder (the
+    domain_token_sampling boundary convention: a doc joins the
+    partial epoch iff its tokens START before the remainder budget —
+    so the materialized total can overshoot by at most one document,
+    never undershoot by more than the boundary doc).
+
+    ``alloc`` is the mix_allocate output (domain, n_tokens,
+    allocated_tokens, ...). All integer arithmetic on exact token
+    counts → bit-identical anywhere. Distributed shape: the tiny
+    alloc frame broadcasts; the corpus shuffles ONCE on the domain
+    key for the running-token window (shard the order for huge
+    domains — the domain_token_sampling scale note). Returns one row
+    per doc: (domain, doc_id, n_tokens, n_copies) — n_copies = 0
+    docs (beyond both the full epochs and the prefix) stay in the
+    frame, honestly zero."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    from logprep_spark.functions.text import token_count
+
+    toks = df.select(
+        F.col(group_col).alias("domain"),
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    win = (
+        Window.partitionBy("domain")
+        .orderBy(
+            h60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            id_col,
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    a = alloc.select(
+        "domain",
+        F.col("n_tokens").alias("_dom_tokens"),
+        F.col("allocated_tokens").alias("_alloc"),
+    )
+    return (
+        toks.withColumn("_cum", F.sum("n_tokens").over(win))
+        .join(broadcast(a), "domain")
+        .select(
+            "domain",
+            id_col,
+            "n_tokens",
+            (
+                F.expr("_alloc div _dom_tokens")
+                + F.when(
+                    F.col("_cum") - F.col("n_tokens")
+                    < F.expr("_alloc % _dom_tokens"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_copies"),
+        )
+    )
+
+
 def domain_token_sample_docs(
     df: DataFrame,
     budget_num: int = 2,

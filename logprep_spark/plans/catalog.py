@@ -4927,10 +4927,13 @@ _SQL_MIX_TIER = (
 )
 
 
-@register(
-    "corpus_mix_allocate",
-    f"""
-    WITH per AS (
+def _sql_mix_alloc_chain() -> str:
+    """The epoch-capped temperature-allocation CTE chain over the
+    web/books/code tier map (per/fixed/tot/w/r1/pools/r2 — r2 carries
+    per-domain _alloc), shared by corpus_mix_allocate (the allocation
+    readout) and corpus_mix_materialize (the epochs that allocation
+    buys)."""
+    return f"""per AS (
         SELECT {_SQL_MIX_TIER} AS domain,
                CAST(sum(len({_sql_words()})) AS BIGINT) AS n_tokens
         FROM documents GROUP BY 1
@@ -4962,7 +4965,13 @@ _SQL_MIX_TIER = (
                           THEN _a1 + _leftover * weight_milli // _wu
                           ELSE _a1 END, _cap) AS _alloc
         FROM r1 CROSS JOIN pools
-    ), placed AS (
+    )"""
+
+
+@register(
+    "corpus_mix_allocate",
+    f"""
+    WITH {_sql_mix_alloc_chain()}, placed AS (
         SELECT max(_budget) - CAST(sum(_alloc) AS BIGINT)
                    AS residual_shortfall
         FROM r2
@@ -5004,6 +5013,60 @@ def corpus_mix_allocate(spark, sf_dir):
         max_epochs_milli=1500,
         group_col="_tier",
     )
+
+
+@register(
+    "corpus_mix_materialize",
+    f"""
+    WITH {_sql_mix_alloc_chain()}, docs_t AS (
+        SELECT {_SQL_MIX_TIER} AS domain, doc_id,
+               CAST(len({_sql_words()}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), ordered AS (
+        SELECT *,
+               sum(n_tokens) OVER (
+                   PARTITION BY domain
+                   ORDER BY {_sql_h60("'mx:' || doc_id::varchar")}, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM docs_t
+    )
+    SELECT o.domain, o.doc_id, o.n_tokens,
+           CAST(r2._alloc // r2.n_tokens
+                + CASE WHEN o.cum - o.n_tokens
+                            < r2._alloc % r2.n_tokens
+                       THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+    FROM ordered o JOIN r2 USING (domain)
+    """,
+)
+def corpus_mix_materialize(spark, sf_dir):
+    """Materialize the epoch-capped allocation into per-doc COPY
+    COUNTS (functions/sampling.py mix_materialize) — the "write the
+    training set" step closing the mixing arc corpus_mix_weights →
+    corpus_mix_allocate → THIS: every doc in a tier repeats
+    allocated div tier_tokens times, plus one extra copy for the
+    deterministic salted-hash-ordered prefix covering the remainder
+    (the domain_token_sampling boundary convention). The capped code
+    tier reads n_copies ∈ {{1, 2}} (1.5 epochs), web/books mostly 1
+    with a remainder prefix at 2 — the repetition schedule a trainer
+    actually consumes, every copy count hash-gated. One domain-keyed
+    window shuffle; the 3-row allocation broadcasts."""
+    docs = tables(spark, sf_dir)["documents"]
+    n = F.substring("source", 4, 10).cast("int")
+    tier = (
+        F.when(n >= 18, F.lit("code"))
+        .when(n >= 12, F.lit("books"))
+        .otherwise(F.lit("web"))
+    )
+    tiered = docs.withColumn("_tier", tier)
+    alloc = smp.mix_allocate(
+        tiered,
+        budget_num=1,
+        budget_den=1,
+        max_epochs_milli=1500,
+        group_col="_tier",
+    )
+    return smp.mix_materialize(tiered, alloc, group_col="_tier")
 
 
 @register(

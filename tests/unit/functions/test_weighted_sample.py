@@ -158,3 +158,44 @@ def test_poisson_bootstrap_replica_and_coverage(spark):
         df.repartition(7), "vm", "id", n_resamples=20
     ).collect()
     assert again == r
+
+
+def test_mix_materialize_epochs_and_prefix(spark):
+    """Hand-checkable materialization: a domain with 3x5-token docs
+    and 20 allocated tokens gives every doc 1 full epoch plus one
+    extra copy to the hash-prefix doc covering the 5-token remainder;
+    a downsampled domain (alloc < corpus) gives the prefix 1 copy and
+    the tail 0. Total materialized tokens never undershoot the
+    allocation by more than the boundary doc, never overshoot by more
+    than one doc, and the schedule is repartition-invariant."""
+    from pyspark.sql import functions as F
+
+    from logprep_spark.functions.sampling import mix_materialize
+
+    df = spark.createDataFrame(
+        [(i, "up", "w " * 5) for i in range(3)]
+        + [(10 + i, "down", "w " * 10) for i in range(4)],
+        ["doc_id", "source", "text"],
+    )
+    alloc = spark.createDataFrame(
+        [("up", 15, 20), ("down", 40, 25)],
+        ["domain", "n_tokens", "allocated_tokens"],
+    )
+    rows = mix_materialize(df, alloc).collect()
+    got = {r["doc_id"]: r["n_copies"] for r in rows}
+    up = {i: got[i] for i in range(3)}
+    down = {10 + i: got[10 + i] for i in range(4)}
+    # up: 1 full epoch everywhere, exactly one doc at 2
+    assert sorted(up.values()) == [1, 1, 2]
+    # down: no full epoch; the 25-token remainder covers the first
+    # 3 hash-ordered docs (cum-t < 25 holds through the 3rd: 20 < 25)
+    assert sorted(down.values()) == [0, 1, 1, 1]
+    for dom, alloc_t, tok in (("up", 20, 5), ("down", 25, 10)):
+        tot = sum(
+            r["n_copies"] * r["n_tokens"] for r in rows
+            if r["domain"] == dom
+        )
+        assert alloc_t - tok < tot <= alloc_t + tok
+    again = {r["doc_id"]: r["n_copies"] for r in
+             mix_materialize(df.repartition(5), alloc).collect()}
+    assert again == got
