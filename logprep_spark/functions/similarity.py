@@ -1683,6 +1683,90 @@ def mmr_diversify(
     return selected
 
 
+def contrastive_mine(
+    docs: DataFrame,
+    emb: DataFrame,
+    k_neg: int = 3,
+    k_pool: int = 8,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Contrastive TRAINING-PAIR MINING — the data-prep step an
+    embedding-model trainer (SimCSE/E5/GTR-style) runs over a corpus:
+    POSITIVES are verified text near-dup pairs (MinHash->LSH->verify
+    — text-level ground truth, independent of the embedding being
+    trained), HARD NEGATIVES are the anchor's nearest EMBEDDING
+    neighbors that are NOT in its near-dup cluster — the
+    looks-close-in-vector-space-but-not-a-true-paraphrase examples
+    that make the contrastive objective informative (random negatives
+    are too easy; cluster members would be false negatives).
+
+    Anchor = the lower id of each verified pair; the anchor's whole
+    near-dup CLUSTER is excluded from its negative pool (a transitive
+    twin is still a positive, never a negative — the
+    split_leakage_free atomicity discipline applied to pair mining).
+    Deterministic: cosine rounded to 6, ties to the lowest id.
+
+    Distributed shape: the pair/cluster side is the dedup pipeline
+    already being run; the negative pool is brute_force_topk over the
+    ANCHOR set only (anchors broadcast, corpus unshuffled); the
+    cluster-exclusion is two narrow left joins on bounded frames.
+    Returns (anchor_id, positive_id, negative_id, neg_rank,
+    neg_cosine)."""
+    from logprep_spark.functions import dedup as dd
+
+    pairs = dd.minhash_dedup(
+        docs, text_col, id_col, threshold
+    ).localCheckpoint()
+    clusters = dd.dup_clusters(pairs)
+    anchors = pairs.select(F.col("id_a").alias(vec_id_col)).distinct()
+    anchor_vecs = emb.join(anchors, vec_id_col, "left_semi")
+    pool = brute_force_topk(
+        emb, anchor_vecs, k=k_pool, vec_col=vec_col, id_col=vec_id_col
+    )
+    qc = clusters.select(
+        F.col(id_col).alias("query_id"), F.col("cluster_id").alias("_qc")
+    )
+    nc = clusters.select(
+        F.col(id_col).alias("nbr_id"), F.col("cluster_id").alias("_nc")
+    )
+    negs = (
+        pool.join(qc, "query_id")
+        .join(nc, "nbr_id", "left")
+        .filter(F.col("_nc").isNull() | (F.col("_nc") != F.col("_qc")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    topneg = (
+        negs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k_neg)
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("nbr_id").alias("negative_id"),
+            F.col("_rn").alias("neg_rank"),
+            F.col("cosine").alias("neg_cosine"),
+        )
+    )
+    return (
+        pairs.select(
+            F.col("id_a").alias("anchor_id"),
+            F.col("id_b").alias("positive_id"),
+        )
+        .join(topneg, "anchor_id")
+        .select(
+            "anchor_id",
+            "positive_id",
+            "negative_id",
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+            "neg_cosine",
+        )
+    )
+
+
 def jl_signs(m: int, d: int) -> list[list[int]]:
     """Deterministic ±1 projection matrix (Achlioptas 2001: sign
     entries preserve the JL guarantee of Gaussian ones): sign(k, j)

@@ -3680,6 +3680,8 @@ def dedup_fuzzy_decontaminate(spark, sf_dir):
     return dd.fuzzy_decontaminate(corpus, bench, threshold=0.7)
 
 
+
+
 @register(
     "dedup_minhash_lsh",
     f"""
@@ -4181,6 +4183,75 @@ def ann_topk_lsh(spark, sf_dir):
     emb = tables(spark, sf_dir)["embeddings"]
     qs = emb.filter(F.col("vec_id") < 5)
     return sim.lsh_topk(emb, qs, k=3, n_planes=6)
+
+
+@register(
+    "pairs_contrastive_mine",
+    f"""
+    WITH RECURSIVE {_sql_minhash_bands()}, verified AS (
+        SELECT id_a, id_b
+        FROM pairs
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE {_SQL_JACCARD} >= 0.7
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION
+        SELECT id_b, id_a FROM verified
+    ), walk(id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst
+    ), cl AS (
+        SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+    ), anchors AS (
+        SELECT DISTINCT id_a AS a FROM verified
+    ), pool AS (
+        SELECT query_id, nbr_id, cosine, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, nbr_id
+        ) AS rank FROM (
+            SELECT q.query_id, c.nbr_id,
+                   {_sql_cosine('q.qv', 'c.nv')} AS cosine
+            FROM (SELECT e.vec_id AS query_id, e.embedding AS qv
+                  FROM embeddings e JOIN anchors ON anchors.a = e.vec_id) q,
+                 (SELECT vec_id AS nbr_id, embedding AS nv
+                  FROM embeddings) c
+            WHERE q.query_id <> c.nbr_id
+        )
+    ), negs AS (
+        SELECT p.query_id, p.nbr_id, p.cosine, row_number() OVER (
+            PARTITION BY p.query_id ORDER BY p.cosine DESC, p.nbr_id
+        ) AS rn
+        FROM (SELECT * FROM pool WHERE rank <= 8) p
+        JOIN cl qa ON qa.doc_id = p.query_id
+        LEFT JOIN cl nb ON nb.doc_id = p.nbr_id
+        WHERE nb.cluster_id IS NULL OR nb.cluster_id <> qa.cluster_id
+    )
+    SELECT v.id_a AS anchor_id, v.id_b AS positive_id,
+           n.nbr_id AS negative_id,
+           CAST(n.rn AS BIGINT) AS neg_rank,
+           n.cosine AS neg_cosine
+    FROM verified v
+    JOIN negs n ON n.query_id = v.id_a AND n.rn <= 3
+    """,
+)
+def pairs_contrastive_mine(spark, sf_dir):
+    """Contrastive training-pair mining (functions/similarity.py
+    contrastive_mine — the SimCSE/E5-style data-prep step): POSITIVES
+    = verified MinHash near-dup pairs (text ground truth, independent
+    of the embedding being trained), HARD NEGATIVES = the anchor's
+    top embedding neighbors EXCLUDING its whole near-dup cluster (a
+    transitive twin is a positive, never a negative — the
+    split_leakage_free atomicity discipline applied to pair mining;
+    random negatives are too easy, cluster members would be false
+    negatives). Spans the dedup and embedding families in one gated
+    row: the pair/cluster side is the dedup pipeline, the negative
+    pool is brute force over the ANCHOR set only (anchors broadcast,
+    corpus unshuffled), cluster exclusion is two bounded left
+    joins."""
+    docs = tables(spark, sf_dir)["documents"]
+    emb = tables(spark, sf_dir)["embeddings"]
+    return sim.contrastive_mine(docs, emb, k_neg=3, k_pool=8)
 
 
 @register(

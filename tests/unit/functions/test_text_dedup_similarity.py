@@ -2290,3 +2290,40 @@ def test_fuzzy_decontaminate_catches_reordered_eval_doc(spark):
         corpus.repartition(5), bench, threshold=0.7
     ).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+
+def test_contrastive_mine_excludes_cluster_from_negatives(spark):
+    """Hand-built mining case: docs 1 and 2 are verified near-dups
+    (the positive pair) AND doc 2 is doc 1's nearest embedding
+    neighbor — a naive hard-negative miner would emit the positive
+    as a negative (a false negative that poisons the contrastive
+    objective). The cluster exclusion must skip it: negatives are
+    the next-nearest NON-cluster docs, in cosine order."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " lambda"),            # near-dup of 1
+            (3, "completely different words about other matters one"),
+            (4, "yet another unrelated document text body two"),
+            (5, "fifth standalone document with its own content"),
+        ],
+        ["doc_id", "text"],
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.99, 0.1, 0.0]),   # nearest to 1 — but cluster member
+            (3, [0.9, 0.3, 0.0]),    # true hard negative
+            (4, [0.5, 0.8, 0.0]),
+            (5, [0.0, 0.0, 1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    rows = similarity.contrastive_mine(
+        docs, emb, k_neg=2, k_pool=4
+    ).collect()
+    got = {(r["anchor_id"], r["neg_rank"]): r["negative_id"] for r in rows}
+    assert all(r["anchor_id"] == 1 and r["positive_id"] == 2 for r in rows)
+    assert got == {(1, 1): 3, (1, 2): 4}  # 2 excluded, order by cosine
+    assert all(r["negative_id"] != r["positive_id"] for r in rows)
