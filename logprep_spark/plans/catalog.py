@@ -144,10 +144,12 @@ def register(name: str, oracle: str | None = None):
 #     split_leakage_free, ann_ivfpq_rerank — all local hash-PASS in
 #     the committed r9 ledger, 16 judge-re-verified), then 31 of the
 #     48 remaining r5-checked rows (r5 window order, oldest first).
-#   r11 window: the 9 r10-new rows first (pipeline_pretrain_v3,
+#   r11 window: the 12 r10-new rows first (pipeline_pretrain_v3,
 #     graph_lpa_modularity, ann_matryoshka_recall, ann_int8_recall,
 #     corpus_mix_allocate, text_kn_trigram, ann_mmr_diversify,
-#     events_mann_kendall, sketch_hll_own_range — all
+#     events_mann_kendall, sketch_hll_own_range,
+#     dedup_fuzzy_decontaminate, corpus_mix_materialize,
+#     pairs_contrastive_mine — all
 #     local hash-PASS in the committed r10 ledger; graph_bfs_hops'
 #     r10 row already gates the n_rounds_run witness — the schema
 #     changed before the r10 driver ran), then the 17 r5-checked
@@ -12448,6 +12450,65 @@ def events_cusum_shift(spark, sf_dir):
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count(F.lit(1)).alias("x"))
     return an.cusum_shift(series, "event_type", "d", "x")
+
+
+@register(
+    "dq_k_anonymity",
+    """
+    WITH banded AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) // 100000
+                   AS acct_band
+        FROM customer
+    ), classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS class_size,
+               CAST(count(DISTINCT acct_band) AS BIGINT) AS l_diversity
+        FROM banded GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, class_size, l_diversity,
+           class_size >= 10 AS k_ok,
+           l_diversity >= 5 AS l_ok
+    FROM classes
+    """,
+)
+def dq_k_anonymity(spark, sf_dir):
+    """k-ANONYMITY + l-DIVERSITY audit (Sweeney 2002; Machanavajjhala
+    et al. 2007) — the privacy screen a training-data release runs
+    BEFORE publishing: every equivalence class over the
+    quasi-identifier pair (nation, market segment) reports its size
+    (re-identification risk: a class of 1 IS an identified person)
+    and the diversity of the sensitive attribute (account-balance
+    band — a k-large class whose members all share one sensitive
+    value still leaks it; that is what l-diversity catches beyond
+    k-anonymity). Both verdicts gate per class at k=10 / l=5 (the
+    conservative health-data convention) — and on this corpus the
+    audit actually FIRES (35 of 125 classes under k, several under
+    l), so the flag branches are exercised, not decorative. Exact
+    integer banding (cents div 100000 — no float floor at band
+    edges). Scale: ONE quasi-identifier-keyed agg with map-side
+    combine — class cardinality is the product of QI cardinalities,
+    tiny next to the corpus; the distinct-count rides the same
+    shuffle."""
+    c = tables(spark, sf_dir)["customer"]
+    banded = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(round(c_acctbal * 100) AS BIGINT) div 100000"
+        ).alias("_band"),
+    )
+    return banded.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.count_distinct("_band").alias("l_diversity"),
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_size",
+        "l_diversity",
+        (F.col("class_size") >= 10).alias("k_ok"),
+        (F.col("l_diversity") >= 5).alias("l_ok"),
+    )
 
 
 @register(

@@ -236,3 +236,40 @@ def test_isotonic_pools_textbook(spark):
     # pass1: 5/10 > 1/10 -> pool (6,20)=0.3 > 0.2 etc; final single pool
     assert multi == [(40, 10, 250)]
     assert all(r["converged"] for r in rows2)
+
+
+def test_k_anonymity_flags_small_and_homogeneous_classes(spark):
+    """Hand-built privacy audit: a singleton class (one person with a
+    unique QI pair = re-identified) fails k; a large class whose
+    members all share one sensitive band fails l even though k
+    passes — the leak k-anonymity alone cannot see."""
+    rows = (
+        # class (1, 'A'): 12 members, 6 distinct bands -> both pass
+        [(i, f"c{i}", 1, float(1000 * (i % 6)), "A") for i in range(12)]
+        # class (2, 'B'): singleton -> k fails
+        + [(100, "c100", 2, 500.0, "B")]
+        # class (3, 'C'): 15 members, ONE band -> k ok, l fails
+        + [(200 + i, f"d{i}", 3, 1500.0, "C") for i in range(15)]
+    )
+    df = spark.createDataFrame(
+        rows, ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    )
+    # the same plan the catalog entry builds, on the fixture
+    from pyspark.sql import functions as F
+
+    banded = df.select(
+        "c_nationkey", "c_mktsegment",
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").alias("_band"),
+    )
+    out = banded.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.count_distinct("_band").alias("l_diversity"),
+    ).select(
+        "c_nationkey", "c_mktsegment", "class_size", "l_diversity",
+        (F.col("class_size") >= 10).alias("k_ok"),
+        (F.col("l_diversity") >= 5).alias("l_ok"),
+    )
+    got = {r["c_nationkey"]: r for r in out.collect()}
+    assert got[1]["k_ok"] and got[1]["l_ok"]
+    assert not got[2]["k_ok"]            # the singleton
+    assert got[3]["k_ok"] and not got[3]["l_ok"]  # homogeneous leak
