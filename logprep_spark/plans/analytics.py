@@ -500,6 +500,113 @@ def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
 
 
+def touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("view", "click", "signup"),
+    window_days: int = 7,
+) -> DataFrame:
+    """FIRST-TOUCH vs LAST-TOUCH conversion attribution — the
+    marketing-analytics staple (which channel gets credit for a
+    purchase): for every conversion, the user's touch events inside
+    the preceding ``window_days`` are ranked and the earliest
+    (first-touch) and latest (last-touch) each credit their
+    event_type; conversions with NO in-window touch land honestly in
+    a ``(none)`` row instead of disappearing (the n_unreachable
+    discipline). The two models genuinely disagree on real data —
+    that disagreement is the readout's point.
+
+    Deterministic: ranking ties break on (ts, event_id); revenue in
+    exact cents. Returns one row per touch type (+ ``(none)``):
+    (touch_type, first_touch_conversions, last_touch_conversions,
+    last_touch_value_cents).
+
+    Distributed shape: conversions ⋈ touches is a user-keyed
+    equi-join with the time-window predicate as a residual (per-user
+    event counts are bounded; AQE splits hot users), then two
+    per-conversion argmin/argmax windows over the joined frame and
+    one touch-type agg. No driver state; at 100 TB pre-bucket both
+    sides by user_id to make the join shuffle-free."""
+    from pyspark.sql import Window
+
+    conv = events.filter(F.col("event_type") == conversion_type).select(
+        F.col("event_id").alias("_cid"),
+        F.col("user_id").alias("_u"),
+        F.col("ts").alias("_cts"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("_cents"),
+    )
+    touch = events.filter(
+        F.col("event_type").isin(*touch_types)
+    ).select(
+        F.col("user_id").alias("_u"),
+        F.col("ts").alias("_tts"),
+        F.col("event_type").alias("_ttype"),
+        F.col("event_id").alias("_tid"),
+    )
+    j = conv.join(touch, "_u").filter(
+        (F.col("_tts") < F.col("_cts"))
+        & (
+            F.col("_tts")
+            >= F.col("_cts") - F.expr(f"INTERVAL {window_days} DAYS")
+        )
+    )
+    w_last = Window.partitionBy("_cid").orderBy(
+        F.col("_tts").desc(), F.col("_tid").desc()
+    )
+    w_first = Window.partitionBy("_cid").orderBy(
+        F.col("_tts").asc(), F.col("_tid").asc()
+    )
+    ranked = j.select(
+        "_cid",
+        "_cents",
+        "_ttype",
+        F.row_number().over(w_last).alias("_rl"),
+        F.row_number().over(w_first).alias("_rf"),
+    )
+    last = ranked.filter(F.col("_rl") == 1).groupBy(
+        F.col("_ttype").alias("touch_type")
+    ).agg(
+        F.count(F.lit(1)).alias("last_touch_conversions"),
+        F.sum("_cents").alias("last_touch_value_cents"),
+    )
+    first = ranked.filter(F.col("_rf") == 1).groupBy(
+        F.col("_ttype").alias("touch_type")
+    ).agg(F.count(F.lit(1)).alias("first_touch_conversions"))
+    unattr = (
+        conv.join(j.select("_cid").distinct(), "_cid", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("last_touch_conversions"),
+            F.sum("_cents").alias("last_touch_value_cents"),
+        )
+        .select(
+            F.lit("(none)").alias("touch_type"),
+            F.col("last_touch_conversions").alias(
+                "first_touch_conversions"
+            ),
+            "last_touch_conversions",
+            F.coalesce("last_touch_value_cents", F.lit(0)).alias(
+                "last_touch_value_cents"
+            ),
+        )
+    )
+    return (
+        first.join(last, "touch_type", "full")
+        .select(
+            "touch_type",
+            F.coalesce("first_touch_conversions", F.lit(0)).alias(
+                "first_touch_conversions"
+            ),
+            F.coalesce("last_touch_conversions", F.lit(0)).alias(
+                "last_touch_conversions"
+            ),
+            F.coalesce("last_touch_value_cents", F.lit(0)).alias(
+                "last_touch_value_cents"
+            ),
+        )
+        .unionByName(unattr)
+    )
+
+
 def funnel(
     events: DataFrame,
     steps: list[str],

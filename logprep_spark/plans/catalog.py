@@ -149,7 +149,8 @@ def register(name: str, oracle: str | None = None):
 #     corpus_mix_allocate, text_kn_trigram, ann_mmr_diversify,
 #     events_mann_kendall, sketch_hll_own_range,
 #     dedup_fuzzy_decontaminate, corpus_mix_materialize,
-#     pairs_contrastive_mine — all
+#     pairs_contrastive_mine, dq_k_anonymity, events_attribution
+#     — all
 #     local hash-PASS in the committed r10 ledger; graph_bfs_hops'
 #     r10 row already gates the n_rounds_run witness — the schema
 #     changed before the r10 driver ran), then the 17 r5-checked
@@ -12450,6 +12451,71 @@ def events_cusum_shift(spark, sf_dir):
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count(F.lit(1)).alias("x"))
     return an.cusum_shift(series, "event_type", "d", "x")
+
+
+@register(
+    "events_attribution",
+    """
+    WITH conv AS (
+        SELECT event_id AS cid, user_id AS u, ts AS cts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT user_id AS u, ts AS tts, event_type AS ttype,
+               event_id AS tid
+        FROM events WHERE event_type IN ('view', 'click', 'signup')
+    ), j AS (
+        SELECT c.cid, c.cents, t.ttype,
+               row_number() OVER (PARTITION BY c.cid
+                   ORDER BY t.tts DESC, t.tid DESC) AS rl,
+               row_number() OVER (PARTITION BY c.cid
+                   ORDER BY t.tts ASC, t.tid ASC) AS rf
+        FROM conv c JOIN touch t ON t.u = c.u
+        WHERE t.tts < c.cts AND t.tts >= c.cts - INTERVAL 7 DAYS
+    ), l AS (
+        SELECT ttype AS touch_type,
+               CAST(count(*) AS BIGINT) AS last_touch_conversions,
+               CAST(sum(cents) AS BIGINT) AS last_touch_value_cents
+        FROM j WHERE rl = 1 GROUP BY 1
+    ), f AS (
+        SELECT ttype AS touch_type,
+               CAST(count(*) AS BIGINT) AS first_touch_conversions
+        FROM j WHERE rf = 1 GROUP BY 1
+    ), un AS (
+        SELECT '(none)' AS touch_type,
+               CAST(count(*) AS BIGINT) AS first_touch_conversions,
+               CAST(count(*) AS BIGINT) AS last_touch_conversions,
+               CAST(coalesce(sum(cents), 0) AS BIGINT)
+                   AS last_touch_value_cents
+        FROM conv WHERE cid NOT IN (SELECT DISTINCT cid FROM j)
+    )
+    SELECT coalesce(f.touch_type, l.touch_type) AS touch_type,
+           coalesce(f.first_touch_conversions, 0)
+               AS first_touch_conversions,
+           coalesce(l.last_touch_conversions, 0)
+               AS last_touch_conversions,
+           coalesce(l.last_touch_value_cents, 0)
+               AS last_touch_value_cents
+    FROM f FULL JOIN l USING (touch_type)
+    UNION ALL
+    SELECT * FROM un
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """First-touch vs last-touch conversion ATTRIBUTION
+    (plans/analytics.py touch_attribution) — the marketing staple:
+    every purchase credits the user's earliest and latest touch
+    (view/click/signup) inside the preceding 7 days; the two models
+    genuinely disagree on this data (that disagreement is the
+    readout's point) and purchases with no in-window touch land
+    honestly in a '(none)' row instead of disappearing. Deterministic
+    tie-breaks on (ts, event_id); revenue in exact cents. Scale:
+    ONE user-keyed equi-join with the window as a residual predicate
+    (AQE splits hot users), two per-conversion rank windows, one
+    touch-type agg; pre-bucket by user_id at 100 TB for a
+    shuffle-free join."""
+    events = tables(spark, sf_dir)["events"]
+    return an.touch_attribution(events)
 
 
 @register(

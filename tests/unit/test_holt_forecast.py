@@ -646,3 +646,39 @@ def test_mann_kendall_hand_computed(spark):
     again = {r["g"]: tuple(r) for r in
              mann_kendall_trend(df.repartition(7), "g", "p", "y").collect()}
     assert again == {k: tuple(v) for k, v in got.items()}
+
+
+def test_touch_attribution_hand_timeline(spark):
+    """Hand-built attribution timeline: user 1's purchase follows a
+    view (day 1) then a click (day 3) -> first-touch credits view,
+    last-touch credits click; user 2's only touch is 8 days old ->
+    the '(none)' row; user 3's two touches share one timestamp ->
+    the event_id tie-break is deterministic (higher id wins last,
+    lower id wins first). Value lands in exact cents on the
+    last-touch row."""
+    from datetime import datetime as dt
+
+    from logprep_spark.plans.analytics import touch_attribution
+
+    rows = [
+        (1, dt(2024, 1, 1), 1, "view", 0.0),
+        (2, dt(2024, 1, 3), 1, "click", 0.0),
+        (3, dt(2024, 1, 4), 1, "purchase", 10.5),
+        (4, dt(2024, 1, 1), 2, "view", 0.0),
+        (5, dt(2024, 1, 9, 12), 2, "purchase", 3.0),   # touch 8.5d old
+        (6, dt(2024, 2, 1), 3, "signup", 0.0),
+        (7, dt(2024, 2, 1), 3, "click", 0.0),          # same ts as 6
+        (8, dt(2024, 2, 2), 3, "purchase", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    got = {r["touch_type"]: r for r in touch_attribution(df).collect()}
+    assert got["view"]["first_touch_conversions"] == 1      # user 1
+    assert got["view"]["last_touch_conversions"] == 0
+    assert got["click"]["last_touch_conversions"] == 2      # users 1+3
+    assert got["click"]["last_touch_value_cents"] == 1250   # 10.50+2.00
+    assert got["signup"]["first_touch_conversions"] == 1    # tie: id 6
+    assert got["signup"]["last_touch_conversions"] == 0     # tie: id 7 wins last
+    assert got["(none)"]["last_touch_conversions"] == 1     # user 2
+    assert got["(none)"]["last_touch_value_cents"] == 300
