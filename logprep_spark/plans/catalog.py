@@ -5282,10 +5282,12 @@ _KM_DIST = (
 )
 
 
-@register(
-    "ml_kmeans",
-    f"""
-    WITH vm AS (
+def _sql_kmeans_chain() -> str:
+    """The ml_kmeans Lloyd chain (k=8: micro vectors, hash-ordered
+    seeds, one centroid update, final scoring in scored2) — shared by
+    ml_kmeans (the assignment readout) and text_ctfidf_topics (topic
+    labels over the same clusters)."""
+    return f"""vm AS (
         SELECT vec_id, {_KM_MICRO} AS v FROM embeddings
     ), seeds AS (
         SELECT row_number() OVER (ORDER BY {_sql_h60('vec_id::varchar')}, vec_id) AS cid,
@@ -5308,7 +5310,13 @@ _KM_DIST = (
     ), scored2 AS (
         SELECT m.vec_id, m.v, c.cid, {_KM_DIST} AS d
         FROM vm m CROSS JOIN c1 c
-    )
+    )"""
+
+
+@register(
+    "ml_kmeans",
+    f"""
+    WITH {_sql_kmeans_chain()}
     SELECT vec_id, cluster, dist2 FROM (
         SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist2,
                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
@@ -5321,6 +5329,96 @@ def ml_kmeans(spark, sf_dir):
     deterministic seeds, k=8, 2 iterations, broadcast centroids."""
     emb = tables(spark, sf_dir)["embeddings"]
     return sim.kmeans(emb, k=8, iters=2)
+
+
+@register(
+    "text_ctfidf_topics",
+    f"""
+    WITH {_sql_kmeans_chain()}, assign AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM scored2) WHERE rn = 1
+    ), words AS (
+        SELECT a.cluster, unnest({_sql_words('lower(d.text)')}) AS term
+        FROM documents d JOIN assign a ON a.vec_id = d.doc_id
+    ), tf AS (
+        SELECT cluster, term, CAST(count(*) AS BIGINT) AS tf
+        FROM words GROUP BY 1, 2
+    ), gf AS (
+        SELECT term, CAST(sum(tf) AS BIGINT) AS f FROM tf GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(tf) AS BIGINT) AS tot_words FROM tf
+    ), weighted AS (
+        SELECT cluster, term, tf,
+               CAST(round(1000 * tf * log2(1
+                    + (CAST(tot_words AS DOUBLE) / 8) / f))
+                    AS BIGINT) AS weight_milli
+        FROM tf JOIN gf USING (term) CROSS JOIN tot
+    )
+    SELECT cluster, term, tf, weight_milli, CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY cluster
+            ORDER BY weight_milli DESC, term) AS rn
+        FROM weighted) WHERE rn <= 5
+    """,
+)
+def text_ctfidf_topics(spark, sf_dir):
+    """c-TF-IDF TOPIC LABELS over the embedding clusters
+    (Grootendorst 2022 — the BERTopic scoring, log2 variant): each
+    k-means cluster (the SAME assignment ml_kmeans gates — shared
+    Lloyd chain in both engines) is treated as ONE document, and its
+    top-5 terms by tf(t,c) · log2(1 + A/f(t)) (A = average words per
+    cluster, f = corpus term frequency) label the topic — the step
+    that turns an opaque embedding clustering into a human-auditable
+    corpus map. Ranking is by the INTEGER milli weight with term
+    tie-breaks, so the top-5 is deterministic even where raw floats
+    tie. Scale: clustering cost is ml_kmeans; the labeling adds one
+    (cluster, term) agg (map-side combining, vocab-bounded), a tiny
+    term-frequency re-agg, and a 1-row total broadcast."""
+    docs = tables(spark, sf_dir)["documents"]
+    emb = tables(spark, sf_dir)["embeddings"]
+    assign = sim.kmeans(emb, k=8, iters=2).select(
+        F.col("vec_id").alias("doc_id"), "cluster"
+    )
+    words = docs.join(assign, "doc_id").select(
+        "cluster",
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    tf = words.groupBy("cluster", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    gf = tf.groupBy("term").agg(F.sum("tf").alias("_f"))
+    tot = tf.agg(F.sum("tf").alias("_tot"))
+    weighted = (
+        tf.join(gf, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster",
+            "term",
+            "tf",
+            F.expr(
+                "CAST(round(1000 * tf * log2(1"
+                " + (CAST(_tot AS DOUBLE) / 8) / _f)) AS BIGINT)"
+            ).alias("weight_milli"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("weight_milli").desc(), F.col("term").asc()
+    )
+    return (
+        weighted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select(
+            "cluster",
+            "term",
+            "tf",
+            "weight_milli",
+            F.col("_rn").cast("long").alias("rank"),
+        )
+    )
 
 
 @register(
@@ -12451,6 +12549,61 @@ def events_cusum_shift(spark, sf_dir):
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count(F.lit(1)).alias("x"))
     return an.cusum_shift(series, "event_type", "d", "x")
+
+
+@register(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS nxt
+        FROM events WHERE user_id IS NOT NULL
+    ), c AS (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), t AS (
+        SELECT cur, CAST(sum(n_transitions) AS BIGINT) AS tot
+        FROM c GROUP BY 1
+    )
+    SELECT c.cur AS cur_type, c.nxt AS next_type, c.n_transitions,
+           CAST(1000 * c.n_transitions // t.tot AS BIGINT) AS prob_milli
+    FROM c JOIN t USING (cur)
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov NEXT-EVENT transition matrix — the
+    product-analytics companion to events_top_sequences (that mines
+    frequent whole k-sequences; this gives the full conditional
+    P(next | current) every journey simulation / churn model starts
+    from): per user the event stream orders by (ts, event_id — the
+    deterministic tie-break) and ONE lead() window emits adjacent
+    pairs; counts and milli probabilities are exact integers. Scale:
+    one user-keyed window (the sessionize shuffle) + one tiny
+    (cur, next)-keyed agg — |types|² rows out however large the
+    stream."""
+    from pyspark.sql import Window
+
+    events = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    c = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    t = c.groupBy("cur").agg(F.sum("n_transitions").alias("_tot"))
+    return c.join(t, "cur").select(
+        F.col("cur").alias("cur_type"),
+        F.col("nxt").alias("next_type"),
+        "n_transitions",
+        F.expr("1000 * n_transitions div _tot").alias("prob_milli"),
+    )
 
 
 @register(

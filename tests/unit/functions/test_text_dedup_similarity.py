@@ -2327,3 +2327,69 @@ def test_contrastive_mine_excludes_cluster_from_negatives(spark):
     assert all(r["anchor_id"] == 1 and r["positive_id"] == 2 for r in rows)
     assert got == {(1, 1): 3, (1, 2): 4}  # 2 excluded, order by cosine
     assert all(r["negative_id"] != r["positive_id"] for r in rows)
+
+
+def test_transition_matrix_hand_counts(spark):
+    """Hand-counted Markov transitions: user 1's stream a->b->a gives
+    (a,b) and (b,a); user 2's a->a gives the self-loop; probabilities
+    are exact integer milli (row a: 1 of 2 to b, 1 of 2 to a — 500
+    each; row b: 1 of 1 to a)."""
+    from datetime import datetime as dt
+
+    from pyspark.sql import Window
+
+    rows = [
+        (1, dt(2024, 1, 1, 0), 1, "a"),
+        (2, dt(2024, 1, 1, 1), 1, "b"),
+        (3, dt(2024, 1, 1, 2), 1, "a"),
+        (4, dt(2024, 1, 2, 0), 2, "a"),
+        (5, dt(2024, 1, 2, 1), 2, "a"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = df.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("cur").agg(F.sum("n").alias("_tot"))
+    got = {
+        (r["cur"], r["nxt"]): (r["n"], r["p"])
+        for r in c.join(t, "cur")
+        .select("cur", "nxt", "n", F.expr("1000 * n div _tot").alias("p"))
+        .collect()
+    }
+    assert got == {("a", "b"): (1, 500), ("a", "a"): (1, 500),
+                   ("b", "a"): (1, 1000)}
+
+
+def test_ctfidf_downweights_globally_common_terms(spark):
+    """The c-TF-IDF property: at EQUAL within-cluster tf, a term
+    exclusive to the cluster outweighs a term spread across the
+    corpus — log2(1 + A/f) shrinks with global frequency f. Computed
+    with the same expression the catalog row uses."""
+    tf = spark.createDataFrame(
+        [
+            (1, "exclusive", 10),
+            (1, "common", 10),
+            (2, "common", 30),
+            (2, "other", 10),
+        ],
+        ["cluster", "term", "tf"],
+    )
+    gf = tf.groupBy("term").agg(F.sum("tf").alias("_f"))
+    tot = tf.agg(F.sum("tf").alias("_tot"))
+    w = {
+        (r["cluster"], r["term"]): r["w"]
+        for r in tf.join(gf, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster", "term",
+            F.expr(
+                "CAST(round(1000 * tf * log2(1"
+                " + (CAST(_tot AS DOUBLE) / 8) / _f)) AS BIGINT)"
+            ).alias("w"),
+        )
+        .collect()
+    }
+    assert w[(1, "exclusive")] > w[(1, "common")]
