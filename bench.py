@@ -208,6 +208,14 @@ SF1_SPOT = [
     # rerank join)
     "split_leakage_free",
     "ann_ivfpq_rerank",
+    # pipeline_pretrain_v3 is deliberately NOT in the sf1 spot: the
+    # derived replicas are alphabet-rotated, so its Gopher stop-word
+    # gate would pass ~1 of 10 replicas and the post-gate stages
+    # (dedup/decontaminate/BPE) would see ~1x survivors — the reading
+    # would claim 10x scaling the heavy stages never experienced.
+    # Its components scale-measure individually (split_leakage_free
+    # here covers the clustering+split; the BPE/window-hash stages
+    # are linear scans).
 ]
 
 _REPLICAS = 10

@@ -144,13 +144,13 @@ def register(name: str, oracle: str | None = None):
 #     split_leakage_free, ann_ivfpq_rerank — all local hash-PASS in
 #     the committed r9 ledger, 16 judge-re-verified), then 31 of the
 #     48 remaining r5-checked rows (r5 window order, oldest first).
-#   r11 window: the 12 r10-new rows first (pipeline_pretrain_v3,
+#   r11 window: the 16 r10-new rows first (pipeline_pretrain_v3,
 #     graph_lpa_modularity, ann_matryoshka_recall, ann_int8_recall,
 #     corpus_mix_allocate, text_kn_trigram, ann_mmr_diversify,
 #     events_mann_kendall, sketch_hll_own_range,
 #     dedup_fuzzy_decontaminate, corpus_mix_materialize,
-#     pairs_contrastive_mine, dq_k_anonymity, events_attribution
-#     — all
+#     pairs_contrastive_mine, dq_k_anonymity, events_attribution,
+#     events_transition_matrix, text_ctfidf_topics — all
 #     local hash-PASS in the committed r10 ledger; graph_bfs_hops'
 #     r10 row already gates the n_rounds_run witness — the schema
 #     changed before the r10 driver ran), then the 17 r5-checked
