@@ -144,13 +144,14 @@ def register(name: str, oracle: str | None = None):
 #     split_leakage_free, ann_ivfpq_rerank — all local hash-PASS in
 #     the committed r9 ledger, 16 judge-re-verified), then 31 of the
 #     48 remaining r5-checked rows (r5 window order, oldest first).
-#   r11 window: the 16 r10-new rows first (pipeline_pretrain_v3,
+#   r11 window: the 18 r10-new rows first (pipeline_pretrain_v3,
 #     graph_lpa_modularity, ann_matryoshka_recall, ann_int8_recall,
 #     corpus_mix_allocate, text_kn_trigram, ann_mmr_diversify,
 #     events_mann_kendall, sketch_hll_own_range,
 #     dedup_fuzzy_decontaminate, corpus_mix_materialize,
 #     pairs_contrastive_mine, dq_k_anonymity, events_attribution,
-#     events_transition_matrix, text_ctfidf_topics — all
+#     events_transition_matrix, text_ctfidf_topics,
+#     events_spearman_volume_value, events_trimmed_mean — all
 #     local hash-PASS in the committed r10 ledger; graph_bfs_hops'
 #     r10 row already gates the n_rounds_run witness — the schema
 #     changed before the r10 driver ran), then the 17 r5-checked
@@ -12549,6 +12550,191 @@ def events_cusum_shift(spark, sf_dir):
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count(F.lit(1)).alias("x"))
     return an.cusum_shift(series, "event_type", "d", "x")
+
+
+@register(
+    "events_spearman_volume_value",
+    """
+    WITH series AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS x,
+               CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                    // count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT event_type, d,
+               2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+                   + count(*) OVER (PARTITION BY event_type, x) - 1
+                   AS rx,
+               2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+                   + count(*) OVER (PARTITION BY event_type, y) - 1
+                   AS ry
+        FROM series
+    ), moms AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(rx) AS BIGINT) AS sx,
+               CAST(sum(ry) AS BIGINT) AS sy,
+               CAST(sum(rx * rx) AS BIGINT) AS sxx,
+               CAST(sum(ry * ry) AS BIGINT) AS syy,
+               CAST(sum(rx * ry) AS BIGINT) AS sxy
+        FROM ranked GROUP BY 1
+    )
+    SELECT event_type, n AS n_days,
+           CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST(round(1000.0 * (n * sxy - sx * sy)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+                     AS BIGINT)
+           END AS rho_milli
+    FROM moms
+    """,
+)
+def events_spearman_volume_value(spark, sf_dir):
+    """SPEARMAN rank correlation between daily event VOLUME and daily
+    mean VALUE per event type — the monotone-association member of
+    the statistics shelf (Pearson assumes linearity; Mann-Kendall
+    answers trend-vs-time; this answers whether two series co-move):
+    computed as PEARSON OVER AVERAGE RANKS, which IS Spearman's rho
+    exactly under ties (the 6Σd² shortcut is only tie-exact without
+    ties — daily COUNTS tie constantly, so the shortcut would be
+    silently wrong here). Doubled average ranks stay integers
+    (2·avg = 2·min_rank + ties − 1 via one rank() + one tie-count
+    window), every moment is an exact long, and the single double
+    expression at the end is fixed-structure IEEE. Degenerate
+    all-tied series read 0 instead of dividing by zero. Scale: the
+    daily series is a tiny per-type agg; two rank windows + one
+    moment agg over |types|·|days| rows."""
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"]
+    series = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.expr(
+            "sum(CAST(round(value * 1000) AS BIGINT)) div count(1)"
+        ).alias("y"),
+    )
+    rx = (
+        2 * F.rank().over(
+            Window.partitionBy("event_type").orderBy("x")
+        )
+        + F.count(F.lit(1)).over(
+            Window.partitionBy("event_type", "x")
+        )
+        - 1
+    )
+    ry = (
+        2 * F.rank().over(
+            Window.partitionBy("event_type").orderBy("y")
+        )
+        + F.count(F.lit(1)).over(
+            Window.partitionBy("event_type", "y")
+        )
+        - 1
+    )
+    ranked = series.select(
+        "event_type", rx.cast("long").alias("rx"), ry.cast("long").alias("ry")
+    )
+    moms = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    rho = (
+        "CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0"
+        " THEN CAST(0 AS BIGINT)"
+        " ELSE CAST(round(1000.0 * (n * sxy - sx * sy)"
+        " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+        " * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT) END"
+    )
+    return moms.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.expr(rho).alias("rho_milli"),
+    )
+
+
+@register(
+    "events_trimmed_mean",
+    """
+    WITH cents AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ), ranked AS (
+        SELECT event_type, c,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY c, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM cents
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(max(n) * 5 // 100 AS BIGINT) AS n_trimmed_each_side,
+           CAST(sum(c) // max(n) AS BIGINT) AS mean_cents,
+           CAST(sum(CASE WHEN rn > n * 5 // 100
+                          AND rn <= n - n * 5 // 100 THEN c END)
+                // (max(n) - 2 * (max(n) * 5 // 100)) AS BIGINT)
+               AS trimmed_mean_cents,
+           CAST(sum(c) // max(n)
+                - sum(CASE WHEN rn > n * 5 // 100
+                            AND rn <= n - n * 5 // 100 THEN c END)
+                  // (max(n) - 2 * (max(n) * 5 // 100)) AS BIGINT)
+               AS outlier_shift_cents
+    FROM ranked GROUP BY event_type
+    """,
+)
+def events_trimmed_mean(spark, sf_dir):
+    """5%-TRIMMED mean beside the raw mean per event type — the
+    robust-location member of the statistics shelf (the Theil-Sen
+    discipline applied to means: the raw mean has breakdown point 0;
+    trimming the top and bottom 5% survives that contamination), with
+    ``outlier_shift_cents`` = raw − trimmed riding in-row as the
+    measured tail influence. Exact integer cents, deterministic
+    (c, event_id) rank order, floor division in both engines.
+    Scale: one per-type rank window + one agg; at 100 TB replace the
+    full sort with the SQ quantile pool to locate the trim boundaries
+    and a narrow range filter (the sketch-family shape) — this row is
+    the exact reference that approximation audits against."""
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"]
+    cents = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = cents.select(
+        "event_type",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k = "n * 5 div 100"
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.expr(f"CAST(max(n) * 5 div 100 AS BIGINT)").alias(
+            "n_trimmed_each_side"
+        ),
+        F.expr("CAST(sum(c) div max(n) AS BIGINT)").alias("mean_cents"),
+        F.expr(
+            f"CAST(sum(CASE WHEN rn > {k} AND rn <= n - {k} THEN c END)"
+            f" div (max(n) - 2 * (max(n) * 5 div 100)) AS BIGINT)"
+        ).alias("trimmed_mean_cents"),
+        F.expr(
+            f"CAST(sum(c) div max(n)"
+            f" - sum(CASE WHEN rn > {k} AND rn <= n - {k} THEN c END)"
+            f" div (max(n) - 2 * (max(n) * 5 div 100)) AS BIGINT)"
+        ).alias("outlier_shift_cents"),
+    )
 
 
 @register(

