@@ -144,7 +144,7 @@ def register(name: str, oracle: str | None = None):
 #     split_leakage_free, ann_ivfpq_rerank — all local hash-PASS in
 #     the committed r9 ledger, 16 judge-re-verified), then 31 of the
 #     48 remaining r5-checked rows (r5 window order, oldest first).
-#   r11 window: the 19 r10-new rows first (pipeline_pretrain_v3,
+#   r11 window: the 20 r10-new rows first (pipeline_pretrain_v3,
 #     graph_lpa_modularity, ann_matryoshka_recall, ann_int8_recall,
 #     corpus_mix_allocate, text_kn_trigram, ann_mmr_diversify,
 #     events_mann_kendall, sketch_hll_own_range,
@@ -152,7 +152,7 @@ def register(name: str, oracle: str | None = None):
 #     pairs_contrastive_mine, dq_k_anonymity, events_attribution,
 #     events_transition_matrix, text_ctfidf_topics,
 #     events_spearman_volume_value, events_trimmed_mean,
-#     events_changepoint — all
+#     events_changepoint, graph_weighted_sssp — all
 #     local hash-PASS in the committed r10 ledger; graph_bfs_hops'
 #     r10 row already gates the n_rounds_run witness — the schema
 #     changed before the r10 driver ran), then the 17 r5-checked
@@ -12280,6 +12280,98 @@ def graph_bfs_hops(spark, sf_dir):
         .drop("_w")
     )
     return an.bfs_hops(edges, rounds=12)
+
+
+def _sql_sssp(rounds: int = 8) -> str:
+    """Unrolled Bellman-Ford replica of plans/analytics.py
+    weighted_sssp over the weighted co-purchase graph (MATERIALIZED
+    per round — each round references the previous twice: the
+    relaxation union and the change count). n_rounds_run derives as
+    the first round whose change count is zero (Spark's early exit);
+    later unrolled rounds are provably identical so the top-20 frame
+    is unaffected."""
+    blocks = [
+        """d0 AS MATERIALIZED (
+        SELECT (SELECT min(a) FROM sym) AS n, CAST(0 AS BIGINT) AS d
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        blocks.append(f"""d{r} AS MATERIALIZED (
+        SELECT n, CAST(min(d) AS BIGINT) AS d FROM (
+            SELECT e.b AS n, p.d + e.w AS d
+            FROM d{r - 1} p JOIN sym e ON e.a = p.n
+            UNION ALL
+            SELECT n, d FROM d{r - 1}
+        ) GROUP BY n
+    ), chg{r} AS (
+        SELECT CAST(count(*) AS BIGINT) AS c
+        FROM d{r} x LEFT JOIN d{r - 1} y USING (n)
+        WHERE y.d IS NULL OR x.d <> y.d
+    )""")
+    vals = ", ".join(
+        f"({r}, (SELECT c FROM chg{r}))" for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ), allpairs AS (
+        SELECT parts[i] AS a, parts[j] AS b
+        FROM baskets,
+             LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) ti,
+             LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS j) tj
+        WHERE j > i
+    ), ed AS (
+        SELECT a, b, CAST(1000 // count(*) AS BIGINT) AS w
+        FROM allpairs GROUP BY a, b HAVING count(*) >= 2
+    ), sym AS MATERIALIZED (
+        SELECT a, b, w FROM ed UNION ALL SELECT b, a, w FROM ed
+    ), {', '.join(blocks)}, rr AS (
+        SELECT coalesce(min(r), {rounds}) AS n_rounds_run,
+               min(r) IS NOT NULL AS converged
+        FROM (VALUES {vals}) AS t(r, c) WHERE c = 0
+    ), nr AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_reached FROM d{rounds}
+    )
+    SELECT d.n AS node, d.d AS dist, nr.n_reached,
+           rr.converged, CAST(rr.n_rounds_run AS BIGINT) AS n_rounds_run
+    FROM (SELECT * FROM d{rounds} ORDER BY d, n LIMIT 20) d, nr, rr
+    """
+
+
+@register("graph_weighted_sssp", _sql_sssp(rounds=8))
+def graph_weighted_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths (plans/analytics.py
+    weighted_sssp — synchronized Bellman-Ford) over the part
+    co-purchase graph with ASSOCIATION-DISTANCE weights
+    (w = 1000 div co-basket count: frequently co-bought pairs are
+    cheap to traverse) — the WEIGHTED member the graph family lacked
+    beside graph_bfs_hops' hop counts. Integer weights → integer
+    min per round, bit-identical anywhere; the ``converged`` and
+    ``n_rounds_run`` witnesses ride in-row (the BFS budget-honesty
+    discipline — a graph that keeps relaxing past the budget is
+    visible in the hash gate). Per round ONE dist ⋈ edges equi-join
+    + a node-keyed map-side-combining min agg; the top-20 readout is
+    TakeOrderedAndProject, not a global rank window."""
+    li = tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.selectExpr(
+        "explode(CASE WHEN size(parts) >= 2 THEN"
+        " flatten(transform(sequence(1, size(parts) - 1),"
+        " i -> transform(sequence(i + 1, size(parts)),"
+        " j -> struct(element_at(parts, i) AS a,"
+        " element_at(parts, j) AS b))))"
+        " ELSE CAST(array() AS array<struct<a:bigint,b:bigint>>) END) AS p"
+    ).selectExpr("p.a AS src", "p.b AS dst")
+    edges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("src", "dst", F.expr("1000 div _c").alias("w"))
+    )
+    return an.weighted_sssp(edges, rounds=8)
 
 
 @register(

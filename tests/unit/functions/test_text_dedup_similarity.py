@@ -2393,3 +2393,37 @@ def test_ctfidf_downweights_globally_common_terms(spark):
         .collect()
     }
     assert w[(1, "exclusive")] > w[(1, "common")]
+
+
+def test_weighted_sssp_hand_graph(spark):
+    """Hand-computed Bellman-Ford: on 1-2(w5), 2-3(w5), 1-3(w20) the
+    two-hop route (10) beats the direct heavy edge (20); a weighted
+    path exercises multi-round relaxation (first round overestimates
+    via the direct edge, a later round improves it); unreachable
+    nodes never appear; budget witnesses are honest when starved."""
+    from logprep_spark.plans.analytics import weighted_sssp
+
+    edges = [(1, 2, 5), (2, 3, 5), (1, 3, 20), (8, 9, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    rows = {r["node"]: r for r in weighted_sssp(df, rounds=8).collect()}
+    assert rows[1]["dist"] == 0
+    assert rows[2]["dist"] == 5
+    assert rows[3]["dist"] == 10        # relaxed below the direct 20
+    assert 8 not in rows and 9 not in rows
+    assert all(r["n_reached"] == 3 for r in rows.values())
+    assert all(bool(r["converged"]) for r in rows.values())
+
+    # starved budget: 1 round only reaches the direct estimates and
+    # says so (converged False, n_rounds_run = 1)
+    got1 = {r["node"]: r for r in weighted_sssp(df, rounds=1).collect()}
+    assert got1[3]["dist"] == 20        # not yet relaxed
+    assert all(not bool(r["converged"]) for r in got1.values())
+    assert all(r["n_rounds_run"] == 1 for r in got1.values())
+
+    # orientation + partition invariance
+    rev = spark.createDataFrame(
+        [(b, a, w) for a, b, w in edges], ["src", "dst", "w"]
+    ).repartition(5)
+    assert sorted(map(tuple, weighted_sssp(rev, rounds=8).collect())) == sorted(
+        map(tuple, weighted_sssp(df, rounds=8).collect())
+    )
