@@ -5958,11 +5958,19 @@ def pipeline_pretrain_v3(spark, sf_dir):
     ).localCheckpoint()
     reps = g.filter("_is_rep").select("doc_id")
     rep_docs = gated.join(reps, "doc_id")
+    # both window frames feed TWO consumers (the Bloom path and the
+    # exact-overlap witness) — persist so each text side is tokenized
+    # and windowed once, not per consumer
     bench_wh = (
-        dd.window_hashes(bench, 13).select("window_hash").distinct()
+        dd.window_hashes(bench, 13)
+        .select("window_hash")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bits = sk.bloom_bits(bench_wh, "window_hash", m=m, j=j)
-    rep_wh = dd.window_hashes(rep_docs, 13).distinct()
+    rep_wh = dd.window_hashes(rep_docs, 13).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     hits = (
         sk.bloom_suppress(
             rep_wh, bits, "window_hash", m=m, j=j, keep_hits=True
@@ -5970,8 +5978,12 @@ def pipeline_pretrain_v3(spark, sf_dir):
         .select("doc_id")
         .distinct()
     )
+    # exact-overlap witness from the SAME window frames the Bloom
+    # path already built (contamination_flags would re-tokenize and
+    # re-window BOTH sides — a second full text pass; measured ~0.7 s
+    # of the sf0.1 wall): identical result set by construction
     exact = (
-        dd.contamination_flags(rep_docs, bench, k=13)
+        rep_wh.join(F.broadcast(bench_wh), "window_hash")
         .select("doc_id")
         .distinct()
     )
