@@ -12689,7 +12689,7 @@ def events_cusum_shift(spark, sf_dir):
         ) WHERE rn = 1
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_days,
-           d AS changepoint_day,
+           strftime(d, '%Y-%m-%d') AS changepoint_day,
            CAST(l // s AS BIGINT) AS mean_before_cents,
            CAST(r // (n - s) AS BIGINT) AS mean_after_cents,
            CAST(round(1000.0 * ((CAST(num AS DOUBLE) / den
@@ -12761,7 +12761,11 @@ def events_changepoint(spark, sf_dir):
     return best.select(
         "event_type",
         F.col("n").cast("long").alias("n_days"),
-        F.col("d").alias("changepoint_day"),
+        # ISO string, not DATE: the driver materializes through
+        # pandas, where a DuckDB date arrives as datetime64 and
+        # renders with a time component — a hash miss on identical
+        # values (the test_oracle_dtypes guard class)
+        F.date_format("d", "yyyy-MM-dd").alias("changepoint_day"),
         F.expr("CAST(l div s AS BIGINT)").alias("mean_before_cents"),
         F.expr("CAST(r div (n - s) AS BIGINT)").alias(
             "mean_after_cents"
