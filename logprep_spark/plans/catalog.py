@@ -144,7 +144,7 @@ def register(name: str, oracle: str | None = None):
 #     split_leakage_free, ann_ivfpq_rerank — all local hash-PASS in
 #     the committed r9 ledger, 16 judge-re-verified), then 31 of the
 #     48 remaining r5-checked rows (r5 window order, oldest first).
-#   r11 window: the 21 r10-new rows first (pipeline_pretrain_v3,
+#   r11 window: the 22 r10-new rows first (pipeline_pretrain_v3,
 #     graph_lpa_modularity, ann_matryoshka_recall, ann_int8_recall,
 #     corpus_mix_allocate, text_kn_trigram, ann_mmr_diversify,
 #     events_mann_kendall, sketch_hll_own_range,
@@ -153,7 +153,7 @@ def register(name: str, oracle: str | None = None):
 #     events_transition_matrix, text_ctfidf_topics,
 #     events_spearman_volume_value, events_trimmed_mean,
 #     events_changepoint, graph_weighted_sssp,
-#     text_quality_domain_norm — all
+#     text_quality_domain_norm, ann_context_assemble — all
 #     local hash-PASS in the committed r10 ledger; graph_bfs_hops'
 #     r10 row already gates the n_rounds_run witness — the schema
 #     changed before the r10 driver ran), then the 17 r5-checked
@@ -7397,6 +7397,78 @@ def ann_mmr_diversify(spark, sf_dir):
     emb = tables(spark, sf_dir)["embeddings"]
     qs = emb.filter(F.col("vec_id") < 5)
     return sim.mmr_diversify(emb, qs, k_final=5, k_pool=10)
+
+
+@register(
+    "ann_context_assemble",
+    f"""
+    WITH picks AS (
+        SELECT * FROM ({_sql_mmr(k_final=5, k_pool=10, lam=700)}) m
+    ), toks AS (
+        SELECT doc_id AS nbr_id,
+               CAST(len({_sql_words()}) AS BIGINT) AS t
+        FROM documents
+    ), filled AS (
+        SELECT p.query_id, p.pick_rank, t,
+               sum(t) OVER (PARTITION BY p.query_id
+                   ORDER BY p.pick_rank) AS cum
+        FROM picks p JOIN toks USING (nbr_id)
+    )
+    SELECT query_id,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN cum - t < 150 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN cum - t < 150 THEN t ELSE 0 END)
+                AS BIGINT) AS tokens_used,
+           CAST(greatest(sum(CASE WHEN cum - t < 150 THEN t ELSE 0 END)
+                         - 150, 0) AS BIGINT) AS budget_overshoot
+    FROM filled GROUP BY query_id
+    """,
+)
+def ann_context_assemble(spark, sf_dir):
+    """RAG CONTEXT ASSEMBLY — the step after diversified retrieval
+    (ann_mmr_diversify) and before the prompt: the 5 MMR picks fill a
+    150-token context budget GREEDILY IN PICK ORDER (a doc joins iff
+    its tokens START inside the budget — the pack_sequences boundary
+    convention, so the budget binds mid-list and the overshoot is at
+    most the boundary doc, witnessed per query). Composes three
+    families in one gated row: embedding retrieval, MMR
+    diversification, and token accounting — exactly the frame a
+    serving layer materializes. Scale: the pick frame is k_final rows
+    per query (bounded by the evaluated queries); token counts join
+    by doc id; the cumsum window is over ≤ 5 rows per query."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    docs = tables(spark, sf_dir)["documents"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    picks = sim.mmr_diversify(emb, qs, k_final=5, k_pool=10)
+    toks = docs.select(
+        F.col("doc_id").alias("nbr_id"),
+        tx.token_count(F.col("text")).alias("_t"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("pick_rank")
+    filled = (
+        picks.join(toks, "nbr_id")
+        .withColumn("_cum", F.sum("_t").over(w))
+        .withColumn("_in", (F.col("_cum") - F.col("_t")) < 150)
+    )
+    return filled.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.col("_in").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("_in"), F.col("_t")).otherwise(0)).alias(
+            "tokens_used"
+        ),
+        F.greatest(
+            F.sum(
+                F.when(F.col("_in"), F.col("_t")).otherwise(0)
+            )
+            - F.lit(150),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("budget_overshoot"),
+    )
 
 
 @register(
