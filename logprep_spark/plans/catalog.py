@@ -14763,3 +14763,758 @@ def ab_diff_in_diff(spark, sf_dir):
         F.expr("(post1 - pre1) - (post0 - pre0)").alias("did_micro"),
         F.expr("post1 - post0").alias("naive_post_diff_micro"),
     )
+
+
+@register(
+    "shard_balance_tokens",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text),
+                    '[^a-z]+'), x -> x != '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r
+        FROM toks
+    ), assigned AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+                    ELSE 7 - (r % 8) END AS shard,
+               doc_id % 8 AS shard_naive
+        FROM ranked
+    ), snake AS (
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens_snake
+        FROM assigned GROUP BY shard
+    ), naive AS (
+        SELECT shard_naive AS shard,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens_naive
+        FROM assigned GROUP BY shard_naive
+    ), joined AS (
+        SELECT s.shard, s.n_docs, s.tokens_snake, n.tokens_naive
+        FROM snake s JOIN naive n USING (shard)
+    )
+    SELECT shard, n_docs, tokens_snake, tokens_naive,
+           CAST(1000 * (max(tokens_snake) OVER ()
+                        - min(tokens_snake) OVER ())
+                // max(tokens_snake) OVER () AS BIGINT)
+               AS imbalance_snake_permille,
+           CAST(1000 * (max(tokens_naive) OVER ()
+                        - min(tokens_naive) OVER ())
+                // max(tokens_naive) OVER () AS BIGINT)
+               AS imbalance_naive_permille
+    FROM joined
+    """,
+)
+def shard_balance_tokens(spark, sf_dir):
+    """Token-balanced SHARD ASSIGNMENT for training-data files — the
+    step between a curated corpus and N data-loader workers: docs rank
+    by (token count DESC, doc_id) and snake across K=8 shards
+    (boustrophedon — pass 0 deals 0..7, pass 1 deals 7..0, so each
+    shard receives one doc per pass and long/short docs cancel; the
+    classic parallel-LPT approximation with a deterministic, fully
+    declarative form). Both the snake and the naive ``doc_id % K``
+    assignment aggregate in one pass, and the per-mille max-min
+    imbalance of EACH rides every row — the witness that size-aware
+    assignment beats hash round-robin on this very corpus. Scale: one
+    global sort (range-partitioned at 100 TB — rank is the only wide
+    op) + two K-key aggs; output is K rows however large the corpus.
+    """
+    from pyspark.sql import Window
+
+    docs = tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda w: w != "",
+            )
+        ).cast("long").alias("n_tokens"),
+    )
+    r = (
+        F.row_number().over(
+            Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+        )
+        - 1
+    )
+    assigned = toks.withColumn("r", r).selectExpr(
+        "doc_id",
+        "n_tokens",
+        "CASE WHEN (r div 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END"
+        " AS shard",
+        "doc_id % 8 AS shard_naive",
+    )
+    snake = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_snake"),
+    )
+    naive = assigned.groupBy(
+        F.col("shard_naive").alias("shard")
+    ).agg(F.sum("n_tokens").cast("long").alias("tokens_naive"))
+    joined = snake.join(F.broadcast(naive), "shard")
+    return joined.select(
+        "shard",
+        "n_docs",
+        "tokens_snake",
+        "tokens_naive",
+        F.expr(
+            "CAST(1000 * (max(tokens_snake) OVER ()"
+            " - min(tokens_snake) OVER ())"
+            " div max(tokens_snake) OVER () AS BIGINT)"
+        ).alias("imbalance_snake_permille"),
+        F.expr(
+            "CAST(1000 * (max(tokens_naive) OVER ()"
+            " - min(tokens_naive) OVER ())"
+            " div max(tokens_naive) OVER () AS BIGINT)"
+        ).alias("imbalance_naive_permille"),
+    )
+
+
+@register(
+    "curriculum_order",
+    """
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               CAST(len(list_filter(string_split_regex(lower(text),
+                    '[^a-z]+'), x -> x != '')) AS BIGINT) AS n_words
+        FROM documents
+    ), diff AS (
+        SELECT doc_id,
+               CAST(1000 * n_chars // n_words AS BIGINT) AS difficulty_milli
+        FROM scored WHERE n_words > 0
+    ), phased AS (
+        SELECT doc_id, difficulty_milli,
+               ntile(4) OVER (ORDER BY difficulty_milli, doc_id) AS phase
+        FROM diff
+    ), ordered AS (
+        SELECT doc_id, difficulty_milli, phase,
+               row_number() OVER (PARTITION BY phase
+                   ORDER BY md5('curr:' || doc_id::varchar), doc_id) AS rn
+        FROM phased
+    )
+    SELECT CAST(phase AS BIGINT) AS phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(difficulty_milli) // count(*) AS BIGINT)
+               AS mean_difficulty_milli,
+           CAST(min(difficulty_milli) AS BIGINT) AS min_difficulty_milli,
+           CAST(max(difficulty_milli) AS BIGINT) AS max_difficulty_milli,
+           CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+               AS first_doc_id,
+           CAST(sum(rn * doc_id) AS BIGINT) AS order_checksum
+    FROM ordered GROUP BY phase
+    """,
+)
+def curriculum_order(spark, sf_dir):
+    """CURRICULUM ordering for training — easy-to-hard phase schedule
+    with a deterministic in-phase shuffle: difficulty is the integer
+    chars-per-word proxy (long words = harder text), ``ntile(4)``
+    over (difficulty, doc_id) cuts the corpus into four equal phases,
+    and WITHIN each phase docs shuffle by an md5 hash (training wants
+    i.i.d. order inside a phase, not difficulty-sorted dribble — the
+    split-family hash discipline). The full permutation is pinned by
+    ``order_checksum`` = Σ rank·doc_id per phase and the rank-1 doc
+    rides as ``first_doc_id``; mean difficulty strictly increasing
+    across phases is the pytest witness. Scale: one global ntile sort
+    (range-partitioned) + one per-phase rank window + a 4-key agg —
+    output is 4 rows; at 100 TB the ntile boundary comes from the SQ
+    quantile sketch and the sort disappears into a narrow bucket map.
+    """
+    from pyspark.sql import Window
+
+    docs = tables(spark, sf_dir)["documents"]
+    diff = (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda w: w != "",
+                )
+            ).cast("long").alias("n_words"),
+        )
+        .filter(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            F.expr("CAST(1000 * n_chars div n_words AS BIGINT)").alias(
+                "difficulty_milli"
+            ),
+        )
+    )
+    phased = diff.withColumn(
+        "phase",
+        F.ntile(4).over(Window.orderBy("difficulty_milli", "doc_id")),
+    )
+    ordered = phased.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("phase").orderBy(
+                F.md5(F.concat(F.lit("curr:"), F.col("doc_id").cast("string"))),
+                "doc_id",
+            )
+        ),
+    )
+    return ordered.groupBy(F.col("phase").cast("long").alias("phase")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(sum(difficulty_milli) div count(1) AS BIGINT)"
+        ).alias("mean_difficulty_milli"),
+        F.min("difficulty_milli").cast("long").alias("min_difficulty_milli"),
+        F.max("difficulty_milli").cast("long").alias("max_difficulty_milli"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .cast("long")
+        .alias("first_doc_id"),
+        F.sum(F.col("rn") * F.col("doc_id")).cast("long").alias(
+            "order_checksum"
+        ),
+    )
+
+
+@register(
+    "dq_dp_counts",
+    """
+    WITH counts AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS true_n
+        FROM events GROUP BY event_type
+    ), noise AS (
+        SELECT event_type, true_n,
+               (('0x' || substr(md5('dp:' || event_type), 1, 8))::bigint
+                + 0.5) / 4294967296.0 AS u
+        FROM counts
+    )
+    SELECT event_type, true_n,
+           CAST(500 AS BIGINT) AS epsilon_milli,
+           CAST(round(1000 * (-2.0
+                * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+                * ln(1.0 - 2.0 * abs(u - 0.5)))) AS BIGINT)
+               AS noise_milli,
+           1000 * true_n
+               + CAST(round(1000 * (-2.0
+                   * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+                   * ln(1.0 - 2.0 * abs(u - 0.5)))) AS BIGINT)
+               AS noisy_count_milli
+    FROM noise
+    """,
+)
+def dq_dp_counts(spark, sf_dir):
+    """ε-DIFFERENTIALLY-PRIVATE count release (ε = 0.5, sensitivity 1,
+    Laplace b = 1/ε = 2) — the mechanism a corpus-stats dashboard
+    publishes per-group counts through when the groups are sensitive:
+    noise is Laplace via the inverse CDF −b·sign(u−½)·ln(1−2|u−½|)
+    where u ∈ (0,1) derives from an md5 hash of the group key (the
+    split-family hash-uniform discipline; the +0.5/2³² midpoint keeps
+    u strictly interior so ln stays finite). DETERMINISM IS THE TEST
+    POSTURE, stated honestly: a production release draws u from a
+    sealed RNG — the hash stand-in makes the gate reproducible while
+    exercising the exact release arithmetic, and ``true_n`` rides
+    in-row only because the gate must verify the noise against it.
+    Noise rounds to milli in both engines (the float discipline —
+    one ln per GROUP, never per row). Scale: one group-key agg; the
+    noise map is free on the |groups|-row frame."""
+    ev = tables(spark, sf_dir)["events"]
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    noise = counts.withColumn(
+        "u",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("double")
+            + F.lit(0.5)
+        )
+        / F.lit(4294967296.0),
+    )
+    lap = (
+        F.lit(-2.0)
+        * F.when(F.col("u") >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - 2.0 * F.abs(F.col("u") - 0.5))
+    )
+    noise_milli = F.round(1000 * lap).cast("long")
+    return noise.select(
+        "event_type",
+        "true_n",
+        F.lit(500).cast("long").alias("epsilon_milli"),
+        noise_milli.alias("noise_milli"),
+        (1000 * F.col("true_n") + noise_milli).alias("noisy_count_milli"),
+    )
+
+
+@register(
+    "join_interval_overlap",
+    """
+    WITH transit AS (
+        SELECT o.o_custkey AS custkey, l.l_orderkey, l.l_linenumber,
+               (l.l_shipdate::DATE - DATE '1970-01-01') AS s_a,
+               (l.l_shipdate::DATE - DATE '1970-01-01')
+                   + 1 + (l.l_partkey % 21) AS e_a
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), urgent AS (
+        SELECT o_custkey AS custkey, o_orderkey,
+               (o_orderdate::DATE - DATE '1970-01-01') AS s_b,
+               (o_orderdate::DATE - DATE '1970-01-01') + 30 AS e_b
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), pairs AS (
+        SELECT t.custkey, t.l_orderkey, t.l_linenumber, u.o_orderkey,
+               greatest(t.s_a, u.s_b) AS ostart,
+               least(t.e_a, u.e_b) - greatest(t.s_a, u.s_b) + 1
+                   AS overlap_days
+        FROM transit t JOIN urgent u
+          ON t.custkey = u.custkey
+         AND t.l_orderkey != u.o_orderkey
+         AND t.s_a <= u.e_b AND u.s_b <= t.e_a
+    )
+    SELECT strftime(DATE '1970-01-01' + ostart * INTERVAL 1 DAY, '%Y-%m')
+               AS month,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT custkey) AS BIGINT) AS n_custs,
+           CAST(sum(overlap_days) AS BIGINT) AS overlap_days_sum,
+           CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT)
+               AS lineitem_checksum,
+           CAST(sum(o_orderkey) AS BIGINT) AS urgent_checksum
+    FROM pairs GROUP BY month
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """INTERVAL-OVERLAP JOIN via bin decomposition — the operator
+    Spark has no native physical strategy for (an overlap predicate
+    alone degenerates to BroadcastNestedLoop): per customer, which
+    lineitem transit windows [shipdate, shipdate+1+pk%21] were open
+    while another of the customer's URGENT orders had its 30-day
+    fulfillment window open. Both interval sets explode into W=32-day
+    bins (≤2 bins per transit, ≤2 per window), the join becomes a pure
+    EQUI-join on (custkey, bin) — shuffle-partitionable, AQE-skew-
+    splittable — and each qualifying pair is emitted exactly once by
+    the OWNERSHIP-BIN rule: only the bin containing greatest(s_a, s_b)
+    reports, so no distinct is ever needed. The ORACLE is the plain
+    inequality join — hash equality proves the decomposition complete
+    AND duplicate-free, not just plausible. Readout: per month of
+    overlap start, pair/customer counts, overlap-day mass, key
+    checksums pinning the exact pair set. Scale: bins bound the fan-out
+    (interval_len/W + 1), the equi-shuffle replaces the O(n·m)
+    nested loop, and W tunes fan-out against per-bin density."""
+    t = tables(spark, sf_dir)
+    li, orders = t["lineitem"], t["orders"]
+    W = 32
+    transit = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01"))
+            .alias("s_a"),
+            (
+                F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01"))
+                + 1
+                + F.col("l_partkey") % 21
+            ).alias("e_a"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s_a div {W}"), F.expr(f"e_a div {W}")
+                )
+            ),
+        )
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "o_orderkey",
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+            .alias("s_b"),
+            (
+                F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+                + 30
+            ).alias("e_b"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s_b div {W}"), F.expr(f"e_b div {W}")
+                )
+            ),
+        )
+    )
+    pairs = (
+        transit.join(urgent, ["custkey", "bin"])
+        .filter(
+            (F.col("l_orderkey") != F.col("o_orderkey"))
+            & (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a"))
+            # ownership bin: exactly one bin reports each pair
+            & (F.col("bin") == F.expr(f"greatest(s_a, s_b) div {W}"))
+        )
+        .select(
+            "custkey",
+            "l_orderkey",
+            "l_linenumber",
+            "o_orderkey",
+            F.greatest("s_a", "s_b").alias("ostart"),
+            (
+                F.least("e_a", "e_b") - F.greatest("s_a", "s_b") + 1
+            ).alias("overlap_days"),
+        )
+    )
+    return pairs.groupBy(
+        F.date_format(
+            F.expr("date_add('1970-01-01', ostart)"), "yyyy-MM"
+        ).alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("custkey").cast("long").alias("n_custs"),
+        F.sum("overlap_days").cast("long").alias("overlap_days_sum"),
+        F.sum(F.col("l_orderkey") * 7 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("lineitem_checksum"),
+        F.sum("o_orderkey").cast("long").alias("urgent_checksum"),
+    )
+
+
+@register(
+    "text_bpe_roundtrip",
+    f"""
+    WITH words AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x != '')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM words GROUP BY w
+    ), p1 AS (
+        SELECT w, n_w, {_sql_bpe_pass("string_split(w, '')")} AS t1 FROM vocab
+    ), p2 AS (
+        SELECT w, n_w, {_sql_bpe_pass("t1")} AS t2 FROM p1
+    ), p3 AS (
+        SELECT w, n_w, {_sql_bpe_pass("t2")} AS t3 FROM p2
+    ), pos_tok AS (
+        SELECT w, n_w, unnest(t3) AS tok,
+               unnest(range(1, len(t3) + 1)) AS pos
+        FROM p3
+    ), tok_ids AS (
+        SELECT tok, row_number() OVER (
+                   ORDER BY sum(n_w) DESC, tok) AS token_id
+        FROM pos_tok GROUP BY tok
+    ), encoded AS (
+        SELECT p.w, p.n_w, p.pos, i.token_id
+        FROM pos_tok p JOIN tok_ids i USING (tok)
+    ), decoded AS (
+        SELECT e.w, max(e.n_w) AS n_w,
+               string_agg(i.tok, '' ORDER BY e.pos) AS rebuilt,
+               CAST(count(*) AS BIGINT) AS n_ids,
+               CAST(sum(e.pos * i.token_id) AS BIGINT) AS sig
+        FROM encoded e JOIN tok_ids i USING (token_id)
+        GROUP BY e.w
+    )
+    SELECT substr(w, 1, 1) AS grp,
+           CAST(count(*) AS BIGINT) AS n_vocab_words,
+           CAST(sum(CASE WHEN rebuilt = w THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_roundtrip,
+           CAST(sum(n_w) AS BIGINT) AS n_occurrences,
+           CAST(sum(n_ids) AS BIGINT) AS n_ids,
+           CAST(sum(sig) AS BIGINT) AS ids_checksum
+    FROM decoded GROUP BY grp
+    """,
+)
+def text_bpe_roundtrip(spark, sf_dir):
+    """BPE DECODE-FROM-IDS round trip — gates the property a tokenizer
+    actually ships on: the (token_id sequence, id→string vocab) pair
+    alone reconstructs every word exactly. The encoder's token arrays
+    (functions/text.py bpe_encode_words — the L100 fold chain) map to
+    integer ids by frequency rank (n_occurrences DESC, token — the
+    deterministic tie-break), the token STRING is then dropped so only
+    (word, pos, token_id) survives — the artifact a training job
+    writes — and decode is the id→vocab join + position-ordered
+    reassembly. ``n_exact_roundtrip == n_vocab_words`` per group is the
+    losslessness witness (pytest asserts it corpus-wide) and
+    ``ids_checksum`` = Σ pos·token_id pins the exact id assignment.
+    Scale: the fold chain and both id joins run on the DISTINCT
+    vocabulary (Heaps' law — vocab ≪ corpus) with the token table
+    broadcast; nothing touches the corpus after the initial word
+    count."""
+    from pyspark.sql import Window
+
+    docs = tables(spark, sf_dir)["documents"]
+    enc = tx.bpe_encode_words(docs)
+    pos_tok = enc.select(
+        "w",
+        "n_w",
+        F.posexplode("tokens").alias("pos0", "tok"),
+    ).select("w", "n_w", (F.col("pos0") + 1).alias("pos"), "tok")
+    tok_ids = (
+        pos_tok.groupBy("tok")
+        .agg(F.sum("n_w").alias("_occ"))
+        .withColumn(
+            "token_id",
+            F.row_number().over(
+                Window.orderBy(F.col("_occ").desc(), F.col("tok"))
+            ),
+        )
+        .select("tok", "token_id")
+    )
+    encoded = pos_tok.join(F.broadcast(tok_ids), "tok").select(
+        "w", "n_w", "pos", "token_id"
+    )
+    decoded = (
+        encoded.join(
+            F.broadcast(tok_ids.select("token_id", F.col("tok").alias("tok2"))),
+            "token_id",
+        )
+        .groupBy("w")
+        .agg(
+            F.max("n_w").alias("n_w"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", F.col("tok2")))
+                    ),
+                    lambda x: x.tok2,
+                ),
+                "",
+            ).alias("rebuilt"),
+            F.count(F.lit(1)).cast("long").alias("n_ids"),
+            F.sum(F.col("pos") * F.col("token_id"))
+            .cast("long")
+            .alias("sig"),
+        )
+    )
+    return decoded.groupBy(
+        F.substring("w", 1, 1).alias("grp")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab_words"),
+        F.sum(
+            F.when(F.col("rebuilt") == F.col("w"), 1).otherwise(0)
+        ).cast("long").alias("n_exact_roundtrip"),
+        F.sum("n_w").cast("long").alias("n_occurrences"),
+        F.sum("n_ids").cast("long").alias("n_ids"),
+        F.sum("sig").cast("long").alias("ids_checksum"),
+    )
+
+
+# --- content-defined chunking (dedup_cdc_chunks) ---------------------
+# Shared rolling-hash constants, inlined as literals into BOTH
+# dialects: window w=16 chars, base B=131, weights B^(15-j) mod 2^25
+# (precomputed — the boundary test is mod 64, and exact BIGINT sums of
+# code*weight stay < 2^36, so no runtime modular reduction is needed
+# in either engine). A cut lands AFTER position c whenever the window
+# [c-15 .. c] hashes to 0 mod 64 (expected chunk ≈ 64 chars).
+_CDC_W = [pow(131, 15 - j, 1 << 25) for j in range(16)]
+
+
+def _cdc_spark_cols():
+    """(cuts, chunks) Spark SQL expression strings over column `t`."""
+    warr = ", ".join(f"{x}L" for x in _CDC_W)
+    cuts = (
+        "filter(sequence(16, length(t) - 1), c -> "
+        "aggregate(sequence(0, 15), 0L, (acc, j) -> "
+        f"acc + ascii(substring(t, c - 15 + j, 1)) * "
+        f"element_at(array({warr}), j + 1)) % 64 = 0)"
+    )
+    chunks = (
+        "transform(sequence(1, size(_starts)), k -> "
+        "substring(t, element_at(_starts, k), "
+        "element_at(_ends, k) - element_at(_starts, k) + 1))"
+    )
+    return cuts, chunks
+
+
+def _cdc_sql_cuts(texpr: str) -> str:
+    """DuckDB replica of the cut-position list for expression
+    ``texpr`` (same weights, same mod-64 boundary rule). Materialized
+    ONCE per text in its own CTE column — the chunk slicing reads the
+    column, never re-runs the O(16·L) comprehension."""
+    wlist = ", ".join(f"{x}::BIGINT" for x in _CDC_W)
+    return (
+        f"[c for c in range(16, length({texpr})) "
+        f"if list_sum([ord(({texpr})[c-15+j]) * [{wlist}][j+1] "
+        f"for j in range(0, 16)]) % 64 = 0]"
+    )
+
+
+_CDC_SQL_CHUNKS = (
+    "list_transform(range(1, len(starts) + 1), k -> "
+    "substring(t, starts[k], ends[k] - starts[k] + 1))"
+)
+
+
+@register(
+    "dedup_cdc_chunks",
+    f"""
+    WITH norm AS (
+        SELECT doc_id, source,
+               substring(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                         1, 512) AS t
+        FROM documents
+    ), ready AS (
+        SELECT doc_id, source, t, 'zq9 ' || t AS t2
+        FROM norm WHERE length(t) >= 32
+    ), ocuts AS (
+        SELECT doc_id, source, t, {_cdc_sql_cuts("t")} AS cuts FROM ready
+    ), obounds AS (
+        SELECT doc_id, source, t,
+               list_concat([1], [c + 1 for c in cuts]) AS starts,
+               list_concat(cuts, [length(t)]) AS ends
+        FROM ocuts
+    ), orig AS (
+        SELECT doc_id, source, unnest({_CDC_SQL_CHUNKS}) AS chunk,
+               unnest(range(1, len(starts) + 1)) AS idx
+        FROM obounds
+    ), tcuts AS (
+        SELECT doc_id, t2 AS t, {_cdc_sql_cuts("t2")} AS cuts FROM ready
+    ), tbounds AS (
+        SELECT doc_id, t,
+               list_concat([1], [c + 1 for c in cuts]) AS starts,
+               list_concat(cuts, [length(t)]) AS ends
+        FROM tcuts
+    ), twin AS (
+        SELECT doc_id, unnest({_CDC_SQL_CHUNKS}) AS chunk
+        FROM tbounds
+    ), orig_g AS (
+        SELECT doc_id, source, md5(chunk) AS h, min(idx) AS idx
+        FROM orig GROUP BY doc_id, source, md5(chunk)
+    ), orig_tail AS (
+        SELECT doc_id, source, h
+        FROM (SELECT doc_id, source, h,
+                     idx = min(idx) OVER (PARTITION BY doc_id) AS is_first
+              FROM orig_g)
+        WHERE NOT is_first
+    ), twin_d AS (
+        SELECT DISTINCT doc_id, md5(chunk) AS h FROM twin
+    ), matched AS (
+        SELECT o.source,
+               CAST(count(*) AS BIGINT) AS expected,
+               CAST(count(t.h) AS BIGINT) AS found
+        FROM orig_tail o LEFT JOIN twin_d t USING (doc_id, h)
+        GROUP BY o.source
+    ), stats AS (
+        SELECT source,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(DISTINCT md5(chunk)) AS BIGINT)
+                   AS n_distinct_chunks
+        FROM orig GROUP BY source
+    )
+    SELECT s.source, s.n_docs, s.n_chunks, s.n_distinct_chunks,
+           s.n_chunks - s.n_distinct_chunks AS n_dup_occurrences,
+           m.expected AS shift_expected, m.found AS shift_matched
+    FROM stats s JOIN matched m USING (source)
+    """,
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    """CONTENT-DEFINED CHUNKING dedup (the FastCDC/rsync family, the
+    w=16 polynomial rolling hash stated in _CDC_W): a chunk boundary
+    lands wherever the local window hashes ≡ 0 mod 64, so boundaries
+    depend ONLY on nearby content — the property that makes CDC the
+    storage-dedup primitive fixed-size blocking can never be: insert a
+    prefix and every fixed block shifts, but CDC boundaries re-sync at
+    the first post-edit cut. That property is GATED, not asserted: the
+    query chunks each doc twice — as-is and with a 4-char prefix
+    ('zq9 ') grafted on — and per source reports shift_expected (every
+    distinct non-first chunk of the original) beside shift_matched
+    (those found verbatim among the twin's chunks); pytest asserts
+    equality corpus-wide. Dedup readout rides the same rows: distinct
+    vs total chunk counts per source. Normalization to [a-z0-9 ] and a
+    512-char analysis cap keep the gate cheap (production chunks full
+    bytes — the arithmetic is identical). Scale: chunking is a
+    per-row map (zero shuffle); the dedup count is one chunk-hash agg
+    and the witness join keys on (doc_id, chunk-hash) — both AQE
+    shuffles on keys no wider than 48 bytes; the corpus is read
+    once."""
+    docs = tables(spark, sf_dir)["documents"]
+    cuts_e, chunks_e = _cdc_spark_cols()
+    ready = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(
+                "substring(regexp_replace(lower(text), '[^a-z0-9 ]', ''),"
+                " 1, 512)"
+            ).alias("t"),
+        )
+        .filter(F.length("t") >= 32)
+    )
+
+    def chunked(frame, text_col):
+        f = frame.withColumn("t", F.col(text_col)) if text_col != "t" else frame
+        return (
+            f.withColumn("_cuts", F.expr(cuts_e))
+            .withColumn(
+                "_starts",
+                F.expr("concat(array(1), transform(_cuts, c -> c + 1))"),
+            )
+            .withColumn(
+                "_ends", F.expr("concat(_cuts, array(length(t)))")
+            )
+            .select(
+                "doc_id",
+                "source",
+                F.posexplode(F.expr(chunks_e)).alias("idx0", "chunk"),
+            )
+        )
+
+    orig = chunked(ready, "t")
+    twin = chunked(
+        ready.select(
+            "doc_id", "source", F.concat(F.lit("zq9 "), F.col("t")).alias("t")
+        ),
+        "t",
+    )
+    from pyspark.sql import Window
+
+    orig_d = (
+        orig.select(
+            "doc_id",
+            "source",
+            F.md5("chunk").alias("h"),
+            (F.col("idx0") + 1).alias("idx"),
+        )
+        .groupBy("doc_id", "source", "h")
+        .agg(F.min("idx").alias("idx"))
+        .withColumn(
+            "is_first",
+            F.col("idx")
+            == F.min("idx").over(Window.partitionBy("doc_id")),
+        )
+    )
+    twin_d = twin.select("doc_id", F.md5("chunk").alias("h")).distinct()
+    matched = (
+        orig_d.filter(~F.col("is_first"))
+        .join(
+            twin_d.withColumn("_hit", F.lit(1)), ["doc_id", "h"], "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("expected"),
+            F.count("_hit").cast("long").alias("found"),
+        )
+    )
+    stats = orig.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.countDistinct(F.md5("chunk")).cast("long").alias(
+            "n_distinct_chunks"
+        ),
+    )
+    return stats.join(F.broadcast(matched), "source").select(
+        "source",
+        "n_docs",
+        "n_chunks",
+        "n_distinct_chunks",
+        (F.col("n_chunks") - F.col("n_distinct_chunks")).alias(
+            "n_dup_occurrences"
+        ),
+        F.col("expected").alias("shift_expected"),
+        F.col("found").alias("shift_matched"),
+    )
