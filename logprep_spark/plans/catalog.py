@@ -15518,3 +15518,376 @@ def dedup_cdc_chunks(spark, sf_dir):
         F.col("expected").alias("shift_expected"),
         F.col("found").alias("shift_matched"),
     )
+
+
+@register(
+    "events_stl_decompose",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               (ts::DATE - DATE '1970-01-01') AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, d
+    ), bounds AS (
+        SELECT event_type, min(d) AS d0, max(d) AS d1
+        FROM daily GROUP BY event_type
+    ), spine AS (
+        SELECT b.event_type, unnest(range(b.d0, b.d1 + 1)) AS d
+        FROM bounds b
+    ), filled AS (
+        SELECT s.event_type, s.d,
+               1000 * coalesce(dl.n, 0) AS x
+        FROM spine s LEFT JOIN daily dl
+          ON s.event_type = dl.event_type AND s.d = dl.d
+    ), trended AS (
+        SELECT event_type, d, x,
+               sum(x) OVER w // 7 AS trend,
+               count(*) OVER w AS n_win
+        FROM filled
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), core AS (
+        SELECT event_type, d, x, trend, x - trend AS det,
+               d % 7 AS dow_idx
+        FROM trended WHERE n_win = 7
+    ), seas AS (
+        SELECT event_type, dow_idx,
+               sum(det) // count(*) AS s
+        FROM core GROUP BY event_type, dow_idx
+    ), resid AS (
+        SELECT c.event_type, c.d, c.x, c.det, se.s,
+               c.det - se.s AS r, c.x - se.s AS deseas
+        FROM core c JOIN seas se
+          ON c.event_type = se.event_type AND c.dow_idx = se.dow_idx
+    ), marked AS (
+        SELECT *, max(abs(r)) OVER (PARTITION BY event_type) AS max_abs
+        FROM resid
+    ), moms AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(det) AS BIGINT) AS sd,
+               CAST(sum(det * det) AS BIGINT) AS sdd,
+               CAST(sum(r) AS BIGINT) AS sr,
+               CAST(sum(r * r) AS BIGINT) AS srr,
+               CAST(sum(deseas) AS BIGINT) AS su,
+               CAST(sum(deseas * deseas) AS BIGINT) AS suu,
+               CAST(min(CASE WHEN abs(r) = max_abs THEN d END)
+                    AS BIGINT) AS anom_d,
+               CAST(max(abs(r)) AS BIGINT) AS anom_abs
+        FROM marked GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days_core,
+           CAST(greatest(0, 1000 - 1000 * (n * srr - sr * sr)
+                // nullif(n * sdd - sd * sd, 0)) AS BIGINT)
+               AS seasonal_strength_permille,
+           CAST(greatest(0, 1000 - 1000 * (n * srr - sr * sr)
+                // nullif(n * suu - su * su, 0)) AS BIGINT)
+               AS trend_strength_permille,
+           strftime(DATE '1970-01-01' + anom_d * INTERVAL 1 DAY,
+                    '%Y-%m-%d') AS anomaly_day,
+           anom_abs AS anomaly_resid_milli
+    FROM moms
+    """,
+)
+def events_stl_decompose(spark, sf_dir):
+    """STL-STYLE additive decomposition of the daily event-count
+    series — trend (centered 7-day moving average over the GAP-FILLED
+    day spine — missing days are real zeros, the events_gap_fill
+    lesson), day-of-week seasonal (per-slot mean of the detrended
+    series), residual — with Hyndman's STRENGTH measures gated as
+    integers: seasonal strength = 1 − Var(resid)/Var(detrended),
+    trend strength = 1 − Var(resid)/Var(deseasonalized), both
+    per-mille on exact integer moment arithmetic (n·Σz²−(Σz)², no
+    float until never). The largest |residual| day rides as
+    ``anomaly_day`` (min-day tie-break) — the decomposition's
+    actionable output: an anomaly AFTER removing trend and weekly
+    rhythm, which a raw z-score would drown in seasonality. Edge days
+    without a full 7-day window are excluded (n_win = 7), so the
+    moving average never silently shortens. Scale: one (type, day)
+    agg, one 7-row window over the tiny daily frame, one 7-key
+    seasonal agg — everything after the first agg is |types|·|days|
+    rows."""
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    filled = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        "d",
+        (1000 * F.coalesce(F.col("n"), F.lit(0))).alias("x"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    core = (
+        filled.withColumn("trend", F.expr("sum(x)").over(w))
+        .withColumn("n_win", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_win") == 7)
+        .select(
+            "event_type",
+            "d",
+            "x",
+            F.expr("trend div 7").alias("trend"),
+            (F.col("x") - F.expr("trend div 7")).alias("det"),
+            (F.col("d") % 7).alias("dow_idx"),
+        )
+    )
+    seas = core.groupBy("event_type", "dow_idx").agg(
+        F.expr("sum(det) div count(1)").alias("s")
+    )
+    resid = core.join(F.broadcast(seas), ["event_type", "dow_idx"]).select(
+        "event_type",
+        "d",
+        "det",
+        (F.col("det") - F.col("s")).alias("r"),
+        (F.col("x") - F.col("s")).alias("deseas"),
+    )
+    wt = Window.partitionBy("event_type")
+    marked = resid.withColumn(
+        "_max_abs", F.max(F.abs("r")).over(wt)
+    )
+    moms = marked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("det").cast("long").alias("sd"),
+        F.sum(F.col("det") * F.col("det")).cast("long").alias("sdd"),
+        F.sum("r").cast("long").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("srr"),
+        F.sum("deseas").cast("long").alias("su"),
+        F.sum(F.col("deseas") * F.col("deseas")).cast("long").alias("suu"),
+        F.min(
+            F.when(F.abs("r") == F.col("_max_abs"), F.col("d"))
+        ).cast("long").alias("anom_d"),
+        F.max(F.abs("r")).cast("long").alias("anom_abs"),
+    )
+    return moms.select(
+        "event_type",
+        F.col("n").alias("n_days_core"),
+        F.expr(
+            "CAST(greatest(0, 1000 - 1000 * (n * srr - sr * sr)"
+            " div nullif(n * sdd - sd * sd, 0)) AS BIGINT)"
+        ).alias("seasonal_strength_permille"),
+        F.expr(
+            "CAST(greatest(0, 1000 - 1000 * (n * srr - sr * sr)"
+            " div nullif(n * suu - su * su, 0)) AS BIGINT)"
+        ).alias("trend_strength_permille"),
+        F.expr(
+            "date_format(date_add('1970-01-01', CAST(anom_d AS INT)),"
+            " 'yyyy-MM-dd')"
+        ).alias("anomaly_day"),
+        F.col("anom_abs").alias("anomaly_resid_milli"),
+    )
+
+
+@register(
+    "sample_consistent_join",
+    """
+    WITH sampled_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE ('0x' || substr(md5('smp:' || o_orderkey::varchar), 1, 15))
+              ::bigint % 100 < 10
+    ), li AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               ('0x' || substr(md5('smp:' || l_orderkey::varchar), 1, 15))
+                   ::bigint % 100 < 10 AS in_consistent,
+               ('0x' || substr(md5('smp:' || l_orderkey::varchar || ':'
+                   || l_linenumber::varchar), 1, 15))::bigint % 100 < 10
+                   AS in_naive
+        FROM lineitem
+    )
+    SELECT l.l_returnflag AS returnflag,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(CASE WHEN l.in_consistent THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_consistent,
+           CAST(sum(CASE WHEN l.in_consistent
+                          AND so.o_orderkey IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent_closed,
+           CAST(sum(CASE WHEN l.in_naive THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_naive,
+           CAST(sum(CASE WHEN l.in_naive AND so.o_orderkey IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_naive_closed
+    FROM li l LEFT JOIN sampled_orders so ON l.l_orderkey = so.o_orderkey
+    GROUP BY l.l_returnflag
+    """,
+)
+def sample_consistent_join(spark, sf_dir):
+    """CONSISTENT (join-preserving) SAMPLING — how a dev/staging
+    slice of a 100 TB warehouse must be cut: both ``orders`` and
+    ``lineitem`` sample by the SAME hash of the JOIN KEY
+    (md5('smp:'||orderkey) % 100 < 10), so the 10% slice is closed
+    under the foreign key — every sampled lineitem's order is in the
+    slice BY CONSTRUCTION (``n_consistent_closed == n_consistent``,
+    the witness pytest asserts). The broken alternative rides the
+    same rows: naive per-ROW sampling (hash of the full row key)
+    keeps ~10% of lineitems but only ~10% of THOSE find their order
+    (``n_naive_closed ≈ n_naive/10``) — every join in the dev slice
+    silently drops ~90% of rows, the classic staging-data bug this
+    row exists to make visible. Scale: the membership predicate is a
+    narrow per-row map on each side (no coordination, no shuffle —
+    the hash IS the coordination); the verification join is the only
+    wide op and exists only for the witness."""
+    t = tables(spark, sf_dir)
+    orders, li = t["orders"], t["lineitem"]
+
+    def member(col):
+        return (
+            F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+            % 100
+            < 10
+        )
+
+    sampled_orders = orders.select("o_orderkey").filter(
+        member(F.concat(F.lit("smp:"), F.col("o_orderkey").cast("string")))
+    )
+    lis = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        member(
+            F.concat(F.lit("smp:"), F.col("l_orderkey").cast("string"))
+        ).alias("in_consistent"),
+        member(
+            F.concat(
+                F.lit("smp:"),
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("in_naive"),
+    )
+    # no broadcast hint: the sampled side is 10% of orders — small at
+    # test sf, NOT at 100 TB; AQE picks broadcast when it actually fits
+    joined = lis.join(
+        sampled_orders.withColumn("_hit", F.lit(1)),
+        lis.l_orderkey == sampled_orders.o_orderkey,
+        "left",
+    )
+    return joined.groupBy(
+        F.col("l_returnflag").alias("returnflag")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.sum(F.col("in_consistent").cast("long")).cast("long").alias(
+            "n_consistent"
+        ),
+        F.sum(
+            (F.col("in_consistent") & F.col("_hit").isNotNull()).cast("long")
+        ).cast("long").alias("n_consistent_closed"),
+        F.sum(F.col("in_naive").cast("long")).cast("long").alias("n_naive"),
+        F.sum(
+            (F.col("in_naive") & F.col("_hit").isNotNull()).cast("long")
+        ).cast("long").alias("n_naive_closed"),
+    )
+
+
+@register(
+    "rag_context_recall",
+    f"""
+    WITH gold AS ({_SQL_ANN_EXACT3.format(cos=_sql_cosine("q.qv", "c.nv"))}
+    ), picks AS (
+        SELECT * FROM ({_sql_mmr(k_final=5, k_pool=10, lam=700)}) m
+    ), toks AS (
+        SELECT doc_id AS nbr_id,
+               CAST(len({_sql_words()}) AS BIGINT) AS t
+        FROM documents
+    ), filled AS (
+        SELECT p.query_id, p.pick_rank, p.nbr_id, t,
+               sum(t) OVER (PARTITION BY p.query_id
+                   ORDER BY p.pick_rank) - t < 150 AS kept
+        FROM picks p JOIN toks USING (nbr_id)
+    ), hits AS (
+        SELECT f.query_id,
+               CAST(count(*) AS BIGINT) AS n_gold_in_picks,
+               CAST(sum(CASE WHEN f.kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_gold_in_context
+        FROM gold g JOIN filled f USING (query_id, nbr_id)
+        GROUP BY f.query_id
+    )
+    SELECT q.query_id,
+           CAST(3 AS BIGINT) AS n_gold,
+           CAST(k.n_kept AS BIGINT) AS n_kept,
+           coalesce(h.n_gold_in_picks, 0) AS n_gold_in_picks,
+           coalesce(h.n_gold_in_context, 0) AS n_gold_in_context,
+           1000 * coalesce(h.n_gold_in_context, 0) // 3
+               AS context_recall_milli
+    FROM (SELECT DISTINCT query_id FROM picks) q
+    LEFT JOIN hits h USING (query_id)
+    JOIN (SELECT query_id,
+                 sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept
+          FROM filled GROUP BY query_id) k USING (query_id)
+    """,
+)
+def rag_context_recall(spark, sf_dir):
+    """CONTEXT RECALL — the eval loop for the RAG serving path (the
+    silhouette/modularity discipline applied to retrieval serving):
+    ann_context_assemble BUILDS the context (exact retrieval → MMR
+    diversification → 150-token greedy budget fill); this row measures
+    what that pipeline DELIVERS — of each query's 3 exact-cosine gold
+    neighbors, how many survive into the assembled context. The two
+    loss stages stay separable in-row: ``n_gold_in_picks`` isolates
+    what MMR's diversity trade-off dropped (λ=0.7 deliberately trades
+    relevance), ``n_gold_in_context`` further subtracts the budget's
+    cut — so a recall regression points at its stage, not just at the
+    pipeline. All counting is exact integers over micro-fixed cosines
+    (bit-identical greedy selection, the mmr_diversify contract).
+    Scale: every frame here is rows-per-query (bounded by the
+    evaluated query set); the corpus appears only inside the exact
+    top-k scans, queries broadcast, corpus never shuffled."""
+    from pyspark.sql import Window
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    docs = tables(spark, sf_dir)["documents"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    gold = sim.brute_force_topk(emb, qs, k=3).select("query_id", "nbr_id")
+    picks = sim.mmr_diversify(emb, qs, k_final=5, k_pool=10)
+    toks = docs.select(
+        F.col("doc_id").alias("nbr_id"),
+        tx.token_count(F.col("text")).alias("t"),
+    )
+    w = Window.partitionBy("query_id").orderBy("pick_rank")
+    filled = (
+        picks.join(toks, "nbr_id")
+        .withColumn("kept", F.sum("t").over(w) - F.col("t") < 150)
+    )
+    hits = (
+        gold.join(filled, ["query_id", "nbr_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gold_in_picks"),
+            F.sum(F.col("kept").cast("long")).cast("long").alias(
+                "n_gold_in_context"
+            ),
+        )
+    )
+    kept = filled.groupBy("query_id").agg(
+        F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept")
+    )
+    return (
+        picks.select("query_id")
+        .distinct()
+        .join(F.broadcast(hits), "query_id", "left")
+        .join(F.broadcast(kept), "query_id")
+        .select(
+            "query_id",
+            F.lit(3).cast("long").alias("n_gold"),
+            "n_kept",
+            F.coalesce("n_gold_in_picks", F.lit(0)).alias(
+                "n_gold_in_picks"
+            ),
+            F.coalesce("n_gold_in_context", F.lit(0)).alias(
+                "n_gold_in_context"
+            ),
+            F.expr(
+                "1000 * coalesce(n_gold_in_context, 0) div 3"
+            ).alias("context_recall_milli"),
+        )
+    )
