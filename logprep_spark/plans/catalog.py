@@ -15891,3 +15891,351 @@ def rag_context_recall(spark, sf_dir):
             ).alias("context_recall_milli"),
         )
     )
+
+
+@register(
+    "graph_link_prediction",
+    """
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ), allpairs AS (
+        SELECT parts[i] AS a, parts[j] AS b
+        FROM baskets,
+             LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) ti,
+             LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS j) tj
+        WHERE j > i
+    ), ed AS (
+        SELECT a, b FROM allpairs GROUP BY a, b HAVING count(*) >= 2
+    ), adj AS (
+        SELECT a AS u, b AS v FROM ed UNION ALL SELECT b, a FROM ed
+    ), deg AS (
+        SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u
+    ), cand AS (
+        SELECT a1.u AS u, a2.v AS v,
+               CAST(count(DISTINCT a1.v) AS BIGINT) AS cn
+        FROM adj a1 JOIN adj a2 ON a1.v = a2.u
+        WHERE a1.u < a2.v
+        GROUP BY a1.u, a2.v
+    ), nonedge AS (
+        SELECT c.u, c.v, c.cn
+        FROM cand c LEFT JOIN ed ON ed.a = c.u AND ed.b = c.v
+        WHERE ed.a IS NULL
+    ), scored AS (
+        SELECT n.u, n.v, n.cn, du.d AS deg_u, dv.d AS deg_v,
+               1000 * n.cn // (du.d + dv.d - n.cn) AS jaccard_milli
+        FROM nonedge n
+        JOIN deg du ON du.u = n.u JOIN deg dv ON dv.u = n.v
+    )
+    SELECT u, v, cn AS n_common, deg_u, deg_v, jaccard_milli
+    FROM scored
+    ORDER BY jaccard_milli DESC, cn DESC, u, v LIMIT 20
+    """,
+)
+def graph_link_prediction(spark, sf_dir):
+    """LINK PREDICTION by common-neighbor Jaccard — the graph
+    family's missing inference member (triangles/kcore/LPA describe
+    the graph; this predicts its next edge): over the part
+    co-purchase graph (co-occurrence in ≥ 2 baskets — the
+    graph_triangles edge derivation, reused verbatim), candidate
+    pairs are two-hop wedges u–z–v that are NOT already edges (left
+    anti join), scored by integer-milli Jaccard |N(u)∩N(v)| /
+    |N(u)∪N(v)|; top-20 with the full (cn, deg, deg) evidence
+    in-row. Deterministic: ties break (cn DESC, u, v). Scale: the
+    wedge self-join is the triangle shuffle shape — per-z fan-out is
+    deg(z)², so a hub z dominates; AQE skew-split handles moderate
+    hubs and the production mitigation (cap per-z neighbor lists at
+    the 99.9th percentile, losing only super-hub candidates) is a
+    one-line filter on the adj frame; the anti join and degree joins
+    key on node ids."""
+    li = tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.selectExpr(
+        "explode(CASE WHEN size(parts) >= 2 THEN"
+        " flatten(transform(sequence(1, size(parts) - 1),"
+        " i -> transform(sequence(i + 1, size(parts)),"
+        " j -> struct(element_at(parts, i) AS a,"
+        " element_at(parts, j) AS b))))"
+        " ELSE CAST(array() AS array<struct<a:bigint,b:bigint>>) END) AS p"
+    ).selectExpr("p.a AS a", "p.b AS b")
+    ed = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .drop("_w")
+    )
+    adj = ed.selectExpr("a AS u", "b AS v").unionAll(
+        ed.selectExpr("b AS u", "a AS v")
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    cand = (
+        adj.alias("a1")
+        .join(adj.alias("a2"), F.col("a1.v") == F.col("a2.u"))
+        .filter(F.col("a1.u") < F.col("a2.v"))
+        .groupBy(F.col("a1.u").alias("u"), F.col("a2.v").alias("v"))
+        .agg(F.countDistinct("a1.v").cast("long").alias("cn"))
+    )
+    nonedge = cand.join(
+        ed, (cand.u == ed.a) & (cand.v == ed.b), "left_anti"
+    )
+    scored = (
+        nonedge.join(deg.selectExpr("u", "d AS deg_u"), "u")
+        .join(deg.selectExpr("u AS v", "d AS deg_v"), "v")
+        .select(
+            "u",
+            "v",
+            F.col("cn").alias("n_common"),
+            "deg_u",
+            "deg_v",
+            F.expr(
+                "1000 * cn div (deg_u + deg_v - cn)"
+            ).alias("jaccard_milli"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_milli").desc(),
+        F.col("n_common").desc(),
+        "u",
+        "v",
+    ).limit(20)
+
+
+@register(
+    "events_entropy_rate",
+    """
+    WITH seq AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS nxt
+        FROM events WHERE user_id IS NOT NULL
+    ), c AS (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n_ij
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), t AS (
+        SELECT cur, CAST(sum(n_ij) AS BIGINT) AS n_i FROM c GROUP BY 1
+    ), cells AS (
+        SELECT c.cur, c.n_ij, t.n_i,
+               CAST(round(1000000.0 * c.n_ij / t.n_i
+                    * log2(CAST(t.n_i AS DOUBLE) / c.n_ij)) AS BIGINT)
+                   AS cell_micro
+        FROM c JOIN t USING (cur)
+    )
+    SELECT cur AS cur_type,
+           CAST(max(n_i) AS BIGINT) AS n_transitions,
+           CAST(count(*) AS BIGINT) AS n_next_types,
+           CAST(sum(cell_micro) AS BIGINT) AS h_cond_micro,
+           CAST(round(1000000.0 * log2(CAST(count(*) AS DOUBLE)))
+                AS BIGINT) AS h_max_micro,
+           CAST(1000 * sum(cell_micro)
+                // greatest(CAST(round(1000000.0
+                    * log2(CAST(count(*) AS DOUBLE))) AS BIGINT), 1)
+                AS BIGINT) AS predictability_loss_permille
+    FROM cells GROUP BY cur
+    """,
+)
+def events_entropy_rate(spark, sf_dir):
+    """Per-state CONDITIONAL ENTROPY of the event Markov chain — the
+    information-theoretic readout the transition matrix
+    (events_transition_matrix) feeds: H(next|cur) = Σ p̂ log2(1/p̂)
+    in micro-bits per cur state, beside the uniform ceiling
+    log2(|next types|) and their per-mille ratio (1000 = the next
+    event is pure noise given this state; low = this state pins its
+    successor — where a journey model earns its keep). Float
+    discipline: ONE log2 per (cur, next) CELL, each cell rounded to
+    an integer micro contribution BEFORE the sum, so the aggregate is
+    exact integer arithmetic immune to summation order. Scale: one
+    user-keyed lead() window (the sessionize shuffle) + |types|²
+    cells — constant-size output however large the stream."""
+    from pyspark.sql import Window
+
+    events = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    c = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ij")
+    )
+    t = c.groupBy("cur").agg(F.sum("n_ij").cast("long").alias("n_i"))
+    cells = c.join(F.broadcast(t), "cur").select(
+        "cur",
+        "n_ij",
+        "n_i",
+        F.round(
+            1000000.0
+            * F.col("n_ij")
+            / F.col("n_i")
+            * F.log2(F.col("n_i").cast("double") / F.col("n_ij"))
+        )
+        .cast("long")
+        .alias("cell_micro"),
+    )
+    return cells.groupBy(F.col("cur").alias("cur_type")).agg(
+        F.max("n_i").cast("long").alias("n_transitions"),
+        F.count(F.lit(1)).cast("long").alias("n_next_types"),
+        F.sum("cell_micro").cast("long").alias("h_cond_micro"),
+        F.round(1000000.0 * F.log2(F.count(F.lit(1)).cast("double")))
+        .cast("long")
+        .alias("h_max_micro"),
+        F.expr(
+            "CAST(1000 * sum(cell_micro)"
+            " div greatest(CAST(round(1000000.0"
+            " * log2(CAST(count(1) AS DOUBLE))) AS BIGINT), 1) AS BIGINT)"
+        ).alias("predictability_loss_permille"),
+    )
+
+
+@register(
+    "split_temporal_holdout",
+    """
+    WITH ranked AS (
+        SELECT event_id, event_type, ts,
+               row_number() OVER (ORDER BY ts, event_id) AS rn,
+               count(*) OVER () AS n
+        FROM events
+    ), cut AS (
+        SELECT min(ts) AS cutoff_ts
+        FROM ranked WHERE rn > n * 8 // 10
+    ), tagged AS (
+        SELECT r.event_id, r.event_type, r.ts,
+               r.ts < c.cutoff_ts AS is_train,
+               ('0x' || substr(md5('tsplit:' || r.event_id::varchar), 1, 15))
+                   ::bigint % 10 < 8 AS naive_train
+        FROM ranked r CROSS JOIN cut c
+    ), wit AS (
+        SELECT max(CASE WHEN is_train THEN ts END) AS max_train_ts,
+               min(CASE WHEN NOT is_train THEN ts END) AS min_test_ts,
+               CAST(sum(CASE WHEN naive_train AND ts >=
+                   (SELECT min(CASE WHEN NOT t2.naive_train THEN t2.ts END)
+                    FROM tagged t2) THEN 1 ELSE 0 END) AS BIGINT)
+                   AS naive_future_leaks
+        FROM tagged
+    )
+    SELECT t.event_type,
+           CAST(sum(CASE WHEN t.is_train THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train,
+           CAST(sum(CASE WHEN t.is_train THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_test,
+           strftime(w.max_train_ts, '%Y-%m-%d %H:%M:%S')
+               AS max_train_ts,
+           strftime(w.min_test_ts, '%Y-%m-%d %H:%M:%S')
+               AS min_test_ts,
+           w.max_train_ts < w.min_test_ts AS ordering_ok,
+           w.naive_future_leaks
+    FROM tagged t CROSS JOIN wit w
+    GROUP BY t.event_type, w.max_train_ts, w.min_test_ts,
+             w.naive_future_leaks
+    """,
+)
+def split_temporal_holdout(spark, sf_dir):
+    """TEMPORAL holdout split — the split family's forecasting member
+    (kfold/stratified/group cover exchangeable data; time series data
+    NEVER is): the cutoff is the timestamp at the 80th COUNT
+    percentile and the split is BY TIME (train strictly before it),
+    so max(train ts) < min(test ts) holds by construction —
+    ``ordering_ok`` gates it in-row. The witness pair rides beside
+    it: ``naive_future_leaks`` counts how many rows a hash-random
+    80/20 split would TRAIN on from at-or-after its own test
+    horizon's start — the look-ahead leakage that makes a
+    random-split backtest a lie (the split_leakage_free
+    cross_pairs-vs-naive discipline applied to time). Scale: one
+    global rank window finds the cutoff (at 100 TB: the SQ quantile
+    sketch replaces the sort); the tag itself is a narrow timestamp
+    comparison, embarrassingly parallel."""
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"]
+    ranked = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.row_number().over(Window.orderBy("ts", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    cut = ranked.filter(F.expr("rn > n * 8 div 10")).agg(
+        F.min("ts").alias("cutoff_ts")
+    )
+    tagged = ranked.crossJoin(F.broadcast(cut)).select(
+        "event_id",
+        "event_type",
+        "ts",
+        (F.col("ts") < F.col("cutoff_ts")).alias("is_train"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("tsplit:"),
+                            F.col("event_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10
+            < 8
+        ).alias("naive_train"),
+    )
+    naive_horizon = tagged.filter(~F.col("naive_train")).agg(
+        F.min("ts").alias("naive_test_start")
+    )
+    wit = (
+        tagged.crossJoin(F.broadcast(naive_horizon))
+        .agg(
+            F.max(F.when(F.col("is_train"), F.col("ts"))).alias(
+                "max_train_ts"
+            ),
+            F.min(F.when(~F.col("is_train"), F.col("ts"))).alias(
+                "min_test_ts"
+            ),
+            F.sum(
+                (
+                    F.col("naive_train")
+                    & (F.col("ts") >= F.col("naive_test_start"))
+                ).cast("long")
+            ).cast("long").alias("naive_future_leaks"),
+        )
+    )
+    return (
+        tagged.crossJoin(F.broadcast(wit))
+        .groupBy(
+            "event_type",
+            F.date_format("max_train_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "max_train_ts"
+            ),
+            F.date_format("min_test_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "min_test_ts"
+            ),
+            (F.col("max_train_ts") < F.col("min_test_ts")).alias(
+                "ordering_ok"
+            ),
+            "naive_future_leaks",
+        )
+        .agg(
+            F.sum(F.col("is_train").cast("long")).cast("long").alias(
+                "n_train"
+            ),
+            F.sum((~F.col("is_train")).cast("long")).cast("long").alias(
+                "n_test"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_train",
+            "n_test",
+            "max_train_ts",
+            "min_test_ts",
+            "ordering_ok",
+            "naive_future_leaks",
+        )
+    )
