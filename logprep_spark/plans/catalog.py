@@ -144,27 +144,32 @@ def register(name: str, oracle: str | None = None):
 #     split_leakage_free, ann_ivfpq_rerank — all local hash-PASS in
 #     the committed r9 ledger, 16 judge-re-verified), then 31 of the
 #     48 remaining r5-checked rows (r5 window order, oldest first).
-#   r11 window: the 22 r10-new rows first (pipeline_pretrain_v3,
-#     graph_lpa_modularity, ann_matryoshka_recall, ann_int8_recall,
-#     corpus_mix_allocate, text_kn_trigram, ann_mmr_diversify,
-#     events_mann_kendall, sketch_hll_own_range,
-#     dedup_fuzzy_decontaminate, corpus_mix_materialize,
-#     pairs_contrastive_mine, dq_k_anonymity, events_attribution,
-#     events_transition_matrix, text_ctfidf_topics,
-#     events_spearman_volume_value, events_trimmed_mean,
-#     events_changepoint, graph_weighted_sssp,
-#     text_quality_domain_norm, ann_context_assemble — all
-#     local hash-PASS in the committed r10 ledger; graph_bfs_hops'
-#     r10 row already gates the n_rounds_run witness — the schema
-#     changed before the r10 driver ran), then the 17 r5-checked
-#     rows left
-#     over from r10 (text_tfidf, window_topk_orders, proc_geoip_v6,
-#     ann_recall_ivf, ann_recall_lsh_multiprobe, text_gopher,
-#     dedup_lines, text_url_canonical, split_stratified_sample,
+#   r11 window: the 34 r10-new rows first — the 22 early-r10 rows
+#     (pipeline_pretrain_v3, graph_lpa_modularity,
+#     ann_matryoshka_recall, ann_int8_recall, corpus_mix_allocate,
+#     text_kn_trigram, ann_mmr_diversify, events_mann_kendall,
+#     sketch_hll_own_range, dedup_fuzzy_decontaminate,
+#     corpus_mix_materialize, pairs_contrastive_mine, dq_k_anonymity,
+#     events_attribution, events_transition_matrix,
+#     text_ctfidf_topics, events_spearman_volume_value,
+#     events_trimmed_mean, events_changepoint, graph_weighted_sssp,
+#     text_quality_domain_norm, ann_context_assemble) plus the 12
+#     late-r10 rows (shard_balance_tokens, curriculum_order,
+#     dq_dp_counts, join_interval_overlap, text_bpe_roundtrip,
+#     dedup_cdc_chunks, events_stl_decompose, sample_consistent_join,
+#     rag_context_recall, graph_link_prediction, events_entropy_rate,
+#     split_temporal_holdout) — all local hash-PASS in the committed
+#     r10 ledger; graph_bfs_hops' r10 row already gates the
+#     n_rounds_run witness — the schema changed before the r10 driver
+#     ran. That fills 34 of 50; the remaining 16 slots take the
+#     oldest r5-checked rows left over from r10 (r5 window order:
+#     text_tfidf, window_topk_orders, proc_geoip_v6, ann_recall_ivf,
+#     ann_recall_lsh_multiprobe, text_gopher, dedup_lines,
+#     text_url_canonical, split_stratified_sample,
 #     sketch_heavy_hitters, tpch_q14, text_html_extract,
 #     text_unicode_clean, funnel_events, text_repetition,
-#     dedup_minhash_lsh, pipeline_training_data), then the oldest-r6
-#     rotation.
+#     dedup_minhash_lsh), then pipeline_training_data and the
+#     oldest-r6 rotation next round.
 # The full catalog (see the module docstring count; tools/
 # gen_query_index.py keeps it exact) stays locally oracle-gated
 # every round via tools/check_oracles.py (LOCAL_CORRECTNESS.md,
