@@ -162,6 +162,18 @@ HEADLINE = [
     # r10-comparable subtotal, first-35 becomes r11's
     "pipeline_pretrain_v3",
     "graph_lpa_modularity",
+    # late-r10 additions — the heaviest of the fourth wave at 36-38:
+    # content-defined chunking (per-row 16-char rolling-hash window
+    # over 2x the corpus — original + grafted-prefix twin — plus the
+    # chunk-hash dedup agg and the shift-witness join), the binned
+    # interval-overlap join (bin explode on both sides + the
+    # (custkey, bin) equi-join), and common-neighbor link prediction
+    # (the wedge self-join over the co-purchase graph). The first-35
+    # prefix (through graph_lpa_modularity) is the r10-comparable
+    # subtotal, first-38 becomes the next round's.
+    "dedup_cdc_chunks",
+    "join_interval_overlap",
+    "graph_link_prediction",
 ]
 
 
@@ -216,6 +228,18 @@ SF1_SPOT = [
     # Its components scale-measure individually (split_leakage_free
     # here covers the clustering+split; the BPE/window-hash stages
     # are linear scans).
+    #
+    # late-r10: content-defined chunking at 10x documents — the
+    # rolling-hash map is embarrassingly parallel (expected ~linear,
+    # the dhash lesson); the chunk-hash agg and (doc, hash) witness
+    # join are the scale-sensitive parts. The alphabet rotation
+    # changes WHICH positions cut, not how many (the mod-64 rule
+    # fires at the same rate on rotated text), so chunk counts scale
+    # honestly. join_interval_overlap reads orders/lineitem, which
+    # the derived sf1 set does not include; graph_link_prediction's
+    # wedge join shares graph_triangles' edge derivation, likewise
+    # fact-table-bound.
+    "dedup_cdc_chunks",
 ]
 
 _REPLICAS = 10

@@ -144,7 +144,7 @@ def register(name: str, oracle: str | None = None):
 #     split_leakage_free, ann_ivfpq_rerank — all local hash-PASS in
 #     the committed r9 ledger, 16 judge-re-verified), then 31 of the
 #     48 remaining r5-checked rows (r5 window order, oldest first).
-#   r11 window: the 34 r10-new rows first — the 22 early-r10 rows
+#   r11 window: the 36 r10-new rows first — the 22 early-r10 rows
 #     (pipeline_pretrain_v3, graph_lpa_modularity,
 #     ann_matryoshka_recall, ann_int8_recall, corpus_mix_allocate,
 #     text_kn_trigram, ann_mmr_diversify, events_mann_kendall,
@@ -158,18 +158,19 @@ def register(name: str, oracle: str | None = None):
 #     dq_dp_counts, join_interval_overlap, text_bpe_roundtrip,
 #     dedup_cdc_chunks, events_stl_decompose, sample_consistent_join,
 #     rag_context_recall, graph_link_prediction, events_entropy_rate,
-#     split_temporal_holdout) — all local hash-PASS in the committed
-#     r10 ledger; graph_bfs_hops' r10 row already gates the
-#     n_rounds_run witness — the schema changed before the r10 driver
-#     ran. That fills 34 of 50; the remaining 16 slots take the
-#     oldest r5-checked rows left over from r10 (r5 window order:
-#     text_tfidf, window_topk_orders, proc_geoip_v6, ann_recall_ivf,
+#     split_temporal_holdout, ml_naive_bayes, ann_filtered_recall) —
+#     all local hash-PASS in the committed r10 ledger;
+#     graph_bfs_hops' r10 row already gates the n_rounds_run witness
+#     — the schema changed before the r10 driver ran. That fills 36
+#     of 50; the remaining 14 slots take the oldest r5-checked rows
+#     left over from r10 (r5 window order: text_tfidf,
+#     window_topk_orders, proc_geoip_v6, ann_recall_ivf,
 #     ann_recall_lsh_multiprobe, text_gopher, dedup_lines,
 #     text_url_canonical, split_stratified_sample,
 #     sketch_heavy_hitters, tpch_q14, text_html_extract,
-#     text_unicode_clean, funnel_events, text_repetition,
-#     dedup_minhash_lsh), then pipeline_training_data and the
-#     oldest-r6 rotation next round.
+#     text_unicode_clean, funnel_events), then text_repetition,
+#     dedup_minhash_lsh, pipeline_training_data and the oldest-r6
+#     rotation next round.
 # The full catalog (see the module docstring count; tools/
 # gen_query_index.py keeps it exact) stays locally oracle-gated
 # every round via tools/check_oracles.py (LOCAL_CORRECTNESS.md,
@@ -16243,4 +16244,340 @@ def split_temporal_holdout(spark, sf_dir):
             "ordering_ok",
             "naive_future_leaks",
         )
+    )
+
+
+@register(
+    "ml_naive_bayes",
+    """
+    WITH dw AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5('nb:' || doc_id::varchar), 1, 15))
+                   ::bigint % 10 < 8 AS is_train,
+               unnest(list_filter(string_split_regex(lower(text),
+                   '[^a-z]+'), x -> x != '')) AS w
+        FROM documents
+    ), tf AS (
+        SELECT source AS c, w, CAST(count(*) AS BIGINT) AS n
+        FROM dw WHERE is_train GROUP BY c, w
+    ), totals AS (
+        SELECT c, CAST(sum(n) AS BIGINT) AS t FROM tf GROUP BY c
+    ), vocab AS (
+        SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tf
+    ), priors AS (
+        SELECT source AS c, CAST(count(DISTINCT doc_id) AS BIGINT) AS d
+        FROM dw WHERE is_train GROUP BY c
+    ), consts AS (
+        SELECT p.c,
+               CAST(round(1000000 * ln(CAST(p.d AS DOUBLE)
+                    / (SELECT sum(d) FROM priors))) AS BIGINT)
+                   AS prior_micro,
+               CAST(round(1000000 * ln(CAST(t.t + v.v AS DOUBLE)))
+                    AS BIGINT) AS denom_micro
+        FROM priors p JOIN totals t USING (c) CROSS JOIN vocab v
+    ), cells AS (
+        SELECT c, w,
+               CAST(round(1000000 * ln(CAST(n + 1 AS DOUBLE)))
+                    AS BIGINT) AS lw_micro
+        FROM tf
+    ), test_words AS (
+        SELECT doc_id, source AS true_c, w, CAST(count(*) AS BIGINT) AS n
+        FROM dw WHERE NOT is_train GROUP BY doc_id, true_c, w
+    ), lens AS (
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS len_d
+        FROM test_words GROUP BY doc_id
+    ), overlap AS (
+        SELECT tw.doc_id, ce.c,
+               CAST(sum(tw.n * ce.lw_micro) AS BIGINT) AS s1
+        FROM test_words tw JOIN cells ce USING (w)
+        GROUP BY tw.doc_id, ce.c
+    ), scored AS (
+        SELECT l.doc_id, k.c,
+               coalesce(o.s1, 0) - l.len_d * k.denom_micro
+                   + k.prior_micro AS score
+        FROM lens l CROSS JOIN consts k
+        LEFT JOIN overlap o ON o.doc_id = l.doc_id AND o.c = k.c
+    ), pred AS (
+        SELECT doc_id, c AS pred_c FROM (
+            SELECT doc_id, c, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, c) AS rk
+            FROM scored
+        ) WHERE rk = 1
+    ), truth AS (
+        SELECT DISTINCT doc_id, true_c FROM test_words
+    )
+    SELECT t.true_c,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN p.pred_c = t.true_c THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(1000 * sum(CASE WHEN p.pred_c = t.true_c THEN 1 ELSE 0
+                END) // count(*) AS BIGINT) AS accuracy_milli,
+           min(CASE WHEN p.pred_c != t.true_c THEN p.pred_c END)
+               AS top_confusion
+    FROM truth t JOIN pred p USING (doc_id)
+    GROUP BY t.true_c
+    """,
+)
+def ml_naive_bayes(spark, sf_dir):
+    """Multinomial NAIVE BAYES trained WHOLLY IN-ENGINE — the
+    classification twin of ml_ridge_normal_eqs (the quality model and
+    amides score PRE-trained artifacts; this row trains, predicts,
+    and evaluates in one plan): 80/20 hash split, add-1-smoothed
+    per-class word likelihoods, and the sparse-scoring identity that
+    makes NB tractable at corpus scale — score(d,c) = Σ n_dw·ln(tf+1)
+    − len_d·ln(T_c+V) + ln(prior), where the FIRST term needs only
+    the (class, word) cells that exist (an inner join; unseen words
+    contribute ln(0+1) = 0 exactly), so the unseen-vocabulary mass
+    lives entirely in the broadcastable per-class constant. Every ln
+    rounds to integer micro per CELL before any sum (the entropy-rate
+    discipline — argmax order is bit-stable cross-engine, ties to
+    the lexicographically first class). Per-class accuracy with the
+    dominant confusion riding in-row. Stated honestly: this corpus's
+    synthetic sources are near-random in vocabulary, so accuracy
+    reads ≈ the 1/|classes| prior (6.4% vs 5% at sf0.01) — the
+    no-signal reading is itself the finding the gate pins; LEARNING
+    is proven by the pytest, which plants a 3-class separable
+    vocabulary and requires 1000 milli on every class.
+    Scale: the model is |observed (c,w)| rows
+    (vocab-bounded, Heaps' law); scoring is ONE word-keyed equi-join
+    + a doc-keyed agg; constants broadcast; the argmax window spans
+    |classes| rows per doc."""
+    from pyspark.sql import Window
+
+    docs = tables(spark, sf_dir)["documents"]
+    dw = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("nb:"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10
+            < 8
+        ).alias("is_train"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda w: w != "",
+            )
+        ).alias("w"),
+    )
+    tf = (
+        dw.filter("is_train")
+        .groupBy(F.col("source").alias("c"), "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = tf.groupBy("c").agg(F.sum("n").cast("long").alias("t"))
+    vocab = tf.agg(F.countDistinct("w").cast("long").alias("v"))
+    priors = (
+        dw.filter("is_train")
+        .groupBy(F.col("source").alias("c"))
+        .agg(F.countDistinct("doc_id").cast("long").alias("d"))
+    )
+    d_tot = priors.agg(F.sum("d").alias("d_tot"))
+    consts = (
+        priors.join(totals, "c")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(d_tot))
+        .select(
+            "c",
+            F.round(
+                1000000
+                * F.log(F.col("d").cast("double") / F.col("d_tot"))
+            ).cast("long").alias("prior_micro"),
+            F.round(
+                1000000 * F.log((F.col("t") + F.col("v")).cast("double"))
+            ).cast("long").alias("denom_micro"),
+        )
+    )
+    cells = tf.select(
+        "c",
+        "w",
+        F.round(1000000 * F.log((F.col("n") + 1).cast("double")))
+        .cast("long")
+        .alias("lw_micro"),
+    )
+    test_words = (
+        dw.filter(~F.col("is_train"))
+        .groupBy("doc_id", F.col("source").alias("true_c"), "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    lens = test_words.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("len_d")
+    )
+    overlap = (
+        test_words.join(cells, "w")
+        .groupBy("doc_id", "c")
+        .agg(F.sum(F.col("n") * F.col("lw_micro")).cast("long").alias("s1"))
+    )
+    scored = (
+        lens.crossJoin(F.broadcast(consts))
+        .join(overlap, ["doc_id", "c"], "left")
+        .select(
+            "doc_id",
+            "c",
+            (
+                F.coalesce("s1", F.lit(0))
+                - F.col("len_d") * F.col("denom_micro")
+                + F.col("prior_micro")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("c")
+    )
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("c").alias("pred_c"))
+    )
+    truth = test_words.select("doc_id", "true_c").distinct()
+    return truth.join(pred, "doc_id").groupBy("true_c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(
+            F.when(F.col("pred_c") == F.col("true_c"), 1).otherwise(0)
+        ).cast("long").alias("n_correct"),
+        F.expr(
+            "CAST(1000 * sum(CASE WHEN pred_c = true_c THEN 1 ELSE 0 END)"
+            " div count(1) AS BIGINT)"
+        ).alias("accuracy_milli"),
+        F.min(
+            F.when(F.col("pred_c") != F.col("true_c"), F.col("pred_c"))
+        ).alias("top_confusion"),
+    )
+
+
+@register(
+    "ann_filtered_recall",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+        FROM embeddings WHERE vec_id < 5
+    ), gold AS (
+        SELECT query_id, nbr_id FROM (
+            SELECT q.query_id, c.vec_id AS nbr_id, row_number() OVER (
+                PARTITION BY q.query_id
+                ORDER BY {_sql_cosine("q.qv", "c.embedding")} DESC, c.vec_id
+            ) AS rank
+            FROM q JOIN embeddings c ON c.label = q.qlab
+            WHERE q.query_id <> c.vec_id
+        ) WHERE rank <= 3
+    ), unfiltered AS (
+        SELECT query_id, nbr_id, nlab FROM (
+            SELECT q.query_id, c.vec_id AS nbr_id, c.label AS nlab,
+                   row_number() OVER (
+                PARTITION BY q.query_id
+                ORDER BY {_sql_cosine("q.qv", "c.embedding")} DESC, c.vec_id
+            ) AS rank
+            FROM q, embeddings c
+            WHERE q.query_id <> c.vec_id
+        ) WHERE rank <= 10
+    ), post AS (
+        SELECT u.query_id, u.nbr_id
+        FROM unfiltered u
+        JOIN q ON q.query_id = u.query_id AND u.nlab = q.qlab
+    ), hits AS (
+        SELECT g.query_id,
+               CAST(count(*) AS BIGINT) AS n_gold,
+               CAST(sum(CASE WHEN p.nbr_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS post_hits
+        FROM gold g LEFT JOIN post p USING (query_id, nbr_id)
+        GROUP BY g.query_id
+    )
+    SELECT query_id, n_gold, post_hits AS n_post_filter_hits,
+           1000 * post_hits // n_gold AS post_recall_milli,
+           CAST(1000 AS BIGINT) AS pre_recall_milli
+    FROM hits
+    """,
+)
+def ann_filtered_recall(spark, sf_dir):
+    """FILTERED vector search: PRE- vs POST-filtering — the
+    production ANN trap this row makes measurable (every vector store
+    documents it; few users measure it): the query carries a metadata
+    predicate (label == the query's label). PRE-filtering searches
+    only the qualifying subset — exact, recall 1000 by construction
+    (it IS the gold). POST-filtering — what a naive pipeline does
+    when the index can't push the predicate — takes the top-10
+    UNFILTERED neighbors and keeps label matches, losing every gold
+    neighbor that didn't crack the unfiltered top-10; with ~10%
+    selectivity the unfiltered list holds ≈1 qualifying row, so the
+    measured post-recall collapses (the whole point). Both recalls
+    ride per query. Scale: pre-filter is the brute-force shape over
+    the label partition (predicate pushes to the scan — at 100 TB
+    label-partitioned layout makes it a partition prune); post-filter
+    shows why 'retrieve-then-filter' needs k inflated by 1/selectivity.
+    """
+    emb = tables(spark, sf_dir)["embeddings"]
+    from pyspark.sql import Window
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlab"),
+    )
+    from logprep_spark.functions.dedup import cosine_sim
+
+    # PRE-filter gold: exact top-3 among same-label rows only
+    cand = emb.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("nv"),
+        F.col("label").alias("nlab"),
+    )
+    prescored = (
+        cand.join(F.broadcast(q), F.col("nlab") == F.col("qlab"))
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine_sim(F.col("qv"), F.col("nv")), 6).alias("cos"),
+        )
+    )
+    wpre = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("nbr_id")
+    )
+    gold = (
+        prescored.withColumn("rk", F.row_number().over(wpre))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "nbr_id")
+    )
+    # POST-filter: unfiltered top-10, then keep label matches
+    unf = sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    post = (
+        unf.join(
+            cand.select("nbr_id", "nlab"), "nbr_id"
+        )
+        .join(F.broadcast(q.select("query_id", "qlab")), "query_id")
+        .filter(F.col("nlab") == F.col("qlab"))
+        .select("query_id", "nbr_id")
+    )
+    hits = (
+        gold.join(
+            post.withColumn("_hit", F.lit(1)), ["query_id", "nbr_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gold"),
+            F.sum(
+                F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_post_filter_hits"),
+        )
+    )
+    return hits.select(
+        "query_id",
+        "n_gold",
+        "n_post_filter_hits",
+        F.expr("1000 * n_post_filter_hits div n_gold").alias(
+            "post_recall_milli"
+        ),
+        F.lit(1000).cast("long").alias("pre_recall_milli"),
     )
