@@ -144,7 +144,7 @@ def register(name: str, oracle: str | None = None):
 #     split_leakage_free, ann_ivfpq_rerank — all local hash-PASS in
 #     the committed r9 ledger, 16 judge-re-verified), then 31 of the
 #     48 remaining r5-checked rows (r5 window order, oldest first).
-#   r11 window: the 36 r10-new rows first — the 22 early-r10 rows
+#   r11 window: the 38 r10-new rows first — the 22 early-r10 rows
 #     (pipeline_pretrain_v3, graph_lpa_modularity,
 #     ann_matryoshka_recall, ann_int8_recall, corpus_mix_allocate,
 #     text_kn_trigram, ann_mmr_diversify, events_mann_kendall,
@@ -158,8 +158,9 @@ def register(name: str, oracle: str | None = None):
 #     dq_dp_counts, join_interval_overlap, text_bpe_roundtrip,
 #     dedup_cdc_chunks, events_stl_decompose, sample_consistent_join,
 #     rag_context_recall, graph_link_prediction, events_entropy_rate,
-#     split_temporal_holdout, ml_naive_bayes, ann_filtered_recall) —
-#     all local hash-PASS in the committed r10 ledger;
+#     split_temporal_holdout, ml_naive_bayes, ann_filtered_recall,
+#     events_forecast_backtest, dq_skew_advisor) — all local
+#     hash-PASS in the committed r10 ledger;
 #     graph_bfs_hops' r10 row already gates the n_rounds_run witness
 #     — the schema changed before the r10 driver ran. That fills 36
 #     of 50; the remaining 14 slots take the oldest r5-checked rows
@@ -16581,3 +16582,243 @@ def ann_filtered_recall(spark, sf_dir):
         ),
         F.lit(1000).cast("long").alias("pre_recall_milli"),
     )
+
+
+@register(
+    "events_forecast_backtest",
+    """
+    WITH series AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), arr AS (
+        SELECT event_type, list(x ORDER BY d) AS xs,
+               CAST(len(list(x)) AS BIGINT) AS n
+        FROM series GROUP BY 1
+    ), folds AS (
+        SELECT a.event_type, a.xs, a.n, f.fold,
+               a.n - 7 * (5 - f.fold) AS p
+        FROM arr a CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS fold) f
+        WHERE a.n - 7 * (5 - f.fold) >= 2
+    ), fitted AS (
+        SELECT event_type, fold, p, xs,
+               list_reduce(
+                   list_concat([[xs[1] * 1000, 0]],
+                               [[x, 0] for x in xs[2:p]]),
+                   (acc, e) -> [
+                       (300 * e[1] * 1000 + 700 * (acc[1] + acc[2])) // 1000,
+                       (100 * (((300 * e[1] * 1000
+                                 + 700 * (acc[1] + acc[2])) // 1000)
+                               - acc[1]) + 900 * acc[2]) // 1000
+                   ]
+               ) AS st
+        FROM folds
+    )
+    SELECT event_type, CAST(fold AS BIGINT) AS fold,
+           CAST(p AS BIGINT) AS n_train_days,
+           CAST(list_sum([abs(st[1] + h * st[2] - xs[p + h] * 1000)
+                          for h in range(1, 8)]) // 7 AS BIGINT)
+               AS mae_holt_milli,
+           CAST(list_sum([abs(xs[p] * 1000 - xs[p + h] * 1000)
+                          for h in range(1, 8)]) // 7 AS BIGINT)
+               AS mae_naive_milli,
+           CAST(1000 * (list_sum([abs(xs[p] * 1000 - xs[p + h] * 1000)
+                                  for h in range(1, 8)]) // 7
+                        - list_sum([abs(st[1] + h * st[2]
+                                        - xs[p + h] * 1000)
+                                    for h in range(1, 8)]) // 7)
+                // nullif(list_sum([abs(xs[p] * 1000 - xs[p + h] * 1000)
+                                    for h in range(1, 8)]) // 7, 0)
+                AS BIGINT) AS skill_permille
+    FROM fitted
+    """,
+)
+def events_forecast_backtest(spark, sf_dir):
+    """ROLLING-ORIGIN forecast backtest — the eval loop for the
+    forecasting family (the silhouette/modularity/context-recall
+    discipline applied to A67's Holt smoother: the forecaster was
+    gated on its fitted STATE; whether it actually FORECASTS was
+    asserted): four origins per event type, each fitting the integer
+    Holt recurrence on the day-count prefix and scoring 7-day-ahead
+    MAE against the actuals — beside the last-value NAIVE baseline
+    every forecasting paper benchmarks against, with the signed
+    skill = (naive − holt)/naive per-mille riding in-row (negative
+    folds are visible, not averaged away — on noisy near-stationary
+    counts the naive forecast is genuinely hard to beat, and the row
+    says so honestly). The fold is the SAME single-projection
+    Catalyst aggregate as the fitted row (temporal discipline: every
+    fold trains strictly before its horizon — the
+    split_temporal_holdout rule applied per origin). Scale: the
+    daily pre-agg collapses map-side; per type the array carries
+    |days| longs and all four folds are projections on it — no
+    per-fold data pass."""
+    ev = tables(spark, sf_dir)["events"]
+    series = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    arr = series.groupBy("event_type").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(d, x))),"
+            " p -> CAST(p.x AS BIGINT))"
+        ).alias("xs")
+    ).withColumn("n", F.size("xs").cast("long"))
+    folds = (
+        arr.select(
+            "event_type",
+            "xs",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(4))).alias("fold"),
+        )
+        .withColumn("p", F.expr("n - 7 * (5 - fold)"))
+        .filter(F.col("p") >= 2)
+    )
+    lnew = "((300 * x * 1000 + 700 * (acc.l + acc.t)) div 1000)"
+    fitted = folds.withColumn(
+        "st",
+        F.expr(
+            f"""aggregate(
+                slice(xs, 2, CAST(p - 1 AS INT)),
+                struct(CAST(element_at(xs, 1) * 1000 AS BIGINT) AS l,
+                       CAST(0 AS BIGINT) AS t),
+                (acc, x) -> struct(
+                    {lnew} AS l,
+                    ((100 * ({lnew} - acc.l) + 900 * acc.t)
+                     div 1000) AS t))"""
+        ),
+    )
+    mae_holt = (
+        "aggregate(sequence(1, 7), CAST(0 AS BIGINT), (acc, h) ->"
+        " acc + abs(st.l + h * st.t"
+        " - element_at(xs, CAST(p + h AS INT)) * 1000)) div 7"
+    )
+    mae_naive = (
+        "aggregate(sequence(1, 7), CAST(0 AS BIGINT), (acc, h) ->"
+        " acc + abs(element_at(xs, CAST(p AS INT)) * 1000"
+        " - element_at(xs, CAST(p + h AS INT)) * 1000)) div 7"
+    )
+    return fitted.select(
+        "event_type",
+        F.col("fold").cast("long").alias("fold"),
+        F.col("p").cast("long").alias("n_train_days"),
+        F.expr(f"CAST({mae_holt} AS BIGINT)").alias("mae_holt_milli"),
+        F.expr(f"CAST({mae_naive} AS BIGINT)").alias("mae_naive_milli"),
+        F.expr(
+            f"CAST(1000 * ({mae_naive} - {mae_holt})"
+            f" div nullif({mae_naive}, 0) AS BIGINT)"
+        ).alias("skill_permille"),
+    )
+
+
+def _sql_skew_profile(label: str, table: str, key: str) -> str:
+    """One (table, key) join-key skew profile — the SQL replica half
+    of dq_skew_advisor (nearest-rank exact p99 over the frequency
+    frame, (freq, key) ascending tie-break)."""
+    return f"""
+        SELECT '{label}' AS key_col,
+               max(n_rows) AS n_rows, max(n_keys) AS n_keys,
+               max(max_freq) AS max_freq,
+               1000 * max(n_rows) // max(n_keys) AS mean_freq_milli,
+               1000 * max(max_freq) * max(n_keys) // max(n_rows)
+                   AS skew_ratio_milli,
+               max(CASE WHEN rn = greatest(1, (99 * n_keys + 99) // 100)
+                        THEN freq END) AS p99_freq,
+               greatest(1, max(max_freq)
+                   // greatest(max(CASE WHEN rn = greatest(1,
+                       (99 * n_keys + 99) // 100) THEN freq END), 1))
+                   AS salt_suggested
+        FROM (
+            SELECT freq, k,
+                   row_number() OVER (ORDER BY freq, k) AS rn,
+                   count(*) OVER () AS n_keys,
+                   sum(freq) OVER () AS n_rows,
+                   max(freq) OVER () AS max_freq
+            FROM (SELECT {key} AS k, CAST(count(*) AS BIGINT) AS freq
+                  FROM {table} WHERE {key} IS NOT NULL GROUP BY {key})
+        )
+    """
+
+
+_SKEW_PROFILES = [
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("events.user_id", "events", "user_id"),
+]
+
+
+@register(
+    "dq_skew_advisor",
+    " UNION ALL ".join(
+        _sql_skew_profile(lbl, tbl, key) for lbl, tbl, key in _SKEW_PROFILES
+    ),
+)
+def dq_skew_advisor(spark, sf_dir):
+    """JOIN-KEY SKEW ADVISOR — the pre-flight a 100 TB join runs
+    before committing a shuffle strategy (the SHUFFLE_AUDIT/
+    skew_report discipline promoted to a gated query): for each
+    candidate join key, exact frequency-frame statistics — max
+    frequency, mean (milli), their ratio (the skew factor AQE's
+    skewedPartitionFactor thresholds against), the exact nearest-rank
+    p99 frequency, and the derived salt suggestion max_freq / p99
+    (how many salt buckets flatten the hottest key to the p99 bulk —
+    1 = no salting needed). Five (table, key) profiles in one UNION.
+    Scale: each profile is ONE key-count agg (map-side combining) +
+    rank/extrema windows over the |keys| FREQUENCY frame — never the
+    fact table; a 100 TB fact with 10⁹ keys profiles off a 10⁹-row
+    frequency frame, and the p99 rank swaps for the SQ sketch when
+    even that sort is too wide."""
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    out = None
+    for label, table, key in _SKEW_PROFILES:
+        freq = (
+            t[table]
+            .filter(F.col(key).isNotNull())
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        )
+        wall = Window.partitionBy()
+        ranked = freq.select(
+            "freq",
+            F.row_number()
+            .over(Window.orderBy("freq", "k"))
+            .alias("rn"),
+            F.count(F.lit(1)).over(wall).alias("n_keys"),
+            F.sum("freq").over(wall).alias("n_rows"),
+            F.max("freq").over(wall).alias("max_freq"),
+        )
+        prof = ranked.agg(
+            F.lit(label).alias("key_col"),
+            F.max("n_rows").cast("long").alias("n_rows"),
+            F.max("n_keys").cast("long").alias("n_keys"),
+            F.max("max_freq").cast("long").alias("max_freq"),
+            F.expr(
+                "1000 * max(n_rows) div max(n_keys)"
+            ).alias("mean_freq_milli"),
+            F.expr(
+                "1000 * max(max_freq) * max(n_keys) div max(n_rows)"
+            ).alias("skew_ratio_milli"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.greatest(
+                        F.lit(1),
+                        F.expr("(99 * n_keys + 99) div 100"),
+                    ),
+                    F.col("freq"),
+                )
+            ).cast("long").alias("p99_freq"),
+            F.expr(
+                "greatest(1, max(max_freq)"
+                " div greatest(max(CASE WHEN rn = greatest(1,"
+                " (99 * n_keys + 99) div 100) THEN freq END), 1))"
+            ).cast("long").alias("salt_suggested"),
+        ).select(
+            "key_col", "n_rows", "n_keys", "max_freq",
+            "mean_freq_milli", "skew_ratio_milli", "p99_freq",
+            "salt_suggested",
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out
