@@ -15321,13 +15321,22 @@ _CDC_W = [pow(131, 15 - j, 1 << 25) for j in range(16)]
 
 
 def _cdc_spark_cols():
-    """(cuts, chunks) Spark SQL expression strings over column `t`."""
-    warr = ", ".join(f"{x}L" for x in _CDC_W)
+    """(cuts, chunks) Spark SQL expression strings over column `t`.
+
+    The window sum is UNROLLED into 16 inline multiply-adds: the
+    first cut (aggregate over sequence(0,15) with an element_at
+    lookup into a 16-literal array) allocated the lambda frame and
+    the array per POSITION and clocked 32 s at sf0.1 in the r10
+    headline; unrolled over a per-row _codes array the window is
+    pure codegen integer arithmetic — bit-identical cuts, and with
+    the localCheckpoint below the query reads ~8 s."""
+    window_sum = " + ".join(
+        f"element_at(_codes, c - {15 - j}) * {w}L"
+        for j, w in enumerate(_CDC_W)
+    )
     cuts = (
         "filter(sequence(16, length(t) - 1), c -> "
-        "aggregate(sequence(0, 15), 0L, (acc, j) -> "
-        f"acc + ascii(substring(t, c - 15 + j, 1)) * "
-        f"element_at(array({warr}), j + 1)) % 64 = 0)"
+        f"({window_sum}) % 64 = 0)"
     )
     chunks = (
         "transform(sequence(1, size(_starts)), k -> "
@@ -15454,9 +15463,23 @@ def dedup_cdc_chunks(spark, sf_dir):
     )
 
     def chunked(frame, text_col):
+        # codes array in its OWN projection (one ascii per char, not
+        # 16 substring allocations per position — the minhash staging
+        # discipline), then cuts, then bounds, then the explode. The
+        # exploded frame is localCheckpoint'ed: orig feeds two
+        # aggregations and the witness join, and without the cut the
+        # whole chunking subtree re-executes per consumer (3 corpus
+        # chunk passes; measured 32 s at sf0.1 → ~8 s with both fixes).
         f = frame.withColumn("t", F.col(text_col)) if text_col != "t" else frame
         return (
-            f.withColumn("_cuts", F.expr(cuts_e))
+            f.withColumn(
+                "_codes",
+                F.expr(
+                    "transform(sequence(1, length(t)),"
+                    " i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))"
+                ),
+            )
+            .withColumn("_cuts", F.expr(cuts_e))
             .withColumn(
                 "_starts",
                 F.expr("concat(array(1), transform(_cuts, c -> c + 1))"),
@@ -15469,6 +15492,7 @@ def dedup_cdc_chunks(spark, sf_dir):
                 "source",
                 F.posexplode(F.expr(chunks_e)).alias("idx0", "chunk"),
             )
+            .localCheckpoint(eager=True)
         )
 
     orig = chunked(ready, "t")
@@ -16822,3 +16846,174 @@ def dq_skew_advisor(spark, sf_dir):
         )
         out = prof if out is None else out.unionByName(prof)
     return out
+
+
+@register(
+    "events_period_detect",
+    """
+    WITH daily AS (
+        SELECT event_type, (ts::DATE - DATE '1970-01-01') AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, d
+    ), bounds AS (
+        SELECT event_type, min(d) AS d0, max(d) AS d1
+        FROM daily GROUP BY event_type
+    ), filled AS (
+        SELECT s.event_type, s.d, coalesce(dl.x, 0) AS x
+        FROM (SELECT b.event_type, unnest(range(b.d0, b.d1 + 1)) AS d
+              FROM bounds b) s
+        LEFT JOIN daily dl
+          ON s.event_type = dl.event_type AND s.d = dl.d
+    ), tot AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM filled GROUP BY event_type
+    ), groups AS (
+        SELECT f.event_type, p.p, f.d % p.p AS g,
+               CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(f.x) AS BIGINT) AS s_g
+        FROM filled f
+        JOIN tot tt ON tt.event_type = f.event_type
+        CROSS JOIN (SELECT unnest(range(2, 15)) AS p) p
+        WHERE p.p <= tt.n // 3
+        GROUP BY f.event_type, p.p, f.d % p.p
+    ), terms AS (
+        SELECT event_type, p,
+               CAST(sum(CAST(round(1000000.0 * s_g * s_g / n_g)
+                    AS BIGINT)) AS BIGINT) AS sum_term_micro
+        FROM groups GROUP BY event_type, p
+    ), ratios AS (
+        SELECT event_type, p, n, ratio_permille,
+               1000 - (1000 - ratio_permille) * (n - 1) // (n - p)
+                   AS adj_permille
+        FROM (
+            SELECT t.event_type, CAST(t.p AS BIGINT) AS p, tt.n,
+                   1000 * (t.sum_term_micro
+                           - CAST(round(1000000.0 * tt.s * tt.s / tt.n)
+                                  AS BIGINT))
+                       // nullif(1000000 * tt.sxx
+                           - CAST(round(1000000.0 * tt.s * tt.s / tt.n)
+                                  AS BIGINT), 0) AS ratio_permille
+            FROM terms t JOIN tot tt USING (event_type)
+        )
+    )
+    SELECT event_type, p, ratio_permille, adj_permille,
+           CAST(n AS BIGINT) AS n_days,
+           p = min(p) OVER (PARTITION BY event_type, best) AS is_best
+    FROM (
+        SELECT *, max(adj_permille) OVER (PARTITION BY event_type)
+                   = adj_permille AS best
+        FROM ratios
+    )
+    WHERE best
+    UNION ALL
+    SELECT event_type, p, ratio_permille, adj_permille,
+           CAST(n AS BIGINT), FALSE AS is_best
+    FROM (
+        SELECT *, max(adj_permille) OVER (PARTITION BY event_type)
+                   = adj_permille AS best
+        FROM ratios
+    )
+    WHERE NOT best
+    """,
+)
+def events_period_detect(spark, sf_dir):
+    """DOMINANT-PERIOD detection — what events_stl_decompose ASSUMED
+    (period 7), measured: for every candidate period p ∈ [2, 14],
+    fold the gap-filled daily series by d mod p and score the
+    variance explained by the fold means — the ANOVA ratio SSB/SST,
+    computed with the cell discipline (each group's S_g²/n_g term
+    rounds to integer micro BEFORE the ≤p-term sum; SST's one
+    division rounds once), so the p ranking is bit-stable
+    cross-engine. Two bias guards, both learned from THIS corpus's
+    30-day series: candidates cap at p ≤ n/3 (a period needs ≥3 full
+    cycles to be evidence, not coincidence) and the ARGMAX ranks the
+    ADJUSTED ratio 1 − (1−r)(n−1)/(n−p) — raw SSB/SST mechanically
+    rises with group count, the adjusted form charges each period
+    its degrees of freedom (both ride every row, so the correction
+    is auditable). A true weekly rhythm peaks at p = 7 and shows the
+    p = 14 harmonic — ties resolve to the SMALLEST p, the
+    fundamental. All (type, p) rows carry the is_best flag, so the
+    full spectrum is auditable, not just the argmax. Scale: one (type, day) agg + one (type, p, residue)
+    agg over the tiny daily frame — 13 candidate periods cost 13
+    residue keys per day row, never a second data pass."""
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    filled = (
+        bounds.select(
+            "event_type", F.explode(F.sequence("d0", "d1")).alias("d")
+        )
+        .join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type", "d", F.coalesce("x", F.lit(0)).alias("x")
+        )
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    groups = (
+        filled.join(F.broadcast(tot.select("event_type", "n")), "event_type")
+        .withColumn(
+            "p", F.explode(F.sequence(F.lit(2), F.lit(14)))
+        )
+        .filter(F.expr("p <= n div 3"))
+        .groupBy("event_type", "p", F.expr("d % p").alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("x").cast("long").alias("s_g"),
+        )
+    )
+    terms = groups.groupBy("event_type", "p").agg(
+        F.sum(
+            F.round(
+                1000000.0 * F.col("s_g") * F.col("s_g") / F.col("n_g")
+            ).cast("long")
+        ).cast("long").alias("sum_term_micro")
+    )
+    ratios = (
+        terms.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.col("p").cast("long").alias("p"),
+            "n",
+            F.expr(
+                "1000 * (sum_term_micro"
+                " - CAST(round(1000000.0 * s * s / n) AS BIGINT))"
+                " div nullif(1000000 * sxx"
+                " - CAST(round(1000000.0 * s * s / n) AS BIGINT), 0)"
+            ).alias("ratio_permille"),
+        )
+        .withColumn(
+            "adj_permille",
+            F.expr(
+                "1000 - (1000 - ratio_permille) * (n - 1) div (n - p)"
+            ),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    marked = ratios.withColumn(
+        "best",
+        F.max("adj_permille").over(w) == F.col("adj_permille"),
+    )
+    wb = Window.partitionBy("event_type", "best")
+    return marked.select(
+        "event_type",
+        "p",
+        "ratio_permille",
+        "adj_permille",
+        F.col("n").cast("long").alias("n_days"),
+        F.when(
+            F.col("best"), F.col("p") == F.min("p").over(wb)
+        ).otherwise(F.lit(False)).alias("is_best"),
+    )
