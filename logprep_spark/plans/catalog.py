@@ -144,7 +144,7 @@ def register(name: str, oracle: str | None = None):
 #     split_leakage_free, ann_ivfpq_rerank — all local hash-PASS in
 #     the committed r9 ledger, 16 judge-re-verified), then 31 of the
 #     48 remaining r5-checked rows (r5 window order, oldest first).
-#   r11 window: the 38 r10-new rows first — the 22 early-r10 rows
+#   r11 window: the 39 r10-new rows first — the 22 early-r10 rows
 #     (pipeline_pretrain_v3, graph_lpa_modularity,
 #     ann_matryoshka_recall, ann_int8_recall, corpus_mix_allocate,
 #     text_kn_trigram, ann_mmr_diversify, events_mann_kendall,
@@ -159,8 +159,9 @@ def register(name: str, oracle: str | None = None):
 #     dedup_cdc_chunks, events_stl_decompose, sample_consistent_join,
 #     rag_context_recall, graph_link_prediction, events_entropy_rate,
 #     split_temporal_holdout, ml_naive_bayes, ann_filtered_recall,
-#     events_forecast_backtest, dq_skew_advisor) — all local
-#     hash-PASS in the committed r10 ledger;
+#     events_forecast_backtest, dq_skew_advisor,
+#     events_period_detect) — all local hash-PASS in the committed
+#     r10 ledger;
 #     graph_bfs_hops' r10 row already gates the n_rounds_run witness
 #     — the schema changed before the r10 driver ran. That fills 36
 #     of 50; the remaining 14 slots take the oldest r5-checked rows
@@ -16739,11 +16740,13 @@ def _sql_skew_profile(label: str, table: str, key: str) -> str:
     frame, (freq, key) ascending tie-break)."""
     return f"""
         SELECT '{label}' AS key_col,
-               max(n_rows) AS n_rows, max(n_keys) AS n_keys,
-               max(max_freq) AS max_freq,
-               1000 * max(n_rows) // max(n_keys) AS mean_freq_milli,
-               1000 * max(max_freq) * max(n_keys) // max(n_rows)
-                   AS skew_ratio_milli,
+               CAST(max(n_rows) AS BIGINT) AS n_rows,
+               CAST(max(n_keys) AS BIGINT) AS n_keys,
+               CAST(max(max_freq) AS BIGINT) AS max_freq,
+               CAST(1000 * max(n_rows) // max(n_keys) AS BIGINT)
+                   AS mean_freq_milli,
+               CAST(1000 * max(max_freq) * max(n_keys) // max(n_rows)
+                    AS BIGINT) AS skew_ratio_milli,
                max(CASE WHEN rn = greatest(1, (99 * n_keys + 99) // 100)
                         THEN freq END) AS p99_freq,
                greatest(1, max(max_freq)
