@@ -1023,7 +1023,15 @@ def bpe_encode_words(
     Scale shape: words aggregate to the DISTINCT vocabulary FIRST
     (one grouped count — vocab ≪ occurrences, Heaps' law), the fold
     chain runs once per vocab entry, and occurrence weights ride the
-    tiny vocab frame. Returns (w, n_w, tokens, converged)."""
+    tiny vocab frame. The RESULT is localCheckpoint'ed: every
+    consumer either explodes ``tokens`` (Generate re-derives its
+    child per output element — the minhash_signature_df lesson; on
+    the 51-nested fold chain that read 85 s at sf0.1) or joins the
+    frame more than once, and the frame is vocab-bounded, so the pin
+    costs KBs and the chain provably runs once per vocab entry.
+    Batch-only by construction (catalog paths); the corpus-pipeline
+    streaming steps build their own inline chain and are untouched.
+    Returns (w, n_w, tokens, converged)."""
     if merges is None:
         merges = BPE_MERGES
     words = df.select(
@@ -1047,7 +1055,7 @@ def bpe_encode_words(
         (F.col(f"_c{rounds}") == F.col(f"_c{rounds - 1}")).alias(
             "converged"
         ),
-    )
+    ).localCheckpoint(eager=True)
 
 
 def bpe_token_counts(

@@ -14832,6 +14832,9 @@ def shard_balance_tokens(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = tables(spark, sf_dir)["documents"]
+    # lineage cut: the token-count projection feeds both the snake
+    # and the naive aggregation branches — pin the narrow
+    # (doc_id, n_tokens) frame so the corpus tokenizes once.
     toks = docs.select(
         "doc_id",
         F.size(
@@ -14840,7 +14843,7 @@ def shard_balance_tokens(spark, sf_dir):
                 lambda w: w != "",
             )
         ).cast("long").alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=True)
     r = (
         F.row_number().over(
             Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
@@ -15256,11 +15259,17 @@ def text_bpe_roundtrip(spark, sf_dir):
 
     docs = tables(spark, sf_dir)["documents"]
     enc = tx.bpe_encode_words(docs)
+    # (bpe_encode_words localCheckpoints its vocab-bounded result —
+    # the explode below would otherwise re-derive the fold chain per
+    # output element; one more cut pins the exploded frame for the
+    # two id joins)
     pos_tok = enc.select(
         "w",
         "n_w",
         F.posexplode("tokens").alias("pos0", "tok"),
-    ).select("w", "n_w", (F.col("pos0") + 1).alias("pos"), "tok")
+    ).select(
+        "w", "n_w", (F.col("pos0") + 1).alias("pos"), "tok"
+    ).localCheckpoint(eager=True)
     tok_ids = (
         pos_tok.groupBy("tok")
         .agg(F.sum("n_w").alias("_occ"))
