@@ -228,6 +228,13 @@ def test_cdc_known_cut_position(spark):
     cuts_e, _ = catalog._cdc_spark_cols()
     got = (
         spark.createDataFrame([(t,)], "t string")
+        .withColumn(
+            "_codes",
+            F.expr(
+                "transform(sequence(1, length(t)),"
+                " i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))"
+            ),
+        )
         .select(F.expr(cuts_e).alias("cuts"))
         .head()["cuts"]
     )
