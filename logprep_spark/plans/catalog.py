@@ -144,7 +144,7 @@ def register(name: str, oracle: str | None = None):
 #     split_leakage_free, ann_ivfpq_rerank — all local hash-PASS in
 #     the committed r9 ledger, 16 judge-re-verified), then 31 of the
 #     48 remaining r5-checked rows (r5 window order, oldest first).
-#   r11 window: the 39 r10-new rows first — the 22 early-r10 rows
+#   r11 window: the 41 r10-new rows first — the 22 early-r10 rows
 #     (pipeline_pretrain_v3, graph_lpa_modularity,
 #     ann_matryoshka_recall, ann_int8_recall, corpus_mix_allocate,
 #     text_kn_trigram, ann_mmr_diversify, events_mann_kendall,
@@ -160,7 +160,8 @@ def register(name: str, oracle: str | None = None):
 #     rag_context_recall, graph_link_prediction, events_entropy_rate,
 #     split_temporal_holdout, ml_naive_bayes, ann_filtered_recall,
 #     events_forecast_backtest, dq_skew_advisor,
-#     events_period_detect) — all local hash-PASS in the committed
+#     events_period_detect, events_hampel_despike,
+#     events_burst_kleinberg) — all local hash-PASS in the committed
 #     r10 ledger;
 #     graph_bfs_hops' r10 row already gates the n_rounds_run witness
 #     — the schema changed before the r10 driver ran. That fills 36
@@ -17028,4 +17029,319 @@ def events_period_detect(spark, sf_dir):
         F.when(
             F.col("best"), F.col("p") == F.min("p").over(wb)
         ).otherwise(F.lit(False)).alias("is_best"),
+    )
+
+
+@register(
+    "events_hampel_despike",
+    """
+    WITH daily AS (
+        SELECT event_type, (ts::DATE - DATE '1970-01-01') AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, d
+    ), bounds AS (
+        SELECT event_type, min(d) AS d0, max(d) AS d1
+        FROM daily GROUP BY event_type
+    ), filled AS (
+        SELECT s.event_type, s.d, coalesce(dl.x, 0) AS x
+        FROM (SELECT b.event_type, unnest(range(b.d0, b.d1 + 1)) AS d
+              FROM bounds b) s
+        LEFT JOIN daily dl
+          ON s.event_type = dl.event_type AND s.d = dl.d
+    ), windowed AS (
+        SELECT event_type, d, x,
+               list_sort(list(x) OVER w) AS win,
+               count(*) OVER w AS n_win
+        FROM filled
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ), scored AS (
+        SELECT event_type, d, x, win[4] AS med,
+               list_sort([abs(e - win[4]) for e in win])[4] AS mad
+        FROM windowed WHERE n_win = 7
+    ), flagged AS (
+        SELECT event_type, d, x, med, mad,
+               CASE WHEN mad = 0 THEN x <> med
+                    ELSE 10000 * abs(x - med) > 44478 * mad END AS flag
+        FROM scored
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days_evaluated,
+           CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anomalies,
+           strftime(DATE '1970-01-01'
+               + min(CASE WHEN flag THEN d END) * INTERVAL 1 DAY,
+               '%Y-%m-%d') AS first_anomaly_day,
+           CAST(max(CASE WHEN mad > 0
+                    THEN 1000 * abs(x - med) // mad END) AS BIGINT)
+               AS max_deviation_ratio_milli
+    FROM flagged GROUP BY event_type
+    """,
+)
+def events_hampel_despike(spark, sf_dir):
+    """HAMPEL IDENTIFIER — the ROLLING robust despiking filter (the
+    global-MAD row flags outliers against the whole series; Hampel
+    flags against the LOCAL 7-day window, so a level shift doesn't
+    poison the reference and a spike inside a trend is still caught):
+    per day, the trailing-window median and the window's own MAD,
+    flag when |x − med| > 3·1.4826·MAD — the comparison as the exact
+    integer cross-product 10000·|x−med| > 44478·MAD, no float ever;
+    the degenerate MAD = 0 window (constant week) flags ANY deviation
+    (the textbook Hampel convention, stated). Median and MAD come
+    from the sorted 7-element window array (element 4 of each — exact
+    middle, no interpolation ambiguity between engines). Readout per
+    type: evaluated days, anomaly count, first anomaly day, max
+    deviation ratio. Scale: one (type, day) agg + one 7-row window
+    over the tiny daily frame; the sort is over 7 elements per row.
+    """
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    filled = (
+        bounds.select(
+            "event_type", F.explode(F.sequence("d0", "d1")).alias("d")
+        )
+        .join(daily, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, 0)
+    )
+    windowed = (
+        filled.withColumn("win", F.sort_array(F.collect_list("x").over(w)))
+        .withColumn("n_win", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_win") == 7)
+    )
+    scored = windowed.select(
+        "event_type",
+        "d",
+        "x",
+        F.expr("element_at(win, 4)").alias("med"),
+        F.expr(
+            "element_at(array_sort(transform(win,"
+            " e -> abs(e - element_at(win, 4)))), 4)"
+        ).alias("mad"),
+    )
+    flagged = scored.withColumn(
+        "flag",
+        F.when(F.col("mad") == 0, F.col("x") != F.col("med")).otherwise(
+            10000 * F.abs(F.col("x") - F.col("med"))
+            > 44478 * F.col("mad")
+        ),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_evaluated"),
+        F.sum(F.when(F.col("flag"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_anomalies"),
+        F.expr(
+            "date_format(date_add('1970-01-01',"
+            " CAST(min(CASE WHEN flag THEN d END) AS INT)),"
+            " 'yyyy-MM-dd')"
+        ).alias("first_anomaly_day"),
+        F.max(
+            F.when(
+                F.col("mad") > 0,
+                F.expr("1000 * abs(x - med) div mad"),
+            )
+        ).cast("long").alias("max_deviation_ratio_milli"),
+    )
+
+
+@register(
+    "events_burst_kleinberg",
+    """
+    WITH RECURSIVE daily AS (
+        SELECT event_type, (ts::DATE - DATE '1970-01-01') AS d,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, d
+    ), bounds AS (
+        SELECT event_type, min(d) AS d0, max(d) AS d1
+        FROM daily GROUP BY event_type
+    ), filled AS (
+        SELECT s.event_type, s.d, coalesce(dl.x, 0) AS x
+        FROM (SELECT b.event_type, unnest(range(b.d0, b.d1 + 1)) AS d
+              FROM bounds b) s
+        LEFT JOIN daily dl
+          ON s.event_type = dl.event_type AND s.d = dl.d
+    ), arr AS (
+        SELECT event_type, min(d) AS d0,
+               list(x ORDER BY d) AS xs,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s
+        FROM filled GROUP BY event_type
+    ), consts AS (
+        SELECT event_type, d0, xs, n, s,
+               CAST(round(1000000.0 * s / n) AS BIGINT) AS r0u,
+               2 * CAST(round(1000000.0 * s / n) AS BIGINT) AS r1u,
+               CAST(round(1000000.0 * ln(1.0 * s / n)) AS BIGINT) AS lr0,
+               CAST(round(1000000.0 * ln(2.0 * s / n)) AS BIGINT) AS lr1
+        FROM arr WHERE s > 0
+    ), dp AS (
+        -- the DP as a RECURSIVE CTE (the graph_bfs_hops oracle
+        -- precedent): DuckDB 1.0 list_reduce mis-threads struct
+        -- accumulators (list fields reset; even scalar fields
+        -- diverge beyond two steps) — recursion over plain columns
+        -- is the reliable sequential form
+        SELECT event_type, d0, xs, n, r0u, lr0, lr1,
+               CAST(1 AS BIGINT) AS i,
+               r0u - xs[1] * lr0 AS c0,
+               1000000 + r1u - xs[1] * lr1 AS c1,
+               '0' AS p0, '1' AS p1
+        FROM consts
+        UNION ALL
+        SELECT event_type, d0, xs, n, r0u, lr0, lr1, i + 1,
+               least(c0, c1) + r0u - xs[i + 1] * lr0,
+               least(c0 + 1000000, c1) + 2 * r0u - xs[i + 1] * lr1,
+               (CASE WHEN c0 <= c1 THEN p0 ELSE p1 END) || '0',
+               (CASE WHEN c0 + 1000000 <= c1 THEN p0 ELSE p1 END) || '1'
+        FROM dp WHERE i < n
+    ), path AS (
+        SELECT event_type, d0, n, r0u,
+               CASE WHEN c0 <= c1 THEN p0 ELSE p1 END AS p
+        FROM dp WHERE i = n
+    )
+    SELECT event_type, n AS n_days,
+           r0u AS base_rate_micro,
+           CAST(length(p) - length(replace(p, '1', '')) AS BIGINT)
+               AS n_burst_days,
+           CAST(coalesce(list_sum([CASE WHEN p[i] = '1'
+                    AND (i = 1 OR p[i-1] = '0') THEN 1 ELSE 0 END
+                    for i in range(1, length(p) + 1)]), 0) AS BIGINT)
+               AS n_episodes,
+           CASE WHEN strpos(p, '1') = 0 THEN NULL
+                ELSE strftime(DATE '1970-01-01'
+                    + (d0 + strpos(p, '1') - 1) * INTERVAL 1 DAY,
+                    '%Y-%m-%d') END AS first_burst_day,
+           CAST(coalesce(list_sum([CASE WHEN p[i] = '1'
+                    THEN d0 + i - 1 ELSE 0 END
+                    for i in range(1, length(p) + 1)]), 0) AS BIGINT)
+               AS burst_day_checksum
+    FROM path
+    """,
+)
+def events_burst_kleinberg(spark, sf_dir):
+    """KLEINBERG 2-STATE BURST automaton (Kleinberg 2002, the s=2 /
+    γ=1 configuration stated as plan constants) — the statistics
+    shelf's episode detector (MAD/Hampel flag single days; CUSUM
+    locates one persistent shift; this labels every CONTIGUOUS
+    elevated EPISODE): a Viterbi fold over the gap-filled daily
+    series with Poisson day costs r_s − x·ln(r_s) (the shared ln x!
+    term cancels between states and is dropped), burst rate 2× the
+    base, and a 10⁶-micro entry toll for 0→1 transitions. The ONLY
+    floats are the two per-type ln constants, micro-rounded once
+    (the cell discipline) — the entire dynamic program is exact
+    integer arithmetic with ≤-ties preferring the non-burst state,
+    so the labeled path is bit-identical cross-engine and the DuckDB
+    list_reduce replica hash-gates episode count, burst-day count,
+    first burst day, and the Σ day·flag checksum that pins the EXACT
+    labeling. Scale: one (type, day) agg builds the array; the fold
+    is a single projection per type (days are time-bounded — the
+    array never scales with event volume); path arrays live inside
+    the fold accumulator, O(days) memory."""
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    filled = (
+        bounds.select(
+            "event_type", F.explode(F.sequence("d0", "d1")).alias("d")
+        )
+        .join(daily, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    arr = filled.groupBy("event_type").agg(
+        F.min("d").alias("d0"),
+        F.expr(
+            "transform(sort_array(collect_list(struct(d, x))),"
+            " p -> CAST(p.x AS BIGINT))"
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    consts = arr.filter(F.col("s") > 0).select(
+        "event_type",
+        "d0",
+        "xs",
+        "n",
+        F.expr("CAST(round(1000000.0 * s / n) AS BIGINT)").alias("r0u"),
+        F.expr(
+            "2 * CAST(round(1000000.0 * s / n) AS BIGINT)"
+        ).alias("r1u"),
+        F.expr(
+            "CAST(round(1000000.0 * ln(1.0 * s / n)) AS BIGINT)"
+        ).alias("lr0"),
+        F.expr(
+            "CAST(round(1000000.0 * ln(2.0 * s / n)) AS BIGINT)"
+        ).alias("lr1"),
+    )
+    vit = consts.withColumn(
+        "f",
+        F.expr(
+            """aggregate(
+                slice(xs, 2, CAST(size(xs) - 1 AS INT)),
+                struct(
+                    r0u - element_at(xs, 1) * lr0 AS c0,
+                    1000000 + r1u - element_at(xs, 1) * lr1 AS c1,
+                    '0' AS p0,
+                    '1' AS p1),
+                (acc, x) -> struct(
+                    least(acc.c0, acc.c1) + r0u - x * lr0 AS c0,
+                    least(acc.c0 + 1000000, acc.c1)
+                        + r1u - x * lr1 AS c1,
+                    concat(CASE WHEN acc.c0 <= acc.c1
+                                THEN acc.p0 ELSE acc.p1 END,
+                           '0') AS p0,
+                    concat(CASE WHEN acc.c0 + 1000000 <= acc.c1
+                                THEN acc.p0 ELSE acc.p1 END,
+                           '1') AS p1))"""
+        ),
+    )
+    path = vit.select(
+        "event_type",
+        "d0",
+        "n",
+        "r0u",
+        F.expr(
+            "CASE WHEN f.c0 <= f.c1 THEN f.p0 ELSE f.p1 END"
+        ).alias("p"),
+    )
+    return path.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("r0u").alias("base_rate_micro"),
+        F.expr(
+            "CAST(length(p) - length(replace(p, '1', '')) AS BIGINT)"
+        ).alias("n_burst_days"),
+        F.expr(
+            "CAST(aggregate(sequence(1, length(p)), 0, (a, i) ->"
+            " a + CASE WHEN substring(p, i, 1) = '1' AND (i = 1 OR"
+            " substring(p, i - 1, 1) = '0') THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_episodes"),
+        F.expr(
+            "CASE WHEN instr(p, '1') = 0 THEN NULL"
+            " ELSE date_format(date_add('1970-01-01', CAST(d0 +"
+            " instr(p, '1') - 1 AS INT)), 'yyyy-MM-dd') END"
+        ).alias("first_burst_day"),
+        F.expr(
+            "CAST(aggregate(sequence(1, length(p)), CAST(0 AS BIGINT),"
+            " (a, i) -> a + CASE WHEN substring(p, i, 1) = '1'"
+            " THEN d0 + i - 1 ELSE 0 END) AS BIGINT)"
+        ).alias("burst_day_checksum"),
     )
