@@ -144,7 +144,9 @@ def register(name: str, oracle: str | None = None):
 #     split_leakage_free, ann_ivfpq_rerank — all local hash-PASS in
 #     the committed r9 ledger, 16 judge-re-verified), then 31 of the
 #     48 remaining r5-checked rows (r5 window order, oldest first).
-#   r11 window: the 41 r10-new rows first — the 22 early-r10 rows
+#   r10 window (DONE): 50/50 green, all hash-gated — the 19 r9-new
+#     rows + 31 oldest r5-checked rows, exactly as written below.
+#   r11 window (THIS round): the 41 r10-new rows first — the 22 early-r10 rows
 #     (pipeline_pretrain_v3, graph_lpa_modularity,
 #     ann_matryoshka_recall, ann_int8_recall, corpus_mix_allocate,
 #     text_kn_trigram, ann_mmr_diversify, events_mann_kendall,
@@ -164,76 +166,78 @@ def register(name: str, oracle: str | None = None):
 #     events_burst_kleinberg) — all local hash-PASS in the committed
 #     r10 ledger;
 #     graph_bfs_hops' r10 row already gates the n_rounds_run witness
-#     — the schema changed before the r10 driver ran. That fills 36
-#     of 50; the remaining 14 slots take the oldest r5-checked rows
+#     — the schema changed before the r10 driver ran. That fills 41
+#     of 50; the remaining 9 slots take the oldest r5-checked rows
 #     left over from r10 (r5 window order: text_tfidf,
 #     window_topk_orders, proc_geoip_v6, ann_recall_ivf,
 #     ann_recall_lsh_multiprobe, text_gopher, dedup_lines,
-#     text_url_canonical, split_stratified_sample,
-#     sketch_heavy_hitters, tpch_q14, text_html_extract,
+#     text_url_canonical, split_stratified_sample).
+#   r12 window (NEXT round): the r11-new rows first, then the r5
+#     leftovers (sketch_heavy_hitters, tpch_q14, text_html_extract,
 #     text_unicode_clean, funnel_events), then text_repetition,
 #     dedup_minhash_lsh, pipeline_training_data and the oldest-r6
-#     rotation next round.
+#     rotation.
 # The full catalog (see the module docstring count; tools/
 # gen_query_index.py keeps it exact) stays locally oracle-gated
 # every round via tools/check_oracles.py (LOCAL_CORRECTNESS.md,
 # same hash methodology as the driver).
 _PRIORITY = [
-    # --- r10 window: the 19 r9-new rows FIRST (every one a local
-    # hash-PASS in the committed r9 ledger; 16 judge-re-verified in
-    # the r9 session) ---
-    "text_bpe_encode",
-    "text_bpe_train",
-    "text_bpe_pipeline",
-    "text_bpe_fertility",
-    "sketch_theta_stored_range",
-    "sketch_sq_stored_range",
-    "sketch_cm_stored",
-    "sketch_bloom_stored",
-    "sketch_sq_merge_late",
-    "graph_bfs_hops",
-    "graph_random_walks",
-    "graph_ppr_seeds",
-    "ml_kmeans_silhouette",
-    "embed_diversity_gram",
-    "multimodal_image_dhash",
-    "multimodal_dhash_neardup",
-    "multimodal_audio_roundtrip",
-    "split_leakage_free",
-    "ann_ivfpq_rerank",
-    # --- fill to 50 with the oldest official evidence: 31 of the 48
+    # --- r11 window: the 41 r10-new rows FIRST (every one a local
+    # hash-PASS in the committed r10 ledger; 20 judge-re-verified in
+    # the r10 session). The 22 early-r10 rows: ---
+    "pipeline_pretrain_v3",
+    "graph_lpa_modularity",
+    "ann_matryoshka_recall",
+    "ann_int8_recall",
+    "corpus_mix_allocate",
+    "text_kn_trigram",
+    "ann_mmr_diversify",
+    "events_mann_kendall",
+    "sketch_hll_own_range",
+    "dedup_fuzzy_decontaminate",
+    "corpus_mix_materialize",
+    "pairs_contrastive_mine",
+    "dq_k_anonymity",
+    "events_attribution",
+    "events_transition_matrix",
+    "text_ctfidf_topics",
+    "events_spearman_volume_value",
+    "events_trimmed_mean",
+    "events_changepoint",
+    "graph_weighted_sssp",
+    "text_quality_domain_norm",
+    "ann_context_assemble",
+    # --- the 19 late-r10 rows ---
+    "shard_balance_tokens",
+    "curriculum_order",
+    "dq_dp_counts",
+    "join_interval_overlap",
+    "text_bpe_roundtrip",
+    "dedup_cdc_chunks",
+    "events_stl_decompose",
+    "sample_consistent_join",
+    "rag_context_recall",
+    "graph_link_prediction",
+    "events_entropy_rate",
+    "split_temporal_holdout",
+    "ml_naive_bayes",
+    "ann_filtered_recall",
+    "events_forecast_backtest",
+    "dq_skew_advisor",
+    "events_period_detect",
+    "events_hampel_despike",
+    "events_burst_kleinberg",
+    # --- fill to 50 with the oldest official evidence: 9 of the 17
     # rows whose latest driver row is r5 (r5 window order) ---
-    "event_rollup",
-    "event_time_rollup",
-    "filter_lucene_sigma",
-    "join_anti_customers",
-    "join_asof_last_login",
-    "join_range_value_bands",
-    "proc_amides",
-    "proc_clusterer",
-    "proc_decoder_base64",
-    "proc_decoder_clf",
-    "proc_decoder_nginx",
-    "proc_deleter",
-    "proc_domain_label_extractor",
-    "proc_domain_resolver",
-    "proc_dropper",
-    "proc_generic_adder",
-    "proc_geoip_enricher",
-    "proc_geoip_table",
-    "proc_grokker_apache",
-    "proc_key_checker",
-    "proc_labeler",
-    "proc_list_comparison",
-    "proc_network_comparison",
-    "proc_pseudonymizer_capture",
-    "proc_requester",
-    "proc_string_splitter",
-    "proc_template_replacer",
-    "sketch_kmv_distinct",
-    "split_train_val_test",
-    "text_pii",
-    "text_surprisal",
+    "text_tfidf",
+    "window_topk_orders",
+    "proc_geoip_v6",
+    "ann_recall_ivf",
+    "ann_recall_lsh_multiprobe",
+    "text_gopher",
+    "dedup_lines",
+    "text_url_canonical",
+    "split_stratified_sample",
 ]
 
 
