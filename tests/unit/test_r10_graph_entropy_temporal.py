@@ -110,3 +110,57 @@ def test_temporal_holdout_ordering_and_leakage(spark, sf_dir):
     # roughly 80/20 by count
     frac = n_train / (n_train + n_test)
     assert 0.7 < frac < 0.9, frac
+
+
+def test_link_prediction_hub_cap_binds_on_planted_hub(spark):
+    # r11 (the r10-verdict fix): a power-law hub must be CAPPED
+    # before the wedge self-join. 1200 leaves each co-bought with a
+    # single hub part (2 baskets per edge -> deg(hub)=1200,
+    # deg(leaf)=1), plus a 4-cycle 2001-2002-2003-2004 (deg 2 each).
+    # n = 1205 nodes, rank_cut = ceil(999*1205/1000) = 1204, so
+    # cap_k = the 1204th-smallest degree = 2 and ONLY the hub is
+    # truncated (n_lists_capped = 1). Uncapped, the hub alone would
+    # generate C(1200,2) = 719,400 candidate pairs and the top-20
+    # would be pure hub noise; capped, the hub contributes exactly
+    # one pair from its 2 smallest neighbors {1,2} and the cycle's
+    # two true candidates survive untouched.
+    hub = 9999
+    baskets = []
+    ok = 0
+    for leaf in range(1, 1201):
+        for _ in range(2):
+            ok += 1
+            baskets.append((ok, [hub, leaf]))
+    for a, b in [(2001, 2002), (2002, 2003), (2003, 2004), (2001, 2004)]:
+        for _ in range(2):
+            ok += 1
+            baskets.append((ok, [a, b]))
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_lineitem(spark, tmp, baskets)
+        out = catalog.queries()["graph_link_prediction"](spark, tmp)
+        rows = out.collect()
+    assert len(rows) == 3, rows
+    for r in rows:
+        assert r["cap_k"] == 2
+        assert r["n_lists_capped"] == 1
+    got = sorted((r["u"], r["v"], r["n_common"]) for r in rows)
+    # cycle candidates (cn=2 via both middles) + the one surviving
+    # hub wedge over its 2 kept neighbors
+    assert got == [(1, 2, 1), (2001, 2003, 2), (2002, 2004, 2)]
+
+
+def test_link_prediction_small_graph_uncapped(spark):
+    # below 1000 nodes rank_cut = n, so cap_k = max degree and the
+    # cap provably binds nothing: witness columns say so in-row.
+    baskets = [
+        (100, [1, 2]), (101, [1, 2]),
+        (102, [1, 3]), (103, [1, 3]),
+        (104, [2, 4]), (105, [2, 4]),
+        (106, [3, 4]), (107, [3, 4]),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_lineitem(spark, tmp, baskets)
+        out = catalog.queries()["graph_link_prediction"](spark, tmp)
+        rows = out.collect()
+    assert {r["n_lists_capped"] for r in rows} == {0}
+    assert {r["cap_k"] for r in rows} == {2}
