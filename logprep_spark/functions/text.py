@@ -1001,6 +1001,7 @@ def bpe_encode_words(
     text_col: str = "text",
     merges: list[tuple[str, str]] | None = None,
     rounds: int = 3,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Apply a trained BPE merge table to the corpus — the ENCODER
     that closes the BPE loop (bpe_pair_counts trains; this
@@ -1029,8 +1030,13 @@ def bpe_encode_words(
     the 51-nested fold chain that read 85 s at sf0.1) or joins the
     frame more than once, and the frame is vocab-bounded, so the pin
     costs KBs and the chain provably runs once per vocab entry.
-    Batch-only by construction (catalog paths); the corpus-pipeline
-    streaming steps build their own inline chain and are untouched.
+    The pin makes construction EAGER (a full corpus word-count +
+    fold job runs at DataFrame-build time), so library callers that
+    only want the lazy plan — explain/lint tooling, streaming
+    composition — pass ``checkpoint=False`` and pin (or not) at
+    their own consumption site (the ADVICE-r10 opt-out); catalog
+    batch paths keep the default. The corpus-pipeline streaming
+    steps build their own inline chain and are untouched.
     Returns (w, n_w, tokens, converged)."""
     if merges is None:
         merges = BPE_MERGES
@@ -1048,14 +1054,15 @@ def bpe_encode_words(
         staged = staged.withColumn(
             f"_c{r}", bpe_merge_pass(F.col(f"_c{r - 1}"), merges)
         )
-    return staged.select(
+    out = staged.select(
         "w",
         "n_w",
         F.col(f"_c{rounds}").alias("tokens"),
         (F.col(f"_c{rounds}") == F.col(f"_c{rounds - 1}")).alias(
             "converged"
         ),
-    ).localCheckpoint(eager=True)
+    )
+    return out.localCheckpoint(eager=True) if checkpoint else out
 
 
 def bpe_token_counts(

@@ -260,6 +260,12 @@ LINT_WAIVERS: dict[str, dict[str, str]] = {
     "corpus_snapshot_diff": {"unpushed-filters": _HASH_SAMPLE_WAIVER},
     "dedup_lsh_recall": {"unpushed-filters": _HASH_SAMPLE_WAIVER},
     "dedup_simhash_recall": {"unpushed-filters": _HASH_SAMPLE_WAIVER},
+    # r11 burndown of the three r10-late WARNs: the two split-family
+    # rows are the same hash-membership class as the four above
+    # (curriculum_order instead gained a pushable raw-column
+    # companion — no waiver needed).
+    "split_temporal_holdout": {"unpushed-filters": _HASH_SAMPLE_WAIVER},
+    "ml_naive_bayes": {"unpushed-filters": _HASH_SAMPLE_WAIVER},
 }
 
 
@@ -14899,7 +14905,7 @@ def shard_balance_tokens(spark, sf_dir):
     ), diff AS (
         SELECT doc_id,
                CAST(1000 * n_chars // n_words AS BIGINT) AS difficulty_milli
-        FROM scored WHERE n_words > 0
+        FROM scored WHERE n_chars > 0 AND n_words > 0
     ), phased AS (
         SELECT doc_id, difficulty_milli,
                ntile(4) OVER (ORDER BY difficulty_milli, doc_id) AS phase
@@ -14951,7 +14957,12 @@ def curriculum_order(spark, sf_dir):
                 )
             ).cast("long").alias("n_words"),
         )
-        .filter(F.col("n_words") > 0)
+        # n_chars > 0 is the PUSHABLE raw-column companion of the
+        # computed n_words > 0 predicate (a doc with a word has a
+        # char): Catalyst pushes it to the parquet scan so row groups
+        # of empty docs skip, while the expression predicate still
+        # filters post-scan — the r10-verdict lint-burndown shape.
+        .filter((F.col("n_chars") > 0) & (F.col("n_words") > 0))
         .select(
             "doc_id",
             F.expr("CAST(1000 * n_chars div n_words AS BIGINT)").alias(
@@ -15005,7 +15016,7 @@ def curriculum_order(spark, sf_dir):
            CAST(round(1000 * (-2.0
                 * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
                 * ln(1.0 - 2.0 * abs(u - 0.5)))) AS BIGINT)
-               AS noise_milli,
+               AS noise_deterministic_milli,
            1000 * true_n
                + CAST(round(1000 * (-2.0
                    * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
@@ -15026,6 +15037,12 @@ def dq_dp_counts(spark, sf_dir):
     sealed RNG — the hash stand-in makes the gate reproducible while
     exercising the exact release arithmetic, and ``true_n`` rides
     in-row only because the gate must verify the noise against it.
+    NOT-FOR-RELEASE: as shipped this row provides ZERO actual
+    differential privacy (deterministic noise + the true count beside
+    it) — the column is named ``noise_deterministic_milli`` so the
+    hash-gated stand-in can never be mistaken for a sealed-RNG
+    release mechanism (ADVICE-r10); a real release swaps u for a
+    sealed RNG and DROPS true_n.
     Noise rounds to milli in both engines (the float discipline —
     one ln per GROUP, never per row). Scale: one group-key agg; the
     noise map is free on the |groups|-row frame."""
@@ -15057,7 +15074,7 @@ def dq_dp_counts(spark, sf_dir):
         "event_type",
         "true_n",
         F.lit(500).cast("long").alias("epsilon_milli"),
-        noise_milli.alias("noise_milli"),
+        noise_milli.alias("noise_deterministic_milli"),
         (1000 * F.col("true_n") + noise_milli).alias("noisy_count_milli"),
     )
 
@@ -16295,6 +16312,10 @@ def split_temporal_holdout(spark, sf_dir):
             < 8
         ).alias("naive_train"),
     )
+    # lint note (unpushed-filters, IRREDUCIBLE): naive_train is
+    # uniform md5-hash split membership (deliberately so — it models
+    # the RANDOM split whose leakage this query witnesses); no
+    # raw-range companion can imply it, waived in LINT_WAIVERS.
     naive_horizon = tagged.filter(~F.col("naive_train")).agg(
         F.min("ts").alias("naive_test_start")
     )
@@ -16475,6 +16496,11 @@ def ml_naive_bayes(spark, sf_dir):
             )
         ).alias("w"),
     )
+    # lint note (unpushed-filters, IRREDUCIBLE): is_train is uniform
+    # md5-hash split membership — independent of every raw column's
+    # order, so no raw-range companion can imply it and EVERY row
+    # group contains both splits; waived in LINT_WAIVERS (the
+    # split_stratified_sample class).
     tf = (
         dw.filter("is_train")
         .groupBy(F.col("source").alias("c"), "w")

@@ -33,11 +33,18 @@ def _run(spark, day_counts):
         ).collect()[0].asDict()
 
 
+def _round_half_away(x: float) -> int:
+    # Spark and DuckDB round() round half AWAY from zero; Python's
+    # built-in round() is banker's half-even — an exact .5 input
+    # would silently diverge the replica (ADVICE-r10).
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
 def _viterbi(xs):
     n, s = len(xs), sum(xs)
-    r0u = round(1_000_000 * s / n)
-    lr0 = round(1_000_000 * math.log(s / n))
-    lr1 = round(1_000_000 * math.log(2 * s / n))
+    r0u = _round_half_away(1_000_000 * s / n)
+    lr0 = _round_half_away(1_000_000 * math.log(s / n))
+    lr1 = _round_half_away(1_000_000 * math.log(2 * s / n))
     G = 1_000_000
     c0, c1 = r0u - xs[0] * lr0, G + 2 * r0u - xs[0] * lr1
     p0, p1 = "0", "1"

@@ -101,9 +101,9 @@ def test_dp_counts_replicates_inverse_cdf(spark, sf_dir):
         lap = -2.0 * math.copysign(1.0, u - 0.5) * math.log(
             1.0 - 2.0 * abs(u - 0.5)
         )
-        assert r["noise_milli"] == round(1000 * lap)
+        assert r["noise_deterministic_milli"] == round(1000 * lap)
         assert (
-            r["noisy_count_milli"] == 1000 * r["true_n"] + r["noise_milli"]
+            r["noisy_count_milli"] == 1000 * r["true_n"] + r["noise_deterministic_milli"]
         )
         assert r["epsilon_milli"] == 500
 
