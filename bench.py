@@ -220,14 +220,19 @@ SF1_SPOT = [
     # rerank join)
     "split_leakage_free",
     "ann_ivfpq_rerank",
-    # pipeline_pretrain_v3 is deliberately NOT in the sf1 spot: the
-    # derived replicas are alphabet-rotated, so its Gopher stop-word
-    # gate would pass ~1 of 10 replicas and the post-gate stages
-    # (dedup/decontaminate/BPE) would see ~1x survivors — the reading
-    # would claim 10x scaling the heavy stages never experienced.
-    # Its components scale-measure individually (split_leakage_free
-    # here covers the clustering+split; the BPE/window-hash stages
-    # are linear scans).
+    # r11 (the r10-verdict ask): the flagship measured at 10x instead
+    # of argued. This became honest when the derivation moved to the
+    # STOP-WORD-PRESERVING rotation (DERIV_V2 below): replicas keep
+    # the Gopher gate's required words verbatim, so the gate passes
+    # every replica at the sf0.1 rate and the post-gate stages
+    # (MinHash cluster dedup, Bloom decontamination, split, BPE) see
+    # a true 10x survivor stream. Under the old whole-alphabet
+    # rotation the gate passed ~1 of 10 replicas and the reading
+    # would have claimed 10x scaling the heavy stages never saw.
+    "pipeline_pretrain_v3",
+    # r11: modularity inherits the LPA rounds it audits at 10x edges
+    # plus one label-keyed agg for Q — the second-heaviest new row.
+    "graph_lpa_modularity",
     #
     # late-r10: content-defined chunking at 10x documents — the
     # rolling-hash map is embarrassingly parallel (expected ~linear,
@@ -274,11 +279,27 @@ def ensure_sf1(spark, base_dir: str = "/root/testdata/sf0.1") -> str:
     # the cache guard must cover EVERY table this function writes: a
     # cache built by an older revision (docs+embeddings only) would
     # otherwise short-circuit the rebuild and load_tables would skip
-    # the missing fact tables -> KeyError('orders') in the graph spot
-    if all(os.path.isdir(p) for p in (doc_path, emb_path, ord_path, li_path)):
+    # the missing fact tables -> KeyError('orders') in the graph spot.
+    # DERIV_V2 (r11): the text rotation became stop-word-preserving
+    # (see below) — the marker file invalidates caches built by the
+    # whole-alphabet V1 derivation.
+    ver_path = os.path.join(out_dir, "DERIV_V2")
+    if all(os.path.isdir(p) for p in (doc_path, emb_path, ord_path, li_path)) and os.path.exists(ver_path):
         return out_dir
 
     alpha = "abcdefghijklmnopqrstuvwxyz"
+    # r11 DERIV_V2: rotate each replica's alphabet ONLY on tokens
+    # outside the stop-word set (Gopher required words + the language
+    # markers/stopwords). Cross-replica shingles still never match —
+    # a 13-gram would need 13 consecutive stop words — so the dedup
+    # spots' "TRUE pair set scales exactly 10x" property holds, while
+    # quality gates (Gopher stop-hits, language-ID) now see every
+    # replica as English and pass at the sf0.1 rate: the flagship's
+    # post-gate stages experience a real 10x survivor stream.
+    from logprep_spark.functions.text import GOPHER_REQUIRED_WORDS, STOPWORDS_EN
+
+    preserve = sorted(set(w.lower() for w in GOPHER_REQUIRED_WORDS + STOPWORDS_EN))
+    preserve_sql = ", ".join("'{}'".format(w) for w in preserve)
     docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
     reps = []
     for i in range(_REPLICAS):
@@ -286,8 +307,19 @@ def ensure_sf1(spark, base_dir: str = "/root/testdata/sf0.1") -> str:
         text = (
             F.col("text")
             if i == 0
-            else F.translate(
-                "text", alpha + alpha.upper(), rot + rot.upper()
+            else F.expr(
+                # zero-width split keeps whitespace runs as their own
+                # array elements, so the join reconstructs the exact
+                # original layout (newlines drive the Gopher line
+                # metrics — they must survive)
+                "array_join(transform("
+                " split(text, '(?=\\\\s)|(?<=\\\\s)'),"
+                " w -> IF(lower(w) IN ({preserve}), w,"
+                " translate(w, '{src}', '{dst}'))), '')".format(
+                    preserve=preserve_sql,
+                    src=alpha + alpha.upper(),
+                    dst=rot + rot.upper(),
+                )
             )
         )
         reps.append(
@@ -357,6 +389,8 @@ def ensure_sf1(spark, base_dir: str = "/root/testdata/sf0.1") -> str:
     for r in l_reps[1:]:
         u = u.unionByName(r)
     u.repartition(32).write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+    with open(ver_path, "w") as fh:
+        fh.write("stop-word-preserving rotation (r11)\n")
     return out_dir
 
 
