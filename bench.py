@@ -174,6 +174,13 @@ HEADLINE = [
     "dedup_cdc_chunks",
     "join_interval_overlap",
     "graph_link_prediction",
+    # r11 addition at 39: the incremental flagship — base pass +
+    # store-probing delta pass + full recompute witness branch in one
+    # plan (deliberately the heaviest shape: it runs the minhash
+    # verify three times by design — base, delta, recompute). The
+    # first-38 prefix (through graph_link_prediction) is the
+    # r10-comparable subtotal, first-39 becomes the next round's.
+    "pipeline_pretrain_incremental",
 ]
 
 

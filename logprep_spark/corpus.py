@@ -444,7 +444,57 @@ def _step_bpe_train_token_count(
     )
 
 
+def _step_exact_dedup_vs_store(
+    df: DataFrame,
+    text_col: str,
+    path: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Continuous-ingestion exact dedup against the PERSISTED
+    fingerprint store (``path`` = a parquet with one ``fp`` md5
+    column — yesterday's run's artifact): a batch doc survives iff
+    its fingerprint is absent from the store and first (lowest id)
+    within the batch (functions/dedup.py incremental_dedup_vs_store,
+    the pipeline_pretrain_incremental stage). History text is never
+    re-read; at 100 TB the store is a bucketed hash table and the
+    anti-join co-locates on it."""
+    store = df.sparkSession.read.parquet(path).select("fp")
+    return dd.incremental_dedup_vs_store(df, store, text_col, id_col)
+
+
+def _step_neardup_vs_store(
+    df: DataFrame,
+    text_col: str,
+    bands_path: str,
+    shingles_path: str,
+    threshold_milli: int = 700,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Continuous-ingestion NEAR-dup suppression against the
+    PERSISTED band store (functions/dedup.py near_dup_vs_band_store,
+    the pipeline_pretrain_incremental stage): ``bands_path`` holds
+    (hist_id, band_id, band_key) for candidate generation,
+    ``shingles_path`` (hist_id, sh) for Jaccard verification — the
+    two artifacts a production pipeline keeps so history text is
+    never re-read. Drops every batch doc with a verified historical
+    match >= threshold."""
+    sess = df.sparkSession
+    bands = sess.read.parquet(bands_path)
+    sh = sess.read.parquet(shingles_path)
+    kill = dd.near_dup_vs_band_store(
+        df.select(id_col, text_col),
+        bands,
+        sh,
+        text_col,
+        id_col,
+        threshold_milli / 1000.0,
+    ).select(id_col)
+    return df.join(kill, id_col, "left_anti")
+
+
 STEPS: dict[str, Callable[..., DataFrame]] = {
+    "exact_dedup_vs_store": _step_exact_dedup_vs_store,
+    "neardup_vs_store": _step_neardup_vs_store,
     "bloom_suppress": _step_bloom_suppress,
     "cluster_dedup": _step_cluster_dedup,
     "decontaminate": _step_decontaminate,

@@ -131,10 +131,28 @@ def incremental_dedup(
     in-batch keep-first is the exact_dedup min-id window on the
     SURVIVORS (post-anti-join, so history-matched rows never enter
     the window shuffle)."""
+    fp = F.md5(F.array_join(tokens(F.col(text_col)), " "))
+    store = history.select(fp.alias("fp")).distinct()
+    return incremental_dedup_vs_store(batch, store, text_col, id_col)
+
+
+def incremental_dedup_vs_store(
+    batch: DataFrame,
+    fp_store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`incremental_dedup` against the PERSISTED fingerprint
+    store (a frame/parquet with one ``fp`` md5 column) — the form a
+    production daily-crawl pipeline actually runs: history text is
+    never re-read, the store is yesterday's artifact (the
+    pipeline_pretrain_incremental posture). Same rule: a batch doc
+    survives iff its fingerprint is absent from the store and first
+    (lowest id) within the batch."""
     from pyspark.sql import Window
 
     fp = F.md5(F.array_join(tokens(F.col(text_col)), " "))
-    hist = history.select(fp.alias("_fp")).distinct()
+    hist = fp_store.select(F.col("fp").alias("_fp")).distinct()
     fresh = batch.withColumn("_fp", fp).join(hist, "_fp", "left_anti")
     by_hash = Window.partitionBy("_fp").orderBy(id_col)
     return (
@@ -1009,13 +1027,37 @@ def near_dup_vs_history(
     and the expensive shingle-Jaccard verify left-semi-prunes BOTH
     corpora to candidate docs first — the minhash_dedup verify
     discipline applied across the batch/history boundary."""
-    from pyspark.storagelevel import StorageLevel
-
     from logprep_spark.session import fan_out
 
     bh = minhash_bands(fan_out(history), text_col, id_col).select(
         F.col(id_col).alias("hist_id"), "band_id", "band_key"
     )
+    sh = shingle_arrays(history, text_col, id_col).select(
+        F.col(id_col).alias("hist_id"), "sh"
+    )
+    return near_dup_vs_band_store(batch, bh, sh, text_col, id_col, threshold)
+
+
+def near_dup_vs_band_store(
+    batch: DataFrame,
+    hist_bands: DataFrame,
+    hist_shingles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """:func:`near_dup_vs_history` against the PERSISTED band store —
+    the artifacts a production pipeline actually keeps: ``hist_bands``
+    (hist_id, band_id, band_key) for candidate generation and
+    ``hist_shingles`` (hist_id, sh) for verification, so history TEXT
+    is never re-read (the pipeline_pretrain_incremental posture).
+    Semantics identical to near_dup_vs_history by construction (it
+    delegates here after deriving both frames from raw history)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from logprep_spark.session import fan_out
+
+    bh = hist_bands.select("hist_id", "band_id", "band_key")
     bb = minhash_bands(fan_out(batch), text_col, id_col).select(
         F.col(id_col).alias("batch_id"), "band_id", "band_key"
     )
@@ -1032,13 +1074,9 @@ def near_dup_vs_history(
         text_col,
         id_col,
     ).select(F.col(id_col).alias("batch_id"), F.col("sh").alias("sh_b"))
-    sb = shingle_arrays(
-        history.join(
-            cand.select(F.col("hist_id").alias(id_col)), id_col, "left_semi"
-        ),
-        text_col,
-        id_col,
-    ).select(F.col(id_col).alias("hist_id"), F.col("sh").alias("sh_h"))
+    sb = hist_shingles.join(
+        cand.select("hist_id"), "hist_id", "left_semi"
+    ).select("hist_id", F.col("sh").alias("sh_h"))
     inter = F.size(F.array_intersect("sh_h", "sh_b"))
     union = F.size(F.array_union("sh_h", "sh_b"))
     verified = (

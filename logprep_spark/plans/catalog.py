@@ -17438,3 +17438,337 @@ def events_burst_kleinberg(spark, sf_dir):
             " THEN d0 + i - 1 ELSE 0 END) AS BIGINT)"
         ).alias("burst_day_checksum"),
     )
+
+
+def _sql_pretrain_incremental() -> str:
+    """Unrolled replica of pipeline_pretrain_incremental — the
+    base+delta corpus pipeline. Every per-doc rule is POINTWISE in
+    (doc, strict predecessors), so apply(base, delta) == recompute is
+    a mathematical identity; the oracle therefore computes the UNION
+    pipeline once and splits every aggregate by the batch boundary.
+    The ENGINE earns the gate the hard way: it runs the incremental
+    path (fingerprint-store anti-join, band-store probe, in-delta
+    predecessor kill) and the recompute path as two genuinely
+    different plans — if either diverges, its merged counts and the
+    match booleans diverge from this replica and the hash catches it.
+    """
+    m, j = _V3_BLOOM_M, _V3_BLOOM_J
+    fp = f"md5(array_to_string({_sql_words()}, ' '))"
+    h_split = _sql_h60("'isplit:' || doc_id::varchar")
+    split_tag = (
+        f"CASE WHEN {h_split} % 100 < 80 THEN 'train'"
+        f" WHEN {h_split} % 100 < 90 THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT * FROM documents WHERE doc_id % 5 <> 0
+    ), cutw AS (
+        SELECT CAST(max(doc_id) AS BIGINT) AS cut_id FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn,
+                   (8 * count(*) OVER () + 9) // 10 AS rank_cut
+            FROM corpus)
+        WHERE rn <= rank_cut
+    ), pass AS (
+        {_sql_gopher_pass_ids("corpus", min_stop_hits=1)}
+    ), gated AS MATERIALIZED (
+        SELECT c.*, c.doc_id <= cutw.cut_id AS is_base, {fp} AS fp
+        FROM corpus c JOIN pass USING (doc_id), cutw
+    ), uex AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp
+                ORDER BY doc_id) AS fprn
+            FROM gated) WHERE fprn = 1
+    ), {_sql_minhash_bands("uex")}, verified AS MATERIALIZED (
+        SELECT id_a, id_b
+        FROM pairs
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE {_SQL_JACCARD} >= 0.7
+    ), neardocs AS MATERIALIZED (
+        SELECT * FROM uex
+        WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM verified)
+    ), bw AS MATERIALIZED (
+        SELECT DISTINCT window_hash
+        FROM ({_sql_pos_windows(13, "doc_id % 5 = 0")})
+    ), jj AS (SELECT unnest([{", ".join(str(i) for i in range(j))}]) AS i
+    ), bits AS MATERIALIZED (
+        SELECT DISTINCT
+               {_sql_h60("i::VARCHAR || ':' || window_hash::VARCHAR")}
+                   % {m} AS pos
+        FROM bw, jj
+    ), rw AS MATERIALIZED (
+        SELECT DISTINCT doc_id, window_hash
+        FROM ({_sql_pos_windows(13, "TRUE", "neardocs")})
+    ), suppressed AS MATERIALIZED (
+        SELECT doc_id FROM (
+            SELECT rw.doc_id, rw.window_hash,
+                   min(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                       AS allhit
+            FROM rw CROSS JOIN jj
+            LEFT JOIN bits b
+              ON b.pos = {_sql_h60(
+                  "jj.i::VARCHAR || ':' || rw.window_hash::VARCHAR"
+              )} % {m}
+            GROUP BY rw.doc_id, rw.window_hash
+        ) GROUP BY doc_id HAVING max(allhit) = 1
+    ), finals AS MATERIALIZED (
+        SELECT doc_id, is_base, {split_tag} AS split,
+               CAST(len({_sql_words()}) AS BIGINT) AS n_tok
+        FROM neardocs
+        WHERE doc_id NOT IN (SELECT doc_id FROM suppressed)
+    ), histx AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_hist_exact_kills
+        FROM gated g
+        WHERE NOT g.is_base AND EXISTS (
+            SELECT 1 FROM gated b WHERE b.is_base AND b.fp = g.fp)
+    ), histn AS (
+        SELECT CAST(count(DISTINCT v.id_b) AS BIGINT) AS n_hist_near_kills
+        FROM verified v
+        JOIN uex a ON a.doc_id = v.id_a
+        JOIN uex b ON b.doc_id = v.id_b
+        WHERE a.is_base AND NOT b.is_base
+    ), spine AS (
+        SELECT unnest(['train', 'val', 'test']) AS split
+    ), agg AS (
+        SELECT split,
+               count(*) FILTER (WHERE is_base) AS nb,
+               count(*) FILTER (WHERE NOT is_base) AS nd,
+               count(*) AS nr,
+               coalesce(sum(n_tok) FILTER (WHERE is_base), 0) AS tb,
+               coalesce(sum(n_tok) FILTER (WHERE NOT is_base), 0) AS td,
+               coalesce(sum(n_tok), 0) AS tr
+        FROM finals GROUP BY split
+    )
+    SELECT s.split, cutw.cut_id,
+           CAST(coalesce(a.nb, 0) AS BIGINT) AS n_base_final,
+           CAST(coalesce(a.nd, 0) AS BIGINT) AS n_delta_final,
+           CAST(coalesce(a.nb, 0) + coalesce(a.nd, 0) AS BIGINT)
+               AS n_merged_final,
+           CAST(coalesce(a.nr, 0) AS BIGINT) AS n_recompute_final,
+           coalesce(a.nb, 0) + coalesce(a.nd, 0) = coalesce(a.nr, 0)
+               AS survivors_match,
+           CAST(coalesce(a.tb, 0) AS BIGINT) AS tok_base,
+           CAST(coalesce(a.td, 0) AS BIGINT) AS tok_delta,
+           CAST(coalesce(a.tb, 0) + coalesce(a.td, 0) AS BIGINT)
+               AS tok_merged,
+           CAST(coalesce(a.tr, 0) AS BIGINT) AS tok_recompute,
+           coalesce(a.tb, 0) + coalesce(a.td, 0) = coalesce(a.tr, 0)
+               AS budgets_match,
+           histx.n_hist_exact_kills, histn.n_hist_near_kills
+    FROM spine s LEFT JOIN agg a USING (split), cutw, histx, histn
+    """
+
+
+@register("pipeline_pretrain_incremental", _sql_pretrain_incremental())
+def pipeline_pretrain_incremental(spark, sf_dir):
+    """FOURTH flagship — pretrain_v3 under CONTINUOUS INGESTION (the
+    r10 verdict's incremental ask; the A48/A49 IVM discipline applied
+    to the corpus pipeline, because nobody re-dedups 100 TB from
+    scratch daily): the non-benchmark corpus splits at the 80th
+    doc_id count-percentile into the HISTORICAL base and the newly
+    arrived delta batch. The BASE pass runs gate -> exact dedup ->
+    greedy near-dup kill -> Bloom decontamination and leaves behind
+    the two stores a production pipeline persists: the fingerprint
+    store (distinct md5 of every gated base doc) and the band store
+    (LSH bands of every base exact-survivor). The DELTA pass never
+    re-reads base text: functions/dedup.py incremental_dedup
+    anti-joins the fingerprint store, near_dup_vs_history probes the
+    band store (band-keyed join, never batch x history),
+    minhash_dedup applies the in-delta predecessor kill, and the
+    static benchmark Bloom filter decontaminates — each rule
+    POINTWISE in (doc, strict predecessors), which is exactly what
+    makes the pipeline incrementalizable. The RECOMPUTE branch runs
+    the same rules over base UNION delta from raw text as a second,
+    structurally different plan, and the witness rides in-row per
+    split: n_base + n_delta == n_recompute (``survivors_match``) and
+    token budgets likewise (``budgets_match``) — apply(base, delta)
+    == recompute, the IVM merge witness. ``n_hist_exact_kills`` /
+    ``n_hist_near_kills`` gate the incremental path's actual work
+    (delta docs killed BY HISTORY — wrong store contents move these).
+    The split here is the pointwise hash split: group-aware splitting
+    under ingestion additionally needs the cluster store (v3's
+    recursive closure is NOT pointwise — a delta doc can bridge two
+    base clusters), which is the honest reason the incremental twin
+    ships the per-doc split. Scale shape: the delta pass touches
+    history only through the two O(store)-row artifacts; the
+    recompute branch exists for the witness and would be a sampled
+    audit, not a daily job, at 100 TB. One global rank window finds
+    the cut (the SQ-sketch note from split_temporal_holdout applies);
+    the spine is a 3-row literal so empty splits stay visible."""
+    from pyspark.storagelevel import StorageLevel
+
+    m, j = _V3_BLOOM_M, _V3_BLOOM_J
+    docs = tables(spark, sf_dir)["documents"]
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    cutw = (
+        corpus.select(
+            "doc_id",
+            F.expr("row_number() OVER (ORDER BY doc_id)").alias("rn"),
+            F.expr("(8 * count(*) OVER () + 9) div 10").alias("rank_cut"),
+        )
+        .filter(F.col("rn") <= F.col("rank_cut"))
+        .agg(F.max("doc_id").cast("long").alias("cut_id"))
+    )
+    # localCheckpoint, not persist: gated fans out into ~10 consumers
+    # (three minhash chains, window hashes, fingerprint store, three
+    # aggs), and a persisted-but-lazy frame still carries its full
+    # lineage into every consumer's plan — the 1-row cut crossJoin
+    # replicated 515 BroadcastNestedLoopJoins into the executed plan
+    # before the pin (the dedup_cdc_chunks lesson). Eager-at-build is
+    # the accepted catalog batch posture.
+    gated = (
+        tx.gopher_filter(corpus, min_stop_hits=1)
+        .crossJoin(F.broadcast(cutw))
+        .localCheckpoint(eager=True)
+    )
+    base_g = gated.filter(F.col("doc_id") <= F.col("cut_id"))
+    delta_g = gated.filter(F.col("doc_id") > F.col("cut_id"))
+
+    def _near_kill(pairs):
+        # greedy keep-lowest-id: drop the higher-id member of every
+        # verified pair (id_a < id_b by construction)
+        return pairs.select(F.col("id_b").alias("doc_id")).distinct()
+
+    def _bloom_gate(dfr, bits):
+        hit = (
+            sk.bloom_suppress(
+                dd.window_hashes(dfr, 13).distinct(),
+                bits,
+                "window_hash",
+                m=m,
+                j=j,
+                keep_hits=True,
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        return dfr.join(hit, "doc_id", "left_anti")
+
+    def _per_split(dfr, n_col, tok_col):
+        tag = dd.h60(
+            F.concat(F.lit("isplit:"), F.col("doc_id").cast("string"))
+        ) % 100
+        return (
+            dfr.select(
+                F.when(tag < 80, "train")
+                .when(tag < 90, "val")
+                .otherwise("test")
+                .alias("split"),
+                F.size(tx.tokens(F.col("text"))).cast("long").alias("_t"),
+            )
+            .groupBy("split")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(n_col),
+                F.sum("_t").cast("long").alias(tok_col),
+            )
+        )
+
+    # --- BASE pass (builds the stores) -------------------------------
+    base_exact = dd.exact_dedup(base_g).localCheckpoint(eager=True)
+    base_near = base_exact.join(
+        _near_kill(dd.minhash_dedup(base_exact, threshold=0.7)),
+        "doc_id",
+        "left_anti",
+    )
+    bench_wh = (
+        dd.window_hashes(bench, 13)
+        .select("window_hash")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bits = sk.bloom_bits(bench_wh, "window_hash", m=m, j=j)
+    base_final = _bloom_gate(base_near, bits)
+
+    # --- DELTA incremental pass (probes the stores) -------------------
+    delta_exact = dd.incremental_dedup(delta_g, base_g).localCheckpoint(
+        eager=True
+    )
+    hist_near = (
+        dd.near_dup_vs_history(delta_exact, base_exact, threshold=0.7)
+        .select("doc_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    delta_kill = hist_near.unionByName(
+        _near_kill(dd.minhash_dedup(delta_exact, threshold=0.7))
+    ).distinct()
+    delta_final = _bloom_gate(
+        delta_exact.join(delta_kill, "doc_id", "left_anti"), bits
+    )
+
+    # incremental-path witnesses: work done BY the stores
+    fpx = F.md5(F.array_join(tx.tokens(F.col("text")), " "))
+    base_fps = base_g.select(fpx.alias("_fp")).distinct()
+    histx = (
+        delta_g.withColumn("_fp", fpx)
+        .join(base_fps, "_fp", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hist_exact_kills"))
+    )
+    histn = hist_near.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hist_near_kills")
+    )
+
+    # --- RECOMPUTE branch (from raw text, structurally different) -----
+    re_exact = dd.exact_dedup(gated)
+    re_near = re_exact.join(
+        _near_kill(dd.minhash_dedup(re_exact, threshold=0.7)),
+        "doc_id",
+        "left_anti",
+    )
+    re_final = _bloom_gate(re_near, bits)
+
+    spine = spark.createDataFrame(
+        [("train",), ("val",), ("test",)], "split string"
+    )
+    base_s = _per_split(base_final, "nb", "tb")
+    delta_s = _per_split(delta_final, "nd", "td")
+    re_s = _per_split(re_final, "nr", "tr")
+    z = F.lit(0).cast("long")
+    out = (
+        spine.join(base_s, "split", "left")
+        .join(delta_s, "split", "left")
+        .join(re_s, "split", "left")
+        .select(
+            "split",
+            F.coalesce("nb", z).alias("n_base_final"),
+            F.coalesce("nd", z).alias("n_delta_final"),
+            (F.coalesce("nb", z) + F.coalesce("nd", z)).alias(
+                "n_merged_final"
+            ),
+            F.coalesce("nr", z).alias("n_recompute_final"),
+            (
+                F.coalesce("nb", z) + F.coalesce("nd", z)
+                == F.coalesce("nr", z)
+            ).alias("survivors_match"),
+            F.coalesce("tb", z).alias("tok_base"),
+            F.coalesce("td", z).alias("tok_delta"),
+            (F.coalesce("tb", z) + F.coalesce("td", z)).alias("tok_merged"),
+            F.coalesce("tr", z).alias("tok_recompute"),
+            (
+                F.coalesce("tb", z) + F.coalesce("td", z)
+                == F.coalesce("tr", z)
+            ).alias("budgets_match"),
+        )
+    )
+    return (
+        out.crossJoin(F.broadcast(cutw))
+        .crossJoin(F.broadcast(histx))
+        .crossJoin(F.broadcast(histn))
+        .select(
+            "split",
+            "cut_id",
+            "n_base_final",
+            "n_delta_final",
+            "n_merged_final",
+            "n_recompute_final",
+            "survivors_match",
+            "tok_base",
+            "tok_delta",
+            "tok_merged",
+            "tok_recompute",
+            "budgets_match",
+            "n_hist_exact_kills",
+            "n_hist_near_kills",
+        )
+    )
