@@ -21,6 +21,7 @@ from logprep_spark.streaming.state import (
     heavy_hitters_stream,
     holt_window_stream,
     hw_window_stream,
+    hampel_stream,
     rate_anomaly_stream,
     running_totals,
     sq_window_stream,
@@ -35,6 +36,7 @@ __all__ = [
     "heavy_hitters_stream",
     "holt_window_stream",
     "hw_window_stream",
+    "hampel_stream",
     "rate_anomaly_stream",
     "StreamingPipeline",
     "dedupe_near_stream",

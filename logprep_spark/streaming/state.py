@@ -1175,3 +1175,80 @@ def cusum_window_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+_HAMPEL_OUT_SCHEMA = (
+    "key string, batch_count long, n_prior long, "
+    "med_prior long, mad_prior long, is_spike boolean"
+)
+_HAMPEL_STATE_SCHEMA = "vals array<long>"
+
+
+def hampel_stream(
+    events: DataFrame,
+    key_col: str,
+    window: int = 7,
+) -> DataFrame:
+    """Streaming Hampel despike — the LIVE twin of the batch
+    events_hampel_despike row (A107; plans/catalog.py): per key, each
+    micro-batch's event count is tested against the median and MAD of
+    the last ``window`` PRIOR batch counts, flagged when
+    10000·|x − med| > 44478·mad — the exact integer cross-product of
+    |x − med| > 3·1.4826·MAD, so the verdicts are bit-identical to
+    the batch row's on the same series. The decision uses PRIOR
+    batches only, then folds the batch in, so a spike can't mask
+    itself (the rate_anomaly_stream discipline); the median reference
+    means the batches AFTER a spike are judged against a window whose
+    middle the spike cannot move — the robustness property that makes
+    Hampel the despike filter and not the z-score. MAD = 0 (constant
+    window) flags any deviation, the textbook convention the batch
+    row states. The first ``window`` batches only learn.
+
+    State is ONE row per key holding an array of at most ``window``
+    longs — bounded by key cardinality x window, asserted via the
+    progress-metrics state bound in the pytest (the L27/L35
+    discipline); for unbounded key spaces hash into buckets first
+    (the heavy_hitters_stream pattern)."""
+
+    def fn(
+        key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        vals = list(state.get[0]) if state.exists else []
+        x = 0
+        for pdf in pdfs:
+            x += len(pdf)
+        n_prior = len(vals)
+        med = mad = 0
+        spike = False
+        if n_prior >= window:
+            s = sorted(vals)
+            med = s[window // 2]
+            dev = sorted(abs(v - med) for v in vals)
+            mad = dev[window // 2]
+            if mad == 0:
+                spike = x != med
+            else:
+                spike = 10000 * abs(x - med) > 44478 * mad
+        out = pd.DataFrame(
+            {
+                "key": [key[0]],
+                "batch_count": [x],
+                "n_prior": [n_prior],
+                "med_prior": [med],
+                "mad_prior": [mad],
+                "is_spike": [spike],
+            }
+        )
+        vals.append(x)
+        if len(vals) > window:
+            vals = vals[-window:]
+        state.update((vals,))
+        yield out
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=_HAMPEL_OUT_SCHEMA,
+        stateStructType=_HAMPEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1602,3 +1602,84 @@ def test_cusum_window_stream_shift_detection(spark, tmp_path):
         assert f[col] == want[col], col
     # the 25% persistent drop trips the low side
     assert f.first_alarm_period > 7 and f.n_alarm_periods > 0
+
+
+def test_hampel_stream_despikes_and_recovers(spark, tmp_path):
+    """The streaming Hampel twin of the batch A107 row: 7 learn
+    batches at a steady per-type rate, then a 10x spike for one type,
+    then a return to normal. Only the spike batch flags; the constant
+    type stays silent (MAD = 0, x == med); the post-spike normal
+    batch is judged against a median the spike cannot move (the
+    robustness property that separates Hampel from the z-score); and
+    state stays one bounded row per key."""
+    import os as _os
+    import time as _time
+
+    from logprep_spark.streaming import hampel_stream
+
+    d = tmp_path / "hampel-in"
+    d.mkdir()
+    base = _time.time() - 3600
+    counts = [10, 11, 9, 10, 10, 11, 9]  # 7 learn batches
+    for i, n_login in enumerate(counts):
+        rows = [{"event_type": "login"}] * n_login + [
+            {"event_type": "error"}
+        ] * 5
+        p = d / f"b{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        _os.utime(p, (base + i, base + i))
+    # batch 7: login spikes 10x; batch 8: back to normal
+    for i, n_login in ((7, 100), (8, 10)):
+        rows = [{"event_type": "login"}] * n_login + [
+            {"event_type": "error"}
+        ] * 5
+        p = d / f"b{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        _os.utime(p, (base + i, base + i))
+
+    df = (
+        spark.readStream.schema("event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        hampel_stream(df, "event_type", window=7)
+        .writeStream.format("memory")
+        .queryName("hampel_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run(q)
+
+    rows = spark.sql(
+        "SELECT * FROM hampel_out ORDER BY key, n_prior"
+    ).collect()
+    flagged = [(r.key, r.batch_count) for r in rows if r.is_spike]
+    assert flagged == [("login", 100)]
+    spike = next(r for r in rows if r.is_spike)
+    # decision used the full prior window: med 10, MAD 0 -> wait, the
+    # learn counts vary so MAD = 1: 10000*|100-10| > 44478*1
+    assert spike.n_prior == 7 and spike.med_prior == 10
+    assert spike.mad_prior == 1
+    # the post-spike normal batch: the spike is IN the window now but
+    # cannot move its median — judged med 10 again, not flagged
+    post = [r for r in rows if r.key == "login" and r.batch_count == 10
+            and r.n_prior == 7]
+    # (two login batches read 10 with a full window: batch 3/4-era
+    # rows have n_prior < 7; the post-spike one is the last row)
+    last_login = [r for r in rows if r.key == "login"][-1]
+    assert last_login.batch_count == 10
+    assert last_login.med_prior == 10 and not last_login.is_spike
+    # constant type: MAD = 0 and x == med -> silent throughout
+    err_full = [r for r in rows if r.key == "error" and r.n_prior >= 7]
+    assert err_full and all(
+        r.mad_prior == 0 and not r.is_spike for r in err_full
+    )
+    # bounded state: one row per distinct key
+    totals = [
+        s["numRowsTotal"]
+        for p_ in q.recentProgress
+        for s in p_.get("stateOperators", [])
+    ]
+    assert totals and max(totals) <= 2
