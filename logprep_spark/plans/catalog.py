@@ -17772,3 +17772,304 @@ def pipeline_pretrain_incremental(spark, sf_dir):
             "n_hist_near_kills",
         )
     )
+
+
+_RI_RELS = [
+    # (name, child table, fk col, parent table, pk col)
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _sql_referential_integrity() -> str:
+    blocks = []
+    for name, child, fk, parent, pk in _RI_RELS:
+        blocks.append(f"""
+    SELECT '{name}' AS relationship,
+           CAST(count(*) AS BIGINT) AS n_child,
+           CAST(count(*) FILTER (WHERE {fk} IS NULL) AS BIGINT)
+               AS n_null_fk,
+           CAST(count(DISTINCT {fk}) AS BIGINT) AS n_distinct_fk,
+           CAST(count(*) FILTER (WHERE {fk} IS NOT NULL
+                AND {fk} NOT IN (SELECT {pk} FROM {parent})) AS BIGINT)
+               AS n_orphans,
+           CAST(1000 * count(*) FILTER (WHERE {fk} IS NOT NULL
+                AND {fk} NOT IN (SELECT {pk} FROM {parent}))
+                // greatest(count(*) FILTER (WHERE {fk} IS NOT NULL), 1)
+                AS BIGINT) AS orphan_permille,
+           count(*) FILTER (WHERE {fk} IS NOT NULL
+                AND {fk} NOT IN (SELECT {pk} FROM {parent})) = 0 AS ref_ok
+    FROM {child}""")
+    return " UNION ALL ".join(blocks)
+
+
+@register("dq_referential_integrity", _sql_referential_integrity())
+def dq_referential_integrity(spark, sf_dir):
+    """REFERENTIAL-INTEGRITY audit across every foreign key of the
+    warehouse schema (+ the events.user_id -> customer lineage a log
+    pipeline joins on) — the dq-family member every ingest job runs
+    before trusting a join: per relationship the child cardinality,
+    NULL-FK count (the silently-dropped-by-inner-join rows), distinct
+    FK count, orphan count (non-null FK with no parent — the rows an
+    inner join loses and a left join turns into nulls downstream),
+    orphan share in permille, and the pass verdict. On this corpus
+    every relationship holds (all-zero orphans is the CORRECT
+    answer, gated); the planted-orphan pytest proves the detector
+    fires. Scale: each relationship is one anti-join of the child's
+    distinct-projected FK column against the parent key — dims
+    broadcast, fact FKs collapse map-side before the probe; NULLs
+    never enter the join (counted separately, the classic
+    hidden-skew key)."""
+    t = tables(spark, sf_dir)
+    outs = []
+    for name, child, fk, parent, pk in _RI_RELS:
+        c = t[child]
+        p = t[parent].select(F.col(pk).alias("_pk")).distinct()
+        nn = c.filter(F.col(fk).isNotNull())
+        orphans = (
+            nn.select(F.col(fk).alias("_fk"))
+            .join(F.broadcast(p), F.col("_fk") == F.col("_pk"), "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        )
+        stats = c.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.sum(F.col(fk).isNull().cast("long"))
+            .cast("long")
+            .alias("n_null_fk"),
+            F.count_distinct(F.col(fk)).cast("long").alias("n_distinct_fk"),
+            F.sum(F.col(fk).isNotNull().cast("long"))
+            .cast("long")
+            .alias("_n_nonnull"),
+        )
+        outs.append(
+            stats.crossJoin(F.broadcast(orphans)).select(
+                F.lit(name).alias("relationship"),
+                "n_child",
+                "n_null_fk",
+                "n_distinct_fk",
+                "n_orphans",
+                F.expr(
+                    "CAST(1000 * n_orphans div greatest(_n_nonnull, 1)"
+                    " AS BIGINT)"
+                ).alias("orphan_permille"),
+                (F.col("n_orphans") == 0).alias("ref_ok"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@register(
+    "dq_t_closeness",
+    """
+    WITH banded AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS band
+        FROM customer
+    ), gb AS (
+        SELECT band, CAST(count(*) AS BIGINT) AS g_n FROM banded GROUP BY band
+    ), gw AS (
+        SELECT CAST(count(*) AS BIGINT) AS big_n,
+               CAST(max(band) - min(band) AS BIGINT) AS rng
+        FROM banded
+    ), bands AS (
+        SELECT band, g_n,
+               sum(g_n) OVER (ORDER BY band) AS g_cum,
+               coalesce(lead(band) OVER (ORDER BY band) - band, 0) AS gap
+        FROM gb
+    ), classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS class_size
+        FROM banded GROUP BY c_nationkey, c_mktsegment
+    ), cb AS (
+        SELECT c_nationkey, c_mktsegment, band,
+               CAST(count(*) AS BIGINT) AS c_n
+        FROM banded GROUP BY c_nationkey, c_mktsegment, band
+    ), dense AS (
+        SELECT cl.c_nationkey, cl.c_mktsegment, cl.class_size,
+               b.band, b.g_cum, b.gap,
+               sum(coalesce(cb.c_n, 0)) OVER (
+                   PARTITION BY cl.c_nationkey, cl.c_mktsegment
+                   ORDER BY b.band) AS c_cum
+        FROM classes cl CROSS JOIN bands b
+        LEFT JOIN cb ON cb.c_nationkey = cl.c_nationkey
+                    AND cb.c_mktsegment = cl.c_mktsegment
+                    AND cb.band = b.band
+    )
+    SELECT d.c_nationkey, d.c_mktsegment,
+           CAST(max(d.class_size) AS BIGINT) AS class_size,
+           CAST(1000 * sum(abs(d.c_cum * gw.big_n
+                               - d.g_cum * d.class_size) * d.gap)
+                // greatest(max(d.class_size) * gw.big_n * gw.rng, 1)
+                AS BIGINT) AS emd_milli,
+           1000 * sum(abs(d.c_cum * gw.big_n - d.g_cum * d.class_size)
+                      * d.gap)
+               // greatest(max(d.class_size) * gw.big_n * gw.rng, 1)
+               <= 200 AS t_ok
+    FROM dense d, gw
+    GROUP BY d.c_nationkey, d.c_mktsegment, gw.big_n, gw.rng
+    """,
+)
+def dq_t_closeness(spark, sf_dir):
+    """t-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the
+    third rung of the privacy ladder the dq family already climbs
+    (k-anonymity: classes big enough; l-diversity: sensitive values
+    varied enough; t-closeness: the class's sensitive DISTRIBUTION
+    close enough to the global one that membership reveals ~nothing
+    beyond the prior — an l-diverse class that is 90% one band still
+    leaks). Same conventions as dq_k_anonymity: QI = (nation, market
+    segment), sensitive = the exact integer acctbal band. Distance is
+    the ordered-category Earth Mover's Distance = Sum over band
+    positions of |CDF_class - CDF_global| x gap, normalized by the
+    band range — computed EXACTLY in cross-multiplied integers
+    (|c_cum x N - g_cum x n_c| x gap over n_c x N x range, one final
+    integer division to milli), so no float CDF ever forms. t = 0.2
+    (200 milli), the paper's running example. Scale: one QI agg + one
+    (QI, band) agg; the dense CDF frame is |classes| x |bands| rows —
+    both products of tiny cardinalities; the global band frame
+    broadcasts."""
+    from pyspark.sql import Window
+
+    c = tables(spark, sf_dir)["customer"]
+    banded = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").alias(
+            "band"
+        ),
+    )
+    gb = banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("g_n")
+    )
+    gw = banded.agg(
+        F.count(F.lit(1)).cast("long").alias("big_n"),
+        (F.max("band") - F.min("band")).cast("long").alias("rng"),
+    )
+    wb = Window.orderBy("band")
+    bands = gb.select(
+        "band",
+        F.sum("g_n").over(wb).alias("g_cum"),
+        F.coalesce(
+            F.lead("band").over(wb) - F.col("band"), F.lit(0)
+        ).alias("gap"),
+    )
+    classes = banded.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+    cb = banded.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("c_n")
+    )
+    wc = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        "band"
+    )
+    dense = (
+        classes.crossJoin(F.broadcast(bands))
+        .join(cb, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            "band",
+            "g_cum",
+            "gap",
+            F.sum(F.coalesce("c_n", F.lit(0))).over(wc).alias("c_cum"),
+        )
+    )
+    agg = (
+        dense.crossJoin(F.broadcast(gw))
+        .groupBy("c_nationkey", "c_mktsegment", "big_n", "rng")
+        .agg(
+            F.max("class_size").cast("long").alias("class_size"),
+            F.sum(
+                F.abs(
+                    F.col("c_cum") * F.col("big_n")
+                    - F.col("g_cum") * F.col("class_size")
+                )
+                * F.col("gap")
+            ).alias("_num"),
+        )
+    )
+    return agg.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_size",
+        F.expr(
+            "CAST(1000 * _num div greatest(class_size * big_n * rng, 1)"
+            " AS BIGINT)"
+        ).alias("emd_milli"),
+        F.expr(
+            "1000 * _num div greatest(class_size * big_n * rng, 1) <= 200"
+        ).alias("t_ok"),
+    )
+
+
+@register(
+    "sample_reservoir_weighted",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+               CAST(round(1e9 * ln(
+                   (('0x' || substr(md5('res:' || doc_id::varchar), 1, 8))
+                        ::bigint + 0.5) / 4294967296.0)
+                   / greatest(n_chars, 1)) AS BIGINT) AS key_nano
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, weight, key_nano,
+               row_number() OVER (ORDER BY key_nano DESC, doc_id) AS rank
+        FROM keyed
+    )
+    SELECT doc_id, weight, key_nano, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 100
+    """,
+)
+def sample_reservoir_weighted(spark, sf_dir):
+    """WEIGHTED reservoir sample (Efraimidis & Spirakis 2006, A-Res)
+    — the one-pass weighted-sampling primitive the split family
+    lacked (stratified/consistent/hash samples are uniform; corpus
+    work constantly needs length- or quality-weighted draws): each
+    doc gets the key u^(1/w) — equivalently ln(u)/w, kept as ONE
+    ln per row rounded once to nano (the float discipline) — with u
+    md5-uniform from the doc id, and the sample is the top-k keys.
+    Inclusion probability is exactly weight-proportional without
+    ever materializing Σw; ties break on doc_id. Scale: the top-k is
+    TakeOrderedAndProject over a narrow projection — no global sort
+    materializes, and A-Res is MERGEABLE (union of per-partition
+    top-k frames re-topped = the distributed reservoir; same
+    property the theta sketch rows exploit)."""
+    from pyspark.sql import Window
+
+    docs = tables(spark, sf_dir)["documents"]
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("res:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.round(
+            F.lit(1e9) * F.log(u) / F.greatest("n_chars", F.lit(1))
+        )
+        .cast("long")
+        .alias("key_nano"),
+    )
+    top = keyed.orderBy(F.col("key_nano").desc(), "doc_id").limit(100)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("key_nano").desc(), "doc_id"))
+        .cast("long"),
+    )
