@@ -2033,3 +2033,115 @@ def remove_top_component(
         "value_micro",
         "resid_dot",
     )
+
+
+def quantize_binary(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """1-bit-per-dimension BINARY quantization — the most aggressive
+    rung of the quantization ladder (float32 -> int8 -> PQ -> this;
+    64 dims collapse to 8 bytes): bit_i = [v_i > corpus mean_i],
+    computed EXACTLY as the cross-multiplied integer comparison
+    v_i * n > sum_i (no mean ever divides — the per-dim sums are the
+    whole model). Returns (id, bits array<long> of 0/1, n_set).
+    Scale: one per-dim-sum agg (1-row broadcast model) + a narrow
+    map; the bit arrays are the stored artifact a vector store keeps
+    in RAM for the Hamming pre-filter."""
+    from pyspark.sql.functions import broadcast
+
+    dim = probe_dim(df, vec_col) or 0
+    vm = df.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("_v"))
+    model = vm.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        *[
+            F.expr(f"CAST(sum(element_at(_v, {i + 1})) AS BIGINT) AS _s{i}")
+            for i in range(dim)
+        ],
+    ).selectExpr(
+        "_n",
+        "array(" + ",".join(f"_s{i}" for i in range(dim)) + ") AS _s",
+    )
+    bits = (
+        "zip_with(_v, _s, (x, s) ->"
+        " CASE WHEN x * _n > s THEN CAST(1 AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+    )
+    return (
+        vm.crossJoin(broadcast(model))
+        .selectExpr(id_col, f"{bits} AS bits")
+        .selectExpr(
+            id_col,
+            "bits",
+            "CAST(aggregate(bits, CAST(0 AS BIGINT), (a, x) -> a + x)"
+            " AS BIGINT) AS n_set",
+        )
+    )
+
+
+def binary_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by HAMMING distance over the binary-quantized corpus —
+    the search loop :func:`quantize_binary` exists for (the int8_topk
+    discipline: what a deployment serves is search over the codes).
+    Both sides quantize under the corpus per-dim-sum model; distance
+    is the exact integer bit-disagreement count; ties break
+    (hamming asc, nbr_id asc). Plan: 1-row model broadcast + narrow
+    bit map, then the brute-force shape (queries broadcast, corpus
+    unshuffled, per-query top-k window over narrow tuples). At scale
+    the Hamming scan is the cheap pre-filter an exact rerank follows
+    — ann_binary_recall measures exactly what that costs."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    corpus = quantize_binary(df, vec_col, id_col).select(
+        F.col(id_col).alias("nbr_id"), F.col("bits").alias("_cb")
+    )
+    # queries quantize under the CORPUS model (df), not their own
+    dim = probe_dim(df, vec_col) or 0
+    vm = df.select(micro_vec(F.col(vec_col)).alias("_v"))
+    model = vm.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        *[
+            F.expr(f"CAST(sum(element_at(_v, {i + 1})) AS BIGINT) AS _s{i}")
+            for i in range(dim)
+        ],
+    ).selectExpr(
+        "_n",
+        "array(" + ",".join(f"_s{i}" for i in range(dim)) + ") AS _s",
+    )
+    bits = (
+        "zip_with(_v, _s, (x, s) ->"
+        " CASE WHEN x * _n > s THEN CAST(1 AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+    )
+    qb = (
+        queries.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("_v"))
+        .crossJoin(broadcast(model))
+        .selectExpr(f"{id_col} AS query_id", f"{bits} AS _qb")
+    )
+    hamming = F.expr(
+        "CAST(aggregate(zip_with(_qb, _cb, (a, b) ->"
+        " CASE WHEN a = b THEN CAST(0 AS BIGINT)"
+        " ELSE CAST(1 AS BIGINT) END),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)"
+    )
+    scored = (
+        corpus.crossJoin(broadcast(qb))
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", hamming.alias("hamming"))
+    )
+    window = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "hamming", "rank")
+    )

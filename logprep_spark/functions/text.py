@@ -1841,3 +1841,79 @@ def hashed_gram_stats(
         F.col("_e.j").alias("j"),
         F.col("_e.v").cast("long").alias("v"),
     )
+
+
+def qlm_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    mu: float = 2000.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-likelihood language-model retrieval with Dirichlet
+    smoothing (Zhai & Lafferty 2001) — the probabilistic-IR
+    counterpart to BM25 (the two classic lexical scorers; rank
+    disagreements between them are the standard hybrid-search fusion
+    motivation): score(q, d) = Σ_t ln((tf(t,d) + μ·cf(t)/T) /
+    (|d| + μ)), where cf/T is the collection language model and μ
+    the Dirichlet prior mass — long documents need more evidence,
+    absent terms cost exactly the smoothed collection probability.
+
+    Distributed shape mirrors bm25_search: the corpus stats (total
+    length T and the query terms' collection frequencies) are ONE agg
+    → a 1-row broadcast; per-doc scoring is a narrow map against term
+    literals; top-k is TakeOrderedAndProject — ZERO corpus shuffles.
+    Fixed operand order, one micro rounding at the end, so ranking is
+    engine-exact. Scores are negative log-likelihoods (closer to 0 =
+    better); docs with none of the terms still score (the smoothing
+    mass) — the LM property BM25's zero-floor hides."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    toked = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks")
+    )
+
+    def term_count(t: str):
+        # real closure, not a default-arg lambda: a two-parameter
+        # lambda makes F.filter pass (element, index) — the
+        # bm25_search lesson
+        return F.size(F.filter("_toks", lambda x: x == F.lit(t)))
+
+    stats = toked.agg(
+        F.sum(F.size("_toks")).cast("long").alias("_total_len"),
+        *[
+            F.sum(term_count(t)).cast("long").alias(f"_cf{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    dl = F.size("_toks").cast("double")
+
+    def term_tf(t: str):
+        return term_count(t).cast("double")
+
+    parts = []
+    for i, t in enumerate(query_terms):
+        tf = term_tf(t)
+        # add-one smoothing on the collection model: an OOV query
+        # term (cf = 0 — 'shuffle' at sf0.01) otherwise zeroes the
+        # smoothed probability and ln blows up; (cf+1)/(T+1) is the
+        # standard Laplace floor
+        p_c = (F.col(f"_cf{i}").cast("double") + 1.0) / (
+            F.col("_total_len") + 1.0
+        )
+        parts.append(F.log((tf + mu * p_c) / (dl + F.lit(mu))))
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    scored = toked.crossJoin(broadcast(stats)).select(
+        F.col(id_col),
+        F.round(score * 1_000_000).cast("long").alias("score_micro"),
+    )
+    win = Window.orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+    return (
+        scored.orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(win).cast("long"))
+    )

@@ -18073,3 +18073,132 @@ def sample_reservoir_weighted(spark, sf_dir):
         .over(Window.orderBy(F.col("key_nano").desc(), "doc_id"))
         .cast("long"),
     )
+
+
+@register(
+    "ann_binary_recall",
+    f"""
+    WITH exact AS ({_SQL_ANN_EXACT3.format(cos=_sql_cosine("q.qv", "c.nv"))}
+    ), vm AS (
+        SELECT vec_id, {_KM_MICRO} AS v FROM embeddings
+    ), dimsums AS (
+        SELECT dim, CAST(sum(v[dim]) AS BIGINT) AS s
+        FROM vm CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) dims
+        GROUP BY dim
+    ), model AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM vm) AS n,
+               list(s ORDER BY dim) AS s
+        FROM dimsums
+    ), bq AS (
+        SELECT vec_id,
+               [CASE WHEN v[i] * n > s[i] THEN 1 ELSE 0 END
+                for i in range(1, 65)] AS b
+        FROM vm CROSS JOIN model
+    ), approx AS (
+        SELECT query_id, nbr_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                   row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_sum([CASE WHEN q.b[i] = c.b[i]
+                                   THEN 0 ELSE 1 END
+                                   for i in range(1, 65)]) ASC,
+                         c.vec_id
+            ) AS rank
+            FROM (SELECT * FROM bq WHERE vec_id < 5) q, bq c
+            WHERE q.vec_id <> c.vec_id
+        ) WHERE rank <= 3
+    ), hits AS (
+        SELECT query_id, count(*) AS n_hits
+        FROM approx JOIN exact USING (query_id, nbr_id) GROUP BY 1
+    ), bal AS (
+        SELECT CAST(1000 * sum(list_sum(b)) // (count(*) * 64) AS BIGINT)
+                   AS bit_balance_milli
+        FROM bq
+    )
+    SELECT query_id,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(1000 * coalesce(n_hits, 0) // 3 AS BIGINT) AS recall_milli,
+           bal.bit_balance_milli
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) qs
+    LEFT JOIN hits USING (query_id)
+    CROSS JOIN bal
+    """,
+)
+def ann_binary_recall(spark, sf_dir):
+    """BINARY-quantized retrieval recall@3 (functions/similarity.py
+    quantize_binary + binary_topk) — the most aggressive rung of the
+    quantization-eval ladder the family already climbs (float →
+    int8_recall → matryoshka_recall → THIS; 64 dims collapse to 8
+    bytes, 32x over float32): bit_i = [v_i > corpus mean_i] computed
+    as the exact cross-multiplied integer comparison v_i·n > Σ_i (no
+    float mean ever forms), ranking by exact integer Hamming
+    distance, recall_eval against the float search. The corpus-wide
+    ``bit_balance_milli`` (share of set bits; 500 = perfectly
+    centered data, the BQ health metric every vector store documents)
+    rides every row, tying the recall loss to the centering that
+    drives it. Plan: 1-row per-dim-sum model broadcast + narrow bit
+    map, then the brute-force shape (queries broadcast, corpus
+    unshuffled). At 100 TB the Hamming scan is the RAM-resident
+    pre-filter an exact rerank follows — this row measures what that
+    filter alone costs in recall."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    q_ids = qs.select(F.col("vec_id").alias("query_id"))
+    exact = sim.brute_force_topk(emb, qs, k=3)
+    approx = sim.binary_topk(emb, qs, k=3)
+    bal = sim.quantize_binary(emb).agg(
+        F.expr(
+            "CAST(1000 * sum(n_set) div (count(1) * 64) AS BIGINT)"
+        ).alias("bit_balance_milli")
+    )
+    return (
+        sim.recall_eval(exact, approx, k=3, queries=q_ids)
+        .crossJoin(F.broadcast(bal))
+        .select("query_id", "n_hits", "recall_milli", "bit_balance_milli")
+    )
+
+
+def _sql_qlm() -> str:
+    w = _sql_words("lower(text)")
+    mu = 2000.0
+    cfs = ", ".join(
+        f"CAST(sum(len(list_filter(w, x -> x = '{t}'))) AS BIGINT) AS cf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    parts = " + ".join(
+        f"ln((len(list_filter(w, x -> x = '{t}'))::DOUBLE"
+        f" + {mu} * ((cf{i} + 1)::DOUBLE / (_total_len + 1)))"
+        f" / (len(w)::DOUBLE + {mu}))"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    return f"""
+    WITH toked AS (
+        SELECT doc_id, {w} AS w FROM documents
+    ), stats AS (
+        SELECT CAST(sum(len(w)) AS BIGINT) AS _total_len, {cfs}
+        FROM toked
+    ), scored AS (
+        SELECT doc_id,
+               CAST(round(({parts}) * 1000000) AS BIGINT) AS score_micro
+        FROM toked CROSS JOIN stats
+    )
+    SELECT doc_id, score_micro,
+           row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+    FROM scored
+    ORDER BY score_micro DESC, doc_id LIMIT 20
+    """
+
+
+@register("search_qlm_dirichlet", _sql_qlm())
+def search_qlm_dirichlet(spark, sf_dir):
+    """Query-likelihood LM retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001; functions/text.py qlm_search) for the same fixed
+    query as search_bm25 — the probabilistic-IR scorer beside the
+    Okapi one (the two classic lexical rankers whose disagreements
+    motivate RRF fusion, already gated at search_rrf_fusion):
+    score = Σ_t ln((tf + μ·cf/T)/(|d| + μ)), μ = 2000. One corpus
+    agg broadcast (T + the terms' collection frequencies), narrow
+    per-doc scoring, TakeOrdered — zero corpus shuffles; fixed
+    operand order with ONE micro rounding, ranking engine-exact."""
+    docs = tables(spark, sf_dir)["documents"]
+    return tx.qlm_search(docs, _BM25_TERMS, k=20)
