@@ -18202,3 +18202,297 @@ def search_qlm_dirichlet(spark, sf_dir):
     operand order with ONE micro rounding, ranking engine-exact."""
     docs = tables(spark, sf_dir)["documents"]
     return tx.qlm_search(docs, _BM25_TERMS, k=20)
+
+
+def _sql_audio_dft() -> str:
+    cs, sn = mm.dft_tables()
+    vals = ", ".join(
+        f"({k + 1}, {cs[k]}, {sn[k]})" for k in range(len(cs))
+    )
+    return f"""
+    WITH raw AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   ((CAST(round(x::DOUBLE * 1000000) AS BIGINT) % 65536)
+                    + 65536) % 65536 - 32768) AS r
+        FROM embeddings
+    ), pcm AS (
+        SELECT vec_id,
+               list_transform(r, v ->
+                   CAST(trunc((v / 32768.0) * 32767.0) AS BIGINT)) AS p
+        FROM raw
+    ), consts(bin, cv, sv) AS (VALUES {vals}
+    ), spec AS (
+        SELECT vec_id, bin,
+               CAST(list_sum([p[i] * cv[i]
+                    for i in range(1, least(len(p), 64) + 1)])
+                    AS BIGINT) AS re_micro,
+               CAST(-list_sum([p[i] * sv[i]
+                    for i in range(1, least(len(p), 64) + 1)])
+                    AS BIGINT) AS im_micro
+        FROM pcm CROSS JOIN consts
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id
+            ORDER BY re_micro::HUGEINT * re_micro
+                     + im_micro::HUGEINT * im_micro DESC, bin) AS rk
+        FROM spec
+    )
+    SELECT vec_id, CAST(bin AS BIGINT) AS bin, re_micro, im_micro,
+           rk = 1 AS is_dominant
+    FROM ranked
+    """
+
+
+@register("multimodal_audio_dft", _sql_audio_dft())
+def multimodal_audio_dft(spark, sf_dir):
+    """Spectral (DFT) feature extraction through the REAL WAV codec
+    (functions/multimodal.py audio_dft_frame) — the audio family's
+    feature-extraction member beside the round-trip fingerprints:
+    decoded samples get an exact integer DFT at bins 1..4 using
+    micro-rounded twiddle tables computed ONCE in Python and injected
+    as plan literals into BOTH engines (no cross-engine trig parity
+    assumed — the Kleinberg ln-constant discipline applied to a 256-
+    entry table). Dominant bin = argmax of re²+im² in arbitrary-
+    precision ints (Python) vs HUGEINT (DuckDB) — no float magnitude
+    forms, ties to the lowest bin. One Arrow-batched mapInPandas,
+    4 rows per vector, zero shuffles."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return mm.audio_dft_frame(emb)
+
+
+_LR_ROUNDS = 10
+_LR_LRNUM = 2000  # lr = 2.0 in the (micro, milli-feature) unit system
+_LR_CLAMP = 30_000_000  # ±30 in micro-logit units
+_LR_NDIM = 6  # 4 language-marker ratios + non-ASCII ratio + bias
+
+
+def _lr_marker_sets() -> list[tuple[str, list[str]]]:
+    return [(lang, tx.LANG_MARKERS[lang]) for lang in ("en", "de", "fr", "es")]
+
+
+def _sql_logreg() -> str:
+    """Unrolled replica of the ml_logreg_gd trainer: fixed full-batch
+    gradient-descent rounds as chained CTEs, weights a 6-list in a
+    1-row frame, the one float per row per round being the
+    milli-rounded sigmoid of the clamped micro logit (shared libm
+    exp); every other step exact integer arithmetic with truncating
+    division (verified identical cross-engine, negatives included)."""
+    w = _sql_words("lower(text)")
+    feats = []
+    for lang, words in _lr_marker_sets():
+        lst = "[" + ", ".join(f"'{t}'" for t in words) + "]"
+        feats.append(
+            f"CAST(1000 * len(list_filter(w, t -> list_contains({lst}, t)))"
+            f" // greatest(len(w), 1) AS BIGINT)"
+        )
+    feats.append(
+        "CAST(1000 * len(list_filter(w,"
+        " t -> regexp_matches(t, '[^\\x00-\\x7F]')))"
+        " // greatest(len(w), 1) AS BIGINT)"
+    )
+    feats.append("CAST(1000 AS BIGINT)")
+    blocks = [
+        f"""toked AS (
+        SELECT doc_id, lang, {w} AS w FROM documents
+    ), feats AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               ('0x' || substr(md5('lrsplit:' || doc_id::varchar), 1, 15))
+                   ::bigint % 10 < 8 AS is_train,
+               [{", ".join(feats)}] AS x
+        FROM toked
+    ), nt AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM feats WHERE is_train
+    ), dims AS (SELECT unnest(range(1, {_LR_NDIM} + 1)) AS dim
+    ), w0 AS (
+        SELECT [CAST(0 AS BIGINT) for j in range(0, {_LR_NDIM})] AS w
+    )"""
+    ]
+    for r in range(1, _LR_ROUNDS + 1):
+        # every round CTE MATERIALIZED: w{{r}} is referenced by both
+        # p{{r+1}} and w{{r+1}} — left inline, DuckDB re-evaluates the
+        # whole chain per reference and the 10-round plan goes
+        # exponential (the _sql_bpe_chain lesson)
+        blocks.append(f"""p{r} AS MATERIALIZED (
+        SELECT f.doc_id, f.y, f.x,
+               CAST(round(1000.0 / (1.0 + exp(-least(greatest(
+                   list_sum([w.w[j] * f.x[j]
+                             for j in range(1, {_LR_NDIM} + 1)]) // 1000,
+                   -{_LR_CLAMP}), {_LR_CLAMP}) / 1000000.0)))
+                   AS BIGINT) AS p
+        FROM feats f CROSS JOIN w{r - 1} w WHERE f.is_train
+    ), g{r} AS MATERIALIZED (
+        SELECT dim, CAST(sum((p - 1000 * y) * x[dim]) AS BIGINT) AS g
+        FROM p{r} CROSS JOIN dims GROUP BY dim
+    ), w{r} AS MATERIALIZED (
+        SELECT list(w.w[g.dim] - ({_LR_LRNUM} * g.g) // (nt.n * 1000)
+                    ORDER BY g.dim) AS w
+        FROM g{r} g CROSS JOIN w{r - 1} w CROSS JOIN nt
+    )""")
+    wr = f"w{_LR_ROUNDS}"
+    return f"""
+    WITH {', '.join(blocks)}, scored AS (
+        SELECT f.doc_id, f.y,
+               CASE WHEN list_sum([w.w[j] * f.x[j]
+                    for j in range(1, {_LR_NDIM} + 1)]) > 0
+                    THEN 1 ELSE 0 END AS pred
+        FROM feats f CROSS JOIN {wr} w WHERE NOT f.is_train
+    ), l1 AS (
+        SELECT CAST(list_sum([abs(w[j])
+                    for j in range(1, {_LR_NDIM} + 1)]) AS BIGINT)
+                   AS weights_l1_micro
+        FROM {wr}
+    )
+    SELECT CAST(y AS BIGINT) AS y_true,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           CAST(1000 * sum(CASE WHEN pred = y THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS accuracy_milli,
+           any_value(nt.n) AS n_train,
+           any_value(l1.weights_l1_micro) AS weights_l1_micro
+    FROM scored, nt, l1
+    GROUP BY y
+    """
+
+
+def _lr_feature_expr() -> str:
+    """Spark SQL expression for the 6-feature milli vector (shared by
+    training and scoring): 4 language-marker hit ratios, the
+    non-ASCII token ratio, and the constant bias 1000."""
+    toks = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+    feats = []
+    for lang, words in _lr_marker_sets():
+        lst = "array(" + ", ".join(f"'{t}'" for t in words) + ")"
+        feats.append(
+            f"CAST(1000 * size(filter({toks},"
+            f" t -> array_contains({lst}, t)))"
+            f" div greatest(size({toks}), 1) AS BIGINT)"
+        )
+    feats.append(
+        f"CAST(1000 * size(filter({toks},"
+        " t -> t rlike '[^\\\\x00-\\\\x7F]'))"
+        f" div greatest(size({toks}), 1) AS BIGINT)"
+    )
+    feats.append("CAST(1000 AS BIGINT)")
+    return "array(" + ", ".join(feats) + ")"
+
+
+@register("ml_logreg_gd", _sql_logreg())
+def ml_logreg_gd(spark, sf_dir):
+    """LOGISTIC REGRESSION trained in-engine by 10 full-batch
+    gradient-descent rounds — the trained-in-engine ML family's
+    discriminative member (kmeans: unsupervised; naive bayes:
+    generative counts; THIS: iterative gradient optimization — the
+    shape of every fastText-style quality/language filter a
+    pretraining pipeline runs). Task: predict lang = 'en' from 6
+    milli features (the 4 language-marker hit ratios, the non-ASCII
+    token ratio, bias). Honesty, the ml_naive_bayes discipline: the
+    synthetic corpus's lang labels are ARBITRARY — marker ratios are
+    identical across labels (verified: en_ratio ≈ 29 milli for every
+    label) — so corpus accuracy ≈ the majority prior and the model
+    degenerates to the prior class, reported as-is; the pytest
+    plants a separable corpus and proves the SAME trainer reaches
+    100/100 per-class accuracy. Float discipline: the ONE float per
+    row per round is the milli-rounded sigmoid of the CLAMPED (±30)
+    micro logit; gradients are exact integer sums, the update
+    w −= (2000·g) div (1000·n) truncating integer division (verified
+    identical cross-engine, negatives included) — the learned weight
+    vector is bit-identical anywhere and its L1 norm rides the gated
+    row, so the MODEL hash-gates, not just the predictions. Plan:
+    the feature frame builds once (localCheckpoint — ten rounds +
+    scoring consume it); each round is ONE map-side-combining 6-dim
+    gradient agg collapsing to a bounded driver fetch (the BPE
+    learned-table precedent) injected as next-round literals, so
+    round plans stay flat; scoring is a narrow map. At 100 TB: the
+    gradient agg is the only corpus touch per round."""
+    docs = tables(spark, sf_dir)["documents"]
+    feats = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("lrsplit:"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10
+            < 8
+        ).alias("is_train"),
+        F.expr(_lr_feature_expr()).alias("x"),
+    ).localCheckpoint(eager=True)
+    train = feats.filter("is_train")
+    n_train = train.count()
+
+    def tdiv(a: int, b: int) -> int:
+        # truncating division — matches Spark div / DuckDB // on
+        # negatives (Python // floors, which would diverge)
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    w = [0] * _LR_NDIM
+    for _ in range(_LR_ROUNDS):
+        logit = "+".join(
+            f"({w[j]}L * element_at(x, {j + 1}))" for j in range(_LR_NDIM)
+        )
+        p = (
+            "CAST(round(1000.0 / (1.0 + exp(-least(greatest("
+            f"CAST({logit} AS BIGINT) div 1000, -{_LR_CLAMP}L),"
+            f" {_LR_CLAMP}L) / 1000000.0))) AS BIGINT)"
+        )
+        grads_row = train.agg(
+            *[
+                F.expr(
+                    f"CAST(sum(({p} - 1000 * y) * element_at(x, {j + 1}))"
+                    f" AS BIGINT) AS g{j}"
+                )
+                for j in range(_LR_NDIM)
+            ]
+        ).collect()[0]
+        # bounded driver fetch: 6 longs per round (the BPE
+        # learned-table precedent) injected as next-round literals
+        w = [
+            w[j] - tdiv(_LR_LRNUM * int(grads_row[f"g{j}"]), n_train * 1000)
+            for j in range(_LR_NDIM)
+        ]
+    logit = "+".join(
+        f"({w[j]}L * element_at(x, {j + 1}))" for j in range(_LR_NDIM)
+    )
+    l1 = sum(abs(v) for v in w)
+    return (
+        feats.filter(~F.col("is_train"))
+        .select(
+            F.col("y").cast("long").alias("y_true"),
+            F.expr(
+                f"CASE WHEN CAST({logit} AS BIGINT) > 0 THEN 1 ELSE 0 END"
+            ).alias("pred"),
+        )
+        .groupBy("y_true")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("pred") == F.col("y_true"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "y_true",
+            "n_test",
+            "n_correct",
+            F.expr("CAST(1000 * n_correct div n_test AS BIGINT)").alias(
+                "accuracy_milli"
+            ),
+            F.lit(n_train).cast("long").alias("n_train"),
+            F.lit(l1).cast("long").alias("weights_l1_micro"),
+        )
+    )

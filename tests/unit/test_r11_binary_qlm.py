@@ -110,3 +110,33 @@ def test_qlm_oov_term_smoothed(spark):
     # still ranked
     rows = tx.qlm_search(df, ["a", "zzz"], k=10).collect()
     assert len(rows) == 2 and all(r["score_micro"] < 0 for r in rows)
+
+
+def test_logreg_learns_on_planted_separable_corpus(spark):
+    """The ml_logreg_gd honesty witness (the ml_naive_bayes
+    discipline): the corpus row reports ~prior accuracy because the
+    synthetic lang labels carry no signal; HERE the same trainer on a
+    genuinely separable corpus reaches perfect per-class accuracy —
+    proof the gradient loop learns when signal exists."""
+    import tempfile as _tf
+
+    en = "the cat and the dog of the house went to the market in town"
+    de = "der hund und die katze ist nicht ein tier mit über auf von"
+    rows = []
+    for i in range(100):
+        rows.append((2 * i, en + f" extra{i}", "en", "web", 60))
+        rows.append((2 * i + 1, de + f" wort{i}", "de", "web", 60))
+    with _tf.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            r["y_true"]: r.asDict()
+            for r in catalog.queries()["ml_logreg_gd"](spark, tmp).collect()
+        }
+    assert got[0]["accuracy_milli"] == 1000, got
+    assert got[1]["accuracy_milli"] == 1000, got
+    assert got[0]["weights_l1_micro"] > 0
+    assert got[0]["n_train"] + got[0]["n_test"] + got[1]["n_test"] == 200
