@@ -1917,3 +1917,195 @@ def qlm_search(
         .limit(k)
         .withColumn("rank", F.row_number().over(win).cast("long"))
     )
+
+
+UNIGRAM_MAX_WORD = 16
+UNIGRAM_MAX_PIECE = 4
+UNIGRAM_TOP_MULTI = 200
+
+
+def unigram_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    top_multi: int = UNIGRAM_TOP_MULTI,
+    max_piece: int = UNIGRAM_MAX_PIECE,
+    max_word: int = UNIGRAM_MAX_WORD,
+) -> DataFrame:
+    """Candidate-piece vocabulary for the UNIGRAM tokenizer (Kudo
+    2018, the SentencePiece unigram model — the other real-world
+    subword tokenizer beside BPE): every substring of length
+    1..max_piece of every (length ≤ max_word) corpus word, counted
+    POSITIONALLY and weighted by word frequency; the vocabulary is
+    ALL single characters (segmentability guarantee — every word
+    always has at least the char-by-char path) plus the top
+    ``top_multi`` multi-char pieces by (count DESC, piece ASC).
+    Piece cost = round(1e6·ln(total/count)) over the vocabulary's
+    own total — ONE ln per piece, the float discipline; Viterbi then
+    MINIMIZES total integer cost. Scale: words aggregate to the
+    distinct vocabulary first (Heaps' law), the substring explode is
+    ≤ max_word·max_piece per distinct word, and the piece agg
+    map-side combines. Returns (piece, cnt, cost_micro)."""
+    words = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                    lambda w: w != "",
+                )
+            ).alias("w")
+        )
+        .filter(F.length("w") <= max_word)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    )
+    subs = words.select(
+        "n_w",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(w)), i ->"
+                " transform(sequence(1, least({mp}, length(w) - i + 1)),"
+                " l -> substring(w, i, l))))".format(mp=max_piece)
+            )
+        ).alias("piece"),
+    )
+    counts = subs.groupBy("piece").agg(F.sum("n_w").cast("long").alias("cnt"))
+    singles = counts.filter(F.length("piece") == 1)
+    multi = (
+        counts.filter(F.length("piece") >= 2)
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(top_multi)
+    )
+    vocab = singles.unionByName(multi)
+    total = vocab.agg(F.sum("cnt").cast("long").alias("_tot"))
+    return (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "piece",
+            "cnt",
+            F.round(
+                F.lit(1_000_000.0)
+                * F.log(F.col("_tot").cast("double") / F.col("cnt"))
+            )
+            .cast("long")
+            .alias("cost_micro"),
+        )
+    )
+
+
+def unigram_segment_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    top_multi: int = UNIGRAM_TOP_MULTI,
+    max_piece: int = UNIGRAM_MAX_PIECE,
+    max_word: int = UNIGRAM_MAX_WORD,
+) -> DataFrame:
+    """Exact-integer VITERBI segmentation of every distinct corpus
+    word under the :func:`unigram_vocab` piece costs — the unigram
+    tokenizer's inference pass. Per word the DP key at position e is
+    (best_path_cost·100 + chosen_piece_len): one integer MIN per
+    position over the candidate pieces ending there, so the key
+    simultaneously pins the cost AND the argmin (ties prefer the
+    SHORTER piece — deterministic cross-engine). The DP and the
+    backtrack are STAGED PROJECTIONS, one per position (the X32
+    Hilbert lesson — a nested fold doubles the expression tree per
+    level; 16 flat stages keep codegen linear), and the whole thing
+    is pure Catalyst — no UDF. Words longer than ``max_word`` are
+    excluded by the vocab contract (counted by the catalog row's
+    witness). Returns (w, n_w, pieces array<string> in reverse
+    order, n_pieces, cost_micro)."""
+    words = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                    lambda w: w != "",
+                )
+            ).alias("w")
+        )
+        .filter(F.length("w") <= max_word)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    )
+    vocab = unigram_vocab(df, text_col, top_multi, max_piece, max_word)
+    cand = (
+        words.select(
+            "w",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(w)), i ->"
+                    " transform(sequence(1, least({mp},"
+                    " length(w) - i + 1)),"
+                    " l -> struct(i + l - 1 AS e, l AS l,"
+                    " substring(w, i, l) AS piece))))".format(mp=max_piece)
+                )
+            ).alias("c"),
+        )
+        .select("w", F.col("c.e").alias("e"), F.col("c.l").alias("l"),
+                F.col("c.piece").alias("piece"))
+        .join(vocab.select("piece", "cost_micro"), "piece")
+    )
+    cands = cand.groupBy("w").agg(
+        F.array_sort(
+            F.collect_list(F.struct("e", "l", F.col("cost_micro").alias("c")))
+        ).alias("cands")
+    )
+    staged = words.join(cands, "w").withColumn(
+        "b", F.expr("array(CAST(0 AS BIGINT))")
+    )
+    # DP: 16 staged projections, one per position
+    for p in range(1, max_word + 1):
+        staged = staged.withColumn(
+            "b",
+            F.expr(
+                "CASE WHEN length(w) >= {p} THEN concat(b, array("
+                " array_min(transform(filter(cands,"
+                " c -> c.e = {p} AND c.l <= {p}),"
+                " c -> (element_at(b, {p} - c.l + 1) div 100 + c.c)"
+                " * 100 + c.l)))) ELSE b END".format(p=p)
+            ),
+        )
+    # backtrack: 16 staged (piece, position) steps from the last key
+    staged = staged.withColumn("p0", F.length("w").cast("int"))
+    pieces = []
+    prev = "p0"
+    for k in range(1, max_word + 1):
+        lcol, pcol, scol = f"l{k}", f"p{k}", f"s{k}"
+        staged = (
+            staged.withColumn(
+                lcol,
+                F.expr(
+                    "CASE WHEN {prev} > 0 THEN CAST("
+                    "element_at(b, {prev} + 1) % 100 AS INT)"
+                    " ELSE NULL END".format(prev=prev)
+                ),
+            )
+            .withColumn(
+                scol,
+                F.expr(
+                    "CASE WHEN {prev} > 0 THEN"
+                    " substring(w, {prev} - {l} + 1, {l})"
+                    " ELSE NULL END".format(prev=prev, l=lcol)
+                ),
+            )
+            .withColumn(
+                pcol,
+                F.expr(
+                    "CASE WHEN {prev} > 0 THEN {prev} - {l}"
+                    " ELSE 0 END".format(prev=prev, l=lcol)
+                ),
+            )
+        )
+        pieces.append(scol)
+        prev = pcol
+    piece_arr = "filter(array({}), x -> x IS NOT NULL)".format(
+        ", ".join(pieces)
+    )
+    return staged.select(
+        "w",
+        "n_w",
+        F.expr(piece_arr).alias("pieces"),
+        F.expr(f"CAST(size({piece_arr}) AS BIGINT)").alias("n_pieces"),
+        F.expr(
+            "CAST(element_at(b, length(w) + 1) div 100 AS BIGINT)"
+        ).alias("cost_micro"),
+    )

@@ -18496,3 +18496,191 @@ def ml_logreg_gd(spark, sf_dir):
             F.lit(l1).cast("long").alias("weights_l1_micro"),
         )
     )
+
+
+def _sql_unigram() -> str:
+    """Unrolled replica of the unigram tokenizer: candidate counting,
+    the singles+top-200 vocabulary with one ln per piece, a 16-level
+    STAGED Viterbi DP (each level a MATERIALIZED CTE appending one
+    integer min-key to the per-word best list — the key is
+    cost·100 + chosen_len, pinning cost and argmin at once), and a
+    16-step staged backtrack in nested selects (no list_reduce — the
+    Kleinberg DuckDB-accumulator lesson)."""
+    mw, mp, top = tx.UNIGRAM_MAX_WORD, tx.UNIGRAM_MAX_PIECE, tx.UNIGRAM_TOP_MULTI
+    wexpr = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x != '')"
+    blocks = [f"""allw AS (
+        SELECT unnest({wexpr}) AS w FROM documents
+    ), words AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM allw
+        WHERE length(w) <= {mw} GROUP BY w
+    ), skipped AS (
+        SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_words_skipped
+        FROM allw WHERE length(w) > {mw}
+    ), subs AS MATERIALIZED (
+        SELECT substr(w, i, l) AS piece, CAST(sum(n_w) AS BIGINT) AS cnt
+        FROM words,
+             (SELECT unnest(range(1, {mw} + 1)) AS i) ii,
+             (SELECT unnest(range(1, {mp} + 1)) AS l) ll
+        WHERE i <= length(w) AND l <= least({mp}, length(w) - i + 1)
+        GROUP BY piece
+    ), pool AS MATERIALIZED (
+        SELECT piece, cnt FROM subs WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM subs WHERE length(piece) >= 2
+            ORDER BY cnt DESC, piece LIMIT {top})
+    ), vocab AS MATERIALIZED (
+        SELECT piece, cnt,
+               CAST(round(1000000.0 * ln(
+                   (SELECT sum(cnt) FROM pool)::DOUBLE / cnt))
+                   AS BIGINT) AS cost_micro
+        FROM pool
+    ), cand AS MATERIALIZED (
+        SELECT x.w, x.e, x.l, v.cost_micro AS c
+        FROM (SELECT w, i + l - 1 AS e, l, substr(w, i, l) AS piece
+              FROM words,
+                   (SELECT unnest(range(1, {mw} + 1)) AS i) ii,
+                   (SELECT unnest(range(1, {mp} + 1)) AS l) ll
+              WHERE i <= length(w)
+                AND l <= least({mp}, length(w) - i + 1)) x
+        JOIN vocab v USING (piece)
+    ), lv0 AS MATERIALIZED (
+        SELECT words.w, words.n_w, c.cands, [CAST(0 AS BIGINT)] AS b
+        FROM words JOIN (
+            SELECT w, list_sort(list({{'e': e, 'l': l, 'c': c}})) AS cands
+            FROM cand GROUP BY w) c USING (w)
+    )"""]
+    for p in range(1, mw + 1):
+        blocks.append(f"""lv{p} AS MATERIALIZED (
+        SELECT w, n_w, cands,
+               CASE WHEN length(w) >= {p} THEN list_concat(b, [
+                   list_min(list_transform(list_filter(cands,
+                       c -> c.e = {p} AND c.l <= {p}),
+                       c -> (b[{p} - c.l + 1] // 100 + c.c) * 100 + c.l))])
+               ELSE b END AS b
+        FROM lv{p - 1}
+    )""")
+    bt = f"SELECT w, n_w, b, CAST(length(w) AS INT) AS p0 FROM lv{mw}"
+    for k in range(1, mw + 1):
+        lk = f"CAST(b[p{k - 1} + 1] % 100 AS INT)"
+        bt = f"""SELECT *,
+            CASE WHEN p{k - 1} > 0
+                 THEN substr(w, p{k - 1} - {lk} + 1, {lk}) END AS s{k},
+            CASE WHEN p{k - 1} > 0 THEN p{k - 1} - {lk} ELSE 0 END AS p{k}
+        FROM ({bt})"""
+    pieces = ", ".join(f"s{k}" for k in range(1, mw + 1))
+    return f"""
+    WITH {", ".join(blocks)}, seg AS MATERIALIZED (
+        SELECT w, n_w,
+               list_filter([{pieces}], x -> x IS NOT NULL) AS pieces,
+               b[length(w) + 1] // 100 AS cost
+        FROM ({bt})
+    ), usage AS (
+        SELECT piece, CAST(sum(n_w) AS BIGINT) AS usage FROM (
+            SELECT n_w, unnest(pieces) AS piece FROM seg) GROUP BY piece
+    ), wit AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS vocab_size,
+               (SELECT CAST(count(*) AS BIGINT) FROM words) AS n_words,
+               CAST(sum(n_w * len(pieces)) AS BIGINT) AS total_pieces,
+               CAST(sum(n_w * length(w)) AS BIGINT) AS total_chars,
+               CAST(1000 * sum(n_w * len(pieces))
+                    // greatest(sum(n_w * length(w)), 1) AS BIGINT)
+                   AS compression_permille
+        FROM seg
+    )
+    SELECT u.piece, v.cnt, v.cost_micro, u.usage,
+           row_number() OVER (ORDER BY u.usage DESC, u.piece) AS rank,
+           wit.vocab_size, wit.n_words, wit.total_pieces,
+           wit.total_chars, wit.compression_permille,
+           skipped.n_words_skipped
+    FROM usage u JOIN vocab v USING (piece), wit, skipped
+    ORDER BY u.usage DESC, u.piece LIMIT 30
+    """
+
+
+@register("text_unigram_tokenize", _sql_unigram())
+def text_unigram_tokenize(spark, sf_dir):
+    """UNIGRAM-LM subword tokenizer (Kudo 2018 — the SentencePiece
+    unigram model), trained and run in-engine: the tokenizer family's
+    OTHER real-world member beside BPE (text_bpe_*): candidate pieces
+    are all ≤ 4-char substrings of the distinct (≤ 16-char) corpus
+    words, the vocabulary is every single character (segmentability
+    guarantee) plus the top-200 multi-char pieces, piece cost =
+    micro-rounded −ln p under the pool's own totals (ONE ln per
+    piece), and every distinct word is segmented by an EXACT-INTEGER
+    Viterbi: the DP key at position e is best_cost·100 + chosen_len,
+    so one integer min per position pins the cost and the argmin
+    (ties to the shorter piece) — the segmentation is bit-identical
+    cross-engine with no per-step floats at all. DP and backtrack
+    are 16 STAGED projections (the X32 Hilbert lesson: nested folds
+    double the expression tree per level; stages keep codegen
+    linear). Output: top-30 pieces by corpus usage with the
+    vocabulary row (candidate count, cost) joined in, plus the
+    corpus witnesses riding every row — vocab_size, n_words,
+    total_pieces/total_chars with the compression permille (the
+    fertility-style readout), and n_words_skipped for the ≤ 16-char
+    contract. Scale: words aggregate to the distinct vocabulary
+    FIRST (Heaps' law); the substring explode is ≤ 64 rows per
+    distinct word; the DP runs once per vocab entry, never per
+    occurrence — the bpe_encode_words shape."""
+    docs = tables(spark, sf_dir)["documents"]
+    vocab = tx.unigram_vocab(docs)
+    seg = tx.unigram_segment_frame(docs).localCheckpoint(eager=True)
+    usage = (
+        seg.select("n_w", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n_w").cast("long").alias("usage"))
+    )
+    wit = seg.agg(
+        F.sum(F.col("n_w") * F.col("n_pieces")).cast("long").alias(
+            "total_pieces"
+        ),
+        F.sum(F.col("n_w") * F.length("w")).cast("long").alias(
+            "total_chars"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    ).selectExpr(
+        "total_pieces",
+        "total_chars",
+        "n_words",
+        "CAST(1000 * total_pieces div greatest(total_chars, 1) AS BIGINT)"
+        " AS compression_permille",
+    )
+    vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    skipped = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda w: w != "",
+                )
+            ).alias("w")
+        )
+        .filter(F.length("w") > tx.UNIGRAM_MAX_WORD)
+        .agg(
+            F.count_distinct("w").cast("long").alias("n_words_skipped")
+        )
+    )
+    return (
+        usage.join(vocab, "piece")
+        .crossJoin(F.broadcast(vsize))
+        .crossJoin(F.broadcast(wit))
+        .crossJoin(F.broadcast(skipped))
+        .select(
+            "piece",
+            "cnt",
+            "cost_micro",
+            "usage",
+            F.expr(
+                "row_number() OVER (ORDER BY usage DESC, piece)"
+            ).cast("long").alias("rank"),
+            "vocab_size",
+            "n_words",
+            "total_pieces",
+            "total_chars",
+            "compression_permille",
+            "n_words_skipped",
+        )
+        .orderBy(F.col("usage").desc(), "piece")
+        .limit(30)
+    )
