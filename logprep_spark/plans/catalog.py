@@ -18684,3 +18684,198 @@ def text_unigram_tokenize(spark, sf_dir):
         .orderBy(F.col("usage").desc(), "piece")
         .limit(30)
     )
+
+
+@register(
+    "events_runs_test",
+    """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), arr AS (
+        SELECT event_type, list(n ORDER BY day) AS xs FROM daily
+        GROUP BY event_type
+    ), med AS (
+        SELECT event_type, xs,
+               list_sort(xs)[(len(xs) + 1) // 2] AS med
+        FROM arr
+    ), signs AS (
+        SELECT event_type,
+               list_transform(list_filter(xs, x -> x != med),
+                              x -> CASE WHEN x > med THEN 1 ELSE 0 END)
+                   AS s
+        FROM med
+    ), stats AS (
+        SELECT event_type,
+               CAST(len(s) AS BIGINT) AS n_days,
+               CAST(list_sum(s) AS BIGINT) AS n1,
+               CAST(len(s) - list_sum(s) AS BIGINT) AS n2,
+               CAST(1 + list_sum([CASE WHEN s[i] != s[i - 1]
+                                  THEN 1 ELSE 0 END
+                                  for i in range(2, len(s) + 1)])
+                    AS BIGINT) AS n_runs
+        FROM signs WHERE len(s) >= 2
+    )
+    SELECT event_type, n_days, n1, n2, n_runs,
+           CAST(round(1000.0 * (n_runs
+                - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                       / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))))
+                AS BIGINT) AS z_milli,
+           abs(round(1000.0 * (n_runs
+                - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                       / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))))
+               <= 1960 AS random_ok
+    FROM stats WHERE n1 > 0 AND n2 > 0
+    """,
+)
+def events_runs_test(spark, sf_dir):
+    """WALD-WOLFOWITZ runs test on the daily event-count series — the
+    statistics shelf's RANDOMNESS screen (Mann-Kendall asks "is there
+    a trend", the changepoint asks "where did the level shift", THIS
+    asks the prior question: is the sequence even exchangeable, or do
+    high/low days CLUSTER — the autocorrelation smell that invalidates
+    iid-assuming tests downstream): days dichotomize against the
+    lower-median daily count (equal-to-median days excluded, the
+    textbook convention), R = number of sign runs, z = (R − μ)/σ with
+    the exact Wald-Wolfowitz moments — too FEW runs (z ≪ 0) means
+    clustering/trend, too many (z ≫ 0) means oscillation. Integer
+    discipline: the day counts, median pick, run count and n1/n2 are
+    exact integers; the ONE float step is the final z (two float ops
+    on exactly-representable integers, shared libm sqrt, milli-rounded
+    once). Scale: one (type, day) agg builds a days-bounded array per
+    type; the run count is a pure comprehension over it — O(days)
+    memory, never scales with event volume (the Kleinberg shape)."""
+    ev = tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    arr = daily.groupBy("event_type").agg(
+        F.expr("array_sort(collect_list(struct(day, n)))").alias("dn")
+    )
+    staged = arr.select(
+        "event_type",
+        F.expr("transform(dn, x -> x.n)").alias("xs"),
+    ).select(
+        "event_type",
+        "xs",
+        F.expr(
+            "element_at(array_sort(xs), CAST((size(xs) + 1) div 2 AS INT))"
+        ).alias("med"),
+    ).select(
+        "event_type",
+        F.expr(
+            "transform(filter(xs, x -> x != med),"
+            " x -> CASE WHEN x > med THEN 1 ELSE 0 END)"
+        ).alias("s"),
+    ).filter(F.expr("size(s) >= 2"))
+    stats = staged.select(
+        "event_type",
+        F.expr("CAST(size(s) AS BIGINT)").alias("n_days"),
+        F.expr(
+            "CAST(aggregate(s, 0, (a, x) -> a + x) AS BIGINT)"
+        ).alias("n1"),
+        F.expr(
+            "CAST(size(s) - aggregate(s, 0, (a, x) -> a + x) AS BIGINT)"
+        ).alias("n2"),
+        F.expr(
+            "CAST(1 + aggregate(sequence(2, size(s)), 0, (a, i) ->"
+            " a + CASE WHEN element_at(s, i) != element_at(s, i - 1)"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_runs"),
+    ).filter("n1 > 0 AND n2 > 0")
+    z = (
+        "round(1000.0 * (n_runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))"
+        " / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)"
+        " / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))))"
+    )
+    return stats.select(
+        "event_type",
+        "n_days",
+        "n1",
+        "n2",
+        "n_runs",
+        F.expr(f"CAST({z} AS BIGINT)").alias("z_milli"),
+        F.expr(f"abs({z}) <= 1960").alias("random_ok"),
+    )
+
+
+@register(
+    "join_asof_tolerance",
+    """
+    WITH logins AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'login'
+    ), matched AS (
+        SELECT e.event_id, e.event_type, e.ts, l.ts AS login_ts
+        FROM events e ASOF LEFT JOIN logins l
+          ON e.user_id = l.user_id AND l.ts <= e.ts
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN login_ts IS NOT NULL
+                AND epoch(ts) - epoch(login_ts) <= 7 * 86400
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_within,
+           CAST(sum(CASE WHEN login_ts IS NOT NULL
+                AND epoch(ts) - epoch(login_ts) > 7 * 86400
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+           CAST(sum(CASE WHEN login_ts IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_no_prior,
+           CAST(1000 * sum(CASE WHEN login_ts IS NOT NULL
+                AND epoch(ts) - epoch(login_ts) <= 7 * 86400
+                THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+               AS match_permille
+    FROM matched GROUP BY event_type
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join WITH A TOLERANCE — the variant every production
+    point-in-time join actually runs (pandas merge_asof's
+    ``tolerance``, kdb's wj window): a marker that is technically
+    the most recent one but WEEKS stale is usually worse than no
+    match (a feature-store join serving a model must not backfill a
+    user's state from a login 3 months ago). Every event takes its
+    user's most recent login at-or-before it (the join_asof_last_login
+    carry-forward window — one user-keyed shuffle, no range
+    explosion), then the 7-day tolerance splits matches into
+    within-tolerance / STALE, with never-logged-in separate — the
+    three-way accounting a feature-freshness dashboard shows. The
+    oracle is DuckDB's native ASOF LEFT JOIN + the same epoch
+    arithmetic. All integer seconds; one (type) agg after the
+    window."""
+    ev = tables(spark, sf_dir)["events"]
+    markers = ev.filter(F.col("event_type") == "login").select(
+        "user_id", "ts"
+    )
+    joined = an.asof_join(ev, markers, ["user_id"])
+    tol = 7 * 86400
+    within = (
+        "ts_asof IS NOT NULL AND"
+        f" unix_timestamp(ts) - unix_timestamp(ts_asof) <= {tol}"
+    )
+    stale = (
+        "ts_asof IS NOT NULL AND"
+        f" unix_timestamp(ts) - unix_timestamp(ts_asof) > {tol}"
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.expr(f"CASE WHEN {within} THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_matched_within"),
+        F.sum(F.expr(f"CASE WHEN {stale} THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_stale"),
+        F.sum(F.expr("CASE WHEN ts_asof IS NULL THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_no_prior"),
+    ).select(
+        "event_type",
+        "n_events",
+        "n_matched_within",
+        "n_stale",
+        "n_no_prior",
+        F.expr(
+            "CAST(1000 * n_matched_within div n_events AS BIGINT)"
+        ).alias("match_permille"),
+    )
