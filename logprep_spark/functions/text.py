@@ -1998,6 +1998,7 @@ def unigram_segment_frame(
     top_multi: int = UNIGRAM_TOP_MULTI,
     max_piece: int = UNIGRAM_MAX_PIECE,
     max_word: int = UNIGRAM_MAX_WORD,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-integer VITERBI segmentation of every distinct corpus
     word under the :func:`unigram_vocab` piece costs — the unigram
@@ -2026,7 +2027,8 @@ def unigram_segment_frame(
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
     )
-    vocab = unigram_vocab(df, text_col, top_multi, max_piece, max_word)
+    if vocab is None:
+        vocab = unigram_vocab(df, text_col, top_multi, max_piece, max_word)
     cand = (
         words.select(
             "w",

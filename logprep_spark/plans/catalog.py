@@ -18884,3 +18884,267 @@ def join_asof_tolerance(spark, sf_dir):
             "CAST(1000 * n_matched_within div n_events AS BIGINT)"
         ).alias("match_permille"),
     )
+
+
+def _sql_unigram_dp_blocks(sfx: str, vocab_cte: str) -> tuple[list, str]:
+    """Candidate + 16-level staged Viterbi + backtrack CTE blocks for
+    one segmentation pass under the ``vocab_cte`` (piece, cost_micro)
+    relation; returns (blocks, seg-select) with all names suffixed so
+    the EM oracle runs the pass twice (the _sql_unigram machinery,
+    parameterized)."""
+    mw, mp = tx.UNIGRAM_MAX_WORD, tx.UNIGRAM_MAX_PIECE
+    blocks = [f"""cand{sfx} AS MATERIALIZED (
+        SELECT x.w, x.e, x.l, v.cost_micro AS c
+        FROM (SELECT w, i + l - 1 AS e, l, substr(w, i, l) AS piece
+              FROM words,
+                   (SELECT unnest(range(1, {mw} + 1)) AS i) ii,
+                   (SELECT unnest(range(1, {mp} + 1)) AS l) ll
+              WHERE i <= length(w)
+                AND l <= least({mp}, length(w) - i + 1)) x
+        JOIN {vocab_cte} v USING (piece)
+    ), lv{sfx}0 AS MATERIALIZED (
+        SELECT words.w, words.n_w, c.cands, [CAST(0 AS BIGINT)] AS b
+        FROM words JOIN (
+            SELECT w, list_sort(list({{'e': e, 'l': l, 'c': c}})) AS cands
+            FROM cand{sfx} GROUP BY w) c USING (w)
+    )"""]
+    for p in range(1, mw + 1):
+        blocks.append(f"""lv{sfx}{p} AS MATERIALIZED (
+        SELECT w, n_w, cands,
+               CASE WHEN length(w) >= {p} THEN list_concat(b, [
+                   list_min(list_transform(list_filter(cands,
+                       c -> c.e = {p} AND c.l <= {p}),
+                       c -> (b[{p} - c.l + 1] // 100 + c.c) * 100 + c.l))])
+               ELSE b END AS b
+        FROM lv{sfx}{p - 1}
+    )""")
+    bt = f"SELECT w, n_w, b, CAST(length(w) AS INT) AS p0 FROM lv{sfx}{mw}"
+    for k in range(1, mw + 1):
+        lk = f"CAST(b[p{k - 1} + 1] % 100 AS INT)"
+        bt = f"""SELECT *,
+            CASE WHEN p{k - 1} > 0
+                 THEN substr(w, p{k - 1} - {lk} + 1, {lk}) END AS s{k},
+            CASE WHEN p{k - 1} > 0 THEN p{k - 1} - {lk} ELSE 0 END AS p{k}
+        FROM ({bt})"""
+    pieces = ", ".join(f"s{k}" for k in range(1, mw + 1))
+    seg = f"""seg{sfx} AS MATERIALIZED (
+        SELECT w, n_w,
+               list_filter([{pieces}], x -> x IS NOT NULL) AS pieces,
+               b[length(w) + 1] // 100 AS cost
+        FROM ({bt})
+    )"""
+    return blocks, seg
+
+
+def _sql_unigram_em() -> str:
+    mw, mp, top = tx.UNIGRAM_MAX_WORD, tx.UNIGRAM_MAX_PIECE, tx.UNIGRAM_TOP_MULTI
+    wexpr = ("list_filter(string_split_regex(lower(text), '[^a-z]+'),"
+             " x -> x != '')")
+    head = [f"""allw AS (
+        SELECT unnest({wexpr}) AS w FROM documents
+    ), words AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM allw
+        WHERE length(w) <= {mw} GROUP BY w
+    ), subs AS MATERIALIZED (
+        SELECT substr(w, i, l) AS piece, CAST(sum(n_w) AS BIGINT) AS cnt
+        FROM words,
+             (SELECT unnest(range(1, {mw} + 1)) AS i) ii,
+             (SELECT unnest(range(1, {mp} + 1)) AS l) ll
+        WHERE i <= length(w) AND l <= least({mp}, length(w) - i + 1)
+        GROUP BY piece
+    ), pool AS MATERIALIZED (
+        SELECT piece, cnt FROM subs WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM subs WHERE length(piece) >= 2
+            ORDER BY cnt DESC, piece LIMIT {top})
+    ), vocab1 AS MATERIALIZED (
+        SELECT piece, cnt,
+               CAST(round(1000000.0 * ln(
+                   (SELECT sum(cnt) FROM pool)::DOUBLE / cnt))
+                   AS BIGINT) AS cost_micro
+        FROM pool
+    )"""]
+    b1, seg1 = _sql_unigram_dp_blocks("1", "vocab1")
+    mid = [f"""usage1 AS MATERIALIZED (
+        SELECT v.piece, coalesce(u.u, 0) AS u1
+        FROM vocab1 v LEFT JOIN (
+            SELECT piece, CAST(sum(n_w) AS BIGINT) AS u FROM (
+                SELECT n_w, unnest(pieces) AS piece FROM seg1)
+            GROUP BY piece) u USING (piece)
+    ), vocab2 AS MATERIALIZED (
+        SELECT piece, u1,
+               CAST(round(1000000.0 * ln(
+                   (SELECT sum(u1 + 1) FROM usage1)::DOUBLE / (u1 + 1)))
+                   AS BIGINT) AS cost_micro
+        FROM usage1
+    )"""]
+    b2, seg2 = _sql_unigram_dp_blocks("2", "vocab2")
+    return f"""
+    WITH {", ".join(head + b1 + [seg1] + mid + b2 + [seg2])}, usage2 AS (
+        SELECT piece, CAST(sum(n_w) AS BIGINT) AS u2 FROM (
+            SELECT n_w, unnest(pieces) AS piece FROM seg2) GROUP BY piece
+    ), wit AS (
+        SELECT
+            (SELECT CAST(sum(n_w * cost) AS BIGINT) FROM seg1)
+                AS cost_r1_micro,
+            (SELECT CAST(sum(n_w * cost) AS BIGINT) FROM seg2)
+                AS cost_r2_micro,
+            (SELECT CAST(sum(n_w * len(pieces)) AS BIGINT) FROM seg1)
+                AS total_pieces_r1,
+            (SELECT CAST(sum(n_w * len(pieces)) AS BIGINT) FROM seg2)
+                AS total_pieces_r2,
+            (SELECT CAST(sum(x.n_w * v.cost_micro) AS BIGINT)
+             FROM (SELECT n_w, unnest(pieces) AS piece FROM seg1) x
+             JOIN vocab2 v USING (piece))
+                - (SELECT CAST(sum(n_w * cost) AS BIGINT) FROM seg2)
+                AS reseg_gain_micro
+    )
+    SELECT u.piece, v1.cost_micro AS cost1_micro,
+           v2.cost_micro AS cost2_micro,
+           v2.u1 AS usage_r1, u.u2 AS usage_r2,
+           row_number() OVER (ORDER BY u.u2 DESC, u.piece) AS rank,
+           wit.total_pieces_r1, wit.total_pieces_r2,
+           wit.cost_r1_micro, wit.cost_r2_micro, wit.reseg_gain_micro
+    FROM usage2 u
+    JOIN vocab1 v1 USING (piece) JOIN vocab2 v2 USING (piece), wit
+    ORDER BY u.u2 DESC, u.piece LIMIT 20
+    """
+
+
+@register("text_unigram_em", _sql_unigram_em())
+def text_unigram_em(spark, sf_dir):
+    """ONE EM RE-ESTIMATION round for the unigram tokenizer — the
+    training step that makes text_unigram_tokenize the SentencePiece
+    algorithm rather than a one-shot heuristic (Kudo 2018 §3.2: the
+    E-step is the Viterbi segmentation, the M-step re-estimates piece
+    probabilities from segmentation usage): round-1 costs come from
+    raw candidate counts; the corpus is segmented; piece usage
+    (Σ n_w · times used, add-one so never-used vocabulary pieces
+    stay finite) re-estimates the costs; the corpus segments AGAIN
+    under the learned model. Gated witnesses: corpus cost under each
+    round's own model, total piece counts per round, and
+    ``reseg_gain_micro`` = (round-1 segmentation re-scored under the
+    round-2 model) − (round-2 cost) — ≥ 0 BY THEOREM (per-word
+    Viterbi optimality), so a negative value is an engine bug the
+    hash would catch; on this corpus the gain is strictly positive
+    (the E-step genuinely moves). Output: top-20 pieces by round-2
+    usage with both costs and both usages in-row. Same exact-integer
+    DP as text_unigram_tokenize (key = cost·100 + len), both passes
+    16 staged projections; the usage agg and re-estimation are one
+    piece-keyed agg + a vocab-sized map between passes. Scale: two
+    DP passes over the DISTINCT vocabulary (Heaps' law), two
+    piece aggs — still never per-occurrence work."""
+    docs = tables(spark, sf_dir)["documents"]
+    v1 = tx.unigram_vocab(docs).localCheckpoint(eager=True)
+    seg1 = tx.unigram_segment_frame(docs, vocab=v1).localCheckpoint(
+        eager=True
+    )
+    u1 = (
+        seg1.select("n_w", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n_w").cast("long").alias("u"))
+    )
+    usage1 = (
+        v1.select("piece")
+        .join(u1, "piece", "left")
+        .select("piece", F.coalesce("u", F.lit(0)).cast("long").alias("u1"))
+    )
+    tot2 = usage1.agg(
+        F.sum(F.col("u1") + 1).cast("long").alias("_t2")
+    )
+    vocab2 = (
+        usage1.crossJoin(F.broadcast(tot2))
+        .select(
+            "piece",
+            "u1",
+            F.round(
+                F.lit(1_000_000.0)
+                * F.log(F.col("_t2").cast("double") / (F.col("u1") + 1))
+            )
+            .cast("long")
+            .alias("cost_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    seg2 = tx.unigram_segment_frame(
+        docs, vocab=vocab2.select("piece", "cost_micro")
+    ).localCheckpoint(eager=True)
+    u2 = (
+        seg2.select("n_w", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n_w").cast("long").alias("usage_r2"))
+    )
+    r1_under2 = (
+        seg1.select("n_w", F.explode("pieces").alias("piece"))
+        .join(vocab2.select("piece", "cost_micro"), "piece")
+        .agg(
+            F.sum(F.col("n_w") * F.col("cost_micro"))
+            .cast("long")
+            .alias("_r1u2")
+        )
+    )
+    wit = (
+        seg1.agg(
+            F.sum(F.col("n_w") * F.col("cost_micro"))
+            .cast("long")
+            .alias("cost_r1_micro"),
+            F.sum(F.col("n_w") * F.col("n_pieces"))
+            .cast("long")
+            .alias("total_pieces_r1"),
+        )
+        .crossJoin(
+            F.broadcast(
+                seg2.agg(
+                    F.sum(F.col("n_w") * F.col("cost_micro"))
+                    .cast("long")
+                    .alias("cost_r2_micro"),
+                    F.sum(F.col("n_w") * F.col("n_pieces"))
+                    .cast("long")
+                    .alias("total_pieces_r2"),
+                )
+            )
+        )
+        .crossJoin(F.broadcast(r1_under2))
+        .select(
+            "total_pieces_r1",
+            "total_pieces_r2",
+            "cost_r1_micro",
+            "cost_r2_micro",
+            (F.col("_r1u2") - F.col("cost_r2_micro")).alias(
+                "reseg_gain_micro"
+            ),
+        )
+    )
+    return (
+        u2.join(
+            v1.select("piece", F.col("cost_micro").alias("cost1_micro")),
+            "piece",
+        )
+        .join(
+            vocab2.select(
+                "piece",
+                F.col("u1").alias("usage_r1"),
+                F.col("cost_micro").alias("cost2_micro"),
+            ),
+            "piece",
+        )
+        .crossJoin(F.broadcast(wit))
+        .select(
+            "piece",
+            "cost1_micro",
+            "cost2_micro",
+            "usage_r1",
+            "usage_r2",
+            F.expr("row_number() OVER (ORDER BY usage_r2 DESC, piece)")
+            .cast("long")
+            .alias("rank"),
+            "total_pieces_r1",
+            "total_pieces_r2",
+            "cost_r1_micro",
+            "cost_r2_micro",
+            "reseg_gain_micro",
+        )
+        .orderBy(F.col("usage_r2").desc(), "piece")
+        .limit(20)
+    )

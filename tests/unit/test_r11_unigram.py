@@ -94,3 +94,82 @@ def test_unigram_corpus_row_properties(spark, sf_dir):
         # every vocabulary piece's cost is the micro-rounded -ln p
         assert r["cost_micro"] > 0
         assert r["usage"] <= r["total_pieces"]
+
+
+def _replica_em(texts, top_multi=10, max_piece=4, max_word=16):
+    """One EM round on top of _replica: usage -> add-one re-estimated
+    costs -> re-segmentation; returns (u1, cost2, segs2, gain)."""
+    words, vocab, cost, segs1 = _replica(texts, top_multi, max_piece,
+                                         max_word)
+    u1 = {p: 0 for p in vocab}
+    for w, (pieces, _) in segs1.items():
+        for p in pieces:
+            u1[p] += words[w]
+    t2 = sum(u + 1 for u in u1.values())
+    cost2 = {p: round(1e6 * math.log(t2 / (u1[p] + 1))) for p in vocab}
+    segs2 = {}
+    for w in words:
+        L = len(w)
+        b = [0]
+        for e in range(1, L + 1):
+            keys = []
+            for l in range(1, min(max_piece, e) + 1):
+                p = w[e - l : e]
+                if p in cost2:
+                    keys.append((b[e - l] // 100 + cost2[p]) * 100 + l)
+            b.append(min(keys))
+        pieces = []
+        pos = L
+        while pos > 0:
+            l = b[pos] % 100
+            pieces.append(w[pos - l : pos])
+            pos -= l
+        segs2[w] = (list(reversed(pieces)), b[L] // 100)
+    r1_under2 = sum(
+        words[w] * sum(cost2[p] for p in segs1[w][0]) for w in words
+    )
+    r2 = sum(words[w] * segs2[w][1] for w in words)
+    return u1, cost2, segs2, r1_under2 - r2
+
+
+def test_unigram_em_matches_replica_and_theorem(spark):
+    texts = [
+        "the theory of the theatre",
+        "the theory and the theory",
+    ]
+    import tempfile as _tf
+
+    with _tf.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        # the catalog row uses the full 200-multi vocab; replicate
+        # with the same params
+        rows = catalog.queries()["text_unigram_em"](spark, tmp).collect()
+    u1, cost2, segs2, gain = _replica_em(
+        texts, top_multi=tx.UNIGRAM_TOP_MULTI
+    )
+    u2 = {}
+    words, _, _, _ = _replica(texts, top_multi=tx.UNIGRAM_TOP_MULTI)
+    for w, (pieces, _) in segs2.items():
+        for p in pieces:
+            u2[p] = u2.get(p, 0) + words[w]
+    got = {r["piece"]: r.asDict() for r in rows}
+    for p, r in got.items():
+        assert r["usage_r1"] == u1[p], p
+        assert r["usage_r2"] == u2[p], p
+        assert r["cost2_micro"] == cost2[p], p
+        # the EM theorem, gated in-row: re-segmenting under the
+        # learned model never costs more than keeping round-1 pieces
+        assert r["reseg_gain_micro"] == gain
+        assert r["reseg_gain_micro"] >= 0
+
+
+def test_unigram_em_gain_positive_on_corpus(spark, sf_dir):
+    rows = catalog.queries()["text_unigram_em"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    r = rows[0]
+    assert r["reseg_gain_micro"] >= 0
+    # the learned model genuinely moves on real text
+    assert r["total_pieces_r2"] <= r["total_pieces_r1"]
