@@ -172,11 +172,12 @@ def register(name: str, oracle: str | None = None):
 #     window_topk_orders, proc_geoip_v6, ann_recall_ivf,
 #     ann_recall_lsh_multiprobe, text_gopher, dedup_lines,
 #     text_url_canonical, split_stratified_sample).
-#   r12 window (NEXT round): the 11 r11-new rows first
+#   r12 window (NEXT round): the 12 r11-new rows first
 #     (pipeline_pretrain_incremental, dq_referential_integrity,
 #     dq_t_closeness, sample_reservoir_weighted, ann_binary_recall,
 #     search_qlm_dirichlet, multimodal_audio_dft, ml_logreg_gd,
-#     text_unigram_tokenize, events_runs_test, join_asof_tolerance —
+#     text_unigram_tokenize, text_unigram_em, events_runs_test,
+#     join_asof_tolerance —
 #     all local hash-PASS in the committed r11 ledger), then the r5
 #     leftovers (sketch_heavy_hitters, tpch_q14, text_html_extract,
 #     text_unicode_clean, funnel_events), then text_repetition,
