@@ -172,12 +172,12 @@ def register(name: str, oracle: str | None = None):
 #     window_topk_orders, proc_geoip_v6, ann_recall_ivf,
 #     ann_recall_lsh_multiprobe, text_gopher, dedup_lines,
 #     text_url_canonical, split_stratified_sample).
-#   r12 window (NEXT round): the 12 r11-new rows first
+#   r12 window (NEXT round): the 13 r11-new rows first
 #     (pipeline_pretrain_incremental, dq_referential_integrity,
 #     dq_t_closeness, sample_reservoir_weighted, ann_binary_recall,
 #     search_qlm_dirichlet, multimodal_audio_dft, ml_logreg_gd,
 #     text_unigram_tokenize, text_unigram_em, events_runs_test,
-#     join_asof_tolerance —
+#     join_asof_tolerance, corpus_dup_density —
 #     all local hash-PASS in the committed r11 ledger), then the r5
 #     leftovers (sketch_heavy_hitters, tpch_q14, text_html_extract,
 #     text_unicode_clean, funnel_events), then text_repetition,
@@ -19147,5 +19147,95 @@ def text_unigram_em(spark, sf_dir):
             "reseg_gain_micro",
         )
         .orderBy(F.col("usage_r2").desc(), "piece")
+        .limit(20)
+    )
+
+
+@register(
+    "corpus_dup_density",
+    f"""
+    WITH w AS (
+        SELECT DISTINCT doc_id, window_hash
+        FROM ({_sql_pos_windows(13, "TRUE")})
+    ), shared AS (
+        SELECT window_hash FROM w GROUP BY window_hash
+        HAVING count(*) >= 2
+    ), perdoc AS (
+        SELECT w.doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN s.window_hash IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        FROM w LEFT JOIN shared s USING (window_hash)
+        GROUP BY w.doc_id
+    ), corpus AS (
+        SELECT CAST(1000 * sum(n_shared) // sum(n_windows) AS BIGINT)
+                   AS corpus_dup_permille,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM perdoc
+    )
+    SELECT doc_id, n_windows, n_shared,
+           CAST(1000 * n_shared // n_windows AS BIGINT) AS dup_permille,
+           corpus.corpus_dup_permille, corpus.n_docs
+    FROM perdoc, corpus
+    ORDER BY dup_permille DESC, n_shared DESC, doc_id LIMIT 20
+    """,
+)
+def corpus_dup_density(spark, sf_dir):
+    """Per-document DUPLICATION DENSITY — the memorization-risk
+    readout of the dedup family (Lee et al. 2022: verbatim-repeated
+    spans are what models memorize; dedup_substring_spans finds the
+    shared WINDOWS, corpus_ngram_novelty credits first-writers — THIS
+    scores each surviving doc by how much of it is duplicated
+    ANYWHERE else, the per-doc number a filtering policy thresholds
+    on): share of a doc's distinct 13-token windows that occur in
+    ≥ 2 docs, in permille, with the corpus-wide rate riding every
+    row; top-20 most duplicated docs (the review queue). Scale: one
+    distinct (doc, window-hash) projection, one hash-keyed count
+    (map-side combining — a boilerplate window collapses per task),
+    one hash-keyed join back, one doc agg; TakeOrdered for the
+    top-20. All integer."""
+    docs = tables(spark, sf_dir)["documents"]
+    w = dd.window_hashes(docs, 13).distinct()
+    shared = (
+        w.groupBy("window_hash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("window_hash")
+    )
+    perdoc = (
+        w.join(
+            shared.withColumn("_hit", F.lit(1)), "window_hash", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias(
+                "n_shared"
+            ),
+        )
+    )
+    corpus = perdoc.agg(
+        F.expr(
+            "CAST(1000 * sum(n_shared) div sum(n_windows) AS BIGINT)"
+        ).alias("corpus_dup_permille"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return (
+        perdoc.crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_shared",
+            F.expr(
+                "CAST(1000 * n_shared div n_windows AS BIGINT)"
+            ).alias("dup_permille"),
+            "corpus_dup_permille",
+            "n_docs",
+        )
+        .orderBy(
+            F.col("dup_permille").desc(),
+            F.col("n_shared").desc(),
+            "doc_id",
+        )
         .limit(20)
     )

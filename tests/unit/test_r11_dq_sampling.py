@@ -122,3 +122,34 @@ def test_reservoir_weighted_heavy_docs_dominate(spark):
     ranks = sorted(got, key=lambda r: r["rank"])
     keys = [r["key_nano"] for r in ranks]
     assert keys == sorted(keys, reverse=True)
+
+
+def test_dup_density_planted_clone(spark):
+    # doc 2 is a verbatim clone of doc 1 (every window shared = 1000
+    # permille); doc 3 shares its first 13-token window with doc 1
+    # only; doc 4 is fully unique.
+    w = " ".join(f"tok{i}" for i in range(30))
+    first13 = " ".join(f"tok{i}" for i in range(13))
+    rows = [
+        (1, w, "en", "web", len(w)),
+        (2, w, "en", "web", len(w)),
+        (3, first13 + " " + " ".join(f"zzz{i}" for i in range(17)),
+         "en", "web", 10),
+        (4, " ".join(f"unique{i}" for i in range(30)), "en", "web", 10),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        _write(spark, tmp, "documents", rows,
+               "doc_id long, text string, lang string, source string,"
+               " n_chars long")
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in catalog.queries()["corpus_dup_density"](
+                spark, tmp
+            ).collect()
+        }
+    assert out[1]["dup_permille"] == 1000
+    assert out[2]["dup_permille"] == 1000
+    # doc 3: 18 windows, exactly 1 shared (the planted first window)
+    assert out[3]["n_windows"] == 18 and out[3]["n_shared"] == 1
+    assert out[4]["dup_permille"] == 0
+    assert out[1]["n_docs"] == 4
