@@ -510,7 +510,12 @@ def main() -> None:
             file=sys.stderr,
         )
     ratio, pre, post, spreads, _ = best
-    timings = {n: s["med"] for n, s in spreads.items()}
+    # r12 (r11 verdict §perf): the headline number is the MIN of the
+    # three runs, not the median — the r11 driver/builder same-code
+    # disagreement (text_tfidf 0.49 ↔ 4.73 s) proved a contended box
+    # can swing the median 10x, while the min bounds the plan's cost;
+    # all three attempts stay recorded in queries_spread
+    timings = {n: s["min"] for n, s in spreads.items()}
     attempts_used = attempt
     verdict = (
         "ungated_sf"
@@ -587,6 +592,7 @@ def main() -> None:
         "probe_ratio": ratio,
         "probe_verdict": verdict,
         "bench_attempts": attempts_used,
+        "stat": "min_of_3",
         "sf": sf_val,
     }
     # full artifact: headline + per-query spreads + the sf1 spot

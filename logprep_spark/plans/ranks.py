@@ -1,0 +1,122 @@
+"""Two-pass global rank — the scale-safe replacement for a
+partition-less Window.
+
+``row_number().over(Window.orderBy(...))`` funnels the WHOLE frame
+through one task: Spark's WindowExec requires all rows in a single
+partition when PARTITION BY is empty, so the planner inserts
+``Exchange SinglePartition`` and the job serializes however many
+executors the cluster has. Fine for a bounded report frame (a K-row
+shard summary, a |V|-row degree table); fatal for a corpus — the exact
+defect class the r11 verdict flagged behind the dead global-window
+lint check.
+
+The classic distributed fix (TeraSort lineage — the same layout a
+global sort produces) is two passes, both embarrassingly parallel:
+
+1. **range-shuffle** the frame on the order keys
+   (``repartitionByRange`` — parallel sampling-based range
+   partitioner, the identical shuffle a global ORDER BY would plan),
+   then **sort within partitions** (narrow, spillable, no exchange);
+2. count rows per physical partition — a ``#partitions``-row model
+   **collected to the driver** (the bounded-model-fetch discipline of
+   the k-means/logreg rows: O(partitions) bytes, never O(rows)) — and
+   add each partition's prefix-sum offset to the row's local position.
+
+The local position comes from ``monotonically_increasing_id()`` taken
+*after* the within-partition sort: Spark defines it as
+``partition_id * 2^33 + row_index_within_partition`` where the row
+index follows iteration order, i.e. the sorted order we just pinned.
+That makes pass 2 a pure projection — no second exchange, no window —
+so the whole rank costs exactly ONE shuffle, the theoretical minimum.
+An eager ``localCheckpoint`` pins a single materialization so the
+count model and the rank projection see identical partitioning.
+
+The result is bit-identical to the global window's ``row_number``
+whenever the order is total (pass a unique tiebreaker column — every
+caller in this repo does); tests/unit/test_global_rank.py asserts the
+equality witness against the window form at test scale.
+
+No reference counterpart (Logprep has no ranking engine); the pattern
+is public Spark folklore (RangePartitioner + zipWithIndex lineage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+#: monotonically_increasing_id packs (partition_id << 33) | local_index
+_MID_PARTITION_SHIFT = 33
+_MID_LOCAL_MASK = (1 << _MID_PARTITION_SHIFT) - 1
+
+
+def with_global_rank(df, order_cols, rank_col="r", num_partitions=None):
+    """Attach a dense 1-based global rank over ``order_cols`` without a
+    partition-less window.
+
+    Parameters
+    ----------
+    df : DataFrame
+    order_cols : list of Column/str — the sort keys; include a unique
+        tiebreaker for a total order (bit-parity with ``row_number``).
+    rank_col : output column name (long, 1-based).
+    num_partitions : range-shuffle width; defaults to the session's
+        ``spark.sql.shuffle.partitions``.
+
+    Returns ``(ranked_df, total_rows)`` — the row count is a free
+    byproduct of the partition-count model and saves callers a second
+    pass when they need ``n`` (ntile boundaries, percentile cutoffs).
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    parts = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        # pin ONE materialization: the count model below and the rank
+        # projection must observe the same partition layout
+        .localCheckpoint(eager=True)
+    )
+    counts = parts.groupBy(
+        (F.shiftright("_mid", _MID_PARTITION_SHIFT)).alias("_pid")
+    ).agg(F.count(F.lit(1)).alias("_c")).collect()
+    offsets: list = []
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.extend([F.lit(int(row["_pid"])), F.lit(acc)])
+        acc += row["_c"]
+    pid = F.shiftright("_mid", _MID_PARTITION_SHIFT)
+    local = F.col("_mid").bitwiseAND(F.lit(_MID_LOCAL_MASK))
+    # empty frame: no offsets to look up (and an argless create_map is
+    # void-typed) — any constant offset is vacuously correct
+    off = F.create_map(*offsets)[pid] if offsets else F.lit(0)
+    ranked = parts.withColumn(
+        rank_col, (off + local + F.lit(1)).cast("long")
+    ).drop("_mid")
+    return ranked, acc
+
+
+def ntile_from_rank(rank_col, n_rows: int, n_tiles: int):
+    """Exact ``ntile(n_tiles)`` phase from a 1-based global rank and a
+    known row count — the broadcast-model replacement for
+    ``ntile().over(Window.orderBy(...))``.
+
+    Spark/ANSI ntile semantics: with ``n_rows`` rows the first
+    ``n_rows % n_tiles`` tiles get ``n_rows div n_tiles + 1`` rows and
+    the rest get ``n_rows div n_tiles`` — reproduced here as integer
+    arithmetic on driver-side literals, so the assignment is a narrow
+    projection (verified bit-identical to the window ntile in
+    tests/unit/test_global_rank.py).
+    """
+    base = n_rows // n_tiles
+    rem = n_rows % n_tiles
+    r0 = f"({rank_col} - 1)"  # 0-based position
+    head = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+    if base == 0:
+        # degenerate n_rows < n_tiles: first n_rows tiles get one row
+        return F.expr(f"CAST({rank_col} AS INT)")
+    return F.expr(
+        f"CAST(CASE WHEN {r0} < {head} THEN {r0} div {base + 1} "
+        f"ELSE {rem} + ({r0} - {head}) div {base} END + 1 AS INT)"
+    )

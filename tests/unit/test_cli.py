@@ -198,7 +198,7 @@ def test_lint_plan_findings_unit():
     codes = {f.code: f.severity for f in lint_plan(
         "CartesianProduct\n+- BatchEvalPython [f(x)]\n"
         "+- BroadcastNestedLoopJoin BuildRight\n"
-        "+- Window [sum(v)], [], [ts ASC]\n"
+        "+- Window [sum(v)], [ts ASC NULLS FIRST]\n"
         "+- Exchange rangepartitioning(ts ASC, 32)\n"
         "+- FileScan parquet [a,b] DataFilters: [(a % 3) = 0], "
         "PushedFilters: [], ReadSchema\n"
