@@ -289,8 +289,12 @@ def ensure_sf1(spark, base_dir: str = "/root/testdata/sf0.1") -> str:
     # the missing fact tables -> KeyError('orders') in the graph spot.
     # DERIV_V2 (r11): the text rotation became stop-word-preserving
     # (see below) — the marker file invalidates caches built by the
-    # whole-alphabet V1 derivation.
-    ver_path = os.path.join(out_dir, "DERIV_V2")
+    # whole-alphabet V1 derivation. DERIV_V3 (r12, the r11 advice):
+    # the preserve-set membership test now strips punctuation first,
+    # so a stop word with attached punctuation ('the,') is preserved
+    # too — gate parity with sf0.1 no longer depends on the corpus
+    # being punctuation-free around stop words.
+    ver_path = os.path.join(out_dir, "DERIV_V3")
     if all(os.path.isdir(p) for p in (doc_path, emb_path, ord_path, li_path)) and os.path.exists(ver_path):
         return out_dir
 
@@ -319,9 +323,15 @@ def ensure_sf1(spark, base_dir: str = "/root/testdata/sf0.1") -> str:
                 # array elements, so the join reconstructs the exact
                 # original layout (newlines drive the Gopher line
                 # metrics — they must survive)
+                # membership tests the ALPHA CORE of the segment (V3):
+                # translate never touches punctuation anyway, so
+                # preserving the whole segment when its letters spell
+                # a stop word keeps 'the,' exactly as the Gopher
+                # tokenizer will re-find it
                 "array_join(transform("
                 " split(text, '(?=\\\\s)|(?<=\\\\s)'),"
-                " w -> IF(lower(w) IN ({preserve}), w,"
+                " w -> IF(regexp_replace(lower(w), '[^a-z]', '')"
+                " IN ({preserve}), w,"
                 " translate(w, '{src}', '{dst}'))), '')".format(
                     preserve=preserve_sql,
                     src=alpha + alpha.upper(),
@@ -399,6 +409,142 @@ def ensure_sf1(spark, base_dir: str = "/root/testdata/sf0.1") -> str:
     with open(ver_path, "w") as fh:
         fh.write("stop-word-preserving rotation (r11)\n")
     return out_dir
+
+
+def incremental_delta_spot(spark, sf01_dir: str, sf1_dir: str) -> dict:
+    """r12 (r11 verdict ask #4): measure the incremental flagship's
+    ACTUAL scaling claim — the delta pass reads persisted stores, not
+    base text, so its cost should be near-flat in base size. Two
+    configs, same 1x delta batch: (a) stores built from the 1x base
+    (sf0.1's bottom-80%% corpus — the flagship's own split) and (b)
+    stores built from the 10x base (every derived-sf1 corpus doc
+    except the original delta rows, so the store never contains the
+    probe's own fingerprints). Store builds are UNTIMED and cached on
+    disk (production posture: yesterday's artifacts); the timed
+    region is gate -> fingerprint-store anti-join -> band-store probe
+    -> in-batch near-dup kill -> Bloom decontamination over the delta
+    only, min-of-2 like the rest of the spot."""
+    from pyspark.sql import functions as F
+
+    from logprep_spark.functions.dedup import (
+        exact_dedup,
+        incremental_dedup_vs_store,
+        minhash_bands,
+        minhash_dedup,
+        near_dup_vs_band_store,
+        shingle_arrays,
+        window_hashes,
+    )
+    from logprep_spark.functions import sketch as sk
+    from logprep_spark.functions.text import gopher_filter, tokens
+    from logprep_spark.session import fan_out, release_staging_cache
+
+    m, j = 524288, 3  # the flagship's Bloom geometry (catalog._V3_BLOOM_*)
+    docs01 = spark.read.parquet(os.path.join(sf01_dir, "documents.parquet"))
+    corpus01 = docs01.filter(F.col("doc_id") % 5 != 0)
+    cut = corpus01.selectExpr(
+        "percentile_approx(doc_id, 0.8, 10000) AS c"
+    ).collect()[0]["c"]
+    delta = corpus01.filter(F.col("doc_id") > cut)
+    max01 = docs01.agg(F.max("doc_id")).collect()[0][0]
+
+    docs10 = spark.read.parquet(os.path.join(sf1_dir, "documents.parquet"))
+    bases = {
+        "1x": corpus01.filter(F.col("doc_id") <= cut),
+        # all 10x corpus docs EXCEPT the original delta rows — replica
+        # twins of delta docs stay (rotated text: different docs), the
+        # probe batch itself must not seed its own store
+        "10x": docs10.filter(
+            (F.col("doc_id") % 5 != 0)
+            & ~((F.col("doc_id") > cut) & (F.col("doc_id") <= max01))
+        ),
+    }
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".benchdata"
+    )
+    fp_expr = F.md5(F.array_join(tokens(F.col("text")), " ")).alias("fp")
+    for label, base in bases.items():
+        d = os.path.join(root, f"incr_stores_{label}")
+        if os.path.exists(os.path.join(d, "STORES_DERIV_V3")):
+            continue
+        base_g = gopher_filter(base, min_stop_hits=1)
+        base_g.select(fp_expr).distinct().write.mode("overwrite").parquet(
+            os.path.join(d, "fp.parquet")
+        )
+        base_exact = exact_dedup(base_g)
+        minhash_bands(fan_out(base_exact)).select(
+            F.col("doc_id").alias("hist_id"), "band_id", "band_key"
+        ).write.mode("overwrite").parquet(os.path.join(d, "bands.parquet"))
+        shingle_arrays(base_exact).select(
+            F.col("doc_id").alias("hist_id"), "sh"
+        ).write.mode("overwrite").parquet(os.path.join(d, "shingles.parquet"))
+        with open(os.path.join(d, "STORES_DERIV_V3"), "w") as fh:
+            fh.write(f"cut={cut}\n")
+
+    # static decontamination filter (the benchmark slice) — identical
+    # in both configs, built once outside the timed region
+    bench_wh = (
+        window_hashes(docs01.filter(F.col("doc_id") % 5 == 0), 13)
+        .select("window_hash")
+        .distinct()
+    )
+    bits = sk.bloom_bits(bench_wh, "window_hash", m=m, j=j).localCheckpoint(
+        eager=True
+    )
+
+    def run_delta(store_dir: str) -> None:
+        fp_store = spark.read.parquet(os.path.join(store_dir, "fp.parquet"))
+        bands = spark.read.parquet(os.path.join(store_dir, "bands.parquet"))
+        shing = spark.read.parquet(
+            os.path.join(store_dir, "shingles.parquet")
+        )
+        delta_g = gopher_filter(delta, min_stop_hits=1)
+        d_exact = incremental_dedup_vs_store(delta_g, fp_store)
+        hist_near = (
+            near_dup_vs_band_store(d_exact, bands, shing, threshold=0.7)
+            .select("doc_id")
+            .distinct()
+        )
+        batch_near = (
+            minhash_dedup(d_exact, threshold=0.7)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        kills = hist_near.unionByName(batch_near).distinct()
+        survivors = d_exact.join(kills, "doc_id", "left_anti")
+        hit = (
+            sk.bloom_suppress(
+                window_hashes(survivors, 13).distinct(),
+                bits,
+                "window_hash",
+                m=m,
+                j=j,
+                keep_hits=True,
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        survivors.join(hit, "doc_id", "left_anti").select(
+            "doc_id"
+        ).write.format("noop").mode("overwrite").save()
+
+    timings = {}
+    for label in ("1x", "10x"):
+        ts = []
+        for _ in range(2):
+            release_staging_cache(spark)
+            t0 = time.time()
+            run_delta(os.path.join(root, f"incr_stores_{label}"))
+            ts.append(time.time() - t0)
+        timings[label] = round(min(ts), 3)
+    return {
+        "delta_rows": delta.count(),
+        "base_1x_s": timings["1x"],
+        "base_10x_s": timings["10x"],
+        "ratio_10x_vs_1x": round(timings["10x"] / max(timings["1x"], 1e-9), 3),
+        "runs_per_query": 2,
+        "stat": "min",
+    }
 
 
 def main() -> None:
@@ -565,6 +711,12 @@ def main() -> None:
             "runs_per_query": 2,
             "stat": "min",
         }
+        # r12: the incremental flagship's base-size-independence claim,
+        # measured (same 1x delta probing 1x-base vs 10x-base stores)
+        release_staging_cache(spark)
+        sf1_block["incremental_delta"] = incremental_delta_spot(
+            spark, SF_DIR, sf1_dir
+        )
 
     names = list(timings)
     out = {
@@ -607,6 +759,13 @@ def main() -> None:
     if sf1_block is not None:
         full["sf1_spot"] = sf1_block
         out["sf1_total"] = sf1_block["total"]
+        incr = sf1_block.get("incremental_delta")
+        if incr:
+            # the incremental flagship's base-size-independence claim
+            # must survive the driver's tail capture, not just the
+            # side file — ride the compact line
+            out["incr_delta_1x_s"] = incr["base_1x_s"]
+            out["incr_delta_10x_s"] = incr["base_10x_s"]
     print(json.dumps(full))
     if gated:
         side = os.path.join(

@@ -1013,12 +1013,15 @@ def near_dup_vs_history(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    keep_all: bool = False,
 ) -> DataFrame:
     """Incremental NEAR-dup suppression: the new batch probed against
     the historical corpus's LSH band store — :func:`incremental_dedup`
     catches byte-identical re-crawls, this catches the re-rendered /
     lightly-edited ones. One row per near-duplicate batch doc:
-    (doc_id, hist_id, jaccard) with the lowest-id historical match.
+    (doc_id, hist_id, jaccard) with the lowest-id historical match —
+    or, with ``keep_all=True``, EVERY verified (batch, history) pair
+    (the cluster-atomic split's bridge set).
 
     Distributed shape: the history side contributes only its (band,
     key, id) rows — in production that is yesterday's PERSISTED band
@@ -1035,7 +1038,9 @@ def near_dup_vs_history(
     sh = shingle_arrays(history, text_col, id_col).select(
         F.col(id_col).alias("hist_id"), "sh"
     )
-    return near_dup_vs_band_store(batch, bh, sh, text_col, id_col, threshold)
+    return near_dup_vs_band_store(
+        batch, bh, sh, text_col, id_col, threshold, keep_all
+    )
 
 
 def near_dup_vs_band_store(
@@ -1045,6 +1050,7 @@ def near_dup_vs_band_store(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    keep_all: bool = False,
 ) -> DataFrame:
     """:func:`near_dup_vs_history` against the PERSISTED band store —
     the artifacts a production pipeline actually keeps: ``hist_bands``
@@ -1089,6 +1095,14 @@ def near_dup_vs_band_store(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if keep_all:
+        # every verified (batch, history) pair — the cluster-atomic
+        # incremental split needs the full bridge set (a delta doc
+        # matching TWO base clusters must merge them; the min-match
+        # collapse below would hide the second bridge end)
+        return verified.select(
+            F.col("batch_id").alias(id_col), "hist_id", "jaccard"
+        )
     return (
         verified.groupBy("batch_id")
         .agg(
@@ -1498,3 +1512,115 @@ def setsim_incremental(
             F.expr("1000 * n_inter div n_union").alias("jaccard_milli"),
         )
     )
+
+
+def incremental_atomic_split(
+    base: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> tuple:
+    """CLUSTER-ATOMIC train/val/test split under CONTINUOUS INGESTION
+    — the r11 flagship's honestly-stated gap, closed (its docstring:
+    "group-aware splitting under ingestion additionally needs the
+    cluster store"): a delta doc that near-duplicates an existing
+    base cluster must INHERIT that cluster's split, or the naive
+    per-doc hash split trains on a twin of a test doc the moment the
+    next crawl lands (eval contamination by ingestion).
+
+    Construction (every step pointwise in doc + bounded stores):
+
+    1. base clusters = :func:`dup_clusters` over base near-dup pairs —
+       at ingestion time this is the persisted CLUSTER STORE
+       (doc_id -> gid = min cluster member), built once per epoch;
+    2. delta edges = in-delta verified pairs (:func:`minhash_dedup`)
+       plus the BRIDGE set — every verified (delta, history) pair from
+       the band-store probe (:func:`near_dup_vs_history` with
+       ``keep_all=True``: the min-match collapse would hide a doc's
+       second bridge end, and a delta doc matching TWO base clusters
+       is exactly the event that must MERGE them);
+    3. min-label propagation over (delta edges + delta->gid bridge
+       edges) — a graph bounded by |delta| + touched clusters, never
+       |base| — gives the merged final gid; untouched base docs keep
+       their store gid, members of an absorbed cluster follow the
+       merged label (the honest cost of a bridge: n_base_reassigned
+       makes it visible);
+    4. split = hash(final gid): clusters move whole, so cross_pairs
+       (verified pairs straddling splits) is 0 by construction — the
+       split_leakage_free witness discipline under CDC.
+
+    Correctness theorem (the apply == recompute gate): a hist doc and
+    its gid are connected inside base pairs, so components of
+    (base pairs + delta pairs + bridge pairs) equal components of the
+    merge construction — the incremental labels are IDENTICAL to a
+    from-scratch clustering of base UNION delta; the catalog row
+    computes both branches and gates ``clusters_match`` in-row.
+
+    Returns ``(asn, pairs)``: per-doc assignment (doc_id, is_base,
+    gid0 pre-merge, fgid, split, naive_split) and the verified pair
+    frame with a ``kind`` column ('base'/'delta'/'bridge')."""
+    base_ids = base.select(id_col)
+    delta_ids = delta.select(id_col)
+    base_pairs = minhash_dedup(base, text_col, id_col, threshold).select(
+        "id_a", "id_b", F.lit("base").alias("kind")
+    )
+    delta_pairs = minhash_dedup(delta, text_col, id_col, threshold).select(
+        "id_a", "id_b", F.lit("delta").alias("kind")
+    )
+    bridge = near_dup_vs_history(
+        delta, base, text_col, id_col, threshold, keep_all=True
+    ).select(
+        F.col(id_col).alias("id_a"),
+        F.col("hist_id").alias("id_b"),
+        F.lit("bridge").alias("kind"),
+    )
+    pairs = base_pairs.unionByName(delta_pairs).unionByName(bridge)
+
+    base_cl = dup_clusters(base_pairs.select("id_a", "id_b"))
+    store = base_ids.join(base_cl, id_col, "left").select(
+        id_col, F.coalesce("cluster_id", F.col(id_col)).alias("gid0")
+    )
+    # merge graph: delta-delta edges + (delta -> matched cluster's gid)
+    bridge_g = bridge.join(
+        store.select(F.col(id_col).alias("id_b"), F.col("gid0").alias("_g")),
+        "id_b",
+    ).select("id_a", F.col("_g").alias("id_b"))
+    merged = dup_clusters(
+        delta_pairs.select("id_a", "id_b").unionByName(bridge_g)
+    )
+    d_asn = delta_ids.join(
+        merged.withColumnRenamed("cluster_id", "_m"), id_col, "left"
+    ).select(
+        id_col,
+        F.lit(False).alias("is_base"),
+        F.col(id_col).alias("gid0"),
+        F.coalesce("_m", F.col(id_col)).alias("fgid"),
+    )
+    b_asn = store.join(
+        merged.select(
+            F.col("doc_id").alias("gid0"), F.col("cluster_id").alias("_m")
+        ),
+        "gid0",
+        "left",
+    ).select(
+        id_col,
+        F.lit(True).alias("is_base"),
+        "gid0",
+        F.coalesce("_m", F.col("gid0")).alias("fgid"),
+    )
+
+    def tag(key):
+        b = h60(F.concat(F.lit("gsplit:"), key.cast("string"))) % 100
+        return (
+            F.when(b < 80, F.lit("train"))
+            .when(b < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    asn = (
+        b_asn.unionByName(d_asn)
+        .withColumn("split", tag(F.col("fgid")))
+        .withColumn("naive_split", tag(F.col(id_col)))
+    )
+    return asn, pairs

@@ -135,15 +135,19 @@ def layout_pruning_stats(
     order — deterministic in any engine, which is what lets the
     whole report hash-compare against a SQL replica.
 
-    Gate-scale honesty: ``ntile`` over a global ORDER BY serializes
-    one sort — fine for measuring a layout decision, NOT the write
-    path. Production writes ``repartitionByRange(n, key)`` +
-    ``sortWithinPartitions(key)`` (module docstring) and reads the
-    REAL footer stats back with tools/layout_report.py; ntile is the
-    deterministic stand-in for the range split so the file
-    boundaries (and hence the report) are bit-stable."""
-    from pyspark.sql import Window
+    File assignment is ntile SEMANTICS realized by the r12 two-pass
+    global rank + driver-side ntile arithmetic (plans/ranks.py —
+    range shuffle + broadcast partition-count model; bit-identical to
+    ``ntile().over(Window.orderBy(...))``, so the file boundaries and
+    hence the report stay bit-stable), which is also the SAME
+    physical layout production writes use (``repartitionByRange(n,
+    key)`` + ``sortWithinPartitions(key)``, module docstring — read
+    the REAL footer stats back with tools/layout_report.py). The r11
+    "gate-scale honesty" caveat about the serialized ntile sort is
+    gone with the window."""
     from pyspark.sql import functions as F
+
+    from logprep_spark.plans.ranks import ntile_from_rank, with_global_rank
 
     z = df.select(
         F.col(id_col).alias("_id"),
@@ -151,9 +155,12 @@ def layout_pruning_stats(
         F.col(cy_col).cast("long").alias("_cy"),
     ).withColumn("_zk", zorder_key([F.col("_cx"), F.col("_cy")], bits))
 
-    def one(layout: str, order_cols: list):
-        files = z.withColumn(
-            "_f", F.ntile(n_files).over(Window.orderBy(*order_cols))
+    def one(layout: str, order_cols: list, frame=None):
+        ranked, n_rows = with_global_rank(
+            z if frame is None else frame, order_cols, rank_col="_rk"
+        )
+        files = ranked.withColumn(
+            "_f", ntile_from_rank("_rk", n_rows, n_files)
         )
         per = files.groupBy("_f").agg(
             F.min("_cx").alias("_xlo"),
@@ -178,24 +185,8 @@ def layout_pruning_stats(
         nonlocal_z = with_hilbert_key(
             z, F.col("_cx"), F.col("_cy"), bits=bits, out_col="_hk"
         )
-        files = nonlocal_z.withColumn(
-            "_f",
-            F.ntile(n_files).over(Window.orderBy(F.col("_hk"), F.col("_id"))),
+        hrow = one(
+            "hilbert", [F.col("_hk"), F.col("_id")], frame=nonlocal_z
         )
-        per = files.groupBy("_f").agg(
-            F.min("_cx").alias("_xlo"),
-            F.max("_cx").alias("_xhi"),
-            F.min("_cy").alias("_ylo"),
-            F.max("_cy").alias("_yhi"),
-        )
-        hit_x = (F.col("_xlo") <= x_probe[1]) & (F.col("_xhi") >= x_probe[0])
-        hit_y = (F.col("_ylo") <= y_probe[1]) & (F.col("_yhi") >= y_probe[0])
-        as_cnt = lambda c: F.sum(c.cast("long")).cast("long")  # noqa: E731
-        hrow = per.agg(
-            F.count(F.lit(1)).alias("n_files"),
-            as_cnt(hit_x).alias("files_hit_x"),
-            as_cnt(hit_y).alias("files_hit_y"),
-            as_cnt(hit_x & hit_y).alias("files_hit_box"),
-        ).select(F.lit("hilbert").alias("layout"), "*")
         out = out.unionAll(hrow)
     return out

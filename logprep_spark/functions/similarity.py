@@ -2035,6 +2035,37 @@ def remove_top_component(
     )
 
 
+# the 1-bit quantization rule both binary ops share: bit_i =
+# [v_i > corpus mean_i] as the cross-multiplied integer comparison
+# v_i * n > sum_i (no mean ever divides). Applied to a `_v` micro-vec
+# column beside a broadcast (_n, _s) model row.
+_BINARY_BITS_EXPR = (
+    "zip_with(_v, _s, (x, s) ->"
+    " CASE WHEN x * _n > s THEN CAST(1 AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END)"
+)
+
+
+def _binary_model(df: DataFrame, vec_col: str) -> DataFrame:
+    """The corpus per-dim-sum model (one row: ``_n`` count, ``_s``
+    per-dim sum array) that :func:`quantize_binary` and
+    :func:`binary_topk` both quantize under — factored out (r12, the
+    r11 advice) so binary_topk aggregates the corpus ONCE instead of
+    re-deriving the same model for its query side."""
+    dim = probe_dim(df, vec_col) or 0
+    vm = df.select(micro_vec(F.col(vec_col)).alias("_v"))
+    return vm.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        *[
+            F.expr(f"CAST(sum(element_at(_v, {i + 1})) AS BIGINT) AS _s{i}")
+            for i in range(dim)
+        ],
+    ).selectExpr(
+        "_n",
+        "array(" + ",".join(f"_s{i}" for i in range(dim)) + ") AS _s",
+    )
+
+
 def quantize_binary(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -2051,26 +2082,11 @@ def quantize_binary(
     in RAM for the Hamming pre-filter."""
     from pyspark.sql.functions import broadcast
 
-    dim = probe_dim(df, vec_col) or 0
     vm = df.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("_v"))
-    model = vm.agg(
-        F.count(F.lit(1)).cast("long").alias("_n"),
-        *[
-            F.expr(f"CAST(sum(element_at(_v, {i + 1})) AS BIGINT) AS _s{i}")
-            for i in range(dim)
-        ],
-    ).selectExpr(
-        "_n",
-        "array(" + ",".join(f"_s{i}" for i in range(dim)) + ") AS _s",
-    )
-    bits = (
-        "zip_with(_v, _s, (x, s) ->"
-        " CASE WHEN x * _n > s THEN CAST(1 AS BIGINT)"
-        " ELSE CAST(0 AS BIGINT) END)"
-    )
+    model = _binary_model(df, vec_col)
     return (
         vm.crossJoin(broadcast(model))
-        .selectExpr(id_col, f"{bits} AS bits")
+        .selectExpr(id_col, f"{_BINARY_BITS_EXPR} AS bits")
         .selectExpr(
             id_col,
             "bits",
@@ -2100,31 +2116,22 @@ def binary_topk(
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 
-    corpus = quantize_binary(df, vec_col, id_col).select(
-        F.col(id_col).alias("nbr_id"), F.col("bits").alias("_cb")
+    # ONE corpus model aggregation (r12, the r11 advice: this used to
+    # run the per-dim-sum agg twice — once inside quantize_binary for
+    # the corpus side, once re-derived for the query side). The 1-row
+    # model pins eagerly so both quantization branches read the same
+    # computed row instead of re-executing the agg subtree.
+    model = _binary_model(df, vec_col).localCheckpoint(eager=True)
+    corpus = (
+        df.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("_v"))
+        .crossJoin(broadcast(model))
+        .selectExpr(f"{id_col} AS nbr_id", f"{_BINARY_BITS_EXPR} AS _cb")
     )
     # queries quantize under the CORPUS model (df), not their own
-    dim = probe_dim(df, vec_col) or 0
-    vm = df.select(micro_vec(F.col(vec_col)).alias("_v"))
-    model = vm.agg(
-        F.count(F.lit(1)).cast("long").alias("_n"),
-        *[
-            F.expr(f"CAST(sum(element_at(_v, {i + 1})) AS BIGINT) AS _s{i}")
-            for i in range(dim)
-        ],
-    ).selectExpr(
-        "_n",
-        "array(" + ",".join(f"_s{i}" for i in range(dim)) + ") AS _s",
-    )
-    bits = (
-        "zip_with(_v, _s, (x, s) ->"
-        " CASE WHEN x * _n > s THEN CAST(1 AS BIGINT)"
-        " ELSE CAST(0 AS BIGINT) END)"
-    )
     qb = (
         queries.select(F.col(id_col), micro_vec(F.col(vec_col)).alias("_v"))
         .crossJoin(broadcast(model))
-        .selectExpr(f"{id_col} AS query_id", f"{bits} AS _qb")
+        .selectExpr(f"{id_col} AS query_id", f"{_BINARY_BITS_EXPR} AS _qb")
     )
     hamming = F.expr(
         "CAST(aggregate(zip_with(_qb, _cb, (a, b) ->"

@@ -2221,16 +2221,21 @@ def gini_concentration(
     int64 — the milli readout casts back down. Small-n convention:
     with n < 10 keys the "top decile" is the single top key
     (greatest(n div 10, 1)), so top_decile_share_milli is never a
-    silent NULL from an empty slice. One window over the
-    PER-KEY frame (aggregated first: |keys| ≪ |events|) then two
-    scalar aggs; the global rank sort is over keys, not facts —
-    same budget class as a top-n readout, annotate before reusing
-    on raw facts."""
-    ranked = df.select(
-        F.col(value_col).alias("_x"), F.col(id_col).alias("_id")
-    ).withColumn(
-        "_i",
-        F.row_number().over(Window.orderBy("_x", "_id")).cast("long"),
+    silent NULL from an empty slice. The rank over the PER-KEY frame
+    (aggregated first: |keys| ≪ |events|) is the r12 two-pass global
+    rank (plans/ranks.py — range shuffle + broadcast partition-count
+    model), so no single task ever holds the key frame even at 10⁹
+    keys; two scalar aggs follow."""
+    from logprep_spark.plans.ranks import with_global_rank
+
+    # r12: the (value, id) rank rides the two-pass global rank
+    # (plans/ranks.py) instead of a partition-less window — same
+    # values (bit-parity pytest in tests/unit/test_global_rank.py's
+    # module family), no single-task sort even at 10⁹ keys
+    ranked, _n = with_global_rank(
+        df.select(F.col(value_col).alias("_x"), F.col(id_col).alias("_id")),
+        [F.col("_x"), F.col("_id")],
+        rank_col="_i",
     )
     d38 = "decimal(38,0)"
     agg = ranked.agg(

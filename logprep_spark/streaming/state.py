@@ -1208,7 +1208,20 @@ def hampel_stream(
     longs — bounded by key cardinality x window, asserted via the
     progress-metrics state bound in the pytest (the L27/L35
     discipline); for unbounded key spaces hash into buckets first
-    (the heavy_hitters_stream pattern)."""
+    (the heavy_hitters_stream pattern).
+
+    ``window`` must be ODD (r12, the r11 advice): the median/MAD pick
+    ``s[window // 2]``, which is the true middle element only for odd
+    lengths — an even window would silently use the upper-middle
+    value and diverge from the batch row's convention, so it is
+    rejected up front rather than approximated."""
+    if window < 1 or window % 2 == 0:
+        raise ValueError(
+            f"hampel_stream window must be a positive ODD integer "
+            f"(got {window}): the integer median s[window // 2] is "
+            f"exact only for odd lengths, and bit-parity with "
+            f"events_hampel_despike is the contract"
+        )
 
     def fn(
         key: Tuple[Any], pdfs: Iterator[pd.DataFrame], state: GroupState

@@ -1604,6 +1604,23 @@ def test_cusum_window_stream_shift_detection(spark, tmp_path):
     assert f.first_alarm_period > 7 and f.n_alarm_periods > 0
 
 
+def test_hampel_stream_rejects_even_window(spark):
+    """r12 (r11 advice): s[window // 2] is the exact middle element
+    only for odd lengths — an even window would silently take the
+    upper-middle value and break bit-parity with the batch Hampel
+    row, so the constructor refuses it instead of approximating."""
+    import pytest as _pytest
+
+    from logprep_spark.streaming import hampel_stream
+
+    df = spark.readStream.format("rate").load()
+    for bad in (6, 0, -3):
+        with _pytest.raises(ValueError, match="ODD"):
+            hampel_stream(df, "value", window=bad)
+    # the default stays constructible
+    hampel_stream(df, "value", window=7)
+
+
 def test_hampel_stream_despikes_and_recovers(spark, tmp_path):
     """The streaming Hampel twin of the batch A107 row: 7 learn
     batches at a steady per-type rate, then a 10x spike for one type,
