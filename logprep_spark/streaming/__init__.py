@@ -3,7 +3,10 @@
 as ``readStream → transforms → writeStream``.
 """
 
-from logprep_spark.streaming.pipeline import StreamingPipeline
+from logprep_spark.streaming.pipeline import (
+    IncrementalCorpusStream,
+    StreamingPipeline,
+)
 from logprep_spark.streaming.windows import (
     drift_psi_stream,
     psi_baseline,
@@ -38,6 +41,7 @@ __all__ = [
     "hw_window_stream",
     "hampel_stream",
     "rate_anomaly_stream",
+    "IncrementalCorpusStream",
     "StreamingPipeline",
     "dedupe_near_stream",
     "drift_psi_stream",

@@ -37,3 +37,184 @@ class StreamingPipeline:
     def run(self, spark, **sink_kwargs):
         events = self.transform(self.input.read_stream(spark))
         return self.output.write_stream(events, **sink_kwargs)
+
+
+class IncrementalCorpusStream:
+    """The incremental pretrain pipeline's DELTA PATH as a real
+    micro-batch stream (r11 verdict ask #7) — the live twin of the
+    pipeline_pretrain_incremental catalog row: every micro-batch of
+    raw docs runs gate -> fingerprint-store anti-join -> band-store
+    near-dup probe -> in-batch predecessor kill -> (optional) Bloom
+    decontamination, commits survivors EXACTLY-ONCE through
+    :class:`~logprep_spark.sources.outputs.IdempotentBatchOutput`,
+    and FOLDS the batch back into the persisted stores so the next
+    batch probes updated history — continuous ingestion, not a
+    sequence of independent batches.
+
+    Store discipline: each store (fingerprints, LSH bands, shingles)
+    is itself a directory of idempotently-committed per-batch parquet
+    dirs — a replayed micro-batch (crash between sink write and
+    checkpoint commit: foreachBatch is at-least-once) sees the
+    committed dirs and skips, so neither the output nor the stores
+    ever hold a row twice. Fold-in contents mirror the batch row's
+    semantics exactly: fingerprints of every GATED doc (keep-first
+    then applies across batches under ordered ingestion), bands +
+    shingles of every EXACT survivor (a near-killed doc still kills
+    its own successors — the pairwise chain-kill the batch
+    minhash_dedup performs).
+
+    Parity theorem (asserted e2e in tests/integration/
+    test_streaming.py): when docs arrive in id order — ingestion
+    order IS id order in a crawl pipeline — the union of committed
+    survivor batches equals the batch delta pass over the
+    concatenated delta, whatever the micro-batch boundaries and
+    however many crash/restart cycles happened in between.
+    """
+
+    FP_SCHEMA = "fp string"
+    BANDS_SCHEMA = "hist_id long, band_id int, band_key string"
+    SHINGLES_SCHEMA = "hist_id long, sh array<string>"
+
+    def __init__(
+        self,
+        store_dir: str,
+        out_dir: str,
+        bloom_bits=None,
+        bloom_m: int = 524288,
+        bloom_j: int = 3,
+        threshold: float = 0.7,
+        min_stop_hits: int = 1,
+        seed_fp: str | None = None,
+        seed_bands: str | None = None,
+        seed_shingles: str | None = None,
+    ):
+        import os
+
+        from logprep_spark.sources.outputs import IdempotentBatchOutput
+
+        self.out = IdempotentBatchOutput(out_dir)
+        self.fp_store = IdempotentBatchOutput(
+            os.path.join(store_dir, "fp"), fmt="parquet"
+        )
+        self.band_store = IdempotentBatchOutput(
+            os.path.join(store_dir, "bands"), fmt="parquet"
+        )
+        self.shingle_store = IdempotentBatchOutput(
+            os.path.join(store_dir, "shingles"), fmt="parquet"
+        )
+        self.bits = bloom_bits
+        self.m, self.j = bloom_m, bloom_j
+        self.threshold = threshold
+        self.min_stop_hits = min_stop_hits
+        self.seeds = {
+            "fp": seed_fp,
+            "bands": seed_bands,
+            "shingles": seed_shingles,
+        }
+
+    def _read(self, spark, sink, seed_key: str, schema: str) -> DataFrame:
+        import os
+
+        paths = [
+            os.path.join(sink.path, f"batch-{b}")
+            for b in sink.committed_batches()
+        ]
+        seed = self.seeds[seed_key]
+        if seed:
+            paths.append(seed)
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from logprep_spark.functions.dedup import (
+            incremental_dedup_vs_store,
+            minhash_bands,
+            minhash_dedup,
+            near_dup_vs_band_store,
+            shingle_arrays,
+            tokens,
+            window_hashes,
+        )
+        from logprep_spark.functions.text import gopher_filter
+        from logprep_spark.session import fan_out
+
+        spark = batch_df.sparkSession
+        # lineage cut: the gated batch fans into the exact probe, the
+        # band probe, the in-batch kill, and three store fold-ins
+        gated = gopher_filter(
+            batch_df, min_stop_hits=self.min_stop_hits
+        ).localCheckpoint(eager=True)
+        fp_store = self._read(spark, self.fp_store, "fp", self.FP_SCHEMA)
+        exact = incremental_dedup_vs_store(gated, fp_store).localCheckpoint(
+            eager=True
+        )
+        bands = self._read(
+            spark, self.band_store, "bands", self.BANDS_SCHEMA
+        )
+        shingles = self._read(
+            spark, self.shingle_store, "shingles", self.SHINGLES_SCHEMA
+        )
+        hist_kill = (
+            near_dup_vs_band_store(
+                exact, bands, shingles, threshold=self.threshold
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        batch_kill = (
+            minhash_dedup(exact, threshold=self.threshold)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        survivors = exact.join(
+            hist_kill.unionByName(batch_kill).distinct(), "doc_id", "left_anti"
+        )
+        if self.bits is not None:
+            from logprep_spark.functions.sketch import bloom_suppress
+
+            hit = (
+                bloom_suppress(
+                    window_hashes(survivors, 13).distinct(),
+                    self.bits,
+                    "window_hash",
+                    m=self.m,
+                    j=self.j,
+                    keep_hits=True,
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            survivors = survivors.join(hit, "doc_id", "left_anti")
+        self.out.write_batch(survivors.select("doc_id", "text"), batch_id)
+        # fold the batch into history (each write individually
+        # idempotent): fingerprints of GATED docs, bands+shingles of
+        # EXACT survivors — the batch row's store contents exactly
+        self.fp_store.write_batch(
+            gated.select(
+                F.md5(F.array_join(tokens(F.col("text")), " ")).alias("fp")
+            ).distinct(),
+            batch_id,
+        )
+        self.band_store.write_batch(
+            minhash_bands(fan_out(exact)).select(
+                F.col("doc_id").alias("hist_id"), "band_id", "band_key"
+            ),
+            batch_id,
+        )
+        self.shingle_store.write_batch(
+            shingle_arrays(exact).select(
+                F.col("doc_id").alias("hist_id"), "sh"
+            ),
+            batch_id,
+        )
+
+    def write_stream(self, df: DataFrame, checkpoint: str, **trigger):
+        return (
+            df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )

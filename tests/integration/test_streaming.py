@@ -1700,3 +1700,182 @@ def test_hampel_stream_despikes_and_recovers(spark, tmp_path):
         for s in p_.get("stateOperators", [])
     ]
     assert totals and max(totals) <= 2
+
+
+def test_incremental_corpus_stream_restart_parity(spark, tmp_path):
+    """The incremental flagship's delta path as a REAL stream (r11
+    verdict ask #7): micro-batches of raw docs probe the PERSISTED
+    fingerprint/band/shingle stores, commit survivors exactly-once
+    (C10 idempotent sink), and fold back into the stores so later
+    batches see earlier delta docs as history. The drill: drain two
+    files, STOP (crash/deploy), a third file lands, the SAME
+    checkpoint restarts and drains only it, a third restart commits
+    nothing — and the union of committed survivor batches equals the
+    BATCH delta pass over the concatenated delta (parity across
+    arbitrary micro-batch boundaries and restarts). Every kill class
+    is planted: exact-vs-base (fp seed store), near-vs-base (band
+    seed store), near-vs-earlier-BATCH (band fold-in), and
+    exact-vs-earlier-BATCH (fp fold-in)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from logprep_spark.functions.dedup import (
+        exact_dedup,
+        incremental_dedup_vs_store,
+        minhash_bands,
+        minhash_dedup,
+        near_dup_vs_band_store,
+        shingle_arrays,
+        tokens,
+    )
+    from logprep_spark.functions.text import gopher_filter
+    from logprep_spark.session import fan_out
+    from logprep_spark.streaming import IncrementalCorpusStream
+
+    # short stems keep the mean word length inside the Gopher gate's
+    # 3.0-10.0 band (a long stem fails the gate and empties the test)
+    def text(seed, n=58):
+        return " ".join([f"{seed}w{i}" for i in range(n)] + ["the", "and"])
+
+    def twin(seed, n=58):
+        return " ".join(
+            [f"{seed}w{i}" for i in range(1, n)]
+            + [f"{seed}zz", "the", "and"]
+        )
+
+    base_rows = [
+        (1, text("alpha")),
+        (2, text("beta")),
+        (3, text("gamma")),
+    ]
+    delta_rows_1 = [
+        (101, text("beta")),    # exact dup of base 2 -> fp seed kill
+        (102, twin("alpha")),   # near dup of base 1 -> band seed kill
+        (103, text("delta")),   # fresh survivor
+    ]
+    delta_rows_2 = [
+        (104, twin("delta")),   # near dup of batch-1's 103 -> fold-in kill
+        (105, text("omega")),   # fresh survivor
+    ]
+    delta_rows_3 = [
+        (106, text("delta")),   # exact dup of batch-1's 103 -> fp fold-in
+        (107, text("sigma")),   # fresh survivor
+    ]
+
+    # --- seed stores from the base corpus (the batch row's artifacts)
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    base_g = gopher_filter(base, min_stop_hits=1)
+    base_exact = exact_dedup(base_g)
+    seed = tmp_path / "seed"
+    base_g.select(
+        F.md5(F.array_join(tokens(F.col("text")), " ")).alias("fp")
+    ).distinct().write.parquet(str(seed / "fp"))
+    minhash_bands(fan_out(base_exact)).select(
+        F.col("doc_id").alias("hist_id"), "band_id", "band_key"
+    ).write.parquet(str(seed / "bands"))
+    shingle_arrays(base_exact).select(
+        F.col("doc_id").alias("hist_id"), "sh"
+    ).write.parquet(str(seed / "shingles"))
+
+    src = tmp_path / "delta-src"
+    src.mkdir()
+
+    def land(name, rows, age=0):
+        p = src / name
+        p.write_text(
+            "\n".join(
+                json.dumps({"doc_id": i, "text": t}) for i, t in rows
+            )
+            + "\n"
+        )
+        now = time.time()
+        os.utime(p, (now - age, now - age))
+
+    land("f1.jsonl", delta_rows_1, age=60)
+    land("f2.jsonl", delta_rows_2, age=30)
+
+    stream = IncrementalCorpusStream(
+        store_dir=str(tmp_path / "stores"),
+        out_dir=str(tmp_path / "sink"),
+        min_stop_hits=1,
+        seed_fp=str(seed / "fp"),
+        seed_bands=str(seed / "bands"),
+        seed_shingles=str(seed / "shingles"),
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        df = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = stream.write_stream(df, checkpoint=ckpt)
+        q.awaitTermination(180)
+        q.stop()
+
+    drain()  # run 1: f1 then f2 as separate micro-batches
+    first = stream.out.committed_batches()
+    assert len(first) >= 2  # maxFilesPerTrigger=1 -> one batch per file
+
+    land("f3.jsonl", delta_rows_3)
+    drain()  # run 2: restart from checkpoint, drains only f3
+    second = stream.out.committed_batches()
+    assert len(second) == len(first) + 1
+
+    drain()  # run 3: nothing new -> no further commits
+    assert stream.out.committed_batches() == second
+
+    got = (
+        spark.read.schema("doc_id long, text string")
+        .json(
+            [
+                str(tmp_path / "sink" / f"batch-{b}")
+                for b in second
+            ]
+        )
+    )
+    stream_ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+
+    # --- batch parity: the same delta as ONE batch against the seeds
+    all_delta = spark.createDataFrame(
+        delta_rows_1 + delta_rows_2 + delta_rows_3,
+        "doc_id long, text string",
+    )
+    gated = gopher_filter(all_delta, min_stop_hits=1)
+    exact = incremental_dedup_vs_store(
+        gated, spark.read.parquet(str(seed / "fp"))
+    )
+    hist_kill = (
+        near_dup_vs_band_store(
+            exact,
+            spark.read.parquet(str(seed / "bands")),
+            spark.read.parquet(str(seed / "shingles")),
+            threshold=0.7,
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    batch_kill = (
+        minhash_dedup(exact, threshold=0.7)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    batch_ids = sorted(
+        r["doc_id"]
+        for r in exact.join(
+            hist_kill.unionByName(batch_kill).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert stream_ids == batch_ids == [103, 105, 107]
+
+    # the stores grew: every batch folded in (fingerprints per batch)
+    assert stream.fp_store.committed_batches() == second
+    assert stream.band_store.committed_batches() == second
+    assert stream.shingle_store.committed_batches() == second
