@@ -2511,6 +2511,82 @@ def mann_whitney_u(
     )
 
 
+def ks_two_sample(
+    obs: DataFrame, value_col: str = "vm", variant_col: str = "variant"
+) -> DataFrame:
+    """Kolmogorov-Smirnov two-sample test — the DISTRIBUTION-SHAPE
+    member of the experimentation family (the z test compares a rate,
+    Mann-Whitney asks "stochastically larger"; KS asks whether the two
+    samples come from the SAME distribution at all, sensitive to any
+    difference — location, spread, shape): D = max_x |F0(x) − F1(x)|
+    over the pooled empirical CDFs.
+
+    Exactness: per distinct value, |cum0·n1 − cum1·n0| is the CDF gap
+    CROSS-MULTIPLIED to an integer (no float CDF ever forms);
+    ``ks_scaled`` = the max of that (D = ks_scaled / (n0·n1)),
+    ``d_milli`` its truncated milli readout, ``at_vm`` the smallest
+    value attaining it. The α=0.05 decision uses the large-sample
+    critical value c(0.05)=1.358: D > c·sqrt((n0+n1)/(n0·n1)),
+    squared to the integer comparison d_milli²·n0·n1 >
+    1844324·(n0+n1) — evaluated on the milli-TRUNCATED D
+    (convention stated: the boundary moves by < one milli unit,
+    identically in both engines), products carried in DECIMAL(38,0)
+    (the gini_concentration overflow discipline).
+
+    Catalyst shape: one value tally (map-side combine) + one
+    cumulative window over DISTINCT values (value-domain cardinality,
+    never rows — the mann_whitney_u waiver class) + a broadcast 1-row
+    readout."""
+    tally = obs.groupBy(value_col).agg(
+        F.sum((F.col(variant_col) == 0).cast("long")).alias("_c0"),
+        F.sum((F.col(variant_col) == 1).cast("long")).alias("_c1"),
+    )
+    w = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = tally.select(
+        F.col(value_col).alias("_v"),
+        F.sum("_c0").over(w).cast("long").alias("_f0"),
+        F.sum("_c1").over(w).cast("long").alias("_f1"),
+    )
+    tot = tally.agg(
+        F.sum("_c0").cast("long").alias("n0"),
+        F.sum("_c1").cast("long").alias("n1"),
+    )
+    diff = cum.crossJoin(F.broadcast(tot)).select(
+        "_v",
+        "n0",
+        "n1",
+        F.abs(
+            F.col("_f0") * F.col("n1") - F.col("_f1") * F.col("n0")
+        ).cast("long").alias("_d"),
+    )
+    peak = diff.agg(F.max("_d").alias("_dmax"))
+    at = (
+        diff.crossJoin(F.broadcast(peak))
+        .filter(F.col("_d") == F.col("_dmax"))
+        .agg(F.min("_v").cast("long").alias("at_vm"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(at))
+        .select(
+            "n0",
+            "n1",
+            F.col("_dmax").alias("ks_scaled"),
+            "at_vm",
+            F.expr("1000 * _dmax div (n0 * n1)").alias("d_milli"),
+            F.expr(
+                "CAST(1000 * _dmax div (n0 * n1) AS DECIMAL(38,0))"
+                " * CAST(1000 * _dmax div (n0 * n1) AS DECIMAL(38,0))"
+                " * CAST(n0 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0))"
+                " > CAST(1844324 AS DECIMAL(38,0))"
+                " * CAST(n0 + n1 AS DECIMAL(38,0))"
+            ).alias("reject_05"),
+        )
+    )
+
+
 def km_survival(
     obs: DataFrame, t_col: str = "t", event_col: str = "event"
 ) -> DataFrame:
@@ -3534,3 +3610,86 @@ def holt_forecast(
         (F.col("_f.l") + F.col("_f.t")).alias("forecast_milli"),
         F.col("_f.r").alias("max_resid_milli"),
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    iters: int = 3,
+    topk: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a directed edge
+    list — the second classical link-analysis algorithm beside
+    :func:`pagerank` (PageRank ranks by global random-surfer mass;
+    HITS separates "points at good things" from "is pointed at by
+    good things" — on a bipartite trade graph the two sides get
+    DIFFERENT scores, which one PageRank vector cannot express).
+
+    Integer-exact variant: scores live in milli-units; each round
+    computes raw sums (a_raw(i) = Σ h over in-edges, then h_raw(j) =
+    Σ a over out-edges) and re-normalizes by the round's MAX — new =
+    1000·raw div max — pure long arithmetic, so the fixed-iteration
+    trajectory is bit-identical cross-engine (the pagerank exactness
+    contract; the textbook L2 norm would put a sqrt inside the
+    iteration). Max-norm is a standard HITS normalization — the
+    PRINCIPAL-eigenvector direction is what iteration converges to,
+    and any per-round positive rescaling preserves it.
+
+    Distributed shape: edges persist once; each round is two keyed
+    aggs (dst then src — partial agg collapses map-side) plus two
+    1-row max broadcasts; lineage cut per round (localCheckpoint —
+    the pagerank discipline, round N must not replay rounds 1..N-1).
+    Output: top-``topk`` hubs and authorities (TakeOrdered, never a
+    global sort), role-tagged, with the in-frame rank."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hubs = (
+        e.select("src").distinct()
+        .select(F.col("src").alias("node"), F.lit(1000).cast("long").alias("h"))
+    )
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("ar"))
+        )
+        amax = a_raw.agg(F.max("ar").alias("am"))
+        auth = (
+            a_raw.crossJoin(F.broadcast(amax))
+            .selectExpr("dst AS node", "CAST(1000 * ar div am AS BIGINT) AS a")
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("hr"))
+        )
+        hmax = h_raw.agg(F.max("hr").alias("hm"))
+        hubs = (
+            h_raw.crossJoin(F.broadcast(hmax))
+            .selectExpr("src AS node", "CAST(1000 * hr div hm AS BIGINT) AS h")
+            .localCheckpoint(eager=True)
+        )
+
+    def top(df, score, role):
+        win = Window.orderBy(F.col(score).desc(), F.col("node").asc())
+        return (
+            df.orderBy(F.col(score).desc(), F.col("node").asc())
+            .limit(topk)
+            .select(
+                F.lit(role).alias("role"),
+                F.col("node").cast("long").alias("node"),
+                F.col(score).cast("long").alias("score_milli"),
+                F.row_number().over(win).cast("long").alias("rank"),
+            )
+        )
+
+    return top(hubs, "h", "hub").unionByName(top(auth, "a", "authority"))

@@ -308,8 +308,10 @@ LINT_WAIVERS: dict[str, dict[str, str]] = {
     "search_qlm_dirichlet": {"global-window": _TOPK_WINDOW_WAIVER},
     "sample_reservoir_weighted": {"global-window": _TOPK_WINDOW_WAIVER},
     "text_bpe_pairs": {"global-window": _TOPK_WINDOW_WAIVER},
+    "graph_hits": {"global-window": _TOPK_WINDOW_WAIVER},
     "text_quality_domain_norm": {"global-window": _HISTOGRAM_WINDOW_WAIVER},
     "ab_mann_whitney": {"global-window": _HISTOGRAM_WINDOW_WAIVER},
+    "ab_ks_test": {"global-window": _HISTOGRAM_WINDOW_WAIVER},
     "ab_chi_square": {"global-window": _HISTOGRAM_WINDOW_WAIVER},
     "survival_repurchase_km": {"global-window": _HISTOGRAM_WINDOW_WAIVER},
     "events_peak_concurrency": {"global-window": _HISTOGRAM_WINDOW_WAIVER},
@@ -19560,3 +19562,257 @@ def split_incremental_atomic(spark, sf_dir):
         .crossJoin(F.broadcast(wit))
         .crossJoin(F.broadcast(reasg))
     )
+
+
+@register(
+    "ab_ks_test",
+    """
+    WITH obs AS (
+        SELECT CAST(round(value * 1000) AS BIGINT) AS vm,
+               CAST(user_id % 2 AS BIGINT) AS variant
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), tally AS (
+        SELECT vm,
+               CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c0,
+               CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1
+        FROM obs GROUP BY vm
+    ), cum AS (
+        SELECT vm,
+               CAST(sum(c0) OVER (ORDER BY vm) AS BIGINT) AS f0,
+               CAST(sum(c1) OVER (ORDER BY vm) AS BIGINT) AS f1
+        FROM tally
+    ), tot AS (
+        SELECT CAST(sum(c0) AS BIGINT) AS n0,
+               CAST(sum(c1) AS BIGINT) AS n1
+        FROM tally
+    ), diff AS (
+        SELECT vm, abs(f0 * n1 - f1 * n0) AS d FROM cum, tot
+    ), peak AS (
+        SELECT CAST(max(d) AS BIGINT) AS dmax FROM diff
+    ), at AS (
+        SELECT CAST(min(vm) AS BIGINT) AS at_vm
+        FROM diff, peak WHERE d = dmax
+    )
+    SELECT tot.n0, tot.n1, peak.dmax AS ks_scaled, at.at_vm,
+           CAST(1000 * peak.dmax // (tot.n0 * tot.n1) AS BIGINT) AS d_milli,
+           (1000 * peak.dmax // (tot.n0 * tot.n1))::HUGEINT
+               * (1000 * peak.dmax // (tot.n0 * tot.n1))::HUGEINT
+               * tot.n0::HUGEINT * tot.n1::HUGEINT
+               > 1844324::HUGEINT * (tot.n0 + tot.n1)::HUGEINT AS reject_05
+    FROM tot, peak, at
+    """,
+)
+def ab_ks_test(spark, sf_dir):
+    """Kolmogorov-Smirnov two-sample test on purchase VALUES by
+    variant (plans/analytics.py ks_two_sample) — the
+    distribution-SHAPE member of the experimentation family, closing
+    its classical-test roster (z: rate; SPRT: sequential rate; CUPED:
+    variance-reduced mean; Mann-Whitney: stochastic order; runs:
+    randomness; chi-square: independence; KS: distribution equality
+    sensitive to ANY difference). Integer cross-multiplied CDF gaps
+    (|cum0·n1 − cum1·n0|, no float CDF), the max and its location
+    hash-gated, α=0.05 decision via the squared large-sample critical
+    comparison in DECIMAL(38,0)/HUGEINT. Consistent with the
+    Mann-Whitney null on the same data: the value DISTRIBUTIONS
+    match even though the purchase RATE differs (the SPRT row's
+    finding) — three tests, one coherent story. Scale: one value
+    tally + one cumulative window over DISTINCT values (the
+    mann_whitney waiver class), never a raw-row sort."""
+    ev = tables(spark, sf_dir)["events"]
+    obs = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        (F.col("user_id") % 2).cast("long").alias("variant"),
+    )
+    return an.ks_two_sample(obs, "vm", "variant")
+
+
+def _sql_hits_rounds(iters: int) -> str:
+    rounds = []
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""ar{i} AS (
+        SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS raw
+        FROM {prev_h} h JOIN edges e ON h.node = e.src GROUP BY e.dst
+    ), a{i} AS (
+        SELECT node, CAST(1000 * raw // (SELECT max(raw) FROM ar{i})
+                          AS BIGINT) AS a
+        FROM ar{i}
+    ), hr{i} AS (
+        SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS raw
+        FROM a{i} a JOIN edges e ON a.node = e.dst GROUP BY e.src
+    ), h{i} AS (
+        SELECT node, CAST(1000 * raw // (SELECT max(raw) FROM hr{i})
+                          AS BIGINT) AS h
+        FROM hr{i}
+    )"""
+        )
+        prev_h = f"h{i}"
+    return ", ".join(rounds)
+
+
+@register(
+    "graph_hits",
+    f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+        SELECT cust AS src, supp AS dst FROM pairs
+    ), h0 AS (
+        SELECT DISTINCT src AS node, CAST(1000 AS BIGINT) AS h FROM edges
+    ), {_sql_hits_rounds(3)}
+    SELECT 'hub' AS role, CAST(node AS BIGINT) AS node,
+           CAST(h AS BIGINT) AS score_milli,
+           CAST(row_number() OVER (ORDER BY h DESC, node) AS BIGINT) AS rank
+    FROM (SELECT * FROM h3 ORDER BY h DESC, node LIMIT 10)
+    UNION ALL
+    SELECT 'authority', CAST(node AS BIGINT),
+           CAST(a AS BIGINT),
+           CAST(row_number() OVER (ORDER BY a DESC, node) AS BIGINT)
+    FROM (SELECT * FROM a3 ORDER BY a DESC, node LIMIT 10)
+    """,
+)
+def graph_hits(spark, sf_dir):
+    """HITS hubs & authorities (plans/analytics.py hits_scores) over
+    the directed customer→supplier trade graph — the second classical
+    link-analysis member beside PageRank: on a bipartite graph HITS
+    separates the buyer side ("points at good suppliers" = hub) from
+    the supplier side ("bought from by good buyers" = authority),
+    which one PageRank vector cannot express. Three fixed rounds,
+    milli-integer max-normalization per round (1000·raw div max —
+    pure long arithmetic, bit-identical trajectory cross-engine; the
+    oracle unrolls the rounds as CTEs, the pagerank discipline).
+    Output: top-10 of each role via TakeOrdered. Scale: two keyed
+    aggs + two 1-row max broadcasts per round, lineage cut per round."""
+    t = tables(spark, sf_dir)
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return an.hits_scores(edges, iters=3, topk=10)
+
+
+def _sql_kcenter_rounds(k: int, dim: int = 64) -> str:
+    """Unrolled greedy k-center rounds (the pagerank/hits oracle
+    discipline): c1 = min vec_id; round i picks the point FARTHEST
+    from the selected set (max min-dist², tie-break min vec_id), then
+    folds the new center into the running min-dist frame."""
+
+    def dist2(a: str, c: str) -> str:
+        return " + ".join(
+            f"({a}[{i}]-{c}[{i}])*({a}[{i}]-{c}[{i}])"
+            for i in range(1, dim + 1)
+        )
+
+    parts = [
+        "c1 AS (SELECT vec_id, v FROM vm ORDER BY vec_id LIMIT 1)",
+        f"d1 AS MATERIALIZED (SELECT a.vec_id, a.v,"
+        f" CAST({dist2('a.v', 'c.v')} AS BIGINT)"
+        " AS d FROM vm a, c1 c)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"c{i} AS (SELECT vec_id, v, d FROM d{i - 1}"
+            f" ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT a.vec_id, a.v,"
+            f" least(a.d, CAST({dist2('a.v', 'c.v')} AS BIGINT)) AS d"
+            f" FROM d{i - 1} a, c{i} c)"
+        )
+    sels = ["SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id,"
+            " CAST(0 AS BIGINT) AS d2_sel FROM c1"]
+    for i in range(2, k + 1):
+        sels.append(
+            f"SELECT CAST({i} AS BIGINT), vec_id, CAST(d AS BIGINT) FROM c{i}"
+        )
+    union = " UNION ALL ".join(sels)
+    return (
+        ", ".join(parts)
+        + f", cov AS (SELECT CAST(max(d) AS BIGINT) AS coverage_d2,"
+        f" CAST(count(*) AS BIGINT) AS n_points FROM d{k})"
+        + f", sel AS ({union})"
+    )
+
+
+@register(
+    "sample_coreset_kcenter",
+    f"""
+    WITH vm AS (
+        SELECT vec_id, {_KM_MICRO} AS v FROM embeddings
+    ), {_sql_kcenter_rounds(8)}
+    SELECT sel.sel_rank, CAST(sel.vec_id AS BIGINT) AS vec_id,
+           sel.d2_sel, cov.coverage_d2, cov.n_points
+    FROM sel, cov
+    """,
+)
+def sample_coreset_kcenter(spark, sf_dir):
+    """GREEDY k-CENTER CORESET over the embedding corpus — diverse
+    subset selection, the curation step between dedup and training
+    (SemDeDup removes redundancy; the k-center coreset picks the
+    maximally-SPREAD representatives whose coverage radius bounds how
+    well the subset stands in for the corpus — Gonzalez 1985's
+    farthest-point traversal, the textbook 2-approximation to the
+    k-center objective). Deterministic seed (min vec_id), then k-1
+    rounds of "select the point farthest from everything selected"
+    (max min-dist², ties to min vec_id). All distances are EXACT
+    integer micro² longs (micro_vec discipline: diff ≤ 2e6, dim 64 →
+    ≤ 2.6e14, inside int64), so the trajectory is bit-identical
+    cross-engine — the oracle unrolls the rounds as CTEs. The k-center
+    OBJECTIVE rides every row: ``coverage_d2`` = max over the corpus
+    of min-dist² to the selected set (the radius the greedy bound
+    2-approximates). Scale: each round is one narrow scan with the
+    selected centers as PLAN LITERALS (the IVF zero-shuffle
+    discipline) + a TakeOrdered(1) argmax — no shuffle grows with the
+    corpus, the model fetched per round is one 64-long vector."""
+    from logprep_spark.functions import similarity as sim
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    vm = emb.select(
+        "vec_id", sim.micro_vec(F.col("embedding")).alias("_v")
+    ).localCheckpoint(eager=True)
+
+    def d2(center: list) -> str:
+        arr = "array(" + ",".join(str(int(x)) for x in center) + ")"
+        return (
+            f"aggregate(zip_with(_v, {arr}, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+
+    first = vm.orderBy("vec_id").limit(1).collect()[0]
+    selected = [(1, int(first["vec_id"]), 0)]
+    centers = [list(first["_v"])]
+    k = 8
+    for r in range(2, k + 1):
+        dmin = (
+            d2(centers[0])
+            if len(centers) == 1
+            else "least(" + ",".join(d2(c) for c in centers) + ")"
+        )
+        nxt = (
+            vm.selectExpr("vec_id", "_v", f"CAST({dmin} AS BIGINT) AS d")
+            .orderBy(F.col("d").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((r, int(nxt["vec_id"]), int(nxt["d"])))
+        centers.append(list(nxt["_v"]))
+    dmin_all = "least(" + ",".join(d2(c) for c in centers) + ")"
+    cov = vm.selectExpr(f"CAST({dmin_all} AS BIGINT) AS d").agg(
+        F.max("d").cast("long").alias("coverage_d2"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+    )
+    sel = spark.createDataFrame(
+        selected, "sel_rank long, vec_id long, d2_sel long"
+    )
+    return sel.crossJoin(F.broadcast(cov))
