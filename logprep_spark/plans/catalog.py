@@ -188,62 +188,64 @@ def register(name: str, oracle: str | None = None):
 # every round via tools/check_oracles.py (LOCAL_CORRECTNESS.md,
 # same hash methodology as the driver).
 _PRIORITY = [
-    # --- r11 window: the 41 r10-new rows FIRST (every one a local
-    # hash-PASS in the committed r10 ledger; 20 judge-re-verified in
-    # the r10 session). The 22 early-r10 rows: ---
-    "pipeline_pretrain_v3",
-    "graph_lpa_modularity",
-    "ann_matryoshka_recall",
-    "ann_int8_recall",
-    "corpus_mix_allocate",
-    "text_kn_trigram",
-    "ann_mmr_diversify",
-    "events_mann_kendall",
-    "sketch_hll_own_range",
-    "dedup_fuzzy_decontaminate",
-    "corpus_mix_materialize",
-    "pairs_contrastive_mine",
-    "dq_k_anonymity",
-    "events_attribution",
-    "events_transition_matrix",
-    "text_ctfidf_topics",
-    "events_spearman_volume_value",
-    "events_trimmed_mean",
-    "events_changepoint",
-    "graph_weighted_sssp",
-    "text_quality_domain_norm",
-    "ann_context_assemble",
-    # --- the 19 late-r10 rows ---
+    # --- r12 window (the r11 verdict's prescription): the 13 r11-new
+    # rows FIRST (each local hash-PASS in the committed r11 ledger and
+    # judge-re-verified 13/13 in the r11 session): ---
+    "pipeline_pretrain_incremental",
+    "dq_referential_integrity",
+    "dq_t_closeness",
+    "sample_reservoir_weighted",
+    "ann_binary_recall",
+    "search_qlm_dirichlet",
+    "multimodal_audio_dft",
+    "ml_logreg_gd",
+    "text_unigram_tokenize",
+    "events_runs_test",
+    "join_asof_tolerance",
+    "text_unigram_em",
+    "corpus_dup_density",
+    # --- the 4 r12-new rows (local hash-PASS, tools/check_oracles.py): ---
+    "split_incremental_atomic",
+    "ab_ks_test",
+    "graph_hits",
+    "sample_coreset_kcenter",
+    # --- the 6 rows whose r12 de-globalized plans must re-certify
+    # under the driver (hashes held locally; fresh official evidence): ---
     "shard_balance_tokens",
     "curriculum_order",
-    "dq_dp_counts",
-    "join_interval_overlap",
-    "text_bpe_roundtrip",
-    "dedup_cdc_chunks",
-    "events_stl_decompose",
-    "sample_consistent_join",
-    "rag_context_recall",
-    "graph_link_prediction",
-    "events_entropy_rate",
     "split_temporal_holdout",
-    "ml_naive_bayes",
-    "ann_filtered_recall",
-    "events_forecast_backtest",
-    "dq_skew_advisor",
-    "events_period_detect",
-    "events_hampel_despike",
-    "events_burst_kleinberg",
-    # --- fill to 50 with the oldest official evidence: 9 of the 17
-    # rows whose latest driver row is r5 (r5 window order) ---
-    "text_tfidf",
-    "window_topk_orders",
-    "proc_geoip_v6",
-    "ann_recall_ivf",
-    "ann_recall_lsh_multiprobe",
-    "text_gopher",
-    "dedup_lines",
-    "text_url_canonical",
-    "split_stratified_sample",
+    "users_spend_gini",
+    "layout_zorder_pruning",
+    "layout_hilbert_pruning",
+    # --- fill to 50 with the oldest official evidence: all 8 rows
+    # whose latest driver green is r5, then the 19 oldest r6 rows ---
+    "dedup_minhash_lsh",
+    "funnel_events",
+    "pipeline_training_data",
+    "sketch_heavy_hitters",
+    "text_html_extract",
+    "text_repetition",
+    "text_unicode_clean",
+    "tpch_q14",
+    "ab_test_events",
+    "corpus_domain_sampling",
+    "corpus_mix_weights",
+    "corpus_ngram_novelty",
+    "corpus_quality_report",
+    "corpus_zipf",
+    "dedup_incremental",
+    "dedup_incremental_neardup",
+    "dedup_lsh_recall",
+    "dedup_semantic",
+    "dedup_semantic_clusters",
+    "dedup_winnow",
+    "dq_expectations",
+    "drift_psi_events",
+    "event_cube",
+    "event_pivot_counts",
+    "event_transitions",
+    "events_error_streaks",
+    "events_gap_fill",
 ]
 
 
