@@ -56,7 +56,12 @@ class IncrementalCorpusStream:
     dirs — a replayed micro-batch (crash between sink write and
     checkpoint commit: foreachBatch is at-least-once) sees the
     committed dirs and skips, so neither the output nor the stores
-    ever hold a row twice. Fold-in contents mirror the batch row's
+    ever hold a row twice. Store READS are replay-stable: a batch
+    probes only store dirs committed strictly before its own
+    batch_id (``_read``), so a crash landing BETWEEN the four
+    sequential fold-in commits of one batch replays to bit-identical
+    results — the replayed batch can never anti-join against its own
+    fingerprints or permanently commit empty band/shingle dirs. Fold-in contents mirror the batch row's
     semantics exactly: fingerprints of every GATED doc (keep-first
     then applies across batches under ordered ingestion), bands +
     shingles of every EXACT survivor (a near-killed doc still kills
@@ -112,12 +117,25 @@ class IncrementalCorpusStream:
             "shingles": seed_shingles,
         }
 
-    def _read(self, spark, sink, seed_key: str, schema: str) -> DataFrame:
+    def _read(
+        self, spark, sink, seed_key: str, schema: str, batch_id: int
+    ) -> DataFrame:
         import os
 
+        # Replay-stable store view: foreachBatch is at-least-once, and
+        # the per-store fold-ins of ONE batch commit sequentially (out,
+        # fp, bands, shingles). A crash between them replays the batch
+        # with SOME of its own fold-ins already on disk; listing those
+        # would let the batch kill itself against its own fingerprints
+        # and commit empty band/shingle dirs permanently. Reading only
+        # batches strictly BEFORE batch_id (checkpoint epoch ids are
+        # monotone across restarts) makes the replay recompute from the
+        # identical pre-batch view regardless of which fold-ins already
+        # committed.
         paths = [
             os.path.join(sink.path, f"batch-{b}")
             for b in sink.committed_batches()
+            if b < batch_id
         ]
         seed = self.seeds[seed_key]
         if seed:
@@ -147,15 +165,17 @@ class IncrementalCorpusStream:
         gated = gopher_filter(
             batch_df, min_stop_hits=self.min_stop_hits
         ).localCheckpoint(eager=True)
-        fp_store = self._read(spark, self.fp_store, "fp", self.FP_SCHEMA)
+        fp_store = self._read(
+            spark, self.fp_store, "fp", self.FP_SCHEMA, batch_id
+        )
         exact = incremental_dedup_vs_store(gated, fp_store).localCheckpoint(
             eager=True
         )
         bands = self._read(
-            spark, self.band_store, "bands", self.BANDS_SCHEMA
+            spark, self.band_store, "bands", self.BANDS_SCHEMA, batch_id
         )
         shingles = self._read(
-            spark, self.shingle_store, "shingles", self.SHINGLES_SCHEMA
+            spark, self.shingle_store, "shingles", self.SHINGLES_SCHEMA, batch_id
         )
         hist_kill = (
             near_dup_vs_band_store(

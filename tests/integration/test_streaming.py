@@ -1879,3 +1879,92 @@ def test_incremental_corpus_stream_restart_parity(spark, tmp_path):
     assert stream.fp_store.committed_batches() == second
     assert stream.band_store.committed_batches() == second
     assert stream.shingle_store.committed_batches() == second
+
+
+def test_incremental_corpus_stream_crash_between_fold_ins(spark, tmp_path):
+    """Replay-stability in the EXACT crash window the fold-ins open
+    (r12 advice, high): foreachBatch is at-least-once and one batch
+    commits four stores sequentially (out, fp, bands, shingles). A
+    crash after the fp fold-in but before the band/shingle fold-ins
+    replays the batch with its OWN fingerprints already on disk;
+    without the pre-batch store view (`_read` filters committed
+    batches to b < batch_id) the replay would anti-join the batch
+    against itself, kill every doc, and permanently commit EMPTY
+    band/shingle dirs — silently disabling near-dup kills against
+    this batch's survivors for the rest of the stream. The drill
+    plants exactly that crash and asserts the replayed state is
+    bit-identical to a crash-free run, including a batch-2 near-dup
+    twin that must still die against batch-1's band fold-in."""
+    import shutil
+
+    from logprep_spark.streaming import IncrementalCorpusStream
+
+    def text(seed, n=58):
+        return " ".join([f"{seed}w{i}" for i in range(n)] + ["the", "and"])
+
+    def twin(seed, n=58):
+        return " ".join(
+            [f"{seed}w{i}" for i in range(1, n)] + [f"{seed}zz", "the", "and"]
+        )
+
+    batch0 = [(1, text("alpha")), (2, text("beta"))]
+    batch1 = [(101, text("delta")), (102, text("omega"))]
+    batch2 = [
+        (201, twin("delta")),   # near dup of batch-1's 101: needs the
+                                # batch-1 band fold-in to be REAL
+        (202, text("beta")),    # exact dup of batch-0's 2
+        (203, text("sigma")),   # fresh survivor
+    ]
+    dfs = [
+        spark.createDataFrame(rows, "doc_id long, text string")
+        for rows in (batch0, batch1, batch2)
+    ]
+
+    def run(root, crash_after_fp_of_batch=None):
+        stream = IncrementalCorpusStream(
+            store_dir=str(root / "stores"),
+            out_dir=str(root / "sink"),
+            min_stop_hits=1,
+        )
+        for bid, df in enumerate(dfs):
+            stream.process_batch(df, bid)
+            if bid == crash_after_fp_of_batch:
+                # reproduce the crash state: out + fp committed, the
+                # band/shingle fold-ins never happened ...
+                shutil.rmtree(str(root / "stores" / "bands" / f"batch-{bid}"))
+                shutil.rmtree(str(root / "stores" / "shingles" / f"batch-{bid}"))
+                # ... then the checkpoint replays the same batch
+                stream.process_batch(df, bid)
+        return stream
+
+    clean = run(tmp_path / "clean")
+    crashed = run(tmp_path / "crashed", crash_after_fp_of_batch=1)
+
+    def survivors(stream):
+        return sorted(
+            r["doc_id"]
+            for b in stream.out.committed_batches()
+            for r in spark.read.schema("doc_id long, text string")
+            .json(stream.out.path + f"/batch-{b}")
+            .select("doc_id")
+            .collect()
+        )
+
+    assert survivors(crashed) == survivors(clean) == [1, 2, 101, 102, 203]
+
+    # the replayed band/shingle fold-ins are non-empty and identical
+    # to the crash-free run's (the old bug committed them EMPTY)
+    for store, order_cols in (
+        ("band_store", ["hist_id", "band_id", "band_key"]),
+        ("shingle_store", ["hist_id"]),
+    ):
+        a = spark.read.parquet(getattr(clean, store).path + "/batch-1")
+        b = spark.read.parquet(getattr(crashed, store).path + "/batch-1")
+        assert b.count() == a.count() > 0
+        assert (
+            a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        )
+
+    # and the replayed output batch was skipped, not rewritten: the
+    # sink still holds one dir per batch with the right survivors
+    assert clean.out.committed_batches() == crashed.out.committed_batches()
