@@ -2469,18 +2469,27 @@ def mann_whitney_u(
     both engines, floor-milli'd).
 
     Catalyst shape: one tally agg on the (already integer-quantized)
-    value + one cumulative window over DISTINCT values (value
-    cardinality, not row cardinality) + a 1-row readout — rank-sum
-    at any scale without ever sorting the raw rows."""
+    value, then the two-pass running sum (plans/ranks.py
+    with_running_sums — range shuffle + broadcast partition-offset
+    model) for the before-rank prefix, then a 1-row readout —
+    rank-sum at any scale without ever sorting the raw rows AND
+    without a partition-less window: the r12 verdict flagged that a
+    continuous metric's distinct-value tally can approach row
+    cardinality at 100×, so the cumulative pass must not funnel
+    through one task."""
+    from logprep_spark.plans.ranks import with_running_sums
+
     tally = obs.groupBy(value_col).agg(
         F.count(F.lit(1)).alias("_cnt"),
         F.sum((F.col(variant_col) == 1).cast("long")).alias("_c1"),
     )
-    w = Window.orderBy(value_col).rowsBetween(
-        Window.unboundedPreceding, -1
+    cum, _tot = with_running_sums(
+        tally, [F.col(value_col)], [("_cum", "_cnt")]
     )
-    ranked = tally.withColumn(
-        "_rb", F.coalesce(F.sum("_cnt").over(w), F.lit(0)).cast("long")
+    # exclusive prefix (rows strictly before this value) = inclusive
+    # cumulative minus the value's own tally
+    ranked = cum.withColumn(
+        "_rb", (F.col("_cum") - F.col("_cnt")).cast("long")
     )
     agg = ranked.agg(
         F.sum("_cnt").cast("long").alias("_nn"),
@@ -2522,44 +2531,50 @@ def ks_two_sample(
     over the pooled empirical CDFs.
 
     Exactness: per distinct value, |cum0·n1 − cum1·n0| is the CDF gap
-    CROSS-MULTIPLIED to an integer (no float CDF ever forms);
-    ``ks_scaled`` = the max of that (D = ks_scaled / (n0·n1)),
-    ``d_milli`` its truncated milli readout, ``at_vm`` the smallest
-    value attaining it. The α=0.05 decision uses the large-sample
-    critical value c(0.05)=1.358: D > c·sqrt((n0+n1)/(n0·n1)),
-    squared to the integer comparison d_milli²·n0·n1 >
-    1844324·(n0+n1) — evaluated on the milli-TRUNCATED D
-    (convention stated: the boundary moves by < one milli unit,
-    identically in both engines), products carried in DECIMAL(38,0)
-    (the gini_concentration overflow discipline).
+    CROSS-MULTIPLIED to an integer (no float CDF ever forms), carried
+    in DECIMAL(38,0) — at multi-billion-row samples n0·n1 exceeds
+    int64 and a BIGINT gap would wrap silently under non-ANSI mode
+    (r12 advice; the DuckDB oracle mirrors with HUGEINT);
+    ``ks_scaled`` = the max of that (D = ks_scaled / (n0·n1)), read
+    out as BIGINT (diagnostic; the scale-safe readouts are d_milli
+    and reject_05, whose products stay in DECIMAL(38,0) end-to-end),
+    ``d_milli`` the truncated milli D, ``at_vm`` the smallest value
+    attaining the max. The α=0.05 decision uses the large-sample
+    critical value c(α)² = ln(2/α)/2, i.e. c(0.05)²·10⁶ =
+    ln(40)/2·10⁶ = 1844439.73 → 1844440 (rounded to the integer
+    micro constant; r12 advice corrected the earlier transposed-digit
+    1844324): D > c·sqrt((n0+n1)/(n0·n1)), squared to the integer
+    comparison d_milli²·n0·n1 > 1844440·(n0+n1) — evaluated on the
+    milli-TRUNCATED D (convention stated: the boundary moves by < one
+    milli unit, identically in both engines).
 
-    Catalyst shape: one value tally (map-side combine) + one
-    cumulative window over DISTINCT values (value-domain cardinality,
-    never rows — the mann_whitney_u waiver class) + a broadcast 1-row
+    Catalyst shape: one value tally (map-side combine), then the
+    two-pass running sum (plans/ranks.py with_running_sums — range
+    shuffle + broadcast partition-offset model; the r12 verdict
+    de-globalization: a continuous metric's distinct tally can
+    approach row cardinality at 100×, so no partition-less window)
+    for both CDFs at once — n0/n1 fall out of its offset model as
+    driver literals, saving the totals pass — + a broadcast 1-row
     readout."""
+    from logprep_spark.plans.ranks import with_running_sums
+
     tally = obs.groupBy(value_col).agg(
         F.sum((F.col(variant_col) == 0).cast("long")).alias("_c0"),
         F.sum((F.col(variant_col) == 1).cast("long")).alias("_c1"),
     )
-    w = Window.orderBy(value_col).rowsBetween(
-        Window.unboundedPreceding, 0
+    cum, totals = with_running_sums(
+        tally,
+        [F.col(value_col)],
+        [("_f0", "_c0"), ("_f1", "_c1")],
     )
-    cum = tally.select(
+    n0, n1 = totals["_f0"], totals["_f1"]
+    d38 = "decimal(38,0)"
+    diff = cum.select(
         F.col(value_col).alias("_v"),
-        F.sum("_c0").over(w).cast("long").alias("_f0"),
-        F.sum("_c1").over(w).cast("long").alias("_f1"),
-    )
-    tot = tally.agg(
-        F.sum("_c0").cast("long").alias("n0"),
-        F.sum("_c1").cast("long").alias("n1"),
-    )
-    diff = cum.crossJoin(F.broadcast(tot)).select(
-        "_v",
-        "n0",
-        "n1",
         F.abs(
-            F.col("_f0") * F.col("n1") - F.col("_f1") * F.col("n0")
-        ).cast("long").alias("_d"),
+            F.col("_f0").cast(d38) * F.lit(n1).cast(d38)
+            - F.col("_f1").cast(d38) * F.lit(n0).cast(d38)
+        ).cast(d38).alias("_d"),
     )
     peak = diff.agg(F.max("_d").alias("_dmax"))
     at = (
@@ -2568,20 +2583,25 @@ def ks_two_sample(
         .agg(F.min("_v").cast("long").alias("at_vm"))
     )
     return (
-        tot.crossJoin(F.broadcast(peak))
-        .crossJoin(F.broadcast(at))
+        peak.crossJoin(F.broadcast(at))
         .select(
-            "n0",
-            "n1",
-            F.col("_dmax").alias("ks_scaled"),
+            F.lit(n0).cast("long").alias("n0"),
+            F.lit(n1).cast("long").alias("n1"),
+            F.col("_dmax").cast("long").alias("ks_scaled"),
             "at_vm",
-            F.expr("1000 * _dmax div (n0 * n1)").alias("d_milli"),
+            # 1000·_dmax stays DECIMAL(38,0); decimal div yields a
+            # BIGINT milli D (≤ 1000, no wrap possible)
             F.expr(
-                "CAST(1000 * _dmax div (n0 * n1) AS DECIMAL(38,0))"
-                " * CAST(1000 * _dmax div (n0 * n1) AS DECIMAL(38,0))"
-                " * CAST(n0 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0))"
-                " > CAST(1844324 AS DECIMAL(38,0))"
-                " * CAST(n0 + n1 AS DECIMAL(38,0))"
+                f"1000 * _dmax div CAST({n0 * n1} AS DECIMAL(38,0))"
+            ).alias("d_milli"),
+            F.expr(
+                f"CAST(1000 * _dmax div CAST({n0 * n1} AS DECIMAL(38,0))"
+                " AS DECIMAL(38,0))"
+                f" * CAST(1000 * _dmax div CAST({n0 * n1} AS DECIMAL(38,0))"
+                " AS DECIMAL(38,0))"
+                f" * CAST({n0} AS DECIMAL(38,0)) * CAST({n1} AS DECIMAL(38,0))"
+                " > CAST(1844440 AS DECIMAL(38,0))"
+                f" * CAST({n0 + n1} AS DECIMAL(38,0))"
             ).alias("reject_05"),
         )
     )

@@ -284,7 +284,11 @@ _HISTOGRAM_WINDOW_WAIVER = (
     "window runs over a value-domain tally (distinct score levels / "
     "bands / hours / days / event-times), never raw rows — the frame "
     "is bounded by the DOMAIN's cardinality, not the corpus, as the "
-    "query docstring states at the site"
+    "query docstring states at the site. Waiver scope (r12 verdict "
+    "adjudication): DISCRETE domains only — ab_mann_whitney and "
+    "ab_ks_test ran their cumulative windows over a CONTINUOUS "
+    "metric's distinct tally and were de-globalized onto the "
+    "two-pass running sum (plans/ranks.py with_running_sums) in r13"
 )
 _ENTITY_PROFILE_WAIVER = (
     "window runs over an entity-dimension profile frame (|keys| / "
@@ -312,8 +316,6 @@ LINT_WAIVERS: dict[str, dict[str, str]] = {
     "text_bpe_pairs": {"global-window": _TOPK_WINDOW_WAIVER},
     "graph_hits": {"global-window": _TOPK_WINDOW_WAIVER},
     "text_quality_domain_norm": {"global-window": _HISTOGRAM_WINDOW_WAIVER},
-    "ab_mann_whitney": {"global-window": _HISTOGRAM_WINDOW_WAIVER},
-    "ab_ks_test": {"global-window": _HISTOGRAM_WINDOW_WAIVER},
     "ab_chi_square": {"global-window": _HISTOGRAM_WINDOW_WAIVER},
     "survival_repurchase_km": {"global-window": _HISTOGRAM_WINDOW_WAIVER},
     "events_peak_concurrency": {"global-window": _HISTOGRAM_WINDOW_WAIVER},
@@ -14307,7 +14309,10 @@ def ab_mann_whitney(spark, sf_dir):
     pair of rows demonstrates exactly why you run both). 2x-integer
     midranks (no rationals under ties), integer effect size, one
     sqrt from exact integer moments for the tie-corrected z. Scale:
-    the rank window runs over DISTINCT values, never raw rows."""
+    the before-rank prefix runs on the two-pass running sum
+    (plans/ranks.py) over the distinct-value tally — no
+    partition-less window even when a continuous metric's distinct
+    tally approaches row cardinality (r13 de-globalization)."""
     ev = tables(spark, sf_dir)["events"]
     obs = ev.filter(
         (F.col("event_type") == "purchase") & F.col("value").isNotNull()
@@ -19590,19 +19595,22 @@ def split_incremental_atomic(spark, sf_dir):
                CAST(sum(c1) AS BIGINT) AS n1
         FROM tally
     ), diff AS (
-        SELECT vm, abs(f0 * n1 - f1 * n0) AS d FROM cum, tot
+        SELECT vm, abs(f0::HUGEINT * n1 - f1::HUGEINT * n0) AS d
+        FROM cum, tot
     ), peak AS (
-        SELECT CAST(max(d) AS BIGINT) AS dmax FROM diff
+        SELECT max(d) AS dmax FROM diff
     ), at AS (
         SELECT CAST(min(vm) AS BIGINT) AS at_vm
         FROM diff, peak WHERE d = dmax
     )
-    SELECT tot.n0, tot.n1, peak.dmax AS ks_scaled, at.at_vm,
-           CAST(1000 * peak.dmax // (tot.n0 * tot.n1) AS BIGINT) AS d_milli,
-           (1000 * peak.dmax // (tot.n0 * tot.n1))::HUGEINT
-               * (1000 * peak.dmax // (tot.n0 * tot.n1))::HUGEINT
+    SELECT tot.n0, tot.n1, CAST(peak.dmax AS BIGINT) AS ks_scaled,
+           at.at_vm,
+           CAST(1000 * peak.dmax // (tot.n0::HUGEINT * tot.n1)
+               AS BIGINT) AS d_milli,
+           (1000 * peak.dmax // (tot.n0::HUGEINT * tot.n1))
+               * (1000 * peak.dmax // (tot.n0::HUGEINT * tot.n1))
                * tot.n0::HUGEINT * tot.n1::HUGEINT
-               > 1844324::HUGEINT * (tot.n0 + tot.n1)::HUGEINT AS reject_05
+               > 1844440::HUGEINT * (tot.n0 + tot.n1)::HUGEINT AS reject_05
     FROM tot, peak, at
     """,
 )
@@ -19616,12 +19624,15 @@ def ab_ks_test(spark, sf_dir):
     sensitive to ANY difference). Integer cross-multiplied CDF gaps
     (|cum0·n1 − cum1·n0|, no float CDF), the max and its location
     hash-gated, α=0.05 decision via the squared large-sample critical
-    comparison in DECIMAL(38,0)/HUGEINT. Consistent with the
-    Mann-Whitney null on the same data: the value DISTRIBUTIONS
-    match even though the purchase RATE differs (the SPRT row's
-    finding) — three tests, one coherent story. Scale: one value
-    tally + one cumulative window over DISTINCT values (the
-    mann_whitney waiver class), never a raw-row sort."""
+    comparison in DECIMAL(38,0)/HUGEINT (the gap itself is decimal
+    too — r13, after the r12 advice: at multi-billion n a BIGINT gap
+    wraps), critical constant 1844440 = round(ln(40)/2·10⁶) (the r12
+    advice's derivation fix). Consistent with the Mann-Whitney null
+    on the same data: the value DISTRIBUTIONS match even though the
+    purchase RATE differs (the SPRT row's finding) — three tests,
+    one coherent story. Scale: one value tally, then both CDFs on
+    the two-pass running sum (plans/ranks.py) — no partition-less
+    window (r13 de-globalization), never a raw-row sort."""
     ev = tables(spark, sf_dir)["events"]
     obs = ev.filter(
         (F.col("event_type") == "purchase") & F.col("value").isNotNull()

@@ -120,3 +120,80 @@ def ntile_from_rank(rank_col, n_rows: int, n_tiles: int):
         f"CAST(CASE WHEN {r0} < {head} THEN {r0} div {base + 1} "
         f"ELSE {rem} + ({r0} - {head}) div {base} END + 1 AS INT)"
     )
+
+
+def with_running_sums(df, order_cols, sums, num_partitions=None):
+    """Attach inclusive prefix sums over a total order without a
+    partition-less window — the cumulative-SUM sibling of
+    ``with_global_rank`` (which only covers position; a weighted
+    running sum has no rank identity).
+
+    ``sums`` is a list of ``(out_col, src_col)`` pairs; each gains an
+    inclusive BIGINT cumulative sum of ``src_col`` in ``order_cols``
+    order. ``order_cols`` must be a total order (unique keys — every
+    caller here feeds a DISTINCT-value tally keyed by the order
+    column), which makes the result bit-identical to
+    ``sum().over(Window.orderBy(...))``; the equality witness lives in
+    tests/unit/test_global_rank.py.
+
+    Shape — two balanced exchanges, zero single-task funnels:
+
+    1. **range-shuffle** on the order keys (``repartitionByRange`` —
+       the sampling-based range partitioner a global ORDER BY plans)
+       and pin ONE materialization (eager localCheckpoint) so the
+       model below and the projection see the same layout;
+    2. per-partition TOTALS of each summed column — a
+       ``#partitions``-row model collected to the driver (bounded
+       model fetch: O(partitions·columns) bytes) — become broadcast
+       prefix-offset literals;
+    3. the within-partition running sum is a window PARTITIONED BY
+       the pinned physical partition id: its required distribution is
+       hash(_pid), a second exchange, but each hash group is exactly
+       one range partition — parallelism equals the range-shuffle
+       width and no task ever sees more than one partition's rows.
+
+    Returns ``(df_with_cums, totals)`` where ``totals`` maps
+    ``out_col`` to the frame-wide sum as a Python int — callers that
+    need grand totals (KS's n0/n1) get them free from the offset
+    model instead of a second aggregate pass.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    parts = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    model = parts.groupBy("_pid").agg(
+        *[
+            F.coalesce(F.sum(src).cast("long"), F.lit(0)).alias(f"_t{i}")
+            for i, (_, src) in enumerate(sums)
+        ]
+    ).collect()
+    offsets: dict[int, list] = {i: [] for i in range(len(sums))}
+    totals: dict[str, int] = {}
+    acc = [0] * len(sums)
+    for row in sorted(model, key=lambda r: r["_pid"]):
+        for i in range(len(sums)):
+            offsets[i].extend([F.lit(int(row["_pid"])), F.lit(acc[i])])
+            acc[i] += int(row[f"_t{i}"])
+    for i, (out, _) in enumerate(sums):
+        totals[out] = acc[i]
+    w = Window.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = parts
+    for i, (out, src) in enumerate(sums):
+        off = (
+            F.create_map(*offsets[i])[F.col("_pid")]
+            if offsets[i]
+            else F.lit(0)
+        )
+        cum = cum.withColumn(
+            out, (off + F.coalesce(F.sum(src).over(w), F.lit(0))).cast("long")
+        )
+    return cum.drop("_pid"), totals

@@ -184,3 +184,128 @@ def test_temporal_cutoff_matches_old_window_shape(spark, sf_dir):
         F.min("ts")
     ).collect()[0][0]
     assert new_cut == old_cut
+
+
+# ------------------- the r13 two-pass running sum (with_running_sums)
+
+
+def test_running_sums_match_cumulative_window(spark):
+    from logprep_spark.plans.ranks import with_running_sums
+
+    # a tally-shaped frame: unique order key, two summed columns
+    df = spark.range(1500).select(
+        (F.col("id") * 31 % 4001).alias("v"),
+        (F.col("id") % 7 + 1).alias("a"),
+        (F.col("id") % 3).alias("b"),
+    ).groupBy("v").agg(
+        F.sum("a").alias("a"), F.sum("b").alias("b")
+    )
+    got, totals = with_running_sums(
+        df, [F.col("v")], [("ca", "a"), ("cb", "b")]
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ref = df.select(
+        "v",
+        F.sum("a").over(w).cast("long").alias("ra"),
+        F.sum("b").over(w).cast("long").alias("rb"),
+    )
+    assert (
+        got.join(ref, "v").filter("ca <> ra OR cb <> rb").count() == 0
+    )
+    row = df.agg(F.sum("a"), F.sum("b")).collect()[0]
+    assert totals == {"ca": int(row[0]), "cb": int(row[1])}
+    # the cumulative plan itself must not smuggle a global window in
+    assert _count_global_windows(_plan(got)) == 0
+
+
+def test_running_sums_empty_frame(spark):
+    from logprep_spark.plans.ranks import with_running_sums
+
+    df = spark.range(5).filter("id < 0").select(
+        F.col("id").alias("v"), F.lit(1).alias("c")
+    )
+    got, totals = with_running_sums(df, [F.col("v")], [("cc", "c")])
+    assert got.count() == 0 and totals == {"cc": 0}
+
+
+@pytest.mark.parametrize("name", ["ab_mann_whitney", "ab_ks_test"])
+def test_deglobalized_ab_tests_have_no_global_window(spark, sf_dir, name):
+    # r12 verdict item 2: the continuous-metric cumulative windows in
+    # mann_whitney_u / ks_two_sample must not plan a single-task funnel
+    df = catalog.queries()[name](spark, sf_dir)
+    assert _count_global_windows(_plan(df)) == 0
+
+
+def test_mann_whitney_matches_old_window_shape(spark, sf_dir):
+    # equality witness: the two-pass prefix produces the identical
+    # exclusive before-rank the old Window.orderBy form computed
+    from logprep_spark.plans import analytics as an
+
+    ev = catalog.tables(spark, sf_dir)["events"]
+    obs = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        (F.col("user_id") % 2).cast("long").alias("variant"),
+    )
+    new = an.mann_whitney_u(obs, "vm", "variant").collect()[0]
+    tally = obs.groupBy("vm").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum((F.col("variant") == 1).cast("long")).alias("_c1"),
+    )
+    w = Window.orderBy("vm").rowsBetween(Window.unboundedPreceding, -1)
+    old = (
+        tally.withColumn(
+            "_rb", F.coalesce(F.sum("_cnt").over(w), F.lit(0)).cast("long")
+        )
+        .agg(
+            F.sum("_cnt").cast("long").alias("_nn"),
+            F.sum("_c1").cast("long").alias("_n1"),
+            F.sum(F.col("_c1") * (2 * F.col("_rb") + F.col("_cnt") + 1))
+            .cast("long")
+            .alias("_r1"),
+        )
+        .collect()[0]
+    )
+    assert new["n0"] == old["_nn"] - old["_n1"]
+    assert new["n1"] == old["_n1"]
+    assert new["u_times_2"] == old["_r1"] - old["_n1"] * (old["_n1"] + 1)
+
+
+def test_ks_matches_old_window_shape(spark, sf_dir):
+    from logprep_spark.plans import analytics as an
+
+    ev = catalog.tables(spark, sf_dir)["events"]
+    obs = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        (F.col("user_id") % 2).cast("long").alias("variant"),
+    )
+    new = an.ks_two_sample(obs, "vm", "variant").collect()[0]
+    tally = obs.groupBy("vm").agg(
+        F.sum((F.col("variant") == 0).cast("long")).alias("_c0"),
+        F.sum((F.col("variant") == 1).cast("long")).alias("_c1"),
+    )
+    w = Window.orderBy("vm").rowsBetween(Window.unboundedPreceding, 0)
+    cum = tally.select(
+        F.col("vm").alias("_v"),
+        F.sum("_c0").over(w).cast("long").alias("_f0"),
+        F.sum("_c1").over(w).cast("long").alias("_f1"),
+    )
+    tot = tally.agg(
+        F.sum("_c0").cast("long").alias("n0"),
+        F.sum("_c1").cast("long").alias("n1"),
+    ).collect()[0]
+    old_dmax = (
+        cum.agg(
+            F.max(
+                F.abs(
+                    F.col("_f0") * F.lit(int(tot["n1"]))
+                    - F.col("_f1") * F.lit(int(tot["n0"]))
+                )
+            )
+        ).collect()[0][0]
+    )
+    assert new["n0"] == tot["n0"] and new["n1"] == tot["n1"]
+    assert new["ks_scaled"] == old_dmax
