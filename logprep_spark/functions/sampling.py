@@ -206,65 +206,75 @@ def mix_allocate(
     max_epochs_milli by construction, gated.
 
     All arithmetic is exact long math on the mix_weights outputs —
-    bit-identical cross-engine. Distributed shape: mix_weights' tiny
-    domain-keyed agg (persisted — its subtree scans the corpus once)
-    plus three 1-row broadcast aggregates; no corpus re-read, no
-    windows."""
-    from pyspark.sql.functions import broadcast
+    bit-identical cross-engine (Python int floor-div ≡ Spark div ≡
+    DuckDB // on the non-negative operands every step produces).
 
-    from logprep_spark.functions.text import mix_weights
+    Distributed shape (r13 BNLJ burndown, r12 verdict #5): the corpus
+    scans ONCE into the tiny domain-keyed agg; that |domains|-row
+    frame is a bounded MODEL, collected to the driver (the ranks.py /
+    k-means / BPE model-fetch discipline — O(domains) bytes, never
+    O(rows)), and the whole budget → cap → redistribute → shortfall
+    chain runs as exact Python ints. The old in-plan form chained
+    four scalar crossJoins whose subtrees compound (1 → 3 → 7 → 15
+    BroadcastNestedLoopJoins per plan, PLANS/LINT.txt); the result
+    frame is now a literal — zero BNLJ, zero corpus re-read, same
+    values."""
+    from logprep_spark.functions.text import token_count
 
-    from pyspark.storagelevel import StorageLevel
-
-    per = mix_weights(df, group_col=group_col, text_col=text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # the corpus-scanning part of mix_weights, WITHOUT its 1-row
+    # normalizing crossJoin — the normalization joins the driver-side
+    # arithmetic below (same milli-fixed sqrt discipline)
+    per = (
+        df.select(
+            F.col(group_col).alias("domain"),
+            token_count(F.col(text_col)).alias("_t"),
+        )
+        .groupBy("domain")
+        .agg(F.sum("_t").alias("n_tokens"))
+        .withColumn("_s", F.round(F.sqrt("n_tokens") * 1000).cast("long"))
     )
-    budget = per.agg(
-        F.expr(
-            f"(sum(n_tokens) * {budget_num}) div {budget_den}"
-        ).alias("_budget")
-    )
-    r1 = per.crossJoin(broadcast(budget)).select(
-        "domain",
-        "n_tokens",
-        "weight_milli",
-        "_budget",
-        F.expr("_budget * weight_milli div 1000").alias("_req"),
-        F.expr(f"n_tokens * {max_epochs_milli} div 1000").alias("_cap"),
-    ).withColumn("_a1", F.least("_req", "_cap"))
-    pools = r1.agg(
-        F.expr("max(_budget) - sum(_a1)").alias("_leftover"),
-        F.sum(
-            F.when(F.col("_a1") < F.col("_cap"), F.col("weight_milli"))
-        ).alias("_wu"),
-    )
-    r2 = r1.crossJoin(broadcast(pools)).select(
-        "domain",
-        "n_tokens",
-        "weight_milli",
-        "_budget",
-        "_req",
-        "_cap",
-        F.least(
-            F.when(
-                (F.col("_a1") < F.col("_cap")) & (F.col("_wu") > 0),
-                F.col("_a1")
-                + F.expr("_leftover * weight_milli div _wu"),
-            ).otherwise(F.col("_a1")),
-            F.col("_cap"),
-        ).alias("_alloc"),
-    )
-    placed = r2.agg(
-        F.expr("max(_budget) - sum(_alloc)").alias("residual_shortfall")
-    )
-    return r2.crossJoin(broadcast(placed)).select(
-        "domain",
-        "n_tokens",
-        "weight_milli",
-        F.col("_req").alias("requested_tokens"),
-        F.col("_alloc").alias("allocated_tokens"),
-        F.expr("_alloc * 1000 div n_tokens").alias("epochs_milli"),
-        "residual_shortfall",
+    rows = sorted(per.collect(), key=lambda r: r["domain"])
+    tot_s = sum(int(r["_s"]) for r in rows)
+    budget = sum(int(r["n_tokens"]) for r in rows) * budget_num // budget_den
+    model = []
+    for r in rows:
+        w = 1000 * int(r["_s"]) // tot_s if tot_s else 0
+        req = budget * w // 1000
+        cap = int(r["n_tokens"]) * max_epochs_milli // 1000
+        model.append(
+            {
+                "domain": r["domain"],
+                "n_tokens": int(r["n_tokens"]),
+                "w": w,
+                "req": req,
+                "cap": cap,
+                "a1": min(req, cap),
+            }
+        )
+    leftover = budget - sum(m["a1"] for m in model)
+    wu = sum(m["w"] for m in model if m["a1"] < m["cap"])
+    for m in model:
+        if m["a1"] < m["cap"] and wu > 0:
+            m["alloc"] = min(m["a1"] + leftover * m["w"] // wu, m["cap"])
+        else:
+            m["alloc"] = m["a1"]
+    shortfall = budget - sum(m["alloc"] for m in model)
+    return df.sparkSession.createDataFrame(
+        [
+            (
+                m["domain"],
+                m["n_tokens"],
+                m["w"],
+                m["req"],
+                m["alloc"],
+                m["alloc"] * 1000 // m["n_tokens"] if m["n_tokens"] else 0,
+                shortfall,
+            )
+            for m in model
+        ],
+        "domain string, n_tokens long, weight_milli long, "
+        "requested_tokens long, allocated_tokens long, "
+        "epochs_milli long, residual_shortfall long",
     )
 
 
