@@ -68,17 +68,40 @@ class IncrementalCorpusStream:
     its own successors — the pairwise chain-kill the batch
     minhash_dedup performs).
 
+    Split inheritance (r12 verdict ask #6 — the streamed corpus is
+    TRAINING-READY, not just deduplicated): every emitted survivor
+    carries a ``split`` column assigned CLUSTER-atomically, the
+    split_incremental_atomic (L140) semantics per micro-batch. A
+    CLUSTER STORE (doc_id -> gid, the min-id cluster label) persists
+    alongside the band store; each batch's docs probe the band store
+    for EVERY verified (batch, history) pair (keep_all — the bridge
+    set), min-label propagate over (in-batch pairs + batch->gid
+    bridge edges) — a graph bounded by |batch| + touched clusters,
+    never |history| — and take split = hash(final gid). A surviving
+    doc whose only path to history runs THROUGH a killed in-batch
+    twin (survivor ~ killed twin ~ historical train doc) therefore
+    inherits the historical cluster's split instead of its own hash
+    — the delta-twin-of-train-doc leak the naive per-doc split
+    commits. Bridge merges fold REASSIGNMENT rows into the cluster
+    store (members of an absorbed cluster re-keyed to the merged
+    label; latest batch wins on read), so later batches probe the
+    merged view — remap volume is bounded by merge events, not
+    corpus size.
+
     Parity theorem (asserted e2e in tests/integration/
     test_streaming.py): when docs arrive in id order — ingestion
     order IS id order in a crawl pipeline — the union of committed
     survivor batches equals the batch delta pass over the
     concatenated delta, whatever the micro-batch boundaries and
-    however many crash/restart cycles happened in between.
+    however many crash/restart cycles happened in between; the
+    ``split`` column likewise matches incremental_atomic_split
+    applied once to the concatenated delta.
     """
 
     FP_SCHEMA = "fp string"
     BANDS_SCHEMA = "hist_id long, band_id int, band_key string"
     SHINGLES_SCHEMA = "hist_id long, sh array<string>"
+    CLUSTERS_SCHEMA = "doc_id long, gid long, b long"
 
     def __init__(
         self,
@@ -92,6 +115,7 @@ class IncrementalCorpusStream:
         seed_fp: str | None = None,
         seed_bands: str | None = None,
         seed_shingles: str | None = None,
+        seed_clusters: str | None = None,
     ):
         import os
 
@@ -107,6 +131,9 @@ class IncrementalCorpusStream:
         self.shingle_store = IdempotentBatchOutput(
             os.path.join(store_dir, "shingles"), fmt="parquet"
         )
+        self.cluster_store = IdempotentBatchOutput(
+            os.path.join(store_dir, "clusters"), fmt="parquet"
+        )
         self.bits = bloom_bits
         self.m, self.j = bloom_m, bloom_j
         self.threshold = threshold
@@ -115,6 +142,7 @@ class IncrementalCorpusStream:
             "fp": seed_fp,
             "bands": seed_bands,
             "shingles": seed_shingles,
+            "clusters": seed_clusters,
         }
 
     def _read(
@@ -148,6 +176,8 @@ class IncrementalCorpusStream:
         from pyspark.sql import functions as F
 
         from logprep_spark.functions.dedup import (
+            dup_clusters,
+            h60,
             incremental_dedup_vs_store,
             minhash_bands,
             minhash_dedup,
@@ -161,7 +191,7 @@ class IncrementalCorpusStream:
 
         spark = batch_df.sparkSession
         # lineage cut: the gated batch fans into the exact probe, the
-        # band probe, the in-batch kill, and three store fold-ins
+        # band probe, the in-batch kill, and four store fold-ins
         gated = gopher_filter(
             batch_df, min_stop_hits=self.min_stop_hits
         ).localCheckpoint(eager=True)
@@ -177,17 +207,55 @@ class IncrementalCorpusStream:
         shingles = self._read(
             spark, self.shingle_store, "shingles", self.SHINGLES_SCHEMA, batch_id
         )
-        hist_kill = (
-            near_dup_vs_band_store(
-                exact, bands, shingles, threshold=self.threshold
-            )
-            .select("doc_id")
-            .distinct()
+        # EVERY verified (batch, history) pair — keep_all: the kill
+        # set is its doc_id projection, the bridge set feeds the
+        # cluster-atomic split (L140 per micro-batch)
+        bridges = near_dup_vs_band_store(
+            exact, bands, shingles, threshold=self.threshold, keep_all=True
+        ).localCheckpoint(eager=True)
+        hist_kill = bridges.select("doc_id").distinct()
+        batch_pairs = minhash_dedup(
+            exact, threshold=self.threshold
+        ).localCheckpoint(eager=True)
+        batch_kill = batch_pairs.select(
+            F.col("id_b").alias("doc_id")
+        ).distinct()
+        # cluster store view (latest batch wins — merge reassignments
+        # supersede the assignment rows they re-key)
+        cl = self._read(
+            spark, self.cluster_store, "clusters", self.CLUSTERS_SCHEMA,
+            batch_id,
         )
-        batch_kill = (
-            minhash_dedup(exact, threshold=self.threshold)
-            .select(F.col("id_b").alias("doc_id"))
-            .distinct()
+        store = cl.groupBy("doc_id").agg(
+            F.max_by("gid", F.coalesce("b", F.lit(-1))).alias("gid")
+        )
+        # merge graph: in-batch pairs + (batch doc -> matched cluster
+        # gid) bridge edges — bounded by |batch| + touched clusters
+        bridge_g = bridges.join(
+            store.select(F.col("doc_id").alias("hist_id"), "gid"),
+            "hist_id",
+        ).select("doc_id", "gid")
+        merged = dup_clusters(
+            batch_pairs.select("id_a", "id_b").unionByName(
+                bridge_g.select(
+                    F.col("doc_id").alias("id_a"), F.col("gid").alias("id_b")
+                )
+            )
+        ).localCheckpoint(eager=True)
+
+        def tag(key):
+            b = h60(F.concat(F.lit("gsplit:"), key.cast("string"))) % 100
+            return (
+                F.when(b < 80, F.lit("train"))
+                .when(b < 90, F.lit("val"))
+                .otherwise(F.lit("test"))
+            )
+
+        asn = exact.select("doc_id").join(
+            merged.withColumnRenamed("cluster_id", "_m"), "doc_id", "left"
+        ).select(
+            "doc_id",
+            F.coalesce("_m", F.col("doc_id")).alias("gid"),
         )
         survivors = exact.join(
             hist_kill.unionByName(batch_kill).distinct(), "doc_id", "left_anti"
@@ -208,10 +276,17 @@ class IncrementalCorpusStream:
                 .distinct()
             )
             survivors = survivors.join(hit, "doc_id", "left_anti")
-        self.out.write_batch(survivors.select("doc_id", "text"), batch_id)
+        self.out.write_batch(
+            survivors.join(asn, "doc_id").select(
+                "doc_id", "text", tag(F.col("gid")).alias("split")
+            ),
+            batch_id,
+        )
         # fold the batch into history (each write individually
         # idempotent): fingerprints of GATED docs, bands+shingles of
-        # EXACT survivors — the batch row's store contents exactly
+        # EXACT survivors — the batch row's store contents exactly —
+        # plus cluster rows: every EXACT doc's final gid AND remap
+        # rows re-keying members of clusters this batch absorbed
         self.fp_store.write_batch(
             gated.select(
                 F.md5(F.array_join(tokens(F.col("text")), " ")).alias("fp")
@@ -227,6 +302,20 @@ class IncrementalCorpusStream:
         self.shingle_store.write_batch(
             shingle_arrays(exact).select(
                 F.col("doc_id").alias("hist_id"), "sh"
+            ),
+            batch_id,
+        )
+        remap = store.join(
+            merged.select(
+                F.col("doc_id").alias("gid"), F.col("cluster_id").alias("_m")
+            ),
+            "gid",
+        ).filter(F.col("_m") != F.col("gid")).select(
+            "doc_id", F.col("_m").alias("gid")
+        )
+        self.cluster_store.write_batch(
+            asn.unionByName(remap).withColumn(
+                "b", F.lit(batch_id).cast("long")
             ),
             batch_id,
         )

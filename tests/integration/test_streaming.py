@@ -1968,3 +1968,155 @@ def test_incremental_corpus_stream_crash_between_fold_ins(spark, tmp_path):
     # and the replayed output batch was skipped, not rewritten: the
     # sink still holds one dir per batch with the right survivors
     assert clean.out.committed_batches() == crashed.out.committed_batches()
+
+
+def test_incremental_corpus_stream_split_inheritance(spark, tmp_path):
+    """The streamed corpus is TRAINING-READY (r12 verdict ask #6):
+    every emitted survivor carries a cluster-atomic ``split`` column
+    with split_incremental_atomic's (L140) semantics per micro-batch.
+    Plants, all verified-pair geometry pre-tuned against the real
+    minhash/shingle pipeline:
+
+    * the delta-twin-of-train-doc chain: survivor A near-dups only
+      its KILLED in-batch twin B, which near-dups base train doc T1 —
+      A must inherit 'train' (its naive per-doc hash says 'test');
+    * a historical LSH-miss pair (T2, H2 at J=0.786 but seeded as
+      separate clusters) merged by a bridging delta doc X — the
+      cluster store must fold REMAP rows re-keying H2 to T2's gid;
+    * a post-merge chain: survivor Y reaches history only through
+      killed twin K ~ H2, and must inherit the MERGED cluster's
+      'train' (naive: 'test') — later batches see the merged view;
+    * stream == batch parity: every emitted doc's split equals
+      incremental_atomic_split(base, concatenated delta)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from logprep_spark.functions.dedup import (
+        incremental_atomic_split,
+        minhash_bands,
+        shingle_arrays,
+        tokens,
+    )
+    from logprep_spark.session import fan_out
+    from logprep_spark.streaming import IncrementalCorpusStream
+
+    p = [f"p{i}" for i in range(200)]
+    q = [f"q{i}" for i in range(22)]
+    a = [f"a{i}" for i in range(22)]
+    t = [f"t{i}" for i in range(200)]
+    b = [f"b{i}" for i in range(22)]
+    g = [f"g{i}" for i in range(22)]
+    d = [f"d{i}" for i in range(22)]
+    mk = lambda ws: " ".join(ws + ["the", "and"])  # noqa: E731
+
+    T1 = mk(p)                       # id 8, tag(8)=53 -> train
+    T2 = mk(t)                       # id 12, tag(12)=40 -> train
+    H2 = mk(t[:178] + b)             # id 21, tag(21)=92 -> test; J(T2,H2)=.786
+    B_ = mk(p[:178] + q)             # id 561: J(T1,B)=.786 -> killed
+    A_ = mk(a + p[22:178] + q)       # id 509: J(A,B)=.8, J(A,T1)=.63 -> survives
+    FR = mk([f"fresh{i}" for i in range(58)])    # id 620: fresh survivor
+    Xw = t[:189] + b[:11]
+    Kw = Xw[22:] + g
+    X_ = mk(Xw)                      # id 650: bridges T2 AND H2 -> merge
+    K_ = mk(Kw)                      # id 690: J(K,X)=.786 -> killed
+    Y_ = mk(Kw[22:] + d)             # id 682: J(Y,K)=.786, J(Y,hist)<.7
+
+    base_rows = [(8, T1), (12, T2), (21, H2)]
+    f1 = [(509, A_), (561, B_), (620, FR)]
+    f2 = [(650, X_)]
+    f3 = [(682, Y_), (690, K_)]
+
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    seed = tmp_path / "seed"
+    base.select(
+        F.md5(F.array_join(tokens(F.col("text")), " ")).alias("fp")
+    ).distinct().write.parquet(str(seed / "fp"))
+    minhash_bands(fan_out(base)).select(
+        F.col("doc_id").alias("hist_id"), "band_id", "band_key"
+    ).write.parquet(str(seed / "bands"))
+    shingle_arrays(base).select(
+        F.col("doc_id").alias("hist_id"), "sh"
+    ).write.parquet(str(seed / "shingles"))
+    # the LSH-miss premise: T2 and H2 seeded as SEPARATE clusters
+    # (no b column — exercises the coalesce(b, -1) seed-read path)
+    spark.createDataFrame(
+        [(8, 8), (12, 12), (21, 21)], "doc_id long, gid long"
+    ).write.parquet(str(seed / "clusters"))
+
+    src = tmp_path / "delta-src"
+    src.mkdir()
+    now = time.time()
+    for name, rows, age in (
+        ("f1.jsonl", f1, 60),
+        ("f2.jsonl", f2, 40),
+        ("f3.jsonl", f3, 20),
+    ):
+        fp = src / name
+        fp.write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": x}) for i, x in rows)
+            + "\n"
+        )
+        os.utime(fp, (now - age, now - age))
+
+    stream = IncrementalCorpusStream(
+        store_dir=str(tmp_path / "stores"),
+        out_dir=str(tmp_path / "sink"),
+        min_stop_hits=1,
+        seed_fp=str(seed / "fp"),
+        seed_bands=str(seed / "bands"),
+        seed_shingles=str(seed / "shingles"),
+        seed_clusters=str(seed / "clusters"),
+    )
+    df = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q_ = stream.write_stream(df, checkpoint=str(tmp_path / "ckpt"))
+    q_.awaitTermination(180)
+    q_.stop()
+
+    emitted = {
+        r["doc_id"]: r["split"]
+        for bb in stream.out.committed_batches()
+        for r in spark.read.schema("doc_id long, text string, split string")
+        .json(stream.out.path + f"/batch-{bb}")
+        .collect()
+    }
+    # the planted chains: A and Y inherit 'train' through killed twins
+    # (their naive per-doc hashes say 'test': buckets 509->90s, 682->91)
+    assert emitted == {509: "train", 620: "train", 682: "train"}
+
+    # the cluster store folded the X-merge: H2 (21) re-keyed to T2's
+    # gid (12), and every t-family doc resolves to the merged cluster
+    paths = [
+        stream.cluster_store.path + f"/batch-{bb}"
+        for bb in stream.cluster_store.committed_batches()
+    ] + [str(seed / "clusters")]
+    view = {
+        r["doc_id"]: r["gid"]
+        for r in spark.read.schema(IncrementalCorpusStream.CLUSTERS_SCHEMA)
+        .parquet(*paths)
+        .groupBy("doc_id")
+        .agg(F.max_by("gid", F.coalesce("b", F.lit(-1))).alias("gid"))
+        .collect()
+    }
+    assert view[21] == 12 and view[650] == 12
+    assert view[509] == 8 and view[561] == 8
+    assert view[682] == 12 and view[690] == 12
+    assert view[620] == 620
+
+    # stream == batch parity: the one-shot cluster-atomic split over
+    # the concatenated delta assigns every EMITTED doc the same split
+    delta = spark.createDataFrame(
+        f1 + f2 + f3, "doc_id long, text string"
+    )
+    asn, _pairs = incremental_atomic_split(base, delta, threshold=0.7)
+    oneshot = {
+        r["doc_id"]: r["split"]
+        for r in asn.filter(~F.col("is_base")).collect()
+    }
+    for doc_id, split in emitted.items():
+        assert oneshot[doc_id] == split, (doc_id, split, oneshot[doc_id])
