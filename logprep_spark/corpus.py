@@ -492,9 +492,37 @@ def _step_neardup_vs_store(
     return df.join(kill, id_col, "left_anti")
 
 
+def _step_hash_split(
+    df: DataFrame,
+    text_col: str,
+    salt: str = "split",
+    id_col: str = "doc_id",
+    out_col: str = "split",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """POINTWISE train/val/test tag — leakage_split's incremental
+    sibling and the tag the pipeline_pretrain_incremental apply
+    branch ships (its docstring: the group-aware closure is NOT
+    pointwise, so the incremental twin tags per doc): split =
+    salted-hash(id) buckets, deterministic, engine-portable,
+    assignable the moment a doc arrives with no corpus-wide state.
+    Run it AFTER the store-probing dedups: a near-dup of history
+    never reaches the tag (killed), so the pointwise tag cannot
+    straddle a known cluster."""
+    b = dd.h60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 100
+    return df.withColumn(
+        out_col,
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
 STEPS: dict[str, Callable[..., DataFrame]] = {
     "exact_dedup_vs_store": _step_exact_dedup_vs_store,
     "neardup_vs_store": _step_neardup_vs_store,
+    "hash_split": _step_hash_split,
     "bloom_suppress": _step_bloom_suppress,
     "cluster_dedup": _step_cluster_dedup,
     "decontaminate": _step_decontaminate,

@@ -17675,7 +17675,12 @@ def pipeline_pretrain_incremental(spark, sf_dir):
     ships the per-doc split. Scale shape: the delta pass touches
     history only through the two O(store)-row artifacts; the
     recompute branch exists for the witness and would be a sampled
-    audit, not a daily job, at 100 TB. The cut comes from the r12
+    audit, not a daily job, at 100 TB — the SHIPPABLE path is the
+    apply branch alone, exposed as an X30 YAML config (corpus.py:
+    exact_dedup_vs_store -> neardup_vs_store -> near_dedup ->
+    decontaminate -> hash_split; parity pytest
+    test_incremental_apply_only_yaml_parity), so a production user
+    never inherits this row's witness 2x. The cut comes from the r12
     two-pass global rank over the narrow doc_id projection
     (plans/ranks.py — no partition-less window; bit-parity with the
     r11 window form via the unchanged oracle hash); the spine is a

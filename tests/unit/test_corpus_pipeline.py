@@ -443,3 +443,94 @@ def test_decontaminate_step_batch_stream_parity(spark, tmp_path):
     got = [r["doc_id"] for r in
            spark.sql("SELECT doc_id FROM decontam_stream_out").collect()]
     assert got == [2]
+
+
+def test_incremental_apply_only_yaml_parity(spark, sf_dir, tmp_path):
+    """The X30 factory ships the APPLY-ONLY incremental path (r12
+    verdict ask #7): the gated pipeline_pretrain_incremental row
+    deliberately pays a from-scratch recompute branch to prove
+    apply == recompute; production users run the apply branch ALONE
+    against yesterday's persisted stores. This YAML — gate ->
+    exact_dedup_vs_store (fingerprints) -> neardup_vs_store (bands +
+    shingles) -> in-batch near_dedup -> stored-Bloom decontaminate ->
+    pointwise hash_split — must land on the SAME per-split delta
+    survivor counts and token totals as the gated row's apply branch
+    (n_delta_final / tok_delta), with NO recompute anywhere in the
+    plan."""
+    from logprep_spark.functions import dedup as dd
+    from logprep_spark.functions import sketch as sk
+    from logprep_spark.functions import text as tx
+    from logprep_spark.plans import catalog
+    from logprep_spark.session import fan_out
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter("doc_id % 5 = 0")
+    corpus = docs.filter("doc_id % 5 != 0")
+    ids = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    cut = ids[(8 * len(ids) + 9) // 10 - 1]
+
+    # yesterday's artifacts: the BASE pass's persisted stores
+    base_g = tx.gopher_filter(corpus.filter(F.col("doc_id") <= cut),
+                              min_stop_hits=1)
+    base_exact = dd.exact_dedup(base_g)
+    store = tmp_path / "stores"
+    base_g.select(
+        F.md5(F.array_join(tx.tokens(F.col("text")), " ")).alias("fp")
+    ).distinct().write.parquet(str(store / "fp"))
+    dd.minhash_bands(fan_out(base_exact)).select(
+        F.col("doc_id").alias("hist_id"), "band_id", "band_key"
+    ).write.parquet(str(store / "bands"))
+    dd.shingle_arrays(base_exact).select(
+        F.col("doc_id").alias("hist_id"), "sh"
+    ).write.parquet(str(store / "shingles"))
+    sk.bloom_bits(
+        dd.window_hashes(bench, 13).select("window_hash").distinct(),
+        "window_hash", m=524288, j=3,
+    ).write.parquet(str(store / "bench_bloom"))
+
+    cfg = tmp_path / "incremental.yml"
+    cfg.write_text(
+        f"""
+text_col: text
+pipeline:
+  - op: filter
+    where: "doc_id % 5 != 0 and doc_id > {cut}"
+  - op: gopher_filter
+    min_stop_hits: 1
+  - op: exact_dedup_vs_store
+    path: "{store / 'fp'}"
+  - op: neardup_vs_store
+    bands_path: "{store / 'bands'}"
+    shingles_path: "{store / 'shingles'}"
+    threshold_milli: 700
+  - op: near_dedup
+    threshold_milli: 700
+  - op: decontaminate
+    path: "{store / 'bench_bloom'}"
+    k: 13
+    m: 524288
+    j: 3
+  - op: hash_split
+    salt: isplit
+"""
+    )
+    out = CorpusPipeline.from_file(str(cfg)).transform(docs)
+    got = {
+        r["split"]: (r["n"], r["tok"])
+        for r in out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.size(tx.tokens(F.col("text"))).cast("long")).alias("tok"),
+        )
+        .collect()
+    }
+    want = {
+        r["split"]: (r["n_delta_final"], r["tok_delta"])
+        for r in catalog.queries()["pipeline_pretrain_incremental"](
+            spark, sf_dir
+        ).collect()
+    }
+    # empty splits appear as explicit zeros on the gated row's 3-row
+    # spine; the YAML frame simply has no row — align the views
+    want = {k: v for k, v in want.items() if v != (0, 0)}
+    assert got == want
