@@ -3715,76 +3715,6 @@ def hits_scores(
     return top(hubs, "h", "hub").unionByName(top(auth, "a", "authority"))
 
 
-def k_core(
-    edges: DataFrame, k: int = 3, rounds: int = 12
-) -> DataFrame:
-    """k-core decomposition by iterative peeling (Seidman 1983) — the
-    graph family's DENSITY member (PageRank ranks influence, LPA finds
-    communities, triangles measure closure; the k-core answers "which
-    nodes survive when every node must keep >= k neighbors", the
-    standard cohesion filter before any expensive graph ML): each
-    round drops every node whose degree in the SURVIVING subgraph is
-    below k, cascading until stable.
-
-    ``edges`` is the undirected unique pair frame (src < dst). Runs a
-    FIXED round budget (the graph_bfs_hops / hits_scores discipline —
-    the oracle unrolls the same rounds as CTEs): each round is one
-    degree agg + two anti-joins, lineage cut per round; the loop
-    early-exits when a round removes nothing (later rounds are
-    no-ops, so fixed-budget parity holds). Output: one row per
-    surviving node with its CORE degree, plus ``n_rounds_active``
-    (rounds that removed >= 1 node) and ``converged`` (the peel
-    reached a fixed point within budget — an honest false if the
-    budget was too small) riding every row.
-
-    Scale: degrees are map-side-combinable aggs on the edge frame;
-    the weak set is small after round 1 (broadcast anti-join);
-    O(rounds) shuffles total, never a per-node iteration."""
-    sym = (
-        edges.select("src", "dst")
-        .unionByName(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-        )
-        .localCheckpoint(eager=True)
-    )
-    e = sym
-    active = 0
-    converged = False
-    for _ in range(rounds):
-        weak = (
-            e.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("_deg"))
-            .filter(F.col("_deg") < k)
-            .select("src")
-            .localCheckpoint(eager=True)
-        )
-        if weak.isEmpty():
-            converged = True
-            break
-        active += 1
-        e = (
-            e.join(broadcast(weak), "src", "left_anti")
-            .join(
-                broadcast(weak.withColumnRenamed("src", "dst")),
-                "dst",
-                "left_anti",
-            )
-            .localCheckpoint(eager=True)
-        )
-    return (
-        e.groupBy("src")
-        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
-        .select(
-            F.col("src").cast("long").alias("node"),
-            "core_degree",
-            F.lit(active).cast("long").alias("n_rounds_active"),
-            F.lit(bool(converged)).alias("converged"),
-        )
-    )
-
-
 def welch_ttest(
     obs: DataFrame, value_col: str = "vm", variant_col: str = "variant"
 ) -> DataFrame:
@@ -3971,5 +3901,105 @@ def mad_outliers(
             "mad_milli",
             "n_outliers",
             F.expr("1000 * n_outliers div n").alias("outlier_share_milli"),
+        )
+    )
+
+
+def theil_decomposition(
+    spend: DataFrame, group_col: str = "g", value_col: str = "x"
+) -> DataFrame:
+    """Theil-T inequality index with its exact between/within-group
+    decomposition (Theil 1967) — the DECOMPOSABLE member of the
+    concentration family: gini_concentration reads total inequality
+    but cannot attribute it; Theil-T splits exactly as T = Σ_g s_g·T_g
+    (within) + Σ_g s_g·ln(μ_g/μ) (between), the question a marketplace
+    or shard-balance analysis actually asks ("is the skew BETWEEN
+    nations or INSIDE them?").
+
+    Exactness discipline: every ln forms from exact integer sums with
+    explicit DOUBLE casts in a fixed operand order (a bare SQL `1.0`
+    parses as DECIMAL with engine-specific division scales — the r13
+    dq_mutual_info lesson) and is micro-rounded PER ROW before any
+    sum, so every aggregate is an exact integer sum — deterministic
+    under any partitioning, bit-identical cross-engine (a double sum
+    would be order-dependent). The rounded paths make the exact-real
+    identity T = B + W hold only to accumulated rounding;
+    ``decomp_gap_micro`` reads that residue honestly instead of
+    gating a float equality.
+
+    Catalyst shape: one per-key agg feeds one group agg + one 1-row
+    global broadcast; per-row terms are narrow projections; NO
+    windows, no sort — at 10⁹ keys the only shuffles are the two
+    keyed aggs."""
+    glob = spend.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum(value_col).cast("long").alias("tot"),
+    )
+    grp = spend.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(value_col).cast("long").alias("tot_g"),
+    )
+    x = f"CAST({value_col} AS DOUBLE)"
+    rows = (
+        spend.join(broadcast(grp), group_col)
+        .crossJoin(broadcast(glob))
+        .select(
+            group_col,
+            "n_g",
+            "tot_g",
+            "nn",
+            "tot",
+            F.expr(
+                f"CAST(round(1000000 * ({x} / tot)"
+                f" * ln({x} * nn / tot)) AS BIGINT)"
+            ).alias("_tt"),
+            F.expr(
+                f"CAST(round(1000000 * ({x} / tot_g)"
+                f" * ln({x} * n_g / tot_g)) AS BIGINT)"
+            ).alias("_tw"),
+        )
+    )
+    per_g = rows.groupBy(group_col).agg(
+        F.max("n_g").alias("n_users"),
+        F.max("tot_g").alias("spend_milli"),
+        F.max("nn").alias("_nn"),
+        F.max("tot").alias("_tot"),
+        F.sum("_tt").cast("long").alias("_t_total_part"),
+        F.sum("_tw").cast("long").alias("theil_within_g_micro"),
+    ).select(
+        group_col,
+        "n_users",
+        "spend_milli",
+        F.expr("1000 * spend_milli div _tot").alias("share_milli"),
+        "theil_within_g_micro",
+        F.expr(
+            "CAST(CAST(spend_milli AS DECIMAL(38,0))"
+            " * theil_within_g_micro div _tot AS BIGINT)"
+        ).alias("within_contrib_micro"),
+        F.expr(
+            "CAST(round(1000000 * (CAST(spend_milli AS DOUBLE) / _tot)"
+            " * ln(CAST(spend_milli AS DOUBLE) * _nn / (_tot * CAST(n_users"
+            " AS DOUBLE)))) AS BIGINT)"
+        ).alias("between_contrib_micro"),
+        F.col("_t_total_part"),
+    )
+    tot_row = per_g.agg(
+        F.sum("_t_total_part").cast("long").alias("theil_total_micro"),
+        F.sum("within_contrib_micro").cast("long").alias(
+            "theil_within_micro"
+        ),
+        F.sum("between_contrib_micro").cast("long").alias(
+            "theil_between_micro"
+        ),
+    )
+    return (
+        per_g.drop("_t_total_part")
+        .crossJoin(broadcast(tot_row))
+        .withColumn(
+            "decomp_gap_micro",
+            F.expr(
+                "theil_total_micro - theil_between_micro"
+                " - theil_within_micro"
+            ),
         )
     )

@@ -1,53 +1,15 @@
-"""Hand-computed replicas for the r13 capability rows: k-core
-(graph_k_core), Welch's t (ab_welch_ttest), mutual-information cells
-(dq_mutual_info), median/MAD outliers (events_mad_outliers) — the
-SURVEY §5 discipline: beside the cross-engine oracle gate, each
-operator is pinned to values computed by hand on a planted input."""
+"""Hand-computed replicas for the r13 capability rows: Welch's t
+(ab_welch_ttest), mutual-information cells (dq_mutual_info),
+median/MAD outliers (events_mad_outliers), Theil decomposition
+(users_spend_theil) — the SURVEY §5 discipline: beside the
+cross-engine oracle gate, each operator is pinned to values computed
+by hand on a planted input."""
 
 import math
 
 from pyspark.sql import functions as F
 
 from logprep_spark.plans import analytics as an
-
-
-def test_k_core_hand_computed(spark):
-    # K4 on {1,2,3,4} (every degree 3) + a tail 4-5-6 + pendant 7 on 1.
-    # 2-core: round 1 peels 7 and 6 (both deg 1), round 2 peels 5
-    # (deg 1 once 6 is gone) -> survivors K4, every core degree 3,
-    # two active rounds.
-    edges = spark.createDataFrame(
-        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
-         (4, 5), (5, 6), (1, 7)],
-        "src long, dst long",
-    )
-    out = {r["node"]: r for r in an.k_core(edges, k=2, rounds=8).collect()}
-    assert sorted(out) == [1, 2, 3, 4]
-    assert all(out[n]["core_degree"] == 3 for n in out)
-    assert out[1]["n_rounds_active"] == 2
-    assert bool(out[1]["converged"]) is True
-
-
-def test_k_core_everything_peels(spark):
-    # a path graph has no 2-core: output empty, converged after the
-    # cascade eats the whole path from both ends
-    edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(1, 7)], "src long, dst long"
-    )
-    got = an.k_core(edges, k=2, rounds=8)
-    assert got.count() == 0
-
-
-def test_k_core_budget_too_small_is_honest(spark):
-    # same path graph with rounds=1: one round removes the two
-    # endpoints and the budget ends -> converged False, survivors left
-    edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(1, 7)], "src long, dst long"
-    )
-    rows = an.k_core(edges, k=2, rounds=1).collect()
-    assert len(rows) > 0
-    assert all(bool(r["converged"]) is False for r in rows)
-    assert all(r["n_rounds_active"] == 1 for r in rows)
 
 
 def test_welch_ttest_hand_computed(spark):
@@ -134,3 +96,47 @@ def test_mad_outliers_constant_group_no_flags(spark):
         spark.createDataFrame(rows, "g string, v long"), "g", "v"
     ).collect()[0]
     assert out["mad_milli"] == 0 and out["n_outliers"] == 0
+
+
+def _half_away(v):
+    import math as m
+
+    return int(m.floor(v + 0.5)) if v >= 0 else -int(m.floor(-v + 0.5))
+
+
+def test_theil_hand_computed(spark):
+    # group a: two users of 1 milli; group b: two users of 2 milli.
+    # Within both groups spend is CONSTANT -> T_g = 0, all inequality
+    # is BETWEEN: b_a = round(1e6*(2/6)*ln((2*4)/(6*2))),
+    # b_b = round(1e6*(4/6)*ln((4*4)/(6*2))); the independently
+    # rounded total path differs by exactly the accumulated rounding,
+    # read out honestly in decomp_gap_micro.
+    rows = [("a", 1), ("a", 1), ("b", 2), ("b", 2)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = {r["g"]: r for r in an.theil_decomposition(df, "g", "x").collect()}
+    b_a = _half_away(1e6 * (2 / 6) * math.log((1.0 * 2 * 4) / (6 * 2)))
+    b_b = _half_away(1e6 * (4 / 6) * math.log((1.0 * 4 * 4) / (6 * 2)))
+    tt = 2 * _half_away(1e6 * (1 / 6) * math.log(1.0 * 1 * 4 / 6)) + \
+        2 * _half_away(1e6 * (2 / 6) * math.log(1.0 * 2 * 4 / 6))
+    assert out["a"]["theil_within_g_micro"] == 0
+    assert out["b"]["theil_within_g_micro"] == 0
+    assert out["a"]["within_contrib_micro"] == 0
+    assert out["a"]["between_contrib_micro"] == b_a
+    assert out["b"]["between_contrib_micro"] == b_b
+    assert out["a"]["theil_between_micro"] == b_a + b_b
+    assert out["a"]["theil_within_micro"] == 0
+    assert out["a"]["theil_total_micro"] == tt
+    assert out["a"]["decomp_gap_micro"] == tt - (b_a + b_b)
+    assert out["a"]["share_milli"] == 333 and out["b"]["share_milli"] == 666
+
+
+def test_theil_equal_spend_is_zero(spark):
+    # perfectly equal spend: every ln argument is 1 -> T = B = W = 0
+    rows = [("a", 5), ("a", 5), ("b", 5), ("b", 5)]
+    out = an.theil_decomposition(
+        spark.createDataFrame(rows, "g string, x long"), "g", "x"
+    ).collect()[0]
+    assert out["theil_total_micro"] == 0
+    assert out["theil_between_micro"] == 0
+    assert out["theil_within_micro"] == 0
+    assert out["decomp_gap_micro"] == 0
