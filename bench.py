@@ -252,6 +252,14 @@ SF1_SPOT = [
     # wedge join shares graph_triangles' edge derivation, likewise
     # fact-table-bound.
     "dedup_cdc_chunks",
+    # r13 (the r12-verdict ask #4): the two-pass global rank measured
+    # at 10x documents instead of argued — the r12 de-globalization
+    # swapped shard_balance_tokens' partition-less window for the
+    # range-shuffle + eager-localCheckpoint + partition-count-collect
+    # rank (plans/ranks.py), which adds a materialization the old
+    # window did not have; the 1x/10x ratio proves the trade wins (or
+    # stays flat) where the single-task window would have funneled.
+    "shard_balance_tokens",
 ]
 
 _REPLICAS = 10
