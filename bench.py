@@ -725,6 +725,28 @@ def main() -> None:
         sf1_block["incremental_delta"] = incremental_delta_spot(
             spark, SF_DIR, sf1_dir
         )
+        # r13 (the r12-verdict ask #4): the two-pass global rank priced
+        # at both scales — shard_balance_tokens is spot-only (not a
+        # headline query), so its 1x time is measured HERE, same
+        # min-of-2 protocol, and the 1x/10x ratio rides the artifact
+        ts1 = []
+        for _ in range(2):
+            release_staging_cache(spark)
+            t0 = time.time()
+            qs["shard_balance_tokens"](spark, SF_DIR).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            ts1.append(time.time() - t0)
+        r1x = round(min(ts1), 3)
+        sf1_block["rank_two_pass"] = {
+            "shard_balance_1x_s": r1x,
+            "shard_balance_10x_s": sf1_timings["shard_balance_tokens"],
+            "ratio_10x_vs_1x": round(
+                sf1_timings["shard_balance_tokens"] / max(r1x, 1e-9), 3
+            ),
+            "runs_per_query": 2,
+            "stat": "min",
+        }
 
     names = list(timings)
     out = {
@@ -774,6 +796,10 @@ def main() -> None:
             # side file — ride the compact line
             out["incr_delta_1x_s"] = incr["base_1x_s"]
             out["incr_delta_10x_s"] = incr["base_10x_s"]
+        rank = sf1_block.get("rank_two_pass")
+        if rank:
+            out["rank_1x_s"] = rank["shard_balance_1x_s"]
+            out["rank_10x_s"] = rank["shard_balance_10x_s"]
     print(json.dumps(full))
     if gated:
         side = os.path.join(
