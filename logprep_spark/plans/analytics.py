@@ -4003,3 +4003,152 @@ def theil_decomposition(
             ),
         )
     )
+
+
+def lorenz_deciles(
+    df: DataFrame, value_col: str = "x", id_col: str = "user_id"
+) -> DataFrame:
+    """Lorenz-curve decile points of a per-key value frame — the CURVE
+    the concentration family's scalars summarize (gini = 1 − 2·area
+    under it; Theil attributes it; THIS is the readout an analyst
+    plots and a shard planner thresholds: "the bottom 70% of users
+    carry 31% of spend"): keys ranked ascending by (value, id), the
+    running value share read at each population decile boundary.
+
+    Catalyst shape: ONE with_running_sums pass over the per-key frame
+    attaches rank AND cumulative value together — the inclusive
+    running count of a 1-litcolumn IS the rank, so the rank and the
+    cumulative sum share a single range shuffle (the r13 two-pass
+    primitive composing with itself for free); deciles then come from
+    ntile_from_rank's exact driver-side arithmetic (bit-parity with
+    window ntile, pytest-gated in test_global_rank.py) and one
+    grouped readout. No partition-less window anywhere.
+    """
+    from logprep_spark.plans.ranks import ntile_from_rank, with_running_sums
+
+    base = df.select(
+        F.col(value_col).alias("_x"), F.col(id_col).alias("_id")
+    ).withColumn("_one", F.lit(1).cast("long"))
+    cum, totals = with_running_sums(
+        base,
+        [F.col("_x"), F.col("_id")],
+        [("_cum_x", "_x"), ("_rank", "_one")],
+    )
+    n, tot = totals["_rank"], totals["_cum_x"]
+    tiled = cum.withColumn("decile", ntile_from_rank("_rank", n, 10))
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("_rank").cast("long").alias("_r_hi"),
+            F.max("_cum_x").cast("long").alias("_cx_hi"),
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_keys",
+            F.expr(f"1000 * _r_hi div {max(n, 1)}").alias(
+                "cum_keys_share_milli"
+            ),
+            F.expr(
+                f"CAST(1000 * CAST(_cx_hi AS DECIMAL(38,0))"
+                f" div {max(tot, 1)} AS BIGINT)"
+            ).alias("cum_value_share_milli"),
+        )
+    )
+
+
+def cramers_v(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """Cramér's V association strength — the NORMALIZED readout of the
+    chi-square family (chi_square_cells says whether and where the
+    dependence is; MI says how many nats; V = sqrt(χ²/(N·(min(R,C)−1)))
+    maps it to [0,1] so tables of different shapes compare — the
+    number a feature-screening dashboard actually thresholds):
+    one row with N, dof, the summed χ² in micro, and V in milli.
+
+    Exactness: χ² comes from chi_square_cells' integer micro
+    contributions (exact-count products in DECIMAL(38,0)), summed as
+    integers; the one sqrt forms from those exact integers in fixed
+    operand order and floors to milli. Shape: the cell table's aggs
+    only — one grouped count + bounded windows (chi_square_cells) +
+    one 1-row readout."""
+    cells = chi_square_cells(df, row_col, col_col)
+    return cells.agg(
+        F.sum("observed").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.countDistinct(row_col).cast("long").alias("_r"),
+        F.countDistinct(col_col).cast("long").alias("_c"),
+        F.sum("chi_contrib_micro").cast("long").alias("chi2_micro"),
+    ).select(
+        "n",
+        "n_cells",
+        F.expr("(_r - 1) * (_c - 1)").cast("long").alias("dof"),
+        "chi2_micro",
+        F.expr(
+            "CAST(floor(1000.0 * sqrt((CAST(chi2_micro AS DOUBLE)"
+            " / 1000000.0) / (n * (least(_r, _c) - 1)))) AS BIGINT)"
+        ).alias("cramers_v_milli"),
+    )
+
+
+def entropy_profile(
+    df: DataFrame, cols: list, id_hint: str | None = None
+) -> DataFrame:
+    """Per-column Shannon-entropy profile over categorical columns —
+    the single-column sibling of mutual_info_cells in the dq family
+    (profile_columns counts distincts; entropy says how EVENLY the
+    mass spreads — a near-zero normalized entropy flags a
+    constant-in-practice column, a 1000-milli one a uniform key; the
+    screen that catches degenerate partition keys and skewed labels
+    before a shuffle or a training run inherits them): per column the
+    distinct count, H in micro-nats, its ln(K) ceiling, and
+    H/ln(K) in milli.
+
+    Exactness: per-value terms round(1e6·(n_v/N)·ln(N/n_v)) form from
+    exact counts with explicit DOUBLE casts (the dq_mutual_info
+    decimal-literal lesson) and sum as exact integers. Shape: one
+    grouped count per column (map-side combinable) unioned into one
+    |values|-bounded frame, then a per-column agg — the raw table
+    scans once per column, never shuffles on rows."""
+    parts = []
+    for c in cols:
+        parts.append(
+            df.groupBy(F.col(c).cast("string").alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .select(F.lit(c).alias("column"), "_v", "_n")
+        )
+    tallies = parts[0]
+    for p in parts[1:]:
+        tallies = tallies.unionByName(p)
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    terms = tallies.crossJoin(broadcast(tot)).select(
+        "column",
+        F.expr(
+            "CAST(round(1000000 * (CAST(_n AS DOUBLE) / nn)"
+            " * ln(CAST(nn AS DOUBLE) / _n)) AS BIGINT)"
+        ).alias("_h"),
+    )
+    return (
+        terms.groupBy("column")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.sum("_h").cast("long").alias("entropy_micro"),
+        )
+        .select(
+            "column",
+            "n_values",
+            "entropy_micro",
+            F.expr(
+                "CAST(round(1000000 * ln(CAST(n_values AS DOUBLE)))"
+                " AS BIGINT)"
+            ).alias("max_entropy_micro"),
+            # K = 1 convention: H/ln(K) is 0/0; a constant column is
+            # the degenerate case this screen exists to FLAG, so it
+            # reads 0 (the flag value), stated here
+            F.expr(
+                "CASE WHEN n_values = 1 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(floor(1000.0 * entropy_micro"
+                " / round(1000000 * ln(CAST(n_values AS DOUBLE))))"
+                " AS BIGINT) END"
+            ).alias("normalized_milli"),
+        )
+    )

@@ -205,6 +205,9 @@ _PRIORITY = [
     "ab_welch_ttest",
     "dq_mutual_info",
     "events_mad_outliers",
+    "events_lorenz_curve",
+    "dq_cramers_v",
+    "dq_entropy_profile",
     # --- the 4 rows whose r13 plans changed and must re-certify
     # under the driver (ab_ks_test: corrected critical constant +
     # DECIMAL gap + two-pass running sum; ab_mann_whitney: two-pass
@@ -256,9 +259,6 @@ _PRIORITY = [
     "event_grouping_sets",
     "events_twap",
     "users_week_over_week",
-    "scd2_user_tier",
-    "attribution_last_touch",
-    "recon_orders_lineitems",
 ]
 
 
@@ -330,6 +330,7 @@ LINT_WAIVERS: dict[str, dict[str, str]] = {
     "graph_hits": {"global-window": _TOPK_WINDOW_WAIVER},
     "text_quality_domain_norm": {"global-window": _HISTOGRAM_WINDOW_WAIVER},
     "ab_chi_square": {"global-window": _HISTOGRAM_WINDOW_WAIVER},
+    "dq_cramers_v": {"global-window": _HISTOGRAM_WINDOW_WAIVER},
     "survival_repurchase_km": {"global-window": _HISTOGRAM_WINDOW_WAIVER},
     "events_peak_concurrency": {"global-window": _HISTOGRAM_WINDOW_WAIVER},
     "slo_burn_rate": {"global-window": _HISTOGRAM_WINDOW_WAIVER},
@@ -20152,3 +20153,171 @@ def users_spend_theil(spark, sf_dir):
     return an.theil_decomposition(
         spend.select("nation", "x"), "nation", "x"
     )
+
+
+@register(
+    "events_lorenz_curve",
+    """
+    WITH spend AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY user_id
+    ), ranked AS (
+        SELECT x,
+               row_number() OVER (ORDER BY x, user_id) AS rn,
+               CAST(sum(x) OVER (ORDER BY x, user_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cx,
+               ntile(10) OVER (ORDER BY x, user_id) AS decile
+        FROM spend
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t
+        FROM spend
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(1000 * max(rn) // max(tot.n) AS BIGINT)
+               AS cum_keys_share_milli,
+           CAST(1000 * max(cx)::HUGEINT // max(tot.t) AS BIGINT)
+               AS cum_value_share_milli
+    FROM ranked, tot GROUP BY decile
+    """,
+)
+def events_lorenz_curve(spark, sf_dir):
+    """Lorenz-curve decile points of per-user purchase spend
+    (plans/analytics.py lorenz_deciles) — the CURVE the concentration
+    scalars summarize, closing the inequality trio: users_spend_gini
+    reads 1 − 2·area, users_spend_theil attributes it between/within
+    nations, THIS is what an analyst plots and a capacity planner
+    thresholds ("the bottom 70% of users carry X% of spend"). Scale
+    shape is the r13 primitive composing with itself: ONE
+    with_running_sums pass attaches rank (the running count of a
+    ones-column) AND cumulative spend in the same single range
+    shuffle; deciles come from ntile_from_rank's exact driver-side
+    arithmetic (bit-parity with window ntile, pytest-gated) — the
+    oracle keeps the naive global-window SQL, so the hash gate proves
+    the decomposition exact, the events_peak_concurrency discipline.
+    No partition-less window anywhere in the Spark plan."""
+    ev = tables(spark, sf_dir)["events"]
+    spend = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 1000).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    return an.lorenz_deciles(spend, "x", "user_id")
+
+
+@register(
+    "dq_cramers_v",
+    """
+    WITH tab AS (
+        SELECT event_type, CAST(user_id % 4 AS BIGINT) AS cohort,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT t.event_type, t.cohort, t.o,
+               CAST(sum(t.o) OVER (PARTITION BY t.event_type) AS BIGINT)
+                   AS r,
+               CAST(sum(t.o) OVER (PARTITION BY t.cohort) AS BIGINT) AS c,
+               CAST(sum(t.o) OVER () AS BIGINT) AS nn
+        FROM tab t
+    ), cells AS (
+        SELECT event_type, cohort, o,
+               CAST(floor(1000000.0 * (o * nn - r * c) * (o * nn - r * c)
+                    / (nn * r * c)) AS BIGINT) AS chi_contrib_micro
+        FROM m
+    )
+    SELECT CAST(sum(o) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT cohort) - 1) AS BIGINT) AS dof,
+           CAST(sum(chi_contrib_micro) AS BIGINT) AS chi2_micro,
+           CAST(floor(1000.0 * sqrt((CAST(sum(chi_contrib_micro) AS DOUBLE)
+                / 1000000.0) / (sum(o) * (least(count(DISTINCT event_type),
+                count(DISTINCT cohort)) - 1)))) AS BIGINT)
+               AS cramers_v_milli
+    FROM cells
+    """,
+)
+def dq_cramers_v(spark, sf_dir):
+    """Cramér's V over event_type × user-cohort (plans/analytics.py
+    cramers_v) — the NORMALIZED association readout completing the
+    dependence triptych on the SAME table: ab_chi_square's cells say
+    whether and where, dq_mutual_info says how many nats, V maps the
+    χ² to [0,1] so tables of different shapes compare — the number a
+    feature-screening dashboard thresholds. χ² sums the
+    chi_square_cells integer micro contributions exactly; the one
+    sqrt forms from exact integers in fixed operand order and floors
+    to milli. Shape: the |R|×|C| cell table's aggs only — the raw
+    rows are touched once by the grouped count."""
+    ev = tables(spark, sf_dir)["events"]
+    obs = ev.select(
+        "event_type", (F.col("user_id") % 4).cast("long").alias("cohort")
+    )
+    return an.cramers_v(obs, "event_type", "cohort")
+
+
+@register(
+    "dq_entropy_profile",
+    """
+    WITH base AS (
+        SELECT lang, source,
+               CAST(n_chars // 500 AS BIGINT) AS size_band
+        FROM documents
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM base),
+    tallies AS (
+        SELECT 'lang' AS col_name, CAST(lang AS VARCHAR) AS v,
+               CAST(count(*) AS BIGINT) AS n
+        FROM base GROUP BY 2
+        UNION ALL
+        SELECT 'source', CAST(source AS VARCHAR), CAST(count(*) AS BIGINT)
+        FROM base GROUP BY 2
+        UNION ALL
+        SELECT 'size_band', CAST(size_band AS VARCHAR),
+               CAST(count(*) AS BIGINT)
+        FROM base GROUP BY 2
+    ), terms AS (
+        SELECT col_name,
+               CAST(round(1000000 * (CAST(n AS DOUBLE) / nn)
+                    * ln(CAST(nn AS DOUBLE) / n)) AS BIGINT) AS h
+        FROM tallies, tot
+    )
+    SELECT col_name AS "column",
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(sum(h) AS BIGINT) AS entropy_micro,
+           CAST(round(1000000 * ln(CAST(count(*) AS DOUBLE))) AS BIGINT)
+               AS max_entropy_micro,
+           CASE WHEN count(*) = 1 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(1000.0 * sum(h)
+                     / round(1000000 * ln(CAST(count(*) AS DOUBLE))))
+                     AS BIGINT) END AS normalized_milli
+    FROM terms GROUP BY col_name
+    """,
+)
+def dq_entropy_profile(spark, sf_dir):
+    """Per-column Shannon-entropy profile of the documents table
+    (plans/analytics.py entropy_profile) over lang, source, and the
+    500-char size band — the single-column sibling of dq_mutual_info
+    in the data-quality family: documents_profile counts distincts,
+    entropy says how EVENLY the mass spreads (a near-zero normalized
+    entropy flags a constant-in-practice column — the degenerate
+    partition key or collapsed label a shuffle or training run would
+    silently inherit; K = 1 reads 0 by stated convention, the flag
+    value). Per-value terms micro-round from exact counts with
+    explicit DOUBLE casts (the dq_mutual_info decimal-literal
+    lesson) and sum as exact integers. Shape: one map-side grouped
+    count per column unioned into a |values|-bounded frame + one
+    1-row total broadcast; the table never shuffles on rows."""
+    docs = tables(spark, sf_dir)["documents"]
+    base = docs.select(
+        "lang",
+        "source",
+        F.expr("CAST(n_chars div 500 AS BIGINT)").alias("size_band"),
+    )
+    return an.entropy_profile(base, ["lang", "source", "size_band"])

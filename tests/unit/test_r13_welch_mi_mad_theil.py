@@ -140,3 +140,65 @@ def test_theil_equal_spend_is_zero(spark):
     assert out["theil_between_micro"] == 0
     assert out["theil_within_micro"] == 0
     assert out["decomp_gap_micro"] == 0
+
+
+def test_lorenz_deciles_hand_computed(spark):
+    # five users: four spend 10, one spends 60 (total 100). n=5 ->
+    # ntile(10) gives one row per tile 1..5; ascending (x, id) order
+    # puts the whale last. Shares: keys 200/400/.../1000 milli,
+    # value 100/200/300/400/1000 milli.
+    rows = [(1, 10), (2, 10), (3, 10), (4, 10), (5, 60)]
+    df = spark.createDataFrame(rows, "user_id long, x long")
+    out = {r["decile"]: r for r in an.lorenz_deciles(df, "x", "user_id").collect()}
+    assert sorted(out) == [1, 2, 3, 4, 5]
+    assert [out[d]["cum_keys_share_milli"] for d in range(1, 6)] == [
+        200, 400, 600, 800, 1000
+    ]
+    assert [out[d]["cum_value_share_milli"] for d in range(1, 6)] == [
+        100, 200, 300, 400, 1000
+    ]
+    assert all(out[d]["n_keys"] == 1 for d in out)
+
+
+def test_cramers_v_hand_computed(spark):
+    # perfectly associated 2x2 with structural zeros: only the two
+    # occupied cells emit (the chi_square_cells caveat), each
+    # contributing (o*N - r*c)^2/(N*r*c) = (200-100)^2/(20*100) = 5
+    # -> chi2 = 10, V = sqrt(10/(20*1)) = 0.7071 -> 707 milli.
+    rows = [("a", "x")] * 10 + [("b", "y")] * 10
+    out = an.cramers_v(
+        spark.createDataFrame(rows, "r string, c string"), "r", "c"
+    ).collect()[0]
+    assert out["n"] == 20 and out["n_cells"] == 2 and out["dof"] == 1
+    assert out["chi2_micro"] == 10_000_000
+    assert out["cramers_v_milli"] == 707
+
+
+def test_cramers_v_independent_is_zero(spark):
+    rows = (
+        [("a", "x")] * 5 + [("a", "y")] * 5
+        + [("b", "x")] * 5 + [("b", "y")] * 5
+    )
+    out = an.cramers_v(
+        spark.createDataFrame(rows, "r string, c string"), "r", "c"
+    ).collect()[0]
+    assert out["chi2_micro"] == 0 and out["cramers_v_milli"] == 0
+
+
+def test_entropy_profile_hand_computed(spark):
+    # col u: uniform over 4 values (5 rows each) -> H = ln 4,
+    # normalized 1000; col k: constant -> n_values 1, normalized 0
+    # (the stated flag convention); col s: skewed 19/1.
+    rows = [(f"v{i % 4}", "only", "hot" if i else "rare") for i in range(20)]
+    df = spark.createDataFrame(rows, "u string, k string, s string")
+    out = {r["column"]: r for r in an.entropy_profile(df, ["u", "k", "s"]).collect()}
+    assert out["u"]["n_values"] == 4
+    assert out["u"]["normalized_milli"] == 1000
+    assert out["k"]["n_values"] == 1
+    assert out["k"]["entropy_micro"] == 0
+    assert out["k"]["normalized_milli"] == 0
+    h = _half_away(1e6 * (19 / 20) * math.log(20 / 19)) + _half_away(
+        1e6 * (1 / 20) * math.log(20.0)
+    )
+    assert out["s"]["entropy_micro"] == h
+    assert 0 < out["s"]["normalized_milli"] < 1000
