@@ -186,11 +186,12 @@ def register(name: str, oracle: str | None = None):
 #   r12 window (DONE): 50/50 green, zero ERR, all hash-gated — the 13
 #     r11-new rows + the 4 r12-new rows + the 6 de-globalized rows +
 #     27 oldest (r5 leftovers + oldest-r6), exactly as prescribed.
-#   r13 window (THIS round): the 4 r13-new rows (graph_k_core,
-#     ab_welch_ttest, dq_mutual_info, events_mad_outliers), the 4
+#   r13 window (THIS round): the 7 r13-new rows (users_spend_theil,
+#     ab_welch_ttest, dq_mutual_info, events_mad_outliers,
+#     events_lorenz_curve, dq_cramers_v, dq_entropy_profile), the 4
 #     r13-changed plans (ab_ks_test, ab_mann_whitney,
 #     corpus_mix_allocate, corpus_mix_materialize), then the 27
-#     remaining r6-green rows and the 15 oldest r7-green rows.
+#     remaining r6-green rows and the 12 oldest r7-green rows.
 # The full catalog (see the module docstring count; tools/
 # gen_query_index.py keeps it exact) stays locally oracle-gated
 # every round via tools/check_oracles.py (LOCAL_CORRECTNESS.md,
