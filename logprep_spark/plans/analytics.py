@@ -2476,7 +2476,12 @@ def mann_whitney_u(
     without a partition-less window: the r12 verdict flagged that a
     continuous metric's distinct-value tally can approach row
     cardinality at 100×, so the cumulative pass must not funnel
-    through one task."""
+    through one task.
+
+    Eager: the running-sum pass executes Spark jobs at CONSTRUCTION
+    time and snapshots the tally (plans/ranks.py eager-execution
+    contract) — call once per source snapshot; rebuilding the frame
+    re-runs the upstream."""
     from logprep_spark.plans.ranks import with_running_sums
 
     tally = obs.groupBy(value_col).agg(
@@ -2555,7 +2560,9 @@ def ks_two_sample(
     approach row cardinality at 100×, so no partition-less window)
     for both CDFs at once — n0/n1 fall out of its offset model as
     driver literals, saving the totals pass — + a broadcast 1-row
-    readout."""
+    readout. Eager: that pass runs Spark jobs at CONSTRUCTION time
+    and snapshots the tally (plans/ranks.py eager-execution
+    contract) — call once per source snapshot."""
     from logprep_spark.plans.ranks import with_running_sums
 
     tally = obs.groupBy(value_col).agg(
@@ -3736,6 +3743,16 @@ def welch_ttest(
     normal critical value (df here is thousands; stated convention,
     same class as the KS constant).
 
+    Degenerate-arm convention, stated and GATED: an arm with n < 2
+    has no sample variance (the n−1 divisor is 0), and two
+    constant arms have se² = 0 (t is x/0) — in both cases
+    ``t_milli``, ``df_milli``, and ``reject_05`` read NULL via an
+    explicit CASE gate (Spark 4's ANSI mode makes ÷0 an ERROR, so
+    the gate is required, not just documentation; DuckDB's ÷0 →
+    NULL yields the identical readout), the same flag-by-NULL
+    posture as an empty frame: an A/B readout on a one-observation
+    or zero-variance sample is not a test result.
+
     Catalyst shape: ONE map-side-combinable aggregate over the
     observations, then a 1-row projection — no window, no shuffle
     beyond the agg."""
@@ -3765,6 +3782,10 @@ def welch_ttest(
     v0 = "((CAST(_sxx0 AS DOUBLE) - CAST(_sx0 AS DOUBLE) * _sx0 / n0) / (n0 - 1))"
     v1 = "((CAST(_sxx1 AS DOUBLE) - CAST(_sx1 AS DOUBLE) * _sx1 / n1) / (n1 - 1))"
     se2 = f"({v0} / n0 + {v1} / n1)"
+    # degenerate gate (docstring convention): n<2 arm or zero
+    # variance -> NULL; CASE short-circuits, so the guarded branch's
+    # divisions never evaluate under ANSI mode
+    guard = f"CASE WHEN n0 < 2 OR n1 < 2 OR {se2} = 0 THEN NULL ELSE "
     t = f"((CAST(_sx1 AS DOUBLE) / n1 - CAST(_sx0 AS DOUBLE) / n0) / sqrt({se2}))"
     df_ = (
         f"({se2} * {se2} / (({v0} / n0) * ({v0} / n0) / (n0 - 1)"
@@ -3779,11 +3800,15 @@ def welch_ttest(
             "(CAST(_sx1 AS DECIMAL(38,0)) * n0 - CAST(_sx0 AS DECIMAL(38,0))"
             " * n1) div (CAST(n0 AS DECIMAL(38,0)) * n1)"
         ).alias("mean_diff_milli"),
-        F.expr(f"CAST(floor(1000.0 * {t}) AS BIGINT)").alias("t_milli"),
-        F.expr(f"CAST(floor(1000.0 * {df_}) AS BIGINT)").alias("df_milli"),
+        F.expr(f"CAST({guard}floor(1000.0 * {t}) END AS BIGINT)").alias(
+            "t_milli"
+        ),
+        F.expr(f"CAST({guard}floor(1000.0 * {df_}) END AS BIGINT)").alias(
+            "df_milli"
+        ),
         F.expr(
-            f"CAST(floor(1000.0 * {t}) AS BIGINT)"
-            f" * CAST(floor(1000.0 * {t}) AS BIGINT) > 3841459"
+            f"{guard}CAST(floor(1000.0 * {t}) AS BIGINT)"
+            f" * CAST(floor(1000.0 * {t}) AS BIGINT) > 3841459 END"
         ).alias("reject_05"),
     )
 
@@ -4022,7 +4047,10 @@ def lorenz_deciles(
     primitive composing with itself for free); deciles then come from
     ntile_from_rank's exact driver-side arithmetic (bit-parity with
     window ntile, pytest-gated in test_global_rank.py) and one
-    grouped readout. No partition-less window anywhere.
+    grouped readout. No partition-less window anywhere. Eager: the
+    running-sums pass executes Spark jobs at CONSTRUCTION time and
+    snapshots the per-key frame (plans/ranks.py eager-execution
+    contract) — call once per source snapshot.
     """
     from logprep_spark.plans.ranks import ntile_from_rank, with_running_sums
 
@@ -4109,6 +4137,8 @@ def entropy_profile(
     grouped count per column (map-side combinable) unioned into one
     |values|-bounded frame, then a per-column agg — the raw table
     scans once per column, never shuffles on rows."""
+    if not cols:
+        raise ValueError("entropy_profile: cols must name at least one column")
     parts = []
     for c in cols:
         parts.append(

@@ -14406,9 +14406,10 @@ def bootstrap_mean_ci(spark, sf_dir):
         FROM tab t
     )
     SELECT event_type, variant, o AS observed,
-           1000 * r * c // nn AS expected_milli,
-           CAST(floor(1000000.0 * (o * nn - r * c) * (o * nn - r * c)
-                / (nn * r * c)) AS BIGINT) AS chi_contrib_micro
+           CAST(1000 * r::HUGEINT * c // nn AS BIGINT) AS expected_milli,
+           CAST(floor(1000000.0 * (o::HUGEINT * nn - r::HUGEINT * c)
+                * (o::HUGEINT * nn - r::HUGEINT * c)
+                / (nn::HUGEINT * r * c)) AS BIGINT) AS chi_contrib_micro
     FROM m
     """,
 )
@@ -20230,8 +20231,9 @@ def events_lorenz_curve(spark, sf_dir):
         FROM tab t
     ), cells AS (
         SELECT event_type, cohort, o,
-               CAST(floor(1000000.0 * (o * nn - r * c) * (o * nn - r * c)
-                    / (nn * r * c)) AS BIGINT) AS chi_contrib_micro
+               CAST(floor(1000000.0 * (o::HUGEINT * nn - r::HUGEINT * c)
+                    * (o::HUGEINT * nn - r::HUGEINT * c)
+                    / (nn::HUGEINT * r * c)) AS BIGINT) AS chi_contrib_micro
         FROM m
     )
     SELECT CAST(sum(o) AS BIGINT) AS n,

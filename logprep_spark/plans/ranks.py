@@ -38,6 +38,26 @@ equality witness against the window form at test scale.
 
 No reference counterpart (Logprep has no ranking engine); the pattern
 is public Spark folklore (RangePartitioner + zipWithIndex lineage).
+
+**Eager-execution contract** (both helpers): the partition-offset
+model requires running Spark jobs AT CONSTRUCTION TIME — an eager
+``localCheckpoint`` pins the shuffled layout, then a bounded
+``collect`` reads the per-partition model — and the offsets are baked
+into the returned plan as literals. Consequences callers must own:
+
+- building the frame twice executes the upstream twice — compose
+  several of these on one input by CHAINING them (feed the returned
+  frame back in, as events_lorenz_curve does), never by calling each
+  on the raw input;
+- the returned frame is a snapshot: it does NOT go stale-safe if the
+  source table changes after construction (the literals would
+  describe the old layout) — rebuild after any source mutation;
+- ``localCheckpoint`` blocks are stored on executors, not reliable
+  storage: an executor loss after construction loses the pinned
+  partitions and the job fails rather than silently recomputing into
+  a layout the literals no longer match — acceptable for the bounded
+  report frames these rank, use checkpoint-to-storage for
+  long-lived frames.
 """
 
 from __future__ import annotations

@@ -93,9 +93,22 @@ class IncrementalCorpusStream:
     order IS id order in a crawl pipeline — the union of committed
     survivor batches equals the batch delta pass over the
     concatenated delta, whatever the micro-batch boundaries and
-    however many crash/restart cycles happened in between; the
-    ``split`` column likewise matches incremental_atomic_split
-    applied once to the concatenated delta.
+    however many crash/restart cycles happened in between. The
+    SURVIVOR SET parity is unconditional; the ``split`` parity is
+    SCOPED: a survivor's split matches incremental_atomic_split over
+    the concatenated delta provided no LATER batch merges the
+    survivor's cluster (emitted output is immutable — exactly-once
+    committed batches are never rewritten — so a merge that lands
+    after a survivor was emitted re-keys the CLUSTER STORE, and all
+    later emissions, but cannot reach back into the committed row;
+    the one-shot pass, seeing all docs at once, would give the
+    merged cluster's label to every member). The residual is
+    bounded by merge events that bridge two previously-emitted
+    clusters — rare under id-ordered ingestion because the min
+    label a merge adopts usually belongs to the earlier cluster,
+    whose emitted members already carry it; the documented
+    divergence drill (a later batch bridging two emitted clusters)
+    lives beside the parity test.
     """
 
     FP_SCHEMA = "fp string"
@@ -230,11 +243,20 @@ class IncrementalCorpusStream:
             F.max_by("gid", F.coalesce("b", F.lit(-1))).alias("gid")
         )
         # merge graph: in-batch pairs + (batch doc -> matched cluster
-        # gid) bridge edges — bounded by |batch| + touched clusters
+        # gid) bridge edges — bounded by |batch| + touched clusters.
+        # LEFT join + coalesce(gid, hist_id): a verified history match
+        # whose hist_id is missing from the cluster store (pre-upgrade
+        # store with no clusters dir, or seed_bands without
+        # seed_clusters) must still bridge — hist_id is itself a
+        # member of its cluster, so it is a correct (if unmerged)
+        # label; an inner join would silently drop the edge and the
+        # survivor would fall back to its own hash split, the exact
+        # delta-twin-of-train-doc leak this path exists to close.
         bridge_g = bridges.join(
             store.select(F.col("doc_id").alias("hist_id"), "gid"),
             "hist_id",
-        ).select("doc_id", "gid")
+            "left",
+        ).select("doc_id", F.coalesce("gid", F.col("hist_id")).alias("gid"))
         merged = dup_clusters(
             batch_pairs.select("id_a", "id_b").unionByName(
                 bridge_g.select(

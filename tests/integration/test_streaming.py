@@ -2120,3 +2120,249 @@ def test_incremental_corpus_stream_split_inheritance(spark, tmp_path):
     }
     for doc_id, split in emitted.items():
         assert oneshot[doc_id] == split, (doc_id, split, oneshot[doc_id])
+
+
+def test_incremental_corpus_stream_bridge_without_cluster_store(
+    spark, tmp_path
+):
+    """r13 ADVICE (medium): a verified (batch, history) pair whose
+    hist_id is missing from the cluster store — seed_bands supplied
+    without seed_clusters, the pre-upgrade-store shape — must STILL
+    bridge: hist_id is itself a member of its cluster, so the left
+    join falls back to it (coalesce(gid, hist_id)); an inner join
+    would silently drop the edge and survivor A would fall back to
+    its own hash split ('test'), the delta-twin-of-train-doc leak.
+
+    Geometry = the split-inheritance test's first chain: survivor A
+    near-dups only its KILLED in-batch twin B, which near-dups base
+    train doc T1 (id 8, tag(8)=53 -> train); A's naive per-doc hash
+    says 'test'."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from logprep_spark.functions.dedup import (
+        minhash_bands,
+        shingle_arrays,
+        tokens,
+    )
+    from logprep_spark.session import fan_out
+    from logprep_spark.streaming import IncrementalCorpusStream
+
+    p = [f"p{i}" for i in range(200)]
+    q = [f"q{i}" for i in range(22)]
+    a = [f"a{i}" for i in range(22)]
+    mk = lambda ws: " ".join(ws + ["the", "and"])  # noqa: E731
+
+    T1 = mk(p)                     # id 8 -> train
+    B_ = mk(p[:178] + q)           # id 561: J(T1,B)=.786 -> killed
+    A_ = mk(a + p[22:178] + q)     # id 509: J(A,B)=.8, J(A,T1)=.63
+
+    base = spark.createDataFrame(
+        [(8, T1)], "doc_id long, text string"
+    )
+    seed = tmp_path / "seed"
+    base.select(
+        F.md5(F.array_join(tokens(F.col("text")), " ")).alias("fp")
+    ).distinct().write.parquet(str(seed / "fp"))
+    minhash_bands(fan_out(base)).select(
+        F.col("doc_id").alias("hist_id"), "band_id", "band_key"
+    ).write.parquet(str(seed / "bands"))
+    shingle_arrays(base).select(
+        F.col("doc_id").alias("hist_id"), "sh"
+    ).write.parquet(str(seed / "shingles"))
+
+    src = tmp_path / "delta-src"
+    src.mkdir()
+    fp = src / "f1.jsonl"
+    fp.write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": x})
+            for i, x in [(509, A_), (561, B_)]
+        )
+        + "\n"
+    )
+    now = time.time()
+    os.utime(fp, (now - 60, now - 60))
+
+    # NO seed_clusters — the band store knows id 8, the cluster
+    # store has never heard of it
+    stream = IncrementalCorpusStream(
+        store_dir=str(tmp_path / "stores"),
+        out_dir=str(tmp_path / "sink"),
+        min_stop_hits=1,
+        seed_fp=str(seed / "fp"),
+        seed_bands=str(seed / "bands"),
+        seed_shingles=str(seed / "shingles"),
+    )
+    df = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q_ = stream.write_stream(df, checkpoint=str(tmp_path / "ckpt"))
+    q_.awaitTermination(180)
+    q_.stop()
+
+    emitted = {
+        r["doc_id"]: r["split"]
+        for bb in stream.out.committed_batches()
+        for r in spark.read.schema("doc_id long, text string, split string")
+        .json(stream.out.path + f"/batch-{bb}")
+        .collect()
+    }
+    # A inherits T1's cluster through the hist_id fallback bridge
+    # (naive per-doc hash: bucket(509) -> 'test')
+    assert emitted == {509: "train"}
+
+
+def test_incremental_corpus_stream_merge_after_emit_divergence(
+    spark, tmp_path
+):
+    """The DOCUMENTED split-parity residual (r13 ADVICE, medium;
+    docstring scope in streaming/pipeline.py): emitted output is
+    immutable, so a LATER batch that merges two previously-emitted
+    clusters cannot reach back into committed rows — a survivor
+    emitted BEFORE the merge keeps its old cluster's split, while
+    the one-shot incremental_atomic_split over the concatenated
+    delta (seeing all docs at once) gives it the merged cluster's
+    split. This drill PLANTS that geometry and asserts the
+    divergence is exactly the documented one — and that the cluster
+    store's final view carries the merged gid, so the residual is
+    measurable post-hoc (committed split != hash-split of the
+    store's final gid).
+
+    Plant: base T2 (id 12 -> train) and H2 (id 21 -> test) seeded
+    as SEPARATE clusters (the LSH-miss premise); batch 1 emits S1
+    inheriting H2's cluster through killed twin K1 -> 'test';
+    batch 2's X2 bridges T2 AND H2 -> merge to gid 12; batch 3's Y2
+    inherits the MERGED cluster through killed twin K2 -> 'train'.
+    One-shot over the concatenated delta puts S1 in the merged
+    cluster -> 'train' != the committed 'test'."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from logprep_spark.functions.dedup import (
+        incremental_atomic_split,
+        minhash_bands,
+        shingle_arrays,
+        tokens,
+    )
+    from logprep_spark.session import fan_out
+    from logprep_spark.streaming import IncrementalCorpusStream
+
+    t = [f"t{i}" for i in range(200)]
+    b = [f"b{i}" for i in range(22)]
+    q2 = [f"q{i}" for i in range(22)]
+    a2 = [f"a{i}" for i in range(22)]
+    g2 = [f"g{i}" for i in range(22)]
+    d2 = [f"d{i}" for i in range(22)]
+    mk = lambda ws: " ".join(ws + ["the", "and"])  # noqa: E731
+
+    T2 = mk(t)                        # id 12, tag(12)=40 -> train
+    H2w = t[:178] + b
+    H2 = mk(H2w)                      # id 21, tag(21)=92 -> test
+    K1w = t[22:178] + b + q2
+    K1 = mk(K1w)                      # id 560: J(K1,H2)=.786, J(K1,T2)=.64
+    S1 = mk(a2 + K1w[22:])            # id 500: J(S1,K1)=.786, J(S1,H2)=.64
+    Xw = t[:189] + b[:11]
+    X2 = mk(Xw)                       # id 650: bridges T2 AND H2 -> merge
+    K2w = Xw[22:] + g2
+    K2 = mk(K2w)                      # id 690: J(K2,X2)=.786 -> killed
+    Y2 = mk(K2w[22:] + d2)            # id 682: J(Y2,K2)=.786, J(Y2,hist)<.7
+
+    base = spark.createDataFrame(
+        [(12, T2), (21, H2)], "doc_id long, text string"
+    )
+    seed = tmp_path / "seed"
+    base.select(
+        F.md5(F.array_join(tokens(F.col("text")), " ")).alias("fp")
+    ).distinct().write.parquet(str(seed / "fp"))
+    minhash_bands(fan_out(base)).select(
+        F.col("doc_id").alias("hist_id"), "band_id", "band_key"
+    ).write.parquet(str(seed / "bands"))
+    shingle_arrays(base).select(
+        F.col("doc_id").alias("hist_id"), "sh"
+    ).write.parquet(str(seed / "shingles"))
+    spark.createDataFrame(
+        [(12, 12), (21, 21)], "doc_id long, gid long"
+    ).write.parquet(str(seed / "clusters"))
+
+    src = tmp_path / "delta-src"
+    src.mkdir()
+    now = time.time()
+    for name, rows, age in (
+        ("f1.jsonl", [(500, S1), (560, K1)], 60),
+        ("f2.jsonl", [(650, X2)], 40),
+        ("f3.jsonl", [(682, Y2), (690, K2)], 20),
+    ):
+        fp = src / name
+        fp.write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": x}) for i, x in rows)
+            + "\n"
+        )
+        os.utime(fp, (now - age, now - age))
+
+    stream = IncrementalCorpusStream(
+        store_dir=str(tmp_path / "stores"),
+        out_dir=str(tmp_path / "sink"),
+        min_stop_hits=1,
+        seed_fp=str(seed / "fp"),
+        seed_bands=str(seed / "bands"),
+        seed_shingles=str(seed / "shingles"),
+        seed_clusters=str(seed / "clusters"),
+    )
+    df = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q_ = stream.write_stream(df, checkpoint=str(tmp_path / "ckpt"))
+    q_.awaitTermination(180)
+    q_.stop()
+
+    emitted = {
+        r["doc_id"]: r["split"]
+        for bb in stream.out.committed_batches()
+        for r in spark.read.schema("doc_id long, text string, split string")
+        .json(stream.out.path + f"/batch-{bb}")
+        .collect()
+    }
+    # S1 emitted BEFORE the merge: H2's cluster split ('test').
+    # Y2 emitted AFTER: the merged cluster's split ('train').
+    assert emitted == {500: "test", 682: "train"}
+
+    # the cluster store's FINAL view has folded the merge for
+    # everyone, including the already-emitted S1
+    paths = [
+        stream.cluster_store.path + f"/batch-{bb}"
+        for bb in stream.cluster_store.committed_batches()
+    ] + [str(seed / "clusters")]
+    view = {
+        r["doc_id"]: r["gid"]
+        for r in spark.read.schema(IncrementalCorpusStream.CLUSTERS_SCHEMA)
+        .parquet(*paths)
+        .groupBy("doc_id")
+        .agg(F.max_by("gid", F.coalesce("b", F.lit(-1))).alias("gid"))
+        .collect()
+    }
+    assert view[21] == 12 and view[650] == 12
+    assert view[500] == 12 and view[682] == 12
+
+    # the one-shot pass DISAGREES on S1 — the documented, measurable
+    # residual: parity holds only for survivors emitted after every
+    # merge touching their cluster
+    delta = spark.createDataFrame(
+        [(500, S1), (560, K1), (650, X2), (682, Y2), (690, K2)],
+        "doc_id long, text string",
+    )
+    asn, _pairs = incremental_atomic_split(base, delta, threshold=0.7)
+    oneshot = {
+        r["doc_id"]: r["split"]
+        for r in asn.filter(~F.col("is_base")).collect()
+    }
+    assert oneshot[682] == "train" == emitted[682]
+    assert oneshot[500] == "train" and emitted[500] == "test"

@@ -202,3 +202,26 @@ def test_entropy_profile_hand_computed(spark):
     )
     assert out["s"]["entropy_micro"] == h
     assert 0 < out["s"]["normalized_milli"] < 1000
+
+
+def test_welch_ttest_degenerate_arm_is_null(spark):
+    # n1 = 1: arm 1 has no sample variance (n-1 = 0) — the stated
+    # convention (analytics.welch_ttest docstring): t/df/reject all
+    # NULL via 0/0 -> NULL propagation; means still read.
+    rows = [(10, 0), (20, 0), (30, 0), (50, 1)]
+    out = an.welch_ttest(
+        spark.createDataFrame(rows, "vm long, variant long")
+    ).collect()[0]
+    assert out["n0"] == 3 and out["n1"] == 1
+    assert out["mean1_milli"] == 50
+    assert out["t_milli"] is None
+    assert out["df_milli"] is None
+    assert out["reject_05"] is None
+
+
+def test_entropy_profile_empty_cols_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a",)], "c string")
+    with pytest.raises(ValueError, match="at least one column"):
+        an.entropy_profile(df, [])
