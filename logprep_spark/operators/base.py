@@ -105,7 +105,13 @@ class Processor:
         if existing is None:
             out = F.when(cond, value)
         elif not overwrite:
-            out = F.when(cond & existing.isNull(), value).otherwise(existing)
+            # single reference to `existing` (vs when(cond & isNull,
+            # value).otherwise(existing)): a downstream filter pushed
+            # through a chain of same-column writes substitutes the
+            # prior expression at EVERY reference, so reference count
+            # is the base of an exponential (operators/dispatch.py) —
+            # coalesce keeps identical semantics at one reference
+            out = F.coalesce(existing, F.when(cond, value))
         else:
             out = F.when(cond, value).otherwise(existing)
         return fld.set_field(df, path, out)

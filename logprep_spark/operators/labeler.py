@@ -215,6 +215,20 @@ class Labeler(Processor):
         else:
             self.schema = None
 
+    def transform_bulk(self, df: DataFrame) -> DataFrame:
+        """All rules in ONE label write — the many-rules dispatch path
+        (operators/dispatch.py; reference framework/rule_tree: match
+        once, apply flat). Use for rule corpora beyond a handful: the
+        sequential ``transform`` chain is safe to build but a
+        downstream filter on ``label`` pushed through it compounds
+        exponentially (measured: unrunnable at 8 rules —
+        tools/rule_scale_probe.py). Bit-identical to ``transform``
+        whenever no rule filter reads ``label.*`` (pytest witness in
+        tests/unit/test_rule_dispatch.py)."""
+        from logprep_spark.operators.dispatch import labeler_bulk
+
+        return labeler_bulk(self, df)
+
     def apply_rule(self, df: DataFrame, cond, cfg: dict) -> DataFrame:
         for category, values in cfg["label"].items():
             path = f"label.{category}"

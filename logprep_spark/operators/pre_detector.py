@@ -41,6 +41,19 @@ class PreDetector(Processor):
             )
         return df
 
+    def detections_bulk(
+        self, df: DataFrame, timestamp_field: str = "@timestamp"
+    ) -> DataFrame:
+        """Alert side-output through the many-rules dispatch table
+        (operators/dispatch.py): ONE scan + explode(matched ids) + one
+        broadcast join against the N-row rule-payload table, where
+        ``detections`` unions N filtered projections (N FileScans — a
+        1000-branch plan at SIEM rule counts). Same rows/columns as
+        ``detections`` (pytest witness in test_rule_dispatch.py)."""
+        from logprep_spark.operators.dispatch import pre_detector_alerts
+
+        return pre_detector_alerts(self, df, timestamp_field)
+
     def detections(self, df: DataFrame, timestamp_field: str = "@timestamp") -> DataFrame:
         """Side-output alert stream."""
         outs = []

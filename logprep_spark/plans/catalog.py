@@ -342,6 +342,36 @@ LINT_WAIVERS: dict[str, dict[str, str]] = {
     "text_bpe_roundtrip": {"global-window": _HISTOGRAM_WINDOW_WAIVER},
     "graph_link_prediction": {"global-window": _ENTITY_PROFILE_WAIVER},
     "dq_skew_advisor": {"global-window": _ENTITY_PROFILE_WAIVER},
+    # --- r14 burndown of the last 2 broadcastable-shuffle-join WARNs
+    # (r13 verdict ask #3). A static broadcast() hint would be WRONG
+    # at 100 TB: the flagged small sides are dup-density- or
+    # fact-slice-proportional frames (conv/touch are slices of the
+    # same events table; pairs/clusters/anchors grow with near-dup
+    # density), tiny at sf0.1 but unbounded at scale. The honest plan
+    # leaves the sizing decision to AQE, and the runtime evidence
+    # shows AQE makes it: at sf0.1 every flagged SMJ converts to
+    # BroadcastHashJoin in the final adaptive plan (captured r14 —
+    # events_attribution: both conv⋈touch joins and the left-anti →
+    # BHJ, only the unconvertible FullOuter SMJ remains;
+    # pairs_contrastive_mine: all 4 flagged SMJs → BHJ). The WARN
+    # fires on the PRE-execution plan, which cannot see runtime sizes
+    # — exactly the heuristic gap the lint message itself names.
+    "events_attribution": {"broadcastable-shuffle-join": (
+        "AQE converts at runtime: in the executed adaptive plan at "
+        "sf0.1 every flagged join is a BroadcastHashJoin (the only "
+        "surviving SortMergeJoin is the FullOuter, which cannot "
+        "broadcast); a static hint would instead pin a broadcast of "
+        "a fact-table slice that grows with the corpus — wrong at "
+        "100 TB. Evidence captured r14; see the waiver block comment"
+    )},
+    "pairs_contrastive_mine": {"broadcastable-shuffle-join": (
+        "AQE converts at runtime: all 4 flagged SortMergeJoins are "
+        "BroadcastHashJoins in the executed adaptive plan at sf0.1; "
+        "the small sides (anchors/clusters/top-neg pools) scale with "
+        "near-dup density, so a static broadcast() hint would pin an "
+        "unbounded broadcast at 100 TB. Evidence captured r14; see "
+        "the waiver block comment"
+    )},
 }
 
 
@@ -20324,3 +20354,164 @@ def dq_entropy_profile(spark, sf_dir):
         F.expr("CAST(n_chars div 500 AS BIGINT)").alias("size_band"),
     )
     return an.entropy_profile(base, ["lang", "source", "size_band"])
+
+
+# =====================================================================
+# §2.7 many-rules dispatch (X34, r14 — reference framework/rule_tree)
+# =====================================================================
+
+#: the demo sigma-style rule corpus: every rule ANDs a shared
+#: low-cardinality equality (the predicate a rule tree would hoist)
+#: with a narrower range — the real-SIEM shape (hundreds of rules per
+#: event_id / category, differing in the tail). Deterministic, so the
+#: Spark rules and the DuckDB VALUES table are generated from the
+#: same specs.
+_DISPATCH_EVENT_TYPES = (
+    "click", "view", "purchase", "signup", "error",
+    "login", "logout", "search",
+)
+
+
+def _dispatch_specs(n: int, mult: int, width: int):
+    # ranges live in the testdata's user_id domain (0..149 at sf0.01,
+    # denser at larger sf) so a realistic fraction of rules FIRE and
+    # overlap; rules on the 3 event types the table lacks are the
+    # never-matching tail every SIEM corpus carries
+    return [
+        (
+            i,
+            _DISPATCH_EVENT_TYPES[i % len(_DISPATCH_EVENT_TYPES)],
+            (i * mult) % 140,
+            (i * mult) % 140 + width + (i % 25),
+        )
+        for i in range(n)
+    ]
+
+
+_LABEL_SPECS = _dispatch_specs(500, 37, 10)
+_ALERT_SPECS = _dispatch_specs(300, 53, 25)
+
+
+def _label_rules_sql() -> str:
+    rows = []
+    for i, et, lo, hi in _LABEL_SPECS:
+        rows.append(f"('action', 'L{i:04d}', '{et}', {lo}, {hi})")
+        if i % 3 == 0:
+            rows.append(f"('origin', 'O{i % 7}', '{et}', {lo}, {hi})")
+    return ",\n        ".join(rows)
+
+
+@register(
+    "rules_dispatch_labels",
+    f"""
+    WITH rules(category, label, et, lo, hi) AS (VALUES
+        {_label_rules_sql()}
+    ), hits AS (
+        SELECT r.category, r.label, e.event_id
+        FROM events e
+        JOIN rules r ON e.event_type = r.et
+                    AND e.user_id BETWEEN r.lo AND r.hi
+    )
+    SELECT category, label,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_events
+    FROM hits GROUP BY 1, 2
+    """,
+)
+def rules_dispatch_labels(spark, sf_dir):
+    """500 sigma-style labeler rules through the many-rules DISPATCH
+    path (operators/dispatch.py labeler_bulk — the reference
+    framework/rule_tree/rule_tree.py:59 re-expression, r13 verdict
+    ask #1): match-once staging compiles all 500 filters into ONE
+    flat array<boolean> projection (get_matching_rules as a column),
+    and every category is written ONCE by flattening the matched
+    rules' payload arrays — 4 plan nodes at 500 rules where the
+    sequential chain compiles ~3N stages and dies EXPONENTIALLY on
+    any downstream filter over the written column (measured,
+    tools/rule_scale_probe.py: 16 s at 6 rules, unrunnable at 8; the
+    dispatch plan runs the same filter in under a second at 1000).
+    The readout explodes both written categories and counts labeled
+    events per (category, label) — exercising exactly the downstream
+    read the naive chain cannot survive. Oracle: the same 500-rule
+    corpus as a DuckDB VALUES dispatch table (join + group —
+    the broadcast-join dispatch shape, stated in SQL)."""
+    ev = tables(spark, sf_dir)["events"]
+    rules = []
+    for i, et, lo, hi in _LABEL_SPECS:
+        label = {"action": [f"L{i:04d}"]}
+        if i % 3 == 0:
+            label["origin"] = [f"O{i % 7}"]
+        rules.append(
+            {
+                "filter": f"event_type:{et} AND user_id:[{lo} TO {hi}]",
+                "labeler": {"label": label},
+            }
+        )
+    labeled = Labeler(rules=rules).transform_bulk(ev)
+    parts = [
+        labeled.select(
+            F.lit(cat).alias("category"),
+            F.explode(f"label.{cat}").alias("label"),
+            "event_id",
+        )
+        for cat in ("action", "origin")
+    ]
+    return (
+        parts[0]
+        .unionByName(parts[1])
+        .groupBy("category", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+def _alert_rules_sql() -> str:
+    rows = []
+    for i, et, lo, hi in _ALERT_SPECS:
+        sev = ("low", "mid", "high")[i % 3]
+        rows.append(f"('rule-{i:03d}', '{sev}', '{et}', {lo}, {hi})")
+    return ",\n        ".join(rows)
+
+
+@register(
+    "rules_dispatch_alerts",
+    f"""
+    WITH rules(rule_id, severity, et, lo, hi) AS (VALUES
+        {_alert_rules_sql()}
+    )
+    SELECT r.rule_id, r.severity, CAST(count(*) AS BIGINT) AS n_alerts
+    FROM events e
+    JOIN rules r ON e.event_type = r.et
+                AND e.user_id BETWEEN r.lo AND r.hi
+    GROUP BY 1, 2
+    """,
+)
+def rules_dispatch_alerts(spark, sf_dir):
+    """300 pre_detector rules' alert side-outputs through the
+    dispatch TABLE (operators/dispatch.py pre_detector_alerts): ONE
+    event scan + explode(matched rule ids) + one BROADCAST hash join
+    against the 300-row rule-payload table, where the naive
+    ``detections`` union compiles 300 filtered projections — 300
+    FileScans of the fact table (plan guard:
+    tests/unit/test_rule_dispatch.py). This is the rule tree as the
+    generic_resolver/list_comparison map shape the r13 verdict
+    prescribes: the dispatch decision rides a join, not a plan
+    chain. Readout: alerts per (rule, severity); the oracle states
+    the identical dispatch join over a VALUES rule table."""
+    ev = tables(spark, sf_dir)["events"]
+    rules = []
+    for i, et, lo, hi in _ALERT_SPECS:
+        rules.append(
+            {
+                "filter": f"event_type:{et} AND user_id:[{lo} TO {hi}]",
+                "pre_detector": {
+                    "id": f"rule-{i:03d}",
+                    "title": f"T{i}",
+                    "severity": ("low", "mid", "high")[i % 3],
+                },
+            }
+        )
+    det = PreDetector(rules=rules, id_fields=["event_id"])
+    return (
+        det.detections_bulk(ev)
+        .groupBy("rule_id", "severity")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_alerts"))
+    )

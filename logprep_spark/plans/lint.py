@@ -335,4 +335,85 @@ def lint(df) -> list[Finding]:
                     "disappear (BroadcastHashJoin)",
                 )
             )
+    findings.extend(lint_chains(df))
+    return findings
+
+
+# --- self-referential projection chains (the many-rules blowup) -------
+
+#: estimated predicate-substitution factor above which a chain warns.
+#: Measured (tools/rule_scale_probe.py): the 6-rule labeler chain
+#: (~3 self-refs/stage, 3^6 ≈ 7e2 with struct-rebuild fan-out on top)
+#: ran a pushed filter in 16 s on 6k rows; 8 rules (≈6e3+) never
+#: finished. 1e4 flags right at the measured cliff.
+_CHAIN_FACTOR_LIMIT = 10_000
+
+_AS_NAME = re.compile(r" AS (\w+)#\d+")
+
+
+def _chain_factor(lines: list[str]) -> dict[str, float]:
+    """Per written column, the product over the run's stages of the
+    stage's self-reference count — the growth base of a predicate
+    substituted down through the run."""
+    factors: dict[str, float] = {}
+    for line in lines:
+        for name in set(_AS_NAME.findall(line)):
+            refs = len(re.findall(rf"\b{re.escape(name)}#\d+", line)) - len(
+                re.findall(rf" AS {re.escape(name)}#\d+", line)
+            )
+            if refs >= 2:
+                factors[name] = factors.get(name, 1.0) * refs
+    return factors
+
+
+def lint_chains(df) -> list[Finding]:
+    """Detect self-referential same-column projection chains — the
+    many-rules plan hazard (operators/dispatch.py): a run of Project
+    nodes each rewriting column C from ≥2 references to C's previous
+    value. The chain BUILDS and even RUNS fine; the cliff is any
+    downstream filter on C, which Catalyst pushes through the run by
+    substituting each stage's expression at every reference — the
+    predicate grows by the product of per-stage reference counts
+    (measured: a 6-rule labeler chain took 16 s to filter 6k rows; 8
+    rules never finished). Heuristic over the ANALYZED plan (the
+    physical plan may already be collapsed); runs are maximal
+    sequences of consecutive Project lines."""
+    try:
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # pragma: no cover - defensive py4j guard
+        return []
+    findings: list[Finding] = []
+    worst: dict[str, float] = {}
+    run: list[str] = []
+    for line in analyzed.split("\n") + [""]:
+        stripped = line.strip().lstrip("+-: ").strip()
+        if stripped.startswith("Project ["):
+            run.append(line)
+            continue
+        if run:
+            for name, factor in _chain_factor(run).items():
+                if factor > worst.get(name, 0.0):
+                    worst[name] = factor
+            run = []
+    offenders = {
+        n: f for n, f in worst.items() if f >= _CHAIN_FACTOR_LIMIT
+    }
+    if offenders:
+        name, factor = max(offenders.items(), key=lambda kv: kv[1])
+        findings.append(
+            Finding(
+                WARN,
+                "self-referential-chain",
+                f"{len(offenders)} column(s) rewritten along a projection "
+                f"chain with ≥2 self-references per stage (worst: "
+                f"'{name}', est. substitution factor {factor:.0e}): a "
+                "downstream filter on the column is pushed through the "
+                "chain by substitution and grows by that factor — the "
+                "measured many-rules cliff. Safe only if nothing ever "
+                "filters on the chained column downstream.",
+                hint="apply same-target rule families through the flat "
+                "dispatch path (operators/dispatch.py: match once, ONE "
+                "write per target) instead of chaining per-rule rewrites",
+            )
+        )
     return findings

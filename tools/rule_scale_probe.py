@@ -74,9 +74,7 @@ def probe(path: str, n: int, spark, events) -> dict:
     if path == "naive":
         out = proc.transform(events)
     else:
-        from logprep_spark.operators.dispatch import transform_once
-
-        out = transform_once(proc, events)
+        out = proc.transform_bulk(events)
     t_build = time.perf_counter() - t0
 
     t0 = time.perf_counter()
