@@ -67,12 +67,16 @@ cluster-size and bucket-occupancy distributions are preserved rather
 than multiplied), and a cyclic rotation on embedding vectors (norm
 preserved). Emitted as ``sf1_spot`` in the full artifact with its
 own per-query times (``sf1_total`` on the headline line);
-``SPARK_GRAFT_SF1_SPOT=0`` disables. r9: spot values are MIN-OF-2
+``SPARK_GRAFT_SF1_SPOT=0`` disables. r9: spot values are min-of-N
 (the r3 headline lesson applied to the spot) — the r8 single-shot
 spot read uniformly 1.2-1.5x slower on an in-band box and faked the
 exact super-linearity signal the spot exists to catch; one clean run
-of two bounds the plan's cost, and super-linearity (the signal) still
-dwarfs what min-of-2 can absorb.
+bounds the plan's cost, and super-linearity (the signal) still
+dwarfs what a min can absorb. r14 (r13 verdict ask #2): N raised
+2 → 3 with the full min/med/max spread recorded per spot query
+(``sf1_spot.queries_spread``) — the r13 sf1 regressions decomposed
+to nothing in the diffed code, and without a spread the contention
+hypothesis stayed an adjudication instead of a measurement.
 """
 
 from __future__ import annotations
@@ -181,6 +185,17 @@ HEADLINE = [
     # first-38 prefix (through graph_link_prediction) is the
     # r10-comparable subtotal, first-39 becomes the next round's.
     "pipeline_pretrain_incremental",
+    # r14 addition at 40: the many-rules dispatch flagship — 500
+    # sigma-style labeler rules compiled into one match-once staged
+    # projection + one write per category, read back through the
+    # downstream explode the sequential chain cannot survive
+    # (operators/dispatch.py, X34). Its time is dominated by the
+    # driver-side compile of 500 Lucene filters (~linear, measured in
+    # PLANS/rule_dispatch_probe.md) — that cost is the story, so it
+    # is IN the timed region. The first-39 prefix (through
+    # pipeline_pretrain_incremental) is the r13-comparable subtotal,
+    # first-40 becomes the next round's.
+    "rules_dispatch_labels",
 ]
 
 
@@ -537,20 +552,28 @@ def incremental_delta_spot(spark, sf01_dir: str, sf1_dir: str) -> dict:
         ).write.format("noop").mode("overwrite").save()
 
     timings = {}
+    spreads = {}
     for label in ("1x", "10x"):
         ts = []
-        for _ in range(2):
+        for _ in range(3):
             release_staging_cache(spark)
             t0 = time.time()
             run_delta(os.path.join(root, f"incr_stores_{label}"))
             ts.append(time.time() - t0)
-        timings[label] = round(min(ts), 3)
+        ts.sort()
+        timings[label] = round(ts[0], 3)
+        spreads[label] = {
+            "min": round(ts[0], 3),
+            "med": round(ts[len(ts) // 2], 3),
+            "max": round(ts[-1], 3),
+        }
     return {
         "delta_rows": delta.count(),
         "base_1x_s": timings["1x"],
         "base_10x_s": timings["10x"],
         "ratio_10x_vs_1x": round(timings["10x"] / max(timings["1x"], 1e-9), 3),
-        "runs_per_query": 2,
+        "spread": spreads,
+        "runs_per_query": 3,
         "stat": "min",
     }
 
@@ -694,29 +717,42 @@ def main() -> None:
         # of two runs bounds the plan's cost; median-of-3 on the heavy
         # set would triple the bench's tail for little more
         sf1_timings = {}
+        sf1_spreads = {}
         for name in SF1_SPOT:
             ts = []
-            for _ in range(2):
+            for _ in range(3):
                 # clear persisted staging BEFORE each iteration, not
                 # just before the block: several spot queries persist
                 # their pair/model stages, so without this the second
-                # run measures INCREMENTAL cost and min-of-2 reads a
+                # run measures INCREMENTAL cost and min-of-N reads a
                 # cached 0.5 s for a 10x minhash run — exactly the
                 # kind of too-good number the spot exists to catch,
-                # manufactured by the spot itself. min-of-2 should
+                # manufactured by the spot itself. min-of-N should
                 # absorb CONTENTION, never cache reuse.
+                # r14 (r13 verdict ask #2): 3 runs with a recorded
+                # min/med/max spread — the r13 sf1 regressions
+                # (dedup_cdc_chunks +46%, lpa +20%) decomposed to
+                # nothing in the diffed code and needed the spread to
+                # adjudicate contention vs plan cost.
                 release_staging_cache(spark)
                 t0 = time.time()
                 qs[name](spark, sf1_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 ts.append(time.time() - t0)
-            sf1_timings[name] = round(min(ts), 3)
+            ts.sort()
+            sf1_timings[name] = round(ts[0], 3)
+            sf1_spreads[name] = {
+                "min": round(ts[0], 3),
+                "med": round(ts[len(ts) // 2], 3),
+                "max": round(ts[-1], 3),
+            }
         sf1_block = {
             "queries": sf1_timings,
+            "queries_spread": sf1_spreads,
             "total": round(sum(sf1_timings.values()), 3),
             "rows_vs_headline": _REPLICAS,
-            "runs_per_query": 2,
+            "runs_per_query": 3,
             "stat": "min",
         }
         # r12: the incremental flagship's base-size-independence claim,
@@ -730,7 +766,7 @@ def main() -> None:
         # headline query), so its 1x time is measured HERE, same
         # min-of-2 protocol, and the 1x/10x ratio rides the artifact
         ts1 = []
-        for _ in range(2):
+        for _ in range(3):
             release_staging_cache(spark)
             t0 = time.time()
             qs["shard_balance_tokens"](spark, SF_DIR).write.format(
@@ -744,7 +780,7 @@ def main() -> None:
             "ratio_10x_vs_1x": round(
                 sf1_timings["shard_balance_tokens"] / max(r1x, 1e-9), 3
             ),
-            "runs_per_query": 2,
+            "runs_per_query": 3,
             "stat": "min",
         }
 

@@ -176,7 +176,15 @@ class PipelineConfig:
             name: _create_connector({name: cfg}, _OUTPUTS, "output")
             for name, cfg in config.get("output", {}).items()
         }
-        self.pipeline = Pipeline(self.processors)
+        # `rule_dispatch: true` — the reference's rule-tree posture
+        # (its DEFAULT engine; sequential evaluation is its
+        # _bypass_rule_tree opt-out) for config-driven pipelines with
+        # big rule corpora: bulk/match-once routing per processor
+        # (operators/dispatch.py; the sequential chain's pushdown
+        # blowup is measured in PLANS/rule_dispatch_probe.md)
+        self.pipeline = Pipeline(
+            self.processors, dispatch=bool(config.get("rule_dispatch", False))
+        )
 
     @classmethod
     def from_file(cls, path: str) -> "PipelineConfig":

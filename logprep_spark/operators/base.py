@@ -149,13 +149,39 @@ class Pipeline:
     ``transform`` chains every processor's column rewrites lazily;
     Catalyst fuses them into a single projection, so N processors
     cost one pass over the data regardless of N.
+
+    ``dispatch=True`` routes each processor through its many-rules
+    dispatch path (operators/dispatch.py — the reference
+    framework/rule_tree analog, which is the reference's DEFAULT;
+    per-rule sequential evaluation is its ``_bypass_rule_tree``
+    opt-out): a family bulk transform when the processor ships one
+    (labeler), else the generic match-once ``transform_once``.
+    Mandatory for big same-target rule corpora — the sequential
+    chain's predicate-pushdown blowup is measured in
+    PLANS/rule_dispatch_probe.md. Scope: dispatch matching sees the
+    processor-entry state (exactly the reference rule-tree
+    semantics), so it diverges from the sequential path only when a
+    rule's filter reads a field the SAME processor writes.
     """
 
-    def __init__(self, processors: list[Processor]):
+    def __init__(self, processors: list[Processor], dispatch: bool = False):
         self.processors = processors
+        self.dispatch = dispatch
 
     def transform(self, df: DataFrame) -> DataFrame:
         for proc in self.processors:
+            if self.dispatch:
+                bulk = getattr(proc, "transform_bulk", None)
+                if bulk is not None:
+                    df = bulk(df)
+                    continue
+                if type(proc).apply_rule is not Processor.apply_rule:
+                    from logprep_spark.operators.dispatch import (
+                        transform_once,
+                    )
+
+                    df = transform_once(proc, df)
+                    continue
             df = proc.transform(df)
         return df
 

@@ -303,3 +303,83 @@ def pre_detector_alerts(
             )
         cols.append(expr.alias(det_field))
     return joined.select(*cols)
+
+
+def transform_fixpoint(processor, df: DataFrame, max_rounds: int = 4):
+    """Reference ``apply_multiple_times`` semantics
+    (abc/processor.py:203 ``_process_rule_tree_multiple_times``):
+    match against the CURRENT event state, apply the matching rules
+    in order, then RE-match — a rule whose filter only becomes true
+    after another rule's write fires in a later round — until no rule
+    newly matches (each rule applies at most once per event, the
+    reference's ``applied_rules`` set).
+
+    Spark realization: the applied set is an ``array<boolean>``
+    column; each round stages fresh verdicts ``cond AND NOT applied``
+    in ONE flat projection (the match-once discipline per round),
+    applies the newly-matching rules, folds them into the applied
+    array, and localCheckpoints — the per-round lineage cut of every
+    iterative operator here (dup_clusters, pagerank). Convergence is
+    a bounded driver-side ANY-aggregate per round; ``max_rounds``
+    caps the walk (the reference can loop forever on a rule that
+    keeps re-matching — the cap is the distributed-safety addition,
+    and hitting it raises so a cyclic corpus is a loud error, not a
+    silent partial application).
+
+    Returns the transformed frame."""
+    n = len(processor.rules)
+    if not n:
+        return df
+    applied_col = "__rules_applied__"
+    fresh_col = "__rules_fresh__"
+    out = df.withColumn(
+        applied_col, F.array(*[F.lit(False)] * n)
+    )
+    for _ in range(max_rounds):
+        conds = [
+            F.coalesce(processor.condition(out, rule), F.lit(False))
+            for rule in processor.rules
+        ]
+        out = out.withColumn(
+            fresh_col,
+            F.zip_with(
+                F.array(*conds),
+                F.col(applied_col),
+                lambda c, a: c & ~a,
+            ),
+        )
+        any_fresh = out.agg(
+            F.max(F.exists(fresh_col, lambda x: x)).alias("f")
+        ).first()["f"]
+        if not any_fresh:
+            return out.drop(applied_col, fresh_col)
+        for i, rule in enumerate(processor.rules):
+            processor._current_rule = rule
+            out = processor.apply_rule(
+                out, F.col(fresh_col)[i], rule.config
+            )
+        out = out.withColumn(
+            applied_col,
+            F.zip_with(
+                F.col(applied_col), F.col(fresh_col), lambda a, f: a | f
+            ),
+        ).drop(fresh_col).localCheckpoint(eager=True)
+    # one final match to certify convergence at the cap
+    conds = [
+        F.coalesce(processor.condition(out, rule), F.lit(False))
+        for rule in processor.rules
+    ]
+    leftovers = out.withColumn(
+        fresh_col,
+        F.zip_with(
+            F.array(*conds), F.col(applied_col), lambda c, a: c & ~a
+        ),
+    )
+    if leftovers.agg(
+        F.max(F.exists(fresh_col, lambda x: x)).alias("f")
+    ).first()["f"]:
+        raise RuntimeError(
+            f"transform_fixpoint: rules still matching after "
+            f"{max_rounds} rounds — cyclic rule corpus?"
+        )
+    return out.drop(applied_col)

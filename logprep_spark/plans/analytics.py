@@ -2403,7 +2403,7 @@ def cuped_adjusted_means(
 
 
 def chi_square_cells(
-    df: DataFrame, row_col: str, col_col: str
+    df: DataFrame, row_col: str, col_col: str, densify: bool = False
 ) -> DataFrame:
     """Chi-square contingency cells for a two-way categorical table —
     the INDEPENDENCE member of the experimentation family (is event
@@ -2416,8 +2416,15 @@ def chi_square_cells(
     CONTRIBUTIONS are the diagnosis — they point at which cell
     drives the dependence. Caveat, stated: cells with ZERO observed
     count emit no row (a groupBy cannot see them), so the summed
-    statistic under-counts tables with structural zeros — densify
-    with a label cross join first if absent cells are possible.
+    statistic under-counts tables with structural zeros —
+    ``densify=True`` closes it: the cell table becomes the full
+    |R|×|C| domain cross (both sides bounded label-domain frames; the
+    cross is a broadcast of the column domain, never corpus-sized)
+    with absent cells at observed = 0, whose contribution is the
+    textbook E = r·c/N term the sparse form drops. Margins are
+    unchanged (zero cells add nothing to them). Zero-cell caveat
+    applies only when BOTH labels appear somewhere — a label absent
+    from the data entirely is absent from the domain too.
     Overflow: the margin products 1000·r·c and o·N − r·c are carried
     in DECIMAL(38,0) (the gini_concentration discipline) — at the
     100 TB scale margins reach ~5e10 and 1000·r·c would wrap int64.
@@ -2426,6 +2433,17 @@ def chi_square_cells(
     tab = df.groupBy(row_col, col_col).agg(
         F.count(F.lit(1)).alias("o")
     )
+    if densify:
+        dense = (
+            tab.select(row_col)
+            .distinct()
+            .crossJoin(broadcast(tab.select(col_col).distinct()))
+        )
+        tab = dense.join(tab, [row_col, col_col], "left").select(
+            row_col,
+            col_col,
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
     wr = Window.partitionBy(row_col)
     wc = Window.partitionBy(col_col)
     wall = Window.partitionBy()

@@ -186,80 +186,90 @@ def register(name: str, oracle: str | None = None):
 #   r12 window (DONE): 50/50 green, zero ERR, all hash-gated — the 13
 #     r11-new rows + the 4 r12-new rows + the 6 de-globalized rows +
 #     27 oldest (r5 leftovers + oldest-r6), exactly as prescribed.
-#   r13 window (THIS round): the 7 r13-new rows (users_spend_theil,
-#     ab_welch_ttest, dq_mutual_info, events_mad_outliers,
-#     events_lorenz_curve, dq_cramers_v, dq_entropy_profile), the 4
-#     r13-changed plans (ab_ks_test, ab_mann_whitney,
-#     corpus_mix_allocate, corpus_mix_materialize), then the 27
-#     remaining r6-green rows and the 12 oldest r7-green rows.
+#   r13 window (DONE): 50/50 green, zero ERR — the 7 r13-new rows
+#     (users_spend_theil, ab_welch_ttest, dq_mutual_info,
+#     events_mad_outliers, events_lorenz_curve, dq_cramers_v,
+#     dq_entropy_profile), the 4 r13-changed plans (ab_ks_test,
+#     ab_mann_whitney, corpus_mix_allocate, corpus_mix_materialize),
+#     then the 27 remaining r6-green rows and the 12 oldest r7-green
+#     rows, exactly as prescribed.
+#   r14 window (THIS round): the 2 r14-new rows FIRST
+#     (rules_dispatch_labels, rules_dispatch_alerts — the many-rules
+#     dispatch family, local hash-PASS vs DuckDB VALUES dispatch
+#     oracles), then the 4 rows whose r14 code or oracle changed and
+#     must re-certify (ab_welch_ttest: explicit degenerate-arm NULL
+#     gate in the plan; ab_chi_square + dq_cramers_v: oracle gap and
+#     denominator re-formed in HUGEINT, hashes verified unchanged;
+#     dq_entropy_profile: empty-cols guard), then the oldest official
+#     evidence — all 38 rows whose latest driver green is r7 (r7
+#     window order) and the 6 oldest r8-green rows (split_kfold,
+#     events_dow_seasonality, sketch_theta_overlap,
+#     sketch_theta_union_range, sketch_theta_diff, embed_pq_codes).
 # The full catalog (see the module docstring count; tools/
 # gen_query_index.py keeps it exact) stays locally oracle-gated
 # every round via tools/check_oracles.py (LOCAL_CORRECTNESS.md,
 # same hash methodology as the driver).
 _PRIORITY = [
-    # --- r13 window (the r12 verdict's prescription, adjusted: the 4
-    # r12-new rows already carry r12 driver green — CORRECTNESS_r12
-    # rows 14-17 — so the slots go to this round's work): the 4
-    # r13-new rows FIRST (local hash-PASS, tools/check_oracles.py,
-    # hand-computed pytest replicas): ---
-    "users_spend_theil",
+    # --- r14 window: the 2 r14-new dispatch rows FIRST (local
+    # hash-PASS, tools/check_oracles.py; plan guards in
+    # tests/unit/test_rule_dispatch.py): ---
+    "rules_dispatch_labels",
+    "rules_dispatch_alerts",
+    # --- the 4 rows whose r14 code/oracle changed and re-certify
+    # under the driver (welch: degenerate-arm NULL gate now in the
+    # plan; chi-square family: HUGEINT oracle gap, hashes verified
+    # unchanged locally; entropy: empty-cols guard): ---
     "ab_welch_ttest",
-    "dq_mutual_info",
-    "events_mad_outliers",
-    "events_lorenz_curve",
+    "ab_chi_square",
     "dq_cramers_v",
     "dq_entropy_profile",
-    # --- the 4 rows whose r13 plans changed and must re-certify
-    # under the driver (ab_ks_test: corrected critical constant +
-    # DECIMAL gap + two-pass running sum; ab_mann_whitney: two-pass
-    # running sum, hash unchanged; the two mix rows: BNLJ burndown
-    # onto the driver-side bounded model, hashes unchanged): ---
-    "ab_ks_test",
-    "ab_mann_whitney",
-    "corpus_mix_allocate",
-    "corpus_mix_materialize",
-    # --- fill to 50 with the oldest official evidence: all 27 rows
-    # whose latest driver green is r6 (r6 window order), then the 15
-    # oldest r7-checked rows (r7 window order) ---
-    "graph_pagerank",
-    "ml_kmeans",
-    "ml_kmeans_gonzalez",
-    "ml_kmeans_inertia",
-    "pipeline_corpus_config",
-    "pipeline_training_data_v2",
-    "retention_cohorts",
-    "sample_rate_limit",
-    "search_bm25",
-    "search_rrf_fusion",
-    "slo_burn_rate",
-    "split_pack_sequences",
-    "text_bigram_lm",
-    "text_bpe_pairs",
-    "text_chunk_passages",
-    "text_dsir",
-    "text_quality_model",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q10",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    "user_lifetime_mart",
-    "window_value_percentile",
-    "embed_center_normalize",
-    "sketch_quantiles_approx",
-    "text_c4_filters",
-    "text_pmi_collocations",
-    "tpch_q13",
-    "tpch_q21",
-    "window_moving_avg_range",
-    "funnel_time_to_convert",
-    "ivm_merge_event_counts",
-    "event_grouping_sets",
-    "events_twap",
-    "users_week_over_week",
+    # --- fill to 50 with the oldest official evidence: all 38 rows
+    # whose latest driver green is r7 (r7 window order), then the 6
+    # oldest r8-green rows ---
+    "scd2_user_tier",
+    "attribution_last_touch",
+    "recon_orders_lineitems",
+    "dedup_minhash_estimate",
+    "sketch_hll_mergeable",
+    "embed_top_component",
+    "cdc_apply_upserts",
+    "search_rrf_mrr",
+    "corpus_vocab_divergence",
+    "users_cumulative_distinct",
+    "events_sequence_anomaly",
+    "events_anomaly_mad",
+    "basket_part_pairs",
+    "tpch_q2",
+    "window_ntile_deciles",
+    "text_rake_keywords",
+    "embed_quantize_int8",
+    "customers_rfm",
+    "text_langid_confusion",
+    "retention_decay_fit",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q15",
+    "tpch_q20",
+    "match_fuzzy_entities",
+    "events_peak_concurrency",
+    "corpus_snapshot_diff",
+    "embed_truncation_fidelity",
+    "join_asof_nearest",
+    "corpus_near_dedup_step",
+    "sketch_hll_overlap",
+    "dedup_pair_lcs",
+    "events_value_trend",
+    "corpus_dedup_report",
+    "documents_profile",
+    "dedup_simhash_recall",
+    "split_kfold",
+    "events_dow_seasonality",
+    "sketch_theta_overlap",
+    "sketch_theta_union_range",
+    "sketch_theta_diff",
+    "embed_pq_codes",
 ]
 
 

@@ -36,8 +36,24 @@ def get_spark(app_name: str = "logprep-spark", master: str | None = None) -> Spa
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Call-site capture for DataFrame error context costs ~3 extra
+        # py4j round trips on EVERY Column/DataFrame API call
+        # (pyspark/errors/utils.py _with_origin: conf read +
+        # PySparkCurrentOrigin.set + clear). Plan-construction-heavy
+        # paths pay hard: the 1000-rule dispatch compile drops ~2.3x
+        # (measured, PLANS/rule_dispatch_probe.md) with it off. A
+        # debugging nicety, not an execution feature — off for an
+        # engine, flip on when chasing a plan-construction error.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    try:
+        # pyspark caches this flag on first use; set it at runtime too
+        # so a pre-existing session (getOrCreate reuse) is covered
+        spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
+    except Exception:
+        pass
+    return spark
 
 
 def fan_out(df, factor: float = 1.0):

@@ -141,3 +141,42 @@ def test_reference_grokker_rule_corpus_loads_unchanged(spark):
     )
     out = proc.transform(df).first()
     assert out.user == "alice"
+
+
+def test_rule_dispatch_flag_routes_pipeline(spark):
+    from pyspark.sql import functions as F
+
+    cfg = {
+        "rule_dispatch": True,
+        "pipeline": [
+            {
+                "labeler": {
+                    "type": "labeler",
+                    "rules": [
+                        {
+                            "filter": "event_type:error",
+                            "labeler": {"label": {"action": ["alert"]}},
+                        },
+                        {
+                            "filter": "event_type:signup",
+                            "labeler": {"label": {"action": ["growth"]}},
+                        },
+                    ],
+                }
+            }
+        ],
+    }
+    pc = PipelineConfig(cfg)
+    assert pc.pipeline.dispatch is True
+    df = spark.createDataFrame(
+        [(1, "error"), (2, "signup"), (3, "view")],
+        "event_id long, event_type string",
+    )
+    out = {
+        r["event_id"]: (r["label"]["action"] if r["label"] else None)
+        for r in pc.pipeline.transform(df).collect()
+    }
+    assert out == {1: ["alert"], 2: ["growth"], 3: None}
+    # default stays sequential (the reference's bypass posture is our
+    # compat default; flipping it is a config line)
+    assert PipelineConfig({"pipeline": []}).pipeline.dispatch is False

@@ -225,3 +225,34 @@ def test_entropy_profile_empty_cols_raises(spark):
     df = spark.createDataFrame([("a",)], "c string")
     with pytest.raises(ValueError, match="at least one column"):
         an.entropy_profile(df, [])
+
+
+def test_chi_square_densify_structural_zero(spark):
+    # 2x2 with cell (a,y) structurally absent: N=10, r_a=4, r_b=6,
+    # c_x=5, c_y=5. chi2 = 2 + 2 + 4/3 + 4/3 = 6.667; the sparse form
+    # drops the zero cell's E = r*c/N = 2.0 exactly.
+    rows = (
+        [("a", "x")] * 4 + [("b", "x")] * 1 + [("b", "y")] * 5
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    sparse = {
+        (x["r"], x["c"]): x for x in an.chi_square_cells(df, "r", "c").collect()
+    }
+    dense = {
+        (x["r"], x["c"]): x
+        for x in an.chi_square_cells(df, "r", "c", densify=True).collect()
+    }
+    assert set(sparse) == {("a", "x"), ("b", "x"), ("b", "y")}
+    assert set(dense) == set(sparse) | {("a", "y")}
+    zero = dense[("a", "y")]
+    assert zero["observed"] == 0
+    assert zero["expected_milli"] == 2000
+    assert zero["chi_contrib_micro"] == 2_000_000
+    # shared cells identical in both forms (margins unchanged by the
+    # zero fill), so dense total = sparse total + the dropped term
+    for k, v in sparse.items():
+        assert dense[k]["chi_contrib_micro"] == v["chi_contrib_micro"]
+    s_sum = sum(v["chi_contrib_micro"] for v in sparse.values())
+    d_sum = sum(v["chi_contrib_micro"] for v in dense.values())
+    assert d_sum - s_sum == 2_000_000
+    assert d_sum == 6_666_666  # floor'd micro terms of 6.667 total

@@ -234,3 +234,91 @@ def test_set_when_no_overwrite_single_reference_semantics(spark):
     rows = {r["id"]: r["dst"] for r in out.collect()}
     # null + cond -> written; existing -> kept; null + !cond -> null
     assert rows == {1: "a", 2: "keep", 3: None}
+
+
+def test_lint_chain_fires_on_naive_silent_on_bulk(spark):
+    from logprep_spark.plans.lint import lint_chains
+
+    rules = _label_rules(10)
+    ev = _events(spark, 50)
+    naive = Labeler(rules=rules).transform(ev)
+    bulk = Labeler(rules=rules).transform_bulk(ev)
+    naive_findings = lint_chains(naive)
+    assert [f.code for f in naive_findings] == ["self-referential-chain"]
+    assert "label" in naive_findings[0].message
+    assert lint_chains(bulk) == []
+
+
+def test_transform_fixpoint_matches_reference_semantics(spark):
+    """Reference apply_multiple_times (abc/processor.py:203): a rule
+    whose filter only becomes true after ANOTHER rule's write fires
+    in a later round. Rules deliberately ordered so the sequential
+    single pass MISSES the chained match (the trigger rule runs
+    first, its enabler second) while the fixpoint catches it."""
+    from logprep_spark.operators.dispatch import transform_fixpoint
+
+    rules = [
+        # fires only once label.action contains SEED — round 2
+        {
+            "filter": "label.action:SEED",
+            "labeler": {"label": {"action": ["CHAINED"]}},
+        },
+        # fires on raw input — round 1
+        {
+            "filter": "event_type:error",
+            "labeler": {"label": {"action": ["SEED"]}},
+        },
+    ]
+    ev = _events(spark, 30)
+    proc = Labeler(rules=rules)
+    fixed = transform_fixpoint(proc, ev, max_rounds=4)
+    got = {
+        r["event_id"]: (r["label"]["action"] if r["label"] else None)
+        for r in fixed.collect()
+    }
+    for eid, labels in got.items():
+        if eid % len(EVENT_TYPES) == 4:  # event_type == 'error'
+            assert labels == ["CHAINED", "SEED"]
+        else:
+            assert labels is None
+    # the sequential single pass misses the chained rule (rule order
+    # puts the dependent rule first) — the fixpoint's reason to exist
+    seq = Labeler(rules=rules).transform(ev)
+    seq_got = {
+        r["event_id"]: (r["label"]["action"] if r["label"] else None)
+        for r in seq.collect()
+    }
+    assert all(
+        l in (None, ["SEED"]) for l in seq_got.values()
+    )
+
+
+def test_transform_fixpoint_raises_at_round_cap(spark):
+    from logprep_spark.operators.dispatch import transform_fixpoint
+    import pytest
+
+    # each round's write enables the next rule; cap of 1 cannot close
+    rules = [
+        {"filter": "event_type:error", "labeler": {"label": {"action": ["A"]}}},
+        {"filter": "label.action:A", "labeler": {"label": {"action": ["B"]}}},
+        {"filter": "label.action:B", "labeler": {"label": {"action": ["C"]}}},
+    ]
+    ev = _events(spark, 20)
+    with pytest.raises(RuntimeError, match="still matching"):
+        transform_fixpoint(Labeler(rules=rules), ev, max_rounds=1)
+    # and a sufficient cap converges: A, B, C all land
+    out = transform_fixpoint(Labeler(rules=rules), ev, max_rounds=4)
+    row = [
+        r for r in out.collect() if r["event_id"] % len(EVENT_TYPES) == 4
+    ][0]
+    assert row["label"]["action"] == ["A", "B", "C"]
+
+
+def test_pipeline_dispatch_flag(spark):
+    from logprep_spark.operators.base import Pipeline
+
+    rules = _label_rules(12)
+    ev = _events(spark, 100)
+    plain = Pipeline([Labeler(rules=rules)]).transform(ev)
+    routed = Pipeline([Labeler(rules=rules)], dispatch=True).transform(ev)
+    assert _collect_sorted(plain) == _collect_sorted(routed)
