@@ -15630,20 +15630,24 @@ def dedup_cdc_chunks(spark, sf_dir):
     )
 
     def chunked(frame, text_col):
-        # codes array in its OWN projection (one ascii per char, not
-        # 16 substring allocations per position — the minhash staging
-        # discipline), then cuts, then bounds, then the explode. The
-        # exploded frame is localCheckpoint'ed: orig feeds two
-        # aggregations and the witness join, and without the cut the
-        # whole chunking subtree re-executes per consumer (3 corpus
-        # chunk passes; measured 32 s at sf0.1 → ~8 s with both fixes).
+        # codes array in its OWN projection, built from split(t, '')
+        # (r14 profile, tools/cdc_profile.py: the former per-position
+        # ascii(substring(t, i, 1)) paid an O(L) UTF8 char-count scan
+        # PER POSITION — O(L²) per row — and was HALF of each chunking
+        # pass; split is one pass, bit-identical codes, 4x faster on
+        # the codes stage, query 9.5 s → ~6.5 s at sf0.1), then cuts,
+        # then bounds, then the explode. The exploded frame is
+        # localCheckpoint'ed: orig feeds two aggregations and the
+        # witness join, and without the cut the whole chunking subtree
+        # re-executes per consumer (3 corpus chunk passes; measured
+        # 32 s at sf0.1 → ~8 s with the r10 fixes).
         f = frame.withColumn("t", F.col(text_col)) if text_col != "t" else frame
         return (
             f.withColumn(
                 "_codes",
                 F.expr(
-                    "transform(sequence(1, length(t)),"
-                    " i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))"
+                    "transform(split(t, ''),"
+                    " ch -> CAST(ascii(ch) AS BIGINT))"
                 ),
             )
             .withColumn("_cuts", F.expr(cuts_e))

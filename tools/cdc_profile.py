@@ -56,8 +56,8 @@ def main():
             frame.withColumn(
                 "_codes",
                 F.expr(
-                    "transform(sequence(1, length(t)),"
-                    " i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))"
+                    "transform(split(t, ''),"
+                    " ch -> CAST(ascii(ch) AS BIGINT))"
                 ),
             )
             .withColumn("_cuts", F.expr(cuts_e))
