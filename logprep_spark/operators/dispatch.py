@@ -84,13 +84,21 @@ def stage_conditions(
 
 def matched_ids(n_rules: int, col_name: str = COND_COL) -> Column:
     """``array<int>`` of matching rule indices from the staged verdict
-    array — ``zip_with`` the verdicts against their positions, then
-    compact. Flat; no per-rule plan nodes."""
-    idx = F.array(*[F.lit(i) for i in range(n_rules)])
-    return F.array_compact(
-        F.zip_with(
-            F.col(col_name), idx, lambda c, i: F.when(c, i)
-        )
+    array. Flat ``concat`` of per-rule singleton/empty arrays — NOT
+    ``array_compact(zip_with(...))``: higher-order functions are
+    CodegenFallback in Spark (interpreted, boxed, per-element lambda
+    frames), and at N rules x M rows that inner loop was the r14
+    bench's single hottest line (rules_dispatch_labels 63 s at sf0.1;
+    see OPTIMIZATION_r14.md). ``concat``/``when`` stay inside
+    whole-stage codegen — identical output, guide §4.1 built-ins-over-
+    lambda applied to the JVM expression layer itself."""
+    return F.concat(
+        *[
+            F.when(F.col(col_name)[i], F.array(F.lit(i))).otherwise(
+                F.array().cast("array<int>")
+            )
+            for i in range(n_rules)
+        ]
     )
 
 
@@ -121,12 +129,16 @@ def labeler_bulk(labeler, df: DataFrame) -> DataFrame:
     """All N labeler rules in ONE write per category — the dispatch
     path for the verdict's 1000-rule sigma deployment.
 
-    Per category, rule payloads live in a literal ``array<array
-    <string>>`` indexed by rule position; the event's additions are
-    ``flatten(zip_with(payloads, verdicts, keep-if-matched))`` — an
-    expression of the staged verdict array and constants only, so the
-    category column is written ONCE however many rules exist, and a
-    downstream filter substitutes through exactly one projection.
+    Per category, each matched rule's (sorted) values join into ONE
+    NUL-separated ``concat_ws`` string, split once into the additions
+    array — an expression of the input frame and constants only, so
+    the category column is written ONCE however many rules exist, and
+    a downstream filter substitutes through exactly one projection.
+    (r14 shape: concat_ws skips unmatched rules' null children with
+    zero allocations; the original ``flatten(zip_with(payloads,
+    verdicts, ...))`` ran interpreted — higher-order functions are
+    CodegenFallback — and a staged verdict array is a CollapseProject
+    inlining bomb; see OPTIMIZATION_r14.md.)
     Matches the sequential path bit-for-bit on non-self-reading rules
     (every label write is a sorted-distinct union — order-insensitive,
     so one merged union equals N chained unions;
@@ -136,7 +148,19 @@ def labeler_bulk(labeler, df: DataFrame) -> DataFrame:
     n = len(labeler.rules)
     if not n:
         return df
-    staged = stage_conditions(labeler, df)
+    # conditions compiled DIRECTLY against the input frame — the
+    # match-once semantics without the staged verdict-array column:
+    # a staged array<boolean> referenced once per rule index is a
+    # CollapseProject bomb (the optimizer inlines the N-element
+    # CreateArray into every GetArrayItem — N² expression nodes,
+    # JVM-heap OOM at 600 rules once a downstream filter substitutes
+    # through it). Each cond is referenced once per category its rule
+    # writes (≤ a few), so the tree stays O(N).
+    conds = [
+        F.coalesce(labeler.condition(df, rule), F.lit(False))
+        for rule in labeler.rules
+    ]
+    staged = df
     # category -> {rule index -> sorted label values}
     cats: dict[str, dict[int, list[str]]] = {}
     for i, rule in enumerate(labeler.rules):
@@ -152,41 +176,111 @@ def labeler_bulk(labeler, df: DataFrame) -> DataFrame:
     )
 
     values: dict[str, Column] = {}
-    any_add = F.lit(False)
+    # "some rule with a label value matched" — OR the conds of
+    # value-bearing rules directly (one pass) instead of the old
+    # size(adds) > 0 per category, which re-evaluated each category's
+    # whole adds tree a second and third time under interpreted eval
+    val_idx = sorted(
+        {
+            i
+            for idx_map in cats.values()
+            for i, vals in idx_map.items()
+            if vals
+        }
+    )
+    # balanced OR tree: a left-deep 600-term | chain overflows the
+    # JVM stack during Column-node conversion (depth N); pairwise
+    # folding keeps depth at log2(N)
+    acc = [conds[i] for i in val_idx]
+    while len(acc) > 1:
+        acc = [
+            acc[j] | acc[j + 1] if j + 1 < len(acc) else acc[j]
+            for j in range(0, len(acc), 2)
+        ]
+    any_add = acc[0] if acc else F.lit(False)
+    empty = F.array().cast("array<string>")
     for cat, idx_map in sorted(cats.items()):
-        payload = F.array(
-            *[
-                F.array(*[F.lit(v) for v in idx_map.get(i, [])])
-                for i in range(n)
-            ]
-        )
-        adds = F.flatten(
-            F.zip_with(
-                payload,
-                F.col(COND_COL),
-                lambda p, c: F.when(c, p).otherwise(F.array()),
+        # Matched values are collected as ONE separator-joined string
+        # (``concat_ws`` skips null children natively, inside
+        # whole-stage codegen, zero per-rule allocations) and split
+        # once — NOT flatten(zip_with(payload, conds, ...)) (higher-
+        # order functions are CodegenFallback: interpreted, boxed,
+        # per-element lambda frames — the r14 bench's hottest line,
+        # rules_dispatch_labels 63 s exec at sf0.1) and NOT a flat
+        # concat of per-rule conditional arrays (codegen, but one
+        # ArrayData allocation + copy per rule per row — still ~6 s).
+        # Identical multiset: each matched rule contributes its sorted
+        # values in rule order, and the sorted distinct below makes
+        # element order irrelevant anyway. The NUL separator cannot
+        # occur in label values (compile-time check); empty-string
+        # values fall back to the allocation-per-rule form.
+        flat_vals = [v for vals in idx_map.values() for v in vals]
+        can_ws = all("\x00" not in v and v != "" for v in flat_vals)
+        rule_items = [(i, vals) for i, vals in sorted(idx_map.items()) if vals]
+        if not flat_vals:
+            adds = empty
+        elif can_ws:
+            joined = F.concat_ws(
+                "\x00",
+                *[
+                    F.when(conds[i], F.lit("\x00".join(vals)))
+                    for i, vals in rule_items
+                ],
             )
-        )
+            adds = F.split(F.nullif(joined, F.lit("")), "\x00")
+        else:
+            adds = F.concat(
+                *[
+                    F.when(
+                        conds[i],
+                        F.array(*[F.lit(v) for v in vals]),
+                    ).otherwise(empty)
+                    for i, vals in rule_items
+                ]
+            )
         existing = (
             base.getField(cat)
             if existing_struct and fld.has_field(top_type, cat)
             else None
         )
-        if existing is None:
-            value = F.when(
-                F.size(adds) > 0, F.array_sort(F.array_distinct(adds))
-            )
+        # SINGLE reference to ``adds`` per value: this projection is
+        # too wide for whole-stage codegen (falls back to interpreted
+        # eval with no common-subexpression elimination), so every
+        # reference re-evaluates the N-child concat_ws — the old
+        # when(size(adds) > 0, ...) + any_add shape paid the rule
+        # corpus 3x per category (measured 12 s -> ~3 s at sf0.1).
+        # On the ws path adds is NULL or non-empty (split of a
+        # non-empty string), never [], so the null-propagation forms
+        # below are exactly the old truth table; the rare fallback
+        # path (empty-able adds) keeps the old gated form.
+        if can_ws and flat_vals:
+            if existing is None:
+                # null adds -> null value (old: size-gate -> null)
+                value = F.array_sort(F.array_distinct(adds))
+            else:
+                # null adds -> concat null -> coalesce -> existing
+                value = F.coalesce(
+                    F.array_sort(
+                        F.array_distinct(
+                            F.concat(F.coalesce(existing, F.array()), adds)
+                        )
+                    ),
+                    existing,
+                )
         else:
-            value = F.when(
-                F.size(adds) > 0,
-                F.array_sort(
-                    F.array_distinct(
-                        F.concat(F.coalesce(existing, F.array()), adds)
-                    )
-                ),
-            ).otherwise(existing)
+            sz = F.coalesce(F.size(adds) > 0, F.lit(False))
+            if existing is None:
+                value = F.when(sz, F.array_sort(F.array_distinct(adds)))
+            else:
+                value = F.when(
+                    sz,
+                    F.array_sort(
+                        F.array_distinct(
+                            F.concat(F.coalesce(existing, F.array()), adds)
+                        )
+                    ),
+                ).otherwise(existing)
         values[cat] = value
-        any_add = any_add | (F.size(adds) > 0)
 
     # ONE write builds the whole container: chained withField over a
     # single coalesced base (one reference to col('label') however
@@ -204,7 +298,7 @@ def labeler_bulk(labeler, df: DataFrame) -> DataFrame:
             F.struct(*[v.alias(cat) for cat, v in values.items()]),
         )
         staged = staged.withColumn("label", fresh)
-    return staged.drop(COND_COL)
+    return staged
 
 
 def pre_detector_alerts(
@@ -215,15 +309,21 @@ def pre_detector_alerts(
     unions N filtered projections: N FileScans of the input, a
     1000-branch plan at SIEM rule counts).
 
-    Shape: match-once staging → ``explode(matched_ids)`` (events
-    matching no rule vanish with their empty array; an event matching
-    k rules emits k alert rows, the naive union's semantics) → one
-    BROADCAST hash join against the N-row rule-payload table — the
-    rule tree as a dispatch TABLE, the generic_resolver/
-    list_comparison map shape the verdict prescribes. Per-rule
-    event-field copies (ip_fields / copy_fields_to_detection_event)
-    become per-OUTPUT-column conditionals over the handful of rules
-    that define each column — flat in the rule count.
+    Shape: match once → ``explode`` the matched rule indices (events
+    matching no rule vanish; an event matching k rules emits k alert
+    rows, the naive union's semantics) → one BROADCAST hash join
+    against the N-row rule-payload table — the rule tree as a
+    dispatch TABLE, the generic_resolver/list_comparison map shape
+    the verdict prescribes. Per-rule event-field copies (ip_fields /
+    copy_fields_to_detection_event) become per-OUTPUT-column
+    conditionals over the handful of rules that define each column —
+    flat in the rule count.
+
+    The matched-index list is built as ONE ``concat_ws`` string and
+    split (r14: codegen, zero per-rule allocations — the
+    ``matched_ids`` concat-of-arrays form pays one ArrayData copy per
+    rule per row, and a staged verdict array is a CollapseProject
+    inlining bomb at N² expression nodes; same exploded rows).
 
     Column parity with ``detections``: same names; ``mitre`` is an
     empty array (never null) for rules without it, matching the
@@ -232,10 +332,20 @@ def pre_detector_alerts(
     if not rules:
         raise ValueError("pre_detector has no rules")
     spark = df.sparkSession
-    staged = stage_conditions(pre_detector, df)
-    exploded = staged.withColumn(
-        "_ri", F.explode(matched_ids(len(rules)))
-    ).drop(COND_COL)
+    conds = [
+        F.coalesce(pre_detector.condition(df, rule), F.lit(False))
+        for rule in rules
+    ]
+    idstr = F.concat_ws(
+        "\x00", *[F.when(conds[i], F.lit(str(i))) for i in range(len(rules))]
+    )
+    exploded = (
+        df.withColumn(
+            "_ris", F.explode(F.split(F.nullif(idstr, F.lit("")), "\x00"))
+        )
+        .withColumn("_ri", F.col("_ris").cast("int"))
+        .drop("_ris")
+    )
 
     payload_rows = []
     for i, rule in enumerate(rules):

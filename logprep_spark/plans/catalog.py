@@ -20461,17 +20461,30 @@ def rules_dispatch_labels(spark, sf_dir):
             }
         )
     labeled = Labeler(rules=rules).transform_bulk(ev)
-    parts = [
-        labeled.select(
-            F.lit(cat).alias("category"),
-            F.explode(f"label.{cat}").alias("label"),
-            "event_id",
+    # ONE pass: both categories explode from the same projected row
+    # (r14 — the two-part union re-ran the 500-condition labeling
+    # projection once per category; same (category, label, event)
+    # multiset, half the scan+match work). The transform lambda only
+    # walks the per-event label arrays (bounded), not the rule corpus.
+    cl_type = "array<struct<category:string,label:string>>"
+
+    def _tag(cat):
+        # single-arg closure: a 2-param lambda (even with a default)
+        # is pyspark's (element, index) HOF form
+        return lambda v: F.struct(
+            F.lit(cat).alias("category"), v.alias("label")
+        )
+
+    arms = [
+        F.coalesce(
+            F.transform(F.col(f"label.{cat}"), _tag(cat)),
+            F.array().cast(cl_type),
         )
         for cat in ("action", "origin")
     ]
     return (
-        parts[0]
-        .unionByName(parts[1])
+        labeled.select(F.explode(F.concat(*arms)).alias("_cl"))
+        .select("_cl.category", "_cl.label")
         .groupBy("category", "label")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )

@@ -2202,7 +2202,11 @@ def test_incremental_corpus_stream_bridge_without_cluster_store(
         .json(str(src))
     )
     q_ = stream.write_stream(df, checkpoint=str(tmp_path / "ckpt"))
-    q_.awaitTermination(180)
+    # generous cap + asserted return: each micro-batch runs the full
+    # gate->dedup->cluster fold chain (tens of Spark jobs); under a
+    # loaded box 180s truncated the stream mid-batch and the missing
+    # batches surfaced as a confusing split-assert failure downstream
+    assert q_.awaitTermination(600), "stream did not finish in 600s"
     q_.stop()
 
     emitted = {
@@ -2321,7 +2325,11 @@ def test_incremental_corpus_stream_merge_after_emit_divergence(
         .json(str(src))
     )
     q_ = stream.write_stream(df, checkpoint=str(tmp_path / "ckpt"))
-    q_.awaitTermination(180)
+    # generous cap + asserted return: each micro-batch runs the full
+    # gate->dedup->cluster fold chain (tens of Spark jobs); under a
+    # loaded box 180s truncated the stream mid-batch and the missing
+    # batches surfaced as a confusing split-assert failure downstream
+    assert q_.awaitTermination(600), "stream did not finish in 600s"
     q_.stop()
 
     emitted = {
