@@ -1253,9 +1253,17 @@ def setsim_prefix_join(
         - F.ceil(F.col("_s") * F.lit(tau_milli) / F.lit(1000.0)).cast("int")
         + F.lit(1)
     )
-    pre = ordered.select(
-        F.col(id_col), F.col("_s"), F.posexplode(F.col("_o._g"))
-    ).filter(F.col("pos") < p)
+    # pre pinned (r14): both self-join sides read it under different
+    # aliases (exchange reuse never fires), so the explode → doc-
+    # frequency join → collect_list → posexplode chain ran once per
+    # side; the prefix frame is ~(1-tau)·|shingles| rows — bounded
+    pre = (
+        ordered.select(
+            F.col(id_col), F.col("_s"), F.posexplode(F.col("_o._g"))
+        )
+        .filter(F.col("pos") < p)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = pre.select(
         F.col(id_col).alias("id_a"), F.col("_s").alias("_sa"),
         F.col("pos").alias("_pa"), "col",
@@ -1348,10 +1356,15 @@ def containment_prefix_join(
     )
     tok = sh.select(id_col, "_s", F.explode("sh").alias("_g"))
     dfreq = tok.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    # ordered pinned (r14): probe and index both derive from posed
+    # under different aliases, so exchange reuse never fires and the
+    # explode → doc-frequency join → collect_list chain (two shuffles)
+    # ran once PER SIDE; one row per doc, bounded like sh
     ordered = (
         tok.join(dfreq, "_g")
         .groupBy(id_col, "_s")
         .agg(F.array_sort(F.collect_list(F.struct("_df", "_g"))).alias("_o"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     posed = ordered.select(
         F.col(id_col), F.col("_s"), F.posexplode(F.col("_o._g"))

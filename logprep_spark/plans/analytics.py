@@ -755,9 +755,16 @@ def pagerank(
         if weight_col
         else F.lit(1).cast("long")
     )
+    # e pinned ONCE (r14): the projected edge frame feeds deg, the
+    # edeg join, and both arms of the node union — unpinned, the edge
+    # DERIVATION (for the trade graph: a fact-fact shuffle join +
+    # distinct) re-ran per consumer during the first materialization
+    # (52 Scan parquet nodes in the r14 baseline graph_pagerank plan;
+    # guide §2.1). One bounded materialization, every downstream frame
+    # reads it.
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), wt.alias("wt")
-    )
+    ).localCheckpoint()
     deg = e.groupBy("src").agg(F.sum("wt").alias("deg"))
     # Shuffle profile (measured via tools/shuffle_audit.py at sf0.1):
     # the 40 MiB total is ~all edge DERIVATION (fact-fact join +
@@ -846,7 +853,11 @@ def personalized_pagerank(
     (node) frame, broadcast. Returns (node, rank_micro, is_seed)."""
     from pyspark.storagelevel import StorageLevel
 
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # pinned for the same reason as pagerank's e: deg, edeg, and both
+    # node-union arms re-derived the edge subtree per consumer
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edeg = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
@@ -3412,7 +3423,16 @@ def _lpa_labels(
     semantics and the per-round plan shape) — factored out so the
     modularity readout (:func:`lpa_modularity`) scores the SAME label
     assignment the community readout reports. Returns
-    (stubs, labels, prev_round_labels), each localCheckpoint'ed."""
+    (edges_pinned, stubs, labels, prev_round_labels), each
+    localCheckpoint'ed. ``edges_pinned`` is the input edge frame
+    pinned ONCE — the stubs union references it twice and the
+    modularity readout (``m`` count, ``e_c`` join chain) two more
+    times, and an unpinned co-purchase derivation (lineitem scan →
+    basket collect_set → pair explode → count filter) re-ran per
+    reference: 6 parquet scans / 4 explode subtrees in the r14
+    baseline plan, 5.1 s vs 2.8 s r13 at sf0.1 (guide §2.1: remove
+    recomputation before tuning anything else)."""
+    edges = edges.localCheckpoint()
     stubs = (
         edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
         .unionAll(
@@ -3446,7 +3466,7 @@ def _lpa_labels(
             .select("n", "lbl")
             .localCheckpoint()
         )
-    return stubs, labels, prev
+    return edges, stubs, labels, prev
 
 
 def lpa_communities(
@@ -3474,7 +3494,7 @@ def lpa_communities(
     is referenced twice per round: the join and the change count).
     Hub damping is inherited from the co-purchase edge derivation;
     label counts per node are bounded by degree."""
-    stubs, labels, prev = _lpa_labels(edges, rounds, src_col, dst_col)
+    _, stubs, labels, prev = _lpa_labels(edges, rounds, src_col, dst_col)
     comm = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
     stats = comm.agg(
         F.count(F.lit(1)).alias("n_communities"),
@@ -3528,7 +3548,7 @@ def lpa_modularity(
     (m, N, null-N) attach as broadcasts. Returns one row:
     (n_nodes, n_communities, m_edges, intra_edges, q_milli,
     q_null_milli)."""
-    stubs, labels, _ = _lpa_labels(edges, rounds, src_col, dst_col)
+    edges, stubs, labels, _ = _lpa_labels(edges, rounds, src_col, dst_col)
     d38 = "decimal(38,0)"
     m = edges.agg(F.count(F.lit(1)).cast("long").alias("m_edges"))
     deg = stubs.groupBy(F.col("x").alias("n")).agg(

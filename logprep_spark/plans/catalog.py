@@ -16189,11 +16189,19 @@ def graph_link_prediction(spark, sf_dir):
         " element_at(parts, j) AS b))))"
         " ELSE CAST(array() AS array<struct<a:bigint,b:bigint>>) END) AS p"
     ).selectExpr("p.a AS a", "p.b AS b")
+    # ed pinned ONCE (r14): it feeds adj (twice, via the undirected
+    # union), the candidate anti-join, and through adj the degree and
+    # capped-adjacency frames — unpinned, the whole lineitem scan →
+    # basket collect_set → pair explode → count-filter subtree
+    # replicated per consumer (42 Scan parquet nodes in the baseline
+    # plan, 7.5 s vs 2.7 s r13 at sf0.1; guide §2.1). The edge list
+    # is |E| two-long rows — tiny next to the explode it replaces.
     ed = (
         pairs.groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("_w"))
         .filter(F.col("_w") >= 2)
         .drop("_w")
+        .localCheckpoint()
     )
     adj = ed.selectExpr("a AS u", "b AS v").unionAll(
         ed.selectExpr("b AS u", "a AS v")
@@ -16225,6 +16233,9 @@ def graph_link_prediction(spark, sf_dir):
             .alias("n_lists_capped"),
         )
     )
+    # pinned (r14): both legs of the wedge self-join read adjc under
+    # different aliases, which defeats exchange reuse — unpinned, the
+    # per-u row_number window shuffle ran once per leg
     adjc = (
         adj.withColumn(
             "rn",
@@ -16233,6 +16244,7 @@ def graph_link_prediction(spark, sf_dir):
         .crossJoin(F.broadcast(capw.select(F.col("cap_k").alias("_k"))))
         .filter(F.col("rn") <= F.col("_k"))
         .select("u", "v")
+        .localCheckpoint()
     )
     cand = (
         adjc.alias("a1")
