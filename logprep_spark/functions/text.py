@@ -1110,8 +1110,17 @@ def bpe_train(
     pair is a 1-ROW driver fetch (the Lloyd-centroid precedent: the
     merge table is a MODEL, k rows of (pair, count), never data) and
     bakes into the next round's re-tokenize fold as plan literals
-    (:func:`_bpe_merge_once` — narrow, zero shuffle). Token arrays
-    localCheckpoint each round (fold-chain lineage discipline).
+    (:func:`_bpe_merge_once` — narrow, zero shuffle). The corpus-
+    sized vocabulary build localCheckpoints ONCE; the per-round
+    re-tokenize folds stay LAZY (r14, guide §1.2): each round's
+    count job re-applies the ≤ n_merges previously learned folds to
+    the checkpointed vocab — narrow codegen'd array transforms over
+    the Heaps-law-bounded vocabulary, far cheaper than the eager
+    materialization job per round the old per-round localCheckpoint
+    paid (n_merges extra Spark jobs of pure fixed overhead; the fold
+    chain is depth-bounded by n_merges, so the Catalyst-blowup
+    concern that motivates per-round pinning in the UNBOUNDED
+    iterative loops does not apply).
     Vocabulary frequencies are computed ONCE; rounds never re-touch
     the corpus — at 100 TB the trainer costs one corpus pass plus
     n_merges vocab-sized rounds. Returns the learned table:
@@ -1158,9 +1167,7 @@ def bpe_train(
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         learned.append((r, a, b, cnt))
-        vocab = vocab.withColumn(
-            "t", _bpe_merge_once(F.col("t"), a, b)
-        ).localCheckpoint()
+        vocab = vocab.withColumn("t", _bpe_merge_once(F.col("t"), a, b))
     return df.sparkSession.createDataFrame(
         learned, "rank INT, lhs STRING, rhs STRING, pair_count LONG"
     )

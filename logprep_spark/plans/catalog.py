@@ -17793,10 +17793,33 @@ def pipeline_pretrain_incremental(spark, sf_dir):
         # verified pair (id_a < id_b by construction)
         return pairs.select(F.col("id_b").alias("doc_id")).distinct()
 
+    # r14 (guide §8 — compute text-derived proxies ONCE, decide on
+    # light rows): the gate/witness passes below each consumed raw
+    # text per SUBSET of the same checkpointed `gated` frame —
+    # 3 window-hash passes (base/delta/recompute Bloom gates),
+    # 3 token-count passes (_per_split), 2 md5 passes (the
+    # hist-exact witness) = 8 full tokenizations per execution.
+    # window_hashes / tokens / md5-of-tokens are POINTWISE per doc,
+    # so each proxy is computed once over `gated` and every consumer
+    # semi-joins its surviving doc_ids against the bounded proxy
+    # frame instead of re-reading text. Results are identical by
+    # construction (subset-invariance of pointwise per-doc maps).
+    wh_all = (
+        dd.window_hashes(gated, 13)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ntok_all = gated.select(
+        "doc_id",
+        "cut_id",
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("_t"),
+        F.md5(F.array_join(tx.tokens(F.col("text")), " ")).alias("_fp"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
     def _bloom_gate(dfr, bits):
         hit = (
             sk.bloom_suppress(
-                dd.window_hashes(dfr, 13).distinct(),
+                wh_all.join(dfr.select("doc_id"), "doc_id", "left_semi"),
                 bits,
                 "window_hash",
                 m=m,
@@ -17813,12 +17836,13 @@ def pipeline_pretrain_incremental(spark, sf_dir):
             F.concat(F.lit("isplit:"), F.col("doc_id").cast("string"))
         ) % 100
         return (
-            dfr.select(
+            ntok_all.join(dfr.select("doc_id"), "doc_id", "left_semi")
+            .select(
                 F.when(tag < 80, "train")
                 .when(tag < 90, "val")
                 .otherwise("test")
                 .alias("split"),
-                F.size(tx.tokens(F.col("text"))).cast("long").alias("_t"),
+                "_t",
             )
             .groupBy("split")
             .agg(
@@ -17860,11 +17884,18 @@ def pipeline_pretrain_incremental(spark, sf_dir):
         delta_exact.join(delta_kill, "doc_id", "left_anti"), bits
     )
 
-    # incremental-path witnesses: work done BY the stores
-    fpx = F.md5(F.array_join(tx.tokens(F.col("text")), " "))
-    base_fps = base_g.select(fpx.alias("_fp")).distinct()
+    # incremental-path witnesses: work done BY the stores. The md5
+    # fingerprint rides the shared ntok_all proxy frame (r14) —
+    # base/delta membership is the same cut_id filter base_g/delta_g
+    # apply to gated, so the sets are identical to the old two
+    # text-pass construction.
+    base_fps = (
+        ntok_all.filter(F.col("doc_id") <= F.col("cut_id"))
+        .select("_fp")
+        .distinct()
+    )
     histx = (
-        delta_g.withColumn("_fp", fpx)
+        ntok_all.filter(F.col("doc_id") > F.col("cut_id"))
         .join(base_fps, "_fp", "left_semi")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hist_exact_kills"))
     )
