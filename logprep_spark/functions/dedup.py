@@ -1637,3 +1637,105 @@ def incremental_atomic_split(
         .withColumn("naive_split", tag(F.col(id_col)))
     )
     return asn, pairs
+
+
+def cdc_chunk_hashes(
+    df: DataFrame,
+    weights: list[int],
+    text_col: str = "t",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    twin_prefix: str | None = None,
+    mod: int = 64,
+) -> DataFrame:
+    """Content-defined chunk HASHES for every row — the CDC rolling
+    hash (window w = len(weights) chars, boundary where the weighted
+    window sum ≡ 0 mod ``mod``) evaluated in ONE vectorized pass per
+    partition (guide §4.2: per-char array arithmetic expressed as
+    Catalyst higher-order functions runs INTERPRETED — ArrayTransform/
+    ArrayFilter are CodegenFallback — with boxed per-element lambda
+    frames; measured ~3.5 s per chunking pass at sf0.1 on the
+    dedup_cdc_chunks row. A NumPy sliding-window dot product over the
+    Arrow batch computes bit-identical cuts in well under a second).
+
+    Emits (id, source, variant, idx0, h): variant 0 = the text as-is,
+    variant 1 = ``twin_prefix + text`` (the re-sync witness twin —
+    chunked INDEPENDENTLY, in the same pass, so the property stays
+    gated, never assumed), idx0 = 0-based chunk index, h = lowercase
+    hex md5 of the chunk substring (hashlib == Spark ``md5`` on this
+    ascii-only normalized text). Only the ≤512-char normalized text
+    crosses the Arrow boundary and only 48-byte hash rows come back —
+    chunk payloads never leave the worker (guide §2.3/§8).
+
+    Parity contract with the expression form (kept in the catalog
+    oracle): cuts = {c ∈ [w, L-1] (1-based) |
+    Σ_j code(c-w+1+j)·weights[j] ≡ 0 mod ``mod``}; starts/ends and
+    substring slicing identical; text must be single-byte (the
+    [a-z0-9 ] normalization upstream guarantees it)."""
+    import pandas as pd
+
+    w_tuple = tuple(int(x) for x in weights)
+    variants = (("", 0),) if twin_prefix is None else (("", 0), (twin_prefix, 1))
+    out_schema = (
+        f"{id_col} long, {source_col} string, variant int, "
+        "idx0 int, h string"
+    )
+
+    def fn(batches):
+        import hashlib
+
+        import numpy as np
+
+        wts = np.asarray(w_tuple, dtype=np.int64)
+        wlen = wts.shape[0]
+        for pdf in batches:
+            ids, srcs, vars_, idxs, hs = [], [], [], [], []
+            for did, src, t in zip(
+                pdf[id_col], pdf[source_col], pdf[text_col]
+            ):
+                for prefix, var in variants:
+                    s = prefix + t
+                    raw = s.encode("ascii")
+                    codes = np.frombuffer(raw, dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    L = codes.shape[0]
+                    if L >= wlen + 1:
+                        sums = (
+                            np.lib.stride_tricks.sliding_window_view(
+                                codes, wlen
+                            )
+                            @ wts
+                        )
+                        # cut after 1-based pos c ∈ [wlen, L-1]; the
+                        # window [c-wlen+1 .. c] starts at 0-based
+                        # i = c - wlen, so only i ∈ [0, L-wlen-1]
+                        cuts = (
+                            np.nonzero(sums[: L - wlen] % mod == 0)[0]
+                            + wlen
+                        )
+                    else:
+                        cuts = np.empty(0, dtype=np.int64)
+                    starts = [1] + [int(c) + 1 for c in cuts]
+                    ends = [int(c) for c in cuts] + [L]
+                    for k, (a, e) in enumerate(zip(starts, ends)):
+                        ids.append(did)
+                        srcs.append(src)
+                        vars_.append(var)
+                        idxs.append(k)
+                        hs.append(
+                            hashlib.md5(raw[a - 1 : e]).hexdigest()
+                        )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    source_col: pd.Series(srcs, dtype="object"),
+                    "variant": pd.Series(vars_, dtype="int32"),
+                    "idx0": pd.Series(idxs, dtype="int32"),
+                    "h": pd.Series(hs, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, source_col, text_col).mapInPandas(
+        fn, out_schema
+    )

@@ -15615,8 +15615,9 @@ def dedup_cdc_chunks(spark, sf_dir):
     and the witness join keys on (doc_id, chunk-hash) — both AQE
     shuffles on keys no wider than 48 bytes; the corpus is read
     once."""
+    from logprep_spark.session import fan_out
+
     docs = tables(spark, sf_dir)["documents"]
-    cuts_e, chunks_e = _cdc_spark_cols()
     ready = (
         docs.select(
             "doc_id",
@@ -15628,58 +15629,35 @@ def dedup_cdc_chunks(spark, sf_dir):
         )
         .filter(F.length("t") >= 32)
     )
-
-    def chunked(frame, text_col):
-        # codes array in its OWN projection, built from split(t, '')
-        # (r14 profile, tools/cdc_profile.py: the former per-position
-        # ascii(substring(t, i, 1)) paid an O(L) UTF8 char-count scan
-        # PER POSITION — O(L²) per row — and was HALF of each chunking
-        # pass; split is one pass, bit-identical codes, 4x faster on
-        # the codes stage, query 9.5 s → ~6.5 s at sf0.1), then cuts,
-        # then bounds, then the explode. The exploded frame is
-        # localCheckpoint'ed: orig feeds two aggregations and the
-        # witness join, and without the cut the whole chunking subtree
-        # re-executes per consumer (3 corpus chunk passes; measured
-        # 32 s at sf0.1 → ~8 s with the r10 fixes).
-        f = frame.withColumn("t", F.col(text_col)) if text_col != "t" else frame
-        return (
-            f.withColumn(
-                "_codes",
-                F.expr(
-                    "transform(split(t, ''),"
-                    " ch -> CAST(ascii(ch) AS BIGINT))"
-                ),
-            )
-            .withColumn("_cuts", F.expr(cuts_e))
-            .withColumn(
-                "_starts",
-                F.expr("concat(array(1), transform(_cuts, c -> c + 1))"),
-            )
-            .withColumn(
-                "_ends", F.expr("concat(_cuts, array(length(t)))")
-            )
-            .select(
-                "doc_id",
-                "source",
-                F.posexplode(F.expr(chunks_e)).alias("idx0", "chunk"),
-            )
-            .localCheckpoint(eager=True)
-        )
-
-    orig = chunked(ready, "t")
-    twin = chunked(
-        ready.select(
-            "doc_id", "source", F.concat(F.lit("zq9 "), F.col("t")).alias("t")
-        ),
-        "t",
-    )
+    # r14 (guide §4.2): BOTH chunking passes (orig + 'zq9 '-prefixed
+    # twin, still chunked independently — the re-sync property stays
+    # gated) run in ONE vectorized mapInPandas over the normalized
+    # text. The former expression form built the codes array, the
+    # cut filter and the chunk slices as Catalyst higher-order
+    # functions — ArrayTransform/ArrayFilter are CodegenFallback, so
+    # ~8K boxed interpreted lambda ops per row, measured ~3.5 s PER
+    # PASS at sf0.1 (tools/cdc_profile.py) — and the twin pass
+    # re-read + re-normalized the corpus. The NumPy sliding-window
+    # dot product computes bit-identical cuts (parity contract in
+    # functions/dedup.py cdc_chunk_hashes), only ≤512-char normalized
+    # text crosses the Arrow boundary, and only (doc, variant, idx,
+    # md5) rows come back — chunk payloads never leave the worker.
+    # fan_out: the sf0.1 documents parquet arrives as ONE split; the
+    # per-row work here is exactly the tens-of-µs class the helper
+    # documents. One localCheckpoint pins the ~48-byte hash rows for
+    # the three consumers below.
+    both = dd.cdc_chunk_hashes(
+        fan_out(ready), _CDC_W, twin_prefix="zq9 "
+    ).localCheckpoint(eager=True)
+    orig = both.filter(F.col("variant") == 0).drop("variant")
+    twin = both.filter(F.col("variant") == 1).drop("variant")
     from pyspark.sql import Window
 
     orig_d = (
         orig.select(
             "doc_id",
             "source",
-            F.md5("chunk").alias("h"),
+            "h",
             (F.col("idx0") + 1).alias("idx"),
         )
         .groupBy("doc_id", "source", "h")
@@ -15690,7 +15668,7 @@ def dedup_cdc_chunks(spark, sf_dir):
             == F.min("idx").over(Window.partitionBy("doc_id")),
         )
     )
-    twin_d = twin.select("doc_id", F.md5("chunk").alias("h")).distinct()
+    twin_d = twin.select("doc_id", "h").distinct()
     matched = (
         orig_d.filter(~F.col("is_first"))
         .join(
@@ -15705,9 +15683,7 @@ def dedup_cdc_chunks(spark, sf_dir):
     stats = orig.groupBy("source").agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
-        F.countDistinct(F.md5("chunk")).cast("long").alias(
-            "n_distinct_chunks"
-        ),
+        F.countDistinct("h").cast("long").alias("n_distinct_chunks"),
     )
     return stats.join(F.broadcast(matched), "source").select(
         "source",

@@ -282,3 +282,74 @@ def test_cdc_finds_planted_duplication(spark):
     assert r["n_dup_occurrences"] >= 1, (
         "chunk-level dedup failed to find the planted shared section"
     )
+
+
+def test_cdc_chunk_hashes_matches_expression_form(spark):
+    """r14: the vectorized mapInPandas chunker (cdc_chunk_hashes) must
+    emit bit-identical (variant, idx0, md5) rows to the Catalyst
+    expression form it replaced — covering the no-cut short text, the
+    exactly-window-sized text, and the hand-case string."""
+    from logprep_spark.functions import dedup as dd
+
+    rows = [
+        (1, "s0", "the quick brown fox jumps over the lazy dog and "
+                   "then runs far away into the night forest"),
+        (4, "s1", "0123456789abcdef0123456789abcdef0123456789"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, t string")
+    got = sorted(
+        (r["doc_id"], r["variant"], r["idx0"], r["h"])
+        for r in dd.cdc_chunk_hashes(
+            df, catalog._CDC_W, twin_prefix="zq9 "
+        ).collect()
+    )
+
+    # short strings (L <= window): the expression form cannot run them
+    # (sequence(16, L-1) descends below index 1), so pin the function's
+    # convention directly — one chunk, the whole string
+    import hashlib
+
+    short = spark.createDataFrame(
+        [(2, "s0", "abcdefghijklmnop"), (3, "s1", "tiny")],
+        "doc_id long, source string, t string",
+    )
+    srows = sorted(
+        (r["doc_id"], r["variant"], r["idx0"], r["h"])
+        for r in dd.cdc_chunk_hashes(short, catalog._CDC_W).collect()
+    )
+    assert srows == [
+        (2, 0, 0, hashlib.md5(b"abcdefghijklmnop").hexdigest()),
+        (3, 0, 0, hashlib.md5(b"tiny").hexdigest()),
+    ]
+    cuts_e, chunks_e = catalog._cdc_spark_cols()
+
+    def expr_form(frame):
+        return (
+            frame.withColumn(
+                "_codes",
+                F.expr(
+                    "transform(split(t, ''), ch -> CAST(ascii(ch) AS BIGINT))"
+                ),
+            )
+            .withColumn("_cuts", F.expr(cuts_e))
+            .withColumn(
+                "_starts",
+                F.expr("concat(array(1), transform(_cuts, c -> c + 1))"),
+            )
+            .withColumn("_ends", F.expr("concat(_cuts, array(length(t)))"))
+            .select(
+                "doc_id",
+                F.posexplode(F.expr(chunks_e)).alias("idx0", "chunk"),
+            )
+        )
+
+    want = []
+    for variant, frame in (
+        (0, df),
+        (1, df.withColumn("t", F.concat(F.lit("zq9 "), F.col("t")))),
+    ):
+        for r in expr_form(frame).select(
+            "doc_id", "idx0", F.md5("chunk").alias("h")
+        ).collect():
+            want.append((r["doc_id"], variant, r["idx0"], r["h"]))
+    assert got == sorted(want)

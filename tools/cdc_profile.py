@@ -73,7 +73,20 @@ def main():
             )
         )
 
-    stages = {k: [] for k in ("orig_chunk", "twin_chunk", "consumers", "full_query")}
+    # orig_chunk / twin_chunk time the PRE-r14 Catalyst expression
+    # form (kept as the before-reference); vector_chunk times the r14
+    # mapInPandas chunker that replaced both passes; full_query is the
+    # committed query end to end.
+    stages = {
+        k: []
+        for k in (
+            "orig_chunk",
+            "twin_chunk",
+            "vector_chunk",
+            "consumers",
+            "full_query",
+        )
+    }
     qs = catalog.queries()
     for _ in range(runs):
         release_staging_cache(spark)
@@ -87,6 +100,13 @@ def main():
             )
         ).localCheckpoint(eager=True)
         t2 = time.time()
+        from logprep_spark.functions import dedup as dd
+        from logprep_spark.session import fan_out
+
+        dd.cdc_chunk_hashes(
+            fan_out(ready_frame()), catalog._CDC_W, twin_prefix="zq9 "
+        ).localCheckpoint(eager=True)
+        t2b = time.time()
         # consumers replicated from the catalog query body
         from pyspark.sql import Window
 
@@ -130,7 +150,8 @@ def main():
         t5 = time.time()
         stages["orig_chunk"].append(t1 - t0)
         stages["twin_chunk"].append(t2 - t1)
-        stages["consumers"].append(t3 - t2)
+        stages["vector_chunk"].append(t2b - t2)
+        stages["consumers"].append(t3 - t2b)
         stages["full_query"].append(t5 - t4)
     out = {
         k: {"min": round(min(v), 3), "med": round(sorted(v)[len(v) // 2], 3)}
