@@ -1716,11 +1716,35 @@ def textrank_keywords(
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
+    # r14 (guide §2.1): aggregate the DIRECTED pair stream first —
+    # the old symmetric unionAll referenced `pairs` twice, so the
+    # whole tokenize → stopword-filter → explode corpus pass ran once
+    # per union arm (28 Scan parquet nodes in the committed plan).
+    # Counting per ordered pair collapses map-side into the
+    # vocab²-bounded keyspace after ONE corpus pass; the symmetric
+    # union then re-aggregates only those tiny count rows. Same wt by
+    # commutativity of the count.
+    from pyspark.storagelevel import StorageLevel
+
+    dir_cnt = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        # pinned: both union arms read it; without the pin each arm
+        # re-executes the corpus subtree (ReusedExchange is not
+        # guaranteed across the differing parent projections)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        dir_cnt.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), "_c"
+        )
+        .unionAll(
+            dir_cnt.select(
+                F.col("b").alias("src"), F.col("a").alias("dst"), "_c"
+            )
+        )
         .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("wt"))
+        .agg(F.sum("_c").alias("wt"))
     )
     ranks = an.pagerank(edges, iters=iters, weight_col="wt")
     return (

@@ -762,9 +762,11 @@ def pagerank(
     # (52 Scan parquet nodes in the r14 baseline graph_pagerank plan;
     # guide §2.1). One bounded materialization, every downstream frame
     # reads it.
+    from pyspark.storagelevel import StorageLevel
+
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), wt.alias("wt")
-    ).localCheckpoint()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     deg = e.groupBy("src").agg(F.sum("wt").alias("deg"))
     # Shuffle profile (measured via tools/shuffle_audit.py at sf0.1):
     # the 40 MiB total is ~all edge DERIVATION (fact-fact join +
@@ -857,7 +859,7 @@ def personalized_pagerank(
     # node-union arms re-derived the edge subtree per consumer
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edeg = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
@@ -3423,16 +3425,22 @@ def _lpa_labels(
     semantics and the per-round plan shape) — factored out so the
     modularity readout (:func:`lpa_modularity`) scores the SAME label
     assignment the community readout reports. Returns
-    (edges_pinned, stubs, labels, prev_round_labels), each
-    localCheckpoint'ed. ``edges_pinned`` is the input edge frame
-    pinned ONCE — the stubs union references it twice and the
+    (edges_pinned, stubs, labels, prev_round_labels); the loop frames
+    localCheckpoint per round, while ``edges_pinned`` is the input
+    edge frame PERSISTED once (MEMORY_AND_DISK — parquet-rooted
+    deterministic lineage, so repeated constructions of the same
+    query share one materialization via CacheManager canonical
+    dedup, which an RDD checkpoint cannot). The stubs union
+    references it twice and the
     modularity readout (``m`` count, ``e_c`` join chain) two more
     times, and an unpinned co-purchase derivation (lineitem scan →
     basket collect_set → pair explode → count filter) re-ran per
     reference: 6 parquet scans / 4 explode subtrees in the r14
     baseline plan, 5.1 s vs 2.8 s r13 at sf0.1 (guide §2.1: remove
     recomputation before tuning anything else)."""
-    edges = edges.localCheckpoint()
+    from pyspark.storagelevel import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     stubs = (
         edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
         .unionAll(

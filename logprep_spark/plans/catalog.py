@@ -4073,9 +4073,21 @@ def split_leakage_free(spark, sf_dir):
     over the (doc, cluster) frame; clustering cost is the dedup
     pipeline already being run; the witness joins the tiny verified
     pair list to the assignment twice (AQE equi-joins)."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = tables(spark, sf_dir)["documents"]
-    pairs = dd.minhash_dedup(docs, threshold=0.7)
+    # pairs pinned (r14, guide §2.1 — the pipeline_pretrain_v3 shape):
+    # the verified pair list feeds BOTH dup_clusters (whose sym
+    # checkpoint materializes it once) and the leak witness join —
+    # unpinned, the whole MinHash pair-detection subtree re-ran for
+    # the witness (79 Scan parquet nodes in the committed plan).
+    pairs = dd.minhash_dedup(docs, threshold=0.7).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     clusters = dd.dup_clusters(pairs)
+    # asn's lineage (docs ⋈ cluster labels + two hash tags) feeds the
+    # a/b witness sides and the final per-split agg — pinned so the
+    # assignment computes once (the v3 `g` checkpoint discipline)
     g = (
         docs.select("doc_id")
         .join(clusters.withColumnRenamed("cluster_id", "_cid"), "doc_id", "left")
@@ -4084,6 +4096,7 @@ def split_leakage_free(spark, sf_dir):
             F.coalesce("_cid", "doc_id").alias("_gid"),
             F.col("_cid").isNotNull().alias("_clustered"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def tag(key: Column) -> Column:
@@ -16153,6 +16166,8 @@ def graph_link_prediction(spark, sf_dir):
     n_rounds_run budget-honesty discipline). Jaccard still uses TRUE
     degrees. The anti join and degree joins key on node ids; the
     global degree-rank window runs over |V| rows only."""
+    from pyspark.storagelevel import StorageLevel
+
     li = tables(spark, sf_dir)["lineitem"]
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("parts")
@@ -16177,7 +16192,7 @@ def graph_link_prediction(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("_w"))
         .filter(F.col("_w") >= 2)
         .drop("_w")
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     adj = ed.selectExpr("a AS u", "b AS v").unionAll(
         ed.selectExpr("b AS u", "a AS v")
@@ -16220,7 +16235,7 @@ def graph_link_prediction(spark, sf_dir):
         .crossJoin(F.broadcast(capw.select(F.col("cap_k").alias("_k"))))
         .filter(F.col("rn") <= F.col("_k"))
         .select("u", "v")
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cand = (
         adjc.alias("a1")
@@ -17769,33 +17784,35 @@ def pipeline_pretrain_incremental(spark, sf_dir):
         # verified pair (id_a < id_b by construction)
         return pairs.select(F.col("id_b").alias("doc_id")).distinct()
 
-    # r14 (guide §8 — compute text-derived proxies ONCE, decide on
-    # light rows): the gate/witness passes below each consumed raw
-    # text per SUBSET of the same checkpointed `gated` frame —
-    # 3 window-hash passes (base/delta/recompute Bloom gates),
-    # 3 token-count passes (_per_split), 2 md5 passes (the
-    # hist-exact witness) = 8 full tokenizations per execution.
-    # window_hashes / tokens / md5-of-tokens are POINTWISE per doc,
-    # so each proxy is computed once over `gated` and every consumer
-    # semi-joins its surviving doc_ids against the bounded proxy
-    # frame instead of re-reading text. Results are identical by
-    # construction (subset-invariance of pointwise per-doc maps).
-    wh_all = (
-        dd.window_hashes(gated, 13)
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # r14 (guide §8 — compute per-doc proxies ONCE, decide on light
+    # rows): token counts (_per_split ×3) and the md5 fingerprint
+    # (hist-exact witness ×2) each re-tokenized a SUBSET of the same
+    # checkpointed `gated` frame — 5 passes collapsed into ONE tiny
+    # (one row per doc) proxy frame; tokens / md5-of-tokens are
+    # pointwise per doc, so subsets commute with the map and results
+    # are identical by construction. Eager CHECKPOINT, not persist:
+    # the lineage roots in the per-construction `gated` checkpoint
+    # RDD, so a persist could never be canonical-plan-shared across
+    # constructions — it would only linger in the CacheManager.
+    # The WINDOW-hash passes deliberately stay per-subset (below):
+    # a corpus-wide (doc_id, window_hash) proxy was tried and
+    # MEASURED SLOWER (+12 s at sf0.1, 16.9 → 28.9 s bench-style
+    # min) — materializing ~300 window rows per doc costs more than
+    # the tokenize work it saves, and the per-consumer semi-joins
+    # shuffle the big proxy; the per-subset window pass fuses into
+    # each gate's scan of the checkpointed text instead (guide §1.1:
+    # the "ideal" plan lost to measurement).
     ntok_all = gated.select(
         "doc_id",
         "cut_id",
         F.size(tx.tokens(F.col("text"))).cast("long").alias("_t"),
         F.md5(F.array_join(tx.tokens(F.col("text")), " ")).alias("_fp"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
 
     def _bloom_gate(dfr, bits):
         hit = (
             sk.bloom_suppress(
-                wh_all.join(dfr.select("doc_id"), "doc_id", "left_semi"),
+                dd.window_hashes(dfr, 13).distinct(),
                 bits,
                 "window_hash",
                 m=m,
