@@ -648,6 +648,19 @@ def main() -> None:
         return timed_median(calib, 5), timed_median(calib_scan, 5)
 
     def run_headline() -> dict[str, dict[str, float]]:
+        # r14 NOTE (tried and REVERTED, measured — see
+        # OPTIMIZATION_r14.md): a clearCache before each query's
+        # timed runs was tested to remove cross-query cache
+        # pressure (which inflates late rows ~2x vs isolated). It
+        # also removed the cross-query CacheManager sharing that
+        # every earlier round's numbers implicitly ride (canonically
+        # identical staging frames — e.g. the co-purchase edge
+        # derivation — reused across the graph family), made the
+        # family's mins WORSE (graph_lpa_communities 2.6 -> 14.2 s
+        # under the same conditions), and broke round-over-round
+        # comparability. Methodology therefore stays as r4-r13;
+        # per-query isolation claims use isolated runs, documented
+        # in the round notes.
         t: dict[str, dict[str, float]] = {}
         for name in HEADLINE:
             t[name] = timed_stats(
