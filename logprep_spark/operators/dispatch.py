@@ -66,6 +66,44 @@ from logprep_spark import fields as fld
 #: staged verdict-array column name
 COND_COL = "__rule_conds__"
 
+#: built-dispatch-expression memo (r14, guide §4.5 "heavyweight init
+#: once" applied to the DRIVER, the compile_filter-memo precedent in
+#: filters/compiler.py): building the bulk dispatch Column for a
+#: 500-rule corpus costs thousands of py4j round trips (one per
+#: F.when/F.lit/operator node) — seconds of pure driver latency
+#: re-paid on EVERY plan construction of the same immutable corpus.
+#: The built Column depends only on (rule corpus, input schema),
+#: never on the DataFrame identity or its data — compiled CODE, not
+#: data or results; nothing is keyed on an input path or row
+#: contents. Keyed on the Spark application id so a new JVM never
+#: sees another JVM's Column handles; bounded, cleared on overflow.
+_EXPR_MEMO: dict = {}
+_EXPR_MEMO_CAP = 1024
+
+
+def _expr_memo_key(tag: str, rules, df: DataFrame):
+    """Memo key for a bulk dispatch expression: application id +
+    ordered rule-corpus fingerprint + input schema. Returns ``None``
+    (no memoization) when no application id is reachable. A fingerprint
+    collision would need two UNEQUAL configs with equal ``repr`` —
+    impossible for the plain str/int/list dicts rules carry; objects
+    with identity reprs only cause harmless misses."""
+    try:
+        app_id = df.sparkSession.sparkContext.applicationId
+    except Exception:
+        return None
+    fp = tuple(
+        (r.filter, repr(r.config), repr(r.regex_fields), repr(r.sigma_fields))
+        for r in rules
+    )
+    return (app_id, tag, fp, df.schema.json())
+
+
+def _expr_memo_put(key, col: Column) -> None:
+    if len(_EXPR_MEMO) >= _EXPR_MEMO_CAP:
+        _EXPR_MEMO.clear()
+    _EXPR_MEMO[key] = col
+
 
 def stage_conditions(
     processor, df: DataFrame, col_name: str = COND_COL
@@ -148,6 +186,14 @@ def labeler_bulk(labeler, df: DataFrame) -> DataFrame:
     n = len(labeler.rules)
     if not n:
         return df
+    # the whole bulk write is ONE Column over (rule corpus, schema) —
+    # memoize it so repeated plan constructions of the same immutable
+    # corpus skip the py4j expression build (guide §4.5 on the driver;
+    # measured ~3.4 s per construction at 500 rules)
+    memo_key = _expr_memo_key("labeler_bulk", labeler.rules, df)
+    hit = _EXPR_MEMO.get(memo_key) if memo_key is not None else None
+    if hit is not None:
+        return df.withColumn("label", hit)
     # conditions compiled DIRECTLY against the input frame — the
     # match-once semantics without the staged verdict-array column:
     # a staged array<boolean> referenced once per rule index is a
@@ -290,15 +336,15 @@ def labeler_bulk(labeler, df: DataFrame) -> DataFrame:
         updated = base
         for cat, value in values.items():
             updated = updated.withField(cat, value)
-        guarded = F.when(F.col("label").isNotNull() | any_add, updated)
-        staged = staged.withColumn("label", guarded)
+        label_col = F.when(F.col("label").isNotNull() | any_add, updated)
     else:
-        fresh = F.when(
+        label_col = F.when(
             any_add,
             F.struct(*[v.alias(cat) for cat, v in values.items()]),
         )
-        staged = staged.withColumn("label", fresh)
-    return staged
+    if memo_key is not None:
+        _expr_memo_put(memo_key, label_col)
+    return staged.withColumn("label", label_col)
 
 
 def pre_detector_alerts(
@@ -332,13 +378,22 @@ def pre_detector_alerts(
     if not rules:
         raise ValueError("pre_detector has no rules")
     spark = df.sparkSession
-    conds = [
-        F.coalesce(pre_detector.condition(df, rule), F.lit(False))
-        for rule in rules
-    ]
-    idstr = F.concat_ws(
-        "\x00", *[F.when(conds[i], F.lit(str(i))) for i in range(len(rules))]
-    )
+    # the matched-index string is one Column over (rule corpus,
+    # schema) — memoized like labeler_bulk's write (guide §4.5): the
+    # N-way concat_ws build is the construction-time py4j hot spot
+    memo_key = _expr_memo_key("pre_detector_ids", rules, df)
+    idstr = _EXPR_MEMO.get(memo_key) if memo_key is not None else None
+    if idstr is None:
+        conds = [
+            F.coalesce(pre_detector.condition(df, rule), F.lit(False))
+            for rule in rules
+        ]
+        idstr = F.concat_ws(
+            "\x00",
+            *[F.when(conds[i], F.lit(str(i))) for i in range(len(rules))],
+        )
+        if memo_key is not None:
+            _expr_memo_put(memo_key, idstr)
     exploded = (
         df.withColumn(
             "_ris", F.explode(F.split(F.nullif(idstr, F.lit("")), "\x00"))
