@@ -6191,6 +6191,41 @@ def pipeline_pretrain_v3(spark, sf_dir):
     gated = tx.gopher_filter(corpus, min_stop_hits=1).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # guide §2.6 job overlap: the bench-side window-hash chain is the
+    # ONE subtree independent of the minhash/cluster/BPE eager chain
+    # (everything else feeds bpe_train through hits -> final_docs), so
+    # its persist materializes on a driver thread WHILE the main
+    # thread runs the pairs/g checkpoints — the cluster's idle tail
+    # during those jobs absorbs the bench tokenize+hash pass instead
+    # of the final execution paying it. Same frames, same plan, same
+    # oracle hash; on warm bench iterations the cached persist makes
+    # the thread a no-op.
+    bench_wh = (
+        dd.window_hashes(bench, 13)
+        .select("window_hash")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    import threading
+
+    from pyspark import inheritable_thread_target
+
+    _bg_errs: list[Exception] = []
+
+    def _materialize_bench_wh():
+        try:
+            spark.sparkContext.setJobDescription(
+                "pretrain_v3: bench window hashes (overlapped)"
+            )
+            bench_wh.write.format("noop").mode("overwrite").save()
+        except Exception as e:  # re-raised after join
+            _bg_errs.append(e)
+
+    _bg = threading.Thread(
+        target=inheritable_thread_target(_materialize_bench_wh),
+        daemon=True,
+    )
+    _bg.start()
     pairs = dd.minhash_dedup(gated, threshold=0.7).localCheckpoint()
     clusters = dd.dup_clusters(pairs)
     g = (
@@ -6210,14 +6245,9 @@ def pipeline_pretrain_v3(spark, sf_dir):
     reps = g.filter("_is_rep").select("doc_id")
     rep_docs = gated.join(reps, "doc_id")
     # both window frames feed TWO consumers (the Bloom path and the
-    # exact-overlap witness) — persist so each text side is tokenized
-    # and windowed once, not per consumer
-    bench_wh = (
-        dd.window_hashes(bench, 13)
-        .select("window_hash")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # exact-overlap witness) — persist (bench_wh above, rep_wh below)
+    # so each text side is tokenized and windowed once, not per
+    # consumer
     bits = sk.bloom_bits(bench_wh, "window_hash", m=m, j=j)
     rep_wh = dd.window_hashes(rep_docs, 13).distinct().persist(
         StorageLevel.MEMORY_AND_DISK
@@ -6285,7 +6315,12 @@ def pipeline_pretrain_v3(spark, sf_dir):
     )
     # the learned merge table is a MODEL: <= 6 rows fetched to the
     # driver and baked into the encode folds as plan literals (the
-    # Lloyd-centroid / text_bpe_pipeline precedent)
+    # Lloyd-centroid / text_bpe_pipeline precedent). bpe_train's first
+    # job consumes bits -> bench_wh, so the overlap thread must be
+    # done (and its error surfaced) before training starts.
+    _bg.join()
+    if _bg_errs:
+        raise _bg_errs[0]
     learned_rows = tx.bpe_train(train_docs, n_merges=6).collect()
     learned = [(r["lhs"], r["rhs"]) for r in learned_rows]
     words = final_docs.select(
@@ -17756,6 +17791,42 @@ def pipeline_pretrain_incremental(spark, sf_dir):
     docs = tables(spark, sf_dir)["documents"]
     bench = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    # guide §2.6 job overlap: the bench-side window-hash chain depends
+    # only on the raw docs scan, so its persist materializes on a
+    # driver thread WHILE the main thread runs the rank + gate +
+    # store-build checkpoints — same frames, same plan, same oracle
+    # hash; warm constructions find the canonical persist cached and
+    # the thread is a no-op.
+    import threading
+
+    from pyspark import inheritable_thread_target
+
+    bench_wh = (
+        dd.window_hashes(bench, 13)
+        .select("window_hash")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _bg_errs: list[Exception] = []
+
+    def _bg_run(desc, fn):
+        def run():
+            try:
+                spark.sparkContext.setJobDescription(desc)
+                fn()
+            except Exception as e:  # re-raised after join
+                _bg_errs.append(e)
+
+        t = threading.Thread(
+            target=inheritable_thread_target(run), daemon=True
+        )
+        t.start()
+        return t
+
+    _t_bench = _bg_run(
+        "pretrain_incremental: bench window hashes (overlapped)",
+        lambda: bench_wh.write.format("noop").mode("overwrite").save(),
+    )
     ranked_ids, n_corpus = with_global_rank(
         corpus.select("doc_id"), [F.col("doc_id")], rank_col="rn"
     )
@@ -17802,12 +17873,38 @@ def pipeline_pretrain_incremental(spark, sf_dir):
     # shuffle the big proxy; the per-subset window pass fuses into
     # each gate's scan of the checkpointed text instead (guide §1.1:
     # the "ideal" plan lost to measurement).
-    ntok_all = gated.select(
+    # The three gated-rooted eager pins (ntok_all proxy, base exact
+    # store, delta incremental survivors) are mutually independent —
+    # each depends only on the `gated` checkpoint — so their
+    # materialization jobs run CONCURRENTLY from driver threads
+    # (guide §2.6) instead of back-to-back: three passes over the
+    # checkpointed text overlap into the wall time of the slowest.
+    # Identical frames and oracle hash; only the job submission order
+    # changes.
+    _ntok_lazy = gated.select(
         "doc_id",
         "cut_id",
         F.size(tx.tokens(F.col("text"))).cast("long").alias("_t"),
         F.md5(F.array_join(tx.tokens(F.col("text")), " ")).alias("_fp"),
-    ).localCheckpoint(eager=True)
+    )
+    _ckpt_res: dict = {}
+
+    def _ckpt(name, frame):
+        def run():
+            _ckpt_res[name] = frame.localCheckpoint(eager=True)
+
+        return _bg_run(f"pretrain_incremental: {name} (overlapped)", run)
+
+    _ckpt_threads = [
+        _ckpt("ntok_all", _ntok_lazy),
+        _ckpt("base_exact", dd.exact_dedup(base_g)),
+        _ckpt("delta_exact", dd.incremental_dedup(delta_g, base_g)),
+    ]
+    for _t in _ckpt_threads:
+        _t.join()
+    if _bg_errs:
+        raise _bg_errs[0]
+    ntok_all = _ckpt_res["ntok_all"]
 
     def _bloom_gate(dfr, bits):
         hit = (
@@ -17845,25 +17942,17 @@ def pipeline_pretrain_incremental(spark, sf_dir):
         )
 
     # --- BASE pass (builds the stores) -------------------------------
-    base_exact = dd.exact_dedup(base_g).localCheckpoint(eager=True)
+    base_exact = _ckpt_res["base_exact"]
     base_near = base_exact.join(
         _near_kill(dd.minhash_dedup(base_exact, threshold=0.7)),
         "doc_id",
         "left_anti",
     )
-    bench_wh = (
-        dd.window_hashes(bench, 13)
-        .select("window_hash")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     bits = sk.bloom_bits(bench_wh, "window_hash", m=m, j=j)
     base_final = _bloom_gate(base_near, bits)
 
     # --- DELTA incremental pass (probes the stores) -------------------
-    delta_exact = dd.incremental_dedup(delta_g, base_g).localCheckpoint(
-        eager=True
-    )
+    delta_exact = _ckpt_res["delta_exact"]
     hist_near = (
         dd.near_dup_vs_history(delta_exact, base_exact, threshold=0.7)
         .select("doc_id")
@@ -17938,6 +18027,11 @@ def pipeline_pretrain_incremental(spark, sf_dir):
             ).alias("budgets_match"),
         )
     )
+    # surface any bench_wh-materialization failure before handing the
+    # composed frame back (its bits feed every _bloom_gate consumer)
+    _t_bench.join()
+    if _bg_errs:
+        raise _bg_errs[0]
     return (
         out.crossJoin(F.broadcast(cutw))
         .crossJoin(F.broadcast(histx))
