@@ -105,6 +105,122 @@ def _expr_memo_put(key, col: Column) -> None:
     _EXPR_MEMO[key] = col
 
 
+def _plan_hoist(rules, df: DataFrame):
+    """Rule-tree shared-predicate HOIST (reference rule_tree.py:59 —
+    its tree root is exactly the most selective predicate shared
+    across rules): when EVERY rule's filter carries a top-level
+    plain-equality conjunct on one common field, group the corpus by
+    that field's value and strip the hoisted conjunct from each
+    member's condition. The bulk-dispatch expressions then render as
+    a lazy CASE over the field — per row, only the matching group's
+    residual predicates evaluate (~N/groups instead of N; groups are
+    mutually exclusive because one field cannot equal two values), the
+    exact per-event saving the reference built its trie for.
+
+    Safety gates (all conservative — any miss returns ``None`` and the
+    caller keeps the flat form): only plain StringEq/IntEq conjuncts
+    qualify (regex/sigma-processed equalities parse to Wildcard/Regex
+    nodes and never hoist); the field must cover EVERY rule (a
+    residual un-grouped rule would break the groups-are-exclusive
+    string-concat argument); fewer than 2 distinct values means no
+    fan-out to win.
+
+    Returns ``(eq_cols, groups)`` where ``eq_cols`` is
+    {value_repr: equality Column} and ``groups`` is
+    {value_repr: [(rule_idx, residual_cond Column), ...]} in rule-index
+    order, or ``None``."""
+    from logprep_spark.filters import ast as fast
+    from logprep_spark.filters.compiler import compile_filter
+    from logprep_spark.filters.parser import parse_filter
+
+    per_rule = []
+    for r in rules:
+        try:
+            node = parse_filter(r.filter, r.regex_fields, r.sigma_fields)
+        except Exception:
+            return None
+        kids = node.children if isinstance(node, fast.And) else [node]
+        eqs = {
+            c.key: c
+            for c in kids
+            if isinstance(c, (fast.StringEq, fast.IntEq))
+        }
+        per_rule.append((eqs, kids))
+    if not per_rule:
+        return None
+    common = set(per_rule[0][0])
+    for eqs, _ in per_rule[1:]:
+        common &= set(eqs)
+    if not common:
+        return None
+    field = max(
+        sorted(common),
+        key=lambda f: len({repr(eqs[f].value) for eqs, _ in per_rule}),
+    )
+    if len({repr(eqs[field].value) for eqs, _ in per_rule}) < 2:
+        return None
+    eq_cols: dict[str, Column] = {}
+    groups: dict[str, list] = {}
+    for i, (eqs, kids) in enumerate(per_rule):
+        eq_node = eqs[field]
+        key = repr(eq_node.value)
+        if key not in eq_cols:
+            # the equality compiles exactly as the full filter would
+            # compile this conjunct (same nested-field/type handling)
+            eq_cols[key] = compile_filter(eq_node, df)
+        rest = [c for c in kids if c is not eq_node]
+        if not rest:
+            residual: fast.Node = fast.Always(True)
+        elif len(rest) == 1:
+            residual = rest[0]
+        else:
+            residual = fast.And(children=rest)
+        groups.setdefault(key, []).append(
+            (i, compile_filter(residual, df))
+        )
+    return eq_cols, groups
+
+
+def _hoisted_concat_ws(hoist, payloads: dict) -> Column | None:
+    """NUL-joined matched-payload string via the hoist: one CASE
+    branch per group value, each branch a ``concat_ws`` over ONLY that
+    group's (residual cond, payload) members — identical output to the
+    flat all-rules ``concat_ws`` because groups are mutually exclusive
+    and member order inside a branch keeps the global rule-index
+    order. ``payloads`` maps rule idx -> literal string; returns None
+    when no group has a payload-bearing member (caller's empty case).
+    Unmatched group values yield NULL where the flat form yields ''
+    — identical after the caller's ``nullif(_, '')``."""
+    eq_cols, groups = hoist
+    branch: Column | None = None
+    for key, members in groups.items():
+        items = [(i, c) for i, c in members if i in payloads]
+        if not items:
+            continue
+        joined_g = F.concat_ws(
+            "\x00",
+            *[F.when(cond, F.lit(payloads[i])) for i, cond in items],
+        )
+        branch = (
+            F.when(eq_cols[key], joined_g)
+            if branch is None
+            else branch.when(eq_cols[key], joined_g)
+        )
+    return branch
+
+
+def _balanced_or(cols: list[Column]) -> Column:
+    """Pairwise-folded OR: a left-deep N-term ``|`` chain overflows
+    the JVM stack during Column-node conversion at corpus scale."""
+    acc = list(cols)
+    while len(acc) > 1:
+        acc = [
+            acc[j] | acc[j + 1] if j + 1 < len(acc) else acc[j]
+            for j in range(0, len(acc), 2)
+        ]
+    return acc[0] if acc else F.lit(False)
+
+
 def stage_conditions(
     processor, df: DataFrame, col_name: str = COND_COL
 ) -> DataFrame:
@@ -202,10 +318,23 @@ def labeler_bulk(labeler, df: DataFrame) -> DataFrame:
     # JVM-heap OOM at 600 rules once a downstream filter substitutes
     # through it). Each cond is referenced once per category its rule
     # writes (≤ a few), so the tree stays O(N).
-    conds = [
-        F.coalesce(labeler.condition(df, rule), F.lit(False))
-        for rule in labeler.rules
-    ]
+    # r14 second pass: when the corpus HOISTS (every rule shares a
+    # plain-equality conjunct on one field — the sigma-deployment
+    # norm), the flat forms below render as a lazy CASE over that
+    # field instead: per row only the matching group's residual
+    # predicates run (~N/groups of the work; CaseWhen evaluates only
+    # the taken branch), which is the reference rule tree's actual
+    # per-event saving, not just its plan-size fix.
+    hoist = _plan_hoist(labeler.rules, df)
+    _cond_memo: dict[int, Column] = {}
+
+    def _cond(i: int) -> Column:
+        if i not in _cond_memo:
+            _cond_memo[i] = F.coalesce(
+                labeler.condition(df, labeler.rules[i]), F.lit(False)
+            )
+        return _cond_memo[i]
+
     staged = df
     # category -> {rule index -> sorted label values}
     cats: dict[str, dict[int, list[str]]] = {}
@@ -234,16 +363,28 @@ def labeler_bulk(labeler, df: DataFrame) -> DataFrame:
             if vals
         }
     )
-    # balanced OR tree: a left-deep 600-term | chain overflows the
-    # JVM stack during Column-node conversion (depth N); pairwise
-    # folding keeps depth at log2(N)
-    acc = [conds[i] for i in val_idx]
-    while len(acc) > 1:
-        acc = [
-            acc[j] | acc[j + 1] if j + 1 < len(acc) else acc[j]
-            for j in range(0, len(acc), 2)
-        ]
-    any_add = acc[0] if acc else F.lit(False)
+    # balanced OR tree (never a left-deep | chain — stack depth);
+    # hoisted, the OR runs per GROUP inside a CASE branch, so a row
+    # pays ~N/groups terms instead of N
+    if hoist is not None:
+        eq_cols, groups = hoist
+        val_set = set(val_idx)
+        _br: Column | None = None
+        for key, members in groups.items():
+            items = [c for i, c in members if i in val_set]
+            if not items:
+                continue
+            g = _balanced_or([F.coalesce(c, F.lit(False)) for c in items])
+            _br = (
+                F.when(eq_cols[key], g)
+                if _br is None
+                else _br.when(eq_cols[key], g)
+            )
+        any_add = (
+            F.coalesce(_br, F.lit(False)) if _br is not None else F.lit(False)
+        )
+    else:
+        any_add = _balanced_or([_cond(i) for i in val_idx])
     empty = F.array().cast("array<string>")
     for cat, idx_map in sorted(cats.items()):
         # Matched values are collected as ONE separator-joined string
@@ -266,19 +407,26 @@ def labeler_bulk(labeler, df: DataFrame) -> DataFrame:
         if not flat_vals:
             adds = empty
         elif can_ws:
-            joined = F.concat_ws(
-                "\x00",
-                *[
-                    F.when(conds[i], F.lit("\x00".join(vals)))
-                    for i, vals in rule_items
-                ],
+            payloads = {i: "\x00".join(vals) for i, vals in rule_items}
+            joined = (
+                _hoisted_concat_ws(hoist, payloads)
+                if hoist is not None
+                else None
             )
+            if joined is None:
+                joined = F.concat_ws(
+                    "\x00",
+                    *[
+                        F.when(_cond(i), F.lit(payloads[i]))
+                        for i, _vals in rule_items
+                    ],
+                )
             adds = F.split(F.nullif(joined, F.lit("")), "\x00")
         else:
             adds = F.concat(
                 *[
                     F.when(
-                        conds[i],
+                        _cond(i),
                         F.array(*[F.lit(v) for v in vals]),
                     ).otherwise(empty)
                     for i, vals in rule_items
@@ -384,14 +532,26 @@ def pre_detector_alerts(
     memo_key = _expr_memo_key("pre_detector_ids", rules, df)
     idstr = _EXPR_MEMO.get(memo_key) if memo_key is not None else None
     if idstr is None:
-        conds = [
-            F.coalesce(pre_detector.condition(df, rule), F.lit(False))
-            for rule in rules
-        ]
-        idstr = F.concat_ws(
-            "\x00",
-            *[F.when(conds[i], F.lit(str(i))) for i in range(len(rules))],
-        )
+        # hoisted CASE dispatch when the corpus shares an equality
+        # field (see _plan_hoist) — per row only the matching group's
+        # residual predicates evaluate; identical matched-index string
+        hoist = _plan_hoist(rules, df)
+        if hoist is not None:
+            idstr = _hoisted_concat_ws(
+                hoist, {i: str(i) for i in range(len(rules))}
+            )
+        else:
+            conds = [
+                F.coalesce(pre_detector.condition(df, rule), F.lit(False))
+                for rule in rules
+            ]
+            idstr = F.concat_ws(
+                "\x00",
+                *[
+                    F.when(conds[i], F.lit(str(i)))
+                    for i in range(len(rules))
+                ],
+            )
         if memo_key is not None:
             _expr_memo_put(memo_key, idstr)
     exploded = (

