@@ -13952,8 +13952,9 @@ def graph_lpa_communities(spark, sf_dir):
     (1880 nodes, 355 communities, largest 40) hash-gates vs the
     unrolled MATERIALIZED-CTE replica. Scale per round: one (node,
     label) agg + one per-node argmax window, both node-keyed
-    shuffles; labels localCheckpoint'ed per round (referenced twice:
-    kcore's lineage discipline)."""
+    shuffles; the self-stub fold keeps one labels reference per
+    round, so the rounds chain lazily and only the last two pin
+    (analytics._lpa_labels)."""
     li = tables(spark, sf_dir)["lineitem"]
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("parts")
