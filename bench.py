@@ -673,6 +673,7 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # the band only binds at the official config: the scan probe's
     # absolute cost is SF-dependent, so the committed reference only
     # means something at sf0.1
@@ -826,6 +827,52 @@ def main() -> None:
         "stat": "min_of_3",
         "sf": sf_val,
     }
+    # r15 scale guard (r14 verdict ask #8, REPORT-ONLY): the r14
+    # anti-scaling regressions (8 cores beating 32 on the heavy rows)
+    # surfaced only at judging. Each gated run now writes its
+    # per-query mins to BENCH_BYCPU_c<cpus>.json; when a sibling file
+    # from a DIFFERENT core count exists at the same sf, the full
+    # artifact carries per-query ratios (this_run / ref_run) plus the
+    # ref file's age — purely informational, never gates anything.
+    # A ratio well below 1 against a LOWER core count means the row
+    # anti-scales (more cores, slower row).
+    scale_block = None
+    if gated:
+        try:
+            import glob as _glob
+            import re as _re
+
+            here = os.path.dirname(os.path.abspath(__file__))
+            my_path = os.path.join(here, f"BENCH_BYCPU_c{cpus_env}.json")
+            with open(my_path, "w") as fh:
+                json.dump(
+                    {"cpus": cpus_env, "sf": sf_val, "queries": timings,
+                     "total": out["value"], "written_at": time.time()},
+                    fh, indent=1,
+                )
+                fh.write("\n")
+            refs = [
+                p for p in _glob.glob(os.path.join(here, "BENCH_BYCPU_c*.json"))
+                if p != my_path and _re.search(r"BENCH_BYCPU_c\d+\.json$", p)
+            ]
+            if refs:
+                ref = json.load(open(sorted(refs)[0]))
+                if ref.get("sf") == sf_val and ref.get("queries"):
+                    ratios = {
+                        n: round(v / ref["queries"][n], 3)
+                        for n, v in timings.items()
+                        if ref["queries"].get(n)
+                    }
+                    scale_block = {
+                        "ref_cpus": ref.get("cpus"),
+                        "this_cpus": cpus_env,
+                        "ref_age_s": round(
+                            time.time() - ref.get("written_at", 0), 1
+                        ),
+                        "ratios_vs_ref": ratios,
+                    }
+        except Exception:
+            scale_block = None
     # full artifact: headline + per-query spreads + the sf1 spot
     # detail. Printed as its OWN stdout line (before the headline, so
     # a tail capture always ends on the compact line) and written to
@@ -833,6 +880,8 @@ def main() -> None:
     # — the r8 headline line carried all of this inline and overflowed
     # the driver's tail capture (BENCH_r08 archived "parsed": null).
     full = dict(out)
+    if scale_block is not None:
+        full["scale_ref"] = scale_block
     full["metric"] = "headline_full"
     full["queries_spread"] = spreads
     if sf1_block is not None:

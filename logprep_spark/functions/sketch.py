@@ -1063,8 +1063,17 @@ def bloom_suppress(
     and so pass a suppression gate untouched."""
     out = df
     hit = F.col(value_col).isNotNull()
+    # ONE distinct subtree shared by the j probe joins (r15): the old
+    # per-i ``bits.select(alias).distinct()`` made j canonically
+    # DISTINCT broadcast subtrees (the alias sat under the distinct),
+    # so neither exchange reuse nor AQE stage reuse could dedup them —
+    # each gate rebuilt the <= m-row broadcast j times. Aliasing ABOVE
+    # the shared distinct keeps the exchanged child identical, so the
+    # broadcast materializes once per execution and the other j-1
+    # probes ride stage reuse.
+    b_shared = bits.select("pos").distinct()
     for i in range(j):
-        b = bits.select(F.col("pos").alias(f"_bp{i}")).distinct()
+        b = b_shared.select(F.col("pos").alias(f"_bp{i}"))
         probe = F.pmod(
             h60(F.concat(F.lit(f"{i}:"), F.col(value_col).cast("string"))),
             F.lit(m),

@@ -153,6 +153,29 @@ def _plan_hoist(rules, df: DataFrame):
         common &= set(eqs)
     if not common:
         return None
+
+    def _exclusive(f: str) -> bool:
+        # r14 ADVICE: CASE-branch exclusivity needs SCALAR equality —
+        # StringEq on an ArrayType compiles to array_contains
+        # (membership), so one row can satisfy two groups' values and
+        # the chained F.when would drop the second group's rules. Any
+        # non-scalar (or unresolvable) dtype disqualifies the field.
+        from pyspark.sql import types as T
+
+        dt = fld.field_type(df.schema, f)
+        if dt is None or isinstance(
+            dt, (T.ArrayType, T.MapType, T.StructType)
+        ):
+            return False
+        # r14 ADVICE: mixed node types break exclusivity too —
+        # IntEq(5) compiles to col == 5 and StringEq("5") to
+        # col.cast('string') == '5', both true for the same numeric
+        # row yet keyed as distinct groups ("5" vs "'5'").
+        return len({type(eqs[f]) for eqs, _ in per_rule}) == 1
+
+    common = {f for f in common if _exclusive(f)}
+    if not common:
+        return None
     field = max(
         sorted(common),
         key=lambda f: len({repr(eqs[f].value) for eqs, _ in per_rule}),

@@ -3504,7 +3504,11 @@ def _lpa_labels(
     if rounds > 0:
         for _ in range(rounds - 1):
             prev = _round(prev)  # lazy: linear single-reference chain
-        prev = prev.localCheckpoint()  # one job runs rounds 1..r-1
+        if rounds > 1:
+            # one job runs rounds 1..r-1; at rounds == 1 ``prev`` IS
+            # the already-checkpointed initial labels frame — a second
+            # pin would pay a redundant eager job (r14 ADVICE)
+            prev = prev.localCheckpoint()
         labels = _round(prev).localCheckpoint()
     return edges, stubs, labels, prev
 

@@ -6255,7 +6255,13 @@ def pipeline_pretrain_v3(spark, sf_dir):
     # exact-overlap witness) — persist (bench_wh above, rep_wh below)
     # so each text side is tokenized and windowed once, not per
     # consumer
-    bits = sk.bloom_bits(bench_wh, "window_hash", m=m, j=j)
+    # bits persisted (r15): the pipeline_pretrain_incremental rationale
+    # — j broadcast probe joins re-derived the explode+distinct; one
+    # level over the bench_wh persist, CacheManager-shared with the
+    # incremental twin's identical subtree
+    bits = sk.bloom_bits(bench_wh, "window_hash", m=m, j=j).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     rep_wh = dd.window_hashes(rep_docs, 13).distinct().persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -17839,6 +17845,14 @@ def pipeline_pretrain_incremental(spark, sf_dir):
         .withColumn("cut_id", _cut)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # r15 tried-and-REJECTED: a lazy localCheckpoint leaf over the
+    # gated persist (to truncate per-op analysis of the gopher
+    # subtree) saved ~1 s of construction but cost ~1.6 s of
+    # execution per iteration — the downstream pins root at a fresh
+    # RDD id each build, so CacheManager canonical sharing across
+    # bench iterations dies (the r14 localCheckpoint→persist lesson,
+    # re-measured this round: off 13.2/13.5/13.6 s vs on
+    # 14.4/13.7/14.2 s back-to-back).
     base_g = gated.filter(F.col("doc_id") <= F.col("cut_id"))
     delta_g = gated.filter(F.col("doc_id") > F.col("cut_id"))
 
@@ -17923,7 +17937,13 @@ def pipeline_pretrain_incremental(spark, sf_dir):
         "doc_id",
         "left_anti",
     )
-    bits = sk.bloom_bits(bench_wh, "window_hash", m=m, j=j)
+    # bits persisted (r15): the position frame (<= m rows) feeds THREE
+    # bloom gates x j probe joins — unpinned, each broadcast build
+    # re-ran the explode+distinct over bench_wh; one level deep over
+    # the bench_wh persist, so repeated constructions share it too
+    bits = sk.bloom_bits(bench_wh, "window_hash", m=m, j=j).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     base_final = _bloom_gate(base_near, bits)
 
     # --- DELTA incremental pass (probes the stores) -------------------
@@ -20547,7 +20567,16 @@ def rules_dispatch_labels(spark, sf_dir):
     read the naive chain cannot survive. Oracle: the same 500-rule
     corpus as a DuckDB VALUES dispatch table (join + group —
     the broadcast-join dispatch shape, stated in SQL)."""
-    ev = tables(spark, sf_dir)["events"]
+    from logprep_spark.session import fan_out
+
+    # fan_out (r15, VERDICT item 7): the events parquet arrives as ONE
+    # split at sf0.1, so the 500-branch CASE projection — which falls
+    # out of whole-stage codegen at this width (0 WSCG spans in the
+    # committed plan) and costs tens of µs per row — ran SINGLE-
+    # THREADED (driver scaling ratio 0.85, serial-ish). Per-row work
+    # this heavy is exactly fan_out's contract; a many-split
+    # production events table makes it a no-op.
+    ev = fan_out(tables(spark, sf_dir)["events"])
     rules = []
     for i, et, lo, hi in _LABEL_SPECS:
         label = {"action": [f"L{i:04d}"]}
@@ -20622,7 +20651,11 @@ def rules_dispatch_alerts(spark, sf_dir):
     prescribes: the dispatch decision rides a join, not a plan
     chain. Readout: alerts per (rule, severity); the oracle states
     the identical dispatch join over a VALUES rule table."""
-    ev = tables(spark, sf_dir)["events"]
+    from logprep_spark.session import fan_out
+
+    # fan_out (r15): single-split scan + 300-branch match string —
+    # the rules_dispatch_labels rationale
+    ev = fan_out(tables(spark, sf_dir)["events"])
     rules = []
     for i, et, lo, hi in _ALERT_SPECS:
         rules.append(

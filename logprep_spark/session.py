@@ -22,11 +22,27 @@ def get_spark(app_name: str = "logprep-spark", master: str | None = None) -> Spa
     Spark conf.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # r15 (guide §2.2): size reduce partitions by DATA, not core count.
+    # parallelismFirst=true (the Spark default) ignores the advisory
+    # size and fans every shuffle out to ~defaultParallelism tasks —
+    # at small inputs that is pure per-task scheduling overhead (the
+    # r14 driver measured 8 cores BEATING 32 on the multi-stage rows:
+    # ratios 0.2-0.6), and at large inputs it under-partitions. With
+    # parallelismFirst=false AQE coalesces each shuffle to
+    # ceil(bytes / advisory): tiny sf0.1 exchanges collapse to 1-4
+    # tasks, a 100 TB exchange fans out to bytes/advisory regardless
+    # of the local core count — the "derive parallelism from input
+    # size" posture. Advisory is env-tunable: 8m locally (keeps the
+    # genuinely compute-bound sf0.1 stages parallel); production
+    # deployments set 128-256m (guide §9) via normal Spark conf.
+    advisory = os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -56,6 +72,18 @@ def get_spark(app_name: str = "logprep-spark", master: str | None = None) -> Spa
     return spark
 
 
+#: fan_out partition-probe memo (r15, the dispatch/_EXPR_MEMO
+#: precedent): ``df.rdd.getNumPartitions()`` converts the FULL plan to
+#: an RDD — ~0.3 s of driver latency on a deep frame, re-paid per plan
+#: construction (pipeline_pretrain_incremental paid it 5x per build).
+#: The partition count of a logical plan is session-stable metadata
+#: (CODE-derived, never data or results), so memoize it keyed on
+#: (applicationId, analyzed-plan semanticHash). A hash collision could
+#: only skip/add a repartition — a performance nuance, never a result
+#: change. Bounded, cleared on overflow.
+_FANOUT_MEMO: dict = {}
+
+
 def fan_out(df, factor: float = 1.0):
     """Widen a too-narrow scan to the session's parallelism before
     genuinely heavy per-row work (e.g. multimodal decode in
@@ -75,8 +103,25 @@ def fan_out(df, factor: float = 1.0):
     # dedup_minhash_lsh at sf0.1: when the scan already has >= target
     # splits the unconditional path adds a full round-robin shuffle of
     # the corpus — executor cost proportional to data size, the wrong
-    # trade at any scale.
-    if df.rdd.getNumPartitions() < target:
+    # trade at any scale. r15: the probe result is memoized per
+    # (appId, plan semanticHash) — see _FANOUT_MEMO above.
+    key = None
+    try:
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            target,
+        )
+    except Exception:
+        pass
+    n = _FANOUT_MEMO.get(key) if key is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            if len(_FANOUT_MEMO) >= 4096:
+                _FANOUT_MEMO.clear()
+            _FANOUT_MEMO[key] = n
+    if n < target:
         return df.repartition(target)
     return df
 

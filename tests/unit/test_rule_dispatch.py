@@ -322,3 +322,71 @@ def test_pipeline_dispatch_flag(spark):
     plain = Pipeline([Labeler(rules=rules)]).transform(ev)
     routed = Pipeline([Labeler(rules=rules)], dispatch=True).transform(ev)
     assert _collect_sorted(plain) == _collect_sorted(routed)
+
+
+def test_hoist_refuses_array_typed_field(spark):
+    """r14 ADVICE (high): StringEq on an ArrayType field compiles to
+    array_contains — MEMBERSHIP, not equality — so hoisted groups are
+    not mutually exclusive (one row's array can hold two groups'
+    values) and a CASE dispatch would keep only the first branch.
+    The hoist must refuse; bulk must still equal sequential."""
+    from logprep_spark.operators.dispatch import _plan_hoist
+
+    rules = [
+        {
+            "filter": f"tags:g{i % 2} AND user_id:[0 TO 500]",
+            "labeler": {"label": {"action": [f"A{i}"]}},
+        }
+        for i in range(4)
+    ]
+    ev = spark.createDataFrame(
+        [
+            # row 0's tags hold BOTH group values — the exclusivity
+            # breaker: a hoisted CASE would drop the g1 rules' labels
+            (0, ["g0", "g1"], 10),
+            (1, ["g1"], 20),
+            (2, ["g0"], 30),
+            (3, ["zz"], 40),
+        ],
+        "event_id long, tags array<string>, user_id long",
+    )
+    proc = Labeler(rules=rules)
+    assert _plan_hoist(proc.rules, ev) is None
+    seq = Labeler(rules=rules).transform(ev)
+    bulk = Labeler(rules=rules).transform_bulk(ev)
+    assert _collect_sorted(seq) == _collect_sorted(bulk)
+    both = bulk.where("event_id = 0").first()["label"]["action"]
+    assert set(both) == {"A0", "A1", "A2", "A3"}
+
+
+def test_hoist_refuses_mixed_node_types(spark):
+    """r14 ADVICE (medium): IntEq(5) compiles to col == 5 and
+    StringEq("5") to col.cast('string') == '5' — both true for the
+    same numeric row but keyed as distinct groups, so the CASE would
+    drop the second group's rules. Mixed node types must not hoist."""
+    from logprep_spark.operators.dispatch import _plan_hoist
+
+    rules = [
+        {
+            "filter": 'user_id:"5"',
+            "labeler": {"label": {"action": ["S5"]}},
+        },
+        {
+            "filter": "user_id:5",
+            "labeler": {"label": {"action": ["I5"]}},
+        },
+        {
+            "filter": 'user_id:"7"',
+            "labeler": {"label": {"action": ["S7"]}},
+        },
+    ]
+    ev = spark.createDataFrame(
+        [(0, 5), (1, 7), (2, 9)], "event_id long, user_id long"
+    )
+    proc = Labeler(rules=rules)
+    assert _plan_hoist(proc.rules, ev) is None
+    seq = Labeler(rules=rules).transform(ev)
+    bulk = Labeler(rules=rules).transform_bulk(ev)
+    assert _collect_sorted(seq) == _collect_sorted(bulk)
+    r0 = bulk.where("event_id = 0").first()["label"]["action"]
+    assert set(r0) == {"S5", "I5"}
