@@ -875,9 +875,19 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     "_changed"
                 ),
             )
-            .localCheckpoint()  # truncate per-round lineage growth
+            # lazy pin + one agg action (r15): the eager checkpoint
+            # ran a full materialization pass and THEN isEmpty ran a
+            # second job over the pinned blocks — two driver-blocking
+            # jobs per round of mostly fixed overhead. The lazy
+            # checkpoint plans now (lineage still truncated for the
+            # next round) and the convergence agg is the ONE action
+            # that both materializes/pins the round's blocks and
+            # returns the flag. max(_changed) over an empty frame is
+            # NULL -> converged, matching filter(_changed).isEmpty().
+            .localCheckpoint(eager=False)
         )
-        converged = new_labels.filter(F.col("_changed")).isEmpty()
+        changed = new_labels.agg(F.max("_changed").alias("c")).first()["c"]
+        converged = not bool(changed)
         labels.unpersist()
         labels = new_labels.drop("_changed")
         if converged:
@@ -1291,11 +1301,21 @@ def setsim_prefix_join(
         .select("id_a", "id_b")
         .distinct()
     )
+    # broadcast the per-doc array side (r15, guide §3.1): the verify
+    # attaches one array row per doc to the MUCH larger candidate-pair
+    # frame; the planner's estimate put the array frame over the
+    # broadcast threshold and sort-merge-joined the pairs instead —
+    # measured 3.6 s vs 0.47 s for the containment twin's verify at
+    # sf0.1 (174k pairs, 5k docs). One row per doc of k-shingle
+    # metadata is the bounded side by construction here; a corpus
+    # whose per-doc shingle frame outgrows the broadcast cap would
+    # drop the hint and keep the shuffle form (the at-scale posture
+    # documented on minhash_dedup's candidate-pruned verify).
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("_ta"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("_tb"))
     ver = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .withColumn(
             "n_inter", F.size(F.array_intersect("_ta", "_tb")).cast("long")
         )
@@ -1398,11 +1418,13 @@ def containment_prefix_join(
         .select("id_a", "id_b")
         .distinct()
     )
+    # broadcast verify (r15, guide §3.1) — see setsim_prefix_join:
+    # measured 3.6 s -> 0.47 s on this exact join at sf0.1
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("_ta"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("_tb"))
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .withColumn(
             "n_inter", F.size(F.array_intersect("_ta", "_tb")).cast("long")
         )

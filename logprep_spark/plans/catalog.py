@@ -6186,6 +6186,8 @@ def pipeline_pretrain_v3(spark, sf_dir):
 
     m, j = _V3_BLOOM_M, _V3_BLOOM_J
     docs = tables(spark, sf_dir)["documents"]
+    # r15: fan_out before these persists tried and REJECTED on a
+    # back-to-back A/B — see pipeline_pretrain_incremental's note
     bench = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     gated = tx.gopher_filter(corpus, min_stop_hits=1).persist(
@@ -17803,6 +17805,15 @@ def pipeline_pretrain_incremental(spark, sf_dir):
 
     m, j = _V3_BLOOM_M, _V3_BLOOM_J
     docs = tables(spark, sf_dir)["documents"]
+    # r15 tried-and-REJECTED: fan_out(bench)/fan_out(corpus) before
+    # the persists (to parallelize the single-split window passes —
+    # ~2.1 s serial per bloom gate measured warm). Strict back-to-back
+    # A/B read the fanned form WORSE (incremental 14.1 → 15.0 s min,
+    # v3 9.0 → 10.6 s): 32 cache blocks turn every downstream map
+    # stage into 32 near-empty tasks, and that dispatch overhead
+    # exceeds the parallelism gain at this corpus size. The per-row
+    # work here (~26 µs/window) sits below fan_out's documented
+    # tens-of-µs threshold once multiplied by only ~40 windows/doc.
     bench = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     bench_wh = (

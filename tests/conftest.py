@@ -21,3 +21,18 @@ def sf_dir():
 def rows(df):
     """Collect to a list of plain dicts sorted stably for comparison."""
     return [r.asDict(recursive=True) for r in df.collect()]
+
+
+#: r15 slow tier (r14 verdict ask #2): the driver's pytest window
+#: truncated the r14 suite at ~63% with zero failures — wall clock,
+#: not correctness. The handful of >30 s drills below the marker are
+#: moved to an opt-in tier so the default run fits the window; run
+#: them locally with SPARK_GRAFT_SLOW_TESTS=1 (CI posture: a nightly
+#: tier). The behaviors they pin remain covered by the cheaper tests
+#: in the same files (restart/crash semantics by the shorter
+#: streaming drills, the catalog plan lint by tools/check_ledgers.py
+#: which runs the identical 331-plan sweep out-of-band each round).
+slow_tier = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SLOW_TESTS", "0") != "1",
+    reason="slow tier - set SPARK_GRAFT_SLOW_TESTS=1 to run",
+)

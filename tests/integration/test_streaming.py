@@ -9,6 +9,8 @@ import json
 
 import pytest
 
+from tests.conftest import slow_tier
+
 from logprep_spark.operators import Calculator, FieldManager
 from logprep_spark.sources import DummyOutput, JsonlInput
 from logprep_spark.streaming import (
@@ -1702,6 +1704,7 @@ def test_hampel_stream_despikes_and_recovers(spark, tmp_path):
     assert totals and max(totals) <= 2
 
 
+@slow_tier
 def test_incremental_corpus_stream_restart_parity(spark, tmp_path):
     """The incremental flagship's delta path as a REAL stream (r11
     verdict ask #7): micro-batches of raw docs probe the PERSISTED
@@ -1881,6 +1884,7 @@ def test_incremental_corpus_stream_restart_parity(spark, tmp_path):
     assert stream.shingle_store.committed_batches() == second
 
 
+@slow_tier
 def test_incremental_corpus_stream_crash_between_fold_ins(spark, tmp_path):
     """Replay-stability in the EXACT crash window the fold-ins open
     (r12 advice, high): foreachBatch is at-least-once and one batch
@@ -1970,6 +1974,7 @@ def test_incremental_corpus_stream_crash_between_fold_ins(spark, tmp_path):
     assert clean.out.committed_batches() == crashed.out.committed_batches()
 
 
+@slow_tier
 def test_incremental_corpus_stream_split_inheritance(spark, tmp_path):
     """The streamed corpus is TRAINING-READY (r12 verdict ask #6):
     every emitted survivor carries a cluster-atomic ``split`` column
@@ -2122,6 +2127,7 @@ def test_incremental_corpus_stream_split_inheritance(spark, tmp_path):
         assert oneshot[doc_id] == split, (doc_id, split, oneshot[doc_id])
 
 
+@slow_tier
 def test_incremental_corpus_stream_bridge_without_cluster_store(
     spark, tmp_path
 ):
@@ -2221,6 +2227,7 @@ def test_incremental_corpus_stream_bridge_without_cluster_store(
     assert emitted == {509: "train"}
 
 
+@slow_tier
 def test_incremental_corpus_stream_merge_after_emit_divergence(
     spark, tmp_path
 ):

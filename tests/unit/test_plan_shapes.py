@@ -8,6 +8,8 @@ and pushdown decisions are already visible there.
 
 import pytest
 
+from tests.conftest import slow_tier
+
 from logprep_spark.plans import catalog
 
 
@@ -606,6 +608,7 @@ def test_q10_aggregates_before_dim_join_takeordered(plans):
     assert agg_lines and all("c_name" not in l for l in agg_lines)
 
 
+@slow_tier
 def test_no_cartesian_or_row_udf_anywhere_in_catalog(spark, sf_dir):
     """Catalog-wide anti-pattern audit: NO query may plan a
     CartesianProduct (a non-broadcast cross join is quadratic data
